@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{EventQueries, Relational, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries` maps one entry per implemented operator family from
+  * SURVEY.md §2 (plus the 100-TB extension operators: dedup,
+  * similarity search, text analysis, event windows, multimodal
+  * plumbing). `oracleSql` holds the DuckDB-equivalent SQL for every
+  * oracle-expressible query; approximate/hash-dependent operators
+  * (q35 LSH ANN) are rows-only checked.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows > 0. The rank()-shaped composite: dedup-keep-last -> join ->
+    * broadcast join -> regex filter -> top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.queries("q04_rank_segments")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ EventQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries
+
+  /** DuckDB-equivalent SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles
 }

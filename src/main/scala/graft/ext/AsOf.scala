@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — an operator Spark lacks natively (composed
+  * from built-ins per the preference order in the build guide: union +
+  * window beats a custom SparkPlan here because it is one shuffle and
+  * stays inside whole-stage codegen).
+  *
+  * For each left row (key, t), attach the payload of the right row
+  * with the same key and the greatest right-time <= t (ties broken by
+  * right rows sorting before left rows at equal time, i.e. inclusive
+  * `<=` semantics, matching DuckDB's ASOF JOIN).
+  *
+  * Scale: both sides shuffle once on `key`; the merge is a single
+  * window pass per key partition. No per-key collect, no cross
+  * product — holds for arbitrarily large sides. Skewed keys can be
+  * pre-salted by callers if one key dominates.
+  */
+object AsOf {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side; should be deduplicated
+    *                   on (key, time) for deterministic payloads
+    * @param leftKey    join key column name on the left
+    * @param rightKey   join key column name on the right
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right
+    * @param payload    right-side columns to attach
+    */
+  def joinBackward(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payload.map(col): _*).schema.fields)))
+    val r = right
+      .select((Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+                   lit(0).as("__side"), struct(payload.map(col): _*).as("__p")) ++
+               leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.select((Seq("__k", "__t", "__side", "__p").map(col) ++
+                            leftCols.map(col)): _*)
+      .unionByName(r)
+    // Right rows (__side=0) sort before left rows at equal time: <=.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = unioned
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__last")(p)))
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

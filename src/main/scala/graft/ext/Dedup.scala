@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash group-by), n-gram Jaccard, MinHash+LSH, and
+  * SimHash. All are expressed with built-in codegen'd functions — no
+  * UDFs — so they stay inside whole-stage codegen and scale out.
+  *
+  * Scale design:
+  *  - Exact dedup: one shuffle on the content hash; never on raw text.
+  *  - MinHash+LSH: candidate generation is a self-equi-join on
+  *    (band_idx, band_hash) — O(n·bands) shuffle rows instead of the
+  *    O(n^2) cross join an exact pairwise pass would need. Verification
+  *    re-joins shingle sets only for candidate pairs.
+  *  - SimHash: 32-bit signature per doc from per-token MD5 bits;
+  *    bucket-by-signature finds exact-signature dups cheaply.
+  */
+object Dedup {
+
+  /** Word-level k-shingles (contiguous k-grams joined by spaces),
+    * deduplicated per document. Emits `shingles: array<string>`.
+    */
+  def withShingles(docs: DataFrame, textCol: String, k: Int = 3,
+                   out: String = "shingles"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.withColumn("__toks", toks)
+      .withColumn(out,
+        when(size(col("__toks")) < k, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(col("__toks")) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(o => element_at(col("__toks"), i + o)): _*)))))
+      .drop("__toks")
+  }
+
+  /** Jaccard similarity between two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact duplicate groups by content hash (md5). Returns one row per
+    * text with the representative (min) id and the duplicate count.
+    * Shuffles 16-byte hashes, not document bodies.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("representative_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: `numHashes` permutations approximated by
+    * xxhash64(shingle, seed_i); signature_i = min over shingles.
+    */
+  def withMinHashSignature(docs: DataFrame, shinglesCol: String,
+                           numHashes: Int = 16, out: String = "minhash"): DataFrame =
+    docs.withColumn(out,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(col(shinglesCol), sh => xxhash64(sh, j)))))
+
+  /** LSH candidate pairs: split the signature into `bands` contiguous
+    * bands of `numHashes / bands` values, hash each band, and
+    * self-join on (band_idx, band_hash). O(n·bands) shuffle rows vs
+    * the O(n^2) cross join of exact pairwise comparison — this is the
+    * 100 TB path. Returns distinct (id_a, id_b) with id_a < id_b.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, minhashCol: String,
+                        numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(col(minhashCol), b * lit(r) + lit(1), lit(r))))
+    val banded = docs.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> signature -> LSH
+    * candidates -> exact-Jaccard verification at `threshold`.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs, textCol, k).select(col(idCol), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = withMinHashSignature(sh, "shingles", numHashes)
+    val cand = lshCandidatePairs(sig, idCol, "minhash", numHashes, bands)
+    val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Portable 32-bit SimHash: per-token bit b = high bit of hex digit
+    * b of md5(token); signature bit = sign of the token-count-weighted
+    * sum. Emitted as a 32-char '0'/'1' string so the definition is
+    * reproducible in any engine with md5 (used by the DuckDB oracle).
+    */
+  def withSimHash(docs: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val hexes = transform(toks, t => md5(t))
+    val bitVotes = transform(sequence(lit(1), lit(32)),
+      i => aggregate(hexes, lit(0),
+        (acc, h) => acc + when(
+          h.substr(i, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)))
+    docs.withColumn(out,
+      concat_ws("", transform(bitVotes, v => when(v > 0, "1").otherwise("0"))))
+  }
+}

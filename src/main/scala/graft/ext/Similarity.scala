@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`), UDF-free.
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact cosine top-k by broadcasting the (small)
+  *    query set against the corpus — one scan, no shuffle of the
+  *    corpus, TakeOrdered per query. Right answer when |queries| is
+  *    small; the corpus side streams at any scale.
+  *  - lshTopK: random-hyperplane LSH bucketing (deterministic
+  *    hash-derived planes) — corpus shuffles once on the bucket key,
+  *    and each query only compares against its bucket's candidates.
+  *    The 100 TB path: candidate count is corpus/2^planes per bucket.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cast array<float> to array<double> for numerically-stable math. */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Exact cosine top-k: for each query vector (small set, broadcast),
+    * the k nearest corpus vectors by cosine similarity.
+    * Determinism: ties broken by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension i: a value in [-1, 1) derived from xxhash64. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (pmod(xxhash64(lit(j), i), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Sign-bucket key: one bit per hyperplane from the sign of
+    * dot(vec, plane_j). */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
+                    out: String = "bucket"): DataFrame = {
+    val dims = sequence(lit(1), size(col(vecCol)))
+    val bits: Seq[Column] = (0 until planes).map { j =>
+      val d = aggregate(zip_with(col(vecCol), dims, (x, i) => x * planeComponent(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.withColumn(out, bits.reduce(_ + _))
+  }
+
+  /** ANN top-k: candidates share the query's LSH bucket; exact cosine
+    * re-rank within the bucket. Trades recall for a 2^planes candidate
+    * reduction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = withLshBucket(
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec")),
+        "c_vec", planes)
+      .withColumn("c_norm", l2norm(col("c_vec")))
+    val q = withLshBucket(
+        queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")),
+        "q_vec", planes)
+      .withColumn("q_norm", l2norm(col("q_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+  }
+}

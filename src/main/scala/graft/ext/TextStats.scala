@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting. All built-in-function expressions (codegen'd, no
+  * UDFs), so they run at full scan speed over 100 TB of text.
+  */
+object TextStats {
+
+  /** Whitespace token count without materializing the token array:
+    * chars minus non-space chars + 1. Pure string arithmetic — stays
+    * in codegen and avoids array allocation per row on wide scans.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** BPE-ish subword count: maximal runs of letters or digits. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
+
+  /** Stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+      size(toks)
+  }
+
+  /** Heuristic quality score in [0,1]: length credit (saturating at
+    * `fullTokens`) blended with non-stopword density.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String], fullTokens: Int = 100): Column = {
+    val n = tokenCount(text).cast("double")
+    val sw = stopwordRatio(text, stopwords)
+    least(n / fullTokens, lit(1.0)) * 0.5 + (lit(1.0) - sw) * 0.5
+  }
+
+  /** Marker-word language scores: for each (lang, markers) profile,
+    * emits a column `score_<lang>` counting marker occurrences.
+    * Real deployments would load per-language character-n-gram
+    * profiles; the mechanism (count markers, argmax) is the same.
+    */
+  def withLangScores(df: DataFrame, textCol: String,
+                     profiles: Seq[(String, Seq[String])]): DataFrame =
+    profiles.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"score_$lang",
+        size(filter(split(col(textCol), " "), t => t.isin(markers.map(lit): _*))))
+    }
+
+  /** Deterministic argmax over the `score_<lang>` columns with
+    * first-listed-wins tie-breaking.
+    */
+  def predictLang(profiles: Seq[(String, Seq[String])]): Column = {
+    val langs = profiles.map(_._1)
+    langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
+      val mine = col(s"score_$l")
+      val laterMax = langs.drop(langs.indexOf(l) + 1).map(o => col(s"score_$o"))
+        .reduce((a, b) => greatest(a, b))
+      when(mine >= laterMax, l).otherwise(elseCol)
+    }
+  }
+
+  /** Content fingerprint: md5 of the text (portable across engines).
+    * For shift-resistant fingerprints use Dedup.withSimHash.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operator kernels.
+  *
+  * These cover the operator families in SURVEY.md §2 (dedup-keep-last,
+  * top-1-per-group, pivot/unpivot, trailing lag averages, top-k,
+  * dictionary translation with fallback). Reference semantics:
+  * crdcj/FinLogic `src/finlogic/data.py:48-56`, `indicators.py:34-69,
+  * 108-116`, `company.py:317-335,425-433` — re-expressed as Spark
+  * window/group-by plans rather than the reference's sort+unique scans.
+  *
+  * Scale notes (100 TB): every kernel shuffles at most once, keyed on
+  * the group columns; callers that chain several kernels over the same
+  * keys share the exchange (Catalyst reuses the hash partitioning).
+  * Orderings are made total by appending tie-break columns, so results
+  * are deterministic under any partitioning (SURVEY.md §2.10 trap 7).
+  */
+object Kernels {
+
+  /** Keep the last row per key group under a total ordering — the
+    * window-top-1 form of Polars `sort(...).unique(subset, keep="last")`
+    * (reference `data.py:51-52,189-190`, `indicators.py:34-35`).
+    *
+    * One shuffle on `keys`; no full sort. `order` must be total for
+    * determinism — append a unique tie-break column if needed.
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** First row per key group under an ascending total ordering. */
+  def top1PerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-n rows per key group (generalizes dedupKeepLast). */
+  def topNPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Global top-k: `orderBy(order).limit(k)`. Catalyst plans this as
+    * TakeOrderedAndProject — per-partition heaps + a k-row merge on the
+    * driver, never a full sort (reference's `rank()` does sort+head,
+    * `data.py:197-198`; this is the scale-correct form).
+    */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Pivot with explicit values (skips Spark's values-discovery job —
+    * at 100 TB that extra pass over the fact table matters). Mirrors
+    * Polars `pivot(aggregate_function="first")` (`indicators.py:40-44`);
+    * input must be pre-deduplicated on (idx, pivotCol) for `first` to be
+    * deterministic, as the reference guarantees at `indicators.py:34-35`.
+    */
+  def pivotFirst(df: DataFrame, idx: Seq[String], pivotCol: String,
+                 values: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(idx.map(col): _*)
+      .pivot(pivotCol, values)
+      .agg(first(col(valueCol)))
+
+  /** Unpivot (melt) value columns into (variable, value) rows —
+    * Polars `unpivot` (`indicators.py:223-224`); Spark >= 3.4 native. */
+  def unpivot(df: DataFrame, idx: Seq[String], valueCols: Seq[String],
+              varName: String, valName: String): DataFrame =
+    df.unpivot(idx.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+
+  /** Trailing two-period average with lag-1 fallback-to-self:
+    * `avg = (x + coalesce(lag(x,1), x)) / 2` per group ordered by
+    * `ord` — the annual-average form (reference `indicators.py:47-54`).
+    */
+  def trailingAvg2(df: DataFrame, keys: Seq[String], ord: Column,
+                   cols: Seq[String], prefix: String = "avg_"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(prefix + c, (col(c) + coalesce(lag(col(c), 1).over(w), col(c))) / 2)
+    }
+  }
+
+  /** Quarterly trailing average: prefer same quarter last year (lag 4),
+    * else previous quarter (lag 1), else self (`indicators.py:57-69`).
+    */
+  def trailingAvg4(df: DataFrame, keys: Seq[String], ord: Column,
+                   cols: Seq[String], prefix: String = "avg_"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    cols.foldLeft(df) { (d, c) =>
+      val prev = coalesce(lag(col(c), 4).over(w), lag(col(c), 1).over(w), col(c))
+      d.withColumn(prefix + c, (col(c) + prev) / 2)
+    }
+  }
+
+  /** Dictionary translation as a broadcast left join with a prefixed
+    * fallback for missing keys — replaces the reference's collected
+    * Python dict + `replace_strict` (`company.py:425-433`). The dict
+    * side stays distributed (broadcast), so this holds at any fact-table
+    * scale as long as the dictionary itself is small.
+    */
+  def translate(df: DataFrame, dict: DataFrame, keyCol: String,
+                dictKey: String, dictVal: String,
+                outCol: String, fallback: Column): DataFrame = {
+    val d = dict.select(col(dictKey).as("__k"), col(dictVal).as("__v"))
+    df.join(broadcast(d), col(keyCol) === col("__k"), "left")
+      .withColumn(outCol, coalesce(col("__v"), fallback))
+      .drop("__k", "__v")
+  }
+}

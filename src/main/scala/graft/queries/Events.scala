@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.AsOf
+import graft.ops.Kernels
+import graft.tables.Tables
+
+/** Event-table queries: JSON extraction, tumbling/sliding/session
+  * windows (batch forms of the Structured Streaming shapes in
+  * graft.streaming), and the as-of join. Timestamps are emitted as
+  * formatted strings so the ns-vs-us parquet logical types of the two
+  * engines cannot skew the driver's hash compare.
+  */
+object EventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, Q] = Map(
+    // JSON field extraction (events.props) + aggregation.
+    "q20_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+             round(avg("k"), 6).as("avg_k"),
+             round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")),
+
+    // Tumbling 1h windows — batch form of a streaming windowed agg.
+    "q21_hourly_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), TsFmt).as("hour"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // Sliding 2h/1h windows via Spark's native window() generator.
+    "q22_sliding_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), TsFmt).as("win_start"),
+                col("event_type"), col("n_events"))
+        .orderBy("win_start", "event_type")),
+
+    // Session windows: 30-minute inactivity gap, per user.
+    "q23_session_windows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             date_format(min("ts"), TsFmt).as("session_start"),
+             date_format(max("ts"), TsFmt).as("session_end"),
+             round(sum("value"), 2).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // As-of join: each event picks the user's latest order at or
+    // before the event time (right side deduped for determinism).
+    "q24_asof_join" -> ((s, d) => {
+      val latest = Kernels.dedupKeepLast(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      AsOf.joinBackward(
+          Tables.events(s, d).select("event_id", "user_id", "ts"), latest,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+                date_format(col("ts"), TsFmt).as("event_ts"),
+                col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_hourly_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "q22_sliding_windows" ->
+      """SELECT strftime(date_trunc('hour', ts) - to_hours(h), '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) s(h)
+        |GROUP BY 1, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "q23_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q24_asof_join" ->
+      """WITH latest AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT event_id, user_id,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_ts,
+        | o_orderkey, o_totalprice
+        |FROM (SELECT event_id, user_id, ts FROM events) e
+        |ASOF LEFT JOIN latest ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+  )
+}

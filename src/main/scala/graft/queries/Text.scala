@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextStats}
+import graft.tables.Tables
+
+/** Text-pipeline queries over the documents table: exact and
+  * approximate dedup, fingerprinting, quality scoring, language id,
+  * token counting, and multimodal (binary column) plumbing.
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("a", "the", "data", "value", "row")
+
+  // Fixed marker-word language profiles (see TextStats.withLangScores).
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("key", "merge", "batch"),
+    "en" -> Seq("a", "the", "table"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("join", "line", "order"),
+    "zh" -> Seq("scan", "hash", "part"),
+  )
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup stats per source (hash-groupBy family).
+    "q25_exact_dedup_docs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("text").as("n_unique_texts"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
+        .orderBy("source")),
+
+    // Content fingerprint (md5 — portable, verifiable cross-engine).
+    "q26_fingerprint_md5" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"),
+                col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs within source.
+    // This is the oracle-checked exact variant; q31 is the LSH scale
+    // path that avoids the O(n^2) self-join.
+    "q27_ngram_jaccard_neardup" -> ((s, d) => {
+      val sh = Dedup.withShingles(Tables.documents(s, d), "text", 3)
+        .select(col("doc_id"), col("source"), col("shingles"))
+      val a = sh.select(col("doc_id").as("doc_id_a"), col("source"),
+                        col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_id_b"), col("source"),
+                        col("shingles").as("sh_b"))
+      a.join(b, "source")
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id_a"), col("doc_id_b"), col("source"),
+                round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    // Quality scoring aggregated per language label.
+    "q28_text_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .withColumn("stop_ratio",
+          round(TextStats.stopwordRatio(col("text"), Stopwords), 6))
+        .withColumn("quality",
+          round(TextStats.qualityScore(col("text"), Stopwords), 6))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("n_tokens"), 6).as("avg_tokens"),
+             round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+             round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
+    // Language-id confusion matrix: fixed marker profiles, argmax
+    // with first-listed-wins ties (deterministic; mirrored in SQL).
+    "q29_langid_confusion" -> ((s, d) => {
+      val scored = TextStats.withLangScores(Tables.documents(s, d), "text", LangProfiles)
+      scored.withColumn("predicted", TextStats.predictLang(LangProfiles))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword regex.
+    "q30_token_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .withColumn("n_subwords", TextStats.subwordCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("total_tokens"),
+             sum("n_subwords").as("total_subwords"),
+             round(avg("n_tokens"), 6).as("avg_tokens"))
+        .orderBy("source")),
+
+    // MinHash+LSH near-dup detection (scale path). Verified candidates
+    // at jaccard>=0.5 coincide with the exact global pair set on this
+    // data, so the oracle is the exact pairwise computation.
+    "q31_minhash_lsh_neardup" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Portable 32-bit SimHash signatures (md5-bit construction).
+    "q32_simhash" -> ((s, d) =>
+      Dedup.withSimHash(Tables.documents(s, d), "text")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: text -> binary column -> deterministic
+    // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
+    // -> metadata aggregation. Exercises binary schema + byte ops.
+    "q33_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .withColumn("width", lit(64) + col("n_bytes") % 576)
+        .withColumn("height", lit(64) + (col("n_bytes") * 7) % 416)
+        .withColumn("n_frames", lit(1) + col("n_chars") % 29)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+             sum("n_bytes").as("total_bytes"),
+             round(avg("width"), 6).as("avg_width"),
+             round(avg("height"), 6).as("avg_height"),
+             sum("n_frames").as("total_frames"))
+        .orderBy("source")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_exact_dedup_docs" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique_texts,
+        | count(*) - count(DISTINCT text) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q26_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fingerprint, n_chars FROM documents ORDER BY doc_id",
+
+    "q27_ngram_jaccard_neardup" ->
+      """WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q28_text_quality" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |      / len(string_split(text,' ')), 6) AS stop_ratio,
+        |    round(least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
+        | round(avg(stop_ratio), 6) AS avg_stop_ratio, round(avg(quality), 6) AS avg_quality
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q29_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q30_token_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_subwords,
+        | round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Oracle for the LSH pipeline: the exact global near-dup pair set
+    // (LSH with these parameters has deterministic full recall at 0.5
+    // on this data — verified candidates equal the exact pair set).
+    "q31_minhash_lsh_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_simhash" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 33) r(i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q33_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, n_chars
+        |  FROM documents)
+        |SELECT source, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | round(avg(64 + n_bytes % 576), 6) AS avg_width,
+        | round(avg(64 + (n_bytes * 7) % 416), 6) AS avg_height,
+        | CAST(sum(1 + n_chars % 29) AS BIGINT) AS total_frames
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -1,0 +1,38 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (TESTDATA.md). Plain parquet
+  * scans — filters/projections chained by callers reach the scan via
+  * Catalyst pushdown, so keep these as bare `spark.read.parquet`.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)   = table(s, d, "region")
+  def nation(s: SparkSession, d: String)   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String) = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)     = table(s, d, "part")
+  def orders(s: SparkSession, d: String)   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark vectorized reader rejects. Read nanos as Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
+    * microsecond TimestampType column. `div` (integer division) is
+    * required: epoch-nanos ~1.7e18 exceeds 2^53, so a double round-trip
+    * would lose precision. Truncation (floor for positive epochs)
+    * matches DuckDB's ns->us cast.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
