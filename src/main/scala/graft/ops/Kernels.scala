@@ -101,6 +101,17 @@ object Kernels {
     }
   }
 
+  /** IEEE-754 float division under Spark's default ANSI mode (which
+    * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
+    * columnar engines (and the reference's Polars kernels) give.
+    */
+  def ieeeDivide(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
+      .otherwise(
+        when(num === 0.0 || num.isNull, lit(Double.NaN))
+          .otherwise(when(num > 0, lit(Double.PositiveInfinity))
+            .otherwise(lit(Double.NegativeInfinity))))
+
   /** Dictionary translation as a broadcast left join with a prefixed
     * fallback for missing keys — replaces the reference's collected
     * Python dict + `replace_strict` (`company.py:425-433`). The dict

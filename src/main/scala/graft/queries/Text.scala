@@ -45,6 +45,7 @@ object TextQueries {
     // path that avoids the O(n^2) self-join.
     "q27_ngram_jaccard_neardup" -> ((s, d) => {
       val sh = Dedup.withShingles(Tables.documents(s, d), "text", 3)
+        .filter(size(col("shingles")) > 0) // ANSI: avoid 0/0 jaccard
         .select(col("doc_id"), col("source"), col("shingles"))
       val a = sh.select(col("doc_id").as("doc_id_a"), col("source"),
                         col("shingles").as("sh_a"))

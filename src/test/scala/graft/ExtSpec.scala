@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{AsOf, Dedup, Similarity, TextStats}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- as-of join ------------------------------------------------
+  test("asof joinBackward: greatest right time <= left time, inclusive") {
+    val left = Seq((1L, 5L), (1L, 7L), (1L, 10L), (2L, 1L))
+      .toDF("k", "t").withColumn("t", timestamp_seconds($"t"))
+    val right = Seq((1L, 4L, 40.0), (1L, 7L, 70.0), (2L, 3L, 30.0))
+      .toDF("rk", "rt", "p").withColumn("rt", timestamp_seconds($"rt"))
+    val out = AsOf.joinBackward(left, right, "k", "rk", "t", "rt", Seq("p"))
+      .orderBy("k", "t").collect()
+    assert(out(0).getAs[Double]("p") == 40.0)  // t=5 -> rt=4
+    assert(out(1).getAs[Double]("p") == 70.0)  // t=7 -> rt=7 (inclusive)
+    assert(out(2).getAs[Double]("p") == 70.0)  // t=10 -> rt=7
+    assert(out(3).isNullAt(out(3).fieldIndex("p"))) // t=1 < all right
+  }
+
+  // ---- dedup -----------------------------------------------------
+  private val docs = Seq(
+    (0L, "a b c d e f g h i j"),
+    (1L, "a b c d e f g h i k"),   // near-dup of 0 (differs in last token)
+    (2L, "x y z w v u t s r q"),
+    (3L, "m n o p q r s t u v"),
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds identical texts") {
+    val withDup = docs.union(Seq((9L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    val groups = Dedup.exactDupGroups(withDup, "doc_id", "text")
+    assert(groups.filter($"n_copies" === 2).head().getAs[Long]("representative_id") == 0L)
+  }
+
+  test("withShingles emits distinct k-grams; short docs get empty array") {
+    val sh = Dedup.withShingles(Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text"), "text")
+    val byId = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(byId(1L) == Seq("a b c", "b c d"))
+    assert(byId(2L).isEmpty)
+  }
+
+  test("minHashNearDups finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+    // jaccard of 8-shingle sets sharing 7: 7/9
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("simhash: near-identical docs get close signatures, deterministic") {
+    val sh = Dedup.withSimHash(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("simhash")).toMap
+    assert(sh.values.forall(_.length == 32))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+    // determinism across evaluations
+    val again = Dedup.withSimHash(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("simhash")).toMap
+    assert(sh == again)
+  }
+
+  // ---- similarity ------------------------------------------------
+  test("bruteForceTopK: hand-computed cosine ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0).getAs[Double]("cosine_sim") - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("cosine_sim")) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("cosine_sim") + 1.0) < 1e-9)
+  }
+
+  test("lshTopK returns subset of brute-force results with exact sims") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 3, planes = 4)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's similarity must equal the exact cosine (re-rank is exact)
+    val bruteSims = brute.map { case (a, b, s) => (a, b) -> s }.toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      if (bruteSims.contains(key))
+        assert(math.abs(r.getDouble(2) - bruteSims(key)) < 1e-9)
+    }
+  }
+
+  // ---- text stats ------------------------------------------------
+  test("tokenCount matches split-size and handles empty") {
+    val df = Seq(("a b c"), (""), ("one")).toDF("text")
+      .withColumn("n", TextStats.tokenCount($"text"))
+    assert(df.collect().map(_.getInt(1)).toSeq == Seq(3, 0, 1))
+  }
+
+  test("stopword ratio and quality score") {
+    val df = Seq(("the a x y")).toDF("text")
+      .withColumn("r", TextStats.stopwordRatio($"text", Seq("the", "a")))
+      .withColumn("q", TextStats.qualityScore($"text", Seq("the", "a"), fullTokens = 4))
+    val row = df.head()
+    assert(math.abs(row.getAs[Double]("r") - 0.5) < 1e-9)
+    // q = min(4/4,1)*0.5 + (1-0.5)*0.5 = 0.75
+    assert(math.abs(row.getAs[Double]("q") - 0.75) < 1e-9)
+  }
+
+  test("langid argmax is deterministic with first-listed tie-break") {
+    val profiles = Seq("en" -> Seq("the"), "es" -> Seq("el"))
+    val df = TextStats.withLangScores(
+      Seq(("the cat"), ("el gato"), ("x y")).toDF("text"), "text", profiles)
+      .withColumn("pred", TextStats.predictLang(profiles))
+    assert(df.collect().map(_.getAs[String]("pred")).toSeq == Seq("en", "es", "en"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Kernels
+
+class KernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, "2020-01-01", 10.0),
+    (1L, "2020-06-01", 20.0),
+    (1L, "2021-01-01", 30.0),
+    (2L, "2020-03-01", 5.0),
+    (2L, "2020-03-01", 7.0), // tie on date -> value tie-break
+  ).toDF("k", "d", "v").withColumn("d", to_date($"d"))
+
+  test("dedupKeepLast keeps exactly one row per key, the max-ordered one") {
+    val out = Kernels.dedupKeepLast(sample, Seq("k"), Seq(col("d"), col("v")))
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 30.0)
+    assert(out(1).getDouble(2) == 7.0) // tie on d, v desc wins
+  }
+
+  test("top1PerGroup returns the min-ordered row") {
+    val out = Kernels.top1PerGroup(sample, Seq("k"), Seq(col("d"), col("v")))
+      .orderBy("k").collect()
+    assert(out(0).getDouble(2) == 10.0)
+    assert(out(1).getDouble(2) == 5.0)
+  }
+
+  test("topK equals sorted prefix") {
+    val top2 = Kernels.topK(sample, Seq(col("v").desc), 2).collect().map(_.getDouble(2))
+    assert(top2.toSeq == Seq(30.0, 20.0))
+  }
+
+  test("pivotFirst + unpivot round-trip") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("id", "p", "v")
+    val wide = Kernels.pivotFirst(df, Seq("id"), "p", Seq("x", "y"), "v")
+    val back = Kernels.unpivot(wide, Seq("id"), Seq("x", "y"), "p", "v")
+      .filter(col("v").isNotNull)
+    assert(back.count() == 3)
+    assert(back.filter($"id" === "a" && $"p" === "y").head().getDouble(2) == 2.0)
+  }
+
+  test("trailingAvg2: lag-1 with fallback to self") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 40.0)).toDF("k", "t", "v")
+    val out = Kernels.trailingAvg2(df, Seq("k"), col("t"), Seq("v"))
+      .orderBy("t").select("avg_v").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(10.0, 15.0, 30.0))
+  }
+
+  test("trailingAvg4: lag-4, else lag-1, else self") {
+    val df = (1 to 6).map(i => (1L, i, i * 10.0)).toDF("k", "t", "v")
+    val out = Kernels.trailingAvg4(df, Seq("k"), col("t"), Seq("v"))
+      .orderBy("t").select("avg_v").collect().map(_.getDouble(0))
+    // t=1: self (10+10)/2=10; t=2..4: lag1; t=5: lag4=10 ->(50+10)/2=30; t=6: lag4=20 ->40
+    assert(out.toSeq == Seq(10.0, 15.0, 25.0, 35.0, 30.0, 40.0))
+  }
+
+  test("translate: broadcast dict with fallback") {
+    val df = Seq(("a"), ("b")).toDF("w")
+    val dict = Seq(("a", "A")).toDF("from", "to")
+    val out = Kernels.translate(df, dict, "w", "from", "to", "t",
+        concat(lit("(?) "), col("w")))
+      .orderBy("w").select("t").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("A", "(?) b"))
+  }
+}
