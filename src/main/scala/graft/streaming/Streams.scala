@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming shapes for the events table — the streaming
+  * forms of the batch queries in graft.queries.EventQueries. Each
+  * transform takes a streaming (or batch — the plans are identical)
+  * DataFrame with (event_id, ts: timestamp, user_id, event_type,
+  * value) columns.
+  *
+  * Scale notes: all aggregations are keyed on (window/session x
+  * type/user), state is bounded by the watermark, and late data past
+  * the watermark is dropped — the properties that keep state size
+  * finite on an unbounded 100 TB/day stream.
+  */
+object Streams {
+
+  /** Tumbling event-time windows with a watermark. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Sliding windows (length/slide), watermarked. */
+  def slidingCounts(events: DataFrame, length: String = "2 hours",
+                    slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Native session windows: 30-min inactivity gap per user — the
+    * streaming form of EventQueries.q23 (which computes the same
+    * sessions in batch with lag/cumsum). */
+  def sessionAggs(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark — the
+    * streaming form of exact dedup (state: one key per id seen, aged
+    * out by the watermark). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: running per-user aggregates -----------------
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via mapGroupsWithState — the custom-
+    * state escape hatch for logic windowed aggs can't express. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = evs.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(user, n, v)
+          state.update(next)
+          next
+        })
+  }
+}

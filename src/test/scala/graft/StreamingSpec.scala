@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def runToMemory(name: String, df: org.apache.spark.sql.DataFrame,
+                          mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling windowed counts over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+      Ev(3, ts(70), 2, "view", 3.0))
+    runToMemory("tumb", Streams.tumblingCounts(stream.toDF(), "1 hour"), OutputMode.Complete())
+    val out = spark.table("tumb").orderBy("win_start", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2) // two clicks in hour 1
+    assert(out(1).getAs[Double]("total_value") == 3.0)
+  }
+
+  test("session windows with 30-minute gap") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0), // session 1
+      Ev(3, ts(60), 1, "a", 1.0),                            // session 2
+      Ev(4, ts(5), 2, "a", 9.0))
+    runToMemory("sess", Streams.sessionAggs(stream.toDF()), OutputMode.Complete())
+    val out = spark.table("sess").orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Double]("total_value") == 9.0)
+  }
+
+  test("streaming dedup within watermark drops repeated event ids") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0), // dup id
+      Ev(2, ts(2), 1, "a", 1.0))
+    runToMemory("dedup", Streams.dedupStream(stream.toDF()), OutputMode.Append())
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("mapGroupsWithState running totals") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Streams.UserEvent]
+    stream.addData(
+      Streams.UserEvent(1, 10.0), Streams.UserEvent(1, 5.0),
+      Streams.UserEvent(2, 1.0))
+    runToMemory("run", Streams.runningUserTotals(stream.toDS()).toDF(), OutputMode.Update())
+    val out = spark.table("run").orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Double]("total_value") == 15.0)
+    assert(out(1).getAs[Double]("total_value") == 1.0)
+  }
+
+  test("streaming plans are the same shapes as the batch event queries") {
+    // The batch events table runs through the same transforms.
+    val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Streams.tumblingCounts(batch)
+    assert(out.count() > 0)
+  }
+}
