@@ -81,13 +81,24 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle -> signature -> LSH
     * candidates -> exact-Jaccard verification at `threshold`.
+    *
+    * The shingle table is persisted before fan-out: three consumers
+    * (signatures, and both sides of the verification join) would
+    * otherwise re-evaluate the shingle/minhash lambda chain — which is
+    * interpreted, not codegen'd — once each. This mirrors the
+    * production shape at 100 TB, where the signature table is staged
+    * (written out or cached) once and candidate generation runs
+    * against the staged table.
     */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val sh = withShingles(docs, textCol, k).select(col(idCol), col("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = withMinHashSignature(sh, "shingles", numHashes)
+      .select(col(idCol), col("minhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(sig, idCol, "minhash", numHashes, bands)
     val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
@@ -95,6 +106,38 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact pairwise n-gram Jaccard within `groupCol` via a
+    * posting-list join: explode shingles, equi-join on
+    * (shingle, group), count matches per pair = |intersection|. Work
+    * is proportional to the number of co-occurring shingle pairs, not
+    * to the number of document pairs — the only exact-pairwise shape
+    * that survives scale-up. Pairs with no shared shingle (jaccard 0)
+    * never materialize.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, k: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs, textCol, k)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), col(groupCol), col("shingles"),
+              size(col("shingles")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = sh.select(col(idCol), col(groupCol), col("n"),
+                          explode(col("shingles")).as("s"))
+    val pa = posts.select(col(idCol).as("id_a"), col(groupCol), col("n").as("na"), col("s"))
+    val pb = posts.select(col(idCol).as("id_b"), col(groupCol).as("__g"),
+                          col("n").as("nb"), col("s").as("__s"))
+    pa.join(pb, pa("s") === pb("__s") && pa(groupCol) === pb("__g") &&
+              pa("id_a") < pb("id_b"))
+      .groupBy("id_a", "id_b", groupCol)
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col(groupCol),
+              round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Portable 32-bit SimHash: per-token bit b = high bit of hex digit

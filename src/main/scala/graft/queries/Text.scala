@@ -40,25 +40,16 @@ object TextQueries {
                 col("n_chars"))
         .orderBy("doc_id")),
 
-    // Exact n-gram (3-shingle) Jaccard near-dup pairs within source.
-    // This is the oracle-checked exact variant; q31 is the LSH scale
-    // path that avoids the O(n^2) self-join.
-    "q27_ngram_jaccard_neardup" -> ((s, d) => {
-      val sh = Dedup.withShingles(Tables.documents(s, d), "text", 3)
-        .filter(size(col("shingles")) > 0) // ANSI: avoid 0/0 jaccard
-        .select(col("doc_id"), col("source"), col("shingles"))
-      val a = sh.select(col("doc_id").as("doc_id_a"), col("source"),
-                        col("shingles").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_id_b"), col("source"),
-                        col("shingles").as("sh_b"))
-      a.join(b, "source")
-        .filter(col("doc_id_a") < col("doc_id_b"))
-        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_id_a"), col("doc_id_b"), col("source"),
-                round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_id_a", "doc_id_b")
-    }),
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs within source,
+    // via the posting-list join (work scales with co-occurring
+    // shingles, not document pairs); q31 is the LSH path that also
+    // drops the per-group restriction.
+    "q27_ngram_jaccard_neardup" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", k = 3, threshold = 0.5)
+        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "source", "jaccard")
+        .orderBy("doc_id_a", "doc_id_b")),
 
     // Quality scoring aggregated per language label.
     "q28_text_quality" -> ((s, d) => {
