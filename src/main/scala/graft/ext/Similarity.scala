@@ -35,14 +35,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("c_norm", l2norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_norm", l2norm(col("q_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
+        corpus.sparkSession, col("c_vec"), col("q_vec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -75,16 +74,15 @@ object Similarity {
     val c = withLshBucket(
         corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec")),
         "c_vec", planes)
-      .withColumn("c_norm", l2norm(col("c_vec")))
     val q = withLshBucket(
         queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")),
         "q_vec", planes)
-      .withColumn("q_norm", l2norm(col("q_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
+        corpus.sparkSession, col("c_vec"), col("q_vec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
