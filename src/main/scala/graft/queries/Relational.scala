@@ -234,6 +234,37 @@ object Relational {
       ).toDF("metric", "value").orderBy("metric")
     }),
 
+    // §2.10 composite: the full indicators-pipeline shape
+    // (filter -> dedup-keep-last -> pivot -> derived cols -> trailing
+    // lag average -> cutoff-guarded ratio) over testdata. Mirrors
+    // finlogic.Indicators.build stage-for-stage.
+    "q37_indicators_pipeline" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val safe = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+      // cast to long: DuckDB's year() returns BIGINT
+      val o = Tables.orders(s, d).withColumn("yr", year(col("o_orderdate")).cast("long"))
+      val latest = Kernels.dedupKeepLast(o,
+        Seq("o_custkey", "yr", "o_orderpriority"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+      val wide0 = latest.groupBy("o_custkey", "yr")
+        .pivot("o_orderpriority", prios)
+        .agg(round(sum("o_totalprice"), 2))
+      val wide = prios.zip(safe).foldLeft(wide0) {
+        case (df, (p, n)) => df.withColumnRenamed(p, n)
+      }.na.fill(0.0, safe)
+      val derived = wide
+        .withColumn("total", safe.map(col).reduce(_ + _))
+        .withColumn("urgent_ratio",
+          when(col("total") > 50000, round(col("p_urgent") / col("total"), 6))
+            .otherwise(0.0))
+      val w = Window.partitionBy("o_custkey").orderBy("yr")
+      derived
+        .withColumn("avg_total",
+          round((col("total") + coalesce(lag("total", 1).over(w), col("total"))) / 2, 4))
+        .select("o_custkey", "yr", "p_urgent", "p_high", "total", "urgent_ratio", "avg_total")
+        .orderBy("o_custkey", "yr")
+    }),
+
     // Rollup aggregation (beyond reference; grouping-sets family).
     "q19_rollup_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -396,6 +427,31 @@ object Relational {
         |UNION ALL SELECT 'orders_customers', CAST(count(DISTINCT o_custkey) AS VARCHAR) FROM orders
         |UNION ALL SELECT 'orders_rows', CAST(count(*) AS VARCHAR) FROM orders
         |ORDER BY metric""".stripMargin,
+
+    "q37_indicators_pipeline" ->
+      """WITH latest AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, year(o_orderdate) AS yr, o_orderpriority, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, year(o_orderdate), o_orderpriority
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |wide AS (
+        |  SELECT o_custkey, yr,
+        |    coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2), 0.0) AS p_urgent,
+        |    coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2), 0.0) AS p_high,
+        |    coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2), 0.0) AS p_medium,
+        |    coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2), 0.0) AS p_notspec,
+        |    coalesce(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2), 0.0) AS p_low
+        |  FROM latest GROUP BY o_custkey, yr),
+        |derived AS (
+        |  SELECT *, p_urgent + p_high + p_medium + p_notspec + p_low AS total,
+        |    CASE WHEN p_urgent + p_high + p_medium + p_notspec + p_low > 50000
+        |         THEN round(p_urgent / (p_urgent + p_high + p_medium + p_notspec + p_low), 6)
+        |         ELSE 0.0 END AS urgent_ratio
+        |  FROM wide)
+        |SELECT o_custkey, yr, p_urgent, p_high, total, urgent_ratio,
+        |  round((total + coalesce(lag(total, 1) OVER (PARTITION BY o_custkey ORDER BY yr), total)) / 2, 4) AS avg_total
+        |FROM derived ORDER BY o_custkey, yr""".stripMargin,
 
     "q19_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
