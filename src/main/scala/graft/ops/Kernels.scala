@@ -101,6 +101,22 @@ object Kernels {
     }
   }
 
+  /** Skew-safe equi-join: salt the left (large, skewed) side into
+    * `saltBuckets` deterministic sub-keys and replicate the right side
+    * once per bucket, so a single hot key spreads across `saltBuckets`
+    * tasks instead of one straggler. Use when the right side is too
+    * big to broadcast and AQE's skew handling isn't available (e.g.
+    * the exchange is reused). Output equals the plain inner join.
+    */
+  def skewSafeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   saltBuckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.

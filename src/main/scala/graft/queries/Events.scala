@@ -62,6 +62,20 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // JSON -> typed struct via from_json (schema'd parse; q20 is the
+    // string-extraction form), nested field access + filter.
+    "q41_json_struct" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .withColumn("k", col("parsed.k"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // As-of join: each event picks the user's latest order at or
     // before the event time (right side deduped for determinism).
     "q24_asof_join" -> ((s, d) => {
@@ -113,6 +127,13 @@ object EventQueries {
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         | round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q41_json_struct" ->
+      """SELECT event_type, count(*) AS n,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q24_asof_join" ->
       """WITH latest AS (

@@ -265,6 +265,36 @@ object Relational {
         .orderBy("o_custkey", "yr")
     }),
 
+    // Set operations: INTERSECT / EXCEPT (beyond-reference §2.7).
+    "q38_setops" -> ((s, d) => {
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey")
+      val both = f.intersect(o).withColumn("relation", lit("both"))
+      val fOnly = f.except(o).withColumn("relation", lit("f_only"))
+      both.unionByName(fOnly)
+        .groupBy("relation").agg(count(lit(1)).as("n_customers"))
+        .orderBy("relation")
+    }),
+
+    // Statistical aggregates: stddev/corr/covar (beyond reference).
+    "q39_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp("l_quantity"), 6).as("sd_qty"),
+             round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+             round(covar_samp("l_discount", "l_tax"), 6).as("cov_disc_tax"),
+             round(var_samp("l_discount"), 6).as("var_disc"))
+        .orderBy("l_returnflag")),
+
+    // Exact interpolated percentiles per group (beyond reference).
+    "q40_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+             round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderpriority")),
+
     // Rollup aggregation (beyond reference; grouping-sets family).
     "q19_rollup_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -452,6 +482,31 @@ object Relational {
         |SELECT o_custkey, yr, p_urgent, p_high, total, urgent_ratio,
         |  round((total + coalesce(lag(total, 1) OVER (PARTITION BY o_custkey ORDER BY yr), total)) / 2, 4) AS avg_total
         |FROM derived ORDER BY o_custkey, yr""".stripMargin,
+
+    "q38_setops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     u AS (
+        |       SELECT 'both' AS relation, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |       UNION ALL
+        |       SELECT 'f_only', o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o))
+        |SELECT relation, count(*) AS n_customers FROM u
+        |GROUP BY relation ORDER BY relation""".stripMargin,
+
+    "q39_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+        | round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q40_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q19_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -61,6 +61,23 @@ class KernelsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10.0, 15.0, 25.0, 35.0, 30.0, 40.0))
   }
 
+  test("skewSafeJoin equals the plain inner join") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toString).toSeq
+    val salted = Kernels.skewSafeJoin(left, right, Seq("k"), 4).orderBy("k", "lv")
+      .collect().map(_.toString).toSeq
+    assert(salted == plain)
+  }
+
+  test("ieeeDivide: ANSI-safe IEEE semantics") {
+    val df = Seq((1.0, 0.0), (-1.0, 0.0), (0.0, 0.0), (6.0, 3.0)).toDF("a", "b")
+      .withColumn("q", Kernels.ieeeDivide(col("a"), col("b")))
+    val out = df.select("q").collect().map(_.getDouble(0))
+    assert(out(0).isPosInfinity && out(1).isNegInfinity && out(2).isNaN && out(3) == 2.0)
+  }
+
   test("translate: broadcast dict with fallback") {
     val df = Seq(("a"), ("b")).toDF("w")
     val dict = Seq(("a", "A")).toDF("from", "to")
