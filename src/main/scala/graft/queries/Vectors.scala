@@ -29,6 +29,23 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Embedding-cosine near-duplicate pairs: all-pairs sim >= 0.5
+    // (the embedding-space dedup mode; LSH-bucketed q35 is the
+    // at-scale candidate generator for the same test).
+    "q42_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), graft.ext.Similarity.asDouble(col("embedding")).as("vec"))
+      val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
+          s, col("va"), col("vb")))
+        .filter(col("sim") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-label centroid aggregation: elementwise mean over vectors
     // (array aggregation without UDAFs — posexplode + groupBy).
     "q36_label_centroid_norm" -> ((s, d) =>
@@ -58,6 +75,20 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q42_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+        |      / (a.nrm * b.nrm) AS sim
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p
+        |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q36_label_centroid_norm" ->
       """WITH e AS (
