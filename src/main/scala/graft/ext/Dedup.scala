@@ -20,19 +20,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word-level k-shingles (contiguous k-grams joined by spaces),
-    * deduplicated per document. Emits `shingles: array<string>`.
+    * deduplicated per document in first-occurrence order. One-pass
+    * native expression ([[graft.functions.WordShingles]]); docs with
+    * fewer than k tokens get an empty array.
     */
   def withShingles(docs: DataFrame, textCol: String, k: Int = 3,
-                   out: String = "shingles"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs.withColumn("__toks", toks)
-      .withColumn(out,
-        when(size(col("__toks")) < k, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(col("__toks")) - (k - 1)),
-            i => concat_ws(" ", (0 until k).map(o => element_at(col("__toks"), i + o)): _*)))))
-      .drop("__toks")
-  }
+                   out: String = "shingles"): DataFrame =
+    docs.withColumn(out,
+      graft.functions.GraftFunctions.wordShingles(
+        docs.sparkSession, col(textCol), k))
 
   /** Jaccard similarity between two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column = {

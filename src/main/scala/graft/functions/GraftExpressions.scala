@@ -136,6 +136,48 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Distinct word-level k-shingles of a space-tokenized string, in
+  * first-occurrence order — one pass over the text (split + window +
+  * dedup fused), replacing a split/transform/array_distinct lambda
+  * chain that is interpreted per element. CodegenFallback: the loop
+  * is the row's entire work, so per-row interpreted dispatch is noise.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -159,6 +201,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_cosine_similarity(a, b): got ${other.size} args")
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_word_shingles", {
+      case Seq(c, n) => WordShingles(c,
+        n.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_word_shingles(text, k): got ${other.size} args")
+    }, "built-in")
   }
 
   def minhashSignature(spark: SparkSession, arr: Column, numHashes: Int): Column = {
@@ -170,5 +218,11 @@ object GraftFunctions {
   def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine_similarity", a, b)
+  }
+
+  def wordShingles(spark: SparkSession, text: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_word_shingles", text,
+      org.apache.spark.sql.functions.lit(k))
   }
 }
