@@ -66,6 +66,45 @@ object Similarity {
     df.withColumn(out, bits.reduce(_ + _))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
+    * Voronoi cells around deterministic seed centroids (the lowest-id
+    * vectors — production would run a few k-means sweeps, same plan
+    * shape), then search only the `nProbe` cells nearest each query,
+    * re-ranking exactly. Corpus shuffles once on cell id; each query
+    * touches corpus/nCentroids*nProbe candidates — the structure that
+    * keeps ANN sublinear at 10^9+ vectors.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_vec")))
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val wc = Window.partitionBy(id).orderBy(col("cent_sim").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cent_sim", gf.cosineSimilarity(spark, col(vec), col("cent_vec")))
+        .withColumn("cent_rank", row_number().over(wc))
+        .filter(col("cent_rank") <= probes)
+        .drop("cent_vec", "cent_sim", "cent_rank")
+    }
+    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("c_vec")), "neighbor_id", "c_vec", 1)
+    val q = assign(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec")), "query_id", "q_vec", nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "cent_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine
     * re-rank within the bucket. Trades recall for a 2^planes candidate
     * reduction. */

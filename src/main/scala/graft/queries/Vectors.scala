@@ -29,6 +29,16 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF-bucketed ANN (rows-only: approximate by construction).
+    "q43_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Similarity.ivfTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 3,
+          nCentroids = 16, nProbe = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Embedding-cosine near-duplicate pairs: all-pairs sim >= 0.5
     // (the embedding-space dedup mode; LSH-bucketed q35 is the
     // at-scale candidate generator for the same test).

@@ -98,6 +98,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK returns exact-sim candidates with full recall at nProbe=all") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // probing every cell must reproduce the exact top-k
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute)
+    // and a partial probe returns a subset with identical sims
+    val part = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 2).collect()
+    assert(part.nonEmpty)
+    part.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      if (brute.contains(key)) assert(math.abs(r.getDouble(2) - brute(key)) < 1e-9)
+    }
+  }
+
   // ---- text stats ------------------------------------------------
   test("tokenCount matches split-size and handles empty") {
     val df = Seq(("a b c"), (""), ("one")).toDF("text")
