@@ -34,18 +34,23 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
+    // Partial top-k aggregate instead of a row_number window: only k
+    // pairs per partition per query reach the shuffle, vs shuffling
+    // every (corpus x query) scored row. Same answer, same tie-break
+    // (score desc, id asc).
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
-        corpus.sparkSession, col("c_vec"), col("q_vec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+      .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+      .groupBy("query_id")
+      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+              round(col("hit.score"), 6).as("cosine_sim"),
+              (col("pos") + 1).as("rnk"))
   }
 
   /** Deterministic pseudo-random hyperplane component for plane j,

@@ -207,6 +207,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_word_shingles(text, k): got ${other.size} args")
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_topk_by_score", {
+      case Seq(s, i, kk) => TopKByScore(s, i,
+        kk.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_topk_by_score(score, id, k): got ${other.size} args")
+    }, "built-in")
   }
 
   def minhashSignature(spark: SparkSession, arr: Column, numHashes: Int): Column = {
@@ -223,6 +229,13 @@ object GraftFunctions {
   def wordShingles(spark: SparkSession, text: Column, k: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_word_shingles", text,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Partial top-k aggregate (see [[TopKByScore]]). */
+  def topKByScore(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_topk_by_score", score, id,
       org.apache.spark.sql.functions.lit(k))
   }
 }

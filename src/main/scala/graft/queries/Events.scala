@@ -76,6 +76,34 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // MapType ops: JSON -> map<string,string>, explode entries.
+    "q44_map_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .select(col("event_type"), explode(col("m")).as(Seq("key", "value")))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("long")).as("sum_value"))
+        .orderBy("event_type", "key")),
+
+    // Date arithmetic: ship delay in days per priority.
+    "q45_date_math" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      Tables.orders(s, d)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("delay_days",
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             min("delay_days").as("min_delay"),
+             max("delay_days").as("max_delay"),
+             round(avg("delay_days"), 6).as("avg_delay"))
+        .orderBy("o_orderpriority")
+    }),
+
     // As-of join: each event picks the user's latest order at or
     // before the event time (right side deduped for determinism).
     "q24_asof_join" -> ((s, d) => {
@@ -134,6 +162,20 @@ object EventQueries {
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q44_map_ops" ->
+      """SELECT event_type, k.key AS key, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT)) AS BIGINT) AS sum_value
+        |FROM events, unnest(json_keys(props)) AS k(key)
+        |GROUP BY event_type, k.key ORDER BY event_type, key""".stripMargin,
+
+    "q45_date_math" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_delay,
+        | max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay,
+        | round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 6) AS avg_delay
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q24_asof_join" ->
       """WITH latest AS (

@@ -98,6 +98,41 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByScore aggregate equals the window top-k on real embeddings") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gf = graft.functions.GraftFunctions
+    val e = emb.select($"vec_id", graft.ext.Similarity.asDouble($"embedding").as("vec"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"vec".as("qv"))
+    val scored = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", gf.cosineSimilarity(spark, $"vec", $"qv"))
+    val viaWindow = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rnk" <= 4)
+      .select($"query_id", $"vec_id".as("id"), round($"sim", 9).as("s"), $"rnk")
+      .collect().map(_.toString).sorted.toSeq
+    val viaAgg = scored.groupBy("query_id")
+      .agg(gf.topKByScore(spark, $"sim", $"vec_id", 4).as("hits"))
+      .select($"query_id", posexplode($"hits").as(Seq("pos", "hit")))
+      .select($"query_id", $"hit.id".as("id"), round($"hit.score", 9).as("s"),
+              ($"pos" + 1).as("rnk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKBuffer keeps k best with (score desc, id asc) tie-break") {
+    val b = new graft.functions.TopKBuffer(3)
+    Seq((1.0, 10L), (3.0, 7L), (3.0, 5L), (2.0, 1L), (0.5, 2L), (3.0, 9L))
+      .foreach { case (s, i) => b.add(s, i) }
+    assert(b.sortedDesc.toSeq == Seq((3.0, 5L), (3.0, 7L), (3.0, 9L)))
+    val other = new graft.functions.TopKBuffer(3)
+    other.add(4.0, 99L)
+    b.merge(other)
+    assert(b.sortedDesc.toSeq == Seq((4.0, 99L), (3.0, 5L), (3.0, 7L)))
+  }
+
   test("ivfTopK returns exact-sim candidates with full recall at nProbe=all") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 3)
