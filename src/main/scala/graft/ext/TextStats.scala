@@ -67,4 +67,23 @@ object TextStats {
     * For shift-resistant fingerprints use Dedup.withSimHash.
     */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Character-n-gram profile score: total occurrence count of the
+    * profile's n-grams in the text, via length arithmetic (codegen'd,
+    * no arrays): count(g) = (len(text) - len(remove(text, g))) / len(g).
+    * The standard n-gram language-ID signal; pair with
+    * [[predictLang]]-style argmax over per-language profiles.
+    */
+  def charNgramScore(text: Column, profile: Seq[String]): Column =
+    profile.map { g =>
+      val lit_g = java.util.regex.Pattern.quote(g)
+      ((length(text) - length(regexp_replace(text, lit_g, ""))) / g.length).cast("int")
+    }.reduce(_ + _)
+
+  /** Per-language char-n-gram scores as `cscore_<lang>` columns. */
+  def withCharNgramScores(df: DataFrame, textCol: String,
+                          profiles: Seq[(String, Seq[String])]): DataFrame =
+    profiles.foldLeft(df) { case (acc, (lang, grams)) =>
+      acc.withColumn(s"cscore_$lang", charNgramScore(col(textCol), grams))
+    }
 }

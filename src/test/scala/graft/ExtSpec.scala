@@ -170,6 +170,18 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("q") - 0.75) < 1e-9)
   }
 
+  test("charNgramScore counts overlapping profile grams via length arithmetic") {
+    val df = Seq(("the theme is there"), ("la casa")).toDF("text")
+      .withColumn("s_en", TextStats.charNgramScore($"text", Seq("the", "is")))
+      .withColumn("s_es", TextStats.charNgramScore($"text", Seq("la ", "casa")))
+    val rows = df.collect()
+    assert(rows(0).getAs[Int]("s_en") == 4) // "the" x3 + "is" x1 ("is" inside "is")
+    assert(rows(1).getAs[Int]("s_es") == 2)
+    val scored = TextStats.withCharNgramScores(df.select("text"), "text",
+      Seq("en" -> Seq("the"), "es" -> Seq("casa")))
+    assert(scored.columns.contains("cscore_en") && scored.columns.contains("cscore_es"))
+  }
+
   test("langid argmax is deterministic with first-listed tie-break") {
     val profiles = Seq("en" -> Seq("the"), "es" -> Seq("el"))
     val df = TextStats.withLangScores(

@@ -271,6 +271,18 @@ class FinLogicSpec extends AnyFunSuite {
     assert(kv("Last Report") == "2023-03-31")
   }
 
+  test("Company with an empty accounting slice degrades gracefully") {
+    // GAMMA exists only consolidated; the separate slice is empty
+    // (reference prints a message and returns None from info()).
+    val all = FinData.build(financialsRaw, tradesRaw, languageRaw, isTraded = false)
+    val co = new Company(all, 3, isConsolidated = false)
+    assert(co.accountingRows == 0L)
+    assert(co.firstPeriod.isEmpty && co.lastPeriod.isEmpty)
+    assert(co.report("assets").count() == 0)
+    assert(co.indicators().count() == 0)
+    assert(co.info().count() == 9) // info still renders attributes
+  }
+
   test("invalid arguments raise") {
     intercept[IllegalArgumentException] { new Company(data, 1, accUnitSpec = "x") }
     intercept[IllegalArgumentException] { new Company(data, 1, languageSpec = "latin") }

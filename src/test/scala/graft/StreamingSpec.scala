@@ -75,6 +75,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("total_value") == 1.0)
   }
 
+  test("session_window aggs agree with the batch lag/cumsum sessionization") {
+    val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val native = Streams.sessionAggs(batch)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lagBased = graft.queries.EventQueries
+      .queries("q23_session_windows")(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == lagBased) // same per-user session counts
+  }
+
   test("streaming plans are the same shapes as the batch event queries") {
     // The batch events table runs through the same transforms.
     val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
