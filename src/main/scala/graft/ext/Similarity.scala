@@ -53,23 +53,14 @@ object Similarity {
               (col("pos") + 1).as("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane j,
-    * dimension i: a value in [-1, 1) derived from xxhash64. */
-  private def planeComponent(j: Int, i: Column): Column =
-    (pmod(xxhash64(lit(j), i), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
   /** Sign-bucket key: one bit per hyperplane from the sign of
-    * dot(vec, plane_j). */
+    * dot(vec, plane_j) — the native fused
+    * [[graft.functions.HyperplaneBucket]] expression. */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
-                    out: String = "bucket"): DataFrame = {
-    val dims = sequence(lit(1), size(col(vecCol)))
-    val bits: Seq[Column] = (0 until planes).map { j =>
-      val d = aggregate(zip_with(col(vecCol), dims, (x, i) => x * planeComponent(j, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.withColumn(out, bits.reduce(_ + _))
-  }
+                    out: String = "bucket"): DataFrame =
+    df.withColumn(out,
+      graft.functions.GraftFunctions.hyperplaneBucket(
+        df.sparkSession, col(vecCol), planes))
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * Voronoi cells around deterministic seed centroids (the lowest-id

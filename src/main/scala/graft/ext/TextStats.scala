@@ -50,14 +50,15 @@ object TextStats {
         size(filter(split(col(textCol), " "), t => t.isin(markers.map(lit): _*))))
     }
 
-  /** Deterministic argmax over the `score_<lang>` columns with
-    * first-listed-wins tie-breaking.
+  /** Deterministic argmax over the `<prefix><lang>` score columns
+    * with first-listed-wins tie-breaking.
     */
-  def predictLang(profiles: Seq[(String, Seq[String])]): Column = {
+  def predictLang(profiles: Seq[(String, Seq[String])],
+                  prefix: String = "score_"): Column = {
     val langs = profiles.map(_._1)
     langs.init.foldRight(lit(langs.last)) { (l, elseCol) =>
-      val mine = col(s"score_$l")
-      val laterMax = langs.drop(langs.indexOf(l) + 1).map(o => col(s"score_$o"))
+      val mine = col(s"$prefix$l")
+      val laterMax = langs.drop(langs.indexOf(l) + 1).map(o => col(s"$prefix$o"))
         .reduce((a, b) => greatest(a, b))
       when(mine >= laterMax, l).otherwise(elseCol)
     }

@@ -178,6 +178,51 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket of an array<double> vector: bit j of
+  * the result is the sign of dot(vec, plane_j), where plane_j's
+  * components are deterministic pseudo-random values in [-1, 1)
+  * derived from xxhash64(j, i). Single fused loop (planes x dims);
+  * the equivalent zip_with/aggregate lambda composition is
+  * interpreted per element.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<double>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong((j.toLong << 32) | i.toLong, 42L)
+        val comp = (java.lang.Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0
+        d += vec.getDouble(i) * comp
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -207,6 +252,12 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_word_shingles(text, k): got ${other.size} args")
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bucket", {
+      case Seq(c, n) => HyperplaneBucket(c,
+        n.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_bucket(vec, planes): got ${other.size} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("graft_topk_by_score", {
       case Seq(s, i, kk) => TopKByScore(s, i,
         kk.eval(InternalRow.empty).asInstanceOf[Number].intValue())
@@ -230,6 +281,12 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_hyperplane_bucket", vec,
+      org.apache.spark.sql.functions.lit(planes))
   }
 
   /** Partial top-k aggregate (see [[TopKByScore]]). */

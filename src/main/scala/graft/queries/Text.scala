@@ -77,6 +77,24 @@ object TextQueries {
         .orderBy("lang", "predicted")
     }),
 
+    // Character-n-gram language-ID (the n-gram-frequency mechanism;
+    // q29 is the marker-word variant). Scores are overlap counts of
+    // fixed per-language trigram profiles, computed with pure length
+    // arithmetic so the oracle mirrors exactly.
+    "q46_langid_chargram" -> ((s, d) => {
+      val profiles = Seq(
+        "de" -> Seq("agg", "tch", "mer"),
+        "en" -> Seq("row", "lin", "tab"),
+        "es" -> Seq("dat", "que", "smal"),
+        "fr" -> Seq("joi", "ord", "key"),
+        "zh" -> Seq("sca", "has", "par"))
+      TextStats.withCharNgramScores(Tables.documents(s, d), "text", profiles)
+        .withColumn("predicted", TextStats.predictLang(profiles, "cscore_"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
     // Token counting: whitespace tokens + BPE-ish subword regex.
     "q30_token_counts" -> ((s, d) =>
       Tables.documents(s, d)
@@ -177,6 +195,36 @@ object TextQueries {
         |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
         |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
         |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q46_langid_chargram" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST((length(text)-length(replace(text,'agg','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'tch','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'mer','')))/3 AS INT) AS c_de,
+        |    CAST((length(text)-length(replace(text,'row','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'lin','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'tab','')))/3 AS INT) AS c_en,
+        |    CAST((length(text)-length(replace(text,'dat','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'que','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'smal','')))/4 AS INT) AS c_es,
+        |    CAST((length(text)-length(replace(text,'joi','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'ord','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'key','')))/3 AS INT) AS c_fr,
+        |    CAST((length(text)-length(replace(text,'sca','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'has','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'par','')))/3 AS INT) AS c_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN c_de >= greatest(c_en, c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_en >= greatest(c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr >= c_zh THEN 'fr'
         |         ELSE 'zh' END AS predicted
         |  FROM s)
         |SELECT lang, predicted, count(*) AS n FROM p
