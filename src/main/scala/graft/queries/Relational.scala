@@ -295,6 +295,25 @@ object Relational {
              round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
         .orderBy("o_orderpriority")),
 
+    // The spark.sql(...) API surface: TPC-H Q3-shaped query run as a
+    // SQL string over temp views (same engine, SQL front door).
+    "q47_sql_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
+    }),
+
     // Rollup aggregation (beyond reference; grouping-sets family).
     "q19_rollup_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -482,6 +501,18 @@ object Relational {
         |SELECT o_custkey, yr, p_urgent, p_high, total, urgent_ratio,
         |  round((total + coalesce(lag(total, 1) OVER (PARTITION BY o_custkey ORDER BY yr), total)) / 2, 4) AS avg_total
         |FROM derived ORDER BY o_custkey, yr""".stripMargin,
+
+    "q47_sql_tpch_q3" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q38_setops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
