@@ -6,8 +6,9 @@ import graft.finlogic.FinData
 
 /** Reference-scale benchmark of the FinLogic-parity pipeline.
   *
-  * Synthesizes a CVM-shaped dataset at the reference's published
-  * scale — ~755k accounting entries, 210 traded companies, 2009-2023
+  * Synthesizes a CVM-shaped dataset at 2x the reference's published
+  * scale — ~1.5M accounting entries (220 companies x 2 accounting
+  * methods x 60 periods x 57 codes), 210 traded companies, 2009-2023
   * span (BASELINE.md) — writes it as Parquet, then times the public
   * API end-to-end: load (incl. build_indicators), info, search, rank,
   * Company construction, report, custom_report, indicators. Prints
@@ -19,7 +20,7 @@ object FinBench {
   private def synthesize(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     // 220 companies (210 traded + 10 below min volume / untraded),
-    // ~57 codes x 2 accounting methods x ~30 periods => ~755k rows.
+    // 57 codes x 2 accounting methods x 60 periods => ~1.5M rows.
     val codes = (Seq("1", "1.01", "1.01.01", "1.01.02", "1.02", "2", "2.01",
       "2.01.04", "2.02", "2.02.01", "2.03", "3.01", "3.03", "3.05", "3.07",
       "3.08", "3.11", "3.99.01.01", "6.01", "6.01.01.04") ++

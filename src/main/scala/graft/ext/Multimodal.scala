@@ -95,7 +95,8 @@ object Multimodal {
     * handles roughly `targetBytes` of media (decode-time balancing —
     * row-count partitioning would skew on mixed asset sizes). */
   def repartitionByBytes(df: DataFrame, binCol: String, targetBytes: Long): DataFrame = {
-    val total = df.agg(sum(octet_length(col(binCol)).cast("long"))).head().getLong(0)
+    val row = df.agg(sum(octet_length(col(binCol)).cast("long"))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0) // empty/all-null input
     val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
     df.repartition(parts)
   }

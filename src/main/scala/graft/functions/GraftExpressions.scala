@@ -226,15 +226,16 @@ case class HyperplaneBucket(child: Expression, planes: Int)
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
   /** Idempotently register the functions in a session's registry so
     * they are usable from both the Column API (call_function) and SQL.
+    * Idempotence is checked against the registry itself (probing for
+    * the first function) rather than any session-keyed cache.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    if (!registered.add(spark.sessionState.toString)) return
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_similarity")))
+      return
     reg.createOrReplaceTempFunction("graft_minhash_signature", {
       case Seq(c, n) => MinHashSignature(c,
         n.eval(InternalRow.empty).asInstanceOf[Number].intValue())

@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs(0), intArg(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucket(exprs(0), intArg(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk_by_score"),
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), intArg(exprs(2)))))
   }
 }

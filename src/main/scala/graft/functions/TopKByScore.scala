@@ -20,8 +20,13 @@ final class TopKBuffer(val k: Int) {
   private[functions] val ids = new Array[Long](k)
 
   // a "worse-than" b under (score asc, id desc) — heap root is worst.
-  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // Double.compare gives total order with NaN greatest, matching
+  // Spark's and DuckDB's DESC sort placement of NaN (e.g. 0/0 cosine
+  // of a zero vector must rank first, not be silently dropped).
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val ts = scores(a); scores(a) = scores(b); scores(b) = ts
@@ -60,10 +65,13 @@ final class TopKBuffer(val k: Int) {
     while (i < other.size) { add(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** (score, id) pairs, best first. */
+  /** (score, id) pairs, best first (NaN greatest, as in SQL DESC). */
   def sortedDesc: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, i) => (-s, i) }
+      .sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 }
 
 /** Partial top-k aggregate: `graft_topk_by_score(score, id, k)` keeps

@@ -45,7 +45,9 @@ object EventQueries {
                 col("event_type"), col("n_events"))
         .orderBy("win_start", "event_type")),
 
-    // Session windows: 30-minute inactivity gap, per user.
+    // Session windows: 30-minute inactivity gap, per user. The oracle
+    // casts ts to microseconds first so both engines compare gaps at
+    // the same precision (Spark reads the ns parquet truncated to us).
     "q23_session_windows" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -141,10 +143,13 @@ object EventQueries {
         |GROUP BY 1, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "q23_session_windows" ->
-      """WITH flagged AS (
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |flagged AS (
         |  SELECT *, CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL 30 MINUTE
         |                 THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
+        |  FROM e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

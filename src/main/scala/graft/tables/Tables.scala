@@ -28,7 +28,9 @@ object Tables {
     * microsecond TimestampType column. `div` (integer division) is
     * required: epoch-nanos ~1.7e18 exceeds 2^53, so a double round-trip
     * would lose precision. Truncation (floor for positive epochs)
-    * matches DuckDB's ns->us cast.
+    * matches DuckDB's ns->us cast. Note: setting the flag mutates
+    * the session conf (it has no per-read option) — subsequent ns
+    * parquet reads in the same session also come back as Long.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
