@@ -133,6 +133,16 @@ class ExtSpec extends AnyFunSuite {
     assert(b.sortedDesc.toSeq == Seq((4.0, 99L), (3.0, 5L), (3.0, 7L)))
   }
 
+  test("TopKBuffer ranks NaN scores first (SQL DESC semantics), never drops them") {
+    val b = new graft.functions.TopKBuffer(2)
+    b.add(5.0, 1L); b.add(4.0, 2L)     // buffer full
+    b.add(Double.NaN, 3L)              // must evict 4.0, not be dropped
+    val out = b.sortedDesc.toSeq
+    assert(out.length == 2)
+    assert(out.head._1.isNaN && out.head._2 == 3L)
+    assert(out(1) == (5.0, 1L))
+  }
+
   test("ivfTopK returns exact-sim candidates with full recall at nProbe=all") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 3)
