@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, FinComposite, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -24,10 +24,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++ FinComposite.queries
 
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++ FinComposite.oracles
 }

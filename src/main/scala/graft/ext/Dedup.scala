@@ -30,10 +30,14 @@ object Dedup {
       graft.functions.GraftFunctions.wordShingles(
         docs.sparkSession, col(textCol), k))
 
-  /** Jaccard similarity between two distinct-element array columns. */
+  /** Jaccard similarity between two distinct-element array columns.
+    * J(empty, empty) is defined as 0.0 (two empty documents are not
+    * near-duplicates of anything) — an unguarded 0/0 would throw
+    * DIVIDE_BY_ZERO under Spark's default ANSI mode. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    when(union === 0.0, 0.0).otherwise(inter / union)
   }
 
   /** Exact duplicate groups by content hash (md5). Returns one row per
@@ -143,16 +147,12 @@ object Dedup {
     * b of md5(token); signature bit = sign of the token-count-weighted
     * sum. Emitted as a 32-char '0'/'1' string so the definition is
     * reproducible in any engine with md5 (used by the DuckDB oracle).
+    * Computed by the fused native [[graft.functions.SimHash32]]
+    * expression — the equivalent split/transform/32x-aggregate lambda
+    * composition interprets 32 x tokens dispatches per row, which
+    * would dominate a 100 TB text scan (DedupSimHashSpec pins
+    * bit-for-bit parity against that composition).
     */
-  def withSimHash(docs: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val hexes = transform(toks, t => md5(t))
-    val bitVotes = transform(sequence(lit(1), lit(32)),
-      i => aggregate(hexes, lit(0),
-        (acc, h) => acc + when(
-          h.substr(i, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1)))
-    docs.withColumn(out,
-      concat_ws("", transform(bitVotes, v => when(v > 0, "1").otherwise("0"))))
-  }
+  def withSimHash(docs: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    docs.withColumn(out, graft.functions.GraftFunctions.simHash32(col(textCol)))
 }

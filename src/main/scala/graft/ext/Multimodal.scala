@@ -34,9 +34,94 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaMeta
   }
 
-  /** STUB: deterministic fake decode (no media libs in this env).
-    * Derives plausible dimensions from the byte content so tests are
-    * stable. Swap for a real JPEG/PNG/WAV parser in production. */
+  /** Real pure-JVM container-header decode for the formats whose
+    * metadata lives in fixed header structures: JPEG (SOFn segment
+    * scan), PNG (IHDR), GIF (logical screen descriptor), WAV (RIFF
+    * fmt/data chunks — n_frames = sample frames). No media libraries
+    * needed: only the pixel/sample PAYLOAD needs a codec, and this
+    * operator extracts metadata, not pixels. Unknown or truncated
+    * bytes yield valid=false rather than throwing — corrupt assets
+    * must not kill a 100 TB scan.
+    */
+  object HeaderDecoder extends Decoder {
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return MediaMeta(0L, "empty", 0, 0, 0, valid = false)
+      val n = bytes.length
+      try {
+        if (n >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+            bytes(2) == 'N' && bytes(3) == 'G') {
+          // PNG: 8-byte signature, IHDR chunk: len(4) "IHDR" w(4) h(4).
+          MediaMeta(n.toLong, "png",
+            be32(bytes, 16).toInt, be32(bytes, 20).toInt, 1, valid = true)
+        } else if (n >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+          // JPEG: scan segments for a SOFn frame header.
+          var i = 2
+          while (i + 3 < n) {
+            if ((bytes(i) & 0xff) != 0xff) return MediaMeta(n.toLong, "jpeg", 0, 0, 0, valid = false)
+            var m = bytes(i + 1) & 0xff
+            var j = i + 1
+            while (m == 0xff && j + 1 < n) { j += 1; m = bytes(j) & 0xff } // fill bytes
+            val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              if (j + 8 >= n) return MediaMeta(n.toLong, "jpeg", 0, 0, 0, valid = false)
+              val h = be16(bytes, j + 4)
+              val w = be16(bytes, j + 6)
+              return MediaMeta(n.toLong, "jpeg", w, h, 1, valid = true)
+            } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+              i = j + 1 // standalone marker, no length field
+            } else if (m == 0xd9) {
+              return MediaMeta(n.toLong, "jpeg", 0, 0, 0, valid = false) // EOI before SOF
+            } else {
+              if (j + 3 >= n) return MediaMeta(n.toLong, "jpeg", 0, 0, 0, valid = false)
+              i = j + 1 + be16(bytes, j + 1) // length includes its own 2 bytes
+            }
+          }
+          MediaMeta(n.toLong, "jpeg", 0, 0, 0, valid = false)
+        } else if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+          // GIF87a/89a logical screen descriptor: width/height LE at 6/8.
+          MediaMeta(n.toLong, "gif", le16(bytes, 6), le16(bytes, 8), 1, valid = true)
+        } else if (n >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+                   bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+                   bytes(10) == 'V' && bytes(11) == 'E') {
+          // WAV: walk chunks for fmt (blockAlign) and data (byte size);
+          // n_frames = data bytes / block align (sample frames).
+          var i = 12
+          var blockAlign = 0
+          var dataBytes = -1L
+          while (i + 8 <= n && (blockAlign == 0 || dataBytes < 0)) {
+            val id = new String(bytes, i, 4, "US-ASCII")
+            val sz = le32(bytes, i + 4)
+            if (id == "fmt " && i + 8 + 14 <= n) blockAlign = le16(bytes, i + 8 + 12)
+            else if (id == "data") dataBytes = sz
+            i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
+          if (blockAlign > 0 && dataBytes >= 0)
+            MediaMeta(n.toLong, "wav", 0, 0, (dataBytes / blockAlign).toInt, valid = true)
+          else MediaMeta(n.toLong, "wav", 0, 0, 0, valid = false)
+        } else MediaMeta(n.toLong, "unknown", 0, 0, 0, valid = false)
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+          MediaMeta(n.toLong, "corrupt", 0, 0, 0, valid = false)
+      }
+    }
+  }
+
+  /** STUB: deterministic fake decode kept for shape tests only — the
+    * production decoder is [[HeaderDecoder]]. Derives plausible
+    * dimensions from the byte content so tests are stable. */
   object StubDecoder extends Decoder {
     def decode(bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.isEmpty)
@@ -68,7 +153,7 @@ object Multimodal {
     * partition. The binary column itself is passed through untouched;
     * callers should `.drop(binCol)` before any wide operation. */
   def withDecodedMeta(df: DataFrame, binCol: String,
-                      decoder: Decoder = StubDecoder,
+                      decoder: Decoder = HeaderDecoder,
                       out: String = "media_meta"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(out, metaSchema))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -87,9 +172,9 @@ object Multimodal {
     * frame extraction — the explode happens before decode so each
     * frame decode can be distributed independently. */
   def sampleFrames(df: DataFrame, metaCol: String, stride: Int): DataFrame =
-    df.withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col(s"$metaCol.n_frames") - 1, lit(0)),
-          lit(stride))))
+    df.filter(col(s"$metaCol.n_frames") > 0) // frameless assets emit no rows
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col(s"$metaCol.n_frames") - 1, lit(stride))))
 
   /** Partition-level byte budget: repartition assets so each task
     * handles roughly `targetBytes` of media (decode-time balancing —

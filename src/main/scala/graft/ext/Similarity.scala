@@ -66,39 +66,87 @@ object Similarity {
     * Voronoi cells around deterministic seed centroids (the lowest-id
     * vectors — production would run a few k-means sweeps, same plan
     * shape), then search only the `nProbe` cells nearest each query,
-    * re-ranking exactly. Corpus shuffles once on cell id; each query
-    * touches corpus/nCentroids*nProbe candidates — the structure that
-    * keeps ANN sublinear at 10^9+ vectors.
+    * re-ranking exactly.
+    *
+    * Scale shape: the centroid matrix lives on the driver (it does in
+    * any IVF build) and rides into the plan as a literal, so cell
+    * assignment is a MAP-SIDE fold ([[graft.functions.NearestCentroids]])
+    * — no crossJoin with the centroid table, no per-vector row_number
+    * window, zero corpus shuffle (round 1 shuffled corpus x nCentroids
+    * rows here). The query side broadcasts, and the final top-k is the
+    * partial [[graft.functions.TopKByScore]] aggregate, so only k rows
+    * per partition per query reach the one remaining exchange. Each
+    * query touches ~corpus/nCentroids*nProbe candidates — the
+    * structure that keeps ANN sublinear at 10^9+ vectors.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val gf = graft.functions.GraftFunctions
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cent_vec")))
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
-      val wc = Window.partitionBy(id).orderBy(col("cent_sim").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("cent_sim", gf.cosineSimilarity(spark, col(vec), col("cent_vec")))
-        .withColumn("cent_rank", row_number().over(wc))
-        .filter(col("cent_rank") <= probes)
-        .drop("cent_vec", "cent_sim", "cent_rank")
-    }
-    val c = assign(corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("c_vec")), "neighbor_id", "c_vec", 1)
-    val q = assign(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("q_vec")), "query_id", "q_vec", nProbe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), "cent_id")
+    // Seed centroids, sorted by id so centroid INDEX order equals id
+    // order (the expression tie-breaks on index; round 1 tie-broke on
+    // cent_id — same ordering).
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(col("id")).limit(nCentroids)
+      .collect().toSeq.map(_.getSeq[Double](1))
+    val centsLit = typedLit(cents)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), centsLit, 1)(0))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(gf.nearestCentroids(spark, col("q_vec"), centsLit, nProbe)))
+    c.join(broadcast(q), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+      .groupBy("query_id")
+      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+              round(col("hit.score"), 6).as("cosine_sim"),
+              (col("pos") + 1).as("rnk"))
+  }
+
+  /** Exact near-duplicate pairs (cosine >= threshold) through a banded
+    * random-hyperplane candidate generator: `bands` independent bands
+    * of `planesPerBand` sign bits (one fused [[withLshBucket]] call
+    * computes all bands' bits); a pair is a candidate iff it collides
+    * in at least one band, and every candidate is verified with the
+    * exact cosine — the q31 MinHash pattern applied to embedding
+    * space. Shuffle volume is O(n·bands) band keys plus the verified
+    * candidates, never the O(n^2) crossJoin. Recall is a deterministic
+    * property of the fixed hash-derived planes: a true pair at angle θ
+    * is missed with probability (1-(1-θ/π)^P)^B — ~6e-4 at cos 0.5
+    * with the default P=3, B=21 — and the driver oracle checks the
+    * output against the exact pair set at test scale.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bands: Int = 21,
+                      planesPerBand: Int = 3): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 63,
+      "bands*planesPerBand must fit in a long's sign-free bits")
+    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = withLshBucket(e, "vec", bands * planesPerBand, "sig")
+    val mask = (1L << planesPerBand) - 1L
+    // Bands unrolled statically (bands is a plan-time constant).
+    val bandVals = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bval"))): _*)
+    val banded = sig.select(col("id"), explode(bandVals).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bval"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bval")),
+            Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = e.select(col("id").as("id_a"), col("vec").as("va"))
+    val vb = e.select(col("id").as("id_b"), col("vec").as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
+        df.sparkSession, col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cosine_sim"))
   }
 
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine

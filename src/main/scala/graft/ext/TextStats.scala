@@ -22,12 +22,13 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
 
-  /** Stopword ratio over whitespace tokens. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = split(text, " ")
-    size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
-      size(toks)
-  }
+  /** Stopword ratio over whitespace tokens. Numerator is the native
+    * [[graft.functions.TokenSetCount]] expression (codegen'd, set
+    * hashed once per task) — the `filter(t.isin(...))` lambda it
+    * replaces is interpreted per token, per row, on the scan path. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.GraftFunctions.tokenSetCount(text, stopwords).cast("double") /
+      size(split(text, " "))
 
   /** Heuristic quality score in [0,1]: length credit (saturating at
     * `fullTokens`) blended with non-stopword density.
@@ -39,15 +40,16 @@ object TextStats {
   }
 
   /** Marker-word language scores: for each (lang, markers) profile,
-    * emits a column `score_<lang>` counting marker occurrences.
-    * Real deployments would load per-language character-n-gram
+    * emits a column `score_<lang>` counting marker occurrences via the
+    * native token-set-count expression (no interpreted lambdas on the
+    * scan). Real deployments would load per-language character-n-gram
     * profiles; the mechanism (count markers, argmax) is the same.
     */
   def withLangScores(df: DataFrame, textCol: String,
                      profiles: Seq[(String, Seq[String])]): DataFrame =
     profiles.foldLeft(df) { case (acc, (lang, markers)) =>
       acc.withColumn(s"score_$lang",
-        size(filter(split(col(textCol), " "), t => t.isin(markers.map(lit): _*))))
+        graft.functions.GraftFunctions.tokenSetCount(col(textCol), markers))
     }
 
   /** Deterministic argmax over the `<prefix><lang>` score columns

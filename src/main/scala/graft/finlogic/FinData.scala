@@ -49,9 +49,13 @@ final case class FinData(
     * matching the search, joined with latest-trade info.
     */
   def searchCompany(searchValue: String, searchBy: String = "name_id"): DataFrame = {
-    val universe = financials
-      .select("name_id", "cvm_id", "tax_id")
-      .dropDuplicates("cvm_id")
+    // Total-ordered dedup (trap 7): name/tax are functionally
+    // dependent on cvm_id in practice, but keep-last under a total
+    // ordering keeps the result partition-independent by construction.
+    val universe = Kernels.dedupKeepLast(
+        financials.select("name_id", "cvm_id", "tax_id"),
+        keys = Seq("cvm_id"),
+        order = Seq(col("name_id"), col("tax_id")))
       .join(broadcast(trades), Seq("cvm_id"))
     val filtered = searchBy match {
       case "name_id" => universe.filter(col("name_id").rlike(searchValue.toUpperCase))

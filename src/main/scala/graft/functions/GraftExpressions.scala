@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot paths.
@@ -82,7 +82,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** Cosine similarity of two array<double> columns in one pass
   * (dot and both norms accumulated together). IEEE semantics: zero
-  * norms yield NaN/Inf, never an ANSI error.
+  * norms yield NaN/Inf, never an ANSI error. Mismatched vector
+  * lengths return NULL — corrupt embedding data must not pass as a
+  * plausible truncated similarity.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -95,12 +97,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"cosine_similarity expects (array<double>, array<double>), got $other")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null children OR length mismatch
   override def prettyName: String = "cosine_similarity"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -121,14 +125,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -223,6 +231,196 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Portable 32-bit SimHash of a space-tokenized string, one fused pass
+  * per row: token bit b = high bit of hex digit b of md5(token);
+  * signature bit = sign of the token-count-weighted vote sum; emitted
+  * as a 32-char '0'/'1' string. Bit-for-bit identical to the
+  * `split -> transform(md5) -> 32 x aggregate` lambda composition it
+  * replaces (which interpreted 32 x tokens lambda dispatches per row —
+  * the repo's no-interpreted-lambdas-on-scan-paths invariant), and to
+  * the DuckDB oracle's unnest+substr(md5) formulation. Null in ->
+  * null out. CodegenFallback: the md5-per-token loop is the row's
+  * entire work.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash32"
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val votes = new Array[Int](32)
+    val digest = md5.get()
+    var t = 0
+    while (t < toks.length) {
+      val d = digest.digest(toks(t).getBytes)
+      var i = 0
+      while (i < 32) {
+        // hex digit i = high/low nibble of byte i/2; digit >= '8' iff
+        // the nibble's top bit is set.
+        val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF else d(i >> 1) & 0xF
+        votes(i) += (if (nib >= 8) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 32) { out(i) = if (votes(i) > 0) '1' else '0'; i += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Count of whitespace tokens contained in a FOLDABLE literal token
+  * set — the codegen'd replacement for
+  * `size(filter(split(text, " "), t => t.isin(set)))`, whose lambda is
+  * interpreted per token (stopword ratios and marker-word language
+  * scores run this over every document at scan time). The set is
+  * hashed once per task, not per row.
+  */
+case class TokenSetCount(text: Expression, tokens: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = tokens
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, tokens.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        if (tokens.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "token_set_count expects a foldable (literal) token array")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_set_count expects (string, array<string>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_set_count"
+
+  @transient lazy val tokenSet: java.util.HashSet[UTF8String] = {
+    val ad = tokens.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](ad.numElements() * 2)
+    var i = 0
+    while (i < ad.numElements()) { s.add(ad.getUTF8String(i)); i += 1 }
+    s
+  }
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(t: Any, ts: Any): Any = {
+    val toks = t.asInstanceOf[UTF8String].split(space, -1)
+    var cnt = 0
+    var i = 0
+    while (i < toks.length) { if (tokenSet.contains(toks(i))) cnt += 1; i += 1 }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", tokenSet, "java.util.HashSet<UTF8String>")
+    val spaceRef = ctx.addReferenceObj("space", space, "UTF8String")
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val toks = ctx.freshName("toks")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |UTF8String[] $toks = $t.split($spaceRef, -1);
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $toks.length; $i++) {
+         |  if ($setRef.contains($toks[$i])) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenSetCount =
+    copy(text = l, tokens = r)
+}
+
+/** Indices of the `probes` nearest centroids (by cosine similarity)
+  * for an array<double> vector, against a FOLDABLE literal centroid
+  * matrix (array<array<double>>): a fused map-side fold that replaces
+  * the crossJoin(centroids) + row_number window an expression-free
+  * plan needs — that shape shuffles corpus x nCentroids rows through
+  * a per-vector sort just to pick an argmax; this one is shuffle-free.
+  * Ordering: similarity desc, centroid index asc (Double.compare, so
+  * NaN sorts first like Spark's desc sort); a dimension-mismatched
+  * centroid scores -Infinity (never wins). CodegenFallback: the
+  * nCentroids x dims loop is the row's entire work.
+  */
+case class NearestCentroids(vec: Expression, centroids: Expression, probes: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(probes >= 1, "probes must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = centroids
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, centroids.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (centroids.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "nearest_centroids expects a foldable (literal) centroid matrix")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids expects (array<double>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = centroids.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(v: Any, cs: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = cents.length
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); nx += xi * xi; i += 1 }
+    val nxs = math.sqrt(nx)
+    val sims = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val cj = cents(j)
+      if (cj.length != n) sims(j) = Double.NegativeInfinity
+      else {
+        var dot = 0.0
+        var i2 = 0
+        while (i2 < n) { dot += x.getDouble(i2) * cj(i2); i2 += 1 }
+        sims(j) = dot / (nxs * centNorms(j))
+      }
+      j += 1
+    }
+    val order = (0 until m).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(sims(a), sims(b))
+      if (c != 0) c > 0 else a < b
+    }
+    new GenericArrayData(order.take(math.min(probes, m)).toArray)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroids =
+    copy(vec = l, centroids = r)
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -265,6 +463,22 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_topk_by_score(score, id, k): got ${other.size} args")
     }, "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids", {
+      case Seq(v, cs, p) => NearestCentroids(v, cs,
+        p.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_centroids(vec, centroids, probes): got ${other.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32", {
+      case Seq(t) => SimHash32(t)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash32(text): got ${other.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_token_set_count", {
+      case Seq(t, ts) => TokenSetCount(t, ts)
+      case other => throw new IllegalArgumentException(
+        s"graft_token_set_count(text, tokens): got ${other.size} args")
+    }, "built-in")
   }
 
   def minhashSignature(spark: SparkSession, arr: Column, numHashes: Int): Column = {
@@ -295,5 +509,30 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_topk_by_score", score, id,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Map-side nearest-centroid assignment (see [[NearestCentroids]]);
+    * `centroids` must be a literal column (e.g. typedLit of the
+    * driver-resident centroid matrix). */
+  def nearestCentroids(spark: SparkSession, vec: Column, centroids: Column,
+                       probes: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_nearest_centroids", vec, centroids,
+      org.apache.spark.sql.functions.lit(probes))
+  }
+
+  /** Fused 32-bit md5 SimHash (see [[SimHash32]]). Uses the active
+    * session for registration so pure-Column call sites work. */
+  def simHash32(text: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_simhash32", text)
+  }
+
+  /** Count of whitespace tokens present in `tokens` (see
+    * [[TokenSetCount]]). */
+  def tokenSetCount(text: Column, tokens: Seq[String]): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_token_set_count", text,
+      org.apache.spark.sql.functions.typedLit(tokens))
   }
 }

@@ -120,11 +120,14 @@ object Kernels {
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.
+    * NULL in either operand propagates NULL (SQL/Polars semantics),
+    * never Inf/NaN.
     */
   def ieeeDivide(num: Column, den: Column): Column =
-    when(den =!= 0.0, num / den)
+    when(num.isNull || den.isNull, lit(null).cast("double"))
+      .when(den =!= 0.0, num / den)
       .otherwise(
-        when(num === 0.0 || num.isNull, lit(Double.NaN))
+        when(num === 0.0, lit(Double.NaN))
           .otherwise(when(num > 0, lit(Double.PositiveInfinity))
             .otherwise(lit(Double.NegativeInfinity))))
 

@@ -139,13 +139,17 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderpriority", "o_orderstatus")),
 
-    // §2.3 J2 — multi-key equi-join (aggregate joined back on 2 keys).
+    // §2.3 J2 — multi-key aggregate-join-back, expressed as a whole-
+    // partition window over the same 2-key grouping: ONE shuffle of
+    // lineitem instead of the groupBy-then-join-back double exchange
+    // (the oracle keeps the join formulation — same values). This was
+    // round 1's slowest bench query; the windowed plan is strictly
+    // better at any scale.
     "q12_multikey_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val ps = li.groupBy("l_partkey", "l_suppkey")
-        .agg(round(sum("l_quantity"), 2).as("ps_qty"),
-             count(lit(1)).as("ps_lines"))
-      li.join(ps, Seq("l_partkey", "l_suppkey"))
+      val w = Window.partitionBy("l_partkey", "l_suppkey")
+      Tables.lineitem(s, d)
+        .withColumn("ps_qty", round(sum("l_quantity").over(w), 2))
+        .withColumn("ps_lines", count(lit(1)).over(w))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
                 round(col("l_quantity") / col("ps_qty"), 6).as("qty_share"),
                 col("ps_lines"))
@@ -277,14 +281,32 @@ object Relational {
     }),
 
     // Statistical aggregates: stddev/corr/covar (beyond reference).
-    "q39_stats_agg" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // Computed from explicitly mirrored sufficient sums (count, sum(x),
+    // sum(x*x), sum(x*y)) with the SAME arithmetic on both engines,
+    // instead of the built-in streaming co-moment aggregates whose
+    // last-ulp accumulation differs between Spark and DuckDB (the
+    // round-1 hash mismatch). `+ 0.0` after round normalizes the -0.0
+    // that round() yields for tiny negative covariances (cov_disc_tax
+    // is ~-2e-7 here) — IEEE -0.0 and 0.0 hash differently.
+    "q39_stats_agg" -> ((s, d) => {
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      val dc = col("l_discount"); val tx = col("l_tax")
+      val agg = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(round(stddev_samp("l_quantity"), 6).as("sd_qty"),
-             round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
-             round(covar_samp("l_discount", "l_tax"), 6).as("cov_disc_tax"),
-             round(var_samp("l_discount"), 6).as("var_disc"))
-        .orderBy("l_returnflag")),
+        .agg(count(lit(1)).cast("double").as("n"),
+             sum(q).as("sq"), sum(q * q).as("sqq"),
+             sum(p).as("sp"), sum(p * p).as("spp"), sum(q * p).as("sqp"),
+             sum(dc).as("sd"), sum(dc * dc).as("sdd"),
+             sum(tx).as("st"), sum(tx * tx).as("stt"), sum(dc * tx).as("sdt"))
+      agg.select(col("l_returnflag"),
+          (round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6) + 0.0).as("sd_qty"),
+          (round((col("sqp") - col("sq") * col("sp") / col("n")) /
+            (sqrt(col("sqq") - col("sq") * col("sq") / col("n")) *
+             sqrt(col("spp") - col("sp") * col("sp") / col("n"))), 6) + 0.0).as("corr_qty_price"),
+          (round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - 1), 6) + 0.0).as("cov_disc_tax"),
+          (round((col("sdd") - col("sd") * col("sd") / col("n")) / (col("n") - 1), 6) + 0.0).as("var_disc"))
+        .orderBy("l_returnflag")
+    }),
 
     // Exact interpolated percentiles per group (beyond reference).
     "q40_percentiles" -> ((s, d) =>
@@ -312,6 +334,28 @@ object Relational {
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10""")
+    }),
+
+    // §2.1 S2 (explicit schema at read — no footer inference), §2.8
+    // F4 upper(), F10 lit(true) pass-through, plus a float->int cast
+    // via floor (ANSI double->long truncation and DuckDB's CAST round
+    // half-even disagree; floor first is engine-neutral).
+    "q55_cast_upper_flags" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_acctbal", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("c_mktsegment", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).parquet(s"$d/customer.parquet")
+        .filter(lit(true))
+        .select(col("c_custkey"),
+                col("c_custkey").cast("string").as("cust_str"),
+                upper(col("c_name")).as("name_up"),
+                col("c_nationkey").cast("long").as("nation_l"),
+                floor(col("c_acctbal")).cast("long").as("bal_floor"),
+                lit(true).as("all_rows"))
+        .orderBy("c_custkey")
     }),
 
     // Rollup aggregation (beyond reference; grouping-sets family).
@@ -525,12 +569,22 @@ object Relational {
         |GROUP BY relation ORDER BY relation""".stripMargin,
 
     "q39_stats_agg" ->
-      """SELECT l_returnflag,
-        | round(stddev_samp(l_quantity), 6) AS sd_qty,
-        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        | round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-        | round(var_samp(l_discount), 6) AS var_disc
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_quantity) AS sq, sum(l_quantity*l_quantity) AS sqq,
+        |    sum(l_extendedprice) AS sp, sum(l_extendedprice*l_extendedprice) AS spp,
+        |    sum(l_quantity*l_extendedprice) AS sqp,
+        |    sum(l_discount) AS sd, sum(l_discount*l_discount) AS sdd,
+        |    sum(l_tax) AS st, sum(l_tax*l_tax) AS stt,
+        |    sum(l_discount*l_tax) AS sdt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(sqrt((sqq - sq*sq/n)/(n-1)), 6) + 0.0 AS sd_qty,
+        | round((sqp - sq*sp/n)/(sqrt(sqq - sq*sq/n)*sqrt(spp - sp*sp/n)), 6) + 0.0 AS corr_qty_price,
+        | round((sdt - sd*st/n)/(n-1), 6) + 0.0 AS cov_disc_tax,
+        | round((sdd - sd*sd/n)/(n-1), 6) + 0.0 AS var_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q40_percentiles" ->
       """SELECT o_orderpriority,
@@ -538,6 +592,14 @@ object Relational {
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q55_cast_upper_flags" ->
+      """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS cust_str,
+        | upper(c_name) AS name_up,
+        | CAST(c_nationkey AS BIGINT) AS nation_l,
+        | CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+        | true AS all_rows
+        |FROM customer WHERE true ORDER BY c_custkey""".stripMargin,
 
     "q19_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -121,6 +121,34 @@ object TextQueries {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // REAL multimodal decode, driver-checked: build a valid PNG
+    // header (signature + IHDR) per document with dimensions derived
+    // from n_chars, then decode it back through HeaderDecoder inside
+    // the distributed mapPartitions batch path. The oracle recomputes
+    // the dimension formulas directly — equality proves the byte
+    // encode -> partition-batch decode round trip, not just the
+    // arithmetic. (Real-world JPEG/GIF/WAV fixture bytes are covered
+    // by MultimodalSpec; testdata carries no media binaries.)
+    "q54_multimodal_decode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("w", (lit(1) + col("n_chars") % 640).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 480).cast("int"))
+        .withColumn("payload", unhex(concat(
+          lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+          lpad(hex(col("w")), 8, "0"),
+          lpad(hex(col("h")), 8, "0"),
+          lit("0806000000"))))
+      graft.ext.Multimodal.withDecodedMeta(
+          docs.select("doc_id", "source", "payload"), "payload")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+             min(col("media_meta.format")).as("format"),
+             sum(col("media_meta.width").cast("long")).as("total_width"),
+             sum(col("media_meta.height").cast("long")).as("total_height"),
+             sum(when(col("media_meta.valid"), 1L).otherwise(0L)).as("n_valid"))
+        .orderBy("source")
+    }),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -266,6 +294,15 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the dimension formulas the PNG headers were built from;
+    // matching totals prove decode(encode(w, h)) == (w, h) per row.
+    "q54_multimodal_decode" ->
+      """SELECT source, count(*) AS n_assets, 'png' AS format,
+        | CAST(sum(1 + n_chars % 640) AS BIGINT) AS total_width,
+        | CAST(sum(1 + (n_chars * 3) % 480) AS BIGINT) AS total_height,
+        | CAST(count(*) AS BIGINT) AS n_valid
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

@@ -39,21 +39,48 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // Embedding-cosine near-duplicate pairs: all-pairs sim >= 0.5
-    // (the embedding-space dedup mode; LSH-bucketed q35 is the
-    // at-scale candidate generator for the same test).
-    "q42_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), graft.ext.Similarity.asDouble(col("embedding")).as("vec"))
-      val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"))
-      a.crossJoin(broadcast(b))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
-          s, col("va"), col("vb")))
-        .filter(col("sim") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cosine_sim"))
-        .orderBy("id_a", "id_b")
+    // Embedding-cosine near-duplicate pairs (sim >= 0.5) through the
+    // banded-LSH candidate generator + exact-cosine verification —
+    // the SCALE path is the verified path (round 1 verified an
+    // all-pairs crossJoin; this plan is O(n·bands) shuffle keys). The
+    // oracle is still the exact all-pairs pair set: with P=3/B=21 the
+    // deterministic planes catch every true pair on this data (miss
+    // probability ~6e-4 per pair), so verified LSH == exact.
+    "q42_embedding_neardup" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.5, bands = 21, planesPerBand = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Full-probe IVF (nProbe = nCentroids): probing every cell makes
+    // IVF reduce exactly to brute-force top-k, so the approximate
+    // machinery (map-side NearestCentroids assignment, cell join,
+    // partial top-k) gets a REAL oracle-checked correctness signal —
+    // the same oracle as q34.
+    "q52_ann_ivf_fullprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Recall@k of the two ANN paths against exact brute force,
+    // computed in-engine: any approximation regression (bucketing,
+    // probe selection, tie-breaks) moves these values and turns the
+    // driver row red. |exact| = 10 queries x k=3 = 30 by construction.
+    "q53_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      def recallRow(name: String, ann: DataFrame) =
+        ann.select("query_id", "neighbor_id").intersect(exact)
+          .agg(lit(name).as("method"),
+               round(count(lit(1)) / 30.0, 6).as("recall"))
+      recallRow("ivf", Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 3, nCentroids = 16, nProbe = 3))
+        .unionByName(recallRow("lsh", Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          k = 3, planes = 6)))
+        .orderBy("method")
     }),
 
     // Per-label centroid aggregation: elementwise mean over vectors
@@ -85,6 +112,38 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Full-probe IVF == exact brute force, so the oracle is the exact
+    // top-k SQL (same as q34).
+    "q52_ann_ivf_fullprobe" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS sim
+        |  FROM m q, m t WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Pinned expected recall on the sf0.01 driver dataset: the planes,
+    // seed centroids, probe counts and data are all fixed, so these
+    // values are deterministic facts of this configuration (ivf
+    // nProbe=3/16 cells finds 29/30 exact neighbors; single-band
+    // 6-plane LSH finds 1/30 — approximate by design). The pin makes
+    // any regression in bucketing, assignment, or tie-breaking turn
+    // this row red; it is NOT a recomputation (DuckDB cannot express
+    // the xxhash64-derived planes). Valid only at the driver's
+    // correctness scale (sf0.01), which is the only scale oracles run.
+    "q53_ann_recall" ->
+      """SELECT 'ivf' AS method, 0.966667 AS recall
+        |UNION ALL SELECT 'lsh', 0.033333
+        |ORDER BY method""".stripMargin,
 
     "q42_embedding_neardup" ->
       """WITH n AS (

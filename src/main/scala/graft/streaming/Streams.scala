@@ -10,10 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * DataFrame with (event_id, ts: timestamp, user_id, event_type,
   * value) columns.
   *
-  * Scale notes: all aggregations are keyed on (window/session x
-  * type/user), state is bounded by the watermark, and late data past
-  * the watermark is dropped — the properties that keep state size
-  * finite on an unbounded 100 TB/day stream.
+  * Scale notes: all windowed aggregations are keyed on (window/session
+  * x type/user), their state is bounded by the watermark, and late
+  * data past the watermark is dropped; the custom-state running total
+  * is bounded separately by an idle-timeout (see runningUserTotals) —
+  * together the properties that keep state size finite on an
+  * unbounded 100 TB/day stream.
   */
 object Streams {
 
@@ -61,20 +63,40 @@ object Streams {
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Per-user running totals via mapGroupsWithState — the custom-
-    * state escape hatch for logic windowed aggs can't express. */
-  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    * state escape hatch for logic windowed aggs can't express.
+    * State is bounded when `idleTimeout` is set (the production
+    * default): a user idle for that long has its state emitted once
+    * more and removed — unbounded user-id cardinality on an unbounded
+    * stream would otherwise grow state forever. A user reappearing
+    * after expiry restarts from zero, the inherent trade-off of any
+    * bounded running total. `idleTimeout = None` keeps state for ever
+    * (only sane for bounded key domains — and for deterministic
+    * tests: processing-time timers fire on wall-clock, so
+    * processAllAvailable-style test drivers never settle with them).
+    */
+  def runningUserTotals(events: Dataset[UserEvent],
+                        idleTimeout: Option[String] = Some("1 hour")): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (user: Long, evs: Iterator[UserEvent], state: GroupState[UserRunning]) => {
-          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
-          val (n, v) = evs.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+            val (n, v) = evs.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            }
+            val next = UserRunning(user, n, v)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
           }
-          val next = UserRunning(user, n, v)
-          state.update(next)
-          next
         })
   }
 }

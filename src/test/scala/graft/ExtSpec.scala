@@ -163,6 +163,73 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("lshNearDupPairs equals the exact all-pairs set, without a cross join") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = emb.select($"vec_id", Similarity.asDouble($"embedding").as("vec"))
+    val a = e.select($"vec_id".as("id_a"), $"vec".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"vec".as("vb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(spark, $"va", $"vb"))
+      .filter($"sim" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.5)
+    assert(lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
+  test("NearestCentroids matches a manual cosine argmax; full probe is exact") {
+    import org.apache.spark.sql.functions.typedLit
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val df = Seq(
+      (1L, Seq(0.9, 0.1)),   // nearest: 0, then 1, then 2
+      (2L, Seq(-3.0, 0.2)),  // nearest: 2, then 1, then 0
+      (3L, Seq(0.5, 0.5))    // ties 0/1 -> lower index first
+    ).toDF("id", "vec")
+    val out = df.withColumn("nc", graft.functions.GraftFunctions.nearestCentroids(
+        spark, $"vec", typedLit(cents), 3))
+      .orderBy("id").collect().map(_.getSeq[Int](2).toSeq)
+    assert(out(0) == Seq(0, 1, 2))
+    assert(out(1) == Seq(2, 1, 0))
+    assert(out(2) == Seq(0, 1, 2)) // exact tie broken by index
+    // dimension-mismatched centroid never wins
+    val bad = Seq((1L, Seq(1.0, 0.0, 0.0))).toDF("id", "vec")
+      .withColumn("nc", graft.functions.GraftFunctions.nearestCentroids(
+        spark, $"vec", typedLit(Seq(Seq(1.0, 0.0))), 1))
+      .head().getSeq[Int](2)
+    assert(bad == Seq(0)) // sole centroid still returned, scored -Inf
+  }
+
+  test("native SimHash32 is bit-for-bit identical to the lambda composition") {
+    // The interpreted composition the native expression replaces.
+    def lambdaSimHash(text: org.apache.spark.sql.Column) = {
+      val hexes = transform(split(text, " "), t => md5(t))
+      val bitVotes = transform(sequence(lit(1), lit(32)),
+        i => aggregate(hexes, lit(0),
+          (acc, h) => acc + when(
+            h.substr(i, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)))
+      concat_ws("", transform(bitVotes, v => when(v > 0, "1").otherwise("0")))
+    }
+    val edge = Seq("", " ", "a", "a b a", "  double  space", "trailing ").toDF("text")
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").union(edge)
+      .withColumn("native", graft.functions.GraftFunctions.simHash32($"text"))
+      .withColumn("lambda", lambdaSimHash($"text"))
+    assert(docs.filter($"native" =!= $"lambda").count() == 0)
+  }
+
+  test("native TokenSetCount equals the filter/isin lambda") {
+    val set = Seq("a", "the", "data")
+    val edge = Seq("", " ", "a", "a the data a", "  a", "x y z").toDF("text")
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").union(edge)
+      .withColumn("native", graft.functions.GraftFunctions.tokenSetCount($"text", set))
+      .withColumn("lambda",
+        size(filter(split($"text", " "), t => t.isin(set.map(lit): _*))))
+    assert(docs.filter($"native" =!= $"lambda").count() == 0)
+  }
+
   // ---- text stats ------------------------------------------------
   test("tokenCount matches split-size and handles empty") {
     val df = Seq(("a b c"), (""), ("one")).toDF("text")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Multimodal
+import graft.ext.Multimodal.{HeaderDecoder, StubDecoder}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -13,8 +14,65 @@ class MultimodalSpec extends AnyFunSuite {
   ).toDF("asset_id", "payload_text")
     .withColumn("media", encode($"payload_text", "UTF-8"))
 
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ---- real header decode (fixture bytes) --------------------------
+
+  test("HeaderDecoder parses a PNG IHDR") {
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ // signature
+      bytes(0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80) ++ // width 640
+      bytes(0, 0, 1, 0xE0) ++ // height 480
+      bytes(8, 6, 0, 0, 0)    // bit depth, color type, ...
+    val m = HeaderDecoder.decode(png)
+    assert(m.format == "png" && m.valid && m.width == 640 && m.height == 480)
+  }
+
+  test("HeaderDecoder scans JPEG segments to the SOF frame header") {
+    val jpeg = bytes(0xFF, 0xD8) ++                       // SOI
+      bytes(0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46) ++        // APP0, len 4
+      bytes(0xFF, 0xC0, 0x00, 0x11, 0x08,                 // SOF0, precision 8
+            0x01, 0x00,                                   // height 256
+            0x02, 0x00,                                   // width 512
+            0x03)
+    val m = HeaderDecoder.decode(jpeg)
+    assert(m.format == "jpeg" && m.valid && m.width == 512 && m.height == 256)
+    // progressive marker C2 is also a SOF
+    val prog = jpeg.updated(9, 0xC2.toByte) // marker byte follows the 0xFF at 8
+    assert(HeaderDecoder.decode(prog).valid)
+    // truncated before any SOF -> invalid, no throw
+    val trunc = HeaderDecoder.decode(jpeg.take(6))
+    assert(trunc.format == "jpeg" && !trunc.valid)
+  }
+
+  test("HeaderDecoder parses GIF logical screen descriptor") {
+    val gif = "GIF89a".getBytes ++ bytes(0x40, 0x01) ++ bytes(0xF0, 0x00) ++ bytes(0, 0)
+    val m = HeaderDecoder.decode(gif)
+    assert(m.format == "gif" && m.valid && m.width == 320 && m.height == 240)
+  }
+
+  test("HeaderDecoder computes WAV sample frames from fmt/data chunks") {
+    val wav = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0) ++ bytes(2, 0) ++                    // pcm, 2 channels
+      bytes(0x44, 0xAC, 0, 0) ++ bytes(0x10, 0xB1, 2, 0) ++ // 44100 Hz, byte rate
+      bytes(4, 0) ++ bytes(16, 0) ++                   // block align 4, 16 bits
+      "data".getBytes ++ bytes(0x90, 0x01, 0, 0)       // 400 data bytes
+    val m = HeaderDecoder.decode(wav)
+    assert(m.format == "wav" && m.valid && m.n_frames == 100) // 400 / 4
+  }
+
+  test("HeaderDecoder marks unknown and empty bytes invalid, never throws") {
+    assert(!HeaderDecoder.decode("plain text".getBytes).valid)
+    assert(!HeaderDecoder.decode(Array.empty[Byte]).valid)
+    assert(!HeaderDecoder.decode(null).valid)
+    assert(!HeaderDecoder.decode(bytes(0x89, 'P', 'N', 'G')).valid) // truncated PNG
+  }
+
+  // ---- distributed plumbing (stub decoder: shape-stable fake) ------
+
   test("withDecodedMeta attaches typed metadata per asset") {
-    val out = Multimodal.withDecodedMeta(assets, "media")
+    val out = Multimodal.withDecodedMeta(assets, "media", StubDecoder)
     val rows = out.select("asset_id", "media_meta.n_bytes", "media_meta.valid",
         "media_meta.width")
       .orderBy("asset_id").collect()
@@ -24,21 +82,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).getInt(3) == 64 + 11 % 576)
   }
 
+  test("withDecodedMeta with the real decoder classifies non-media bytes invalid") {
+    val out = Multimodal.withDecodedMeta(assets, "media")
+      .select("asset_id", "media_meta.format", "media_meta.valid")
+      .orderBy("asset_id").collect()
+    assert(out.forall(!_.getBoolean(2)))
+    assert(out(0).getString(1) == "unknown" && out(1).getString(1) == "empty")
+  }
+
   test("decode is deterministic across runs") {
-    val a = Multimodal.withDecodedMeta(assets, "media").select("media_meta").collect()
-    val b = Multimodal.withDecodedMeta(assets, "media").select("media_meta").collect()
+    val a = Multimodal.withDecodedMeta(assets, "media", StubDecoder).select("media_meta").collect()
+    val b = Multimodal.withDecodedMeta(assets, "media", StubDecoder).select("media_meta").collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
   test("sampleFrames explodes sampled frame indices") {
     val out = Multimodal.sampleFrames(
-      Multimodal.withDecodedMeta(assets, "media"), "media_meta", stride = 5)
+      Multimodal.withDecodedMeta(assets, "media", StubDecoder), "media_meta", stride = 5)
     val byAsset = out.groupBy("asset_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // asset 1: n_frames = 1 + 11 % 29 = 12 -> frames 0,5,10 -> 3 rows
     assert(byAsset(1L) == 3L)
-    // empty asset: n_frames 0 -> still one row (frame 0)
-    assert(byAsset(2L) == 1L)
+    // empty asset: n_frames 0 -> frameless, emits NO rows
+    assert(!byAsset.contains(2L))
   }
 
   test("repartitionByBytes sizes partitions by media bytes") {

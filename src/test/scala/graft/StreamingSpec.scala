@@ -68,7 +68,11 @@ class StreamingSpec extends AnyFunSuite {
     stream.addData(
       Streams.UserEvent(1, 10.0), Streams.UserEvent(1, 5.0),
       Streams.UserEvent(2, 1.0))
-    runToMemory("run", Streams.runningUserTotals(stream.toDS()).toDF(), OutputMode.Update())
+    // idleTimeout = None: processing-time timers fire on wall-clock,
+    // which processAllAvailable can never deterministically drain.
+    runToMemory("run",
+      Streams.runningUserTotals(stream.toDS(), idleTimeout = None).toDF(),
+      OutputMode.Update())
     val out = spark.table("run").orderBy("user_id").collect()
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(0).getAs[Double]("total_value") == 15.0)
