@@ -18,11 +18,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // NOTE: each testdata parquet is a single row group, so scan
+      // stages are inherently one task here regardless of
+      // maxPartitionBytes — the serial scan+project prefix of each
+      // query is a testdata artifact, not a plan property (cluster
+      // inputs arrive in many splits/row groups).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JVM/codegen/reader, not part of any timing.
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // Warmup: JVM/codegen/reader, not part of any timing. The upper()
+    // call forces Spark 4's ICU CollationAwareUTF8String class init
+    // (it scans the full classpath for ICU data — tens of seconds on
+    // a fat unmanaged-jars classpath) out of the first measured query
+    // that touches a case-mapping expression.
+    spark.range(1000000).selectExpr("sum(id)", "max(upper('warm'))").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     // Failed queries report -1 (not their partial wall time) so a

@@ -92,25 +92,35 @@ object Indicators {
       .agg(first("acc_value"))
     // Rename dotted code columns ("1.01") to indicator names before
     // na.fill — dotted names would otherwise resolve as struct paths.
-    val renamed = IndicatorCodes.foldLeft(wide) {
-      case (d, (code, name)) => d.withColumnRenamed(code, name)
-    }
+    // One select instead of 17 withColumnRenamed calls: every
+    // withColumn* triggers a full analysis pass over the (wide) plan,
+    // which dominates DRIVER time when the pipeline is built per load.
+    val renamed = wide.select(PivotIndex.map(col) ++
+      IndicatorCodes.map { case (code, name) => col(s"`$code`").as(name) }: _*)
     renamed.na.fill(0.0, IndicatorCodes.map(_._2))
   }
 
-  /** Reference `insert_key_cols` (`indicators.py:72-93`). */
-  private def insertKeyCols(df: DataFrame): DataFrame =
-    df.withColumn("total_cash", col("cash_equivalents") + col("financial_investments"))
-      .withColumn("total_debt", col("short_term_debt") + col("long_term_debt"))
+  /** Reference `insert_key_cols` (`indicators.py:72-93`): one select
+    * (single analysis pass) in the exact column order the previous
+    * withColumn chain produced. total_cash/total_debt are inlined into
+    * the columns derived from them — same expressions, same values.
+    * IEEE division for effective_tax_rate: ebt can legitimately be 0
+    * (zero-filled missing account) and ANSI-mode Spark would throw;
+    * the reference's float kernels give Inf/NaN here.
+    */
+  private def insertKeyCols(df: DataFrame): DataFrame = {
+    val tc = col("cash_equivalents") + col("financial_investments")
+    val td = col("short_term_debt") + col("long_term_debt")
+    df.select(col("*"),
+        tc.as("total_cash"),
+        td.as("total_debt"),
+        (col("current_assets") - col("current_liabilities")).as("working_capital"),
+        Kernels.ieeeDivide(-col("effective_tax"), col("ebt")).as("effective_tax_rate"),
+        (col("ebit") + col("depreciation_amortization")).as("ebitda"),
+        (td + col("equity") - tc).as("invested_capital"),
+        (td - tc).as("net_debt"))
       .drop("cash_equivalents", "financial_investments", "short_term_debt", "long_term_debt")
-      .withColumn("working_capital", col("current_assets") - col("current_liabilities"))
-      // IEEE division: ebt can legitimately be 0 (zero-filled missing
-      // account) and ANSI-mode Spark would throw; the reference's
-      // float kernels give Inf/NaN here.
-      .withColumn("effective_tax_rate", Kernels.ieeeDivide(-col("effective_tax"), col("ebt")))
-      .withColumn("ebitda", col("ebit") + col("depreciation_amortization"))
-      .withColumn("invested_capital", col("total_debt") + col("equity") - col("total_cash"))
-      .withColumn("net_debt", col("total_debt") - col("total_cash"))
+  }
 
   /** Reference `process_indicators` (`indicators.py:96-146`): rename
     * codes to names, derive key columns, trailing averages (annual:
@@ -143,14 +153,16 @@ object Indicators {
       when(den > CutOff, ratio).otherwise(0.0)
 
     val afterTax = col("ebit") * (1 - TaxRate)
+    // Single select (one analysis pass) in the previous withColumn order.
     scoped
-      .withColumn("gross_margin", guard(col("revenues"), col("gross_profit") / col("revenues")))
-      .withColumn("ebitda_margin", guard(col("revenues"), col("ebitda") / col("revenues")))
-      .withColumn("operating_margin", guard(col("revenues"), col("ebit") / col("revenues")))
-      .withColumn("net_margin", guard(col("revenues"), col("net_income") / col("revenues")))
-      .withColumn("return_on_assets", guard(col("avg_total_assets"), afterTax / col("avg_total_assets")))
-      .withColumn("return_on_equity", guard(col("avg_equity"), afterTax / col("avg_equity")))
-      .withColumn("roic", guard(col("avg_invested_capital"), afterTax / col("avg_invested_capital")))
+      .select(col("*"),
+        guard(col("revenues"), col("gross_profit") / col("revenues")).as("gross_margin"),
+        guard(col("revenues"), col("ebitda") / col("revenues")).as("ebitda_margin"),
+        guard(col("revenues"), col("ebit") / col("revenues")).as("operating_margin"),
+        guard(col("revenues"), col("net_income") / col("revenues")).as("net_margin"),
+        guard(col("avg_total_assets"), afterTax / col("avg_total_assets")).as("return_on_assets"),
+        guard(col("avg_equity"), afterTax / col("avg_equity")).as("return_on_equity"),
+        guard(col("avg_invested_capital"), afterTax / col("avg_invested_capital")).as("roic"))
       .drop("avg_total_assets", "avg_equity", "avg_invested_capital")
   }
 

@@ -84,9 +84,8 @@ object Kernels {
   def trailingAvg2(df: DataFrame, keys: Seq[String], ord: Column,
                    cols: Seq[String], prefix: String = "avg_"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
-    cols.foldLeft(df) { (d, c) =>
-      d.withColumn(prefix + c, (col(c) + coalesce(lag(col(c), 1).over(w), col(c))) / 2)
-    }
+    df.select(col("*") +: cols.map(c =>
+      ((col(c) + coalesce(lag(col(c), 1).over(w), col(c))) / 2).as(prefix + c)): _*)
   }
 
   /** Quarterly trailing average: prefer same quarter last year (lag 4),
@@ -95,10 +94,10 @@ object Kernels {
   def trailingAvg4(df: DataFrame, keys: Seq[String], ord: Column,
                    cols: Seq[String], prefix: String = "avg_"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
-    cols.foldLeft(df) { (d, c) =>
+    df.select(col("*") +: cols.map { c =>
       val prev = coalesce(lag(col(c), 4).over(w), lag(col(c), 1).over(w), col(c))
-      d.withColumn(prefix + c, (col(c) + prev) / 2)
-    }
+      ((col(c) + prev) / 2).as(prefix + c)
+    }: _*)
   }
 
   /** Skew-safe equi-join: salt the left (large, skewed) side into

@@ -230,6 +230,27 @@ class ExtSpec extends AnyFunSuite {
     assert(docs.filter($"native" =!= $"lambda").count() == 0)
   }
 
+  test("plan audit: ivfTopK assigns cells map-side (no window, no cartesian)") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3),
+        "vec_id", "embedding", 3, nCentroids = 8, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"IVF assignment must not window-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"IVF assignment must not cross-join centroids:\n$plan")
+    // one hash exchange total: the partial top-k aggregate's shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected a single hash exchange (partial top-k):\n$plan")
+  }
+
+  test("plan audit: q12 windowed share shuffles lineitem exactly once") {
+    val plan = graft.queries.Relational.queries("q12_multikey_join")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one hash exchange (the 2-key window):\n$plan")
+  }
+
   // ---- text stats ------------------------------------------------
   test("tokenCount matches split-size and handles empty") {
     val df = Seq(("a b c"), (""), ("one")).toDF("text")
