@@ -96,12 +96,12 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, textCol, k).select(col(idCol), col("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = withMinHashSignature(sh, "shingles", numHashes)
-      .select(col(idCol), col("minhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.ops.Staging.stage(
+      withShingles(docs, textCol, k).select(col(idCol), col("shingles"))
+        .filter(size(col("shingles")) > 0))
+    val sig = graft.ops.Staging.stage(
+      withMinHashSignature(sh, "shingles", numHashes)
+        .select(col(idCol), col("minhash")))
     val cand = lshCandidatePairs(sig, idCol, "minhash", numHashes, bands)
     val sa = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
@@ -122,11 +122,11 @@ object Dedup {
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         groupCol: String, k: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(docs, textCol, k)
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol), col(groupCol), col("shingles"),
-              size(col("shingles")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.ops.Staging.stage(
+      withShingles(docs, textCol, k)
+        .filter(size(col("shingles")) > 0)
+        .select(col(idCol), col(groupCol), col("shingles"),
+                size(col("shingles")).as("n")))
     val posts = sh.select(col(idCol), col(groupCol), col("n"),
                           explode(col("shingles")).as("s"))
     val pa = posts.select(col(idCol).as("id_a"), col(groupCol), col("n").as("na"), col("s"))

@@ -101,19 +101,33 @@ object Multimodal {
           var i = 12
           var blockAlign = 0
           var dataBytes = -1L
-          while (i + 8 <= n && (blockAlign == 0 || dataBytes < 0)) {
+          var walking = true
+          while (walking && i + 8 <= n && (blockAlign == 0 || dataBytes < 0)) {
             val id = new String(bytes, i, 4, "US-ASCII")
             val sz = le32(bytes, i + 4)
             if (id == "fmt " && i + 8 + 14 <= n) blockAlign = le16(bytes, i + 8 + 12)
             else if (id == "data") dataBytes = sz
-            i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+            // Advance only while the DECLARED size stays inside the
+            // buffer: a size >= 2^31 (valid in the unsigned le32
+            // field, negative as .toInt) would drive i backwards and
+            // walk out of bounds (ADVICE r2). Chunk metadata already
+            // recorded above still stands — header-only assets whose
+            // data payload is truncated/absent are legitimate input
+            // for a metadata decoder; valid=false only if fmt/data
+            // were never both seen.
+            if (sz > (n - i - 8).toLong) walking = false
+            else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
           }
           if (blockAlign > 0 && dataBytes >= 0)
             MediaMeta(n.toLong, "wav", 0, 0, (dataBytes / blockAlign).toInt, valid = true)
           else MediaMeta(n.toLong, "wav", 0, 0, 0, valid = false)
         } else MediaMeta(n.toLong, "unknown", 0, 0, 0, valid = false)
       } catch {
-        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+        // Any malformed header must degrade to valid=false, never kill
+        // a 100 TB scan — IndexOutOfBounds covers both Array and
+        // String index walks (a crafted RIFF escaped the narrower
+        // Array-only catch in round 2; ADVICE r2).
+        case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
           MediaMeta(n.toLong, "corrupt", 0, 0, 0, valid = false)
       }
     }

@@ -1,21 +1,27 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Staging
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`), UDF-free.
   *
-  * Two paths:
-  *  - bruteForceTopK: exact cosine top-k by broadcasting the (small)
-  *    query set against the corpus — one scan, no shuffle of the
-  *    corpus, TakeOrdered per query. Right answer when |queries| is
-  *    small; the corpus side streams at any scale.
-  *  - lshTopK: random-hyperplane LSH bucketing (deterministic
-  *    hash-derived planes) — corpus shuffles once on the bucket key,
-  *    and each query only compares against its bucket's candidates.
-  *    The 100 TB path: candidate count is corpus/2^planes per bucket.
+  * Three top-k paths, all sharing one exact-cosine re-rank tail
+  * ([[annTopK]] dispatches between them):
+  *  - bruteForceTopK: exact — broadcast the (small) query set against
+  *    the corpus; one scan, corpus never shuffled.
+  *  - ivfTopK: inverted-file ANN — k-means cells, map-side assignment,
+  *    search only the nProbe nearest cells per query.
+  *  - lshTopK: banded random-hyperplane ANN — candidates are the union
+  *    of per-band sign-bucket collisions (multi-probe by banding), so
+  *    recall is tunable via (bands, planesPerBand) exactly like the
+  *    verified q42 near-dup generator. Round 2's single-band variant
+  *    had recall 0.03 — unusable; the banded form pins ~0.9+ (q53).
+  *
+  * Every path ends in the partial [[graft.functions.TopKByScore]]
+  * aggregate: only k (score, id) pairs per partition per query reach
+  * the final exchange — never a row_number window over all candidates.
   */
 object Similarity {
 
@@ -28,6 +34,36 @@ object Similarity {
   /** Cast array<float> to array<double> for numerically-stable math. */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Shared exact re-rank tail: `scored` has (query_id, neighbor_id,
+    * sim); keep the k best per query via the partial top-k aggregate
+    * (ties: score desc, neighbor_id asc — identical across all paths
+    * and the DuckDB oracles). Shuffle volume is k rows per partition
+    * per query, regardless of candidate count.
+    */
+  private def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val spark = scored.sparkSession
+    scored.groupBy("query_id")
+      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"),
+              round(col("hit.score"), 6).as("cosine_sim"),
+              (col("pos") + 1).as("rnk"))
+  }
+
+  /** Unified ANN entry point: "brute" (exact), "ivf", or "lsh". All
+    * three share [[rerankTopK]]; the methods differ only in candidate
+    * generation. */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              method: String = "ivf"): DataFrame = method match {
+    case "brute" => bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    case "ivf"   => ivfTopK(corpus, queries, idCol, vecCol, k)
+    case "lsh"   => lshTopK(corpus, queries, idCol, vecCol, k)
+    case other => throw new IllegalArgumentException(
+      s"annTopK method must be brute|ivf|lsh, got: $other")
+  }
+
   /** Exact cosine top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors by cosine similarity.
     * Determinism: ties broken by neighbor id.
@@ -38,19 +74,12 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
-    // Partial top-k aggregate instead of a row_number window: only k
-    // pairs per partition per query reach the shuffle, vs shuffling
-    // every (corpus x query) scored row. Same answer, same tie-break
-    // (score desc, id asc).
-    c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
-      .groupBy("query_id")
-      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), col("hit.id").as("neighbor_id"),
-              round(col("hit.score"), 6).as("cosine_sim"),
-              (col("pos") + 1).as("rnk"))
+    rerankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
   }
 
   /** Sign-bucket key: one bit per hyperplane from the sign of
@@ -62,49 +91,85 @@ object Similarity {
       graft.functions.GraftFunctions.hyperplaneBucket(
         df.sparkSession, col(vecCol), planes))
 
+  /** K-means (Lloyd) centroids for IVF: seed with the `nCentroids`
+    * lowest-id vectors (deterministic), then `sweeps` refinement
+    * iterations. Each sweep is one corpus scan: map-side
+    * [[graft.functions.NearestCentroids]] assignment (centroids ride
+    * in as a literal — no centroid join, no corpus shuffle) and a
+    * [[graft.functions.VectorSum]] partial aggregate that moves ONE
+    * dims-length buffer per partition per cell through the exchange.
+    * Empty cells keep their previous centroid.
+    *
+    * Determinism: seeds and assignment are deterministic; the mean is
+    * rounded to 9 decimals so ulp-level float-accumulation-order
+    * differences across partition schedules cannot leak into the
+    * returned matrix (ExtSpec pins two independent runs equal).
+    */
+  def ivfCentroids(e: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, sweeps: Int): Seq[Seq[Double]] = {
+    val spark = e.sparkSession
+    val gf = graft.functions.GraftFunctions
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    var cents: Seq[Seq[Double]] = e
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nCentroids)
+      .collect().toSeq.map(_.getSeq[Double](1))
+    for (_ <- 0 until sweeps) {
+      val sums = e
+        .withColumn("cell",
+          gf.nearestCentroids(spark, col(vecCol), typedLit(cents), 1)(0))
+        .groupBy("cell")
+        .agg(gf.vectorSum(spark, col(vecCol)).as("vs"))
+        .select(col("cell"), col("vs.sum").as("s"), col("vs.n").as("n"))
+        .collect()
+      val byCell = sums.map(r =>
+        r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some((s, n)) if n > 0 => s.map(x => round9(x / n))
+          case _ => old
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
-    * Voronoi cells around deterministic seed centroids (the lowest-id
-    * vectors — production would run a few k-means sweeps, same plan
-    * shape), then search only the `nProbe` cells nearest each query,
-    * re-ranking exactly.
+    * k-means Voronoi cells ([[ivfCentroids]] — seeded on lowest-id
+    * vectors, `kmeansSweeps` Lloyd refinements), then search only the
+    * `nProbe` cells nearest each query, re-ranking exactly.
     *
     * Scale shape: the centroid matrix lives on the driver (it does in
     * any IVF build) and rides into the plan as a literal, so cell
     * assignment is a MAP-SIDE fold ([[graft.functions.NearestCentroids]])
     * — no crossJoin with the centroid table, no per-vector row_number
-    * window, zero corpus shuffle (round 1 shuffled corpus x nCentroids
-    * rows here). The query side broadcasts, and the final top-k is the
-    * partial [[graft.functions.TopKByScore]] aggregate, so only k rows
-    * per partition per query reach the one remaining exchange. Each
-    * query touches ~corpus/nCentroids*nProbe candidates — the
-    * structure that keeps ANN sublinear at 10^9+ vectors.
+    * window, zero corpus shuffle. The query side broadcasts, and the
+    * final top-k is the partial [[graft.functions.TopKByScore]]
+    * aggregate, so only k rows per partition per query reach the one
+    * remaining exchange. Each query touches ~corpus/nCentroids*nProbe
+    * candidates — the structure that keeps ANN sublinear at 10^9+
+    * vectors. (At production scale the centroid build is a one-off
+    * index-build step; here it runs inline, sweeps x one scan.)
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 3,
+              kmeansSweeps: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val gf = graft.functions.GraftFunctions
-    // Seed centroids, sorted by id so centroid INDEX order equals id
-    // order (the expression tie-breaks on index; round 1 tie-broke on
-    // cent_id — same ordering).
-    val cents: Seq[Seq[Double]] = corpus
-      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .orderBy(col("id")).limit(nCentroids)
-      .collect().toSeq.map(_.getSeq[Double](1))
-    val centsLit = typedLit(cents)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), centsLit, 1)(0))
+    val e = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    val centsLit = typedLit(
+      ivfCentroids(e, "neighbor_id", "c_vec", nCentroids, kmeansSweeps))
+    val c = e.withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), centsLit, 1)(0))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell", explode(gf.nearestCentroids(spark, col("q_vec"), centsLit, nProbe)))
-    c.join(broadcast(q), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
-      .groupBy("query_id")
-      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), col("hit.id").as("neighbor_id"),
-              round(col("hit.score"), 6).as("cosine_sim"),
-              (col("pos") + 1).as("rnk"))
+    rerankTopK(
+      c.join(broadcast(q), "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
   }
 
   /** Exact near-duplicate pairs (cosine >= threshold) through a banded
@@ -119,14 +184,18 @@ object Similarity {
     * is missed with probability (1-(1-θ/π)^P)^B — ~6e-4 at cos 0.5
     * with the default P=3, B=21 — and the driver oracle checks the
     * output against the exact pair set at test scale.
+    *
+    * The staged embedding frame is registered with [[Staging]]; the
+    * query harness releases it after the consuming action (round 2
+    * leaked it for the session lifetime).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, bands: Int = 21,
                       planesPerBand: Int = 3): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 63,
       "bands*planesPerBand must fit in a long's sign-free bits")
-    val e = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = Staging.stage(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec")))
     val sig = withLshBucket(e, "vec", bands * planesPerBand, "sig")
     val mask = (1L << planesPerBand) - 1L
     // Bands unrolled statically (bands is a plan-time constant).
@@ -149,26 +218,56 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cosine_sim"))
   }
 
-  /** ANN top-k: candidates share the query's LSH bucket; exact cosine
-    * re-rank within the bucket. Trades recall for a 2^planes candidate
-    * reduction. */
+  /** Banded multi-probe LSH ANN top-k: the q42 candidate generator
+    * applied to search — a corpus vector is a candidate for a query
+    * iff they collide in AT LEAST ONE of `bands` bands of
+    * `planesPerBand` sign bits, then candidates re-rank exactly
+    * through the shared [[rerankTopK]] tail.
+    *
+    * Round 2's version used a single `planes`-bit bucket (candidates =
+    * corpus/2^planes, recall 0.03 at the q53 pin — unusable) and a
+    * row_number window. This form tunes recall with (B, P) like any
+    * banded LSH: miss probability for a neighbor at angle θ is
+    * (1-(1-θ/π)^P)^B.
+    *
+    * Plan shape: the corpus's banded signatures are computed map-side
+    * and broadcast-joined against the (small) query side's — the
+    * corpus is never shuffled with its vectors. The cosine is scored
+    * on the collision rows and duplicates from multi-band collisions
+    * collapse in the partial (query_id, neighbor_id) max-aggregate
+    * BEFORE the exchange, so shuffle rows are 24-byte deduped
+    * candidate triples, not vectors. (The cosine is recomputed per
+    * colliding band — CPU traded to keep vectors out of the shuffle.)
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val c = withLshBucket(
-        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec")),
-        "c_vec", planes)
-    val q = withLshBucket(
-        queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")),
-        "q_vec", planes)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
-        corpus.sparkSession, col("c_vec"), col("q_vec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-              round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+              idCol: String, vecCol: String, k: Int,
+              bands: Int = 20, planesPerBand: Int = 3): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 63,
+      "bands*planesPerBand must fit in a long's sign-free bits")
+    val gf = graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
+    val mask = (1L << planesPerBand) - 1L
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val sig = withLshBucket(df, vecAs, bands * planesPerBand, "sig")
+      val bandVals = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bval"))): _*)
+      sig.select(col(idAs), col(vecAs), explode(bandVals).as("bb"))
+        .select(col(idAs), col(vecAs), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    }
+    val c = banded(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec")),
+      "neighbor_id", "c_vec")
+    val q = banded(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")),
+      "query_id", "q_vec")
+    rerankTopK(
+      c.join(broadcast(q), Seq("band", "bval"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        // Collapse multi-band duplicates map-side: partial hash agg on
+        // (query, neighbor) runs before the exchange.
+        .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")),
+      k)
   }
 }

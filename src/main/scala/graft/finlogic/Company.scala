@@ -86,6 +86,41 @@ final class Company(
     if (lastPeriodType == "quarterly") Option(periodRow.getString(3)) else None
   val accountingRows: Long = periodRow.getLong(4)
 
+  // ---- Reconfiguration surface (reference `company.py:94-246`).
+  // The reference exposes mutable validated property setters
+  // (identifier / is_consolidated / acc_unit / tax_rate / language)
+  // that re-derive the company frame when changed. A Spark-idiomatic
+  // Company is an immutable view, so the same surface is copy-style:
+  // each `with*` returns a NEW Company passed through the primary
+  // constructor, which re-validates the setting and re-derives every
+  // dependent val (slice df, period scalars) exactly as the
+  // reference's `_set_df()` reset does. FinLogicSpec pins that a
+  // reconfigured Company equals a freshly constructed one.
+
+  /** Reference `identifier` setter (`company.py:94-118`): re-resolve
+    * to a different company; NoSuchElementException if not found. */
+  def withIdentifier(newIdentifier: Any): Company =
+    new Company(data, newIdentifier, isConsolidated, accUnitSpec, taxRate, languageSpec)
+
+  /** Reference `is_consolidated` setter (`company.py:120-142`) —
+    * non-boolean inputs are unrepresentable here by typing. */
+  def withConsolidated(value: Boolean): Company =
+    new Company(data, identifier, value, accUnitSpec, taxRate, languageSpec)
+
+  /** Reference `acc_unit` setter (`company.py:144-188`): "t"/"m"/"b"
+    * or a positive number; invalid values throw. */
+  def withUnit(unit: Any): Company =
+    new Company(data, identifier, isConsolidated, unit, taxRate, languageSpec)
+
+  /** Reference `tax_rate` setter (`company.py:190-216`): in [0, 1]. */
+  def withTaxRate(rate: Double): Company =
+    new Company(data, identifier, isConsolidated, accUnitSpec, rate, languageSpec)
+
+  /** Reference `language` setter (`company.py:218-246`):
+    * english | portuguese (case-insensitive). */
+  def withLanguage(lang: String): Company =
+    new Company(data, identifier, isConsolidated, accUnitSpec, taxRate, lang)
+
   /** Reference `company.py:283-308` info(). */
   def info(): DataFrame = {
     val spark = df.sparkSession

@@ -424,6 +424,65 @@ case class NearestCentroids(vec: Expression, centroids: Expression, probes: Int)
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
+  private def intOf(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+
+  /** SINGLE source of truth for every native function: name ->
+    * expression builder. Both the session-registry path
+    * ([[ensureRegistered]]) and the config-injected path
+    * ([[GraftExtensions]]) iterate THIS list, so the two surfaces
+    * cannot drift (round 1 and round 2 each shipped an injection gap
+    * when they were maintained by hand; GraftExtensionsSpec pins the
+    * parity).
+    */
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine_similarity" -> {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_cosine_similarity(a, b): got ${other.size} args")
+    },
+    "graft_minhash_signature" -> {
+      case Seq(c, n) => MinHashSignature(c, intOf(n))
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_signature(arr, numHashes): got ${other.size} args")
+    },
+    "graft_word_shingles" -> {
+      case Seq(c, n) => WordShingles(c, intOf(n))
+      case other => throw new IllegalArgumentException(
+        s"graft_word_shingles(text, k): got ${other.size} args")
+    },
+    "graft_hyperplane_bucket" -> {
+      case Seq(c, n) => HyperplaneBucket(c, intOf(n))
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_bucket(vec, planes): got ${other.size} args")
+    },
+    "graft_topk_by_score" -> {
+      case Seq(s, i, kk) => TopKByScore(s, i, intOf(kk))
+      case other => throw new IllegalArgumentException(
+        s"graft_topk_by_score(score, id, k): got ${other.size} args")
+    },
+    "graft_nearest_centroids" -> {
+      case Seq(v, cs, p) => NearestCentroids(v, cs, intOf(p))
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_centroids(vec, centroids, probes): got ${other.size} args")
+    },
+    "graft_simhash32" -> {
+      case Seq(t) => SimHash32(t)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash32(text): got ${other.size} args")
+    },
+    "graft_token_set_count" -> {
+      case Seq(t, ts) => TokenSetCount(t, ts)
+      case other => throw new IllegalArgumentException(
+        s"graft_token_set_count(text, tokens): got ${other.size} args")
+    },
+    "graft_vector_sum" -> {
+      case Seq(v) => VectorSum(v)
+      case other => throw new IllegalArgumentException(
+        s"graft_vector_sum(vec): got ${other.size} args")
+    },
+  )
+
   /** Idempotently register the functions in a session's registry so
     * they are usable from both the Column API (call_function) and SQL.
     * Idempotence is checked against the registry itself (probing for
@@ -432,53 +491,11 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_similarity")))
+        org.apache.spark.sql.catalyst.FunctionIdentifier(registry.head._1)))
       return
-    reg.createOrReplaceTempFunction("graft_minhash_signature", {
-      case Seq(c, n) => MinHashSignature(c,
-        n.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash_signature(arr, numHashes): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine_similarity", {
-      case Seq(a, b) => CosineSimilarity(a, b)
-      case other => throw new IllegalArgumentException(
-        s"graft_cosine_similarity(a, b): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_word_shingles", {
-      case Seq(c, n) => WordShingles(c,
-        n.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"graft_word_shingles(text, k): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_hyperplane_bucket", {
-      case Seq(c, n) => HyperplaneBucket(c,
-        n.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"graft_hyperplane_bucket(vec, planes): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_topk_by_score", {
-      case Seq(s, i, kk) => TopKByScore(s, i,
-        kk.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"graft_topk_by_score(score, id, k): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_nearest_centroids", {
-      case Seq(v, cs, p) => NearestCentroids(v, cs,
-        p.eval(InternalRow.empty).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"graft_nearest_centroids(vec, centroids, probes): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash32", {
-      case Seq(t) => SimHash32(t)
-      case other => throw new IllegalArgumentException(
-        s"graft_simhash32(text): got ${other.size} args")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("graft_token_set_count", {
-      case Seq(t, ts) => TokenSetCount(t, ts)
-      case other => throw new IllegalArgumentException(
-        s"graft_token_set_count(text, tokens): got ${other.size} args")
-    }, "built-in")
+    registry.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   def minhashSignature(spark: SparkSession, arr: Column, numHashes: Int): Column = {
@@ -534,5 +551,12 @@ object GraftFunctions {
     ensureRegistered(SparkSession.active)
     call_function("graft_token_set_count", text,
       org.apache.spark.sql.functions.typedLit(tokens))
+  }
+
+  /** Partial elementwise vector sum aggregate (see [[VectorSum]]):
+    * returns struct<sum array<double>, n bigint>. */
+  def vectorSum(spark: SparkSession, vec: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_vector_sum", vec)
   }
 }

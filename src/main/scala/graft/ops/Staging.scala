@@ -1,0 +1,44 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Persist-lifecycle registry for the stage-before-fanout pattern.
+  *
+  * Operators that fan one computed frame out to several consumers in a
+  * single plan (MinHash shingle/signature tables, LSH embedding
+  * staging) persist the staged frame so the action evaluates it once.
+  * But the operator returns a LAZY result — it cannot unpersist before
+  * its caller runs the action — so round 2 leaked one MEMORY_AND_DISK
+  * block per call for the life of the session (55-query Verify/Bench
+  * sessions accumulate eviction churn; see ADVICE r2).
+  *
+  * `stage` records every persisted frame here; the query harness
+  * (Verify/Bench, or any embedding application) calls [[releaseAll]]
+  * after the action that consumed the result. Long-lived caches that
+  * are SUPPOSED to span queries (FinComposite's memoized FinData)
+  * deliberately do not go through this registry.
+  */
+object Staging {
+
+  private val staged = new ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
+  def stage(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    staged.add(df)
+    df
+  }
+
+  /** Unpersist every staged frame (non-blocking) and clear the
+    * registry. Safe to call when nothing is staged. */
+  def releaseAll(): Unit = {
+    var df = staged.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = staged.poll()
+    }
+  }
+}

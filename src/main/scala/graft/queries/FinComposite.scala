@@ -25,7 +25,7 @@ import graft.tables.Tables
   * hash-checked by the driver, not just by ScalaTest.
   *
   * Mapping (mirrored verbatim in the oracle SQL):
-  *   cvm_id=o_custkey, name_id=upper(c_name), tax_id=c_phone,
+  *   cvm_id=o_custkey, name_id=upper(c_name), tax_id='TX-'||c_custkey,
   *   acc_value=o_totalprice, period_end=Dec-31 of year(o_orderdate),
   *   is_annual = year < max(year) over orders (so the global last year
   *   plays the "trailing quarter" and triggers the ltm label),
@@ -98,7 +98,15 @@ object FinComposite {
         ("acc 2.01", "Current Liabilities"),
         ("acc 3.01", "Revenues")).toDF("pt", "en")
       val data = FinData.build(fin, trades, lang, isTraded = true, minVolume = 100000)
-      (data, data.company(CvmId, isConsolidated = true, accUnit = "t"))
+      val company = data.company(CvmId, isConsolidated = true, accUnit = "t")
+      // Materialize every cached frame NOW (round 2 left them lazy, so
+      // the full Indicators.build cost landed inside whichever query
+      // touched `indicators` first — 8.1 s inside q51's measured time).
+      // This is the load phase; per-query timings then measure queries.
+      data.financials.count(); data.trades.count()
+      data.language.count(); data.indicators.count()
+      company.df.count()
+      (data, company)
     })
 
   /** Wide report grid -> long (acc_code, acc_name, period, value). */
@@ -138,6 +146,18 @@ object FinComposite {
         .filter(col("indicator") =!= "effective_tax_rate")
         .orderBy("indicator", "period")
     }),
+
+    // §2.10 search_segment (data.py:98-100): distinct+regex over the
+    // deduped latest-trades segments.
+    "q56_search_segment" -> ((s, d) =>
+      mapped(s, d)._1.searchSegment("^(AUTO|HOUSE)")),
+
+    // §2.10 Company.info / identifier resolution (company.py:94-118,
+    // 283-308): the key/value literal frame — every value derives from
+    // the resolved identity (cvm/tax/name), the validated constructor
+    // settings, and the period/row scalars of the company slice.
+    "q57_company_info" -> ((s, d) =>
+      mapped(s, d)._2.info().orderBy("key")),
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -287,5 +307,39 @@ object FinComposite {
         |  UNION ALL SELECT 'net_margin', p, 0.0 FROM cells
         |  UNION ALL SELECT 'eps', p, c39901 FROM cells)
         |ORDER BY indicator, period""".stripMargin),
+
+    "q56_search_segment" -> (MapCte +
+      """,
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT cvm_id, c_mktsegment AS segment,
+        |      row_number() OVER (PARTITION BY cvm_id
+        |        ORDER BY CAST(o_orderdate AS DATE) DESC, acc_value DESC,
+        |                 'STK' || CAST(o_orderkey % 10 AS VARCHAR) DESC) AS rn
+        |    FROM fin WHERE acc_value >= 100000)
+        |  WHERE rn = 1)
+        |SELECT DISTINCT segment FROM latest
+        |WHERE regexp_matches(segment, '^(AUTO|HOUSE)')
+        |ORDER BY segment""".stripMargin),
+
+    "q57_company_info" -> (MapCte +
+      """,
+        |sel AS (SELECT * FROM fin
+        |        WHERE cvm_id = 87 AND is_consolidated
+        |          AND cvm_id IN (SELECT cvm_id FROM traded)),
+        |agg AS (SELECT CAST(count(*) AS VARCHAR) AS n,
+        |               min(p) AS fp, max(p) AS lp FROM sel),
+        |nm AS (SELECT DISTINCT name_id FROM fin WHERE cvm_id = 87)
+        |SELECT key, "Company Info" FROM (
+        |  SELECT 'Name' AS key, (SELECT name_id FROM nm) AS "Company Info"
+        |  UNION ALL SELECT 'CVM ID', '87'
+        |  UNION ALL SELECT 'Fiscal ID (CNPJ)', 'TX-87'
+        |  UNION ALL SELECT 'Total Accounting Rows', (SELECT n FROM agg)
+        |  UNION ALL SELECT 'Selected Accounting Method', 'consolidated'
+        |  UNION ALL SELECT 'Selected Accounting Unit', '1000.0'
+        |  UNION ALL SELECT 'Selected Tax Rate', '0.34'
+        |  UNION ALL SELECT 'First Report', (SELECT fp FROM agg)
+        |  UNION ALL SELECT 'Last Report', (SELECT lp FROM agg))
+        |ORDER BY key""".stripMargin),
   )
 }

@@ -288,6 +288,13 @@ object Relational {
     // round-1 hash mismatch). `+ 0.0` after round normalizes the -0.0
     // that round() yields for tiny negative covariances (cov_disc_tax
     // is ~-2e-7 here) — IEEE -0.0 and 0.0 hash differently.
+    // RESIDUAL RISK (same class as the q14 note): the sufficient sums
+    // themselves are double accumulations whose order differs between
+    // Spark partial aggregation (partition-count/AQE dependent) and
+    // DuckDB's scan, so a 6dp round can still land on different sides
+    // of a half at OTHER scales or SPARK_GRAFT_CPUS settings than the
+    // driver's. Exact-decimal accumulation would remove it but these
+    // measure columns are float-derived doubles; accepted + documented.
     "q39_stats_agg" -> ((s, d) => {
       val q = col("l_quantity"); val p = col("l_extendedprice")
       val dc = col("l_discount"); val tx = col("l_tax")

@@ -19,23 +19,25 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // LSH-bucketed ANN variant (scale path; approximate => no SQL
-    // oracle, rows-only check).
+    // Banded multi-probe LSH ANN (scale path; approximate => no SQL
+    // oracle, rows-only check; recall pinned >=0.9 by q53). Round 2's
+    // single-band variant had recall 0.033 — q53 now guards that this
+    // path stays USABLE, not just runnable.
     "q35_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(
+      Similarity.annTopK(
           corpus = emb, queries = emb.filter(col("vec_id") < 10),
-          idCol = "vec_id", vecCol = "embedding", k = 3, planes = 6)
+          idCol = "vec_id", vecCol = "embedding", k = 3, method = "lsh")
         .orderBy("query_id", "rnk")
     }),
 
-    // IVF-bucketed ANN (rows-only: approximate by construction).
+    // IVF ANN with k-means-refined centroids (rows-only: approximate
+    // by construction; recall pinned by q53).
     "q43_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      graft.ext.Similarity.ivfTopK(
+      Similarity.annTopK(
           corpus = emb, queries = emb.filter(col("vec_id") < 10),
-          idCol = "vec_id", vecCol = "embedding", k = 3,
-          nCentroids = 16, nProbe = 3)
+          idCol = "vec_id", vecCol = "embedding", k = 3, method = "ivf")
         .orderBy("query_id", "rnk")
     }),
 
@@ -72,28 +74,33 @@ object VectorQueries {
       val qs = emb.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
         .select("query_id", "neighbor_id")
-      def recallRow(name: String, ann: DataFrame) =
-        ann.select("query_id", "neighbor_id").intersect(exact)
+      def recallRow(name: String) =
+        Similarity.annTopK(emb, qs, "vec_id", "embedding", k = 3, method = name)
+          .select("query_id", "neighbor_id").intersect(exact)
           .agg(lit(name).as("method"),
                round(count(lit(1)) / 30.0, 6).as("recall"))
-      recallRow("ivf", Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          k = 3, nCentroids = 16, nProbe = 3))
-        .unionByName(recallRow("lsh", Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          k = 3, planes = 6)))
-        .orderBy("method")
+      recallRow("ivf").unionByName(recallRow("lsh")).orderBy("method")
     }),
 
-    // Per-label centroid aggregation: elementwise mean over vectors
-    // (array aggregation without UDAFs — posexplode + groupBy).
-    "q36_label_centroid_norm" -> ((s, d) =>
+    // Per-label centroid aggregation: ONE elementwise vector-sum
+    // buffer per partition per label through the exchange (the native
+    // [[graft.functions.VectorSum]] aggregate) — round 2's posexplode
+    // + groupBy(dim) shape pushed n x 64 rows through the shuffle.
+    // The per-label mean/norm arithmetic runs on the 10 aggregated
+    // rows, where interpreted array lambdas are free.
+    "q36_label_centroid_norm" -> ((s, d) => {
+      val gf = graft.functions.GraftFunctions
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("label", "dim")
-        .agg(avg(col("x").cast("double")).as("m"), count(lit(1)).as("cnt"))
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
         .groupBy("label")
-        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
-             max("cnt").as("n_vectors"))
-        .orderBy("label")),
+        .agg(gf.vectorSum(s, col("v")).as("vs"))
+        .select(col("label"),
+          round(sqrt(aggregate(
+            transform(col("vs.sum"), x => x / col("vs.n")),
+            lit(0.0), (acc, m) => acc + m * m)), 6).as("centroid_norm"),
+          col("vs.n").as("n_vectors"))
+        .orderBy("label")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,17 +139,20 @@ object VectorQueries {
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // Pinned expected recall on the sf0.01 driver dataset: the planes,
-    // seed centroids, probe counts and data are all fixed, so these
-    // values are deterministic facts of this configuration (ivf
-    // nProbe=3/16 cells finds 29/30 exact neighbors; single-band
-    // 6-plane LSH finds 1/30 — approximate by design). The pin makes
-    // any regression in bucketing, assignment, or tie-breaking turn
-    // this row red; it is NOT a recomputation (DuckDB cannot express
-    // the xxhash64-derived planes). Valid only at the driver's
-    // correctness scale (sf0.01), which is the only scale oracles run.
+    // k-means seeds/sweeps, probe counts and data are all fixed, so
+    // these values are deterministic facts of this configuration. Both
+    // paths find 30/30 exact neighbors here: IVF with 2 Lloyd sweeps
+    // at nProbe=3/16 cells (round 2's unrefined lowest-id seeds found
+    // 29/30), and the banded B=20 x P=3 LSH (round 2's single-band
+    // 6-plane config found 1/30 — unusable; the banding fixed it). The
+    // pin makes any regression in bucketing, assignment, k-means, or
+    // tie-breaking turn this row red; it is NOT a recomputation
+    // (DuckDB cannot express the xxhash64-derived planes). Valid only
+    // at the driver's correctness scale (sf0.01), which is the only
+    // scale oracles run.
     "q53_ann_recall" ->
-      """SELECT 'ivf' AS method, 0.966667 AS recall
-        |UNION ALL SELECT 'lsh', 0.033333
+      """SELECT 'ivf' AS method, 1.0 AS recall
+        |UNION ALL SELECT 'lsh', 1.0
         |ORDER BY method""".stripMargin,
 
     "q42_embedding_neardup" ->

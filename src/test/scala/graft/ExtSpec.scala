@@ -81,12 +81,12 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(out(2).getAs[Double]("cosine_sim") + 1.0) < 1e-9)
   }
 
-  test("lshTopK returns subset of brute-force results with exact sims") {
+  test("lshTopK (banded) recalls >=0.9 of brute force with exact sims") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 3)
     val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 3, planes = 4)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 3)
       .collect()
     assert(lsh.nonEmpty)
     // every LSH hit's similarity must equal the exact cosine (re-rank is exact)
@@ -96,6 +96,86 @@ class ExtSpec extends AnyFunSuite {
       if (bruteSims.contains(key))
         assert(math.abs(r.getDouble(2) - bruteSims(key)) < 1e-9)
     }
+    // the round-2 regression: a "working" ANN that misses nearly every
+    // true neighbor. The banded generator must recall >= 0.9 here.
+    val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = hits.count(k => bruteSims.contains(k)).toDouble / brute.size
+    assert(recall >= 0.9, s"banded LSH recall $recall < 0.9")
+  }
+
+  test("plan audit: lshTopK has no window, no cartesian, vectors stay out of the shuffle") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = Similarity.lshTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"banded LSH must not window-rank:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"banded LSH must not cross-join:\n$plan")
+    // two hash exchanges: (query,neighbor) candidate dedup + final top-k;
+    // both carry (long, long, double) triples, never embedding arrays
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+  }
+
+  test("ivfCentroids: deterministic across runs, refines toward cell means") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = emb.select($"vec_id".as("id"), Similarity.asDouble($"embedding").as("v"))
+    val a = Similarity.ivfCentroids(e, "id", "v", 8, sweeps = 2)
+    val b = Similarity.ivfCentroids(e, "id", "v", 8, sweeps = 2)
+    assert(a == b, "two identical k-means runs must return identical centroids")
+    assert(a.size == 8 && a.forall(_.size == 64))
+    // a sweep must actually move the seeds (lowest-id vectors)
+    val seeds = Similarity.ivfCentroids(e, "id", "v", 8, sweeps = 0)
+    assert(a != seeds, "2 Lloyd sweeps should move the seed centroids")
+  }
+
+  test("VectorSum equals the posexplode+groupBy formulation") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gf = graft.functions.GraftFunctions
+    val viaAgg = emb
+      .select($"label", Similarity.asDouble($"embedding").as("v"))
+      .groupBy("label").agg(gf.vectorSum(spark, $"v").as("vs"))
+      .select($"label", $"vs.n".as("n"),
+              round(aggregate($"vs.sum", lit(0.0), (a, x) => a + x), 6).as("tot"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    val viaExplode = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum($"x".cast("double")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(round(sum($"s"), 6).as("tot"), max($"cnt").as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(2), r.getDouble(1))).toSet
+    assert(viaAgg == viaExplode)
+    // null and empty inputs: nulls skipped; n counts accumulated rows
+    val withNull = Seq(
+      (1L, Seq(1.0, 2.0)), (2L, null.asInstanceOf[Seq[Double]]), (3L, Seq(3.0, 4.0))
+    ).toDF("id", "v")
+      .agg(gf.vectorSum(spark, $"v").as("vs"))
+      .select($"vs.sum", $"vs.n").head()
+    assert(withNull.getSeq[Double](0) == Seq(4.0, 6.0) && withNull.getLong(1) == 2L)
+  }
+
+  test("plan audit: q36 centroid norm has no Generate/explode before the exchange") {
+    val plan = graft.queries.VectorQueries.queries("q36_label_centroid_norm")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"q36 must not posexplode n x dims rows:\n$plan")
+  }
+
+  test("Staging.releaseAll unpersists every staged frame") {
+    import org.apache.spark.storage.StorageLevel
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val df2 = Seq((3, "c")).toDF("id", "s")
+    graft.ops.Staging.stage(df); graft.ops.Staging.stage(df2)
+    df.count(); df2.count()
+    assert(df.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    assert(df2.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Staging.releaseAll()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "staged frame must be unpersisted by releaseAll")
+    assert(df2.storageLevel == StorageLevel.NONE)
+    graft.ops.Staging.releaseAll() // idempotent on empty registry
   }
 
   test("TopKByScore aggregate equals the window top-k on real embeddings") {

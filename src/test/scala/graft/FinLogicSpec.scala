@@ -289,4 +289,49 @@ class FinLogicSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new Company(data, 1, taxRate = 1.5) }
     intercept[IllegalArgumentException] { alpha.report("nope") }
   }
+
+  // ---- reconfiguration surface (reference company.py:94-246) ------
+
+  private def same(a: DataFrame, b: DataFrame): Boolean =
+    a.columns.toSeq == b.columns.toSeq &&
+      a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq
+
+  test("withUnit re-derives state identical to a fresh Company") {
+    val re = alpha.withUnit("t")
+    val fresh = new Company(data, 1, accUnitSpec = "t")
+    assert(re.accUnit == 1000.0)
+    assert(same(re.report("assets"), fresh.report("assets")))
+    assert(same(re.indicators(), fresh.indicators()))
+    // and the original is untouched (immutability)
+    assert(alpha.accUnit == 1e6)
+  }
+
+  test("withConsolidated re-derives the slice like a fresh Company") {
+    val all = FinData.build(financialsRaw, tradesRaw, languageRaw, isTraded = false)
+    val cons = new Company(all, 2)
+    val re = cons.withConsolidated(false)
+    val fresh = new Company(all, 2, isConsolidated = false)
+    assert(re.accountingRows == fresh.accountingRows)
+    assert(same(re.report("assets"), fresh.report("assets")))
+  }
+
+  test("withIdentifier re-resolves; unknown still raises") {
+    val re = alpha.withIdentifier("22.222")
+    assert(re.cvmId == 2L && re.nameId == "BETA")
+    // settings carry over across the re-resolution (reference keeps them)
+    assert(re.accUnit == 1e6)
+    intercept[NoSuchElementException] { alpha.withIdentifier(999) }
+  }
+
+  test("withLanguage and withTaxRate validate like the reference setters") {
+    val pt = alpha.withLanguage("PORTUGUESE")
+    assert(pt.language == "Portuguese")
+    assert(same(pt.report("assets"),
+      new Company(data, 1, accUnitSpec = "m", languageSpec = "portuguese").report("assets")))
+    assert(alpha.withTaxRate(0.21).taxRate == 0.21)
+    intercept[IllegalArgumentException] { alpha.withLanguage("latin") }
+    intercept[IllegalArgumentException] { alpha.withTaxRate(1.5) }
+    intercept[IllegalArgumentException] { alpha.withUnit("x") }
+  }
 }

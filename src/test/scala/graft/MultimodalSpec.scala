@@ -62,6 +62,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "wav" && m.valid && m.n_frames == 100) // 400 / 4
   }
 
+  test("HeaderDecoder survives a corrupt WAV chunk size >= 2^31 (ADVICE r2)") {
+    // A chunk whose unsigned le32 size has the high bit set: .toInt
+    // would go negative, drive the walk index backwards, and the
+    // String(bytes, i, 4) read threw StringIndexOutOfBoundsException
+    // through round 2's narrower catch. Must degrade to valid=false.
+    val evil = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ bytes(0xFF, 0xFF, 0xFF, 0xFF) ++ // size 2^32-1
+      bytes(1, 2, 3, 4)
+    val m = HeaderDecoder.decode(evil)
+    assert(m.format == "wav" && !m.valid)
+    // size merely larger than the asset (but positive as Int): same
+    val tooBig = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(0x10, 0x27, 0, 0) ++ bytes(1, 0) // claims 10000
+    assert(!HeaderDecoder.decode(tooBig).valid)
+    // and trailing garbage AFTER valid fmt+data chunks is never read
+    // (the walk stops once both are found) — stays valid
+    val wavThenJunk = "RIFF".getBytes ++ bytes(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0) ++ bytes(2, 0) ++
+      bytes(0x44, 0xAC, 0, 0) ++ bytes(0x10, 0xB1, 2, 0) ++
+      bytes(4, 0) ++ bytes(16, 0) ++
+      "data".getBytes ++ bytes(8, 0, 0, 0) ++ bytes(1, 2, 3, 4, 5, 6, 7, 8) ++
+      bytes(0x7F, 0xFF, 0xFF, 0xFF) // truncated garbage chunk header
+    assert(HeaderDecoder.decode(wavThenJunk).valid)
+  }
+
   test("HeaderDecoder marks unknown and empty bytes invalid, never throws") {
     assert(!HeaderDecoder.decode("plain text".getBytes).valid)
     assert(!HeaderDecoder.decode(Array.empty[Byte]).valid)
