@@ -149,6 +149,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // One-call document-prep composite (ext.DocPrep): exact dedup
+    // (keep-lowest-id per content hash) -> marker lang-ID -> quality
+    // scoring -> token counting -> quality/language filter, then a
+    // small per-(source, lang) aggregate so every stage's effect is
+    // hash-visible. The filter compares UNROUNDED quality on both
+    // engines (identical IEEE expression); only outputs are rounded.
+    "q58_docprep_pipeline" -> ((s, d) =>
+      graft.ext.DocPrep.prepare(Tables.documents(s, d), "doc_id", "text",
+          stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.6, keepLangs = Seq("en", "es", "zh"))
+        .groupBy("source", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("total_tokens"),
+             round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("source", "predicted_lang")),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -294,6 +310,43 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors every DocPrep stage: rn=1 dedup per md5(text) keyed on
+    // the lowest doc_id, the q29 marker scores/argmax, the q28
+    // token/stopword/quality formulas, the unrounded-quality filter.
+    "q58_docprep_pipeline" ->
+      """WITH dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |s AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM dd),
+        |p AS (
+        |  SELECT source, n_tokens, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s)
+        |SELECT source, predicted_lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM p
+        |WHERE quality >= 0.6 AND predicted_lang IN ('en', 'es', 'zh')
+        |GROUP BY source, predicted_lang
+        |ORDER BY source, predicted_lang""".stripMargin,
 
     // Mirrors the dimension formulas the PNG headers were built from;
     // matching totals prove decode(encode(w, h)) == (w, h) per row.

@@ -29,8 +29,14 @@ object Tables {
     * required: epoch-nanos ~1.7e18 exceeds 2^53, so a double round-trip
     * would lose precision. Truncation (floor for positive epochs)
     * matches DuckDB's ns->us cast. Note: setting the flag mutates
-    * the session conf (it has no per-read option) — subsequent ns
-    * parquet reads in the same session also come back as Long.
+    * the session conf — subsequent ns parquet reads in the same
+    * session also come back as Long. A per-read form was investigated
+    * (r3): `ParquetOptions` in Spark 4.1.2 accepts no nanosAsLong
+    * key, and both schema inference (eager) and the vectorized reader
+    * (at execution) consult the session conf, so a set/restore wrapper
+    * would race lazy execution. The flag only changes how
+    * TIMESTAMP(NANOS) columns are read — no other testdata table has
+    * one — so the stickiness is benign and kept.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

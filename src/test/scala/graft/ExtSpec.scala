@@ -163,6 +163,33 @@ class ExtSpec extends AnyFunSuite {
       s"q36 must not posexplode n x dims rows:\n$plan")
   }
 
+  test("DocPrep.prepare: dedup keeps lowest id, quality and language filters apply") {
+    val docs = Seq(
+      (5L, "the the the a a", "web"),   // stopword ratio 1.0 -> quality 0.025
+      (2L, "dup text body", "cc"),      // duplicate content, higher id
+      (1L, "dup text body", "web"),     // duplicate content, kept (lowest id)
+      (3L, "scan hash part wins", "web") // marker-scored as zh
+    ).toDF("doc_id", "text", "source")
+    val profiles = Seq(
+      "de" -> Seq("key", "merge", "batch"),
+      "zh" -> Seq("scan", "hash", "part"))
+    val stop = Seq("a", "the")
+    def run(minQ: Double, langs: Seq[String]) =
+      graft.ext.DocPrep.prepare(docs, "doc_id", "text", stop, profiles, minQ, langs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // all-zero marker scores tie-break to the first-listed profile (de)
+    assert(run(0.3, Seq("de", "zh")) == Set(1L, 3L)) // 5 fails quality; 2 deduped
+    assert(run(0.3, Seq("zh")) == Set(3L))           // language filter
+    assert(run(0.0, Seq("de", "zh")) == Set(1L, 3L, 5L)) // quality floor off
+    // provenance columns present; exactly one shuffle in the operator
+    val out = graft.ext.DocPrep.prepare(docs, "doc_id", "text", stop, profiles, 0.0, Seq("de", "zh"))
+    assert(Seq("content_hash", "predicted_lang", "n_tokens", "quality")
+      .forall(out.columns.contains))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"DocPrep should shuffle once (dedup window):\n$plan")
+  }
+
   test("Staging.releaseAll unpersists every staged frame") {
     import org.apache.spark.storage.StorageLevel
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
