@@ -190,6 +190,31 @@ class ExtSpec extends AnyFunSuite {
       s"DocPrep should shuffle once (dedup window):\n$plan")
   }
 
+  test("IvfIndex: build/search equals ivfTopK; save/load prunes partitions") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val idx = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2)
+    val inMem = idx.search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+    val direct = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 3, kmeansSweeps = 2)
+    assert(rows(inMem) == rows(direct),
+      "index search must equal the inline ivfTopK plan")
+    // save -> load -> search: identical results, and the probed-cell
+    // filter must prune partition directories at the scan
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    idx.save(dir)
+    val loaded = graft.ext.IvfIndex.load(spark, dir)
+    assert(loaded.centroids == idx.centroids)
+    val viaDisk = loaded.search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+    val plan = viaDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"loaded-index search must prune cell partitions:\n$plan")
+    assert(rows(viaDisk) == rows(inMem))
+  }
+
   test("Staging.releaseAll unpersists every staged frame") {
     import org.apache.spark.storage.StorageLevel
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
