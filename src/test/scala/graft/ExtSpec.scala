@@ -375,6 +375,18 @@ class ExtSpec extends AnyFunSuite {
       s"expected a single hash exchange (partial top-k):\n$plan")
   }
 
+  test("plan audit: q01 pushes its filter to the parquet scan and prunes columns") {
+    val plan = graft.queries.Relational.queries("q01_pricing_summary")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the shipdate predicate must reach the scan, not run post-scan only
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"q01's filter must be pushed to the parquet reader:\n$plan")
+    // projection pruning: untouched wide columns never leave the reader
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"),
+      s"q01 must not read l_comment:\n$plan")
+  }
+
   test("plan audit: q12 windowed share shuffles lineitem exactly once") {
     val plan = graft.queries.Relational.queries("q12_multikey_join")(
         spark, "/root/testdata/sf0.001")

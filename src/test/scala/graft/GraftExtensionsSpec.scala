@@ -56,4 +56,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .selectExpr("vs.sum AS s", "vs.n AS n").head()
     assert(row.getSeq[Double](0) == Seq(4.0, 6.0) && row.getLong(1) == 2L)
   }
+
+  test("a pure-SQL session can run a full ANN top-k through the registered functions") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    // brute-force cosine top-3 written ONLY in SQL: cast, score with
+    // graft_cosine_similarity, keep k per query with the partial
+    // graft_topk_by_score aggregate — no Column-API call sites.
+    val sql = spark.sql("""
+      WITH v AS (
+        SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM emb_sql),
+      scored AS (
+        SELECT q.vec_id AS query_id,
+               graft_cosine_similarity(c.vec, q.vec) AS sim,
+               c.vec_id AS neighbor_id
+        FROM v c JOIN v q ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      topk AS (
+        SELECT query_id, graft_topk_by_score(sim, neighbor_id, 3) AS hits
+        FROM scored GROUP BY query_id)
+      SELECT query_id, hit.id AS neighbor_id, round(hit.score, 6) AS cosine_sim,
+             pos + 1 AS rnk
+      FROM topk LATERAL VIEW posexplode(hits) AS pos, hit
+      ORDER BY query_id, rnk""")
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val api = graft.ext.Similarity.bruteForceTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        "vec_id", "embedding", 3)
+      .orderBy("query_id", "rnk")
+    assert(sql.collect().map(_.toString).toSeq ==
+      api.collect().map(_.toString).toSeq,
+      "SQL-only ANN must equal the Column-API operator")
+  }
 }
