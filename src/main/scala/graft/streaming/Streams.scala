@@ -57,6 +57,36 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming document prep — the streaming form of
+    * [[graft.ext.DocPrep.prepare]] for a continuously-ingested corpus
+    * with (doc_id, ts, text, source) rows: content-hash dedup within
+    * the watermark (state = one md5 key per distinct text seen, aged
+    * out by the watermark — keep-FIRST-ARRIVED, the only keep policy
+    * an unbounded stream can implement; the batch operator keeps
+    * lowest-id, so the two agree exactly whenever ids are
+    * arrival-ordered, which StreamingSpec pins), then the SAME
+    * codegen'd language-ID / quality / token projections and filters —
+    * those stages are stateless, so their streaming plan is the batch
+    * plan.
+    */
+  def docPrepStream(docs: DataFrame, textCol: String,
+                    stopwords: Seq[String],
+                    profiles: Seq[(String, Seq[String])],
+                    minQuality: Double, keepLangs: Seq[String],
+                    watermark: String = "2 hours"): DataFrame = {
+    val ts = graft.ext.TextStats
+    val deduped = docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    ts.withLangScores(deduped, textCol, profiles)
+      .withColumn("predicted_lang", ts.predictLang(profiles))
+      .withColumn("n_tokens", ts.tokenCount(col(textCol)))
+      .withColumn("quality", ts.qualityScore(col(textCol), stopwords))
+      .filter(col("quality") >= minQuality &&
+              col("predicted_lang").isin(keepLangs: _*))
+  }
+
   // ---- custom state: running per-user aggregates -----------------
 
   case class UserEvent(user_id: Long, value: Double)

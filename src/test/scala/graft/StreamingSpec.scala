@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
 
+// Top-level: Catalyst's deserializer codegen cannot instantiate a
+// spec-inner case class through a streaming plan's re-analysis.
+case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -96,5 +100,31 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
     val out = Streams.tumblingCounts(batch)
     assert(out.count() > 0)
+  }
+
+  test("streaming doc-prep agrees with batch DocPrep under arrival-ordered ids") {
+    implicit val sc = spark.sqlContext
+    val profiles = Seq("de" -> Seq("key", "merge", "batch"),
+                       "zh" -> Seq("scan", "hash", "part"))
+    val stop = Seq("a", "the")
+    val docs = Seq(
+      Doc(1, ts(0), "dup text body", "web"),
+      Doc(2, ts(1), "dup text body", "cc"),        // dup content, arrives later
+      Doc(3, ts(2), "scan hash part wins", "web"), // zh
+      Doc(4, ts(3), "the the the a a", "web"))     // quality 0.025 -> filtered
+    val stream = MemoryStream[Doc]
+    stream.addData(docs: _*)
+    runToMemory("docprep",
+      Streams.docPrepStream(stream.toDF(), "text", stop, profiles,
+        minQuality = 0.3, keepLangs = Seq("de", "zh")),
+      OutputMode.Append())
+    val streamed = spark.table("docprep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ext.DocPrep.prepare(
+        docs.toDF().drop("ts"), "doc_id", "text", stop, profiles,
+        minQuality = 0.3, keepLangs = Seq("de", "zh"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // keep-first-arrived == keep-lowest-id when ids are arrival-ordered
+    assert(streamed == batch && streamed == Set(1L, 3L))
   }
 }
