@@ -155,4 +155,47 @@ object Dedup {
     */
   def withSimHash(docs: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     docs.withColumn(out, graft.functions.GraftFunctions.simHash32(col(textCol)))
+
+  /** SimHash near-duplicate pairs: documents whose 32-bit signatures
+    * differ in at most `maxHamming` bits, found WITHOUT an all-pairs
+    * comparison. The signature splits into `maxHamming + 1` contiguous
+    * bands; by pigeonhole, two signatures within hamming distance
+    * maxHamming MUST agree exactly on at least one band, so the banded
+    * self-equi-join is an EXACT candidate generator (unlike the
+    * probabilistic MinHash/hyperplane bands) — the driver oracle's
+    * all-pairs recomputation matches identically at any scale.
+    * Candidates verify with bit_count(xor) over the signatures parsed
+    * as integers (codegen'd built-ins). Shuffle volume is O(n·bands)
+    * band keys plus the verified candidates.
+    *
+    * Default maxHamming=3 → 4 bands of 8 bits: collision probability
+    * for unrelated random signatures is ~4/256 per pair, so candidate
+    * count stays near-linear while recall is exactly 1 by construction.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val bands = maxHamming + 1
+    val width = 32 / bands          // leading bands get `width` bits...
+    val rem = 32 % bands            // ...the last band absorbs the remainder
+    val sh = withSimHash(docs, textCol)
+      .select(col(idCol).as("id"), col("simhash"),
+              conv(col("simhash"), 2, 10).cast("long").as("sig"))
+    val bandVals = array((0 until bands).map { b =>
+      val start = b * width + 1     // substr is 1-based
+      val len = if (b == bands - 1) width + rem else width
+      struct(lit(b).as("band"), substring(col("simhash"), start, len).as("bval"))
+    }: _*)
+    val banded = sh.select(col("id"), col("sig"), explode(bandVals).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bval"))
+      .join(banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+                          col("band"), col("bval")),
+            Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
 }

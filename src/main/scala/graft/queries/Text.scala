@@ -121,6 +121,17 @@ object TextQueries {
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
 
+    // SimHash near-dup pairs (hamming <= 3) through the pigeonhole
+    // banding: 4 bands of 8 bits — a pair within distance 3 MUST
+    // collide in some band, so the banded join is EXACTLY the
+    // all-pairs result the oracle recomputes (no probabilistic
+    // recall caveat, unlike MinHash/hyperplane LSH).
+    "q59_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
+
     // REAL multimodal decode, driver-checked: build a valid PNG
     // header (signature + IHDR) per document with dimensions derived
     // from n_chars, then decode it back through HeaderDecoder inside
@@ -310,6 +321,31 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the ALL-PAIRS hamming computation — the pigeonhole
+    // banding must reproduce it exactly. Signatures are assembled as
+    // integers (char i of the bit string has weight 2^(32-i), matching
+    // Spark's conv(simhash, 2, 10)) so the pairwise pass is an integer
+    // xor + bit_count, ~25x faster in DuckDB than per-pair string
+    // list comparisons at 12.5M pairs.
+    "q59_simhash_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 33) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // Mirrors every DocPrep stage: rn=1 dedup per md5(text) keyed on
     // the lowest doc_id, the q29 marker scores/argmax, the q28

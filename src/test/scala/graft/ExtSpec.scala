@@ -190,6 +190,26 @@ class ExtSpec extends AnyFunSuite {
       s"DocPrep should shuffle once (dedup window):\n$plan")
   }
 
+  test("simHashNearDups equals all-pairs hamming via pigeonhole banding, no cross join") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = graft.ext.Dedup.withSimHash(docs, "text")
+      .select($"doc_id", conv($"simhash", 2, 10).cast("long").as("sig"))
+    val exact = sh.select($"doc_id".as("id_a"), $"sig".as("sa"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sig".as("sb")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+      .filter($"hamming" <= 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+    assert(exact.nonEmpty, "fixture should contain simhash near-dups")
+    val banded = graft.ext.Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+    assert(banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+      == exact, "pigeonhole banding must reproduce the all-pairs result exactly")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"banded simhash join must not cross-join:\n$plan")
+  }
+
   test("IvfIndex: build/search equals ivfTopK; save/load prunes partitions") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 5)
