@@ -56,6 +56,6 @@ object AsOf {
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__last")(p)))
-      .select((leftCols ++ payload).map(col): _*)
+      .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
   }
 }

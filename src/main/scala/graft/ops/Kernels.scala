@@ -110,7 +110,7 @@ object Kernels {
   def skewSafeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    saltBuckets: Int): DataFrame = {
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     l.join(r, keys :+ "__salt").drop("__salt")
