@@ -324,6 +324,26 @@ class FinLogicSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { alpha.withIdentifier(999) }
   }
 
+  test("FinLogic module facade mirrors the reference's public surface 1:1") {
+    import graft.finlogic.FinLogic
+    intercept[IllegalStateException] { FinLogic.info() } // unloaded state
+    val dir = java.nio.file.Files.createTempDirectory("finlogic").toString
+    financialsRaw.write.mode("overwrite").parquet(s"$dir/fin")
+    tradesRaw.write.mode("overwrite").parquet(s"$dir/trades")
+    languageRaw.write.mode("overwrite").parquet(s"$dir/lang")
+    FinLogic.load(spark, s"$dir/fin", s"$dir/trades", s"$dir/lang")
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    assert(rows(FinLogic.searchCompany("ALPHA")) == rows(data.searchCompany("ALPHA")))
+    assert(rows(FinLogic.searchSegment("oil")) == rows(data.searchSegment("oil")))
+    assert(rows(FinLogic.rank()) == rows(data.rank()))
+    assert(FinLogic.info().count() == 6)
+    val viaFacade = FinLogic.company(1, accUnit = "m").report("assets")
+    assert(rows(viaFacade.orderBy("acc_code")) ==
+      rows(alpha.report("assets").orderBy("acc_code")))
+    FinLogic.unload()
+    intercept[IllegalStateException] { FinLogic.searchSegment("x") }
+  }
+
   test("withLanguage and withTaxRate validate like the reference setters") {
     val pt = alpha.withLanguage("PORTUGUESE")
     assert(pt.language == "Portuguese")
