@@ -32,11 +32,21 @@ import graft.ops.Kernels
   */
 object DocPrep {
 
+  /** Output columns this operator adds; input columns with these
+    * names would be silently clobbered and the quality filter would
+    * run on the recomputed value — refuse loudly instead. */
+  private val Reserved =
+    Seq("content_hash", "predicted_lang", "n_tokens", "quality")
+
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               stopwords: Seq[String],
               profiles: Seq[(String, Seq[String])],
               minQuality: Double,
               keepLangs: Seq[String]): DataFrame = {
+    val clash = docs.columns.intersect(
+      Reserved ++ profiles.map(p => s"score_${p._1}"))
+    require(clash.isEmpty,
+      s"DocPrep.prepare reserves output columns ${clash.mkString(", ")} — rename them upstream")
     val withHash = docs.withColumn("content_hash", md5(col(textCol)))
     val deduped = Kernels.top1PerGroup(withHash,
       keys = Seq("content_hash"), order = Seq(col(idCol)))

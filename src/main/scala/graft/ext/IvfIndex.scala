@@ -44,18 +44,14 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     // `assigned` prune partition directories at the scan. (For the
     // in-memory path the filter is a no-op correctness-wise.)
     val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val scored = assigned
-      .filter(col("cell").isin(cells: _*))
-      .join(broadcast(q), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
-      .select("query_id", "neighbor_id", "sim")
-    scored.groupBy("query_id")
-      .agg(gf.topKByScore(spark, col("sim"), col("neighbor_id"), k).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"), col("hit.id").as("neighbor_id"),
-              round(col("hit.score"), 6).as("cosine_sim"),
-              (col("pos") + 1).as("rnk"))
+    Similarity.rerankTopK(
+      assigned
+        .filter(col("cell").isin(cells: _*))
+        .join(broadcast(q), "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
   }
 
   /** Persist the index: `path/corpus` partitioned by cell (the

@@ -118,7 +118,12 @@ object Multimodal {
             if (sz > (n - i - 8).toLong) walking = false
             else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
           }
-          if (blockAlign > 0 && dataBytes >= 0)
+          // n_frames must fit an Int: a data chunk declaring ~2^32
+          // bytes with blockAlign=1 would overflow .toInt to a
+          // negative frame count with valid=true — treat it as the
+          // corrupt header it is instead.
+          if (blockAlign > 0 && dataBytes >= 0 &&
+              dataBytes / blockAlign <= Int.MaxValue)
             MediaMeta(n.toLong, "wav", 0, 0, (dataBytes / blockAlign).toInt, valid = true)
           else MediaMeta(n.toLong, "wav", 0, 0, 0, valid = false)
         } else MediaMeta(n.toLong, "unknown", 0, 0, 0, valid = false)

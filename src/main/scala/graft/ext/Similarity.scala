@@ -40,7 +40,7 @@ object Similarity {
     * and the DuckDB oracles). Shuffle volume is k rows per partition
     * per query, regardless of candidate count.
     */
-  private def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val spark = scored.sparkSession
     scored.groupBy("query_id")

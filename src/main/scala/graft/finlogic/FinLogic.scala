@@ -17,26 +17,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FinLogic {
 
-  @volatile private var current: Option[FinData] = None
-  @volatile private var currentPath: String = ""
+  // ONE volatile holding (data, path) together: two separate vars
+  // would let a concurrent reader observe one load's data with
+  // another's path — the partially-updated state the scaladoc
+  // promises away.
+  @volatile private var current: Option[(FinData, String)] = None
 
   /** Reference `load()` (`data.py:28-67`): read the three tables,
     * dedup trades, optionally restrict to traded companies, build
     * indicators, and install the result as the module state. */
   def load(spark: SparkSession,
            financialsPath: String, tradesPath: String, languagePath: String,
-           isTraded: Boolean = true, minVolume: Double = 100000): Unit = {
-    current = Some(FinData.load(
-      spark, financialsPath, tradesPath, languagePath, isTraded, minVolume))
-    currentPath = financialsPath
-  }
+           isTraded: Boolean = true, minVolume: Double = 100000): Unit =
+    current = Some((FinData.load(
+      spark, financialsPath, tradesPath, languagePath, isTraded, minVolume),
+      financialsPath))
+
+  private def state: (FinData, String) = current.getOrElse(
+    throw new IllegalStateException("FinLogic.load(...) must be called first"))
 
   /** The loaded data, or the reference's unloaded-state error (it
     * raises on use before load because its globals start empty). */
-  def data: FinData = current.getOrElse(
-    throw new IllegalStateException("FinLogic.load(...) must be called first"))
+  def data: FinData = state._1
 
-  def info(): DataFrame = data.info(currentPath)
+  def info(): DataFrame = { val (d, p) = state; d.info(p) }
 
   def searchCompany(searchValue: String, searchBy: String = "name_id"): DataFrame =
     data.searchCompany(searchValue, searchBy)
@@ -60,13 +64,12 @@ object FinLogic {
     * live for the interpreter's lifetime; long-lived Spark sessions
     * deserve an unload). Unpersists the cached frames. */
   def unload(): Unit = {
-    current.foreach { d =>
+    current.foreach { case (d, _) =>
       d.financials.unpersist(blocking = false)
       d.trades.unpersist(blocking = false)
       d.language.unpersist(blocking = false)
       d.indicators.unpersist(blocking = false)
     }
     current = None
-    currentPath = ""
   }
 }

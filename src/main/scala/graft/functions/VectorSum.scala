@@ -10,10 +10,14 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Elementwise vector-sum buffer: a dims-length running sum plus the
-  * accumulated row count. Dimensionality is fixed by the first vector
-  * seen; later rows with a different length are skipped (and not
-  * counted), mirroring how SQL aggregates skip nulls — a malformed row
-  * must not kill a 100 TB scan.
+  * accumulated row count. On ragged input the aggregate sums the rows
+  * of the MAXIMAL length present and skips shorter ones (and empty
+  * ones) — "longest length wins" is commutative and associative across
+  * both per-row adds and buffer merges, so the result is independent
+  * of partitioning and merge order (the repo's bit-identical-across-
+  * parallelism invariant; a "first length seen wins" rule would be
+  * schedule-dependent). Malformed rows degrade the count, never the
+  * job — a bad row must not kill a 100 TB scan.
   */
 final class VectorSumBuffer {
   private[functions] var n: Long = 0L
@@ -21,22 +25,25 @@ final class VectorSumBuffer {
 
   def add(v: ArrayData): Unit = {
     val len = v.numElements()
-    if (sums == null) sums = new Array[Double](len)
-    if (sums.length == len) {
-      var i = 0
-      while (i < len) { sums(i) += v.getDouble(i); i += 1 }
-      n += 1
+    if (len > 0) {
+      if (sums == null || len > sums.length) { sums = new Array[Double](len); n = 0L }
+      if (sums.length == len) {
+        var i = 0
+        while (i < len) { sums(i) += v.getDouble(i); i += 1 }
+        n += 1
+      }
     }
   }
 
   def merge(other: VectorSumBuffer): Unit = {
     if (other.sums != null) {
-      if (sums == null) sums = new Array[Double](other.sums.length)
-      if (sums.length == other.sums.length) {
+      if (sums == null || other.sums.length > sums.length) {
+        sums = other.sums.clone(); n = other.n
+      } else if (sums.length == other.sums.length) {
         var i = 0
         while (i < sums.length) { sums(i) += other.sums(i); i += 1 }
         n += other.n
-      }
+      } // shorter-length buffer: dropped (longest length wins)
     }
   }
 }

@@ -20,6 +20,15 @@ import org.apache.spark.storage.StorageLevel
   * after the action that consumed the result. Long-lived caches that
   * are SUPPOSED to span queries (FinComposite's memoized FinData)
   * deliberately do not go through this registry.
+  *
+  * SCOPE: the registry is process-global and [[releaseAll]] releases
+  * EVERYTHING staged so far — the contract is one query harness
+  * driving queries sequentially (the Verify/Bench shape). Concurrent
+  * drivers sharing a JVM would release each other's staged frames;
+  * that costs recomputation of the staged subtree mid-query (the
+  * persist is a work-dedup optimization), never wrong results. A
+  * concurrent embedder should drive its queries through its own
+  * sequential harness thread or accept the recompute.
   */
 object Staging {
 

@@ -60,8 +60,12 @@ object VectorQueries {
     // the same oracle as q34.
     "q52_ann_ivf_fullprobe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // kmeansSweeps = 0: with nProbe == nCentroids every cell is
+      // probed, so refined centroids cannot change the result — the
+      // default 2 sweeps would be two pure-overhead corpus scans here.
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 8)
+          "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 8,
+          kmeansSweeps = 0)
         .orderBy("query_id", "rnk")
     }),
 

@@ -61,10 +61,14 @@ object Streams {
     * [[graft.ext.DocPrep.prepare]] for a continuously-ingested corpus
     * with (doc_id, ts, text, source) rows: content-hash dedup within
     * the watermark (state = one md5 key per distinct text seen, aged
-    * out by the watermark — keep-FIRST-ARRIVED, the only keep policy
-    * an unbounded stream can implement; the batch operator keeps
-    * lowest-id, so the two agree exactly whenever ids are
-    * arrival-ordered, which StreamingSpec pins), then the SAME
+    * out by the watermark). Keep policy: a duplicate arriving in a
+    * LATER micro-batch than the original is always dropped; within
+    * one micro-batch the survivor is whichever task processes its row
+    * first (Spark's dropDuplicates contract) — so this agrees with
+    * the batch operator's keep-lowest-id exactly when each text's
+    * first occurrence arrives in an earlier micro-batch than its
+    * duplicates and ids are arrival-ordered (which StreamingSpec
+    * pins), then the SAME
     * codegen'd language-ID / quality / token projections and filters —
     * those stages are stateless, so their streaming plan is the batch
     * plan.

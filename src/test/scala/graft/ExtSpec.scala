@@ -153,6 +153,18 @@ class ExtSpec extends AnyFunSuite {
       .agg(gf.vectorSum(spark, $"v").as("vs"))
       .select($"vs.sum", $"vs.n").head()
     assert(withNull.getSeq[Double](0) == Seq(4.0, 6.0) && withNull.getLong(1) == 2L)
+    // ragged input: longest length wins deterministically (shorter and
+    // empty rows skipped) regardless of row order or partitioning
+    for (parts <- Seq(1, 3)) {
+      val ragged = Seq(
+        (1L, Seq.empty[Double]), (2L, Seq(9.0, 9.0)),
+        (3L, Seq(1.0, 2.0, 3.0)), (4L, Seq(4.0, 5.0, 6.0))
+      ).toDF("id", "v").repartition(parts)
+        .agg(gf.vectorSum(spark, $"v").as("vs"))
+        .select($"vs.sum", $"vs.n").head()
+      assert(ragged.getSeq[Double](0) == Seq(5.0, 7.0, 9.0) && ragged.getLong(1) == 2L,
+        s"longest-wins must hold at $parts partitions")
+    }
   }
 
   test("plan audit: q36 centroid norm has no Generate/explode before the exchange") {

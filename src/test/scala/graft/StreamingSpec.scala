@@ -113,11 +113,19 @@ class StreamingSpec extends AnyFunSuite {
       Doc(3, ts(2), "scan hash part wins", "web"), // zh
       Doc(4, ts(3), "the the the a a", "web"))     // quality 0.025 -> filtered
     val stream = MemoryStream[Doc]
-    stream.addData(docs: _*)
-    runToMemory("docprep",
-      Streams.docPrepStream(stream.toDF(), "text", stop, profiles,
-        minQuality = 0.3, keepLangs = Seq("de", "zh")),
-      OutputMode.Append())
+    // The duplicate goes in a LATER micro-batch than the original:
+    // within one batch Spark's dropDuplicates keeps an arbitrary
+    // task's row; across batches the earlier batch's state always
+    // wins, which is the deterministic case the operator documents.
+    val q = Streams.docPrepStream(stream.toDF(), "text", stop, profiles,
+        minQuality = 0.3, keepLangs = Seq("de", "zh"))
+      .writeStream.format("memory").queryName("docprep")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(docs(0), docs(2), docs(3))
+    q.processAllAvailable()
+    stream.addData(docs(1))
+    q.processAllAvailable()
+    q.stop()
     val streamed = spark.table("docprep")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val batch = graft.ext.DocPrep.prepare(
