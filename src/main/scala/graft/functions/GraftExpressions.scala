@@ -481,6 +481,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_vector_sum(vec): got ${other.size} args")
     },
+    "graft_int8_quantize" -> {
+      case Seq(v) => Int8Quantize(v)
+      case other => throw new IllegalArgumentException(
+        s"graft_int8_quantize(vec): got ${other.size} args")
+    },
+    "graft_int8_dequantize" -> {
+      case Seq(q) => Int8Dequantize(q)
+      case other => throw new IllegalArgumentException(
+        s"graft_int8_dequantize(q): got ${other.size} args")
+    },
   )
 
   /** Idempotently register the functions in a session's registry so
@@ -558,5 +568,17 @@ object GraftFunctions {
   def vectorSum(spark: SparkSession, vec: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_vector_sum", vec)
+  }
+
+  /** Symmetric int8 scalar quantization (see [[Int8Quantize]]). */
+  def int8Quantize(spark: SparkSession, vec: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_int8_quantize", vec)
+  }
+
+  /** Inverse of [[int8Quantize]] (see [[Int8Dequantize]]). */
+  def int8Dequantize(spark: SparkSession, q: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_int8_dequantize", q)
   }
 }

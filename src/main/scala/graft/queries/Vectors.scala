@@ -86,6 +86,31 @@ object VectorQueries {
       recallRow("ivf").unionByName(recallRow("lsh")).orderBy("method")
     }),
 
+    // Int8 embedding quantization (native Int8Quantize/Int8Dequantize
+    // expressions — the 4x storage reduction for vector corpora),
+    // driver-checked through reconstruction metrics: per-label mean
+    // scale, mean/max of the per-vector max reconstruction error, and
+    // the max |code| (pins the [-127,127] range). The zip_with/
+    // transform lambdas here are METRIC arithmetic on already-
+    // quantized rows in a validation query — the production operator
+    // is the fused native expression pair itself.
+    "q60_int8_quantize" -> ((s, d) => {
+      val gf = graft.functions.GraftFunctions
+      Tables.embeddings(s, d)
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("q", gf.int8Quantize(s, col("v")))
+        .withColumn("r", gf.int8Dequantize(s, col("q")))
+        .withColumn("maxerr", array_max(zip_with(col("v"), col("r"), (a, b) => abs(a - b))))
+        .withColumn("maxcode", array_max(transform(col("q.codes"), c => abs(c))).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+             round(avg(col("q.scale")), 6).as("avg_scale"),
+             round(avg("maxerr"), 6).as("avg_max_err"),
+             round(max("maxerr"), 6).as("max_max_err"),
+             max("maxcode").as("max_code"))
+        .orderBy("label")
+    }),
+
     // Per-label centroid aggregation: ONE elementwise vector-sum
     // buffer per partition per label through the exchange (the native
     // [[graft.functions.VectorSum]] aggregate) — round 2's posexplode
@@ -172,6 +197,37 @@ object VectorQueries {
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p
         |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors the quantization arithmetic exactly: scale = max|x|/127
+    // (1.0 for zero vectors), codes = round(x/scale) — DuckDB's
+    // round() is half-away-from-zero, the same rule the native
+    // expression implements.
+    "q60_int8_quantize" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, vec,
+        |    CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
+        |         THEN list_max(list_transform(vec, x -> abs(x))) / 127.0
+        |         ELSE 1.0 END AS scale
+        |  FROM v),
+        |c AS (
+        |  SELECT label, scale, vec,
+        |    list_transform(vec, x -> round(x / scale)) AS codes
+        |  FROM q),
+        |m AS (
+        |  SELECT label, scale,
+        |    list_max(list_transform(range(1, 65),
+        |      i -> abs(vec[i] - codes[i] * scale))) AS maxerr,
+        |    list_max(list_transform(codes, cc -> abs(cc))) AS maxcode
+        |  FROM c)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(avg(scale), 6) AS avg_scale,
+        |  round(avg(maxerr), 6) AS avg_max_err,
+        |  round(max(maxerr), 6) AS max_max_err,
+        |  CAST(max(maxcode) AS BIGINT) AS max_code
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "q36_label_centroid_norm" ->
       """WITH e AS (

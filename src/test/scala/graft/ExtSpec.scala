@@ -202,6 +202,38 @@ class ExtSpec extends AnyFunSuite {
       s"DocPrep should shuffle once (dedup window):\n$plan")
   }
 
+  test("int8 quantize/dequantize: hand cases, away-from-zero rounding, error bound") {
+    val gf = graft.functions.GraftFunctions
+    val out = Seq(
+      (1L, Seq(1.0, -0.5, 0.0)),
+      (2L, Seq(0.0, 0.0)),          // zero vector: scale 1.0, codes 0
+      (3L, Seq.empty[Double])
+    ).toDF("id", "v")
+      .withColumn("q", gf.int8Quantize(spark, $"v"))
+      .withColumn("r", gf.int8Dequantize(spark, $"q"))
+      .orderBy("id").collect()
+    val q1 = out(0).getStruct(2)
+    assert(math.abs(q1.getDouble(0) - 1.0 / 127) < 1e-15)
+    // -0.5/scale = -63.5 rounds AWAY from zero to -64 (DuckDB parity)
+    assert(q1.getSeq[Byte](1) == Seq[Byte](127, -64, 0))
+    assert(math.abs(out(0).getSeq[Double](3)(0) - 1.0) < 1e-15) // 127*scale == max
+    assert(out(1).getStruct(2).getDouble(0) == 1.0 &&
+           out(1).getSeq[Byte](1) == Seq[Byte](0, 0))
+    assert(out(2).getSeq[Byte](1).isEmpty && out(2).getSeq[Double](3).isEmpty)
+    // real embeddings: reconstruction error bounded by scale/2, codes in range
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.ext.Similarity.asDouble($"embedding").as("v"))
+      .withColumn("q", gf.int8Quantize(spark, $"v"))
+      .withColumn("r", gf.int8Dequantize(spark, $"q"))
+      .select(
+        max(array_max(zip_with($"v", $"r", (a, b) => abs(a - b))) - $"q.scale" / 2).as("slack"),
+        max(array_max(transform($"q.codes", c => abs(c)))).as("maxcode"))
+      .head()
+    assert(out.nonEmpty && emb.getAs[Double]("slack") <= 1e-12,
+      "per-element reconstruction error must be <= scale/2")
+    assert(emb.getAs[Byte]("maxcode") == 127)
+  }
+
   test("simHashNearDups equals all-pairs hamming via pigeonhole banding, no cross join") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = graft.ext.Dedup.withSimHash(docs, "text")
