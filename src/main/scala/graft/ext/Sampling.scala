@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for training-data pipelines.
+  *
+  * `sample(fraction)` with a random seed is reproducible only for a
+  * fixed partitioning of a fixed file layout — repartition the corpus
+  * (or re-shard it upstream) and the sample changes. Keying the
+  * decision on row CONTENT instead makes the sample a pure function
+  * of the data: the same document is kept or dropped in every run, on
+  * every engine, under any partitioning — the property that makes
+  * corpus subsamples auditable and experiments rerunnable.
+  *
+  * Mechanism: the first 8 hex chars of md5(key || salt) are a uniform
+  * 32-bit value; a row is kept iff that HEX STRING is
+  * lexicographically below the fraction's 8-hex-digit threshold
+  * (fixed-width lowercase hex compares identically to its numeric
+  * value, so the filter is a plain string comparison any engine —
+  * including the DuckDB oracle — evaluates bit-identically). The salt
+  * decorrelates different samples over the same corpus. Map-side
+  * filter, no shuffle; pushes to the scan where md5 of a scanned
+  * column allows.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold for a fraction of the 32-bit hash space. */
+  private[ext] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    f"${math.round(fraction * 4294967296.0).min(4294967296L)}%08x" match {
+      case s if s.length > 8 => "ffffffff~" // fraction 1.0: above every hash
+      case s => s
+    }
+  }
+
+  /** The keep-decision hash: first 8 hex chars of md5(key || salt). */
+  def sampleHash(key: Column, salt: String = ""): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** Keep ~fraction of rows, decided by content hash of `key`. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          salt: String = ""): DataFrame =
+    df.filter(sampleHash(key, salt) < lit(thresholdHex(fraction)))
+
+  /** Stratified variant: per-stratum fractions (default for strata
+    * not listed). One map-side filter; no shuffle, no per-stratum
+    * passes. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (s, f)) => when(stratum === s, thresholdHex(f)).otherwise(acc)
+    }
+    df.filter(sampleHash(key, salt) < threshold)
+  }
+}

@@ -176,6 +176,22 @@ object TextQueries {
              round(avg("quality"), 6).as("avg_quality"))
         .orderBy("source", "predicted_lang")),
 
+    // Deterministic stratified sampling (ext.Sampling): the keep
+    // decision is a pure function of md5(doc_id || salt), so the
+    // sample is identical across runs, engines and partitionings —
+    // the DuckDB oracle recomputes the EXACT same membership (hex
+    // thresholds: 0.8 -> cccccccd, 0.5 -> 80000000, 0.2 -> 33333333,
+    // default 0.1 -> 1999999a, all = math.round(f * 2^32) in hex).
+    "q61_stratified_sample" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedSample(
+          Tables.documents(s, d), col("doc_id"), col("source"),
+          fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+          defaultFraction = 0.1, salt = "r3")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -392,6 +408,23 @@ object TextQueries {
         | CAST(sum(1 + (n_chars * 3) % 480) AS BIGINT) AS total_height,
         | CAST(count(*) AS BIGINT) AS n_valid
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Recomputes the content-hash membership exactly: fixed-width
+    // lowercase hex compares lexicographically == numerically in both
+    // engines.
+    "q61_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT * FROM s
+        |  WHERE h < CASE source WHEN 'src0' THEN 'cccccccd'
+        |                        WHEN 'src1' THEN '80000000'
+        |                        WHEN 'src2' THEN '33333333'
+        |                        ELSE '1999999a' END)
+        |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

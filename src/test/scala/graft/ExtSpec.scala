@@ -202,6 +202,33 @@ class ExtSpec extends AnyFunSuite {
       s"DocPrep should shuffle once (dedup window):\n$plan")
   }
 
+  test("Sampling: deterministic across partitionings, fraction edges, stratification") {
+    import graft.ext.Sampling
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.deterministicSample(docs, $"doc_id", 0.3, "s1"))
+    val b = ids(Sampling.deterministicSample(docs.repartition(7), $"doc_id", 0.3, "s1"))
+    assert(a == b, "sample membership must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08, s"~30% expected, got ${a.size / n}")
+    // different salts decorrelate; fraction edges
+    val c = ids(Sampling.deterministicSample(docs, $"doc_id", 0.3, "s2"))
+    assert(c != a)
+    assert(ids(Sampling.deterministicSample(docs, $"doc_id", 0.0)).isEmpty)
+    assert(ids(Sampling.deterministicSample(docs, $"doc_id", 1.0)).size == n.toLong)
+    // stratified: per-stratum rates hold, and each stratum's kept set
+    // is the global-sample subset for the same fraction+salt
+    val strat = Sampling.stratifiedSample(docs, $"doc_id", $"source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.3, salt = "s1")
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = docs.filter($"source" === "src0").count()
+    assert(bySrc("src0") == src0Total && !bySrc.contains("src1"))
+    assert(ids(strat.filter($"source" =!= "src0")) ==
+      a.intersect(ids(docs.filter($"source" =!= "src0" && $"source" =!= "src1"))))
+  }
+
   test("int8 quantize/dequantize: hand cases, away-from-zero rounding, error bound") {
     val gf = graft.functions.GraftFunctions
     val out = Seq(
