@@ -176,6 +176,24 @@ object TextQueries {
              round(avg("quality"), 6).as("avg_quality"))
         .orderBy("source", "predicted_lang")),
 
+    // Corpus n-gram statistics: top-5 bigrams per language by DOCUMENT
+    // frequency (WordShingles dedups within a document, so the count
+    // is #docs containing the bigram — the standard corpus-stats
+    // semantics, mirrored by the oracle's list_distinct). Shape:
+    // native shingles -> explode -> hash-aggregate (shuffle 1) ->
+    // top-N-per-group window over the already-aggregated rows
+    // (shuffle 2 of (lang, ngram, n) triples only).
+    "q62_top_ngrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Dedup.withShingles(Tables.documents(s, d), "text", k = 2)
+        .select(col("lang"), explode(col("shingles")).as("ngram"))
+        .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }),
+
     // Deterministic stratified sampling (ext.Sampling): the keep
     // decision is a pure function of md5(doc_id || salt), so the
     // sample is identical across runs, engines and partitionings —
@@ -408,6 +426,19 @@ object TextQueries {
         | CAST(sum(1 + (n_chars * 3) % 480) AS BIGINT) AS total_height,
         | CAST(count(*) AS BIGINT) AS n_valid
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q62_top_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |c AS (SELECT lang, unnest(shingles) AS ngram FROM sh),
+        |g AS (SELECT lang, ngram, count(*) AS n FROM c GROUP BY lang, ngram),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, ngram) AS rk FROM g)
+        |SELECT lang, ngram, n, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     // Recomputes the content-hash membership exactly: fixed-width
     // lowercase hex compares lexicographically == numerically in both
