@@ -231,28 +231,37 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
-/** Portable 32-bit SimHash of a space-tokenized string, one fused pass
-  * per row: token bit b = high bit of hex digit b of md5(token);
-  * signature bit = sign of the token-count-weighted vote sum; emitted
-  * as a 32-char '0'/'1' string. Bit-for-bit identical to the
-  * `split -> transform(md5) -> 32 x aggregate` lambda composition it
-  * replaces (which interpreted 32 x tokens lambda dispatches per row —
-  * the repo's no-interpreted-lambdas-on-scan-paths invariant), and to
-  * the DuckDB oracle's unnest+substr(md5) formulation. Null in ->
-  * null out. CodegenFallback: the md5-per-token loop is the row's
-  * entire work.
+/** Portable SimHash of a space-tokenized string (32- or 64-bit), one
+  * fused pass per row. Bit source per token, from md5(token)'s 32 hex
+  * digits:
+  *  - signature position i in [1, 32]: the HIGH bit of hex digit i
+  *    (digit in '8'..'f') — the original 32-bit construction;
+  *  - position i in [33, 64]: the SECOND bit of hex digit i-32
+  *    (digit in '4'..'7' or 'c'..'f') — 32 more iid uniform bits from
+  *    the same digest, no second hash pass.
+  * Signature bit = sign of the token-count-weighted vote sum; emitted
+  * as a `bits`-char '0'/'1' string so the definition is reproducible
+  * in any engine with md5 and substr (the DuckDB oracle mirrors both
+  * layouts). Bit-for-bit identical to the
+  * `split -> transform(md5) -> bits x aggregate` lambda composition it
+  * replaces (which interpreted bits x tokens lambda dispatches per
+  * row — the repo's no-interpreted-lambdas-on-scan-paths invariant).
+  * Null in -> null out. CodegenFallback: the md5-per-token loop is the
+  * row's entire work.
   */
-case class SimHash32(child: Expression)
+case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bits == 32 || bits == 64, "simhash bits must be 32 or 64")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash32 expects string, got $other")
+      s"simhash$bits expects string, got $other")
   }
   override def dataType: DataType = StringType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = s"simhash$bits"
 
   @transient private lazy val md5 =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
@@ -261,28 +270,30 @@ case class SimHash32(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].split(space, -1)
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](bits)
     val digest = md5.get()
     var t = 0
     while (t < toks.length) {
       val d = digest.digest(toks(t).getBytes)
       var i = 0
-      while (i < 32) {
-        // hex digit i = high/low nibble of byte i/2; digit >= '8' iff
-        // the nibble's top bit is set.
-        val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF else d(i >> 1) & 0xF
-        votes(i) += (if (nib >= 8) 1 else -1)
+      while (i < bits) {
+        // hex digit di = high/low nibble of byte di/2; digit >= '8'
+        // iff nibble bit 3 set; digit in 4-7/c-f iff nibble bit 2 set.
+        val di = if (i < 32) i else i - 32
+        val nib = if ((di & 1) == 0) (d(di >> 1) >> 4) & 0xF else d(di >> 1) & 0xF
+        val hit = if (i < 32) nib >= 8 else (nib & 4) != 0
+        votes(i) += (if (hit) 1 else -1)
         i += 1
       }
       t += 1
     }
-    val out = new Array[Byte](32)
+    val out = new Array[Byte](bits)
     var i = 0
-    while (i < 32) { out(i) = if (votes(i) > 0) '1' else '0'; i += 1 }
+    while (i < bits) { out(i) = if (votes(i) > 0) '1' else '0'; i += 1 }
     UTF8String.fromBytes(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
 
@@ -467,9 +478,14 @@ object GraftFunctions {
         s"graft_nearest_centroids(vec, centroids, probes): got ${other.size} args")
     },
     "graft_simhash32" -> {
-      case Seq(t) => SimHash32(t)
+      case Seq(t) => SimHash(t, 32)
       case other => throw new IllegalArgumentException(
         s"graft_simhash32(text): got ${other.size} args")
+    },
+    "graft_simhash64" -> {
+      case Seq(t) => SimHash(t, 64)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash64(text): got ${other.size} args")
     },
     "graft_token_set_count" -> {
       case Seq(t, ts) => TokenSetCount(t, ts)
@@ -548,11 +564,19 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(probes))
   }
 
-  /** Fused 32-bit md5 SimHash (see [[SimHash32]]). Uses the active
+  /** Fused 32-bit md5 SimHash (see [[SimHash]]). Uses the active
     * session for registration so pure-Column call sites work. */
   def simHash32(text: Column): Column = {
     ensureRegistered(SparkSession.active)
     call_function("graft_simhash32", text)
+  }
+
+  /** Fused 64-bit md5 SimHash (see [[SimHash]]) — the near-dup-join
+    * signature width: 16-bit pigeonhole bands at maxHamming=3 drop the
+    * unrelated-pair collision floor 256x vs 8-bit bands. */
+  def simHash64(text: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("graft_simhash64", text)
   }
 
   /** Count of whitespace tokens present in `tokens` (see
