@@ -7,6 +7,20 @@ import org.apache.spark.sql.SparkSession
   * seconds. A warmup pass (session + parquet reader + codegen paths)
   * runs before timing so the first measured query doesn't absorb JVM
   * startup.
+  *
+  * Robustness (rounds 2 AND 3 each recorded a load-contaminated
+  * artifact whose tail ran 5-12x clean times under concurrent
+  * end-of-round work): the full query list runs TWICE in-process and
+  * the artifact reports each query's MINIMUM — the standard
+  * best-of-n defense against external load, since external
+  * contention only ever adds time. Both raw run totals are kept in
+  * the line ("run_totals") so a contaminated pass is visible instead
+  * of silently averaged in.
+  *
+  * Each query materializes through a noop-format write, not count():
+  * under count() Catalyst drops the final global sort, so timings
+  * would exclude every query's total ORDER BY while Verify (parquet
+  * write) pays it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,23 +56,35 @@ object Bench {
 
     // Failed queries report -1 (not their partial wall time) so a
     // regression can't masquerade as a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    def runOnce(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Staged per-query persists are released between queries so no
+        // MEMORY_AND_DISK blocks leak across measurements.
+        graft.ops.Staging.releaseAll()
+        name -> (if (ok) secs else -1.0)
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // Staged per-query persists are released between queries so no
-      // MEMORY_AND_DISK blocks leak across measurements.
-      graft.ops.Staging.releaseAll()
-      name -> (if (ok) secs else -1.0)
+    val run1 = runOnce()
+    val run2 = runOnce()
+    val results = run1.zip(run2).map { case ((name, a), (_, b)) =>
+      // min of the successful runs; -1 only if BOTH runs failed
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def tot(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
+    val runTotals = s"[${tot(run1)},${tot(run2)}]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

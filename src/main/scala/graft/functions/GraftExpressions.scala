@@ -472,6 +472,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_topk_by_score(score, id, k): got ${other.size} args")
     },
+    "graft_topk_by_score_str" -> {
+      case Seq(s, i, kk) => TopKByScoreStr(s, i, intOf(kk))
+      case other => throw new IllegalArgumentException(
+        s"graft_topk_by_score_str(score, id, k): got ${other.size} args")
+    },
     "graft_nearest_centroids" -> {
       case Seq(v, cs, p) => NearestCentroids(v, cs, intOf(p))
       case other => throw new IllegalArgumentException(
@@ -551,6 +556,13 @@ object GraftFunctions {
   def topKByScore(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_topk_by_score", score, id,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** String-id partial top-k aggregate (see [[TopKByScoreStr]]). */
+  def topKByScoreStr(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_topk_by_score_str", score, id,
       org.apache.spark.sql.functions.lit(k))
   }
 

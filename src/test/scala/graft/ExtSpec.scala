@@ -261,24 +261,74 @@ class ExtSpec extends AnyFunSuite {
     assert(emb.getAs[Byte]("maxcode") == 127)
   }
 
+  test("exactJaccardPairs stop-shingle guard bounds candidates from a ubiquitous shingle") {
+    // every doc opens with the same 3 tokens, so the shingle
+    // "the common stop" sits in EVERY posting list; the rest of each
+    // doc is unique filler except one true near-dup pair.
+    val n = 20
+    val base = (0 until n).map(i =>
+      (i.toLong, s"the common stop f${i}a f${i}b f${i}c", "g"))
+    val dups = Seq(
+      (100L, "the common stop near dup text alpha beta gamma", "g"),
+      (101L, "the common stop near dup text alpha beta gamma delta", "g"))
+    val docs = (base ++ dups).toDF("doc_id", "text", "src")
+    // default (no guard), threshold 0: every materialized candidate
+    // pair survives, so the output COUNT is the join's fan-out —
+    // the ubiquitous shingle alone drives it to all C(22,2) pairs
+    val unguarded = graft.ext.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", "src", k = 3, threshold = 0.0)
+    assert(unguarded.count() == (n + 2).toLong * (n + 1) / 2,
+      "without the guard the stop shingle materializes all pairs")
+    // guard at 0.5: df("the common stop")=22 > 11 drops it; only the
+    // true near-dup pair (sharing low-df shingles) materializes
+    val guarded = graft.ext.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", "src", k = 3, threshold = 0.0, maxDocFreq = 0.5)
+    val rows = guarded.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)),
+      "guarded join must materialize only low-df co-occurrences")
+    // symmetric filtered Jaccard: doc100 keeps 6 of 7 shingles,
+    // doc101 keeps 7 of 8 (both lose the stop shingle), inter=6 -> 6/7
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 6.0 / 7.0) < 1e-6)
+    // unfiltered score of the same pair for contrast: 7/8
+    val exact = unguarded.filter($"id_a" === 100L).collect()
+    assert(math.abs(exact.head.getAs[Double]("jaccard") - 7.0 / 8.0) < 1e-6)
+    graft.ops.Staging.releaseAll()
+  }
+
   test("simHashNearDups equals all-pairs hamming via pigeonhole banding, no cross join") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
-    val sh = graft.ext.Dedup.withSimHash(docs, "text")
-      .select($"doc_id", conv($"simhash", 2, 10).cast("long").as("sig"))
-    val exact = sh.select($"doc_id".as("id_a"), $"sig".as("sa"))
-      .crossJoin(sh.select($"doc_id".as("id_b"), $"sig".as("sb")))
-      .filter($"id_a" < $"id_b")
-      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
-      .filter($"hamming" <= 3)
-      .select("id_a", "id_b", "hamming")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
-    assert(exact.nonEmpty, "fixture should contain simhash near-dups")
-    val banded = graft.ext.Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
-    assert(banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
-      == exact, "pigeonhole banding must reproduce the all-pairs result exactly")
-    val plan = banded.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
-      s"banded simhash join must not cross-join:\n$plan")
+    // exact reference: hamming over the signature parsed as 32-bit
+    // WORDS (a 64-bit conv() parse nulls out when bit 63 is set — the
+    // exact trap the operator's per-word parse avoids)
+    def allPairs(bits: Int) = {
+      val sig = if (bits == 64) graft.ext.Dedup.withSimHash64(docs, "text")
+                else graft.ext.Dedup.withSimHash(docs, "text")
+      val words = (0 until bits / 32).map(w =>
+        conv(substring($"simhash", w * 32 + 1, 32), 2, 10).cast("long").as(s"w$w"))
+      val sh = sig.select($"doc_id" +: words: _*)
+      val a = sh.select($"doc_id".as("id_a") +:
+        (0 until bits / 32).map(w => col(s"w$w").as(s"wa$w")): _*)
+      val b = sh.select($"doc_id".as("id_b") +:
+        (0 until bits / 32).map(w => col(s"w$w").as(s"wb$w")): _*)
+      val hamming = (0 until bits / 32)
+        .map(w => bit_count(col(s"wa$w").bitwiseXOR(col(s"wb$w")))).reduce(_ + _)
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("hamming", hamming)
+        .filter($"hamming" <= 3)
+        .select("id_a", "id_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+    }
+    for (bits <- Seq(32, 64)) {
+      val exact = allPairs(bits)
+      assert(exact.nonEmpty, s"fixture should contain $bits-bit simhash near-dups")
+      val banded = graft.ext.Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, bits = bits)
+      assert(banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+        == exact, s"pigeonhole banding ($bits-bit) must reproduce the all-pairs result exactly")
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"banded simhash join must not cross-join:\n$plan")
+    }
   }
 
   test("IvfIndex: build/search equals ivfTopK; save/load prunes partitions") {
@@ -343,6 +393,47 @@ class ExtSpec extends AnyFunSuite {
               ($"pos" + 1).as("rnk"))
       .collect().map(_.toString).sorted.toSeq
     assert(viaAgg == viaWindow)
+  }
+
+  test("TopKByScoreStr equals the window top-k per language; q62 plan has no Window") {
+    import org.apache.spark.sql.expressions.Window
+    val gf = graft.functions.GraftFunctions
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = graft.ext.Dedup.withShingles(docs, "text", k = 2)
+      .select($"lang", explode($"shingles").as("ngram"))
+      .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+    val viaWindow = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy($"n".desc, $"ngram")))
+      .filter($"rk" <= 5)
+      .select($"lang", $"ngram", $"n", $"rk")
+      .collect().map(_.toString).sorted.toSeq
+    val viaAgg = counts.groupBy("lang")
+      .agg(gf.topKByScoreStr(spark, $"n".cast("double"), $"ngram", 5).as("hits"))
+      .select($"lang", posexplode($"hits").as(Seq("pos", "hit")))
+      .select($"lang", $"hit.id".as("ngram"), $"hit.score".cast("long").as("n"),
+              ($"pos" + 1).cast("int").as("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaAgg == viaWindow)
+    val plan = graft.queries.TextQueries.queries("q62_top_ngrams")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q62 must rank via the partial aggregate, not a window sort:\n$plan")
+  }
+
+  test("TopKStrBuffer keeps k best with (score desc, id asc) tie-break across merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val b = new graft.functions.TopKStrBuffer(3)
+    Seq((1.0, "kk"), (3.0, "bb"), (3.0, "aa"), (2.0, "zz"), (0.5, "mm"), (3.0, "cc"))
+      .foreach { case (s, i) => b.add(s, u(i)) }
+    assert(b.sortedDesc.toSeq.map { case (s, i) => (s, i.toString) } ==
+      Seq((3.0, "aa"), (3.0, "bb"), (3.0, "cc")))
+    val other = new graft.functions.TopKStrBuffer(3)
+    other.add(4.0, u("yy"))
+    b.merge(other)
+    assert(b.sortedDesc.toSeq.map { case (s, i) => (s, i.toString) } ==
+      Seq((4.0, "yy"), (3.0, "aa"), (3.0, "bb")))
   }
 
   test("TopKBuffer keeps k best with (score desc, id asc) tie-break") {
@@ -440,6 +531,35 @@ class ExtSpec extends AnyFunSuite {
       .withColumn("native", graft.functions.GraftFunctions.simHash32($"text"))
       .withColumn("lambda", lambdaSimHash($"text"))
     assert(docs.filter($"native" =!= $"lambda").count() == 0)
+  }
+
+  test("native SimHash64 is bit-for-bit identical to the lambda composition") {
+    // 64-bit layout: positions 1-32 vote on hex digit i's HIGH bit
+    // (digit in 8..f), positions 33-64 on digit (i-32)'s SECOND bit
+    // (digit in 4-7 or c-f) — same digest, no second hash pass.
+    def lambdaSimHash64(text: org.apache.spark.sql.Column) = {
+      val hexes = transform(split(text, " "), t => md5(t))
+      val bitVotes = transform(sequence(lit(1), lit(64)),
+        i => aggregate(hexes, lit(0),
+          (acc, h) => acc + when(i <= 32,
+              when(h.substr(i, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+                .otherwise(-1))
+            .otherwise(
+              when(h.substr(i - 32, lit(1)).isin("4", "5", "6", "7", "c", "d", "e", "f"), 1)
+                .otherwise(-1))))
+      concat_ws("", transform(bitVotes, v => when(v > 0, "1").otherwise("0")))
+    }
+    val edge = Seq("", " ", "a", "a b a", "  double  space", "trailing ").toDF("text")
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").union(edge)
+      .withColumn("native", graft.functions.GraftFunctions.simHash64($"text"))
+      .withColumn("lambda", lambdaSimHash64($"text"))
+    assert(docs.filter($"native" =!= $"lambda").count() == 0)
+    // the first 32 chars ARE the 32-bit signature (shared digest)
+    val pre = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.GraftFunctions.simHash32($"text").as("s32"),
+              graft.functions.GraftFunctions.simHash64($"text").substr(1, 32).as("p32"))
+    assert(pre.filter($"s32" =!= $"p32").count() == 0)
   }
 
   test("native TokenSetCount equals the filter/isin lambda") {
