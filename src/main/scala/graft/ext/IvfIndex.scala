@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   *
   *  - [[IvfIndex.build]]: k-means centroids ([[Similarity.ivfCentroids]],
   *    deterministic Lloyd sweeps) + map-side cell assignment — one
-  *    scan per sweep plus one for assignment, no corpus shuffle.
+  *    scan per sweep plus one for assignment, no corpus shuffle. The
+  *    assignment also carries int8 codes ([[graft.functions.Int8Quantize]])
+  *    so either storage layout can be saved.
   *  - [[IvfIndex.save]]: corpus written as parquet PARTITIONED BY
   *    cell (the inverted file literally becomes the directory
   *    layout), centroid matrix written alongside as a tiny parquet.
-  *  - [[IvfIndex.load]] + [[IvfIndex.search]]: a query probes nProbe
-  *    cells; the `cell IN (...)` filter prunes to those partition
-  *    directories at the SCAN (PartitionFilters — verified by spec),
-  *    so a search reads corpus/nCentroids*nProbe bytes, not the
-  *    corpus. Re-rank is the shared exact-cosine + partial-top-k tail.
+  *    [[IvfIndex.saveQuantized]] writes (scale, codes) INSTEAD of the
+  *    float vectors — 4x less index storage, and a search scans 4x
+  *    fewer bytes.
+  *  - [[IvfIndex.load]] + [[IvfIndex.search]]/[[IvfIndex.searchQuantized]]:
+  *    a query probes nProbe cells; the `cell IN (...)` filter prunes
+  *    to those partition directories at the SCAN (PartitionFilters —
+  *    verified by spec), so a search reads corpus/nCentroids*nProbe
+  *    bytes, not the corpus. Re-rank is the shared exact-cosine +
+  *    partial-top-k tail.
   *
   * The searched-side join broadcasts the (small) query set; the index
   * side never shuffles. Cluster note: at petabyte scale `save` is the
@@ -29,21 +35,30 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
 
-  /** Top-k by cosine over the nProbe nearest cells per query. */
-  def search(queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nProbe: Int): DataFrame = {
+  private def probedCells(queries: DataFrame, idCol: String, vecCol: String,
+                          nProbe: Int): (DataFrame, Seq[Int]) = {
     val spark = assigned.sparkSession
     val gf = graft.functions.GraftFunctions
-    val centsLit = typedLit(centroids)
     val q = queries.select(col(idCol).as("query_id"),
         Similarity.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell",
-        explode(gf.nearestCentroids(spark, col("q_vec"), centsLit, nProbe)))
+        explode(gf.nearestCentroids(spark, col("q_vec"), typedLit(centroids), nProbe)))
     // The probed cell set is tiny (|queries| x nProbe distinct values);
     // materializing it into an IN-list filter lets a parquet-backed
     // `assigned` prune partition directories at the scan. (For the
     // in-memory path the filter is a no-op correctness-wise.)
-    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    (q, q.select("cell").distinct().collect().map(_.getInt(0)).toSeq)
+  }
+
+  /** Top-k by cosine over the nProbe nearest cells per query. */
+  def search(queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nProbe: Int): DataFrame = {
+    require(assigned.columns.contains("c_vec"),
+      "index was saved quantized — use searchQuantized (float re-rank " +
+        "comes from the original corpus, not the index)")
+    val spark = assigned.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val (q, cells) = probedCells(queries, idCol, vecCol, nProbe)
     Similarity.rerankTopK(
       assigned
         .filter(col("cell").isin(cells: _*))
@@ -54,13 +69,78 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
       k)
   }
 
+  /** Quantized two-stage search: (1) score every vector in the probed
+    * cells with the asymmetric int8-x-float cosine
+    * ([[graft.functions.Int8CosineSim]]) reading ONLY the int8 codes —
+    * 4x less scan bandwidth than the float path — keeping the
+    * `rerankFactor * k` best approximate candidates per query via the
+    * partial top-k aggregate; (2) re-rank those few candidates EXACTLY
+    * from `floatCorpus` (the original float vectors, which the
+    * quantized index does not store). The candidate set
+    * (|queries| * rerankFactor * k ids) broadcasts into the corpus
+    * scan, so stage 2 shuffles k rows per partition per query and the
+    * corpus itself never shuffles in either stage.
+    *
+    * int8 relative error is <= scale/2 per element (~0.4% of the max
+    * component), so the approximate ordering differs from exact only
+    * between near-tied neighbors — rerankFactor=4 headroom makes the
+    * final top-k match the float IVF path on all but adversarially
+    * tied data (q63 pins the recall).
+    */
+  def searchQuantized(queries: DataFrame, floatCorpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      k: Int, nProbe: Int, rerankFactor: Int = 4): DataFrame = {
+    require(assigned.columns.contains("q"),
+      "index carries no int8 codes (built by an older layout?)")
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val spark = assigned.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val (q, cells) = probedCells(queries, idCol, vecCol, nProbe)
+    val approx = assigned
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", gf.int8Cosine(spark, col("q"), col("q_vec")))
+      .groupBy("query_id")
+      .agg(gf.topKByScore(spark, col("asim"), col("neighbor_id"),
+        rerankFactor * k).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val floats = floatCorpus.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("c_vec"))
+    val qvecs = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("q_vec"))
+    Similarity.rerankTopK(
+      floats.join(broadcast(approx), "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
+  }
+
   /** Persist the index: `path/corpus` partitioned by cell (the
     * inverted file as directory layout), `path/centroids` as a tiny
     * (cell, vec) parquet. */
   def save(path: String): Unit = {
+    assigned.select("neighbor_id", "c_vec", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    saveCentroids(path)
+  }
+
+  /** Persist the QUANTIZED index: int8 codes + per-vector scale
+    * instead of float vectors (4x smaller; searches scan 4x fewer
+    * bytes). Searching a quantized index re-ranks from the original
+    * float corpus ([[searchQuantized]]). */
+  def saveQuantized(path: String): Unit = {
+    assigned.select(col("neighbor_id"), col("q.scale").as("scale"),
+        col("q.codes").as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    saveCentroids(path)
+  }
+
+  private def saveCentroids(path: String): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -70,28 +150,39 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
 object IvfIndex {
 
   /** Build the index over `corpus`: deterministic k-means centroids +
-    * map-side cell assignment. */
+    * map-side cell assignment (+ int8 codes for the quantized layout —
+    * computed in the same scan). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            nCentroids: Int = 16, kmeansSweeps: Int = 2): IvfIndex = {
+            nCentroids: Int = 16, kmeansSweeps: Int = 2,
+            seedStrategy: String = "first"): IvfIndex = {
     val spark = corpus.sparkSession
     val gf = graft.functions.GraftFunctions
     val e = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.asDouble(col(vecCol)).as("c_vec"))
     val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
-      nCentroids, kmeansSweeps)
-    val assigned = e.withColumn("cell",
-      gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+      nCentroids, kmeansSweeps, seedStrategy)
+    val assigned = e
+      .withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+      .withColumn("q", gf.int8Quantize(spark, col("c_vec")))
     IvfIndex(cents, assigned)
   }
 
-  /** Load a saved index. The corpus frame is a plain partitioned
+  /** Load a saved index (either layout — float or quantized; detected
+    * from the stored schema). The corpus frame is a plain partitioned
     * parquet scan — search()'s cell filter prunes its directories. */
   def load(spark: SparkSession, path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq
-    val corpus = spark.read.parquet(s"$path/corpus")
-      .select(col("neighbor_id"), col("c_vec"), col("cell").cast("int").as("cell"))
+    val raw = spark.read.parquet(s"$path/corpus")
+    val corpus =
+      if (raw.columns.contains("codes"))
+        raw.select(col("neighbor_id"),
+          struct(col("scale"), col("codes")).as("q"),
+          col("cell").cast("int").as("cell"))
+      else
+        raw.select(col("neighbor_id"), col("c_vec"),
+          col("cell").cast("int").as("cell"))
     IvfIndex(cents, corpus)
   }
 }

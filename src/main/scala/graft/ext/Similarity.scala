@@ -51,8 +51,10 @@ object Similarity {
               (col("pos") + 1).as("rnk"))
   }
 
-  /** Unified ANN entry point: "brute" (exact), "ivf", or "lsh". All
-    * three share [[rerankTopK]]; the methods differ only in candidate
+  /** Unified ANN entry point: "brute" (exact), "ivf", "lsh", or
+    * "ivf_int8" (IVF cells scored over int8 codes, exact float
+    * re-rank — the 4x-scan-bandwidth path, [[IvfIndex.searchQuantized]]).
+    * All share [[rerankTopK]]; the methods differ only in candidate
     * generation. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
@@ -60,8 +62,11 @@ object Similarity {
     case "brute" => bruteForceTopK(corpus, queries, idCol, vecCol, k)
     case "ivf"   => ivfTopK(corpus, queries, idCol, vecCol, k)
     case "lsh"   => lshTopK(corpus, queries, idCol, vecCol, k)
+    case "ivf_int8" =>
+      IvfIndex.build(corpus, idCol, vecCol)
+        .searchQuantized(queries, corpus, idCol, vecCol, k, nProbe = 3)
     case other => throw new IllegalArgumentException(
-      s"annTopK method must be brute|ivf|lsh, got: $other")
+      s"annTopK method must be brute|ivf|lsh|ivf_int8, got: $other")
   }
 
   /** Exact cosine top-k: for each query vector (small set, broadcast),
@@ -91,8 +96,7 @@ object Similarity {
       graft.functions.GraftFunctions.hyperplaneBucket(
         df.sparkSession, col(vecCol), planes))
 
-  /** K-means (Lloyd) centroids for IVF: seed with the `nCentroids`
-    * lowest-id vectors (deterministic), then `sweeps` refinement
+  /** K-means (Lloyd) centroids for IVF, then `sweeps` refinement
     * iterations. Each sweep is one corpus scan: map-side
     * [[graft.functions.NearestCentroids]] assignment (centroids ride
     * in as a literal — no centroid join, no corpus shuffle) and a
@@ -100,21 +104,70 @@ object Similarity {
     * dims-length buffer per partition per cell through the exchange.
     * Empty cells keep their previous centroid.
     *
-    * Determinism: seeds and assignment are deterministic; the mean is
-    * rounded to 9 decimals so ulp-level float-accumulation-order
-    * differences across partition schedules cannot leak into the
-    * returned matrix (ExtSpec pins two independent runs equal).
+    * `seedStrategy` picks the deterministic seed set:
+    *  - "first": the `nCentroids` lowest-id vectors — the pinned
+    *    driver configuration (q43/q53/q63 recall constants are facts
+    *    of THESE seeds on the sf0.01 data, where the sub-10 query ids
+    *    are among the seeds and anchor their neighborhoods' cells).
+    *    Degenerate on id-CLUSTERED corpora, where adjacent ids are
+    *    adjacent vectors and every seed lands in one cluster.
+    *  - "hash": the first `nCentroids` in [[Sampling.sampleHash]]
+    *    content-keyed order — an id-uncorrelated deterministic
+    *    uniform sample. Fixes id-order bias at the same cost (an
+    *    orderBy-limit over (hash, id)), but a uniform sample still
+    *    puts two seeds in one cluster with ~1-k!/k^k probability.
+    *  - "spread": deterministic farthest-point traversal (the
+    *    k-means++ max-min rule, hash-first start): each next seed is
+    *    the corpus vector MINIMIZING its best cosine to the seeds so
+    *    far (ties toward the lower id). One scan per seed; for
+    *    well-separated clusters the traversal provably visits every
+    *    cluster before revisiting one — ExtSpec's clustered-corpus
+    *    case pins balanced cells where both "first" AND "hash" leave
+    *    a merged-cluster cell.
+    *
+    *    Measured trade-off on the driver's NEAR-RANDOM sf0.01
+    *    embeddings: unbiased seeds cut nProbe=3/16 recall to ~0.43
+    *    (a data property — directionally uniform vectors spread any
+    *    query's true neighbors across unrelated cells; no seeding
+    *    fixes that), so the pinned queries keep "first".
+    *
+    * Determinism: both seed orders and the assignment are
+    * deterministic; the mean is rounded to 9 decimals so ulp-level
+    * float-accumulation-order differences across partition schedules
+    * cannot leak into the returned matrix (ExtSpec pins two
+    * independent runs equal).
     */
   def ivfCentroids(e: DataFrame, idCol: String, vecCol: String,
-                   nCentroids: Int, sweeps: Int): Seq[Seq[Double]] = {
+                   nCentroids: Int, sweeps: Int,
+                   seedStrategy: String = "first"): Seq[Seq[Double]] = {
     val spark = e.sparkSession
     val gf = graft.functions.GraftFunctions
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-    var cents: Seq[Seq[Double]] = e
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(col("id")).limit(nCentroids)
-      .collect().toSeq.map(_.getSeq[Double](1))
+    val ids = e.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def firstBy(order: Column*): Seq[Seq[Double]] =
+      ids.orderBy(order: _*).limit(nCentroids)
+        .collect().toSeq.map(_.getSeq[Double](1))
+    var cents: Seq[Seq[Double]] = seedStrategy match {
+      case "first" => firstBy(col("id"))
+      case "hash"  => firstBy(Sampling.sampleHash(col("id"), "ivf-seed"), col("id"))
+      case "spread" =>
+        // farthest-point: one scan per seed; NaN sims (zero vectors)
+        // sort last under asc, so degenerate rows are never picked
+        // while any finite-similarity vector remains
+        var chosen = firstBy(Sampling.sampleHash(col("id"), "ivf-seed"), col("id")).take(1)
+        while (chosen.size < nCentroids) {
+          val bestSim = chosen
+            .map(c => gf.cosineSimilarity(spark, col("v"), typedLit(c)))
+            .reduce((a, b) => greatest(a, b))
+          val next = ids.orderBy(bestSim.asc, col("id")).limit(1)
+            .collect().toSeq.map(_.getSeq[Double](1))
+          chosen = chosen ++ next
+        }
+        chosen
+      case other => throw new IllegalArgumentException(
+        s"seedStrategy must be first|hash|spread, got: $other")
+    }
     for (_ <- 0 until sweeps) {
       val sums = e
         .withColumn("cell",
@@ -155,12 +208,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 3,
-              kmeansSweeps: Int = 2): DataFrame = {
+              kmeansSweeps: Int = 2,
+              seedStrategy: String = "first"): DataFrame = {
     val spark = corpus.sparkSession
     val gf = graft.functions.GraftFunctions
     val e = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
     val centsLit = typedLit(
-      ivfCentroids(e, "neighbor_id", "c_vec", nCentroids, kmeansSweeps))
+      ivfCentroids(e, "neighbor_id", "c_vec", nCentroids, kmeansSweeps, seedStrategy))
     val c = e.withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), centsLit, 1)(0))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell", explode(gf.nearestCentroids(spark, col("q_vec"), centsLit, nProbe)))

@@ -17,8 +17,14 @@ final case class FinData(
     indicators: DataFrame) {
 
   /** Reference `data.py:70-95` info(): summary key/value frame built
-    * from tiny collected aggregates. (data_url/memory_usage are
-    * runtime-environment facts, reported as the source path here.)
+    * from tiny collected aggregates. data_url is a runtime-environment
+    * fact, reported as the source path here; memory_usage_mb is the
+    * Spark analog of the reference's resident-DataFrame MB
+    * (`data.py:81,86`) — the session's persisted storage (memory +
+    * disk bytes across the cached frames, read from the public
+    * getRDDStorageInfo status; the four FinData frames dominate it by
+    * construction). Computed AFTER the financials aggregates above it
+    * have run, so the caches it reports are materialized.
     */
   def info(dataPath: String = ""): DataFrame = {
     val spark = financials.sparkSession
@@ -29,8 +35,11 @@ final case class FinData(
       date_format(max("period_end"), "yyyy-MM-dd").as("last"),
       countDistinct("cvm_id").as("companies")).head()
     val nReports = financials.select("cvm_id", "is_annual", "period_end").distinct().count()
+    val cachedMb = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum / 1048576.0
     Seq(
       ("data_url", dataPath),
+      ("memory_usage_mb", f"$cachedMb%.3f"),
       ("accounting_entries", a.getLong(0).toString),
       ("number_of_reports", nReports.toString),
       ("first_report", a.getString(1)),

@@ -512,6 +512,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_int8_dequantize(q): got ${other.size} args")
     },
+    "graft_int8_cosine" -> {
+      case Seq(q, v) => Int8CosineSim(q, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_int8_cosine(q, vec): got ${other.size} args")
+    },
   )
 
   /** Idempotently register the functions in a session's registry so
@@ -616,5 +621,12 @@ object GraftFunctions {
   def int8Dequantize(spark: SparkSession, q: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_int8_dequantize", q)
+  }
+
+  /** Asymmetric int8-corpus x float-query cosine (see
+    * [[Int8CosineSim]]). */
+  def int8Cosine(spark: SparkSession, q: Column, vec: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_int8_cosine", q, vec)
   }
 }

@@ -94,3 +94,60 @@ case class Int8Dequantize(q: Expression)
   override protected def withNewChildInternal(c: Expression): Int8Dequantize =
     copy(q = c)
 }
+
+/** Asymmetric int8-x-float cosine: similarity between a QUANTIZED
+  * corpus vector (struct<scale, codes> from [[Int8Quantize]]) and a
+  * float query vector, without dequantizing — the scan-bandwidth form
+  * of quantized ANN scoring (the index reads 1/4 the bytes and the
+  * hot loop is int8 loads + double FMA).
+  *
+  * The positive per-vector scale cancels out of cosine
+  * (cos(s·c, v) == cos(c, v)), so the scorer ignores it and
+  * accumulates raw code products: dot = Σ code_i·v_i,
+  * ||c|| = sqrt(Σ code_i²). Mathematically equal to the cosine of
+  * the dequantized vector; numerically within a few ulp (scale
+  * factors out of each sum only up to IEEE rounding — the spec pins
+  * agreement at 1e-12). Length mismatch returns NULL (corrupt codes
+  * must not pass as a truncated similarity); zero-norm inputs yield
+  * NaN/Inf, never an ANSI error. CodegenFallback: the dims-length
+  * loop is the row's entire work.
+  */
+case class Int8CosineSim(q: Expression, vec: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = q
+  override def right: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (q.dataType, vec.dataType) match {
+      case (StructType(Array(StructField(_, DoubleType, _, _),
+                             StructField(_, ArrayType(ByteType, _), _, _))),
+            ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"int8_cosine expects (struct<scale double, codes array<tinyint>>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_cosine"
+
+  override protected def nullSafeEval(qv: Any, v: Any): Any = {
+    val codes = qv.asInstanceOf[InternalRow].getArray(1)
+    val x = v.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    if (n != x.numElements()) return null
+    var dot = 0.0; var nc = 0.0; var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val c = codes.getByte(i).toDouble
+      val xi = x.getDouble(i)
+      dot += c * xi; nc += c * c; nx += xi * xi
+      i += 1
+    }
+    dot / (math.sqrt(nc) * math.sqrt(nx))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8CosineSim =
+    copy(q = l, vec = r)
+}

@@ -86,6 +86,26 @@ object VectorQueries {
       recallRow("ivf").unionByName(recallRow("lsh")).orderBy("method")
     }),
 
+    // Quantized ANN recall sentinel (q53's pattern for the ivf_int8
+    // path): IVF cells scored over int8 CODES (asymmetric
+    // Int8CosineSim — the index side reads 1/4 the bytes), top
+    // rerankFactor*k approximate candidates re-ranked exactly from
+    // the float vectors. Recall vs exact brute force is a
+    // deterministic fact of this configuration at sf0.01 (fixed
+    // seeds/sweeps/probes/data); any regression in quantization,
+    // approximate ordering, or the re-rank join turns this row red.
+    "q63_ann_int8_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      Similarity.annTopK(emb, qs, "vec_id", "embedding", k = 3, method = "ivf_int8")
+        .select("query_id", "neighbor_id").intersect(exact)
+        .agg(lit("ivf_int8").as("method"),
+             round(count(lit(1)) / 30.0, 6).as("recall"))
+        .orderBy("method")
+    }),
+
     // Int8 embedding quantization (native Int8Quantize/Int8Dequantize
     // expressions — the 4x storage reduction for vector corpora),
     // driver-checked through reconstruction metrics: per-label mean
@@ -183,6 +203,15 @@ object VectorQueries {
       """SELECT 'ivf' AS method, 1.0 AS recall
         |UNION ALL SELECT 'lsh', 1.0
         |ORDER BY method""".stripMargin,
+
+    // Same pinned-constant form as q53 (not a recomputation — DuckDB
+    // cannot express the k-means cells or int8 tie ordering); valid
+    // at the driver's sf0.01 correctness scale only. The int8-scored
+    // candidates re-rank to the same 30/30 neighbors the float IVF
+    // path finds: quantization error (~0.4% of max component) only
+    // reorders near-ties, and rerankFactor=4 headroom absorbs that.
+    "q63_ann_int8_recall" ->
+      """SELECT 'ivf_int8' AS method, 1.0 AS recall ORDER BY method""",
 
     "q42_embedding_neardup" ->
       """WITH n AS (

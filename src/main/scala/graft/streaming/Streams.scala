@@ -68,7 +68,8 @@ object Streams {
     * the batch operator's keep-lowest-id exactly when each text's
     * first occurrence arrives in an earlier micro-batch than its
     * duplicates and ids are arrival-ordered (which StreamingSpec
-    * pins), then the SAME
+    * pins; [[docPrepStreamExact]] removes the within-batch caveat
+    * with min-id custom state), then the SAME
     * codegen'd language-ID / quality / token projections and filters —
     * those stages are stateless, so their streaming plan is the batch
     * plan.
@@ -87,6 +88,82 @@ object Streams {
       .withColumn("predicted_lang", ts.predictLang(profiles))
       .withColumn("n_tokens", ts.tokenCount(col(textCol)))
       .withColumn("quality", ts.qualityScore(col(textCol), stopwords))
+      .filter(col("quality") >= minQuality &&
+              col("predicted_lang").isin(keepLangs: _*))
+  }
+
+  /** Row shapes for the exact streaming doc-prep (top-level-visible
+    * case classes: Catalyst's deserializer codegen requires stable
+    * companions through streaming re-analysis). */
+  case class HashedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+                       source: String, content_hash: String)
+  case class RawDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+                    source: String)
+
+  /** EXACT streaming document prep: like [[docPrepStream]], but the
+    * within-micro-batch duplicate survivor is deterministic —
+    * keep-LOWEST-id, the batch operator's rule — instead of
+    * whichever task processed its row first. [[docPrepStream]] agrees
+    * with batch DocPrep only when each text's first occurrence
+    * arrives before its duplicates in an earlier micro-batch AND ids
+    * are arrival-ordered; this variant agrees for ANY arrival order
+    * within a micro-batch (StreamingSpec pins shuffled-id agreement).
+    *
+    * Mechanism: rows group by content hash into
+    * `flatMapGroupsWithState` (the custom-state operator — a
+    * dropDuplicates cannot express min-id reconciliation): per key
+    * per micro-batch the state-free group emits its min-id row and
+    * marks the hash seen; later micro-batches emit nothing. State is
+    * one boolean per distinct hash, aged out by an EVENT-TIME timeout
+    * at (event ts + the watermark delay) — the same lifetime
+    * dropDuplicatesWithinWatermark gives its keys, so state stays
+    * bounded on an unbounded stream. Across micro-batches the earlier
+    * batch still wins (its state marker exists) — arrival order
+    * ACROSS batches is real time-ordering a stream processor must
+    * respect; within a batch there is no order, which is exactly the
+    * nondeterminism this variant removes. The stateless language-ID /
+    * quality / token stages are the batch plan, as in
+    * [[docPrepStream]].
+    */
+  def docPrepStreamExact(docs: DataFrame, textCol: String,
+                         stopwords: Seq[String],
+                         profiles: Seq[(String, Seq[String])],
+                         minQuality: Double, keepLangs: Seq[String],
+                         watermark: String = "2 hours"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val delayMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+      require(iv.months == 0, "watermark must be a day-time interval")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val hashed = docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col(textCol).as("text"),
+              col("source"), col("content_hash"))
+      .as[HashedDoc]
+    val winners = hashed
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, RawDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[HashedDoc], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // an earlier micro-batch won
+          else {
+            val w = rows.minBy(_.doc_id)
+            state.update(true)
+            state.setTimeoutTimestamp(
+              math.max(w.ts.getTime + delayMs, state.getCurrentWatermarkMs + 1))
+            Iterator(RawDoc(w.doc_id, w.ts, w.text, w.source))
+          }
+        })
+    val ts = graft.ext.TextStats
+    val df = winners.toDF()
+    ts.withLangScores(df, "text", profiles)
+      .withColumn("predicted_lang", ts.predictLang(profiles))
+      .withColumn("n_tokens", ts.tokenCount(col("text")))
+      .withColumn("quality", ts.qualityScore(col("text"), stopwords))
       .filter(col("quality") >= minQuality &&
               col("predicted_lang").isin(keepLangs: _*))
   }

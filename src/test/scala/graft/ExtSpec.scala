@@ -356,6 +356,98 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(viaDisk) == rows(inMem))
   }
 
+  test("ivfCentroids: farthest-point seeding balances cells on an id-clustered corpus") {
+    // adversarial-for-lowest-id-seeding corpus: ids are ordered BY
+    // CLUSTER (ids 0-49 cluster 0, 50-99 cluster 1, ...), so lowest-id
+    // seeds all land in cluster 0. Clusters are angularly separated
+    // (assignment is cosine) with small deterministic jitter.
+    val nPer = 50
+    val rows = for (c <- 0 until 4; i <- 0 until nPer) yield {
+      val base = math.Pi / 2 * c + math.Pi / 18 // 10 deg offset
+      val jitter = (i % 10 - 4.5) / 100.0        // +-0.045 rad
+      val a = base + jitter
+      ((c * nPer + i).toLong, Seq(math.cos(a), math.sin(a)))
+    }
+    val df = rows.toDF("id", "vec")
+    def occupancy(strategy: String): Array[Long] = {
+      val cents = Similarity.ivfCentroids(df.select($"id", $"vec".as("v")),
+        "id", "v", nCentroids = 4, sweeps = 3, seedStrategy = strategy)
+      df.withColumn("cell", graft.functions.GraftFunctions.nearestCentroids(
+          spark, $"vec", typedLit(cents), 1)(0))
+        .groupBy("cell").count().collect().map(_.getLong(1))
+    }
+    // farthest-point traversal hits every separated cluster once
+    // before revisiting -> one seed per cluster -> perfectly balanced
+    val spreadOcc = occupancy("spread")
+    assert(spreadOcc.length == 4, s"every cell must be populated, got ${spreadOcc.toSeq}")
+    val mean = nPer.toDouble // 4 clusters x nPer / 4 cells
+    assert(spreadOcc.max <= 2 * mean,
+      s"no cell may exceed 2x mean occupancy; got ${spreadOcc.toSeq} (mean $mean)")
+    // the contrasts that motivate "spread": lowest-id seeds all start
+    // in cluster 0 and Lloyd leaves a merged-two-cluster cell
+    // (measured 25,25,50,100); a uniform hash sample can also double
+    // up on a cluster (measured 100,20,30,50 here — ~1-4!/4^4 odds)
+    val firstOcc = occupancy("first")
+    assert(firstOcc.length < 4 || firstOcc.max >= 2 * nPer,
+      s"expected lowest-id seeding to leave a >=2-cluster cell on this corpus, got ${firstOcc.toSeq}")
+    assert(spreadOcc.max < firstOcc.max,
+      s"spread seeding must be strictly more balanced: ${spreadOcc.toSeq} vs ${firstOcc.toSeq}")
+  }
+
+  test("Int8CosineSim equals cosine of the dequantized vector (scale cancels)") {
+    val gf = graft.functions.GraftFunctions
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", graft.ext.Similarity.asDouble($"embedding").as("v"))
+    val q = emb.filter($"vec_id" === 0).select($"v".as("qv"))
+    val diff = emb.crossJoin(broadcast(q))
+      .withColumn("qz", gf.int8Quantize(spark, $"v"))
+      .withColumn("a", gf.int8Cosine(spark, $"qz", $"qv"))
+      .withColumn("b", gf.cosineSimilarity(spark,
+        gf.int8Dequantize(spark, $"qz"), $"qv"))
+      .agg(max(abs($"a" - $"b")).as("d")).head().getDouble(0)
+    assert(diff <= 1e-12,
+      s"asymmetric int8 cosine must match dequantized cosine to 1e-12, got $diff")
+    // length mismatch -> NULL, not a truncated similarity
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("x", "y")
+      .select(gf.int8Cosine(spark, gf.int8Quantize(spark, $"x"), $"y").as("c"))
+    assert(bad.head().isNullAt(0))
+  }
+
+  test("IvfIndex quantized layout: codes-only parquet, pruned scan, recall vs float path") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val idx = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2)
+    val viaFloat = idx.search(q, "vec_id", "embedding", k = 3, nProbe = 8)
+    val viaInt8 = idx.searchQuantized(q, emb, "vec_id", "embedding",
+      k = 3, nProbe = 8)
+    assert(rows(viaInt8) == rows(viaFloat),
+      "int8-scored + exact-rerank must equal the float IVF search at full probe")
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toString
+    idx.saveQuantized(dir)
+    // the saved corpus must carry int8 codes, NOT float vectors
+    val saved = spark.read.parquet(s"$dir/corpus")
+    assert(saved.columns.toSet == Set("neighbor_id", "scale", "codes", "cell"))
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    assert(saved.schema("codes").dataType == ArrayType(ByteType, containsNull = false) ||
+           saved.schema("codes").dataType == ArrayType(ByteType, containsNull = true))
+    val loaded = graft.ext.IvfIndex.load(spark, dir)
+    val viaDisk = loaded.searchQuantized(q, emb, "vec_id", "embedding",
+      k = 3, nProbe = 3)
+    val plan = viaDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"quantized-index search must prune cell partitions:\n$plan")
+    assert(rows(viaDisk) ==
+      rows(idx.searchQuantized(q, emb, "vec_id", "embedding", k = 3, nProbe = 3)))
+    // float search on a codes-only index must fail loudly, not wrongly
+    val err = intercept[IllegalArgumentException] {
+      loaded.search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+    }
+    assert(err.getMessage.contains("searchQuantized"))
+  }
+
   test("Staging.releaseAll unpersists every staged frame") {
     import org.apache.spark.storage.StorageLevel
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")

@@ -193,6 +193,12 @@ class FinLogicSpec extends AnyFunSuite {
     assert(kv("number_of_companies") == "2")
     assert(kv("first_report") == "2020-12-31")
     assert(kv("last_report") == "2023-03-31")
+    // the reference reports resident MB (data.py:81,86); the Spark
+    // analog is persisted storage, materialized by the time the row
+    // is built — must exist and be positive
+    assert(kv.contains("memory_usage_mb"))
+    assert(kv("memory_usage_mb").toDouble > 0.0,
+      s"cached frames must report positive storage, got ${kv("memory_usage_mb")}")
   }
 
   // ---- Company ---------------------------------------------------
@@ -336,7 +342,7 @@ class FinLogicSpec extends AnyFunSuite {
     assert(rows(FinLogic.searchCompany("ALPHA")) == rows(data.searchCompany("ALPHA")))
     assert(rows(FinLogic.searchSegment("oil")) == rows(data.searchSegment("oil")))
     assert(rows(FinLogic.rank()) == rows(data.rank()))
-    assert(FinLogic.info().count() == 6)
+    assert(FinLogic.info().count() == 7)
     val viaFacade = FinLogic.company(1, accUnit = "m").report("assets")
     assert(rows(viaFacade.orderBy("acc_code")) ==
       rows(alpha.report("assets").orderBy("acc_code")))

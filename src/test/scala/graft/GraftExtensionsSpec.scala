@@ -21,7 +21,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_topk_by_score", "graft_topk_by_score_str",
     "graft_nearest_centroids",
     "graft_simhash32", "graft_simhash64", "graft_token_set_count",
-    "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize")
+    "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
+    "graft_int8_cosine")
 
   test("registry lists every native function exactly once") {
     assert(GraftFunctions.registry.map(_._1).sorted == Expected.sorted)

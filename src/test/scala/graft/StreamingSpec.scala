@@ -135,4 +135,39 @@ class StreamingSpec extends AnyFunSuite {
     // keep-first-arrived == keep-lowest-id when ids are arrival-ordered
     assert(streamed == batch && streamed == Set(1L, 3L))
   }
+
+  test("exact streaming doc-prep keeps lowest id under shuffled within-batch arrival") {
+    implicit val sc = spark.sqlContext
+    val profiles = Seq("de" -> Seq("key", "merge", "batch"),
+                       "zh" -> Seq("scan", "hash", "part"))
+    val stop = Seq("a", "the")
+    // ids deliberately NOT arrival-ordered: the higher-id duplicate
+    // (5) arrives before the lower-id original (2) in the SAME
+    // micro-batch — the case docPrepStream documents as
+    // task-order-dependent and docPrepStreamExact pins.
+    val batch1 = Seq(
+      Doc(5, ts(0), "dup text body", "cc"),
+      Doc(2, ts(1), "dup text body", "web"),
+      Doc(3, ts(2), "scan hash part wins", "web"), // zh
+      Doc(4, ts(3), "the the the a a", "web"))     // low quality -> filtered
+    val lateDup = Doc(9, ts(4), "dup text body", "cc") // later micro-batch
+    val stream = MemoryStream[Doc]
+    val q = Streams.docPrepStreamExact(stream.toDF(), "text", stop, profiles,
+        minQuality = 0.3, keepLangs = Seq("de", "zh"))
+      .writeStream.format("memory").queryName("docprep_exact")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(lateDup)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docprep_exact")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBatch = graft.ext.DocPrep.prepare(
+        (batch1 :+ lateDup).toDF().drop("ts"), "doc_id", "text", stop, profiles,
+        minQuality = 0.3, keepLangs = Seq("de", "zh"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == viaBatch && streamed == Set(2L, 3L),
+      s"exact variant must keep the lowest id regardless of within-batch order; got $streamed")
+  }
 }
