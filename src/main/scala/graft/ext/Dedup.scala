@@ -268,4 +268,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
+
+  /** Connected components over an undirected near-dup PAIR list —
+    * the step that turns any pair generator ([[minHashNearDups]],
+    * [[simHashNearDups]], [[exactJaccardPairs]],
+    * [[Similarity.lshNearDupPairs]]) into actionable dedup GROUPS: at
+    * corpus scale the curation decision is "keep one representative
+    * per cluster", and near-dup relations are not transitive, so the
+    * clusters are the components of the pair graph, not the pairs.
+    *
+    * Returns (id, component) for every id appearing in a pair, where
+    * component = the smallest id reachable from it (so each cluster
+    * is labeled by its canonical keep-lowest-id representative).
+    *
+    * Algorithm: iterative min-label propagation — label(v) starts at
+    * v and each sweep takes the min of itself and its neighbors'
+    * labels, until a sweep changes nothing. Each sweep is one
+    * edges-to-labels equi-join + a min aggregate (both shuffle by
+    * id); iterations needed = the graph's diameter, which for
+    * near-dup clusters (dense, small) is a handful — maxIter bounds
+    * pathological chains. Every sweep's frame is persisted,
+    * materialized by the convergence count, and the previous sweep's
+    * is released, so memory held is one labels table regardless of
+    * iteration count. (At petabyte scale the same loop runs with
+    * checkpointing to cut lineage, or the large-star/small-star
+    * variant for O(log n) sweeps on high-diameter graphs; the
+    * join+aggregate sweep shape is identical.)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = graft.ops.Staging.stage(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
+        .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
+      val next = labels
+        .join(nbr.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+      next.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.select(col("id"), col("component").as("now"))
+        .join(labels.select(col("id"), col("component").as("prev")), "id")
+        .filter(col("now") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    // the final frame is already materialized; register it so the
+    // query harness releases it after the consuming action
+    graft.ops.Staging.stage(labels)
+  }
+
+  /** Tag every document with its dup-cluster representative:
+    * `out` = the component label for ids that appear in `pairs`, the
+    * id itself for singletons. `docs.filter(col(idCol) === col(out))`
+    * is then exactly "keep one representative per cluster". The
+    * component table holds only dup-cluster members — tiny next to
+    * the corpus — so the join broadcasts under AQE. */
+  def withDupComponent(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       out: String = "component"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.join(cc.select(col("id").as(idCol), col("component").as(out)), Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), col(idCol).cast("long")))
+  }
 }

@@ -206,6 +206,23 @@ object TextQueries {
         .orderBy("lang", "rk")
     }),
 
+    // Dup-cluster connected components: q59's near-dup PAIRS are not
+    // transitive (hamming <= 3 can chain A~B~C with A,C at distance
+    // 6), so corpus curation needs the components of the pair graph —
+    // one keep-lowest-id representative per cluster. The operator is
+    // iterative min-label propagation (one equi-join + min aggregate
+    // per sweep, sweeps = cluster diameter); the oracle recomputes
+    // the same components with a recursive transitive closure over
+    // the identical 64-bit simhash pair set.
+    "q64_dup_components" -> ((s, d) => {
+      val pairs = Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
+
     // Deterministic stratified sampling (ext.Sampling): the keep
     // decision is a pure function of md5(doc_id || salt), so the
     // sample is identical across runs, engines and partitionings —
@@ -460,6 +477,44 @@ object TextQueries {
         |        ORDER BY n DESC, ngram) AS rk FROM g)
         |SELECT lang, ngram, n, rk FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // Transitive closure over the q59 pair set (same 64-bit SimHash
+    // recomputation), then component = min reachable id. The
+    // recursive CTE is the oracle-side answer to what the engine
+    // computes with distributed min-label propagation.
+    "q64_dup_components" ->
+      """WITH RECURSIVE bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component, count(*) AS n_members, max(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     // Recomputes the content-hash membership exactly: fixed-width
     // lowercase hex compares lexicographically == numerically in both

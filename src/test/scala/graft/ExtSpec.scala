@@ -295,6 +295,50 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("connectedComponents: min-label propagation over chains, singleton default") {
+    // chain 1-2-3-4-5 exercises multi-sweep propagation (min label
+    // crosses one hop per sweep); {10,11} a separate 2-clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = graft.ext.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                     10L -> 10L, 11L -> 10L))
+    // docs 1..5, 10, 11 plus singleton 99 (no pair): own representative
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 99L)).toDF("doc_id")
+    val tagged = graft.ext.Dedup.withDupComponent(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tagged(99L) == 99L && tagged(5L) == 1L && tagged(11L) == 10L)
+    // "keep one representative per cluster" filter keeps exactly 1,10,99
+    val kept = graft.ext.Dedup.withDupComponent(docs, "doc_id", pairs)
+      .filter($"doc_id" === $"component").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("connectedComponents equals a driver-side closure on real simhash pairs") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ext.Dedup.simHashNearDups(docs, "doc_id", "text",
+      maxHamming = 3, bits = 64)
+    val edgeList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edgeList.nonEmpty)
+    // reference: tiny union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = graft.ext.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    graft.ops.Staging.releaseAll()
+  }
+
   test("simHashNearDups equals all-pairs hamming via pigeonhole banding, no cross join") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     // exact reference: hamming over the signature parsed as 32-bit
