@@ -269,6 +269,37 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** Train-benchmark n-gram CONTAMINATION pairs: training documents
+    * sharing at least `minShared` distinct word k-grams with a
+    * benchmark/eval document — the standard decontamination signal
+    * for training corpora (exact-substring leakage shows up as long
+    * shared shingles; k is the match length in words).
+    *
+    * Shape: the q27 posting-list join ACROSS two corpora — explode
+    * both sides' deduped shingles, equi-join on the shingle, count
+    * matches per (train, bench) pair = |shared shingle set|. Work is
+    * proportional to co-occurring shingles, never |train| x |bench|.
+    * At production scale the benchmark side is tiny (a fixed eval
+    * suite) — its posting list broadcasts, so the training corpus is
+    * scanned once and never shuffled; pairs sharing nothing never
+    * materialize.
+    */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 5, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val tsh = withShingles(train, textCol, k)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("train_id"), explode(col("shingles")).as("s"))
+    val bsh = withShingles(bench, textCol, k)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("bench_id"), explode(col("shingles")).as("s"))
+    tsh.join(broadcast(bsh), "s")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected near-dup PAIR list —
     * the step that turns any pair generator ([[minHashNearDups]],
     * [[simHashNearDups]], [[exactJaccardPairs]],

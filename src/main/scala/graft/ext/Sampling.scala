@@ -43,6 +43,31 @@ object Sampling {
                           salt: String = ""): DataFrame =
     df.filter(sampleHash(key, salt) < lit(thresholdHex(fraction)))
 
+  /** Deterministic train/val/test fold assignment: each row gets the
+    * label of the hash range its content hash falls in, with range
+    * widths proportional to the fold weights (which must sum to 1).
+    * Same auditability properties as [[deterministicSample]]: a
+    * document's fold is a pure function of its key — stable across
+    * runs, engines, partitionings and corpus growth (adding documents
+    * never moves an existing one between folds, the property that
+    * keeps eval sets leak-free as the corpus is re-crawled). Map-side
+    * `when` chain over cumulative thresholds; no shuffle.
+    */
+  def withFold(df: DataFrame, key: Column, folds: Seq[(String, Double)],
+               salt: String = "", out: String = "fold"): DataFrame = {
+    require(folds.nonEmpty && folds.forall(_._2 > 0.0),
+      "folds must be non-empty with positive weights")
+    require(math.abs(folds.map(_._2).sum - 1.0) < 1e-9,
+      "fold weights must sum to 1")
+    val h = sampleHash(key, salt)
+    val cum = folds.scanLeft(0.0)(_ + _._2).tail
+    // last fold catches everything (its threshold sorts above any hash)
+    val expr = folds.zip(cum).init.foldRight(lit(folds.last._1)) {
+      case (((label, _), c), acc) => when(h < lit(thresholdHex(c)), label).otherwise(acc)
+    }
+    df.withColumn(out, expr)
+  }
+
   /** Stratified variant: per-stratum fractions (default for strata
     * not listed). One map-side filter; no shuffle, no per-stratum
     * passes. */

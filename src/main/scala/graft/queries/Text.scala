@@ -239,6 +239,32 @@ object TextQueries {
              min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")),
 
+    // Train-benchmark n-gram decontamination: src0 documents play the
+    // benchmark/eval suite, everything else is the training corpus; a
+    // (train, bench) pair is contaminated when it shares >= 2 distinct
+    // word trigrams. Posting-list join across the two corpora — the
+    // benchmark side broadcasts, the training side never shuffles.
+    "q65_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramContamination(
+          train = docs.filter(col("source") =!= "src0"),
+          bench = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", k = 3, minShared = 2)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // Deterministic train/val/test fold assignment: fold is a pure
+    // function of md5(doc_id || salt) against cumulative thresholds
+    // (0.7/0.2/0.1), so membership is stable across runs, engines and
+    // corpus growth; the oracle recomputes the identical CASE chain.
+    "q66_fold_split" -> ((s, d) =>
+      graft.ext.Sampling.withFold(Tables.documents(s, d), col("doc_id"),
+          folds = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), salt = "r5")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("fold")),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -515,6 +541,37 @@ object TextQueries {
         |  FROM reach GROUP BY src)
         |SELECT component, count(*) AS n_members, max(id) AS max_id
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    // Same 3-gram construction as q27's oracle, joined ACROSS the
+    // train/bench split; n_shared = |intersection| of the deduped
+    // shingle lists, exactly what the posting-list join counts.
+    "q65_decontamination" ->
+      """WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |  CAST(len(list_intersect(t.shingles, b.shingles)) AS BIGINT) AS n_shared
+         |FROM sh t JOIN sh b ON t.source <> 'src0' AND b.source = 'src0'
+         |WHERE len(list_intersect(t.shingles, b.shingles)) >= 2
+         |ORDER BY train_id, bench_id""".stripMargin,
+
+    // Cumulative thresholds: 0.7 -> b3333333, 0.9 -> e6666666 (both
+    // = round(f * 2^32) in hex, the Sampling.thresholdHex rule);
+    // fixed-width lowercase hex compares lexicographically ==
+    // numerically in both engines.
+    "q66_fold_split" ->
+      """WITH s AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, CASE WHEN h < 'b3333333' THEN 'train'
+        |                 WHEN h < 'e6666666' THEN 'val'
+        |                 ELSE 'test' END AS fold FROM s)
+        |SELECT fold, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
 
     // Recomputes the content-hash membership exactly: fixed-width
     // lowercase hex compares lexicographically == numerically in both

@@ -295,6 +295,50 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("ngramContamination counts shared distinct trigrams, bench side broadcasts") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares both bench trigrams
+      (2L, "zz alpha beta gamma"),            // shares exactly 1 -> below minShared
+      (3L, "nothing in common here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.ngramContamination(train, bench,
+      "doc_id", "text", k = 3, minShared = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 100L, 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench posting list must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // minShared=1 admits the single-shingle pair too
+    val loose = graft.ext.Dedup.ngramContamination(train, bench,
+        "doc_id", "text", k = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 100L, 2L), (2L, 100L, 1L)))
+  }
+
+  test("withFold: total, deterministic, hash-threshold-exact fold assignment") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val folds = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)
+    val tagged = graft.ext.Sampling.withFold(docs, $"doc_id", folds, salt = "r5")
+    // total: every row labeled, labels only from the fold set
+    assert(tagged.filter($"fold".isNull).count() == 0)
+    assert(tagged.select("fold").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    assert(tagged.count() == docs.count())
+    // exact threshold semantics: fold == manual CASE over the hash
+    val manual = docs.withColumn("h", graft.ext.Sampling.sampleHash($"doc_id", "r5"))
+      .withColumn("expected",
+        when($"h" < "b3333333", "train").when($"h" < "e6666666", "val").otherwise("test"))
+    val joined = tagged.select($"doc_id", $"fold")
+      .join(manual.select($"doc_id", $"expected"), "doc_id")
+    assert(joined.filter($"fold" =!= $"expected").count() == 0)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.withFold(docs, $"doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("connectedComponents: min-label propagation over chains, singleton default") {
     // chain 1-2-3-4-5 exercises multi-sweep propagation (min label
     // crosses one hop per sweep); {10,11} a separate 2-clique
