@@ -71,6 +71,59 @@ object TextStats {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Repetition/structure quality signals (the Gopher-rules family —
+    * boilerplate and low-quality generated text shows up as token and
+    * n-gram repetition, symbol noise, or degenerate word lengths):
+    *
+    *  - rep_ratio: 1 - distinct/total whitespace tokens
+    *  - dup_bigram_ratio: 1 - distinct/total word bigrams (distinct
+    *    via the native [[graft.functions.WordShingles]], which dedups;
+    *    total bigrams = tokens - 1)
+    *  - symbol_ratio: chars outside [a-z0-9 ] over all chars
+    *  - mean_word_len: non-space chars per token
+    *
+    * All built-in/codegen'd per-row expressions — no shuffle, no
+    * UDFs; ratios are emitted UNROUNDED (round only aggregates, and
+    * compare thresholds on unrounded values, the q58 rule). Empty
+    * texts score 0 everywhere.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t).cast("double")
+    val distinctToks = size(array_distinct(split(t, " "))).cast("double")
+    val distinctBigrams = size(
+      graft.functions.GraftFunctions.wordShingles(df.sparkSession, t, 2)).cast("double")
+    df.withColumn("rep_ratio",
+        when(toks > 0, lit(1.0) - distinctToks / toks).otherwise(0.0))
+      .withColumn("dup_bigram_ratio",
+        when(toks > 1, lit(1.0) - distinctBigrams / (toks - 1)).otherwise(0.0))
+      .withColumn("symbol_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("double")
+            / length(t)).otherwise(0.0))
+      .withColumn("mean_word_len",
+        when(toks > 0,
+          length(regexp_replace(t, " ", "")).cast("double") / toks).otherwise(0.0))
+  }
+
+  /** Keep documents passing the repetition/structure gates — the
+    * composable filter form of [[withRepetitionStats]] (thresholds
+    * compare UNROUNDED values so the decision is cross-engine
+    * deterministic). */
+  def repetitionFilter(df: DataFrame, textCol: String,
+                       maxRepRatio: Double = 0.3,
+                       maxDupBigramRatio: Double = 0.3,
+                       maxSymbolRatio: Double = 0.1,
+                       minMeanWordLen: Double = 2.0,
+                       maxMeanWordLen: Double = 12.0): DataFrame =
+    withRepetitionStats(df, textCol)
+      .filter(col("rep_ratio") <= maxRepRatio &&
+              col("dup_bigram_ratio") <= maxDupBigramRatio &&
+              col("symbol_ratio") <= maxSymbolRatio &&
+              col("mean_word_len") >= minMeanWordLen &&
+              col("mean_word_len") <= maxMeanWordLen)
+      .drop("rep_ratio", "dup_bigram_ratio", "symbol_ratio", "mean_word_len")
+
   /** Character-n-gram profile score: total occurrence count of the
     * profile's n-grams in the text, via length arithmetic (codegen'd,
     * no arrays): count(g) = (len(text) - len(remove(text, g))) / len(g).

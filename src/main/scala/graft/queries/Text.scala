@@ -265,6 +265,27 @@ object TextQueries {
              min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("fold")),
 
+    // Repetition/structure quality signals (Gopher-rules family):
+    // per-source averages of token/bigram repetition, symbol noise
+    // and mean word length, plus the count passing the default
+    // filter gates. Per-doc ratios stay UNROUNDED (only the
+    // aggregates round; the filter compares unrounded values — the
+    // q58 rule), so the oracle mirrors bit-for-bit.
+    "q67_repetition_stats" -> ((s, d) => {
+      val docs = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("rep_ratio"), 6).as("avg_rep_ratio"),
+             round(avg("dup_bigram_ratio"), 6).as("avg_dup_bigram_ratio"),
+             round(avg("symbol_ratio"), 6).as("avg_symbol_ratio"),
+             round(avg("mean_word_len"), 6).as("avg_word_len"),
+             sum(when(col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+                      col("symbol_ratio") <= 0.1 &&
+                      col("mean_word_len").between(2.0, 12.0), 1L)
+               .otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -589,6 +610,37 @@ object TextQueries {
         |SELECT source, count(*) AS n_kept,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors every per-doc formula unrounded (guards match the Spark
+    // when() branches: 1-token docs contribute 0 bigram repetition).
+    "q67_repetition_stats" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END AS rep_ratio,
+        |    CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END AS dup_bigram_ratio,
+        |    CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END AS mean_word_len
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(rep_ratio), 6) AS avg_rep_ratio,
+        |  round(avg(dup_bigram_ratio), 6) AS avg_dup_bigram_ratio,
+        |  round(avg(symbol_ratio), 6) AS avg_symbol_ratio,
+        |  round(avg(mean_word_len), 6) AS avg_word_len,
+        |  CAST(sum(CASE WHEN rep_ratio <= 0.3 AND dup_bigram_ratio <= 0.3
+        |                 AND symbol_ratio <= 0.1
+        |                 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

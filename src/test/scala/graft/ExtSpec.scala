@@ -295,6 +295,28 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("withRepetitionStats: hand-computed signals, filter gates") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),  // rep 1-3/4, dup-bigram 0, syms 0, mwl 8/4
+      (2L, "x! x! x! x!"),  // rep 1-1/4, dup-bigram 1-1/3, syms 4/11, mwl 2
+      (3L, "hello")         // 1 token: bigram guard -> 0, mwl 5
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextStats.withRepetitionStats(docs, "text")
+      .orderBy("doc_id")
+      .select("rep_ratio", "dup_bigram_ratio", "symbol_ratio", "mean_word_len")
+      .collect()
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(near(out(0).getDouble(0), 0.25) && near(out(0).getDouble(1), 0.0) &&
+           near(out(0).getDouble(2), 0.0) && near(out(0).getDouble(3), 2.0))
+    assert(near(out(1).getDouble(0), 0.75) && near(out(1).getDouble(1), 1.0 - 1.0 / 3) &&
+           near(out(1).getDouble(2), 4.0 / 11) && near(out(1).getDouble(3), 2.0))
+    assert(near(out(2).getDouble(0), 0.0) && near(out(2).getDouble(1), 0.0) &&
+           near(out(2).getDouble(2), 0.0) && near(out(2).getDouble(3), 5.0))
+    val kept = graft.ext.TextStats.repetitionFilter(docs, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"gates must drop the repetitive/symbol-noise doc, got $kept")
+  }
+
   test("ngramContamination counts shared distinct trigrams, bench side broadcasts") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
