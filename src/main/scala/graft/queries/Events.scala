@@ -64,6 +64,34 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Session SEQUENCE assembly — the behavioral-training-data shape:
+    // per (user, session), the time-ordered event-type sequence as a
+    // delimited string, truncated to the first 20 events (explicit,
+    // oracle-mirrored cap), keeping sessions with >= 3 events. Reuses
+    // q23's sessionization; ordering inside the aggregate is total
+    // ((ts, event_id) is unique), so the assembled sequence is
+    // deterministic on any partitioning. collect_list runs per
+    // session (bounded by the session gap); the transform/slice
+    // lambdas run on aggregated session rows, not the scan.
+    "q68_session_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             array_join(
+               transform(
+                 slice(sort_array(collect_list(struct(col("ts"), col("event_id"),
+                   col("event_type")))), 1, 20),
+                 e => e.getField("event_type")), ">").as("sequence"))
+        .filter(col("n_events") >= 3)
+        .orderBy("user_id", "session_id")
+    }),
+
     // JSON -> typed struct via from_json (schema'd parse; q20 is the
     // string-extraction form), nested field access + filter.
     "q41_json_struct" -> ((s, d) =>
@@ -160,6 +188,28 @@ object EventQueries {
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         | round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // Same sessionization as q23; the ordered-aggregate list mirrors
+    // Spark's sort_array(collect_list(struct(ts, event_id, ...))) —
+    // both orders are total, so the truncated sequence is identical.
+    "q68_session_sequences" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 20), '>') AS sequence
+        |FROM sess GROUP BY user_id, session_id
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q41_json_struct" ->
       """SELECT event_type, count(*) AS n,
