@@ -155,13 +155,16 @@ object Dedup {
         // per-group doc counts: tiny (one row per group), broadcast
         val groupN = sh.groupBy(groupCol).agg(count(lit(1)).as("__gn"))
         // document frequency per (group, shingle); postings above the
-        // cutoff never reach the pair join
-        val kept = raw
+        // cutoff never reach the pair join. Staged: `kept` (two
+        // shuffle joins deep) fans out to both sides of the size
+        // self-join below — without the persist it would evaluate
+        // twice (the stage-before-fanout rule).
+        val kept = graft.ops.Staging.stage(raw
           .join(raw.groupBy(groupCol, "s").agg(count(lit(1)).as("__df")),
                 Seq(groupCol, "s"))
           .join(broadcast(groupN), Seq(groupCol))
           .filter(col("__df") <= col("__gn") * maxDocFreq)
-          .select(col(idCol), col(groupCol), col("s"))
+          .select(col(idCol), col(groupCol), col("s")))
         // sizes over SURVIVING shingles (symmetric filtered Jaccard)
         graft.ops.Staging.stage(
           kept.join(
@@ -279,22 +282,28 @@ object Dedup {
     * both sides' deduped shingles, equi-join on the shingle, count
     * matches per (train, bench) pair = |shared shingle set|. Work is
     * proportional to co-occurring shingles, never |train| x |bench|.
-    * At production scale the benchmark side is tiny (a fixed eval
-    * suite) — its posting list broadcasts, so the training corpus is
-    * scanned once and never shuffled; pairs sharing nothing never
-    * materialize.
+    * With `broadcastBench` (the default) the benchmark posting list
+    * broadcasts, so the training corpus is scanned once and never
+    * shuffled; pairs sharing nothing never materialize. The broadcast
+    * is only valid while |bench docs| x |shingles per doc| fits the
+    * executors (a fixed eval suite does; Spark hard-caps broadcasts
+    * at 8 GB) — for a large benchmark side pass `broadcastBench =
+    * false` to fall back to the shuffle equi-join, which is the q27
+    * shape and has no size constraint.
     */
   def ngramContamination(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 5, minShared: Int = 1): DataFrame = {
+                         k: Int = 5, minShared: Int = 1,
+                         broadcastBench: Boolean = true): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     val tsh = withShingles(train, textCol, k)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("train_id"), explode(col("shingles")).as("s"))
-    val bsh = withShingles(bench, textCol, k)
+    val bsh0 = withShingles(bench, textCol, k)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("bench_id"), explode(col("shingles")).as("s"))
-    tsh.join(broadcast(bsh), "s")
+    val bsh = if (broadcastBench) broadcast(bsh0) else bsh0
+    tsh.join(bsh, "s")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -312,26 +321,31 @@ object Dedup {
     * component = the smallest id reachable from it (so each cluster
     * is labeled by its canonical keep-lowest-id representative).
     *
-    * Algorithm: iterative min-label propagation — label(v) starts at
-    * v and each sweep takes the min of itself and its neighbors'
-    * labels, until a sweep changes nothing. Each sweep is one
-    * edges-to-labels equi-join + a min aggregate (both shuffle by
-    * id); iterations needed = the graph's diameter, which for
-    * near-dup clusters (dense, small) is a handful — maxIter bounds
-    * pathological chains. Every sweep's frame is persisted,
-    * materialized by the convergence count, and the previous sweep's
-    * is released, so memory held is one labels table regardless of
-    * iteration count. (At petabyte scale the same loop runs with
-    * checkpointing to cut lineage, or the large-star/small-star
-    * variant for O(log n) sweeps on high-diameter graphs; the
-    * join+aggregate sweep shape is identical.)
+    * Ids are generic (any orderable type — long doc ids or string
+    * keys both work); "smallest" is the type's SQL ordering.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each
+    * sweep takes label(v) = min over v and its neighbors' labels,
+    * then short-circuits through the label table itself
+    * (label(v) := label(label(v)), valid because a label is always
+    * some node's id). The jump halves path lengths, so sweeps needed
+    * are O(log diameter), not O(diameter) — a 1000-link boilerplate
+    * chain converges in ~10 sweeps. Each sweep is two equi-joins + a
+    * min aggregate (all shuffle by id). Every sweep's frame is
+    * persisted, materialized by the convergence count, and the
+    * previous sweep's released, so memory held is one labels table
+    * regardless of iteration count. If maxIter is hit before a sweep
+    * changes nothing the result would be WRONG (a cluster split in
+    * two), so the operator throws instead of returning silently.
+    * (At petabyte scale the same loop runs with checkpointing to cut
+    * lineage; the join+aggregate sweep shape is identical.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = graft.ops.Staging.stage(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -342,10 +356,16 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
         .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
-      val next = labels
+      val hop = labels
         .join(nbr.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+      // pointer jump: follow the new label one more step (labels are
+      // node ids, so they resolve in the same table)
+      val next = hop
+        .join(hop.select(col("id").as("component"), col("component").as("jumped")),
+              Seq("component"), "left")
+        .select(col("id"), coalesce(col("jumped"), col("component")).as("component"))
       next.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.select(col("id"), col("component").as("now"))
         .join(labels.select(col("id"), col("component").as("prev")), "id")
@@ -354,6 +374,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter sweeps " +
+          "(graph diameter > 2^maxIter is not a realistic dup cluster; " +
+          "raise maxIter if yours truly is)")
     // the final frame is already materialized; register it so the
     // query harness releases it after the consuming action
     graft.ops.Staging.stage(labels)
@@ -370,6 +395,6 @@ object Dedup {
                        out: String = "component"): DataFrame = {
     val cc = connectedComponents(pairs, aCol, bCol)
     docs.join(cc.select(col("id").as(idCol), col("component").as(out)), Seq(idCol), "left")
-      .withColumn(out, coalesce(col(out), col(idCol).cast("long")))
+      .withColumn(out, coalesce(col(out), col(idCol)))
   }
 }

@@ -20,11 +20,13 @@ final case class FinData(
     * from tiny collected aggregates. data_url is a runtime-environment
     * fact, reported as the source path here; memory_usage_mb is the
     * Spark analog of the reference's resident-DataFrame MB
-    * (`data.py:81,86`) — the session's persisted storage (memory +
-    * disk bytes across the cached frames, read from the public
-    * getRDDStorageInfo status; the four FinData frames dominate it by
-    * construction). Computed AFTER the financials aggregates above it
-    * have run, so the caches it reports are materialized.
+    * (`data.py:81,86`): the summed cached size of THE FOUR FinData
+    * frames — each frame is materialized (count on a cached frame),
+    * after which its InMemoryRelation's plan stats report the actual
+    * cached bytes. Scoped per-frame deliberately: a session-wide
+    * storage readout would silently include unrelated persists (ext
+    * operators' staged frames, user caches) in a number presented as
+    * FinData's footprint.
     */
   def info(dataPath: String = ""): DataFrame = {
     val spark = financials.sparkSession
@@ -35,8 +37,11 @@ final case class FinData(
       date_format(max("period_end"), "yyyy-MM-dd").as("last"),
       countDistinct("cvm_id").as("companies")).head()
     val nReports = financials.select("cvm_id", "is_annual", "period_end").distinct().count()
-    val cachedMb = spark.sparkContext.getRDDStorageInfo
-      .map(i => i.memSize + i.diskSize).sum / 1048576.0
+    val frames = Seq(financials, trades, language, indicators)
+    frames.foreach(_.count()) // resident by contract; materialize caches
+    val cachedMb = frames
+      .map(_.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+      .sum / 1048576.0
     Seq(
       ("data_url", dataPath),
       ("memory_usage_mb", f"$cachedMb%.3f"),

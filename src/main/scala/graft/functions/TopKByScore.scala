@@ -172,6 +172,13 @@ final class TopKStrBuffer(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
+  /** Whether add(score, id) would retain the pair — checked BEFORE
+    * the caller pays a defensive copy of a row-buffer-aliased
+    * UTF8String; on the scan path nearly every row loses to the heap
+    * root and must not allocate. */
+  def wouldAdmit(score: Double, id: UTF8String): Boolean =
+    size < k || (k > 0 && worse(scores(0), ids(0), score, id))
+
   def add(score: Double, id: UTF8String): Unit = {
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
@@ -243,9 +250,14 @@ case class TopKByScoreStr(
   override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      // clone: the evaluated UTF8String may alias a reused row buffer
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    if (s != null && i != null) {
+      val sc = s.asInstanceOf[Double]
+      val id8 = i.asInstanceOf[UTF8String]
+      // clone only on admission: the evaluated UTF8String may alias a
+      // reused row buffer, but most rows lose to the heap root and
+      // must not pay a per-row byte-array copy on the scan path
+      if (buf.wouldAdmit(sc, id8)) buf.add(sc, id8.clone())
+    }
     buf
   }
 

@@ -379,6 +379,16 @@ class ExtSpec extends AnyFunSuite {
     val kept = graft.ext.Dedup.withDupComponent(docs, "doc_id", pairs)
       .filter($"doc_id" === $"component").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 10L, 99L))
+    // ids are generic: string keys label by lexicographic min
+    val strCc = graft.ext.Dedup.connectedComponents(
+        Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strCc == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    // an unconverged run must throw, never return a split cluster
+    val err = intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(err.getMessage.contains("converge"))
     graft.ops.Staging.releaseAll()
   }
 
