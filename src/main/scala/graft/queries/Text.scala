@@ -206,6 +206,26 @@ object TextQueries {
         .orderBy("lang", "rk")
     }),
 
+    // The FULL curation pipeline in one call (DocPrep.prepareFull):
+    // exact dedup -> 64-bit SimHash near-dup components (keep each
+    // cluster's lowest id) -> repetition gates -> lang-ID/quality
+    // filter -> deterministic fold split. The oracle mirrors every
+    // stage (dedup window, SimHash closure, gate formulas, q58's
+    // score CASEs, fold thresholds) — the strongest cross-engine
+    // check in the repo: one hash over the composition of six
+    // operators.
+    "q69_curation_pipeline" -> ((s, d) =>
+      graft.ext.DocPrep.prepareFull(Tables.documents(s, d), "doc_id", "text",
+          stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
+          foldSalt = "r5")
+        .groupBy("fold", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("total_tokens"),
+             round(avg("quality"), 6).as("avg_quality"),
+             min("doc_id").as("min_id"))
+        .orderBy("fold", "predicted_lang")),
+
     // Dup-cluster connected components: q59's near-dup PAIRS are not
     // transitive (hamming <= 3 can chain A~B~C with A,C at distance
     // 6), so corpus curation needs the components of the pair graph —
@@ -524,6 +544,98 @@ object TextQueries {
         |        ORDER BY n DESC, ngram) AS rk FROM g)
         |SELECT lang, ngram, n, rk FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // Stage-for-stage mirror of prepareFull: rn=1 dedup -> 64-bit
+    // SimHash pairs over the DEDUPED set -> recursive closure ->
+    // keep-lowest-representative -> q67 gate formulas (defaults) ->
+    // q58 score/argmax CASEs -> 0.8/0.9 cumulative fold thresholds.
+    "q69_curation_pipeline" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |kept AS (
+        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
+        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
+        |gm AS (
+        |  SELECT doc_id, text,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM kept),
+        |g AS (
+        |  SELECT doc_id, text FROM gm
+        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM g),
+        |p2 AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |f AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
+        |  FROM p2
+        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh'))
+        |SELECT CASE WHEN h < 'cccccccd' THEN 'train'
+        |            WHEN h < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS fold,
+        |  predicted_lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  min(doc_id) AS min_id
+        |FROM f GROUP BY 1, predicted_lang ORDER BY fold, predicted_lang""".stripMargin,
 
     // Transitive closure over the q59 pair set (same 64-bit SimHash
     // recomputation), then component = min reachable id. The
