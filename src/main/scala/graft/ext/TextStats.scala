@@ -71,6 +71,19 @@ object TextStats {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Sequential pattern redaction — the PII-scrub stage of a text
+    * pipeline: each (label, regex) pair rewrites every match to
+    * `[label]`, applied in list order (later patterns see earlier
+    * replacements, so order the specific before the general).
+    * Codegen'd regexp_replace chain, map-side; the pattern list is a
+    * plan-time constant. Cross-engine deterministic: the DuckDB
+    * oracle applies the identical chain with the 'g' flag.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (acc, (label, re)) =>
+      regexp_replace(acc, re, s"[$label]")
+    }
+
   /** Repetition/structure quality signals (the Gopher-rules family —
     * boilerplate and low-quality generated text shows up as token and
     * n-gram repetition, symbol noise, or degenerate word lengths):

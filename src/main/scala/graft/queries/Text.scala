@@ -306,6 +306,40 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Sequential pattern redaction (the PII-scrub mechanism on this
+    // corpus's vocabulary): word-boundary patterns rewrite to
+    // [LABEL] tokens in list order; the aggregate hashes both the
+    // change accounting and the resulting lengths, so any divergence
+    // in regex semantics or application order turns the row red.
+    "q70_redaction" -> ((s, d) => {
+      val patterns = Seq("SECRET" -> "\\b(key|hash)\\b", "TOOL" -> "\\bspark\\b")
+      Tables.documents(s, d)
+        .withColumn("redacted", TextStats.redact(col("text"), patterns))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("redacted") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
+             sum(length(col("text")).cast("long")).as("chars_before"),
+             sum(length(col("redacted")).cast("long")).as("chars_after"))
+        .orderBy("source")
+    }),
+
+    // Deterministic token-budget shard packing: 8 independent packing
+    // lanes (bucket = doc_id % 8), documents concatenated in doc_id
+    // order within a lane and cut every 5000 tokens — a document
+    // starts in shard floor(cum_before / 5000). The per-shard
+    // aggregate pins the cut points exactly.
+    "q71_shard_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Packing.packShards(docs, col("doc_id"), col("n_tokens"),
+          tokenBudget = 5000L, bucket = pmod(col("doc_id"), lit(8)).cast("int"))
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("shard_tokens"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("pack_bucket", "pack_shard")
+    }),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -753,6 +787,39 @@ object TextQueries {
         |                 AND mean_word_len BETWEEN 2.0 AND 12.0
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Identical chain order with the 'g' flag; RE2 and Java agree on
+    // \b word boundaries over this lowercase-word corpus.
+    "q70_redaction" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    regexp_replace(regexp_replace(text, '\b(key|hash)\b', '[SECRET]', 'g'),
+        |                   '\bspark\b', '[TOOL]', 'g') AS redacted
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(redacted)) AS BIGINT) AS chars_after
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same lanes, order, and cut rule; the 5000.0 divisor keeps the
+    // floor boundary in exact double arithmetic on both engines.
+    "q71_shard_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_bucket,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT pack_bucket,
+        |  CAST(floor((cum - n_tokens) / 5000.0) AS BIGINT) AS pack_shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY pack_bucket, pack_shard
+        |ORDER BY pack_bucket, pack_shard""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

@@ -295,6 +295,35 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("redact applies patterns in order with word boundaries") {
+    val df = Seq(
+      (1L, "the key to the hash is spark"),
+      (2L, "keyboard hashes sparkle"),       // no word-boundary matches
+      (3L, "key")
+    ).toDF("id", "text")
+    val out = df.select($"id", graft.ext.TextStats.redact($"text",
+        Seq("SECRET" -> "\\b(key|hash)\\b", "TOOL" -> "\\bspark\\b")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "the [SECRET] to the [SECRET] is [TOOL]")
+    assert(out(1) == "keyboard hashes sparkle")
+    assert(out(2) == "[SECRET]")
+  }
+
+  test("packShards: deterministic cut points, soft budget, per-bucket lanes") {
+    val docs = Seq(
+      (0L, 3000), (2L, 3000), (4L, 3000),  // bucket 0: cum 3000,6000,9000
+      (1L, 4900), (3L, 150), (5L, 5000)    // bucket 1: cum 4900,5050,10050
+    ).toDF("doc_id", "n")
+    val packed = graft.ext.Packing.packShards(docs, $"doc_id", $"n",
+        tokenBudget = 5000L, bucket = pmod($"doc_id", lit(2)).cast("int"))
+      .select("doc_id", "pack_bucket", "pack_shard")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // bucket 0: starts at 0, 3000, 6000 -> shards 0, 0, 1
+    assert(packed(0L) == (0, 0L) && packed(2L) == (0, 0L) && packed(4L) == (0, 1L))
+    // bucket 1: starts at 0, 4900, 5050 -> shards 0, 0 (overflows softly), 1
+    assert(packed(1L) == (1, 0L) && packed(3L) == (1, 0L) && packed(5L) == (1, 1L))
+  }
+
   test("withRepetitionStats: hand-computed signals, filter gates") {
     val docs = Seq(
       (1L, "aa bb aa cc"),  // rep 1-3/4, dup-bigram 0, syms 0, mwl 8/4
