@@ -290,19 +290,37 @@ object Dedup {
     * at 8 GB) — for a large benchmark side pass `broadcastBench =
     * false` to fall back to the shuffle equi-join, which is the q27
     * shape and has no size constraint.
+    *
+    * `maxBenchDf` is the stop-shingle guard (the exactJaccardPairs
+    * lesson applied here): a shingle contained in more than that many
+    * BENCHMARK documents is dropped before the join. Semantically a
+    * k-gram shared by half the benchmark is boilerplate, not leakage;
+    * mechanically its posting list drives join fan-out of
+    * df_train(s) x df_bench(s) rows — quadratic in corpus growth for
+    * vocabulary-dense corpora (measured: the unguarded q65 join went
+    * from ~1s at sf0.01 to minutes at sf0.1). One-sided filtering
+    * bounds the fan-out: a dropped shingle produces no pairs at all.
     */
   def ngramContamination(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 5, minShared: Int = 1,
-                         broadcastBench: Boolean = true): DataFrame = {
+                         broadcastBench: Boolean = true,
+                         maxBenchDf: Long = Long.MaxValue): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
+    require(maxBenchDf >= 1, "maxBenchDf must be >= 1")
     val tsh = withShingles(train, textCol, k)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("train_id"), explode(col("shingles")).as("s"))
     val bsh0 = withShingles(bench, textCol, k)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("bench_id"), explode(col("shingles")).as("s"))
-    val bsh = if (broadcastBench) broadcast(bsh0) else bsh0
+    val bsh1 =
+      if (maxBenchDf == Long.MaxValue) bsh0
+      else bsh0.join(
+        bsh0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxBenchDf).select("s"),
+        "s")
+    val bsh = if (broadcastBench) broadcast(bsh1) else bsh1
     tsh.join(bsh, "s")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -347,8 +365,10 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed at sweep-1's result directly: label = min(v, min neighbors)
+    // (one aggregate over the symmetric edge list saves a full sweep)
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("component"))
     labels.persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
@@ -374,11 +394,13 @@ object Dedup {
       labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist(blocking = false) // not Staging-registered yet
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter sweeps " +
           "(graph diameter > 2^maxIter is not a realistic dup cluster; " +
           "raise maxIter if yours truly is)")
+    }
     // the final frame is already materialized; register it so the
     // query harness releases it after the consuming action
     graft.ops.Staging.stage(labels)

@@ -262,14 +262,19 @@ object TextQueries {
     // Train-benchmark n-gram decontamination: src0 documents play the
     // benchmark/eval suite, everything else is the training corpus; a
     // (train, bench) pair is contaminated when it shares >= 2 distinct
-    // word trigrams. Posting-list join across the two corpora — the
-    // benchmark side broadcasts, the training side never shuffles.
+    // RARE word trigrams (bench document frequency <= 3 — the
+    // stop-shingle guard; this corpus's ~30-word vocabulary makes
+    // common trigrams ubiquitous, and an unguarded cross-corpus join
+    // is quadratic in corpus growth). Posting-list join across the
+    // two corpora — the benchmark side broadcasts, the training side
+    // never shuffles.
     "q65_decontamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ngramContamination(
           train = docs.filter(col("source") =!= "src0"),
           bench = docs.filter(col("source") === "src0"),
-          idCol = "doc_id", textCol = "text", k = 3, minShared = 2)
+          idCol = "doc_id", textCol = "text", k = 3, minShared = 2,
+          maxBenchDf = 3L)
         .orderBy("train_id", "bench_id")
     }),
 
@@ -710,19 +715,26 @@ object TextQueries {
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     // Same 3-gram construction as q27's oracle, joined ACROSS the
-    // train/bench split; n_shared = |intersection| of the deduped
-    // shingle lists, exactly what the posting-list join counts.
+    // train/bench split through the same rare-shingle guard: bench
+    // shingles with document frequency > 3 never join, and n_shared
+    // counts the surviving shared shingles.
     "q65_decontamination" ->
       """WITH sh AS (
          |  SELECT doc_id, source,
          |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
          |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
          |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
-         |SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
-         |  CAST(len(list_intersect(t.shingles, b.shingles)) AS BIGINT) AS n_shared
-         |FROM sh t JOIN sh b ON t.source <> 'src0' AND b.source = 'src0'
-         |WHERE len(list_intersect(t.shingles, b.shingles)) >= 2
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS s
+         |       FROM sh WHERE source = 'src0'),
+         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM bp GROUP BY s)
+         |         WHERE df <= 3),
+         |tp AS (SELECT doc_id AS train_id, unnest(shingles) AS s
+         |       FROM sh WHERE source <> 'src0')
+         |SELECT tp.train_id, bp.bench_id, count(*) AS n_shared
+         |FROM tp JOIN rare USING (s) JOIN bp USING (s)
+         |GROUP BY tp.train_id, bp.bench_id
+         |HAVING count(*) >= 2
          |ORDER BY train_id, bench_id""".stripMargin,
 
     // Cumulative thresholds: 0.7 -> b3333333, 0.9 -> e6666666 (both

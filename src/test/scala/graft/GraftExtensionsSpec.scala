@@ -30,7 +30,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       GraftFunctions.registry.size)
   }
 
-  test("config-injected extension registers the full registry (8/8 was 5/8 in r2)") {
+  test("config-injected extension registers the full registry (was 5/8 in r2)") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // The injected-function buffer is private[sql]; read it
