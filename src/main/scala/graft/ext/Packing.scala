@@ -32,6 +32,11 @@ object Packing {
   def packShards(df: DataFrame, orderCol: Column, tokensCol: Column,
                  tokenBudget: Long, bucket: Column): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    val reserved = Seq("pack_bucket", "pack_shard", "__cum")
+    val clash = df.columns.filter(c => reserved.contains(c))
+    require(clash.isEmpty,
+      s"packShards writes reserved columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.mkString(", ")} — rename or drop them first")
     val w = Window.partitionBy("pack_bucket").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("pack_bucket", bucket)

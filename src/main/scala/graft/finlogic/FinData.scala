@@ -44,7 +44,9 @@ final case class FinData(
       .sum / 1048576.0
     Seq(
       ("data_url", dataPath),
-      ("memory_usage_mb", f"$cachedMb%.3f"),
+      // Locale.ROOT: f"" uses the JVM default locale, which renders a
+      // comma decimal point under e.g. de_DE and breaks .toDouble parsers.
+      ("memory_usage_mb", String.format(java.util.Locale.ROOT, "%.3f", Double.box(cachedMb))),
       ("accounting_entries", a.getLong(0).toString),
       ("number_of_reports", nReports.toString),
       ("first_report", a.getString(1)),

@@ -140,6 +140,9 @@ case class Int8CosineSim(q: Expression, vec: Expression)
     var dot = 0.0; var nc = 0.0; var nx = 0.0
     var i = 0
     while (i < n) {
+      // a null element would read as 0.0 and silently skew the score;
+      // surface corrupt input as NULL (same contract as length mismatch)
+      if (codes.isNullAt(i) || x.isNullAt(i)) return null
       val c = codes.getByte(i).toDouble
       val xi = x.getDouble(i)
       dot += c * xi; nc += c * c; nx += xi * xi
