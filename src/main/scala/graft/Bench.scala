@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
@@ -21,6 +23,17 @@ import org.apache.spark.sql.SparkSession
   * under count() Catalyst drops the final global sort, so timings
   * would exclude every query's total ORDER BY while Verify (parquet
   * write) pays it.
+  *
+  * WATCHDOG (rounds 5 AND 6 each voided the entire artifact when one
+  * query hung — rc=1/rc=124, zero timings recorded): every query runs
+  * on a daemon worker thread with a hard time box
+  * (SPARK_GRAFT_QUERY_TIMEOUT seconds, default 120). On expiry the
+  * query's job group is cancelled, -1 is recorded, and the run moves
+  * on — a dead run still names its killer. Per-query lines print to
+  * stderr as they complete so a killed process leaves a readable
+  * trail. A query that timed out in run 1 is skipped in run 2 (its
+  * cancelled jobs may still be draining; re-running would contaminate
+  * neighbors and cost another full timeout for a known-dead query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,6 +45,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap plan-string work (see GraftSession) — a lineage bug then
+      // costs truncated strings, not GiB driver allocations
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       // NOTE: each testdata parquet is a single row group, so scan
       // stages are inherently one task here regardless of
       // maxPartitionBytes — the serial scan+project prefix of each
@@ -57,29 +73,69 @@ object Bench {
     // Failed queries report -1 (not their partial wall time) so a
     // regression can't masquerade as a fast run.
     // Dev aid: SPARK_GRAFT_QUERIES=q64,q69 restricts the run to the
-    // named prefixes (artifact runs leave it unset → full list).
+    // named prefixes. An artifact run MUST cover the full list, so a
+    // set filter is shouted to stderr and stamped into the JSON line
+    // ("filtered") — a partial artifact self-identifies instead of
+    // silently posing as the full suite.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
-    def runOnce(): Seq[(String, Double)] =
+    only.foreach { f =>
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_QUERIES=${f.mkString(",")} is set — " +
+          "this run covers a SUBSET of the suite and is NOT a valid artifact")
+    }
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
+    // single daemon worker: queries still run one-at-a-time; a hung
+    // query's thread is abandoned (cancelJobGroup interrupts its jobs)
+    // and a fresh worker takes over so the suite keeps moving
+    var worker = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "bench-query"); t.setDaemon(true); t
+    }
+    val timedOut = scala.collection.mutable.Set[String]()
+    def runOnce(run: Int): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
+        val ok =
+          if (timedOut(name)) false
+          else {
+            val group = s"bench-$name-$run"
+            val task = worker.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                // job group is thread-local: set it on the worker so
+                // cancelJobGroup reaches this query's jobs and no others
+                spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+                try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                finally spark.sparkContext.clearJobGroup()
+              }
+            })
+            try { task.get(timeoutSec, TimeUnit.SECONDS); true }
+            catch {
+              case _: TimeoutException =>
+                spark.sparkContext.cancelJobGroup(group)
+                task.cancel(true)
+                // the old worker may be stuck driver-side (analysis,
+                // not a job) — abandon it and continue on a fresh one
+                worker = Executors.newSingleThreadExecutor { r =>
+                  val t = new Thread(r, "bench-query"); t.setDaemon(true); t
+                }
+                timedOut += name
+                System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s (recorded -1)")
+                false
+              case e: java.util.concurrent.ExecutionException =>
+                System.err.println(s"[bench] $name failed: ${e.getCause.getMessage}")
+                false
+            }
+          }
         val secs = (System.nanoTime() - t0) / 1e9
         // Staged per-query persists are released between queries so no
         // MEMORY_AND_DISK blocks leak across measurements.
         graft.ops.Staging.releaseAll()
+        if (ok) System.err.println(f"[bench] run$run $name%-28s ${secs}%8.2f s")
         name -> (if (ok) secs else -1.0)
       }
-    val run1 = runOnce()
-    val run2 = runOnce()
+    val run1 = runOnce(1)
+    val run2 = runOnce(2)
     val results = run1.zip(run2).map { case ((name, a), (_, b)) =>
       // min of the successful runs; -1 only if BOTH runs failed
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
@@ -89,7 +145,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def tot(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
     val runTotals = s"[${tot(run1)},${tot(run2)}]"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals,"sf":"$sfDir"}""")
+    val filtered = only.map(f => s""","filtered":"${f.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals$filtered,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Defense-in-depth (round 6 postmortem): cap plan-string
+      // rendering at 1 MB so a future lineage bug degrades to
+      // truncated debug strings instead of GiB-scale driver
+      // allocations. NOT a fix for lineage growth — iterative
+      // operators must checkpoint (see Dedup.connectedComponents).
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
 
   /** Build (or reuse) the session and register the graft SQL
     * functions. */

@@ -349,18 +349,35 @@ object Dedup {
     * some node's id). The jump halves path lengths, so sweeps needed
     * are O(log diameter), not O(diameter) — a 1000-link boilerplate
     * chain converges in ~10 sweeps. Each sweep is two equi-joins + a
-    * min aggregate (all shuffle by id). Every sweep's frame is
-    * persisted, materialized by the convergence count, and the
-    * previous sweep's released, so memory held is one labels table
-    * regardless of iteration count. If maxIter is hit before a sweep
+    * min aggregate (all shuffle by id).
+    *
+    * LINEAGE: every sweep's frame is cut to a materialized RDD with an
+    * EAGER localCheckpoint. `persist()` is NOT enough here — it caches
+    * rows but keeps the full logical plan, and this loop references
+    * `hop` twice (self-join) and `labels` twice (sweep + convergence
+    * count), so an un-truncated plan tree grows ~3x per sweep:
+    * exponential driver-side analysis that froze at sf0.1 (2 GiB plan
+    * strings) while sf0.01 converged fine. With the checkpoint, every
+    * sweep starts from a constant-size LogicalRDD scan, at any scale.
+    * Superseded sweeps' checkpoint blocks are dropped by Spark's
+    * ContextCleaner once unreferenced; at most a handful of label
+    * tables (each ≤ one row per dup-cluster member, a sliver of the
+    * corpus) are held between GCs. If maxIter is hit before a sweep
     * changes nothing the result would be WRONG (a cluster split in
     * two), so the operator throws instead of returning silently.
-    * (At petabyte scale the same loop runs with checkpointing to cut
-    * lineage; the join+aggregate sweep shape is identical.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame =
+    connectedComponentsWithSweeps(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the sweep count it converged in —
+    * spec-only instrumentation pinning the O(log diameter)
+    * pointer-jumping promise (a regression to O(diameter) sweeps
+    * would still converge on small graphs, just catastrophically
+    * slower at scale; the count is the observable). */
+  private[graft] def connectedComponentsWithSweeps(
+      pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): (DataFrame, Int) = {
     val edges = graft.ops.Staging.stage(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -369,41 +386,43 @@ object Dedup {
     // (one aggregate over the symmetric edge list saves a full sweep)
     var labels = edges.groupBy("src").agg(min(col("dst")).as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("component"))
-    labels.persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), "dst")
         .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
+      // hop is checkpointed too: the pointer jump below reads it TWICE
+      // (self-join), so materializing it once halves the sweep's work
+      // and keeps both join inputs constant-size scans
       val hop = labels
         .join(nbr.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+        .localCheckpoint(true)
       // pointer jump: follow the new label one more step (labels are
       // node ids, so they resolve in the same table)
       val next = hop
         .join(hop.select(col("id").as("component"), col("component").as("jumped")),
               Seq("component"), "left")
         .select(col("id"), coalesce(col("jumped"), col("component")).as("component"))
-      next.persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.select(col("id"), col("component").as("now"))
         .join(labels.select(col("id"), col("component").as("prev")), "id")
         .filter(col("now") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
     if (changed > 0) {
-      labels.unpersist(blocking = false) // not Staging-registered yet
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter sweeps " +
           "(graph diameter > 2^maxIter is not a realistic dup cluster; " +
           "raise maxIter if yours truly is)")
     }
-    // the final frame is already materialized; register it so the
-    // query harness releases it after the consuming action
-    graft.ops.Staging.stage(labels)
+    // already materialized by the eager checkpoint; its block is freed
+    // by the ContextCleaner when the frame goes unreferenced
+    (labels, iter)
   }
 
   /** Tag every document with its dup-cluster representative:
