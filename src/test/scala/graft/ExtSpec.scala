@@ -421,6 +421,49 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("connectedComponents: O(log diameter) sweeps on a worst-case chain") {
+    // a 10k-node chain is the worst diameter per edge; pointer jumping
+    // must converge in ~log2(d) sweeps, so a regression to plain label
+    // propagation (O(d) sweeps — would need ~10000 here) fails fast.
+    // maxIter=18 doubles as the assertion that no sweep budget blowup
+    // sneaks by: the run throws, not just slows, if jumping breaks.
+    val n = 10000
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (cc, sweeps) =
+      Dedup.connectedComponentsWithSweeps(chain, maxIter = 18)
+    assert(sweeps <= 16, s"pointer jumping took $sweeps sweeps for diameter ${n - 1}")
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("connectedComponents equals union-find on random graphs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nodes = 60 + trial * 40
+      // sparse random graph: ~0.8 edges/node leaves a mix of large
+      // components, small cliques, and chains in one instance
+      val edges = Seq.fill((nodes * 0.8).toInt)(
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (nodes=$nodes) diverged from union-find")
+    }
+    graft.ops.Staging.releaseAll()
+  }
+
   test("connectedComponents equals a driver-side closure on real simhash pairs") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = graft.ext.Dedup.simHashNearDups(docs, "doc_id", "text",
