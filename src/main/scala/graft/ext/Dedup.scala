@@ -354,8 +354,7 @@ object Dedup {
     * LINEAGE: every sweep's frame is cut to a materialized RDD with an
     * EAGER localCheckpoint. `persist()` is NOT enough here — it caches
     * rows but keeps the full logical plan, and this loop references
-    * `hop` twice (self-join) and `labels` twice (sweep + convergence
-    * count), so an un-truncated plan tree grows ~3x per sweep:
+    * `hop` twice (self-join), so an un-truncated plan tree grows ~3x per sweep:
     * exponential driver-side analysis that froze at sf0.1 (2 GiB plan
     * strings) while sf0.01 converged fine. With the checkpoint, every
     * sweep starts from a constant-size LogicalRDD scan, at any scale.
@@ -395,10 +394,12 @@ object Dedup {
         .groupBy("src").agg(min("dst_comp").as("nbr_comp"))
       // hop is checkpointed too: the pointer jump below reads it TWICE
       // (self-join), so materializing it once halves the sweep's work
-      // and keeps both join inputs constant-size scans
+      // and keeps both join inputs constant-size scans. The pre-sweep
+      // label rides along as `prev` so convergence is a filter over
+      // the checkpointed frame — no join-back-to-labels shuffle.
       val hop = labels
         .join(nbr.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
         .localCheckpoint(true)
       // pointer jump: follow the new label one more step (labels are
@@ -406,12 +407,10 @@ object Dedup {
       val next = hop
         .join(hop.select(col("id").as("component"), col("component").as("jumped")),
               Seq("component"), "left")
-        .select(col("id"), coalesce(col("jumped"), col("component")).as("component"))
+        .select(col("id"), col("prev"), coalesce(col("jumped"), col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.select(col("id"), col("component").as("now"))
-        .join(labels.select(col("id"), col("component").as("prev")), "id")
-        .filter(col("now") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select("id", "component")
       iter += 1
     }
     if (changed > 0) {

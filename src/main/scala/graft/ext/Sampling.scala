@@ -68,6 +68,45 @@ object Sampling {
     df.withColumn(out, expr)
   }
 
+  /** Resample a corpus toward a target DOMAIN MIXTURE under a total
+    * row budget — the data-mixing step of training-corpus assembly
+    * ("30% web, 30% code, 40% books" against whatever the crawl
+    * actually contains). Each domain's keep fraction is
+    * `budget * share / count(domain)` clamped to 1: downsampling
+    * only, so a domain too small to fill its share keeps everything
+    * rather than replicating rows (the achieved mixture then reports
+    * the shortfall instead of hiding it). Domains absent from
+    * `targetShares` are dropped. Membership is the same content-keyed
+    * hash as [[deterministicSample]], so the resampled corpus is a
+    * pure function of the data — identical across runs, engines and
+    * partitionings, and shrinking the budget yields a SUBSET of the
+    * larger sample (nested subsamples, the property that makes
+    * scaling-law token ladders comparable).
+    *
+    * Scale shape: one tiny domains-sized aggregate collected to the
+    * driver (the fractions become plan-time constants, like IVF's
+    * centroid table), then one map-side filter over the corpus — no
+    * shuffle of the data itself. */
+  def mixtureResample(df: DataFrame, key: Column, domain: Column,
+                      targetShares: Map[String, Double], totalBudget: Long,
+                      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      "target shares must sum to 1")
+    require(totalBudget > 0, "totalBudget must be positive")
+    val counts = df.groupBy(domain.cast("string").as("__domain"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (budget * share) / count, evaluated in exactly this IEEE order —
+    // the DuckDB oracle writes the same literals in the same order, so
+    // the fraction (and its thresholdHex) match bit-for-bit
+    val fractions = targetShares.flatMap { case (dom, share) =>
+      counts.get(dom).map(cnt => dom -> math.min(1.0, totalBudget * share / cnt))
+    }
+    stratifiedSample(df, key, domain, fractions, defaultFraction = 0.0, salt)
+  }
+
   /** Stratified variant: per-stratum fractions (default for strata
     * not listed). One map-side filter; no shuffle, no per-stratum
     * passes. */

@@ -324,4 +324,28 @@ object Similarity {
         .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim")),
       k)
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-space near-duplicates — pairs with
+    * cosine >= threshold — are one semantic unit even when their
+    * surface text shares no n-grams (translations, paraphrases,
+    * templated rewrites), and near-duplication is not transitive, so
+    * the dedup unit is a connected component of the pair graph, not a
+    * pair. Returns the input plus `component`: the lowest member id
+    * of the row's semantic cluster (its own id for rows in no pair);
+    * `filter(col(idCol) === col("component"))` is then exactly "keep
+    * one representative per semantic cluster".
+    *
+    * Every stage is the already-scale-shaped machinery: pair
+    * generation is banded-hyperplane [[lshNearDupPairs]] (shuffle
+    * O(n·bands) band keys + verified collisions, never the O(n²)
+    * cross join), clustering is checkpointed pointer-jumping
+    * [[Dedup.connectedComponents]] (O(log diameter) constant-plan
+    * sweeps), and the label join-back broadcasts because only
+    * dup-cluster members carry labels. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bands: Int = 21,
+                    planesPerBand: Int = 3): DataFrame =
+    graft.ext.Dedup.withDupComponent(df, idCol,
+      lshNearDupPairs(df, idCol, vecCol, threshold, bands, planesPerBand))
 }

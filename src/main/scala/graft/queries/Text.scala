@@ -345,6 +345,24 @@ object TextQueries {
         .orderBy("pack_bucket", "pack_shard")
     }),
 
+    // Domain-mixture resampling (ext.Sampling.mixtureResample): keep
+    // fractions are (budget * share) / domain_count clamped to 1 —
+    // src0's 0.8 share exceeds its sf0.01 population, exercising the
+    // downsample-only clamp — and membership is the same md5 hash as
+    // q61, so the oracle recomputes counts, fractions, thresholds and
+    // membership identically (frac >= 1 means keep-all, sidestepping
+    // the 9-hex-digit threshold a clamped fraction would print).
+    "q72_mixture_resample" -> ((s, d) =>
+      graft.ext.Sampling.mixtureResample(
+          Tables.documents(s, d), col("doc_id"), col("source"),
+          targetShares = Map("src0" -> 0.8, "src1" -> 0.1,
+                             "src2" -> 0.05, "src3" -> 0.05),
+          totalBudget = 40L, salt = "r7")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -832,6 +850,33 @@ object TextQueries {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY pack_bucket, pack_shard
         |ORDER BY pack_bucket, pack_shard""".stripMargin,
+
+    // Recomputes counts -> fractions -> integer thresholds with the
+    // same literals in the same IEEE order as mixtureResample
+    // ((40.0 * share) / cnt, round(frac * 2^32)); DuckDB round() is
+    // half-away-from-zero and JVM Math.round is floor(x + 0.5) —
+    // identical for the positive values here. frac >= 1.0 short-
+    // circuits to keep-all, matching thresholdHex's "ffffffff~".
+    "q72_mixture_resample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, CASE source
+        |      WHEN 'src0' THEN least(1.0, 40.0 * 0.8 / cnt)
+        |      WHEN 'src1' THEN least(1.0, 40.0 * 0.1 / cnt)
+        |      WHEN 'src2' THEN least(1.0, 40.0 * 0.05 / cnt)
+        |      WHEN 'src3' THEN least(1.0, 40.0 * 0.05 / cnt)
+        |      ELSE 0.0 END AS frac
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, d.doc_id
+        |  FROM documents d JOIN f USING (source)
+        |  WHERE f.frac >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7'), 1, 8)
+        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
+        |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

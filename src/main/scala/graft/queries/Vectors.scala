@@ -131,6 +131,22 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semanticDedup): LSH
+    // near-dup pairs at cosine >= 0.5 (the q42-verified generator and
+    // parameters, so the pair set equals the exact one) -> connected
+    // components -> keep-lowest-id representative per cluster. The
+    // one-row summary pins corpus size, surviving representatives and
+    // dropped semantic dups against the oracle's exact-pair recursive
+    // transitive closure.
+    "q73_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.5, bands = 21, planesPerBand = 3)
+        .agg(count(lit(1)).as("n_vecs"),
+             countDistinct("component").as("n_kept"),
+             sum(when(col("vec_id") =!= col("component"), 1L).otherwise(0L))
+               .as("n_dropped"))
+        .orderBy("n_vecs")),
+
     // Per-label centroid aggregation: ONE elementwise vector-sum
     // buffer per partition per label through the exchange (the native
     // [[graft.functions.VectorSum]] aggregate) — round 2's posexplode
@@ -153,6 +169,37 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact cosine pairs (the q42 construction) -> recursive
+    // transitive closure (the q64 construction) -> per-corpus summary;
+    // singletons label themselves via the left-join coalesce.
+    "q73_semantic_dedup" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+        |      / (a.nrm * b.nrm) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+        |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id)
+        |SELECT count(*) AS n_vecs, count(DISTINCT component) AS n_kept,
+        |  CAST(sum(CASE WHEN vec_id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM lab ORDER BY n_vecs""".stripMargin,
+
     "q34_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

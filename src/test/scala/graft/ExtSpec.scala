@@ -421,6 +421,52 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("mixtureResample: clamped domains keep all, absent domains drop, budgets nest") {
+    val docs = ((0L until 40L).map(i => (i, "web")) ++
+                (100L until 104L).map(i => (i, "code")) ++
+                (200L until 210L).map(i => (i, "junk"))).toDF("id", "dom")
+    val shares = Map("web" -> 0.5, "code" -> 0.5)
+    // budget 8: web frac = 8*0.5/40 = 0.1, code = 4/4 = 1.0 (clamped:
+    // 0.5 share of budget 8 wants 4 rows and code has exactly 4)
+    val kept = graft.ext.Sampling.mixtureResample(
+        docs, $"id", $"dom", shares, totalBudget = 8L, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "code") == 4, "clamped domain must keep every row")
+    assert(!kept.exists(_._2 == "junk"), "unlisted domain must be dropped")
+    // membership is the documented pure function of md5(id || salt)
+    val webKept = kept.filter(_._2 == "web").map(_._1).toSet
+    val expectWeb = (0L until 40L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.substring(0, 8) < f"${math.round(0.1 * 4294967296.0)}%08x"
+    }.toSet
+    assert(webKept == expectWeb)
+    // shrinking the budget yields a SUBSET (nested subsamples)
+    val smaller = graft.ext.Sampling.mixtureResample(
+        docs, $"id", $"dom", shares, totalBudget = 4L, salt = "t")
+      .filter($"dom" === "web").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(webKept))
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.mixtureResample(docs, $"id", $"dom",
+        Map("web" -> 0.5), totalBudget = 8L)
+    }
+  }
+
+  test("semanticDedup: cosine clusters get one representative, singletons keep own id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal singleton
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal singleton
+      (5L, Array(0.0f, 0.0f, 0.98f, 0.15f))   // near-dup of 4
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("component"))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+    graft.ops.Staging.releaseAll()
+  }
+
   test("connectedComponents: O(log diameter) sweeps on a worst-case chain") {
     // a 10k-node chain is the worst diameter per edge; pointer jumping
     // must converge in ~log2(d) sweeps, so a regression to plain label
