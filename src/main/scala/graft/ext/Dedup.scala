@@ -404,11 +404,18 @@ object Dedup {
         .localCheckpoint(true)
       // pointer jump: follow the new label one more step (labels are
       // node ids, so they resolve in the same table)
+      // next's checkpoint is LAZY: the convergence count right below
+      // scans every partition, so it both materializes the checkpoint
+      // and computes `changed` in one job (eager would spend a
+      // separate materialization job per sweep). hop stays EAGER
+      // because the self-join reads it twice within a single job —
+      // lazy materialization under concurrent scans would compute it
+      // twice.
       val next = hop
         .join(hop.select(col("id").as("component"), col("component").as("jumped")),
               Seq("component"), "left")
         .select(col("id"), col("prev"), coalesce(col("jumped"), col("component")).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.select("id", "component")
       iter += 1
