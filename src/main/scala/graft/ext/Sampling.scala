@@ -89,20 +89,34 @@ object Sampling {
     * shuffle of the data itself. */
   def mixtureResample(df: DataFrame, key: Column, domain: Column,
                       targetShares: Map[String, Double], totalBudget: Long,
-                      salt: String = ""): DataFrame = {
+                      salt: String = ""): DataFrame =
+    mixtureResample(df, key, domain, targetShares, totalBudget, salt, lit(1L))
+
+  /** Weighted variant: budget and shares are in `weight` units —
+    * pass a token-count column and the mixture targets TOKEN shares,
+    * the unit training budgets are actually written in. Weights must
+    * be non-negative integers (their exact sum per domain drives the
+    * fraction); the keep decision is still whole-document, so the
+    * achieved token share wobbles by at most one document per
+    * domain boundary. */
+  def mixtureResample(df: DataFrame, key: Column, domain: Column,
+                      targetShares: Map[String, Double], totalBudget: Long,
+                      salt: String, weight: Column): DataFrame = {
     require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
       "target shares must be positive")
     require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
       "target shares must sum to 1")
     require(totalBudget > 0, "totalBudget must be positive")
+    // exact long sums (no float order-dependence), tiny result set
     val counts = df.groupBy(domain.cast("string").as("__domain"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(sum(weight.cast("long")).as("__cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // (budget * share) / count, evaluated in exactly this IEEE order —
     // the DuckDB oracle writes the same literals in the same order, so
     // the fraction (and its thresholdHex) match bit-for-bit
     val fractions = targetShares.flatMap { case (dom, share) =>
-      counts.get(dom).map(cnt => dom -> math.min(1.0, totalBudget * share / cnt))
+      counts.get(dom).filter(_ > 0L)
+        .map(cnt => dom -> math.min(1.0, totalBudget * share / cnt))
     }
     stratifiedSample(df, key, domain, fractions, defaultFraction = 0.0, salt)
   }

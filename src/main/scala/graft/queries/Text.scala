@@ -363,6 +363,39 @@ object TextQueries {
              min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")),
 
+    // Context-window chunking (ext.Chunking): 40-token windows with
+    // 8-token overlap (step 32) — map-side explode, no shuffle before
+    // the final aggregate. The per-source totals pin chunk counts,
+    // the boundary arithmetic (max_chunk_id, token sums) and the
+    // exact slice content (char totals include the overlap copies).
+    "q74_doc_chunking" -> ((s, d) =>
+      graft.ext.Chunking.chunkDocuments(Tables.documents(s, d), col("text"),
+          maxTokens = 40, overlap = 8)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+             countDistinct("doc_id").as("n_docs"),
+             sum("chunk_tokens").cast("long").as("total_chunk_tokens"),
+             max("chunk_id").cast("long").as("max_chunk_id"),
+             sum(length(col("chunk_text"))).cast("long").as("total_chunk_chars"))
+        .orderBy("source")),
+
+    // Token-weighted mixture resampling: same operator as q72 but the
+    // budget and shares are in TOKEN units (weight = n_tokens), the
+    // unit real training budgets are written in. Whole-document keep
+    // decisions, so kept_tokens approximates the target share.
+    "q75_token_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.mixtureResample(docs, col("doc_id"), col("source"),
+          targetShares = Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2),
+          totalBudget = 1000L, salt = "r7t", weight = col("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum("n_tokens").cast("long").as("kept_tokens"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -875,6 +908,59 @@ object TextQueries {
         |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7'), 1, 8)
         |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
         |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same chunk arithmetic: n_chunks = 1 + ceil((n-40)/32) via the
+    // identical floor((n - 40 + 31) / 32.0) double expression; DuckDB
+    // list slices clamp at the list end exactly like Spark's slice.
+    "q74_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CASE WHEN n <= 40 THEN 1
+        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, source, n, toks, unnest(range(0, nch)) AS k
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id, source, k,
+        |    least(40, n - k * 32) AS chunk_tokens,
+        |    array_to_string(toks[k * 32 + 1 : k * 32 + 40], ' ') AS chunk_text
+        |  FROM x)
+        |SELECT source, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+        |  CAST(max(k) AS BIGINT) AS max_chunk_id,
+        |  CAST(sum(length(chunk_text)) AS BIGINT) AS total_chunk_chars
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // q72's threshold recomputation with token-sum weights: fractions
+    // divide by the exact BIGINT token sum per domain, same literals,
+    // same IEEE order.
+    "q75_token_mixture" ->
+      """WITH w AS (
+        |  SELECT *, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cnt FROM w GROUP BY source),
+        |f AS (
+        |  SELECT source, CASE source
+        |      WHEN 'src0' THEN least(1.0, 1000.0 * 0.4 / cnt)
+        |      WHEN 'src1' THEN least(1.0, 1000.0 * 0.4 / cnt)
+        |      WHEN 'src2' THEN least(1.0, 1000.0 * 0.2 / cnt)
+        |      ELSE 0.0 END AS frac
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, d.doc_id, d.n_tokens
+        |  FROM w d JOIN f USING (source)
+        |  WHERE f.frac >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7t'), 1, 8)
+        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 

@@ -452,6 +452,55 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: overlap windows, short docs, boundary arithmetic") {
+    // 10 tokens a..j, maxTokens=4, overlap=1 -> step 3:
+    // chunks [a b c d][d e f g][g h i j] = 3 chunks; 7 tokens -> [a b c d][d e f g];
+    // 4 tokens -> exactly one chunk; 1 token -> one chunk
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g"),
+      (3L, "a b c d"),
+      (4L, "x")).toDF("doc_id", "text")
+    val out = graft.ext.Chunking.chunkDocuments(docs, $"text", maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g h i j", 4),
+      (2L, 0, "a b c d", 4), (2L, 1, "d e f g", 4),
+      (3L, 0, "a b c d", 4),
+      (4L, 0, "x", 1)))
+    // a doc whose tail starts mid-window gets a short last chunk
+    val tail = graft.ext.Chunking.chunkDocuments(
+        Seq((9L, "a b c d e")).toDF("doc_id", "text"), $"text", 4, 1)
+      .select("chunk_text", "chunk_tokens").orderBy("chunk_text").collect()
+    assert(tail.map(_.getString(0)).toSeq == Seq("a b c d", "d e"))
+    assert(tail.map(_.getInt(1)).toSeq == Seq(4, 2))
+    intercept[IllegalArgumentException] {
+      graft.ext.Chunking.chunkDocuments(docs, $"text", 4, 4)
+    }
+  }
+
+  test("mixtureResample weighted: fractions divide by token sums, zero-weight domain drops") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L),
+      (5L, "b", 50L), (6L, "b", 50L),
+      (7L, "z", 0L)).toDF("id", "dom", "w")
+    // budget 200 tokens: a frac = 200*0.5/400 = 0.25, b = 100/100 = 1.0 (clamp)
+    val kept = graft.ext.Sampling.mixtureResample(
+        docs, $"id", $"dom", Map("a" -> 0.5, "b" -> 0.5), 200L, "tw", $"w")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "b") == 2, "clamped domain keeps all")
+    assert(!kept.exists(_._2 == "z"), "domain absent from shares drops")
+    val aKept = kept.filter(_._2 == "a").map(_._1).toSet
+    val expectA = (1L to 4L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}tw".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.substring(0, 8) < f"${math.round(0.25 * 4294967296.0)}%08x"
+    }.toSet
+    assert(aKept == expectA)
+  }
+
   test("semanticDedup: cosine clusters get one representative, singletons keep own id") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
