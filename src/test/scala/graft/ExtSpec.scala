@@ -481,6 +481,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("plan audit: chunking is map-side fan-out — one exchange, no window, no UDF") {
+    val plan = graft.queries.TextQueries.queries("q74_doc_chunking")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"chunking must use builtin expressions only:\n$plan")
+    // two hash exchanges, both from the AGGREGATE (count-distinct's
+    // standard (source, doc_id) partial phase + the final per-source
+    // phase); the explode fan-out itself contributes none — chunk
+    // rows are born and consumed map-side
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected the 2 count-distinct agg exchanges only:\n$plan")
+    assert(plan.contains("Generate explode"), s"chunk fan-out must be a Generate:\n$plan")
+  }
+
   test("mixtureResample weighted: fractions divide by token sums, zero-weight domain drops") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L),
