@@ -49,6 +49,36 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(idCol).as("representative_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (delta-shard) exact dedup against a FROZEN corpus —
+    * the continuous-crawl shape: yesterday's corpus is immutable and
+    * retains only its 16-byte content fingerprints as dedup state
+    * (at 100 TB that state is ~0.1% of the corpus). Drops every new
+    * document whose md5(text) already exists in `corpusHashes`, then
+    * exact-dedups the survivors within the batch (keep-lowest-id), so
+    * corpus ∪ result has no exact duplicate and corpus rows always
+    * win over re-crawled copies. Returns the surviving rows with
+    * their `content_hash` (the fingerprints to append to the state
+    * for the next increment).
+    *
+    * Scale shape: the anti join and the representative join both key
+    * on the 16-byte hash — text never shuffles — and all three
+    * operators (anti join, min aggregate, representative join) share
+    * the same hash partitioning, so the delta side is exchanged once.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusHashes: DataFrame,
+                         hashCol: String = "content_hash"): DataFrame = {
+    require(!newDocs.columns.contains("content_hash") || textCol == "content_hash",
+      "newDocs already has a content_hash column")
+    val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    val fresh = hashed.join(
+      corpusHashes.select(col(hashCol).as("content_hash")),
+      Seq("content_hash"), "left_anti")
+    val reps = fresh.groupBy("content_hash").agg(min(col(idCol)).as("__rep"))
+    fresh.join(reps, Seq("content_hash"))
+      .filter(col(idCol) === col("__rep")).drop("__rep")
+  }
+
   /** MinHash signature: `numHashes` seeded xxhash64 permutations;
     * signature_i = min over shingles. Computed by the native
     * codegen'd [[graft.functions.MinHashSignature]] expression — the

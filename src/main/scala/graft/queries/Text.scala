@@ -396,6 +396,25 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Incremental dedup of a delta shard against a frozen corpus
+    // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
+    // new crawl, the rest the immutable corpus whose only retained
+    // state is its distinct md5 fingerprints. Corpus copies lose,
+    // intra-batch dups keep the lowest id.
+    "q76_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      graft.ext.Dedup.dedupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", corpusHashes)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+             countDistinct("content_hash").as("n_hashes"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
     // Multimodal plumbing: text -> binary column -> deterministic
     // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
     // -> metadata aggregation. Exercises binary schema + byte ops.
@@ -963,6 +982,24 @@ object TextQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Anti-join on the same md5 fingerprints, then min-id-per-hash via
+    // a join back (mirrors the operator's two-step representative
+    // selection exactly).
+    "q76_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |delta AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        |fresh AS (
+        |  SELECT * FROM delta WHERE h NOT IN (SELECT h FROM corpus)),
+        |keep AS (
+        |  SELECT f.* FROM fresh f
+        |  JOIN (SELECT h, min(doc_id) AS m FROM fresh GROUP BY h) r
+        |    ON f.h = r.h AND f.doc_id = r.m)
+        |SELECT source, count(*) AS n_new, count(DISTINCT h) AS n_hashes,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
 
     "q33_multimodal_meta" ->
       """WITH m AS (

@@ -517,6 +517,29 @@ class ExtSpec extends AnyFunSuite {
     assert(aKept == expectA)
   }
 
+  test("dedupAgainstCorpus: corpus wins, intra-batch keeps lowest id, hashes returned") {
+    val corpus = Seq("seen text").toDF("text")
+      .select(md5($"text").as("content_hash"))
+    val delta = Seq(
+      (10L, "seen text"),   // already in corpus -> dropped
+      (11L, "new text"),    // intra-batch dup, lowest id -> kept
+      (12L, "new text"),    // intra-batch dup -> dropped
+      (13L, "other new")    // unique -> kept
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", corpus)
+      .select("doc_id", "text", "content_hash").collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(11L, 13L))
+    // returned hashes are the md5 fingerprints to append to the state
+    val hashes = out.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(hashes("new text") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("new text".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // idempotence: running the delta against corpus + returned hashes drops everything
+    val state = corpus.union(
+      delta.select(md5($"text").as("content_hash")).filter($"content_hash".isin(hashes.values.toSeq: _*)))
+    assert(graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", state).count() == 0)
+  }
+
   test("semanticDedup: cosine clusters get one representative, singletons keep own id") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -26,6 +26,40 @@ class PropertySpec extends AnyFunSuite {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, rng.Seed(42L + i)))
 
+  test("chunkDocuments: chunks reconstruct the original token stream losslessly") {
+    val docGen: Gen[List[String]] = Gen.listOfN(20, for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d1", "e"))
+    } yield ws.mkString(" "))
+    for ((texts, i) <- samples(docGen, 4).zipWithIndex) {
+      val (maxT, ov) = Seq((7, 0), (7, 3), (16, 5), (40, 8))(i)
+      val step = maxT - ov
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.ext.Chunking.chunkDocuments(df, $"text", maxT, ov)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.foreach { case (t, id) =>
+        val toks = t.split(" ", -1)
+        val cs = chunks(id.toLong)
+        // chunk ids are dense from 0
+        assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+        // every chunk except the last is full-size; none exceeds maxT
+        assert(cs.init.forall(_._4 == maxT) && cs.last._4 <= maxT)
+        // dropping each later chunk's overlap prefix rebuilds the doc
+        val rebuilt = cs.head._3.split(" ", -1).toSeq ++
+          cs.tail.toSeq.flatMap(_._3.split(" ", -1).drop(ov).toSeq)
+        assert(rebuilt == toks.toSeq,
+          s"doc $id (${toks.length} toks, max=$maxT ov=$ov) failed reconstruction")
+        // chunk k starts exactly at k*step
+        cs.foreach { case (_, k, text, _) =>
+          assert(text.split(" ", -1).head == toks(k * step))
+        }
+      }
+    }
+  }
+
   test("dedupKeepLast: exactly one row per key, the max under the order") {
     for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
       val df = rows.toDF("k", "t", "v")
