@@ -396,6 +396,31 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // The COMPLETE corpus-to-training-shards pipeline: prepareFull
+    // (dedup -> near-dup CC -> gates -> lang/quality -> folds), then
+    // context-window chunking (40/8), then token-budget packing into
+    // ~500-token shards laned by (fold, doc_id%4). One call chain over
+    // nine operators; the oracle replays every stage in one SQL.
+    "q77_curation_to_shards" -> ((s, d) => {
+      val prepped = graft.ext.DocPrep.prepareFull(Tables.documents(s, d),
+          "doc_id", "text", stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
+          foldSalt = "r5")
+      val chunks = graft.ext.Chunking.chunkDocuments(prepped, col("text"),
+          maxTokens = 40, overlap = 8)
+      graft.ext.Packing.packShards(chunks,
+          orderCol = struct(col("doc_id"), col("chunk_id")),
+          tokensCol = col("chunk_tokens"), tokenBudget = 500L,
+          bucket = concat(col("fold"), lit(":"),
+                          pmod(col("doc_id"), lit(4)).cast("string")))
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(count(lit(1)).as("n_chunks"),
+             countDistinct("doc_id").as("n_docs"),
+             sum("chunk_tokens").cast("long").as("shard_tokens"),
+             min("doc_id").as("min_doc"))
+        .orderBy("pack_bucket", "pack_shard")
+    }),
+
     // Incremental dedup of a delta shard against a frozen corpus
     // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
     // new crawl, the rest the immutable corpus whose only retained
@@ -982,6 +1007,115 @@ object TextQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // q69's stage-for-stage replay (dedup window, SimHash closure,
+    // gates, scores, folds) extended with q74's chunk arithmetic and
+    // q71's lane cumsum — the longest single cross-engine check in
+    // the repo: one hash over eleven composed stages.
+    "q77_curation_to_shards" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |kept AS (
+        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
+        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
+        |gm AS (
+        |  SELECT doc_id, text,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM kept),
+        |g AS (
+        |  SELECT doc_id, text FROM gm
+        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM g),
+        |p2 AS (
+        |  SELECT doc_id, text, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |fd AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'cccccccd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS fold
+        |  FROM p2
+        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh')),
+        |t2 AS (
+        |  SELECT doc_id, fold, len(string_split(text, ' ')) AS n FROM fd),
+        |c2 AS (
+        |  SELECT *, CASE WHEN n <= 40 THEN 1
+        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
+        |  FROM t2),
+        |x2 AS (
+        |  SELECT doc_id, fold, n, unnest(range(0, nch)) AS k FROM c2),
+        |ch AS (
+        |  SELECT doc_id, fold, k, least(40, n - k * 32) AS ctoks FROM x2),
+        |cm AS (
+        |  SELECT *, fold || ':' || CAST(doc_id % 4 AS VARCHAR) AS pack_bucket,
+        |    sum(ctoks) OVER (PARTITION BY fold || ':' || CAST(doc_id % 4 AS VARCHAR)
+        |      ORDER BY doc_id, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch)
+        |SELECT pack_bucket,
+        |  CAST(floor((cum - ctoks) / 500.0) AS BIGINT) AS pack_shard,
+        |  count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(ctoks) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS min_doc
+        |FROM cm GROUP BY pack_bucket, pack_shard
+        |ORDER BY pack_bucket, pack_shard""".stripMargin,
 
     // Anti-join on the same md5 fingerprints, then min-id-per-hash via
     // a join back (mirrors the operator's two-step representative
