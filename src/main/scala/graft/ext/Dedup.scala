@@ -68,8 +68,8 @@ object Dedup {
   def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
                          corpusHashes: DataFrame,
                          hashCol: String = "content_hash"): DataFrame = {
-    require(!newDocs.columns.contains("content_hash") || textCol == "content_hash",
-      "newDocs already has a content_hash column")
+    require(!newDocs.columns.contains("content_hash"),
+      "dedupAgainstCorpus writes a content_hash column; newDocs already has one — rename or drop it first")
     val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
     val fresh = hashed.join(
       corpusHashes.select(col(hashCol).as("content_hash")),
