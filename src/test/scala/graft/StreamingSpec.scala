@@ -136,6 +136,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed == Set(1L, 3L))
   }
 
+  test("chunking is streaming-compatible and agrees with batch per micro-batch") {
+    implicit val sc = spark.sqlContext
+    // chunkDocuments is stateless map-side fan-out (split/sequence/
+    // explode/slice), so it runs unchanged on a stream — the shape a
+    // live ingest uses to chunk documents as they arrive
+    val docs = Seq(
+      Doc(1, ts(0), "a b c d e f g h i j", "web"),
+      Doc(2, ts(1), "a b c", "cc"))
+    val stream = MemoryStream[Doc]
+    val q = graft.ext.Chunking.chunkDocuments(stream.toDF(), col("text"),
+        maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    val batch = graft.ext.Chunking.chunkDocuments(
+        docs.toDF().drop("ts"), col("text"), 4, 1)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g h i j", 4),
+      (2L, 0, "a b c", 3)))
+  }
+
   test("exact streaming doc-prep keeps lowest id under shuffled within-batch arrival") {
     implicit val sc = spark.sqlContext
     val profiles = Seq("de" -> Seq("key", "merge", "batch"),
