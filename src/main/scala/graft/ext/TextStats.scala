@@ -155,4 +155,52 @@ object TextStats {
     profiles.foldLeft(df) { case (acc, (lang, grams)) =>
       acc.withColumn(s"cscore_$lang", charNgramScore(col(textCol), grams))
     }
+
+  /** SUBSTRING-level duplication stats — the signal behind
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499: memorized
+    * spans recur verbatim across documents even when no whole document
+    * duplicates): a token POSITION is duplicated when its k-gram occurs
+    * at least `minOccurrences` times corpus-wide. Adds `n_positions`
+    * (token count − k + 1, floored at 0), `n_dup_positions` and the
+    * unrounded `dup_span_ratio` (0 for docs too short to have a
+    * position) — gate on the ratio to drop boilerplate-heavy documents,
+    * or feed the positions to a span-cutting rewrite.
+    *
+    * Scale shape: all-position k-grams (native [[graft.functions.WordShingles]]
+    * with dedupe=false, one pass) explode to one row per position — the
+    * corpus's token count, the inherent cost of substring-level
+    * signals (published implementations pay the same via suffix
+    * arrays). The occurrence count is a hash aggregate with map-side
+    * partials; the count join-back and the per-doc aggregate reuse the
+    * same gram/id partitionings. At 100 TB, swap the gram STRING for
+    * its 64-bit hash in the shuffle key (documented here rather than
+    * done, because the cross-engine oracle needs the exact strings).
+    */
+  def withDupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 20, minOccurrences: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minOccurrences >= 2L, "minOccurrences below 2 marks every position")
+    val clash = df.columns.intersect(
+      Seq("n_positions", "n_dup_positions", "dup_span_ratio"))
+    require(clash.isEmpty,
+      s"withDupSpanStats reserves output columns ${clash.mkString(", ")} — rename them upstream")
+    val spark = df.sparkSession
+    val grams = graft.ops.Staging.stage(
+      df.select(col(idCol),
+          explode(graft.functions.GraftFunctions.wordShinglesAll(
+            spark, col(textCol), k)).as("__gram")))
+    val dupGrams = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccurrences)
+      .select("__gram")
+    val perDoc = grams.join(dupGrams, Seq("__gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_positions"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_dup_positions", coalesce(col("n_dup_positions"), lit(0L)))
+      .withColumn("n_positions",
+        greatest(tokenCount(col(textCol)) - lit(k - 1), lit(0)).cast("long"))
+      .withColumn("dup_span_ratio",
+        when(col("n_positions") > 0,
+          col("n_dup_positions") / col("n_positions")).otherwise(lit(0.0)))
+  }
 }

@@ -144,13 +144,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Distinct word-level k-shingles of a space-tokenized string, in
-  * first-occurrence order — one pass over the text (split + window +
-  * dedup fused), replacing a split/transform/array_distinct lambda
-  * chain that is interpreted per element. CodegenFallback: the loop
-  * is the row's entire work, so per-row interpreted dispatch is noise.
+/** Word-level k-shingles of a space-tokenized string — one pass over
+  * the text (split + window fused), replacing a split/transform/
+  * array_distinct lambda chain that is interpreted per element.
+  * `dedupe = true` (the posting-list/Jaccard form) keeps DISTINCT
+  * shingles in first-occurrence order; `dedupe = false` keeps EVERY
+  * position's shingle (the substring-duplication form, where position
+  * counts are the signal). CodegenFallback: the loop is the row's
+  * entire work, so per-row interpreted dispatch is noise.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, dedupe: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -170,16 +173,23 @@ case class WordShingles(child: Expression, k: Int)
     val toks = input.asInstanceOf[UTF8String].split(space, -1)
     val n = toks.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
-    var i = 0
-    while (i < n) {
+    def gram(i: Int): UTF8String = {
       val parts = new Array[UTF8String](k)
       var j = 0
       while (j < k) { parts(j) = toks(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(space, parts: _*))
-      i += 1
+      UTF8String.concatWs(space, parts: _*)
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    if (dedupe) {
+      val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+      var i = 0
+      while (i < n) { seen.add(gram(i)); i += 1 }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    } else {
+      val all = new Array[Any](n)
+      var i = 0
+      while (i < n) { all(i) = gram(i); i += 1 }
+      new GenericArrayData(all)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
@@ -438,6 +448,9 @@ object GraftFunctions {
   private def intOf(e: Expression): Int =
     e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
 
+  private def boolOf(e: Expression): Boolean =
+    e.eval(InternalRow.empty).asInstanceOf[Boolean]
+
   /** SINGLE source of truth for every native function: name ->
     * expression builder. Both the session-registry path
     * ([[ensureRegistered]]) and the config-injected path
@@ -459,8 +472,9 @@ object GraftFunctions {
     },
     "graft_word_shingles" -> {
       case Seq(c, n) => WordShingles(c, intOf(n))
+      case Seq(c, n, d) => WordShingles(c, intOf(n), boolOf(d))
       case other => throw new IllegalArgumentException(
-        s"graft_word_shingles(text, k): got ${other.size} args")
+        s"graft_word_shingles(text, k[, dedupe]): got ${other.size} args")
     },
     "graft_hyperplane_bucket" -> {
       case Seq(c, n) => HyperplaneBucket(c, intOf(n))
@@ -549,6 +563,14 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Every position's k-shingle (no dedup) — see [[WordShingles]]. */
+  def wordShinglesAll(spark: SparkSession, text: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_word_shingles", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(false))
   }
 
   def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int): Column = {

@@ -421,6 +421,22 @@ object TextQueries {
         .orderBy("pack_bucket", "pack_shard")
     }),
 
+    // Substring-level duplication stats (TextStats.withDupSpanStats):
+    // a token position is duplicated when its 5-gram occurs >= 2
+    // times corpus-wide — the exact-substring dedup signal. Ratios
+    // stay unrounded for the <= 0.5 gate (the q58 rule); only the
+    // aggregate average rounds.
+    "q78_dup_span_stats" -> ((s, d) =>
+      graft.ext.TextStats.withDupSpanStats(Tables.documents(s, d),
+          "doc_id", "text", k = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_positions").cast("long").as("total_positions"),
+             sum("n_dup_positions").cast("long").as("dup_positions"),
+             round(avg("dup_span_ratio"), 6).as("avg_dup_ratio"),
+             sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")),
+
     // Incremental dedup of a delta shard against a frozen corpus
     // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
     // new crawl, the rest the immutable corpus whose only retained
@@ -1116,6 +1132,35 @@ object TextQueries {
         |  min(doc_id) AS min_doc
         |FROM cm GROUP BY pack_bucket, pack_shard
         |ORDER BY pack_bucket, pack_shard""".stripMargin,
+
+    // All-position 5-grams via list slicing, global occurrence counts,
+    // per-doc duplicated-position counts; the ratio CASE guards
+    // too-short docs exactly like the operator's when().
+    "q78_dup_span_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(n - 4, 0) + 1),
+        |    i -> array_to_string(tk[i : i + 4], ' '))) AS gram
+        |  FROM t),
+        |oc AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+        |  WHERE c >= 2),
+        |d AS (
+        |  SELECT doc_id, count(*) AS ndup FROM g JOIN oc USING (gram) GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, greatest(t.n - 4, 0) AS npos,
+        |    coalesce(d.ndup, 0) AS ndup
+        |  FROM t LEFT JOIN d USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(npos) AS BIGINT) AS total_positions,
+        |  CAST(sum(ndup) AS BIGINT) AS dup_positions,
+        |  round(avg(CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END), 6) AS avg_dup_ratio,
+        |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // Anti-join on the same md5 fingerprints, then min-id-per-hash via
     // a join back (mirrors the operator's two-step representative

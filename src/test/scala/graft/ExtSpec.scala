@@ -517,6 +517,34 @@ class ExtSpec extends AnyFunSuite {
     assert(aKept == expectA)
   }
 
+  test("withDupSpanStats: positions counted per occurrence, short docs ratio 0") {
+    // doc 1 repeats "x y" twice -> with k=2 its grams are
+    // [x y][y x][x y] (3 positions, "x y" occurs twice => 2 dup
+    // positions); doc 2 shares no gram with anyone; doc 3 contains
+    // "a b" which also appears in doc 4 -> cross-doc duplication;
+    // doc 5 is shorter than k (0 positions, ratio 0)
+    val docs = Seq(
+      (1L, "x y x y"),
+      (2L, "p q r"),
+      (3L, "a b c"),
+      (4L, "z a b"),
+      (5L, "w")).toDF("doc_id", "text")
+    val out = TextStats.withDupSpanStats(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "n_positions", "n_dup_positions", "dup_span_ratio")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))   // "a b" dup; "b c" unique
+    assert(out(4L) == ((2L, 1L, 0.5)))   // "z a" unique; "a b" dup
+    assert(out(5L) == ((0L, 0L, 0.0)))
+    // the all-positions shingle form keeps every occurrence in order
+    val grams = docs.filter($"doc_id" === 1L)
+      .select(graft.functions.GraftFunctions.wordShinglesAll(spark, $"text", 2))
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("x y", "y x", "x y"))
+    graft.ops.Staging.releaseAll()
+  }
+
   test("dedupAgainstCorpus: corpus wins, intra-batch keeps lowest id, hashes returned") {
     val corpus = Seq("seen text").toDF("text")
       .select(md5($"text").as("content_hash"))
