@@ -32,6 +32,15 @@ object IO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC read/write — the other columnar format large estates carry
+    * (Hive-era tables); Spark's native vectorized ORC reader pushes
+    * filters and prunes columns exactly like the parquet path. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet: one directory per value of
     * `partitionCols` (choose low-cardinality columns). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

@@ -34,6 +34,23 @@ class IOSpec extends AnyFunSuite {
            docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("ORC sink/source round-trips and pushes filters to the scan") {
+    val dir = tmp("orc")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    IO.writeOrc(docs, dir)
+    val back = IO.readOrc(spark, dir)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+           docs.orderBy("doc_id").collect().toSeq)
+    // predicate pushdown + column pruning reach the ORC scan exactly
+    // like the parquet path
+    val q = IO.readOrc(spark, dir).filter($"n_chars" > 100).select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"ORC scan must prune to the 2 referenced columns:\n$plan")
+  }
+
   test("partitioned parquet prunes non-matching partitions at the scan") {
     val dir = tmp("part")
     IO.writePartitioned(Tables.documents(spark, "/root/testdata/sf0.001"),
