@@ -115,7 +115,10 @@ object Bench {
                 spark.sparkContext.cancelJobGroup(group)
                 task.cancel(true)
                 // the old worker may be stuck driver-side (analysis,
-                // not a job) — abandon it and continue on a fresh one
+                // not a job) — shut it down NOW (interrupts the
+                // abandoned thread so it can't contend with the next
+                // query's timing) and continue on a fresh one
+                worker.shutdownNow()
                 worker = Executors.newSingleThreadExecutor { r =>
                   val t = new Thread(r, "bench-query"); t.setDaemon(true); t
                 }
@@ -124,6 +127,17 @@ object Bench {
                 false
               case e: java.util.concurrent.ExecutionException =>
                 System.err.println(s"[bench] $name failed: ${e.getCause.getMessage}")
+                false
+              case _: InterruptedException =>
+                // the BENCH thread was interrupted mid-wait (stray
+                // signal, test harness). Crashing here would void the
+                // whole artifact — the exact failure the watchdog
+                // exists to prevent — so cancel this query, record -1,
+                // clear the flag and keep the suite moving.
+                spark.sparkContext.cancelJobGroup(group)
+                task.cancel(true)
+                Thread.interrupted()
+                System.err.println(s"[bench] $name interrupted (recorded -1)")
                 false
             }
           }
@@ -140,13 +154,23 @@ object Bench {
       // min of the successful runs; -1 only if BOTH runs failed
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // JSON string escaping: query names are code-controlled, but
+    // SPARK_GRAFT_QUERIES is user input interpolated into the artifact
+    // — an embedded quote/backslash must not break the JSON line
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def tot(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
     val runTotals = s"[${tot(run1)},${tot(run2)}]"
-    val filtered = only.map(f => s""","filtered":"${f.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals$filtered,"sf":"$sfDir"}""")
+    val filtered = only.map(f => s""","filtered":${jstr(f.mkString(","))}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals$filtered,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -388,10 +388,12 @@ object Dedup {
     * exponential driver-side analysis that froze at sf0.1 (2 GiB plan
     * strings) while sf0.01 converged fine. With the checkpoint, every
     * sweep starts from a constant-size LogicalRDD scan, at any scale.
-    * Superseded sweeps' checkpoint blocks are dropped by Spark's
-    * ContextCleaner once unreferenced; at most a handful of label
-    * tables (each ≤ one row per dup-cluster member, a sliver of the
-    * corpus) are held between GCs. If maxIter is hit before a sweep
+    * Superseded sweeps' checkpoint blocks are unpersisted EAGERLY once
+    * the successor sweep materializes (at most two label tables — each
+    * ≤ one row per dup-cluster member, a sliver of the corpus — are
+    * live at once), and the final table is Staging-registered so the
+    * query harness's releaseAll() frees it after the consuming action
+    * instead of waiting on ContextCleaner GC. If maxIter is hit before a sweep
     * changes nothing the result would be WRONG (a cluster split in
     * two), so the operator throws instead of returning silently.
     */
@@ -413,9 +415,16 @@ object Dedup {
         .distinct())
     // seed at sweep-1's result directly: label = min(v, min neighbors)
     // (one aggregate over the symmetric edge list saves a full sweep)
-    var labels = edges.groupBy("src").agg(min(col("dst")).as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("component"))
-      .localCheckpoint(true)
+    // Every checkpoint is Staging-registered so the harness's
+    // releaseAll() frees its blocks after the consuming action, and
+    // superseded sweeps drop eagerly below — before round 9 these
+    // blocks waited on ContextCleaner GC and could leak into the next
+    // query's measurement.
+    var ckpt = graft.ops.Staging.stageCheckpoint(
+      edges.groupBy("src").agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("id"), least(col("src"), col("nbr")).as("component"))
+        .localCheckpoint(true))
+    var labels = ckpt
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -427,11 +436,11 @@ object Dedup {
       // and keeps both join inputs constant-size scans. The pre-sweep
       // label rides along as `prev` so convergence is a filter over
       // the checkpointed frame — no join-back-to-labels shuffle.
-      val hop = labels
+      val hop = graft.ops.Staging.stageCheckpoint(labels
         .join(nbr.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       // pointer jump: follow the new label one more step (labels are
       // node ids, so they resolve in the same table)
       // next's checkpoint is LAZY: the convergence count right below
@@ -441,13 +450,19 @@ object Dedup {
       // because the self-join reads it twice within a single job —
       // lazy materialization under concurrent scans would compute it
       // twice.
-      val next = hop
+      val next = graft.ops.Staging.stageCheckpoint(hop
         .join(hop.select(col("id").as("component"), col("component").as("jumped")),
               Seq("component"), "left")
         .select(col("id"), col("prev"), coalesce(col("jumped"), col("component")).as("component"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       changed = next.filter(col("component") =!= col("prev")).count()
+      // next is materialized (the count scanned every partition), so
+      // the previous sweep's label table and this sweep's hop are dead
+      // — free their blocks now instead of holding O(sweeps) tables
       labels = next.select("id", "component")
+      graft.ops.Staging.dropCheckpoint(ckpt)
+      graft.ops.Staging.dropCheckpoint(hop)
+      ckpt = next
       iter += 1
     }
     if (changed > 0) {
@@ -456,8 +471,8 @@ object Dedup {
           "(graph diameter > 2^maxIter is not a realistic dup cluster; " +
           "raise maxIter if yours truly is)")
     }
-    // already materialized by the eager checkpoint; its block is freed
-    // by the ContextCleaner when the frame goes unreferenced
+    // already materialized; the live checkpoint's blocks are freed by
+    // the harness's Staging.releaseAll() after the consuming action
     (labels, iter)
   }
 

@@ -2,7 +2,9 @@ package graft.ops
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Persist-lifecycle registry for the stage-before-fanout pattern.
@@ -33,6 +35,7 @@ import org.apache.spark.storage.StorageLevel
 object Staging {
 
   private val staged = new ConcurrentLinkedQueue[DataFrame]()
+  private val stagedRdds = new ConcurrentLinkedQueue[RDD[_]]()
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
   def stage(df: DataFrame): DataFrame = {
@@ -41,13 +44,47 @@ object Staging {
     df
   }
 
-  /** Unpersist every staged frame (non-blocking) and clear the
-    * registry. Safe to call when nothing is staged. */
+  /** Register a `localCheckpoint()`ed frame's backing RDD blocks for
+    * release. A local checkpoint persists through the RDD layer, not
+    * the frame, so `unpersist` on the DataFrame cannot reach it —
+    * before round 9 the connected-components sweeps' MEMORY_AND_DISK
+    * blocks were freed only when the ContextCleaner happened to GC
+    * them, which let them leak into the NEXT query's measurement
+    * (Bench's "persists are released between queries" invariant held
+    * for staged frames but not checkpoints). Returns `df` unchanged;
+    * frames whose plan is not a bare checkpoint scan register nothing.
+    */
+  def stageCheckpoint(df: DataFrame): DataFrame = {
+    checkpointRdd(df).foreach(stagedRdds.add)
+    df
+  }
+
+  /** Immediately free a superseded checkpoint's blocks (an
+    * iterative-algorithm frame that no later computation reads — a
+    * checkpointed RDD CANNOT be recomputed, so only call this once the
+    * successor frame is materialized). No-op for non-checkpoint
+    * frames; idempotent. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
+  /** Unpersist every staged frame and checkpoint block (non-blocking)
+    * and clear the registry. Safe to call when nothing is staged. */
   def releaseAll(): Unit = {
     var df = staged.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = staged.poll()
+    }
+    var rdd = stagedRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = stagedRdds.poll()
     }
   }
 }
