@@ -172,12 +172,19 @@ object TextStats {
     * signals (published implementations pay the same via suffix
     * arrays). The occurrence count is a hash aggregate with map-side
     * partials; the count join-back and the per-doc aggregate reuse the
-    * same gram/id partitionings. At 100 TB, swap the gram STRING for
-    * its 64-bit hash in the shuffle key (documented here rather than
-    * done, because the cross-engine oracle needs the exact strings).
+    * same gram/id partitionings. With `hashGramKey` (the default) the
+    * k-word gram STRING exists only inside the map stage: the staged
+    * frame, the occurrence aggregate and the join-back all key on
+    * xxhash64(gram) — 8 bytes per position through both shuffles
+    * instead of ~k words (at 100 TB that is ~k× corpus bytes of
+    * shuffle I/O saved). A 64-bit collision merges two grams'
+    * occurrence counts — odds ~n²/2⁶⁵, far below corpus noise; pass
+    * `hashGramKey = false` for the exact string-keyed plan (the
+    * equivalence spec pins identical results at test scale).
     */
   def withDupSpanStats(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 20, minOccurrences: Long = 2L): DataFrame = {
+                       k: Int = 20, minOccurrences: Long = 2L,
+                       hashGramKey: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(minOccurrences >= 2L, "minOccurrences below 2 marks every position")
     val clash = df.columns.intersect(
@@ -185,15 +192,18 @@ object TextStats {
     require(clash.isEmpty,
       s"withDupSpanStats reserves output columns ${clash.mkString(", ")} — rename them upstream")
     val spark = df.sparkSession
+    val raw = df.select(col(idCol),
+      explode(graft.functions.GraftFunctions.wordShinglesAll(
+        spark, col(textCol), k)).as("__gram"))
+    // hash BEFORE the persist/shuffle: the staged frame carries 8-byte
+    // keys, never the k-word strings
     val grams = graft.ops.Staging.stage(
-      df.select(col(idCol),
-          explode(graft.functions.GraftFunctions.wordShinglesAll(
-            spark, col(textCol), k)).as("__gram")))
-    val dupGrams = grams.groupBy("__gram")
+      raw.select(col(idCol), gramKey(hashGramKey).as("__gk")))
+    val dupGrams = grams.groupBy("__gk")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOccurrences)
-      .select("__gram")
-    val perDoc = grams.join(dupGrams, Seq("__gram"))
+      .select("__gk")
+    val perDoc = grams.join(dupGrams, Seq("__gk"))
       .groupBy(idCol).agg(count(lit(1)).as("n_dup_positions"))
     df.join(perDoc, Seq(idCol), "left")
       .withColumn("n_dup_positions", coalesce(col("n_dup_positions"), lit(0L)))
@@ -202,5 +212,68 @@ object TextStats {
       .withColumn("dup_span_ratio",
         when(col("n_positions") > 0,
           col("n_dup_positions") / col("n_positions")).otherwise(lit(0.0)))
+  }
+
+  private def gramKey(hashGramKey: Boolean): Column =
+    if (hashGramKey) xxhash64(col("__gram")) else col("__gram")
+
+  /** Exact-substring duplicate-span CUTTING (the rewrite the
+    * [[withDupSpanStats]] signal implies — Lee et al. 2022,
+    * arXiv:2107.06499 remove all but one occurrence of any duplicated
+    * length-≥k substring): a position whose k-gram occurs at least
+    * `minOccurrences` times corpus-wide is CUT unless it is the
+    * gram's FIRST occurrence (lowest (id, position) — so exactly one
+    * copy of every duplicated substring survives, deterministically).
+    * Cut positions merge into maximal spans (a cut at p covers tokens
+    * [p, p+k-1]; overlapping or touching spans coalesce) and the text
+    * is rebuilt from the tokens outside them. Adds:
+    *  - `text_cut`: the rebuilt text ('' if everything was cut)
+    *  - `n_cut_spans`: merged span count (0 for untouched docs)
+    *  - `n_tokens_removed`: tokens dropped
+    *
+    * Scale shape: the same two hash-keyed shuffles as
+    * [[withDupSpanStats]] (occurrence aggregate + join-back) plus a
+    * per-doc collect of CUT positions only (bounded by the doc's own
+    * token count, and only for docs that have dup spans); the span
+    * merge + text rebuild is the one-pass native
+    * [[graft.functions.CutTokenSpans]] expression, map-side after the
+    * per-doc aggregate. First-occurrence selection is a min(struct)
+    * inside the same occurrence aggregate — no extra shuffle.
+    */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 20, minOccurrences: Long = 2L,
+                  hashGramKey: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minOccurrences >= 2L, "minOccurrences below 2 cuts every position")
+    val clash = df.columns.intersect(
+      Seq("text_cut", "n_cut_spans", "n_tokens_removed"))
+    require(clash.isEmpty,
+      s"cutDupSpans reserves output columns ${clash.mkString(", ")} — rename them upstream")
+    val spark = df.sparkSession
+    val raw = df.select(col(idCol),
+      posexplode(graft.functions.GraftFunctions.wordShinglesAll(
+        spark, col(textCol), k)).as(Seq("__pos", "__gram")))
+    val grams = graft.ops.Staging.stage(
+      raw.select(col(idCol), col("__pos"), gramKey(hashGramKey).as("__gk")))
+    // one aggregate carries both signals: the occurrence count (dup
+    // gate) and the arg-min first occurrence (the kept copy)
+    val firsts = grams.groupBy("__gk")
+      .agg(count(lit(1)).as("__occ"),
+           min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos"))).as("__first"))
+      .filter(col("__occ") >= minOccurrences)
+      .select(col("__gk"), col("__first"))
+    val cuts = grams.join(firsts, Seq("__gk"))
+      .filter(!(col(idCol) === col("__first.__fid") &&
+                col("__pos") === col("__first.__fpos")))
+    val perDoc = cuts.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__cuts"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__cs", graft.functions.GraftFunctions.cutTokenSpans(
+        spark, col(textCol),
+        coalesce(col("__cuts"), typedLit(Seq.empty[Int])), k))
+      .withColumn("text_cut", col("__cs.text_cut"))
+      .withColumn("n_cut_spans", col("__cs.n_spans"))
+      .withColumn("n_tokens_removed", col("__cs.n_removed"))
+      .drop("__cs", "__cuts")
   }
 }

@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot paths.
@@ -194,6 +194,81 @@ case class WordShingles(child: Expression, k: Int, dedupe: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** Rebuild a space-tokenized string with duplicate token SPANS cut
+  * out — the map-side tail of [[graft.ext.TextStats.cutDupSpans]]
+  * (exact-substring dedup, Lee et al. arXiv:2107.06499). `cutStarts`
+  * is the SORTED array of 0-based token positions whose k-gram is a
+  * non-first duplicate occurrence; each start covers tokens
+  * [p, p+k-1]. Overlapping or touching covers merge into maximal
+  * spans (start <= prevEnd + 1), the text is rebuilt from the tokens
+  * outside them, and the result is struct<text_cut string, n_spans
+  * int, n_removed int> — one pass, no per-token set probing (the
+  * equivalent filter/exists lambda pair is interpreted per token ×
+  * per span). CodegenFallback: the token walk is the row's entire
+  * work. Null text -> null; docs with no cuts return the text
+  * unchanged with zero counts.
+  */
+case class CutTokenSpans(text: Expression, cutStarts: Expression, k: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1, "span width k must be >= 1")
+
+  override def left: Expression = text
+  override def right: Expression = cutStarts
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, cutStarts.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cut_token_spans expects (string, array<int>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_cut", StringType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false)))
+  override def prettyName: String = "cut_token_spans"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(t: Any, cs: Any): Any = {
+    val toks = t.asInstanceOf[UTF8String].split(space, -1)
+    val starts = cs.asInstanceOf[ArrayData]
+    val m = starts.numElements()
+    if (m == 0)
+      return new GenericInternalRow(Array[Any](t.asInstanceOf[UTF8String], 0, 0))
+    // walk the sorted starts into merged spans, marking covered tokens
+    val covered = new Array[Boolean](toks.length)
+    var spans = 0
+    var curEnd = -2 // so the first start never "touches" a prior span
+    var i = 0
+    while (i < m) {
+      val p = starts.getInt(i)
+      val end = math.min(p + k - 1, toks.length - 1)
+      if (p > curEnd + 1) spans += 1
+      var j = math.max(p, 0)
+      while (j <= end) { covered(j) = true; j += 1 }
+      if (end > curEnd) curEnd = end
+      i += 1
+    }
+    var removed = 0
+    var kept = 0
+    var j = 0
+    while (j < toks.length) {
+      if (covered(j)) removed += 1 else { toks(kept) = toks(j); kept += 1 }
+      j += 1
+    }
+    val rebuilt =
+      if (kept == 0) UTF8String.EMPTY_UTF8
+      else UTF8String.concatWs(space, java.util.Arrays.copyOf(toks, kept): _*)
+    new GenericInternalRow(Array[Any](rebuilt, spans, removed))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CutTokenSpans =
+    copy(text = l, cutStarts = r)
 }
 
 /** Random-hyperplane LSH bucket of an array<double> vector: bit j of
@@ -476,6 +551,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_word_shingles(text, k[, dedupe]): got ${other.size} args")
     },
+    "graft_cut_token_spans" -> {
+      case Seq(t, c, kk) => CutTokenSpans(t, c, intOf(kk))
+      case other => throw new IllegalArgumentException(
+        s"graft_cut_token_spans(text, cutStarts, k): got ${other.size} args")
+    },
     "graft_hyperplane_bucket" -> {
       case Seq(c, n) => HyperplaneBucket(c, intOf(n))
       case other => throw new IllegalArgumentException(
@@ -571,6 +651,15 @@ object GraftFunctions {
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Duplicate-span cutting tail (see [[CutTokenSpans]]): returns
+    * struct<text_cut, n_spans, n_removed>. */
+  def cutTokenSpans(spark: SparkSession, text: Column, cutStarts: Column,
+                    k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cut_token_spans", text, cutStarts,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int): Column = {

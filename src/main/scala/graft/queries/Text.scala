@@ -437,6 +437,25 @@ object TextQueries {
              sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
         .orderBy("source")),
 
+    // Exact-substring span CUTTING (TextStats.cutDupSpans): every
+    // non-first occurrence of a corpus-duplicated 5-gram marks its
+    // token span; spans merge and the text is rebuilt without them.
+    // The oracle replays the span arithmetic: first occurrence via
+    // row_number over (doc_id, pos), coverage via a range join,
+    // merged-span count via a lag island scan. count(DISTINCT md5)
+    // pins the rebuilt text content, not just its lengths.
+    "q79_cut_dup_spans" -> ((s, d) =>
+      graft.ext.TextStats.cutDupSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+             sum(col("n_cut_spans").cast("long")).as("total_spans"),
+             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
+             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
+             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
+        .orderBy("source")),
+
     // Incremental dedup of a delta shard against a frozen corpus
     // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
     // new crawl, the rest the immutable corpus whose only retained
@@ -1160,6 +1179,65 @@ object TextQueries {
         |  round(avg(CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END), 6) AS avg_dup_ratio,
         |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Span-cutting replay: all-position 5-grams with positions via
+    // unnest(range(...)) (the LIST range; the table function can't
+    // take lateral column refs), non-first duplicate occurrences via
+    // row_number (rn >= 2 iff the gram occurs >= 2 times and this is
+    // not its (doc_id, pos)-minimal copy — exactly the operator's
+    // min(struct) selection at minOccurrences = 2), token coverage via
+    // a BETWEEN join, rebuilt text via ordered string_agg over the
+    // uncovered tokens, and merged spans as lag-islands (new span when
+    // the start gap exceeds k = 5).
+    "q79_cut_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 4, 0) + 1)) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 4], ' ') AS gram
+        |  FROM gi),
+        |cuts AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE rn >= 2),
+        |wi AS (
+        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
+        |tok AS (
+        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.ti
+        |  FROM tok w JOIN cuts c
+        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 4),
+        |reb AS (
+        |  SELECT w.doc_id,
+        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
+        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
+        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
+        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
+        |  GROUP BY w.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 5) AS n_spans
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cuts)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
+        |    coalesce(sp.n_spans, 0) AS n_spans
+        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
+        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
+        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // Anti-join on the same md5 fingerprints, then min-id-per-hash via

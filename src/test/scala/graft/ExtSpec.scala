@@ -545,6 +545,89 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("withDupSpanStats: hashed gram key ≡ exact string key on real documents") {
+    // the 100 TB path shuffles xxhash64(gram), the oracle path the
+    // string — identical results at test scale pins the equivalence
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(hashed: Boolean) =
+      TextStats.withDupSpanStats(docs, "doc_id", "text", k = 3, hashGramKey = hashed)
+        .select("doc_id", "n_positions", "n_dup_positions")
+        .orderBy("doc_id").collect().toSeq
+    assert(run(true) == run(false))
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("cutDupSpans: first occurrence survives, spans merge, counts add up") {
+    // k=2, minOcc=2. "a b" occurs at (1,0), (1,3) and (2,1):
+    // (1,0) is the first occurrence -> kept; (1,3) and (2,1) are cut.
+    // Doc 1 "a b x a b": cut start 3 covers tokens [3,4] -> "a b x",
+    //   one span, 2 tokens removed.
+    // Doc 2 "z a b": cut start 1 covers [1,2] -> "z", 1 span, 2 removed.
+    // Doc 3 all-duplicate of doc 1's kept gram: "a b" at (3,0) cut ->
+    //   covers [0,1] = whole doc -> text_cut "", 1 span, 2 removed.
+    // Doc 4 short, untouched.
+    val docs = Seq(
+      (1L, "a b x a b"),
+      (2L, "z a b"),
+      (3L, "a b"),
+      (4L, "q")).toDF("doc_id", "text")
+    val out = TextStats.cutDupSpans(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "text_cut", "n_cut_spans", "n_tokens_removed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("a b x", 1, 2)))
+    assert(out(2L) == (("z", 1, 2)))
+    assert(out(3L) == (("", 1, 2)))
+    assert(out(4L) == (("q", 0, 0)))
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("cutDupSpans: adjacent and overlapping covers merge into one span") {
+    // doc 10 = doc 11, so every position of doc 11 (the later id) is
+    // cut: starts 0,1,2 with k=3 overlap into ONE span covering all 5
+    // tokens. Rebuilt text is empty, not partially stitched.
+    val docs = Seq(
+      (10L, "a b c d e"),
+      (11L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextStats.cutDupSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "text_cut", "n_cut_spans", "n_tokens_removed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(10L) == (("a b c d e", 0, 0)))
+    assert(out(11L) == (("", 1, 5)))
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("cutDupSpans: hashed ≡ string key, token conservation on real docs") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(hashed: Boolean) =
+      TextStats.cutDupSpans(docs, "doc_id", "text", k = 5, hashGramKey = hashed)
+        .select("doc_id", "text_cut", "n_cut_spans", "n_tokens_removed")
+        .orderBy("doc_id").collect().toSeq
+    val hashedRun = run(true)
+    assert(hashedRun == run(false))
+    // conservation: tokens removed + tokens surviving = original
+    // tokens, per doc (rebuilding can't lose or invent tokens). NOTE:
+    // re-running the stats on the cut corpus is NOT guaranteed to find
+    // zero dups — splicing a span out makes the boundary tokens
+    // adjacent, which can mint brand-new k-grams that collide with
+    // kept ones; Lee et al. accept the same (one pass removes all
+    // ORIGINAL duplicated spans, not spliced-in ones).
+    val orig = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hashedRun.foreach { r =>
+      val id = r.getLong(0)
+      val nOrig = orig(id).split(" ", -1).length
+      val cutText = r.getString(1)
+      val nKept = if (cutText.isEmpty) 0 else cutText.split(" ", -1).length
+      val removed = r.getInt(3)
+      assert(nKept + removed == nOrig || (cutText.isEmpty && removed == 0 && nOrig == 1),
+        s"doc $id: kept $nKept + removed $removed != original $nOrig")
+      if (removed > 0) assert(r.getInt(2) > 0, s"doc $id: removed tokens but 0 spans")
+    }
+    graft.ops.Staging.releaseAll()
+  }
+
   test("dedupAgainstCorpus: corpus wins, intra-batch keeps lowest id, hashes returned") {
     val corpus = Seq("seen text").toDF("text")
       .select(md5($"text").as("content_hash"))
