@@ -64,15 +64,26 @@ object Dedup {
     * on the 16-byte hash — text never shuffles — and all three
     * operators (anti join, min aggregate, representative join) share
     * the same hash partitioning, so the delta side is exchanged once.
+    *
+    * NULL-text rows are DROPPED, explicitly: md5(null) is null, a
+    * null key survives an anti join but can never match the
+    * representative equi-join, so before round 9 such rows vanished
+    * silently mid-pipeline (and a null in the corpus state would
+    * break a SQL `NOT IN` replay outright). A crawl record with no
+    * body has no dedup identity — filtering it up front makes the
+    * contract visible instead of accidental. Null corpus-state hashes
+    * are likewise ignored.
     */
   def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
                          corpusHashes: DataFrame,
                          hashCol: String = "content_hash"): DataFrame = {
     require(!newDocs.columns.contains("content_hash"),
       "dedupAgainstCorpus writes a content_hash column; newDocs already has one — rename or drop it first")
-    val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    val hashed = newDocs.filter(col(textCol).isNotNull)
+      .withColumn("content_hash", md5(col(textCol)))
     val fresh = hashed.join(
-      corpusHashes.select(col(hashCol).as("content_hash")),
+      corpusHashes.select(col(hashCol).as("content_hash"))
+        .filter(col("content_hash").isNotNull),
       Seq("content_hash"), "left_anti")
     val reps = fresh.groupBy("content_hash").agg(min(col(idCol)).as("__rep"))
     fresh.join(reps, Seq("content_hash"))

@@ -521,11 +521,11 @@ object TextQueries {
     "q28_text_quality" ->
       """WITH t AS (
         |  SELECT lang,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
         |    round(CAST(len(list_filter(string_split(text,' '),
         |      t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
         |      / len(string_split(text,' ')), 6) AS stop_ratio,
-        |    round(least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
         |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
         |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
         |          / len(string_split(text,' '))) * 0.5, 6) AS quality
@@ -586,9 +586,9 @@ object TextQueries {
 
     "q30_token_counts" ->
       """SELECT source, count(*) AS n_docs,
-        | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+        | CAST(sum((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) AS BIGINT) AS total_tokens,
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_subwords,
-        | round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
+        | round(avg((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)), 6) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Oracle for the LSH pipeline: the exact global near-dup pair set
@@ -670,8 +670,8 @@ object TextQueries {
         |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
         |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
         |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
         |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
         |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
         |          / len(string_split(text,' '))) * 0.5 AS quality
@@ -758,7 +758,7 @@ object TextQueries {
         |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
         |gm AS (
         |  SELECT doc_id, text,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
         |    len(list_distinct(string_split(text, ' '))) AS dtoks,
         |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
@@ -779,8 +779,8 @@ object TextQueries {
         |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
         |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
         |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
         |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
         |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
         |          / len(string_split(text,' '))) * 0.5 AS quality
@@ -904,7 +904,7 @@ object TextQueries {
     "q67_repetition_stats" ->
       """WITH m AS (
         |  SELECT source,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
         |    len(list_distinct(string_split(text, ' '))) AS dtoks,
         |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
@@ -949,7 +949,7 @@ object TextQueries {
     "q71_shard_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_bucket,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
@@ -1021,7 +1021,7 @@ object TextQueries {
     // same IEEE order.
     "q75_token_mixture" ->
       """WITH w AS (
-        |  SELECT *, length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |  SELECT *, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cnt FROM w GROUP BY source),
@@ -1087,7 +1087,7 @@ object TextQueries {
         |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
         |gm AS (
         |  SELECT doc_id, text,
-        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
         |    len(list_distinct(string_split(text, ' '))) AS dtoks,
         |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
@@ -1108,7 +1108,7 @@ object TextQueries {
         |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
         |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
         |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    least((length(text) - length(replace(text, ' ', '')) + 1) / 100.0, 1.0) * 0.5
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
         |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
         |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
         |          / len(string_split(text,' '))) * 0.5 AS quality

@@ -651,6 +651,41 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", state).count() == 0)
   }
 
+  test("dedupAgainstCorpus: null text drops explicitly, null state hash is inert") {
+    // before round 9 a null-text row survived the anti join (null key
+    // never matches) but silently vanished at the representative
+    // equi-join; now the drop is an explicit, documented filter — and
+    // a null in the corpus state must not swallow the whole delta the
+    // way a SQL `NOT IN (… null …)` would
+    val corpus = Seq(Some("seen text"), None).toDF("text")
+      .select(md5($"text").as("content_hash"))  // contains a null hash
+    val delta = Seq(
+      (1L, Some("new text")),
+      (2L, None),              // null body: no dedup identity -> dropped
+      (3L, Some("seen text"))  // corpus copy -> dropped
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("oracle token-count formulas carry the empty-text guard (q75 divergence)") {
+    // TextStats.tokenCount('') is 0; the raw length-arithmetic is 1.
+    // Every oracle token count must guard, or the first empty document
+    // in testdata breaks the hash compare.
+    val formula = "length(replace(text, ' ', '')) + 1"
+    graft.queries.TextQueries.oracles.foreach { case (name, sql) =>
+      sql.linesIterator.filter(_.contains(formula)).foreach { line =>
+        assert(line.contains("CASE WHEN length(text) = 0 THEN 0"),
+          s"$name has an unguarded token count: $line")
+      }
+    }
+    // and the Spark side really returns 0 for empty text
+    val z = Seq("", "a b", " ").toDF("text")
+      .select(TextStats.tokenCount($"text")).collect().map(_.getInt(0)).toSeq
+    assert(z == Seq(0, 2, 2))
+  }
+
   test("semanticDedup: cosine clusters get one representative, singletons keep own id") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
