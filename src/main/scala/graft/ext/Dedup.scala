@@ -76,18 +76,62 @@ object Dedup {
     */
   def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
                          corpusHashes: DataFrame,
-                         hashCol: String = "content_hash"): DataFrame = {
+                         hashCol: String = "content_hash",
+                         bloom: Option[Array[Byte]] = None): DataFrame = {
     require(!newDocs.columns.contains("content_hash"),
       "dedupAgainstCorpus writes a content_hash column; newDocs already has one — rename or drop it first")
+    val spark = newDocs.sparkSession
     val hashed = newDocs.filter(col(textCol).isNotNull)
       .withColumn("content_hash", md5(col(textCol)))
-    val fresh = hashed.join(
-      corpusHashes.select(col(hashCol).as("content_hash"))
-        .filter(col("content_hash").isNotNull),
-      Seq("content_hash"), "left_anti")
+    val state = corpusHashes.select(col(hashCol).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+    val fresh = bloom match {
+      case None =>
+        hashed.join(state, Seq("content_hash"), "left_anti")
+      case Some(bytes) =>
+        // Bloom SIDECAR prefilter (see [[corpusHashBloom]]): a delta
+        // row whose hash fails the probe is DEFINITELY not in the
+        // corpus (no false negatives), so it bypasses the anti join
+        // entirely — only might-contain rows shuffle against the
+        // corpus state. A mostly-novel crawl delta thus pays the
+        // anti-join exchange for the ~fpp false-positive sliver plus
+        // true re-crawls, not for every row. The probe is a
+        // codegen'd map-side literal test; the delta scan runs once
+        // per branch (two cheap md5 projections beat one full
+        // exchange at any realistic delta size).
+        val probe = graft.functions.GraftFunctions.mightContain(spark,
+          lit(bytes), xxhash64(col("content_hash")))
+        hashed.filter(probe)
+          .join(state, Seq("content_hash"), "left_anti")
+          .unionByName(hashed.filter(!probe))
+    }
     val reps = fresh.groupBy("content_hash").agg(min(col(idCol)).as("__rep"))
     fresh.join(reps, Seq("content_hash"))
       .filter(col(idCol) === col("__rep")).drop("__rep")
+  }
+
+  /** Build the Bloom SIDECAR for [[dedupAgainstCorpus]]: a serialized
+    * bloom filter over xxhash64(content_hash) of the frozen corpus
+    * state. Like the fingerprint table itself this is STATE — built
+    * once per corpus increment (this method is an eager aggregate
+    * job), persisted alongside the hashes, and handed to every
+    * subsequent delta dedup so mostly-novel batches skip the
+    * anti-join shuffle. `expectedItems <= 0` sizes from a count()
+    * first. Spark caps the filter via
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    * (defaults 4M items / 64M bits) — raise them for corpus-scale
+    * states (10^9 hashes at 1% fpp is ~1.2 GB, broadcast-viable).
+    */
+  def corpusHashBloom(corpusHashes: DataFrame,
+                      hashCol: String = "content_hash",
+                      expectedItems: Long = 0L): Array[Byte] = {
+    val spark = corpusHashes.sparkSession
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(corpusHashes.count(), 1L)
+    corpusHashes.filter(col(hashCol).isNotNull)
+      .select(graft.functions.GraftFunctions.bloomFilterAgg(spark,
+        xxhash64(col(hashCol)), n).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
 
   /** MinHash signature: `numHashes` seeded xxhash64 permutations;

@@ -611,6 +611,24 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_int8_cosine(q, vec): got ${other.size} args")
     },
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime row-group filtering but does not register them as
+    // SQL functions — surfacing them here (same classes, no copies)
+    // gives the dedup sidecar a distributed bloom build and a
+    // codegen'd probe.
+    "graft_bloom_filter_agg" -> {
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_filter_agg(xxhash64Value, expectedItems): got ${other.size} args")
+    },
+    "graft_might_contain" -> {
+      case Seq(b, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_might_contain(bloomBytes, xxhash64Value): got ${other.size} args")
+    },
   )
 
   /** Idempotently register the functions in a session's registry so
@@ -739,5 +757,24 @@ object GraftFunctions {
   def int8Cosine(spark: SparkSession, q: Column, vec: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_int8_cosine", q, vec)
+  }
+
+  /** Distributed bloom-filter build over a LONG column (hash strings
+    * with xxhash64 first); returns the serialized filter as binary.
+    * `expectedItems` sizes the filter (capped by
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits —
+    * raise those confs for corpus-scale states). */
+  def bloomFilterAgg(spark: SparkSession, value: Column,
+                     expectedItems: Long): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bloom_filter_agg", value,
+      org.apache.spark.sql.functions.lit(expectedItems))
+  }
+
+  /** Codegen'd bloom probe: `bloom` must be a literal/foldable binary
+    * (the sidecar bytes), `value` the xxhash64 of the probed key. */
+  def mightContain(spark: SparkSession, bloom: Column, value: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_might_contain", bloom, value)
   }
 }

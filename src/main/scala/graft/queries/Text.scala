@@ -465,9 +465,14 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         .select(md5(col("text")).as("content_hash")).distinct()
+      // production shape: the bloom sidecar is built WITH the corpus
+      // state (eager, once per increment) and prefilters the delta so
+      // mostly-novel rows bypass the anti-join shuffle; no false
+      // negatives, so the result is bit-identical to the plain path
+      val sidecar = graft.ext.Dedup.corpusHashBloom(corpusHashes)
       graft.ext.Dedup.dedupAgainstCorpus(
           docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-          "doc_id", "text", corpusHashes)
+          "doc_id", "text", corpusHashes, bloom = Some(sidecar))
         .groupBy("source")
         .agg(count(lit(1)).as("n_new"),
              countDistinct("content_hash").as("n_hashes"),

@@ -651,6 +651,32 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", state).count() == 0)
   }
 
+  test("dedupAgainstCorpus: bloom sidecar prefilters ahead of the anti join, same result") {
+    // parquet-backed (a LocalRelation delta would let Catalyst
+    // constant-fold the foldable-literal probe away at plan time)
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      .select(md5($"text").as("content_hash")).distinct()
+    val delta = docs.filter(pmod($"doc_id", lit(5)) === 0)
+      .select("doc_id", "text")
+    val sidecar = graft.ext.Dedup.corpusHashBloom(corpus)
+    assert(sidecar.nonEmpty)
+    val plain = graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text", corpus)
+    val bloomed = graft.ext.Dedup.dedupAgainstCorpus(delta, "doc_id", "text",
+      corpus, bloom = Some(sidecar))
+    // no false negatives -> bit-identical result
+    assert(bloomed.orderBy("doc_id").collect().toSeq ==
+           plain.orderBy("doc_id").collect().toSeq)
+    // the probe sits in the plan ahead of the anti join (prefilter +
+    // bypass union), and the plain path has no probe
+    val plan = bloomed.queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    val antiAt = plan.indexOf("LeftAnti")
+    assert(probeAt >= 0, "bloom probe missing from plan")
+    assert(antiAt >= 0 && plan.contains("Union"), "anti join / bypass union missing")
+    assert(!plain.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("dedupAgainstCorpus: null text drops explicitly, null state hash is inert") {
     // before round 9 a null-text row survived the anti join (null key
     // never matches) but silently vanished at the representative
