@@ -167,13 +167,54 @@ object IvfIndex {
     IvfIndex(cents, assigned)
   }
 
+  /** Append a DELTA shard to a saved index at the saved (FIXED)
+    * centroids — the incremental-maintenance path: a growing corpus
+    * re-clusters rarely (centroids drift slowly) but ingests new
+    * vectors continuously, so the delta is assigned map-side against
+    * the frozen centroid matrix and appended into the same
+    * cell-partitioned layout (parquet mode=append adds files inside
+    * the existing cell directories; searches prune exactly as
+    * before). The stored layout is detected and matched — int8 codes
+    * for a quantized index, float vectors otherwise. No shuffle, no
+    * rewrite of existing data; one scan of the delta.
+    *
+    * Approximation note: appended vectors land in the cell of the
+    * ORIGINAL centroids, exactly like the vectors at build time —
+    * search over build(a)+append(b) equals search over the
+    * build(a∪b)-at-a's-centroids index (the spec pins equality with
+    * exhaustive probes, where any centroid set is exact). Re-cluster
+    * (rebuild) when drift degrades recall.
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val gf = graft.functions.GraftFunctions
+    val cents = readCentroids(spark, path)
+    val quantized = spark.read.parquet(s"$path/corpus")
+      .columns.contains("codes")
+    val assigned = delta
+      .select(col(idCol).as("neighbor_id"),
+        Similarity.asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("cell",
+        gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+    val out =
+      if (quantized)
+        assigned.withColumn("q", gf.int8Quantize(spark, col("c_vec")))
+          .select(col("neighbor_id"), col("q.scale").as("scale"),
+                  col("q.codes").as("codes"), col("cell"))
+      else assigned.select("neighbor_id", "c_vec", "cell")
+    out.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq
+
   /** Load a saved index (either layout — float or quantized; detected
     * from the stored schema). The corpus frame is a plain partitioned
     * parquet scan — search()'s cell filter prunes its directories. */
   def load(spark: SparkSession, path: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("vec")).toSeq).toSeq
+    val cents = readCentroids(spark, path)
     val raw = spark.read.parquet(s"$path/corpus")
     val corpus =
       if (raw.columns.contains("codes"))

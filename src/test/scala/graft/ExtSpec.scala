@@ -854,6 +854,48 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(viaDisk) == rows(inMem))
   }
 
+  test("IvfIndex.append: build(half)+append(half) ≡ build(full) at exhaustive probe; pruning intact") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2 = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(dir)
+    graft.ext.IvfIndex.append(spark, dir, half2, "vec_id", "embedding")
+    val appended = graft.ext.IvfIndex.load(spark, dir)
+    // centroids stayed FIXED at the half1 build's
+    assert(appended.centroids ==
+      graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+        nCentroids = 8, kmeansSweeps = 2).centroids)
+    // at exhaustive probes ANY centroid set searches exactly, so the
+    // appended index must match an index built over the full corpus
+    val full = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2)
+    assert(rows(appended.search(q, "vec_id", "embedding", k = 3, nProbe = 8)) ==
+           rows(full.search(q, "vec_id", "embedding", k = 3, nProbe = 8)),
+      "append must cover the delta: exhaustive search == full rebuild")
+    // partition pruning still holds on the appended layout
+    val pruned = appended.search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"appended-index search must still prune cell partitions:\n$plan")
+    // quantized layout appends codes, not floats
+    val qdir = java.nio.file.Files.createTempDirectory("ivfappq").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(qdir)
+    graft.ext.IvfIndex.append(spark, qdir, half2, "vec_id", "embedding")
+    val savedQ = spark.read.parquet(s"$qdir/corpus")
+    assert(savedQ.columns.toSet == Set("neighbor_id", "scale", "codes", "cell"))
+    assert(savedQ.count() == emb.count())
+    val qFull = graft.ext.IvfIndex.load(spark, qdir)
+      .searchQuantized(q, emb, "vec_id", "embedding", k = 3, nProbe = 8)
+    assert(rows(qFull) == rows(full.search(q, "vec_id", "embedding", k = 3, nProbe = 8)),
+      "quantized append at full probe must match the float full rebuild")
+  }
+
   test("ivfCentroids: farthest-point seeding balances cells on an id-clustered corpus") {
     // adversarial-for-lowest-id-seeding corpus: ids are ordered BY
     // CLUSTER (ids 0-49 cluster 0, 50-99 cluster 1, ...), so lowest-id
