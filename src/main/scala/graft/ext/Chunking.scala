@@ -26,9 +26,20 @@ object Chunking {
   /** Explode `df` into one row per (document, chunk). Adds
     * `chunk_id` (0-based), `chunk_text` (space-joined token slice)
     * and `chunk_tokens` (its token count); every input column is
-    * kept. Tokenization is whitespace-split, consistent with
-    * [[TextStats.tokenCount]]. A document with at most maxTokens
-    * tokens yields exactly one chunk (its full text). */
+    * kept. A document with at most maxTokens tokens yields exactly
+    * one chunk (its full text).
+    *
+    * TOKENIZER CONTRACT: the token unit here is the WHITESPACE token
+    * — the same unit as [[TextStats.tokenCount]] and the unit
+    * `Packing.packShards` budgets by default, so chunk sizes, token
+    * counts and shard budgets all measure the same thing end-to-end.
+    * This is inherent to the operator, not a stub: chunk_text is
+    * rebuilt by joining the sliced tokens, which only round-trips for
+    * a whitespace split. For model (BPE) budgets, chunk by
+    * whitespace with a maxTokens sized to the corpus's
+    * BPE-per-whitespace ratio, then pass a real tokenizer count
+    * column as Packing's `tokensCol` — packing is token-definition
+    * agnostic; only chunk BOUNDARIES are whitespace-based. */
   def chunkDocuments(df: DataFrame, textCol: Column,
                      maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
