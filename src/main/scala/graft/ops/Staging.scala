@@ -37,6 +37,17 @@ object Staging {
   private val staged = new ConcurrentLinkedQueue[DataFrame]()
   private val stagedRdds = new ConcurrentLinkedQueue[RDD[_]]()
 
+  // Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
+  // been truncated and cannot be recomputed") from the RDD-class
+  // logger on every call. Here that is the DESIGNED lifecycle — a
+  // checkpoint is only dropped once its successor is materialized and
+  // nothing can re-read it — so the warning is a per-sweep false
+  // alarm; mute that one logger (it logs nothing else at WARN).
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD",
+    org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () } // logging backend absent: cosmetic only
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
   def stage(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
