@@ -497,6 +497,35 @@ object TextQueries {
              round(avg("height"), 6).as("avg_height"),
              sum("n_frames").as("total_frames"))
         .orderBy("source")),
+
+    // DSIR importance weights (Dsir.withImportanceWeights, Xie et al.
+    // arXiv:2302.03169): hashed uni+bigram buckets (md5 3-hex prefix,
+    // 4096 cells), Laplace-smoothed log-ratio toward the lang='en'
+    // target, per-doc summed LLR. Top-20 by per-gram LLR; ordering is
+    // on the ROUNDED value with doc_id tie-break, so a sub-6dp libm
+    // divergence cannot flip the limit boundary.
+    "q80_dsir_weights" -> ((s, d) =>
+      graft.ext.Dsir.withImportanceWeights(Tables.documents(s, d),
+          "doc_id", "text", isTarget = col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
+                round(col("llr"), 6).as("llr"),
+                round(col("llr_per_gram"), 6).as("llr_pg"))
+        .orderBy(col("llr_pg").desc, col("doc_id"))
+        .limit(20)),
+
+    // Bucket-LM cross-entropy (Dsir.withCrossEntropy): nats-per-gram
+    // negative log-likelihood under the corpus's own smoothed bucket
+    // unigram model — the "how typical is this document" quality
+    // signal, aggregated per (lang, source).
+    "q81_bucket_lm_xent" -> ((s, d) =>
+      graft.ext.Dsir.withCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("n_grams") > 0)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("xent"), 6).as("avg_xent"),
+             round(min("xent"), 6).as("min_xent"),
+             round(max("xent"), 6).as("max_xent"))
+        .orderBy("lang", "source")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1272,5 +1301,65 @@ object TextQueries {
         | round(avg(64 + (n_bytes * 7) % 416), 6) AS avg_height,
         | CAST(sum(1 + n_chars % 29) AS BIGINT) AS total_frames
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors Dsir.withImportanceWeights stage for stage: uni+bigram
+    // occurrences (q62's bigram construction, all positions), 3-hex
+    // md5 bucket, smoothed log-ratio in the IDENTICAL IEEE order
+    // ((c+1.0)/(TOT+4096.0), ln, subtract), per-doc sum, left join
+    // back. ORDER BY the rounded value + doc_id so the LIMIT boundary
+    // is libm-divergence-proof.
+    "q80_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(tk) AS gram FROM d
+        |  WHERE text IS NOT NULL AND text <> ''
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
+        |b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bk FROM g),
+        |c AS (SELECT bk, count(*) AS r,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        |      FROM b GROUP BY bk),
+        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr, CAST(sum(tc) AS DOUBLE) AS tt FROM c),
+        |w AS (SELECT bk, ln((tc + 1.0) / (tt + 4096.0)) - ln((r + 1.0) / (rr + 4096.0)) AS delta
+        |      FROM c, t),
+        |s AS (SELECT doc_id, count(*) AS n_grams, sum(delta) AS llr
+        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
+        |SELECT d2.doc_id, d2.lang, d2.source,
+        |  COALESCE(s.n_grams, 0) AS n_grams,
+        |  round(COALESCE(s.llr, 0.0), 6) AS llr,
+        |  round(COALESCE(s.llr / s.n_grams, 0.0), 6) AS llr_pg
+        |FROM documents d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY llr_pg DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Mirrors Dsir.withCrossEntropy: same gram/bucket construction,
+    // -ln((r+1.0)/(RR+4096.0)) per bucket, per-doc mean; docs without
+    // grams are excluded on both sides (inner join here, the
+    // n_grams > 0 filter there).
+    "q81_bucket_lm_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tk) AS gram FROM d
+        |  WHERE text IS NOT NULL AND text <> ''
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
+        |b AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bk FROM g),
+        |c AS (SELECT bk, count(*) AS r FROM b GROUP BY bk),
+        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr FROM c),
+        |w AS (SELECT bk, -ln((r + 1.0) / (rr + 4096.0)) AS nll FROM c, t),
+        |s AS (SELECT doc_id, count(*) AS n_grams, sum(nll) / count(*) AS xent
+        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
+        |SELECT d2.lang, d2.source, count(*) AS n_docs,
+        |  round(avg(s.xent), 6) AS avg_xent,
+        |  round(min(s.xent), 6) AS min_xent,
+        |  round(max(s.xent), 6) AS max_xent
+        |FROM documents d2 JOIN s USING (doc_id)
+        |GROUP BY d2.lang, d2.source
+        |ORDER BY lang, source""".stripMargin,
   )
 }
