@@ -451,10 +451,32 @@ object Dedup {
     * instead of waiting on ContextCleaner GC. If maxIter is hit before a sweep
     * changes nothing the result would be WRONG (a cluster split in
     * two), so the operator throws instead of returning silently.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH: each distributed sweep is several
+    * jobs (two joins, a min aggregate, a checkpoint materialization,
+    * a convergence count) whose fixed scheduling cost dwarfs the work
+    * when the dup graph is small — and near-dup graphs usually ARE
+    * small next to their corpus (edges ≈ dup-cluster members, a
+    * sliver of n). So, exactly like Spark's own broadcast-join
+    * threshold, the operator counts the (already staged) edge list
+    * once and, when it holds at most `smallGraphThreshold` symmetric
+    * edges of integral ids, runs union-by-min union-find on the
+    * driver instead — one collect of the staged edges, zero sweep
+    * jobs, identical labels (a spec pins driver ≡ distributed on
+    * random graphs). Driver memory is bounded by the threshold
+    * (~2M edges ≈ low hundreds of MB transient), the same contract as
+    * `spark.sql.autoBroadcastJoinThreshold`; larger graphs — the
+    * 100 TB regime — take the distributed sweeps automatically.
+    * Pass `smallGraphThreshold = 0` to force the distributed path.
+    * Non-integral id types (e.g. string keys) always run distributed:
+    * their driver-side ordering (UTF-16) need not match SQL's
+    * byte-wise UTF-8 ordering, and label choice must not depend on
+    * the path taken.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 25): DataFrame =
-    connectedComponentsWithSweeps(pairs, aCol, bCol, maxIter)._1
+                          bCol: String = "id_b", maxIter: Int = 25,
+                          smallGraphThreshold: Long = 1L << 21): DataFrame =
+    connectedComponentsWithSweeps(pairs, aCol, bCol, maxIter, smallGraphThreshold)._1
 
   /** [[connectedComponents]] plus the sweep count it converged in —
     * spec-only instrumentation pinning the O(log diameter)
@@ -463,11 +485,21 @@ object Dedup {
     * slower at scale; the count is the observable). */
   private[graft] def connectedComponentsWithSweeps(
       pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): (DataFrame, Int) = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      smallGraphThreshold: Long = 1L << 21): (DataFrame, Int) = {
     val edges = graft.ops.Staging.stage(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    val idType = pairs.schema(aCol).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // this count also materializes the staged edge list, so neither
+    // path recomputes pair generation
+    if (integral && smallGraphThreshold > 0 &&
+        edges.count() <= smallGraphThreshold) {
+      return (driverComponents(pairs.sparkSession, edges, idType), 0)
+    }
     // seed at sweep-1's result directly: label = min(v, min neighbors)
     // (one aggregate over the symmetric edge list saves a full sweep)
     // Every checkpoint is Staging-registered so the harness's
@@ -529,6 +561,52 @@ object Dedup {
     // already materialized; the live checkpoint's blocks are freed by
     // the harness's Staging.releaseAll() after the consuming action
     (labels, iter)
+  }
+
+  /** Small-graph tail of [[connectedComponents]]: union-by-min
+    * union-find with path compression over the collected symmetric
+    * edge list. Union always attaches the larger root under the
+    * smaller, so every set's root is its minimum member — the same
+    * keep-lowest-id labels the distributed sweeps converge to. Only
+    * reached under the size gate, for integral id types. */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def toL(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.longValue()
+    }
+    edges.collect().foreach { row =>
+      val a = toL(row.get(0))
+      val b = toL(row.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+    val rows: Seq[Row] = ids.toSeq.map { boxed =>
+      val id = boxed.longValue()
+      val comp = find(id)
+      if (idType == IntegerType) Row(id.toInt, comp.toInt)
+      else Row(id, comp)
+    }
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("component", idType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Tag every document with its dup-cluster representative:

@@ -414,8 +414,11 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(strCc == Map("a" -> "a", "b" -> "a", "c" -> "a"))
     // an unconverged run must throw, never return a split cluster
+    // (threshold 0 forces the distributed sweeps — the driver path
+    // has no iteration budget to exhaust)
     val err = intercept[IllegalStateException] {
-      graft.ext.Dedup.connectedComponents(pairs, maxIter = 1)
+      graft.ext.Dedup.connectedComponents(pairs, maxIter = 1,
+        smallGraphThreshold = 0)
     }
     assert(err.getMessage.contains("converge"))
     graft.ops.Staging.releaseAll()
@@ -736,8 +739,12 @@ class ExtSpec extends AnyFunSuite {
     val n = 10000
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
+    // threshold 0 forces the distributed sweeps (the adaptive gate
+    // would hand a 10k-edge graph to the driver)
     val (cc, sweeps) =
-      Dedup.connectedComponentsWithSweeps(chain, maxIter = 18)
+      Dedup.connectedComponentsWithSweeps(chain, maxIter = 18,
+        smallGraphThreshold = 0)
+    assert(sweeps > 0, "distributed path must actually sweep")
     assert(sweeps <= 16, s"pointer jumping took $sweeps sweeps for diameter ${n - 1}")
     val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == n && labels.forall(_._2 == 0L))
@@ -763,9 +770,15 @@ class ExtSpec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(k => k -> find(k)).toMap
+      // default threshold -> driver union-find path
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial (nodes=$nodes) diverged from union-find")
+      // threshold 0 -> distributed sweeps; labels must be path-independent
+      val dist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          smallGraphThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected, s"trial $trial distributed path diverged")
     }
     graft.ops.Staging.releaseAll()
   }
