@@ -319,28 +319,42 @@ object Dedup {
     * cluster, so pick `bits`/`maxHamming` such that 2^width dwarfs n
     * per skew-heavy band value.
     */
+  /** The `maxHamming + 1` pigeonhole band keys of a '0'/'1' signature
+    * string: array of struct<band, bval>. Shared by the self-join
+    * ([[simHashNearDups]]) and the corpus-state probe
+    * ([[nearDupAgainstCorpus]]). */
+  private def sigBands(simhash: Column, bits: Int, bands: Int): Column = {
+    val width = bits / bands        // leading bands get `width` bits...
+    val rem = bits % bands          // ...the last band absorbs the remainder
+    array((0 until bands).map { b =>
+      val start = b * width + 1     // substr is 1-based
+      val len = if (b == bands - 1) width + rem else width
+      struct(lit(b).as("band"), substring(simhash, start, len).as("bval"))
+    }: _*)
+  }
+
+  /** The signature parsed as 32-bit words for xor-popcount hamming.
+    * Per-word on purpose: conv(bin, 2, 10) yields the UNSIGNED decimal
+    * string, so a 64-bit value with bit 63 set casts to null — a
+    * silent drop-all-pairs bug. A 32-bit word always fits. */
+  private def sigWords(simhash: Column, bits: Int): Seq[Column] =
+    (0 until bits / 32).map { w =>
+      conv(substring(simhash, w * 32 + 1, 32), 2, 10)
+        .cast("long").as(s"w$w")
+    }
+
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, bits: Int = 64): DataFrame = {
     require(bits == 32 || bits == 64, "bits must be 32 or 64")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, ${bits - 1}]")
     val bands = maxHamming + 1
-    val width = bits / bands        // leading bands get `width` bits...
-    val rem = bits % bands          // ...the last band absorbs the remainder
     val sig = if (bits == 64) graft.functions.GraftFunctions.simHash64(col(textCol))
               else graft.functions.GraftFunctions.simHash32(col(textCol))
     val words = bits / 32
-    val wordCols = (0 until words).map { w =>
-      conv(substring(col("simhash"), w * 32 + 1, 32), 2, 10)
-        .cast("long").as(s"w$w")
-    }
     val sh = docs.withColumn("simhash", sig)
-      .select(col(idCol).as("id") +: col("simhash") +: wordCols: _*)
-    val bandVals = array((0 until bands).map { b =>
-      val start = b * width + 1     // substr is 1-based
-      val len = if (b == bands - 1) width + rem else width
-      struct(lit(b).as("band"), substring(col("simhash"), start, len).as("bval"))
-    }: _*)
+      .select(col(idCol).as("id") +: col("simhash") +: sigWords(col("simhash"), bits): _*)
+    val bandVals = sigBands(col("simhash"), bits, bands)
     val wnames = (0 until words).map(w => s"w$w")
     val banded = sh.select(
       col("id") +: explode(bandVals).as("bb") +: wnames.map(col): _*)
@@ -355,6 +369,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Incremental NEAR-dup dedup of a delta shard against a FROZEN
+    * corpus — the [[dedupAgainstCorpus]] shape, at SimHash rather than
+    * exact-hash granularity: the corpus is immutable and retains only
+    * its per-document `bits`-wide SimHash signatures as near-dup state
+    * (`corpusSigs`, one '0'/'1' string per doc — the output of
+    * [[withSimHash64]]; 8 bytes of entropy per document at 100 TB).
+    * Every delta document within hamming `maxHamming` of ANY corpus
+    * signature is dropped; survivors return with their own `simhash`
+    * column — the state rows to append for the next increment.
+    *
+    * Near-dups WITHIN the delta batch are deliberately out of scope
+    * (both survive): intra-batch clustering is a different decision
+    * (keep a representative, not drop both) and composes downstream as
+    * `withDupComponent(survivors, simHashNearDups(survivors, …))` —
+    * the same split q76 makes between corpus-wins and batch-keep-low.
+    *
+    * Scale shape mirrors [[ngramContamination]]'s broadcast asymmetry:
+    * a crawl increment is a sliver of the corpus, so the DELTA's
+    * banded signatures broadcast (default) and the corpus state is
+    * scanned map-side — never shuffled, never joined by text. Matched
+    * delta ids (tiny) then anti-join back. The pigeonhole band
+    * candidates are EXACT (any pair within maxHamming agrees on some
+    * band), so the result equals the all-pairs comparison the oracle
+    * runs. With `broadcastDelta = false` the probe becomes the plain
+    * band equi-join — both sides shuffle by band value, no size
+    * constraint — for delta shards too large to broadcast.
+    */
+  def nearDupAgainstCorpus(delta: DataFrame, idCol: String, textCol: String,
+                           corpusSigs: DataFrame, sigCol: String = "simhash",
+                           maxHamming: Int = 3, bits: Int = 64,
+                           broadcastDelta: Boolean = true): DataFrame = {
+    require(bits == 32 || bits == 64, "bits must be 32 or 64")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}]")
+    require(!delta.columns.contains("simhash"),
+      "delta already has a 'simhash' column — rename it first")
+    val bands = maxHamming + 1
+    val sig = if (bits == 64) graft.functions.GraftFunctions.simHash64(col(textCol))
+              else graft.functions.GraftFunctions.simHash32(col(textCol))
+    val wnames = (0 until bits / 32).map(w => s"w$w")
+    // staged: feeds both the probe and the surviving-rows anti join
+    val dsig = graft.ops.Staging.stage(delta.withColumn("simhash", sig))
+    val dband0 = dsig.select(
+      col(idCol).as("__did") +:
+        explode(sigBands(col("simhash"), bits, bands)).as("bb") +:
+        sigWords(col("simhash"), bits): _*)
+      .select(col("__did") +: col("bb.band").as("band") +:
+        col("bb.bval").as("bval") +: wnames.map(w => col(w).as(s"${w}_d")): _*)
+    val dband = if (broadcastDelta) broadcast(dband0) else dband0
+    val cband = corpusSigs.select(
+      explode(sigBands(col(sigCol), bits, bands)).as("bb") +:
+        sigWords(col(sigCol), bits): _*)
+      .select(col("bb.band").as("band") +: col("bb.bval").as("bval") +:
+        wnames.map(w => col(w).as(s"${w}_c")): _*)
+    val hamming = wnames.map(w =>
+        bit_count(col(s"${w}_d").bitwiseXOR(col(s"${w}_c"))))
+      .reduce(_ + _)
+    val matched = cband.join(dband, Seq("band", "bval"))
+      .filter(hamming <= maxHamming)
+      .select(col("__did")).distinct()
+    dsig.join(matched, dsig(idCol) === matched("__did"), "left_anti")
   }
 
   /** Train-benchmark n-gram CONTAMINATION pairs: training documents

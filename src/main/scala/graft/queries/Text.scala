@@ -513,6 +513,27 @@ object TextQueries {
         .orderBy(col("llr_pg").desc, col("doc_id"))
         .limit(20)),
 
+    // Incremental NEAR-dup dedup (Dedup.nearDupAgainstCorpus): docs
+    // with doc_id % 5 == 0 play the crawl delta; the frozen corpus
+    // retains only its 64-bit SimHash signatures as state. Delta docs
+    // within hamming <= 3 of ANY corpus signature drop; survivors
+    // return with their own signatures (the state delta). Exact
+    // pigeonhole banding, so the oracle is the all-pairs comparison.
+    "q82_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSigs = Dedup.withSimHash64(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text")
+        .select("simhash")
+      Dedup.nearDupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", corpusSigs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+             countDistinct("simhash").as("n_sigs"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
     // Bucket-LM cross-entropy (Dsir.withCrossEntropy): nats-per-gram
     // negative log-likelihood under the corpus's own smoothed bucket
     // unigram model — the "how typical is this document" quality
@@ -1333,6 +1354,39 @@ object TextQueries {
         |  round(COALESCE(s.llr / s.n_grams, 0.0), 6) AS llr_pg
         |FROM documents d2 LEFT JOIN s USING (doc_id)
         |ORDER BY llr_pg DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q59's signature construction (hi/lo 32-bit halves of the md5-bit
+    // SimHash64), then the all-pairs NOT EXISTS the exact pigeonhole
+    // banding must reproduce: a delta doc survives iff no corpus doc
+    // is within hamming 3.
+    "q82_incremental_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |delta AS (
+        |  SELECT s.doc_id, d.source, s.hi, s.lo
+        |  FROM sh s JOIN documents d USING (doc_id) WHERE d.doc_id % 5 = 0),
+        |keep AS (
+        |  SELECT * FROM delta s WHERE NOT EXISTS (
+        |    SELECT 1 FROM sh c WHERE c.doc_id % 5 <> 0
+        |      AND bit_count(xor(s.hi, c.hi)) + bit_count(xor(s.lo, c.lo)) <= 3))
+        |SELECT source, count(*) AS n_new,
+        |  count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)) AS n_sigs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors Dsir.withCrossEntropy: same gram/bucket construction,
     // -ln((r+1.0)/(RR+4096.0)) per bucket, per-doc mean; docs without

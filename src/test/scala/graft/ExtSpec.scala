@@ -424,6 +424,39 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("nearDupAgainstCorpus: corpus matches drop, intra-delta pairs both survive") {
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val corpusSigs = Dedup.withSimHash64(corpus, "text").select("simhash")
+    val delta = Seq(
+      (1L, "a b c d e f g h i j"),   // exact text of corpus 100 -> hamming 0, drops
+      (2L, "m n o p q r s t u v"),   // novel, survives
+      (3L, "k l m n o p q r s t"),   // novel, survives
+      (4L, "m n o p q r s t u v")    // intra-delta dup of 2: BOTH survive (out of scope)
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainstCorpus(delta, "doc_id", "text", corpusSigs)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // survivors carry their signature (the state rows to append)
+    assert(out.columns.contains("simhash"))
+    val sigs = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sigs(2L).length == 64 && sigs(2L) == sigs(4L))
+    // the shuffle-join fallback path returns the identical set
+    val shuffled = Dedup.nearDupAgainstCorpus(delta, "doc_id", "text",
+        corpusSigs, broadcastDelta = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == kept)
+    // appending the survivors' signatures makes a re-crawl of them drop
+    val nextState = corpusSigs.union(out.select("simhash"))
+    val redrop = Dedup.nearDupAgainstCorpus(
+        delta.filter($"doc_id" =!= 1L), "doc_id", "text", nextState)
+      .count()
+    assert(redrop == 0L, "re-crawled survivors must drop against the appended state")
+    graft.ops.Staging.releaseAll()
+  }
+
   test("mixtureResample: clamped domains keep all, absent domains drop, budgets nest") {
     val docs = ((0L until 40L).map(i => (i, "web")) ++
                 (100L until 104L).map(i => (i, "code")) ++
