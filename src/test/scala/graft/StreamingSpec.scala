@@ -165,6 +165,39 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 0, "a b c", 3)))
   }
 
+  test("incremental near-dup dedups each micro-batch against growing signature state") {
+    implicit val sc = spark.sqlContext
+    // the crawl-increment shape: each micro-batch is a delta shard,
+    // foreachBatch runs the batch operator against the current corpus
+    // state, and the survivors' signatures append to the state for
+    // the NEXT micro-batch — so a later re-crawl of a survivor drops
+    val corpus = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    var state = graft.ext.Dedup.withSimHash64(corpus, "text")
+      .select("simhash").as[String].collect().toVector
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val stream = MemoryStream[Doc]
+    val q = stream.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = graft.ext.Dedup.nearDupAgainstCorpus(
+            batch.drop("ts"), "doc_id", "text", state.toDF("simhash"))
+          .select("doc_id", "simhash").collect()
+        survived ++= out.map(_.getLong(0))
+        state = state ++ out.map(_.getString(1))
+        ()
+    }.start()
+    stream.addData(
+      Doc(1, ts(0), "a b c d e f g h i j", "cc"),   // corpus dup -> drops
+      Doc(2, ts(1), "m n o p q r s t u v", "web"))  // novel -> survives
+    q.processAllAvailable()
+    stream.addData(
+      Doc(3, ts(2), "m n o p q r s t u v", "cc"))   // re-crawl of 2 -> drops
+    q.processAllAvailable()
+    q.stop()
+    assert(survived.toSeq == Seq(2L))
+    assert(state.length == 2) // corpus + doc 2's signature
+    graft.ops.Staging.releaseAll()
+  }
+
   test("exact streaming doc-prep keeps lowest id under shuffled within-batch arrival") {
     implicit val sc = spark.sqlContext
     val profiles = Seq("de" -> Seq("key", "merge", "batch"),
