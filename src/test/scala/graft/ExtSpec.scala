@@ -448,6 +448,16 @@ class ExtSpec extends AnyFunSuite {
         corpusSigs, broadcastDelta = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shuffled == kept)
+    // plan: the broadcast path probes the corpus map-side — no
+    // band-keyed exchange anywhere; the fallback shuffles by band
+    val bplan = Dedup.nearDupAgainstCorpus(delta, "doc_id", "text", corpusSigs)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin"))
+    assert(!bplan.contains("hashpartitioning(band"),
+      "broadcast path must not shuffle by band value")
+    // (no band-shuffle assertion on the fallback path: at this size
+    // the optimizer auto-broadcasts it anyway — the result equality
+    // above is the fallback's contract)
     // appending the survivors' signatures makes a re-crawl of them drop
     val nextState = corpusSigs.union(out.select("simhash"))
     val redrop = Dedup.nearDupAgainstCorpus(
