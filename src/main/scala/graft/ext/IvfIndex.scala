@@ -205,6 +205,51 @@ object IvfIndex {
     out.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** Re-cluster a saved index into a FRESH GENERATION at `destPath` —
+    * the other half of the [[append]] lifecycle: appends assign at
+    * frozen centroids, so a corpus that drifts (new topics, new
+    * embedding regions) crowds into whatever cells existed at build
+    * time until probing degrades. Compaction recomputes centroids
+    * over the CURRENT corpus and rewrites the cell layout; writing a
+    * new generation rather than overwriting in place is deliberate —
+    * it is both the only safe plan (a path cannot be overwritten
+    * while being read) and the production pattern (searches flip to
+    * the new generation atomically; the old one is dropped after).
+    *
+    * Layout is preserved: a float index rebuilds as float; a
+    * quantized index re-clusters on the DEQUANTIZED vectors (cell
+    * routing is approximate by construction) while carrying its
+    * stored (scale, codes) through BIT-IDENTICALLY — compaction never
+    * re-quantizes, so repeated compactions do not accumulate loss.
+    * One scan per k-means sweep plus one assignment scan, map-side
+    * like [[build]]; no corpus shuffle.
+    */
+  def compact(spark: SparkSession, path: String, destPath: String,
+              nCentroids: Int = 16, kmeansSweeps: Int = 2,
+              seedStrategy: String = "first"): Unit = {
+    require(destPath != path,
+      "compaction writes a new index generation — give it a fresh path")
+    val gf = graft.functions.GraftFunctions
+    val raw = spark.read.parquet(s"$path/corpus")
+    if (raw.columns.contains("codes")) {
+      val vecs = raw.select(col("neighbor_id"),
+          struct(col("scale"), col("codes")).as("q"))
+        .withColumn("c_vec", gf.int8Dequantize(spark, col("q")))
+      val cents = Similarity.ivfCentroids(vecs, "neighbor_id", "c_vec",
+        nCentroids, kmeansSweeps, seedStrategy)
+      val assigned = vecs.withColumn("cell",
+        gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+      IvfIndex(cents, assigned).saveQuantized(destPath)
+    } else {
+      val e = raw.select(col("neighbor_id"), col("c_vec"))
+      val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
+        nCentroids, kmeansSweeps, seedStrategy)
+      val assigned = e.withColumn("cell",
+        gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+      IvfIndex(cents, assigned).save(destPath)
+    }
+  }
+
   private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()

@@ -952,6 +952,52 @@ class ExtSpec extends AnyFunSuite {
       "quantized append at full probe must match the float full rebuild")
   }
 
+  test("IvfIndex.compact: fresh-generation re-cluster, identical exhaustive search, codes carried bit-identical") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2 = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // drifted float index: built on half the corpus, appended the rest
+    val dir = java.nio.file.Files.createTempDirectory("ivfcsrc").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(dir)
+    graft.ext.IvfIndex.append(spark, dir, half2, "vec_id", "embedding")
+    val dest = java.nio.file.Files.createTempDirectory("ivfcdst").toString
+    graft.ext.IvfIndex.compact(spark, dir, dest,
+      nCentroids = 8, kmeansSweeps = 2)
+    val old = graft.ext.IvfIndex.load(spark, dir)
+    val neu = graft.ext.IvfIndex.load(spark, dest)
+    // centroids recomputed over the CURRENT corpus, not the build half
+    assert(neu.centroids != old.centroids)
+    assert(neu.centroids.length == 8)
+    // same corpus, so exhaustive-probe searches are identical
+    assert(rows(neu.search(q, "vec_id", "embedding", k = 3, nProbe = 8)) ==
+           rows(old.search(q, "vec_id", "embedding", k = 3, nProbe = 8)))
+    // the new generation's layout prunes like any built index
+    val plan = neu.search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // in-place compaction is refused, not silently corrupting
+    intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.compact(spark, dir, dir)
+    }
+    // quantized layout: stored (scale, codes) pass through BIT-IDENTICAL
+    val qdirC = java.nio.file.Files.createTempDirectory("ivfcq").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(qdirC)
+    graft.ext.IvfIndex.append(spark, qdirC, half2, "vec_id", "embedding")
+    val qdestC = java.nio.file.Files.createTempDirectory("ivfcqd").toString
+    graft.ext.IvfIndex.compact(spark, qdirC, qdestC,
+      nCentroids = 8, kmeansSweeps = 2)
+    def codes(p: String) = spark.read.parquet(s"$p/corpus")
+      .select("neighbor_id", "scale", "codes").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    assert(codes(qdestC) == codes(qdirC),
+      "compaction must never re-quantize stored codes")
+  }
+
   test("ivfCentroids: farthest-point seeding balances cells on an id-clustered corpus") {
     // adversarial-for-lowest-id-seeding corpus: ids are ordered BY
     // CLUSTER (ids 0-49 cluster 0, 50-99 cluster 1, ...), so lowest-id
