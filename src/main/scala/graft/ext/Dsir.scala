@@ -120,41 +120,62 @@ object Dsir {
         coalesce(col("llr") / col("n_grams"), lit(0.0)).as("llr_per_gram")): _*)
   }
 
-  /** Bucket-LM cross-entropy: appends `n_grams` (long) and `xent` —
-    * the average negative log-likelihood (nats per gram) of the
-    * document under the Laplace-smoothed bucket unigram model fitted
-    * on `reference` (defaults to `docs` itself: self-perplexity, the
-    * "how typical of this corpus is this document" quality signal;
-    * pass a held-out or curated frame to score against it instead).
-    * Grams whose bucket the reference never observed take the
-    * smoothing floor -ln(1/(R+B)). Documents with no grams get xent
-    * 0.0 — filter `n_grams > 0` before averaging, as the oracle
-    * does. */
-  def withCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
-                       reference: DataFrame = null,
-                       hexChars: Int = 3): DataFrame = {
+  /** A fitted bucket unigram LM: the per-bucket negative
+    * log-likelihood table (tiny — broadcast at scoring time), the
+    * out-of-model smoothing floor, and the bucket width. Fit once
+    * with [[fitCrossEntropyModel]], apply many times with
+    * [[scoreCrossEntropy]] — a frozen model also scores STREAMS
+    * (per micro-batch via foreachBatch), where refitting per batch
+    * would silently change the measure between batches. */
+  final case class XentModel(nll: DataFrame, floor: Double, hexChars: Int)
+
+  /** Fit the Laplace-smoothed bucket unigram model on `reference`:
+    * one pass (map-side partial aggregation to <= 16^hexChars rows),
+    * staged, totals driver-collected. */
+  def fitCrossEntropyModel(reference: DataFrame, idCol: String,
+                           textCol: String, hexChars: Int = 3): XentModel = {
     require(hexChars >= 1 && hexChars <= 6, "hexChars must be in [1, 6]")
-    requireFresh(docs, Seq("n_grams", "xent"))
     val b = math.pow(16.0, hexChars)
-    val ref = Option(reference).getOrElse(docs)
     val counts = graft.ops.Staging.stage(
-      gramOccurrences(ref, idCol, textCol)
+      gramOccurrences(reference, idCol, textCol)
         .groupBy(bucketOf(col("__gram"), hexChars).as("__b"))
         .agg(count(lit(1)).as("__r")))
     val rT = counts.agg(sum("__r")).head().getLong(0).toDouble
     val nll = counts.select(
       col("__b"), (-log((col("__r") + lit(1.0)) / lit(rT + b))).as("__nll"))
-    val floor = -math.log(1.0 / (rT + b))
+    XentModel(nll, -math.log(1.0 / (rT + b)), hexChars)
+  }
+
+  /** Score `docs` under a fitted model: appends `n_grams` (long) and
+    * `xent` — the average negative log-likelihood (nats per gram).
+    * Grams whose bucket the model never observed take the smoothing
+    * floor. Documents with no grams get xent 0.0 — filter
+    * `n_grams > 0` before averaging, as the oracle does. One pass
+    * over `docs`; the model table broadcasts. */
+  def scoreCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                        model: XentModel): DataFrame = {
+    requireFresh(docs, Seq("n_grams", "xent"))
     val perDoc = gramOccurrences(docs, idCol, textCol)
-      .join(broadcast(nll), bucketOf(col("__gram"), hexChars) === col("__b"), "left")
+      .join(broadcast(model.nll),
+            bucketOf(col("__gram"), model.hexChars) === col("__b"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-           sum(coalesce(col("__nll"), lit(floor))).as("__sum_nll"))
+           sum(coalesce(col("__nll"), lit(model.floor))).as("__sum_nll"))
     docs.join(perDoc, Seq(idCol), "left").select(
       docs.columns.map(col) ++ Seq(
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("__sum_nll") / col("n_grams"), lit(0.0)).as("xent")): _*)
   }
+
+  /** Bucket-LM cross-entropy in one call: fit on `reference`
+    * (defaults to `docs` itself — self-perplexity, the "how typical
+    * of this corpus is this document" quality signal), then score. */
+  def withCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                       reference: DataFrame = null,
+                       hexChars: Int = 3): DataFrame =
+    scoreCrossEntropy(docs, idCol, textCol,
+      fitCrossEntropyModel(Option(reference).getOrElse(docs),
+        idCol, textCol, hexChars))
 
   /** The resampling step: keep `k` documents by Gumbel-top-k over
     * `weight / temperature` — equivalent to sampling k WITHOUT

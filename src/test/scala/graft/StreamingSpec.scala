@@ -198,6 +198,38 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("a frozen cross-entropy model scores micro-batches identically to batch") {
+    implicit val sc = spark.sqlContext
+    // fit ONCE on a reference corpus; per-batch refitting would
+    // silently change the measure between micro-batches
+    val ref = Seq((100L, "the cat sat on the mat"),
+                  (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val model = graft.ext.Dsir.fitCrossEntropyModel(ref, "doc_id", "text")
+    val scored = scala.collection.mutable.Map[Long, Double]()
+    val stream = MemoryStream[Doc]
+    val q = stream.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Dsir.scoreCrossEntropy(batch.drop("ts"), "doc_id", "text", model)
+          .select("doc_id", "xent").collect()
+          .foreach(r => scored(r.getLong(0)) = r.getDouble(1))
+        ()
+    }.start()
+    stream.addData(Doc(1, ts(0), "the cat sat on the rug", "web"))
+    q.processAllAvailable()
+    stream.addData(Doc(2, ts(1), "zq xv qj wk", "cc"))
+    q.processAllAvailable()
+    q.stop()
+    // batch scoring under the same frozen model gives the same numbers
+    val batchScores = graft.ext.Dsir.scoreCrossEntropy(
+        Seq((1L, "the cat sat on the rug"), (2L, "zq xv qj wk"))
+          .toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    assert(scored.toMap == batchScores)
+    // boilerplate close to the reference scores lower than rare text
+    assert(scored(1L) < scored(2L))
+    graft.ops.Staging.releaseAll()
+  }
+
   test("exact streaming doc-prep keeps lowest id under shuffled within-batch arrival") {
     implicit val sc = spark.sqlContext
     val profiles = Seq("de" -> Seq("key", "merge", "batch"),
