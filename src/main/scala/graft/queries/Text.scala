@@ -498,6 +498,29 @@ object TextQueries {
              sum("n_frames").as("total_frames"))
         .orderBy("source")),
 
+    // REAL byte-histogram feature extraction over binary payloads
+    // (Multimodal.withByteHistogram, the partition-batched 256-bin
+    // content signature). ASCII bins of a UTF-8 stream are exact
+    // character counts (continuation bytes are 0x80+), so the oracle
+    // verifies the space/'a'/'e' bins from plain string arithmetic.
+    "q83_media_byte_features" -> ((s, d) => {
+      val assets = Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      graft.ext.Multimodal.withByteHistogram(assets, "payload")
+        .select(col("source"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          element_at(col("features"), 33).as("f_space"), // byte 0x20
+          element_at(col("features"), 98).as("f_a"),     // byte 0x61
+          element_at(col("features"), 102).as("f_e"))    // byte 0x65
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+             sum("n_bytes").as("total_bytes"),
+             round(avg("f_space"), 6).as("avg_space_freq"),
+             round(avg("f_a"), 6).as("avg_a_freq"),
+             round(avg("f_e"), 6).as("avg_e_freq"))
+        .orderBy("source")
+    }),
+
     // DSIR importance weights (Dsir.withImportanceWeights, Xie et al.
     // arXiv:2302.03169): hashed uni+bigram buckets (md5 3-hex prefix,
     // 4096 cells), Laplace-smoothed log-ratio toward the lang='en'
@@ -1354,6 +1377,23 @@ object TextQueries {
         |  round(COALESCE(s.llr / s.n_grams, 0.0), 6) AS llr_pg
         |FROM documents d2 LEFT JOIN s USING (doc_id)
         |ORDER BY llr_pg DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Char counts equal the histogram's ASCII bins; byte length from
+    // encode(). The float features are computed per row at ~1e-7
+    // relative precision — two orders below the 6dp rounding grid.
+    "q83_media_byte_features" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS c_space,
+        |    CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS c_a,
+        |    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS c_e
+        |  FROM documents)
+        |SELECT source, count(*) AS n_assets, CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_space / nb END), 6) AS avg_space_freq,
+        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_a / nb END), 6) AS avg_a_freq,
+        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_e / nb END), 6) AS avg_e_freq
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // q59's signature construction (hi/lo 32-bit halves of the md5-bit
     // SimHash64), then the all-pairs NOT EXISTS the exact pigeonhole

@@ -122,6 +122,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("withByteHistogram: exact normalized bins, zero vector for empty, ANN-ready floats") {
+    val out = Multimodal.withByteHistogram(assets, "media")
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.values.forall(_.length == 256))
+    // "hello world": 11 bytes, 'l' x3, 'o' x2, ' ' x1
+    val h = out(1L)
+    assert(math.abs(h('l'.toInt) - 3f / 11f) < 1e-7)
+    assert(math.abs(h('o'.toInt) - 2f / 11f) < 1e-7)
+    assert(math.abs(h(' '.toInt) - 1f / 11f) < 1e-7)
+    assert(math.abs(h.sum - 1f) < 1e-5, "bins of a non-empty payload sum to 1")
+    // empty payload: all-zero vector, no NaN from 0/0
+    assert(out(2L).forall(_ == 0f))
+    // the features feed the embedding stack directly
+    val feats = Multimodal.withByteHistogram(assets, "media")
+      .filter($"asset_id" =!= 2L).select($"asset_id", $"features")
+    val sims = graft.ext.Similarity.bruteForceTopK(
+      feats, feats, "asset_id", "features", k = 1)
+    assert(sims.count() == 2)
+  }
+
+  test("resizeStub: target-sized deterministic payload, plumbing schema intact") {
+    val out = Multimodal.resizeStub(assets, "media", width = 4, height = 2)
+    assert(out.columns.takeRight(3).toSeq ==
+      Seq("resized", "resized_width", "resized_height"))
+    val rows = out.select("asset_id", "resized", "resized_width", "resized_height")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))
+    rows.foreach { case (id, payload, w, h) =>
+      assert(w == 4 && h == 2)
+      if (id == 2L) assert(payload.isEmpty) // empty asset stays empty
+      else assert(payload.length == 4 * 2 * 3, "RGB payload for the target size")
+    }
+    // deterministic: same input -> identical bytes
+    val again = Multimodal.resizeStub(assets, "media", 4, 2)
+      .select("asset_id", "resized").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    rows.foreach { case (id, payload, _, _) =>
+      assert(again(id) == payload.toSeq)
+    }
+  }
+
   test("sampleFrames explodes sampled frame indices") {
     val out = Multimodal.sampleFrames(
       Multimodal.withDecodedMeta(assets, "media", StubDecoder), "media_meta", stride = 5)
