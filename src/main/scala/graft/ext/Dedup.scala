@@ -397,6 +397,13 @@ object Dedup {
     * runs. With `broadcastDelta = false` the probe becomes the plain
     * band equi-join — both sides shuffle by band value, no size
     * constraint — for delta shards too large to broadcast.
+    *
+    * The delta is staged (persisted — it feeds both the probe and the
+    * surviving-rows anti join); call
+    * [[graft.ops.Staging.releaseAll]] after the consuming action. In
+    * a foreachBatch ingest loop that means at the END OF EACH BATCH,
+    * or staged blocks accumulate across micro-batches (the
+    * StreamingSpec case models this).
     */
   def nearDupAgainstCorpus(delta: DataFrame, idCol: String, textCol: String,
                            corpusSigs: DataFrame, sigCol: String = "simhash",

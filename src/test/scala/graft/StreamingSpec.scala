@@ -183,6 +183,9 @@ class StreamingSpec extends AnyFunSuite {
           .select("doc_id", "simhash").collect()
         survived ++= out.map(_.getLong(0))
         state = state ++ out.map(_.getString(1))
+        // release THIS batch's staged delta — a long-running ingest
+        // would otherwise accumulate persisted blocks per micro-batch
+        graft.ops.Staging.releaseAll()
         ()
     }.start()
     stream.addData(
