@@ -242,12 +242,26 @@ object Similarity {
     * The staged embedding frame is registered with [[Staging]]; the
     * query harness releases it after the consuming action (round 2
     * leaked it for the session lifetime).
+    *
+    * SKEW GUARD (`maxBandBucket`, default off): candidates per band
+    * value grow QUADRATICALLY in its occupancy, so one degenerate
+    * bucket — mass-duplicated boilerplate embeddings, the zero-vector
+    * sign pattern — can dominate the whole job at corpus scale (the
+    * q65 stop-shingle lesson in embedding space). With a cap, band
+    * values held by more than `maxBandBucket` vectors are dropped
+    * BEFORE the self-join, bounding any bucket's fan-out. The trade
+    * is explicit: a true pair is then found only via its
+    * non-degenerate bands — dense-region pairs usually collide in
+    * several — so the capped path is approximate; the default keeps
+    * the exact oracle-checked semantics.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, bands: Int = 21,
-                      planesPerBand: Int = 3): DataFrame = {
+                      planesPerBand: Int = 3,
+                      maxBandBucket: Long = Long.MaxValue): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 63,
       "bands*planesPerBand must fit in a long's sign-free bits")
+    require(maxBandBucket >= 1, "maxBandBucket must be >= 1")
     val e = Staging.stage(
       df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec")))
     val sig = withLshBucket(e, "vec", bands * planesPerBand, "sig")
@@ -256,8 +270,19 @@ object Similarity {
     val bandVals = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bval"))): _*)
-    val banded = sig.select(col("id"), explode(bandVals).as("bb"))
+    val banded0 = sig.select(col("id"), explode(bandVals).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val banded =
+      if (maxBandBucket == Long.MaxValue) banded0
+      else {
+        // occupancy per band value: tiny aggregate (<= bands * 2^P
+        // distinct keys at the default config), broadcast back
+        val occ = banded0.groupBy("band", "bval")
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxBandBucket)
+          .select("band", "bval")
+        banded0.join(broadcast(occ), Seq("band", "bval"))
+      }
     val cand = banded.select(col("id").as("id_a"), col("band"), col("bval"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bval")),
             Seq("band", "bval"))
@@ -345,7 +370,9 @@ object Similarity {
     * dup-cluster members carry labels. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bands: Int = 21,
-                    planesPerBand: Int = 3): DataFrame =
+                    planesPerBand: Int = 3,
+                    maxBandBucket: Long = Long.MaxValue): DataFrame =
     graft.ext.Dedup.withDupComponent(df, idCol,
-      lshNearDupPairs(df, idCol, vecCol, threshold, bands, planesPerBand))
+      lshNearDupPairs(df, idCol, vecCol, threshold, bands, planesPerBand,
+        maxBandBucket))
 }

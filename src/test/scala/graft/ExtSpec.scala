@@ -1226,6 +1226,26 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("lshNearDupPairs maxBandBucket suppresses degenerate buckets, keeps sparse pairs") {
+    // 30 identical "boilerplate" vectors: every band bucket they
+    // occupy holds >= 30 members, the quadratic-blowup shape the cap
+    // exists for; plus one sparse planted near-dup pair elsewhere
+    val boiler = (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val planted = Seq((100L, Array(0.0f, 1.0f, 0.0f, 0.05f)),
+                      (101L, Array(0.0f, 1.0f, 0.05f, 0.0f)))
+    val df = (boiler ++ planted).toDF("id", "vec")
+    val capped = Similarity.lshNearDupPairs(df, "id", "vec", threshold = 0.9,
+        maxBandBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      "capped path must drop boilerplate buckets and keep the sparse pair")
+    // the default (no cap) remains the exact semantics
+    val full = Similarity.lshNearDupPairs(df, "id", "vec", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 30 * 29 / 2 + 1)
+    graft.ops.Staging.releaseAll()
+  }
+
   test("NearestCentroids matches a manual cosine argmax; full probe is exact") {
     import org.apache.spark.sql.functions.typedLit
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
