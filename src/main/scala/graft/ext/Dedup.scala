@@ -318,6 +318,13 @@ object Dedup {
     * Θ(n²·bands·2⁻ʷⁱᵈᵗʰ) on uniformly random signatures; real corpora
     * cluster, so pick `bits`/`maxHamming` such that 2^width dwarfs n
     * per skew-heavy band value.
+    *
+    * Deliberately NO degenerate-bucket cap here (unlike
+    * [[graft.ext.Similarity.lshNearDupPairs]]'s `maxBandBucket`):
+    * exactness is this operator's contract, and with 16-bit bands the
+    * only realistic way a bucket degenerates is mass-identical TEXT —
+    * which [[exactDupGroups]]/[[DocPrep.prepare]] remove upstream.
+    * Run exact dedup first; that ordering IS the skew guard.
     */
   /** The `maxHamming + 1` pigeonhole band keys of a '0'/'1' signature
     * string: array of struct<band, bval>. Shared by the self-join
