@@ -504,8 +504,11 @@ object TextQueries {
     // character counts (continuation bytes are 0x80+), so the oracle
     // verifies the space/'a'/'e' bins from plain string arithmetic.
     "q83_media_byte_features" -> ((s, d) => {
+      // pre-project before the mapPartitions boundary: the object
+      // conversion blocks Catalyst column pruning, so the projection
+      // must be explicit for the scan to read only text + source
       val assets = Tables.documents(s, d)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
       graft.ext.Multimodal.withByteHistogram(assets, "payload")
         .select(col("source"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
