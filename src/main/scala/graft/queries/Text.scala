@@ -67,6 +67,38 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Quality-DECILE binning — the "keep the top X% by quality"
+    // curation step. Deciles are RANK arithmetic ((rn-1)*10 DIV cnt,
+    // integer division) rather than interpolated percentile value
+    // thresholds: rank arithmetic is bit-exact across engines, while
+    // cross-libm interpolation can move a value threshold by an ulp
+    // and flip boundary documents. Ordering is on the 6dp-ROUNDED
+    // quality with doc_id tiebreak, so ranks are engine-independent.
+    // Scale note: this window sorts per source (the verification
+    // shape); at 100 TB compute decile thresholds from a sorted
+    // sample/tail and assign map-side instead.
+    "q84_quality_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, d)
+        .withColumn("quality",
+          round(TextStats.qualityScore(col("text"), Stopwords), 6))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("decile", expr("CAST(((rn - 1) * 10) DIV cnt AS INT)"))
+        .groupBy("source", "decile")
+        // sum, not avg: per-doc quality is 6dp-rounded, so the SUM's
+        // true value lies ON the 6dp grid (rounding safe), while an
+        // AVG can sit exactly on a rounding half (the q14 trap —
+        // observed: 0.5014215 rounding differently per engine)
+        .agg(count(lit(1)).as("n_docs"),
+             round(min("quality"), 6).as("min_q"),
+             round(max("quality"), 6).as("max_q"),
+             round(sum("quality"), 6).as("sum_q"))
+        .orderBy("source", "decile")
+    }),
+
     // Language-id confusion matrix: fixed marker profiles, argmax
     // with first-listed-wins ties (deterministic; mirrored in SQL).
     "q29_langid_confusion" -> ((s, d) => {
@@ -614,6 +646,29 @@ object TextQueries {
         |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
         | round(avg(stop_ratio), 6) AS avg_stop_ratio, round(avg(quality), 6) AS avg_quality
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same q28 quality formula, row_number over (rounded quality
+    // DESC, doc_id), integer-division decile — // is DuckDB's
+    // integer division, matching Spark's DIV exactly.
+    "q84_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM t),
+        |b AS (SELECT source, quality, CAST(((rn - 1) * 10) // cnt AS INT) AS decile FROM r)
+        |SELECT source, decile, count(*) AS n_docs,
+        |  round(min(quality), 6) AS min_q,
+        |  round(max(quality), 6) AS max_q,
+        |  round(sum(quality), 6) AS sum_q
+        |FROM b GROUP BY source, decile ORDER BY source, decile""".stripMargin,
 
     "q29_langid_confusion" ->
       """WITH s AS (
