@@ -112,4 +112,50 @@ class PropertySpec extends AnyFunSuite {
              norm(left.join(right, Seq("k"))))
     }
   }
+
+  test("nearDupAgainstCorpus equals the driver-side all-pairs filter on random docs") {
+    // random docs over a tiny vocabulary force genuine near-collisions;
+    // survivors must be exactly the delta docs whose signature is
+    // beyond hamming 3 of EVERY corpus signature
+    val docGen: Gen[List[String]] = Gen.listOfN(24, for {
+      n <- Gen.choose(3, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks.mkString(" "))
+    for ((texts, trial) <- samples(docGen, 4).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (corpus, delta) = docs.partition(_._1 % 2 == 0)
+      val corpusSigs = graft.ext.Dedup.withSimHash64(
+        corpus.toDF("doc_id", "text"), "text")
+      val sigOf = corpusSigs.collect()
+        .map(r => r.getAs[String]("simhash")).toSeq
+      val deltaSigs = graft.ext.Dedup.withSimHash64(
+          delta.toDF("doc_id", "text"), "text").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash"))
+      def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+      val expect = deltaSigs.filter { case (_, s) =>
+        !sigOf.exists(c => ham(s, c) <= 3) }.map(_._1).toSet
+      val got = graft.ext.Dedup.nearDupAgainstCorpus(
+          delta.toDF("doc_id", "text"), "doc_id", "text",
+          corpusSigs.select("simhash"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"trial $trial diverged from the all-pairs filter")
+    }
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("resampleTopK selections nest: top-k is a subset of top-(k+1)") {
+    // Gumbel top-k orders by a fixed per-row score, so growing k can
+    // only ADD rows — the nesting property that makes token-budget
+    // ladders comparable (same reason deterministicSample nests)
+    val w = (0L until 40L).map(i => (i, (i % 13).toDouble)).toDF("id", "wt")
+    val sets = (1 to 8).map { k =>
+      graft.ext.Dsir.resampleTopK(w, $"id", $"wt", k, temperature = 2.0,
+          salt = "nest")
+        .select("id").as[Long].collect().toSet
+    }
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "top-k must nest within top-(k+1)")
+    }
+    assert(sets.last.size == 8)
+  }
 }
