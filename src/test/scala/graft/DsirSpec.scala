@@ -82,6 +82,20 @@ class DsirSpec extends AnyFunSuite {
     assert(math.abs(out(1L)._2 - xent("b c")) < 1e-12)
   }
 
+  test("non-default bucket widths: narrower buckets still separate the target") {
+    // hexChars=2 (256 buckets): collisions rise but target separation
+    // on disjoint vocabularies must hold at any width
+    val w = Dsir.withImportanceWeights(corpus, "doc_id", "text", $"is_en",
+        hexChars = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("llr_per_gram")).toMap
+    assert(Seq(0L, 1L, 4L).map(w).min > Seq(2L, 3L).map(w).max)
+    intercept[IllegalArgumentException] {
+      Dsir.withImportanceWeights(corpus, "doc_id", "text", $"is_en",
+        hexChars = 7)
+    }
+  }
+
   test("resampleTopK: temperature 0 is plain top-k; noise is content-keyed") {
     val w = Seq((1L, 10.0), (2L, 8.0), (3L, 6.0), (4L, 4.0), (5L, 2.0))
       .toDF("id", "wt")

@@ -448,6 +448,13 @@ class ExtSpec extends AnyFunSuite {
         corpusSigs, broadcastDelta = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shuffled == kept)
+    // the 32-bit signature path (2 bands of 16 bits at maxHamming=1)
+    // applies the same drop/survive semantics
+    val corpusSigs32 = Dedup.withSimHash(corpus, "text").select("simhash")
+    val kept32 = Dedup.nearDupAgainstCorpus(delta, "doc_id", "text",
+        corpusSigs32, maxHamming = 1, bits = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept32.contains(2L) && kept32.contains(3L) && !kept32.contains(1L))
     // plan: the broadcast path probes the corpus map-side — no
     // band-keyed exchange anywhere; the fallback shuffles by band
     val bplan = Dedup.nearDupAgainstCorpus(delta, "doc_id", "text", corpusSigs)
