@@ -34,6 +34,50 @@ object AsOf {
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    payload: Seq[String]): DataFrame = {
+    val (unioned, leftCols) =
+      unionSides(left, right, leftKey, rightKey, leftTime, rightTime, payload)
+    // Right rows (__side=0) sort before left rows at equal time: <=.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = unioned
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__last")(p)))
+      .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
+  }
+
+  /** FORWARD as-of join: for each left row (key, t), attach the
+    * payload of the right row with the same key and the SMALLEST
+    * right-time >= t (inclusive — pandas
+    * `merge_asof(direction='forward')`; the "next quote after the
+    * order" / "next event after the snapshot" lookup). Identical
+    * single-shuffle union + one-window-pass shape as
+    * [[joinBackward]], with the frame reversed: first non-null
+    * payload over [current row, unbounded following], and LEFT rows
+    * sorting before right rows at equal time so `>=` is inclusive. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  payload: Seq[String]): DataFrame = {
+    val (unioned, leftCols) =
+      unionSides(left, right, leftKey, rightKey, leftTime, rightTime, payload)
+    // Left rows (__side=1) sort before right rows at equal time: >=.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__first", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__first")(p)))
+      .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
+  }
+
+  /** Shared merge prep: left rows tagged __side=1 carrying their own
+    * columns, right rows tagged __side=0 carrying the payload struct;
+    * both sides aligned to one schema for the single keyed union. */
+  private def unionSides(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         payload: Seq[String]): (DataFrame, Array[String]) = {
     val leftCols = left.columns
     val l = left
       .withColumn("__k", col(leftKey))
@@ -49,13 +93,6 @@ object AsOf {
     val unioned = l.select((Seq("__k", "__t", "__side", "__p").map(col) ++
                             leftCols.map(col)): _*)
       .unionByName(r)
-    // Right rows (__side=0) sort before left rows at equal time: <=.
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val matched = unioned
-      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__last")(p)))
-      .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
+    (unioned, leftCols)
   }
 }

@@ -149,6 +149,27 @@ object EventQueries {
                 col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+
+    // FORWARD as-of join (AsOf.joinForward): each event picks the
+    // user's EARLIEST order at or after the event time — the "next
+    // action after the touchpoint" attribution lookup. DuckDB's ASOF
+    // syntax is backward-only, so the oracle replays forward
+    // semantics: min next date per event, then a join-back for the
+    // payload (deterministic because `latest` is deduped per
+    // (custkey, date)).
+    "q85_asof_forward" -> ((s, d) => {
+      val latest = Kernels.dedupKeepLast(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      AsOf.joinForward(
+          Tables.events(s, d).select("event_id", "user_id", "ts"), latest,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+                date_format(col("ts"), TsFmt).as("event_ts"),
+                col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +263,24 @@ object EventQueries {
         | o_orderkey, o_totalprice
         |FROM (SELECT event_id, user_id, ts FROM events) e
         |ASOF LEFT JOIN latest ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q85_asof_forward" ->
+      """WITH latest AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, e.ts, min(l.o_orderdate) AS nxt
+        |  FROM (SELECT event_id, user_id, ts FROM events) e
+        |  LEFT JOIN latest l
+        |    ON l.o_custkey = e.user_id AND l.o_orderdate >= e.ts
+        |  GROUP BY e.event_id, e.user_id, e.ts)
+        |SELECT m.event_id, m.user_id,
+        | strftime(CAST(m.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_ts,
+        | l.o_orderkey, l.o_totalprice
+        |FROM m LEFT JOIN latest l
+        |  ON l.o_custkey = m.user_id AND l.o_orderdate = m.nxt
         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -20,6 +20,13 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p") == 70.0)  // t=7 -> rt=7 (inclusive)
     assert(out(2).getAs[Double]("p") == 70.0)  // t=10 -> rt=7
     assert(out(3).isNullAt(out(3).fieldIndex("p"))) // t=1 < all right
+    // forward: smallest right time >= left time, inclusive
+    val fwd = AsOf.joinForward(left, right, "k", "rk", "t", "rt", Seq("p"))
+      .orderBy("k", "t").collect()
+    assert(fwd(0).getAs[Double]("p") == 70.0)  // t=5 -> rt=7
+    assert(fwd(1).getAs[Double]("p") == 70.0)  // t=7 -> rt=7 (inclusive)
+    assert(fwd(2).isNullAt(fwd(2).fieldIndex("p"))) // t=10 > all right
+    assert(fwd(3).getAs[Double]("p") == 30.0)  // k=2 t=1 -> rt=3
   }
 
   // ---- dedup -----------------------------------------------------
