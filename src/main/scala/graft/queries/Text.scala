@@ -605,6 +605,24 @@ object TextQueries {
              round(min("xent"), 6).as("min_xent"),
              round(max("xent"), 6).as("max_xent"))
         .orderBy("lang", "source")),
+
+    // BM25 top-k retrieval (Retrieval.withBm25): scan-time sparse
+    // retrieval against a literal query term set. tf/dl are map-side
+    // native expressions (TokenSetCount — no explode); corpus stats
+    // (N, Σdl, per-term df) collapse to ONE broadcast row; the only
+    // shuffle is the final top-k. Ordering is on the 6dp-ROUNDED
+    // score with doc_id tie-break so a cross-libm ln() ulp cannot
+    // flip the limit boundary (the q80 rule). The oracle replays the
+    // exact operand order; its k1+1 factor is written `(1.2 + 1.0)`
+    // — the same IEEE add the Scala side folds — because the decimal
+    // literal 2.2 can parse to a different ulp than the sum.
+    "q86_bm25_retrieval" -> ((s, d) =>
+      graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
+          Seq("join", "vector", "scan"))
+        .select(col("doc_id"), col("lang"), col("source"), col("dl"),
+                col("n_hits"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1513,5 +1531,29 @@ object TextQueries {
         |FROM documents d2 JOIN s USING (doc_id)
         |GROUP BY d2.lang, d2.source
         |ORDER BY lang, source""".stripMargin,
+
+    "q86_bm25_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
+        |    len(list_filter(string_split(text,' '), t -> t = 'join')) AS tf0,
+        |    len(list_filter(string_split(text,' '), t -> t = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text,' '), t -> t = 'scan')) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id, lang, source, dl, tf0 + tf1 + tf2 AS n_hits,
+        |      ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    AS score
+        |  FROM base, st)
+        |SELECT doc_id, lang, source, dl, n_hits, round(score, 6) AS bm25
+        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin,
   )
 }
