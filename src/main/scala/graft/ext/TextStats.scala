@@ -276,4 +276,50 @@ object TextStats {
       .withColumn("n_tokens_removed", col("__cs.n_removed"))
       .drop("__cs", "__cuts")
   }
+
+  /** Bigram collocation mining by pointwise mutual information:
+    * `pmi(w1,w2) = ln(c_xy * N / (c_x * c_y))` over whitespace
+    * tokens, where N is the corpus token count — the phrase-induction
+    * signal ("new york" scores high because its parts rarely occur
+    * apart). Returns (w1, w2, c_xy, c_x, c_y, pmi) for bigrams with
+    * `c_xy >= minCount`.
+    *
+    * Scale shape: two explode+aggregate passes (map-side partial
+    * combine collapses each to ~vocab rows per task), the bigram tail
+    * pruned by `minCount` BEFORE the two word-keyed joins back to the
+    * unigram counts (AQE broadcasts the unigram side when the vocab
+    * is small; at web scale both sides shuffle on the word key, which
+    * is the right plan). N rides along as a broadcast single-row
+    * aggregate, not a driver collect.
+    *
+    * Determinism: counts are exact longs; the one double expression
+    * is `(c_xy * N) / (c_x * c_y)` followed by one ln — consumers
+    * that ORDER BY the score must order on the ROUNDED value with a
+    * (w1, w2) tie-break (the q80 rule).
+    */
+  def collocationsPmi(df: DataFrame, textCol: String,
+                      minCount: Long = 10L): DataFrame = {
+    val spark = df.sparkSession
+    val docs = df.filter(length(col(textCol)) > 0)
+    val uni = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = docs.agg(
+      sum(tokenCount(col(textCol)).cast("long")).as("__n"))
+    val bi = docs
+      .select(explode(graft.functions.GraftFunctions.wordShinglesAll(
+        spark, col(textCol), 2)).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+              substring_index(col("__g"), " ", -1).as("w2"),
+              col("c_xy"))
+    bi.join(uni.withColumnsRenamed(Map("__w" -> "w1", "__c" -> "c_x")), Seq("w1"))
+      .join(uni.withColumnsRenamed(Map("__w" -> "w2", "__c" -> "c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        log((col("c_xy").cast("double") * col("__n").cast("double")) /
+            (col("c_x").cast("double") * col("c_y").cast("double"))))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi")
+  }
 }

@@ -623,6 +623,18 @@ object TextQueries {
                 col("n_hits"), round(col("bm25"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(15)),
+
+    // PMI collocation mining (TextStats.collocationsPmi): top bigram
+    // phrases by pointwise mutual information. Counts are exact longs
+    // end-to-end; the single double expression and its ln are
+    // operand-order-mirrored in the oracle, and ordering is on the
+    // 6dp-ROUNDED pmi with (w1, w2) tie-break (the q80 rule).
+    "q87_pmi_collocations" -> ((s, d) =>
+      TextStats.collocationsPmi(Tables.documents(s, d), "text", minCount = 10L)
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+                round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(25)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1555,5 +1567,29 @@ object TextQueries {
         |  FROM base, st)
         |SELECT doc_id, lang, source, dl, n_hits, round(score, 6) AS bm25
         |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q87_pmi_collocations" ->
+      """WITH d AS (
+        |  SELECT text, string_split(text, ' ') AS tk FROM documents
+        |  WHERE length(text) > 0),
+        |n AS (
+        |  SELECT CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS nt
+        |  FROM d),
+        |uc AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+        |bc AS (
+        |  SELECT g, count(*) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM d WHERE len(tk) >= 2)
+        |  GROUP BY g HAVING count(*) >= 10),
+        |sc AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+        |    c_xy, u1.c AS c_x, u2.c AS c_y,
+        |    ln((CAST(c_xy AS DOUBLE) * CAST(nt AS DOUBLE)) /
+        |       (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
+        |  FROM bc JOIN uc u1 ON split_part(bc.g, ' ', 1) = u1.w
+        |          JOIN uc u2 ON split_part(bc.g, ' ', 2) = u2.w, n)
+        |SELECT w1, w2, c_xy, c_x, c_y, round(pmi, 6) AS pmi
+        |FROM sc ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 25""".stripMargin,
   )
 }
