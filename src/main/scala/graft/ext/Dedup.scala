@@ -196,6 +196,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Edit-distance-verified near-dup pairs — the full production
+    * verification chain: MinHash-LSH candidates → exact shingle
+    * Jaccard ≥ `threshold` → `levenshtein(text_a, text_b) <=
+    * maxEdits`. Shingle Jaccard is order-insensitive (a reshuffled
+    * boilerplate template scores high); the edit-distance gate is the
+    * order-SENSITIVE confirmation real dedup pipelines append before
+    * destroying data. Levenshtein is O(len_a·len_b) per pair, so it
+    * runs LAST, on the sliver that survived both cheap gates — never
+    * on candidates (each text join-back and the distance compute are
+    * proportional to surviving pairs, not to the corpus).
+    */
+  def editVerifiedNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                           threshold: Double = 0.5,
+                           maxEdits: Int = 5): DataFrame = {
+    val pairs = minHashNearDups(docs, idCol, textCol, k, numHashes, bands, threshold)
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+              col("edit_dist").cast("long").as("edit_dist"))
+  }
+
   /** Exact pairwise n-gram Jaccard within `groupCol` via a
     * posting-list join: explode shingles, equi-join on
     * (shingle, group), count matches per pair = |intersection|. Work

@@ -635,6 +635,18 @@ object TextQueries {
                 round(col("pmi"), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(25)),
+
+    // Edit-distance-verified near-dup (Dedup.editVerifiedNearDups):
+    // LSH candidates -> exact Jaccard >= 0.5 -> levenshtein <= 5, the
+    // order-sensitive confirmation gate. As with q31, verified LSH
+    // candidates coincide with the exact global pair set on this
+    // data, so the oracle is the all-pairs computation with both
+    // predicates (edit distances here run 4-8; maxEdits=5 really
+    // filters).
+    "q88_editdist_neardup" -> ((s, d) =>
+      Dedup.editVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.5, maxEdits = 5)
+        .orderBy("id_a", "id_b")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1591,5 +1603,22 @@ object TextQueries {
         |          JOIN uc u2 ON split_part(bc.g, ' ', 2) = u2.w, n)
         |SELECT w1, w2, c_xy, c_x, c_y, round(pmi, 6) AS pmi
         |FROM sc ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    "q88_editdist_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        |  AND levenshtein(a.text, b.text) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }
