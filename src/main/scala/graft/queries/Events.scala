@@ -170,6 +170,28 @@ object EventQueries {
                 col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+
+    // Max drawdown per user over the event value stream — the classic
+    // quant risk metric as two running windows (cumulative equity,
+    // running peak) and a difference. One shuffle on user_id serves
+    // both windows (same partitioning+ordering) and the final
+    // aggregate. event values are exactly-2dp, so every sum sits ON
+    // the 2dp grid and round(..., 2) is half-safe; (ts, event_id)
+    // ordering is tie-free at the us precision both engines compare
+    // at (checked: no sub-us components, no per-user same-us pairs).
+    "q89_max_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("equity", sum("value").over(run))
+        .withColumn("peak", max("equity").over(run))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             round(max(col("peak") - col("equity")), 2).as("max_drawdown"),
+             round(max("equity"), 2).as("peak_equity"),
+             round(sum("value"), 2).as("final_equity"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +304,23 @@ object EventQueries {
         |FROM m LEFT JOIN latest l
         |  ON l.o_custkey = m.user_id AND l.o_orderdate = m.nxt
         |ORDER BY event_id""".stripMargin,
+
+    "q89_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(value) OVER w AS equity
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT user_id, value, equity,
+        |    max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(max(peak - equity), 2) AS max_drawdown,
+        |  round(max(equity), 2) AS peak_equity,
+        |  round(sum(value), 2) AS final_equity
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
