@@ -59,6 +59,18 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-6)
   }
 
+  test("editVerifiedNearDups gates the jaccard pair on edit distance") {
+    // doc0/doc1 differ in the final character: levenshtein 1
+    val kept = Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      threshold = 0.5, maxEdits = 1).collect()
+    assert(kept.length == 1)
+    assert(kept(0).getLong(0) == 0L && kept(0).getLong(1) == 1L)
+    assert(kept(0).getAs[Long]("edit_dist") == 1L)
+    // tightening the budget below the true distance drops the pair
+    assert(Dedup.editVerifiedNearDups(docs, "doc_id", "text",
+      threshold = 0.5, maxEdits = 0).count() == 0L)
+  }
+
   test("simhash: near-identical docs get close signatures, deterministic") {
     val sh = Dedup.withSimHash(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getAs[String]("simhash")).toMap

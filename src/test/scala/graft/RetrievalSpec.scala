@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Retrieval, TextStats}
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- BM25 ------------------------------------------------------
+
+  test("withBm25 reproduces the hand-computed score on a tiny corpus") {
+    val docs = Seq((0L, "cat dog"), (1L, "cat cat cat dog"), (2L, "fish"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.withBm25(docs, "text", Seq("cat"))
+      .orderBy("doc_id").collect()
+    // N=3, dl=(2,4,1), sum_dl=7, avgdl=7/3, df(cat)=2
+    val n = 3.0; val df = 2.0; val avgdl = 7.0 / n
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def score(tf: Double, dl: Double): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(out(0).getAs[Double]("bm25") - score(1, 2)) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("bm25") - score(3, 4)) < 1e-12)
+    assert(out(2).getAs[Double]("bm25") == 0.0) // tf=0 scores exactly 0
+    assert(out.map(_.getAs[Long]("dl")).toSeq == Seq(2L, 4L, 1L))
+    assert(out.map(_.getAs[Long]("n_hits")).toSeq == Seq(1L, 3L, 0L))
+  }
+
+  test("withBm25: multi-term scores sum per-term; rarer term earns more") {
+    val docs = Seq(
+      (0L, "alpha beta beta beta"),
+      (1L, "alpha gamma gamma gamma"),
+      (2L, "alpha alpha alpha alpha"),
+      (3L, "beta delta delta delta")).toDF("doc_id", "text")
+    val both = Retrieval.withBm25(docs, "text", Seq("alpha", "beta"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val a = Retrieval.withBm25(docs, "text", Seq("alpha"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val b = Retrieval.withBm25(docs, "text", Seq("beta"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(math.abs(both(id) - (a(id) + b(id))) < 1e-12,
+        s"doc $id: ${both(id)} != ${a(id)} + ${b(id)}")
+    }
+    // beta (df=2) discriminates more than alpha (df=3) at equal tf/dl
+    assert(b(3L) > a(1L))
+  }
+
+  // ---- PMI collocations ------------------------------------------
+
+  test("collocationsPmi counts and scores exactly on a tiny corpus") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.collocationsPmi(docs, "text", minCount = 1L)
+      .orderBy("w1", "w2").collect()
+    // tokens: 7; unigrams a:3 b:3 c:1; bigrams "a b":3 "b a":1 "b c":1
+    val rows = out.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getAs[Double]("pmi")))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == Seq(
+      ("a", "b", 3L, 3L, 3L), ("b", "a", 1L, 3L, 3L), ("b", "c", 1L, 3L, 1L)))
+    val exp = Map(("a", "b") -> math.log(3.0 * 7 / (3.0 * 3)),
+                  ("b", "a") -> math.log(1.0 * 7 / (3.0 * 3)),
+                  ("b", "c") -> math.log(1.0 * 7 / (3.0 * 1)))
+    rows.foreach { t =>
+      assert(math.abs(t._6 - exp((t._1, t._2))) < 1e-12, s"pmi of ${(t._1, t._2)}")
+    }
+  }
+
+  test("collocationsPmi: minCount prunes the bigram tail before the joins") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.collocationsPmi(docs, "text", minCount = 2L).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "a" && out(0).getString(1) == "b")
+  }
+}
