@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph scoring. Connected components (the dedup-cluster
+  * primitive) lives in [[Dedup.connectedComponents]]; this adds the
+  * other workhorse: PageRank, the importance score behind
+  * link-graph-weighted corpus curation (e.g. Common-Crawl harmonic/
+  * PageRank centrality as a document quality prior).
+  */
+object Graphs {
+
+  /** PageRank over an UNDIRECTED graph given as an edge list (each
+    * edge walked both ways; no dangling-mass correction needed since
+    * every node has degree >= 1). Fixed `iterations` of
+    * `pr' = (1-d)/N + d * sum_{u~v} pr(u)/deg(u)` from the uniform
+    * start — the deterministic fixed-iteration form (an epsilon stop
+    * would couple the result to float noise).
+    *
+    * Scale shape: the degree-annotated symmetric adjacency is staged
+    * once and reused by every sweep (one shuffle to build); each
+    * iteration is one join of the (nodes-sized) rank frame against it
+    * plus one aggregate — the plan stays constant-size per iteration,
+    * and the rank frame never exceeds one row per node. N rides along
+    * as a broadcast single-row aggregate, not a driver collect.
+    *
+    * Determinism: additions inside the per-node mass sum commute at
+    * ulp level only; consumers must order on the ROUNDED score with a
+    * node tie-break (the q80 rule). The (1-d) constant is emitted as
+    * the IEEE subtraction `1.0 - d`, which an oracle must replay as
+    * `(1.0 - 0.85)` — the decimal literal 0.15 parses to a DIFFERENT
+    * double.
+    *
+    * Returns (node, degree, pr).
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = graft.ops.Staging.stage(sym.join(deg, "src"))
+    val nAgg = deg.agg(count(lit(1)).cast("double").as("__n"))
+    val init = deg.select(col("src").as("node")).crossJoin(broadcast(nAgg))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
+      adj.join(pr, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(col("pr") / col("deg")).as("__mass"))
+        .crossJoin(broadcast(nAgg))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * col("__mass")).as("pr"))
+    }
+    terminal.join(deg, col("node") === col("src"))
+      .select(col("node"), col("deg").as("degree"), col("pr"))
+  }
+}

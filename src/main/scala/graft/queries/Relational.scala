@@ -374,6 +374,29 @@ object Relational {
                 coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
                 col("n_rows"), col("total_price"))
         .orderBy("returnflag", "linestatus")),
+
+    // PageRank (Graphs.pageRank) over the undirected customer-supplier
+    // bipartite graph from lineitem x orders — the link-graph
+    // centrality used as a corpus-curation quality prior. Fixed 3
+    // iterations, d=0.85, uniform start. Node ids carry a 'c'/'s'
+    // prefix so the two key spaces can't collide. Ordering is on the
+    // 6dp-ROUNDED score with node tie-break (mass sums commute only
+    // at ulp level); the oracle unrolls the 3 iterations and writes
+    // (1-d) as `(1.0 - 0.85)` — the same IEEE subtraction the Scala
+    // side folds, which the decimal literal 0.15 does NOT parse to.
+    "q90_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      graft.ext.Graphs.pageRank(edges, "a", "b", iterations = 3)
+        .select(col("node"), col("degree"),
+                round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("node"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -614,5 +637,34 @@ object Relational {
         | count(*) AS n_rows, round(sum(l_extendedprice),2) AS total_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q90_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM deg, n),
+        |r1 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r0 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r2 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r1 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r3 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r2 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn)
+        |SELECT r3.node, deg.deg AS degree, round(r3.pr, 6) AS pagerank
+        |FROM r3 JOIN deg ON r3.node = deg.src
+        |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
   )
 }
