@@ -192,6 +192,16 @@ object EventQueries {
              round(sum("value"), 2).as("final_equity"))
         .orderBy("user_id")
     }),
+
+    // Ordered funnel (Funnel.steps): users reaching view -> click ->
+    // purchase, each step strictly after the user's earliest
+    // completion of the previous one. Strict `>` is unambiguous here:
+    // the ns timestamps have no sub-us components and no per-user
+    // same-us pairs (both engines compare at us).
+    "q91_funnel_steps" -> ((s, d) =>
+      graft.ext.Funnel.steps(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +332,22 @@ object EventQueries {
         |  round(max(equity), 2) AS peak_equity,
         |  round(sum(value), 2) AS final_equity
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q91_funnel_steps" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
   )
 }

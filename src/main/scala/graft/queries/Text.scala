@@ -647,6 +647,21 @@ object TextQueries {
       Dedup.editVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
           k = 3, numHashes = 16, bands = 4, threshold = 0.5, maxEdits = 5)
         .orderBy("id_a", "id_b")),
+
+    // Portable HyperLogLog distinct estimate (Sketches.hllDistinct):
+    // md5-based 256-register HLL whose buckets, ranks, and estimate
+    // the oracle replays EXACTLY — an auditable approximate distinct,
+    // unlike approx_count_distinct's engine-private hash. Joined to
+    // the exact count so the artifact shows the sketch error.
+    "q92_hll_distinct" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Sketches.hllDistinct(docs, "source", "text")
+        .join(docs.groupBy("source").agg(countDistinct("text").as("n_exact")),
+              "source")
+        .select(col("source"), col("n_exact"), col("n_buckets"),
+                round(col("hll_distinct"), 6).as("hll_distinct"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1620,5 +1635,36 @@ object TextQueries {
         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
         |  AND levenshtein(a.text, b.text) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q92_hll_distinct" ->
+      """WITH g AS (
+        |  SELECT source, substr(md5(text), 1, 2) AS b,
+        |    substr(md5(text), 3, 13) AS w,
+        |    length(regexp_extract(substr(md5(text), 3, 13), '^0*', 0)) AS z
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, b,
+        |    max(CASE WHEN z = 13 THEN 53
+        |        ELSE 4 * z
+        |             + (CASE substr(w, z + 1, 1)
+        |                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |                WHEN '7' THEN 1 ELSE 0 END) + 1 END) AS m
+        |  FROM g GROUP BY source, b),
+        |a AS (
+        |  SELECT source, count(*) AS n_buckets,
+        |    sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
+        |  FROM r GROUP BY source),
+        |f AS (
+        |  SELECT source, n_buckets, 256 - n_buckets AS v,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |      (s + (256.0 - n_buckets) * 1.0) AS eraw
+        |  FROM a)
+        |SELECT f.source, x.n_exact, f.n_buckets,
+        |  round(CASE WHEN v > 0 AND eraw <= 2.5 * 256.0
+        |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6) AS hll_distinct
+        |FROM f JOIN (SELECT source, count(DISTINCT text) AS n_exact
+        |             FROM documents GROUP BY source) x USING (source)
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -71,6 +71,21 @@ class ExtSpec extends AnyFunSuite {
       threshold = 0.5, maxEdits = 0).count() == 0L)
   }
 
+  test("funnel steps require strict ordering of earliest completions") {
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "buy", 3L), // full path
+      (2L, "click", 4L), (2L, "view", 5L),                  // click BEFORE view
+      (3L, "view", 6L),                                     // stops at step 0
+      (4L, "view", 7L), (4L, "click", 7L),                  // tie is not strictly after
+      (5L, "view", 8L), (5L, "click", 9L), (5L, "buy", 8L)  // buy before click
+    ).toDF("u", "et", "t").withColumn("t", timestamp_seconds($"t"))
+    val out = graft.ext.Funnel.steps(events, "u", "et", "t",
+        Seq("view", "click", "buy"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0, "view", 5L), (1, "click", 2L), (2, "buy", 1L)))
+  }
+
   test("simhash: near-identical docs get close signatures, deterministic") {
     val sh = Dedup.withSimHash(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getAs[String]("simhash")).toMap
