@@ -70,4 +70,35 @@ object Retrieval {
       .drop(("__dl" +: "__n_docs" +: "__sum_dl" +:
         (tfCol ++ terms.indices.map(i => s"__df_$i"))): _*)
   }
+
+  /** Per-group distinctive terms — class-based TF-IDF (the topic-
+    * labeling step of BERTopic-style clustering, and the "what makes
+    * this domain different" report in corpus triage):
+    * `score(g, t) = tf_{g,t} * ln(nGroups / groupDf_t)` where
+    * groupDf counts GROUPS containing the term. Terms present in
+    * every group score exactly 0.
+    *
+    * Scale shape: one explode collapses map-side into the
+    * (group, term) aggregate; that frame is staged (three consumers:
+    * group-df aggregate, nGroups aggregate, the scoring join) and is
+    * at most vocab x groups rows — the corpus never re-shuffles.
+    * Returns (groupCol, term, tf, df_groups, score) unrounded;
+    * consumers rank on the ROUNDED score with a term tie-break (the
+    * q80 rule).
+    */
+  def distinctiveTerms(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.filter(length(col(textCol)) > 0)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = graft.ops.Staging.stage(
+      toks.groupBy(groupCol, "term").agg(count(lit(1)).as("tf")))
+    val dfGroups = tf.groupBy("term").agg(count(lit(1)).as("df_groups"))
+    val ng = tf.agg(countDistinct(groupCol).cast("double").as("__ng"))
+    tf.join(dfGroups, "term").crossJoin(broadcast(ng))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("__ng") / col("df_groups").cast("double")))
+      .select(col(groupCol), col("term"), col("tf"), col("df_groups"),
+              col("score"))
+  }
 }

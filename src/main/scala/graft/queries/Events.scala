@@ -202,6 +202,26 @@ object EventQueries {
       graft.ext.Funnel.steps(Tables.events(s, d), "user_id", "event_type",
           "ts", Seq("view", "click", "purchase"))
         .orderBy("step_idx")),
+
+    // Retention cohort matrix: users bucketed by first-activity week,
+    // counted per week offset they return in. Week truncation is
+    // Monday-based in both engines; offsets are day-diffs of two
+    // week-truncated dates, so they are exact multiples of 7 and the
+    // /7 division is exact. One shuffle on user_id (first-week agg),
+    // one distinct + count on (cohort, offset).
+    "q93_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val cohort = ev.groupBy("user_id").agg(min("w").as("cw"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cw"),
+                (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
+        .distinct()
+        .groupBy("cw", "week_offset").agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+                col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +369,18 @@ object EventQueries {
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         |ORDER BY step_idx""".stripMargin,
+
+    "q93_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT ev.user_id, cohort.cw,
+        |    CAST(datediff('day', cohort.cw, ev.w) / 7 AS INT) AS week_offset
+        |  FROM ev JOIN cohort ON ev.user_id = cohort.user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  count(*) AS n_users
+        |FROM act GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }

@@ -662,6 +662,23 @@ object TextQueries {
                 round(col("hll_distinct"), 6).as("hll_distinct"))
         .orderBy("source")
     }),
+
+    // Distinctive terms per source (Retrieval.distinctiveTerms,
+    // class-based TF-IDF): top-3 terms per source by rounded score
+    // with term tie-break — rank AFTER rounding so a cross-libm ln()
+    // ulp cannot reorder the window (the q80 rule applied to
+    // row_number).
+    "q94_distinctive_terms" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("term"))
+      graft.ext.Retrieval.distinctiveTerms(Tables.documents(s, d), "source", "text")
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("term"), col("tf"), col("df_groups"),
+                col("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1666,5 +1683,25 @@ object TextQueries {
         |FROM f JOIN (SELECT source, count(DISTINCT text) AS n_exact
         |             FROM documents GROUP BY source) x USING (source)
         |ORDER BY source""".stripMargin,
+
+    "q94_distinctive_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE length(text) > 0),
+        |tf AS (
+        |  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+        |dfg AS (
+        |  SELECT term, count(*) AS df_groups FROM tf GROUP BY term),
+        |ng AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM tf),
+        |sc AS (
+        |  SELECT tf.source, tf.term, tf.tf, dfg.df_groups,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(n / CAST(df_groups AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dfg USING (term), ng),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |                               ORDER BY score DESC, term) AS rn
+        |  FROM sc)
+        |SELECT source, term, tf, df_groups, score, rn
+        |FROM rk WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
   )
 }

@@ -66,6 +66,20 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- class-based TF-IDF ----------------------------------------
+
+  test("distinctiveTerms: ubiquitous terms score 0, exclusive terms ln(nGroups)") {
+    val docs = Seq(("g1", "a a b"), ("g2", "a c")).toDF("grp", "text")
+    val out = Retrieval.distinctiveTerms(docs, "grp", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("score"))).toMap
+    assert(out(("g1", "a"))._3 == 0.0) // in every group -> ln(1) = 0
+    assert(out(("g2", "a"))._3 == 0.0)
+    assert(math.abs(out(("g1", "b"))._3 - math.log(2.0)) < 1e-12)
+    assert(math.abs(out(("g2", "c"))._3 - math.log(2.0)) < 1e-12)
+    assert(out(("g1", "a"))._1 == 2L && out(("g1", "a"))._2 == 2L)
+  }
+
   test("collocationsPmi: minCount prunes the bigram tail before the joins") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
     val out = TextStats.collocationsPmi(docs, "text", minCount = 2L).collect()
