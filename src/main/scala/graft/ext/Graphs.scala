@@ -37,22 +37,32 @@ object Graphs {
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Every shared frame is staged: sym feeds deg and adj; deg feeds
+    // adj, N, the uniform start, and the final degree join; adj and
+    // each iteration's rank frame feed every sweep. Unstaged, each
+    // iteration's lineage re-derives deg/N from raw scans and the
+    // plan grows a full copy of the edge pipeline per sweep (26
+    // parquet scans at 3 iterations when first written); staged, each
+    // sweep is a constant-size plan over two cached tables.
+    val sym = graft.ops.Staging.stage(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    val deg = graft.ops.Staging.stage(
+      sym.groupBy("src").agg(count(lit(1)).as("deg")))
     val adj = graft.ops.Staging.stage(sym.join(deg, "src"))
     val nAgg = deg.agg(count(lit(1)).cast("double").as("__n"))
     val init = deg.select(col("src").as("node")).crossJoin(broadcast(nAgg))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
     val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      adj.join(pr, col("src") === col("node"))
-        .groupBy("dst")
-        .agg(sum(col("pr") / col("deg")).as("__mass"))
-        .crossJoin(broadcast(nAgg))
-        .select(col("dst").as("node"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * col("__mass")).as("pr"))
+      graft.ops.Staging.stage(
+        adj.join(pr, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(col("pr") / col("deg")).as("__mass"))
+          .crossJoin(broadcast(nAgg))
+          .select(col("dst").as("node"),
+            (lit(1.0 - damping) / col("__n") +
+              lit(damping) * col("__mass")).as("pr")))
     }
     terminal.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg").as("degree"), col("pr"))
