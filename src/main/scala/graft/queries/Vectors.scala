@@ -166,6 +166,46 @@ object VectorQueries {
           col("vs.n").as("n_vectors"))
         .orderBy("label")
     }),
+
+    // Reciprocal-rank fusion — hybrid retrieval: the BM25 lexical arm
+    // (q86's terms, over documents) fused with the semantic arm
+    // (cosine against the vec_id=0 embedding, the q34 construction)
+    // by rrf = sum over arms of 1/(60 + rank). Each arm computes its
+    // global top-50 via orderBy+limit (TakeOrderedAndProject does the
+    // heavy lift; the rank window then runs on <= 50 rows) — never a
+    // corpus-wide window. The query vector rides in as a broadcast
+    // 1-row frame, not a collect. Lexical ranks order on the ROUNDED
+    // score (q80 rule); semantic ranks order on the raw sim, which
+    // q34 pins as bit-identical cross-engine; rrf terms are single
+    // divisions of exact small integers — deterministic.
+    "q95_rrf_hybrid" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val lex = graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
+          Seq("join", "vector", "scan"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rank_lex", row_number().over(
+          w.orderBy(col("bm25").desc, col("doc_id"))))
+      val emb = Tables.embeddings(s, d)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__q"))
+      val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.cosineSimilarity(s,
+            Similarity.asDouble(col("embedding")),
+            Similarity.asDouble(col("__q"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(50)
+        .withColumn("rank_sem", row_number().over(
+          w.orderBy(col("sim").desc, col("vec_id"))))
+      lex.join(sem, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+                col("rank_lex"), col("rank_sem"))
+        .withColumn("rrf",
+          round(coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("rank_sem")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(15)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +353,52 @@ object VectorQueries {
         |SELECT label, round(sqrt(sum(m*m)), 6) AS centroid_norm,
         |  max(cnt) AS n_vectors
         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q95_rrf_hybrid" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
+        |    len(list_filter(string_split(text,' '), t -> t = 'join')) AS tf0,
+        |    len(list_filter(string_split(text,' '), t -> t = 'vector')) AS tf1,
+        |    len(list_filter(string_split(text,' '), t -> t = 'scan')) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id,
+        |      ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |    AS score
+        |  FROM base, st),
+        |lex AS (
+        |  SELECT doc_id, round(score, 6) AS bm25 FROM sc
+        |  ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+        |lr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM lex),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT t.vec_id AS vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS sim
+        |  FROM m q, m t WHERE q.vec_id = 0 AND t.vec_id <> 0),
+        |sem AS (SELECT vec_id, sim FROM p ORDER BY sim DESC, vec_id LIMIT 50),
+        |sr AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank_sem
+        |  FROM sem)
+        |SELECT coalesce(lr.doc_id, sr.vec_id) AS id, lr.rank_lex, sr.rank_sem,
+        |  round(coalesce(1.0 / (60.0 + lr.rank_lex), 0.0)
+        |      + coalesce(1.0 / (60.0 + sr.rank_sem), 0.0), 6) AS rrf
+        |FROM lr FULL JOIN sr ON lr.doc_id = sr.vec_id
+        |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
   )
 }
