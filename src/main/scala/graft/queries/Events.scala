@@ -222,6 +222,34 @@ object EventQueries {
                 col("week_offset"), col("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
+
+    // Trailing z-score anomaly detection — the streaming data-quality
+    // gate in batch form: each event scored against the previous 10
+    // events of its user ((ts, event_id) order, current row
+    // excluded). Mean and variance are built from raw SUM/SUMSQ with
+    // one explicit formula instead of the engines' stddev (whose
+    // internal algorithms differ); the only cross-engine slack left
+    // is sliding-sum addition order, ulps below the 6dp rounding and
+    // the |z|>2 threshold.
+    "q96_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, -1)
+      Tables.events(s, d)
+        .withColumn("cnt", count("value").over(w))
+        .withColumn("s", sum("value").over(w))
+        .withColumn("ss", sum(col("value") * col("value")).over(w))
+        .filter(col("cnt") === 10)
+        .withColumn("mean", col("s") / lit(10.0))
+        .withColumn("vr",
+          (col("ss") - lit(10.0) * col("mean") * col("mean")) / lit(9.0))
+        .filter(col("vr") > 0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("vr")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_scored"),
+             sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_anomalies"),
+             round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,5 +410,26 @@ object EventQueries {
         |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
         |  count(*) AS n_users
         |FROM act GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q96_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    count(value) OVER w AS cnt,
+        |    sum(value) OVER w AS s,
+        |    sum(value * value) OVER w AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT user_id, value, s / 10.0 AS mean,
+        |    (ss - 10.0 * (s / 10.0) * (s / 10.0)) / 9.0 AS vr
+        |  FROM e WHERE cnt = 10),
+        |sc AS (
+        |  SELECT user_id, (value - mean) / sqrt(vr) AS z
+        |  FROM z WHERE vr > 0)
+        |SELECT user_id, count(*) AS n_scored,
+        |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(max(abs(z)), 6) AS max_abs_z
+        |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
