@@ -250,6 +250,23 @@ object EventQueries {
              round(max(abs(col("z"))), 6).as("max_abs_z"))
         .orderBy("user_id")
     }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral-model summary (and the generator
+    // behind q68's session sequences). Counts are exact; the row
+    // probability is one division of exact longs.
+    "q97_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy("prev")
+      Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum("n").over(wp), 6))
+        .select(col("prev"), col("event_type").as("next"), col("n"), col("p"))
+        .orderBy("prev", "next")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -431,5 +448,19 @@ object EventQueries {
         |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  round(max(abs(z)), 6) AS max_abs_z
         |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q97_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, event_type AS next, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) /
+        |        CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY prev, next""".stripMargin,
   )
 }

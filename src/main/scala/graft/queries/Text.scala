@@ -679,6 +679,34 @@ object TextQueries {
                 col("score"), col("rn"))
         .orderBy("source", "rn")
     }),
+
+    // Per-document token-distribution Shannon entropy, aggregated per
+    // lang — the vocabulary-diversity quality signal (low entropy =
+    // repetitive boilerplate; the Gopher repetition gates' continuous
+    // cousin). Computed in the algebraic form H = ln(n) - (sum of
+    // c*ln(c)) / n, which needs only two aggregates over the
+    // (doc, token) counts — no second pass to attach n to every
+    // token row. Both engines run the identical formula; the
+    // remaining slack is aggregate-order ulps under the 6dp rounding.
+    "q98_token_entropy" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id", "lang")
+        .agg(sum("c").as("n"),
+             sum(col("c").cast("double") * log(col("c").cast("double")))
+               .as("sclc"))
+        .withColumn("entropy",
+          log(col("n").cast("double")) - col("sclc") / col("n").cast("double"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("entropy"), 6).as("avg_entropy"),
+             round(min("entropy"), 6).as("min_entropy"),
+             round(max("entropy"), 6).as("max_entropy"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1703,5 +1731,23 @@ object TextQueries {
         |  FROM sc)
         |SELECT source, term, tf, df_groups, score, rn
         |FROM rk WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
+
+    "q98_token_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE length(text) > 0)
+        |  GROUP BY doc_id, lang, tok),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    ln(CAST(sum(c) AS DOUBLE))
+        |      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |        / CAST(sum(c) AS DOUBLE) AS entropy
+        |  FROM tc GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(entropy), 6) AS avg_entropy,
+        |  round(min(entropy), 6) AS min_entropy,
+        |  round(max(entropy), 6) AS max_entropy
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
