@@ -267,6 +267,37 @@ object EventQueries {
         .select(col("prev"), col("event_type").as("next"), col("n"), col("p"))
         .orderBy("prev", "next")
     }),
+
+    // Per-user OLS trend of value over event index — drift detection
+    // as closed-form regression on aggregate sums:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). x is the 0-based
+    // per-user event index, so n, Σx, Σx² are EXACT integers and the
+    // only float inputs are Σy/Σxy — never an engine's own regr_*
+    // implementation, whose accumulation differs. One user-keyed
+    // shuffle serves the index window and the aggregate.
+    "q99_trend_ols" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("x", (row_number().over(w) - 1).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+             sum("x").as("sx"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum("value").as("sy"),
+             sum(col("x").cast("double") * col("value")).as("sxy"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .select(col("user_id"), col("n"),
+                round(col("slope"), 6).as("slope"),
+                round(col("intercept"), 6).as("intercept"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -462,5 +493,28 @@ object EventQueries {
         |  round(CAST(n AS DOUBLE) /
         |        CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
         |FROM c ORDER BY prev, next""".stripMargin,
+
+    "q99_trend_ols" ->
+      """WITH ix AS (
+        |  SELECT user_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(value) AS sy,
+        |    sum(CAST(x AS DOUBLE) * value) AS sxy
+        |  FROM ix GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, n, sy, sx,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM a)
+        |SELECT user_id, n, round(slope, 6) AS slope,
+        |  round((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM b ORDER BY user_id""".stripMargin,
   )
 }
