@@ -86,4 +86,51 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getString(0) == "a" && out(0).getString(1) == "b")
   }
+
+  // ---- persistent inverted index ----------------------------------
+
+  private def topDocs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+
+  test("InvertedIndex: search ≡ scan-path BM25 top-k; scan prunes term partitions") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("join", "vector", "scan")
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString
+    graft.ext.InvertedIndex.build(docs, "doc_id", "text", dir)
+    val viaIndex = graft.ext.InvertedIndex.search(spark, dir, terms, k = 10)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p#"),
+      s"index search must prune term-prefix partitions:\n$plan")
+    val got = topDocs(viaIndex)
+    val exp = graft.ext.Retrieval.withBm25(docs, "text", terms)
+      .orderBy($"bm25".desc, $"doc_id").limit(10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, a), (_, b)) =>
+      // scan path sums terms in fixed order, index path sums posting
+      // rows — equal up to aggregation-order ulps
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("InvertedIndex.append: build(half)+append(half) ≡ build(full)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("join", "batch")
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 =!= 0)
+    val incDir = java.nio.file.Files.createTempDirectory("invinc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("invfull").toString
+    graft.ext.InvertedIndex.build(half1, "doc_id", "text", incDir)
+    graft.ext.InvertedIndex.append(spark, incDir, half2, "doc_id", "text")
+    graft.ext.InvertedIndex.build(docs, "doc_id", "text", fullDir)
+    val inc = topDocs(graft.ext.InvertedIndex.search(spark, incDir, terms, k = 10))
+    graft.ops.Staging.releaseAll()
+    val full = topDocs(graft.ext.InvertedIndex.search(spark, fullDir, terms, k = 10))
+    graft.ops.Staging.releaseAll()
+    assert(inc.map(_._1) == full.map(_._1))
+    inc.zip(full).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+  }
 }
