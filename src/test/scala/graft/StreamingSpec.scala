@@ -267,4 +267,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == viaBatch && streamed == Set(2L, 3L),
       s"exact variant must keep the lowest id regardless of within-batch order; got $streamed")
   }
+
+  test("incremental funnel state matches batch Funnel.steps under in-order arrival") {
+    implicit val sc = spark.sqlContext
+    // live-funnel shape: state holds each user's earliest completion
+    // time per step; each micro-batch advances the steps IN ORDER so
+    // a step can qualify against a previous step completed in the
+    // SAME batch. Correct under per-user event-time-ordered arrival
+    // (the ingestion norm); out-of-order arrival would need
+    // retraction, which min-time funnels cannot express.
+    val steps = Seq("view", "click", "purchase")
+    // state(i): user -> earliest completion ts of step i
+    val state = Array.fill(steps.length)(
+      scala.collection.mutable.Map[Long, Timestamp]())
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val evs = batch.select("user_id", "event_type", "ts").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+          .sortBy(e => (e._3.getTime, e._1))
+        steps.zipWithIndex.foreach { case (st, i) =>
+          evs.filter(_._2 == st).foreach { case (u, _, t) =>
+            val qualifies = i == 0 ||
+              state(i - 1).get(u).exists(p => t.after(p))
+            if (qualifies && state(i).get(u).forall(t.before))
+              state(i)(u) = t
+          }
+        }
+        ()
+    }.start()
+    // user 1 completes the funnel ACROSS batches; user 2's click
+    // arrives before any view, user 3 ties (not strictly after)
+    stream.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(1), 2, "click", 0),
+                   Ev(3, ts(2), 3, "view", 0))
+    q.processAllAvailable()
+    stream.addData(Ev(4, ts(5), 1, "click", 0), Ev(5, ts(6), 1, "purchase", 0),
+                   Ev(6, ts(7), 2, "view", 0), Ev(7, ts(2), 3, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val batchAll = Seq(
+      (1L, "view", ts(0)), (2L, "click", ts(1)), (3L, "view", ts(2)),
+      (1L, "click", ts(5)), (1L, "purchase", ts(6)), (2L, "view", ts(7)),
+      (3L, "click", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", col("user_id")) // unused tiebreak
+    val viaBatch = graft.ext.Funnel.steps(batchAll, "user_id", "event_type",
+        "ts", steps)
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    val viaStream = state.map(_.size.toLong).toSeq
+    assert(viaStream == viaBatch && viaStream == Seq(3L, 1L, 1L),
+      s"stream $viaStream vs batch $viaBatch")
+    graft.ops.Staging.releaseAll()
+  }
 }
