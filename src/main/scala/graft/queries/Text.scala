@@ -666,15 +666,28 @@ object TextQueries {
     // Distinctive terms per source (Retrieval.distinctiveTerms,
     // class-based TF-IDF): top-3 terms per source by rounded score
     // with term tie-break — rank AFTER rounding so a cross-libm ln()
-    // ulp cannot reorder the window (the q80 rule applied to
-    // row_number).
+    // ulp cannot reorder (the q80 rule). Ranking runs through the
+    // TopKByScoreStr partial aggregate (k rows per partition per
+    // source through the exchange), not a per-source row_number
+    // window — the window shape sorts a source's ENTIRE vocabulary in
+    // one task (the q62 corpus-stats scale trap). Its (score desc,
+    // id asc) ordering is exactly the window's orderBy, so the
+    // results are identical; tf/df_groups rejoin from the staged
+    // scored frame on the 3·sources surviving keys.
     "q94_distinctive_terms" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("score").desc, col("term"))
-      graft.ext.Retrieval.distinctiveTerms(Tables.documents(s, d), "source", "text")
-        .withColumn("score", round(col("score"), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      val scored = graft.ops.Staging.stage(
+        graft.ext.Retrieval.distinctiveTerms(Tables.documents(s, d),
+            "source", "text")
+          .withColumn("score", round(col("score"), 6)))
+      val top = scored.groupBy("source")
+        .agg(graft.functions.GraftFunctions.topKByScoreStr(s,
+          col("score"), col("term"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.id").as("term"),
+                col("t.score").as("score"),
+                (col("pos") + 1).cast("int").as("rn"))
+      top.join(scored.select("source", "term", "tf", "df_groups"),
+               Seq("source", "term"))
         .select(col("source"), col("term"), col("tf"), col("df_groups"),
                 col("score"), col("rn"))
         .orderBy("source", "rn")
