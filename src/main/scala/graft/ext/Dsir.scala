@@ -204,4 +204,54 @@ object Dsir {
         Seq(col("__dsir_score").desc, key.asc), k)
       .drop("__dsir_score")
   }
+
+  /** Per-group KL divergence of the group's Laplace-smoothed
+    * hashed-gram bucket distribution from the CORPUS-wide one —
+    * distribution drift as a number: "is this source / crawl shard /
+    * ingest day statistically unlike the rest of the corpus?" (the
+    * monitoring twin of [[withImportanceWeights]], which RANKS
+    * documents toward a target; this SCORES groups against the
+    * whole).
+    *
+    * KL(P_g ‖ P_c) = Σ_b p_gb · ln(p_gb / p_cb) over ALL 16^hexChars
+    * buckets, with p_xb = (c_xb + 1) / (n_x + m). Absent buckets
+    * still contribute (their smoothed mass is not zero), so the sum
+    * runs over the full groups × buckets grid — m·|groups| rows, a
+    * driver-free generated frame, NOT a corpus-sized one. Scale
+    * shape: one gram pass collapses map-side to the (group, bucket)
+    * counts (≤ m rows per group); everything after is arithmetic on
+    * model-sized tables.
+    *
+    * Returns (groupCol, n_grams, kl) with kl UNROUNDED (consumers
+    * round; bucket-sum order commutes only at ulp level).
+    */
+  def bucketKl(docs: DataFrame, idCol: String, textCol: String,
+               groupCol: String, hexChars: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val m = math.pow(16, hexChars).toLong
+    val occ = gramOccurrences(docs, idCol, textCol, Seq(col(groupCol)))
+      .select(col(groupCol), bucketOf(col("__gram"), hexChars).as("bk"))
+    val gc = graft.ops.Staging.stage(
+      occ.groupBy(groupCol, "bk").agg(count(lit(1)).as("c")))
+    val gt = gc.groupBy(groupCol).agg(sum("c").as("ng"))
+    val cb = gc.groupBy("bk").agg(sum("c").as("cbv"))
+    val ct = gc.agg(sum("c").as("n"))
+    val buckets = spark.range(0, m)
+      .select(lower(lpad(hex(col("id")), hexChars, "0")).as("bk"))
+    val grid = gc.select(groupCol).distinct().crossJoin(buckets)
+    val f = grid
+      .join(gc, Seq(groupCol, "bk"), "left")
+      .join(broadcast(cb), Seq("bk"), "left")
+      .select(col(groupCol), col("bk"),
+              coalesce(col("c"), lit(0L)).as("c"),
+              coalesce(col("cbv"), lit(0L)).as("cbv"))
+    val mD = lit(m.toDouble)
+    val pG = (col("c") + lit(1.0)) / (col("ng") + mD)
+    val pC = (col("cbv") + lit(1.0)) / (col("n") + mD)
+    f.join(broadcast(gt), Seq(groupCol)).crossJoin(broadcast(ct))
+      .withColumn("__t", pG * log(pG / pC))
+      .groupBy(col(groupCol), col("ng").as("n_grams"))
+      .agg(sum("__t").as("kl"))
+      .select(col(groupCol), col("n_grams"), col("kl"))
+  }
 }

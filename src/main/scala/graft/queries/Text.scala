@@ -720,6 +720,16 @@ object TextQueries {
              round(max("entropy"), 6).as("max_entropy"))
         .orderBy("lang")
     }),
+
+    // Distribution drift per source (Dsir.bucketKl): KL divergence of
+    // each source's smoothed hashed-gram bucket model from the
+    // corpus-wide one — the "is this shard statistically unlike the
+    // corpus" monitor. The oracle replays the full groups x 4096
+    // bucket grid (absent buckets still carry smoothed mass).
+    "q100_bucket_kl" -> ((s, d) =>
+      graft.ext.Dsir.bucketKl(Tables.documents(s, d), "doc_id", "text", "source")
+        .select(col("source"), col("n_grams"), round(col("kl"), 6).as("kl"))
+        .orderBy("source")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1762,5 +1772,39 @@ object TextQueries {
         |  round(min(entropy), 6) AS min_entropy,
         |  round(max(entropy), 6) AS max_entropy
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q100_bucket_kl" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tk) AS gram FROM d
+        |  WHERE text IS NOT NULL AND text <> ''
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
+        |o AS (
+        |  SELECT dd.source, substr(md5(g.gram), 1, 3) AS bk
+        |  FROM g JOIN documents dd USING (doc_id)),
+        |gc AS (SELECT source, bk, count(*) AS c FROM o GROUP BY source, bk),
+        |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM gc GROUP BY source),
+        |cb AS (SELECT bk, CAST(sum(c) AS BIGINT) AS cbv FROM gc GROUP BY bk),
+        |ct AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gc),
+        |bks AS (SELECT printf('%03x', i) AS bk FROM range(0, 4096) t(i)),
+        |grid AS (
+        |  SELECT s.source, b.bk
+        |  FROM (SELECT DISTINCT source FROM gc) s, bks b),
+        |f AS (
+        |  SELECT grid.source, grid.bk,
+        |    coalesce(gc.c, 0) AS c, coalesce(cb.cbv, 0) AS cbv
+        |  FROM grid LEFT JOIN gc ON grid.source = gc.source AND grid.bk = gc.bk
+        |            LEFT JOIN cb ON grid.bk = cb.bk),
+        |k AS (
+        |  SELECT f.source, gt.ng,
+        |    sum(((c + 1.0) / (ng + 4096.0)) *
+        |        ln(((c + 1.0) / (ng + 4096.0)) / ((cbv + 1.0) / (n + 4096.0)))) AS kl
+        |  FROM f JOIN gt USING (source), ct GROUP BY f.source, gt.ng)
+        |SELECT source, ng AS n_grams, round(kl, 6) AS kl
+        |FROM k ORDER BY source""".stripMargin,
   )
 }

@@ -116,4 +116,26 @@ class DsirSpec extends AnyFunSuite {
       .select("id").as[Long].collect()
     assert(c.sameElements(Array(5L)))
   }
+
+  test("bucketKl: single group scores ~0 against itself; drifted group scores higher") {
+    import org.apache.spark.sql.functions._
+    // one group IS the corpus -> its distribution only differs from
+    // the corpus model through its own smoothing (same counts, same
+    // totals) -> KL exactly 0
+    val one = corpus.filter($"text" =!= "").withColumn("g", lit("all"))
+    val self = Dsir.bucketKl(one, "doc_id", "text", "g")
+      .head().getAs[Double]("kl")
+    assert(math.abs(self) < 1e-12, s"self-KL was $self")
+    graft.ops.Staging.releaseAll()
+    // an English group vs a corpus dominated by it: the non-English
+    // sliver must be the more divergent group, and both KLs >= 0
+    val grouped = corpus.filter($"text" =!= "")
+      .withColumn("g", when($"is_en", "en").otherwise("other"))
+    val kl = Dsir.bucketKl(grouped, "doc_id", "text", "g")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(kl.values.forall(_ >= 0.0), s"KL must be non-negative: $kl")
+    assert(kl("other") > kl("en"),
+      s"the minority distribution must diverge more: $kl")
+    graft.ops.Staging.releaseAll()
+  }
 }
