@@ -1687,21 +1687,28 @@ object TextQueries {
         |SELECT w1, w2, c_xy, c_x, c_y, round(pmi, 6) AS pmi
         |FROM sc ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 25""".stripMargin,
 
+    // The jaccard gate is MATERIALIZED before levenshtein touches
+    // anything: leaving both predicates in one WHERE lets the planner
+    // evaluate O(len^2) levenshtein on all O(n^2) pairs (observed: the
+    // sf0.1 check ran unbounded), instead of on the ~25 survivors.
     "q88_editdist_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id, text,
         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-        |  AND levenshtein(a.text, b.text) <= 5
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+        |SELECT id_a, id_b, jaccard,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+        |FROM cand
+        |WHERE levenshtein(ta, tb) <= 5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q92_hll_distinct" ->
