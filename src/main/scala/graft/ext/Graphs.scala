@@ -34,8 +34,14 @@ object Graphs {
     *
     * Returns (node, degree, pr).
     */
+  /** `dedupEdges = false` skips the symmetric-union distinct — one
+    * full edge-list shuffle — when the caller guarantees the input
+    * has no duplicate or reversed-duplicate edges (e.g. a DISTINCT
+    * bipartite projection whose two id spaces are prefix-disjoint:
+    * both walk directions are then unique by construction). */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85,
+               dedupEdges: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // Every shared frame is staged: sym feeds deg and adj; deg feeds
     // adj, N, the uniform start, and the final degree join; adj and
@@ -44,13 +50,19 @@ object Graphs {
     // plan grows a full copy of the edge pipeline per sweep (26
     // parquet scans at 3 iterations when first written); staged, each
     // sweep is a constant-size plan over two cached tables.
+    val symRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     val sym = graft.ops.Staging.stage(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+      if (dedupEdges) symRaw.distinct() else symRaw)
     val deg = graft.ops.Staging.stage(
       sym.groupBy("src").agg(count(lit(1)).as("deg")))
-    val adj = graft.ops.Staging.stage(sym.join(deg, "src"))
+    // Pin the cached adjacency's partitioning to the sweep-join key:
+    // AQE broadcasts the (small) degree side, which would leave adj
+    // on sym's (src, dst) partitioning and re-shuffle it EVERY sweep;
+    // repartitioned on src, each sweep shuffles only the rank frame
+    // (one row per node) plus the inherent per-sweep mass aggregate.
+    val adj = graft.ops.Staging.stage(
+      sym.join(deg, "src").repartition(col("src")))
     val nAgg = deg.agg(count(lit(1)).cast("double").as("__n"))
     val init = deg.select(col("src").as("node")).crossJoin(broadcast(nAgg))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))

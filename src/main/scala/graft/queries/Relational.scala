@@ -391,7 +391,10 @@ object Relational {
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
         .distinct()
-      graft.ext.Graphs.pageRank(edges, "a", "b", iterations = 3)
+      // the edge list is DISTINCT and the id spaces prefix-disjoint,
+      // so both walk directions are unique — skip the sym distinct
+      graft.ext.Graphs.pageRank(edges, "a", "b", iterations = 3,
+        dedupEdges = false)
         .select(col("node"), col("degree"),
                 round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pagerank").desc, col("node"))
