@@ -298,6 +298,47 @@ object EventQueries {
                 round(col("intercept"), 6).as("intercept"))
         .orderBy("user_id")
     }),
+
+    // Time-weighted average value (TWAP) per user: each event's value
+    // holds until the next event; the weight is that holding interval
+    // in EXACT microsecond longs (lead over the tie-free (ts,
+    // event_id) order), so the only doubles are value*weight products
+    // and one final division. The last event per user has no interval
+    // and drops out — mirrored exactly in the oracle.
+    "q101_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("dur",
+          unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+             sum("dur").as("total_us"),
+             sum(col("value") * col("dur").cast("double")).as("vw"))
+        .select(col("user_id"), col("n_intervals"), col("total_us"),
+                round(col("vw") / col("total_us").cast("double"), 6).as("twap"))
+        .orderBy("user_id")
+    }),
+
+    // Interval (range) join: lineitems shipped inside the 30-day
+    // window after their order's date — the set-valued sibling of the
+    // as-of join (which picks one row). The equi key (orderkey) makes
+    // this a plain shuffled equi-join with the range as a post-filter
+    // — the scale-safe plan; a pure range join without an equi key
+    // would be a nested-loop cross product.
+    "q102_interval_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .join(Tables.orders(s, d)
+                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct("o_orderkey").as("n_orders"),
+             round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -516,5 +557,29 @@ object EventQueries {
         |SELECT user_id, n, round(slope, 6) AS slope,
         |  round((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "q101_twap" ->
+      """WITH iv AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur) AS BIGINT) AS total_us,
+        |  round(sum(value * CAST(dur AS DOUBLE)) /
+        |        CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM iv WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q102_interval_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_pairs,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  round(sum(l.l_extendedprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
   )
 }
