@@ -730,6 +730,26 @@ object TextQueries {
       graft.ext.Dsir.bucketKl(Tables.documents(s, d), "doc_id", "text", "source")
         .select(col("source"), col("n_grams"), round(col("kl"), 6).as("kl"))
         .orderBy("source")),
+
+    // Frame sampling (Multimodal.sampleFrames): every 4th frame of
+    // each asset explodes to its own row BEFORE decode, so per-frame
+    // work distributes (the video-pipeline shape). Frame counts are
+    // the q33-style synthetic metadata; the oracle replays the
+    // stride-sequence arithmetic (k = (nf-1) DIV 4 + 1 sampled
+    // frames; their index sum is 2k(k-1), max 4(k-1)).
+    "q103_frame_sampling" -> ((s, d) => {
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+                struct((lit(1) + col("n_chars") % 29).cast("int")
+                  .as("n_frames")).as("meta"))
+      graft.ext.Multimodal.sampleFrames(assets, "meta", stride = 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled_frames"),
+             countDistinct("doc_id").as("n_assets"),
+             sum("frame_idx").as("sum_idx"),
+             max("frame_idx").cast("long").as("max_idx"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1813,5 +1833,17 @@ object TextQueries {
         |  FROM f JOIN gt USING (source), ct GROUP BY f.source, gt.ng)
         |SELECT source, ng AS n_grams, round(kl, 6) AS kl
         |FROM k ORDER BY source""".stripMargin,
+
+    "q103_frame_sampling" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, 1 + n_chars % 29 AS nf FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, (nf - 1) // 4 + 1 AS k FROM a)
+        |SELECT source,
+        |  CAST(sum(k) AS BIGINT) AS n_sampled_frames,
+        |  count(DISTINCT doc_id) AS n_assets,
+        |  CAST(sum(2 * k * (k - 1)) AS BIGINT) AS sum_idx,
+        |  CAST(max(4 * (k - 1)) AS BIGINT) AS max_idx
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
   )
 }
