@@ -87,6 +87,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "a" && out(0).getString(1) == "b")
   }
 
+  test("withBm25 top-k plan: broadcast stats row, TakeOrdered, pruned stats scan") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = Retrieval.withBm25(docs, "text", Seq("join", "vector"))
+      .select($"doc_id", round($"bm25", 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id").limit(10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not sort+limit:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row stats aggregate must broadcast:\n$plan")
+    // the corpus-stats pass must scan ONLY the text column
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"stats scan must prune to text:\n$plan")
+  }
+
   // ---- persistent inverted index ----------------------------------
 
   private def topDocs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
