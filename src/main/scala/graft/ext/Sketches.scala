@@ -71,4 +71,51 @@ object Sketches {
           .otherwise(col("__eraw")))
       .drop("__s", "__stot", "__eraw", "__v")
   }
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005) over
+    * `tokenCol`: `depth` hash rows × 16^hexChars buckets. Like
+    * [[hllDistinct]], the hash is an md5 hex PREFIX so the whole
+    * sketch is replayable in any engine with md5 — row j's bucket for
+    * token t is `substr(md5(j || '|' || t), 1, hexChars)` (the q80
+    * engine-portable string-key move; no integer parsing anywhere).
+    *
+    * Returns (__j, __b, __c) counter rows. Counters are ADDITIVE
+    * (sums commute with union), so partial aggregation collapses each
+    * input partition to ≤ depth·16^hexChars rows map-side and the
+    * merged sketch is bounded by that same constant regardless of
+    * corpus size — the frequency path when an exact token groupBy's
+    * shuffle would not fit. Guarantee: estimate ≥ true count always;
+    * overshoot ≤ εN with probability 1−(1/2)^depth for ε ≈ 2.7/width.
+    */
+  def cmsCounters(df: DataFrame, tokenCol: String, depth: Int = 4,
+                  hexChars: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1, 8]")
+    require(hexChars >= 1 && hexChars <= 8, "hexChars in [1, 8]")
+    df.select(col(tokenCol).as("__t"),
+              explode(array((0 until depth).map(lit(_)): _*)).as("__j"))
+      .select(col("__j"), cmsBucket(col("__j"), col("__t"), hexChars).as("__b"))
+      .groupBy("__j", "__b").agg(count(lit(1)).as("__c"))
+  }
+
+  /** Point-queries a CMS built by [[cmsCounters]] (same depth /
+    * hexChars): appends `c_est` = min over rows j of that row's
+    * counter for the probe's bucket (0 when a bucket was never
+    * touched — only possible for tokens absent from the corpus).
+    * The counter table is a constant ≤ depth·16^hexChars rows, so it
+    * BROADCASTS; the probe side never shuffles.
+    */
+  def cmsLookup(probes: DataFrame, tokenCol: String, counters: DataFrame,
+                depth: Int = 4, hexChars: Int = 3): DataFrame = {
+    val outCols = probes.columns
+    probes
+      .withColumn("__j", explode(array((0 until depth).map(lit(_)): _*)))
+      .withColumn("__b", cmsBucket(col("__j"), col(tokenCol), hexChars))
+      .join(broadcast(counters), Seq("__j", "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .groupBy(outCols.map(col): _*)
+      .agg(min("__c").as("c_est"))
+  }
+
+  private def cmsBucket(j: Column, token: Column, hexChars: Int): Column =
+    substring(md5(concat(j.cast("string"), lit("|"), token)), 1, hexChars)
 }

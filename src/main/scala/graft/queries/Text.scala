@@ -750,6 +750,25 @@ object TextQueries {
              max("frame_idx").cast("long").as("max_idx"))
         .orderBy("source")
     }),
+
+    // Count-min sketch heavy hitters (Sketches.cmsCounters/cmsLookup):
+    // approximate token frequencies as a hash-CHECKED result — the
+    // md5-prefix hashes make the whole sketch oracle-replayable, the
+    // q92 HLL move applied to frequencies. The counter table is a
+    // constant ≤ 4·4096 rows however big the corpus (additive =>
+    // map-side partial agg), so the lookup join BROADCASTS; the exact
+    // counts alongside exist only to exhibit the ≥-true guarantee.
+    "q104_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counters = graft.ext.Sketches.cmsCounters(toks, "tok")
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("c_exact"))
+        .orderBy(col("c_exact").desc, col("tok")).limit(20)
+      graft.ext.Sketches.cmsLookup(top, "tok", counters)
+        .withColumn("overcount", col("c_est") - col("c_exact"))
+        .orderBy(col("c_exact").desc, col("tok"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1845,5 +1864,26 @@ object TextQueries {
         |  CAST(sum(2 * k * (k - 1)) AS BIGINT) AS sum_idx,
         |  CAST(max(4 * (k - 1)) AS BIGINT) AS max_idx
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q104_cms_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |top AS (
+        |  SELECT tok, count(*) AS c_exact FROM tt GROUP BY tok
+        |  ORDER BY c_exact DESC, tok LIMIT 20),
+        |cnt AS (
+        |  SELECT j, substring(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 3) AS b,
+        |    count(*) AS c
+        |  FROM tt CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT top.tok, top.c_exact, min(cnt.c) AS c_est
+        |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+        |  JOIN cnt ON cnt.j = jj.j
+        |    AND cnt.b = substring(md5(CAST(jj.j AS VARCHAR) || '|' || top.tok), 1, 3)
+        |  GROUP BY 1, 2)
+        |SELECT tok, c_exact, CAST(c_est AS BIGINT) AS c_est,
+        |  CAST(c_est - c_exact AS BIGINT) AS overcount
+        |FROM est ORDER BY c_exact DESC, tok""".stripMargin,
   )
 }

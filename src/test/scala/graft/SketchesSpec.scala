@@ -40,4 +40,42 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.hllDistinct(df, "grp", "v", p = 10) // not whole hex chars
     }
   }
+
+  test("cmsLookup: estimate >= exact always, and equals exact when no collision") {
+    val toks = (1 to 50).flatMap(i => Seq.fill(i % 7 + 1)(s"tok_$i"))
+      .map(Tuple1(_)).toDF("tok")
+    val counters = Sketches.cmsCounters(toks, "tok")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c_exact"))
+    val est = Sketches.cmsLookup(exact, "tok", counters).collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("c_est") >= r.getAs[Long]("c_exact"),
+        s"CMS undercounted ${r.getAs[String]("tok")}")
+    }
+    // 50 tokens into 4 rows x 4096 buckets: collisions are vanishingly
+    // unlikely, so the min over rows recovers the exact count
+    assert(est.forall(r => r.getAs[Long]("c_est") == r.getAs[Long]("c_exact")))
+  }
+
+  test("cmsCounters: counter table is bounded by depth * 16^hexChars and additive") {
+    val toks = (1 to 2000).map(i => Tuple1(s"t${i % 37}")).toDF("tok")
+    val counters = Sketches.cmsCounters(toks, "tok", depth = 2, hexChars = 1)
+    assert(counters.count() <= 2 * 16)
+    // additivity: sketch(a union b) == sketch(a) + sketch(b) per bucket
+    val (a, b) = ((1 to 40).map(i => Tuple1(s"w$i")).toDF("tok"),
+                  (20 to 60).map(i => Tuple1(s"w$i")).toDF("tok"))
+    val merged = Sketches.cmsCounters(a, "tok", 2, 1)
+      .unionByName(Sketches.cmsCounters(b, "tok", 2, 1))
+      .groupBy("__j", "__b").agg(sum("__c").as("__c"))
+    val whole = Sketches.cmsCounters(a.unionByName(b), "tok", 2, 1)
+    assert(merged.orderBy("__j", "__b").collect().toSeq ==
+      whole.orderBy("__j", "__b").collect().toSeq)
+  }
+
+  test("cmsLookup broadcasts the counter table — probe side never shuffles on the join") {
+    val toks = (1 to 100).map(i => Tuple1(s"t$i")).toDF("tok")
+    val counters = Sketches.cmsCounters(toks, "tok", depth = 2, hexChars = 2)
+    val plan = Sketches.cmsLookup(toks.limit(5), "tok", counters, 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
