@@ -295,6 +295,40 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A|.
+    * Jaccard (q27) misses the quote-expansion duplicate — a short doc
+    * fully embedded in a much longer one scores |A|/|B| ≈ 0 Jaccard
+    * but containment 1.0. Same posting-list shape as
+    * [[exactJaccardPairs]] (work scales with co-occurring shingles,
+    * never document pairs), same per-group restriction; emits BOTH
+    * directions' containments and keeps a pair when either side
+    * reaches the threshold. Broadcast nothing; the n-per-doc sizes
+    * ride the postings.
+    */
+  def exactContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            groupCol: String, k: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val posts = graft.ops.Staging.stage(
+      withShingles(docs, textCol, k)
+        .filter(size(col("shingles")) > 0)
+        .select(col(idCol), col(groupCol), size(col("shingles")).as("n"),
+                explode(col("shingles")).as("s")))
+    val pa = posts.select(col(idCol).as("id_a"), col(groupCol),
+                          col("n").as("na"), col("s"))
+    val pb = posts.select(col(idCol).as("id_b"), col(groupCol).as("__g"),
+                          col("n").as("nb"), col("s").as("__s"))
+    pa.join(pb, pa("s") === pb("__s") && pa(groupCol) === pb("__g") &&
+              pa("id_a") < pb("id_b"))
+      .groupBy("id_a", "id_b", groupCol)
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("cont_a", col("inter").cast("double") / col("na"))
+      .withColumn("cont_b", col("inter").cast("double") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col(groupCol),
+              round(col("cont_a"), 6).as("cont_a"),
+              round(col("cont_b"), 6).as("cont_b"))
+  }
+
   /** Portable 32-bit SimHash: per-token bit b = high bit of hex digit
     * b of md5(token); signature bit = sign of the token-count-weighted
     * sum. Emitted as a 32-char '0'/'1' string so the definition is

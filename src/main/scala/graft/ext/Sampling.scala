@@ -133,4 +133,42 @@ object Sampling {
     }
     df.filter(sampleHash(key, salt) < threshold)
   }
+
+  /** Exactly-k-per-group weighted sampling WITHOUT replacement —
+    * Efraimidis & Spirakis (2006): each row draws priority u^(1/w)
+    * from a uniform u and the k largest priorities per group are the
+    * sample (selection probability proportional to weight, sample
+    * size exact — [[mixtureResample]] hits a token BUDGET instead but
+    * only in expectation). Deterministic twist: u is derived from
+    * content, not a PRNG — the first 13 md5 hex chars of (key‖salt)
+    * are a 52-bit integer h, and u = (h + 0.5) / 2^52. Both h (< 2^52)
+    * and the division (by a power of two) are EXACT doubles, so any
+    * engine reconstructs the identical u; rows are ranked on the
+    * monotone-equivalent ln(u)/w (descending), dodging pow(u, 1/w)'s
+    * cross-engine rounding.
+    *
+    * Scale shape: one map-side md5 pass, then top-k per group. The
+    * rank window shuffles once on the group key. Rows with weight ≤ 0
+    * are DROPPED, explicitly: E-S priorities are defined over positive
+    * weights only (a zero weight would divide ln(u) to -inf), and a
+    * zero-token document carries nothing worth sampling.
+    */
+  def weightedSampleK(df: DataFrame, key: Column, weight: Column,
+                      groupCol: String, k: Int,
+                      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 13),
+                 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val pri = log(u) / weight.cast("double")
+    df.filter(weight.cast("double") > 0)
+      .withColumn("__pri", pri)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("__pri").desc, key.cast("string"))))
+      .filter(col("rnk") <= k)
+      .withColumn("priority", round(col("__pri"), 6))
+      .drop("__pri")
+  }
 }

@@ -375,4 +375,90 @@ object Similarity {
     graft.ext.Dedup.withDupComponent(df, idCol,
       lshNearDupPairs(df, idCol, vecCol, threshold, bands, planesPerBand,
         maxBandBucket))
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): from each query's top-`candK` exact candidates, greedily
+    * pick `k` maximizing `λ·sim(q,c) − (1−λ)·max over selected s of
+    * sim(c,s)` — the diversity-aware top-k that keeps a retrieval (or
+    * few-shot-selection) result from being k copies of the same
+    * near-duplicate. Choose λ with an exactly-representable
+    * complement (0.75, 0.5…) so `1−λ` is the same double everywhere.
+    *
+    * Shape: candidate generation is [[bruteForceTopK]] (swap in
+    * [[annTopK]] upstream at scale); candidate-pair sims are a
+    * candK²-per-query self-join of the STAGED candidate set — never
+    * corpus-pairs. The greedy loop is k−1 driver-built plan steps
+    * (anti-join remaining, max-penalty against selected, pick argmax
+    * per query via a window over ≤ candK rows per query); each
+    * selected frame is eagerly checkpointed because step t+1 fans it
+    * out twice — truncation keeps every step's plan constant-size
+    * instead of doubling per step. All
+    * comparisons run on 6dp-ROUNDED sims (the q34-pinned cross-engine
+    * surface), so selection is engine-reproducible; `mmr` is rounded
+    * only on output.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                k: Int = 5, candK: Int = 20,
+                lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && candK >= k, "need candK >= k >= 1")
+    val gf = graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0) - lam
+    val cands = graft.ops.Staging.stage(
+      bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+        .select(col("query_id"), col("neighbor_id"),
+                col("cosine_sim").as("sim"), col("rnk")))
+    val vecs = corpus.select(col(idCol).as("__cid"),
+                             asDouble(col(vecCol)).as("__cv"))
+    val withVec = cands.join(vecs, col("neighbor_id") === col("__cid"))
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("ca"),
+                           col("__cv").as("__va"))
+    val b = withVec.select(col("query_id").as("__qb"),
+                           col("neighbor_id").as("cb"), col("__cv").as("__vb"))
+    val pairs = graft.ops.Staging.stage(
+      a.join(b, a("query_id") === b("__qb") && col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+                round(gf.cosineSimilarity(spark, col("__va"), col("__vb")), 6)
+                  .as("psim")))
+    // Each step reads `selected` twice (anti-join + penalty join), so
+    // without truncation the analyzed plan DOUBLES per step — an
+    // eager localCheckpoint (the CC-sweep idiom) keeps every step's
+    // plan constant-size; the superseded checkpoint's blocks are
+    // freed as soon as its successor is materialized.
+    var selected = graft.ops.Staging.stageCheckpoint(
+      cands.filter(col("rnk") === 1)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+                (lam * col("sim")).as("mmr"), lit(1).as("step"))
+        .localCheckpoint(true))
+    for (t <- 2 to k) {
+      val sel = selected
+      val remaining = cands.join(
+        sel.select(col("query_id"), col("id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining
+        .join(pairs.select(col("query_id"), col("ca").as("neighbor_id"),
+                           col("cb"), col("psim")),
+              Seq("query_id", "neighbor_id"))
+        .join(sel.select(col("query_id"), col("id").as("cb")),
+              Seq("query_id", "cb"))
+        .groupBy("query_id", "neighbor_id", "sim")
+        .agg(max("psim").as("pen"))
+      val pick = scored
+        .withColumn("mmr", lam * col("sim") - oneMinus * col("pen"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("mmr").desc, col("neighbor_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+                col("mmr"), lit(t).as("step"))
+      selected = graft.ops.Staging.stageCheckpoint(
+        sel.unionByName(pick).localCheckpoint(true))
+      graft.ops.Staging.dropCheckpoint(sel)
+    }
+    selected.select(col("query_id"), col("step"),
+                    col("id").as("picked_id"), round(col("mmr"), 6).as("mmr"))
+  }
 }

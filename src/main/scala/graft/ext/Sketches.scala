@@ -118,4 +118,50 @@ object Sketches {
 
   private def cmsBucket(j: Column, token: Column, hexChars: Int): Column =
     substring(md5(concat(j.cast("string"), lit("|"), token)), 1, hexChars)
+
+  /** Fixed-width histogram counters over `valueCol` per `groupCol`:
+    * bucket = floor(value / width). The third member of the portable
+    * sketch family ([[hllDistinct]] cardinality, [[cmsCounters]]
+    * frequency, this one QUANTILES): additive integer counters, so
+    * each partition collapses map-side to one row per touched bucket
+    * and the merged table is bounded by value-range/width rows per
+    * group regardless of corpus size — the quantile path when an
+    * exact sort (or Spark's approx_percentile, whose GK summary is
+    * engine-private) must be auditable from outside.
+    */
+  def histCounters(df: DataFrame, groupCol: String, valueCol: String,
+                   width: Double): DataFrame = {
+    require(width > 0.0, "width must be positive")
+    df.select(col(groupCol),
+              floor(col(valueCol).cast("double") / width).cast("long").as("__b"))
+      .groupBy(groupCol, "__b").agg(count(lit(1)).as("__c"))
+  }
+
+  /** Quantile estimates from a [[histCounters]] table (same width).
+    * For each probe p: target rank r = ceil(p·N); the estimate is a
+    * linear interpolation inside the bucket holding rank r —
+    * `b·width + width·(r − cum_before)/c_b`. Every step is exact
+    * integer/rational double arithmetic (no pow/ln), so the estimate
+    * is bit-replayable cross-engine. The window runs over the BOUNDED
+    * counter table (partitioned by group), never the corpus.
+    * Returns (groupCol, p, q_est) with q_est rounded to 6dp.
+    */
+  def histQuantiles(counters: DataFrame, groupCol: String, width: Double,
+                    ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = counters
+      .withColumn("__cb", coalesce(
+        sum("__c").over(byGroup.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__c").over(byGroup))
+    val r = ceil(col("p") * col("__n"))
+    cum.select(col(groupCol), col("__b"), col("__c"), col("__cb"), col("__n"),
+               explode(array(ps.map(lit(_)): _*)).as("p"))
+      .filter(r > col("__cb") && r <= col("__cb") + col("__c"))
+      .select(col(groupCol), col("p"),
+        round(col("__b") * width +
+          lit(width) * (r - col("__cb")).cast("double") / col("__c"), 6)
+          .as("q_est"))
+  }
 }

@@ -769,6 +769,50 @@ object TextQueries {
         .withColumn("overcount", col("c_est") - col("c_exact"))
         .orderBy(col("c_exact").desc, col("tok"))
     }),
+
+    // Histogram-sketch quantiles (Sketches.histCounters/histQuantiles):
+    // the third portable sketch — additive fixed-width counters, so
+    // the doc-length p50/p90/p99 per source comes off a bounded
+    // counter table instead of a corpus sort (and unlike
+    // approx_percentile's engine-private GK summary, every step is
+    // oracle-replayable). The quantile window runs over the counter
+    // table only.
+    "q105_hist_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      val counters = graft.ext.Sketches.histCounters(docs, "source", "n_tokens",
+          width = 16.0)
+      graft.ext.Sketches.histQuantiles(counters, "source", 16.0,
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "p")
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement
+    // (Sampling.weightedSampleK): exactly 8 docs per source with
+    // selection probability proportional to token count, priorities
+    // content-derived (md5 -> exact 52-bit uniform) so the sample is
+    // a pure function of the corpus — reproducible on any engine,
+    // under any partitioning.
+    "q107_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.weightedSampleK(docs, col("doc_id"), col("n_tokens"),
+          "source", k = 8, salt = "r9es")
+        .select(col("source"), col("rnk"), col("doc_id"),
+                col("n_tokens").cast("long").as("n_tokens"), col("priority"))
+        .orderBy("source", "rnk")
+    }),
+
+    // Asymmetric containment near-dup (Dedup.exactContainmentPairs):
+    // catches the quote-expansion duplicate Jaccard (q27) misses — a
+    // short doc embedded in a longer one scores cont_a 1.0 but
+    // Jaccard |A|/|B|. Same posting-list join shape as q27.
+    "q108_containment_neardup" -> ((s, d) =>
+      Dedup.exactContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", k = 3, threshold = 0.6)
+        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "source", "cont_a", "cont_b")
+        .orderBy("doc_id_a", "doc_id_b")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1885,5 +1929,78 @@ object TextQueries {
         |SELECT tok, c_exact, CAST(c_est AS BIGINT) AS c_est,
         |  CAST(c_est - c_exact AS BIGINT) AS overcount
         |FROM est ORDER BY c_exact DESC, tok""".stripMargin,
+
+    // Replays the histogram sketch bucket by bucket: same width-16
+    // buckets, same cumulative-before window over the counter table,
+    // same ceil-rank linear interpolation. All exact integer/rational
+    // arithmetic — no pow/ln anywhere.
+    "q105_hist_quantiles" ->
+      """WITH w AS (
+        |  SELECT source, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, CAST(floor(n / 16.0) AS BIGINT) AS b, count(*) AS c
+        |  FROM w GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, b, c,
+        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    sum(c) OVER (PARTITION BY source) AS nt
+        |  FROM h),
+        |pp AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) t(p))
+        |SELECT source, p,
+        |  round(b * 16.0 + 16.0 * (ceil(p * nt) - cb) / c, 6) AS q_est
+        |FROM cum CROSS JOIN pp
+        |WHERE ceil(p * nt) > cb AND ceil(p * nt) <= cb + c
+        |ORDER BY source, p""".stripMargin,
+
+    // Reconstructs the exact E-S priority: the 13-hex md5 prefix is
+    // rebuilt digit by digit against exact powers of two (every term
+    // and every partial sum an exact double), u = (h + 0.5) / 2^52
+    // exactly, then ln(u)/n_tokens ranks within source. Zero-token
+    // docs are dropped on both sides by construction.
+    "q107_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'r9es'), 1, 13) AS hx
+        |  FROM documents),
+        |hv AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(hx, CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS h
+        |  FROM w WHERE n_tokens > 0),
+        |pr AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ln((h + 0.5) / 4503599627370496.0) / n_tokens AS pri
+        |  FROM hv),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY pri DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |  FROM pr)
+        |SELECT source, rnk, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(pri, 6) AS priority
+        |FROM r WHERE rnk <= 8 ORDER BY source, rnk""".stripMargin,
+
+    // q27's shingle construction, asymmetric normalization: each
+    // side's containment divides the intersection by ITS OWN shingle
+    // count; a pair survives when either direction reaches 0.6.
+    "q108_containment_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles) AS ca,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(b.shingles) AS cbb
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT doc_id_a, doc_id_b, source,
+        |  round(ca, 6) AS cont_a, round(cbb, 6) AS cont_b
+        |FROM p WHERE greatest(ca, cbb) >= 0.6
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
   )
 }

@@ -206,6 +206,18 @@ object VectorQueries {
         .orderBy(col("rrf").desc, col("id"))
         .limit(15)
     }),
+
+    // MMR diverse re-ranking (Similarity.mmrRerank): top-20 exact
+    // candidates per query, greedy 5 picks at λ=0.75 (chosen so 1−λ
+    // is the same double in every engine). The oracle replays the
+    // greedy loop as 4 unrolled SQL steps over the same 6dp-rounded
+    // sims, so every pick AND its mmr score are hash-checked.
+    "q106_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, candK = 20, lambda = 0.75)
+        .orderBy("query_id", "step")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +412,66 @@ object VectorQueries {
         |      + coalesce(1.0 / (60.0 + sr.rank_sem), 0.0), 6) AS rrf
         |FROM lr FULL JOIN sr ON lr.doc_id = sr.vec_id
         |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // The greedy MMR loop unrolled: candidates ranked on RAW sim (the
+    // q34 shape) then 6dp-rounded for all MMR arithmetic; each step
+    // anti-joins the selected set, takes max pair-sim to it as the
+    // penalty, and picks argmax(0.75·sim − 0.25·pen) with the
+    // (mmr DESC, id ASC) tie-break the Spark window uses. Assembled
+    // by [[mmrOracleSql]] — one block per step, single stripMargin
+    // nowhere (plain strings throughout).
+    "q106_mmr_rerank" -> mmrOracleSql(k = 5),
   )
+
+  /** Builds the q106 oracle: `k−1` identical greedy-step blocks after
+    * the shared candidate/pair-sim CTEs. Kept as a generator so the
+    * SQL provably matches the Spark loop step for step. */
+  private def mmrOracleSql(k: Int): String = {
+    val head =
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS rawsim
+        |  FROM m q, m t WHERE q.vec_id < 5 AND t.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, round(rawsim, 6) AS sim, rnk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rawsim DESC, neighbor_id) AS rnk FROM p) WHERE rnk <= 20),
+        |ps AS (
+        |  SELECT c1.query_id, c1.neighbor_id AS ca, c2.neighbor_id AS cb,
+        |    round(list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+        |      / (a.nrm * b.nrm), 6) AS psim
+        |  FROM cand c1
+        |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+        |  JOIN m a ON a.vec_id = c1.neighbor_id
+        |  JOIN m b ON b.vec_id = c2.neighbor_id),
+        |sel1 AS (
+        |  SELECT query_id, neighbor_id AS id, 0.75 * sim AS mmr, 1 AS step
+        |  FROM cand WHERE rnk = 1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s""",
+sc$t AS (
+  SELECT c.query_id, c.neighbor_id, c.sim, max(p.psim) AS pen
+  FROM cand c
+  JOIN ps p ON p.query_id = c.query_id AND p.ca = c.neighbor_id
+  JOIN sel${t - 1} s ON s.query_id = p.query_id AND s.id = p.cb
+  LEFT JOIN sel${t - 1} e ON e.query_id = c.query_id AND e.id = c.neighbor_id
+  WHERE e.id IS NULL
+  GROUP BY 1, 2, 3),
+pk$t AS (
+  SELECT query_id, neighbor_id AS id, 0.75 * sim - 0.25 * pen AS mmr, $t AS step FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY 0.75 * sim - 0.25 * pen DESC, neighbor_id) AS rn
+    FROM sc$t) WHERE rn = 1),
+sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)"""
+    }.mkString
+    head + steps +
+      s"\nSELECT query_id, step, id AS picked_id, round(mmr, 6) AS mmr" +
+      s"\nFROM sel$k ORDER BY query_id, step"
+  }
 }

@@ -1437,4 +1437,72 @@ class ExtSpec extends AnyFunSuite {
       .withColumn("pred", TextStats.predictLang(profiles))
     assert(df.collect().map(_.getAs[String]("pred")).toSeq == Seq("en", "es", "en"))
   }
+
+  test("containment pairs: embedded doc scores 1.0 where Jaccard stays low") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = ("zero one two three four five six seven eight nine ten " +
+      short + " eleven twelve thirteen fourteen fifteen sixteen")
+    val docs = Seq((1L, "g", short), (2L, "g", long), (3L, "g", "wholly different words here now"))
+      .toDF("id", "grp", "text")
+    val out = Dedup.exactContainmentPairs(docs, "id", "text", "grp",
+      k = 3, threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id_a") == 1L && out(0).getAs[Long]("id_b") == 2L)
+    assert(out(0).getAs[Double]("cont_a") == 1.0) // every shingle of A is in B
+    assert(out(0).getAs[Double]("cont_b") < 0.5)  // B mostly not in A
+    // the same pair is invisible to Jaccard at any useful threshold
+    val j = Dedup.exactJaccardPairs(docs, "id", "text", "grp", k = 3,
+      threshold = 0.5).collect()
+    assert(j.isEmpty)
+  }
+
+  test("weightedSampleK: exact k per group, partition-invariant, weight-biased, w<=0 dropped") {
+    import graft.ext.Sampling
+    val rows = (1 to 200).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+       if (i == 2) 1000000.0 else 1.0) // one overwhelming weight in group a
+    } :+ (999L, "a", 0.0) :+ (998L, "a", -3.0)
+    val df = rows.toDF("id", "grp", "w")
+    val out = Sampling.weightedSampleK(df, $"id", $"w", "grp", k = 5, salt = "t")
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 5L, "b" -> 5L))
+    val aIds = out.filter($"grp" === "a").select("id").collect().map(_.getLong(0)).toSet
+    assert(aIds.contains(2L), "the 1e6-weight row must be sampled")
+    assert(!aIds.contains(999L) && !aIds.contains(998L), "non-positive weights drop")
+    // pure function of content: same sample under any partitioning
+    val out2 = Sampling.weightedSampleK(df.repartition(13), $"id", $"w", "grp",
+      k = 5, salt = "t")
+    assert(out2.select("grp", "rnk", "id").orderBy("grp", "rnk").collect().toSeq ==
+      out.select("grp", "rnk", "id").orderBy("grp", "rnk").collect().toSeq)
+    // the salt decorrelates samples
+    val out3 = Sampling.weightedSampleK(df, $"id", $"w", "grp", k = 5, salt = "u")
+    assert(out3.select("id").collect().map(_.getLong(0)).toSet !=
+      out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mmrRerank: first pick is top-1, picks distinct, diversity beats pure top-k") {
+    // two tight clusters; query sits nearer cluster A. Pure top-3 is
+    // all-A; MMR with lambda 0.5 must mix in cluster B.
+    def v(x: Double, y: Double) = Seq(x, y, 0.0, 0.0)
+    val emb = Seq(
+      (0L, v(1.0, 0.05)),                    // query
+      (1L, v(1.0, 0.0)), (2L, v(0.999, 0.01)), (3L, v(0.998, 0.02)), // cluster A
+      (4L, v(0.0, 1.0)), (5L, v(0.01, 0.999))                        // cluster B
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3).collect()
+    val topIds = brute.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("neighbor_id"))
+    assert(topIds.toSet == Set(1L, 2L, 3L), "pure top-3 is the A clique")
+    val mmr = Similarity.mmrRerank(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, candK = 5, lambda = 0.5)
+      .orderBy("step").collect()
+    val picked = mmr.map(_.getAs[Long]("picked_id"))
+    assert(picked.length == 3 && picked.toSet.size == 3, "picks are distinct")
+    assert(picked(0) == topIds(0), "step 1 is the plain argmax")
+    assert(picked.toSet.exists(Set(4L, 5L)), "MMR must cross into cluster B")
+    // mmr scores are non-increasing in relevance terms only when
+    // lambda = 1 — but each step's score must be <= lambda (sims <= 1)
+    assert(mmr.forall(_.getAs[Double]("mmr") <= 0.5 + 1e-9))
+  }
 }

@@ -71,6 +71,31 @@ class SketchesSpec extends AnyFunSuite {
       whole.orderBy("__j", "__b").collect().toSeq)
   }
 
+  test("histQuantiles: estimates within one bucket width of exact, monotone in p") {
+    val vals = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val counters = Sketches.histCounters(vals, "grp", "v", width = 16.0)
+    assert(counters.count() <= math.ceil(1001 / 16.0).toLong + 1)
+    val qs = Sketches.histQuantiles(counters, "grp", 16.0, Seq(0.5, 0.9, 0.99))
+      .orderBy("p").collect()
+    val exact = Map(0.5 -> 500.0, 0.9 -> 900.0, 0.99 -> 990.0)
+    qs.foreach { r =>
+      val (p, est) = (r.getAs[Double]("p"), r.getAs[Double]("q_est"))
+      assert(math.abs(est - exact(p)) <= 16.0, s"p=$p est=$est")
+    }
+    assert(qs.map(_.getAs[Double]("q_est")).toSeq.sliding(2).forall(s => s(0) <= s(1)))
+  }
+
+  test("histCounters are additive: sketch(a ++ b) == merged per-bucket sums") {
+    val a = (1 to 300).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val b = (200 to 600).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val merged = Sketches.histCounters(a, "grp", "v", 16.0)
+      .unionByName(Sketches.histCounters(b, "grp", "v", 16.0))
+      .groupBy("grp", "__b").agg(sum("__c").as("__c"))
+    val whole = Sketches.histCounters(a.unionByName(b), "grp", "v", 16.0)
+    assert(merged.orderBy("__b").collect().toSeq ==
+      whole.orderBy("__b").collect().toSeq)
+  }
+
   test("cmsLookup broadcasts the counter table — probe side never shuffles on the join") {
     val toks = (1 to 100).map(i => Tuple1(s"t$i")).toDF("tok")
     val counters = Sketches.cmsCounters(toks, "tok", depth = 2, hexChars = 2)
