@@ -319,4 +319,75 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $viaStream vs batch $viaBatch")
     graft.ops.Staging.releaseAll()
   }
+
+  test("CMS counters maintain incrementally over a stream and equal the batch sketch") {
+    implicit val sc = spark.sqlContext
+    // counters are ADDITIVE, so Spark's incremental stateful
+    // aggregation IS the sketch merge: the q104 operator runs
+    // unchanged on a stream — the live-corpus frequency monitor shape
+    val stream = MemoryStream[String]
+    val q = graft.ext.Sketches.cmsCounters(stream.toDF().toDF("tok"), "tok",
+        depth = 2, hexChars = 2)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData("a", "b", "a", "c")
+    q.processAllAvailable()
+    stream.addData("a", "d", "e", "b") // second micro-batch merges in
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ext.Sketches.cmsCounters(
+        Seq("a", "b", "a", "c", "a", "d", "e", "b").toDF("tok"), "tok", 2, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("HLL registers maintain over a stream; estimate-on-read equals batch") {
+    implicit val sc = spark.sqlContext
+    // register maintenance (group, bucket) -> max(rank) is ONE
+    // stateful aggregation, so it streams; the estimate is the cheap
+    // read-side fold over the bounded register table. Max never
+    // retracts, so late/duplicate data only ever raises registers —
+    // exactly HLL's insensitivity-to-duplicates property.
+    val stream = MemoryStream[String]
+    val h = md5(col("value"))
+    val w = substring(h, 3, 13)
+    val z = length(regexp_extract(w, "^0*", 0))
+    val c = w.substr(z + lit(1), lit(1))
+    val bits = when(c === "1", 3).when(c.isin("2", "3"), 2)
+      .when(c.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rank = when(z === 13, lit(53)).otherwise(z * 4 + bits + 1)
+    val regs = stream.toDF()
+      .select(lit("g").as("grp"), substring(h, 1, 2).as("__b"), rank.as("__r"))
+      .groupBy("grp", "__b").agg(max("__r").as("__m"))
+    val q = regs.writeStream.format("memory").queryName("hllregs")
+      .outputMode(OutputMode.Complete()).start()
+    val values = (1 to 300).map(i => s"value_$i")
+    stream.addData(values.take(150): _*)
+    q.processAllAvailable()
+    stream.addData(values.drop(150) ++ values.take(40): _*) // dups re-arrive
+    q.processAllAvailable()
+    q.stop()
+    val streamedRegs = spark.table("hllregs").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toMap
+    val batchRegs = graft.ext.Sketches.hllDistinct(
+        values.map(v => ("g", v)).toDF("grp", "v"), "grp", "v")
+    // same registers => bit-identical estimate; compare via the batch
+    // estimator over the reconstructed register table
+    val streamedEst = {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val s = streamedRegs.values.map(r => 1.0 / math.pow(2.0, r)).sum +
+        (m - streamedRegs.size) * 1.0
+      val raw = alpha * m * m / s
+      val v = m - streamedRegs.size
+      if (v > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / v) else raw
+    }
+    val batchEst = batchRegs.head().getAs[Double]("hll_distinct")
+    // identical registers; the scalar fold re-orders the double sum,
+    // so allow summation-order noise (never more than ~1e-13 here)
+    assert(math.abs(streamedEst - batchEst) < 1e-6,
+      s"stream $streamedEst vs batch $batchEst")
+  }
 }
