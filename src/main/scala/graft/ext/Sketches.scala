@@ -38,10 +38,19 @@ object Sketches {
     * countDistinct's exact shuffle would not fit.
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, p), groupCol, p)
+
+  /** The register table alone: (groupCol, __b, __m) with one row per
+    * TOUCHED bucket. Split out from [[hllDistinct]] because registers
+    * are the maintainable form — they merge by per-bucket max
+    * ([[SketchStore]] with merge="max"), maintain incrementally under
+    * streaming aggregation (max never retracts), and the estimate is
+    * a cheap read-side fold over ≤ 2^p rows. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   p: Int = 8): DataFrame = {
     require(p % 4 == 0 && p >= 4 && p <= 16,
       "p must be a multiple of 4 in [4, 16] so the bucket is whole hex chars")
-    val m = 1 << p
     val h = md5(col(valueCol).cast("string"))
     val w = substring(h, p / 4 + 1, 13)
     val z = length(regexp_extract(w, "^0*", 0))
@@ -51,9 +60,14 @@ object Sketches {
       .when(c.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
     val rank = when(z === 13, lit(53)).otherwise(z * 4 + bits + 1)
-    val regs = df
-      .select(col(groupCol), substring(h, 1, p / 4).as("__b"), rank.as("__r"))
+    df.select(col(groupCol), substring(h, 1, p / 4).as("__b"), rank.as("__r"))
       .groupBy(groupCol, "__b").agg(max("__r").as("__m"))
+  }
+
+  /** Flajolet estimate + linear-counting correction over a
+    * [[hllRegisters]] table (same p). */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
     val mD = lit(m.toDouble)
     val alpha: Column = lit(0.7213) / (lit(1.0) + lit(1.079) / mD)
     regs.groupBy(groupCol)

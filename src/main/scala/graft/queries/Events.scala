@@ -339,7 +339,38 @@ object EventQueries {
              countDistinct("o_orderkey").as("n_orders"),
              round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("o_orderpriority")),
+
+    // Z-order (Morton) clustering key (Layout.zOrderKey): user_id and
+    // event-day interleaved bit by bit — the multi-dimensional layout
+    // key that keeps a 100 TB event table prunable on EITHER column
+    // (LayoutSpec measures the per-file span contraction; this query
+    // hash-pins the key arithmetic itself against a 21-term bit
+    // replay in SQL).
+    "q109_zorder_key" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("u", pmod(col("user_id").cast("long"), lit(2097152L)))
+        .withColumn("d", expr("unix_micros(ts) div 86400000000"))
+      ev.withColumn("zkey", graft.ops.Layout.zOrderKey(col("u"), col("d")))
+        .select(col("event_id"), col("u"), col("d"), col("zkey"))
+        .orderBy("zkey", "event_id").limit(50)
+    }),
   )
+
+  /** q109's oracle: the 21-bit interleave as an explicit integer-
+    * arithmetic sum (exact power-of-two literals, BIGINT throughout)
+    * — generated so it provably matches [[graft.ops.Layout.zOrderKey]]
+    * term for term. */
+  private def zOrderOracleSql: String = {
+    val terms = (0 until 21).map { i =>
+      s"((u >> $i) & 1) * ${1L << (2 * i)} + ((d >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    "WITH e AS (\n" +
+      "  SELECT event_id, user_id % 2097152 AS u,\n" +
+      "    epoch_us(ts) // 86400000000 AS d\n" +
+      "  FROM events)\n" +
+      s"SELECT event_id, u, d, CAST($terms AS BIGINT) AS zkey\n" +
+      "FROM e ORDER BY zkey, event_id LIMIT 50"
+  }
 
   val oracles: Map[String, String] = Map(
     "q20_json_extract" ->
@@ -581,5 +612,7 @@ object EventQueries {
         | AND l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    "q109_zorder_key" -> zOrderOracleSql,
   )
 }

@@ -103,4 +103,58 @@ class SketchesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("SketchStore: a CMS segment log merges to the EXACT union sketch") {
+    import graft.ext.SketchStore
+    val dir = java.nio.file.Files.createTempDirectory("sketch_store")
+      .toString + "/cms"
+    val a = (1 to 80).map(i => Tuple1(s"w${i % 23}")).toDF("tok")
+    val b = (1 to 60).map(i => Tuple1(s"w${i % 31}")).toDF("tok")
+    SketchStore.save(Sketches.cmsCounters(a, "tok", 2, 2), dir)
+    SketchStore.append(Sketches.cmsCounters(b, "tok", 2, 2), dir)
+    val merged = SketchStore.load(spark, dir, Seq("__j", "__b"), "__c")
+    val whole = Sketches.cmsCounters(a.unionByName(b), "tok", 2, 2)
+    assert(merged.orderBy("__j", "__b").collect().toSeq ==
+      whole.orderBy("__j", "__b").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      SketchStore.load(spark, dir, Seq("__j", "__b"), "__c", merge = "avg")
+    }
+  }
+
+  test("SketchStore: HLL registers max-merge; estimate-on-read equals single-shot") {
+    import graft.ext.SketchStore
+    val dir = java.nio.file.Files.createTempDirectory("sketch_store")
+      .toString + "/hll"
+    val all = (1 to 400).map(i => ("g", s"item_$i"))
+    val (h1, h2) = (all.take(250), all.drop(200)) // overlapping segments
+    SketchStore.save(
+      Sketches.hllRegisters(h1.toDF("grp", "v"), "grp", "v"), dir)
+    SketchStore.append(
+      Sketches.hllRegisters(h2.toDF("grp", "v"), "grp", "v"), dir)
+    val regs = SketchStore.load(spark, dir, Seq("grp", "__b"), "__m",
+      merge = "max")
+    val est = Sketches.hllEstimate(regs, "grp")
+      .head().getAs[Double]("hll_distinct")
+    val whole = Sketches.hllDistinct(all.toDF("grp", "v"), "grp", "v")
+      .head().getAs[Double]("hll_distinct")
+    assert(math.abs(est - whole) < 1e-9, s"$est vs $whole")
+  }
+
+  test("SketchStore: hist counters sum-merge; quantiles equal single-shot") {
+    import graft.ext.SketchStore
+    val dir = java.nio.file.Files.createTempDirectory("sketch_store")
+      .toString + "/hist"
+    val a = (1 to 500).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val b = (300 to 900).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    SketchStore.save(Sketches.histCounters(a, "grp", "v", 16.0), dir)
+    SketchStore.append(Sketches.histCounters(b, "grp", "v", 16.0), dir)
+    val merged = SketchStore.load(spark, dir, Seq("grp", "__b"), "__c")
+    val viaStore = Sketches.histQuantiles(merged, "grp", 16.0, Seq(0.5, 0.9))
+      .orderBy("p").collect().map(_.getAs[Double]("q_est")).toSeq
+    val whole = Sketches.histQuantiles(
+        Sketches.histCounters(a.unionByName(b), "grp", "v", 16.0),
+        "grp", 16.0, Seq(0.5, 0.9))
+      .orderBy("p").collect().map(_.getAs[Double]("q_est")).toSeq
+    assert(viaStore == whole)
+  }
 }

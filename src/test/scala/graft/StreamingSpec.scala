@@ -351,16 +351,8 @@ class StreamingSpec extends AnyFunSuite {
     // retracts, so late/duplicate data only ever raises registers —
     // exactly HLL's insensitivity-to-duplicates property.
     val stream = MemoryStream[String]
-    val h = md5(col("value"))
-    val w = substring(h, 3, 13)
-    val z = length(regexp_extract(w, "^0*", 0))
-    val c = w.substr(z + lit(1), lit(1))
-    val bits = when(c === "1", 3).when(c.isin("2", "3"), 2)
-      .when(c.isin("4", "5", "6", "7"), 1).otherwise(0)
-    val rank = when(z === 13, lit(53)).otherwise(z * 4 + bits + 1)
-    val regs = stream.toDF()
-      .select(lit("g").as("grp"), substring(h, 1, 2).as("__b"), rank.as("__r"))
-      .groupBy("grp", "__b").agg(max("__r").as("__m"))
+    val regs = graft.ext.Sketches.hllRegisters(
+      stream.toDF().select(lit("g").as("grp"), col("value").as("v")), "grp", "v")
     val q = regs.writeStream.format("memory").queryName("hllregs")
       .outputMode(OutputMode.Complete()).start()
     val values = (1 to 300).map(i => s"value_$i")
