@@ -57,6 +57,32 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: each `view`-type event joins the
+    * same user's `click` within `horizon` AFTER it. Both sides are
+    * watermarked and the join condition bounds click time relative to
+    * view time, so Spark ages out both state stores — the pair of
+    * constraints that keeps a stream-stream join's state finite on an
+    * unbounded stream (an unbounded-horizon join would buffer one
+    * side forever). Inner join: unattributed views drop; switch to
+    * leftOuter and nulls emit once the watermark passes the horizon.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"), col("value").as("click_value"))
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select("view_id", "user_id", "view_ts", "click_id", "click_ts",
+              "click_value")
+  }
+
   /** Streaming document prep — the streaming form of
     * [[graft.ext.DocPrep.prepare]] for a continuously-ingested corpus
     * with (doc_id, ts, text, source) rows: content-hash dedup within

@@ -11,6 +11,8 @@ import graft.streaming.Streams
 // Top-level: Catalyst's deserializer codegen cannot instantiate a
 // spec-inner case class through a streaming plan's re-analysis.
 case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
+case class EvJ(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -318,6 +320,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == viaBatch && viaStream == Seq(3L, 1L, 1L),
       s"stream $viaStream vs batch $viaBatch")
     graft.ops.Staging.releaseAll()
+  }
+
+  test("stream-stream attribution join matches the batch interval join") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[EvJ]
+    val clicks = MemoryStream[EvJ]
+    val joined = Streams.attributionJoin(views.toDF(), clicks.toDF(),
+      horizon = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(
+      EvJ(1, ts(0), 1, "view", 0.0),   // clicked at +10 -> pairs
+      EvJ(2, ts(5), 2, "view", 0.0),   // clicked at +50 -> outside horizon
+      EvJ(3, ts(20), 1, "view", 0.0))  // second view also pairs with c10
+    clicks.addData(
+      EvJ(10, ts(25), 1, "click", 5.0),
+      EvJ(11, ts(55), 2, "click", 7.0),
+      EvJ(12, ts(100), 3, "click", 9.0)) // no view at all
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((1L, 10L), (3L, 10L)))
+    // batch twin: identical plan semantics on static frames
+    val vb = Seq(EvJ(1, ts(0), 1, "view", 0.0), EvJ(2, ts(5), 2, "view", 0.0),
+      EvJ(3, ts(20), 1, "view", 0.0)).toDF()
+    val cb = Seq(EvJ(10, ts(25), 1, "click", 5.0), EvJ(11, ts(55), 2, "click", 7.0),
+      EvJ(12, ts(100), 3, "click", 9.0)).toDF()
+    val batch = Streams.attributionJoin(vb, cb, horizon = "30 minutes")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
   }
 
   test("CMS counters maintain incrementally over a stream and equal the batch sketch") {
