@@ -354,6 +354,24 @@ object EventQueries {
         .select(col("event_id"), col("u"), col("d"), col("zkey"))
         .orderBy("zkey", "event_id").limit(50)
     }),
+
+    // Batch twin of Streams.attributionJoin (the stream-stream join
+    // runs the IDENTICAL plan on static frames): every view pairs
+    // with the same user's clicks within 30 minutes after it,
+    // summarized per user. StreamingSpec pins stream ≡ batch; this
+    // row hash-pins the batch semantics against a SQL interval join.
+    "q110_attribution_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.Streams.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          horizon = "30 minutes")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct("view_id").as("n_views_attributed"),
+             round(sum("click_value"), 2).as("sum_click_value"))
+        .orderBy("user_id")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -614,5 +632,21 @@ object EventQueries {
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "q109_zorder_key" -> zOrderOracleSql,
+
+    "q110_attribution_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT view_id) AS n_views_attributed,
+        |  round(sum(click_value), 2) AS sum_click_value
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
   )
 }

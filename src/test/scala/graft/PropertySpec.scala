@@ -158,4 +158,83 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(sets.last.size == 8)
   }
+
+  test("zOrderKey is injective on the bit domain and order-preserving per quadrant") {
+    val pairGen: Gen[List[(Long, Long)]] = Gen.listOfN(80, for {
+      a <- Gen.choose(0L, 255L)
+      b <- Gen.choose(0L, 255L)
+    } yield (a, b))
+    for (pairs <- samples(pairGen, 3)) {
+      val distinctPairs = pairs.distinct
+      val zs = distinctPairs.toDF("a", "b")
+        .withColumn("z", graft.ops.Layout.zOrderKey($"a", $"b", bits = 8))
+        .select("a", "b", "z").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // injective: distinct (a,b) -> distinct z
+      assert(zs.values.toSeq.distinct.size == distinctPairs.size)
+      // z is bounded by the interleaved width
+      assert(zs.values.forall(z => z >= 0 && z < (1L << 16)))
+      // growing either coordinate alone can only grow z (bit dominance)
+      distinctPairs.foreach { case (a, b) =>
+        for (((a2, b2), z2) <- zs if a2 >= a && b2 >= b)
+          assert(z2 >= zs((a, b)) || (a2 == a && b2 == b))
+      }
+    }
+  }
+
+  test("histQuantiles brackets the exact quantile within one bucket width") {
+    val valGen: Gen[List[Double]] = Gen.listOfN(200,
+      Gen.choose(0, 5000).map(_.toDouble / 7.0))
+    for (vals <- samples(valGen, 4); width <- Seq(8.0, 32.0)) {
+      val df = vals.map(("g", _)).toDF("grp", "v")
+      val counters = graft.ext.Sketches.histCounters(df, "grp", "v", width)
+      val sorted = vals.sorted
+      graft.ext.Sketches.histQuantiles(counters, "grp", width, Seq(0.25, 0.5, 0.9))
+        .collect().foreach { r =>
+          val p = r.getAs[Double]("p")
+          val est = r.getAs[Double]("q_est")
+          val exact = sorted(math.ceil(p * vals.size).toInt - 1)
+          assert(math.abs(est - exact) <= width,
+            s"p=$p width=$width est=$est exact=$exact")
+        }
+    }
+  }
+
+  test("containment dominates Jaccard and both sit in [0,1] on random docs") {
+    val docGen: Gen[List[String]] = Gen.listOfN(14, for {
+      n <- Gen.choose(3, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" "))
+    for (texts <- samples(docGen, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+        .toDF("id", "grp", "text")
+      val cont = graft.ext.Dedup.exactContainmentPairs(df, "id", "text", "grp",
+          k = 2, threshold = 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))).toMap
+      val jac = graft.ext.Dedup.exactJaccardPairs(df, "id", "text", "grp",
+          k = 2, threshold = 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getAs[Double]("jaccard"))).toMap
+      assert(cont.keySet == jac.keySet)
+      cont.foreach { case (pair, (ca, cb)) =>
+        assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+        // max containment >= jaccard (inter/min-size >= inter/union)
+        assert(math.max(ca, cb) >= jac(pair) - 1e-9, s"$pair")
+      }
+    }
+  }
+
+  test("weightedSampleK nests in k and respects the priority order") {
+    val df = (0L until 60L).map(i => (i, "g", (i % 9 + 1).toDouble))
+      .toDF("id", "grp", "w")
+    val sets = (1 to 10).map { k =>
+      graft.ext.Sampling.weightedSampleK(df, $"id", $"w", "grp", k, salt = "pn")
+        .select("id").as[Long].collect().toSet
+    }
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "E-S top-k must nest within top-(k+1)")
+    }
+    assert(sets.last.size == 10)
+  }
 }
