@@ -372,6 +372,33 @@ object EventQueries {
              round(sum("click_value"), 2).as("sum_click_value"))
         .orderBy("user_id")
     }),
+
+    // Time-series resampling with forward-fill — the pandas
+    // resample('1h').ffill() shape, composed from existing operators:
+    // per-user hourly grid (sequence + explode, map-side) as-of
+    // joined backward (AsOf.joinBackward — ONE shuffle, one window
+    // pass) to the user's purchases. The first grid point precedes
+    // the first purchase (date_trunc rounds down), so the null/unfilled
+    // path is exercised deterministically on every user.
+    "q111_resample_ffill" -> ((s, d) => {
+      val p = graft.ops.Staging.stage(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")))
+      val grid = p.groupBy("user_id")
+        .agg(date_trunc("hour", min("ts")).as("t0"),
+             date_trunc("hour", max("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR")))
+            .as("grid_ts"))
+      graft.ext.AsOf.joinBackward(grid,
+          p.select(col("user_id").as("rk"), col("ts").as("rt"), col("value")),
+          "user_id", "rk", "grid_ts", "rt", Seq("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_grid"),
+             sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+             round(sum(coalesce(col("value"), lit(0.0))), 2).as("sum_ffill"))
+        .orderBy("user_id")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -648,5 +675,36 @@ object EventQueries {
         |  AND c.click_ts >= v.view_ts
         |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    // Replays grid + backward as-of as the same union trick the Spark
+    // operator uses: events (side 0) sort before grid points (side 1)
+    // at equal time, last_value IGNORE NULLS forward-fills, grid rows
+    // survive. generate_series is inclusive of the aligned stop, like
+    // Spark's sequence().
+    "q111_resample_ffill" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', mn),
+        |      date_trunc('hour', mx), INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+        |        FROM p GROUP BY user_id)),
+        |u AS (
+        |  SELECT user_id, ts AS t, value AS v, 0 AS side FROM p
+        |  UNION ALL
+        |  SELECT user_id, grid_ts, NULL, 1 FROM g),
+        |f AS (
+        |  SELECT user_id, t, side,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |  FROM u)
+        |SELECT user_id, count(*) AS n_grid,
+        |  CAST(sum(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
+        |  round(sum(coalesce(fv, 0.0)), 2) AS sum_ffill
+        |FROM f WHERE side = 1
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
