@@ -399,6 +399,34 @@ object EventQueries {
              round(sum(coalesce(col("value"), lit(0.0))), 2).as("sum_ffill"))
         .orderBy("user_id")
     }),
+
+    // Cumulative distinct users per day by HLL register MERGE — the
+    // sketch-composition pattern: per-day registers (Sketches.
+    // hllRegisters, the q92 sketch keyed by day), a days × buckets
+    // grid (≤ 31 × 256 rows), cumulative per-bucket max down the days
+    // (register merge = max, so "union of all days so far" is a
+    // window, not a rescan), estimate-on-read per day. The exact
+    // equivalent needs count(DISTINCT) over an ever-growing window —
+    // O(days · users) state; the sketch path is O(days · 256).
+    "q112_cumulative_distinct" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val regs = graft.ops.Staging.stage(
+        graft.ext.Sketches.hllRegisters(ev, "day", "user_id"))
+      val grid = regs.select("day").distinct()
+        .crossJoin(regs.select("__b").distinct())
+      val cum = grid.join(regs, Seq("day", "__b"), "left")
+        .withColumn("__cm", max("__m").over(
+          w.partitionBy("__b").orderBy("day")
+            .rowsBetween(w.unboundedPreceding, 0)))
+        .filter(col("__cm").isNotNull)
+        .select(col("day"), col("__b"), col("__cm").as("__m"))
+      graft.ext.Sketches.hllEstimate(cum, "day")
+        .select(col("day"), col("n_buckets"),
+                round(col("hll_distinct"), 6).as("cum_users_est"))
+        .orderBy("day")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -706,5 +734,49 @@ object EventQueries {
         |  round(sum(coalesce(fv, 0.0)), 2) AS sum_ffill
         |FROM f WHERE side = 1
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The q92 register replay keyed by day, then the same grid +
+    // cumulative-max merge + estimate the Spark side runs.
+    "q112_cumulative_distinct" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS b,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 3, 13) AS w
+        |  FROM events),
+        |g AS (
+        |  SELECT day, b, w, length(regexp_extract(w, '^0*', 0)) AS z FROM e),
+        |r AS (
+        |  SELECT day, b,
+        |    max(CASE WHEN z = 13 THEN 53
+        |        ELSE 4 * z
+        |             + (CASE substr(w, z + 1, 1)
+        |                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |                WHEN '7' THEN 1 ELSE 0 END) + 1 END) AS m
+        |  FROM g GROUP BY day, b),
+        |grid AS (
+        |  SELECT d.day, bb.b
+        |  FROM (SELECT DISTINCT day FROM r) d
+        |  CROSS JOIN (SELECT DISTINCT b FROM r) bb),
+        |cum AS (
+        |  SELECT grid.day, grid.b,
+        |    max(r.m) OVER (PARTITION BY grid.b ORDER BY grid.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM grid LEFT JOIN r ON r.day = grid.day AND r.b = grid.b),
+        |c2 AS (SELECT day, b, cm AS m FROM cum WHERE cm IS NOT NULL),
+        |a AS (
+        |  SELECT day, count(*) AS n_buckets,
+        |    sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
+        |  FROM c2 GROUP BY day),
+        |f AS (
+        |  SELECT day, n_buckets, 256 - n_buckets AS v,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |      (s + (256.0 - n_buckets) * 1.0) AS eraw
+        |  FROM a)
+        |SELECT day, n_buckets,
+        |  round(CASE WHEN v > 0 AND eraw <= 2.5 * 256.0
+        |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6)
+        |    AS cum_users_est
+        |FROM f ORDER BY day""".stripMargin,
   )
 }
