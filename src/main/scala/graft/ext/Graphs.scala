@@ -79,4 +79,26 @@ object Graphs {
     terminal.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg").as("degree"), col("pr"))
   }
+
+  /** Enumerate triangles of an undirected graph: input pairs are
+    * normalized to distinct x<y edges (self-loops dropped), then the
+    * oriented wedge join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) emits each
+    * triangle EXACTLY once as (a < b < c). The orientation is the
+    * standard distributed-triangle trick: because every edge points
+    * low→high, no triangle is found in more than one rotation, so no
+    * post-hoc /3 or /6 correction (and at scale, orienting by DEGREE
+    * instead of id bounds the wedge fan-out of hub nodes — same join
+    * shape, swap the comparator). Returns (a, b, c).
+    */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = graft.ops.Staging.stage(
+      edges.select(least(col(aCol), col(bCol)).as("x"),
+                   greatest(col(aCol), col(bCol)).as("y"))
+        .filter(col("x") < col("y"))
+        .distinct())
+    e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("b"), col("y").as("c")), "b")
+      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+      .select("a", "b", "c")
+  }
 }

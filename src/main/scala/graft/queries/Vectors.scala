@@ -218,6 +218,28 @@ object VectorQueries {
           "vec_id", "embedding", k = 5, candK = 20, lambda = 0.75)
         .orderBy("query_id", "step")
     }),
+
+    // Triangle count of the 3-NN cosine graph — the embedding-space
+    // clustering diagnostic (high triangle density = tight semantic
+    // clusters), and the oriented-edge join pattern: undirect the
+    // kNN pairs to x<y edges, then e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) so
+    // every triangle counts exactly once. At 10^9 vectors swap
+    // bruteForceTopK for annTopK and orient by degree before the
+    // wedge join (bounds the fan-out of high-degree nodes); the
+    // count/join shape is unchanged.
+    "q113_knn_triangles" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = graft.ops.Staging.stage(
+        Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+          .select(least(col("query_id"), col("neighbor_id")).as("x"),
+                  greatest(col("query_id"), col("neighbor_id")).as("y"))
+          .distinct())
+      val tri = graft.ext.Graphs.triangles(knn, "x", "y")
+      emb.agg(countDistinct("vec_id").as("n_nodes"))
+        .crossJoin(knn.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .orderBy("n_nodes")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,6 +434,34 @@ object VectorQueries {
         |      + coalesce(1.0 / (60.0 + sr.rank_sem), 0.0), 6) AS rrf
         |FROM lr FULL JOIN sr ON lr.doc_id = sr.vec_id
         |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
+
+    // The exact kNN (q34's construction over ALL queries), undirected
+    // to x<y edges, then the same one-count-per-triangle triple join.
+    "q113_knn_triangles" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS rawsim
+        |  FROM m q, m t WHERE t.vec_id <> q.vec_id),
+        |knn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rawsim DESC, neighbor_id) AS rnk FROM p) WHERE rnk <= 3),
+        |e AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS x,
+        |    greatest(query_id, neighbor_id) AS y FROM knn),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+        |SELECT (SELECT count(DISTINCT vec_id) FROM m) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges, n_triangles
+        |FROM t ORDER BY n_nodes""".stripMargin,
 
     // The greedy MMR loop unrolled: candidates ranked on RAW sim (the
     // q34 shape) then 6dp-rounded for all MMR arithmetic; each step

@@ -42,4 +42,24 @@ class GraphsSpec extends AnyFunSuite {
     // duplicate/reversed edges collapse in the symmetric distinct
     assert(deg == Map("c" -> 2L, "l1" -> 1L, "l2" -> 1L))
   }
+
+  test("triangles: each triangle exactly once, normalization handles dups/reversals/loops") {
+    // triangle 1-2-3 plus a dangling edge; edges arrive messy:
+    // reversed, duplicated, and with a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("u", "v")
+    val tri = Graphs.triangles(edges, "u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((1L, 2L, 3L)))
+    // square without a diagonal has no triangle
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(Graphs.triangles(square, "u", "v").count() == 0)
+    // K4 has exactly binom(4,3) = 4 triangles, each once
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("u", "v")
+    val t4 = Graphs.triangles(k4, "u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t4 == Set((1L,2L,3L), (1L,2L,4L), (1L,3L,4L), (2L,3L,4L)))
+    graft.ops.Staging.releaseAll()
+  }
 }
