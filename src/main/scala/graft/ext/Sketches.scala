@@ -133,6 +133,45 @@ object Sketches {
   private def cmsBucket(j: Column, token: Column, hexChars: Int): Column =
     substring(md5(concat(j.cast("string"), lit("|"), token)), 1, hexChars)
 
+  /** K-minimum-values rows (Bar-Yossef et al. 2002; the "theta
+    * sketch"): the k smallest md5-prefix hashes of the DISTINCT
+    * values of `valueCol`, as (__h hex13, __u exact uniform) rows.
+    * The fourth portable sketch, and the one that supports SET
+    * OPERATIONS — HLL registers union but cannot intersect; KMV
+    * sketches intersect by hash equality below the combined theta
+    * (see q114). u = (h + 0.5)/2^52 is exact (the q107 uniform), and
+    * u-order ≡ hex-string order, so an oracle can select the same k
+    * rows with a plain ORDER BY on the hex.
+    *
+    * Scale shape: one distinct on the 13-char hash (the only
+    * shuffle), then the min-k via the [[graft.functions.TopKByScoreStr]]
+    * partial aggregate on negated u — k rows per partition through
+    * the exchange, never a corpus sort.
+    */
+  def kmvMins(df: DataFrame, valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    val h = substring(md5(col(valueCol).cast("string")), 1, 13)
+    val hv = df.select(h.as("__h")).distinct()
+    val u = (conv(col("__h"), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    hv.select(col("__h"), u.as("__u"))
+      .agg(graft.functions.GraftFunctions
+        .topKByScoreStr(spark, -col("__u"), col("__h"), k).as("__m"))
+      .select(explode(col("__m")).as("m"))
+      .select(col("m.id").as("__h"), (-col("m.score")).as("__u"))
+  }
+
+  /** Distinct-count estimate as an AGGREGATE column over a
+    * [[kmvMins]] table: (k−1)/u_k when the sketch is full, the EXACT
+    * count when fewer than k distinct values exist (the sketch then
+    * IS the distinct hash set). Use inside `.agg(...)`. */
+  def kmvDistinct(k: Int = 64): Column = {
+    require(k >= 2, "k must be >= 2")
+    when(count(lit(1)) < k, count(lit(1)).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / max("__u"))
+  }
+
   /** Fixed-width histogram counters over `valueCol` per `groupCol`:
     * bucket = floor(value / width). The third member of the portable
     * sketch family ([[hllDistinct]] cardinality, [[cmsCounters]]

@@ -427,6 +427,46 @@ object EventQueries {
                 round(col("hll_distinct"), 6).as("cum_users_est"))
         .orderBy("day")
     }),
+
+    // KMV/theta set-operation cardinalities (Sketches.kmvMins): HLL
+    // unions but cannot INTERSECT; the k-minimum-values sketch
+    // estimates |click users ∩ view users| from two 64-row sketches —
+    // common hashes below the combined theta, divided by theta. Exact
+    // counts ride along to exhibit the estimates; every number is
+    // hash-checked because the hashes, the k-selection (u-order ≡
+    // hex-order) and the exact 52-bit uniforms all replay in SQL.
+    "q114_kmv_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def mins(t: String) = graft.ops.Staging.stage(
+        graft.ext.Sketches.kmvMins(
+          ev.filter(col("event_type") === t).select("user_id"), "user_id", 64))
+      val ck = mins("click")
+      val vk = mins("view")
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      val theta = ck.agg(max("__u").as("__uka"))
+        .crossJoin(vk.agg(max("__u").as("__ukb")))
+        .select(least(col("__uka"), col("__ukb")).as("theta"))
+      val interEst = ck.join(vk.select("__h"), Seq("__h"))
+        .crossJoin(theta)
+        .agg(sum(when(col("__u") < col("theta"), 1.0).otherwise(0.0)).as("__nc"),
+             first("theta").as("__th"))
+        .select(round(coalesce(col("__nc") / col("__th"), lit(0.0)), 6).as("est"))
+      def row(name: String, exact: DataFrame, est: DataFrame) =
+        exact.crossJoin(est)
+          .select(lit(name).as("metric"), col("n_exact"), col("est"))
+      row("click", users("click").agg(count(lit(1)).as("n_exact")),
+          ck.agg(round(graft.ext.Sketches.kmvDistinct(64), 6).as("est")))
+        .unionByName(
+          row("view", users("view").agg(count(lit(1)).as("n_exact")),
+              vk.agg(round(graft.ext.Sketches.kmvDistinct(64), 6).as("est"))))
+        .unionByName(
+          row("click_view_overlap",
+              users("click").join(users("view"), "user_id")
+                .agg(count(lit(1)).as("n_exact")),
+              interEst))
+        .orderBy("metric")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -778,5 +818,58 @@ object EventQueries {
         |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6)
         |    AS cum_users_est
         |FROM f ORDER BY day""".stripMargin,
+
+    // k smallest distinct hashes selected by plain hex ORDER (≡
+    // u-order), exact uniforms rebuilt digit-by-digit (the q107
+    // move), then (k−1)/u_k per side and common-below-theta / theta
+    // for the intersection.
+    "q114_kmv_overlap" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+        |  FROM events WHERE event_type = 'click'),
+        |vh AS (
+        |  SELECT DISTINCT substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+        |  FROM events WHERE event_type = 'view'),
+        |ck AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ch) WHERE rn <= 64),
+        |vk AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM vh) WHERE rn <= 64),
+        |cku AS (SELECT h,
+        |  (list_sum(list_transform(range(1, 14),
+        |    i -> CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |         * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) + 0.5)
+        |    / 4503599627370496.0 AS u
+        |  FROM ck),
+        |vku AS (SELECT h,
+        |  (list_sum(list_transform(range(1, 14),
+        |    i -> CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |         * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) + 0.5)
+        |    / 4503599627370496.0 AS u
+        |  FROM vk),
+        |st AS (SELECT
+        |  (SELECT count(*) FROM cku) AS nck, (SELECT max(u) FROM cku) AS ukc,
+        |  (SELECT count(*) FROM vku) AS nvk, (SELECT max(u) FROM vku) AS ukv),
+        |th AS (SELECT least(ukc, ukv) AS theta FROM st),
+        |inter AS (
+        |  SELECT sum(CASE WHEN cku.u < theta THEN 1.0 ELSE 0.0 END) AS nc
+        |  FROM cku JOIN vku USING (h), th),
+        |exb AS (
+        |  SELECT count(*) AS n FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+        |    JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+        |    USING (user_id))
+        |SELECT 'click' AS metric,
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_exact,
+        |  round(CASE WHEN nck < 64 THEN CAST(nck AS DOUBLE) ELSE 63.0 / ukc END, 6) AS est
+        |FROM st
+        |UNION ALL
+        |SELECT 'click_view_overlap', (SELECT n FROM exb),
+        |  round(coalesce((SELECT nc FROM inter) / (SELECT theta FROM th), 0.0), 6)
+        |UNION ALL
+        |SELECT 'view',
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view'),
+        |  round(CASE WHEN nvk < 64 THEN CAST(nvk AS DOUBLE) ELSE 63.0 / ukv END, 6)
+        |FROM st
+        |ORDER BY metric""".stripMargin,
   )
 }

@@ -104,6 +104,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("kmvMins: exact below k, estimate within error above, partition-invariant") {
+    def mins(vals: Seq[String], k: Int) =
+      Sketches.kmvMins(vals.map(Tuple1(_)).toDF("v"), "v", k)
+    // exact regime: fewer than k distinct values -> est == n exactly
+    val small = mins((1 to 40).map(i => s"u$i") ++ (1 to 10).map(i => s"u$i"), 64)
+    assert(small.agg(Sketches.kmvDistinct(64).as("e"))
+      .head().getAs[Double]("e") == 40.0)
+    // full regime: RSE ~ 1/sqrt(k-2); allow a generous 3-sigma band
+    val big = mins((1 to 1000).map(i => s"user_$i"), 64)
+    val est = big.agg(Sketches.kmvDistinct(64).as("e")).head().getAs[Double]("e")
+    assert(math.abs(est - 1000) / 1000 < 0.45, s"est=$est")
+    // content-derived: identical under any partitioning
+    val a = mins((1 to 500).map(i => s"x$i"), 32).orderBy("__h").collect().toSeq
+    val b = Sketches.kmvMins(
+      (1 to 500).map(i => Tuple1(s"x$i")).toDF("v").repartition(11), "v", 32)
+      .orderBy("__h").collect().toSeq
+    assert(a == b)
+  }
+
+  test("kmv intersection: common-below-theta / theta tracks the true overlap") {
+    def mins(n: Int, k: Int) =
+      Sketches.kmvMins((1 to n).map(i => Tuple1(s"id_$i")).toDF("v"), "v", k)
+    val ka = mins(200, 64)   // A = 1..200
+    val kb = mins(400, 64)   // B = 1..400, so A ∩ B = A (200 ids)
+    val theta = math.min(
+      ka.agg(max("__u")).head().getDouble(0),
+      kb.agg(max("__u")).head().getDouble(0))
+    val common = ka.join(kb.select("__h"), Seq("__h"))
+      .filter(col("__u") < theta).count()
+    val est = common / theta
+    assert(math.abs(est - 200) / 200 < 0.45, s"est=$est")
+  }
+
   test("SketchStore: a CMS segment log merges to the EXACT union sketch") {
     import graft.ext.SketchStore
     val dir = java.nio.file.Files.createTempDirectory("sketch_store")
