@@ -467,6 +467,26 @@ object EventQueries {
               interEst))
         .orderBy("metric")
     }),
+
+    // RANGE window frame — the TIME-based trailing window (pandas
+    // rolling('2h')): every event sees the count/sum of the same
+    // user's events in the 2 hours up to and including it (RANGE
+    // frames include all time-ties as peers, per the SQL standard —
+    // a ROWS frame could not express this). Per-user peak = the
+    // busiest 2-hour burst. Each windowed sum is rounded BEFORE the
+    // max so ulp-level accumulation-order noise can't reorder peaks.
+    "q116_range_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-7200000000L, 0) // 2 hours in microseconds
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("value"))
+        .withColumn("n2", count(lit(1)).over(w))
+        .withColumn("s2", round(sum("value").over(w), 2))
+        .groupBy("user_id")
+        .agg(max("n2").as("peak_2h_events"), max("s2").as("peak_2h_value"))
+        .orderBy("user_id")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -871,5 +891,18 @@ object EventQueries {
         |  round(CASE WHEN nvk < 64 THEN CAST(nvk AS DOUBLE) ELSE 63.0 / ukv END, 6)
         |FROM st
         |ORDER BY metric""".stripMargin,
+
+    "q116_range_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW) AS n2,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW), 2) AS s2
+        |  FROM e)
+        |SELECT user_id, max(n2) AS peak_2h_events, max(s2) AS peak_2h_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -375,6 +375,20 @@ object Relational {
                 col("n_rows"), col("total_price"))
         .orderBy("returnflag", "linestatus")),
 
+    // CUBE — q19's rollup covers the (a,b)/(a)/() prefix sets; cube
+    // adds the (b)-only slice, completing the grouping-sets family.
+    // Keys coalesce to 'ALL' so null ordering never differs between
+    // engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    "q115_cube_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n_orders"), col("total_price"))
+        .orderBy("status", "priority")),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -640,6 +654,13 @@ object Relational {
         | count(*) AS n_rows, round(sum(l_extendedprice),2) AS total_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q115_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q90_pagerank" ->
       """WITH e0 AS (
