@@ -144,4 +144,32 @@ object Kernels {
       .withColumn(outCol, coalesce(col("__v"), fallback))
       .drop("__k", "__v")
   }
+
+  /** Column profile (the Deequ-style validation table): one row per
+    * listed column with row/null/distinct counts and min/max as
+    * strings — ONE pass over the data (all metrics in a single
+    * aggregate; the multiple exact countDistincts expand the pass by
+    * a factor of |cols| via Spark's Expand, which is the exactness
+    * price — at 100 TB swap them for `approx_count_distinct` or the
+    * portable [[graft.ext.Sketches.hllDistinct]] and the pass stays
+    * 1×). Keep doubles out of `cols` unless the caller rounds first:
+    * float→string formatting is engine-specific (the one profile
+    * metric a cross-engine oracle can't hash).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+             col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+             col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    one.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
 }

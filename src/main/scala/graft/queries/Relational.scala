@@ -389,6 +389,16 @@ object Relational {
                 col("n_orders"), col("total_price"))
         .orderBy("status", "priority")),
 
+    // Column profiling (Kernels.profile) — the Deequ-style validation
+    // table: row/null/distinct counts and min/max per column in ONE
+    // pass. Timestamp/double columns stay out of the profile list
+    // here because their ->string formatting is engine-specific; the
+    // operator documents the same caveat.
+    "q117_profile_orders" -> ((s, d) =>
+      graft.ops.Kernels.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -661,6 +671,16 @@ object Relational {
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q117_profile_orders" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
 
     "q90_pagerank" ->
       """WITH e0 AS (

@@ -86,4 +86,21 @@ class KernelsSpec extends AnyFunSuite {
       .orderBy("w").select("t").collect().map(_.getString(0))
     assert(out.toSeq == Seq("A", "(?) b"))
   }
+
+  test("profile: one row per column, nulls/distincts/min-max right, single scan") {
+    val df = Seq(
+      (1L, Some("x"), "p"), (2L, None, "p"), (3L, Some("x"), "q"),
+      (4L, Some("y"), "q")).toDF("id", "opt", "grp")
+    val out = Kernels.profile(df, Seq("id", "opt", "grp"))
+      .orderBy("column").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("opt") == ((4L, 1L, 2L, "x", "y"))) // null not a distinct value
+    assert(out("grp") == ((4L, 0L, 2L, "p", "q")))
+    // one pass: a single scan node feeds the whole profile
+    val plan = Kernels.profile(df, Seq("id", "opt", "grp"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "profile must not union per-column scans")
+  }
 }
