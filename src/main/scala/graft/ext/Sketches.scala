@@ -182,12 +182,18 @@ object Sketches {
     * exact sort (or Spark's approx_percentile, whose GK summary is
     * engine-private) must be auditable from outside.
     */
+  /** `weight` generalizes the counters to WEIGHTED quantiles (e.g.
+    * token-weighted document-length percentiles: "the median token
+    * lives in a doc of length X"); the default 1-weight reduces to
+    * plain counts. Keep weights integral for exact cross-engine
+    * arithmetic. */
   def histCounters(df: DataFrame, groupCol: String, valueCol: String,
-                   width: Double): DataFrame = {
+                   width: Double, weight: Column = lit(1L)): DataFrame = {
     require(width > 0.0, "width must be positive")
     df.select(col(groupCol),
-              floor(col(valueCol).cast("double") / width).cast("long").as("__b"))
-      .groupBy(groupCol, "__b").agg(count(lit(1)).as("__c"))
+              floor(col(valueCol).cast("double") / width).cast("long").as("__b"),
+              weight.as("__w"))
+      .groupBy(groupCol, "__b").agg(sum("__w").as("__c"))
   }
 
   /** Quantile estimates from a [[histCounters]] table (same width).

@@ -803,6 +803,19 @@ object TextQueries {
         .orderBy("source", "rnk")
     }),
 
+    // Token-WEIGHTED length quantiles (histCounters' weight column):
+    // "the median token lives in a doc of length X" — the curation
+    // statistic that tells long docs' dominance apart from doc-count
+    // medians (q105's unweighted p50 can sit far below this one).
+    "q118_weighted_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      val counters = graft.ext.Sketches.histCounters(docs, "source", "n_tokens",
+          width = 16.0, weight = col("n_tokens").cast("long"))
+      graft.ext.Sketches.histQuantiles(counters, "source", 16.0, Seq(0.5, 0.9))
+        .orderBy("source", "p")
+    }),
+
     // Asymmetric containment near-dup (Dedup.exactContainmentPairs):
     // catches the quote-expansion duplicate Jaccard (q27) misses — a
     // short doc embedded in a longer one scores cont_a 1.0 but
@@ -1982,6 +1995,29 @@ object TextQueries {
         |SELECT source, rnk, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  round(pri, 6) AS priority
         |FROM r WHERE rnk <= 8 ORDER BY source, rnk""".stripMargin,
+
+    // q105's replay with sum(n) in place of count(*) — token mass,
+    // not doc count, fills the buckets.
+    "q118_weighted_quantiles" ->
+      """WITH w AS (
+        |  SELECT source, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, CAST(floor(n / 16.0) AS BIGINT) AS b,
+        |    CAST(sum(n) AS BIGINT) AS c
+        |  FROM w GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, b, c,
+        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    sum(c) OVER (PARTITION BY source) AS nt
+        |  FROM h),
+        |pp AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9)) t(p))
+        |SELECT source, p,
+        |  round(b * 16.0 + 16.0 * (ceil(p * nt) - cb) / c, 6) AS q_est
+        |FROM cum CROSS JOIN pp
+        |WHERE ceil(p * nt) > cb AND ceil(p * nt) <= cb + c
+        |ORDER BY source, p""".stripMargin,
 
     // q27's shingle construction, asymmetric normalization: each
     // side's containment divides the intersection by ITS OWN shingle

@@ -85,6 +85,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(qs.map(_.getAs[Double]("q_est")).toSeq.sliding(2).forall(s => s(0) <= s(1)))
   }
 
+  test("weighted histCounters == counters over weight-expanded rows") {
+    val rows = Seq(("g", 5.0, 3L), ("g", 20.0, 1L), ("g", 37.0, 2L))
+    val weighted = Sketches.histCounters(rows.toDF("grp", "v", "w"),
+      "grp", "v", 16.0, weight = col("w"))
+    val expanded = Sketches.histCounters(
+      rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+        .toDF("grp", "v"), "grp", "v", 16.0)
+    assert(weighted.orderBy("__b").collect().toSeq ==
+      expanded.orderBy("__b").collect().toSeq)
+    // and the default weight reduces to plain counts
+    val q = Sketches.histQuantiles(weighted, "grp", 16.0, Seq(0.5))
+      .head().getAs[Double]("q_est")
+    val qe = Sketches.histQuantiles(expanded, "grp", 16.0, Seq(0.5))
+      .head().getAs[Double]("q_est")
+    assert(q == qe)
+  }
+
   test("histCounters are additive: sketch(a ++ b) == merged per-bucket sums") {
     val a = (1 to 300).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val b = (200 to 600).map(i => ("g", i.toDouble)).toDF("grp", "v")

@@ -355,6 +355,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join: each micro-batch joins the broadcast dimension") {
+    implicit val sc = spark.sqlContext
+    // the standard enrichment shape: an unbounded fact stream joined
+    // to a small static dimension — Spark re-plans the static side
+    // per micro-batch, no state store involved (unlike stream-stream)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[EvJ]
+    val q = stream.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(EvJ(10, ts(0), 1, "a", 1.0), EvJ(11, ts(1), 3, "a", 1.0))
+    q.processAllAvailable()
+    stream.addData(EvJ(12, ts(2), 2, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(out == Seq((10L, Some("gold")), (11L, None), (12L, Some("basic"))))
+  }
+
   test("CMS counters maintain incrementally over a stream and equal the batch sketch") {
     implicit val sc = spark.sqlContext
     // counters are ADDITIVE, so Spark's incremental stateful
