@@ -816,6 +816,34 @@ object TextQueries {
         .orderBy("source", "p")
     }),
 
+    // Deterministic negative sampling — contrastive-pair generation:
+    // each doc draws 3 pseudo-random OTHER docs, indices md5-derived
+    // (the q107 exact-integer move) mod corpus size, self-collisions
+    // bumped +1. Entirely MAP-SIDE against dense ids (no join to
+    // sample — only the enrichment join to label the negative's
+    // source); the per-(source, neg_source) summary pins both the
+    // index arithmetic and the distribution.
+    "q119_negative_sampling" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val pairs = docs.crossJoin(broadcast(n))
+        .withColumn("j", explode(array((0 until 3).map(lit(_)): _*)))
+        .withColumn("__h", conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("|"),
+            col("j").cast("string"), lit("neg9"))), 1, 13), 16, 10)
+          .cast("long"))
+        .withColumn("__raw", pmod(col("__h"), col("__n")))
+        .withColumn("neg_id",
+          when(col("__raw") === col("doc_id"),
+            pmod(col("__raw") + 1, col("__n"))).otherwise(col("__raw")))
+      pairs.join(docs.select(col("doc_id").as("neg_id"),
+                             col("source").as("neg_source")), "neg_id")
+        .groupBy("source", "neg_source")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct("neg_id").as("n_distinct_negs"))
+        .orderBy("source", "neg_source")
+    }),
+
     // Asymmetric containment near-dup (Dedup.exactContainmentPairs):
     // catches the quote-expansion duplicate Jaccard (q27) misses — a
     // short doc embedded in a longer one scores cont_a 1.0 but
@@ -2018,6 +2046,28 @@ object TextQueries {
         |FROM cum CROSS JOIN pp
         |WHERE ceil(p * nt) > cb AND ceil(p * nt) <= cb + c
         |ORDER BY source, p""".stripMargin,
+
+    // Same 13-hex digit-sum integer, % corpus size, +1 self-bump,
+    // enrichment join, summary — every negative index replayed.
+    "q119_negative_sampling" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |p AS (
+        |  SELECT d.doc_id, d.source, j,
+        |    CAST(list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(
+        |             substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR) || 'neg9'), 1, 13),
+        |             CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT) % nn AS raw
+        |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS j) jj, n),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT nn FROM n) ELSE raw END AS neg_id
+        |  FROM p)
+        |SELECT q.source, d2.source AS neg_source, count(*) AS n_pairs,
+        |  count(DISTINCT q.neg_id) AS n_distinct_negs
+        |FROM q JOIN d d2 ON d2.doc_id = q.neg_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q27's shingle construction, asymmetric normalization: each
     // side's containment divides the intersection by ITS OWN shingle
