@@ -22,25 +22,33 @@ object Tables {
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects. Read nanos as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond TimestampType column. `div` (integer division) is
-    * required: epoch-nanos ~1.7e18 exceeds 2^53, so a double round-trip
-    * would lose precision. Truncation (floor for positive epochs)
-    * matches DuckDB's ns->us cast. Note: setting the flag mutates
-    * the session conf — subsequent ns parquet reads in the same
-    * session also come back as Long. A per-read form was investigated
-    * (r3): `ParquetOptions` in Spark 4.1.2 accepts no nanosAsLong
-    * key, and both schema inference (eager) and the vectorized reader
-    * (at execution) consult the session conf, so a set/restore wrapper
-    * would race lazy execution. The flag only changes how
-    * TIMESTAMP(NANOS) columns are read — no other testdata table has
-    * one — so the stickiness is benign and kept.
+  /** events.parquet has shipped `ts` in two physical encodings across
+    * testdata generations, so the loader adapts to whichever is on disk
+    * and always hands callers a session-TZ `TimestampType` column:
+    *
+    *  - parquet TIMESTAMP(NANOS): the Spark vectorized reader rejects
+    *    it, so read nanos as Long (`spark.sql.legacy.parquet.
+    *    nanosAsLong`) and convert via `timestamp_micros(ts div 1000)`.
+    *    `div` (integer division) is required: epoch-nanos ~1.7e18
+    *    exceeds 2^53, so a double round-trip would lose precision, and
+    *    truncation matches DuckDB's ns->us cast. The flag mutates the
+    *    session conf (no per-read form in Spark 4.1.2 — r3 audit), but
+    *    only TIMESTAMP(NANOS) columns are affected and no other
+    *    testdata table has one, so the stickiness is benign.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType (identity on the stored
+    *    micros — every entry point pins spark.sql.session.timeZone=UTC)
+    *    so downstream window/date_format/unix_micros code is unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
