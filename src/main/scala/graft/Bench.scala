@@ -170,7 +170,20 @@ object Bench {
     def tot(r: Seq[(String, Double)]) = r.map(_._2).filter(_ >= 0).sum
     val runTotals = s"[${tot(run1)},${tot(run2)}]"
     val filtered = only.map(f => s""","filtered":${jstr(f.mkString(","))}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals$filtered,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_totals":$runTotals$filtered,"sf":${jstr(sfDir)}}"""
+    // The driver captures a BOUNDED TAIL of stdout, which truncated the
+    // 119-query line in rounds 9-10 ("parsed": null). Persist the full
+    // artifact to a file as well and name the path on stderr.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

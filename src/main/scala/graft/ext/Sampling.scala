@@ -152,6 +152,12 @@ object Sampling {
     * are DROPPED, explicitly: E-S priorities are defined over positive
     * weights only (a zero weight would divide ln(u) to -inf), and a
     * zero-token document carries nothing worth sampling.
+    *
+    * The output carries `priority_h` — the exact 52-bit integer h,
+    * NOT the transcendental ln(u)/w: JVM Math.log and other libms can
+    * differ by an ulp, so any emitted function of ln is hash-fragile
+    * across engines even after rounding. h is a pure integer every
+    * engine reproduces bit-for-bit.
     */
   def weightedSampleK(df: DataFrame, key: Column, weight: Column,
                       groupCol: String, k: Int,
@@ -160,15 +166,53 @@ object Sampling {
     require(k >= 1, "k must be >= 1")
     val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 13),
                  16, 10).cast("long")
-    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    val pri = log(u) / weight.cast("double")
+    val u = (col("priority_h").cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52 — exact double division
     df.filter(weight.cast("double") > 0)
-      .withColumn("__pri", pri)
+      .withColumn("priority_h", h)
+      .withColumn("__pri", log(u) / weight.cast("double"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(groupCol)
           .orderBy(col("__pri").desc, key.cast("string"))))
       .filter(col("rnk") <= k)
-      .withColumn("priority", round(col("__pri"), 6))
       .drop("__pri")
+  }
+
+  /** Deterministic negative sampling for contrastive-pair generation:
+    * each row draws `negsPerDoc` pseudo-random OTHER rows; the draw is
+    * md5-derived (the same exact-52-bit-integer move as
+    * [[weightedSampleK]]) so pairs are a pure function of the corpus.
+    *
+    * Indices land in DENSE POSITION space —
+    * [[graft.ops.Kernels.denseIndex]]'s rank of `idCol` in sorted
+    * order — never against the id value itself, so sparse Long ids and
+    * string ids sample correctly (an id-space draw silently samples
+    * nothing once ids aren't exactly 0..n-1). Self-collisions bump to
+    * the next position mod n, so no row ever pairs with itself.
+    *
+    * Output: the input row's columns plus `j` (0-based draw index) and
+    * `neg_id` (the sampled row's `idCol`). Shape at scale: one staged
+    * index pass, a map-side draw, and one shuffle join
+    * (position → negative id); n arrives as a broadcast 1-row count.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, negsPerDoc: Int,
+                      salt: String = ""): DataFrame = {
+    require(negsPerDoc >= 1, "negsPerDoc must be >= 1")
+    val indexed = graft.ops.Staging.stage(
+      graft.ops.Kernels.denseIndex(df, idCol, "__dense"))
+    val n = indexed.agg(count(lit(1)).as("__n"))
+    indexed.crossJoin(broadcast(n))
+      .withColumn("j", explode(array((0 until negsPerDoc).map(lit(_)): _*)))
+      .withColumn("__h", conv(substring(md5(concat(
+          col(idCol).cast("string"), lit("|"),
+          col("j").cast("string"), lit(salt))), 1, 13), 16, 10)
+        .cast("long"))
+      .withColumn("__raw", pmod(col("__h"), col("__n")))
+      .withColumn("__negpos",
+        when(col("__raw") === col("__dense"),
+          pmod(col("__raw") + 1, col("__n"))).otherwise(col("__raw")))
+      .join(indexed.select(col("__dense").as("__negpos"),
+                           col(idCol).as("neg_id")), "__negpos")
+      .drop("__negpos", "__dense", "__n", "__h", "__raw")
   }
 }

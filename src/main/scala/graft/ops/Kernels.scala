@@ -172,4 +172,33 @@ object Kernels {
     }
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Globally dense 0-based index (`outCol`: Long) in `orderCol`
+    * order — the scalable form of `row_number() OVER (ORDER BY c)`.
+    *
+    * A global window collapses to ONE partition (the classic 100 TB
+    * killer); this instead range-partitions on the key, sorts within
+    * each partition (parallel), and assigns offsets with
+    * `zipWithIndex`'s count-per-partition pass — one extra small job,
+    * every heavy stage parallel. The index depends only on the total
+    * order, not on where range bounds fall, so it is deterministic
+    * under any partitioning PROVIDED `orderCol` is unique (ties would
+    * be ordered arbitrarily — callers pass a key column).
+    *
+    * RDD zip is deliberate: dense global numbering is per-partition
+    * imperative logic no Catalyst operator expresses without the
+    * single-partition window. The row encode/decode hop prices at one
+    * narrow pass.
+    */
+  def denseIndex(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

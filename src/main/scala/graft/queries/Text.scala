@@ -799,7 +799,7 @@ object TextQueries {
       graft.ext.Sampling.weightedSampleK(docs, col("doc_id"), col("n_tokens"),
           "source", k = 8, salt = "r9es")
         .select(col("source"), col("rnk"), col("doc_id"),
-                col("n_tokens").cast("long").as("n_tokens"), col("priority"))
+                col("n_tokens").cast("long").as("n_tokens"), col("priority_h"))
         .orderBy("source", "rnk")
     }),
 
@@ -819,25 +819,20 @@ object TextQueries {
     // Deterministic negative sampling — contrastive-pair generation:
     // each doc draws 3 pseudo-random OTHER docs, indices md5-derived
     // (the q107 exact-integer move) mod corpus size, self-collisions
-    // bumped +1. Entirely MAP-SIDE against dense ids (no join to
-    // sample — only the enrichment join to label the negative's
-    // source); the per-(source, neg_source) summary pins both the
-    // index arithmetic and the distribution.
+    // bumped +1. Indices are drawn in DENSE POSITION space
+    // (Kernels.denseIndex: rank of doc_id in sorted order), never
+    // against doc_id itself — so sparse or string ids sample
+    // correctly (the r9 form silently sampled nothing off a dense-id
+    // corpus). One extra staged pass builds the index; the draw stays
+    // map-side and the only join is the position→doc enrichment.
+    // On this testdata doc_id IS 0..n-1, so dense == doc_id and the
+    // output matches the r9 form bit-for-bit.
     "q119_negative_sampling" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source")
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val pairs = docs.crossJoin(broadcast(n))
-        .withColumn("j", explode(array((0 until 3).map(lit(_)): _*)))
-        .withColumn("__h", conv(substring(md5(concat(
-            col("doc_id").cast("string"), lit("|"),
-            col("j").cast("string"), lit("neg9"))), 1, 13), 16, 10)
-          .cast("long"))
-        .withColumn("__raw", pmod(col("__h"), col("__n")))
-        .withColumn("neg_id",
-          when(col("__raw") === col("doc_id"),
-            pmod(col("__raw") + 1, col("__n"))).otherwise(col("__raw")))
-      pairs.join(docs.select(col("doc_id").as("neg_id"),
-                             col("source").as("neg_source")), "neg_id")
+      graft.ext.Sampling.negativeSamples(docs, "doc_id", negsPerDoc = 3,
+          salt = "neg9")
+        .join(docs.select(col("doc_id").as("neg_id"),
+                          col("source").as("neg_source")), "neg_id")
         .groupBy("source", "neg_source")
         .agg(count(lit(1)).as("n_pairs"),
              countDistinct("neg_id").as("n_distinct_negs"))
@@ -1999,7 +1994,10 @@ object TextQueries {
     // rebuilt digit by digit against exact powers of two (every term
     // and every partial sum an exact double), u = (h + 0.5) / 2^52
     // exactly, then ln(u)/n_tokens ranks within source. Zero-token
-    // docs are dropped on both sides by construction.
+    // docs are dropped on both sides by construction. The EMITTED
+    // priority column is the exact integer h, never the ln — JVM and
+    // DuckDB libm differ by an ulp on some ln inputs, so any hashed
+    // function of ln (even rounded) is cross-engine fragile.
     "q107_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, source,
@@ -2013,7 +2011,7 @@ object TextQueries {
         |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS h
         |  FROM w WHERE n_tokens > 0),
         |pr AS (
-        |  SELECT doc_id, source, n_tokens,
+        |  SELECT doc_id, source, n_tokens, CAST(h AS BIGINT) AS priority_h,
         |    ln((h + 0.5) / 4503599627370496.0) / n_tokens AS pri
         |  FROM hv),
         |r AS (
@@ -2021,7 +2019,7 @@ object TextQueries {
         |    ORDER BY pri DESC, CAST(doc_id AS VARCHAR)) AS rnk
         |  FROM pr)
         |SELECT source, rnk, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(pri, 6) AS priority
+        |  priority_h
         |FROM r WHERE rnk <= 8 ORDER BY source, rnk""".stripMargin,
 
     // q105's replay with sum(n) in place of count(*) — token mass,
@@ -2048,12 +2046,16 @@ object TextQueries {
         |ORDER BY source, p""".stripMargin,
 
     // Same 13-hex digit-sum integer, % corpus size, +1 self-bump,
-    // enrichment join, summary — every negative index replayed.
+    // enrichment join, summary — every negative index replayed. The
+    // index space is the DENSE RANK of doc_id (row_number - 1), the
+    // sparse-id-safe form; on this testdata dense == doc_id.
     "q119_negative_sampling" ->
-      """WITH d AS (SELECT doc_id, source FROM documents),
+      """WITH d AS (SELECT doc_id, source,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS dense
+        |           FROM documents),
         |n AS (SELECT count(*) AS nn FROM d),
         |p AS (
-        |  SELECT d.doc_id, d.source, j,
+        |  SELECT d.doc_id, d.source, d.dense, j,
         |    CAST(list_sum(list_transform(range(1, 14),
         |      i -> CAST(strpos('0123456789abcdef', substring(
         |             substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR) || 'neg9'), 1, 13),
@@ -2062,11 +2064,11 @@ object TextQueries {
         |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS j) jj, n),
         |q AS (
         |  SELECT doc_id, source,
-        |    CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT nn FROM n) ELSE raw END AS neg_id
+        |    CASE WHEN raw = dense THEN (raw + 1) % (SELECT nn FROM n) ELSE raw END AS neg_pos
         |  FROM p)
         |SELECT q.source, d2.source AS neg_source, count(*) AS n_pairs,
-        |  count(DISTINCT q.neg_id) AS n_distinct_negs
-        |FROM q JOIN d d2 ON d2.doc_id = q.neg_id
+        |  count(DISTINCT d2.doc_id) AS n_distinct_negs
+        |FROM q JOIN d d2 ON d2.dense = q.neg_pos
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q27's shingle construction, asymmetric normalization: each

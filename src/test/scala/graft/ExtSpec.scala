@@ -1479,6 +1479,39 @@ class ExtSpec extends AnyFunSuite {
     val out3 = Sampling.weightedSampleK(df, $"id", $"w", "grp", k = 5, salt = "u")
     assert(out3.select("id").collect().map(_.getLong(0)).toSet !=
       out.select("id").collect().map(_.getLong(0)).toSet)
+    // priority_h is the exact 52-bit draw (hash-stable across engines,
+    // unlike any emitted function of ln)
+    val hs = out.select("priority_h").collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < 4503599627370496L))
+  }
+
+  test("negativeSamples: sparse and string ids sample real rows, never self, deterministic") {
+    import graft.ext.Sampling
+    // SPARSE Long ids — the r9 id-space draw would find no match for
+    // most draws; the dense-position draw must pair every row
+    val sparse = (1 to 40).map(i => (i * 97L + 13L, s"g${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.negativeSamples(sparse, "doc_id", negsPerDoc = 3,
+      salt = "t").cache()
+    assert(out.count() == 120, "every row draws exactly negsPerDoc negatives")
+    assert(out.filter($"neg_id" === $"doc_id").count() == 0, "no self-pairs")
+    val validIds = sparse.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("neg_id").collect().map(_.getLong(0)).forall(validIds))
+    // partition-invariant (content-keyed draw + order-defined index)
+    val again = Sampling.negativeSamples(sparse.repartition(7), "doc_id",
+      negsPerDoc = 3, salt = "t")
+    assert(again.select("doc_id", "j", "neg_id").orderBy("doc_id", "j")
+      .collect().toSeq ==
+      out.select("doc_id", "j", "neg_id").orderBy("doc_id", "j")
+        .collect().toSeq)
+    out.unpersist()
+    // string ids work the same way
+    val strs = ('a' to 'j').map(c => (s"doc_$c", 1)).toDF("doc_id", "x")
+    val sout = Sampling.negativeSamples(strs, "doc_id", negsPerDoc = 2,
+      salt = "t")
+    assert(sout.count() == 20)
+    assert(sout.filter($"neg_id" === $"doc_id").count() == 0)
+    graft.ops.Staging.releaseAll()
   }
 
   test("mmrRerank: first pick is top-1, picks distinct, diversity beats pure top-k") {

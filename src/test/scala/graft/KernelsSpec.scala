@@ -103,4 +103,38 @@ class KernelsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), "profile must not union per-column scans")
   }
+
+  test("denseIndex: 0..n-1 in key order for sparse long and string ids, partition-invariant, parallel") {
+    // sparse long ids, shuffled input order
+    val sparse = Seq(900L, 7L, 120L, 33L, 5000L, 41L).toDF("id")
+      .withColumn("payload", col("id") * 2)
+    val out = Kernels.denseIndex(sparse, "id", "dense")
+    val got = out.orderBy("id").select("id", "dense").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(7L -> 0L, 33L -> 1L, 41L -> 2L, 120L -> 3L,
+                      900L -> 4L, 5000L -> 5L))
+    // payload columns ride along untouched
+    assert(out.filter(col("id") === 900L).select("payload")
+      .collect().head.getLong(0) == 1800L)
+    // string ids: rank in string sort order
+    val strs = Seq("mango", "apple", "pear").toDF("k")
+    val sgot = Kernels.denseIndex(strs, "k", "dense").orderBy("dense")
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(sgot == Seq("apple", "mango", "pear"))
+    // deterministic under any input partitioning
+    val a = Kernels.denseIndex(sparse, "id", "dense")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val b = Kernels.denseIndex(sparse.repartition(5), "id", "dense")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+    // the heavy path must not collapse to one partition (the global
+    // row_number trap) — range partitioning keeps it parallel. AQE
+    // coalesces this tiny frame to 1 partition, which hides the
+    // property; disable it for the assertion only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(0, 10000).toDF("id")
+      assert(Kernels.denseIndex(big, "id", "dense").rdd.getNumPartitions > 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
