@@ -143,24 +143,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sims.count() == 2)
   }
 
-  test("resizeStub: target-sized deterministic payload, plumbing schema intact") {
-    val out = Multimodal.resizeStub(assets, "media", width = 4, height = 2)
-    assert(out.columns.takeRight(3).toSeq ==
-      Seq("resized", "resized_width", "resized_height"))
-    val rows = out.select("asset_id", "resized", "resized_width", "resized_height")
-      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))
-    rows.foreach { case (id, payload, w, h) =>
-      assert(w == 4 && h == 2)
-      if (id == 2L) assert(payload.isEmpty) // empty asset stays empty
-      else assert(payload.length == 4 * 2 * 3, "RGB payload for the target size")
+  test("Bmp codec: encode/decode round trip, padding, bottom-up and top-down") {
+    import Multimodal.Bmp
+    // 3x2 top-down RGB gradient; width 3 -> row stride 12 (padded)
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 11).toByte)
+    val bmp = Bmp.encode(3, 2, rgb)
+    assert(bmp.length == 54 + 12 * 2)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    val Some((w, h, back)) = Bmp.decode(bmp)
+    assert(w == 3 && h == 2 && back.toSeq == rgb.toSeq)
+    // HeaderDecoder reads the same header
+    val m = HeaderDecoder.decode(bmp)
+    assert(m.format == "bmp" && m.valid && m.width == 3 && m.height == 2)
+    // top-down variant (negative height) decodes to the same pixels
+    val neg = bmp.clone()
+    val td = -2
+    neg(22) = (td & 0xff).toByte; neg(23) = ((td >> 8) & 0xff).toByte
+    neg(24) = ((td >> 16) & 0xff).toByte; neg(25) = ((td >> 24) & 0xff).toByte
+    // swap the two stored rows so the logical image is unchanged
+    val rowA = bmp.slice(54, 66); val rowB = bmp.slice(66, 78)
+    rowB.copyToArray(neg, 54); rowA.copyToArray(neg, 66)
+    val Some((_, h2, back2)) = Bmp.decode(neg)
+    assert(h2 == 2 && back2.toSeq == rgb.toSeq)
+    // non-BMP / truncated / wrong-bpp degrade to None, never throw
+    assert(Bmp.decode("not an image".getBytes).isEmpty)
+    assert(Bmp.decode(bmp.take(40)).isEmpty)
+    val bpp8 = bmp.clone(); bpp8(28) = 8
+    assert(Bmp.decode(bpp8).isEmpty)
+  }
+
+  test("resizeBmp: real nearest-neighbor pixels, undecodable -> null, deterministic") {
+    import Multimodal.Bmp
+    // 4x4 image with distinct per-pixel values: pixel (x,y) channel c
+    // = 16*y + 4*x + c (all < 256)
+    val rgb = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; val c = i % 3
+      (16 * (p / 4) + 4 * (p % 4) + c).toByte
     }
-    // deterministic: same input -> identical bytes
-    val again = Multimodal.resizeStub(assets, "media", 4, 2)
-      .select("asset_id", "resized").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    rows.foreach { case (id, payload, _, _) =>
-      assert(again(id) == payload.toSeq)
-    }
+    val src = Seq(
+      (1L, Bmp.encode(4, 4, rgb)),
+      (2L, "definitely not a bitmap".getBytes)
+    ).toDF("asset_id", "media")
+    val out = Multimodal.resizeBmp(src, "media", width = 2, height = 2)
+      .select("asset_id", "resized", "resized_width", "resized_height")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))).toMap
+    val (resized, w, h) = out(1L)
+    assert(w == 2 && h == 2)
+    // nearest-neighbor floor mapping: output (x,y) <- source (2x, 2y)
+    val Some((_, _, px)) = Bmp.decode(resized)
+    val expect = for { y <- Seq(0, 2); x <- Seq(0, 2); c <- 0 to 2 }
+      yield (16 * y + 4 * x + c).toByte
+    assert(px.toSeq == expect)
+    // decoded metadata of the output carries the target dims
+    val m = HeaderDecoder.decode(resized)
+    assert(m.format == "bmp" && m.valid && m.width == 2 && m.height == 2)
+    // undecodable input -> null payload, zero dims
+    val (bad, bw, bh) = out(2L)
+    assert(bad == null && bw == 0 && bh == 0)
+    // checksum helper: exact RGB sum for the good asset, -1 for the bad
+    val sums = Multimodal.withBmpPixelChecksum(src, "media")
+      .select("asset_id", "pixel_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(1L) == rgb.map(_ & 0xff).sum.toLong)
+    assert(sums(2L) == -1L)
+    // upscale works too (1x1 -> 3x2 replicates the single pixel)
+    val one = Seq((9L, Bmp.encode(1, 1, Array[Byte](10, 20, 30))))
+      .toDF("asset_id", "media")
+    val up = Multimodal.resizeBmp(one, "media", 3, 2)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    val Some((uw, uh, upx)) = Bmp.decode(up)
+    assert(uw == 3 && uh == 2 &&
+      upx.toSeq == Seq.fill(6)(Seq[Byte](10, 20, 30)).flatten)
   }
 
   test("sampleFrames explodes sampled frame indices") {
