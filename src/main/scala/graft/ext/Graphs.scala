@@ -85,20 +85,110 @@ object Graphs {
     * oriented wedge join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) emits each
     * triangle EXACTLY once as (a < b < c). The orientation is the
     * standard distributed-triangle trick: because every edge points
-    * low→high, no triangle is found in more than one rotation, so no
-    * post-hoc /3 or /6 correction (and at scale, orienting by DEGREE
-    * instead of id bounds the wedge fan-out of hub nodes — same join
-    * shape, swap the comparator). Returns (a, b, c).
+    * low→high in a TOTAL order, no triangle is found in more than one
+    * rotation, so no post-hoc /3 or /6 correction.
+    *
+    * `orientByDegree = true` swaps the comparator to (degree, id) —
+    * the hub-taming variant for skewed graphs at scale: a node's
+    * wedge fan-out is then bounded by its number of HIGHER-degree
+    * neighbors (O(sqrt(m)) wedges per edge on any graph) instead of
+    * its id-order neighbor count, which for a low-id hub is its whole
+    * adjacency. Any total order enumerates the same triangle set, so
+    * the two modes are spec-pinned equal; output is always id-sorted
+    * (a < b < c) regardless of the internal orientation. Costs one
+    * extra degree aggregate + broadcast-sized join versus the id
+    * orientation. Returns (a, b, c).
     */
-  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangles(edges: DataFrame, aCol: String, bCol: String,
+                orientByDegree: Boolean = false): DataFrame = {
     val e = graft.ops.Staging.stage(
       edges.select(least(col(aCol), col(bCol)).as("x"),
                    greatest(col(aCol), col(bCol)).as("y"))
         .filter(col("x") < col("y"))
         .distinct())
-    e.select(col("x").as("a"), col("y").as("b"))
-      .join(e.select(col("x").as("b"), col("y").as("c")), "b")
-      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
-      .select("a", "b", "c")
+    if (!orientByDegree) {
+      e.select(col("x").as("a"), col("y").as("b"))
+        .join(e.select(col("x").as("b"), col("y").as("c")), "b")
+        .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+        .select("a", "b", "c")
+    } else {
+      val deg = e.select(col("x").as("n"))
+        .union(e.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // orient each x<y edge from the (deg, id)-smaller endpoint; the
+      // id tie-break keeps the order total, so exactly-once holds
+      val o = graft.ops.Staging.stage(
+        e.join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+          .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+          .select(
+            when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
+            when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v")))
+      o.select(col("u").as("p"), col("v").as("q"))
+        .join(o.select(col("u").as("q"), col("v").as("r")), "q")
+        .join(o.select(col("u").as("p"), col("v").as("r")), Seq("p", "r"))
+        .select(array_sort(array(col("p"), col("q"), col("r"))).as("t"))
+        .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+                col("t").getItem(2).as("c"))
+    }
+  }
+
+  /** PageRank over a DIRECTED edge list, safe for graphs with sinks:
+    * the standard dangling-mass redistribution
+    * `pr' = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + D/N)` where
+    * `D = sum of pr over outdeg-0 nodes` — without it, sink mass
+    * leaks out of the system every sweep and ranks drift low (the
+    * undirected [[pageRank]] never meets a sink, every node there has
+    * degree >= 1 by construction). Node set = src ∪ dst; fixed
+    * `iterations` from the uniform start, same determinism contract
+    * as [[pageRank]] (order on the ROUNDED score; replay (1-d) as
+    * the IEEE subtraction).
+    *
+    * Scale shape per sweep: one join of the rank frame against the
+    * staged out-degree adjacency (partitioned on src), one mass
+    * aggregate, one anti-join aggregate for D (1-row broadcast), and
+    * one left join back to the node frame so no-inbound nodes keep a
+    * row. Returns (node, out_degree, pr).
+    */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = graft.ops.Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = graft.ops.Staging.stage(
+      dir.select(col("src").as("node"))
+        .union(dir.select(col("dst").as("node"))).distinct())
+    val outdeg = graft.ops.Staging.stage(
+      dir.groupBy("src").agg(count(lit(1)).as("deg")))
+    val adj = graft.ops.Staging.stage(
+      dir.join(outdeg, "src").repartition(col("src")))
+    val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val init = nodes.crossJoin(broadcast(nAgg))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    // Each sweep references the prior rank frame THREE times (dangling
+    // anti-join, mass join, and transitively the node frame), so a
+    // lazy lineage trebles per iteration — the eager localCheckpoint
+    // (the CC-sweep idiom) pins every sweep to a constant-size plan;
+    // superseded checkpoints are dropped once the successor exists.
+    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
+      val prS = graft.ops.Staging.stageCheckpoint(pr.localCheckpoint(true))
+      val dangling = prS.join(outdeg, prS("node") === outdeg("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      val next = nodes.join(
+          adj.join(prS, col("src") === col("node"))
+            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
+          col("node") === col("dst"), "left")
+        .crossJoin(broadcast(nAgg)).crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * (coalesce(col("__mass"), lit(0.0)) +
+              col("__dm") / col("__n"))).as("pr"))
+      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+      graft.ops.Staging.dropCheckpoint(prS)
+      ck
+    }
+    terminal.join(outdeg, col("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"),
+              col("pr"))
   }
 }

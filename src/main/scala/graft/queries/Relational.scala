@@ -424,6 +424,30 @@ object Relational {
         .orderBy(col("pagerank").desc, col("node"))
         .limit(20)
     }),
+
+    // DIRECTED PageRank with dangling-mass redistribution
+    // (Graphs.pageRankDirected): customer -> order edges make every
+    // order a SINK (outdeg 0) — the exact shape the undirected q90
+    // never exercises; without the D/N term ~85% of the sink mass
+    // would leak per sweep. Emits rank SCALED BY N (the
+    // multiple-of-uniform form, ~1.0 magnitude) so the 6dp round
+    // carries real precision at any graph size; ordering on the
+    // rounded score + node (the q80 rule). Mass conservation makes
+    // sum(pagerank_x_n) = N, which the oracle replays exactly.
+    "q121_pagerank_directed" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+                concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
+      val pr = graft.ops.Staging.stage(
+        graft.ext.Graphs.pageRankDirected(edges, "src", "dst",
+          iterations = 2))
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("out_degree"),
+                round(col("pr") * col("__nn"), 6).as("pagerank_x_n"))
+        .orderBy(col("pagerank_x_n").desc, col("node"))
+        .limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -710,5 +734,45 @@ object Relational {
         |SELECT r3.node, deg.deg AS degree, round(r3.pr, 6) AS pagerank
         |FROM r3 JOIN deg ON r3.node = deg.src
         |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
+
+    // Unrolls 2 directed sweeps with the dangling term: D_k = sum of
+    // pr over outdeg-0 nodes, pr' = (1-d)/N + d*(mass + D/N). (1-d)
+    // is written as the IEEE subtraction (1.0 - 0.85), matching the
+    // Scala constant fold.
+    "q121_pagerank_directed" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  'o' || CAST(o_orderkey AS VARCHAR) AS dst
+        |  FROM orders),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn AS pr FROM nodes, n),
+        |d0 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm
+        |       FROM r0 r LEFT JOIN od ON r.node = od.src
+        |       WHERE od.src IS NULL),
+        |m1 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1.0 - 0.85) / nn +
+        |           0.85 * (coalesce(m1.mass, 0.0) + (SELECT dm FROM d0) / nn) AS pr
+        |       FROM nodes LEFT JOIN m1 ON nodes.node = m1.node, n),
+        |d1 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm
+        |       FROM r1 r LEFT JOIN od ON r.node = od.src
+        |       WHERE od.src IS NULL),
+        |m2 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1.0 - 0.85) / nn +
+        |           0.85 * (coalesce(m2.mass, 0.0) + (SELECT dm FROM d1) / nn) AS pr
+        |       FROM nodes LEFT JOIN m2 ON nodes.node = m2.node, n)
+        |SELECT r2.node, CAST(coalesce(od.deg, 0) AS BIGINT) AS out_degree,
+        |  round(r2.pr * nn, 6) AS pagerank_x_n
+        |FROM r2 LEFT JOIN od ON r2.node = od.src, n
+        |ORDER BY round(r2.pr * nn, 6) DESC, r2.node LIMIT 20""".stripMargin,
   )
 }

@@ -62,4 +62,69 @@ class GraphsSpec extends AnyFunSuite {
     assert(t4 == Set((1L,2L,3L), (1L,2L,4L), (1L,3L,4L), (2L,3L,4L)))
     graft.ops.Staging.releaseAll()
   }
+
+  test("triangles: degree orientation finds the identical triangle set (random graphs)") {
+    // any total order enumerates each triangle exactly once — the
+    // degree comparator must produce the same set as the id one
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a < b && rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toDF("u", "v")
+      val byId = Graphs.triangles(edges, "u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val byDeg = Graphs.triangles(edges, "u", "v", orientByDegree = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(byDeg == byId, s"trial $trial: degree orientation diverged")
+      assert(byId.forall { case (a, b, c) => a < b && b < c },
+        "output stays id-sorted in both modes")
+    }
+    // hub-shaped worst case: low-id hub connected to everything plus
+    // a chain among leaves — the exact shape the degree swap tames
+    val hub = ((1 to 10).map(i => (0L, i.toLong)) ++
+      (1 until 10).map(i => (i.toLong, (i + 1).toLong))).toDF("u", "v")
+    val a = Graphs.triangles(hub, "u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graphs.triangles(hub, "u", "v", orientByDegree = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.size == 9)
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("pageRankDirected: dangling mass redistributed, hand-computed 3-node chain") {
+    // A -> B -> C; C is a sink. N=3, d=0.85, one sweep from uniform:
+    //   D = pr(C) = 1/3
+    //   pr'(A) = 0.15/3 + 0.85*(0   + (1/3)/3)
+    //   pr'(B) = 0.15/3 + 0.85*(1/3 + (1/3)/3)
+    //   pr'(C) = same as B (mass from B's single out-edge)
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("s", "t")
+    val one = Graphs.pageRankDirected(edges, "s", "t", iterations = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("pr")))).toMap
+    val base = (1.0 - 0.85) / 3.0
+    val third = 1.0 / 3.0
+    assert(math.abs(one("A")._2 - (base + 0.85 * (third / 3.0))) < 1e-15)
+    assert(math.abs(one("B")._2 - (base + 0.85 * (third + third / 3.0))) < 1e-15)
+    assert(math.abs(one("C")._2 - (base + 0.85 * (third + third / 3.0))) < 1e-15)
+    // out-degrees: sink reports 0 (left join keeps its row)
+    assert(one.view.mapValues(_._1).toMap == Map("A" -> 1L, "B" -> 1L, "C" -> 0L))
+    // mass is CONSERVED across sweeps — the property the dangling
+    // term exists to protect (without it the sink leaks ~d*D per
+    // sweep); also check a multi-sink fan shape
+    for (it <- Seq(2, 4)) {
+      val pr = Graphs.pageRankDirected(edges, "s", "t", iterations = it)
+        .collect().map(_.getAs[Double]("pr"))
+      assert(math.abs(pr.sum - 1.0) < 1e-9, s"it=$it leaked mass: ${pr.sum}")
+    }
+    val fan = Seq(("r", "x"), ("r", "y"), ("r", "z")).toDF("s", "t")
+    val fanPr = Graphs.pageRankDirected(fan, "s", "t", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("pr")).toMap
+    assert(math.abs(fanPr.values.sum - 1.0) < 1e-9)
+    // the three sinks are symmetric
+    assert(math.abs(fanPr("x") - fanPr("y")) < 1e-15 &&
+      math.abs(fanPr("y") - fanPr("z")) < 1e-15)
+    graft.ops.Staging.releaseAll()
+  }
 }
