@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Directories whose Long-encoded events.ts already passed the
+    * epoch-nanos magnitude probe (one validation scan per JVM). */
+  private val validatedNanosDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -45,10 +50,32 @@ object Tables {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Under the nanosAsLong flag, LongType here means the file's
+        // logical type was TIMESTAMP(NANOS) — but guard the /1000
+        // against a future generation storing plain INT64
+        // epoch-MICROS, which would be silently divided into the
+        // 1970s. Epoch-nanos for any plausible event time (2001+)
+        // exceed 1e18; epoch-micros sit near 1.7e15. The min() probe
+        // runs ONCE per directory per JVM (memoized) so per-query
+        // plans don't each pay a scan.
+        if (!validatedNanosDirs.contains(s"$dir/events.parquet")) {
+          val minTs = df.agg(min(col("ts"))).head()
+          if (!minTs.isNullAt(0) && minTs.getLong(0) < 1000000000000000000L)
+            throw new IllegalStateException(
+              s"events.ts is Long but min=${minTs.getLong(0)} is too small " +
+                "for epoch-nanos — a new INT64 encoding? Adapt Tables.events.")
+          validatedNanosDirs.add(s"$dir/events.parquet")
+        }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // surface an unexpected encoding at the LOAD, not as a
+        // confusing analysis error ten operators downstream
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — adapt Tables.events " +
+            "to this testdata generation")
     }
   }
 }
