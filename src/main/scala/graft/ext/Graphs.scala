@@ -169,8 +169,12 @@ object Graphs {
     // lazy lineage trebles per iteration — the eager localCheckpoint
     // (the CC-sweep idiom) pins every sweep to a constant-size plan;
     // superseded checkpoints are dropped once the successor exists.
-    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      val prS = graft.ops.Staging.stageCheckpoint(pr.localCheckpoint(true))
+    // init is checkpointed ONCE; each sweep then checkpoints only its
+    // OUTPUT (checkpointing the input again would re-materialize the
+    // previous sweep's already-bare checkpoint scan — measured as
+    // ~2x the per-sweep job count when first written).
+    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    val terminal = (1 to iterations).foldLeft(init0) { (prS, _) =>
       val dangling = prS.join(outdeg, prS("node") === outdeg("src"),
           "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))

@@ -178,6 +178,33 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Deterministic train/val/test split — the content-keyed form of
+    * `randomSplit`: each row lands in the named slice whose cumulative
+    * hash-fraction band contains md5(key‖salt). Pure function of the
+    * data (same doc → same split in every run, on every engine, under
+    * any partitioning — the property that keeps eval sets
+    * uncontaminated across pipeline re-runs), map-side, no shuffle.
+    * Fractions must sum to 1 within 1e-9; the LAST slice absorbs the
+    * hash-space remainder so the bands are exhaustive.
+    */
+  def hashSplit(df: DataFrame, key: Column,
+                fractions: Seq[(String, Double)],
+                salt: String = "", out: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one slice")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val h = sampleHash(key, salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // fold all but the last slice into a when-chain; last is otherwise
+    val expr = fractions.init.zip(cum.init).foldLeft(
+        org.apache.spark.sql.functions.when(lit(false), lit(""))) {
+      case (acc, ((name, _), c)) =>
+        acc.when(h < lit(thresholdHex(c)), name)
+    }.otherwise(fractions.last._1)
+    df.withColumn(out, expr)
+  }
+
   /** Deterministic negative sampling for contrastive-pair generation:
     * each row draws `negsPerDoc` pseudo-random OTHER rows; the draw is
     * md5-derived (the same exact-52-bit-integer move as

@@ -227,6 +227,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style top-n-gram dominance (Rae et al. 2021 repetition
+    // filters): per doc, the fraction of 3-gram positions occupied by
+    // the SINGLE most frequent 3-gram — the boilerplate/listicle
+    // signal q37's distinct-ratio family can't see (a doc repeating
+    // one sentence has high top-gram dominance but may keep a modest
+    // duplicate-gram ratio). Shape: positional shingles (native,
+    // non-deduped) -> explode -> per-(doc, gram) count -> per-doc max
+    // — two shuffles, both keyed on doc_id so they share the
+    // exchange. The flag threshold compares UNROUNDED ratios (single
+    // IEEE division, identical both engines); only the avg is
+    // rounded.
+    "q122_top_ngram_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 3)
+      val grams = docs.select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(graft.functions.GraftFunctions.wordShinglesAll(
+          s, col("text"), 3)).as("g"))
+      val top = grams.groupBy("doc_id", "source", "n_tokens", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(max(col("c")).as("top_c"))
+        .withColumn("ratio",
+          col("top_c").cast("double") / (col("n_tokens") - 2).cast("double"))
+      top.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("ratio")), 6).as("avg_top3gram_ratio"),
+             sum(when(col("ratio") > 0.18, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("source")
+    }),
+
+    // Deterministic 80/10/10 train/val/test split (Sampling.hashSplit)
+    // — content-keyed so the same doc lands in the same slice on any
+    // engine under any partitioning (the eval-decontamination
+    // property randomSplit does not have). The per-(source, split)
+    // counts + token mass pin both the band arithmetic and the
+    // md5-hex comparison; the oracle replays the cumulative
+    // thresholds as hex-string literals.
+    "q123_dataset_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp11")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("source", "split")
+    }),
+
     // One-call document-prep composite (ext.DocPrep): exact dedup
     // (keep-lowest-id per content hash) -> marker lang-ID -> quality
     // scoring -> token counting -> quality/language filter, then a
@@ -884,6 +933,49 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q27's positional shingles WITHOUT list_distinct (every 3-gram
+    // position counts), mode count per doc, single-division ratio.
+    "q122_top_ngram_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    string_split(text, ' ') AS s
+        |  FROM documents
+        |  WHERE (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= 3),
+        |g AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(list_transform(range(1, len(s) - 1),
+        |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+        |  FROM d),
+        |c AS (SELECT doc_id, source, n_tokens, g, count(*) AS c
+        |      FROM g GROUP BY doc_id, source, n_tokens, g),
+        |m AS (SELECT doc_id, source, n_tokens, max(c) AS top_c
+        |      FROM c GROUP BY doc_id, source, n_tokens),
+        |t AS (SELECT source,
+        |        CAST(top_c AS DOUBLE) / (n_tokens - 2) AS ratio
+        |      FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(ratio), 6) AS avg_top3gram_ratio,
+        |  CAST(sum(CASE WHEN ratio > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // Cumulative 0.8/0.9 bands as hex literals: round(0.8 * 2^32) =
+    // 0xcccccccd, round(0.9 * 2^32) = 0xe6666666 — the same 8-hex
+    // lexicographic compare Sampling.thresholdHex emits.
+    "q123_dataset_split" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'sp11'), 1, 8) AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN h < 'cccccccd' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
     // Replays q120's pixel arithmetic: nearest-neighbor source coords
     // are floor(x*w/8), floor(y*h/5); each output pixel contributes
     // its three channel bytes (id + 7sx + 13sy + 29c) mod 256. The

@@ -1485,6 +1485,31 @@ class ExtSpec extends AnyFunSuite {
     assert(hs.forall(h => h >= 0L && h < 4503599627370496L))
   }
 
+  test("hashSplit: exhaustive, disjoint, partition-invariant, near-target fractions") {
+    import graft.ext.Sampling
+    val df = spark.range(0, 2000).toDF("id")
+    val out = Sampling.hashSplit(df, $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s").cache()
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one slice
+    assert(bySplit.values.sum == 2000L)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // fractions near target (md5 is uniform; 2000 draws, generous margins)
+    assert(bySplit("train") > 1500 && bySplit("train") < 1700, bySplit)
+    assert(bySplit("val") > 120 && bySplit("val") < 280, bySplit)
+    // pure function of content: identical assignment under repartition
+    val again = Sampling.hashSplit(df.repartition(7), $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    assert(again.orderBy("id").select("split").collect().map(_.getString(0)).toSeq ==
+      out.orderBy("id").select("split").collect().map(_.getString(0)).toSeq)
+    out.unpersist()
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, $"id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("negativeSamples: sparse and string ids sample real rows, never self, deterministic") {
     import graft.ext.Sampling
     // SPARSE Long ids — the r9 id-space draw would find no match for
