@@ -339,6 +339,51 @@ object Multimodal {
       }
     }
 
+    /** Bilinear resample in EXACT fixed-point arithmetic: the
+      * align-corners mapping puts output x at source position
+      * x·(sw-1)/(tw-1) — a rational with denominator (tw-1) — so the
+      * four corner weights are INTEGERS (rx = x·(sw-1) mod (tw-1),
+      * etc.) and the final round-half-up is the integer expression
+      * ⌊(2·num + den) / (2·den)⌋. No floating point anywhere, so a
+      * SQL oracle replays every output byte exactly — the same
+      * property the nearest path gets for free. A 1-wide/1-tall
+      * target degenerates to the top-left sample (denominator
+      * clamps to 1, remainders 0). */
+    def resampleBilinear(sw: Int, sh: Int, rgb: Array[Byte],
+                         tw: Int, th: Int): Array[Byte] = {
+      val out = new Array[Byte](tw * th * 3)
+      val dX = math.max(tw - 1, 1); val dY = math.max(th - 1, 1)
+      val den = dX.toLong * dY
+      var y = 0
+      while (y < th) {
+        val ny = y.toLong * (sh - 1)
+        val j0 = (ny / dY).toInt; val ry = (ny % dY).toInt
+        val j1 = math.min(j0 + 1, sh - 1)
+        var x = 0
+        while (x < tw) {
+          val nx = x.toLong * (sw - 1)
+          val i0 = (nx / dX).toInt; val rx = (nx % dX).toInt
+          val i1 = math.min(i0 + 1, sw - 1)
+          var c = 0
+          while (c < 3) {
+            val p00 = rgb((j0 * sw + i0) * 3 + c) & 0xff
+            val p10 = rgb((j0 * sw + i1) * 3 + c) & 0xff
+            val p01 = rgb((j1 * sw + i0) * 3 + c) & 0xff
+            val p11 = rgb((j1 * sw + i1) * 3 + c) & 0xff
+            val num = (dX - rx).toLong * (dY - ry) * p00 +
+              rx.toLong * (dY - ry) * p10 +
+              (dX - rx).toLong * ry * p01 +
+              rx.toLong * ry * p11
+            out((y * tw + x) * 3 + c) = ((2 * num + den) / (2 * den)).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Nearest-neighbor resample of top-down RGB triples: output
       * pixel (x, y) copies source (⌊x·sw/tw⌋, ⌊y·sh/th⌋). The plain
       * floor mapping (not center-offset) is deliberate — it is exact
@@ -374,8 +419,12 @@ object Multimodal {
     * codec exists — the [[Bmp]] round trip is the real pixel path,
     * not a stub. */
   def resizeBmp(df: DataFrame, binCol: String, width: Int, height: Int,
-                out: String = "resized"): DataFrame = {
+                out: String = "resized",
+                mode: String = "nearest"): DataFrame = {
     require(width > 0 && height > 0, "target dimensions must be positive")
+    require(mode == "nearest" || mode == "bilinear",
+      s"unknown resample mode '$mode'")
+    val bilinear = mode == "bilinear"
     val schema = StructType(df.schema.fields ++ Seq(
       StructField(out, org.apache.spark.sql.types.BinaryType),
       StructField(s"${out}_width", IntegerType, nullable = false),
@@ -386,9 +435,11 @@ object Multimodal {
       rows.map { r =>
         Bmp.decode(r.getAs[Array[Byte]](binIdx)) match {
           case Some((sw, sh, rgb)) =>
-            val resized = Bmp.encode(width, height,
-              Bmp.resampleNearest(sw, sh, rgb, width, height))
-            Row.fromSeq(r.toSeq ++ Seq(resized, width, height))
+            val px =
+              if (bilinear) Bmp.resampleBilinear(sw, sh, rgb, width, height)
+              else Bmp.resampleNearest(sw, sh, rgb, width, height)
+            Row.fromSeq(r.toSeq ++ Seq(Bmp.encode(width, height, px),
+              width, height))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, 0, 0))
         }

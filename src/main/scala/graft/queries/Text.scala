@@ -227,6 +227,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q120's pipeline in BILINEAR mode: the align-corners fixed-point
+    // interpolation keeps every output byte exact integer arithmetic
+    // (corner weights are remainders mod (tw-1)/(th-1); round-half-up
+    // is (2*num + den) // (2*den)), so the oracle replays the full
+    // interpolation per channel — a pixel-MATH check, not just
+    // plumbing. Same synthetic gradient source as q120.
+    "q124_bmp_bilinear" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val bmps = graft.ext.Multimodal.withSyntheticBmp(
+        docs, "doc_id", "w", "h", "img")
+      val resized = graft.ext.Multimodal.resizeBmp(bmps, "img", 8, 5,
+          mode = "bilinear")
+        .drop("img")
+      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
+        .select(col("doc_id"), col("source"),
+          col("w").cast("long").as("in_w"), col("h").cast("long").as("in_h"),
+          col("pixel_checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style top-n-gram dominance (Rae et al. 2021 repetition
     // filters): per doc, the fraction of 3-gram positions occupied by
     // the SINGLE most frequent 3-gram — the boilerplate/listicle
@@ -933,6 +956,43 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the bilinear interpolation per output pixel/channel on
+    // a 60k-row (doc x 8 x 5 x 3) grid: source corners i0/i1 (j0/j1),
+    // integer weights rx/ry over denominators 7/4, gradient pixel
+    // value (id + 7i + 13j + 29c) mod 256, round-half-up as
+    // (2*num + 28) // 56.
+    "q124_bmp_bilinear" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT d.*, x, y, c
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
+        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
+        |v AS (
+        |  SELECT doc_id, source, w, h, c,
+        |    (x * (w - 1)) // 7 AS i0,
+        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
+        |    (x * (w - 1)) % 7 AS rx,
+        |    (y * (h - 1)) // 4 AS j0,
+        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
+        |    (y * (h - 1)) % 4 AS ry
+        |  FROM grid),
+        |o AS (
+        |  SELECT doc_id, source, w, h,
+        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
+        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
+        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
+        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
+        |  FROM v)
+        |SELECT doc_id, source,
+        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+        |  CAST(sum(val) AS BIGINT) AS checksum
+        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
+
     // q27's positional shingles WITHOUT list_distinct (every 3-gram
     // position counts), mode count per doc, single-division ratio.
     "q122_top_ngram_coverage" ->

@@ -217,6 +217,38 @@ class MultimodalSpec extends AnyFunSuite {
       upx.toSeq == Seq.fill(6)(Seq[Byte](10, 20, 30)).flatten)
   }
 
+  test("resampleBilinear: exact fixed-point interpolation, hand-computed") {
+    import Multimodal.Bmp
+    // 1-D case via a 2x1 image, channels (0,0,0) and (100,100,100):
+    // 3-wide target samples positions 0, 1/2, 1 -> 0, 50, 100
+    val row = Array[Byte](0, 0, 0, 100, 100, 100)
+    val up = Bmp.resampleBilinear(2, 1, row, 3, 1)
+    assert(up.toSeq.map(_ & 0xff) == Seq(0, 0, 0, 50, 50, 50, 100, 100, 100))
+    // round-half-up: midpoint of 0 and 101 is 50.5 -> 51
+    val odd = Bmp.resampleBilinear(2, 1,
+      Array[Byte](0, 0, 0, 101, 101, 101), 3, 1)
+    assert((odd(3) & 0xff) == 51)
+    // 2-D: 2x2 corners 0/40/80/120, center of a 3x3 target averages
+    // all four corners -> 60; corners stay exact (align-corners)
+    val sq = Array[Byte](0, 0, 0, 40, 40, 40, 80, 80, 80, 120, 120, 120)
+    val mid = Bmp.resampleBilinear(2, 2, sq, 3, 3)
+    assert((mid(0) & 0xff) == 0 && (mid(2 * 3) & 0xff) == 40)
+    assert((mid(6 * 3) & 0xff) == 80 && (mid(8 * 3) & 0xff) == 120)
+    assert((mid(4 * 3) & 0xff) == 60, "center = mean of 4 corners")
+    // identity resize returns the source pixels exactly
+    val same = Bmp.resampleBilinear(2, 2, sq, 2, 2)
+    assert(same.toSeq == sq.toSeq)
+    // degenerate 1-wide target picks the left column
+    val one = Bmp.resampleBilinear(2, 1, row, 1, 1)
+    assert(one.toSeq == Seq[Byte](0, 0, 0))
+    // mode plumbs through resizeBmp
+    val src = Seq((1L, Bmp.encode(2, 1, row))).toDF("asset_id", "media")
+    val viaDf = Multimodal.resizeBmp(src, "media", 3, 1, mode = "bilinear")
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(Bmp.decode(viaDf).get._3.toSeq.map(_ & 0xff) ==
+      Seq(0, 0, 0, 50, 50, 50, 100, 100, 100))
+  }
+
   test("sampleFrames explodes sampled frame indices") {
     val out = Multimodal.sampleFrames(
       Multimodal.withDecodedMeta(assets, "media", StubDecoder), "media_meta", stride = 5)
