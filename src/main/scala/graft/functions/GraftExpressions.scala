@@ -389,6 +389,85 @@ case class SimHash(child: Expression, bits: Int)
   * scores run this over every document at scan time). The set is
   * hashed once per task, not per row.
   */
+/** Maximum multiplicity of any element in an array<string> — the
+  * per-row form of "count of the most frequent n-gram" (the Gopher
+  * top-n-gram dominance signal). Sort-a-copy + one run-length pass:
+  * no hashing, no boxing beyond the element refs, O(n log n) per row
+  * with n = tokens per document. Doing this MAP-SIDE is what turns
+  * the per-doc top-gram statistic from two gram-keyed shuffles
+  * (explode → count → max) into zero — only the final per-group
+  * aggregate exchanges rows. Null elements are skipped; empty (or
+  * all-null) arrays return 0. Codegen'd (UTF8String is Comparable,
+  * binary order — any total order works for run counting).
+  */
+case class TopElementFreq(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_element_freq expects array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_element_freq"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    val arr = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!ad.isNullAt(i)) { arr(m) = ad.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return 0
+    java.util.Arrays.sort(arr, 0, m)
+    var best = 1; var run = 1
+    i = 1
+    while (i < m) {
+      if (arr(i) == arr(i - 1) || arr(i).equals(arr(i - 1))) {
+        run += 1; if (run > best) best = run
+      } else run = 1
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val run = ctx.freshName("run")
+      s"""
+         |final int $n = $a.numElements();
+         |final Object[] $arr = new Object[$n];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) { $arr[$m++] = $a.getUTF8String($i); }
+         |}
+         |if ($m == 0) {
+         |  ${ev.value} = 0;
+         |} else {
+         |  java.util.Arrays.sort($arr, 0, $m);
+         |  int $best = 1; int $run = 1;
+         |  for (int $i = 1; $i < $m; $i++) {
+         |    if ($arr[$i].equals($arr[$i - 1])) {
+         |      $run++; if ($run > $best) $best = $run;
+         |    } else { $run = 1; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopElementFreq =
+    copy(child = newChild)
+}
+
 case class TokenSetCount(text: Expression, tokens: Expression)
     extends BinaryExpression {
 
@@ -556,6 +635,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_cut_token_spans(text, cutStarts, k): got ${other.size} args")
     },
+    "graft_top_element_freq" -> {
+      case Seq(c) => TopElementFreq(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_top_element_freq(arr): got ${other.size} args")
+    },
     "graft_hyperplane_bucket" -> {
       case Seq(c, n) => HyperplaneBucket(c, intOf(n))
       case other => throw new IllegalArgumentException(
@@ -661,6 +745,12 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_word_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Max multiplicity of any array element — see [[TopElementFreq]]. */
+  def topElementFreq(spark: SparkSession, arr: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_top_element_freq", arr)
   }
 
   /** Every position's k-shingle (no dedup) — see [[WordShingles]]. */

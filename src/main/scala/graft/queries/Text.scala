@@ -255,26 +255,24 @@ object TextQueries {
     // the SINGLE most frequent 3-gram — the boilerplate/listicle
     // signal q37's distinct-ratio family can't see (a doc repeating
     // one sentence has high top-gram dominance but may keep a modest
-    // duplicate-gram ratio). Shape: positional shingles (native,
-    // non-deduped) -> explode -> per-(doc, gram) count -> per-doc max
-    // — two shuffles, both keyed on doc_id so they share the
-    // exchange. The flag threshold compares UNROUNDED ratios (single
-    // IEEE division, identical both engines); only the avg is
-    // rounded.
+    // duplicate-gram ratio). Entirely MAP-SIDE per doc: native
+    // positional shingles -> native TopElementFreq (sort-a-copy + max
+    // run length, codegen'd) — a per-doc statistic never needs the
+    // explode -> gram-keyed count -> per-doc max shape (two shuffles
+    // whose width is the gram table); the only exchange here is the
+    // final per-source aggregate. The flag threshold compares
+    // UNROUNDED ratios (single IEEE division, identical both
+    // engines); only the avg is rounded.
     "q122_top_ngram_coverage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("n_tokens", TextStats.tokenCount(col("text")))
         .filter(col("n_tokens") >= 3)
-      val grams = docs.select(col("doc_id"), col("source"), col("n_tokens"),
-        explode(graft.functions.GraftFunctions.wordShinglesAll(
-          s, col("text"), 3)).as("g"))
-      val top = grams.groupBy("doc_id", "source", "n_tokens", "g")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "source", "n_tokens")
-        .agg(max(col("c")).as("top_c"))
-        .withColumn("ratio",
-          col("top_c").cast("double") / (col("n_tokens") - 2).cast("double"))
-      top.groupBy("source")
+      docs.select(col("source"),
+          (graft.functions.GraftFunctions.topElementFreq(s,
+            graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 3))
+            .cast("double") /
+            (col("n_tokens") - 2).cast("double")).as("ratio"))
+        .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
              round(avg(col("ratio")), 6).as("avg_top3gram_ratio"),
              sum(when(col("ratio") > 0.18, 1L).otherwise(0L)).as("n_flagged"))

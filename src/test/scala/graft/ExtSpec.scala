@@ -1368,6 +1368,50 @@ class ExtSpec extends AnyFunSuite {
     assert(docs.filter($"native" =!= $"lambda").count() == 0)
   }
 
+  test("native TopElementFreq equals the explode/count/max plan; edge cases") {
+    import graft.functions.GraftFunctions
+    // hand-computed: max multiplicity regardless of position
+    val cases = Seq(
+      (Seq("a b c a b a"), 3),        // "a" x3 as 1-grams
+      (Seq("x y x y x y x"), 4),      // "x" x4
+      (Seq("q"), 1),
+      (Seq(""), 1))                   // one empty-string token
+    cases.foreach { case (txts, want) =>
+      val got = txts.toDF("text")
+        .select(GraftFunctions.topElementFreq(spark,
+          GraftFunctions.wordShinglesAll(spark, $"text", 1)).as("f"))
+        .collect().head.getInt(0)
+      assert(got == want, s"$txts")
+    }
+    // empty array -> 0; null array -> null
+    val arrs = Seq((1, Seq[String]()), (2, Seq("p", "p", "q")))
+      .toDF("id", "arr")
+      .select($"id", GraftFunctions.topElementFreq(spark, $"arr").as("f"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(arrs(1) == 0 && arrs(2) == 2)
+    // equals the distributed explode -> count -> max shape on corpus text
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("n", graft.ext.TextStats.tokenCount($"text"))
+      .filter($"n" >= 3)
+    val nativeF = docs.select($"doc_id",
+      GraftFunctions.topElementFreq(spark,
+        GraftFunctions.wordShinglesAll(spark, $"text", 3)).as("f"))
+    val exploded = docs
+      .select($"doc_id", explode(GraftFunctions.wordShinglesAll(
+        spark, $"text", 3)).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").cast("int").as("f2"))
+    assert(nativeF.join(exploded, "doc_id").filter($"f" =!= $"f2").count() == 0)
+    // plan audit: the map-side form aggregated per source exchanges
+    // ONCE (the group-by), never on a gram key
+    val plan = docs
+      .select($"source", GraftFunctions.topElementFreq(spark,
+        GraftFunctions.wordShinglesAll(spark, $"text", 3)).as("f"))
+      .groupBy("source").agg(max("f"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("plan audit: ivfTopK assigns cells map-side (no window, no cartesian)") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3),

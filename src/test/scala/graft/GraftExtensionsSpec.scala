@@ -18,7 +18,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private val Expected = Seq(
     "graft_cosine_similarity", "graft_minhash_signature",
     "graft_word_shingles", "graft_hyperplane_bucket",
-    "graft_cut_token_spans",
+    "graft_cut_token_spans", "graft_top_element_freq",
     "graft_bloom_filter_agg", "graft_might_contain",
     "graft_topk_by_score", "graft_topk_by_score_str",
     "graft_nearest_centroids",
