@@ -173,6 +173,33 @@ object Kernels {
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
+  /** Data-quality expectation suite (Deequ/Great-Expectations style):
+    * each rule is (name, boolean Column); the result is one row per
+    * rule with total rows, violation count (rule false OR null — a
+    * null predicate means the rule could not be established, which a
+    * quality gate must count against the data, not silently pass),
+    * and the 6dp violation rate. ONE aggregate pass for the whole
+    * suite — rules are just conditional-sum columns, so the scan cost
+    * is |rules|-independent and the pass pipelines with the scan at
+    * 100 TB. Pair with [[profile]]: profile describes, expectations
+    * judge.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perRule = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+             col(s"__v_$name").as("n_violations"),
+             when(col("__n") > 0,
+               round(col(s"__v_$name").cast("double") / col("__n"), 6))
+               .otherwise(lit(0.0)).as("violation_rate"))
+    }
+    one.select(explode(array(perRule: _*)).as("e")).select("e.*")
+  }
+
   /** Globally dense 0-based index (`outCol`: Long) in `orderCol`
     * order — the scalable form of `row_number() OVER (ORDER BY c)`.
     *

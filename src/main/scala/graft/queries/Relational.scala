@@ -399,6 +399,21 @@ object Relational {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")),
 
+    // Data-quality expectation suite (Kernels.expectations — profile
+    // DESCRIBES, this JUDGES): five rules over orders in ONE
+    // aggregate pass (each rule a conditional sum; |rules|-independent
+    // scan cost). A null predicate counts as a violation — "could not
+    // establish the rule" must fail a gate, not slip through.
+    "q125_expectations_orders" -> ((s, d) =>
+      graft.ops.Kernels.expectations(Tables.orders(s, d), Seq(
+          "key_positive" -> (col("o_orderkey") > 0),
+          "price_positive" -> (col("o_totalprice") > 0),
+          "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+          "priority_prefixed" -> col("o_orderpriority").rlike("^[1-5]-"),
+          "date_in_range" -> (col("o_orderdate").isNotNull &&
+            year(col("o_orderdate")).between(1990, 2005))))
+        .orderBy("rule")),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -734,6 +749,22 @@ object Relational {
         |SELECT r3.node, deg.deg AS degree, round(r3.pr, 6) AS pagerank
         |FROM r3 JOIN deg ON r3.node = deg.src
         |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
+
+    // One row per rule; violation = NOT rule OR rule IS NULL. DuckDB
+    // regexp_matches is unanchored, so the ^ anchor matches Spark's
+    // rlike semantics here.
+    "q125_expectations_orders" -> Seq(
+      ("date_in_range", "o_orderdate IS NOT NULL AND year(o_orderdate) BETWEEN 1990 AND 2005"),
+      ("key_positive", "o_orderkey > 0"),
+      ("price_positive", "o_totalprice > 0"),
+      ("priority_prefixed", "regexp_matches(o_orderpriority, '^[1-5]-')"),
+      ("status_known", "o_orderstatus IN ('F', 'O', 'P')")).map {
+        case (name, pred) =>
+          s"""SELECT '$name' AS rule, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+             |  round(CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS violation_rate
+             |FROM orders""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule"),
 
     // Unrolls 2 directed sweeps with the dangling term: D_k = sum of
     // pr over outdeg-0 nodes, pr' = (1-d)/N + d*(mass + D/N). (1-d)

@@ -104,6 +104,26 @@ class KernelsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "profile must not union per-column scans")
   }
 
+  test("expectations: one pass, null predicate counts as violation, exact rates") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(-5.0)), (3L, None), (4L, Some(0.0))
+    ).toDF("id", "amount")
+    val out = Kernels.expectations(df, Seq(
+        "id_positive" -> (col("id") > 0),
+        "amount_positive" -> (col("amount") > 0)))
+      .orderBy("rule").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("id_positive") == ((4L, 0L, 0.0)))
+    // -5 and 0 fail; the NULL amount row is a violation, not a pass
+    assert(out("amount_positive") == ((4L, 3L, 0.75)))
+    // single scan: no per-rule Union
+    val plan = Kernels.expectations(df, Seq(
+        "a" -> (col("id") > 0), "b" -> (col("amount") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "expectations must not union per-rule scans")
+  }
+
   test("denseIndex: 0..n-1 in key order for sparse long and string ids, partition-invariant, parallel") {
     // sparse long ids, shuffled input order
     val sparse = Seq(900L, 7L, 120L, 33L, 5000L, 41L).toDF("id")
