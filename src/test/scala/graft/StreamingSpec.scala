@@ -377,6 +377,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((10L, Some("gold")), (11L, None), (12L, Some("basic"))))
   }
 
+  test("expectations maintain incrementally over a stream; equals batch") {
+    implicit val sc = spark.sqlContext
+    // the whole suite is one additive global aggregate, so (like the
+    // CMS/HLL counters) Kernels.expectations runs UNCHANGED on a
+    // stream in Complete mode — the ingest-quality-gate shape: rates
+    // update every micro-batch without a rescan
+    val stream = MemoryStream[(Long, Double)]
+    val rules = Seq(
+      "id_positive" -> (col("_1") > 0),
+      "value_nonneg" -> (col("_2") >= 0))
+    val q = graft.ops.Kernels.expectations(stream.toDF(), rules)
+      .writeStream.format("memory").queryName("expectations_stream")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData((1L, 2.0), (-1L, 3.0))
+    q.processAllAvailable()
+    stream.addData((2L, -5.0), (3L, 0.0)) // second micro-batch merges in
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("expectations_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.ops.Kernels.expectations(
+        Seq((1L, 2.0), (-1L, 3.0), (2L, -5.0), (3L, 0.0)).toDF(), rules)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch && streamed.size == 2)
+    assert(streamed.contains(("id_positive", 4L, 1L, 0.25)))
+  }
+
   test("CMS counters maintain incrementally over a stream and equal the batch sketch") {
     implicit val sc = spark.sqlContext
     // counters are ADDITIVE, so Spark's incremental stateful
