@@ -221,6 +221,11 @@ object Sampling {
     * `neg_id` (the sampled row's `idCol`). Shape at scale: one staged
     * index pass, a map-side draw, and one shuffle join
     * (position → negative id); n arrives as a broadcast 1-row count.
+    *
+    * A 1-row corpus has no OTHER row to draw, so the self-bump cannot
+    * escape (for n ≥ 2 it always does: (p+1) mod n ≠ p) — the final
+    * self-filter makes that degenerate case emit zero pairs instead
+    * of doc→doc garbage; it drops nothing at n ≥ 2.
     */
   def negativeSamples(df: DataFrame, idCol: String, negsPerDoc: Int,
                       salt: String = ""): DataFrame = {
@@ -240,6 +245,7 @@ object Sampling {
           pmod(col("__raw") + 1, col("__n"))).otherwise(col("__raw")))
       .join(indexed.select(col("__dense").as("__negpos"),
                            col(idCol).as("neg_id")), "__negpos")
+      .filter(col("neg_id") =!= col(idCol)) // no-op for n >= 2 (see above)
       .drop("__negpos", "__dense", "__n", "__h", "__raw")
   }
 }

@@ -1580,6 +1580,10 @@ class ExtSpec extends AnyFunSuite {
       salt = "t")
     assert(sout.count() == 20)
     assert(sout.filter($"neg_id" === $"doc_id").count() == 0)
+    // degenerate 1-row corpus: no other row exists -> zero pairs, not
+    // a self-pair
+    val one = Seq((42L, "solo")).toDF("doc_id", "source")
+    assert(Sampling.negativeSamples(one, "doc_id", 3, "t").count() == 0)
     graft.ops.Staging.releaseAll()
   }
 

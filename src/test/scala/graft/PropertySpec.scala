@@ -225,6 +225,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Bmp codec: random images round-trip; resample invariants hold") {
+    import graft.ext.Multimodal.Bmp
+    val imgGen: Gen[(Int, Int, Array[Byte])] = for {
+      w <- Gen.choose(1, 23)
+      h <- Gen.choose(1, 17)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    samples(imgGen, 25).foreach { case (w, h, rgb) =>
+      // encode -> decode is the identity on pixels and dims
+      val Some((dw, dh, back)) = Bmp.decode(Bmp.encode(w, h, rgb))
+      assert(dw == w && dh == h && back.toSeq == rgb.toSeq, s"${w}x$h")
+      // identity resize = source, for both resamplers
+      assert(Bmp.resampleNearest(w, h, rgb, w, h).toSeq == rgb.toSeq)
+      assert(Bmp.resampleBilinear(w, h, rgb, w, h).toSeq == rgb.toSeq)
+      // nearest only ever emits source bytes; both emit the right size
+      val nr = Bmp.resampleNearest(w, h, rgb, 5, 4)
+      val bl = Bmp.resampleBilinear(w, h, rgb, 5, 4)
+      assert(nr.length == 5 * 4 * 3 && bl.length == 5 * 4 * 3)
+      val srcBytes = rgb.toSet
+      assert(nr.forall(srcBytes.contains), "nearest invents no pixel values")
+      // bilinear outputs stay inside the source min/max per image
+      val lo = rgb.map(_ & 0xff).min; val hi = rgb.map(_ & 0xff).max
+      assert(bl.forall(b => (b & 0xff) >= lo && (b & 0xff) <= hi),
+        "bilinear is a convex combination")
+    }
+  }
+
   test("weightedSampleK nests in k and respects the priority order") {
     val df = (0L until 60L).map(i => (i, "g", (i % 9 + 1).toDouble))
       .toDF("id", "grp", "w")
