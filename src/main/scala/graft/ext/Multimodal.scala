@@ -313,8 +313,12 @@ object Multimodal {
         val rawH = le32(bytes, 22)
         val height = math.abs(rawH)
         val bottomUp = rawH > 0
-        if (width <= 0 || height == 0 || le16(bytes, 28) != 24 ||
-            le32(bytes, 30) != 0) return None
+        // the 65535 dim cap keeps every later Int product (stride,
+        // w*h*3) overflow-free — a crafted header declaring ~2^30
+        // pixels would otherwise wrap the arithmetic past the range
+        // guard and allocate garbage-sized buffers
+        if (width <= 0 || height == 0 || width > 65535 || height > 65535 ||
+            le16(bytes, 28) != 24 || le32(bytes, 30) != 0) return None
         val stride = (width * 3 + 3) & ~3
         if (offset < 54 || offset.toLong + stride.toLong * height > bytes.length)
           return None

@@ -170,6 +170,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Bmp.decode(bmp.take(40)).isEmpty)
     val bpp8 = bmp.clone(); bpp8(28) = 8
     assert(Bmp.decode(bpp8).isEmpty)
+    // crafted header declaring ~2^30-pixel dims: the Int products
+    // would wrap past the range guard — the dim cap rejects it
+    // instead of allocating garbage-sized buffers
+    val huge = bmp.clone()
+    huge(18) = 0xff.toByte; huge(19) = 0xff.toByte
+    huge(20) = 0xff.toByte; huge(21) = 0x3f.toByte // width = 0x3fffffff
+    assert(Bmp.decode(huge).isEmpty)
   }
 
   test("resizeBmp: real nearest-neighbor pixels, undecodable -> null, deterministic") {
