@@ -206,22 +206,26 @@ object Kernels {
     * A global window collapses to ONE partition (the classic 100 TB
     * killer); this instead range-partitions on the key, sorts within
     * each partition (parallel), and assigns offsets with
-    * `zipWithIndex`'s count-per-partition pass — one extra small job,
-    * every heavy stage parallel. The index depends only on the total
-    * order, not on where range bounds fall, so it is deterministic
-    * under any partitioning PROVIDED `orderCol` is unique (ties would
-    * be ordered arbitrarily — callers pass a key column).
+    * `zipWithIndex`'s count-per-partition pass. The index depends
+    * only on the total order, not on where range bounds fall, so it
+    * is deterministic under any partitioning PROVIDED `orderCol` is
+    * unique (ties would be ordered arbitrarily — callers pass a key
+    * column).
     *
-    * RDD zip is deliberate: dense global numbering is per-partition
-    * imperative logic no Catalyst operator expresses without the
-    * single-partition window. The row encode/decode hop prices at one
-    * narrow pass.
+    * The sorted frame is STAGED before the zip: zipWithIndex runs a
+    * count job before its map pass, and without the persist both
+    * would recompute the range-sort — the sort is paid once, the
+    * count pass populates the cache, the zip pass reads it back
+    * (released by the harness via Staging.releaseAll). RDD zip is
+    * deliberate: dense global numbering is per-partition imperative
+    * logic no Catalyst operator expresses without the
+    * single-partition window.
     */
   def denseIndex(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val sorted = df.repartitionByRange(col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val sorted = Staging.stage(
+      df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol))
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
