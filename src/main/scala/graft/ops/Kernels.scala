@@ -181,15 +181,21 @@ object Kernels {
     * and the 6dp violation rate. ONE aggregate pass for the whole
     * suite — rules are just conditional-sum columns, so the scan cost
     * is |rules|-independent and the pass pipelines with the scan at
-    * 100 TB. Pair with [[profile]]: profile describes, expectations
-    * judge.
+    * 100 TB. `groupCols` turns the global gate into the per-tenant /
+    * per-source quality report (one row per group per rule) with the
+    * same single pass — one hash exchange on the group key. Pair with
+    * [[profile]]: profile describes, expectations judge.
     */
-  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+  def expectations(df: DataFrame, rules: Seq[(String, Column)],
+                   groupCols: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     val aggs = rules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val nAgg = count(lit(1)).as("__n")
+    val base =
+      if (groupCols.isEmpty) df.agg(nAgg, aggs: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(nAgg, aggs: _*)
     val perRule = rules.map { case (name, _) =>
       struct(lit(name).as("rule"), col("__n").as("n_rows"),
              col(s"__v_$name").as("n_violations"),
@@ -197,7 +203,9 @@ object Kernels {
                round(col(s"__v_$name").cast("double") / col("__n"), 6))
                .otherwise(lit(0.0)).as("violation_rate"))
     }
-    one.select(explode(array(perRule: _*)).as("e")).select("e.*")
+    base.select(groupCols.map(col) :+ explode(array(perRule: _*)).as("e"): _*)
+      .select(groupCols.map(col) ++ Seq(col("e.rule"), col("e.n_rows"),
+        col("e.n_violations"), col("e.violation_rate")): _*)
   }
 
   /** Globally dense 0-based index (`outCol`: Long) in `orderCol`

@@ -250,6 +250,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-SOURCE data-quality report (Kernels.expectations with
+    // groupCols — q125's global gate becomes the per-tenant table in
+    // the same single pass, one exchange on source): text rules over
+    // documents, NULL predicate = violation.
+    "q126_expectations_by_source" -> ((s, d) =>
+      graft.ops.Kernels.expectations(Tables.documents(s, d), Seq(
+          "text_nonempty" -> (length(col("text")) > 0),
+          "chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("en", "es", "zh", "de", "fr")),
+          groupCols = Seq("source"))
+        .orderBy("source", "rule")),
+
     // Gopher-style top-n-gram dominance (Rae et al. 2021 repetition
     // filters): per doc, the fraction of 3-gram positions occupied by
     // the SINGLE most frequent 3-gram — the boilerplate/listicle
@@ -1016,6 +1028,18 @@ object TextQueries {
         |  round(avg(ratio), 6) AS avg_top3gram_ratio,
         |  CAST(sum(CASE WHEN ratio > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // One row per (source, rule); violation = NOT rule OR NULL.
+    "q126_expectations_by_source" -> Seq(
+      ("chars_consistent", "n_chars = length(text)"),
+      ("lang_known", "lang IN ('en', 'es', 'zh', 'de', 'fr')"),
+      ("text_nonempty", "length(text) > 0")).map { case (name, pred) =>
+        s"""SELECT source, '$name' AS rule, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           |  round(CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS violation_rate
+           |FROM documents GROUP BY source""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY source, rule"),
 
     // Cumulative 0.8/0.9 bands as hex literals: round(0.8 * 2^32) =
     // 0xcccccccd, round(0.9 * 2^32) = 0xe6666666 — the same 8-hex

@@ -122,6 +122,15 @@ class KernelsSpec extends AnyFunSuite {
         "a" -> (col("id") > 0), "b" -> (col("amount") > 0)))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), "expectations must not union per-rule scans")
+    // grouped form: one row per (group, rule), same single pass
+    val grouped = Seq((1L, "g1", 5.0), (2L, "g1", -1.0), (3L, "g2", 2.0))
+      .toDF("id", "grp", "v")
+    val g = Kernels.expectations(grouped,
+        Seq("v_positive" -> (col("v") > 0)), groupCols = Seq("grp"))
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(g("g1") == ((2L, 1L, 0.5)) && g("g2") == ((1L, 0L, 0.0)))
   }
 
   test("denseIndex: 0..n-1 in key order for sparse long and string ids, partition-invariant, parallel") {
