@@ -8,16 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * Header metadata decode (PNG/JPEG/GIF/WAV/BMP) is real pure-JVM
-  * parsing ([[HeaderDecoder]]), and the PIXEL path is real for 24-bit
-  * BMP — the one mainstream format whose payload needs no codec
-  * library ([[Bmp]]: decode → [[resizeBmp]] nearest-neighbor resample
-  * → re-encode). Compressed-payload decode (JPEG/MP4 pixels) still
-  * needs a library not in this container; `Decoder` is that extension
-  * point and `StubDecoder` a clearly-marked deterministic fake for
-  * shape tests. Everything Spark-side — the binary schema, the
-  * mapPartitions batch shape (the JVM analogue of a Pandas-UDF
-  * iterator-of-batches), metadata structs, and the partitioning
-  * guidance — is real and tested.
+  * parsing ([[HeaderDecoder]]), and the PIXEL path is real for both
+  * 24-bit BMP ([[Bmp]]) and 8-bit truecolor PNG ([[Png]] — zlib via
+  * `java.util.zip`, full Sub/Up/Average/Paeth filter reconstruction):
+  * decode → [[resizeImage]] resample → re-encode. Lossy-compressed
+  * payload decode (JPEG DCT, MP4) still needs a library not in this
+  * container; `Decoder` is that extension point and `StubDecoder` a
+  * clearly-marked deterministic fake for shape tests. Everything
+  * Spark-side — the binary schema, the mapPartitions batch shape (the
+  * JVM analogue of a Pandas-UDF iterator-of-batches), metadata
+  * structs, and the partitioning guidance — is real and tested.
   *
   * Scale notes: binaries are heavy; always project/aggregate metadata
   * *before* any shuffle, never groupBy/join on a plan that carries the
@@ -274,7 +274,9 @@ object Multimodal {
     /** Encode top-down row-major RGB triples (`rgb.length == w*h*3`)
       * as a bottom-up 24-bit BI_RGB BMP. */
     def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
-      require(width > 0 && height > 0, "dimensions must be positive")
+      require(width > 0 && height > 0 &&
+        width.toLong * height * 3L <= Int.MaxValue,
+        "dimensions must be positive with w*h*3 <= 2^31-1")
       require(rgb.length == width * height * 3,
         s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
       val stride = (width * 3 + 3) & ~3
@@ -414,6 +416,232 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM PNG codec — zero external dependencies: the compression
+    * layer is `java.util.zip` (Inflater/Deflater, in the JDK since
+    * 1.1) and everything else is exact byte arithmetic. Covers
+    * non-interlaced 8-bit-per-channel truecolor PNG (color type 2
+    * RGB, and type 6 RGBA with alpha dropped on decode) — the shape
+    * every screenshot/render pipeline emits. Palette (type 3),
+    * 16-bit, and Adam7 interlace return None rather than decode
+    * wrongly.
+    *
+    * Decode is the full spec path: signature check → chunk walk
+    * (length/type/CRC32-validated) → IHDR parse → concatenated-IDAT
+    * inflate → per-row filter reconstruction (None/Sub/Up/Average/
+    * Paeth — exact integer byte arithmetic, PNG spec §9). Corrupt,
+    * truncated, or unsupported assets degrade to None, never throw —
+    * a 100 TB scan must survive bad bytes.
+    *
+    * Encode (the fixture/round-trip side) writes spec-correct files:
+    * real zlib streams, real CRCs, and a caller-controllable per-row
+    * filter choice — the synthetic corpus cycles through ALL FIVE
+    * filter types so the driver oracle exercises every reconstruction
+    * branch, not just filter 0.
+    */
+  object Png {
+
+    private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be32b(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    /** PNG spec §9.4: the Paeth predictor picks whichever of left/
+      * up/upper-left is closest to a + b − c, ties a → b → c. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32b(data.length.toLong) ++ t ++ data ++ be32b(crc.getValue)
+    }
+
+    /** Encode top-down row-major RGB triples as a non-interlaced
+      * 8-bit truecolor PNG. `rowFilter(y)` picks the filter type
+      * (0–4) per scanline — the default cycles through all five so
+      * round trips exercise every reconstruction branch; filtering
+      * uses the ORIGINAL bytes of the current and prior rows, per
+      * spec. */
+    def encode(width: Int, height: Int, rgb: Array[Byte],
+               rowFilter: Int => Int = _ % 5): Array[Byte] = {
+      require(width > 0 && height > 0 && width <= 65535 && height <= 65535 &&
+        height.toLong * (1L + width * 3L) <= Int.MaxValue,
+        "dimensions must be in [1, 65535] with scanline bytes <= 2^31-1")
+      require(rgb.length == width * height * 3,
+        s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+      val rowBytes = width * 3
+      val raw = new Array[Byte](height * (1 + rowBytes))
+      var y = 0
+      while (y < height) {
+        val ft = rowFilter(y)
+        require(ft >= 0 && ft <= 4, s"filter type $ft out of range")
+        val o = y * (1 + rowBytes)
+        raw(o) = ft.toByte
+        var i = 0
+        while (i < rowBytes) {
+          val x = rgb(y * rowBytes + i) & 0xff
+          val a = if (i >= 3) rgb(y * rowBytes + i - 3) & 0xff else 0
+          val b = if (y > 0) rgb((y - 1) * rowBytes + i) & 0xff else 0
+          val c = if (i >= 3 && y > 0) rgb((y - 1) * rowBytes + i - 3) & 0xff else 0
+          val filt = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(o + 1 + i) = filt.toByte
+          i += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](8192)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        zOut.write(buf, 0, n)
+      }
+      deflater.end()
+      val ihdr = be32b(width.toLong) ++ be32b(height.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+      SIG ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Decode an 8-bit truecolor (RGB or RGBA) non-interlaced PNG to
+      * (width, height, top-down RGB); RGBA alpha is dropped. None for
+      * anything else — palette/16-bit/interlaced, bad CRC, truncated
+      * or over-declared IDAT, oversized dims. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 8) return None
+      var k = 0
+      while (k < 8) { if (bytes(k) != SIG(k)) return None; k += 1 }
+      try {
+        var i = 8
+        var width = 0; var height = 0; var bpp = 0
+        var seenIhdr = false; var seenIend = false
+        val idat = new java.io.ByteArrayOutputStream()
+        while (!seenIend && i + 8 <= bytes.length) {
+          val len = be32(bytes, i)
+          if (len > bytes.length - i - 12) return None // truncated chunk
+          val n = len.toInt
+          val tpe = new String(bytes, i + 4, 4, "US-ASCII")
+          val crc = new java.util.zip.CRC32()
+          crc.update(bytes, i + 4, 4 + n)
+          if (crc.getValue != be32(bytes, i + 8 + n)) return None
+          tpe match {
+            case "IHDR" =>
+              if (seenIhdr || n != 13) return None
+              width = be32(bytes, i + 8).toInt
+              height = be32(bytes, i + 12).toInt
+              val depth = bytes(i + 16) & 0xff
+              val color = bytes(i + 17) & 0xff
+              // compression 0, filter 0, interlace 0 only
+              if (width <= 0 || height <= 0 || width > 65535 ||
+                  height > 65535 || depth != 8 ||
+                  (color != 2 && color != 6) || bytes(i + 18) != 0 ||
+                  bytes(i + 19) != 0 || bytes(i + 20) != 0) return None
+              bpp = if (color == 6) 4 else 3
+              seenIhdr = true
+            case "IDAT" =>
+              if (!seenIhdr) return None
+              idat.write(bytes, i + 8, n)
+            case "IEND" => seenIend = true
+            case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped
+          }
+          i += 12 + n
+        }
+        if (!seenIhdr || !seenIend) return None
+        val rowBytes = width * bpp
+        val expected = height.toLong * (1 + rowBytes)
+        if (expected > Int.MaxValue) return None
+        val raw = new Array[Byte](expected.toInt)
+        val inflater = new java.util.zip.Inflater()
+        inflater.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          // n == 0 while unfinished: truncated stream (needsInput) or
+          // a preset-dictionary stream (needsDictionary) — both are
+          // undecodable here; returning prevents an infinite loop
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+            inflater.end(); return None
+          }
+          off += n
+        }
+        val complete = off == raw.length &&
+          (inflater.finished() || inflater.inflate(new Array[Byte](1)) == 0)
+        inflater.end()
+        if (!complete) return None
+        // per-row filter reconstruction over the RECONSTRUCTED bytes
+        // of the current and prior rows (spec §9: Recon, not Filt)
+        val px = new Array[Byte](height * rowBytes)
+        var y = 0
+        while (y < height) {
+          val ft = raw(y * (1 + rowBytes)) & 0xff
+          if (ft > 4) return None
+          val ro = y * (1 + rowBytes) + 1
+          var j = 0
+          while (j < rowBytes) {
+            val a = if (j >= bpp) px(y * rowBytes + j - bpp) & 0xff else 0
+            val b = if (y > 0) px((y - 1) * rowBytes + j) & 0xff else 0
+            val c = if (j >= bpp && y > 0) px((y - 1) * rowBytes + j - bpp) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) >> 1
+              case 4 => paeth(a, b, c)
+            }
+            px(y * rowBytes + j) = ((raw(ro + j) & 0xff) + pred).toByte
+            j += 1
+          }
+          y += 1
+        }
+        val rgb =
+          if (bpp == 3) px
+          else { // strip alpha
+            val out3 = new Array[Byte](width * height * 3)
+            var p = 0
+            while (p < width * height) {
+              out3(p * 3) = px(p * 4); out3(p * 3 + 1) = px(p * 4 + 1)
+              out3(p * 3 + 2) = px(p * 4 + 2)
+              p += 1
+            }
+            out3
+          }
+        Some((width, height, rgb))
+      } catch {
+        case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+             _: java.util.zip.DataFormatException => None
+      }
+    }
+  }
+
+  /** Format-sniffing pixel decode: BMP ("BM") via [[Bmp.decode]], PNG
+    * (\x89PNG) via [[Png.decode]]. The one entry point resize/
+    * checksum operators use, so adding a codec extends every pixel
+    * operator at once. */
+  def decodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 8) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') Bmp.decode(bytes)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+             bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
+    else None
+  }
+
   /** REAL pixel-level resize (no media library): decode 24-bit BMP →
     * nearest-neighbor resample → re-encode BMP at the target
     * dimensions. Iterator→Iterator per partition, binary in → binary
@@ -425,7 +653,14 @@ object Multimodal {
   def resizeBmp(df: DataFrame, binCol: String, width: Int, height: Int,
                 out: String = "resized",
                 mode: String = "nearest"): DataFrame = {
-    require(width > 0 && height > 0, "target dimensions must be positive")
+    // fail fast on the driver for oversized targets (ADVICE r11): the
+    // per-dim 65535 cap mirrors decode, and the PRODUCT cap catches
+    // what per-dim caps cannot — a 40000x30000 target overflows
+    // tw*th*3 in Int and would die with NegativeArraySizeException on
+    // EXECUTORS otherwise
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535 &&
+      width.toLong * height * 3L <= Int.MaxValue,
+      "target dimensions must be in [1, 65535] with w*h*3 <= 2^31-1")
     require(mode == "nearest" || mode == "bilinear",
       s"unknown resample mode '$mode'")
     val bilinear = mode == "bilinear"
@@ -444,6 +679,45 @@ object Multimodal {
               else Bmp.resampleNearest(sw, sh, rgb, width, height)
             Row.fromSeq(r.toSeq ++ Seq(Bmp.encode(width, height, px),
               width, height))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, 0, 0))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[resizeBmp]] generalized over the codec registry
+    * ([[decodeRgb]]: BMP or PNG in), re-encoding the resampled pixels
+    * as BMP — the transcode+resize shape of a thumbnail/training-tile
+    * pipeline. Besides the resized payload it emits the DECODED
+    * source dimensions (`<out>_src_w`/`<out>_src_h`, 0 when
+    * undecodable), so a driver oracle can pin the header parse of the
+    * INPUT format, not just the output round trip. Same
+    * Iterator→Iterator per-partition shape and degrade-to-null
+    * contract as [[resizeBmp]]. */
+  def resizeImage(df: DataFrame, binCol: String, width: Int, height: Int,
+                  out: String = "resized",
+                  mode: String = "nearest"): DataFrame = {
+    require(width > 0 && height > 0 && width <= 65535 && height <= 65535 &&
+      width.toLong * height * 3L <= Int.MaxValue,
+      "target dimensions must be in [1, 65535] with w*h*3 <= 2^31-1")
+    require(mode == "nearest" || mode == "bilinear",
+      s"unknown resample mode '$mode'")
+    val bilinear = mode == "bilinear"
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(out, org.apache.spark.sql.types.BinaryType),
+      StructField(s"${out}_src_w", IntegerType, nullable = false),
+      StructField(s"${out}_src_h", IntegerType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeRgb(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((sw, sh, rgb)) =>
+            val px =
+              if (bilinear) Bmp.resampleBilinear(sw, sh, rgb, width, height)
+              else Bmp.resampleNearest(sw, sh, rgb, width, height)
+            Row.fromSeq(r.toSeq ++ Seq(Bmp.encode(width, height, px), sw, sh))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, 0, 0))
         }
@@ -486,7 +760,28 @@ object Multimodal {
     * fixtures. Generation is map-side per partition like every other
     * operator here. */
   def withSyntheticBmp(df: DataFrame, idCol: String, wCol: String,
-                       hCol: String, out: String = "img"): DataFrame = {
+                       hCol: String, out: String = "img"): DataFrame =
+    withSyntheticImage(df, idCol, wCol, hCol, out,
+      (w, h, rgb) => Bmp.encode(w, h, rgb))
+
+  /** PNG twin of [[withSyntheticBmp]]: the same oracle-replayable
+    * gradient, encoded through the REAL zlib path with the per-row
+    * filter cycle (0..4 by scanline), so a decode downstream
+    * exercises every filter-reconstruction branch of [[Png.decode]]
+    * on driver-checked data. */
+  def withSyntheticPng(df: DataFrame, idCol: String, wCol: String,
+                       hCol: String, out: String = "img"): DataFrame =
+    withSyntheticImage(df, idCol, wCol, hCol, out,
+      (w, h, rgb) => Png.encode(w, h, rgb))
+
+  /** Shared fixture core: pixel (x, y) channel c of row `id` is
+    * `(id + 7x + 13y + 29c) mod 256` — pure integer arithmetic a SQL
+    * oracle replays exactly; the encoder argument picks the container
+    * format. */
+  private def withSyntheticImage(df: DataFrame, idCol: String, wCol: String,
+                                 hCol: String, out: String,
+                                 encodeImg: (Int, Int, Array[Byte]) => Array[Byte])
+      : DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField(out, org.apache.spark.sql.types.BinaryType))
     val iI = df.schema.fieldIndex(idCol)
@@ -511,7 +806,7 @@ object Multimodal {
           }
           y += 1
         }
-        Row.fromSeq(r.toSeq :+ Bmp.encode(w, h, rgb))
+        Row.fromSeq(r.toSeq :+ encodeImg(w, h, rgb))
       }
     }(enc)
   }

@@ -250,6 +250,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG pixel pipeline, driver-checked end to end: encode the
+    // q120 gradient as a genuine zlib-compressed PNG (per-row filters
+    // cycling 0..4, so every Sub/Up/Average/Paeth reconstruction
+    // branch runs on driver-checked data), then decode -> bilinear
+    // resample to 8x5 -> re-encode BMP -> checksum. in_w/in_h come
+    // from the DECODED IHDR (resizeImage's src dims), not the input
+    // columns, so the header parse is pinned too; the checksum equals
+    // q124's because the gradient and resample are identical — any
+    // wrong byte anywhere in inflate/unfilter flips it.
+    "q127_png_decode_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val pngs = graft.ext.Multimodal.withSyntheticPng(
+        docs, "doc_id", "w", "h", "img")
+      val resized = graft.ext.Multimodal.resizeImage(pngs, "img", 8, 5,
+          mode = "bilinear")
+        .drop("img")
+      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
+        .select(col("doc_id"), col("source"),
+          col("resized_src_w").cast("long").as("in_w"),
+          col("resized_src_h").cast("long").as("in_h"),
+          col("pixel_checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -972,6 +999,42 @@ object TextQueries {
     // value (id + 7i + 13j + 29c) mod 256, round-half-up as
     // (2*num + 28) // 56.
     "q124_bmp_bilinear" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT d.*, x, y, c
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
+        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
+        |v AS (
+        |  SELECT doc_id, source, w, h, c,
+        |    (x * (w - 1)) // 7 AS i0,
+        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
+        |    (x * (w - 1)) % 7 AS rx,
+        |    (y * (h - 1)) // 4 AS j0,
+        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
+        |    (y * (h - 1)) % 4 AS ry
+        |  FROM grid),
+        |o AS (
+        |  SELECT doc_id, source, w, h,
+        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
+        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
+        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
+        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
+        |  FROM v)
+        |SELECT doc_id, source,
+        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+        |  CAST(sum(val) AS BIGINT) AS checksum
+        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
+
+    // Identical interpolation replay to q124 (the PNG layer is
+    // lossless, so decoded pixels ARE the gradient); in_w/in_h pin
+    // the IHDR parse because the Spark side reads them from the
+    // decoded header, not the generating columns.
+    "q127_png_decode_resize" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h

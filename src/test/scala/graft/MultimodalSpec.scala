@@ -256,6 +256,174 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(0, 0, 0, 50, 50, 50, 100, 100, 100))
   }
 
+  test("Png codec: encode/decode round trip across every filter type") {
+    import Multimodal.Png
+    // height 7 cycles the default per-row filter through 0..4 twice —
+    // all five reconstruction branches run; width 5 gives each row a
+    // left neighbor from byte 3 on
+    for ((w, h) <- Seq((1, 1), (2, 3), (5, 7), (31, 23))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val png = Png.encode(w, h, rgb)
+      val Some((dw, dh, back)) = Png.decode(png)
+      assert(dw == w && dh == h, s"dims for ${w}x$h")
+      assert(back.toSeq == rgb.toSeq, s"pixels for ${w}x$h")
+      // HeaderDecoder reads the same IHDR
+      val m = HeaderDecoder.decode(png)
+      assert(m.format == "png" && m.valid && m.width == w && m.height == h)
+    }
+    // a single forced filter type also round-trips (each in isolation)
+    for (ft <- 0 to 4) {
+      val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 53) % 256).toByte)
+      val png = Png.encode(4, 3, rgb, rowFilter = _ => ft)
+      assert(Png.decode(png).get._3.toSeq == rgb.toSeq, s"filter $ft")
+    }
+  }
+
+  test("Png decode: hand-authored stored-deflate golden pins Sub/Paeth math") {
+    import Multimodal.Png
+    // 2x2 RGB, row 0 filtered with Sub, row 1 with Paeth — the
+    // filtered bytes below are computed BY HAND from the spec, and the
+    // zlib stream is a stored (uncompressed) deflate block, so this
+    // golden exercises the decoder against spec arithmetic independent
+    // of our encoder. Pixels: (1,2,3)(5,6,7) / (10,20,30)(40,50,60).
+    val raw = bytes(
+      1, 1, 2, 3, 4, 4, 4,    // ft=1 (Sub): p0 as-is, p1 minus left
+      4, 9, 18, 27, 30, 30, 30) // ft=4 (Paeth): row 0 then left wins
+    val zlib = bytes(0x78, 0x01,             // zlib header, 32K window
+      0x01, raw.length, 0x00,                // BFINAL=1 BTYPE=00, LEN le16
+      0xff - raw.length, 0xff) ++ raw ++     // NLEN = ~LEN
+      bytes(0x02, 0x9A, 0x00, 0xA8)          // adler32(raw), hand-computed
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      val v = crc.getValue
+      bytes((data.length >> 24) & 0xff, (data.length >> 16) & 0xff,
+            (data.length >> 8) & 0xff, data.length & 0xff) ++ t ++ data ++
+        bytes(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+              ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+    }
+    val ihdr = bytes(0, 0, 0, 2, 0, 0, 0, 2, 8, 2, 0, 0, 0)
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.emptyByteArray)
+    val Some((w, h, px)) = Png.decode(png)
+    assert(w == 2 && h == 2)
+    assert(px.toSeq.map(_ & 0xff) ==
+      Seq(1, 2, 3, 5, 6, 7, 10, 20, 30, 40, 50, 60))
+    // RGBA (color type 6) decodes with alpha stripped: same stored-
+    // block trick, 1x2, filter 0 rows
+    val rawA = bytes(0, 1, 2, 3, 200, 0, 10, 20, 30, 100)
+    val ad = { // adler32 of rawA via the JDK (Inflater validates it)
+      val a = new java.util.zip.Adler32(); a.update(rawA); a.getValue
+    }
+    val zlibA = bytes(0x78, 0x01, 0x01, rawA.length, 0x00,
+      0xff - rawA.length, 0xff) ++ rawA ++
+      bytes(((ad >> 24) & 0xff).toInt, ((ad >> 16) & 0xff).toInt,
+            ((ad >> 8) & 0xff).toInt, (ad & 0xff).toInt)
+    val ihdrA = bytes(0, 0, 0, 1, 0, 0, 0, 2, 8, 6, 0, 0, 0)
+    val pngA = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdrA) ++ chunk("IDAT", zlibA) ++
+      chunk("IEND", Array.emptyByteArray)
+    val Some((wa, ha, pxa)) = Png.decode(pngA)
+    assert(wa == 1 && ha == 2)
+    assert(pxa.toSeq.map(_ & 0xff) == Seq(1, 2, 3, 10, 20, 30))
+  }
+
+  test("Png decode: corrupt and unsupported inputs degrade to None") {
+    import Multimodal.Png
+    val rgb = Array.tabulate(3 * 3 * 3)(i => (i * 7).toByte)
+    val good = Png.encode(3, 3, rgb)
+    assert(Png.decode(good).nonEmpty)
+    assert(Png.decode(null).isEmpty)
+    assert(Png.decode("not a png at all".getBytes).isEmpty)
+    assert(Png.decode(good.take(30)).isEmpty)        // truncated mid-chunk
+    assert(Png.decode(good.dropRight(12)).isEmpty)   // missing IEND
+    val badCrc = good.clone()
+    badCrc(good.length - 13) = (badCrc(good.length - 13) ^ 0x40).toByte // inside IDAT
+    assert(Png.decode(badCrc).isEmpty)
+    val palette = good.clone(); palette(25) = 3      // color type 3 (palette)
+    assert(Png.decode(palette).isEmpty)              // (CRC now wrong too)
+    val deep = good.clone(); deep(24) = 16           // 16-bit depth
+    assert(Png.decode(deep).isEmpty)
+    // declared dims too large for the payload: IHDR says 300x3 but
+    // the IDAT inflates to 3x3 worth of bytes -> incomplete -> None
+    // (patch dims AND recompute the CRC so only the size check fires)
+    val bigDims = good.clone()
+    bigDims(18) = 0x01; bigDims(19) = 0x2c.toByte    // width 300 (BE at 16..19)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bigDims, 12, 17) // IHDR type + 13 data bytes
+    val v = crc.getValue
+    bigDims(29) = ((v >> 24) & 0xff).toByte; bigDims(30) = ((v >> 16) & 0xff).toByte
+    bigDims(31) = ((v >> 8) & 0xff).toByte; bigDims(32) = (v & 0xff).toByte
+    assert(Png.decode(bigDims).isEmpty)
+  }
+
+  test("resizeImage: PNG in, BMP out, decoded source dims; sniffing") {
+    import Multimodal.{Bmp, Png}
+    val rgb = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; val c = i % 3
+      (16 * (p / 4) + 4 * (p % 4) + c).toByte
+    }
+    val src = Seq(
+      (1L, Png.encode(4, 4, rgb)),
+      (2L, Bmp.encode(4, 4, rgb)),
+      (3L, "neither format".getBytes)
+    ).toDF("asset_id", "media")
+    val out = Multimodal.resizeImage(src, "media", 2, 2)
+      .select("asset_id", "resized", "resized_src_w", "resized_src_h")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))).toMap
+    // PNG and BMP inputs with identical pixels resize identically
+    val (fromPng, pw, ph) = out(1L)
+    val (fromBmp, bw, bh) = out(2L)
+    assert(pw == 4 && ph == 4 && bw == 4 && bh == 4)
+    assert(fromPng.toSeq == fromBmp.toSeq)
+    val Some((_, _, px)) = Bmp.decode(fromPng)
+    val expect = for { y <- Seq(0, 2); x <- Seq(0, 2); c <- 0 to 2 }
+      yield (16 * y + 4 * x + c).toByte
+    assert(px.toSeq == expect)
+    // unknown format: null payload, zero source dims
+    val (bad, zw, zh) = out(3L)
+    assert(bad == null && zw == 0 && zh == 0)
+    // oversized target fails fast on the driver (ADVICE r11)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(src, "media", 40000, 30000)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBmp(src, "media", 40000, 30000)
+    }
+  }
+
+  test("withSyntheticPng: gradient survives the real zlib round trip") {
+    import Multimodal.Png
+    val docs = Seq((3L, 5, 7), (12L, 1, 1)).toDF("doc_id", "w", "h")
+    val rows = Multimodal.withSyntheticPng(docs, "doc_id", "w", "h")
+      .select("doc_id", "w", "h", "img").collect()
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val Some((dw, dh, px)) = Png.decode(r.getAs[Array[Byte]](3))
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((px((y * w + x) * 3 + c) & 0xff) ==
+          ((id + 7 * x + 13 * y + 29 * c) % 256).toInt)
+    }
+    // and the q127 shape: PNG source and BMP source produce identical
+    // resize checksums (the PNG layer is lossless)
+    val viaPng = Multimodal.withBmpPixelChecksum(
+      Multimodal.resizeImage(
+        Multimodal.withSyntheticPng(docs, "doc_id", "w", "h"),
+        "img", 8, 5, mode = "bilinear"), "resized")
+      .select("doc_id", "pixel_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBmp = Multimodal.withBmpPixelChecksum(
+      Multimodal.resizeBmp(
+        Multimodal.withSyntheticBmp(docs, "doc_id", "w", "h"),
+        "img", 8, 5, mode = "bilinear"), "resized")
+      .select("doc_id", "pixel_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPng == viaBmp)
+  }
+
   test("sampleFrames explodes sampled frame indices") {
     val out = Multimodal.sampleFrames(
       Multimodal.withDecodedMeta(assets, "media", StubDecoder), "media_meta", stride = 5)
