@@ -158,6 +158,18 @@ object Sampling {
     * differ by an ulp, so any emitted function of ln is hash-fragile
     * across engines even after rounding. h is a pure integer every
     * engine reproduces bit-for-bit.
+    *
+    * Residual cross-engine sensitivity (documented, not fixed): the
+    * RANKING itself still compares ln(u)/w doubles, so two rows whose
+    * priorities differ by ~1 ulp could in principle swap sides of the
+    * rank-k boundary on an engine whose libm rounds ln differently.
+    * For content-hashed u this needs two independent md5-derived
+    * priorities within ~2^-52 relative distance AT the boundary —
+    * negligible for real draws, and no integer-exact monotone
+    * surrogate exists for general weights (u^(w2) cross-comparisons
+    * overflow any fixed-width integer domain). Callers needing a
+    * hard guarantee should treat the SELECTED SET, not the rank
+    * order, as the contract — the q107 oracle does.
     */
   def weightedSampleK(df: DataFrame, key: Column, weight: Column,
                       groupCol: String, k: Int,
@@ -189,21 +201,12 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, key: Column,
                 fractions: Seq[(String, Double)],
-                salt: String = "", out: String = "split"): DataFrame = {
-    require(fractions.nonEmpty, "need at least one slice")
-    require(fractions.forall(_._2 > 0), "fractions must be positive")
-    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
-      "fractions must sum to 1")
-    val h = sampleHash(key, salt)
-    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    // fold all but the last slice into a when-chain; last is otherwise
-    val expr = fractions.init.zip(cum.init).foldLeft(
-        org.apache.spark.sql.functions.when(lit(false), lit(""))) {
-      case (acc, ((name, _), c)) =>
-        acc.when(h < lit(thresholdHex(c)), name)
-    }.otherwise(fractions.last._1)
-    df.withColumn(out, expr)
-  }
+                salt: String = "", out: String = "split"): DataFrame =
+    // identical band semantics to withFold (cumulative thresholdHex
+    // when-chain, last slice absorbs the remainder) — one
+    // implementation, two vocabulary entry points (ADVICE r11: two
+    // parallel copies of the split arithmetic can drift)
+    withFold(df, key, fractions, salt, out)
 
   /** Deterministic negative sampling for contrastive-pair generation:
     * each row draws `negsPerDoc` pseudo-random OTHER rows; the draw is

@@ -116,6 +116,70 @@ object Kernels {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Two-phase SALTED aggregation for skewed group keys — the
+    * aggregation sibling of [[skewSafeJoin]] (SURVEY §7.2 step 7's
+    * "salted aggregation for 100-TB skew", previously punted to
+    * callers at AsOf.scala:20). Rows get a deterministic salt
+    * (xxhash64 of the whole row mod `saltBuckets`); phase 1 reduces
+    * per (keys, salt) — the hot key's rows spread over `saltBuckets`
+    * reducers instead of one straggler — and phase 2 merges the
+    * (|groups| × saltBuckets)-row partials per key, a near-free
+    * second exchange.
+    *
+    * When to reach for it: Spark's map-side partial aggregation
+    * already tames skew for cheap algebraic aggs when input
+    * partitioning is uncorrelated with the key. The salted form wins
+    * when that partial layer can't do the heavy lifting — wide
+    * per-group state (collect-based aggs, big sketch buffers,
+    * high-accuracy percentile digests) or inputs arriving already
+    * partitioned/sorted by a correlate of the hot key, where every
+    * hot-key map partial still funnels into ONE reducer's merge.
+    *
+    * `aggs` are (function, inputCol, outName) with function ∈
+    * count | sum | min | max | avg ("*" as inputCol for row count).
+    * All five split exactly: count/sum merge by sum, min/max by
+    * min/max; avg merges as sum-of-sums / sum-of-counts, which for
+    * float inputs reassociates the addition order — at ulp level,
+    * like any distributed float sum (round before hashing, as every
+    * driver query does). Output equals the unsalted
+    * `groupBy(keys).agg(...)` row set.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                aggs: Seq[(String, String, String)]): DataFrame = {
+    require(saltBuckets >= 2, "saltBuckets must be >= 2")
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val known = Set("count", "sum", "min", "max", "avg")
+    aggs.foreach { case (fn, _, _) =>
+      require(known(fn), s"unsupported aggregate '$fn' (${known.mkString("/")})")
+    }
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
+           lit(saltBuckets.toLong)))
+    val p1 = aggs.zipWithIndex.flatMap { case ((fn, in, _), i) =>
+      fn match {
+        case "count" =>
+          Seq(count(if (in == "*") lit(1) else col(in)).as(s"__p_$i"))
+        case "sum" => Seq(sum(col(in)).as(s"__p_$i"))
+        case "min" => Seq(min(col(in)).as(s"__p_$i"))
+        case "max" => Seq(max(col(in)).as(s"__p_$i"))
+        case "avg" => Seq(sum(col(in)).as(s"__p_$i"),
+                          count(col(in)).as(s"__pc_$i"))
+      }
+    }
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(p1.head, p1.tail: _*)
+    val p2 = aggs.zipWithIndex.map { case ((fn, _, out), i) =>
+      fn match {
+        case "count" | "sum" => sum(col(s"__p_$i")).as(out)
+        case "min" => min(col(s"__p_$i")).as(out)
+        case "max" => max(col(s"__p_$i")).as(out)
+        case "avg" =>
+          (sum(col(s"__p_$i")) / sum(col(s"__pc_$i"))).as(out)
+      }
+    }
+    partial.groupBy(keys.map(col): _*).agg(p2.head, p2.tail: _*)
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.
@@ -148,19 +212,26 @@ object Kernels {
   /** Column profile (the Deequ-style validation table): one row per
     * listed column with row/null/distinct counts and min/max as
     * strings — ONE pass over the data (all metrics in a single
-    * aggregate; the multiple exact countDistincts expand the pass by
-    * a factor of |cols| via Spark's Expand, which is the exactness
-    * price — at 100 TB swap them for `approx_count_distinct` or the
-    * portable [[graft.ext.Sketches.hllDistinct]] and the pass stays
-    * 1×). Keep doubles out of `cols` unless the caller rounds first:
+    * aggregate). `exact = true` uses exact countDistinct, which
+    * expands the pass by a factor of |cols| via Spark's Expand — the
+    * exactness price, fine at audit scales; `exact = false` is the
+    * 100 TB mode: `approx_count_distinct` (HyperLogLog++, ~2% rsd)
+    * keeps the aggregate a genuine 1× scan with NO Expand — each
+    * column's sketch is one fixed-size buffer through the partial
+    * aggregate, the swap the scaladoc used to only promise. Keep
+    * doubles out of `cols` unless the caller rounds first:
     * float→string formatting is engine-specific (the one profile
     * metric a cross-engine oracle can't hash).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = cols.flatMap { c =>
+      val nd =
+        if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c), rsd = 0.02)
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-          countDistinct(col(c)).as(s"__nd_$c"),
+          nd.as(s"__nd_$c"),
           min(col(c)).cast("string").as(s"__mn_$c"),
           max(col(c)).cast("string").as(s"__mx_$c"))
     }
@@ -189,18 +260,23 @@ object Kernels {
   def expectations(df: DataFrame, rules: Seq[(String, Column)],
                    groupCols: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    // internal agg columns are indexed POSITIONALLY (__v_0, __v_1, …)
+    // and the caller's rule name only ever appears as a string literal
+    // in the output `rule` field — a name containing dots, backticks
+    // or spaces can't break col() resolution, and duplicate names
+    // can't create ambiguous columns (ADVICE r11)
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
     }
     val nAgg = count(lit(1)).as("__n")
     val base =
       if (groupCols.isEmpty) df.agg(nAgg, aggs: _*)
       else df.groupBy(groupCols.map(col): _*).agg(nAgg, aggs: _*)
-    val perRule = rules.map { case (name, _) =>
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(name).as("rule"), col("__n").as("n_rows"),
-             col(s"__v_$name").as("n_violations"),
+             col(s"__v_$i").as("n_violations"),
              when(col("__n") > 0,
-               round(col(s"__v_$name").cast("double") / col("__n"), 6))
+               round(col(s"__v_$i").cast("double") / col("__n"), 6))
                .otherwise(lit(0.0)).as("violation_rate"))
     }
     base.select(groupCols.map(col) :+ explode(array(perRule: _*)).as("e"): _*)

@@ -414,6 +414,33 @@ object Relational {
             year(col("o_orderdate")).between(1990, 2005))))
         .orderBy("rule")),
 
+    // Salted two-phase aggregation (Kernels.saltedAgg — SURVEY §7.2
+    // step 7's skew operator): phase 1 reduces per (key, salt16) so a
+    // hot key spreads over 16 reducers, phase 2 merges the tiny
+    // partials. l_returnflag has 3 values over 60k rows — exactly the
+    // low-cardinality/hot-group shape that straggles an unsalted
+    // exchange at 100 TB when per-group state is wide. The output
+    // must equal the plain groupBy row for row, which is what the
+    // oracle checks; the balance win is spec-measured
+    // (KernelsSpec "saltedAgg").
+    "q128_salted_agg" -> ((s, d) =>
+      Kernels.saltedAgg(
+          Tables.lineitem(s, d).select("l_returnflag", "l_quantity",
+            "l_extendedprice", "l_orderkey", "l_linenumber"),
+          keys = Seq("l_returnflag"), saltBuckets = 16,
+          aggs = Seq(
+            ("count", "*", "n_rows"),
+            ("sum", "l_quantity", "__sq"),
+            ("avg", "l_extendedprice", "__ap"),
+            ("min", "l_extendedprice", "__mn"),
+            ("max", "l_extendedprice", "__mx")))
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("__sq"), 2).as("sum_qty"),
+          round(col("__ap"), 6).as("avg_price"),
+          round(col("__mn"), 2).as("min_price"),
+          round(col("__mx"), 2).as("max_price"))
+        .orderBy("l_returnflag")),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -466,6 +493,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The salted two-phase plan must be value-identical to the plain
+    // group-by: count/sum/min/max split exactly; avg's
+    // sum-of-sums/sum-of-counts reassociates float addition only at
+    // ulp level, absorbed by the 6dp round like every driver avg.
+    "q128_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -59,11 +59,19 @@ object Tables {
         // runs ONCE per directory per JVM (memoized) so per-query
         // plans don't each pay a scan.
         if (!validatedNanosDirs.contains(s"$dir/events.parquet")) {
-          val minTs = df.agg(min(col("ts"))).head()
-          if (!minTs.isNullAt(0) && minTs.getLong(0) < 1000000000000000000L)
+          // Nanos-band floor at 1e17 (ADVICE r11 — the old 1e18 floor
+          // rejected legitimate pre-2001 nanos): 1e17 ns = 1973, so
+          // any post-1973 nanos dataset loads, while epoch-micros
+          // (~1.7e15 for 2024, below 1e17 until year 5138),
+          // epoch-millis and epoch-seconds all land far below the
+          // band and fail loudly instead of being divided into 1970.
+          val mm = df.agg(min(col("ts"))).head()
+          if (!mm.isNullAt(0) &&
+              (mm.getLong(0) < 100000000000000000L))
             throw new IllegalStateException(
-              s"events.ts is Long but min=${minTs.getLong(0)} is too small " +
-                "for epoch-nanos — a new INT64 encoding? Adapt Tables.events.")
+              s"events.ts is Long but min=${mm.getLong(0)} is below the " +
+                "epoch-nanos band (>= 1e17, i.e. post-1973) — a new INT64 " +
+                "encoding (micros/millis)? Adapt Tables.events.")
           validatedNanosDirs.add(s"$dir/events.parquet")
         }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

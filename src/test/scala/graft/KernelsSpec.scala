@@ -102,6 +102,24 @@ class KernelsSpec extends AnyFunSuite {
     val plan = Kernels.profile(df, Seq("id", "opt", "grp"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), "profile must not union per-column scans")
+    // exact mode pays the |cols|x Expand; approx mode must NOT — that
+    // is the whole point of the 100 TB swap
+    assert(plan.contains("Expand"), "exact countDistinct plans an Expand")
+    val approxPlan = Kernels.profile(df, Seq("id", "opt", "grp"),
+        exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "approx profile must stay a genuine 1x pass")
+    assert(!approxPlan.contains("Union"))
+    // approx ≡ exact on small cardinalities (HLL++ sparse mode is
+    // exact far beyond this fixture's handful of distinct values);
+    // every non-distinct metric is computed identically in both modes
+    val exactRows = Kernels.profile(df, Seq("id", "opt", "grp"))
+      .orderBy("column").collect().map(_.toSeq)
+    val approxRows = Kernels.profile(df, Seq("id", "opt", "grp"),
+        exact = false)
+      .orderBy("column").collect().map(_.toSeq)
+    assert(exactRows.toSeq == approxRows.toSeq)
   }
 
   test("expectations: one pass, null predicate counts as violation, exact rates") {
@@ -131,6 +149,16 @@ class KernelsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
     assert(g("g1") == ((2L, 1L, 0.5)) && g("g2") == ((1L, 0L, 0.0)))
+    // rule names are surfaced as literals only — dots, backticks and
+    // duplicates can't break col() resolution (positional internals)
+    val weird = Kernels.expectations(df, Seq(
+        "amount.is.pos" -> (col("amount") > 0),
+        "a `quoted` rule" -> (col("id") > 0),
+        "amount.is.pos" -> (col("amount") < 100)))
+      .orderBy("rule", "n_violations").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(weird.toSeq == Seq(("a `quoted` rule", 0L),
+      ("amount.is.pos", 1L), ("amount.is.pos", 3L)))
   }
 
   test("denseIndex: 0..n-1 in key order for sparse long and string ids, partition-invariant, parallel") {
@@ -164,6 +192,50 @@ class KernelsSpec extends AnyFunSuite {
     try {
       val big = spark.range(0, 10000).toDF("id")
       assert(Kernels.denseIndex(big, "id", "dense").rdd.getNumPartitions > 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("saltedAgg: equals plain groupBy; salt balances the hot key's partitions") {
+    // 10k rows, 95% under ONE key — the straggler shape
+    val skewed = spark.range(0, 10000).toDF("i")
+      .withColumn("k", when(col("i") % 20 =!= 0, "hot").otherwise(
+        concat(lit("cold"), (col("i") % 7).cast("string"))))
+      .withColumn("v", (col("i") % 100).cast("double"))
+    val salted = Kernels.saltedAgg(skewed, Seq("k"), saltBuckets = 16,
+        aggs = Seq(("count", "*", "n"), ("sum", "v", "sv"),
+                   ("min", "v", "mn"), ("max", "v", "mx"),
+                   ("avg", "v", "av")))
+      .orderBy("k").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))))
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"),
+           max("v").as("mx"), avg("v").as("av"))
+      .orderBy("k").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))))
+    assert(salted.toSeq == plain.toSeq)
+    // balance: the phase-1 exchange keys on (k, salt), so the hot
+    // key's 9500 rows spread ~uniformly over 16 sub-keys instead of
+    // landing in ONE reducer partition. Measure actual rows per
+    // partition under each partitioning (AQE would coalesce the tiny
+    // frame and hide the property; off for the measurement only).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong))
+          .collect().max
+      val unbalanced = maxPartRows(skewed.repartition(16, col("k")))
+      val withSalt = skewed.withColumn("__salt",
+        pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(16L)))
+      val balanced = maxPartRows(
+        withSalt.repartition(16, col("k"), col("__salt")))
+      assert(unbalanced >= 9500L,
+        s"hot key should straggle one partition unsalted, got $unbalanced")
+      assert(balanced <= 2500L,
+        s"salted partitioning should spread the hot key, got $balanced")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
