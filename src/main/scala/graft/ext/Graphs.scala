@@ -144,10 +144,20 @@ object Graphs {
     * the IEEE subtraction).
     *
     * Scale shape per sweep: one join of the rank frame against the
-    * staged out-degree adjacency (partitioned on src), one mass
-    * aggregate, one anti-join aggregate for D (1-row broadcast), and
-    * one left join back to the node frame so no-inbound nodes keep a
-    * row. Returns (node, out_degree, pr).
+    * staged out-degree adjacency feeding the mass aggregate, one
+    * left join back to the node frame so no-inbound nodes keep a row,
+    * and ONE combined 1-row broadcast carrying BOTH per-sweep scalars
+    * — the dangling mass D and N. D needs no join at all: the
+    * dangling SET is static, so its flag is stamped on the rank frame
+    * once at init and D is a filter-aggregate over the checkpoint
+    * (r11 verdict item 6; measured 5 → 4 marginal jobs per sweep —
+    * the anti-join's nested outdeg broadcast and the separate nAgg
+    * broadcast both disappear). The literal fold suggested there
+    * (sentinel NULL-dst adjacency rows so D rides the mass aggregate)
+    * was implemented, measured, and REJECTED: the mass frame then has
+    * two consumers (the D broadcast and the node join), forcing a
+    * staged materialization that costs one MORE job per sweep (6)
+    * than the anti-join it replaced. Returns (node, out_degree, pr).
     */
   def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3, damping: Double = 0.85): DataFrame = {
@@ -161,12 +171,18 @@ object Graphs {
       dir.groupBy("src").agg(count(lit(1)).as("deg")))
     val adj = graft.ops.Staging.stage(
       dir.join(outdeg, "src").repartition(col("src")))
-    val nAgg = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    val init = nodes.crossJoin(broadcast(nAgg))
-      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
-    // Each sweep references the prior rank frame THREE times (dangling
-    // anti-join, mass join, and transitively the node frame), so a
-    // lazy lineage trebles per iteration — the eager localCheckpoint
+    // the dangling SET is static — only its mass changes per sweep —
+    // so the flag is computed once and rides the rank frame through
+    // every checkpoint; D then needs no per-sweep join at all
+    val nodesF = graft.ops.Staging.stage(
+      nodes.join(outdeg, col("node") === col("src"), "left")
+        .select(col("node"), col("src").isNull.as("__dang")))
+    val nAgg = nodesF.agg(count(lit(1)).cast("double").as("__n"))
+    val init = nodesF.crossJoin(broadcast(nAgg))
+      .select(col("node"), col("__dang"), (lit(1.0) / col("__n")).as("pr"))
+    // Each sweep references the prior rank frame twice (the D
+    // filter-aggregate and the mass join), so a lazy lineage
+    // compounds per iteration — the eager localCheckpoint
     // (the CC-sweep idiom) pins every sweep to a constant-size plan;
     // superseded checkpoints are dropped once the successor exists.
     // init is checkpointed ONCE; each sweep then checkpoints only its
@@ -175,15 +191,21 @@ object Graphs {
     // ~2x the per-sweep job count when first written).
     val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
     val terminal = (1 to iterations).foldLeft(init0) { (prS, _) =>
-      val dangling = prS.join(outdeg, prS("node") === outdeg("src"),
-          "left_anti")
+      // BOTH per-sweep scalars ride ONE broadcast: D is a plain
+      // filter-aggregate over the checkpointed rank frame (the static
+      // __dang flag replaces the per-sweep anti-join and its nested
+      // outdeg broadcast), cross-joined with the 1-row N frame. The
+      // addends of D are the same pr values the anti-join summed, so
+      // every IEEE value (and the oracle replay) is bit-identical.
+      val consts = prS.filter(col("__dang"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-      val next = nodes.join(
+        .crossJoin(nAgg)
+      val next = nodesF.join(
           adj.join(prS, col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
           col("node") === col("dst"), "left")
-        .crossJoin(broadcast(nAgg)).crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .crossJoin(broadcast(consts))
+        .select(col("node"), col("__dang"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * (coalesce(col("__mass"), lit(0.0)) +
               col("__dm") / col("__n"))).as("pr"))

@@ -127,4 +127,43 @@ class GraphsSpec extends AnyFunSuite {
       math.abs(fanPr("y") - fanPr("z")) < 1e-15)
     graft.ops.Staging.releaseAll()
   }
+
+  test("pageRankDirected: marginal jobs per sweep stay pinned (folded dangling pass)") {
+    // r11 verdict item 6: D is a filter-aggregate over the statically
+    // flagged rank frame (no anti-join, no nested outdeg broadcast)
+    // and shares one broadcast with N — 5 -> 4 marginal jobs per
+    // extra sweep (the literal sentinel-row fold measured 6; see the
+    // pageRankDirected scaladoc).
+    // Pin the MARGINAL job count per extra sweep so a lineage
+    // regression (e.g. re-checkpointing the input, which doubled the
+    // count once) turns this red.
+    val sc = spark.sparkContext
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"))
+      .toDF("s", "t") // D is a sink
+    // AQE materializes every exchange stage as its own job, which
+    // drowns the signal; count plain jobs (the production 100 TB read
+    // on job count is the AQE-off shape: action + broadcast jobs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def jobsFor(group: String, iterations: Int): Int = {
+      sc.setJobGroup(group, group)
+      try {
+        Graphs.pageRankDirected(edges, "s", "t", iterations).collect()
+      } finally sc.clearJobGroup()
+      graft.ops.Staging.releaseAll()
+      // the status store is fed asynchronously; wait for it to settle
+      var last = -1; var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        Thread.sleep(200)
+        last = cur; cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    try {
+      val j1 = jobsFor("prd_sweeps_1", 1)
+      val j3 = jobsFor("prd_sweeps_3", 3)
+      val perSweep = (j3 - j1) / 2.0
+      assert(perSweep <= 4.0,
+        s"expected <= 4 marginal jobs per sweep, measured $perSweep ($j1 -> $j3)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
