@@ -277,6 +277,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio sample pipeline, driver-checked end to end: build a
+    // deterministic mono 16-bit PCM WAV per document (sample i =
+    // ((doc_id*31 + i*7919) mod 65536) - 32768), push it through the
+    // real RIFF decode -> decimate-by-3 -> re-encode path
+    // (Audio.decimate), then decode the RESAMPLED bytes again for
+    // header fields (sr/n pin the RIFF round trip) and exact integer
+    // features (energy / zero-crossings / peak over the kept
+    // samples). The oracle replays the generator at kept indices
+    // i*3 < n — equality proves codec + resample + features, not just
+    // plumbing (the audio twin of q120/q127).
+    "q129_wav_decimate_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
+      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
+      val resampled = graft.ext.Audio.decimate(wavs, "wav", 3)
+        .drop("wav") // drop the source payload before anything wide
+      graft.ext.Audio.withWavFeatures(resampled, "resampled", "audio")
+        .select(col("doc_id"), col("source"),
+          col("n").cast("long").as("n_in"),
+          col("audio_sr").cast("long").as("sr_out"),
+          col("audio_n").cast("long").as("n_out"),
+          col("audio_energy").as("energy"),
+          col("audio_zero_cross").as("zero_cross"),
+          col("audio_peak").as("peak"))
+        .orderBy("doc_id")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -1065,6 +1093,35 @@ object TextQueries {
         |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
         |  CAST(sum(val) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
+
+    // Replays the audio pipeline sample-exactly: kept indices are
+    // range(0, n, 3) (decimation by 3), sample value
+    // ((doc_id*31 + i*7919) % 65536) - 32768, energy = sum v^2
+    // (HUGEINT in DuckDB -> cast), zero-crossings via lag() over kept
+    // order, peak = max |v|; sr_out = 8000 // 3 pins the re-encoded
+    // RIFF header's sample-rate field.
+    "q129_wav_decimate_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n, unnest(range(0, n, 3)) AS i FROM d),
+        |s AS (
+        |  SELECT doc_id, source, n, i,
+        |    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+        |  FROM k),
+        |z AS (
+        |  SELECT doc_id, source, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, source,
+        |  CAST(n AS BIGINT) AS n_in,
+        |  CAST(8000 // 3 AS BIGINT) AS sr_out,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
 
     // q27's positional shingles WITHOUT list_distinct (every 3-gram
     // position counts), mode count per doc, single-division ratio.

@@ -440,4 +440,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions == 2) // 48 bytes total / 20
     assert(out.count() == 3)
   }
+
+  // ---- audio: pure-JVM PCM WAV codec + sample pipeline -------------
+
+  test("Wav codec round-trips mono and stereo 16-bit PCM") {
+    import graft.ext.Audio.Wav
+    val mono = Array[Short](0, 100, -32768, 32767, -1)
+    val Some((sr, ch, got)) = Wav.decode(Wav.encode(8000, 1, mono))
+    assert(sr == 8000 && ch == 1 && got.toSeq == mono.toSeq)
+    val stereo = Array[Short](1, -1, 2, -2, 3, -3) // 3 frames interleaved
+    val Some((sr2, ch2, got2)) = Wav.decode(Wav.encode(44100, 2, stereo))
+    assert(sr2 == 44100 && ch2 == 2 && got2.toSeq == stereo.toSeq)
+    // the generic header decoder agrees on the encoded stream's frames
+    val meta = HeaderDecoder.decode(Wav.encode(44100, 2, stereo))
+    assert(meta.format == "wav" && meta.valid && meta.n_frames == 3)
+  }
+
+  test("Wav.decode rejects non-PCM, non-16-bit, and truncated input") {
+    import graft.ext.Audio.Wav
+    val good = Wav.encode(8000, 1, Array[Short](1, 2, 3))
+    assert(Wav.decode(good.take(40)).isEmpty)          // truncated header
+    assert(Wav.decode(good.dropRight(1)).isEmpty)      // data escapes buffer
+    val nonPcm = good.clone(); nonPcm(20) = 3          // IEEE float format tag
+    assert(Wav.decode(nonPcm).isEmpty)
+    val eightBit = good.clone(); eightBit(34) = 8      // bits-per-sample
+    assert(Wav.decode(eightBit).isEmpty)
+    assert(Wav.decode(Array.emptyByteArray).isEmpty)
+    assert(Wav.decode(null).isEmpty)
+  }
+
+  test("synthetic WAV -> decimate -> features matches hand computation") {
+    import graft.ext.Audio
+    val docs = Seq((0L, 10), (5L, 7)).toDF("doc_id", "n")
+    val out = Audio.withWavFeatures(
+      Audio.decimate(
+        Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav"),
+        "wav", 3),
+      "resampled", "audio")
+      .select("doc_id", "n", "resampled_sr", "audio_sr", "audio_n",
+        "audio_energy", "audio_zero_cross", "audio_peak")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    def sample(id: Long, i: Int): Long = ((id * 31 + i * 7919L) % 65536) - 32768
+    for ((id, n) <- Seq((0L, 10), (5L, 7))) {
+      val kept = (0 until n by 3).map(i => sample(id, i))
+      val zc = kept.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }
+      val (sr, srF, nOut, energy, zcGot, peak) = out(id)
+      assert(sr == 2666 && srF == 2666) // 8000/3, re-decoded from the header
+      assert(nOut == kept.size)
+      assert(energy == kept.map(v => v * v).sum)
+      assert(zcGot == zc)
+      assert(peak == kept.map(math.abs).max)
+    }
+  }
+
+  test("decimate is channel-aware (keeps whole frames) and degrades on junk") {
+    import graft.ext.Audio
+    import graft.ext.Audio.Wav
+    // 5 stereo frames: frame f = (10f, -10f); decimate by 2 keeps f = 0,2,4
+    val stereo = (0 until 5).flatMap(f => Seq((10 * f).toShort, (-10 * f).toShort)).toArray
+    val df = Seq((1L, Wav.encode(8000, 2, stereo)), (2L, "junk".getBytes.asInstanceOf[Array[Byte]]))
+      .toDF("id", "wav")
+    val rows = Audio.decimate(df, "wav", 2).orderBy("id")
+      .select("id", "resampled", "resampled_sr", "resampled_n").collect()
+    val Some((sr, ch, kept)) = Wav.decode(rows(0).getAs[Array[Byte]](1))
+    assert(sr == 4000 && ch == 2 && rows(0).getInt(3) == 3)
+    assert(kept.toSeq == Seq[Short](0, 0, 20, -20, 40, -40))
+    assert(rows(1).get(1) == null && rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
+  }
 }
