@@ -305,6 +305,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL video frame sampling, driver-checked end to end: build a
+    // per-document frame container whose frames are genuine BMPs
+    // (frame f pixel (x,y,c) = (doc_id + 11f + 7x + 13y + 29c) mod
+    // 256), walk the container keeping every 2nd frame
+    // (Video.extractFrames — skipped frames are seeked over, never
+    // materialized), then run the REAL image operators on each kept
+    // frame: header decode for dims + exact RGB checksum. One row per
+    // sampled frame; the oracle replays the pixel formula per kept
+    // frame — equality proves container walk + frame decode + pixel
+    // math (the video leg of q120/q127/q129).
+    "q130_video_frame_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("nf", (lit(1) + col("n_chars") % 6).cast("int"))
+        .withColumn("w", (lit(1) + col("n_chars") % 9).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 7).cast("int"))
+      val vids = graft.ext.Video.withSyntheticVideo(
+        docs, "doc_id", "nf", "w", "h", "video")
+      val frames = graft.ext.Video.extractFrames(vids, "video", stride = 2)
+        .drop("video") // drop the container before anything wide
+      val meta = graft.ext.Multimodal.withDecodedMeta(
+        graft.ext.Multimodal.withBmpPixelChecksum(frames, "frame"), "frame")
+      meta.select(col("doc_id"), col("source"),
+          col("frame_idx").cast("long"),
+          col("frame_count").cast("long").as("n_frames"),
+          col("media_meta.width").cast("long").as("w_out"),
+          col("media_meta.height").cast("long").as("h_out"),
+          col("pixel_checksum").as("checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -1122,6 +1153,34 @@ object TextQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
+
+    // Replays the sampled-frame pixel sums: kept frame indices are
+    // range(0, nf, 2), frame f's checksum = sum over (x,y,c) of
+    // (doc_id + 11f + 7x + 13y + 29c) % 256.
+    "q130_video_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 1 + n_chars % 6 AS nf,
+        |    1 + n_chars % 9 AS w, 1 + (n_chars * 3) % 7 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, nf, w, h, unnest(range(0, nf, 2)) AS fi
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, source, nf, w, h, fi, x, y, c
+        |  FROM f
+        |  CROSS JOIN (SELECT unnest(range(9)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(7)) AS y) ys
+        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs
+        |  WHERE x < w AND y < h),
+        |o AS (
+        |  SELECT doc_id, source, nf, w, h, fi,
+        |    sum((doc_id + 11 * fi + 7 * x + 13 * y + 29 * c) % 256) AS cs
+        |  FROM g GROUP BY doc_id, source, nf, w, h, fi)
+        |SELECT doc_id, source, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS w_out, CAST(h AS BIGINT) AS h_out,
+        |  CAST(cs AS BIGINT) AS checksum
+        |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q27's positional shingles WITHOUT list_distinct (every 3-gram
     // position counts), mode count per doc, single-division ratio.

@@ -441,6 +441,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  // ---- video: frame container + real frame extraction --------------
+
+  test("Video.Container round-trips and seeks over skipped frames") {
+    import graft.ext.Video.Container
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](9),
+      Array[Byte](4, 5), Array[Byte](7))
+    val bytes = Container.encode(frames)
+    assert(Container.decodeFrames(bytes).get.map(_.toSeq) == frames.map(_.toSeq))
+    val Some((n, kept)) = Container.sampledFrames(bytes, stride = 2)
+    assert(n == 5 && kept.map(_._1) == Vector(0, 2, 4))
+    assert(kept.map(_._2.toSeq) == Vector(Seq[Byte](1, 2, 3), Seq[Byte](9), Seq[Byte](7)))
+    // corrupt input degrades to None, never throws
+    assert(Container.sampledFrames(bytes.dropRight(1), 1).isEmpty) // truncated payload
+    assert(Container.sampledFrames(bytes.take(7), 1).isEmpty)      // truncated header
+    assert(Container.sampledFrames("JUNKJUNK".getBytes, 1).isEmpty)
+    assert(Container.sampledFrames(null, 1).isEmpty)
+  }
+
+  test("extractFrames yields decodable BMP frames with the gradient pixels") {
+    import graft.ext.{Multimodal, Video}
+    import graft.ext.Multimodal.Bmp
+    val docs = Seq((3L, 5, 4, 3), (8L, 1, 2, 2)).toDF("doc_id", "nf", "w", "h")
+    val vids = Video.withSyntheticVideo(docs, "doc_id", "nf", "w", "h")
+    val rows = Video.extractFrames(vids, "video", stride = 2)
+      .select("doc_id", "frame", "frame_idx", "frame_count", "w", "h")
+      .collect()
+    // doc 3: frames 0,2,4 of 5; doc 8: frame 0 of 1
+    assert(rows.map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet ==
+      Set((3L, 0, 5), (3L, 2, 5), (3L, 4, 5), (8L, 0, 1)))
+    rows.foreach { r =>
+      val (id, f, w, h) = (r.getLong(0), r.getInt(2), r.getInt(4), r.getInt(5))
+      val Some((dw, dh, px)) = Bmp.decode(r.getAs[Array[Byte]](1))
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((px((y * w + x) * 3 + c) & 0xff) ==
+          ((id + 11 * f + 7 * x + 13 * y + 29 * c) % 256).toInt)
+    }
+    // corrupt container -> one visible row with null payload and -1 markers
+    val junk = Seq((9L, "not a video".getBytes.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "video")
+    val bad = Video.extractFrames(junk, "video", 2).collect()
+    assert(bad.length == 1 && bad(0).getAs[Array[Byte]]("frame") == null &&
+      bad(0).getAs[Int]("frame_idx") == -1 && bad(0).getAs[Int]("frame_count") == -1)
+  }
+
   // ---- audio: pure-JVM PCM WAV codec + sample pipeline -------------
 
   test("Wav codec round-trips mono and stereo 16-bit PCM") {
