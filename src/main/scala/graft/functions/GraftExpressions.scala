@@ -596,6 +596,217 @@ case class NearestCentroids(vec: Expression, centroids: Expression, probes: Int)
     copy(vec = l, centroids = r)
 }
 
+/** Unit-normalize an array<double> (the cosine→inner-product
+  * reduction every additive-decomposition index needs: on unit
+  * vectors IP IS cosine, which is what lets PQ's per-subspace tables
+  * sum to the full similarity). Zero vectors pass through as zeros —
+  * NaN must not poison downstream aggregates. Codegen'd: runs inside
+  * the corpus scan at index-build time.
+  */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_normalize expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getDouble(i); s += xi * xi; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    if (nrm > 0.0) while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $a.getDouble($i); $s += v * v;
+         |}
+         |double $nrm = java.lang.Math.sqrt($s);
+         |double[] $out = new double[$n];
+         |if ($nrm > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) / $nrm; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): VecNormalize =
+    copy(child = c)
+}
+
+/** Product-quantization encode: split the vector into M contiguous
+  * subvectors (M = codebook count; dsub = dims / M) and emit, per
+  * subspace, the index of the L2-nearest codeword — the standard PQ
+  * assignment (codewords minimize per-subspace reconstruction error,
+  * so the ADC table sum approximates the full inner product). The
+  * codebook rides in as a FOLDABLE literal `array<array<array<
+  * double>>>` ([m][j][dsub]) decoded once per executor — no codebook
+  * join, no corpus shuffle; the emitted array<int> of M small codes
+  * IS the stored index (M bytes/vector at K<=256 in a production
+  * layout vs 4*dims for floats). Ties break toward the lower
+  * codeword index; a dims/codebook mismatch returns NULL (corrupt
+  * embedding data must not encode plausibly). CodegenFallback like
+  * [[NearestCentroids]]: the M*K*dsub loop is the row's entire work.
+  */
+case class PqEncode(vec: Expression, codebooks: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = codebooks
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, codebooks.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        if (codebooks.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "pq_encode expects a foldable (literal) codebook tensor")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects (array<double>, array<array<array<double>>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null children OR shape mismatch
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val books: Array[Array[Array[Double]]] = {
+    val ms = codebooks.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    Array.tabulate(ms.numElements()) { m =>
+      val ks = ms.getArray(m)
+      Array.tabulate(ks.numElements())(j => ks.getArray(j).toDoubleArray())
+    }
+  }
+
+  override protected def nullSafeEval(v: Any, cs: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mCount = books.length
+    if (mCount == 0) return null
+    val dsub = books(0)(0).length
+    if (x.numElements() != mCount * dsub) return null
+    val codes = new Array[Int](mCount)
+    var m = 0
+    while (m < mCount) {
+      val off = m * dsub
+      val book = books(m)
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var j = 0
+      while (j < book.length) {
+        val cw = book(j)
+        var dist = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = x.getDouble(off + i) - cw(i)
+          dist += d * d
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(vec = l, codebooks = r)
+}
+
+/** Asymmetric-distance (ADC) score: given a vector's PQ codes
+  * (array<int>, length M) and a QUERY's flattened distance table
+  * (array<double>, length M*K: entry m*K + j = IP(query subvector m,
+  * codeword j)), the approximate inner product is the table sum
+  * `Σ_m table[m*K + codes[m]]` — M array reads per corpus row instead
+  * of a dims-length dot product, which with unit vectors approximates
+  * cosine. K is inferred per row (table.len / codes.len); a
+  * non-divisible pair or out-of-range code returns NULL. This is THE
+  * hot path of a PQ search (corpus × queries rows), so it implements
+  * `doGenCode` and stays inside whole-stage codegen.
+  */
+case class PqAdcScore(codes: Expression, table: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = table
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, table.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (array<int>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null children OR shape mismatch
+  override def prettyName: String = "pq_adc_score"
+
+  override protected def nullSafeEval(c: Any, t: Any): Any = {
+    val cd = c.asInstanceOf[ArrayData]
+    val tb = t.asInstanceOf[ArrayData]
+    val m = cd.numElements()
+    val tn = tb.numElements()
+    if (m == 0 || tn % m != 0) return null
+    val k = tn / m
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val code = cd.getInt(i)
+      if (code < 0 || code >= k) return null
+      s += tb.getDouble(i * k + code)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val m = ctx.freshName("m")
+      val tn = ctx.freshName("tn")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      s"""
+         |int $m = $c.numElements();
+         |int $tn = $t.numElements();
+         |if ($m == 0 || $tn % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $tn / $m;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    int $code = $c.getInt($i);
+         |    if ($code < 0 || $code >= $k) { ${ev.isNull} = true; break; }
+         |    $s += $t.getDouble($i * $k + $code);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(codes = l, table = r)
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -694,6 +905,21 @@ object GraftFunctions {
       case Seq(q, v) => Int8CosineSim(q, v)
       case other => throw new IllegalArgumentException(
         s"graft_int8_cosine(q, vec): got ${other.size} args")
+    },
+    "graft_vec_normalize" -> {
+      case Seq(v) => VecNormalize(v)
+      case other => throw new IllegalArgumentException(
+        s"graft_vec_normalize(vec): got ${other.size} args")
+    },
+    "graft_pq_encode" -> {
+      case Seq(v, cb) => PqEncode(v, cb)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode(vec, codebooks): got ${other.size} args")
+    },
+    "graft_pq_adc_score" -> {
+      case Seq(c, t) => PqAdcScore(c, t)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_adc_score(codes, table): got ${other.size} args")
     },
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime row-group filtering but does not register them as
@@ -847,6 +1073,26 @@ object GraftFunctions {
   def int8Cosine(spark: SparkSession, q: Column, vec: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_int8_cosine", q, vec)
+  }
+
+  /** Unit-normalization (see [[VecNormalize]]). */
+  def vecNormalize(spark: SparkSession, vec: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_vec_normalize", vec)
+  }
+
+  /** PQ code assignment (see [[PqEncode]]); `codebooks` must be a
+    * literal column (typedLit of the driver-resident [m][j][dsub]
+    * tensor). */
+  def pqEncode(spark: SparkSession, vec: Column, codebooks: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_pq_encode", vec, codebooks)
+  }
+
+  /** ADC table-sum score (see [[PqAdcScore]]). */
+  def pqAdcScore(spark: SparkSession, codes: Column, table: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_pq_adc_score", codes, table)
   }
 
   /** Distributed bloom-filter build over a LONG column (hash strings

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.Similarity
+import graft.ext.{Pq, Similarity}
 import graft.tables.Tables
 
 /** Embedding-similarity queries over the embeddings table. */
@@ -240,6 +240,40 @@ object VectorQueries {
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
         .orderBy("n_nodes")
     }),
+
+    // Product-quantization ANN recall sentinel (q53's pattern for the
+    // PQ memory path, Pq.pqTopK): the corpus is stored as M=8 codes
+    // over K=16-codeword per-subspace codebooks (8 small ints vs 64
+    // floats — the 32x index-memory reduction), queries score rows by
+    // ADC table sum (native PqAdcScore — 8 array reads per row, no
+    // dot product). Row 'pq' is the raw ADC ranking; 'pq_rerank' is
+    // the production shape (top 4k ADC candidates re-scored exactly
+    // from the float vectors). Codebooks train once and are shared by
+    // both rows. Recall vs exact brute force is a deterministic fact
+    // of this configuration (fixed seeds/sweeps/tie-breaks) at each
+    // SF; any regression in training, encode, ADC scoring, or the
+    // re-rank join turns the row red.
+    "q131_ann_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      val books = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, k = 64)
+      def recallRow(name: String, rf: Int) =
+        Pq.pqTopK(emb, qs, "vec_id", "embedding", k = 3,
+            rerankFactor = rf, codebooks = Some(books))
+          .select("query_id", "neighbor_id").intersect(exact)
+          .agg(lit(name).as("method"),
+               round(count(lit(1)) / 30.0, 6).as("recall"))
+      val ivfPq = Pq.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 3,
+          nCentroids = 16, nProbe = 4, codebooks = Some(books))
+        .select("query_id", "neighbor_id").intersect(exact)
+        .agg(lit("ivf_pq").as("method"),
+             round(count(lit(1)) / 30.0, 6).as("recall"))
+      recallRow("pq", 0).unionByName(recallRow("pq_rerank", 16))
+        .unionByName(ivfPq)
+        .orderBy("method")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +385,32 @@ object VectorQueries {
         |  CAST(CASE n WHEN 6000 THEN 0.9 WHEN 60000 THEN 1.0
         |              WHEN 600000 THEN 0.966667 END AS DOUBLE) AS recall
         |FROM sf ORDER BY method""".stripMargin,
+
+    // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
+    // express the per-subspace k-means codebooks or ADC tie
+    // ordering). The directionally-uniform synthetic vectors are PQ's
+    // pathological case — quantization error is spread across every
+    // dimension with no cluster structure to absorb it — so the raw
+    // ADC row sits low by construction and the re-rank row shows the
+    // production dial (top 16k exact re-scoring) doing its job; the
+    // pins are deterministic facts of seeds/sweeps/tie-breaks per SF.
+    "q131_ann_pq_recall" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT 'ivf_pq' AS method,
+        |  CAST(CASE n WHEN 6000 THEN 0.9 WHEN 60000 THEN 0.966667
+        |              WHEN 600000 THEN 0.833333 END AS DOUBLE) AS recall
+        |FROM sf
+        |UNION ALL
+        |SELECT 'pq',
+        |  CAST(CASE n WHEN 6000 THEN 0.333333 WHEN 60000 THEN 0.333333
+        |              WHEN 600000 THEN 0.2 END AS DOUBLE)
+        |FROM sf
+        |UNION ALL
+        |SELECT 'pq_rerank',
+        |  CAST(CASE n WHEN 6000 THEN 0.9 WHEN 60000 THEN 0.933333
+        |              WHEN 600000 THEN 0.766667 END AS DOUBLE)
+        |FROM sf
+        |ORDER BY method""".stripMargin,
 
     "q42_embedding_neardup" ->
       """WITH n AS (

@@ -24,7 +24,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_nearest_centroids",
     "graft_simhash32", "graft_simhash64", "graft_token_set_count",
     "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
-    "graft_int8_cosine")
+    "graft_int8_cosine",
+    "graft_vec_normalize", "graft_pq_encode", "graft_pq_adc_score")
 
   test("registry lists every native function exactly once") {
     assert(GraftFunctions.registry.map(_._1).sorted == Expected.sorted)
