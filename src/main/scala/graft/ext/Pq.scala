@@ -139,51 +139,9 @@ object Pq {
                 rerankFactor: Int = 16,
                 codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids, "need 1 <= nProbe <= nCentroids")
-    require(rerankFactor >= 1, "rerankFactor must be >= 1")
-    val spark = corpus.sparkSession
-    val gf = graft.functions.GraftFunctions
-    val e = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      Similarity.asDouble(col(vecCol)).as("c_vec"))
-    val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
-      nCentroids, sweeps)
-    val books = codebooks.getOrElse(
-      trainCodebooks(corpus, idCol, vecCol, m, kCodes, sweeps))
-    // ONE corpus scan builds the stored layout: cell + M-code row
-    val indexed = e.select(col("neighbor_id"),
-      gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0).as("cell"),
-      gf.pqEncode(spark, gf.vecNormalize(spark, col("c_vec")),
-        typedLit(books)).as("codes"))
-    // queries: probed cells + ADC table each (driver-small, broadcast)
-    val qRows = queries.select(col(idCol).cast("long").as("id"),
-        gf.vecNormalize(spark, Similarity.asDouble(col(vecCol))).as("v"))
-      .collect()
-    import spark.implicits._
-    val qdf = qRows.toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1),
-        adcTable(r.getSeq[Double](1), books)))
-      .toDF("query_id", "q_vec", "adc_table")
-      .withColumn("cell",
-        explode(gf.nearestCentroids(spark, col("q_vec"), typedLit(cents), nProbe)))
-      .select("query_id", "cell", "adc_table")
-    val cells = qdf.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val approx = indexed
-      .filter(col("cell").isin(cells: _*)) // partition pruning on a saved layout
-      .join(broadcast(qdf), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("asim", gf.pqAdcScore(spark, col("codes"), col("adc_table")))
-      .groupBy("query_id")
-      .agg(gf.topKByScore(spark, col("asim"), col("neighbor_id"),
-        rerankFactor * k).as("hits"))
-      .select(col("query_id"), explode(col("hits")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("neighbor_id"))
-    val qvecs = queries.select(col(idCol).cast("long").as("query_id"),
-      Similarity.asDouble(col(vecCol)).as("q_vec"))
-    Similarity.rerankTopK(
-      e.join(broadcast(approx), "neighbor_id")
-        .join(broadcast(qvecs), "query_id")
-        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
-        .select("query_id", "neighbor_id", "sim"),
-      k)
+    IvfPqIndex.build(corpus, idCol, vecCol, nCentroids, m, kCodes, sweeps,
+        codebooks)
+      .search(queries, corpus, idCol, vecCol, k, nProbe, rerankFactor)
   }
 
   /** PQ ANN top-k: train (or reuse) codebooks, encode the corpus,

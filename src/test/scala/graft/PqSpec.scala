@@ -101,6 +101,27 @@ class PqSpec extends AnyFunSuite {
     assert(viaIvfPq == exact)
   }
 
+  test("IvfPqIndex: save/load round-trips models and search; cell pruning holds") {
+    import graft.ext.IvfPqIndex
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val queries = corpus.filter(col("vec_id") < 3)
+    val idx = IvfPqIndex.build(corpus, "vec_id", "embedding",
+      nCentroids = 4, m = 2, kCodes = 4, sweeps = 2)
+    val inMem = idx.search(queries, corpus, "vec_id", "embedding",
+        k = 3, nProbe = 2, rerankFactor = 2)
+      .collect().map(_.toSeq).toSet
+    idx.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    assert(loaded.centroids == idx.centroids)
+    assert(loaded.codebooks == idx.codebooks)
+    val viaDisk = loaded.search(queries, corpus, "vec_id", "embedding",
+      k = 3, nProbe = 2, rerankFactor = 2)
+    assert(viaDisk.collect().map(_.toSeq).toSet == inMem)
+    val plan = viaDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"loaded IVF-PQ search must prune cell partitions:\n$plan")
+  }
+
   test("codebook training is deterministic and keeps empty cells") {
     val b1 = Pq.trainCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4)
     val b2 = Pq.trainCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4)
