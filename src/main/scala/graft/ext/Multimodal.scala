@@ -631,14 +631,17 @@ object Multimodal {
   }
 
   /** Format-sniffing pixel decode: BMP ("BM") via [[Bmp.decode]], PNG
-    * (\x89PNG) via [[Png.decode]]. The one entry point resize/
-    * checksum operators use, so adding a codec extends every pixel
-    * operator at once. */
+    * (\x89PNG) via [[Png.decode]], GIF ("GIF") via [[Gif.decode]] —
+    * the raw, deflate, and LZW compression families respectively. The
+    * one entry point resize/checksum operators use, so adding a codec
+    * extends every pixel operator at once. */
   def decodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < 8) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') Bmp.decode(bytes)
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
              bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Gif.decode(bytes)
     else None
   }
 
@@ -773,6 +776,39 @@ object Multimodal {
                        hCol: String, out: String = "img"): DataFrame =
     withSyntheticImage(df, idCol, wCol, hCol, out,
       (w, h, rgb) => Png.encode(w, h, rgb))
+
+  /** GIF twin of [[withSyntheticBmp]], adapted to GIF's palette
+    * model: pixel (x, y) is GRAY value `(id + 7x + 13y) mod 256`
+    * (palette index == gray level in the encoder's 256-gray global
+    * table), compressed through the REAL LZW path — so a decode
+    * downstream exercises dictionary growth, width bumps, and the
+    * KwKwK branch on driver-checked data. Decoded RGB is (v, v, v),
+    * which an SQL oracle replays exactly. */
+  def withSyntheticGif(df: DataFrame, idCol: String, wCol: String,
+                       hCol: String, out: String = "img"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(out, org.apache.spark.sql.types.BinaryType))
+    val iI = df.schema.fieldIndex(idCol)
+    val wI = df.schema.fieldIndex(wCol)
+    val hI = df.schema.fieldIndex(hCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(iI); val w = r.getInt(wI); val h = r.getInt(hI)
+        val idx = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            idx(y * w + x) = ((id + 7L * x + 13L * y) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ Gif.encode(w, h, idx))
+      }
+    }(enc)
+  }
 
   /** Shared fixture core: pixel (x, y) channel c of row `id` is
     * `(id + 7x + 13y + 29c) mod 256` — pure integer arithmetic a SQL

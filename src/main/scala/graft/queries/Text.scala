@@ -277,6 +277,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL GIF (LZW) pixel pipeline, driver-checked end to end: the
+    // q127 shape for the THIRD compression family — encode a
+    // grayscale gradient (pixel (x,y) = (doc_id + 7x + 13y) mod 256)
+    // as a genuine LZW-compressed GIF89a, decode -> bilinear resample
+    // to 8x5 -> checksum. Gradient images span the dictionary-growth
+    // and width-bump branches; in_w/in_h come from the decoded
+    // logical-screen descriptor. The grayscale palette makes every
+    // channel interpolate the same plane, so the oracle replays ONE
+    // channel and multiplies by 3 — any wrong byte anywhere in the
+    // LZW stream walk flips the sum.
+    "q132_gif_decode_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val gifs = graft.ext.Multimodal.withSyntheticGif(
+        docs, "doc_id", "w", "h", "img")
+      val resized = graft.ext.Multimodal.resizeImage(gifs, "img", 8, 5,
+          mode = "bilinear")
+        .drop("img")
+      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
+        .select(col("doc_id"), col("source"),
+          col("resized_src_w").cast("long").as("in_w"),
+          col("resized_src_h").cast("long").as("in_h"),
+          col("pixel_checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL audio sample pipeline, driver-checked end to end: build a
     // deterministic mono 16-bit PCM WAV per document (sample i =
     // ((doc_id*31 + i*7919) mod 65536) - 32768), push it through the
@@ -1123,6 +1151,40 @@ object TextQueries {
         |SELECT doc_id, source,
         |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
         |  CAST(sum(val) AS BIGINT) AS checksum
+        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
+
+    // q124's interpolation replay on the single gray plane
+    // (id + 7i + 13j) % 256, tripled — the GIF layer is lossless, so
+    // decoded pixels ARE the gradient on all three channels.
+    "q132_gif_decode_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT d.*, x, y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys),
+        |v AS (
+        |  SELECT doc_id, source, w, h,
+        |    (x * (w - 1)) // 7 AS i0,
+        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
+        |    (x * (w - 1)) % 7 AS rx,
+        |    (y * (h - 1)) // 4 AS j0,
+        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
+        |    (y * (h - 1)) % 4 AS ry
+        |  FROM grid),
+        |o AS (
+        |  SELECT doc_id, source, w, h,
+        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0) % 256)
+        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0) % 256)
+        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1) % 256)
+        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1) % 256)) + 28) // 56 AS val
+        |  FROM v)
+        |SELECT doc_id, source,
+        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+        |  CAST(3 * sum(val) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
 
     // Replays the audio pipeline sample-exactly: kept indices are

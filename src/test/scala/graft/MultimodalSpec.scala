@@ -441,6 +441,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  // ---- GIF: pure-JVM LZW codec -------------------------------------
+
+  test("GIF LZW round-trips growth, width bumps, table-full resets, and KwKwK") {
+    import graft.ext.Gif
+    // varied stream long enough to push the dictionary past every
+    // width bump (512/1024/2048) and through a full-table reset
+    val varied = Array.tabulate(60000)(i => ((i * i + 7 * i) % 251).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(varied, 8), 8, varied.length)
+      .get.toSeq == varied.toSeq)
+    // constant stream: the decoder's first post-literal code is always
+    // the just-created entry — the KwKwK self-reference branch
+    val constant = Array.fill(500)(42.toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(constant, 8), 8, constant.length)
+      .get.toSeq == constant.toSeq)
+    // small alphabet exercises narrow initial code widths
+    val bits = Array.tabulate(1000)(i => (i % 2).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(bits, 2), 2, bits.length)
+      .get.toSeq == bits.toSeq)
+    // truncated stream must degrade, not throw or fabricate pixels
+    val enc = Gif.lzwEncode(varied, 8)
+    assert(Gif.lzwDecode(enc.take(enc.length / 2), 8, varied.length).isEmpty)
+  }
+
+  test("Gif container round-trips the grayscale gradient; corrupt input degrades") {
+    import graft.ext.Gif
+    val w = 23; val h = 17
+    val idx = Array.tabulate(w * h)(p => ((5 + 7 * (p % w) + 13 * (p / w)) % 256).toByte)
+    val bytes = Gif.encode(w, h, idx)
+    val Some((dw, dh, rgb)) = Gif.decode(bytes)
+    assert(dw == w && dh == h)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert((rgb(3 * p + c) & 0xff) == (idx(p) & 0xff))
+    // the generic header decoder agrees on dims
+    val meta = HeaderDecoder.decode(bytes)
+    assert(meta.format == "gif" && meta.valid && meta.width == w && meta.height == h)
+    // degrade paths
+    assert(Gif.decode(bytes.take(12)).isEmpty)           // truncated header
+    assert(Gif.decode(bytes.dropRight(40)).isEmpty)      // truncated payload
+    val interlaced = bytes.clone()
+    interlaced(6 + 7 + 768 + 9) = 0x40.toByte            // image-descriptor packed
+    assert(Gif.decode(interlaced).isEmpty)
+    assert(Gif.decode("not a gif".getBytes).isEmpty)
+    assert(Gif.decode(null).isEmpty)
+  }
+
+  test("decodeRgb routes GIFs into the shared pixel operators") {
+    import graft.ext.Multimodal
+    val docs = Seq((4L, 9, 7)).toDF("doc_id", "w", "h")
+    val gifs = Multimodal.withSyntheticGif(docs, "doc_id", "w", "h")
+    val r = Multimodal.withBmpPixelChecksum(
+        Multimodal.resizeImage(gifs, "img", 8, 5, mode = "bilinear"), "resized")
+      .select("resized_src_w", "resized_src_h", "pixel_checksum").head()
+    assert(r.getInt(0) == 9 && r.getInt(1) == 7)
+    // grayscale source: every channel interpolates the same plane, so
+    // the checksum is 3x the single-channel bilinear sum — computed
+    // here by replaying the exact fixed-point arithmetic
+    def v(x: Int, y: Int): Long = (4 + 7 * x + 13 * y) % 256
+    var sum = 0L
+    for (x <- 0 until 8; y <- 0 until 5) {
+      val (i0, rx) = ((x * 8) / 7, (x * 8) % 7)
+      val i1 = math.min(i0 + 1, 8)
+      val (j0, ry) = ((y * 6) / 4, (y * 6) % 4)
+      val j1 = math.min(j0 + 1, 6)
+      val num = (7 - rx) * (4 - ry) * v(i0, j0) + rx * (4 - ry) * v(i1, j0) +
+        (7 - rx) * ry * v(i0, j1) + rx * ry * v(i1, j1)
+      sum += (2 * num + 28) / 56
+    }
+    assert(r.getLong(2) == 3 * sum)
+  }
+
   // ---- video: frame container + real frame extraction --------------
 
   test("Video.Container round-trips and seeks over skipped frames") {
