@@ -184,6 +184,66 @@ object Audio {
     }(enc)
   }
 
+  /** Linear-interpolation resample to `targetRate` — the audio twin of
+    * the image path's exact fixed-point bilinear
+    * ([[Multimodal.Bmp.resampleBilinear]]): output frame t maps to
+    * source position t*(nIn-1)/(nOut-1) (align-corners), the corner
+    * weights are the integer remainder mod (nOut-1), and rounding is
+    * half-up as floor((2*num + den) / (2*den)) — no floating point
+    * anywhere, so an SQL oracle replays every output sample.
+    * Signed-sample note: interpolation runs in OFFSET space
+    * (u = s + 32768, non-negative), where the truncating integer
+    * division both JVM and DuckDB implement IS floor — the offset
+    * commutes with linear interpolation exactly, so results equal
+    * signed interpolation with true floor rounding. nOut =
+    * max(1, nFrames*targetRate/srIn) (integer division); channel-aware
+    * like [[decimate]]. Undecodable assets yield null/0/0. */
+  def resampleLinear(df: DataFrame, binCol: String, targetRate: Int,
+                     out: String = "resampled"): DataFrame = {
+    require(targetRate >= 1, "target sample rate must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(out, BinaryType),
+      StructField(s"${out}_sr", IntegerType, nullable = false),
+      StructField(s"${out}_n", IntegerType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Wav.decode(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((sr, ch, samples)) if samples.nonEmpty =>
+            val nIn = samples.length / ch
+            val nOut = math.max(1, (nIn.toLong * targetRate / sr).toInt)
+            val outSamples = new Array[Short](nOut * ch)
+            var t = 0
+            while (t < nOut) {
+              var c = 0
+              while (c < ch) {
+                val v =
+                  if (nOut == 1 || nIn == 1) samples(c)
+                  else {
+                    val den = nOut - 1
+                    val pos = t.toLong * (nIn - 1)
+                    val i0 = (pos / den).toInt
+                    val rem = (pos % den).toInt
+                    val i1 = math.min(i0 + 1, nIn - 1)
+                    val u0 = samples(i0 * ch + c) + 32768L
+                    val u1 = samples(i1 * ch + c) + 32768L
+                    val num = (den - rem) * u0 + rem * u1
+                    (((2 * num + den) / (2L * den)) - 32768L).toShort
+                  }
+                outSamples(t * ch + c) = v
+                c += 1
+              }
+              t += 1
+            }
+            Row.fromSeq(r.toSeq ++
+              Seq[Any](Wav.encode(targetRate, ch, outSamples), targetRate, nOut))
+          case _ => Row.fromSeq(r.toSeq ++ Seq[Any](null, 0, 0))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio feature extraction over channel 0 (exact integers, so
     * one BIGINT per feature pins the whole decode):
     *  - `<out>_sr` / `<out>_n`: decoded header rate + frame count,

@@ -364,6 +364,32 @@ object TextQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // q129's pipeline with the INTERPOLATING resampler: synthetic
+    // 8000 Hz WAV -> linear resample to 3000 Hz (exact fixed-point
+    // align-corners arithmetic in offset space — the audio twin of
+    // q124's bilinear) -> features over the interpolated samples. The
+    // oracle replays every interpolated sample: position t*(n-1)
+    // splits into i0 + remainder over den = nOut-1, corner values are
+    // the generator in offset space u = (doc_id*31 + i*7919) mod
+    // 65536, round-half-up is (2*num + den) // (2*den).
+    "q133_wav_resample_linear" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
+      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
+      val resampled = graft.ext.Audio.resampleLinear(wavs, "wav", 3000)
+        .drop("wav")
+      graft.ext.Audio.withWavFeatures(resampled, "resampled", "audio")
+        .select(col("doc_id"), col("source"),
+          col("n").cast("long").as("n_in"),
+          col("audio_sr").cast("long").as("sr_out"),
+          col("audio_n").cast("long").as("n_out"),
+          col("audio_energy").as("energy"),
+          col("audio_zero_cross").as("zero_cross"),
+          col("audio_peak").as("peak"))
+        .orderBy("doc_id")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -1243,6 +1269,46 @@ object TextQueries {
         |  CAST(w AS BIGINT) AS w_out, CAST(h AS BIGINT) AS h_out,
         |  CAST(cs AS BIGINT) AS checksum
         |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays the linear resample sample-exactly: nOut = 3n//8
+    // (3000/8000 of n), u-values are the generator mod 65536 (the
+    // +32768 offset IS the un-offset mod value), interpolated with
+    // integer corner weights and (2*num + den) // (2*den) rounding,
+    // then the same feature aggregates as q129.
+    "q133_wav_resample_linear" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, source, n, (n * 3000) // 8000 AS n_out FROM d),
+        |k AS (
+        |  SELECT doc_id, source, n, n_out, unnest(range(0, n_out)) AS t
+        |  FROM d2),
+        |w AS (
+        |  SELECT doc_id, source, n, n_out, t,
+        |    (t * (n - 1)) // (n_out - 1) AS i0,
+        |    least((t * (n - 1)) // (n_out - 1) + 1, n - 1) AS i1,
+        |    (t * (n - 1)) % (n_out - 1) AS rem,
+        |    n_out - 1 AS den
+        |  FROM k),
+        |s AS (
+        |  SELECT doc_id, source, n, n_out, t,
+        |    (2 * ((den - rem) * ((doc_id * 31 + i0 * 7919) % 65536)
+        |        + rem * ((doc_id * 31 + i1 * 7919) % 65536)) + den)
+        |      // (2 * den) - 32768 AS v
+        |  FROM w),
+        |z AS (
+        |  SELECT doc_id, source, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM s)
+        |SELECT doc_id, source,
+        |  CAST(n AS BIGINT) AS n_in,
+        |  CAST(3000 AS BIGINT) AS sr_out,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
 
     // q27's positional shingles WITHOUT list_distinct (every 3-gram
     // position counts), mode count per doc, single-division ratio.

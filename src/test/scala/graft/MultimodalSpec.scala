@@ -609,6 +609,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleLinear interpolates exactly (round half up) per channel") {
+    import graft.ext.Audio
+    import graft.ext.Audio.Wav
+    // upsample 2 frames to 3 at 8000 -> 12000: midpoint of (0, 101)
+    // rounds half-up to 51; stereo channel (-101, 0) rounds -50.5 up
+    // to -50 (offset-space arithmetic IS floor on signed values)
+    val stereo = Array[Short](0, -101, 101, 0)
+    val df = Seq((1L, Wav.encode(8000, 2, stereo))).toDF("id", "wav")
+    val rows = Audio.resampleLinear(df, "wav", 12000)
+      .select("resampled", "resampled_sr", "resampled_n").head()
+    val Some((sr, ch, got)) = Wav.decode(rows.getAs[Array[Byte]](0))
+    assert(sr == 12000 && ch == 2 && rows.getInt(1) == 12000 && rows.getInt(2) == 3)
+    assert(got.toSeq == Seq[Short](0, -101, 51, -50, 101, 0))
+    // downsample via the same path: 4 frames -> 2 keeps the corners
+    val mono = Array[Short](7, 100, -100, -7)
+    val df2 = Seq((1L, Wav.encode(8000, 1, mono))).toDF("id", "wav")
+    val r2 = Audio.resampleLinear(df2, "wav", 4000)
+    val Some((_, _, got2)) = Wav.decode(r2.select("resampled").head().getAs[Array[Byte]](0))
+    assert(got2.toSeq == Seq[Short](7, -7))
+    // junk degrades
+    val bad = Seq((1L, "junk".getBytes.asInstanceOf[Array[Byte]])).toDF("id", "wav")
+    val rb = Audio.resampleLinear(bad, "wav", 4000)
+      .select("resampled", "resampled_sr", "resampled_n").head()
+    assert(rb.get(0) == null && rb.getInt(1) == 0 && rb.getInt(2) == 0)
+  }
+
   test("decimate is channel-aware (keeps whole frames) and degrades on junk") {
     import graft.ext.Audio
     import graft.ext.Audio.Wav
