@@ -807,6 +807,64 @@ case class PqAdcScore(codes: Expression, table: Expression)
     copy(codes = l, table = r)
 }
 
+/** Deflated (zlib level 6, raw/nowrap) byte length of a string's
+  * UTF-8 encoding — the primitive under the classic compression-ratio
+  * corpus-quality signal (boilerplate, template spam, and repeated
+  * n-gram text compress far below prose; near-random noise compresses
+  * above it), computable with zero dependencies via
+  * `java.util.zip.Deflater`. Returns an EXACT LONG so aggregates over
+  * a corpus (total compressed / total raw bytes) are integer sums —
+  * deterministic under any partition order, which a double ratio's
+  * float-summed avg() is not. The per-document ratio is the composed
+  * column [[GraftFunctions.deflateRatio]] (len / octet_length).
+  * Empty strings return 0; null stays null. The Deflater instance and
+  * output buffer live per expression INSTANCE (one per task thread)
+  * and are reset per row — the per-partition amortization a
+  * mapPartitions codec batch would do, inside an expression that
+  * composes with any plan. CodegenFallback: the deflate call IS the
+  * row's work.
+  *
+  * Determinism note: output length is a property of the JVM's bundled
+  * zlib at the chosen level — stable within an environment (specs and
+  * the driver pin it here), but a cross-JVM-vendor pipeline should
+  * treat thresholds as calibration, not constants.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len expects string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  @transient private lazy val deflater =
+    new java.util.zip.Deflater(6, true)
+  @transient private var buf: Array[Byte] = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) return 0L
+    if (buf == null || buf.length < 4096) buf = new Array[Byte](4096)
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    var total = 0L
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      total += n
+      if (n == 0 && !deflater.finished()) return null // cannot make progress
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(child = c)
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -905,6 +963,11 @@ object GraftFunctions {
       case Seq(q, v) => Int8CosineSim(q, v)
       case other => throw new IllegalArgumentException(
         s"graft_int8_cosine(q, vec): got ${other.size} args")
+    },
+    "graft_deflate_len" -> {
+      case Seq(t) => DeflateLen(t)
+      case other => throw new IllegalArgumentException(
+        s"graft_deflate_len(text): got ${other.size} args")
     },
     "graft_vec_normalize" -> {
       case Seq(v) => VecNormalize(v)
@@ -1073,6 +1136,23 @@ object GraftFunctions {
   def int8Cosine(spark: SparkSession, q: Column, vec: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_int8_cosine", q, vec)
+  }
+
+  /** Deflated UTF-8 byte length (see [[DeflateLen]]). */
+  def deflateLen(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_deflate_len", text)
+  }
+
+  /** Per-document deflate compression ratio (compressed / raw UTF-8
+    * bytes; empty text is defined incompressible = 1.0). Both sides of
+    * the division are exact integers — see [[DeflateLen]] for why the
+    * primitive is a length, not a ratio. */
+  def deflateRatio(spark: SparkSession, text: Column): Column = {
+    import org.apache.spark.sql.functions.{octet_length, when, lit}
+    when(octet_length(text) === 0, lit(1.0))
+      .otherwise(deflateLen(spark, text).cast("double") /
+        octet_length(text).cast("double"))
   }
 
   /** Unit-normalization (see [[VecNormalize]]). */

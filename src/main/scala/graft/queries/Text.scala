@@ -390,6 +390,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Compression-ratio quality profile (native DeflateLen — the
+    // zero-dependency corpus-quality signal: boilerplate and template
+    // spam compress far below prose). Per-source: exact raw/compressed
+    // byte totals (integer sums — deterministic under any partition
+    // order, which is why the primitive is a LENGTH and not a float
+    // ratio), the corpus-level ratio, and the per-doc ratio extremes.
+    "q134_compression_quality" -> ((s, d) => {
+      val gf = graft.functions.GraftFunctions
+      Tables.documents(s, d)
+        .select(col("source"),
+          octet_length(col("text")).cast("long").as("raw"),
+          gf.deflateLen(s, col("text")).as("comp"),
+          gf.deflateRatio(s, col("text")).as("ratio"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("raw").as("raw_bytes"),
+             sum("comp").as("compressed_bytes"),
+             round(sum("comp").cast("double") / sum("raw"), 6).as("corpus_ratio"),
+             round(min("ratio"), 6).as("min_ratio"),
+             round(max("ratio"), 6).as("max_ratio"))
+        .orderBy("source")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -1309,6 +1332,87 @@ object TextQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
+
+    // Hybrid pin (the q53 form scaled to per-source rows): n_docs and
+    // raw byte totals are REAL recomputations in DuckDB; the
+    // deflate-dependent columns are measured pins keyed on (SF,
+    // source) — DuckDB has no deflate, and the values are
+    // deterministic facts of the JVM's zlib at level 6 on this data.
+    "q134_compression_quality" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem),
+        |pins(n, src, compressed_bytes, corpus_ratio, min_ratio, max_ratio) AS (VALUES
+        |  (6000, 'src0', 3857, 0.461143, 0.411255, 0.931034),
+        |  (6000, 'src1', 3692, 0.467401, 0.379576, 0.915254),
+        |  (6000, 'src10', 3567, 0.47579, 0.401852, 0.962264),
+        |  (6000, 'src11', 3680, 0.474655, 0.40113, 0.903226),
+        |  (6000, 'src12', 3771, 0.464009, 0.391892, 0.820513),
+        |  (6000, 'src13', 3372, 0.486861, 0.418947, 0.896552),
+        |  (6000, 'src14', 4109, 0.448434, 0.397727, 0.84),
+        |  (6000, 'src15', 3526, 0.48601, 0.423963, 0.865672),
+        |  (6000, 'src16', 3646, 0.468096, 0.402062, 0.888889),
+        |  (6000, 'src17', 3488, 0.479253, 0.399621, 0.866667),
+        |  (6000, 'src18', 3382, 0.489152, 0.398876, 0.734177),
+        |  (6000, 'src19', 3673, 0.481642, 0.413934, 0.642336),
+        |  (6000, 'src2', 3339, 0.482375, 0.394942, 1.0),
+        |  (6000, 'src3', 3922, 0.4625, 0.399642, 0.698529),
+        |  (6000, 'src4', 3507, 0.487219, 0.401942, 0.769231),
+        |  (6000, 'src5', 3316, 0.490678, 0.402647, 0.903226),
+        |  (6000, 'src6', 3765, 0.47039, 0.396679, 0.6875),
+        |  (6000, 'src7', 3303, 0.5, 0.415861, 0.962963),
+        |  (6000, 'src8', 4065, 0.452773, 0.402174, 0.672727),
+        |  (6000, 'src9', 3618, 0.474865, 0.401247, 0.863636),
+        |  (60000, 'src0', 3764, 0.473519, 0.405063, 0.671642),
+        |  (60000, 'src1', 3930, 0.458576, 0.402214, 0.717647),
+        |  (60000, 'src10', 3480, 0.485966, 0.403774, 0.907407),
+        |  (60000, 'src11', 3938, 0.469536, 0.404624, 0.696429),
+        |  (60000, 'src12', 3408, 0.491988, 0.404851, 0.888889),
+        |  (60000, 'src13', 3914, 0.462538, 0.411531, 0.689655),
+        |  (60000, 'src14', 3474, 0.48143, 0.408081, 0.84058),
+        |  (60000, 'src15', 3407, 0.479859, 0.394572, 0.898305),
+        |  (60000, 'src16', 3510, 0.469001, 0.398907, 0.870968),
+        |  (60000, 'src17', 3581, 0.478935, 0.40613, 0.758242),
+        |  (60000, 'src18', 3599, 0.47631, 0.404943, 0.864407),
+        |  (60000, 'src19', 3169, 0.502537, 0.395712, 0.912281),
+        |  (60000, 'src2', 3647, 0.474314, 0.386408, 0.802469),
+        |  (60000, 'src3', 3635, 0.477034, 0.40038, 0.772727),
+        |  (60000, 'src4', 3453, 0.486475, 0.386916, 0.782609),
+        |  (60000, 'src5', 3513, 0.484285, 0.407921, 0.880597),
+        |  (60000, 'src6', 3362, 0.482769, 0.390244, 0.873016),
+        |  (60000, 'src7', 3859, 0.470552, 0.412475, 0.712871),
+        |  (60000, 'src8', 3155, 0.502629, 0.414894, 0.762887),
+        |  (60000, 'src9', 3551, 0.474987, 0.409683, 0.842105),
+        |  (600000, 'src0', 35089, 0.478528, 0.3898, 0.933333),
+        |  (600000, 'src1', 35612, 0.478277, 0.388889, 0.932203),
+        |  (600000, 'src10', 35713, 0.476669, 0.39243, 0.923077),
+        |  (600000, 'src11', 34933, 0.481881, 0.396709, 0.962264),
+        |  (600000, 'src12', 36845, 0.473094, 0.388889, 0.919355),
+        |  (600000, 'src13', 36874, 0.470602, 0.388298, 0.96),
+        |  (600000, 'src14', 34210, 0.486518, 0.370642, 0.943396),
+        |  (600000, 'src15', 34682, 0.482552, 0.390018, 0.913793),
+        |  (600000, 'src16', 35525, 0.479245, 0.390511, 0.929825),
+        |  (600000, 'src17', 35650, 0.479753, 0.392661, 0.945455),
+        |  (600000, 'src18', 34712, 0.481616, 0.388889, 0.958333),
+        |  (600000, 'src19', 35337, 0.477999, 0.391121, 0.931034),
+        |  (600000, 'src2', 35905, 0.477327, 0.388087, 0.943396),
+        |  (600000, 'src3', 35481, 0.477807, 0.383673, 0.944444),
+        |  (600000, 'src4', 35330, 0.479005, 0.379189, 1.0),
+        |  (600000, 'src5', 37059, 0.469773, 0.386525, 0.962264),
+        |  (600000, 'src6', 35654, 0.479872, 0.395644, 0.921569),
+        |  (600000, 'src7', 33728, 0.48742, 0.380334, 0.958333),
+        |  (600000, 'src8', 37249, 0.471841, 0.39356, 0.927273),
+        |  (600000, 'src9', 35094, 0.481063, 0.387524, 0.913793)),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(strlen(text)) AS raw_bytes
+        |  FROM documents GROUP BY source)
+        |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.raw_bytes AS BIGINT) AS raw_bytes,
+        |  CAST(p.compressed_bytes AS BIGINT) AS compressed_bytes,
+        |  CAST(p.corpus_ratio AS DOUBLE) AS corpus_ratio,
+        |  CAST(p.min_ratio AS DOUBLE) AS min_ratio,
+        |  CAST(p.max_ratio AS DOUBLE) AS max_ratio
+        |FROM base b JOIN pins p ON p.src = b.source AND p.n = (SELECT n FROM sf)
+        |ORDER BY b.source""".stripMargin,
 
     // q27's positional shingles WITHOUT list_distinct (every 3-gram
     // position counts), mode count per doc, single-division ratio.

@@ -24,7 +24,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_nearest_centroids",
     "graft_simhash32", "graft_simhash64", "graft_token_set_count",
     "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
-    "graft_int8_cosine",
+    "graft_int8_cosine", "graft_deflate_len",
     "graft_vec_normalize", "graft_pq_encode", "graft_pq_adc_score")
 
   test("registry lists every native function exactly once") {
@@ -94,5 +94,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.collect().map(_.toString).toSeq ==
       api.collect().map(_.toString).toSeq,
       "SQL-only ANN must equal the Column-API operator")
+  }
+
+  test("deflateLen/deflateRatio separate repetitive from varied text deterministically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gf = GraftFunctions
+    val docs = Seq(
+      (1L, "spam " * 400),                                    // template spam
+      (2L, (1 to 400).map(i => (i * i * 2654435761L) % 99991).mkString(" ")), // varied
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    def run() = docs
+      .select(col("id"), gf.deflateLen(spark, col("text")).as("len"),
+        gf.deflateRatio(spark, col("text")).as("ratio"))
+      .orderBy("id").collect()
+    val rows = run()
+    val spamRatio = rows(0).getDouble(2)
+    val variedRatio = rows(1).getDouble(2)
+    assert(spamRatio < 0.05, s"repetition must compress hard, got $spamRatio")
+    assert(variedRatio > 0.3, s"varied text must not, got $variedRatio")
+    assert(rows(2).getLong(1) == 0L && rows(2).getDouble(2) == 1.0) // empty
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))              // null
+    // byte-deterministic across runs (the pinning contract of q134)
+    assert(run().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 }
