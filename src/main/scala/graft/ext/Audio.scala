@@ -244,6 +244,51 @@ object Audio {
     }(enc)
   }
 
+  /** Frame-level feature TABLE (the spectrogram-shaped output ML
+    * pipelines consume): one row per fixed-size frame of channel 0,
+    * with exact integer energy (sum of squared samples) and peak —
+    * the flatMap row-explosion happens map-side BEFORE any exchange,
+    * so frame rows distribute like [[Video.extractFrames]]'s frames.
+    * The final frame may be partial (`<out>_n` < frameSize);
+    * undecodable assets emit one row with idx = -1 so corrupt input
+    * stays visible to quality gates. */
+  def frameFeatures(df: DataFrame, binCol: String, frameSize: Int,
+                    out: String = "frame"): DataFrame = {
+    require(frameSize >= 1, "frameSize must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(s"${out}_idx", IntegerType, nullable = false),
+      StructField(s"${out}_n", IntegerType, nullable = false),
+      StructField(s"${out}_energy", LongType, nullable = false),
+      StructField(s"${out}_peak", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Wav.decode(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((_, ch, samples)) =>
+            val nFrames = samples.length / ch
+            val nOut = (nFrames + frameSize - 1) / frameSize
+            (0 until nOut).map { fi =>
+              val start = fi * frameSize
+              val end = math.min(start + frameSize, nFrames)
+              var energy = 0L; var peak = 0L
+              var f = start
+              while (f < end) {
+                val s = samples(f * ch).toLong // channel 0
+                energy += s * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                f += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq[Any](fi, end - start, energy, peak))
+            }
+          case None =>
+            Seq(Row.fromSeq(r.toSeq ++ Seq[Any](-1, 0, -1L, -1L)))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL audio feature extraction over channel 0 (exact integers, so
     * one BIGINT per feature pins the whole decode):
     *  - `<out>_sr` / `<out>_n`: decoded header rate + frame count,

@@ -847,6 +847,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** ViT-style patch extraction: decode (any [[decodeRgb]] format),
+    * split into a grid of `patchW`×`patchH` tiles (edge tiles
+    * partial), and emit ONE ROW PER PATCH carrying the raw row-major
+    * RGB patch bytes, its grid position, actual dims, and the exact
+    * byte checksum — the vision-transformer preprocessing shape,
+    * where per-patch rows distribute downstream embedding/augment
+    * work the way [[Video.extractFrames]] distributes frames. The
+    * explosion is map-side before any exchange. Undecodable assets
+    * emit one row with null patch and (-1, -1) grid position. */
+  def extractPatches(df: DataFrame, binCol: String, patchW: Int, patchH: Int,
+                     out: String = "patch"): DataFrame = {
+    require(patchW >= 1 && patchH >= 1, "patch dims must be >= 1")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(out, org.apache.spark.sql.types.BinaryType),
+      StructField(s"${out}_x", IntegerType, nullable = false),
+      StructField(s"${out}_y", IntegerType, nullable = false),
+      StructField(s"${out}_w", IntegerType, nullable = false),
+      StructField(s"${out}_h", IntegerType, nullable = false),
+      StructField(s"${out}_checksum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeRgb(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((w, h, rgb)) =>
+            val gx = (w + patchW - 1) / patchW
+            val gy = (h + patchH - 1) / patchH
+            for (py <- 0 until gy; px <- 0 until gx) yield {
+              val x0 = px * patchW; val y0 = py * patchH
+              val pw = math.min(patchW, w - x0)
+              val ph = math.min(patchH, h - y0)
+              val patch = new Array[Byte](pw * ph * 3)
+              var sum = 0L
+              var y = 0
+              while (y < ph) {
+                var x = 0
+                while (x < pw) {
+                  val src = ((y0 + y) * w + (x0 + x)) * 3
+                  val dst = (y * pw + x) * 3
+                  var c = 0
+                  while (c < 3) {
+                    val b = rgb(src + c)
+                    patch(dst + c) = b
+                    sum += b & 0xff
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq[Any](patch, px, py, pw, ph, sum))
+            }
+          case None =>
+            Seq(Row.fromSeq(r.toSeq ++ Seq[Any](null, -1, -1, 0, 0, -1L)))
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-level byte budget: repartition assets so each task
     * handles roughly `targetBytes` of media (decode-time balancing —
     * row-count partitioning would skew on mixed asset sizes). */

@@ -413,6 +413,83 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Mixed-modality ingest quality report: a corpus where each
+    // document carries a DIFFERENT payload format (BMP / PNG / GIF /
+    // WAV / junk by doc_id mod 5, all through the real encoders),
+    // pushed through the ONE format-sniffing metadata decoder — the
+    // first gate of any multimodal ingest: what formats arrived, did
+    // they parse, what are the dimension/frame totals. Junk payloads
+    // surface as format 'unknown', valid = false — visible, not
+    // dropped. Fully recomputable oracle: every metadata field of the
+    // synthetic assets is a closed-form fact of (doc_id, n_chars).
+    "q135_mixed_modality_meta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+        .withColumn("m", (col("doc_id") % 5).cast("int"))
+        .withColumn("w", (lit(1) + col("n_chars") % 9).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 7).cast("int"))
+        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
+      val mm = graft.ext.Multimodal
+      val mixed = mm.withSyntheticBmp(docs.filter(col("m") === 0),
+          "doc_id", "w", "h", "payload")
+        .unionByName(mm.withSyntheticPng(docs.filter(col("m") === 1),
+          "doc_id", "w", "h", "payload"))
+        .unionByName(mm.withSyntheticGif(docs.filter(col("m") === 2),
+          "doc_id", "w", "h", "payload"))
+        .unionByName(graft.ext.Audio.withSyntheticWav(
+          docs.filter(col("m") === 3), "doc_id", "n", 8000, "payload"))
+        .unionByName(docs.filter(col("m") === 4)
+          .withColumn("payload", encode(col("text"), "UTF-8")))
+      mm.withDecodedMeta(mixed, "payload")
+        .groupBy(col("media_meta.format").as("format"))
+        .agg(count(lit(1)).as("n_assets"),
+             sum(when(col("media_meta.valid"), 1L).otherwise(0L)).as("n_valid"),
+             sum(col("media_meta.width").cast("long")).as("total_w"),
+             sum(col("media_meta.height").cast("long")).as("total_h"),
+             sum(col("media_meta.n_frames").cast("long")).as("total_frames"))
+        .orderBy("format")
+    }),
+
+    // Frame-level audio feature table (Audio.frameFeatures — the
+    // spectrogram-shaped per-frame energy/peak rows ML pipelines
+    // consume, exploded map-side like video frames): 16-sample frames
+    // over the q129 synthetic corpus, one row per frame, last frame
+    // partial. The oracle replays the generator grouped by i // 16.
+    "q136_wav_frame_energy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
+      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
+      graft.ext.Audio.frameFeatures(wavs, "wav", frameSize = 16)
+        .select(col("doc_id"), col("source"),
+          col("frame_idx").cast("long"),
+          col("frame_n").cast("long").as("n_samples"),
+          col("frame_energy").as("energy"),
+          col("frame_peak").as("peak"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ViT-style patch extraction (Multimodal.extractPatches): decode
+    // the synthetic BMP, tile into 4x4 patches (edge tiles partial),
+    // one row per patch with grid position, actual dims, and the
+    // exact per-patch byte checksum — the patchify preprocessing
+    // shape, exploded map-side. The oracle replays the gradient sum
+    // over each tile's pixel rectangle.
+    "q137_image_patchify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 13).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 11).cast("int"))
+      val bmps = graft.ext.Multimodal.withSyntheticBmp(
+        docs, "doc_id", "w", "h", "img")
+      graft.ext.Multimodal.extractPatches(bmps, "img", 4, 4)
+        .select(col("doc_id"), col("source"),
+          col("patch_x").cast("long"), col("patch_y").cast("long"),
+          col("patch_w").cast("long"), col("patch_h").cast("long"),
+          col("patch_checksum").as("checksum"))
+        .orderBy("doc_id", "patch_y", "patch_x")
+    }),
+
     // Per-SOURCE data-quality report (Kernels.expectations with
     // groupCols — q125's global gate becomes the per-tenant table in
     // the same single pass, one exchange on source): text rules over
@@ -1332,6 +1409,76 @@ object TextQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
+
+    // Closed-form replay of every synthetic asset's metadata: format
+    // from doc_id mod 5, dims from the generator columns (images),
+    // frame count n for WAV, zeros + invalid for junk.
+    "q135_mixed_modality_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, doc_id % 5 AS m,
+        |    1 + n_chars % 9 AS w, 1 + (n_chars * 3) % 7 AS h,
+        |    40 + n_chars % 160 AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+        |                WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+        |                ELSE 'unknown' END AS format,
+        |    CASE WHEN m < 4 THEN 1 ELSE 0 END AS valid,
+        |    CASE WHEN m <= 2 THEN w ELSE 0 END AS w,
+        |    CASE WHEN m <= 2 THEN h ELSE 0 END AS h,
+        |    CASE WHEN m <= 2 THEN 1 WHEN m = 3 THEN n ELSE 0 END AS nf
+        |  FROM d)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(valid) AS BIGINT) AS n_valid,
+        |  CAST(sum(w) AS BIGINT) AS total_w,
+        |  CAST(sum(h) AS BIGINT) AS total_h,
+        |  CAST(sum(nf) AS BIGINT) AS total_frames
+        |FROM t GROUP BY format ORDER BY format""".stripMargin,
+
+    // Per-frame replay: sample i belongs to frame i // 16; energy and
+    // peak aggregate the generator values within each frame.
+    "q136_wav_frame_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, unnest(range(0, n)) AS i FROM d),
+        |s AS (
+        |  SELECT doc_id, source, i // 16 AS fi,
+        |    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+        |  FROM k)
+        |SELECT doc_id, source, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, source, fi
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Pixel-grid replay: pixel (x, y) belongs to patch (x//4, y//4);
+    // checksums aggregate the gradient within each tile, tile dims
+    // are least(4, w - 4*px) / least(4, h - 4*py).
+    "q137_image_patchify" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + n_chars % 13 AS w, 1 + (n_chars * 3) % 11 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, w, h, x, y, c
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(13)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(11)) AS y) ys
+        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs
+        |  WHERE x < w AND y < h),
+        |p AS (
+        |  SELECT doc_id, source, w, h, x // 4 AS px, y // 4 AS py,
+        |    (doc_id + 7 * x + 13 * y + 29 * c) % 256 AS v
+        |  FROM g)
+        |SELECT doc_id, source,
+        |  CAST(px AS BIGINT) AS patch_x, CAST(py AS BIGINT) AS patch_y,
+        |  CAST(least(4, w - 4 * px) AS BIGINT) AS patch_w,
+        |  CAST(least(4, h - 4 * py) AS BIGINT) AS patch_h,
+        |  CAST(sum(v) AS BIGINT) AS checksum
+        |FROM p GROUP BY doc_id, source, w, h, px, py
+        |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
 
     // Hybrid pin (the q53 form scaled to per-source rows): n_docs and
     // raw byte totals are REAL recomputations in DuckDB; the

@@ -635,6 +635,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rb.get(0) == null && rb.getInt(1) == 0 && rb.getInt(2) == 0)
   }
 
+  test("frameFeatures emits per-frame energy rows with a partial tail frame") {
+    import graft.ext.Audio
+    import graft.ext.Audio.Wav
+    // 5 mono samples, frame size 2 -> frames (3,4), (-5,0), (12)
+    val df = Seq(
+      (1L, Wav.encode(8000, 1, Array[Short](3, 4, -5, 0, 12))),
+      (2L, "junk".getBytes.asInstanceOf[Array[Byte]]))
+      .toDF("id", "wav")
+    val rows = Audio.frameFeatures(df, "wav", frameSize = 2)
+      .select("id", "frame_idx", "frame_n", "frame_energy", "frame_peak")
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 0, 2, 25L, 4L), (1L, 1, 2, 25L, 5L), (1L, 2, 1, 144L, 12L),
+      (2L, -1, 0, -1L, -1L)))
+  }
+
+  test("extractPatches tiles any decodable format with exact edge handling") {
+    import graft.ext.Multimodal
+    // 5x3 gradient as GIF (exercises the codec registry): 4x4 patches
+    // -> grid 2x1 with widths 4 and 1, heights 3
+    val docs = Seq((2L, 5, 3)).toDF("doc_id", "w", "h")
+    val gifs = Multimodal.withSyntheticGif(docs, "doc_id", "w", "h")
+    val rows = Multimodal.extractPatches(gifs, "img", 4, 4)
+      .select("patch_x", "patch_y", "patch_w", "patch_h", "patch_checksum", "patch")
+      .orderBy("patch_x").collect()
+    def v(x: Int, y: Int): Long = (2 + 7 * x + 13 * y) % 256
+    val sums = Seq(
+      (for (x <- 0 until 4; y <- 0 until 3) yield 3 * v(x, y)).sum,
+      (for (x <- 4 until 5; y <- 0 until 3) yield 3 * v(x, y)).sum)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq ==
+      Seq((0, 0, 4, 3, sums(0)), (1, 0, 1, 3, sums(1))))
+    // patch bytes are the raw row-major tile (gray triples)
+    val edge = rows(1).getAs[Array[Byte]](5)
+    assert(edge.length == 1 * 3 * 3)
+    assert((edge(0) & 0xff) == v(4, 0) && (edge(3) & 0xff) == v(4, 1))
+    // undecodable -> one visible marker row
+    val junk = Seq((9L, "nope".getBytes.asInstanceOf[Array[Byte]])).toDF("doc_id", "img")
+    val bad = Multimodal.extractPatches(junk, "img", 4, 4).collect()
+    assert(bad.length == 1 && bad(0).getAs[Array[Byte]]("patch") == null &&
+      bad(0).getAs[Long]("patch_checksum") == -1L)
+  }
+
   test("decimate is channel-aware (keeps whole frames) and degrades on junk") {
     import graft.ext.Audio
     import graft.ext.Audio.Wav
