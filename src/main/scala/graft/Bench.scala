@@ -175,13 +175,21 @@ object Bench {
     // 119-query line in rounds 9-10 ("parsed": null). Persist the full
     // artifact to a file as well and name the path on stderr.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] full artifact written to $outPath")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // Second copy INSIDE the repo so the artifact can be committed with
+    // the round snapshot — /tmp is never committed and the driver only
+    // tail-captures stdout, which lost the full line three rounds
+    // running ("parsed": null in BENCH_r{9,10,11}.json).
+    val repoCopy = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO",
+      "/root/repo/bench_local_latest.json")
+    for (p <- Seq(outPath, repoCopy)) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] full artifact written to $p")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     println(line)
     spark.stop()
