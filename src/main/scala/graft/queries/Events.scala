@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.AsOf
+import graft.ext.{AsOf, Cdc}
 import graft.ops.Kernels
 import graft.tables.Tables
 
@@ -487,6 +487,74 @@ object EventQueries {
         .agg(max("n2").as("peak_2h_events"), max("s2").as("peak_2h_value"))
         .orderBy("user_id")
     }),
+
+    // Truncated EWMA (pandas ewm(alpha=0.5, adjust=True) over the
+    // last 8 observations): per-event smoothed value with weights
+    // 1/2, 1/4, ... 1/256 over the trailing window, normalized by
+    // the weights actually present (short prefixes). Every weight is
+    // an exact power of two, so each product is a pure exponent
+    // shift (never rounds) and both engines evaluate the identical
+    // left-associated sum — bit-exact cross-engine, unlike the
+    // recursive alpha*(1-alpha)^k form whose pow() is libm-bound
+    // (the q107 lesson). One shuffle on user_id serves all 8 lags.
+    "q139_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val terms = (0 to 7).map { k =>
+        val v = if (k == 0) col("value") else lag("value", k).over(w)
+        (coalesce(v / lit((1L << (k + 1)).toDouble), lit(0.0)),
+         when(v.isNotNull, lit(math.pow(0.5, k + 1))).otherwise(lit(0.0)))
+      }
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+                round(terms.map(_._1).reduce(_ + _) /
+                      terms.map(_._2).reduce(_ + _), 6).as("ewma8"))
+        .orderBy("event_id")
+    }),
+
+    // MERGE INTO semantics (Cdc.applyChangelog): the events stream
+    // as a CDC changelog over the customer dimension — key = 11 *
+    // user_id (keys past the base key space exercise the INSERT
+    // branch at every SF), latest op per key wins ('purchase' = the
+    // account-closing DELETE, anything else upserts value into
+    // c_acctbal). The output is the merged dimension restricted to
+    // the changelog's key space (c_custkey % 11 = 0), so the row set
+    // stays bounded while every branch (update / insert / delete /
+    // untouched passthrough) is represented. (ts, event_id) makes
+    // "latest" total; event values sit on the 2dp grid, so the 2dp
+    // round is exact passthrough.
+    "q140_cdc_merge" -> ((s, d) => {
+      val changes = Tables.events(s, d).select(
+        (col("user_id") * 11).as("k"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+        col("value"))
+      Cdc.applyChangelog(Tables.customer(s, d), changes,
+          key = "c_custkey", changeKey = "k", ts = "ts",
+          tieBreak = "event_id", opCol = "op", deleteOp = "D",
+          setCols = Seq("value" -> "c_acctbal"))
+        .filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+                col("c_mktsegment"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // SCD type-2 history (Cdc.scd2): every event value becomes a
+    // version of its user's tracked attribute with
+    // [valid_from, valid_to) bounds, a version number and the
+    // current flag — one window pass, no self-join. Timestamps are
+    // emitted as strings (the ns-vs-us rule); version makes rows
+    // unique even when two versions share a formatted second.
+    "q141_scd2_history" -> ((s, d) =>
+      Cdc.scd2(Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          key = "user_id", ts = "ts", tieBreak = "event_id",
+          attrs = Seq("value"))
+        .select(col("user_id"), col("version"),
+                round(col("value"), 2).as("value"),
+                date_format(col("valid_from"), TsFmt).as("valid_from"),
+                coalesce(date_format(col("valid_to"), TsFmt), lit("current"))
+                  .as("valid_to"),
+                col("is_current"))
+        .orderBy("user_id", "version")),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -505,7 +573,77 @@ object EventQueries {
       "FROM e ORDER BY zkey, event_id LIMIT 50"
   }
 
+  /** q139's oracle: the same 8 power-of-two-weighted lag terms in the
+    * same left-associated order as the Spark expression (SQL `+` is
+    * left-associative in both engines), built programmatically so the
+    * two sides cannot drift term-wise. `value` is never NULL in
+    * events, but the k=0 term keeps the same coalesce shape as the
+    * lags so the expression trees stay structurally identical.
+    */
+  private def ewmaOracleSql: String = {
+    def v(k: Int) = if (k == 0) "value" else s"lag(value, $k) OVER w"
+    val num = (0 to 7)
+      .map(k => s"coalesce(${v(k)} / ${1L << (k + 1)}, 0)")
+      .mkString(" + ")
+    val den = (0 to 7)
+      .map { k =>
+        val wt = java.math.BigDecimal.valueOf(math.pow(0.5, k + 1)).toPlainString
+        s"(CASE WHEN ${v(k)} IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }
+      .mkString(" + ")
+    "SELECT event_id, user_id, value,\n" +
+      s"  round(($num) / ($den), 6) AS ewma8\n" +
+      "FROM events\n" +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n" +
+      "ORDER BY event_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    // Truncated-EWMA replay: the identical left-associated sum of
+    // power-of-two-weighted lags (every product an exact exponent
+    // shift; see the query comment). Generated so the 8 terms
+    // provably match the Spark expression term for term.
+    "q139_ewma" -> ewmaOracleSql,
+
+    // MERGE replay: latest change per key via the same (ts desc,
+    // event_id desc) top-1, FULL OUTER against customer, delete
+    // filter, coalesce-based upsert — the declarative MERGE INTO.
+    "q140_cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT user_id * 11 AS k, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |last AS (SELECT k, op, value FROM ch WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(c.c_custkey, l.k) AS c_custkey, c.c_name,
+        |    c.c_nationkey, c.c_mktsegment,
+        |    CASE WHEN l.k IS NOT NULL THEN l.value ELSE c.c_acctbal END
+        |      AS acctbal,
+        |    l.op AS op
+        |  FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k)
+        |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |  round(acctbal, 2) AS acctbal
+        |FROM merged
+        |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q141_scd2_history" ->
+      """WITH v AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER w AS version,
+        |    ts AS valid_from, lead(ts, 1) OVER w AS valid_to
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version, round(value, 2) AS value,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current')
+        |    AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
     "q20_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -441,6 +441,30 @@ object Relational {
           round(col("__mx"), 2).as("max_price"))
         .orderBy("l_returnflag")),
 
+    // Salted skew JOIN (Kernels.skewSafeJoin — the join sibling of
+    // q128's salted aggregation): lineitem's 3-value l_returnflag is
+    // the textbook hot join key; the left side salts
+    // deterministically over 8 sub-keys and the dim replicates 8x,
+    // so each hot key's rows spread over 8 tasks instead of one
+    // straggler when the dim is too big to broadcast and the
+    // exchange is reused (AQE skew-join can't help there). Output
+    // must equal the plain inner join, which the oracle replays; the
+    // per-partition balance win is spec-measured (KernelsSpec).
+    "q138_skew_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(("A", "returned"), ("N", "in_flight"), ("R", "refunded"))
+        .toDF("l_returnflag", "flag_label")
+      Kernels.skewSafeJoin(
+          Tables.lineitem(s, d).select("l_returnflag", "l_quantity",
+            "l_extendedprice", "l_orderkey", "l_linenumber"),
+          dim, Seq("l_returnflag"), saltBuckets = 8)
+        .groupBy("l_returnflag", "flag_label")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("l_quantity"), 2).as("sum_qty"),
+             round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -493,6 +517,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The salted join must be value-identical to the plain inner
+    // join + aggregate (the dim is a 3-row literal, inlined as CASE).
+    "q138_skew_join" ->
+      """SELECT l_returnflag,
+        |  CASE l_returnflag WHEN 'A' THEN 'returned'
+        |    WHEN 'N' THEN 'in_flight' WHEN 'R' THEN 'refunded' END
+        |    AS flag_label,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // The salted two-phase plan must be value-identical to the plain
     // group-by: count/sum/min/max split exactly; avg's
     // sum-of-sums/sum-of-counts reassociates float addition only at

@@ -199,6 +199,35 @@ object Streams {
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Row shape for the streaming CDC twin: a changelog record.
+    * (ts, seq) must totally order each key's changes. */
+  case class Change(k: Long, ts: Long, seq: Long, op: String, v: Double)
+
+  /** Streaming CDC: maintain the LATEST change per key across
+    * micro-batches — the streaming half of
+    * [[graft.ext.Cdc.applyChangelog]] (whose batch top-1-per-key this
+    * reproduces incrementally; the downstream merge against the base
+    * dimension is the same join either way). State per key is ONE
+    * change record (constant size — latest-wins needs no history), so
+    * total state is bounded by key cardinality, not stream length.
+    * Emits each key's current latest on every micro-batch it appears
+    * in; reading the last emit per key gives the batch answer
+    * (CdcStreamSpec pins stream ≡ batch under arbitrary micro-batch
+    * splits, including same-batch out-of-order arrival).
+    */
+  def cdcLatestChanges(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: Long, cs: Iterator[Change], state: GroupState[Change]) => {
+          val best = (state.getOption.iterator ++ cs)
+            .maxBy(c => (c.ts, c.seq))
+          state.update(best)
+          best
+        })
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-
     * state escape hatch for logic windowed aggs can't express.
     * State is bounded when `idleTimeout` is set (the production

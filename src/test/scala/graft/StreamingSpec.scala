@@ -469,4 +469,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamedEst - batchEst) < 1e-6,
       s"stream $streamedEst vs batch $batchEst")
   }
+
+  test("streaming CDC latest-per-key state merges identically to batch applyChangelog") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.Change
+    val base = Seq((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0))
+      .toDF("k", "name", "bal")
+    val b1 = Seq(Change(2L, 100L, 1L, "U", 21.0), Change(9L, 120L, 1L, "U", 99.0))
+    val b2 = Seq(Change(2L, 200L, 2L, "U", 22.0), Change(3L, 150L, 1L, "D", 0.0))
+    val b3 = Seq(Change(2L, 50L, 1L, "U", 20.5)) // late arrival: must NOT win
+    val stream = MemoryStream[Change]
+    val q = graft.streaming.Streams.cdcLatestChanges(stream.toDS())
+      .writeStream.format("memory").queryName("cdcstate")
+      .outputMode(OutputMode.Update()).start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final state = the max-(ts, seq) emit per key (every emit is the
+    // running latest, so the max emit IS the final state)
+    val finalState = spark.table("cdcstate").as[Change].collect()
+      .groupBy(_.k).values.map(_.maxBy(c => (c.ts, c.seq))).toSeq.toDS()
+    def merge(ch: org.apache.spark.sql.DataFrame) =
+      graft.ext.Cdc.applyChangelog(base, ch, "k", "k_", "ts", "seq", "op", "D",
+          Seq("v" -> "bal"))
+        .orderBy("k").collect().map(r =>
+          (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    val streamMerged = merge(finalState.toDF()
+      .withColumnRenamed("k", "k_"))
+    val batchMerged = merge((b1 ++ b2 ++ b3).toDS().toDF()
+      .withColumnRenamed("k", "k_"))
+    assert(streamMerged == batchMerged)
+    assert(streamMerged.map(_._1) == Seq(1L, 2L, 9L)) // 3 deleted, 9 inserted
+    assert(streamMerged(1)._3 == 22.0) // late ts=50 did not override ts=200
+  }
 }
