@@ -24,6 +24,63 @@ object TextQueries {
   )
 
   val queries: Map[String, Q] = Map(
+    // Hashed-feature linear classifier (the fastText-style quality
+    // scorer every corpus-curation stack runs): each subword token
+    // hashes to an INTEGER weight ((md5 first 8 hex digits mod 1001)
+    // - 500 — a deterministic stand-in for trained weights with the
+    // exact storage/compute shape of the real thing), and a doc's
+    // score is the sum. Entirely MAP-SIDE: transform+aggregate fold
+    // the token array inside the scan — zero exchange at any corpus
+    // size, vs the explode + groupBy(doc) shape whose shuffle carries
+    // one row per TOKEN. Integer weights keep the sum bit-exact
+    // cross-engine; the margin is a FLOORED ppm integer, not a
+    // rounded ratio — score/(500n) has a small denominator, so its
+    // true value can sit exactly on a 6dp half (the round() trap).
+    // The lambda is interpreted (documented trade: this path
+    // is per-doc compute-bound on md5, not array-op-bound, so a
+    // native expression would buy little).
+    "q142_hash_classifier" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+                size(toks).as("n_subwords"),
+                aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"))
+        .select(col("doc_id"), col("source"), col("n_subwords"), col("score"),
+                // margin = score/(500n) in ppm, FLOORED: the rational
+                // has a small denominator, so round(..., 6) sits on
+                // exact halves (observed at sf0.1) — floor of the
+                // bit-identical double is half-free
+                when(col("n_subwords") > 0,
+                  floor(col("score") * 2000.0 / col("n_subwords"))
+                    .cast("long")).as("margin_ppm"),
+                (col("score") > 0L).as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE merge induction (Bpe.learnMerges) — tokenizer TRAINING on
+    // the corpus: 4 merge rounds, each one vocab-sized pair count +
+    // a 1-row argmax collect (the PageRank-sweep idiom). The corpus
+    // is touched exactly once (word-type frequency shuffle); see the
+    // determinism conventions in the Bpe scaladoc. The oracle unrolls
+    // all 4 rounds as generated CTEs.
+    "q143_bpe_merges" -> ((s, d) =>
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", k = 4)
+        .orderBy("step")),
+
+    // Tokenizer APPLY (Bpe.encode): train the 4 merges, then encode
+    // the corpus with them map-side (the merge list is a driver-held
+    // literal rewrite chain) and emit the resulting vocabulary with
+    // frequencies — the end-to-end train->encode lifecycle.
+    "q144_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", k = 4).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.Bpe.encode(docs, "text", merges)
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
     // Exact dedup stats per source (hash-groupBy family).
     "q25_exact_dedup_docs" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1206,6 +1263,45 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Hashed-classifier replay: per-token weight = (first-8-hex-digit
+    // md5 value mod 1001) - 500 via the established digit-sum
+    // hex-to-int replay (q107's pattern; 8 digits < 2^32 so the
+    // double sum is exact before the BIGINT cast). Docs whose token
+    // list is empty keep score 0 via the LEFT JOIN + coalesce.
+    "q142_hash_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
+        |             AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 1001 - 500 AS wt
+        |  FROM t),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) AS INTEGER)
+        |    AS n_subwords,
+        |  coalesce(a.score, 0) AS score,
+        |  CASE WHEN len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) > 0
+        |    THEN CAST(floor(coalesce(a.score, 0) * 2000.0
+        |               / len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')))
+        |         AS BIGINT)
+        |    END AS margin_ppm,
+        |  (coalesce(a.score, 0) > 0) AS label
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // BPE replay: k=4 unrolled rounds generated by Bpe.oracleSql so
+    // the two sides cannot drift round-wise.
+    "q143_bpe_merges" -> graft.ext.Bpe.oracleSql(4),
+    "q144_bpe_encode" -> graft.ext.Bpe.encodeOracleSql(4),
+
     // Replays the bilinear interpolation per output pixel/channel on
     // a 60k-row (doc x 8 x 5 x 3) grid: source corners i0/i1 (j0/j1),
     // integer weights rx/ry over denominators 7/4, gradient pixel
