@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph scoring. Connected components (the dedup-cluster
@@ -78,6 +79,49 @@ object Graphs {
     }
     terminal.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg").as("degree"), col("pr"))
+  }
+
+  /** Synchronous label propagation (community detection — the cheap
+    * clustering pass between connected components, which over-merges
+    * through any bridge edge, and modularity methods, which don't
+    * distribute): every node starts with its own id as label, and
+    * each round every node simultaneously adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by the lexicographically
+    * smallest label. The synchronous deterministic variant is chosen
+    * over the classic async/randomized one deliberately: a curation
+    * pipeline needs replayable clusters, and async LPA's result
+    * depends on visit order (it can also oscillate less, but a fixed
+    * iteration count bounds that here the same way PageRank's does).
+    *
+    * Scale shape: the symmetric adjacency is staged once,
+    * repartitioned on the sweep-join key; each round joins the
+    * node-sized label frame to it, counts (dst, label) and takes the
+    * per-dst argmax — shuffles carry node- and label-count-sized
+    * frames only, and each round's output is staged so the plan stays
+    * constant-size (the PageRank-sweep idiom). Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e0 = edges.select(col(aCol).cast("string").as("a"),
+                          col(bCol).cast("string").as("b"))
+    val sym = graft.ops.Staging.stage(
+      e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+        .repartition(col("src")))
+    val init = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
+    (1 to iterations).foldLeft(init) { (labels, _) =>
+      graft.ops.Staging.stage(
+        sym.join(labels, col("src") === col("node"))
+          .groupBy("dst", "label")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("dst").as("node"), col("label")))
+    }
   }
 
   /** Enumerate triangles of an undirected graph: input pairs are

@@ -465,6 +465,25 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Label propagation (Graphs.labelPropagation) over the same
+    // customer-supplier graph as q90 — the deterministic synchronous
+    // variant (mode of neighbor labels, ties to the smallest label),
+    // 2 rounds. Emits the community-size histogram: top 20 labels by
+    // member count. The oracle unrolls both rounds with the identical
+    // (cnt DESC, label) argmax.
+    "q145_label_propagation" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      graft.ext.Graphs.labelPropagation(edges, "a", "b", iterations = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("label"))
+        .limit(20)
+    }),
+
     // PageRank (Graphs.pageRank) over the undirected customer-supplier
     // bipartite graph from lineitem x orders — the link-graph
     // centrality used as a corpus-curation quality prior. Fixed 3
@@ -796,6 +815,30 @@ object Relational {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
+
+    "q145_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |i0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |c1 AS (SELECT s.dst, i.label, count(*) AS cnt
+        |       FROM sym s JOIN i0 i ON s.src = i.node GROUP BY 1, 2),
+        |i1 AS (SELECT dst AS node, label FROM (
+        |         SELECT dst, label, row_number() OVER (
+        |           PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst, i.label, count(*) AS cnt
+        |       FROM sym s JOIN i1 i ON s.src = i.node GROUP BY 1, 2),
+        |i2 AS (SELECT dst AS node, label FROM (
+        |         SELECT dst, label, row_number() OVER (
+        |           PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+        |         FROM c2) WHERE rn = 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM i2 GROUP BY label
+        |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin,
 
     "q90_pagerank" ->
       """WITH e0 AS (

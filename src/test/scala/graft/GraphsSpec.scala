@@ -166,4 +166,26 @@ class GraphsSpec extends AnyFunSuite {
         s"expected <= 4 marginal jobs per sweep, measured $perSweep ($j1 -> $j3)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("labelPropagation: a triangle converges to one community in 2 sync rounds") {
+    // K3 {x,y,z}: round 1 -> x:'y' (tie y/z -> min), y:'x', z:'x';
+    // round 2 -> all 'x' (hand-computed sync updates)
+    val edges = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("a", "b")
+    val out = Graphs.labelPropagation(edges, "a", "b", 2)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getString(1)))
+    graft.ops.Staging.releaseAll()
+    assert(out.toSeq == Seq(("x", "x"), ("y", "x"), ("z", "x")))
+  }
+
+  test("labelPropagation: star graph follows the deterministic sync oscillation") {
+    // r1: hub adopts min leaf label, leaves adopt 'h';
+    // r2: hub adopts 'h' (all leaves say 'h'), leaves adopt hub's r1
+    // label 'l1' — deterministic, hand-computed
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("a", "b")
+    val out = Graphs.labelPropagation(edges, "a", "b", 2)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getString(1)))
+    graft.ops.Staging.releaseAll()
+    assert(out.toSeq ==
+      Seq(("h", "h"), ("l1", "l1"), ("l2", "l1"), ("l3", "l1")))
+  }
 }
