@@ -686,6 +686,30 @@ object TextQueries {
         .orderBy("component")
     }),
 
+    // Dup-cluster CANONICALIZATION — the step after q64's component
+    // discovery that actually fixes the corpus: per near-dup cluster,
+    // keep the best representative (longest text, doc_id tie-break)
+    // and account for what the collapse drops. One window over the
+    // component-joined members; at scale the cost is the CC itself
+    // (adaptive, see Dedup.connectedComponents) — the canonical pick
+    // adds a single component-keyed exchange.
+    "q146_dup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      val members = Dedup.connectedComponents(pairs)
+        .join(docs.select("doc_id", "n_chars"), col("id") === col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+      members.withColumn("__rn", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+             sum("n_chars").as("total_chars"),
+             max(when(col("__rn") === 1, col("doc_id"))).as("canonical_id"),
+             max(when(col("__rn") === 1, col("n_chars"))).as("kept_chars"))
+        .orderBy("component")
+    }),
+
     // Deterministic stratified sampling (ext.Sampling): the keep
     // decision is a pure function of md5(doc_id || salt), so the
     // sample is identical across runs, engines and partitionings —
@@ -1261,6 +1285,41 @@ object TextQueries {
         .select("doc_id_a", "doc_id_b", "source", "cont_a", "cont_b")
         .orderBy("doc_id_a", "doc_id_b")),
   )
+
+  /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
+    * (the exact bit-vote replay) -> symmetric edges -> recursive
+    * reachability -> min-reachable-id components. */
+  private val simhashCompCtes: String =
+    """WITH RECURSIVE bits AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN i <= 32
+      |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+      |                       THEN 1 ELSE -1 END
+      |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+      |                       THEN 1 ELSE -1 END
+      |        END) AS vote
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  CROSS JOIN range(1, 65) r(i)
+      |  GROUP BY doc_id, i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS id, least(src, min(dst)) AS component
+      |  FROM reach GROUP BY src)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Hashed-classifier replay: per-token weight = (first-8-hex-digit
@@ -2070,39 +2129,24 @@ object TextQueries {
     // recomputation), then component = min reachable id. The
     // recursive CTE is the oracle-side answer to what the engine
     // computes with distributed min-label propagation.
-    "q64_dup_components" ->
-      """WITH RECURSIVE bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN i <= 32
-        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |        END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  CROSS JOIN range(1, 65) r(i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (
-        |  SELECT src AS id, least(src, min(dst)) AS component
-        |  FROM reach GROUP BY src)
-        |SELECT component, count(*) AS n_members, max(id) AS max_id
-        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    "q64_dup_components" -> (simhashCompCtes +
+      "\nSELECT component, count(*) AS n_members, max(id) AS max_id" +
+      "\nFROM comp GROUP BY component ORDER BY component"),
+
+    // Canonicalization replay: q64's component pyramid + the
+    // (n_chars DESC, doc_id) argmax per component.
+    "q146_dup_canonical" -> (simhashCompCtes +
+      """,
+        |m AS (
+        |  SELECT c.component, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM comp c JOIN documents d ON c.id = d.doc_id)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+        |FROM m GROUP BY component ORDER BY component""".stripMargin),
 
     // Same 3-gram construction as q27's oracle, joined ACROSS the
     // train/bench split through the same rare-shingle guard: bench
