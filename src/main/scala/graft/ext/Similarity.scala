@@ -87,6 +87,33 @@ object Similarity {
       k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for
+    * each anchor (query) vector, the k MOST-similar corpus vectors
+    * carrying a DIFFERENT label — the negatives at the decision
+    * boundary, where uniform sampling
+    * ([[Sampling.negativeSamples]]) returns mostly easy negatives
+    * that contribute nothing to the loss. Same broadcast-anchors
+    * scale shape as [[bruteForceTopK]]; for corpora too big for one
+    * scan per anchor batch, generate candidates with the ANN paths
+    * first and apply the same label filter before [[rerankTopK]].
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), asDouble(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("q_vec"))
+    rerankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("__cl") =!= col("__ql"))
+        .withColumn("sim",
+          gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
+  }
+
   /** Sign-bucket key: one bit per hyperplane from the sign of
     * dot(vec, plane_j) — the native fused
     * [[graft.functions.HyperplaneBucket]] expression. */

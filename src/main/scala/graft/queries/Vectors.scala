@@ -41,6 +41,19 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Hard-negative mining (Similarity.hardNegatives): top-3
+    // most-similar DIFFERENT-label corpus vectors per anchor — the
+    // contrastive-training counterpart of q119's uniform negative
+    // sampling. Exact scorer (oracle-checkable); the ANN candidate
+    // paths compose the same way at scale.
+    "q147_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+          corpus = emb, queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Embedding-cosine near-duplicate pairs (sim >= 0.5) through the
     // banded-LSH candidate generator + exact-cosine verification —
     // the SCALE path is the verified path (round 1 verified an
@@ -307,6 +320,26 @@ object VectorQueries {
         |SELECT count(*) AS n_vecs, count(DISTINCT component) AS n_kept,
         |  CAST(sum(CASE WHEN vec_id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM lab ORDER BY n_vecs""".stripMargin,
+
+    // q34's exact-cosine replay with the label filter swapped in for
+    // the self filter.
+    "q147_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, vec,
+        |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS sim
+        |  FROM m q, m t WHERE q.vec_id < 10 AND t.label <> q.label)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q34_cosine_topk" ->
       """WITH n AS (
