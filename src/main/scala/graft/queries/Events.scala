@@ -537,6 +537,48 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // Time-based LINEAR interpolation onto an hourly grid (pandas
+    // interpolate(method='time') — the gap-fill q111's ffill can't
+    // do): each user's grid points between their first and last event
+    // get pv + (nv-pv)*(t-pt)/(nt-pt) from the surrounding events,
+    // found with the SAME single-shuffle as-of machinery as q24/q85
+    // (backward pass for (pt,pv), forward pass for (nt,nv) — grid
+    // bounds guarantee both exist). Grid indices are exact integer
+    // ceil/floor-divisions of epoch micros (never float hour math);
+    // the interpolated value is emitted as FLOOR(value*1e6) — floor
+    // of the bit-identical double is cross-engine-safe where
+    // round(, 6) is not (the rational can sit on a 6dp half; the
+    // q142 lesson).
+    "q148_gap_interpolate" -> ((s, d) => {
+      val H = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+                col("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(expr(s"(min(us) + ${H - 1}) div $H").as("g0"),
+             expr(s"max(us) div $H").as("g1"))
+        .filter(col("g0") <= col("g1"))
+        .select(col("user_id"), explode(sequence(col("g0"), col("g1"))).as("g"))
+        .select(col("user_id"), col("g"),
+                timestamp_micros(col("g") * H).as("gts"))
+      val withPrev = AsOf.joinBackward(grid,
+        ev.select(col("user_id"), col("ts"), col("us").as("pt"),
+                  col("value").as("pv")),
+        "user_id", "user_id", "gts", "ts", Seq("pt", "pv"))
+      val both = AsOf.joinForward(withPrev,
+        ev.select(col("user_id"), col("ts"), col("us").as("nt"),
+                  col("value").as("nv")),
+        "user_id", "user_id", "gts", "ts", Seq("nt", "nv"))
+      both.select(col("user_id"), col("g"),
+          date_format(col("gts"), TsFmt).as("grid_ts"),
+          floor(when(col("nt") === col("pt"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (col("g") * H - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")) * 1000000.0)
+            .cast("long").as("interp_ppm"))
+        .orderBy("user_id", "g")
+    }),
+
     // SCD type-2 history (Cdc.scd2): every event value becomes a
     // version of its user's tracked attribute with
     // [valid_from, valid_to) bounds, a version number and the
@@ -629,6 +671,48 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // Interpolation replay: the as-of union trick as two window
+    // passes (event rows side 0, grid rows side 1; backward pass
+    // ordered (t, side) so an event AT a grid instant is inclusive,
+    // forward pass ordered (t, side DESC) likewise), then the
+    // identical interpolation arithmetic and the floor-ppm emit.
+    "q148_gap_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |b AS (
+        |  SELECT user_id, (min(us) + 3599999999) // 3600000000 AS g0,
+        |         max(us) // 3600000000 AS g1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(g0, g1)) AS g
+        |  FROM b WHERE g0 <= g1),
+        |u AS (
+        |  SELECT user_id, CAST(g * 3600000000 AS BIGINT) AS t, 1 AS side,
+        |         g, NULL::DOUBLE AS v
+        |  FROM grid
+        |  UNION ALL
+        |  SELECT user_id, us AS t, 0 AS side, NULL::BIGINT AS g, value AS v
+        |  FROM ev),
+        |pw AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER bw AS pv,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER bw AS pt,
+        |    first_value(v IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER fw AS nt
+        |  FROM u
+        |  WINDOW
+        |    bw AS (PARTITION BY user_id ORDER BY t, side
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY user_id ORDER BY t, side DESC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, g,
+        |  strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |  CAST(floor((CASE WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * CAST(t - pt AS DOUBLE)
+        |         / CAST(nt - pt AS DOUBLE) END) * 1000000.0) AS BIGINT)
+        |    AS interp_ppm
+        |FROM pw WHERE side = 1 ORDER BY user_id, g""".stripMargin,
 
     "q141_scd2_history" ->
       """WITH v AS (

@@ -465,6 +465,40 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Robust statistics per group: deterministic MODE (count desc,
+    // value asc — never an engine's unspecified-tie mode()), exact
+    // interpolated MEDIAN, and MAD (median absolute deviation) — the
+    // outlier-resistant siblings of q39's moment stats. Rounding is
+    // half-safe: l_extendedprice sits on the 2dp grid, so its median
+    // is on the 0.005 grid (3 decimals, exact at 4dp) and the MAD of
+    // |x - median| is on the 0.0025 grid (4 decimals, exact at 6dp).
+    // Two aggregate passes (median, then deviations) + the mode
+    // argmax — each one exchange on the group key.
+    "q149_robust_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("__med"),
+             count(lit(1)).as("n_rows"))
+      val mad = li.join(med, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(abs(l_extendedprice - __med), 0.5)").as("__mad"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("__cnt").desc, col("l_quantity"))
+      val mode = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+                col("__cnt").as("mode_count"))
+      med.join(mad, "l_returnflag").join(mode, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"),
+                col("mode_qty"), col("mode_count"),
+                round(col("__med"), 4).as("median_price"),
+                round(col("__mad"), 6).as("mad_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Label propagation (Graphs.labelPropagation) over the same
     // customer-supplier graph as q90 — the deterministic synchronous
     // variant (mode of neighbor labels, ties to the smallest label),
@@ -815,6 +849,33 @@ object Relational {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
+
+    // Robust-stats replay: quantile_cont is the same interpolated
+    // percentile as Spark's percentile(); the mode is the explicit
+    // (count DESC, value) argmax on both sides.
+    "q149_robust_stats" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med,
+        |         count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag),
+        |mad AS (
+        |  SELECT l.l_returnflag,
+        |         quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        |  GROUP BY l.l_returnflag),
+        |mode AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count
+        |  FROM (
+        |    SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |                         ORDER BY count(*) DESC, l_quantity) AS rn
+        |    FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |  WHERE rn = 1)
+        |SELECT m.l_returnflag, m.n_rows, mo.mode_qty, mo.mode_count,
+        |  round(m.med, 4) AS median_price, round(a.mad, 6) AS mad_price
+        |FROM med m JOIN mad a ON m.l_returnflag = a.l_returnflag
+        |           JOIN mode mo ON m.l_returnflag = mo.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
 
     "q145_label_propagation" ->
       """WITH e0 AS (
