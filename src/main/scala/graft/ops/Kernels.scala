@@ -180,6 +180,49 @@ object Kernels {
     partial.groupBy(keys.map(col): _*).agg(p2.head, p2.tail: _*)
   }
 
+  /** Clamped (floored) running sum per key — inventory / account-
+    * balance semantics: `bal_i = max(floor, bal_(i-1) + v_i)` with
+    * `bal_0 = floor + 0`. NOT a window function: the clamp makes each
+    * step depend on the CLAMPED previous step, not on any prefix
+    * aggregate (`max(floor, cumsum)` is a different, wrong series).
+    * This is the canonical per-key sequential recurrence, distributed
+    * via the secondary-sort pattern: repartition on the key, sort
+    * WITHIN partitions on (key, order), then one mapPartitions scan
+    * that carries only the current key's balance — constant memory
+    * per task at any rows-per-key (a flatMapGroups formulation would
+    * buffer whole groups; a driver collect wouldn't distribute).
+    * Appends `balance` and `clamped` (did this step hit the floor)
+    * to the input columns. Ordering must be total per key or the
+    * scan order — and thus the balances — is nondeterministic.
+    */
+  def clampedRunningSum(df: DataFrame, keyCol: String,
+                        orderCols: Seq[String], valueCol: String,
+                        floor: Double = 0.0): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("balance",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("clamped",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var bal = floor
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!haveKey || k != curKey) { curKey = k; haveKey = true; bal = floor }
+          val raw = bal + r.getDouble(valIdx)
+          val clamped = raw < floor
+          bal = if (clamped) floor else raw
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bal :+ clamped)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.

@@ -537,6 +537,59 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // Clamped running balance (Kernels.clampedRunningSum): the
+    // per-key sequential recurrence bal = max(0, bal + v) that NO
+    // window frame expresses (the clamp feeds back) — distributed via
+    // repartition + sortWithinPartitions + one constant-memory
+    // mapPartitions scan (the secondary-sort pattern). The oracle
+    // replays the recurrence as a recursive CTE. Balances stay on the
+    // 2dp grid (q89's rule), so the 2dp rounds are exact
+    // passthroughs; the scan order (ts, event_id) is total per user.
+    "q151_clamped_balance" -> ((s, d) => {
+      val bal = Kernels.clampedRunningSum(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        keyCol = "user_id", orderCols = Seq("ts", "event_id"),
+        valueCol = "value", floor = 0.0)
+      bal.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             round(max(struct(col("ts"), col("event_id"), col("balance")))
+               .getField("balance"), 2).as("final_balance"),
+             round(max("balance"), 2).as("max_balance"),
+             sum(col("clamped").cast("long")).as("n_clamps"))
+        .orderBy("user_id")
+    }),
+
+    // Exponentially-decayed trending score per event type: each day's
+    // count weighted by 2^(day - latest_day) — yesterday counts half.
+    // EVERY term is a dyadic rational that fits 53 bits (counts <
+    // 2^20, decay >= 2^-40 after the cutoff), so each product AND
+    // every partial sum is exactly representable: the float sum is
+    // EXACT and therefore summation-ORDER-INDEPENDENT — no rounding
+    // needed, no distributed-sum ulp caveat (the one weighted decay
+    // an engine can hash-compare raw; half-life decay with base e or
+    // 0.9 has neither property). Days older than 40 are cut off
+    // (weight < 2^-40 — exactly zero signal at count scale) to keep
+    // the exactness bound, which is also the right freshness window.
+    "q150_trending_decay" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val withMax = daily.crossJoin(broadcast(
+        daily.agg(max("day").as("dmax"))))
+      withMax
+        .withColumn("age", datediff(col("dmax"), col("day")))
+        .filter(col("age") <= 40)
+        // 1/(1<<age), not pow(2,-age): pow is libm (1-ulp-off would
+        // break exactness); the shift+divide is exact by construction
+        .withColumn("w", lit(1.0) / expr("shiftleft(cast(1 as bigint), age)"))
+        .groupBy("event_type")
+        .agg(sum(col("n") * col("w")).as("trend_score"),
+             sum("n").as("n_events_40d"))
+        .orderBy(col("trend_score").desc, col("event_type"))
+    }),
+
     // Time-based LINEAR interpolation onto an hourly grid (pandas
     // interpolate(method='time') — the gap-fill q111's ffill can't
     // do): each user's grid points between their first and last event
@@ -671,6 +724,46 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // Clamped-balance replay: the recurrence as a recursive CTE
+    // stepping rn -> rn+1 per user (same sequential fp order as the
+    // partition scan, so balances are bit-identical).
+    "q151_clamped_balance" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, greatest(0.0, v) AS bal,
+        |    CASE WHEN v < 0.0 THEN 1 ELSE 0 END AS clamped
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, greatest(0.0, r.bal + s.v),
+        |    CASE WHEN r.bal + s.v < 0.0 THEN 1 ELSE 0 END
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(arg_max(bal, rn), 2) AS final_balance,
+        |  round(max(bal), 2) AS max_balance,
+        |  CAST(sum(clamped) AS BIGINT) AS n_clamps
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Decay replay: same dyadic weights (1.0 / (1 << age)); the sum
+    // is exact (see the query comment), so trend_score hash-compares
+    // RAW — no rounding on either side.
+    "q150_trending_decay" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS dmax FROM daily),
+        |aged AS (
+        |  SELECT event_type, n, datediff('day', day, dmax) AS age
+        |  FROM daily, mx WHERE datediff('day', day, dmax) <= 40)
+        |SELECT event_type,
+        |  sum(n * (1.0 / (CAST(1 AS BIGINT) << age))) AS trend_score,
+        |  CAST(sum(n) AS BIGINT) AS n_events_40d
+        |FROM aged GROUP BY event_type
+        |ORDER BY trend_score DESC, event_type""".stripMargin,
 
     // Interpolation replay: the as-of union trick as two window
     // passes (event rows side 0, grid rows side 1; backward pass

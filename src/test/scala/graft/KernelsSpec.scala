@@ -238,4 +238,40 @@ class KernelsSpec extends AnyFunSuite {
         s"salted partitioning should spread the hot key, got $balanced")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("clampedRunningSum: hand case — the clamp is not max(floor, cumsum)") {
+    // key a: +5, -8 (clamp to 0), +3 -> balances 5, 0, 3.
+    // plain cumsum would give 5, -3, 0 -> max(0, cumsum) = 5, 0, 0:
+    // the final step distinguishes the true recurrence.
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, -8.0), ("a", 3L, 3.0),
+                 ("b", 1L, -2.0), ("b", 2L, 4.0))
+      .toDF("k", "seq", "v")
+    val out = Kernels.clampedRunningSum(df, "k", Seq("seq"), "v")
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 5.0, false), ("a", 0.0, true), ("a", 3.0, false),
+      ("b", 0.0, true), ("b", 4.0, false))) // b restarts from the floor: 0+4
+  }
+
+  test("clampedRunningSum: key state resets across keys in the same partition") {
+    // Force everything into ONE partition: the scan must reset the
+    // balance at each key boundary, not leak it.
+    val df = Seq(("a", 1L, 7.0), ("z", 1L, 1.0)).toDF("k", "seq", "v")
+      .coalesce(1)
+    val out = Kernels.clampedRunningSum(df, "k", Seq("seq"), "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 7.0), ("z", 1.0)))
+  }
+
+  test("clampedRunningSum: partition-count invariant") {
+    val rows = (1 to 200).map(i => ((i % 7).toString, i.toLong,
+      if (i % 3 == 0) -2.5 else 1.5))
+    def run(parts: Int) =
+      Kernels.clampedRunningSum(rows.toDF("k", "seq", "v").repartition(parts),
+          "k", Seq("seq"), "v")
+        .orderBy("k", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(run(1) == run(13))
+  }
 }
