@@ -465,6 +465,54 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // k-anonymity audit — the privacy gate a training-data release
+    // runs over quasi-identifiers: group sizes on (nationkey,
+    // mktsegment), then for each k threshold the number of groups
+    // smaller than k and the rows they expose. One aggregate + a
+    // 4-way threshold explode over the (tiny) group table.
+    "q152_k_anonymity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("sz"))
+        .select(col("sz"),
+          explode(array(lit(2), lit(5), lit(10), lit(20))).as("k"))
+        .groupBy("k")
+        .agg(sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+               .as("n_violating_groups"),
+             sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+               .as("rows_at_risk"),
+             min("sz").as("min_group_size"),
+             count(lit(1)).as("n_groups"))
+        .orderBy("k")),
+
+    // Benford first-digit audit — the order-of-magnitude fraud/
+    // quality signal: observed first-digit shares of o_totalprice vs
+    // the Benford expectation. The digit comes from the exact CENTS
+    // integer's decimal string (2dp grid -> x100 shifts the decimal
+    // point, so the leading digit is the price's; never float log10),
+    // shares are floor-ppm (the q142 rule), and the Benford targets
+    // are INTEGER ppm literals — computing floor(log10(1+1/d)*1e6)
+    // at run time could flip the floor by one ulp.
+    "q153_benford_audit" -> ((s, d) => {
+      val cents = expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val bCol = benford.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (ppm, i)) =>
+          when(col("first_digit") === (i + 1).toString, lit(ppm)).otherwise(acc)
+      }
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).as("first_digit"))
+        .groupBy("first_digit").agg(count(lit(1)).as("n"))
+      digits.crossJoin(broadcast(digits.agg(sum("n").as("__tot"))))
+        .select(col("first_digit"), col("n"),
+          floor(col("n") * 1000000.0 / col("__tot")).cast("long")
+            .as("share_ppm"),
+          bCol.as("benford_ppm"))
+        .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+        .orderBy("first_digit")
+    }),
+
     // Robust statistics per group: deterministic MODE (count desc,
     // value asc — never an engine's unspecified-tie mode()), exact
     // interpolated MEDIAN, and MAD (median absolute deviation) — the
@@ -849,6 +897,40 @@ object Relational {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
+
+    "q152_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2),
+        |x AS (SELECT sz, unnest([2, 5, 10, 20]) AS k FROM g)
+        |SELECT k,
+        |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(sz) AS BIGINT) AS min_group_size,
+        |  CAST(count(*) AS BIGINT) AS n_groups
+        |FROM x GROUP BY k ORDER BY k""".stripMargin,
+
+    "q153_benford_audit" ->
+      """WITH d AS (
+        |  SELECT substring(CAST(CAST(o_totalprice * 100 + 0.5 AS BIGINT)
+        |                    AS VARCHAR), 1, 1) AS first_digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT first_digit, count(*) AS n FROM d GROUP BY first_digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT first_digit, n,
+        |  CAST(floor(n * 1000000.0 / tot) AS BIGINT) AS share_ppm,
+        |  CAST(CASE first_digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |    WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        |    WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |    WHEN '9' THEN 45757 END AS BIGINT) AS benford_ppm,
+        |  abs(CAST(floor(n * 1000000.0 / tot) AS BIGINT) -
+        |      CASE first_digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |        WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        |        WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |        WHEN '9' THEN 45757 END) AS dev_ppm
+        |FROM c, t ORDER BY first_digit""".stripMargin,
 
     // Robust-stats replay: quantile_cont is the same interpolated
     // percentile as Spark's percentile(); the mode is the explicit
