@@ -203,6 +203,41 @@ object Streams {
     * (ts, seq) must totally order each key's changes. */
   case class Change(k: Long, ts: Long, seq: Long, op: String, v: Double)
 
+  /** Row shapes for the streaming clamped-balance twin. */
+  case class SeqEvent(k: Long, seq: Long, v: Double)
+  case class Balance(k: Long, balance: Double, n_events: Long, n_clamps: Long)
+
+  /** Streaming twin of [[graft.ops.Kernels.clampedRunningSum]]: the
+    * per-key `bal = max(floor, bal + v)` recurrence maintained in
+    * constant per-key state. Within a micro-batch events sort by
+    * `seq`; ACROSS batches the recurrence is order-sensitive by
+    * nature, so stream ≡ batch holds under in-order arrival (the
+    * incremental-funnel twin's documented contract — a late event
+    * would need the whole suffix replayed, which no bounded-state
+    * stream can do). Emits each key's running (balance, count,
+    * clamps) per batch it appears in.
+    */
+  def clampedBalanceStream(events: Dataset[SeqEvent],
+                           floor: Double = 0.0): Dataset[Balance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[SeqEvent], st: GroupState[Balance]) => {
+          var (bal, n, cl) = st.getOption
+            .map(b => (b.balance, b.n_events, b.n_clamps))
+            .getOrElse((floor, 0L, 0L))
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            val raw = bal + e.v
+            if (raw < floor) { bal = floor; cl += 1 } else bal = raw
+            n += 1
+          }
+          val b = Balance(k, bal, n, cl)
+          st.update(b)
+          b
+        })
+  }
+
   /** Streaming CDC: maintain the LATEST change per key across
     * micro-batches — the streaming half of
     * [[graft.ext.Cdc.applyChangelog]] (whose batch top-1-per-key this

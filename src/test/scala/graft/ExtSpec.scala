@@ -1611,4 +1611,15 @@ class ExtSpec extends AnyFunSuite {
     // lambda = 1 — but each step's score must be <= lambda (sims <= 1)
     assert(mmr.forall(_.getAs[Double]("mmr") <= 0.5 + 1e-9))
   }
+
+  test("q142 hashed classifier plans map-side: the only exchange is the final sort") {
+    val df = graft.queries.TextQueries
+      .queries("q142_hash_classifier")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = plan.split('\n')
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1,
+      s"per-token scoring must fold inside the scan (no explode+groupBy " +
+        s"shuffle); expected only the ORDER BY exchange, got $shuffles:\n$plan")
+  }
 }

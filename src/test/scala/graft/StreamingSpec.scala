@@ -501,4 +501,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamMerged.map(_._1) == Seq(1L, 2L, 9L)) // 3 deleted, 9 inserted
     assert(streamMerged(1)._3 == 22.0) // late ts=50 did not override ts=200
   }
+
+  test("streaming clamped balance equals the batch kernel under in-order arrival") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.SeqEvent
+    val all = (1 to 60).map(i =>
+      SeqEvent((i % 5).toLong, i.toLong, if (i % 3 == 0) -4.5 else 2.0))
+    val stream = MemoryStream[SeqEvent]
+    val q = graft.streaming.Streams.clampedBalanceStream(stream.toDS())
+      .writeStream.format("memory").queryName("clampbal")
+      .outputMode(OutputMode.Update()).start()
+    all.grouped(23).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final state per key = the emit with the max n_events
+    val streamed = spark.table("clampbal")
+      .as[graft.streaming.Streams.Balance].collect()
+      .groupBy(_.k).values.map(_.maxBy(_.n_events))
+      .map(b => (b.k, b.balance, b.n_events, b.n_clamps)).toSeq.sortBy(_._1)
+    val batch = graft.ops.Kernels.clampedRunningSum(
+        all.toDF(), "k", Seq("seq"), "v")
+      .groupBy("k")
+      .agg(max(struct($"seq", $"balance")).getField("balance").as("bal"),
+           count(lit(1)).as("n"),
+           sum($"clamped".cast("long")).as("cl"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed == batch)
+  }
 }
