@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Kernels
@@ -465,6 +465,70 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Release MANIFEST — dataset-versioning integrity: one row per
+    // table with its row count and an ORDER-INDEPENDENT key checksum
+    // (sum over rows of md5-derived 52-bit ints mod 1000003 — an
+    // exact integer sum, so partitioning/order can't move it; the
+    // md5 replay is the established q107 pattern). A consumer
+    // re-runs this over a delivered snapshot and diffs. Ten
+    // independent single-pass aggregates, each pruned to its key
+    // columns.
+    "q154_release_manifest" -> ((s, d) => {
+      def h(key: Column) =
+        conv(substring(md5(key), 1, 13), 16, 10).cast("long") % 1000003L
+      def row(name: String, df: DataFrame, key: Column) =
+        df.agg(count(lit(1)).as("n_rows"), sum(h(key)).as("key_checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+                  col("key_checksum"))
+      row("customer", Tables.customer(s, d), col("c_custkey").cast("string"))
+        .unionByName(row("documents", Tables.documents(s, d),
+          col("doc_id").cast("string")))
+        .unionByName(row("embeddings", Tables.embeddings(s, d),
+          col("vec_id").cast("string")))
+        .unionByName(row("events", Tables.events(s, d),
+          col("event_id").cast("string")))
+        .unionByName(row("lineitem", Tables.lineitem(s, d),
+          concat(col("l_orderkey").cast("string"), lit("|"),
+                 col("l_linenumber").cast("string"))))
+        .unionByName(row("nation", Tables.nation(s, d),
+          col("n_nationkey").cast("string")))
+        .unionByName(row("orders", Tables.orders(s, d),
+          col("o_orderkey").cast("string")))
+        .unionByName(row("part", Tables.part(s, d),
+          col("p_partkey").cast("string")))
+        .unionByName(row("region", Tables.region(s, d),
+          col("r_regionkey").cast("string")))
+        .unionByName(row("supplier", Tables.supplier(s, d),
+          col("s_suppkey").cast("string")))
+        .orderBy("table_name")
+    }),
+
+    // Interval SWEEP-LINE: how many order lines are "in fulfillment"
+    // (ordered, not yet shipped) on each calendar day — the classic
+    // +1/-1 boundary-event cumsum that a join-per-day would compute
+    // quadratically. The raw deltas aggregate to ONE row per
+    // distinct date FIRST (the big shuffle, with map-side combine);
+    // the running sum then runs over that tiny daily frame — the
+    // single-partition window is over |dates| rows by construction,
+    // never over the fact table (the q119 denseIndex lesson).
+    "q155_inflight_sweep" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      val deltas = li
+        .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+        .unionByName(li.select(
+          date_add(to_date(col("l_shipdate")), 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("net"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas
+        .withColumn("in_flight", sum("net").over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("net"), col("in_flight"))
+        .orderBy("day")
+    }),
+
     // k-anonymity audit — the privacy gate a training-data release
     // runs over quasi-identifiers: group sizes on (nationkey,
     // mktsegment), then for each k threshold the number of groups
@@ -616,6 +680,34 @@ object Relational {
         .limit(20)
     }),
   )
+
+  /** q154's oracle: per-table (count, order-independent key
+    * checksum) selects generated from one template — the 13-hex-digit
+    * md5 replay (q107's pattern) mod 1000003, summed. */
+  private def manifestOracleSql: String = {
+    def h(key: String) =
+      "CAST(list_sum(list_transform(range(1, 14), " +
+        "i -> CAST(strpos('0123456789abcdef', " +
+        s"substring(md5($key), CAST(i AS INTEGER), 1)) - 1 AS DOUBLE) " +
+        "* power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT) % 1000003"
+    def sel(t: String, key: String) =
+      s"SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,\n" +
+        s"  CAST(sum(${h(key)}) AS BIGINT) AS key_checksum FROM $t"
+    Seq(
+      "customer" -> "CAST(c_custkey AS VARCHAR)",
+      "documents" -> "CAST(doc_id AS VARCHAR)",
+      "embeddings" -> "CAST(vec_id AS VARCHAR)",
+      "events" -> "CAST(event_id AS VARCHAR)",
+      "lineitem" ->
+        "(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))",
+      "nation" -> "CAST(n_nationkey AS VARCHAR)",
+      "orders" -> "CAST(o_orderkey AS VARCHAR)",
+      "part" -> "CAST(p_partkey AS VARCHAR)",
+      "region" -> "CAST(r_regionkey AS VARCHAR)",
+      "supplier" -> "CAST(s_suppkey AS VARCHAR)",
+    ).map { case (t, k) => sel(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
 
   val oracles: Map[String, String] = Map(
     // The salted join must be value-identical to the plain inner
@@ -897,6 +989,24 @@ object Relational {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM orders""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
+
+    "q154_release_manifest" -> manifestOracleSql,
+
+    "q155_inflight_sweep" ->
+      """WITH li AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS od,
+        |         CAST(l.l_shipdate AS DATE) AS sd
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |dd AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT od AS day, 1 AS delta FROM li
+        |    UNION ALL
+        |    SELECT sd + 1 AS day, -1 AS delta FROM li)
+        |  GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, net,
+        |  CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS in_flight
+        |FROM dd ORDER BY day""".stripMargin,
 
     "q152_k_anonymity" ->
       """WITH g AS (
