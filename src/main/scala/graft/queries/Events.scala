@@ -537,6 +537,39 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // Deterministic A/B experiment readout: users assign to arms by
+    // content hash (md5 — the same decontamination-safe bucketing as
+    // the dataset splits; never random()), the metric is purchase
+    // rate per arm, and the lift is emitted in floored ppm. One
+    // aggregate over per-user flags; the assignment is replayable by
+    // construction so the experiment can be re-read from raw logs.
+    "q156_ab_lift" -> ((s, d) => {
+      val arm = when(
+        conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("exp1"))), 1, 8), 16, 10).cast("long") % 2L === 0L, "A")
+        .otherwise("B")
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .select(arm.as("arm"), col("converted"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      val a = users.filter(col("arm") === "A")
+        .select(col("n_users").as("na"), col("n_converted").as("ca"))
+      val b = users.filter(col("arm") === "B")
+        .select(col("n_users").as("nb"), col("n_converted").as("cb"))
+      a.crossJoin(b).select(
+        col("na"), col("ca"),
+        floor(col("ca") * 1000000.0 / col("na")).cast("long").as("rate_a_ppm"),
+        col("nb"), col("cb"),
+        floor(col("cb") * 1000000.0 / col("nb")).cast("long").as("rate_b_ppm"),
+        (floor(col("cb") * 1000000.0 / col("nb")).cast("long") -
+         floor(col("ca") * 1000000.0 / col("na")).cast("long"))
+          .as("lift_ppm"))
+        .orderBy("na")
+    }),
+
     // Clamped running balance (Kernels.clampedRunningSum): the
     // per-key sequential recurrence bal = max(0, bal + v) that NO
     // window frame expresses (the clamp feeds back) — distributed via
@@ -724,6 +757,36 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // A/B replay: the 8-hex-digit md5 arm assignment (q142's
+    // hex-to-int pattern) and the same floor-ppm rates.
+    "q156_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT CASE WHEN CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    converted
+        |  FROM u),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(converted) AS BIGINT) AS n_converted
+        |      FROM h GROUP BY arm),
+        |a AS (SELECT n_users AS na, n_converted AS ca FROM g WHERE arm = 'A'),
+        |b AS (SELECT n_users AS nb, n_converted AS cb FROM g WHERE arm = 'B')
+        |SELECT na, ca,
+        |  CAST(floor(ca * 1000000.0 / na) AS BIGINT) AS rate_a_ppm,
+        |  nb, cb,
+        |  CAST(floor(cb * 1000000.0 / nb) AS BIGINT) AS rate_b_ppm,
+        |  CAST(floor(cb * 1000000.0 / nb) AS BIGINT) -
+        |  CAST(floor(ca * 1000000.0 / na) AS BIGINT) AS lift_ppm
+        |FROM a, b ORDER BY na""".stripMargin,
 
     // Clamped-balance replay: the recurrence as a recursive CTE
     // stepping rn -> rn+1 per user (same sequential fp order as the

@@ -465,6 +465,29 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Share-shift report — the BI staple: each segment's share of
+    // monthly revenue (floor-ppm of exact 2dp-grid cents sums — the
+    // revenue ratio never round()s) and its month-over-month delta
+    // via lag over the tiny (month x segment) frame. Revenue sums in
+    // CENTS (exact integers) so the shares divide exact ints.
+    "q157_share_shift" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+                 col("c_mktsegment").as("segment"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.partitionBy("segment").orderBy("month")
+      m.join(broadcast(m.groupBy("month").agg(sum("cents").as("__tot"))),
+          "month")
+        .select(col("month"), col("segment"),
+          floor(col("cents") * 1000000.0 / col("__tot")).cast("long")
+            .as("share_ppm"))
+        .withColumn("shift_ppm",
+          col("share_ppm") - lag("share_ppm", 1).over(w))
+        .orderBy("month", "segment")
+    }),
+
     // Release MANIFEST — dataset-versioning integrity: one row per
     // table with its row count and an ORDER-INDEPENDENT key checksum
     // (sum over rows of md5-derived 52-bit ints mod 1000003 — an
@@ -557,7 +580,7 @@ object Relational {
     // are INTEGER ppm literals — computing floor(log10(1+1/d)*1e6)
     // at run time could flip the floor by one ulp.
     "q153_benford_audit" -> ((s, d) => {
-      val cents = expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+      val cents = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
       val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
         66947L, 57992L, 51153L, 45757L)
       val bCol = benford.zipWithIndex.foldLeft(lit(null).cast("long")) {
@@ -992,6 +1015,25 @@ object Relational {
 
     "q154_release_manifest" -> manifestOracleSql,
 
+    "q157_share_shift" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    c_mktsegment AS segment,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT month, CAST(sum(cents) AS BIGINT) AS tot
+        |      FROM m GROUP BY month),
+        |s AS (
+        |  SELECT m.month, m.segment,
+        |    CAST(floor(m.cents * 1000000.0 / t.tot) AS BIGINT) AS share_ppm
+        |  FROM m JOIN t ON m.month = t.month)
+        |SELECT month, segment, share_ppm,
+        |  share_ppm - lag(share_ppm, 1) OVER (PARTITION BY segment
+        |                                      ORDER BY month) AS shift_ppm
+        |FROM s ORDER BY month, segment""".stripMargin,
+
     "q155_inflight_sweep" ->
       """WITH li AS (
         |  SELECT CAST(o.o_orderdate AS DATE) AS od,
@@ -1024,7 +1066,7 @@ object Relational {
 
     "q153_benford_audit" ->
       """WITH d AS (
-        |  SELECT substring(CAST(CAST(o_totalprice * 100 + 0.5 AS BIGINT)
+        |  SELECT substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         |                    AS VARCHAR), 1, 1) AS first_digit
         |  FROM orders WHERE o_totalprice > 0),
         |c AS (SELECT first_digit, count(*) AS n FROM d GROUP BY first_digit),
