@@ -537,6 +537,32 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // CUSUM drift detection — the sequential changepoint monitor:
+    // S = max(0, S + (x - k)) per user (k = slack 2.0) with alarms
+    // when S crosses h = 15.0 from below. The recurrence REUSES
+    // Kernels.clampedRunningSum (CUSUM IS a clamped running sum of
+    // slack-shifted values); crossings come from one lag window over
+    // the scanned balances. Balances stay on the 2dp grid; the
+    // threshold compares identical doubles on both engines, so the
+    // >= boundary is exact.
+    "q158_cusum_drift" -> ((s, d) => {
+      val (k, h) = (2.0, 15.0)
+      val cs = Kernels.clampedRunningSum(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  (col("value") - lit(k)).as("value")),
+        keyCol = "user_id", orderCols = Seq("ts", "event_id"),
+        valueCol = "value", floor = 0.0)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      cs.withColumn("prev", lag("balance", 1, 0.0).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             round(max("balance"), 2).as("max_cusum"),
+             sum(when(col("balance") >= h && col("prev") < h, 1L)
+               .otherwise(0L)).as("n_alarms"))
+        .orderBy("user_id")
+    }),
+
     // Deterministic A/B experiment readout: users assign to arms by
     // content hash (md5 — the same decontamination-safe bucketing as
     // the dataset splits; never random()), the metric is purchase
@@ -757,6 +783,28 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    // CUSUM replay: q151's recursive-CTE recurrence over
+    // slack-shifted values, carrying the previous balance for the
+    // crossing test.
+    "q158_cusum_drift" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value - 2.0 AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, greatest(0.0, v) AS bal,
+        |    CAST(0.0 AS DOUBLE) AS prev
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, greatest(0.0, r.bal + s.v), r.bal
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(bal), 2) AS max_cusum,
+        |  CAST(sum(CASE WHEN bal >= 15.0 AND prev < 15.0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_alarms
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // A/B replay: the 8-hex-digit md5 arm assignment (q142's
     // hex-to-int pattern) and the same floor-ppm rates.

@@ -59,6 +59,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The pure-SQL front door over the NATIVE expressions: a SQL
+    // string calling the graft_* functions the SparkSessionExtensions
+    // registry injects (q47 shows plain SQL; this shows the
+    // EXTENSION surface under the driver gate — previously only
+    // spec-pinned). token_set_count is codegen'd inside the scan;
+    // word_shingles feeds size() without materializing elsewhere.
+    "q159_sql_native_functions" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d).createOrReplaceTempView("v_docs_q159")
+      s.sql("""
+        SELECT doc_id,
+          graft_token_set_count(text, array('data', 'the', 'row'))
+            AS stop_hits,
+          size(graft_word_shingles(text, 3)) AS n_shingles
+        FROM v_docs_q159 ORDER BY doc_id""")
+    }),
+
     // BPE merge induction (Bpe.learnMerges) — tokenizer TRAINING on
     // the corpus: 4 merge rounds, each one vocab-sized pair count +
     // a 1-row argmax collect (the PageRank-sweep idiom). The corpus
@@ -1355,6 +1372,21 @@ object TextQueries {
         |  (coalesce(a.score, 0) > 0) AS label
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Native-function SQL replay: token membership over the same
+    // space split; distinct word 3-shingles (q65's construction).
+    "q159_sql_native_functions" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('data', 'the', 'row'))) AS INTEGER) AS stop_hits,
+        |  CAST(CASE WHEN len(string_split(text, ' ')) >= 3
+        |    THEN len(list_distinct(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2])))
+        |    ELSE 0 END AS INTEGER) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // BPE replay: k=4 unrolled rounds generated by Bpe.oracleSql so
     // the two sides cannot drift round-wise.
