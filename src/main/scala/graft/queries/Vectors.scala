@@ -41,6 +41,30 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Matryoshka truncation quality (MRL): recall@3 of cosine top-k
+    // under PREFIX-truncated embeddings (dims 8/16/32) against the
+    // full 64-dim ground truth — the dimension-ladder report that
+    // decides how short production vectors can go. Reuses the exact
+    // brute-force scorer over sliced vectors; recall emitted as
+    // floored ppm of exact hit counts.
+    "q160_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def sliced(df: DataFrame, dims: Int) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+      def topk(dims: Int) =
+        Similarity.bruteForceTopK(sliced(emb, dims),
+            sliced(emb.filter(col("vec_id") < 10), dims),
+            "vec_id", "embedding", 3)
+          .select("query_id", "neighbor_id")
+      val full = topk(64)
+      Seq(8, 16, 32).map { dims =>
+        topk(dims).intersect(full)
+          .agg(lit(dims).as("dims"), count(lit(1)).as("hits"),
+               floor(count(lit(1)) * 1000000.0 / 30.0).cast("long")
+                 .as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("dims")
+    }),
+
     // Hard-negative mining (Similarity.hardNegatives): top-3
     // most-similar DIFFERENT-label corpus vectors per anchor — the
     // contrastive-training counterpart of q119's uniform negative
@@ -289,6 +313,39 @@ object VectorQueries {
     }),
   )
 
+  /** q160's oracle: q34's exact-cosine top-3 replay at each prefix
+    * length, intersected with the 64-dim truth — generated so the
+    * four rank blocks are identical term for term. */
+  private def matryoshkaOracleSql: String = {
+    def top(dims: Int, name: String) =
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rnk FROM (
+         |      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, ${dims + 1}),
+         |          i -> q.vec[i] * t.vec[i]))
+         |        / (sqrt(list_sum(list_transform(q.vec[1:$dims], x -> x*x)))
+         |           * sqrt(list_sum(list_transform(t.vec[1:$dims], x -> x*x))))
+         |          AS sim
+         |      FROM m q, m t WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id))
+         |  WHERE rnk <= 3)""".stripMargin
+    val blocks = (Seq(8, 16, 32).map(d => top(d, s"t$d")) :+ top(64, "t64"))
+      .mkString(",\n")
+    val rows = Seq(8, 16, 32).map { d =>
+      s"""SELECT $d AS dims, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(floor(count(*) * 1000000.0 / 30.0) AS BIGINT) AS recall_ppm
+         |FROM t$d JOIN t64 USING (query_id, neighbor_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, vec FROM n),
+       |$blocks
+       |$rows
+       |ORDER BY dims""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Exact cosine pairs (the q42 construction) -> recursive
     // transitive closure (the q64 construction) -> per-corpus summary;
@@ -320,6 +377,8 @@ object VectorQueries {
         |SELECT count(*) AS n_vecs, count(DISTINCT component) AS n_kept,
         |  CAST(sum(CASE WHEN vec_id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM lab ORDER BY n_vecs""".stripMargin,
+
+    "q160_matryoshka_recall" -> matryoshkaOracleSql,
 
     // q34's exact-cosine replay with the label filter swapped in for
     // the self filter.
