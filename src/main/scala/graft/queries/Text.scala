@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, TextStats}
 import graft.tables.Tables
@@ -57,6 +58,74 @@ object TextQueries {
                     .cast("long")).as("margin_ppm"),
                 (col("score") > 0L).as("label"))
         .orderBy("doc_id")
+    }),
+
+    // Token-budget WATERFILLING across sources — mixture planning:
+    // given per-source token supplies (caps) and a global budget
+    // T = 60% of the corpus, find the water level L such that
+    // sum(min(cap, L)) = T and allocate min(cap, floor-at-level) per
+    // source. Closed form over the cap-sorted prefix scan (one
+    // window over the |sources|-row frame): the first k sources are
+    // fully taken, the rest get the level. Allocation emitted as the
+    // FLOOR of the exact rational level — integer waterfill
+    // (undershoots the budget by < |sources| tokens, documented).
+    // Complements q72/q75's fixed-weight mixtures with the
+    // budget-driven solver.
+    "q161_token_waterfill" -> ((s, d) => {
+      val caps = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("cap"))
+      // budget = 60% of total tokens in EXACT integer arithmetic
+      // ((3*sum) div 5 — a float 0.6 product floors differently
+      // across engines when the true product is an integer)
+      val tot = caps.agg(expr("(3 * sum(cap)) div 5").as("budget"))
+      val wPfx = Window.orderBy("cap", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy("cap", "source")
+      val scan = caps.crossJoin(broadcast(tot))
+        .withColumn("prefix", coalesce(sum("cap").over(wPfx), lit(0L)))
+        .withColumn("rank", row_number().over(wAll))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("full_take",
+          col("prefix") + (col("n_src") - col("rank") + 1) * col("cap")
+            <= col("budget"))
+        .withColumn("cand",
+          floor((col("budget") - col("prefix")).cast("double") /
+                (col("n_src") - col("rank") + 1)).cast("long"))
+      // the shared level is the FIRST non-full row's candidate (later
+      // non-full rows' own candidates are below the true level)
+      val lvl = scan.agg(min(when(!col("full_take"),
+          struct(col("rank"), col("cand")))).as("__s"))
+        .select(coalesce(col("__s.cand"), lit(0L)).as("level"))
+      scan.crossJoin(broadcast(lvl))
+        .select(col("source"), col("cap"),
+          when(col("full_take"), col("cap"))
+            .otherwise(least(col("cap"), greatest(col("level"), lit(0L))))
+            .as("allocated"))
+        .orderBy("source")
+    }),
+
+    // Near-dup pair matrix WITHIN vs ACROSS sources — the dedup
+    // diagnostic that tells you whether duplication is intra-source
+    // boilerplate or cross-source syndication (they need different
+    // fixes). MinHash-LSH pair set (q31's verified path) joined to
+    // each side's source, counted per ordered source pair.
+    "q162_dup_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+                 greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
     }),
 
     // The pure-SQL front door over the NATIVE expressions: a SQL
@@ -1372,6 +1441,58 @@ object TextQueries {
         |  (coalesce(a.score, 0) > 0) AS label
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Waterfill replay: the same cap-sorted prefix scan, integer
+    // budget, and first-non-full-row level.
+    "q161_token_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
+        |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+        |    AS BIGINT) AS cap
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT (3 * CAST(sum(cap) AS BIGINT)) // 5 AS budget FROM caps),
+        |s AS (SELECT source, cap, budget,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |    row_number() OVER (ORDER BY cap, source) AS rank,
+        |    count(*) OVER () AS n_src
+        |  FROM caps, t),
+        |s2 AS (SELECT *,
+        |    (prefix + (n_src - rank + 1) * cap <= budget) AS full_take,
+        |    CAST(floor(CAST(budget - prefix AS DOUBLE) / (n_src - rank + 1))
+        |      AS BIGINT) AS cand
+        |  FROM s),
+        |lvl AS (SELECT coalesce((SELECT cand FROM s2 WHERE NOT full_take
+        |                         ORDER BY rank LIMIT 1), 0) AS level)
+        |SELECT source, cap,
+        |  CASE WHEN full_take THEN cap
+        |    ELSE least(cap, greatest(level, 0)) END AS allocated
+        |FROM s2, lvl ORDER BY source""".stripMargin,
+
+    // Source-matrix replay: q31's exact Jaccard>=0.5 pair set (the
+    // LSH path has deterministic full recall at these parameters)
+    // joined to each side's source.
+    "q162_dup_source_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+        |j AS (
+        |  SELECT least(da.source, db.source) AS source_lo,
+        |         greatest(da.source, db.source) AS source_hi
+        |  FROM p JOIN documents da ON p.id_a = da.doc_id
+        |         JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Native-function SQL replay: token membership over the same
     // space split; distinct word 3-shingles (q65's construction).
