@@ -537,6 +537,77 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // Markov next-event BACKTEST — train/evaluate with a temporal
+    // split (the only honest split for sequence models): transition
+    // counts learned on events before 2024-01-16, the per-prev-type
+    // argmax prediction (count desc, next-type asc — deterministic)
+    // scored on transitions after it. Exact integer counts; accuracy
+    // in floored ppm. Transitions never cross the split boundary
+    // (both ends must land in the same half).
+    "q163_markov_backtest" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val train = tr.filter(col("ts") < cut)
+        .groupBy(col("prev"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+      val wBest = Window.partitionBy("prev")
+        .orderBy(col("cnt").desc, col("nxt"))
+      val model = train.withColumn("__rn", row_number().over(wBest))
+        .filter(col("__rn") === 1)
+        .select(col("prev"), col("nxt").as("predicted"))
+      tr.filter(col("prev_ts") >= cut)
+        .join(broadcast(model), "prev")
+        .groupBy("prev")
+        .agg(count(lit(1)).as("n_test"),
+             sum(when(col("event_type") === col("predicted"), 1L)
+               .otherwise(0L)).as("n_correct"),
+             first("predicted").as("predicted"))
+        .select(col("prev"), col("predicted"), col("n_test"),
+          col("n_correct"),
+          floor(col("n_correct") * 1000000.0 / col("n_test")).cast("long")
+            .as("accuracy_ppm"))
+        .orderBy("prev")
+    }),
+
+    // Difference-in-differences over the hashed A/B arms (q156's
+    // assignment) with a temporal pre/post split at 2024-01-16: the
+    // causal-lift estimate that controls for arm-level baseline
+    // differences. Per (arm, period) purchase rates in floored ppm of
+    // exact counts; DiD = (B_post - B_pre) - (A_post - A_pre).
+    "q164_did_lift" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val arm = when(
+        conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("exp1"))), 1, 8), 16, 10).cast("long") % 2L === 0L, "A")
+        .otherwise("B")
+      val cells = Tables.events(s, d)
+        .select(arm.as("arm"),
+          when(col("ts") < cut, "pre").otherwise("post").as("period"),
+          col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+        .groupBy("arm", "period", "user_id")
+        .agg(max("conv").as("converted"))
+        .groupBy("arm", "period")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        .withColumn("rate_ppm",
+          floor(col("n_conv") * 1000000.0 / col("n_users")).cast("long"))
+      def cell(a: String, p: String, out: String) =
+        cells.filter(col("arm") === a && col("period") === p)
+          .select(col("rate_ppm").as(out))
+      cell("A", "pre", "a_pre").crossJoin(cell("A", "post", "a_post"))
+        .crossJoin(cell("B", "pre", "b_pre"))
+        .crossJoin(cell("B", "post", "b_post"))
+        .select(col("a_pre"), col("a_post"), col("b_pre"), col("b_post"),
+          ((col("b_post") - col("b_pre")) - (col("a_post") - col("a_pre")))
+            .as("did_ppm"))
+        .orderBy("a_pre")
+    }),
+
     // CUSUM drift detection — the sequential changepoint monitor:
     // S = max(0, S + (x - k)) per user (k = slack 2.0) with alarms
     // when S crosses h = 15.0 from below. The recurrence REUSES
@@ -783,6 +854,62 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q163_markov_backtest" ->
+      """WITH tr AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type, 1) OVER w AS prev,
+        |    lag(ts, 1) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tr2 AS (SELECT * FROM tr WHERE prev IS NOT NULL),
+        |train AS (
+        |  SELECT prev, event_type AS nxt, count(*) AS cnt FROM tr2
+        |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+        |model AS (
+        |  SELECT prev, nxt AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev
+        |      ORDER BY cnt DESC, nxt) AS rn FROM train)
+        |  WHERE rn = 1)
+        |SELECT t.prev, m.predicted, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN t.event_type = m.predicted THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_correct,
+        |  CAST(floor(sum(CASE WHEN t.event_type = m.predicted
+        |                      THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+        |       AS BIGINT) AS accuracy_ppm
+        |FROM tr2 t JOIN model m ON t.prev = m.prev
+        |WHERE t.prev_ts >= TIMESTAMP '2024-01-16'
+        |GROUP BY t.prev, m.predicted ORDER BY t.prev""".stripMargin,
+
+    "q164_did_lift" ->
+      """WITH h AS (
+        |  SELECT CASE WHEN CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+        |      ELSE 'post' END AS period,
+        |    user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |u AS (SELECT arm, period, user_id, max(conv) AS converted
+        |      FROM h GROUP BY 1, 2, 3),
+        |g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(converted) AS BIGINT) AS n_conv
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT arm, period,
+        |        CAST(floor(n_conv * 1000000.0 / n_users) AS BIGINT)
+        |          AS rate_ppm
+        |      FROM g),
+        |ap AS (SELECT rate_ppm AS a_pre FROM r WHERE arm = 'A' AND period = 'pre'),
+        |ao AS (SELECT rate_ppm AS a_post FROM r WHERE arm = 'A' AND period = 'post'),
+        |bp AS (SELECT rate_ppm AS b_pre FROM r WHERE arm = 'B' AND period = 'pre'),
+        |bo AS (SELECT rate_ppm AS b_post FROM r WHERE arm = 'B' AND period = 'post')
+        |SELECT a_pre, a_post, b_pre, b_post,
+        |  (b_post - b_pre) - (a_post - a_pre) AS did_ppm
+        |FROM ap, ao, bp, bo ORDER BY a_pre""".stripMargin,
 
     // CUSUM replay: q151's recursive-CTE recurrence over
     // slack-shifted values, carrying the previous balance for the
