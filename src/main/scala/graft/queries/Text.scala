@@ -60,6 +60,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Two-stage retrieval CASCADE — the production search shape q95's
+    // score fusion doesn't cover: BM25 selects 20 lexical candidates,
+    // then the top hit's EMBEDDING reranks them by cosine
+    // (query-by-top-document pseudo-relevance feedback). Stage 2
+    // touches only the candidate ids — the embedding table joins 20
+    // rows, never scans against the query. Both stage ranks are on
+    // ROUNDED scores with id tie-breaks (the q80 rule).
+    "q165_retrieval_cascade" -> ((s, d) => {
+      val gf = graft.functions.GraftFunctions
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val top20 = graft.ext.Retrieval.withBm25(Tables.documents(s, d),
+          "text", Seq("join", "vector", "scan"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val qvec = top20.orderBy(col("bm25").desc, col("doc_id")).limit(1)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("vec").as("qvec"))
+      top20.join(emb, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qvec))
+        .select(col("doc_id"), col("bm25"),
+          round(gf.cosineSimilarity(s, col("vec"), col("qvec")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(5)
+    }),
+
     // Token-budget WATERFILLING across sources — mixture planning:
     // given per-source token supplies (caps) and a global budget
     // T = 60% of the corpus, find the water level L such that
@@ -1407,6 +1434,30 @@ object TextQueries {
       |  SELECT src AS id, least(src, min(dst)) AS component
       |  FROM reach GROUP BY src)""".stripMargin
 
+  /** Shared oracle prefix for q86/q165: the fully-unrolled BM25
+    * (base term frequencies -> corpus stats -> per-doc score). */
+  private val bm25Ctes: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
+      |    len(list_filter(string_split(text,' '), t -> t = 'join')) AS tf0,
+      |    len(list_filter(string_split(text,' '), t -> t = 'vector')) AS tf1,
+      |    len(list_filter(string_split(text,' '), t -> t = 'scan')) AS tf2
+      |  FROM documents),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM base),
+      |sc AS (
+      |  SELECT doc_id, lang, source, dl, tf0 + tf1 + tf2 AS n_hits,
+      |      ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+      |    + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+      |    + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+      |    AS score
+      |  FROM base, st)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Hashed-classifier replay: per-token weight = (first-8-hex-digit
     // md5 value mod 1001) - 500 via the established digit-sum
@@ -1447,9 +1498,7 @@ object TextQueries {
     "q161_token_waterfill" ->
       """WITH caps AS (
         |  SELECT source,
-        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
-        |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
-        |    AS BIGINT) AS cap
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS cap
         |  FROM documents GROUP BY source),
         |t AS (SELECT (3 * CAST(sum(cap) AS BIGINT)) // 5 AS budget FROM caps),
         |s AS (SELECT source, cap, budget,
@@ -2835,29 +2884,32 @@ object TextQueries {
         |GROUP BY d2.lang, d2.source
         |ORDER BY lang, source""".stripMargin,
 
-    "q86_bm25_retrieval" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang, source,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
-        |    len(list_filter(string_split(text,' '), t -> t = 'join')) AS tf0,
-        |    len(list_filter(string_split(text,' '), t -> t = 'vector')) AS tf1,
-        |    len(list_filter(string_split(text,' '), t -> t = 'scan')) AS tf2
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,
-        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |  FROM base),
-        |sc AS (
-        |  SELECT doc_id, lang, source, dl, tf0 + tf1 + tf2 AS n_hits,
-        |      ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
-        |    + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
-        |    + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
-        |    AS score
-        |  FROM base, st)
-        |SELECT doc_id, lang, source, dl, n_hits, round(score, 6) AS bm25
-        |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15""".stripMargin,
+    "q86_bm25_retrieval" -> (bm25Ctes +
+      "\nSELECT doc_id, lang, source, dl, n_hits, round(score, 6) AS bm25" +
+      "\nFROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15"),
+
+    // Cascade replay: q86's BM25 pyramid -> rounded top-20 -> the
+    // top hit's embedding as query vector -> q34's cosine over the
+    // 20 candidates.
+    "q165_retrieval_cascade" -> (bm25Ctes +
+      """,
+        |t20 AS (
+        |  SELECT doc_id, round(score, 6) AS bm25 FROM sc
+        |  ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
+        |t1 AS (SELECT doc_id FROM t20 ORDER BY bm25 DESC, doc_id LIMIT 1),
+        |nv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS vec
+        |  FROM embeddings),
+        |qv AS (SELECT vec AS qvec FROM t1 JOIN nv ON t1.doc_id = nv.vec_id),
+        |r AS (
+        |  SELECT t20.doc_id, t20.bm25,
+        |    list_sum(list_transform(range(1, 65), i -> nv.vec[i] * qv.qvec[i]))
+        |    / (sqrt(list_sum(list_transform(nv.vec, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(qv.qvec, x -> x*x)))) AS cos
+        |  FROM t20 JOIN nv ON t20.doc_id = nv.vec_id, qv)
+        |SELECT doc_id, bm25, round(cos, 6) AS cosine
+        |FROM r ORDER BY round(cos, 6) DESC, doc_id LIMIT 5""".stripMargin),
 
     "q87_pmi_collocations" ->
       """WITH d AS (
