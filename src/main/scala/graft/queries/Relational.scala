@@ -465,6 +465,52 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q9-shaped 5-table join — the optimizer stress the
+    // single-join queries never apply: part (filtered) ⋈ lineitem ⋈
+    // supplier ⋈ orders ⋈ nation, profit aggregated per nation/year.
+    // Catalyst broadcast-joins the three small dims and reorders
+    // around the lineitem⋈orders shuffle; the part filter prunes
+    // before the join (pushdown). Sums sit on the 4dp grid
+    // (price×(1-disc) = 2dp×2dp), so the emit rounds at 4dp — a 2dp
+    // round meets exact 4dp halves (observed at sf0.01: last-cent
+    // flips), the q14 rule.
+    "q166_profit_by_nation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("a")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+                 year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+               .as("profit"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    // The analytic-window ladder in one pass: rank / dense_rank /
+    // percent_rank / cume_dist / ntile(4) over customers by account
+    // balance within segment — every rank-family function sharing ONE
+    // window exchange. percent_rank and cume_dist are small-
+    // denominator rationals, so they emit as FLOORED ppm (the q142
+    // rule), never round().
+    "q167_rank_ladder" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc,
+        col("c_custkey"))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 200)
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          floor(percent_rank().over(w) * 1000000.0).cast("long")
+            .as("pct_rank_ppm"),
+          floor(cume_dist().over(w) * 1000000.0).cast("long")
+            .as("cume_dist_ppm"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("segment", "rnk", "c_custkey")
+    }),
+
     // Share-shift report — the BI staple: each segment's share of
     // monthly revenue (floor-ppm of exact 2dp-grid cents sums — the
     // revenue ratio never round()s) and its month-over-month delta
@@ -1014,6 +1060,31 @@ object Relational {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\""),
 
     "q154_release_manifest" -> manifestOracleSql,
+
+    "q166_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q167_rank_ladder" ->
+      """SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT)
+        |    AS pct_rank_ppm,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT)
+        |    AS cume_dist_ppm,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM customer WHERE c_custkey < 200
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY segment, rnk, c_custkey""".stripMargin,
 
     "q157_share_shift" ->
       """WITH m AS (

@@ -264,4 +264,43 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(sets.last.size == 10)
   }
+
+  test("applyChangelog equals a driver-side reference merge on random changelogs") {
+    val changeGen: Gen[List[(Long, Long, Long, String, Double)]] =
+      Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 9L) // overlaps AND exceeds the base key range
+        ts <- Gen.choose(0L, 5L) // small range -> frequent ts ties
+        op <- Gen.oneOf("U", "U", "D") // deletes ~1/3
+        v <- Gen.choose(0, 500).map(_ / 10.0)
+      } yield (k, ts, 0L, op, v))
+    val baseRows = (0L to 5L).map(k => (k, s"n$k", k * 10.0))
+    for ((raw, i) <- samples(changeGen, 6).zipWithIndex if raw.nonEmpty) {
+      // unique seq per row makes (ts, seq) total, like a changelog LSN
+      val rows = raw.zipWithIndex.map { case ((k, ts, _, op, v), j) =>
+        (k, ts, j.toLong, op, v)
+      }
+      val out = graft.ext.Cdc.applyChangelog(
+          baseRows.toDF("k", "name", "bal"),
+          rows.toDF("ck", "ts", "seq", "op", "v"),
+          "k", "ck", "ts", "seq", "op", "D", Seq("v" -> "bal"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      // reference: latest change per key by (ts, seq), applied to a map
+      val latest = rows.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.maxBy(c => (c._2, c._3))
+      }
+      val base = baseRows.map(r => r._1 -> r).toMap
+      val expected = (base.keySet ++ latest.keySet).toSeq.sorted.flatMap { k =>
+        (base.get(k), latest.get(k)) match {
+          case (_, Some(c)) if c._4 == "D" => None
+          case (Some(b), Some(c)) => Some((k, b._2, c._5))
+          case (Some(b), None) => Some((k, b._2, b._3))
+          case (None, Some(c)) => Some((k, null, c._5))
+          case (None, None) => None
+        }
+      }
+      assert(out == expected, s"sample $i diverged")
+    }
+  }
 }
