@@ -81,6 +81,46 @@ object Graphs {
       .select(col("node"), col("deg").as("degree"), col("pr"))
   }
 
+  /** WEIGHTED PageRank over an undirected weighted edge list: mass
+    * flows proportionally to edge weight — `pr' = (1-d)/N + d *
+    * sum_{u~v} w(u,v)/W(u) * pr(u)` with `W(u)` = u's total incident
+    * weight. The unweighted [[pageRank]] is the w≡1 special case;
+    * weights let co-occurrence counts, shared-order counts or
+    * similarity scores drive the walk instead of bare adjacency.
+    * Same staged-adjacency/sweep shape and determinism rules as
+    * [[pageRank]]; weights must be positive. Returns
+    * (node, total_weight, pr).
+    */
+  def pageRankWeighted(edges: DataFrame, aCol: String, bCol: String,
+                       wCol: String, iterations: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sym = graft.ops.Staging.stage(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"),
+                   col(wCol).cast("double").as("w"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
+                            col(wCol).cast("double").as("w"))))
+    val wt = graft.ops.Staging.stage(
+      sym.groupBy("src").agg(sum("w").as("wtot")))
+    val adj = graft.ops.Staging.stage(
+      sym.join(wt, "src").repartition(col("src")))
+    val nAgg = wt.agg(count(lit(1)).cast("double").as("__n"))
+    val init = wt.select(col("src").as("node")).crossJoin(broadcast(nAgg))
+      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
+      graft.ops.Staging.stage(
+        adj.join(pr, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
+          .crossJoin(broadcast(nAgg))
+          .select(col("dst").as("node"),
+            (lit(1.0 - damping) / col("__n") +
+              lit(damping) * col("__mass")).as("pr")))
+    }
+    terminal.join(wt, col("node") === col("src"))
+      .select(col("node"), col("wtot").as("total_weight"), col("pr"))
+  }
+
   /** Synchronous label propagation (community detection — the cheap
     * clustering pass between connected components, which over-merges
     * through any bridge edge, and modularity methods, which don't

@@ -680,6 +680,31 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // WEIGHTED PageRank (Graphs.pageRankWeighted): the same
+    // customer-supplier graph, but mass flows proportionally to the
+    // number of shared order lines — co-occurrence STRENGTH drives
+    // the walk, not bare adjacency (the q90 special case w≡1).
+    // Emits rank×N (q121's magnitude rule) on the rounded-score
+    // order; the oracle unrolls both sweeps with the weighted mass
+    // term and the same `(1.0 - 0.85)` literal.
+    "q168_pagerank_weighted" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val pr = graft.ops.Staging.stage(
+        graft.ext.Graphs.pageRankWeighted(edges, "a", "b", "w",
+          iterations = 2))
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("total_weight").cast("long").as("total_w"),
+                round(col("pr") * col("__nn"), 6).as("pr_x_n"))
+        .orderBy(col("pr_x_n").desc, col("node"))
+        .limit(20)
+    }),
+
     // Label propagation (Graphs.labelPropagation) over the same
     // customer-supplier graph as q90 — the deterministic synchronous
     // variant (mode of neighbor labels, ties to the smallest label),
@@ -1181,6 +1206,33 @@ object Relational {
         |FROM med m JOIN mad a ON m.l_returnflag = a.l_returnflag
         |           JOIN mode mo ON m.l_returnflag = mo.l_returnflag
         |ORDER BY m.l_returnflag""".stripMargin,
+
+    "q168_pagerank_weighted" ->
+      """WITH e0 AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w FROM e0
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+        |wt AS (SELECT src, sum(w) AS wtot FROM sym GROUP BY src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wt),
+        |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM wt, n),
+        |r1 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |       FROM sym s JOIN r0 r ON s.src = r.node
+        |                  JOIN wt d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r2 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |       FROM sym s JOIN r1 r ON s.src = r.node
+        |                  JOIN wt d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn)
+        |SELECT r2.node, CAST(wt.wtot AS BIGINT) AS total_w,
+        |  round(r2.pr * nn, 6) AS pr_x_n
+        |FROM r2 JOIN wt ON r2.node = wt.src, n
+        |ORDER BY pr_x_n DESC, r2.node LIMIT 20""".stripMargin,
 
     "q145_label_propagation" ->
       """WITH e0 AS (

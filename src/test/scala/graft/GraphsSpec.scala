@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Graphs
 
@@ -165,6 +166,32 @@ class GraphsSpec extends AnyFunSuite {
       assert(perSweep <= 4.0,
         s"expected <= 4 marginal jobs per sweep, measured $perSweep ($j1 -> $j3)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pageRankWeighted: w≡1 equals the unweighted pageRank; mass conserves") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("x", "y")
+    val unweighted = Graphs.pageRank(edges, "x", "y", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val weighted = Graphs.pageRankWeighted(
+        edges.withColumn("w", lit(1L)), "x", "y", "w", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(weighted.keySet == unweighted.keySet)
+    weighted.foreach { case (n, p) =>
+      assert(math.abs(p - unweighted(n)) < 1e-12, s"node $n differs")
+    }
+    assert(math.abs(weighted.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRankWeighted: heavier edges pull rank (hand-checkable 3-node path)") {
+    // path x - y - z with weight(x,y) = 9, weight(y,z) = 1: x must
+    // outrank z (y sends 90% of its mass along the heavy edge)
+    val edges = Seq(("x", "y", 9L), ("y", "z", 1L)).toDF("a", "b", "w")
+    val pr = Graphs.pageRankWeighted(edges, "a", "b", "w", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(pr("x") > pr("z"))
   }
 
   test("labelPropagation: a triangle converges to one community in 2 sync rounds") {
