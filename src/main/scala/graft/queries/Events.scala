@@ -537,6 +537,41 @@ object EventQueries {
         .orderBy("c_custkey")
     }),
 
+    // Market-basket association over user baskets: for each ordered
+    // event-type pair, support / confidence / lift — the classic
+    // co-occurrence rule mining (q87's PMI is the token-level
+    // sibling; this is the entity-level one). All ratios are floored
+    // ppm of EXACT integer counts (n_both*N*1e6 < 2^53, so even the
+    // lift numerator is exact).
+    "q169_basket_lift" -> ((s, d) => {
+      val baskets = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val n = baskets.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val per = baskets.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = baskets.as("x")
+        .join(baskets.as("y"), col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("t_a"),
+                 col("y.event_type").as("t_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(per.select(col("event_type").as("t_a"), col("n_t").as("n_a")),
+          "t_a")
+        .join(per.select(col("event_type").as("t_b"), col("n_t").as("n_b")),
+          "t_b")
+        .crossJoin(broadcast(n))
+        .select(col("t_a"), col("t_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          floor(col("n_both") * 1000000.0 / col("n_users")).cast("long")
+            .as("support_ppm"),
+          floor(col("n_both") * 1000000.0 / col("n_a")).cast("long")
+            .as("confidence_ppm"),
+          floor(col("n_both") * col("n_users") * 1000000.0 /
+            (col("n_a") * col("n_b"))).cast("long").as("lift_ppm"))
+        .orderBy("t_a", "t_b")
+    }),
+
     // Markov next-event BACKTEST — train/evaluate with a temporal
     // split (the only honest split for sequence models): transition
     // counts learned on events before 2024-01-16, the per-prev-type
@@ -854,6 +889,26 @@ object EventQueries {
         |FROM merged
         |WHERE (op IS NULL OR op <> 'D') AND c_custkey % 11 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q169_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM b),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |        FROM b GROUP BY event_type),
+        |p AS (
+        |  SELECT x.event_type AS t_a, y.event_type AS t_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM b x JOIN b y ON x.user_id = y.user_id
+        |       AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_both, a.n_t AS n_a, c.n_t AS n_b,
+        |  CAST(floor(n_both * 1000000.0 / n_users) AS BIGINT) AS support_ppm,
+        |  CAST(floor(n_both * 1000000.0 / a.n_t) AS BIGINT) AS confidence_ppm,
+        |  CAST(floor(n_both * n_users * 1000000.0 / (a.n_t * c.n_t))
+        |       AS BIGINT) AS lift_ppm
+        |FROM p JOIN per a ON p.t_a = a.event_type
+        |       JOIN per c ON p.t_b = c.event_type, n
+        |ORDER BY t_a, t_b""".stripMargin,
 
     "q163_markov_backtest" ->
       """WITH tr AS (

@@ -680,6 +680,30 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Supplier concentration per nation — the Herfindahl–Hirschman
+    // index in EXACT integer arithmetic: revenue shares in basis
+    // points ((cents*10000) div total — integer floor division, both
+    // engines), HHI = sum of squared bp (≤ 10^8, overflow-free). A
+    // market/portfolio concentration gate with zero float anywhere.
+    "q170_supplier_hhi" -> ((s, d) => {
+      val c = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("c"))
+      val t = c.groupBy("s_nationkey")
+        .agg(sum("c").as("tot"), count(lit(1)).as("n_suppliers"))
+      c.join(t, "s_nationkey")
+        .withColumn("bp", expr("(c * 10000) div tot"))
+        .groupBy("s_nationkey", "n_suppliers")
+        .agg(sum(col("bp") * col("bp")).as("hhi_bp2"))
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"),
+                col("hhi_bp2"))
+        .orderBy("nation")
+    }),
+
     // WEIGHTED PageRank (Graphs.pageRankWeighted): the same
     // customer-supplier graph, but mass flows proportionally to the
     // number of shared order lines — co-occurrence STRENGTH drives
@@ -1206,6 +1230,24 @@ object Relational {
         |FROM med m JOIN mad a ON m.l_returnflag = a.l_returnflag
         |           JOIN mode mo ON m.l_returnflag = mo.l_returnflag
         |ORDER BY m.l_returnflag""".stripMargin,
+
+    "q170_supplier_hhi" ->
+      """WITH c AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT s_nationkey, CAST(sum(c) AS BIGINT) AS tot,
+        |        CAST(count(*) AS BIGINT) AS n_suppliers
+        |      FROM c GROUP BY 1),
+        |b AS (SELECT c.s_nationkey, (c.c * 10000) // t.tot AS bp,
+        |        t.n_suppliers
+        |      FROM c JOIN t ON c.s_nationkey = t.s_nationkey)
+        |SELECT n_name AS nation, n_suppliers,
+        |  CAST(sum(bp * bp) AS BIGINT) AS hhi_bp2
+        |FROM b JOIN nation ON b.s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation""".stripMargin,
 
     "q168_pagerank_weighted" ->
       """WITH e0 AS (
