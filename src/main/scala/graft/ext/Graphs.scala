@@ -216,6 +216,58 @@ object Graphs {
     }
   }
 
+  /** Multi-source BFS hop distance over an undirected edge list:
+    * every seed starts at distance 0, and `maxHops` synchronous
+    * relaxation sweeps compute each node's minimum hop count to ANY
+    * seed — `dist'(v) = min(dist(v), 1 + min_{u~v} dist(u))`. Nodes
+    * not reached within `maxHops` are absent from the output (their
+    * distance is unknown, not infinite — a fixed sweep budget is a
+    * radius cut, the same determinism choice as [[pageRank]]'s fixed
+    * iterations). Distances are exact integers, so no rounding
+    * contract applies.
+    *
+    * Scale shape: the symmetric adjacency is staged once,
+    * repartitioned on the sweep-join key; each sweep joins the
+    * reached-nodes frame (≤ one row per node) against it, aggregates
+    * the neighbor minimum, and full-outer-merges with the previous
+    * distances. The reached frame is eagerly checkpointed per sweep
+    * (the [[pageRankDirected]] idiom) because each sweep reads it
+    * twice (neighbor join + self merge) — unchecked, the lineage
+    * doubles per sweep. Full relaxation re-joins ALL reached nodes
+    * every sweep; for a deep BFS on a 100-TB graph the frontier-delta
+    * variant (join only nodes whose distance changed last sweep)
+    * drops per-sweep work to the frontier size, at the price of a
+    * second per-sweep frame — at the fixed small `maxHops` used here
+    * the full relaxation's constant plan wins. Returns (node, hops).
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val sym = graft.ops.Staging.stage(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+        .repartition(col("src")))
+    val init = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("hops"))
+    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    val terminal = (1 to maxHops).foldLeft(init0) { (dist, _) =>
+      val relaxed = sym
+        .join(dist, col("src") === col("node"))
+        .groupBy("dst").agg((min(col("hops")) + 1L).as("__nh"))
+      val next = dist
+        .join(relaxed, col("node") === col("dst"), "full_outer")
+        .select(coalesce(col("node"), col("dst")).as("node"),
+                least(coalesce(col("hops"), col("__nh")),
+                      coalesce(col("__nh"), col("hops"))).as("hops"))
+      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+      graft.ops.Staging.dropCheckpoint(dist)
+      ck
+    }
+    terminal
+  }
+
   /** PageRank over a DIRECTED edge list, safe for graphs with sinks:
     * the standard dangling-mass redistribution
     * `pr' = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + D/N)` where

@@ -359,4 +359,64 @@ object Kernels {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** 2-D skyline (Pareto frontier): the rows not dominated under
+    * (minimize `minCol`, maximize `maxCol`) — dominator has
+    * `minCol' <= minCol`, `maxCol' >= maxCol`, at least one strict.
+    * The multi-objective "best trade-offs" operator (cheapest part
+    * per capability level, fastest config per cost band).
+    *
+    * Never the O(n²) dominance join: after collapsing to distinct
+    * (min, max) value pairs with a member count (skyline membership
+    * is a property of the PAIR), the frontier is a single ordered
+    * sweep — sort by (min asc, max desc); a pair survives iff its
+    * `maxCol` strictly exceeds every earlier pair's (any earlier pair
+    * has minCol strictly smaller, or equal minCol with strictly
+    * larger maxCol — both dominate unless our max is higher).
+    *
+    * The sweep distributes as a two-phase prefix max, never a global
+    * single-partition window: range-partition + sort within
+    * partitions (parallel), one mapPartitions pass carrying the
+    * running max (constant memory, emits each pair's
+    * local-prefix-max and its partition id), then a partitions-sized
+    * summary frame provides each partition's cross-partition prefix
+    * via a tiny window, broadcast back. Rows whose pair is on the
+    * frontier survive with their count. Returns
+    * (minCol, maxCol, n_rows) — exact integers/input values only,
+    * no float contract. Null pairs are excluded (no dominance order).
+    */
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pairs = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+      .groupBy(col(minCol).as("__mn"), col(maxCol).cast("double").as("__mx"))
+      .agg(count(lit(1)).as("n_rows"))
+    val ranged = Staging.stage(
+      pairs.repartitionByRange(col("__mn").asc, col("__mx").desc)
+        .sortWithinPartitions(col("__mn").asc, col("__mx").desc))
+    val sweptSchema = StructType(ranged.schema.fields ++ Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__prev_max", DoubleType, nullable = true)))
+    val mxIdx = ranged.schema.fieldIndex("__mx")
+    val swept = Staging.stage(ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var runMax = Double.NegativeInfinity
+      var any = false
+      rows.map { r =>
+        val prev: Any = if (any) runMax else null
+        val v = r.getDouble(mxIdx)
+        if (!any || v > runMax) { runMax = v; any = true }
+        Row.fromSeq(r.toSeq :+ pid :+ prev)
+      }
+    }(org.apache.spark.sql.Encoders.row(sweptSchema)))
+    // per-partition max: ≤ #partitions rows — the tiny window is fine
+    val pmax = swept.groupBy("__pid").agg(max("__mx").as("__pm"))
+    val w = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = pmax.select(col("__pid"), max(col("__pm")).over(w).as("__before"))
+    swept.join(broadcast(prefix), "__pid")
+      .filter(col("__mx") > coalesce(greatest(col("__prev_max"), col("__before")),
+                                     lit(Double.NegativeInfinity)))
+      .select(col("__mn").as(minCol), col("__mx").as(maxCol), col("n_rows"))
+  }
 }

@@ -797,6 +797,127 @@ object Relational {
         .orderBy(col("pagerank_x_n").desc, col("node"))
         .limit(20)
     }),
+
+    // Multi-source BFS (Graphs.bfsHops) over the q90 customer-
+    // supplier graph: all suppliers of nation 0 start at hop 0, and 3
+    // relaxation sweeps compute every node's minimum hop count to the
+    // seed set — "how far is each customer/supplier from this
+    // nation's supply base". Emits the hop histogram (exact integer
+    // distances, no float contract); nodes unreached within 3 hops
+    // are absent by construction on both sides. The oracle unrolls
+    // the 3 sweeps as min-merge unions.
+    "q171_bfs_hops" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graphs.bfsHops(edges, "a", "b", seeds, "node", maxHops = 3)
+        .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    }),
+
+    // 2-D skyline (Kernels.skyline2d): the Pareto frontier of parts
+    // under (minimize retail price, maximize size) — the best
+    // price/capability trade-offs, with how many parts sit on each
+    // frontier point. Distributed as the two-phase prefix-max sweep
+    // (never a single-partition global window, never the O(n²)
+    // dominance join); the oracle replays the same frontier with an
+    // ordered window over the distinct value pairs. Exact
+    // integers/input doubles only — no rounding contract needed.
+    "q172_pareto_skyline" -> ((s, d) =>
+      Kernels.skyline2d(Tables.part(s, d), "p_retailprice", "p_size")
+        .withColumnRenamed("n_rows", "n_parts")
+        .orderBy("p_retailprice")),
+
+    // Entity-resolution audit with the native codegen'd Jaro-Winkler
+    // expression (graft_jaro_winkler): block part names on their
+    // first token (the classic blocking step that keeps candidate
+    // pairs linear-ish instead of all-pairs), score every in-block
+    // pair, and report per block: pair count, exact-name duplicates,
+    // strong non-identical matches (jw in [0.88, 1)), and the best
+    // sub-identical score. The kernel's IEEE operation order is
+    // pinned to DuckDB's built-in (rapidfuzz lineage), verified
+    // bit-exact on every real pair at sf0.01/sf0.1 — so max_sub1 is
+    // emitted RAW, no rounding. At 100 TB the same expression scores
+    // LSH- or blocking-bucketed candidates; the block join here is
+    // the size-bounded demo of that shape.
+    "q173_name_match_audit" -> ((s, d) => {
+      val p = graft.ops.Staging.stage(
+        Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("blk")))
+      val a = p.select(col("blk"), col("p_partkey").as("k1"),
+                       col("p_name").as("n1"))
+      val b = p.select(col("blk"), col("p_partkey").as("k2"),
+                       col("p_name").as("n2"))
+      a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
+        .select(col("blk"),
+          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+            .as("jw"))
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("jw") === 1.0, 1L).otherwise(0L)).as("n_exact"),
+             sum(when(col("jw") >= 0.88 && col("jw") < 1.0, 1L).otherwise(0L))
+               .as("n_strong"),
+             max(when(col("jw") < 1.0, col("jw"))).as("max_sub1"))
+        .orderBy("blk")
+    }),
+
+    // Pairwise Pearson correlation matrix of the lineitem measures in
+    // long form — the feature-screening pass before any model
+    // training (which measure pairs are redundant, which carry
+    // signal). ONE aggregate pass computes all 6 upper-triangle
+    // coefficients (no per-pair scans), then stack() unpivots to
+    // (var_a, var_b, pearson_r). 6dp rounding absorbs the co-moment
+    // merge-order ulp (the q39 stats contract).
+    "q174_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (x, y) =>
+        round(corr(col(x), col(y)), 6).as(s"${x}__$y") }
+      val entries = pairs.map { case (x, y) =>
+        struct(lit(x).as("var_a"), lit(y).as("var_b"),
+               col(s"${x}__$y").as("pearson_r")) }
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(entries: _*)).as("kv"))
+        .select("kv.*")
+        .orderBy("var_a", "var_b")
+    }),
+
+    // Winsorized group statistics — the outlier-clipping feature
+    // scaler: per return flag, clip l_extendedprice into its
+    // [p05, p95] band and report the clipped-tail counts and the
+    // winsorized mean. Percentiles are the exact interpolated form
+    // (the q149 contract: both engines compute (n-1)*p linear
+    // interpolation); p05/p95 sit on the 0.01/20 value grid (fraction
+    // of the 2dp grid = k/20 steps), ≤ 4 decimals, so 6dp rounding
+    // can never land on a half. Two aggregate passes (percentiles,
+    // then clip+mean), each one exchange on the group key.
+    "q175_winsorized_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val pct = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("__p05"),
+             expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+      li.join(pct, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("l_extendedprice") < col("__p05"), 1L).otherwise(0L))
+               .as("n_clipped_low"),
+             sum(when(col("l_extendedprice") > col("__p95"), 1L).otherwise(0L))
+               .as("n_clipped_high"),
+             round(avg(least(greatest(col("l_extendedprice"), col("__p05")),
+                             col("__p95"))), 6).as("mean_winsorized"),
+             round(first(col("__p05")), 6).as("p05"),
+             round(first(col("__p95")), 6).as("p95"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -1384,5 +1505,97 @@ object Relational {
         |  round(r2.pr * nn, 6) AS pagerank_x_n
         |FROM r2 LEFT JOIN od ON r2.node = od.src, n
         |ORDER BY round(r2.pr * nn, 6) DESC, r2.node LIMIT 20""".stripMargin,
+
+    // Unrolls 3 BFS relaxation sweeps as min-merge unions — the same
+    // dist' = min(dist, 1 + min over neighbors) recurrence.
+    "q171_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |              CAST(0 AS BIGINT) AS hops
+        |       FROM supplier WHERE s_nationkey = 0),
+        |d1 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d0
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d0 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d2 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d1
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d1 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d3 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d2
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d2 d ON s.src = d.node)
+        |       GROUP BY node)
+        |SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d3 GROUP BY hops ORDER BY hops""".stripMargin,
+
+    // Ordered-sweep frontier over the distinct value pairs: survive
+    // iff p_size strictly exceeds every (price asc, size desc)-earlier
+    // pair's size. The Scala spec pins this formulation against the
+    // O(n²) NOT-EXISTS dominance definition on random data.
+    "q172_pareto_skyline" ->
+      """WITH pair AS (
+        |  SELECT p_retailprice, CAST(p_size AS DOUBLE) AS p_size,
+        |         CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT p_retailprice, p_size, n_parts,
+        |    max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM pair)
+        |SELECT p_retailprice, p_size, n_parts FROM sw
+        |WHERE prev_max IS NULL OR p_size > prev_max
+        |ORDER BY p_retailprice""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is bit-identical to the native
+    // graft_jaro_winkler kernel (same rapidfuzz-lineage formula and
+    // IEEE operation order), so max_sub1 compares RAW.
+    "q173_name_match_audit" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |                  split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT a.blk, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) FILTER (jw = 1.0) AS BIGINT) AS n_exact,
+        |  CAST(count(*) FILTER (jw >= 0.88 AND jw < 1.0) AS BIGINT) AS n_strong,
+        |  max(jw) FILTER (jw < 1.0) AS max_sub1
+        |FROM pr GROUP BY blk ORDER BY blk""".stripMargin,
+
+    "q174_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS var_a, '$y' AS var_b,
+           |  round(corr($x, $y), 6) AS pearson_r FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+                 "\n) ORDER BY var_a, var_b")
+    },
+
+    "q175_winsorized_stats" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS p05,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (l.l_extendedprice < pct.p05) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(count(*) FILTER (l.l_extendedprice > pct.p95) AS BIGINT)
+        |    AS n_clipped_high,
+        |  round(avg(least(greatest(l.l_extendedprice, pct.p05), pct.p95)), 6)
+        |    AS mean_winsorized,
+        |  round(any_value(pct.p05), 6) AS p05,
+        |  round(any_value(pct.p95), 6) AS p95
+        |FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
   )
 }

@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_simhash32", "graft_simhash64", "graft_token_set_count",
     "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
     "graft_int8_cosine", "graft_deflate_len",
-    "graft_vec_normalize", "graft_pq_encode", "graft_pq_adc_score")
+    "graft_vec_normalize", "graft_pq_encode", "graft_pq_adc_score",
+    "graft_jaro_winkler")
 
   test("registry lists every native function exactly once") {
     assert(GraftFunctions.registry.map(_._1).sorted == Expected.sorted)
@@ -119,5 +120,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))              // null
     // byte-deterministic across runs (the pinning contract of q134)
     assert(run().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("jaroWinkler: golden vectors pin the exact IEEE doubles (DuckDB parity)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // expected values are DuckDB jaro_winkler_similarity outputs,
+    // bit-exact (the q173 raw-double contract; also verified on every
+    // real p_name pair at sf0.01/sf0.1)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),   // transposition-free, uneven lengths
+      ("duane", "dwayne", 0.8400000000000001),
+      ("abcd", "abce", 0.8833333333333334),
+      ("CRANE", "CRATE", 0.9066666666666667),
+      ("goldenrod lavender spring", "goldenrod lavender sprung", 0.984),
+      ("abc", "abc", 1.0),
+      ("", "", 1.0),
+      ("x", "", 0.0),
+      ("ab", "cd", 0.0))                           // m == 0 short-circuit
+    val df = cases.zipWithIndex
+      .map { case ((a, b, e), i) => (i, a, b, e) }
+      .toDF("id", "a", "b", "expected")
+    val got = df.select(col("id"), col("expected"),
+        GraftFunctions.jaroWinkler(spark, col("a"), col("b")).as("jw"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"row ${r.getInt(0)}: got ${r.getDouble(2)}, want ${r.getDouble(1)}")
+    }
+    // null propagates; SQL surface matches the Column API
+    val n = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler(spark, col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta')").collect().head.getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaSql) ==
+           java.lang.Double.doubleToLongBits(0.9611111111111111))
   }
 }

@@ -215,4 +215,48 @@ class GraphsSpec extends AnyFunSuite {
     assert(out.toSeq ==
       Seq(("h", "h"), ("l1", "l1"), ("l2", "l1"), ("l3", "l1")))
   }
+
+  test("bfsHops: path graph hand case — min distance, radius cut, multi-seed min") {
+    // path a-b-c-d-e plus isolated edge f-g; seeds {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                    ("f", "g")).toDF("u", "v")
+    val seeds = Seq("a").toDF("node")
+    val got = Graphs.bfsHops(edges, "u", "v", seeds, "node", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    // e (4 hops) and f/g (unreachable) are absent: the radius cut
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // two seeds: every node takes the MIN over seeds; seed e pulls
+    // d to 1 even though it is 3 from a
+    val got2 = Graphs.bfsHops(edges, "u", "v",
+        Seq("a", "e").toDF("node"), "node", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(got2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+                       "d" -> 1L, "e" -> 0L))
+  }
+
+  test("bfsHops: matches driver-side BFS on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edgeSeq = (1 to 120).map { _ =>
+      (rnd.nextInt(n).toString, rnd.nextInt(n).toString) }
+      .filter { case (u, v) => u != v }.distinct
+    val seedSeq = Seq("0", "1")
+    val adj = edgeSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // reference BFS, 3 sweeps of full relaxation
+    var dist = seedSeq.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, h) =>
+        adj.getOrElse(u, Set.empty).map(_ -> (h + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val got = Graphs.bfsHops(edgeSeq.toDF("u", "v"), "u", "v",
+        seedSeq.toDF("node"), "node", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(got == dist)
+  }
 }

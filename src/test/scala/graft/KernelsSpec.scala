@@ -274,4 +274,35 @@ class KernelsSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
     assert(run(1) == run(13))
   }
+
+  test("skyline2d: matches the O(n²) dominance definition on random points") {
+    val rnd = new scala.util.Random(11)
+    // duplicates and same-min-value ties on purpose (small value grid)
+    val pts = (1 to 300).map(_ =>
+      (rnd.nextInt(20) / 2.0, rnd.nextInt(15).toDouble))
+    val expected = pts.distinct.filter { case (mn, mx) =>
+      !pts.exists { case (mn2, mx2) =>
+        mn2 <= mn && mx2 >= mx && (mn2 < mn || mx2 > mx) }
+    }.map { case (mn, mx) =>
+      (mn, mx, pts.count(_ == (mn, mx)).toLong) }.sortBy(_._1)
+    val got = Kernels.skyline2d(
+        pts.toDF("cost", "gain").repartition(7), "cost", "gain")
+      .orderBy("cost").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    graft.ops.Staging.releaseAll()
+    assert(got == expected)
+    // frontier is strictly decreasing in nothing / increasing checks:
+    // costs strictly increase and gains strictly increase along it
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
+  test("skyline2d: null pairs drop; single point survives") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (null, 9.0), (2.0, null)).toDF("c", "g")
+    val got = Kernels.skyline2d(df, "c", "g").collect()
+    graft.ops.Staging.releaseAll()
+    assert(got.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1.0, 5.0, 1L)))
+  }
 }
