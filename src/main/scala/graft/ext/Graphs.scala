@@ -268,6 +268,50 @@ object Graphs {
     terminal
   }
 
+  /** Single-source (or multi-source) shortest path over an undirected
+    * WEIGHTED edge list — the Bellman-Ford relaxation
+    * `dist'(v) = min(dist(v), min_{u~v} dist(u) + w(u,v))` run for a
+    * fixed `maxSweeps` budget: [[bfsHops]] is the w≡1 special case.
+    * After k sweeps every node whose shortest path uses ≤ k edges
+    * holds its FINAL distance; nodes still unreached are absent (the
+    * same radius-cut determinism contract). Integer weights stay
+    * exact end-to-end; weights must be non-negative for the fixed
+    * budget to be monotone.
+    *
+    * Same scale shape as [[bfsHops]] (staged adjacency repartitioned
+    * on the sweep key, per-sweep checkpoint, node-sized frames per
+    * sweep). Returns (node, dist).
+    */
+  def ssspWeighted(edges: DataFrame, aCol: String, bCol: String,
+                   wCol: String, seeds: DataFrame, seedCol: String,
+                   maxSweeps: Int): DataFrame = {
+    require(maxSweeps >= 1, "maxSweeps must be >= 1")
+    val sym = graft.ops.Staging.stage(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"),
+                   col(wCol).cast("long").as("w"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
+                            col(wCol).cast("long").as("w")))
+        .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
+        .repartition(col("src")))
+    val init = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    val terminal = (1 to maxSweeps).foldLeft(init0) { (dist, _) =>
+      val relaxed = sym
+        .join(dist, col("src") === col("node"))
+        .groupBy("dst").agg(min(col("dist") + col("w")).as("__nd"))
+      val next = dist
+        .join(relaxed, col("node") === col("dst"), "full_outer")
+        .select(coalesce(col("node"), col("dst")).as("node"),
+                least(coalesce(col("dist"), col("__nd")),
+                      coalesce(col("__nd"), col("dist"))).as("dist"))
+      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+      graft.ops.Staging.dropCheckpoint(dist)
+      ck
+    }
+    terminal
+  }
+
   /** PageRank over a DIRECTED edge list, safe for graphs with sinks:
     * the standard dangling-mass redistribution
     * `pr' = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + D/N)` where

@@ -815,6 +815,38 @@ object EventQueries {
                   .as("valid_to"),
                 col("is_current"))
         .orderBy("user_id", "version")),
+
+    // Weekday seasonality index — the seasonal-adjustment primitive
+    // the trend (q99), EWMA and CUSUM passes assume away: daily
+    // totals, then each weekday's average daily value over the
+    // all-days average. index > 1 = that weekday runs hot. Two tiny
+    // aggregates over the daily frame (one exchange on date, then a
+    // 7-row weekday rollup + 1-row broadcast); day names via
+    // date_format 'EEEE' = DuckDB dayname (both English full names).
+    // Daily totals are carried as EXACT integer cents (value is on
+    // the 2dp grid, so a float daily sum lands averages exactly on
+    // 2dp halves — the q14 rounding trap, hit on first contact);
+    // every emitted double is then derived from identical integers
+    // by identical IEEE ops on both engines.
+    "q180_weekday_seasonality" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .as("__cents"))
+      val byDow = daily
+        .groupBy(date_format(col("day"), "EEEE").as("weekday"))
+        .agg(count(lit(1)).as("n_days"), sum("__cents").as("__cd"))
+      val overall = daily
+        .agg(count(lit(1)).as("__na"), sum("__cents").as("__ca"))
+      byDow.crossJoin(broadcast(overall))
+        .select(col("weekday"), col("n_days"),
+          expr("__cd div n_days").as("avg_daily_cents"),
+          // index in ppm, pure integer arithmetic (cd*na*1e6 stays
+          // within Long for any daily-cents total below ~25e9)
+          expr("(__cd * __na * 1000000) div (__ca * n_days)")
+            .as("index_ppm"))
+        .orderBy("weekday")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1512,5 +1544,19 @@ object EventQueries {
         |  FROM e)
         |SELECT user_id, max(n2) AS peak_2h_events, max(s2) AS peak_2h_value
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q180_weekday_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS na,
+        |             CAST(sum(cents) AS BIGINT) AS ca FROM daily)
+        |SELECT dayname(day) AS weekday, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_daily_cents,
+        |  (CAST(sum(cents) AS BIGINT) * any_value(o.na) * 1000000)
+        |    // (any_value(o.ca) * count(*)) AS index_ppm
+        |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
   )
 }

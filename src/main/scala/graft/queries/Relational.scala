@@ -918,6 +918,102 @@ object Relational {
              round(first(col("__p95")), 6).as("p95"))
         .orderBy("l_returnflag")
     }),
+
+    // Largest-remainder (Hamilton) apportionment: allocate exactly
+    // 1,000,000 units across nations proportionally to revenue, in
+    // EXACT integer arithmetic — floor shares via integer division,
+    // then the leftover units go to the largest fractional remainders
+    // (ties to the lower nation key). The "allocations must sum
+    // exactly to the budget" operator every billing/quota pipeline
+    // needs — naive round() over- or under-shoots. cents*1e6 stays
+    // within Long for any realistic per-key revenue (documented
+    // bound: tot < 9.2e12 cents ≈ $92B). The remainder ranking is a
+    // top-R selection (TakeOrdered at scale), never a data-sized
+    // driver collect.
+    "q176_largest_remainder" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val tot = cents.agg(sum("cents").as("__tot"))
+      val fl = cents.crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("cents"),
+          expr("(cents * 1000000) div __tot").as("__fl"),
+          expr("(cents * 1000000) % __tot").as("__rem"))
+      val used = fl.agg((lit(1000000L) - sum("__fl")).as("__leftover"))
+      fl.withColumn("__rk",
+          row_number().over(Window.orderBy(col("__rem").desc,
+                                           col("c_nationkey"))))
+        .crossJoin(broadcast(used))
+        .select(col("c_nationkey"), col("cents"),
+          (col("__fl") + when(col("__rk") <= col("__leftover"), 1L)
+            .otherwise(0L)).as("units"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("cents"), col("units"))
+        .orderBy("nation")
+    }),
+
+    // Weighted single-source shortest path (Graphs.ssspWeighted —
+    // Bellman-Ford relaxation sweeps; bfsHops is the w≡1 case) on the
+    // customer-supplier graph with integer link costs: strong links
+    // (2+ shared order lines) cost 1, weak links cost 3. Seeds are
+    // nation 0's suppliers; 3 sweeps = the radius cut. Exact integer
+    // distances; the oracle unrolls the three min-merge relaxations.
+    "q177_sssp_weighted" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .select(col("a"), col("b"),
+          when(col("__cnt") >= 2, 1L).otherwise(3L).as("w"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graphs.ssspWeighted(edges, "a", "b", "w", seeds, "node",
+          maxSweeps = 3)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
+    // Reciprocal best match — the entity-linkage step after q173's
+    // scoring: within each blocking key, every part's best-scoring
+    // counterpart (jw desc, partner key asc) in EITHER direction; a
+    // pair links only if the choice is MUTUAL. Emits the top 25
+    // links; jw compares raw (the q173 bit-exactness contract).
+    "q179_reciprocal_match" -> ((s, d) => {
+      val p = graft.ops.Staging.stage(
+        Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("blk")))
+      val a = p.select(col("blk"), col("p_partkey").as("k1"),
+                       col("p_name").as("n1"))
+      val b = p.select(col("blk"), col("p_partkey").as("k2"),
+                       col("p_name").as("n2"))
+      val half = a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
+        .select(col("k1"), col("k2"),
+          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+            .as("jw"))
+        .filter(col("jw") >= 0.9)
+      val both = graft.ops.Staging.stage(
+        half.union(half.select(col("k2").as("k1"), col("k1").as("k2"),
+                               col("jw"))))
+      val w = Window.partitionBy("k1")
+        .orderBy(col("jw").desc, col("k2"))
+      val best = graft.ops.Staging.stage(
+        both.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("k1"), col("k2"), col("jw")))
+      best.alias("x")
+        .join(best.alias("y"),
+          col("x.k1") === col("y.k2") && col("x.k2") === col("y.k1"))
+        .filter(col("x.k1") < col("x.k2"))
+        .select(col("x.k1").as("k1"), col("x.k2").as("k2"),
+                col("x.jw").as("jw"))
+        .orderBy(col("jw").desc, col("k1"), col("k2"))
+        .limit(25)
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -1597,5 +1693,75 @@ object Relational {
         |  round(any_value(pct.p95), 6) AS p95
         |FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q176_largest_remainder" ->
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM c),
+        |fl AS (SELECT c_nationkey, cents,
+        |         (cents * 1000000) // tot AS f,
+        |         (cents * 1000000) % tot AS rem
+        |       FROM c, t),
+        |lo AS (SELECT 1000000 - CAST(sum(f) AS BIGINT) AS leftover FROM fl),
+        |rk AS (SELECT *, row_number() OVER (
+        |         ORDER BY rem DESC, c_nationkey) AS r FROM fl)
+        |SELECT n_name AS nation, cents,
+        |  CAST(f + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS units
+        |FROM rk JOIN nation ON c_nationkey = n_nationkey, lo
+        |ORDER BY nation""".stripMargin,
+
+    // Unrolls 3 Bellman-Ford relaxations: dist' = min(dist,
+    // min over neighbors(dist + w)) with the q177 link costs.
+    "q177_sssp_weighted" ->
+      """WITH e0 AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+        |         CASE WHEN count(*) >= 2 THEN 1 ELSE 3 END AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w FROM e0
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+        |d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |              CAST(0 AS BIGINT) AS dist
+        |       FROM supplier WHERE s_nationkey = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d0 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d1 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d2 d ON s.src = d.node)
+        |       GROUP BY node)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin,
+
+    "q179_reciprocal_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |                  split_part(p_name, ' ', 1) AS blk FROM part),
+        |half AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |         FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |both_d AS (SELECT k1, k2, jw FROM half
+        |           UNION ALL SELECT k2, k1, jw FROM half),
+        |best AS (SELECT k1, k2, jw FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY k1
+        |             ORDER BY jw DESC, k2) AS rn FROM both_d) WHERE rn = 1)
+        |SELECT x.k1, x.k2, x.jw
+        |FROM best x JOIN best y ON x.k1 = y.k2 AND x.k2 = y.k1
+        |WHERE x.k1 < x.k2
+        |ORDER BY x.jw DESC, x.k1, x.k2 LIMIT 25""".stripMargin,
   )
 }

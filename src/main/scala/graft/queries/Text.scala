@@ -1397,6 +1397,43 @@ object TextQueries {
         .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
         .select("doc_id_a", "doc_id_b", "source", "cont_a", "cont_b")
         .orderBy("doc_id_a", "doc_id_b")),
+
+    // TextRank keyword extraction: adjacent-token co-occurrence edges
+    // (every position, via the codegen'd all-positions 2-shingle)
+    // filtered to content words (length >= 3, not a stopword), then
+    // weighted PageRank over the undirected word graph — the classic
+    // graph-based keyword scorer, built entirely from existing
+    // primitives (WordShingles -> pageRankWeighted). Edge weights are
+    // co-occurrence counts; edges are normalized a < b so both walk
+    // directions are unique by construction. Emits the top 20 words
+    // by rank×N (the q168 magnitude/ordering contract); the oracle
+    // rebuilds the identical edge list with the q62 shingle replay
+    // and unrolls both sweeps.
+    "q178_textrank_keywords" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(explode(
+          graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 2))
+          .as("sh"))
+        .select(substring_index(col("sh"), " ", 1).as("t1"),
+                substring_index(col("sh"), " ", -1).as("t2"))
+        .filter(length(col("t1")) >= 3 && length(col("t2")) >= 3 &&
+                !col("t1").isin(Stopwords: _*) &&
+                !col("t2").isin(Stopwords: _*) &&
+                col("t1") =!= col("t2"))
+        .groupBy(least(col("t1"), col("t2")).as("a"),
+                 greatest(col("t1"), col("t2")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val pr = graft.ops.Staging.stage(
+        graft.ext.Graphs.pageRankWeighted(pairs, "a", "b", "w",
+          iterations = 2))
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node").as("word"),
+                col("total_weight").cast("long").as("total_w"),
+                round(col("pr") * col("__nn"), 6).as("pr_x_n"))
+        .orderBy(col("pr_x_n").desc, col("word"))
+        .limit(20)
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3219,5 +3256,44 @@ object TextQueries {
         |  round(ca, 6) AS cont_a, round(cbb, 6) AS cont_b
         |FROM p WHERE greatest(ca, cbb) >= 0.6
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // q62's shingle replay (all positions, no dedup) -> content-word
+    // filter -> normalized weighted edges -> q168's 2-sweep weighted
+    // PageRank unroll.
+    "q178_textrank_keywords" -> {
+      val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+         |tp AS (SELECT split_part(sh, ' ', 1) AS t1,
+         |              split_part(sh, ' ', 2) AS t2 FROM sh),
+         |e0 AS (SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |       FROM tp
+         |       WHERE len(t1) >= 3 AND len(t2) >= 3
+         |         AND t1 NOT IN ($stop) AND t2 NOT IN ($stop)
+         |         AND t1 <> t2
+         |       GROUP BY 1, 2),
+         |sym AS (SELECT a AS src, b AS dst, w FROM e0
+         |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+         |wt AS (SELECT src, sum(w) AS wtot FROM sym GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wt),
+         |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM wt, n),
+         |r1 AS (SELECT s.dst AS node,
+         |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+         |       FROM sym s JOIN r0 r ON s.src = r.node
+         |                  JOIN wt d ON s.src = d.src, n
+         |       GROUP BY s.dst, nn),
+         |r2 AS (SELECT s.dst AS node,
+         |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+         |       FROM sym s JOIN r1 r ON s.src = r.node
+         |                  JOIN wt d ON s.src = d.src, n
+         |       GROUP BY s.dst, nn)
+         |SELECT r2.node AS word, CAST(wt.wtot AS BIGINT) AS total_w,
+         |  round(r2.pr * nn, 6) AS pr_x_n
+         |FROM r2 JOIN wt ON r2.node = wt.src, n
+         |ORDER BY pr_x_n DESC, word LIMIT 20""".stripMargin
+    },
   )
 }

@@ -236,6 +236,34 @@ class GraphsSpec extends AnyFunSuite {
                        "d" -> 1L, "e" -> 0L))
   }
 
+  test("ssspWeighted: cheap detour beats direct edge; w≡1 equals bfsHops") {
+    // a-b costs 10 direct, but a-c-b costs 2; parallel a-b edge keeps
+    // the cheaper weight
+    val edges = Seq(("a", "b", 10L), ("a", "b", 12L),
+                    ("a", "c", 1L), ("c", "b", 1L)).toDF("u", "v", "w")
+    val got = Graphs.ssspWeighted(edges, "u", "v", "w",
+        Seq("a").toDF("node"), "node", maxSweeps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // unit weights reduce to BFS hop counts
+    val rnd = new scala.util.Random(3)
+    val re = (1 to 60).map(_ =>
+      (rnd.nextInt(20).toString, rnd.nextInt(20).toString))
+      .filter { case (u, v) => u != v }.distinct
+    val seeds = Seq("0").toDF("node")
+    val viaSssp = Graphs.ssspWeighted(
+        re.map { case (u, v) => (u, v, 1L) }.toDF("u", "v", "w"),
+        "u", "v", "w", seeds, "node", maxSweeps = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    val viaBfs = Graphs.bfsHops(re.toDF("u", "v"), "u", "v",
+        seeds, "node", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(viaSssp == viaBfs)
+  }
+
   test("bfsHops: matches driver-side BFS on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40
