@@ -847,6 +847,80 @@ object EventQueries {
             .as("index_ppm"))
         .orderBy("weekday")
     }),
+
+    // Kaplan-Meier survival curve — time-to-event analysis over user
+    // lifetimes: duration = days between a user's first and last
+    // event, "event" = the lifetime ended on a purchase (else
+    // censored). S(t) = prod over steps <= t of (1 - d/n) computed as
+    // exp of an ORDERED running ln-sum — both engines accumulate the
+    // identical IEEE factors in the identical (duration) order, so
+    // 6dp rounding is stable; the d = n absorbing step (survival 0)
+    // is handled by an explicit flag so neither engine evaluates
+    // ln(0). The per-user pass is one exchange on user_id (window +
+    // group share it); the curve frame is distinct-durations-sized,
+    // where the ordered window is by construction tiny.
+    "q181_kaplan_meier" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val perUser = Tables.events(s, d)
+        .withColumn("__rn", row_number().over(wu))
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+               .as("dur"),
+             max(when(col("__rn") === 1, col("event_type"))).as("__last"))
+      val byDur = perUser.groupBy("dur")
+        .agg(count(lit(1)).as("n_exit"),
+             sum(when(col("__last") === "purchase", 1L).otherwise(0L))
+               .as("d_events"))
+      val tot = byDur.agg(sum("n_exit").as("__tot"))
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk",
+          col("__tot") - coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+        .withColumn("__f",
+          when(col("d_events") < col("n_at_risk"),
+            log(lit(1.0) - col("d_events").cast("double") /
+                col("n_at_risk").cast("double"))).otherwise(lit(0.0)))
+        .withColumn("__z",
+          max(when(col("d_events") === col("n_at_risk"), 1).otherwise(0))
+            .over(wCur))
+        .select(col("dur").as("duration_days"), col("n_at_risk"),
+          col("d_events"), col("n_exit"),
+          when(col("__z") === 1, 0.0)
+            .otherwise(round(exp(sum(col("__f")).over(wCur)), 6))
+            .as("survival"))
+        .orderBy("duration_days")
+    }),
+
+    // Autocorrelation function of daily revenue at lags 1..7 — the
+    // weekly-cycle diagnostic behind q180's seasonal index. Daily
+    // totals in exact integer cents (q180's grid rule) cast once to
+    // double; one window pass builds the 7 lag columns over the
+    // days-sized frame (tiny by construction), one aggregate computes
+    // all 7 Pearson coefficients (6dp absorbs the co-moment
+    // merge-order ulp, the q174 contract).
+    "q184_autocorrelation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .cast("double").as("v"))
+      val wDay = Window.orderBy("day")
+      val ks = 1 to 7
+      val lagged = daily.select(
+        (col("v") +: ks.map(k => lag(col("v"), k).over(wDay).as(s"v_$k"))): _*)
+      val aggs = ks.flatMap(k => Seq(
+        round(corr(col("v"), col(s"v_$k")), 6).as(s"acf_$k"),
+        count(col(s"v_$k")).as(s"n_$k")))
+      val entries = ks.map(k => struct(lit(k).as("lag_k"),
+        col(s"acf_$k").as("acf"), col(s"n_$k").as("n_pairs")))
+      lagged.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(entries: _*)).as("kv"))
+        .select("kv.*")
+        .orderBy("lag_k")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1558,5 +1632,63 @@ object EventQueries {
         |  (CAST(sum(cents) AS BIGINT) * any_value(o.na) * 1000000)
         |    // (any_value(o.ca) * count(*)) AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // Mirrors the flag-guarded ln-sum cumulative product; tie order
+    // inside a user compares micros (epoch_us) exactly like the
+    // Spark side's micro timestamps.
+    "q181_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS dur,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  GROUP BY user_id),
+        |bd AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_exit,
+        |         CAST(sum(CASE WHEN last_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d_events
+        |       FROM pu GROUP BY dur),
+        |t AS (SELECT CAST(sum(n_exit) AS BIGINT) AS tot FROM bd),
+        |cc AS (SELECT bd.*,
+        |         CAST(tot - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_at_risk
+        |       FROM bd, t),
+        |ff AS (SELECT *,
+        |         CASE WHEN d_events < n_at_risk
+        |              THEN ln(1.0 - CAST(d_events AS DOUBLE) /
+        |                          CAST(n_at_risk AS DOUBLE))
+        |              ELSE 0.0 END AS f,
+        |         max(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY dur
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        |       FROM cc)
+        |SELECT dur AS duration_days, n_at_risk, d_events, n_exit,
+        |  CASE WHEN z = 1 THEN 0.0
+        |       ELSE round(exp(sum(f) OVER (ORDER BY dur
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS survival
+        |FROM ff ORDER BY duration_days""".stripMargin,
+
+    "q184_autocorrelation" -> {
+      val ks = 1 to 7
+      val lags = ks.map(k => s"lag(v, $k) OVER (ORDER BY day) AS v_$k")
+        .mkString(", ")
+      val rows = ks.map(k =>
+        s"""SELECT $k AS lag_k, round(corr(v, v_$k), 6) AS acf,
+           |  CAST(count(v_$k) AS BIGINT) AS n_pairs FROM l""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |         AS BIGINT) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1),
+         |l AS (SELECT v, $lags FROM daily)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY lag_k""".stripMargin
+    },
   )
 }

@@ -1014,6 +1014,37 @@ object Relational {
         .orderBy(col("jw").desc, col("k1"), col("k2"))
         .limit(25)
     }),
+
+    // Gini coefficient of customer revenue — the inequality/
+    // concentration audit (q170's HHI measures supplier share; Gini
+    // measures the whole distribution). Needs every value's rank in
+    // the GLOBAL ascending order: that is Kernels.denseIndex (range
+    // partition + zipWithIndex), never a single-partition window.
+    // Ranks are 1-based; ties in `cents` are harmless because equal
+    // values make sum(i*x) invariant under any assignment of the
+    // consecutive tied index block. Rank-weighted sums ride
+    // decimal(38,0) (exact at ANY scale — Long S1 would overflow
+    // near 10^9 customers); the final ratio is computed in double
+    // from identical exact integers by identical IEEE ops on both
+    // engines, so 6dp rounding is stable.
+    "q182_gini_revenue" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      Kernels.denseIndex(cents, "cents", "__i0")
+        .agg(count(lit(1)).as("__n"),
+             sum(col("cents").cast("decimal(38,0)")).as("__s0"),
+             sum((col("__i0") + 1).cast("decimal(38,0)") *
+                 col("cents").cast("decimal(38,0)")).as("__s1"))
+        .select(col("__n").as("n_customers"),
+          col("__s0").cast("long").as("total_cents"),
+          round((lit(2.0) * col("__s1").cast("double") -
+                 (col("__n") + 1).cast("double") * col("__s0").cast("double")) /
+                (col("__n").cast("double") * col("__s0").cast("double")), 6)
+            .as("gini"))
+        .orderBy("n_customers")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -1763,5 +1794,25 @@ object Relational {
         |FROM best x JOIN best y ON x.k1 = y.k2 AND x.k2 = y.k1
         |WHERE x.k1 < x.k2
         |ORDER BY x.jw DESC, x.k1, x.k2 LIMIT 25""".stripMargin,
+
+    // Any tie order inside equal cents gives the same s1 (equal
+    // values x index-block sum); the final ratio replays the exact
+    // Spark double expression from the same exact integers.
+    "q182_gini_revenue" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS HUGEINT) AS s0,
+        |        CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS s1
+        |      FROM r)
+        |SELECT n AS n_customers, CAST(s0 AS BIGINT) AS total_cents,
+        |  round((2.0 * CAST(s1 AS DOUBLE) -
+        |         CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)), 6) AS gini
+        |FROM a ORDER BY n_customers""".stripMargin,
   )
 }

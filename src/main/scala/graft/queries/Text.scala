@@ -1434,6 +1434,34 @@ object TextQueries {
         .orderBy(col("pr_x_n").desc, col("word"))
         .limit(20)
     }),
+
+    // Proximity (phrase-ish) search: documents where 'join' and
+    // 'vector' co-occur within 3 token positions — the retrieval
+    // feature BM25 (q86) cannot express (bag-of-words loses order).
+    // Position lists per term are tiny posting frames (one filtered
+    // pass over the positions table, staged so both term filters
+    // share it); the join is posting-list x posting-list per doc_id,
+    // the standard inverted-index proximity shape that holds at
+    // corpus scale because it never touches non-matching documents.
+    // Distances are exact integers.
+    "q183_proximity_search" -> ((s, d) => {
+      val toks = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+          .filter(col("tok").isin("join", "vector")))
+      val pj = toks.filter(col("tok") === "join")
+        .select(col("doc_id"), col("p").as("p1"))
+      val pv = toks.filter(col("tok") === "vector")
+        .select(col("doc_id"), col("p").as("p2"))
+      pj.join(pv, "doc_id")
+        .select(col("doc_id"), abs(col("p1") - col("p2")).cast("long").as("dist"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_close"),
+             min("dist").as("min_dist"))
+        .filter(col("n_close") > 0)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3295,5 +3323,30 @@ object TextQueries {
          |FROM r2 JOIN wt ON r2.node = wt.src, n
          |ORDER BY pr_x_n DESC, word LIMIT 20""".stripMargin
     },
+
+    // Positions are 1-based here vs 0-based in Spark's posexplode —
+    // only differences enter the result, so the bases cancel.
+    "q183_proximity_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |pj AS (SELECT doc_id, unnest(list_filter(
+        |         list_transform(range(1, len(ts) + 1),
+        |           i -> CASE WHEN ts[i] = 'join' THEN i END),
+        |         x -> x IS NOT NULL)) AS p1
+        |       FROM d),
+        |pv AS (SELECT doc_id, unnest(list_filter(
+        |         list_transform(range(1, len(ts) + 1),
+        |           i -> CASE WHEN ts[i] = 'vector' THEN i END),
+        |         x -> x IS NOT NULL)) AS p2
+        |       FROM d),
+        |pairs AS (SELECT pj.doc_id, abs(pj.p1 - pv.p2) AS dist
+        |          FROM pj JOIN pv ON pj.doc_id = pv.doc_id)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_close,
+        |  CAST(min(dist) AS BIGINT) AS min_dist
+        |FROM pairs GROUP BY doc_id
+        |HAVING sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
   )
 }
