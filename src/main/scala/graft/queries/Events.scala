@@ -921,6 +921,30 @@ object EventQueries {
         .select("kv.*")
         .orderBy("lag_k")
     }),
+
+    // Purged temporal split — the leakage-safe backtest partition for
+    // time-coupled data (financial ML's "purged k-fold" boundary
+    // rule): train strictly before the cut minus a 2-day embargo,
+    // test strictly from the cut plus 2 days, and the embargo band
+    // itself is DISCARDED so no label window straddles the boundary.
+    // The cut is data-driven (min date + 20 days) and rides a 1-row
+    // broadcast; the split is a map-side CASE over the scan — no
+    // shuffle beyond the final count rollup. Exact integers only.
+    "q187_purged_split" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      val cut = ev.agg(date_add(min(col("day")), 20).as("__cut"))
+      ev.crossJoin(broadcast(cut))
+        .select(
+          when(col("day") < date_sub(col("__cut"), 2), "train")
+            .when(col("day") >= date_add(col("__cut"), 2), "test")
+            .otherwise("purged").as("split"),
+          col("event_type"), col("user_id"))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct("user_id").as("n_users"))
+        .orderBy("split", "event_type")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1690,5 +1714,16 @@ object EventQueries {
          |$rows
          |) ORDER BY lag_k""".stripMargin
     },
+
+    "q187_purged_split" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events),
+        |c AS (SELECT min(day) + INTERVAL 20 DAY AS cut FROM ev)
+        |SELECT CASE WHEN day < cut - INTERVAL 2 DAY THEN 'train'
+        |            WHEN day >= cut + INTERVAL 2 DAY THEN 'test'
+        |            ELSE 'purged' END AS split,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev, c GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin,
   )
 }

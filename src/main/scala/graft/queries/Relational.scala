@@ -1045,6 +1045,64 @@ object Relational {
             .as("gini"))
         .orderBy("n_customers")
     }),
+
+    // TPC-H Q5 (local supplier volume): the 6-way join optimizer
+    // stressor — customer x orders x lineitem x supplier x nation x
+    // region with the customer-nation = supplier-nation correlation
+    // predicate. Declared as plain DataFrame joins: Catalyst prunes
+    // columns into every scan, pushes the region/date filters down,
+    // and broadcasts the three dimension tables (nation/region tiny,
+    // supplier SF-bounded) so only the orders-lineitem join shuffles.
+    // Revenue sums round 2dp; ordering on the rounded value with the
+    // nation tie-break.
+    "q185_tpch_q5" -> ((s, d) => {
+      val asia = Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            expr("o_orderdate >= timestamp'1996-01-01'") &&
+            expr("o_orderdate < timestamp'1997-01-01'"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Out-of-fold target encoding — the leakage-safe categorical
+    // feature: each (category, fold) cell's encoding is the target
+    // mean computed from the OTHER folds only
+    // ((cat_total - fold_total) / (cat_n - fold_n)), so a row never
+    // sees its own fold's statistics. Folds are the deterministic
+    // content-hash bands of Sampling.withFold (stable across runs,
+    // engines and corpus growth); totals are exact integer cents and
+    // the encoding is an integer floor division — zero float
+    // anywhere. One exchange on (category, fold), then a
+    // category-level rollup joined back (both frames category-sized).
+    "q188_oof_target_encoding" -> ((s, d) => {
+      val folded = graft.ext.Sampling.withFold(
+          Tables.orders(s, d), col("o_orderkey"),
+          folds = Seq("f0" -> 1.0 / 3, "f1" -> 1.0 / 3, "f2" -> 1.0 / 3),
+          salt = "te")
+        .select(col("o_orderpriority").as("category"), col("fold"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("__c"))
+      val cell = folded.groupBy("category", "fold")
+        .agg(count(lit(1)).as("n_rows"), sum("__c").as("__fc"))
+      val cat = cell.groupBy("category")
+        .agg(sum("n_rows").as("__cn"), sum("__fc").as("__cc"))
+      cell.join(cat, "category")
+        .select(col("category"), col("fold"), col("n_rows"),
+          when(col("__cn") === col("n_rows"), lit(null).cast("long"))
+            .otherwise(expr("(__cc - __fc) div (__cn - n_rows)"))
+            .as("oof_mean_cents"))
+        .orderBy("category", "fold")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -1814,5 +1872,43 @@ object Relational {
         |         CAST(n + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) /
         |        (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)), 6) AS gini
         |FROM a ORDER BY n_customers""".stripMargin,
+
+    "q185_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // Replays withFold's md5 bands (1/3 -> 0x55555555, 2/3 ->
+    // 0xaaaaaaab — round(frac * 2^32) hex, the q66 replay) and the
+    // exact integer leave-fold-out means.
+    "q188_oof_target_encoding" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority AS category,
+        |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || 'te'), 1, 8)
+        |              < '55555555' THEN 'f0'
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || 'te'), 1, 8)
+        |              < 'aaaaaaab' THEN 'f1'
+        |         ELSE 'f2' END AS fold,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |cell AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n_rows,
+        |           CAST(sum(c) AS BIGINT) AS fc
+        |         FROM f GROUP BY 1, 2),
+        |cat AS (SELECT category, CAST(sum(n_rows) AS BIGINT) AS cn,
+        |          CAST(sum(fc) AS BIGINT) AS cc
+        |        FROM cell GROUP BY 1)
+        |SELECT cell.category, fold, n_rows,
+        |  CASE WHEN cn = n_rows THEN NULL
+        |       ELSE (cc - fc) // (cn - n_rows) END AS oof_mean_cents
+        |FROM cell JOIN cat ON cell.category = cat.category
+        |ORDER BY cell.category, fold""".stripMargin,
   )
 }

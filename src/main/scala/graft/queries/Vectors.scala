@@ -311,6 +311,30 @@ object VectorQueries {
         .unionByName(ivfPq)
         .orderBy("method")
     }),
+
+    // Label-centroid affinity matrix: the pairwise cosine between
+    // class centroids (q36's centroid build) — the embedding-space
+    // confusion structure (which labels sit close enough to collide
+    // in ANN retrieval / dedup). Centroid frame is labels-sized, so
+    // the pair join is a broadcast nested loop over 45 pairs — the
+    // heavy work is the ONE distributed centroid aggregate. 6dp
+    // absorbs the vector-sum merge-order ulp (the q36 contract).
+    "q186_centroid_affinity" -> ((s, d) => {
+      val gf = graft.functions.GraftFunctions
+      val cents = graft.ops.Staging.stage(
+        Tables.embeddings(s, d)
+          .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
+          .groupBy("label")
+          .agg(gf.vectorSum(s, col("v")).as("vs"))
+          .select(col("label"),
+            transform(col("vs.sum"), x => x / col("vs.n")).as("c")))
+      val a = cents.select(col("label").as("label_a"), col("c").as("ca"))
+      val b = cents.select(col("label").as("label_b"), col("c").as("cb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(gf.cosineSimilarity(s, col("ca"), col("cb")), 6).as("cosine"))
+        .orderBy("label_a", "label_b")
+    }),
   )
 
   /** q160's oracle: q34's exact-cosine top-3 replay at each prefix
@@ -641,6 +665,22 @@ object VectorQueries {
     // by [[mmrOracleSql]] — one block per step, single stripMargin
     // nowhere (plain strings throughout).
     "q106_mmr_rerank" -> mmrOracleSql(k = 5),
+
+    // q36's centroid replay joined pairwise on the dimension index;
+    // the cosine mirrors CosineSimilarity's dot/(sqrt·sqrt) shape.
+    "q186_centroid_affinity" ->
+      """WITH e AS (
+        |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |c AS (SELECT label, i, avg(x) AS m FROM e GROUP BY label, i),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        sum(a.m * b.m) AS dot,
+        |        sum(a.m * a.m) AS na, sum(b.m * b.m) AS nb
+        |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
   )
 
   /** Builds the q106 oracle: `k−1` identical greedy-step blocks after
