@@ -945,6 +945,46 @@ object EventQueries {
              countDistinct("user_id").as("n_users"))
         .orderBy("split", "event_type")
     }),
+
+    // Classical decomposition of daily revenue, FULLY INTEGER: trend
+    // = centered 7-day moving average as micro-cents floor division
+    // (null until the window is complete on both sides), seasonal =
+    // weekday mean minus grand mean (both as micro-cents floor
+    // divisions — the components are DEFINED on the integer grid, so
+    // both engines agree bit-for-bit with zero float anywhere),
+    // residual = value - trend - seasonal. The rolling window runs
+    // over the days-sized daily frame (tiny by construction); sums
+    // of day-cents stay far inside Long at micro-cents scale.
+    "q189_seasonal_decomposition" -> ((s, d) => {
+      val daily = graft.ops.Staging.stage(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("cents")))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("__s7", sum("cents").over(w7))
+        .withColumn("__n7", count(lit(1)).over(w7))
+        .withColumn("trend_microcents",
+          when(col("__n7") === 7, expr("(__s7 * 1000000) div 7")))
+      val dow = daily
+        .groupBy(date_format(col("day"), "EEEE").as("__wd"))
+        .agg(sum("cents").as("__cd"), count(lit(1)).as("__nd"))
+      val overall = daily.agg(sum("cents").as("__ca"), count(lit(1)).as("__na"))
+      trended
+        .withColumn("__wd", date_format(col("day"), "EEEE"))
+        .join(broadcast(dow), "__wd")
+        .crossJoin(broadcast(overall))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"),
+          col("trend_microcents"),
+          (expr("(__cd * 1000000) div __nd") -
+            expr("(__ca * 1000000) div __na")).as("seasonal_microcents"),
+          (col("cents") * 1000000L - col("trend_microcents") -
+            (expr("(__cd * 1000000) div __nd") -
+              expr("(__ca * 1000000) div __na"))).as("residual_microcents"))
+        .orderBy("day")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1725,5 +1765,34 @@ object EventQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM ev, c GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin,
+
+    "q189_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT day, cents,
+        |         CAST(sum(cents) OVER w7 AS BIGINT) AS s7,
+        |         count(*) OVER w7 AS n7
+        |       FROM daily
+        |       WINDOW w7 AS (ORDER BY day
+        |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dw AS (SELECT dayname(day) AS wd,
+        |         CAST(sum(cents) AS BIGINT) AS cd,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |       FROM daily GROUP BY 1),
+        |o AS (SELECT CAST(sum(cents) AS BIGINT) AS ca,
+        |        CAST(count(*) AS BIGINT) AS na FROM daily)
+        |SELECT strftime(tr.day, '%Y-%m-%d') AS day, tr.cents,
+        |  CASE WHEN n7 = 7 THEN (s7 * 1000000) // 7 END
+        |    AS trend_microcents,
+        |  (cd * 1000000) // nd - (ca * 1000000) // na
+        |    AS seasonal_microcents,
+        |  tr.cents * 1000000 - CASE WHEN n7 = 7 THEN (s7 * 1000000) // 7 END
+        |    - ((cd * 1000000) // nd - (ca * 1000000) // na)
+        |    AS residual_microcents
+        |FROM tr JOIN dw ON dayname(tr.day) = dw.wd, o
+        |ORDER BY day""".stripMargin,
   )
 }

@@ -1103,6 +1103,65 @@ object Relational {
             .as("oof_mean_cents"))
         .orderBy("category", "fold")
     }),
+
+    // Lorenz curve by customer decile — q182's Gini as a readable
+    // table: customers ranked ascending by revenue (denseIndex again,
+    // never a global window), cut into 10 equal-population deciles,
+    // each decile's revenue share and the cumulative share in exact
+    // integer ppm. The running total is a 10-row window over the
+    // decile rollup — tiny by construction.
+    "q190_lorenz_deciles" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val idx = Kernels.denseIndex(cents, "cents", "__i0")
+      val tot = idx.agg(count(lit(1)).as("__n"), sum("cents").as("__tot"))
+      val dec = idx.crossJoin(broadcast(tot))
+        .select(expr("(__i0 * 10) div __n").as("decile"), col("cents"),
+                col("__tot"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("__dc"),
+             first("__tot").as("__tot"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("__cum", sum(col("__dc")).over(wCum))
+        .select(col("decile"), col("n_customers"),
+          expr("(__dc * 1000000) div __tot").as("share_ppm"),
+          expr("(__cum * 1000000) div __tot").as("cum_share_ppm"))
+        .orderBy("decile")
+    }),
+
+    // Price-volume-mix decomposition of the 1996 -> 1997 revenue
+    // change per supplier nation: volume effect = Δqty at the old
+    // average price (integer floor division), price effect = the
+    // exact remainder — the two effects sum EXACTLY to Δrevenue by
+    // construction, the property float decompositions lose. One
+    // exchange on (nation, year) then a nation-sized pivot.
+    "q191_price_volume_mix" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(expr("l_shipdate >= timestamp'1996-01-01'") &&
+                expr("l_shipdate < timestamp'1998-01-01'"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"),
+                 year(col("l_shipdate")).as("__yr"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+               .as("__r"),
+             sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("__q"))
+      val pv = base.groupBy("s_nationkey")
+        .agg(sum(when(col("__yr") === 1996, col("__r"))).as("r1"),
+             sum(when(col("__yr") === 1996, col("__q"))).as("q1"),
+             sum(when(col("__yr") === 1997, col("__r"))).as("r2"),
+             sum(when(col("__yr") === 1997, col("__q"))).as("q2"))
+      pv.join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (col("r2") - col("r1")).as("delta_cents"),
+          expr("((q2 - q1) * r1) div q1").as("volume_effect_cents"),
+          (col("r2") - col("r1") - expr("((q2 - q1) * r1) div q1"))
+            .as("price_effect_cents"))
+        .orderBy("nation")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -1910,5 +1969,54 @@ object Relational {
         |       ELSE (cc - fc) // (cn - n_rows) END AS oof_mean_cents
         |FROM cell JOIN cat ON cell.category = cat.category
         |ORDER BY cell.category, fold""".stripMargin,
+
+    // Ranks replayed with row_number (0-based to match denseIndex);
+    // tie order inside equal cents cannot move a customer across a
+    // decile boundary's SUM (equal values, same multiset per decile).
+    "q190_lorenz_deciles" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS i
+        |      FROM c),
+        |d AS (SELECT (i * 10) // n AS decile,
+        |        CAST(count(*) AS BIGINT) AS n_customers,
+        |        CAST(sum(cents) AS BIGINT) AS dc, any_value(tot) AS tot
+        |      FROM r, t GROUP BY 1),
+        |cm AS (SELECT *, CAST(sum(dc) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum FROM d)
+        |SELECT decile, n_customers,
+        |  (dc * 1000000) // tot AS share_ppm,
+        |  (cum * 1000000) // tot AS cum_share_ppm
+        |FROM cm ORDER BY decile""".stripMargin,
+
+    "q191_price_volume_mix" ->
+      """WITH base AS (
+        |  SELECT s_nationkey, year(l_shipdate) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS r,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pv AS (SELECT s_nationkey,
+        |         sum(CASE WHEN yr = 1996 THEN r END) AS r1,
+        |         sum(CASE WHEN yr = 1996 THEN q END) AS q1,
+        |         sum(CASE WHEN yr = 1997 THEN r END) AS r2,
+        |         sum(CASE WHEN yr = 1997 THEN q END) AS q2
+        |       FROM base GROUP BY 1)
+        |SELECT n_name AS nation,
+        |  CAST(r2 - r1 AS BIGINT) AS delta_cents,
+        |  CAST(((q2 - q1) * r1) // q1 AS BIGINT) AS volume_effect_cents,
+        |  CAST(r2 - r1 - ((q2 - q1) * r1) // q1 AS BIGINT)
+        |    AS price_effect_cents
+        |FROM pv JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY nation""".stripMargin,
   )
 }
