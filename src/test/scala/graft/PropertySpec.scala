@@ -303,4 +303,45 @@ class PropertySpec extends AnyFunSuite {
       assert(out == expected, s"sample $i diverged")
     }
   }
+
+  test("JaroWinklerKernel matches an independent reference bit-for-bit on random strings") {
+    // reference written in a different style (explicit match-index
+    // lists instead of the kernel's greedy flag arrays) so a shared
+    // bug cannot hide; formula constants per the pinned contract
+    def refJw(a: String, b: String): Double = {
+      val (l1, l2) = (a.length, b.length)
+      if (l1 == 0 && l2 == 0) return 1.0
+      if (l1 == 0 || l2 == 0) return 0.0
+      val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val taken = scala.collection.mutable.Set[Int]()
+      val mIdx = (0 until l1).flatMap { i =>
+        (((i - win) max 0) until ((i + win + 1) min l2))
+          .find(j => !taken.contains(j) && a(i) == b(j))
+          .map { j => taken += j; (i, j) }
+      }
+      val m = mIdx.length
+      if (m == 0) return 0.0
+      val bOrder = mIdx.map(_._2).sorted
+      val t = mIdx.map(_._1).sorted.zip(bOrder)
+        .count { case (i, j) => a(i) != b(j) } / 2
+      var sim = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+      if (sim > 0.7) {
+        val p = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+        sim += p * 0.1 * (1.0 - sim)
+      }
+      sim
+    }
+    val strGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString))
+    val pairGen = for { a <- strGen; b <- strGen } yield (a, b)
+    samples(pairGen, 400).foreach { case (a, b) =>
+      val got = graft.functions.JaroWinklerKernel.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val want = refJw(a, b)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+             java.lang.Double.doubleToLongBits(want),
+        s"jw('$a','$b'): got $got want $want")
+    }
+  }
 }
