@@ -829,10 +829,12 @@ object EventQueries {
     // every emitted double is then derived from identical integers
     // by identical IEEE ops on both engines.
     "q180_weekday_seasonality" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
-          .as("__cents"))
+      // staged: the weekday rollup and the grand total both read it
+      val daily = graft.ops.Staging.stage(
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("__cents")))
       val byDow = daily
         .groupBy(date_format(col("day"), "EEEE").as("weekday"))
         .agg(count(lit(1)).as("n_days"), sum("__cents").as("__cd"))
@@ -868,10 +870,12 @@ object EventQueries {
         .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
                .as("dur"),
              max(when(col("__rn") === 1, col("event_type"))).as("__last"))
-      val byDur = perUser.groupBy("dur")
-        .agg(count(lit(1)).as("n_exit"),
-             sum(when(col("__last") === "purchase", 1L).otherwise(0L))
-               .as("d_events"))
+      // staged: the total and the curve pass both read it
+      val byDur = graft.ops.Staging.stage(
+        perUser.groupBy("dur")
+          .agg(count(lit(1)).as("n_exit"),
+               sum(when(col("__last") === "purchase", 1L).otherwise(0L))
+                 .as("d_events")))
       val tot = byDur.agg(sum("n_exit").as("__tot"))
       val wPrev = Window.orderBy("dur")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -807,11 +807,13 @@ object Relational {
     // are absent by construction on both sides. The oracle unrolls
     // the 3 sweeps as min-merge unions.
     "q171_bfs_hops" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
-        .distinct()
+      // staged: the symmetric union inside bfsHops reads it twice
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
@@ -931,11 +933,13 @@ object Relational {
     // top-R selection (TakeOrdered at scale), never a data-sized
     // driver collect.
     "q176_largest_remainder" -> ((s, d) => {
-      val cents = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
-          .as("cents"))
+      // staged: the total and the share pass both read it
+      val cents = graft.ops.Staging.stage(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents")))
       val tot = cents.agg(sum("cents").as("__tot"))
       val fl = cents.crossJoin(broadcast(tot))
         .select(col("c_nationkey"), col("cents"),
@@ -961,13 +965,15 @@ object Relational {
     // nation 0's suppliers; 3 sweeps = the radius cut. Exact integer
     // distances; the oracle unrolls the three min-merge relaxations.
     "q177_sssp_weighted" -> ((s, d) => {
-      val edges = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
-        .agg(count(lit(1)).as("__cnt"))
-        .select(col("a"), col("b"),
-          when(col("__cnt") >= 2, 1L).otherwise(3L).as("w"))
+      // staged: the symmetric union inside ssspWeighted reads it twice
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                   concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .agg(count(lit(1)).as("__cnt"))
+          .select(col("a"), col("b"),
+            when(col("__cnt") >= 2, 1L).otherwise(3L).as("w")))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
@@ -991,11 +997,14 @@ object Relational {
                        col("p_name").as("n1"))
       val b = p.select(col("blk"), col("p_partkey").as("k2"),
                        col("p_name").as("n2"))
-      val half = a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
-        .select(col("k1"), col("k2"),
-          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
-            .as("jw"))
-        .filter(col("jw") >= 0.9)
+      // staged: the mirrored union below consumes it twice, and the
+      // 25M-pair JW scoring must run once
+      val half = graft.ops.Staging.stage(
+        a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+              .as("jw"))
+          .filter(col("jw") >= 0.9))
       val both = graft.ops.Staging.stage(
         half.union(half.select(col("k2").as("k1"), col("k1").as("k2"),
                                col("jw"))))
@@ -1092,8 +1101,10 @@ object Relational {
           salt = "te")
         .select(col("o_orderpriority").as("category"), col("fold"),
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("__c"))
-      val cell = folded.groupBy("category", "fold")
-        .agg(count(lit(1)).as("n_rows"), sum("__c").as("__fc"))
+      // staged: the category rollup and the join both read it
+      val cell = graft.ops.Staging.stage(
+        folded.groupBy("category", "fold")
+          .agg(count(lit(1)).as("n_rows"), sum("__c").as("__fc")))
       val cat = cell.groupBy("category")
         .agg(sum("n_rows").as("__cn"), sum("__fc").as("__cc"))
       cell.join(cat, "category")

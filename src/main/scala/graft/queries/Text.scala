@@ -1410,19 +1410,22 @@ object TextQueries {
     // rebuilds the identical edge list with the q62 shingle replay
     // and unrolls both sweeps.
     "q178_textrank_keywords" -> ((s, d) => {
-      val pairs = Tables.documents(s, d)
-        .select(explode(
-          graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 2))
-          .as("sh"))
-        .select(substring_index(col("sh"), " ", 1).as("t1"),
-                substring_index(col("sh"), " ", -1).as("t2"))
-        .filter(length(col("t1")) >= 3 && length(col("t2")) >= 3 &&
-                !col("t1").isin(Stopwords: _*) &&
-                !col("t2").isin(Stopwords: _*) &&
-                col("t1") =!= col("t2"))
-        .groupBy(least(col("t1"), col("t2")).as("a"),
-                 greatest(col("t1"), col("t2")).as("b"))
-        .agg(count(lit(1)).as("w"))
+      // staged: pageRankWeighted's symmetric union reads the edge
+      // frame twice, and the shingle explosion must run once
+      val pairs = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(explode(
+            graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 2))
+            .as("sh"))
+          .select(substring_index(col("sh"), " ", 1).as("t1"),
+                  substring_index(col("sh"), " ", -1).as("t2"))
+          .filter(length(col("t1")) >= 3 && length(col("t2")) >= 3 &&
+                  !col("t1").isin(Stopwords: _*) &&
+                  !col("t2").isin(Stopwords: _*) &&
+                  col("t1") =!= col("t2"))
+          .groupBy(least(col("t1"), col("t2")).as("a"),
+                   greatest(col("t1"), col("t2")).as("b"))
+          .agg(count(lit(1)).as("w")))
       val pr = graft.ops.Staging.stage(
         graft.ext.Graphs.pageRankWeighted(pairs, "a", "b", "w",
           iterations = 2))
