@@ -268,6 +268,41 @@ object Graphs {
     terminal
   }
 
+  /** k-core peeling: repeatedly remove nodes of degree < k (and
+    * their incident edges) for a fixed `sweeps` budget — the dense
+    * subgraph extractor (spam rings, tightly-coupled entity
+    * clusters). A fixed sweep count is the same determinism choice
+    * as every other iterative operator here: the true k-core is the
+    * fixpoint, and each sweep only ever shrinks the graph, so any
+    * prefix is a sound over-approximation with a documented budget.
+    *
+    * Scale shape per sweep: one degree aggregate over the surviving
+    * symmetric edge list, a node-sized keep frame (staged — it
+    * filters BOTH endpoints), and two semi-joins; the survivor frame
+    * is checkpointed per sweep so the plan stays constant-size.
+    * Returns the surviving symmetric edge frame (src, dst) — callers
+    * aggregate degrees or membership from it.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Int, sweeps: Int): DataFrame = {
+    require(k >= 1 && sweeps >= 1, "k and sweeps must be >= 1")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val init = graft.ops.Staging.stageCheckpoint(sym.localCheckpoint(true))
+    (1 to sweeps).foldLeft(init) { (e, _) =>
+      val keep = graft.ops.Staging.stage(
+        e.groupBy("src").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= k).select(col("src").as("__keep")))
+      val survived = e
+        .join(keep, col("src") === col("__keep"), "left_semi")
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+      val ck = graft.ops.Staging.stageCheckpoint(survived.localCheckpoint(true))
+      graft.ops.Staging.dropCheckpoint(e)
+      ck
+    }
+  }
+
   /** Single-source (or multi-source) shortest path over an undirected
     * WEIGHTED edge list — the Bellman-Ford relaxation
     * `dist'(v) = min(dist(v), min_{u~v} dist(u) + w(u,v))` run for a

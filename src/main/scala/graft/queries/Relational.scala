@@ -1173,6 +1173,27 @@ object Relational {
             .as("price_effect_cents"))
         .orderBy("nation")
     }),
+
+    // 3-core peeling (Graphs.kCore) of the customer-supplier graph:
+    // nodes of degree < 3 are repeatedly removed (3 sweeps — each
+    // sweep only shrinks, so the budget is a sound
+    // over-approximation of the fixpoint core). Emits the surviving
+    // degree histogram — exact integers; the oracle unrolls the
+    // three peel rounds.
+    "q192_kcore" -> ((s, d) => {
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
+      val core = graft.ops.Staging.stage(
+        graft.ext.Graphs.kCore(edges, "a", "b", k = 3, sweeps = 3))
+      core.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .groupBy(col("__deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -2029,5 +2050,29 @@ object Relational {
         |    AS price_effect_cents
         |FROM pv JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY nation""".stripMargin,
+
+    "q192_kcore" ->
+      """WITH e0x AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e0 AS (SELECT a AS src, b AS dst FROM e0x
+        |       UNION SELECT b AS src, a AS dst FROM e0x),
+        |d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY src),
+        |k1 AS (SELECT src FROM d1 WHERE c >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 x ON e.src = x.src JOIN k1 y ON e.dst = y.src),
+        |d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY src),
+        |k2 AS (SELECT src FROM d2 WHERE c >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 x ON e.src = x.src JOIN k2 y ON e.dst = y.src),
+        |d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY src),
+        |k3 AS (SELECT src FROM d3 WHERE c >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 x ON e.src = x.src JOIN k3 y ON e.dst = y.src)
+        |SELECT c AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM (SELECT src, CAST(count(*) AS BIGINT) AS c
+        |      FROM e3 GROUP BY src)
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
   )
 }

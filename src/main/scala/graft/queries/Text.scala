@@ -1465,6 +1465,39 @@ object TextQueries {
         .filter(col("n_close") > 0)
         .orderBy("doc_id")
     }),
+
+    // NDCG@10 of the BM25 ranking (q86) against a term-frequency
+    // relevance proxy — the ranking-quality metric that closes the
+    // retrieval loop (build the ranker, then MEASURE it). DCG sums
+    // rel/log2(rank+1) over the rounded-score top 10; IDCG is the
+    // same sum over the corpus-ideal top 10 by relevance. Both
+    // top-10 selections are TakeOrdered + a 10-row rank window
+    // (tiny); 6dp absorbs the 10-term sum-order ulp.
+    "q193_ndcg_bm25" -> ((s, d) => {
+      val rel = graft.ops.Staging.stage(
+        Tables.documents(s, d).select(col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), t -> t = 'join')) AS BIGINT)")
+            .as("rel")))
+      val top10 = graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
+          Seq("join", "vector", "scan"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      val wR = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val dcg = top10.withColumn("rnk", row_number().over(wR))
+        .join(rel, "doc_id")
+        .agg(sum(col("rel").cast("double") / log2(col("rnk") + 1)).as("__dcg"),
+             sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_relevant"))
+      val wI = Window.orderBy(col("rel").desc, col("doc_id"))
+      val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(wI))
+        .agg(sum(col("rel").cast("double") / log2(col("rnk") + 1)).as("__idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(round(col("__dcg"), 6).as("dcg"),
+                round(col("__idcg"), 6).as("idcg"),
+                round(col("__dcg") / col("__idcg"), 6).as("ndcg"),
+                col("n_relevant"))
+        .orderBy("ndcg")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3351,5 +3384,33 @@ object TextQueries {
         |FROM pairs GROUP BY doc_id
         |HAVING sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // q86's BM25 pyramid -> rounded top-10 with ranks -> DCG over
+    // the tf('join') relevance proxy; IDCG over the corpus-ideal
+    // top-10 by relevance.
+    "q193_ndcg_bm25" -> (bm25Ctes +
+      """,
+        |rel AS (SELECT doc_id,
+        |          CAST(len(list_filter(string_split(text, ' '),
+        |               t -> t = 'join')) AS BIGINT) AS rel
+        |        FROM documents),
+        |t10 AS (SELECT doc_id, round(score, 6) AS bm25 FROM sc
+        |        ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+        |rk AS (SELECT t.doc_id,
+        |         row_number() OVER (ORDER BY t.bm25 DESC, t.doc_id) AS rnk,
+        |         r.rel
+        |       FROM t10 t JOIN rel r ON t.doc_id = r.doc_id),
+        |ideal AS (SELECT rel,
+        |            row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        |          FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+        |a AS (SELECT sum(CAST(rel AS DOUBLE) / log2(rnk + 1)) AS dcg,
+        |        CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_relevant
+        |      FROM rk),
+        |b AS (SELECT sum(CAST(rel AS DOUBLE) / log2(rnk + 1)) AS idcg
+        |      FROM ideal)
+        |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+        |  round(dcg / idcg, 6) AS ndcg, n_relevant
+        |FROM a, b ORDER BY ndcg""".stripMargin),
   )
 }

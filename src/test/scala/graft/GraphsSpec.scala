@@ -264,6 +264,26 @@ class GraphsSpec extends AnyFunSuite {
     assert(viaSssp == viaBfs)
   }
 
+  test("kCore: K4 core survives, pendant chain and triangle peel away") {
+    // K4 {1,2,3,4} (degree 3 each) + pendant path 4-5-6 + separate
+    // triangle {7,8,9} (degree 2)
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b)
+    val extra = Seq((4, 5), (5, 6), (7, 8), (8, 9), (7, 9))
+    val edges = (k4 ++ extra).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("u", "v")
+    val core = Graphs.kCore(edges, "u", "v", k = 3, sweeps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.ops.Staging.releaseAll()
+    // symmetric edge list of exactly K4: 4*3 directed pairs
+    assert(core.length == 12)
+    assert(core.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // at k=2, the triangle also survives but the pendant chain dies
+    val core2 = Graphs.kCore(edges, "u", "v", k = 2, sweeps = 3)
+      .collect().map(_.getLong(0)).distinct.sorted.toSeq
+    graft.ops.Staging.releaseAll()
+    assert(core2 == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+  }
+
   test("bfsHops: matches driver-side BFS on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40
