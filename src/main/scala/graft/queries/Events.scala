@@ -989,6 +989,61 @@ object EventQueries {
               expr("(__ca * 1000000) div __na"))).as("residual_microcents"))
         .orderBy("day")
     }),
+
+    // Inter-event burstiness: the squared coefficient of variation of
+    // each user's event gaps (cv² = n·Σg²/(Σg)² − 1; 0 for a metronome,
+    // ~1 for Poisson, large for bursts). Gaps are exact micros from
+    // one partitioned lag window; Σg and Σg² ride decimal(38,0) so
+    // the sums are exact at any activity scale, and cv² is derived
+    // from those exact integers by identical IEEE ops on both
+    // engines (the q182 contract). Top 20 burstiest of the
+    // sufficiently-active users.
+    "q194_interevent_burstiness" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("__gap",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("__gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+             sum(col("__gap").cast("decimal(38,0)")).as("__s"),
+             sum(col("__gap").cast("decimal(38,0)") *
+                 col("__gap").cast("decimal(38,0)")).as("__sq"))
+        .filter(col("n_gaps") >= 10)
+        .select(col("user_id"), col("n_gaps"),
+          expr("CAST(__s AS BIGINT) div n_gaps").as("mean_gap_us"),
+          round(col("n_gaps").cast("double") * col("__sq").cast("double") /
+                (col("__s").cast("double") * col("__s").cast("double")) -
+            lit(1.0), 6).as("cv2"))
+        .orderBy(col("cv2").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // DAU/WAU stickiness per week — the engagement ratio product
+    // teams track. Weeks are ANCHORED AT THE DATA'S MIN DATE
+    // (datediff div 7), never an engine's week-of-year numbering
+    // (Spark and DuckDB disagree on week boundaries); everything is
+    // exact integers, stickiness in ppm.
+    "q195_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val m = ev.agg(min("day").as("__d0"))
+      val wk = graft.ops.Staging.stage(
+        ev.crossJoin(broadcast(m))
+          .select(expr("datediff(day, __d0) div 7").as("week"),
+                  col("day"), col("user_id")))
+      val dau = wk.groupBy("week", "day")
+        .agg(countDistinct("user_id").as("__dau"))
+        .groupBy("week")
+        .agg(sum("__dau").as("__sdau"), count(lit(1)).as("n_days"))
+      val wau = wk.groupBy("week").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "week")
+        .select(col("week"), col("n_days"),
+          expr("__sdau div n_days").as("avg_dau"), col("wau"),
+          expr("(__sdau * 1000000) div (n_days * wau)").as("stickiness_ppm"))
+        .orderBy("week")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1798,5 +1853,41 @@ object EventQueries {
         |    AS residual_microcents
         |FROM tr JOIN dw ON dayname(tr.day) = dw.wd, o
         |ORDER BY day""".stripMargin,
+
+    "q194_interevent_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |        CAST(sum(gap) AS HUGEINT) AS s,
+        |        CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sq
+        |      FROM g WHERE gap IS NOT NULL
+        |      GROUP BY user_id HAVING count(*) >= 10)
+        |SELECT user_id, n_gaps,
+        |  CAST(s AS BIGINT) // n_gaps AS mean_gap_us,
+        |  round(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) /
+        |        (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 1.0, 6) AS cv2
+        |FROM a
+        |ORDER BY cv2 DESC, user_id LIMIT 20""".stripMargin,
+
+    "q195_stickiness" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |m AS (SELECT min(day) AS d0 FROM ev),
+        |wk AS (SELECT date_diff('day', d0, day) // 7 AS week, day, user_id
+        |       FROM ev, m),
+        |dau AS (SELECT week, CAST(sum(du) AS BIGINT) AS sdau,
+        |          CAST(count(*) AS BIGINT) AS n_days
+        |        FROM (SELECT week, day, count(DISTINCT user_id) AS du
+        |              FROM wk GROUP BY 1, 2)
+        |        GROUP BY week),
+        |wau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM wk GROUP BY week)
+        |SELECT dau.week, n_days, sdau // n_days AS avg_dau, wau,
+        |  (sdau * 1000000) // (n_days * wau) AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.week = wau.week
+        |ORDER BY dau.week""".stripMargin,
   )
 }

@@ -1498,6 +1498,38 @@ object TextQueries {
                 col("n_relevant"))
         .orderBy("ndcg")
     }),
+
+    // Zipf slope of the token frequency distribution: OLS of
+    // ln(count) on ln(rank) over the top 100 tokens — the
+    // power-law-ness diagnostic of a corpus (natural text ~ -1;
+    // synthetic/templated corpora flatten). Top-100 selection is
+    // TakeOrdered (count desc, token); ranks come from a 100-row
+    // window (tiny by construction); the OLS closed form runs on
+    // identical (ln rank, ln count) doubles with 6dp absorbing the
+    // 100-term sum-order ulp (the q99 contract).
+    "q196_zipf_token_slope" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+      val wR = Window.orderBy(col("cnt").desc, col("tok"))
+      top.withColumn("__x", log(row_number().over(wR).cast("double")))
+        .withColumn("__y", log(col("cnt").cast("double")))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum("__x").as("__sx"), sum("__y").as("__sy"),
+             sum(col("__x") * col("__x")).as("__sxx"),
+             sum(col("__x") * col("__y")).as("__sxy"))
+        .select(col("n_tokens"),
+          round((col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) /
+                (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")), 6)
+            .as("zipf_slope"),
+          round((col("__sy") - ((col("n_tokens") * col("__sxy") -
+                  col("__sx") * col("__sy")) /
+                 (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx"))) *
+                col("__sx")) / col("n_tokens"), 6).as("intercept"))
+        .orderBy("n_tokens")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3412,5 +3444,27 @@ object TextQueries {
         |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
         |  round(dcg / idcg, 6) AS ndcg, n_relevant
         |FROM a, b ORDER BY ndcg""".stripMargin),
+
+    "q196_zipf_token_slope" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT tok, cnt FROM c
+        |        ORDER BY cnt DESC, tok LIMIT 100),
+        |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+        |                 AS DOUBLE)) AS x,
+        |         ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM top),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |      FROM xy)
+        |SELECT n AS n_tokens,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
+        |        CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a ORDER BY n_tokens""".stripMargin,
   )
 }
