@@ -1194,6 +1194,26 @@ object Relational {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
     }),
+
+    // Full entity-resolution pipeline (EntityRes.resolve): blocking ->
+    // native Jaro-Winkler scoring -> threshold edges -> connected
+    // components -> cluster audit (size + max member per cluster).
+    // Restricted to ONE blocking key here so the oracle's transitive
+    // closure stays clique-sized; the operator itself runs all blocks
+    // at scale (one exchange on the key, quadratic only within a
+    // block). Exact integers out; the oracle recomputes the closure
+    // with the q64 recursive-CTE shape over the same bit-exact JW
+    // pair set.
+    "q197_entity_resolution" -> ((s, d) => {
+      val blockSmall = Tables.part(s, d)
+        .filter(substring_index(col("p_name"), " ", 1) === "small")
+      graft.ext.EntityRes.resolve(blockSmall, "p_partkey", "p_name",
+          blockCol = substring_index(col("p_name"), " ", 1),
+          threshold = 0.9)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
   )
 
   /** q154's oracle: per-table (count, order-independent key
@@ -2074,5 +2094,25 @@ object Relational {
         |FROM (SELECT src, CAST(count(*) AS BIGINT) AS c
         |      FROM e3 GROUP BY src)
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q197_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE split_part(p_name, ' ', 1) = 'small'),
+        |pr AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2
+        |       FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |       WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |edges AS (SELECT k1 AS src, k2 AS dst FROM pr
+        |          UNION SELECT k2, k1 FROM pr),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |  max(id) AS max_id
+        |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
   )
 }
