@@ -1044,6 +1044,66 @@ object EventQueries {
           expr("(__sdau * 1000000) div (n_days * wau)").as("stickiness_ppm"))
         .orderBy("week")
     }),
+
+    // Signup -> purchase conversion latency: per user, first signup
+    // and first purchase AFTER it; report the converted count, the
+    // conversion rate in exact ppm, and the p50/p90 latency. Latency
+    // values are exact integer micros, so interpolated percentiles
+    // sit on the 1/20 value grid (≤ 2 decimals — 6dp rounding can
+    // never land on a half, the q175 argument). One exchange on
+    // user_id, then a 1-row summary.
+    "q198_conversion_latency" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup",
+               unix_micros(col("ts")))).as("__su"),
+             count(lit(1)).as("__n"))
+      val purch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("__pu"))
+      val lat = perUser.filter(col("__su").isNotNull)
+        .join(purch, Seq("user_id"), "left")
+        .groupBy("user_id")
+        // when() nulls out pre-signup purchases, so a user whose only
+        // purchases precede signup still counts as an unconverted row
+        .agg(first("__su").as("__su"),
+             min(when(col("__pu") >= col("__su"), col("__pu"))).as("__fp"))
+        .select(col("user_id"), (col("__fp") - col("__su")).as("__lat"))
+      lat.agg(count(lit(1)).as("n_signups"),
+              count(col("__lat")).as("n_converted"),
+              expr("(count(__lat) * 1000000) div count(1)")
+                .as("conversion_ppm"),
+              round(expr("percentile(__lat, 0.5)"), 6).as("p50_latency_us"),
+              round(expr("percentile(__lat, 0.9)"), 6).as("p90_latency_us"))
+        .orderBy("n_signups")
+    }),
+
+    // Rolling 7-active-day distinct users — the sliding-uniques
+    // product metric that is EXPENSIVE exactly (count(DISTINCT) over
+    // a moving window re-scans the window per day) but O(days · 256)
+    // with mergeable HLL registers: per-day register maxima, a 7-row
+    // rolling max per register over the day grid, re-estimate. Same
+    // register pyramid as q112 (which is the unbounded-window
+    // special case); "7 days" = the 7 most recent ACTIVE days on the
+    // grid, mirrored exactly by the oracle's window.
+    "q199_rolling_distinct" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      val regs = graft.ops.Staging.stage(
+        graft.ext.Sketches.hllRegisters(ev, "day", "user_id"))
+      val grid = regs.select("day").distinct()
+        .crossJoin(regs.select("__b").distinct())
+      val roll = grid.join(regs, Seq("day", "__b"), "left")
+        .withColumn("__cm", max("__m").over(
+          w.partitionBy("__b").orderBy("day").rowsBetween(-6, 0)))
+        .filter(col("__cm").isNotNull)
+        .select(col("day"), col("__b"), col("__cm").as("__m"))
+      graft.ext.Sketches.hllEstimate(roll, "day")
+        .select(col("day"), col("n_buckets"),
+                round(col("hll_distinct"), 6).as("rolling7_users_est"))
+        .orderBy("day")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -1889,5 +1949,68 @@ object EventQueries {
         |  (sdau * 1000000) // (n_days * wau) AS stickiness_ppm
         |FROM dau JOIN wau ON dau.week = wau.week
         |ORDER BY dau.week""".stripMargin,
+
+    "q198_conversion_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, epoch_us(ts) AS p
+        |       FROM events WHERE event_type = 'purchase'),
+        |lat AS (
+        |  SELECT su.user_id,
+        |    min(CASE WHEN pu.p >= su.s THEN pu.p END) - any_value(su.s)
+        |      AS l
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |  GROUP BY su.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(count(l) AS BIGINT) AS n_converted,
+        |  (CAST(count(l) AS BIGINT) * 1000000) // count(*) AS conversion_ppm,
+        |  round(quantile_cont(l, 0.5), 6) AS p50_latency_us,
+        |  round(quantile_cont(l, 0.9), 6) AS p90_latency_us
+        |FROM lat ORDER BY n_signups""".stripMargin,
+
+    // q112's register pyramid with the window swapped to the 7-row
+    // rolling frame.
+    "q199_rolling_distinct" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS b,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 3, 13) AS w
+        |  FROM events),
+        |g AS (
+        |  SELECT day, b, w, length(regexp_extract(w, '^0*', 0)) AS z FROM e),
+        |r AS (
+        |  SELECT day, b,
+        |    max(CASE WHEN z = 13 THEN 53
+        |        ELSE 4 * z
+        |             + (CASE substr(w, z + 1, 1)
+        |                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |                WHEN '7' THEN 1 ELSE 0 END) + 1 END) AS m
+        |  FROM g GROUP BY day, b),
+        |grid AS (
+        |  SELECT d.day, bb.b
+        |  FROM (SELECT DISTINCT day FROM r) d
+        |  CROSS JOIN (SELECT DISTINCT b FROM r) bb),
+        |cum AS (
+        |  SELECT grid.day, grid.b,
+        |    max(r.m) OVER (PARTITION BY grid.b ORDER BY grid.day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cm
+        |  FROM grid LEFT JOIN r ON r.day = grid.day AND r.b = grid.b),
+        |c2 AS (SELECT day, b, cm AS m FROM cum WHERE cm IS NOT NULL),
+        |a AS (
+        |  SELECT day, count(*) AS n_buckets,
+        |    sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
+        |  FROM c2 GROUP BY day),
+        |f AS (
+        |  SELECT day, n_buckets, 256 - n_buckets AS v,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |      (s + (256.0 - n_buckets) * 1.0) AS eraw
+        |  FROM a)
+        |SELECT day, n_buckets,
+        |  round(CASE WHEN v > 0 AND eraw <= 2.5 * 256.0
+        |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6)
+        |    AS rolling7_users_est
+        |FROM f ORDER BY day""".stripMargin,
   )
 }
