@@ -1204,6 +1204,32 @@ object Relational {
     // block). Exact integers out; the oracle recomputes the closure
     // with the q64 recursive-CTE shape over the same bit-exact JW
     // pair set.
+    // TPC-H Q18 (large-volume customers): the group-having semi-join
+    // stressor — orders whose line quantities sum past a threshold,
+    // re-joined to customer and lineitem for the detail rollup. The
+    // HAVING frame is one exchange on l_orderkey; its key set then
+    // semi-joins the fact scan. Quantities are integral doubles, so
+    // their sums are exact in IEEE and the >300 threshold is
+    // boundary-safe; ordering is on the 2dp-rounded total price with
+    // the order key as tie-break.
+    "q200_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__q"))
+        .filter(col("__q") > 300)
+        .select(col("l_orderkey").as("__bk"))
+      Tables.lineitem(s, d)
+        .join(big, col("l_orderkey") === col("__bk"), "left_semi")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q197_entity_resolution" -> ((s, d) => {
       val blockSmall = Tables.part(s, d)
         .filter(substring_index(col("p_name"), " ", 1) === "small")
@@ -2094,6 +2120,21 @@ object Relational {
         |FROM (SELECT src, CAST(count(*) AS BIGINT) AS c
         |      FROM e3 GROUP BY src)
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q200_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q197_entity_resolution" ->
       """WITH RECURSIVE p AS (
