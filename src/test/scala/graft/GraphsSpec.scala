@@ -264,6 +264,25 @@ class GraphsSpec extends AnyFunSuite {
     assert(viaSssp == viaBfs)
   }
 
+  test("EntityRes.resolve: blocked JW matches cluster; cross-block twins never pair") {
+    // block 'acme': 1/2 near-identical (jw >= 0.9), 3 unrelated;
+    // block 'zeta': 4 has the SAME name as 1 but a different block,
+    // so it must not join 1's cluster (blocking is a hard boundary)
+    val df = Seq(
+      (1L, "acme corp holdings", "acme"),
+      (2L, "acme corp holding", "acme"),
+      (3L, "completely different words", "acme"),
+      (4L, "acme corp holdings", "zeta"),
+      (5L, "acme corp holdngs", "zeta")).toDF("id", "name", "blk")
+    val got = graft.ext.EntityRes.resolve(df, "id", "name",
+        blockCol = org.apache.spark.sql.functions.col("blk"),
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.ops.Staging.releaseAll()
+    // {1,2} cluster under min-label 1; {4,5} cluster under 4; 3 absent
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("kCore: K4 core survives, pendant chain and triangle peel away") {
     // K4 {1,2,3,4} (degree 3 each) + pendant path 4-5-6 + separate
     // triangle {7,8,9} (degree 2)
