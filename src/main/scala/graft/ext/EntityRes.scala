@@ -5,24 +5,96 @@ import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy entity resolution — the record-linkage pipeline
   * assembled from this library's primitives: a blocking key bounds
-  * the candidate-pair space (never all-pairs), the native codegen'd
-  * Jaro-Winkler expression scores every in-block pair, pairs at or
-  * above the match threshold become edges, and connected components
-  * (min-label) produce one cluster id per entity. The reference
-  * engine has no fuzzy-matching surface; this is a pure extension
-  * operator in the 100-TB-pipeline family (vendor/master-data dedup,
-  * author disambiguation, crawl-source canonicalization).
+  * the candidate space, the native codegen'd Jaro-Winkler expression
+  * scores candidate pairs, pairs at or above the match threshold
+  * become edges, and connected components (min-label) produce one
+  * cluster id per entity. The reference engine has no fuzzy-matching
+  * surface; this is a pure extension operator in the 100-TB-pipeline
+  * family (vendor/master-data dedup, author disambiguation,
+  * crawl-source canonicalization).
   *
-  * Scale shape: one exchange on the blocking key, the in-block pair
-  * join (quadratic ONLY within a block — choose blocks accordingly,
-  * or LSH-bucket first), the scored-pair frame staged once, then the
-  * adaptive CC (driver union-find under the size gate, O(log
-  * diameter) label sweeps above it). The threshold comparison is
-  * bit-safe cross-engine because the JW kernel is pinned to the
-  * rapidfuzz-lineage IEEE operation order (see
-  * [[graft.functions.JaroWinklerKernel]]).
+  * Scale shape — two independent bounds keep the pair join from ever
+  * going quadratic in corpus size:
+  *
+  *  1. '''Distinct-name comparison space.''' Similarity depends only
+  *     on the name string, so rows are first collapsed to distinct
+  *     (block, name) groups (one aggregate; `rep` = min member id,
+  *     `c` = multiplicity) and only DISTINCT names are ever paired.
+  *     Exact duplicates — the dominant case in real master data —
+  *     cluster structurally through their shared name group and cost
+  *     ZERO comparisons: a corpus where names repeat k× on average
+  *     pays (D/k)² of the naive row-level pair bill. Same-name rows
+  *     therefore always cluster, regardless of any cap below.
+  *  2. '''Block-occupancy guard''' (`maxBlockNames`, the
+  *     [[Similarity]] `maxBandBucket` discipline): a block holding
+  *     more than `maxBlockNames` DISTINCT names is deterministically
+  *     sub-blocked by a hash of the name into ceil(d/maxBlockNames)
+  *     buckets, and cross-name pairs generate only within a bucket.
+  *     Pairs per block are thus O(d · maxBlockNames) — linear in the
+  *     number of distinct names — instead of O(d²). The documented
+  *     approximation: when the guard actually splits a block, a
+  *     cross-name match pair survives only if both names hash to the
+  *     same sub-bucket; same-name clustering is NEVER affected (bound
+  *     1 handles it before pairing). An oversized block signals a
+  *     non-discriminative blocking key — the cap makes that a graceful
+  *     recall degradation instead of an executor-killing shuffle, and
+  *     the right fix remains a better key (more prefix tokens, an LSH
+  *     bucket: [[Similarity.lshNearDupPairs]]).
+  *
+  * After pairing: one exchange on the blocking key, the scored-pair
+  * frame staged once, then the adaptive CC (driver union-find under
+  * the size gate, O(log diameter) label sweeps above it). The
+  * threshold comparison is bit-safe cross-engine because the JW
+  * kernel is pinned to the rapidfuzz-lineage IEEE operation order
+  * (see [[graft.functions.JaroWinklerKernel]]).
   */
 object EntityRes {
+
+  /** Default cap on distinct names compared within one block. At the
+    * default, a block's candidate pairs are bounded by d·10⁴ instead
+    * of d² — a block that trips it is already mis-keyed (10k distinct
+    * near-identical spellings under one key), so the cap is a
+    * backstop, not a tuning knob. */
+  val DefaultMaxBlockNames: Int = 10000
+
+  /** Distinct-name groups of `df`: one row per (block, name) with
+    * `__rep` = min member id (the group's representative — min over
+    * reps of a merged cluster is min over all member ids) and `__c` =
+    * multiplicity. The collapse step both [[resolve]] and the driver
+    * audit queries (q173/q179) build on: every downstream comparison
+    * count is a function of DISTINCT names, never of row count. */
+  def nameGroups(df: DataFrame, idCol: String, nameCol: String,
+                 blockCol: Column): DataFrame =
+    df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+              blockCol.as("__blk"))
+      .groupBy("__blk", "__nm")
+      .agg(min("__id").as("__rep"), count(lit(1)).as("__c"))
+
+  /** Scored cross-name candidate pairs over staged [[nameGroups]]
+    * output, with the occupancy guard applied: (__blk, __nma, __nmb,
+    * __repa, __repb, __ca, __cb, jw) for every in-(sub-)block pair of
+    * DISTINCT names (ordered `__nma < __nmb`; jw unfiltered —
+    * callers threshold). Package-visible so the spec can measure the
+    * occupancy bound directly. */
+  private[graft] def candidateNamePairs(names: DataFrame,
+                                        maxBlockNames: Int): DataFrame = {
+    require(maxBlockNames >= 2, "maxBlockNames must be >= 2")
+    val spark = names.sparkSession
+    val occ = names.groupBy("__blk").agg(count(lit(1)).as("__d"))
+    val sub = names.join(occ, "__blk")
+      .withColumn("__nsub",
+        ceil(col("__d").cast("double") / lit(maxBlockNames.toDouble)))
+      .withColumn("__sub", pmod(xxhash64(col("__nm")), col("__nsub")))
+    val a = sub.select(col("__blk"), col("__sub"),
+      col("__nm").as("__nma"), col("__rep").as("__repa"),
+      col("__c").as("__ca"))
+    val b = sub.select(col("__blk"), col("__sub"),
+      col("__nm").as("__nmb"), col("__rep").as("__repb"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__blk", "__sub")).filter(col("__nma") < col("__nmb"))
+      .withColumn("jw", graft.functions.GraftFunctions
+        .jaroWinkler(spark, col("__nma"), col("__nmb")))
+  }
 
   /** Cluster rows whose `nameCol` matches within a block at
     * `threshold` Jaro-Winkler similarity or above. Returns
@@ -30,27 +102,35 @@ object EntityRes {
     * least one match pair; min member id labels the cluster.
     * Singletons (no match) are absent — callers left-join and
     * coalesce to self-label, the [[Dedup.connectedComponents]]
-    * convention.
+    * convention. Same-name rows always co-cluster (jw(x,x)=1 ≥ any
+    * valid threshold) through their name group — no pair is
+    * generated or capped for them; only cross-name matching is
+    * subject to `maxBlockNames` (see the object scaladoc).
     */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
-              blockCol: Column, threshold: Double): DataFrame = {
+              blockCol: Column, threshold: Double,
+              maxBlockNames: Int = DefaultMaxBlockNames): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val spark = df.sparkSession
-    val p = graft.ops.Staging.stage(
-      df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
-                blockCol.as("__blk")))
-    val a = p.select(col("__blk"), col("__id").as("__ida"),
-                     col("__nm").as("__nma"))
-    val b = p.select(col("__blk"), col("__id").as("__idb"),
-                     col("__nm").as("__nmb"))
+    // staged: consumed by the pair join (twice, self-join), the
+    // occupancy count, and the label expansion
+    val names = graft.ops.Staging.stage(
+      nameGroups(df, idCol, nameCol, blockCol))
     val pairs = graft.ops.Staging.stage(
-      a.join(b, Seq("__blk")).filter(col("__ida") < col("__idb"))
-        .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-          graft.functions.GraftFunctions
-            .jaroWinkler(spark, col("__nma"), col("__nmb")).as("jw"))
+      candidateNamePairs(names, maxBlockNames)
         .filter(col("jw") >= threshold)
-        .select("id_a", "id_b"))
-    Dedup.connectedComponents(pairs)
+        .select(col("__repa").as("id_a"), col("__repb").as("id_b")))
+    // rep-level components; min over reps = min over member ids
+    val comp = Dedup.connectedComponents(pairs)
+    val lab = names
+      .join(comp.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .select(col("__blk"), col("__nm"),
+        coalesce(col("component"), col("__rep")).as("__comp"),
+        (col("__c") >= 2 || col("component").isNotNull).as("__part"))
+    df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+              blockCol.as("__blk"))
+      .join(lab, Seq("__blk", "__nm"))
+      .filter(col("__part"))
+      .select(col("__id").as("id"), col("__comp").as("component"))
   }
 }

@@ -836,36 +836,49 @@ object Relational {
         .orderBy("p_retailprice")),
 
     // Entity-resolution audit with the native codegen'd Jaro-Winkler
-    // expression (graft_jaro_winkler): block part names on their
-    // first token (the classic blocking step that keeps candidate
-    // pairs linear-ish instead of all-pairs), score every in-block
-    // pair, and report per block: pair count, exact-name duplicates,
-    // strong non-identical matches (jw in [0.88, 1)), and the best
-    // sub-identical score. The kernel's IEEE operation order is
-    // pinned to DuckDB's built-in (rapidfuzz lineage), verified
-    // bit-exact on every real pair at sf0.01/sf0.1 — so max_sub1 is
-    // emitted RAW, no rounding. At 100 TB the same expression scores
-    // LSH- or blocking-bucketed candidates; the block join here is
-    // the size-bounded demo of that shape.
+    // expression (graft_jaro_winkler), on the EntityRes.nameGroups
+    // distinct-name comparison space: similarity depends only on the
+    // name string, so each distinct in-block name pair is scored
+    // ONCE and the row-level pair counts are recovered exactly from
+    // multiplicities — n_exact = Σ C(c,2) (a pair is jw=1.0 iff the
+    // strings are identical), n_strong = Σ c_a·c_b over distinct
+    // pairs in [0.88, 1), n_pairs = both. p_name draws from a fixed
+    // vocabulary (64 distinct values at every SF), so comparisons
+    // are O(D²) in VOCABULARY size — constant as the corpus grows —
+    // where the naive row-level block join was O(N²/8) (25M pairs at
+    // sf0.1). The kernel's IEEE operation order is pinned to
+    // DuckDB's built-in (rapidfuzz lineage), so max_sub1 (max over
+    // distinct cross-name pairs ≡ max over all sub-identical pairs)
+    // is emitted RAW, no rounding. C(c,2) rides integer `div` —
+    // never double division.
     "q173_name_match_audit" -> ((s, d) => {
-      val p = graft.ops.Staging.stage(
-        Tables.part(s, d).select(
-          col("p_partkey"), col("p_name"),
-          substring_index(col("p_name"), " ", 1).as("blk")))
-      val a = p.select(col("blk"), col("p_partkey").as("k1"),
-                       col("p_name").as("n1"))
-      val b = p.select(col("blk"), col("p_partkey").as("k2"),
-                       col("p_name").as("n2"))
-      a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
-        .select(col("blk"),
+      val g = graft.ops.Staging.stage(
+        graft.ext.EntityRes.nameGroups(Tables.part(s, d),
+          "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1)))
+      val a = g.select(col("__blk").as("blk"), col("__nm").as("n1"),
+                       col("__c").as("c1"))
+      val b = g.select(col("__blk").as("blk"), col("__nm").as("n2"),
+                       col("__c").as("c2"))
+      val cross = a.join(b, Seq("blk")).filter(col("n1") < col("n2"))
+        .select(col("blk"), (col("c1") * col("c2")).as("w"),
           graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
             .as("jw"))
         .groupBy("blk")
-        .agg(count(lit(1)).as("n_pairs"),
-             sum(when(col("jw") === 1.0, 1L).otherwise(0L)).as("n_exact"),
-             sum(when(col("jw") >= 0.88 && col("jw") < 1.0, 1L).otherwise(0L))
-               .as("n_strong"),
-             max(when(col("jw") < 1.0, col("jw"))).as("max_sub1"))
+        .agg(sum("w").as("__n_cross"),
+             sum(when(col("jw") >= 0.88 && col("jw") < 1.0, col("w"))
+               .otherwise(0L)).as("__n_strong"),
+             max(col("jw")).as("__max_sub1"))
+      val same = g.groupBy(col("__blk").as("blk"))
+        .agg(sum(expr("(__c * (__c - 1)) div 2")).as("__n_exact"))
+      same.join(cross, Seq("blk"), "full_outer")
+        .select(col("blk"),
+          (coalesce(col("__n_exact"), lit(0L)) +
+           coalesce(col("__n_cross"), lit(0L))).as("n_pairs"),
+          coalesce(col("__n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("__n_strong"), lit(0L)).as("n_strong"),
+          col("__max_sub1").as("max_sub1"))
+        .filter(col("n_pairs") > 0)
         .orderBy("blk")
     }),
 
@@ -988,38 +1001,67 @@ object Relational {
     // counterpart (jw desc, partner key asc) in EITHER direction; a
     // pair links only if the choice is MUTUAL. Emits the top 25
     // links; jw compares raw (the q173 bit-exactness contract).
+    //
+    // Computed on the EntityRes.nameGroups distinct-name space (the
+    // r12 version materialized all 25M row-level in-block pairs —
+    // O(N²) in corpus size; this derivation is O(D²)+O(N)). The
+    // best-match structure collapses exactly:
+    //  - a part whose name repeats (c ≥ 2) always best-matches
+    //    inside its own name group (jw = 1.0 beats any cross-name
+    //    jw < 1.0; tie-break = min other key): best(m1) = m2,
+    //    best(k≠m1) = m1 — so the group's ONLY mutual pair is
+    //    (m1, m2) at jw 1.0;
+    //  - a singleton name's best is its best cross-name partner
+    //    (top-1 name by jw desc, then min member id asc — all parts
+    //    of one name score identically, so the best key IS that
+    //    name's min id); mutuality then requires the partner to be a
+    //    singleton too (a c ≥ 2 partner best-matches its own group).
+    // The oracle is unchanged — it still ranks the full row-level
+    // pair space; the hash match IS the proof of the derivation.
     "q179_reciprocal_match" -> ((s, d) => {
-      val p = graft.ops.Staging.stage(
-        Tables.part(s, d).select(
-          col("p_partkey"), col("p_name"),
-          substring_index(col("p_name"), " ", 1).as("blk")))
-      val a = p.select(col("blk"), col("p_partkey").as("k1"),
-                       col("p_name").as("n1"))
-      val b = p.select(col("blk"), col("p_partkey").as("k2"),
-                       col("p_name").as("n2"))
-      // staged: the mirrored union below consumes it twice, and the
-      // 25M-pair JW scoring must run once
-      val half = graft.ops.Staging.stage(
-        a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
-          .select(col("k1"), col("k2"),
-            graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
-              .as("jw"))
-          .filter(col("jw") >= 0.9))
-      val both = graft.ops.Staging.stage(
-        half.union(half.select(col("k2").as("k1"), col("k1").as("k2"),
-                               col("jw"))))
-      val w = Window.partitionBy("k1")
-        .orderBy(col("jw").desc, col("k2"))
-      val best = graft.ops.Staging.stage(
-        both.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("k1"), col("k2"), col("jw")))
-      best.alias("x")
-        .join(best.alias("y"),
-          col("x.k1") === col("y.k2") && col("x.k2") === col("y.k1"))
-        .filter(col("x.k1") < col("x.k2"))
-        .select(col("x.k1").as("k1"), col("x.k2").as("k2"),
-                col("x.jw").as("jw"))
+      val parts = Tables.part(s, d)
+      val g0 = graft.ops.Staging.stage(
+        graft.ext.EntityRes.nameGroups(parts, "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1)))
+      // second-smallest member id per name group (defined iff c >= 2)
+      val m2 = parts
+        .join(g0.select(col("__nm"), col("__rep")),
+              col("p_name") === col("__nm"))
+        .filter(col("p_partkey") > col("__rep"))
+        .groupBy("__nm").agg(min("p_partkey").as("__m2"))
+      val grp = graft.ops.Staging.stage(
+        g0.join(m2, Seq("__nm"), "left"))
+      // best cross-name partner per name: top-1 by (jw desc, rep asc)
+      val a = grp.select(col("__blk"), col("__nm").as("n1"),
+                         col("__rep").as("r1"))
+      val b = grp.select(col("__blk"), col("__nm").as("n2"),
+                         col("__rep").as("r2"))
+      val cross = a.join(b, Seq("__blk")).filter(col("n1") =!= col("n2"))
+        .select(col("n1"), col("r2"),
+          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+            .as("jw"))
+        .filter(col("jw") >= 0.9)
+      val wB = Window.partitionBy("n1")
+        .orderBy(col("jw").desc, col("r2"))
+      val crossBest = cross.withColumn("__rn", row_number().over(wB))
+        .filter(col("__rn") === 1)
+        .select(col("n1"), col("r2").as("__cb"), col("jw").as("__cjw"))
+      // mutual pairs: one (m1, m2, 1.0) per repeated name…
+      val pairs1 = grp.filter(col("__c") >= 2)
+        .select(col("__rep").as("k1"), col("__m2").as("k2"),
+                lit(1.0).as("jw"))
+      // …plus reciprocal singleton-singleton cross-name links
+      val sb = graft.ops.Staging.stage(
+        grp.filter(col("__c") === 1)
+          .select(col("__nm").as("n1"), col("__rep").as("__m1"))
+          .join(crossBest, Seq("n1")))
+      val pairs2 = sb.alias("x")
+        .join(sb.alias("y"),
+          col("x.__cb") === col("y.__m1") && col("y.__cb") === col("x.__m1"))
+        .filter(col("x.__m1") < col("y.__m1"))
+        .select(col("x.__m1").as("k1"), col("y.__m1").as("k2"),
+                col("x.__cjw").as("jw"))
+      pairs1.union(pairs2)
         .orderBy(col("jw").desc, col("k1"), col("k2"))
         .limit(25)
     }),
@@ -1196,14 +1238,27 @@ object Relational {
     }),
 
     // Full entity-resolution pipeline (EntityRes.resolve): blocking ->
-    // native Jaro-Winkler scoring -> threshold edges -> connected
-    // components -> cluster audit (size + max member per cluster).
-    // Restricted to ONE blocking key here so the oracle's transitive
-    // closure stays clique-sized; the operator itself runs all blocks
-    // at scale (one exchange on the key, quadratic only within a
-    // block). Exact integers out; the oracle recomputes the closure
-    // with the q64 recursive-CTE shape over the same bit-exact JW
-    // pair set.
+    // distinct-name collapse -> native Jaro-Winkler scoring over
+    // distinct name pairs (occupancy-guarded, see EntityRes scaladoc)
+    // -> threshold edges -> connected components -> cluster audit
+    // (size + max member per cluster). Restricted to ONE blocking key
+    // here so the oracle's transitive closure stays clique-sized; the
+    // operator itself runs all blocks at scale (one exchange on the
+    // key, pairs quadratic only in DISTINCT names per sub-block).
+    // Exact integers out; the oracle recomputes the closure with the
+    // q64 recursive-CTE shape over the row-level bit-exact JW pair
+    // set — the hash match proves the name-level collapse exact.
+    "q197_entity_resolution" -> ((s, d) => {
+      val blockSmall = Tables.part(s, d)
+        .filter(substring_index(col("p_name"), " ", 1) === "small")
+      graft.ext.EntityRes.resolve(blockSmall, "p_partkey", "p_name",
+          blockCol = substring_index(col("p_name"), " ", 1),
+          threshold = 0.9)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -1228,17 +1283,6 @@ object Relational {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
-    }),
-
-    "q197_entity_resolution" -> ((s, d) => {
-      val blockSmall = Tables.part(s, d)
-        .filter(substring_index(col("p_name"), " ", 1) === "small")
-      graft.ext.EntityRes.resolve(blockSmall, "p_partkey", "p_name",
-          blockCol = substring_index(col("p_name"), " ", 1),
-          threshold = 0.9)
-        .groupBy("component")
-        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
-        .orderBy("component")
     }),
   )
 

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.EntityRes
+import graft.functions.JaroWinklerKernel
+
+/** Pins the two scale bounds of the entity-resolution candidate
+  * generator (the r12 verdict's one `weak` flag):
+  *
+  *  1. comparisons are a function of DISTINCT names, so duplicating
+  *     the corpus leaves the pair count unchanged (the naive
+  *     row-level block join grew it quadratically);
+  *  2. the `maxBlockNames` occupancy guard bounds in-sub-block
+  *     distinct names, so pairs grow linearly — not quadratically —
+  *     in the number of distinct names per block, while same-name
+  *     clustering is structurally immune to the cap.
+  *
+  * Plus the q179 derivation proof: the distinct-name reciprocal-best
+  * computation must equal the row-level brute force on inputs that
+  * exercise the singleton-reciprocal path the driver testdata's
+  * repeated names never rank into the top-25.
+  */
+class EntityResSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vocabulary(n: Int): Seq[String] =
+    (0 until n).map(i => f"entity name number $i%04d")
+
+  test("candidate pairs are vocabulary-bounded: constant under corpus duplication") {
+    val vocab = vocabulary(20)
+    def corpus(copies: Int) =
+      (0 until 20 * copies).map(i => (i.toLong, vocab(i % 20), "blk"))
+        .toDF("id", "name", "b")
+    def pairs(copies: Int): Long = {
+      val n = EntityRes.candidateNamePairs(
+        graft.ops.Staging.stage(
+          EntityRes.nameGroups(corpus(copies), "id", "name", col("b"))),
+        maxBlockNames = 10000).count()
+      graft.ops.Staging.releaseAll()
+      n
+    }
+    val atN = pairs(5)     // 100 rows
+    val at4N = pairs(20)   // 400 rows
+    assert(atN == 190L)    // C(20, 2) — distinct names only
+    assert(at4N == atN)    // 4x corpus, identical comparison bill
+  }
+
+  test("occupancy guard: pairs follow sub-bucket occupancy, linear not quadratic") {
+    val d = 240
+    val cap = 24 // -> nsub = 10
+    val names = vocabulary(d)
+    val df = names.zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm, "blk") }
+      .toDF("id", "name", "b")
+    val groups = graft.ops.Staging.stage(
+      EntityRes.nameGroups(df, "id", "name", col("b")))
+    val got = EntityRes.candidateNamePairs(groups, maxBlockNames = cap).count()
+    // replay the guard's deterministic sub-bucketing to get the
+    // expected occupancy profile
+    val occ = groups
+      .select(pmod(xxhash64(col("__nm")), lit(10L)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    graft.ops.Staging.releaseAll()
+    val expected = occ.map(c => c * (c - 1) / 2).sum
+    assert(got == expected)              // pairs == Σ C(occupancy, 2)
+    assert(occ.max <= 3L * cap)          // no runaway bucket
+    val unguarded = d.toLong * (d - 1) / 2
+    assert(got * 4 < unguarded)          // the bill actually shrank
+  }
+
+  test("same-name rows always cluster, even when the cap splits their block") {
+    // 6 mutually-dissimilar names x 5 copies under ONE block, with a
+    // cap small enough to split cross-name pairing into many
+    // sub-buckets: exact-duplicate clustering must be unaffected.
+    val names = Seq("alpha assembly", "bravo bracket", "charlie casing",
+                    "delta dynamo", "echo enclosure", "foxtrot flange")
+    val rows = for {
+      (nm, g) <- names.zipWithIndex
+      j <- 0 until 5
+    } yield ((g * 10 + j).toLong, nm, "blk")
+    val got = EntityRes.resolve(rows.toDF("id", "name", "b"),
+        "id", "name", col("b"), threshold = 0.9, maxBlockNames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.ops.Staging.releaseAll()
+    val want = rows.map { case (id, _, _) => id -> (id / 10) * 10 }.toMap
+    assert(got == want)
+  }
+
+  test("q179 distinct-name derivation == row-level brute force (singleton reciprocal links)") {
+    val parts: Seq[(Long, String)] = Seq(
+      1L -> "acme alpha widget",     // repeated group {1,2,9}
+      2L -> "acme alpha widget",
+      9L -> "acme alpha widget",
+      3L -> "acme bravo unit one",   // singleton pair {3,4}: mutual
+      4L -> "acme bravo unit on",
+      6L -> "acme alpha widgex",     // singleton whose best is group
+                                     // rep 1 - NOT mutual (1's best is 2)
+      7L -> "acme zulu qqqqxxkk",    // singleton, likely no >=0.9 match
+      10L -> "zeta one two three",   // second block: singleton pair
+      11L -> "zeta one two thre")
+    // row-level brute force with the SAME kernel = the r12 algorithm
+    def jw(a: String, b: String): Double =
+      JaroWinklerKernel.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val byBlk = parts.groupBy(_._2.split(" ").head)
+    val half = byBlk.values.flatMap { ps =>
+      for {
+        (k1, n1) <- ps; (k2, n2) <- ps if k1 < k2
+        s = jw(n1, n2) if s >= 0.9
+      } yield (k1, k2, s)
+    }.toSeq
+    val both = half ++ half.map { case (a, b, s) => (b, a, s) }
+    val best = both.groupBy(_._1).map { case (k, cs) =>
+      k -> cs.minBy { case (_, p, s) => (-s, p) } }
+    val mutual = half.filter { case (k1, k2, _) =>
+      best.get(k1).exists(_._2 == k2) && best.get(k2).exists(_._2 == k1) }
+    val expected = mutual.map { case (k1, k2, _) =>
+      (k1, k2, jw(parts.toMap.apply(k1), parts.toMap.apply(k2))) }
+      .sortBy { case (k1, k2, s) => (-s, k1, k2) }.take(25)
+    // the input must actually exercise the paths under test
+    assert(expected.contains((1L, 2L, 1.0)))
+    assert(expected.exists { case (a, b, s) => a == 3L && b == 4L && s < 1.0 })
+    assert(expected.exists { case (a, b, _) => a == 10L && b == 11L })
+    assert(!expected.exists { case (a, b, _) => a == 6L || b == 6L })
+
+    val dir = Files.createTempDirectory("erq179").toString
+    parts.toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q179_reciprocal_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    graft.ops.Staging.releaseAll()
+    assert(got == expected)
+  }
+}
