@@ -642,6 +642,8 @@ object Multimodal {
              bytes(2) == 'N' && bytes(3) == 'G') Png.decode(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       Gif.decode(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      Jpeg.decode(bytes)
     else None
   }
 
@@ -690,7 +692,7 @@ object Multimodal {
   }
 
   /** [[resizeBmp]] generalized over the codec registry
-    * ([[decodeRgb]]: BMP or PNG in), re-encoding the resampled pixels
+    * ([[decodeRgb]]: BMP, PNG, GIF, or JPEG in), re-encoding the resampled pixels
     * as BMP — the transcode+resize shape of a thumbnail/training-tile
     * pipeline. Besides the resized payload it emits the DECODED
     * source dimensions (`<out>_src_w`/`<out>_src_h`, 0 when
@@ -843,6 +845,92 @@ object Multimodal {
           y += 1
         }
         Row.fromSeq(r.toSeq :+ encodeImg(w, h, rgb))
+      }
+    }(enc)
+  }
+
+  /** JPEG twin of [[withSyntheticBmp]], adapted to JPEG's lossy
+    * model: pixel (x, y) is GRAY value `min(255, (id mod 64) + 2x +
+    * 3y)` — SMOOTH (slope ≤ 3/pixel, no mod-256 wrap), because a
+    * discontinuous gradient would ring under the DCT and no fixed
+    * error tolerance could pin it. Constant-chroma gray also makes
+    * 4:2:0 subsampling lossless on Cb/Cr, so the decoded error is
+    * bounded by luma quantization alone (≲ 4 at the default
+    * quality). Encoded through the REAL `javax.imageio` codec. */
+  def withSyntheticJpeg(df: DataFrame, idCol: String, wCol: String,
+                        hCol: String, out: String = "img",
+                        quality: Float = 0.92f): DataFrame =
+    withSmoothGrayImage(df, idCol, wCol, hCol, out,
+      (w, h, rgb) => Jpeg.encode(w, h, rgb, quality))
+
+  /** The same smooth gray gradient as [[withSyntheticJpeg]] in a
+    * LOSSLESS container — the reference leg a fidelity audit compares
+    * the lossy leg against (see q201). */
+  def withSyntheticSmoothBmp(df: DataFrame, idCol: String, wCol: String,
+                             hCol: String, out: String = "img"): DataFrame =
+    withSmoothGrayImage(df, idCol, wCol, hCol, out,
+      (w, h, rgb) => Bmp.encode(w, h, rgb))
+
+  private def withSmoothGrayImage(df: DataFrame, idCol: String, wCol: String,
+                                  hCol: String, out: String,
+                                  encodeImg: (Int, Int, Array[Byte]) => Array[Byte])
+      : DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(out, org.apache.spark.sql.types.BinaryType))
+    val iI = df.schema.fieldIndex(idCol)
+    val wI = df.schema.fieldIndex(wCol)
+    val hI = df.schema.fieldIndex(hCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(iI); val w = r.getInt(wI); val h = r.getInt(hI)
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = math.min(255L, (id % 64) + 2L * x + 3L * y).toByte
+            val base = (y * w + x) * 3
+            rgb(base) = g; rgb(base + 1) = g; rgb(base + 2) = g
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ encodeImg(w, h, rgb))
+      }
+    }(enc)
+  }
+
+  /** Max absolute per-channel pixel difference between two decodable
+    * assets of EQUAL dimensions (any [[decodeRgb]] format) — the
+    * perceptual-regression / lossy-fidelity primitive: a lossy
+    * transcode pipeline asserts `diff <= tolerance` row by row, and
+    * an exact-count oracle predicts how many rows pass. Emits -1 if
+    * either side fails to decode or the dimensions disagree (so a
+    * silent decode failure can never masquerade as fidelity). */
+  def withPixelMaxAbsDiff(df: DataFrame, aCol: String, bCol: String,
+                          out: String = "max_abs_diff"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val aIdx = df.schema.fieldIndex(aCol)
+    val bIdx = df.schema.fieldIndex(bCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val d = (decodeRgb(r.getAs[Array[Byte]](aIdx)),
+                 decodeRgb(r.getAs[Array[Byte]](bIdx))) match {
+          case (Some((aw, ah, a)), Some((bw, bh, b)))
+              if aw == bw && ah == bh =>
+            var m = 0L; var i = 0
+            while (i < a.length) {
+              val diff = math.abs((a(i) & 0xff) - (b(i) & 0xff)).toLong
+              if (diff > m) m = diff
+              i += 1
+            }
+            m
+          case _ => -1L
+        }
+        Row.fromSeq(r.toSeq :+ d)
       }
     }(enc)
   }

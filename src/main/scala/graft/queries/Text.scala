@@ -475,6 +475,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL lossy-JPEG pipeline through the JDK's javax.imageio codec
+    // (the one raster format where hand-rolling a DCT/Huffman stack
+    // is unjustified; java.desktop ships a complete baseline codec
+    // that runs headless — probed in this container). Per document:
+    // encode a SMOOTH gray gradient (min(255, doc_id%64 + 2x + 3y) —
+    // smooth because a wrapping gradient would ring under the DCT)
+    // as a real JPEG at quality 0.92, decode it back through the
+    // codec registry (resizeImage dispatches on the FFD8 magic),
+    // bilinear-resample to 8x5, and compare pixel-for-pixel against
+    // the SAME gradient carried through the lossless BMP leg of the
+    // IDENTICAL resample. JPEG is lossy, so no SQL oracle can replay
+    // its pixels; instead the oracle pins (a) the decoded SOF
+    // dimensions exactly — sum_w/sum_h replay the w/h formulas, so
+    // the header survives encode→decode — and (b) the fidelity
+    // count: EVERY asset must land within max-abs-error 12 of the
+    // lossless leg (luma quantization on a smooth constant-chroma
+    // gradient is ≲4; any real decode defect — shifted scanline,
+    // swapped channel, wrong DC — blows far past 12), plus
+    // n_bad_decode = 0 pinning the degrade-to-null contract.
+    "q201_jpeg_decode_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val jp = graft.ext.Multimodal.withSyntheticJpeg(
+        docs, "doc_id", "w", "h", "jpg")
+      val withRef = graft.ext.Multimodal.withSyntheticSmoothBmp(
+        jp, "doc_id", "w", "h", "ref")
+      val rj = graft.ext.Multimodal.resizeImage(withRef, "jpg", 8, 5,
+          out = "rj", mode = "bilinear")
+        .drop("jpg") // drop payloads before anything wide
+      val rr = graft.ext.Multimodal.resizeImage(rj, "ref", 8, 5,
+          out = "rr", mode = "bilinear")
+        .drop("ref")
+      graft.ext.Multimodal.withPixelMaxAbsDiff(rr, "rj", "rr", "err")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+             sum(col("rj_src_w").cast("long")).as("sum_w"),
+             sum(col("rj_src_h").cast("long")).as("sum_h"),
+             sum(when(col("err") >= 0 && col("err") <= 12, 1L)
+               .otherwise(0L)).as("n_ok"),
+             sum(when(col("err") < 0, 1L).otherwise(0L)).as("n_bad_decode"))
+        .orderBy("source")
+    }),
+
     // REAL audio sample pipeline, driver-checked end to end: build a
     // deterministic mono 16-bit PCM WAV per document (sample i =
     // ((doc_id*31 + i*7919) mod 65536) - 32768), push it through the
@@ -1802,6 +1847,19 @@ object TextQueries {
         |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
         |  CAST(3 * sum(val) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
+
+    // Dimensions replay the w/h formulas (the SOF header round trip
+    // is exact); fidelity and decode-health counts are predicted
+    // exactly because the operator guarantees every synthetic asset
+    // decodes and lands inside the tolerance (see the query comment —
+    // a codec defect flips n_ok/n_bad_decode away from the oracle).
+    "q201_jpeg_decode_resize" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(1 + n_chars % 31) AS BIGINT) AS sum_w,
+        |  CAST(sum(1 + (n_chars * 3) % 23) AS BIGINT) AS sum_h,
+        |  CAST(count(*) AS BIGINT) AS n_ok,
+        |  CAST(0 AS BIGINT) AS n_bad_decode
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Replays the audio pipeline sample-exactly: kept indices are
     // range(0, n, 3) (decimation by 3), sample value

@@ -511,6 +511,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(2) == 3 * sum)
   }
 
+  // ---- JPEG: the javax.imageio lossy codec -------------------------
+
+  test("Jpeg: real codec round trip preserves dims; smooth gray within tolerance") {
+    import graft.ext.Jpeg
+    val (w, h) = (16, 9)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb((y * w + x) * 3 + c) = math.min(255, 40 + 2 * x + 3 * y).toByte
+    val jpeg = Jpeg.encode(w, h, rgb, 0.92f)
+    // real JPEG magic + EOI
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val Some((dw, dh, back)) = Jpeg.decode(jpeg)
+    assert(dw == w && dh == h)
+    val maxErr = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xff) - (back(i) & 0xff))).max
+    assert(maxErr <= 8, s"smooth-gradient JPEG error $maxErr")
+    // lossy but not trivially pass-through: once past the fixed
+    // table/header overhead (~600 bytes, which dominates a 16x9
+    // fixture), the payload is a real compressed stream — a 64x64
+    // smooth gradient must come out far smaller than its raw pixels
+    val big = new Array[Byte](64 * 64 * 3)
+    for (y <- 0 until 64; x <- 0 until 64; c <- 0 until 3)
+      big((y * 64 + x) * 3 + c) = math.min(255, x + 2 * y).toByte
+    assert(Jpeg.encode(64, 64, big, 0.92f).length < big.length / 2)
+  }
+
+  test("Jpeg.decode degrades to None on junk, truncation, and wrong magic") {
+    import graft.ext.Jpeg
+    assert(Jpeg.decode(null).isEmpty)
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.decode("BMnotajpeg".getBytes).isEmpty)
+    val good = Jpeg.encode(4, 4, new Array[Byte](48), 0.9f)
+    assert(Jpeg.decode(good.take(good.length / 2)).isEmpty)
+  }
+
+  test("decodeRgb routes JPEGs through resize; withPixelMaxAbsDiff pins fidelity") {
+    import graft.ext.Multimodal
+    val docs = Seq((7L, 20, 13)).toDF("doc_id", "w", "h")
+    val jp = Multimodal.withSyntheticJpeg(docs, "doc_id", "w", "h", "jpg")
+    val both = Multimodal.withSyntheticSmoothBmp(jp, "doc_id", "w", "h", "ref")
+    val rj = Multimodal.resizeImage(both, "jpg", 8, 5, out = "rj",
+      mode = "bilinear")
+    val rr = Multimodal.resizeImage(rj, "ref", 8, 5, out = "rr",
+      mode = "bilinear")
+    val r = Multimodal.withPixelMaxAbsDiff(rr, "rj", "rr", "err")
+      .select("rj_src_w", "rj_src_h", "rr_src_w", "rr_src_h", "err").head()
+    assert(r.getInt(0) == 20 && r.getInt(1) == 13) // decoded SOF dims
+    assert(r.getInt(2) == 20 && r.getInt(3) == 13)
+    val err = r.getLong(4)
+    assert(err >= 0 && err <= 12, s"resampled JPEG-vs-lossless error $err")
+  }
+
+  test("withPixelMaxAbsDiff: zero on identical, exact on known diff, -1 contracts") {
+    import graft.ext.Multimodal
+    val base = Seq((3L, 6, 4)).toDF("doc_id", "w", "h")
+    val a = Multimodal.withSyntheticSmoothBmp(base, "doc_id", "w", "h", "a")
+    val same = Multimodal.withSyntheticSmoothBmp(a, "doc_id", "w", "h", "b")
+    assert(Multimodal.withPixelMaxAbsDiff(same, "a", "b").select("max_abs_diff")
+      .head().getLong(0) == 0L)
+    // different gradients: smooth (id%64 + 2x + 3y, capped) vs the
+    // classic (id + 7x + 13y + 29c) % 256 — compute expected driver-side
+    val diff = Multimodal.withSyntheticBmp(a, "doc_id", "w", "h", "b")
+    val exp = (for (y <- 0 until 4; x <- 0 until 6; c <- 0 until 3) yield
+      math.abs(math.min(255, 3 + 2 * x + 3 * y) - ((3 + 7 * x + 13 * y + 29 * c) % 256))).max
+    assert(Multimodal.withPixelMaxAbsDiff(diff, "a", "b").select("max_abs_diff")
+      .head().getLong(0) == exp.toLong)
+    // dim mismatch and undecodable input both report -1, never a pass
+    val wider = base.withColumn("w2", lit(7))
+    val mism = Multimodal.withSyntheticSmoothBmp(
+      Multimodal.withSyntheticSmoothBmp(wider, "doc_id", "w", "h", "a"),
+      "doc_id", "w2", "h", "b")
+    assert(Multimodal.withPixelMaxAbsDiff(mism, "a", "b").select("max_abs_diff")
+      .head().getLong(0) == -1L)
+    val junk = a.withColumn("b", lit("nope".getBytes))
+    assert(Multimodal.withPixelMaxAbsDiff(junk, "a", "b").select("max_abs_diff")
+      .head().getLong(0) == -1L)
+  }
+
   // ---- video: frame container + real frame extraction --------------
 
   test("Video.Container round-trips and seeks over skipped frames") {
