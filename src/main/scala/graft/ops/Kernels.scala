@@ -348,6 +348,47 @@ object Kernels {
     * logic no Catalyst operator expresses without the
     * single-partition window.
     */
+  /** Grouped quantiles with an exactness switch — the [[profile]]
+    * `exact = false` pattern for the percentile family (q149 robust
+    * stats, q175 winsorization, q198 latency percentiles).
+    *
+    * `exact = true` routes through Spark's `percentile` — the
+    * (n−1)·p interpolated value, bit-matching DuckDB's
+    * `quantile_cont`. That aggregate is a TypedImperativeAggregate
+    * that BUFFERS EVERY GROUP VALUE in executor memory: fine at
+    * audit scales (the driver rows stay on it — their oracles need
+    * the interpolated exact value), an OOM at 100 TB on heavy
+    * groups. `exact = false` is the scale mode: fixed-width
+    * histogram counters ([[graft.ext.Sketches.histCounters]] — purely
+    * additive, one map-side-collapsing exchange, counter table
+    * bounded by range/width per group) interpolated by
+    * [[graft.ext.Sketches.histQuantiles]]. The estimate lands within
+    * one bucket `width` of the exact value — callers pick `width` as
+    * the precision they can bill for (cents-grid data: width 1.0
+    * means ±$1 on a distribution summary). Both paths return
+    * (groupCol, p, q_est·6dp) rows so a query swaps modes without
+    * reshaping.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[Double], exact: Boolean = true,
+                     width: Double = 1.0): DataFrame = {
+    require(ps.nonEmpty, "need at least one probe")
+    require(ps.forall(p => p > 0.0 && p <= 1.0), "probes must be in (0, 1]")
+    if (exact) {
+      val aggs = ps.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile($valueCol, $p)").as(s"__q_$i") }
+      val per = ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), round(col(s"__q_$i"), 6).as("q_est")) }
+      df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+        .select(col(groupCol), explode(array(per: _*)).as("__e"))
+        .select(col(groupCol), col("__e.p"), col("__e.q_est"))
+    } else {
+      graft.ext.Sketches.histQuantiles(
+        graft.ext.Sketches.histCounters(df, groupCol, valueCol, width),
+        groupCol, width, ps)
+    }
+  }
+
   def denseIndex(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType

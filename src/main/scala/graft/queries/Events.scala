@@ -1051,7 +1051,10 @@ object EventQueries {
     // values are exact integer micros, so interpolated percentiles
     // sit on the 1/20 value grid (≤ 2 decimals — 6dp rounding can
     // never land on a half, the q175 argument). One exchange on
-    // user_id, then a 1-row summary.
+    // user_id, then a 1-row summary. At 100 TB the latency
+    // percentiles ride Kernels.groupQuantiles(exact = false) (the
+    // q149 scale note) — a latency SLO only needs bucket-width
+    // precision, and exact percentile() buffers the whole population.
     "q198_conversion_latency" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy("user_id")

@@ -655,6 +655,14 @@ object Relational {
     // |x - median| is on the 0.0025 grid (4 decimals, exact at 6dp).
     // Two aggregate passes (median, then deviations) + the mode
     // argmax — each one exchange on the group key.
+    //
+    // SCALE NOTE: exact percentile() buffers every group value in
+    // executor memory (TypedImperativeAggregate) — fine on 4 flags
+    // at audit SFs, an OOM risk on heavy groups at 100 TB. The scale
+    // substitute is Kernels.groupQuantiles(exact = false) — additive
+    // histogram counters + in-bucket interpolation, within one bucket
+    // width of exact (spec-pinned in KernelsSpec); this driver row
+    // stays exact because its oracle needs the interpolated value.
     "q149_robust_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select("l_returnflag", "l_quantity", "l_extendedprice")
@@ -914,7 +922,10 @@ object Relational {
     // interpolation); p05/p95 sit on the 0.01/20 value grid (fraction
     // of the 2dp grid = k/20 steps), ≤ 4 decimals, so 6dp rounding
     // can never land on a half. Two aggregate passes (percentiles,
-    // then clip+mean), each one exchange on the group key.
+    // then clip+mean), each one exchange on the group key. At 100 TB
+    // the clip thresholds come from Kernels.groupQuantiles(exact =
+    // false) instead — the q149 scale note; a winsorization band
+    // only needs bucket-width precision.
     "q175_winsorized_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
       val pct = li.groupBy("l_returnflag")

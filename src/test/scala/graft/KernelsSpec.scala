@@ -305,4 +305,37 @@ class KernelsSpec extends AnyFunSuite {
     assert(got.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq ==
       Seq((1.0, 5.0, 1L)))
   }
+
+  test("groupQuantiles: approx mode within one bucket width of exact, shape-identical") {
+    // hand case first: 1..100 in one group, width 10 — the histogram
+    // estimate may differ from the interpolated exact value, but
+    // never by more than the bucket width
+    val vals = (1 to 100).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val ps = Seq(0.05, 0.5, 0.95)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+    val ex = asMap(Kernels.groupQuantiles(vals, "k", "v", ps, exact = true))
+    val ap = asMap(Kernels.groupQuantiles(vals, "k", "v", ps, exact = false,
+      width = 10.0))
+    assert(ex.keySet == ap.keySet)
+    ex.keySet.foreach { k =>
+      assert(math.abs(ex(k) - ap(k)) <= 10.0,
+        s"$k: exact ${ex(k)} vs approx ${ap(k)}") }
+    // real data: the q149/q175 family's column, per return flag
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+    val exL = asMap(Kernels.groupQuantiles(li, "k", "v", ps, exact = true))
+    val apL = asMap(Kernels.groupQuantiles(li, "k", "v", ps, exact = false,
+      width = 500.0))
+    assert(exL.keySet == apL.keySet && exL.nonEmpty)
+    exL.keySet.foreach { k =>
+      assert(math.abs(exL(k) - apL(k)) <= 500.0,
+        s"$k: exact ${exL(k)} vs approx ${apL(k)}") }
+    // both modes return (group, p, q_est) with the same column names
+    val cols = Kernels.groupQuantiles(vals, "k", "v", ps).columns.toSeq
+    assert(cols ==
+      Kernels.groupQuantiles(vals, "k", "v", ps, exact = false).columns.toSeq)
+    assert(cols.drop(1) == Seq("p", "q_est"))
+  }
 }
