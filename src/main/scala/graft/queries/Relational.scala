@@ -441,6 +441,33 @@ object Relational {
           round(col("__mx"), 2).as("max_price"))
         .orderBy("l_returnflag")),
 
+    // Salted aggregation on a DELIBERATELY hot key (r12 verdict #5:
+    // q128/q138 salt near-uniform testdata keys, so the balance claim
+    // was measured only on synthetic spec rows). Here 3 of every 4
+    // users collapse onto ONE key — a 75%-mass hot group, the
+    // power-law shape of a real event stream — while the rest stay
+    // per-user (~375 cold keys). Phase 1 spreads the hot key over 32
+    // (key, salt) reducers, phase 2 merges the partials; KernelsSpec
+    // measures rows-per-partition on THIS key shape over the real
+    // events table. Equality with the plain group-by is the oracle.
+    // Sums ride exact cents (salted float sums would reassociate);
+    // min/max are raw doubles — order-independent, bit-equal across
+    // engines.
+    "q202_salted_hot_key" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 4 =!= 0, lit("hot"))
+          .otherwise(concat(lit("u"), col("user_id").cast("string"))).as("k"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("value"), col("event_id"))
+      Kernels.saltedAgg(ev, keys = Seq("k"), saltBuckets = 32,
+          aggs = Seq(
+            ("count", "*", "n_rows"),
+            ("sum", "cents", "sum_cents"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value")))
+        .orderBy("k")
+    }),
+
     // Salted skew JOIN (Kernels.skewSafeJoin — the join sibling of
     // q128's salted aggregation): lineitem's 3-value l_returnflag is
     // the textbook hot join key; the left side salts
@@ -1350,6 +1377,19 @@ object Relational {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The salted two-phase plan must equal the plain group-by exactly:
+    // count/sum-of-cents split exactly in integers; min/max compare
+    // raw (order-independent doubles, bit-identical from the same
+    // parquet on both engines).
+    "q202_salted_hot_key" ->
+      """SELECT CASE WHEN user_id % 4 != 0 THEN 'hot'
+        |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS k,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
