@@ -938,6 +938,17 @@ object JaroWinklerKernel {
   * formula and its cross-engine reproducibility contract). The
   * entity-resolution scoring primitive: blocked candidate pairs are
   * scored inside whole-stage codegen, no UDF serialization.
+  *
+  * CONTRACT (also for SQL callers via ensureRegistered): the kernel
+  * operates on raw UTF-8 BYTES. For ASCII input — the
+  * catalog-name/identifier domain every driver query and oracle
+  * uses — byte-level and character-level scores coincide. For
+  * non-ASCII input the match window, lengths, and transpositions are
+  * computed per byte, so multi-byte code points score differently
+  * from a char-level Jaro-Winkler; callers matching non-ASCII names
+  * should normalize/transliterate first (or treat the score as a
+  * byte-shingle similarity, which is still a valid metric — just not
+  * the textbook char one).
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {

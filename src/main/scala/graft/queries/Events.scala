@@ -843,9 +843,14 @@ object EventQueries {
       byDow.crossJoin(broadcast(overall))
         .select(col("weekday"), col("n_days"),
           expr("__cd div n_days").as("avg_daily_cents"),
-          // index in ppm, pure integer arithmetic (cd*na*1e6 stays
-          // within Long for any daily-cents total below ~25e9)
-          expr("(__cd * __na * 1000000) div (__ca * n_days)")
+          // index in ppm, pure integer arithmetic. The cd*na*1e6
+          // product rides decimal(38,0) (the q194 exact-at-any-scale
+          // idiom; oracle side HUGEINT): in Long it would wrap
+          // silently once a weekday's cents total passes ~25e9
+          // (~$250M/day — plausible at the 100-TB scale this
+          // operator targets).
+          expr("""CAST((CAST(__cd AS DECIMAL(38,0)) * __na * 1000000)
+                  div (CAST(__ca AS DECIMAL(38,0)) * n_days) AS BIGINT)""")
             .as("index_ppm"))
         .orderBy("weekday")
     }),
@@ -1815,8 +1820,9 @@ object EventQueries {
         |             CAST(sum(cents) AS BIGINT) AS ca FROM daily)
         |SELECT dayname(day) AS weekday, CAST(count(*) AS BIGINT) AS n_days,
         |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_daily_cents,
-        |  (CAST(sum(cents) AS BIGINT) * any_value(o.na) * 1000000)
-        |    // (any_value(o.ca) * count(*)) AS index_ppm
+        |  CAST((CAST(sum(cents) AS HUGEINT) * any_value(o.na) * 1000000)
+        |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
+        |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
 
     // Mirrors the flag-guarded ln-sum cumulative product; tie order
