@@ -249,6 +249,16 @@ object Streams {
     * in; reading the last emit per key gives the batch answer
     * (CdcStreamSpec pins stream ≡ batch under arbitrary micro-batch
     * splits, including same-batch out-of-order arrival).
+    *
+    * EXACTLY-ONCE SINK CONTRACT: Spark's recovery redelivers
+    * micro-batches (at-least-once), so the production sink is a
+    * foreachBatch MERGE/upsert keyed on `k`. That sink is idempotent
+    * under replay STRUCTURALLY: latest-wins is an idempotent merge —
+    * maxBy(ts, seq) over state that already absorbed the batch
+    * re-emits the identical record, so re-upserting it cannot change
+    * the table (spec-pinned: duplicate batch delivery diffs empty
+    * against single delivery). Non-keyed/append sinks do NOT get
+    * this for free — they would duplicate rows on replay.
     */
   def cdcLatestChanges(changes: Dataset[Change]): Dataset[Change] = {
     import changes.sparkSession.implicits._

@@ -502,6 +502,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamMerged(1)._3 == 22.0) // late ts=50 did not override ts=200
   }
 
+  test("streaming CDC: duplicate batch delivery is absorbed — upsert sink stays exactly-once") {
+    // The production exactly-once contract (r12 verdict #6): Spark
+    // redelivers a micro-batch after failure (at-least-once), and the
+    // sink must make the replay a no-op. For the CDC twin that holds
+    // STRUCTURALLY: latest-wins state is an idempotent merge (maxBy
+    // (ts, seq) over a superset that already includes the batch
+    // re-emits the SAME record), so a foreachBatch MERGE/upsert-by-key
+    // sink converges to the identical table whether a batch arrives
+    // once or twice. Pin it by delivering b2 twice and diffing the
+    // upsert-sink state against the single-delivery run.
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.Change
+    val b1 = Seq(Change(2L, 100L, 1L, "U", 21.0), Change(9L, 120L, 1L, "U", 99.0))
+    val b2 = Seq(Change(2L, 200L, 2L, "U", 22.0), Change(3L, 150L, 1L, "D", 0.0))
+    def run(batches: Seq[Seq[Change]], name: String): Map[Long, Change] = {
+      val stream = MemoryStream[Change]
+      // the foreachBatch upsert sink: latest emit per key overwrites
+      val sink = scala.collection.mutable.Map[Long, Change]()
+      val q = graft.streaming.Streams.cdcLatestChanges(stream.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (out: org.apache.spark.sql.Dataset[Change], _: Long) =>
+          out.collect().foreach(c => sink(c.k) = c); ()
+        }.queryName(name).start()
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      sink.toMap
+    }
+    val once = run(Seq(b1, b2), "cdc_once")
+    val replayed = run(Seq(b1, b2, b2), "cdc_replayed") // b2 delivered twice
+    assert(replayed == once)
+    assert(once(2L).v == 22.0 && once(3L).op == "D" && once(9L).v == 99.0)
+  }
+
   test("streaming clamped balance equals the batch kernel under in-order arrival") {
     implicit val sc = spark.sqlContext
     import graft.streaming.Streams.SeqEvent
