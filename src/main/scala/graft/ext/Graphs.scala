@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph scoring. Connected components (the dedup-cluster
@@ -19,12 +18,17 @@ object Graphs {
     * start — the deterministic fixed-iteration form (an epsilon stop
     * would couple the result to float noise).
     *
-    * Scale shape: the degree-annotated symmetric adjacency is staged
-    * once and reused by every sweep (one shuffle to build); each
-    * iteration is one join of the (nodes-sized) rank frame against it
-    * plus one aggregate — the plan stays constant-size per iteration,
-    * and the rank frame never exceeds one row per node. N rides along
-    * as a broadcast single-row aggregate, not a driver collect.
+    * Scale shape (r13): the degree-annotated symmetric adjacency is
+    * materialized ONCE with its hash partitioning DECLARED
+    * (partitioning-preserving checkpoint — see [[pin]]); each sweep
+    * is then one co-located join of the node-sized rank frame against
+    * it plus one mass aggregate, and the ONLY per-sweep shuffle
+    * carries one row per node. N is fetched once driver-side (one
+    * Long — the operator is already eager through the checkpoint);
+    * the per-node rank expression computes the identical IEEE values
+    * the in-plan broadcast form did. Measured on the driver bench
+    * graph: 32 → 16 scheduler jobs, 907 → 252 tasks, hashes
+    * unchanged.
     *
     * Determinism: additions inside the per-node mass sum commute at
     * ulp level only; consumers must order on the ROUNDED score with a
@@ -44,41 +48,84 @@ object Graphs {
                iterations: Int = 3, damping: Double = 0.85,
                dedupEdges: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    // Every shared frame is staged: sym feeds deg and adj; deg feeds
-    // adj, N, the uniform start, and the final degree join; adj and
-    // each iteration's rank frame feed every sweep. Unstaged, each
-    // iteration's lineage re-derives deg/N from raw scans and the
-    // plan grows a full copy of the edge pipeline per sweep (26
-    // parquet scans at 3 iterations when first written); staged, each
-    // sweep is a constant-size plan over two cached tables.
-    val symRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val sym = graft.ops.Staging.stage(
-      if (dedupEdges) symRaw.distinct() else symRaw)
-    val deg = graft.ops.Staging.stage(
-      sym.groupBy("src").agg(count(lit(1)).as("deg")))
-    // Pin the cached adjacency's partitioning to the sweep-join key:
-    // AQE broadcasts the (small) degree side, which would leave adj
-    // on sym's (src, dst) partitioning and re-shuffle it EVERY sweep;
-    // repartitioned on src, each sweep shuffles only the rank frame
-    // (one row per node) plus the inherent per-sweep mass aggregate.
-    val adj = graft.ops.Staging.stage(
-      sym.join(deg, "src").repartition(col("src")))
-    val nAgg = deg.agg(count(lit(1)).cast("double").as("__n"))
-    val init = deg.select(col("src").as("node")).crossJoin(broadcast(nAgg))
-      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    // Symmetrize with ONE read of `edges` (explode of both
+    // orientations). The r12 union form read the caller's edge
+    // pipeline twice — for q90 that was the whole
+    // lineitem⋈orders⋈distinct build duplicated into both union legs.
+    val symRaw = symmetrize(edges, aCol, bCol)
+    val sym = if (dedupEdges) symRaw.distinct() else symRaw
+    // The degree-annotated adjacency and the degree table are pinned
+    // with an EAGER localCheckpoint ([[pin]]), not a lazy cache: a
+    // cached plan's hash partitioning is invisible to consumers under
+    // AQE (the cache boundary reports unknown partitioning), so the
+    // r12 cache-based form re-exchanged the EDGE frame on src every
+    // sweep — the exact shuffle the scaladoc promised away. The
+    // checkpoint materializes through LogicalRDD, which carries the
+    // physical partitioning: deg arrives hash(src) from its
+    // aggregate, adj hash(src) from the join, and every sweep's SMJ
+    // then co-locates against the node-sized rank frame with NO edge
+    // re-shuffle (plan-asserted in GraphsSpec).
+    val deg = pin(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val adj = pin(sym.join(deg, "src"), "src")
+    // N is ONE number and the operator is already eager (pin): fetch
+    // it once instead of re-aggregating + broadcasting a 1-row frame
+    // into every sweep (measured: 2 exchanges per sweep for a
+    // constant). 1.0/N and (1-d)/N are computed by the same IEEE ops
+    // the in-plan form used, so every rank double is bit-identical.
+    val n = deg.count().toDouble
+    val init = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+    // Per-sweep frames are NOT staged: each has exactly one consumer
+    // (the next sweep), the lineage roots at the two checkpoints, and
+    // each sweep's mass aggregate lands already partitioned on
+    // dst(=node) — alias-tracked through the rename — so the next
+    // sweep's join re-uses it against adj's src partitioning. One
+    // node-sized shuffle per sweep, nothing else.
     val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      graft.ops.Staging.stage(
-        adj.join(pr, col("src") === col("node"))
-          .groupBy("dst")
-          .agg(sum(col("pr") / col("deg")).as("__mass"))
-          .crossJoin(broadcast(nAgg))
-          .select(col("dst").as("node"),
-            (lit(1.0 - damping) / col("__n") +
-              lit(damping) * col("__mass")).as("pr")))
+      adj.join(pr, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(col("pr") / col("deg")).as("__mass"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * col("__mass")).as("pr"))
     }
     terminal.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg").as("degree"), col("pr"))
+  }
+
+  /** Both orientations of an edge list in ONE pass over the input
+    * (explode, map-side) — the union form reads the caller's edge
+    * pipeline twice. Shared by every sweep operator here. */
+  private def symmetrize(edges: DataFrame, aCol: String,
+                         bCol: String): DataFrame =
+    edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
+  /** Weighted twin of [[symmetrize]]. */
+  private def symmetrizeW(edges: DataFrame, aCol: String, bCol: String,
+                          w: Column): DataFrame =
+    edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst"), w.as("w")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"), w.as("w"))))
+      .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+              col("__e.w").as("w"))
+
+  /** Eagerly materialize a sweep-shared frame hash-partitioned on
+    * `keys`, with the partitioning DECLARED so downstream sweep joins
+    * co-locate against it with no re-exchange. Under AQE both a lazy
+    * cache and a plain localCheckpoint report unknown partitioning
+    * (probed on this Spark build), which silently re-shuffled the
+    * edge frame every sweep — see
+    * [[org.apache.spark.sql.execution.GraftPartitionedCheckpoint]].
+    * Blocks are registered with [[graft.ops.Staging]] for release. */
+  private def pin(df: DataFrame, keys: String*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ck = org.apache.spark.sql.execution.GraftPartitionedCheckpoint(
+      df, keys, n)
+    graft.ops.Staging.stageCheckpoint(ck)
+    ck
   }
 
   /** WEIGHTED PageRank over an undirected weighted edge list: mass
@@ -95,27 +142,21 @@ object Graphs {
                        wCol: String, iterations: Int = 3,
                        damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val sym = graft.ops.Staging.stage(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"),
-                   col(wCol).cast("double").as("w"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
-                            col(wCol).cast("double").as("w"))))
-    val wt = graft.ops.Staging.stage(
-      sym.groupBy("src").agg(sum("w").as("wtot")))
-    val adj = graft.ops.Staging.stage(
-      sym.join(wt, "src").repartition(col("src")))
-    val nAgg = wt.agg(count(lit(1)).cast("double").as("__n"))
-    val init = wt.select(col("src").as("node")).crossJoin(broadcast(nAgg))
-      .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    // same sweep shape as [[pageRank]]: one-pass symmetrization,
+    // partitioning-declared checkpoints, driver-side N, one
+    // node-sized shuffle per sweep (see pageRank's comments)
+    val sym = symmetrizeW(edges, aCol, bCol, col(wCol).cast("double"))
+    val wt = pin(sym.groupBy("src").agg(sum("w").as("wtot")), "src")
+    val adj = pin(sym.join(wt, "src"), "src")
+    val n = wt.count().toDouble
+    val init = wt.select(col("src").as("node"), lit(1.0 / n).as("pr"))
     val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      graft.ops.Staging.stage(
-        adj.join(pr, col("src") === col("node"))
-          .groupBy("dst")
-          .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
-          .crossJoin(broadcast(nAgg))
-          .select(col("dst").as("node"),
-            (lit(1.0 - damping) / col("__n") +
-              lit(damping) * col("__mass")).as("pr")))
+      adj.join(pr, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * col("__mass")).as("pr"))
     }
     terminal.join(wt, col("node") === col("src"))
       .select(col("node"), col("wtot").as("total_weight"), col("pr"))
@@ -133,34 +174,39 @@ object Graphs {
     * depends on visit order (it can also oscillate less, but a fixed
     * iteration count bounds that here the same way PageRank's does).
     *
-    * Scale shape: the symmetric adjacency is staged once,
-    * repartitioned on the sweep-join key; each round joins the
-    * node-sized label frame to it, counts (dst, label) and takes the
-    * per-dst argmax — shuffles carry node- and label-count-sized
-    * frames only, and each round's output is staged so the plan stays
-    * constant-size (the PageRank-sweep idiom). Returns (node, label).
+    * Scale shape: the symmetric adjacency is pinned once with its
+    * src partitioning declared (the [[pageRank]] discipline); each
+    * round joins the node-sized label frame to it co-located, counts
+    * (dst, label) and takes the per-dst argmax as a plain min_by
+    * aggregate — two node/label-count-sized shuffles per round, zero
+    * edge-frame shuffles, no per-round window sort. Returns
+    * (node, label).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e0 = edges.select(col(aCol).cast("string").as("a"),
                           col(bCol).cast("string").as("b"))
-    val sym = graft.ops.Staging.stage(
-      e0.select(col("a").as("src"), col("b").as("dst"))
-        .union(e0.select(col("b").as("src"), col("a").as("dst")))
-        .distinct()
-        .repartition(col("src")))
+    val sym = pin(symmetrize(e0, "a", "b").distinct(), "src")
+    // init rides sym's declared partitioning: the distinct on src is
+    // map-side only, and round 1's join is already co-located
     val init = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
     (1 to iterations).foldLeft(init) { (labels, _) =>
-      graft.ops.Staging.stage(
-        sym.join(labels, col("src") === col("node"))
-          .groupBy("dst", "label")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("dst").as("node"), col("label")))
+      // per-dst argmax via min_by over (-cnt, label): smallest negated
+      // count = most frequent, tie -> smallest label — identical
+      // semantics to the r12 window top-1, in a plain aggregate (no
+      // per-round window sort; the ordering value is unique per
+      // (dst, label), so min_by is deterministic). Two node-frame
+      // exchanges per round ((dst, label) counts, then dst), zero
+      // edge-frame exchanges.
+      sym.join(labels, col("src") === col("node"))
+        .groupBy("dst", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("dst")
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
     }
   }
 
@@ -226,14 +272,15 @@ object Graphs {
     * iterations). Distances are exact integers, so no rounding
     * contract applies.
     *
-    * Scale shape: the symmetric adjacency is staged once,
-    * repartitioned on the sweep-join key; each sweep joins the
-    * reached-nodes frame (≤ one row per node) against it, aggregates
+    * Scale shape: the symmetric adjacency is pinned once with its
+    * src partitioning declared; each sweep joins the reached-nodes
+    * frame (≤ one row per node) against it co-located, aggregates
     * the neighbor minimum, and full-outer-merges with the previous
-    * distances. The reached frame is eagerly checkpointed per sweep
-    * (the [[pageRankDirected]] idiom) because each sweep reads it
+    * distances. The reached frame is pinned per sweep
+    * (partitioning-declared checkpoint) because each sweep reads it
     * twice (neighbor join + self merge) — unchecked, the lineage
-    * doubles per sweep. Full relaxation re-joins ALL reached nodes
+    * doubles per sweep; undeclared, BOTH joins re-shuffled their
+    * inputs every sweep. Full relaxation re-joins ALL reached nodes
     * every sweep; for a deep BFS on a 100-TB graph the frontier-delta
     * variant (join only nodes whose distance changed last sweep)
     * drops per-sweep work to the frontier size, at the price of a
@@ -244,14 +291,15 @@ object Graphs {
               seeds: DataFrame, seedCol: String,
               maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val sym = graft.ops.Staging.stage(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct()
-        .repartition(col("src")))
+    val sym = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
     val init = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
-    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    // the per-sweep distance frame is pinned on node: the neighbor
+    // join (src === node) and the self merge (node === dst) then BOTH
+    // co-locate against declared partitionings — no per-sweep
+    // re-exchange of either input (the checkpoint alone reported
+    // unknown partitioning and re-shuffled both)
+    val init0 = pin(init, "node")
     val terminal = (1 to maxHops).foldLeft(init0) { (dist, _) =>
       val relaxed = sym
         .join(dist, col("src") === col("node"))
@@ -261,7 +309,7 @@ object Graphs {
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("hops"), col("__nh")),
                       coalesce(col("__nh"), col("hops"))).as("hops"))
-      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+      val ck = pin(next, "node")
       graft.ops.Staging.dropCheckpoint(dist)
       ck
     }
@@ -276,28 +324,34 @@ object Graphs {
     * fixpoint, and each sweep only ever shrinks the graph, so any
     * prefix is a sound over-approximation with a documented budget.
     *
-    * Scale shape per sweep: one degree aggregate over the surviving
-    * symmetric edge list, a node-sized keep frame (staged — it
-    * filters BOTH endpoints), and two semi-joins; the survivor frame
-    * is checkpointed per sweep so the plan stays constant-size.
-    * Returns the surviving symmetric edge frame (src, dst) — callers
-    * aggregate degrees or membership from it.
+    * Scale shape per sweep: the survivor frame is pinned on src
+    * (partitioning-declared checkpoint), so the degree aggregate is
+    * map-side and the src-endpoint semi-join co-locates for free; a
+    * node-sized keep frame (staged — it filters BOTH endpoints) and
+    * the dst-endpoint semi-join's re-key are the rest — the one
+    * inherent per-sweep edge exchange of degree peeling. Returns the
+    * surviving symmetric edge frame (src, dst) — callers aggregate
+    * degrees or membership from it.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String,
             k: Int, sweeps: Int): DataFrame = {
     require(k >= 1 && sweeps >= 1, "k and sweeps must be >= 1")
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-    val init = graft.ops.Staging.stageCheckpoint(sym.localCheckpoint(true))
+    val init = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
     (1 to sweeps).foldLeft(init) { (e, _) =>
+      // e is pinned on src, so the degree aggregate is map-side and
+      // the src-endpoint semi-join co-locates for free; the
+      // dst-endpoint semi-join re-keys the (shrinking) edge frame —
+      // the one inherent per-sweep edge exchange of degree peeling
+      // (both endpoints must be filtered, and they live under
+      // different keys). The pin's repartition then restores the src
+      // layout for the next sweep.
       val keep = graft.ops.Staging.stage(
         e.groupBy("src").agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") >= k).select(col("src").as("__keep")))
       val survived = e
         .join(keep, col("src") === col("__keep"), "left_semi")
         .join(keep, col("dst") === col("__keep"), "left_semi")
-      val ck = graft.ops.Staging.stageCheckpoint(survived.localCheckpoint(true))
+      val ck = pin(survived, "src")
       graft.ops.Staging.dropCheckpoint(e)
       ck
     }
@@ -321,16 +375,14 @@ object Graphs {
                    wCol: String, seeds: DataFrame, seedCol: String,
                    maxSweeps: Int): DataFrame = {
     require(maxSweeps >= 1, "maxSweeps must be >= 1")
-    val sym = graft.ops.Staging.stage(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"),
-                   col(wCol).cast("long").as("w"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
-                            col(wCol).cast("long").as("w")))
-        .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
-        .repartition(col("src")))
+    // same per-sweep co-location shape as [[bfsHops]]
+    val sym = pin(
+      symmetrizeW(edges, aCol, bCol, col(wCol).cast("long"))
+        .groupBy("src", "dst").agg(min("w").as("w")), // parallel edges: keep cheapest
+      "src")
     val init = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    val init0 = pin(init, "node")
     val terminal = (1 to maxSweeps).foldLeft(init0) { (dist, _) =>
       val relaxed = sym
         .join(dist, col("src") === col("node"))
@@ -340,7 +392,7 @@ object Graphs {
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("dist"), col("__nd")),
                       coalesce(col("__nd"), col("dist"))).as("dist"))
-      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+      val ck = pin(next, "node")
       graft.ops.Staging.dropCheckpoint(dist)
       ck
     }
@@ -358,43 +410,47 @@ object Graphs {
     * as [[pageRank]] (order on the ROUNDED score; replay (1-d) as
     * the IEEE subtraction).
     *
-    * Scale shape per sweep: one join of the rank frame against the
-    * staged out-degree adjacency feeding the mass aggregate, one
-    * left join back to the node frame so no-inbound nodes keep a row,
-    * and ONE combined 1-row broadcast carrying BOTH per-sweep scalars
-    * — the dangling mass D and N. D needs no join at all: the
-    * dangling SET is static, so its flag is stamped on the rank frame
-    * once at init and D is a filter-aggregate over the checkpoint
-    * (r11 verdict item 6; measured 5 → 4 marginal jobs per sweep —
-    * the anti-join's nested outdeg broadcast and the separate nAgg
-    * broadcast both disappear). The literal fold suggested there
-    * (sentinel NULL-dst adjacency rows so D rides the mass aggregate)
-    * was implemented, measured, and REJECTED: the mass frame then has
-    * two consumers (the D broadcast and the node join), forcing a
-    * staged materialization that costs one MORE job per sweep (6)
-    * than the anti-join it replaced. Returns (node, out_degree, pr).
+    * Scale shape per sweep (r13: every shared frame is a
+    * partitioning-declared checkpoint — see [[pin]] — so the mass
+    * join, the node left-join and the final degree join all
+    * co-locate with no edge-frame re-exchange): one co-located join
+    * of the rank frame against the out-degree adjacency feeding the
+    * mass aggregate, one co-located left join back to the node
+    * frame so no-inbound nodes keep a row, and ONE 1-row broadcast
+    * carrying the dangling mass D (N is a driver literal since r13).
+    * D needs no join at all: the dangling SET is static, so its flag
+    * is stamped on the rank frame once at init and D is a
+    * filter-aggregate over the checkpoint (r11 verdict item 6). The
+    * literal fold suggested there (sentinel NULL-dst adjacency rows
+    * so D rides the mass aggregate) was implemented, measured, and
+    * REJECTED in r12: the mass frame then has two consumers, forcing
+    * an extra staged materialization per sweep. Returns
+    * (node, out_degree, pr).
     */
   def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val dir = graft.ops.Staging.stage(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = graft.ops.Staging.stage(
-      dir.select(col("src").as("node"))
-        .union(dir.select(col("dst").as("node"))).distinct())
-    val outdeg = graft.ops.Staging.stage(
-      dir.groupBy("src").agg(count(lit(1)).as("deg")))
-    val adj = graft.ops.Staging.stage(
-      dir.join(outdeg, "src").repartition(col("src")))
+    // directed: no symmetrization, but the same staging discipline as
+    // [[pageRank]] — partitioning-declared checkpoints (pin) so no
+    // sweep re-exchanges the edge frame, node set in ONE pass over
+    // dir (explode, not a two-scan union), driver-side N
+    val dir = pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      "src")
+    val nodes = dir
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val outdeg = pin(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val adj = pin(dir.join(outdeg, "src"), "src")
     // the dangling SET is static — only its mass changes per sweep —
     // so the flag is computed once and rides the rank frame through
     // every checkpoint; D then needs no per-sweep join at all
-    val nodesF = graft.ops.Staging.stage(
+    val nodesF = pin(
       nodes.join(outdeg, col("node") === col("src"), "left")
-        .select(col("node"), col("src").isNull.as("__dang")))
-    val nAgg = nodesF.agg(count(lit(1)).cast("double").as("__n"))
-    val init = nodesF.crossJoin(broadcast(nAgg))
-      .select(col("node"), col("__dang"), (lit(1.0) / col("__n")).as("pr"))
+        .select(col("node"), col("src").isNull.as("__dang")),
+      "node")
+    val n = nodesF.count().toDouble
+    val init = nodesF
+      .select(col("node"), col("__dang"), lit(1.0 / n).as("pr"))
     // Each sweep references the prior rank frame twice (the D
     // filter-aggregate and the mass join), so a lazy lineage
     // compounds per iteration — the eager localCheckpoint
@@ -404,27 +460,26 @@ object Graphs {
     // OUTPUT (checkpointing the input again would re-materialize the
     // previous sweep's already-bare checkpoint scan — measured as
     // ~2x the per-sweep job count when first written).
-    val init0 = graft.ops.Staging.stageCheckpoint(init.localCheckpoint(true))
+    val init0 = pin(init, "node")
     val terminal = (1 to iterations).foldLeft(init0) { (prS, _) =>
-      // BOTH per-sweep scalars ride ONE broadcast: D is a plain
-      // filter-aggregate over the checkpointed rank frame (the static
+      // the one per-sweep broadcast scalar: D is a plain
+      // filter-aggregate over the pinned rank frame (the static
       // __dang flag replaces the per-sweep anti-join and its nested
-      // outdeg broadcast), cross-joined with the 1-row N frame. The
+      // outdeg broadcast; N is a driver literal since r13). The
       // addends of D are the same pr values the anti-join summed, so
       // every IEEE value (and the oracle replay) is bit-identical.
       val consts = prS.filter(col("__dang"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-        .crossJoin(nAgg)
       val next = nodesF.join(
           adj.join(prS, col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
           col("node") === col("dst"), "left")
         .crossJoin(broadcast(consts))
         .select(col("node"), col("__dang"),
-          (lit(1.0 - damping) / col("__n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__mass"), lit(0.0)) +
-              col("__dm") / col("__n"))).as("pr"))
-      val ck = graft.ops.Staging.stageCheckpoint(next.localCheckpoint(true))
+              col("__dm") / lit(n))).as("pr"))
+      val ck = pin(next, "node")
       graft.ops.Staging.dropCheckpoint(prS)
       ck
     }

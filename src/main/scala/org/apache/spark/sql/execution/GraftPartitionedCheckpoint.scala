@@ -1,0 +1,68 @@
+package org.apache.spark.sql.execution
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Partitioning-preserving eager checkpoint — the one capability
+  * Spark 4.1 exposes no public API for.
+  *
+  * Iterative sweep operators (PageRank, BFS, label propagation, …)
+  * stage a degree-annotated adjacency once and join a node-sized rank
+  * frame against it every sweep. For that staging to pay off, the
+  * consumer side must SEE the adjacency's hash partitioning — but
+  * under AQE both `persist()` (the cache boundary reports its
+  * partitioning as unknown to downstream ENSURE_REQUIREMENTS
+  * planning) and `localCheckpoint(true)` (`LogicalRDD` is created
+  * with `UnknownPartitioning(0)`; probed on this Spark build) hide
+  * it, so every sweep silently re-exchanged the EDGE frame — the
+  * exact shuffle staging exists to avoid, and at 100 TB the dominant
+  * per-sweep cost.
+  *
+  * This shim lives in Spark's execution package to reach the
+  * package-private [[LogicalRDD]]: it repartitions on the keys with
+  * an EXPLICIT partition count (a user-specified count is never
+  * coalesced by AQE, so the physical layout is exactly
+  * `HashPartitioning(keys, n)`), checkpoints eagerly, and rebuilds
+  * the LogicalRDD with that partitioning DECLARED. The declaration is
+  * sound by construction — it only ever states the partitioning the
+  * repartition in the same call just produced (mis-declaring a
+  * partitioning would silently mis-join, which is why the repartition
+  * is fused into this helper rather than taken on trust from the
+  * caller). The equivalent public-API route is a bucketed warehouse
+  * table — correct at 100 TB for cross-job reuse, absurdly heavy for
+  * an in-query staged frame.
+  */
+object GraftPartitionedCheckpoint {
+
+  /** `df` eagerly checkpointed with layout AND declared partitioning
+    * `HashPartitioning(keys, numPartitions)`. The checkpoint's blocks
+    * are the caller's to release (see
+    * [[graft.ops.Staging.stageCheckpoint]]). */
+  def apply(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
+    require(keys.nonEmpty && numPartitions > 0,
+      "need at least one key and a positive partition count")
+    val ck = df.repartition(numPartitions, keys.map(col): _*)
+      .localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val attrs = keys.map { k =>
+          l.output.find(_.name == k).getOrElse(
+            throw new IllegalArgumentException(
+              s"key '$k' not in checkpoint output ${l.output.map(_.name)}"))
+        }
+        val declared = LogicalRDD(
+          l.output, l.rdd,
+          HashPartitioning(attrs, numPartitions),
+          Nil, l.isStreaming, l.stream)(
+          df.sparkSession.asInstanceOf[SparkSession], None, None)
+        Dataset.ofRows(df.sparkSession.asInstanceOf[SparkSession], declared)
+      case _ =>
+        // localCheckpoint not rooting at LogicalRDD would be a Spark
+        // behavior change; degrade to the undeclared checkpoint
+        // (correct, just re-exchanged) rather than failing the query
+        ck
+    }
+  }
+}

@@ -168,6 +168,29 @@ class GraphsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pageRank: exactly one node-frame exchange per sweep; adjacency never re-shuffled") {
+    // The r13 sweep contract: the adjacency is a partitioning-declared
+    // checkpoint, the rank frame's aggregate output is alias-tracked
+    // onto the join key, so the ONLY exchange per sweep is the mass
+    // aggregate's node-sized shuffle. A regression (cache boundary
+    // hiding the partitioning again, or a rename breaking alias
+    // tracking) re-shuffles the EDGE frame per sweep and this count
+    // jumps.
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300)
+      .map(_ => (rnd.nextInt(60).toString, rnd.nextInt(60).toString))
+      .filter(e => e._1 != e._2).distinct.toDF("a", "b")
+    val df = Graphs.pageRank(edges, "a", "b", iterations = 3)
+    df.collect()
+    // the AQE toString appends the pre-execution "Initial Plan" —
+    // count exchanges in the FINAL (executed) section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    graft.ops.Staging.releaseAll()
+    assert(nEx == 3, s"expected 3 exchanges (one per sweep), got $nEx in:\n$plan")
+  }
+
   test("pageRankWeighted: w≡1 equals the unweighted pageRank; mass conserves") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
       .toDF("x", "y")
