@@ -637,15 +637,20 @@ object Dedup {
       pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
       smallGraphThreshold: Long = 1L << 21): (DataFrame, Int) = {
-    val edges = graft.ops.Staging.stage(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+    // one-pass symmetrization + a dst-declared pin (the r13 Sweep
+    // harness): the union form evaluated the caller's pair-generation
+    // pipeline twice, and the lazy cache's partitioning was invisible
+    // under AQE, so every label sweep re-exchanged the EDGE frame on
+    // dst — the dominant per-sweep shuffle at scale. Pinned on dst,
+    // each sweep's edges⋈labels join co-locates the edge side for
+    // free and only the node-sized label frame moves.
+    val edges = graft.ops.Sweep.pin(
+      graft.ops.Sweep.symmetrize(pairs, aCol, bCol).distinct(), "dst")
     val idType = pairs.schema(aCol).dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
-    // this count also materializes the staged edge list, so neither
-    // path recomputes pair generation
+    // the pin already materialized the edge list, so neither path
+    // recomputes pair generation; the gate count is a checkpoint scan
     if (integral && smallGraphThreshold > 0 &&
         edges.count() <= smallGraphThreshold) {
       return (driverComponents(pairs.sparkSession, edges, idType), 0)

@@ -92,41 +92,16 @@ object Graphs {
       .select(col("node"), col("deg").as("degree"), col("pr"))
   }
 
-  /** Both orientations of an edge list in ONE pass over the input
-    * (explode, map-side) — the union form reads the caller's edge
-    * pipeline twice. Shared by every sweep operator here. */
+  // the shared sweep harness ([[graft.ops.Sweep]]): one-pass
+  // symmetrization + partitioning-declared checkpoints
   private def symmetrize(edges: DataFrame, aCol: String,
                          bCol: String): DataFrame =
-    edges.select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-
-  /** Weighted twin of [[symmetrize]]. */
+    graft.ops.Sweep.symmetrize(edges, aCol, bCol)
   private def symmetrizeW(edges: DataFrame, aCol: String, bCol: String,
                           w: Column): DataFrame =
-    edges.select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst"), w.as("w")),
-        struct(col(bCol).as("src"), col(aCol).as("dst"), w.as("w"))))
-      .as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
-              col("__e.w").as("w"))
-
-  /** Eagerly materialize a sweep-shared frame hash-partitioned on
-    * `keys`, with the partitioning DECLARED so downstream sweep joins
-    * co-locate against it with no re-exchange. Under AQE both a lazy
-    * cache and a plain localCheckpoint report unknown partitioning
-    * (probed on this Spark build), which silently re-shuffled the
-    * edge frame every sweep — see
-    * [[org.apache.spark.sql.execution.GraftPartitionedCheckpoint]].
-    * Blocks are registered with [[graft.ops.Staging]] for release. */
-  private def pin(df: DataFrame, keys: String*): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ck = org.apache.spark.sql.execution.GraftPartitionedCheckpoint(
-      df, keys, n)
-    graft.ops.Staging.stageCheckpoint(ck)
-    ck
-  }
+    graft.ops.Sweep.symmetrizeW(edges, aCol, bCol, w)
+  private def pin(df: DataFrame, keys: String*): DataFrame =
+    graft.ops.Sweep.pin(df, keys: _*)
 
   /** WEIGHTED PageRank over an undirected weighted edge list: mass
     * flows proportionally to edge weight — `pr' = (1-d)/N + d *
