@@ -426,6 +426,57 @@ object Kernels {
     * (minCol, maxCol, n_rows) — exact integers/input values only,
     * no float contract. Null pairs are excluded (no dominance order).
     */
+  /** Distributed INCLUSIVE prefix sums of Long `valueCols` over a
+    * total `orderCols` order — the cumulative-scan primitive behind
+    * ECDFs, KS statistics, rank sums (AUC) and cumulative-share
+    * curves. NEVER a single-partition global window: the
+    * [[skyline2d]] two-phase shape — range partition + in-partition
+    * sort, ONE sequential scan per partition carrying the running
+    * sums, then per-partition totals (≤ #partitions rows) prefixed by
+    * a tiny window and broadcast back as offsets. Callers should
+    * pre-aggregate to one row per distinct key (this keeps the scan
+    * deterministic without tie-breaks and the frame bounded by
+    * distinct keys, not corpus rows). Appends `<c>_cum` per value
+    * column; every output is exact integer arithmetic.
+    */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column],
+                valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(orderCols.nonEmpty && valueCols.nonEmpty,
+      "need order and value columns")
+    val ranged = Staging.stage(
+      df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*))
+    val vIdx = valueCols.map(ranged.schema.fieldIndex).toArray
+    val sweptSchema = StructType(ranged.schema.fields ++
+      (valueCols.map(c => StructField(s"${c}_cum", LongType)) :+
+        StructField("__pid", IntegerType, nullable = false)))
+    val swept = Staging.stage(ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val run = new Array[Long](vIdx.length)
+      rows.map { r =>
+        var i = 0
+        while (i < vIdx.length) { run(i) += r.getLong(vIdx(i)); i += 1 }
+        Row.fromSeq(r.toSeq ++ run.toSeq :+ pid)
+      }
+    }(org.apache.spark.sql.Encoders.row(sweptSchema)))
+    // per-partition totals: ≤ #partitions rows — the tiny window is
+    // fine (totals re-sum the RAW columns, so negative values are
+    // safe; max-of-cum would not be)
+    val totAggs = valueCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val ptot = swept.groupBy("__pid").agg(totAggs.head, totAggs.tail: _*)
+    val w = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ptot.select(col("__pid") +:
+      valueCols.map(c =>
+        coalesce(sum(col(s"__t_$c")).over(w), lit(0L)).as(s"__o_$c")): _*)
+    swept.join(broadcast(offs), "__pid")
+      .select(df.columns.map(col) ++
+        valueCols.map(c => (col(s"${c}_cum") + col(s"__o_$c"))
+          .as(s"${c}_cum")): _*)
+  }
+
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -1086,6 +1086,76 @@ object EventQueries {
         .orderBy("n_signups")
     }),
 
+    // Two-sample Kolmogorov-Smirnov statistic — the distribution-
+    // drift detector between two event populations (purchase vs
+    // click order values): D = max over pooled distinct values of
+    // |ECDF_p − ECDF_c|. The cumulative counts ride Kernels.prefixSum
+    // (range-partitioned two-phase scan — NEVER a single-partition
+    // global window; at 100 TB the scanned frame is bounded by
+    // DISTINCT values, pre-aggregated map-side). The ECDFs, their
+    // gap, and the argmax filter all derive from exact integers by
+    // identical IEEE ops on both engines, so the max gap is
+    // bit-identical and the `dd = max(dd)` filter selects identical
+    // rows; ks_d rounds at 6dp, at_value is the smallest value
+    // attaining D (exact input double).
+    "q204_ks_statistic" -> ((s, d) => {
+      val perVal = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("ca"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L))
+               .as("cb"))
+      val cum = graft.ops.Staging.stage(
+        Kernels.prefixSum(perVal, Seq(col("value").asc), Seq("ca", "cb")))
+      val tot = cum.agg(sum("ca").as("__na"), sum("cb").as("__nb"))
+      val diff = graft.ops.Staging.stage(
+        cum.crossJoin(broadcast(tot))
+          .select(col("value"), col("__na"), col("__nb"),
+            abs(col("ca_cum").cast("double") / col("__na").cast("double") -
+                col("cb_cum").cast("double") / col("__nb").cast("double"))
+              .as("__d")))
+      val top = diff.agg(max("__d").as("__dm"))
+      diff.crossJoin(broadcast(top))
+        .filter(col("__d") === col("__dm"))
+        .groupBy()
+        .agg(first("__na").as("n_purchase"), first("__nb").as("n_click"),
+             round(first("__dm"), 6).as("ks_d"), min("value").as("at_value"))
+        .orderBy("n_purchase")
+    }),
+
+    // ROC-AUC of `value` as a score for "this event is a purchase" —
+    // the ML-eval primitive, computed EXACTLY via the rank-sum/
+    // pair-count identity: AUC = Σ_s pos_s·(negBelow_s + neg_s/2)
+    // / (nP·nN), with negBelow the EXCLUSIVE cumulative negative
+    // count below score s. Per-score counts are one exchange;
+    // negBelow rides Kernels.prefixSum (the q204 scan — never a
+    // global window); the two weighted sums ride decimal(38,0) so
+    // they are exact at any corpus size, and the final ratio is
+    // derived from those exact integers by identical IEEE ops (6dp).
+    "q205_roc_auc" -> ((s, d) => {
+      val perScore = Tables.events(s, d)
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("cp"),
+             sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+               .as("cn"))
+      val cum = Kernels.prefixSum(perScore, Seq(col("value").asc), Seq("cn"))
+      cum.select(col("cp"), col("cn"),
+          (col("cn_cum") - col("cn")).as("__below"))
+        .agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+             sum(col("cp").cast("decimal(38,0)") *
+                 col("__below").cast("decimal(38,0)")).as("__s1"),
+             sum(col("cp").cast("decimal(38,0)") *
+                 col("cn").cast("decimal(38,0)")).as("__s2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("__s1").cast("double") +
+                 lit(0.5) * col("__s2").cast("double")) /
+                (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+            .as("auc"))
+        .orderBy("n_pos")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -1824,6 +1894,58 @@ object EventQueries {
         |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
         |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // The two-phase scan replayed as a plain window cumsum (fine at
+    // oracle scale); identical exact ints -> identical ECDF doubles
+    // -> identical max and argmax rows.
+    "q204_ks_statistic" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |cum AS (
+        |  SELECT value,
+        |    CAST(sum(ca) OVER (ORDER BY value) AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER (ORDER BY value) AS BIGINT) AS ccb
+        |  FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+        |dd AS (
+        |  SELECT value, na, nb,
+        |    abs(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |        CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE)) AS d
+        |  FROM cum, t),
+        |mx AS (SELECT max(d) AS dm FROM dd)
+        |SELECT any_value(na) AS n_purchase, any_value(nb) AS n_click,
+        |  round(any_value(dm), 6) AS ks_d, min(value) AS at_value
+        |FROM dd, mx WHERE d = dm
+        |ORDER BY n_purchase""".stripMargin,
+
+    // Rank-sum identity replayed: exclusive cumulative negatives via
+    // the same window; HUGEINT weighted sums cast to double for the
+    // final identical-IEEE ratio.
+    "q205_roc_auc" ->
+      """WITH ps AS (
+        |  SELECT value,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS cp,
+        |    CAST(count(*) FILTER (event_type <> 'purchase') AS BIGINT) AS cn
+        |  FROM events GROUP BY value),
+        |cum AS (
+        |  SELECT cp, cn,
+        |    CAST(sum(cn) OVER (ORDER BY value) AS BIGINT) - cn AS below_n
+        |  FROM ps),
+        |agg AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        |         CAST(sum(cn) AS BIGINT) AS n_neg,
+        |         CAST(sum(CAST(cp AS HUGEINT) * below_n) AS HUGEINT) AS s1,
+        |         CAST(sum(CAST(cp AS HUGEINT) * cn) AS HUGEINT) AS s2
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  round((CAST(s1 AS DOUBLE) + 0.5 * CAST(s2 AS DOUBLE)) /
+        |        (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM agg ORDER BY n_pos""".stripMargin,
 
     // Mirrors the flag-guarded ln-sum cumulative product; tie order
     // inside a user compares micros (epoch_us) exactly like the

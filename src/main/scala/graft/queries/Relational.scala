@@ -1297,6 +1297,47 @@ object Relational {
         .orderBy("component")
     }),
 
+    // TPC-H Q3 (shipping priority, adapted to the testdata schema:
+    // o_orderpriority stands in for the absent o_shippriority): the
+    // classic filter-pushdown + join-order stressor — segment filter
+    // on customer (pushed to the scan), date filters on both orders
+    // and lineitem, 3-way join, per-order revenue rollup, top 10.
+    // Revenue follows the q185 float contract (round(sum, 2)); the
+    // total order is (rounded revenue DESC, l_orderkey).
+    "q206_tpch_q3" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(expr("o_orderdate < timestamp'1997-06-01'"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(expr("l_shipdate > timestamp'1997-06-01'"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // TPC-H Q10 (returned-item reporting, adapted: the testdata
+    // customer has no address/phone/comment columns): customers who
+    // returned items in a quarter, ranked by lost revenue. The
+    // one-quarter date band prunes orders before the join; returnflag
+    // prunes lineitem at the scan; nation is a broadcast dim.
+    "q207_tpch_q10" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(expr("o_orderdate >= timestamp'1997-10-01'") &&
+                expr("o_orderdate < timestamp'1998-01-01'"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2230,6 +2271,30 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q206_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q207_tpch_q10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q197_entity_resolution" ->
       """WITH RECURSIVE p AS (

@@ -278,6 +278,39 @@ object VectorQueries {
         .orderBy("n_nodes")
     }),
 
+    // Local clustering coefficient over the q113 3-NN cosine graph —
+    // the per-node tightness diagnostic (q113 counts triangles
+    // globally; this localizes them): c(v) = 2·t(v) / (d(v)·(d(v)−1))
+    // with t(v) = triangles containing v (each exactly-once triangle
+    // from Graphs.triangles explodes to its 3 corners) and d(v) the
+    // undirected degree (Sweep.symmetrize of the distinct x<y edge
+    // set). Exact integers everywhere; the ratio is derived from
+    // identical exact ints by identical IEEE ops on both engines, so
+    // 6dp rounding is stable, and the ORDER is on the rounded value
+    // with the node tie-break. Top 15 tightest nodes.
+    "q203_clustering_coefficient" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = graft.ops.Staging.stage(
+        Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+          .select(least(col("query_id"), col("neighbor_id")).as("x"),
+                  greatest(col("query_id"), col("neighbor_id")).as("y"))
+          .distinct())
+      val triPer = graft.ext.Graphs.triangles(knn, "x", "y")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      val deg = graft.ops.Sweep.symmetrize(knn, "x", "y")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      deg.join(triPer, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+                  (col("degree") * (col("degree") - 1)), 6))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy(col("clustering").desc, col("node"))
+        .limit(15)
+    }),
+
     // Product-quantization ANN recall sentinel (q53's pattern for the
     // PQ memory path, Pq.pqTopK): the corpus is stored as M=8 codes
     // over K=16-codeword per-subspace codebooks (8 small ints vs 64
@@ -656,6 +689,50 @@ object VectorQueries {
         |SELECT (SELECT count(DISTINCT vec_id) FROM m) AS n_nodes,
         |  (SELECT count(*) FROM e) AS n_edges, n_triangles
         |FROM t ORDER BY n_nodes""".stripMargin,
+
+    // The q113 kNN-graph replay extended per node: triangle corners
+    // exploded and counted, symmetric degrees, then the exact-int
+    // coefficient — the same expression text as the Spark side, so
+    // the rounded doubles are bit-stable.
+    "q203_clustering_coefficient" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS rawsim
+        |  FROM m q, m t WHERE t.vec_id <> q.vec_id),
+        |knn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rawsim DESC, neighbor_id) AS rnk FROM p) WHERE rnk <= 3),
+        |e AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS x,
+        |    greatest(query_id, neighbor_id) AS y FROM knn),
+        |tr AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tp AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS node FROM tr
+        |    UNION ALL SELECT b FROM tr
+        |    UNION ALL SELECT c FROM tr)
+        |  GROUP BY node),
+        |dg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY node)
+        |SELECT dg.node, degree,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN degree >= 2
+        |    THEN round(2.0 * coalesce(n_tri, 0) / (degree * (degree - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM dg LEFT JOIN tp ON dg.node = tp.node
+        |ORDER BY clustering DESC, dg.node LIMIT 15""".stripMargin,
 
     // The greedy MMR loop unrolled: candidates ranked on RAW sim (the
     // q34 shape) then 6dp-rounded for all MMR arithmetic; each step

@@ -340,6 +340,28 @@ class KernelsSpec extends AnyFunSuite {
       Seq((1.0, 5.0, 1L)))
   }
 
+  test("prefixSum: matches a single-partition window cumsum; partition-invariant; negatives") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i =>
+      (i.toDouble / 3.0, rnd.nextInt(100).toLong, rnd.nextInt(41).toLong - 20))
+    def runWith(parts: Int): Seq[(Double, Long, Long)] = {
+      val df = spark.createDataFrame(rows).toDF("k", "a", "b")
+        .repartition(parts)
+      val got = Kernels.prefixSum(df, Seq(col("k").asc), Seq("a", "b"))
+        .orderBy("k").collect()
+        .map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).toSeq
+      graft.ops.Staging.releaseAll()
+      got
+    }
+    // reference: in-memory running sums in key order
+    var (ca, cb) = (0L, 0L)
+    val want = rows.sortBy(_._1).map { case (k, a, b) =>
+      ca += a; cb += b; (k, ca, cb) }
+    assert(runWith(1) == want)
+    assert(runWith(7) == want)   // cross-partition offsets exact
+    assert(runWith(32) == want)  // more partitions than natural splits
+  }
+
   test("groupQuantiles: approx mode within one bucket width of exact, shape-identical") {
     // hand case first: 1..100 in one group, width 10 — the histogram
     // estimate may differ from the interpolated exact value, but
