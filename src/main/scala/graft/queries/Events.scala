@@ -1156,6 +1156,47 @@ object EventQueries {
         .orderBy("n_pos")
     }),
 
+    // Chi-square test of independence (event_type × weekday) — the
+    // A/B-testing / drift sibling of q204/q205: does event mix depend
+    // on the day of week? Float discipline: a cross-cell SUM of
+    // double contributions would be partial-aggregation-order
+    // dependent, so each cell's χ² contribution is (a) derived from
+    // exact integers by identical IEEE ops — contrib = (obs·N −
+    // rt·ct)²/(rt·ct·N) with the decimal(38,0) numerator cast to
+    // double — then (b) FLOORED into exact integer ppm units, which
+    // sum exactly in any order. expected_ppm is pure integer div.
+    // Output: one row per cell plus an ALL/ALL total row.
+    "q208_chi_square" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 date_format(col("ts"), "EEEE").as("weekday"))
+        .agg(count(lit(1)).as("n_obs"))
+      val cells = graft.ops.Staging.stage(obs
+        .join(obs.groupBy("event_type").agg(sum("n_obs").as("__rt")),
+              "event_type")
+        .join(obs.groupBy("weekday").agg(sum("n_obs").as("__ct")), "weekday")
+        .crossJoin(broadcast(obs.agg(sum("n_obs").as("__n"))))
+        .select(col("event_type"), col("weekday"), col("n_obs"),
+          expr("""CAST((CAST(__rt AS DECIMAL(38,0)) * __ct * 1000000)
+                  div __n AS BIGINT)""").as("expected_ppm"),
+          expr("""CAST(floor(
+              CAST((CAST(n_obs AS DECIMAL(38,0)) * __n -
+                    CAST(__rt AS DECIMAL(38,0)) * __ct) *
+                   (CAST(n_obs AS DECIMAL(38,0)) * __n -
+                    CAST(__rt AS DECIMAL(38,0)) * __ct) AS DOUBLE) /
+              (CAST(__rt AS DOUBLE) * CAST(__ct AS DOUBLE) *
+               CAST(__n AS DOUBLE)) * 1000000.0D) AS BIGINT)""")
+            .as("chi2_contrib_ppm")))
+      val total = cells
+        .agg(sum("n_obs").as("n_obs"),
+             sum("chi2_contrib_ppm").as("chi2_contrib_ppm"))
+        .select(lit("ALL").as("event_type"), lit("ALL").as("weekday"),
+                col("n_obs"), lit(1000000L).as("expected_ppm"),
+                col("chi2_contrib_ppm"))
+      cells.unionByName(total)
+        .orderBy("event_type", "weekday")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -1946,6 +1987,40 @@ object EventQueries {
         |  round((CAST(s1 AS DOUBLE) + 0.5 * CAST(s2 AS DOUBLE)) /
         |        (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
         |FROM agg ORDER BY n_pos""".stripMargin,
+
+    // Replays the exact-integer contract: per-cell ppm floors of
+    // identical doubles (never a cross-cell double sum — the total
+    // row sums the exact integer ppm units). HUGEINT mirrors
+    // decimal(38,0); the double expression text matches the Spark
+    // side operation for operation.
+    "q208_chi_square" ->
+      """WITH obs AS (
+        |  SELECT event_type, dayname(ts) AS weekday,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS r
+        |       FROM obs GROUP BY 1),
+        |ct AS (SELECT weekday, CAST(sum(n_obs) AS BIGINT) AS c
+        |       FROM obs GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+        |cells AS (
+        |  SELECT obs.event_type, obs.weekday, n_obs,
+        |    CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT)
+        |      AS expected_ppm,
+        |    CAST(floor(
+        |      CAST((CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |           (CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |        AS DOUBLE) /
+        |      (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS chi2_contrib_ppm
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (weekday), t)
+        |SELECT event_type, weekday, n_obs, expected_ppm, chi2_contrib_ppm
+        |FROM cells
+        |UNION ALL
+        |SELECT 'ALL', 'ALL', CAST(sum(n_obs) AS BIGINT), 1000000,
+        |  CAST(sum(chi2_contrib_ppm) AS BIGINT)
+        |FROM cells
+        |ORDER BY event_type, weekday""".stripMargin,
 
     // Mirrors the flag-guarded ln-sum cumulative product; tie order
     // inside a user compares micros (epoch_us) exactly like the
