@@ -1197,6 +1197,48 @@ object EventQueries {
         .orderBy("event_type", "weekday")
     }),
 
+    // Interval-overlap join (IntervalJoin.overlapJoin — an
+    // inequality-only join condition has NO native Spark strategy;
+    // naive it plans as a broadcast nested loop): q23's 30-minute
+    // sessions matched against literal incident windows via the
+    // time-grid bucketization (each interval explodes to its 6-hour
+    // grid cells, plain equi-join on the cell, keys-dedup,
+    // exact half-open predicate s_start < w_end AND w_start < s_end).
+    // Replication is bounded by interval length / cell width — never
+    // a cross product. Per window: overlapping sessions + distinct
+    // users, exact integers.
+    "q210_interval_overlap" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sessions = Tables.events(s, d)
+        .withColumn("new_sess",
+          when(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >
+               1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(unix_micros(min("ts")).as("s_start"),
+             unix_micros(max("ts")).as("s_end"))
+      val wins = Seq(
+        ("w1", "2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+        ("w2", "2024-01-10 06:00:00", "2024-01-10 18:00:00"),
+        ("w3", "2024-01-12 00:00:00", "2024-01-14 00:00:00"),
+        ("w4", "2024-01-20 12:00:00", "2024-01-21 12:00:00"),
+        ("w5", "2024-01-28 00:00:00", "2024-01-31 00:00:00"))
+        .toDF("win_id", "__ss", "__es")
+        .select(col("win_id"),
+          unix_micros(to_timestamp(col("__ss"))).as("w_start"),
+          unix_micros(to_timestamp(col("__es"))).as("w_end"))
+      graft.ops.IntervalJoin.overlapJoin(
+          sessions, "s_start", "s_end", Seq("user_id", "session_id"),
+          wins, "w_start", "w_end", Seq("win_id"),
+          bucketWidth = 6L * 3600L * 1000000L)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             countDistinct("user_id").as("n_users"))
+        .orderBy("win_id")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -1935,6 +1977,47 @@ object EventQueries {
         |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
         |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // q23's sessionization replay + a plain inequality join (fine at
+    // oracle scale; the Spark side's grid bucketization must find the
+    // IDENTICAL pair set).
+    "q210_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts - lag(ts, 1) OVER w > INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id,
+        |    ts
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT user_id, session_id,
+        |    epoch_us(min(ts)) AS s_start, epoch_us(max(ts)) AS s_end
+        |  FROM sess GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT * FROM (VALUES
+        |    ('w1', epoch_us(TIMESTAMP '2024-01-05 00:00:00'),
+        |           epoch_us(TIMESTAMP '2024-01-06 00:00:00')),
+        |    ('w2', epoch_us(TIMESTAMP '2024-01-10 06:00:00'),
+        |           epoch_us(TIMESTAMP '2024-01-10 18:00:00')),
+        |    ('w3', epoch_us(TIMESTAMP '2024-01-12 00:00:00'),
+        |           epoch_us(TIMESTAMP '2024-01-14 00:00:00')),
+        |    ('w4', epoch_us(TIMESTAMP '2024-01-20 12:00:00'),
+        |           epoch_us(TIMESTAMP '2024-01-21 12:00:00')),
+        |    ('w5', epoch_us(TIMESTAMP '2024-01-28 00:00:00'),
+        |           epoch_us(TIMESTAMP '2024-01-31 00:00:00')))
+        |    AS t(win_id, w_start, w_end))
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM spans JOIN wins
+        |  ON s_start < w_end AND w_start < s_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     // The two-phase scan replayed as a plain window cumsum (fine at
     // oracle scale); identical exact ints -> identical ECDF doubles

@@ -1338,6 +1338,37 @@ object Relational {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // Snapshot reconciliation (Reconcile.snapshotDiff — the table
+    // diff every incremental pipeline runs for audit/backfill
+    // validation): v1 = orders before 1997; v2 = v1 with every 13th
+    // key dropped, every 7th price bumped by exactly +1.0 (exact in
+    // IEEE for any realistic price, so the changed-set is
+    // deterministic on both engines), and the next two months
+    // appended. ONE full-outer exchange on the key classifies every
+    // row added/removed/changed/unchanged with null-safe per-column
+    // change flags; the driver row rolls the statuses up.
+    "q209_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val v1 = base.filter(expr("o_orderdate < timestamp'1997-01-01'"))
+      val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(
+          expr("o_orderdate >= timestamp'1997-01-01'") &&
+          expr("o_orderdate < timestamp'1997-03-01'")))
+      graft.ops.Reconcile.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("o_orderstatus_changed"), 1L).otherwise(0L))
+               .as("n_status_changed"),
+             sum(when(col("o_totalprice_changed"), 1L).otherwise(0L))
+               .as("n_price_changed"))
+        .orderBy("diff_status")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2271,6 +2302,40 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q209_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM v1 WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-03-01'),
+        |j AS (
+        |  SELECT v1.o_orderkey IS NOT NULL AS in1,
+        |         v2.o_orderkey IS NOT NULL AS in2,
+        |    (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus) AS st_ch,
+        |    (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice) AS pr_ch
+        |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        |c AS (
+        |  SELECT CASE WHEN in1 AND NOT in2 THEN 'removed'
+        |              WHEN NOT in1 THEN 'added'
+        |              WHEN st_ch OR pr_ch THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_status,
+        |    (in1 AND in2 AND st_ch) AS stc,
+        |    (in1 AND in2 AND pr_ch) AS prc
+        |  FROM j)
+        |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (stc) AS BIGINT) AS n_status_changed,
+        |  CAST(count(*) FILTER (prc) AS BIGINT) AS n_price_changed
+        |FROM c GROUP BY 1 ORDER BY diff_status""".stripMargin,
 
     "q206_tpch_q3" ->
       """SELECT l_orderkey,

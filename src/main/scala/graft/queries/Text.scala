@@ -520,6 +520,34 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Token-budget ("nucleus") curation: per source, greedily keep
+    // the LARGEST documents (n_chars desc, doc_id tie-break) until
+    // the kept mass reaches 60% of the source's total characters —
+    // the fixed-budget data-mixture selection step (keep the densest
+    // 60% of each source's token mass). Cumulative windows are
+    // PARTITIONED by source (never a global single-partition window);
+    // the budget test is exact integer cross-multiplication
+    // (cum·10 ≤ tot·6 — no float share), and the output shares are
+    // exact ppm integer division.
+    "q211_token_budget" -> ((s, d) => {
+      val wCum = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("__cum", sum("n_chars").over(wCum))
+        .withColumn("__tot", sum("n_chars").over(wTot))
+        .filter(col("__cum") * 10 <= col("__tot") * 6)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"),
+             max("__tot").as("total_chars"))
+        .select(col("source"), col("n_kept"), col("kept_chars"),
+          col("total_chars"),
+          expr("(kept_chars * 1000000) div total_chars").as("share_ppm"))
+        .orderBy("source")
+    }),
+
     // REAL audio sample pipeline, driver-checked end to end: build a
     // deterministic mono 16-bit PCM WAV per document (sample i =
     // ((doc_id*31 + i*7919) mod 65536) - 32768), push it through the
@@ -1860,6 +1888,23 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_ok,
         |  CAST(0 AS BIGINT) AS n_bad_decode
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q211_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(max(tot) AS BIGINT) AS total_chars,
+        |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // CAST(max(tot) AS BIGINT)
+        |    AS share_ppm
+        |FROM d WHERE cum * 10 <= tot * 6
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Replays the audio pipeline sample-exactly: kept indices are
     // range(0, n, 3) (decimation by 3), sample value

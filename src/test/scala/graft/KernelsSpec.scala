@@ -340,6 +340,53 @@ class KernelsSpec extends AnyFunSuite {
       Seq((1.0, 5.0, 1L)))
   }
 
+  test("snapshotDiff: hand case — all four statuses, null-safe column flags") {
+    val v1 = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+                 (4L, "D", 40.0), (5L, null.asInstanceOf[String], 50.0))
+      .toDF("k", "st", "price")
+    val v2 = Seq((1L, "A", 10.0),          // unchanged
+                 (2L, "X", 20.0),          // status changed
+                 (3L, "C", 31.0),          // price changed
+                 (5L, "E", 50.0),          // null -> value IS a change
+                 (6L, "F", 60.0))          // added; 4 removed
+      .toDF("k", "st", "price")
+    val got = graft.ops.Reconcile
+      .snapshotDiff(v1, v2, Seq("k"), Seq("st", "price"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == (("unchanged", false, false)))
+    assert(got(2L) == (("changed", true, false)))
+    assert(got(3L) == (("changed", false, true)))
+    assert(got(4L) == (("removed", false, false)))
+    assert(got(5L) == (("changed", true, false))) // null -> "E"
+    assert(got(6L) == (("added", false, false)))
+  }
+
+  test("overlapJoin: equals the brute-force inequality join; bucket-width invariant") {
+    val rnd = new scala.util.Random(31)
+    val lefts = (1 to 120).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(800)) }
+    val rights = (1 to 40).map { j =>
+      val s = rnd.nextInt(10000).toLong
+      (s"r$j", s, s + 1 + rnd.nextInt(2500)) }
+    val expected = (for {
+      (lk, ls, le) <- lefts; (rk, rs, re) <- rights
+      if ls < re && rs < le
+    } yield (lk, rk)).toSet
+    val lDf = lefts.toDF("lk", "ls", "le")
+    val rDf = rights.toDF("rk", "rs", "re")
+    for (width <- Seq(64L, 500L, 5000L)) {
+      val got = graft.ops.IntervalJoin.overlapJoin(
+          lDf, "ls", "le", Seq("lk"), rDf, "rs", "re", Seq("rk"), width)
+        .select("lk", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // exact pair set AND no duplicate pairs from shared grid cells
+      assert(got.length == got.distinct.length, s"dup pairs at width $width")
+      assert(got.toSet == expected, s"pair set mismatch at width $width")
+    }
+  }
+
   test("prefixSum: matches a single-partition window cumsum; partition-invariant; negatives") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 500).map(i =>
