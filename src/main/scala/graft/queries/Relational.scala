@@ -1369,6 +1369,44 @@ object Relational {
         .orderBy("diff_status")
     }),
 
+    // The q149 scale substitute exercised as a DRIVER ROW:
+    // Kernels.groupQuantiles(exact = false) — additive fixed-width
+    // histogram counters + in-bucket interpolation
+    // (Sketches.histCounters/histQuantiles), the percentile path
+    // whose memory is bounded by value-range/width instead of group
+    // size. Every step is exact integer/rational double arithmetic
+    // (floor buckets, cumulative counts, ceil(p·N) ranks, one
+    // interpolation), so the oracle replays the ESTIMATE bit-exactly
+    // — this is the rare approximate operator with an exact oracle.
+    "q212_approx_quantiles" -> ((s, d) =>
+      Kernels.groupQuantiles(
+          Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95),
+          exact = false, width = 500.0)
+        .orderBy("l_returnflag", "p")),
+
+    // Explicit GROUPING SETS (the rollup/cube generalization q19/q115
+    // don't cover: an arbitrary set list — here (nation, year),
+    // (nation), (year), ()) over order revenue in exact cents.
+    // Aggregated-away keys are emitted as sentinels ('ALL' / -1)
+    // rather than NULLs so the total ORDER BY needs no cross-engine
+    // null-ordering contract.
+    "q213_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("__c"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")),
+              Seq(col("yr")), Seq()),
+          col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"), sum("__c").as("cents"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          col("n_orders"), col("cents"))
+        .orderBy("nation", "yr")),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2302,6 +2340,47 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // Replays the histogram estimate EXACTLY: floor buckets,
+    // per-group cumulative counts, ceil(p*N) target ranks, and the
+    // same left-associated interpolation expression.
+    "q212_approx_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, b, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p),
+        |sel AS (
+        |  SELECT g, p, b, c, cb,
+        |    CAST(ceil(p * n) AS BIGINT) AS r
+        |  FROM cum, ps
+        |  WHERE CAST(ceil(p * n) AS BIGINT) > cb
+        |    AND CAST(ceil(p * n) AS BIGINT) <= cb + c)
+        |SELECT g AS l_returnflag, p,
+        |  round(b * 500.0 + 500.0 * CAST(r - cb AS DOUBLE) / c, 6) AS q_est
+        |FROM sel ORDER BY l_returnflag, p""".stripMargin,
+
+    "q213_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(yr, -1) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS cents
+        |FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+        |ORDER BY nation, yr""".stripMargin,
 
     "q209_snapshot_diff" ->
       """WITH base AS (

@@ -520,6 +520,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // CHAR-WEIGHTED document-length quantiles per language
+    // (Sketches.histCounters weight column + histQuantiles): "the
+    // median character lives in a document of length X" — the
+    // length-vs-mass view that plain doc-count quantiles (q105's
+    // family) miss, and the weighted-quantile operator a mixture
+    // builder sizes shards with. Additive integer counters (weights
+    // are exact char counts), in-bucket interpolation — the q212
+    // exact-oracle-for-an-approximation contract.
+    "q214_weighted_quantiles" -> ((s, d) =>
+      graft.ext.Sketches.histQuantiles(
+          graft.ext.Sketches.histCounters(
+            Tables.documents(s, d), "lang", "n_chars", width = 20.0,
+            weight = col("n_chars")),
+          "lang", width = 20.0, ps = Seq(0.25, 0.5, 0.9))
+        .orderBy("lang", "p")),
+
     // Token-budget ("nucleus") curation: per source, greedily keep
     // the LARGEST documents (n_chars desc, doc_id tie-break) until
     // the kept mass reaches 60% of the source's total characters —
@@ -1888,6 +1904,32 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_ok,
         |  CAST(0 AS BIGINT) AS n_bad_decode
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // The q212 replay with weighted counters: c = sum of char
+    // weights per bucket; ranks target the weighted mass.
+    "q214_weighted_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang AS g,
+        |    CAST(floor(n_chars / 20.0) AS BIGINT) AS b,
+        |    CAST(sum(n_chars) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, b, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h),
+        |ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p),
+        |sel AS (
+        |  SELECT g, p, b, c, cb,
+        |    CAST(ceil(p * n) AS BIGINT) AS r
+        |  FROM cum, ps
+        |  WHERE CAST(ceil(p * n) AS BIGINT) > cb
+        |    AND CAST(ceil(p * n) AS BIGINT) <= cb + c)
+        |SELECT g AS lang, p,
+        |  round(b * 20.0 + 20.0 * CAST(r - cb AS DOUBLE) / c, 6) AS q_est
+        |FROM sel ORDER BY lang, p""".stripMargin,
 
     "q211_token_budget" ->
       """WITH d AS (
