@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the shared sweep harness's partitioning-declared checkpoint
+  * (ops.Sweep.pin / GraftPartitionedCheckpoint): the declaration must
+  * be visible to the planner (co-located joins, no re-exchange) and
+  * must state the truth (values identical to the undeclared frame).
+  */
+class SweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pin declares HashPartitioning on a LogicalRDD; values unchanged") {
+    val df = (1 to 400).map(i => (i % 40L, i.toLong)).toDF("k", "v")
+    val pinned = graft.ops.Sweep.pin(df, "k")
+    pinned.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            assert(h.expressions.map(_.asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
+              Seq("k"))
+          case other => fail(s"expected HashPartitioning, got $other")
+        }
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(pinned.orderBy("k", "v").collect().toSeq ==
+           df.orderBy("k", "v").collect().toSeq)
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("two pinned frames join with ZERO exchanges; an unpinned checkpoint needs one") {
+    val a = graft.ops.Sweep.pin(
+      (1 to 300).map(i => (i % 30L, i.toLong)).toDF("k", "va"), "k")
+    val b = graft.ops.Sweep.pin(
+      (1 to 200).map(i => (i % 30L, i * 2L)).toDF("k", "vb"), "k")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head).length
+    }
+    // broadcast would hide the property on these tiny frames
+    val joined = a.hint("merge").join(b, "k")
+    assert(exchanges(joined) == 0, "pinned sides must co-locate")
+    val plain = (1 to 200).map(i => (i % 30L, i * 2L)).toDF("k", "vb")
+      .localCheckpoint(true)
+    val mixed = a.hint("merge").join(plain, "k")
+    assert(exchanges(mixed) >= 1, "undeclared checkpoint should re-exchange")
+    graft.ops.Staging.releaseAll()
+  }
+}
