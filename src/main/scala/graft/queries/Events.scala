@@ -1239,6 +1239,43 @@ object EventQueries {
         .orderBy("win_id")
     }),
 
+    // Negative funnel — "first signup → first purchase within 7 days
+    // with NO error strictly between": the EXCLUSION-step pattern a
+    // plain ordered funnel (q91) cannot express (the middle step must
+    // be ABSENT, not present). Three user-keyed aggregate passes
+    // (first signup → windowed first purchase → error-in-band count)
+    // that share one hash partitioning; everything is exact
+    // integer micros, the rate is exact ppm.
+    "q216_negative_funnel" -> ((s, d) => {
+      val ev = graft.ops.Staging.stage(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("__s"))
+      val pu = su
+        .join(ev.filter(col("event_type") === "purchase"),
+              Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(first("__s").as("__s"),
+             min(when(col("us") >= col("__s") &&
+                      col("us") <= col("__s") + lit(604800000000L),
+                      col("us"))).as("__p"))
+      pu.join(ev.filter(col("event_type") === "error"),
+              Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(first("__p").as("__p"),
+             sum(when(col("us") > col("__s") && col("us") < col("__p"), 1L)
+               .otherwise(0L)).as("__ne"))
+        .agg(count(lit(1)).as("n_signups"),
+             count(col("__p")).as("n_converted_7d"),
+             sum(when(col("__p").isNotNull && col("__ne") === 0, 1L)
+               .otherwise(0L)).as("n_clean"),
+             expr("""(sum(CASE WHEN __p IS NOT NULL AND __ne = 0
+                         THEN 1 ELSE 0 END) * 1000000) div count(1)""")
+               .as("clean_ppm"))
+        .orderBy("n_signups")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -1977,6 +2014,36 @@ object EventQueries {
         |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
         |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // Replays the three user-keyed passes; boundary semantics match
+    // exactly (purchase in [s, s+7d], errors strictly inside (s, p)).
+    "q216_negative_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |su AS (SELECT user_id, min(us) AS s FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT su.user_id, s,
+        |    min(CASE WHEN p.us >= s AND p.us <= s + 604800000000
+        |             THEN p.us END) AS pus
+        |  FROM su LEFT JOIN e p
+        |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |er AS (
+        |  SELECT pu.user_id, pus,
+        |    CAST(count(*) FILTER (r.us > s AND r.us < pus) AS BIGINT) AS ne
+        |  FROM pu LEFT JOIN e r
+        |    ON r.user_id = pu.user_id AND r.event_type = 'error'
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(count(pus) AS BIGINT) AS n_converted_7d,
+        |  CAST(count(*) FILTER (pus IS NOT NULL AND ne = 0) AS BIGINT)
+        |    AS n_clean,
+        |  (CAST(count(*) FILTER (pus IS NOT NULL AND ne = 0) AS BIGINT)
+        |   * 1000000) // CAST(count(*) AS BIGINT) AS clean_ppm
+        |FROM er ORDER BY n_signups""".stripMargin,
 
     // q23's sessionization replay + a plain inequality join (fine at
     // oracle scale; the Spark side's grid bucketization must find the

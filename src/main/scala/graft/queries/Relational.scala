@@ -1407,6 +1407,41 @@ object Relational {
           col("n_orders"), col("cents"))
         .orderBy("nation", "yr")),
 
+    // Referential-integrity audit — orphan counts for every FK edge
+    // of the star schema via LEFT-ANTI joins (the promote-gate check
+    // a warehouse runs on each snapshot; the q125 expectations suite
+    // judges columns, this judges RELATIONSHIPS). Each edge is one
+    // anti join (semi-join family, shuffle on the key, no row
+    // explosion) + two counts. Exact integers; testdata is
+    // referentially clean, so every orphan count is a hard 0 — any
+    // ingest corruption flips the row.
+    "q215_fk_orphans" -> ((s, d) => {
+      def edge(rel: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val n = child.agg(count(lit(1)).as("n_child_rows"))
+        val orphans = child
+          .join(parent.select(col(pk)), child(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(orphans).select(lit(rel).as("relationship"),
+          col("n_child_rows"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      edge("customer.nation", c, "c_nationkey", na, "n_nationkey")
+        .unionByName(edge("lineitem.order", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("lineitem.part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionByName(edge("nation.region", na, "n_regionkey",
+          Tables.region(s, d), "r_regionkey"))
+        .unionByName(edge("orders.customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("supplier.nation", su, "s_nationkey", na, "n_nationkey"))
+        .orderBy("relationship")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2344,6 +2379,26 @@ object Relational {
     // Replays the histogram estimate EXACTLY: floor buckets,
     // per-group cumulative counts, ceil(p*N) target ranks, and the
     // same left-associated interpolation expression.
+    "q215_fk_orphans" -> {
+      def edge(rel: String, child: String, ck: String,
+               parent: String, pk: String) =
+        s"""SELECT '$rel' AS relationship,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                     WHERE c.$ck = p.$pk)) AS n_orphans""".stripMargin
+      Seq(
+        edge("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+                 "\n) ORDER BY relationship")
+    },
+
     "q212_approx_quantiles" ->
       """WITH h AS (
         |  SELECT l_returnflag AS g,
