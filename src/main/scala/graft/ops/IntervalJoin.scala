@@ -14,34 +14,44 @@ import org.apache.spark.sql.functions._
   * temporal engines: each interval explodes to the grid cells it
   * covers (`floor(start/w) … floor(end/w)` — replication bounded by
   * interval length / w + 1, NEVER a cross product), the join is a
-  * plain equi-join on the cell, overlapping pairs found in several
-  * shared cells are deduplicated by keys, and the exact overlap
-  * predicate filters the cell-coarse candidates. Pick `bucketWidth`
-  * near the typical interval length: too small inflates replication,
-  * too large inflates candidate pairs per cell — both degrade
-  * gracefully, neither is quadratic in table size.
+  * plain equi-join on the cell, and the exact overlap predicate
+  * filters the cell-coarse candidates. A pair overlapping across
+  * SEVERAL shared cells is emitted exactly once by the CANONICAL-CELL
+  * rule: only the first cell of the intersection,
+  * `floor(max(lStart, rStart)/w)` — a cell both sides always cover —
+  * may emit, which is a stateless map-side filter (no dedup
+  * exchange, and the same rule keeps the streaming twin
+  * [[graft.streaming.Streams.overlapJoinStream]] stateless). Pick
+  * `bucketWidth` near the typical interval length: too small
+  * inflates replication, too large inflates candidates per cell —
+  * both degrade gracefully, neither is quadratic in table size.
   */
 object IntervalJoin {
 
+  private[graft] def cells(s: String, e: String, w: Long): Column =
+    sequence(floor(col(s) / w).cast("long"), floor(col(e) / w).cast("long"))
+
+  /** The overlap predicate + canonical-cell exactly-once rule shared
+    * by the batch and streaming forms. */
+  private[graft] def overlapOnce(lStart: String, lEnd: String,
+                                 rStart: String, rEnd: String,
+                                 w: Long): Column =
+    col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+      col("__cell") ===
+        floor(greatest(col(lStart), col(rStart)) / w).cast("long")
+
   /** Overlap-join `left` and `right` on Long interval columns
-    * (epoch micros or any integer timeline). `lKeys`/`rKeys` must
-    * uniquely identify rows on their side (used to deduplicate
-    * multi-cell matches). Returns all left columns plus all right
-    * columns of matching pairs. */
+    * (epoch micros or any integer timeline). Returns all left
+    * columns plus all right columns of matching pairs, each pair
+    * exactly once. */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
-                  lKeys: Seq[String],
                   right: DataFrame, rStart: String, rEnd: String,
-                  rKeys: Seq[String],
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def cells(s: String, e: String): Column =
-      sequence(floor(col(s) / bucketWidth).cast("long"),
-               floor(col(e) / bucketWidth).cast("long"))
-    val l = left.withColumn("__cell", explode(cells(lStart, lEnd)))
-    val r = right.withColumn("__cell", explode(cells(rStart, rEnd)))
+    val l = left.withColumn("__cell", explode(cells(lStart, lEnd, bucketWidth)))
+    val r = right.withColumn("__cell", explode(cells(rStart, rEnd, bucketWidth)))
     l.join(r, Seq("__cell"))
-      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .dropDuplicates(lKeys ++ rKeys)
+      .filter(overlapOnce(lStart, lEnd, rStart, rEnd, bucketWidth))
       .drop("__cell")
   }
 }

@@ -1230,8 +1230,8 @@ object EventQueries {
           unix_micros(to_timestamp(col("__ss"))).as("w_start"),
           unix_micros(to_timestamp(col("__es"))).as("w_end"))
       graft.ops.IntervalJoin.overlapJoin(
-          sessions, "s_start", "s_end", Seq("user_id", "session_id"),
-          wins, "w_start", "w_end", Seq("win_id"),
+          sessions, "s_start", "s_end",
+          wins, "w_start", "w_end",
           bucketWidth = 6L * 3600L * 1000000L)
         .groupBy("win_id")
         .agg(count(lit(1)).as("n_sessions"),

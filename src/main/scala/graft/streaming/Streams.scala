@@ -273,6 +273,36 @@ object Streams {
         })
   }
 
+  /** Streaming twin of [[graft.ops.IntervalJoin.overlapJoin]] for the
+    * stream-static case: a STREAM of intervals (e.g. live sessions)
+    * matched against a STATIC interval table (incident/maintenance
+    * windows). Identical algorithm — explode each stream interval to
+    * its time-grid cells map-side, plain stream-static equi-join on
+    * the cell, exact half-open predicate — so the candidate space is
+    * bounded per record, STATELESS (a pair overlapping several
+    * shared cells is emitted exactly once by the canonical-cell rule
+    * — see [[graft.ops.IntervalJoin.overlapOnce]] — a map-side
+    * filter, so no stateful dedup and no watermark is needed: the
+    * static side never changes and the micro-batch boundary cannot
+    * split a pair because each stream ROW carries its whole
+    * interval). StreamingSpec pins the emitted pair set ≡ the batch
+    * operator's under arbitrary batch splits.
+    */
+  def overlapJoinStream(stream: DataFrame, sStart: String, sEnd: String,
+                        static: DataFrame, tStart: String, tEnd: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    import graft.ops.IntervalJoin
+    val l = stream.withColumn("__cell",
+      explode(IntervalJoin.cells(sStart, sEnd, bucketWidth)))
+    val r = static.withColumn("__cell",
+      explode(IntervalJoin.cells(tStart, tEnd, bucketWidth)))
+    l.join(r, Seq("__cell"))
+      .filter(IntervalJoin.overlapOnce(sStart, sEnd, tStart, tEnd,
+        bucketWidth))
+      .drop("__cell")
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-
     * state escape hatch for logic windowed aggs can't express.
     * State is bounded when `idleTimeout` is set (the production

@@ -378,10 +378,11 @@ class KernelsSpec extends AnyFunSuite {
     val rDf = rights.toDF("rk", "rs", "re")
     for (width <- Seq(64L, 500L, 5000L)) {
       val got = graft.ops.IntervalJoin.overlapJoin(
-          lDf, "ls", "le", Seq("lk"), rDf, "rs", "re", Seq("rk"), width)
+          lDf, "ls", "le", rDf, "rs", "re", width)
         .select("lk", "rk").collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      // exact pair set AND no duplicate pairs from shared grid cells
+      // exact pair set AND exactly-once emission (the canonical-cell
+      // rule, not a dedup exchange) across shared grid cells
       assert(got.length == got.distinct.length, s"dup pairs at width $width")
       assert(got.toSet == expected, s"pair set mismatch at width $width")
     }

@@ -535,6 +535,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(once(2L).v == 22.0 && once(3L).op == "D" && once(9L).v == 99.0)
   }
 
+  test("stream-static overlap join emits the batch pair set, stateless, under batch splits") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val intervals = (1 to 90).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(700)) }
+    val windows = (1 to 12).map { j =>
+      val s = rnd.nextInt(5000).toLong
+      (s"w$j", s, s + 1 + rnd.nextInt(1500)) }.toDF("wk", "ws", "we")
+    val expected = graft.ops.IntervalJoin.overlapJoin(
+        intervals.toDF("ik", "is", "ie"), "is", "ie",
+        windows, "ws", "we", bucketWidth = 256L)
+      .select("ik", "wk").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.Streams.overlapJoinStream(
+        stream.toDF().toDF("ik", "is", "ie"), "is", "ie",
+        windows, "ws", "we", bucketWidth = 256L)
+      .writeStream.format("memory").queryName("overlaps")
+      .outputMode(OutputMode.Append()).start()
+    // arbitrary uneven batch splits
+    intervals.grouped(37).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("overlaps").select("ik", "wk").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.distinct.length, "stream emitted a dup pair")
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("streaming clamped balance equals the batch kernel under in-order arrival") {
     implicit val sc = spark.sqlContext
     import graft.streaming.Streams.SeqEvent
