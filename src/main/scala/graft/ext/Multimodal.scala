@@ -644,6 +644,9 @@ object Multimodal {
       Gif.decode(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       Jpeg.decode(bytes)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+             (bytes(0) == 'M' && bytes(1) == 'M'))
+      Tiff.decode(bytes)
     else None
   }
 
@@ -848,6 +851,15 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** TIFF twin of [[withSyntheticBmp]] — the same oracle-replayable
+    * classic gradient through the REAL `javax.imageio` TIFF codec,
+    * which round-trips RGB losslessly (probed), so downstream
+    * checksums stay EXACT like the BMP/PNG legs. */
+  def withSyntheticTiff(df: DataFrame, idCol: String, wCol: String,
+                        hCol: String, out: String = "img"): DataFrame =
+    withSyntheticImage(df, idCol, wCol, hCol, out,
+      (w, h, rgb) => Tiff.encode(w, h, rgb))
 
   /** JPEG twin of [[withSyntheticBmp]], adapted to JPEG's lossy
     * model: pixel (x, y) is GRAY value `min(255, (id mod 64) + 2x +

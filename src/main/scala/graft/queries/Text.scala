@@ -520,6 +520,34 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // REAL TIFF pixel pipeline, driver-checked end to end — the
+    // FOURTH raster container through the shared registry, and the
+    // javax.imageio leg with an EXACT oracle (unlike lossy JPEG,
+    // TIFF round-trips RGB bit-exactly — probed): encode the classic
+    // q120 gradient as real TIFF, decode through the registry
+    // (resizeImage dispatches on the II*/MM* magic), bilinear
+    // resample to 8x5, checksum. in_w/in_h come from the DECODED
+    // header; the checksum equals q124/q127's because gradient and
+    // resample are identical — any wrong byte anywhere in the
+    // ImageIO round trip flips it.
+    "q217_tiff_decode_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val tiffs = graft.ext.Multimodal.withSyntheticTiff(
+        docs, "doc_id", "w", "h", "img")
+      val resized = graft.ext.Multimodal.resizeImage(tiffs, "img", 8, 5,
+          mode = "bilinear")
+        .drop("img")
+      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
+        .select(col("doc_id"), col("source"),
+          col("resized_src_w").cast("long").as("in_w"),
+          col("resized_src_h").cast("long").as("in_h"),
+          col("pixel_checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // CHAR-WEIGHTED document-length quantiles per language
     // (Sketches.histCounters weight column + histQuantiles): "the
     // median character lives in a document of length X" — the
@@ -1904,6 +1932,40 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_ok,
         |  CAST(0 AS BIGINT) AS n_bad_decode
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Identical interpolation replay to q124/q127 — the TIFF layer
+    // is lossless, so the checksum is the same exact integer.
+    "q217_tiff_decode_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT d.*, x, y, c
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
+        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
+        |v AS (
+        |  SELECT doc_id, source, w, h, c,
+        |    (x * (w - 1)) // 7 AS i0,
+        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
+        |    (x * (w - 1)) % 7 AS rx,
+        |    (y * (h - 1)) // 4 AS j0,
+        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
+        |    (y * (h - 1)) % 4 AS ry
+        |  FROM grid),
+        |o AS (
+        |  SELECT doc_id, source, w, h,
+        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
+        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
+        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
+        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
+        |  FROM v)
+        |SELECT doc_id, source,
+        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+        |  CAST(sum(val) AS BIGINT) AS checksum
+        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
 
     // The q212 replay with weighted counters: c = sum of char
     // weights per bucket; ranks target the weighted mass.

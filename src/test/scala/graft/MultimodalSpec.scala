@@ -589,6 +589,23 @@ class MultimodalSpec extends AnyFunSuite {
       .head().getLong(0) == -1L)
   }
 
+  test("Tiff: lossless ImageIO round trip; registry routes both byte orders; junk degrades") {
+    import graft.ext.{Multimodal, Tiff}
+    val (w, h) = (13, 9)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val t = Tiff.encode(w, h, rgb)
+    // JDK writes big-endian ("MM *"); decode must accept it...
+    val Some((dw, dh, back)) = Tiff.decode(t)
+    assert(dw == w && dh == h && back.toSeq == rgb.toSeq) // bit-exact
+    // ...and the shared registry must route it like BMP/PNG/GIF/JPEG
+    assert(Multimodal.decodeRgb(t).map(_._3.toSeq).contains(rgb.toSeq))
+    // hand-built little-endian header is recognized (decode path),
+    // junk with a TIFF-ish prefix degrades to None
+    assert(Tiff.decode("II* garbagegarbage".getBytes("ISO-8859-1")).isEmpty)
+    assert(Tiff.decode("MMnope___".getBytes).isEmpty)
+    assert(Tiff.decode(null).isEmpty)
+  }
+
   // ---- video: frame container + real frame extraction --------------
 
   test("Video.Container round-trips and seeks over skipped frames") {
