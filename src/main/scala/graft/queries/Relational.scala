@@ -1442,6 +1442,37 @@ object Relational {
         .orderBy("relationship")
     }),
 
+    // Multi-feature linear regression by NORMAL EQUATIONS — the
+    // at-scale training pattern: the whole fit collapses to ONE
+    // aggregation of exact integer sufficient statistics (9 sums,
+    // decimal(38,0) — exact at any corpus size, order-independent),
+    // then a closed-form 3×3 Cramer solve on the driver-sized row.
+    // y = price-cents ~ β0 + β1·quantity + β2·discount-bps. The
+    // solve expression TEXT is shared verbatim with the oracle
+    // ([[olsSelect]]), so every IEEE operation matches and the
+    // 6dp-rounded betas and R² hash. q99's single-feature trend OLS
+    // is the 2×2 special case; this is the general shape a 100-TB
+    // featurized table trains with (no gradient loop, one exchange).
+    "q218_ols_normal_eq" -> ((s, d) => {
+      val t = Tables.lineitem(s, d).select(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x1"),
+        expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)").as("x2"))
+      def dec(c: String) = col(c).cast("decimal(38,0)")
+      t.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(dec("x1")).as("s1"), sum(dec("x2")).as("s2"),
+          sum(dec("x1") * dec("x1")).as("s11"),
+          sum(dec("x1") * dec("x2")).as("s12"),
+          sum(dec("x2") * dec("x2")).as("s22"),
+          sum(dec("y")).as("sy"),
+          sum(dec("x1") * dec("y")).as("s1y"),
+          sum(dec("x2") * dec("y")).as("s2y"),
+          sum(dec("y") * dec("y")).as("syy"))
+        .selectExpr(olsSelect: _*)
+        .orderBy("n_rows")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -1468,6 +1499,40 @@ object Relational {
         .limit(100)
     }),
   )
+
+  /** q218's closed-form 3×3 normal-equation solve (Cramer), emitted
+    * as ONE expression text shared VERBATIM by the Spark selectExpr
+    * and the DuckDB oracle — textual identity is what makes every
+    * IEEE operation order match, so the 6dp-rounded betas hash. The
+    * inputs are the exact integer sufficient statistics
+    * (n, Σx, Σxx, Σxy, Σyy) — decimal(38,0) on the Spark side,
+    * HUGEINT in the oracle — cast to double once. */
+  private def olsSelect: Seq[String] = {
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    val (a11, a12, a13) = (D("n"), D("s1"), D("s2"))
+    val (a22, a23, a33) = (D("s11"), D("s12"), D("s22"))
+    val (b1, b2, b3) = (D("sy"), D("s1y"), D("s2y"))
+    val det = s"($a11 * ($a22 * $a33 - $a23 * $a23) - " +
+      s"$a12 * ($a12 * $a33 - $a23 * $a13) + " +
+      s"$a13 * ($a12 * $a23 - $a22 * $a13))"
+    val beta0 = s"(($b1 * ($a22 * $a33 - $a23 * $a23) - " +
+      s"$a12 * ($b2 * $a33 - $a23 * $b3) + " +
+      s"$a13 * ($b2 * $a23 - $a22 * $b3)) / $det)"
+    val beta1 = s"(($a11 * ($b2 * $a33 - $a23 * $b3) - " +
+      s"$b1 * ($a12 * $a33 - $a23 * $a13) + " +
+      s"$a13 * ($a12 * $b3 - $b2 * $a13)) / $det)"
+    val beta2 = s"(($a11 * ($a22 * $b3 - $b2 * $a23) - " +
+      s"$a12 * ($a12 * $b3 - $b2 * $a13) + " +
+      s"$b1 * ($a12 * $a23 - $a22 * $a13)) / $det)"
+    val sse = s"(${D("syy")} - ($b1 * $beta0 + $b2 * $beta1 + $b3 * $beta2))"
+    val sst = s"(${D("syy")} - $b1 * $b1 / $a11)"
+    Seq(
+      "CAST(n AS BIGINT) AS n_rows",
+      s"round($beta0, 6) AS beta0",
+      s"round($beta1, 6) AS beta1",
+      s"round($beta2, 6) AS beta2",
+      s"round(1.0 - $sse / $sst, 6) AS r2")
+  }
 
   /** q154's oracle: per-table (count, order-independent key
     * checksum) selects generated from one template — the 13-hex-digit
@@ -2379,6 +2444,29 @@ object Relational {
     // Replays the histogram estimate EXACTLY: floor buckets,
     // per-group cumulative counts, ceil(p*N) target ranks, and the
     // same left-associated interpolation expression.
+    // The identical shared solve text over HUGEINT sufficient
+    // statistics (see olsSelect).
+    "q218_ols_normal_eq" ->
+      s"""WITH t AS (
+         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+         |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+         |         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x2
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+         |    CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM t)
+         |SELECT ${olsSelect.mkString(",\n  ")}
+         |FROM s ORDER BY n_rows""".stripMargin,
+
     "q215_fk_orphans" -> {
       def edge(rel: String, child: String, ck: String,
                parent: String, pk: String) =
