@@ -389,11 +389,21 @@ object Kernels {
     }
   }
 
-  def denseIndex(df: DataFrame, orderCol: String, outCol: String): DataFrame = {
+  def denseIndex(df: DataFrame, orderCol: String, outCol: String): DataFrame =
+    denseIndex(df, Seq(col(orderCol)), outCol)
+
+  /** Multi-column total-order form: callers whose downstream depends
+    * on the rank ASSIGNMENT among equal values (quantile bucketing,
+    * RFM quintiles — q219) must pass a tie-breaking key; the
+    * single-column overload is only safe where ties are
+    * order-invariant (q182's Gini sum). */
+  def denseIndex(df: DataFrame, orderCols: Seq[Column],
+                 outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
+    require(orderCols.nonEmpty, "need at least one order column")
     val sorted = Staging.stage(
-      df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol))
+      df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*))
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)

@@ -1276,6 +1276,42 @@ object EventQueries {
         .orderBy("n_signups")
     }),
 
+    // RFM segmentation — the marketing-analytics staple, computed
+    // with DISTRIBUTED quintiles: per user recency (micros since the
+    // user's last event to the global max), frequency (events) and
+    // monetary (exact cents); each dimension is ranked by
+    // Kernels.denseIndex over the TOTAL order (value, user_id) —
+    // never a single-partition ntile window — and the quintile is
+    // exact integer arithmetic ((rank·5) div n + 1). Output: users
+    // and monetary mass per (r,f,m) segment. The user_id tie-break
+    // makes every rank (and thus every boundary bucket) identical
+    // cross-engine.
+    "q219_rfm_segments" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("__last"),
+             count(lit(1)).as("f"),
+             sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("m"))
+      val g = users.crossJoin(broadcast(
+          ev.agg(max(unix_micros(col("ts"))).as("__gmax"))))
+        .select(col("user_id"), (col("__gmax") - col("__last")).as("r"),
+                col("f"), col("m"))
+      val ranked = Kernels.denseIndex(
+        Kernels.denseIndex(
+          Kernels.denseIndex(g, Seq(col("r"), col("user_id")), "__ri"),
+          Seq(col("f"), col("user_id")), "__fi"),
+        Seq(col("m"), col("user_id")), "__mi")
+      ranked.crossJoin(broadcast(g.agg(count(lit(1)).as("__n"))))
+        .select(
+          expr("(__ri * 5) div __n + 1").as("r_q"),
+          expr("(__fi * 5) div __n + 1").as("f_q"),
+          expr("(__mi * 5) div __n + 1").as("m_q"),
+          col("m"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum("m").as("cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -2014,6 +2050,33 @@ object EventQueries {
         |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
         |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // Replays the ranks with row_number over the same total orders
+    // (0-based) and the identical integer quintile arithmetic.
+    "q219_rfm_segments" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, max(us) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+        |  FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, (SELECT max(us) FROM e) - last_us AS r, f, m
+        |  FROM u),
+        |rk AS (
+        |  SELECT user_id, m,
+        |    row_number() OVER (ORDER BY r, user_id) - 1 AS ri,
+        |    row_number() OVER (ORDER BY f, user_id) - 1 AS fi,
+        |    row_number() OVER (ORDER BY m, user_id) - 1 AS mi,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM g) AS n
+        |  FROM g)
+        |SELECT (ri * 5) // n + 1 AS r_q, (fi * 5) // n + 1 AS f_q,
+        |  (mi * 5) // n + 1 AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(m) AS BIGINT) AS cents
+        |FROM rk GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
 
     // Replays the three user-keyed passes; boundary semantics match
     // exactly (purchase in [s, s+7d], errors strictly inside (s, p)).
