@@ -1473,6 +1473,25 @@ object Relational {
         .orderBy("n_rows")
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-pushdown
+    // showcase — three filters that must all reach the parquet scan
+    // (PushedFilters on l_shipdate/l_discount/l_quantity; ReadSchema
+    // prunes to 4 columns) feeding one global aggregate, no shuffle
+    // beyond the 1-row combine. The discount band compares the SAME
+    // parquet doubles against identically-parsed literals on both
+    // engines, so the boundary is bit-safe; revenue follows the q185
+    // 2dp contract.
+    "q220_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(expr("l_shipdate >= timestamp'1997-01-01'") &&
+                expr("l_shipdate < timestamp'1998-01-01'") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("l_extendedprice") * col("l_discount")), 2)
+               .as("revenue"))
+        .orderBy("n_rows")),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2466,6 +2485,16 @@ object Relational {
          |  FROM t)
          |SELECT ${olsSelect.mkString(",\n  ")}
          |FROM s ORDER BY n_rows""".stripMargin,
+
+    "q220_tpch_q6" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24
+        |ORDER BY n_rows""".stripMargin,
 
     "q215_fk_orphans" -> {
       def edge(rel: String, child: String, ck: String,
