@@ -1492,6 +1492,76 @@ object Relational {
                .as("revenue"))
         .orderBy("n_rows")),
 
+    // TPC-H Q13 (customer distribution): the LEFT-join-then-histogram
+    // shape — orders per customer including ZERO-order customers
+    // (count(o_orderkey) over a left join counts non-null matches, so
+    // no-order customers land in the c_count = 0 bucket), with the
+    // classic filtered-join condition (exclude one priority class
+    // INSIDE the join, not after it — a post-filter would drop the
+    // zero bucket). Exact integers throughout.
+    "q221_tpch_q13" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q19 (discounted revenue, adapted to the testdata schema:
+    // brand × size-band × quantity-band branches stand in for the
+    // absent container/shipmode columns): the DISJUNCTIVE-predicate
+    // stressor — three OR branches that each touch BOTH join sides,
+    // so the optimizer must keep the join keys clean and push what it
+    // can (the p_brand IN superset and quantity range are pushable;
+    // the per-branch conjunctions evaluate post-join). q185 float
+    // contract on revenue.
+    "q222_tpch_q19" -> ((s, d) => {
+      val branch1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 30)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"))
+        .orderBy("n_rows")
+    }),
+
+    // TPC-H Q22 (global sales opportunity, adapted: nation buckets
+    // stand in for phone country codes): customers whose balance
+    // exceeds the average POSITIVE balance and who never ordered.
+    // The threshold is the boundary trap: comparing a double balance
+    // against a float average would flip boundary customers on ulp
+    // noise, so the comparison is EXACT integer cross-multiplication
+    // — cents·n > sum_cents — over exact cents totals. The no-order
+    // test is a left-anti join (never NOT IN, which at 100 TB is a
+    // broadcast-nested-loop trap and null-hostile).
+    "q223_tpch_q22" -> ((s, d) => {
+      val cents = expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+      val cust = graft.ops.Staging.stage(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), cents.as("__cents")))
+      val pos = cust.filter(col("__cents") > 0)
+        .agg(sum("__cents").as("__sum"), count(lit(1)).as("__n"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("__cents") * col("__n") > col("__sum"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs"), sum("__cents").as("total_cents"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_custs"), col("total_cents"))
+        .orderBy("nation")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2485,6 +2555,45 @@ object Relational {
          |  FROM t)
          |SELECT ${olsSelect.mkString(",\n  ")}
          |FROM s ORDER BY n_rows""".stripMargin,
+
+    "q221_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q222_tpch_q19" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |ORDER BY n_rows""".stripMargin,
+
+    "q223_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |t AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0)
+        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM c, t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
 
     "q220_tpch_q6" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
