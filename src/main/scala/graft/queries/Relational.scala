@@ -1562,6 +1562,112 @@ object Relational {
         .orderBy("nation")
     }),
 
+    // TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+    // ship year — the DOUBLE-dim-alias join (nation joined twice
+    // under different roles) plus a symmetric pair predicate. q185
+    // float contract; the year comes from l_shipdate on both sides.
+    "q224_tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(expr("l_shipdate >= timestamp'1996-01-01'") &&
+                expr("l_shipdate < timestamp'1998-01-01'"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("__sk"))
+        .join(n2, col("c_nationkey") === col("__ck"))
+        .filter((col("supp_nation") === "NATION_1" &&
+                 col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" &&
+                 col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): NATION_3's share of ASIA's
+    // PROMO-part order volume per year. The share is a ratio of two
+    // float sums (both computed over identical row sets) rounded at
+    // 6dp — the q14 rule holds because the true ratio can't sit on an
+    // exact decimal half.
+    "q225_tpch_q8" -> ((s, d) => {
+      val vol = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+              col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__v"),
+          col("n_name"))
+      vol.groupBy("o_year")
+        .agg(round(sum(when(col("n_name") === "NATION_3", col("__v"))
+               .otherwise(lit(0.0))) / sum(col("__v")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 (promotion effect): PROMO share of monthly revenue —
+    // the conditional-aggregate-over-one-scan shape; months anchored
+    // by date_format (identical string grid both engines).
+    "q226_tpch_q14" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(expr("l_shipdate >= timestamp'1997-01-01'") &&
+                expr("l_shipdate < timestamp'1997-07-01'"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(round(sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))) * 100.0 /
+             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_pct"))
+        .orderBy("month")),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    // the maximum WITH ties — the filter compares against the 1-row
+    // max of the identical raw double revenue (the q204 argmax
+    // contract: same doubles, same max, same selected rows), display
+    // rounds at 2dp.
+    "q227_tpch_q15" -> ((s, d) => {
+      val rev = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .filter(expr("l_shipdate >= timestamp'1997-01-01'") &&
+                  expr("l_shipdate < timestamp'1997-04-01'"))
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("__rev")))
+      rev.crossJoin(broadcast(rev.agg(max("__rev").as("__mx"))))
+        .filter(col("__rev") === col("__mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                round(col("__rev"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): lineitems under 20%
+    // of their part's average quantity. The threshold is the float
+    // trap: qty < 0.2·avg flips boundary rows on division ulps, so
+    // the comparison is EXACT — qty·5·cnt < sum_qty with integral-
+    // double quantities (exact in IEEE) and exact counts, cross-
+    // multiplied. Yearly-average display division by 7.0 at 2dp.
+    "q228_tpch_q17" -> ((s, d) => {
+      val pavg = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("__pk"))
+        .agg(sum("l_quantity").as("__sq"), count(lit(1)).as("__cnt"))
+      Tables.lineitem(s, d)
+        .join(pavg, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") * 5.0 * col("__cnt") < col("__sq"))
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+        .orderBy("n_rows")
+    }),
+
     // TPC-H Q18 (large-volume customers): the group-having semi-join
     // stressor — orders whose line quantities sum past a threshold,
     // re-joined to customer and lineitem for the detail rollup. The
@@ -2555,6 +2661,70 @@ object Relational {
          |  FROM t)
          |SELECT ${olsSelect.mkString(",\n  ")}
          |FROM s ORDER BY n_rows""".stripMargin,
+
+    "q224_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q225_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0.0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem, part, orders, customer, nation, region
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q226_tpch_q14" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0.0 END) * 100.0
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q227_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(r) AS m FROM rev)
+        |SELECT s_suppkey, s_name, round(r, 2) AS total_revenue
+        |FROM rev, mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = m
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q228_tpch_q17" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN p ON l_partkey = pk
+        |WHERE l_quantity * 5.0 * cnt < sq
+        |ORDER BY n_rows""".stripMargin,
 
     "q221_tpch_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
