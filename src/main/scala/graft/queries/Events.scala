@@ -1312,6 +1312,46 @@ object EventQueries {
         .orderBy("r_q", "f_q", "m_q")
     }),
 
+    // Rolling 7-day MEDIAN of event value — the quantile sibling of
+    // q199's HLL pyramid: exact rolling quantiles re-sort every
+    // window, but ADDITIVE histogram counters (the q212 family) make
+    // the rolling combine O(days × buckets): a dense day×bucket grid
+    // (bounded by value-range/width, zero-filled so every bucket
+    // windows over the SAME active-day list), a 7-row rolling sum per
+    // bucket, then the standard in-bucket interpolation per day.
+    // Every step is exact integer/rational arithmetic, so the
+    // ESTIMATE is replayed bit-exactly by the oracle — approximate
+    // operator, exact check (the q212 contract).
+    "q229_rolling_median" -> ((s, d) => {
+      val w = 5.0
+      val counts = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+                 floor(col("value") / w).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val days = counts.select("day").distinct()
+      val buckets = counts.select("b").distinct()
+      val grid = days.crossJoin(buckets)
+        .join(counts, Seq("day", "b"), "left")
+        .na.fill(0L, Seq("c"))
+      val roll = Window.partitionBy("b").orderBy("day")
+        .rowsBetween(-6, 0)
+      val cum = graft.ops.Staging.stage(
+        grid.withColumn("rc", sum("c").over(roll))
+          .filter(col("rc") > 0))
+      val wDay = Window.partitionBy("day").orderBy("b")
+      val prep = cum
+        .withColumn("cb", coalesce(
+          sum("rc").over(wDay.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum("rc").over(Window.partitionBy("day")))
+      val r = ceil(lit(0.5) * col("n"))
+      prep.filter(r > col("cb") && r <= col("cb") + col("rc"))
+        .select(col("day"), col("n").as("n_window"),
+          round(col("b") * w + lit(w) * (r - col("cb")).cast("double") /
+                col("rc"), 6).as("p50_est"))
+        .orderBy("day")
+    }),
+
     // Rolling 7-active-day distinct users — the sliding-uniques
     // product metric that is EXPENSIVE exactly (count(DISTINCT) over
     // a moving window re-scans the window per day) but O(days · 256)
@@ -2050,6 +2090,41 @@ object EventQueries {
         |    // (CAST(any_value(o.ca) AS HUGEINT) * count(*)) AS BIGINT)
         |    AS index_ppm
         |FROM daily, o GROUP BY 1 ORDER BY weekday""".stripMargin,
+
+    // Replays the dense grid, the 7-row rolling bucket sums, and the
+    // identical interpolation text (the q212 exact-oracle-for-an-
+    // approximation contract, windowed).
+    "q229_rolling_median" ->
+      """WITH counts AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(floor(value / 5.0) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, bk.b, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT day FROM counts) d
+        |  CROSS JOIN (SELECT DISTINCT b FROM counts) bk
+        |  LEFT JOIN counts c ON c.day = d.day AND c.b = bk.b),
+        |roll AS (
+        |  SELECT day, b,
+        |    CAST(sum(c) OVER (PARTITION BY b ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rc
+        |  FROM grid),
+        |nz AS (SELECT * FROM roll WHERE rc > 0),
+        |prep AS (
+        |  SELECT day, b, rc,
+        |    CAST(coalesce(sum(rc) OVER (PARTITION BY day ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb,
+        |    CAST(sum(rc) OVER (PARTITION BY day) AS BIGINT) AS n
+        |  FROM nz)
+        |SELECT day, n AS n_window,
+        |  round(b * 5.0 + 5.0 * CAST(CAST(ceil(0.5 * n) AS BIGINT) - cb
+        |    AS DOUBLE) / rc, 6) AS p50_est
+        |FROM prep
+        |WHERE CAST(ceil(0.5 * n) AS BIGINT) > cb
+        |  AND CAST(ceil(0.5 * n) AS BIGINT) <= cb + rc
+        |ORDER BY day""".stripMargin,
 
     // Replays the ranks with row_number over the same total orders
     // (0-based) and the identical integer quintile arithmetic.
