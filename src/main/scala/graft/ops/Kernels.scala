@@ -223,6 +223,54 @@ object Kernels {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Holt's linear (double-exponential) smoothing per key — the
+    * trend-aware sibling of the plain EWMA (q139):
+    * `level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})`,
+    * `trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}`,
+    * seeded `level_1 = y_1, trend_1 = 0`. Like [[clampedRunningSum]],
+    * the feedback (the smoothed trend feeds the next level) is NOT a
+    * window frame over any prefix aggregate, so it rides the same
+    * secondary-sort scan: one exchange on the series key, an
+    * in-partition sort, a constant-memory pass per task. Series
+    * COUNT scales out across executors; series LENGTH streams through
+    * the scan. The fp op ORDER is part of the contract — the oracle's
+    * recursive CTE replays `α·y + (1−α)·(l+b)` then `β·(l′−l) +
+    * (1−β)·b` with textually identical expressions, so every level
+    * and trend is bit-identical across engines. Appends `level` and
+    * `trend`. Ordering must be total per key.
+    */
+  def holtLinear(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("level",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("trend",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var l = 0.0
+        var b = 0.0
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          val y = r.getDouble(valIdx)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; l = y; b = 0.0
+          } else {
+            val lNew = alpha * y + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ l :+ b)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.

@@ -1378,6 +1378,130 @@ object EventQueries {
                 round(col("hll_distinct"), 6).as("rolling7_users_est"))
         .orderBy("day")
     }),
+
+    // First-order Markov transition matrix of per-user event-type
+    // sequences — the sequence-model statistic behind next-action
+    // prediction and behavioral anomaly scoring. One exchange on
+    // user_id for the lead() window (sequences stay partition-local
+    // however long), then the (src,dst) aggregate collapses to at
+    // most |types|² rows — constant output at any corpus size. Row
+    // probabilities in floor-ppm (n·1e6 < 2^53 so the double product
+    // is exact; floor replicated textually by the oracle).
+    "q230_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("dst", lead("event_type", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm",
+          floor(col("n") * 1000000.0 /
+                sum("n").over(Window.partitionBy("src"))).cast("long"))
+        .orderBy("src", "dst")
+    }),
+
+    // Holt's linear trend (double-exponential smoothing) over each
+    // event type's daily-revenue series — the level+trend forecast
+    // primitive one step past q139's flat EWMA. Daily cents are exact
+    // integers (so y is an exact double); the recurrence runs in
+    // Kernels.holtLinear's secondary-sort scan (series count scales
+    // out, the per-series scan is constant-memory), and the oracle
+    // replays the identical fp op order as a recursive CTE →
+    // bit-identical levels/trends (the q151/q158 contract).
+    "q231_holt_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .cast("double").as("y"))
+      Kernels.holtLinear(daily, "event_type", Seq("day"), "y",
+          alpha = 0.5, beta = 0.5)
+        .select(col("event_type"), col("day"),
+                round(col("level"), 6).as("level"),
+                round(col("trend"), 6).as("trend"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Lagged cross-correlation between two daily series — click
+    // activity (counts) leading purchase revenue (cents) by 0..7
+    // days: the lead-lag diagnostic behind "does engagement predict
+    // spend". Days ride exact integer epoch-day keys (never engine
+    // date arithmetic), the 8 lags are a broadcast 8-row frame so
+    // the shifted join is one shuffle of the tiny daily aggregates,
+    // and Pearson r per lag is derived from six exact decimal(38,0)
+    // sums by textually-shared IEEE ops (the q194 cv² contract —
+    // sums exact at any scale, one closed-form divide at the end,
+    // 6dp).
+    "q232_lag_crosscorr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(datediff(to_date(col("ts")),
+                          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("x"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .groupBy(datediff(to_date(col("ts")),
+                          lit("1970-01-01").cast("date")).cast("long").as("ed_dd"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("yv"))
+      val lags = s.range(0, 8).toDF("lag_d")
+      val pairs = clicks.crossJoin(broadcast(lags))
+        .withColumn("ed_dd", col("dd") + col("lag_d"))
+        .join(rev, Seq("ed_dd"))
+      pairs.groupBy("lag_d")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+             sum(col("x").cast("decimal(38,0)")).as("sx"),
+             sum(col("yv").cast("decimal(38,0)")).as("sy"),
+             sum(col("x").cast("decimal(38,0)") *
+                 col("yv").cast("decimal(38,0)")).as("sxy"),
+             sum(col("x").cast("decimal(38,0)") *
+                 col("x").cast("decimal(38,0)")).as("sxx"),
+             sum(col("yv").cast("decimal(38,0)") *
+                 col("yv").cast("decimal(38,0)")).as("syy"))
+        .select(col("lag_d"), col("n").cast("long").as("n_days"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+                (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                      col("sx").cast("double") * col("sx").cast("double")) *
+                 sqrt(col("n").cast("double") * col("syy").cast("double") -
+                      col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("pearson_r"))
+        .orderBy("lag_d")
+    }),
+
+    // Quantile normalization across event types (the cross-batch
+    // distribution aligner from bioinformatics, equally the "make
+    // feature distributions comparable across sources" step in a
+    // training pipeline): rank values within each type, average each
+    // rank across types up to the shortest type's length, summarize
+    // per rank-decile. One exchange for the per-type row_number, one
+    // for the per-rank sum — both keyed on columns whose cardinality
+    // grows with the data, never all-pairs. Everything is exact
+    // integers except the final per-decile mean, emitted as
+    // floor(·1e4) of an exact-double product (the q142 floor-not-
+    // round rule — a mean of integers CAN sit on a 6dp half).
+    "q233_quantile_norm" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"),
+                expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+                col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val m = ranked.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("min_n"), count(lit(1)).as("n_types"))
+      ranked.crossJoin(broadcast(m))
+        .filter(col("rn") <= col("min_n"))
+        .groupBy("rn", "min_n", "n_types")
+        .agg(sum("cents").as("rank_cents"))
+        .select(expr("((rn - 1) * 10) div min_n + 1").as("decile"),
+                col("n_types"), col("rank_cents"))
+        .groupBy("decile", "n_types")
+        .agg(count(lit(1)).as("n_ranks"), sum("rank_cents").as("total_cents"))
+        .select(col("decile"), col("n_types"), col("n_ranks"),
+                col("total_cents"),
+                expr("CAST(floor(total_cents * 10000.0 / (n_types * n_ranks)) AS BIGINT)")
+                  .as("avg_norm_c4"))
+        .orderBy("decile")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -2506,5 +2630,113 @@ object EventQueries {
         |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6)
         |    AS rolling7_users_est
         |FROM f ORDER BY day""".stripMargin,
+
+    // Markov replay: the same lead() window (total order ts,
+    // event_id per user) and the identical floor-ppm row-probability
+    // expression.
+    "q230_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(floor(n * 1000000.0 / sum(n) OVER (PARTITION BY src))
+        |       AS BIGINT) AS p_ppm
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    // Holt replay: the recurrence as a recursive CTE stepping
+    // rn -> rn+1 per event type. The level expression `0.5*y +
+    // 0.5*(l+b)` and the trend expression repeat it verbatim (the
+    // kernel computes level first and reuses it — a repeated
+    // subexpression evaluates bit-identically), so every row matches
+    // the secondary-sort scan exactly.
+    "q231_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.rn,
+        |    0.5 * s.y + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT event_type, day, round(l, 6) AS level, round(b, 6) AS trend
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // Cross-correlation replay: integer epoch-day keys, the same
+    // 8-row lag frame (range()), HUGEINT sums mirroring the
+    // decimal(38,0) sums, and the textually-identical Pearson
+    // closed form.
+    "q232_lag_crosscorr" ->
+      """WITH ck AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |rv AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed_dd,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag_d FROM range(0, 8)),
+        |p AS (
+        |  SELECT l.lag_d, ck.x, rv.yv
+        |  FROM ck CROSS JOIN l
+        |  JOIN rv ON rv.ed_dd = ck.dd + l.lag_d),
+        |s AS (
+        |  SELECT lag_d, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(yv AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(yv AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS syy
+        |  FROM p GROUP BY lag_d)
+        |SELECT lag_d, CAST(n AS BIGINT) AS n_days,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+        |FROM s ORDER BY lag_d""".stripMargin,
+
+    // Quantile-norm replay: the same per-type row_number total order
+    // (cents, event_id), the min-length truncation, and the identical
+    // integer decile arithmetic + floor(·1e4) mean.
+    "q233_quantile_norm" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS rn
+        |  FROM ev),
+        |m AS (
+        |  SELECT CAST(min(cnt) AS BIGINT) AS min_n,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM (SELECT event_type, count(*) AS cnt FROM ranked GROUP BY 1)),
+        |pr AS (
+        |  SELECT rn, min_n, n_types, CAST(sum(cents) AS BIGINT) AS rank_cents
+        |  FROM ranked, m WHERE rn <= min_n GROUP BY 1, 2, 3),
+        |dec AS (
+        |  SELECT ((rn - 1) * 10) // min_n + 1 AS decile, n_types, rank_cents
+        |  FROM pr)
+        |SELECT decile, n_types, CAST(count(*) AS BIGINT) AS n_ranks,
+        |  CAST(sum(rank_cents) AS BIGINT) AS total_cents,
+        |  CAST(floor(sum(rank_cents) * 10000.0 / (n_types * count(*)))
+        |       AS BIGINT) AS avg_norm_c4
+        |FROM dec GROUP BY decile, n_types ORDER BY decile""".stripMargin,
   )
 }

@@ -238,6 +238,45 @@ object Streams {
         })
   }
 
+  /** Row shapes for the streaming Holt-smoothing twin. */
+  case class SeriesPoint(k: String, seq: Long, y: Double)
+  case class HoltState(k: String, level: Double, trend: Double, n_points: Long)
+
+  /** Streaming twin of [[graft.ops.Kernels.holtLinear]]: per-series
+    * Holt level+trend maintained in constant state (two doubles and a
+    * count per key). Same op order as the batch kernel — `α·y +
+    * (1−α)·(l+b)` then `β·(l′−l) + (1−β)·b` — so under in-order
+    * arrival the streamed state is bit-identical to the batch scan
+    * (StreamingSpec pins it across arbitrary micro-batch splits).
+    * Like the clamped-balance twin, the recurrence is order-sensitive
+    * by nature: a late point would require suffix replay, which no
+    * bounded-state stream can do — the documented in-order contract.
+    */
+  def holtStream(points: Dataset[SeriesPoint],
+                 alpha: Double, beta: Double): Dataset[HoltState] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[SeriesPoint], st: GroupState[HoltState]) => {
+          var (l, b, n) = st.getOption
+            .map(s => (s.level, s.trend, s.n_points))
+            .getOrElse((0.0, 0.0, 0L))
+          it.toSeq.sortBy(_.seq).foreach { p =>
+            if (n == 0L) { l = p.y; b = 0.0 }
+            else {
+              val lNew = alpha * p.y + (1 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1 - beta) * b
+              l = lNew
+            }
+            n += 1
+          }
+          val s = HoltState(k, l, b, n)
+          st.update(s)
+          s
+        })
+  }
+
   /** Streaming CDC: maintain the LATEST change per key across
     * micro-batches — the streaming half of
     * [[graft.ext.Cdc.applyChangelog]] (whose batch top-1-per-key this

@@ -309,6 +309,43 @@ class KernelsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  test("holtLinear: hand case — trend feedback distinguishes it from EWMA") {
+    // α=β=0.5, series 10, 20, 30:
+    //   t1: l=10, b=0
+    //   t2: l=0.5·20+0.5·(10+0)=15, b=0.5·(15−10)+0.5·0=2.5
+    //   t3: l=0.5·30+0.5·(15+2.5)=23.75, b=0.5·(23.75−15)+0.5·2.5=5.625
+    // A plain EWMA (no trend term) would give 15, 22.5 at t2/t3 —
+    // the b-feedback at t3 is the distinguishing step.
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("k", "seq", "y")
+    val out = Kernels.holtLinear(df, "k", Seq("seq"), "y", 0.5, 0.5)
+      .orderBy("seq").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((10.0, 0.0), (15.0, 2.5), (23.75, 5.625)))
+  }
+
+  test("holtLinear: state resets at key boundaries in one partition") {
+    val df = Seq(("a", 1L, 8.0), ("a", 2L, 8.0), ("z", 1L, 3.0))
+      .toDF("k", "seq", "y").coalesce(1)
+    val out = Kernels.holtLinear(df, "k", Seq("seq"), "y", 0.5, 0.5)
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    // flat series: level stays, trend stays 0; z restarts at 3
+    assert(out.toSeq == Seq(("a", 8.0, 0.0), ("a", 8.0, 0.0), ("z", 3.0, 0.0)))
+  }
+
+  test("holtLinear: partition-count invariant (bit-identical doubles)") {
+    val rows = (1 to 300).map(i =>
+      ((i % 5).toString, i.toLong, (i % 17) * 1.25))
+    def run(parts: Int) =
+      Kernels.holtLinear(rows.toDF("k", "seq", "y").repartition(parts),
+          "k", Seq("seq"), "y", 0.5, 0.5)
+        .orderBy("k", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+                   r.getDouble(4))).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("skyline2d: matches the O(n²) dominance definition on random points") {
     val rnd = new scala.util.Random(11)
     // duplicates and same-min-value ties on purpose (small value grid)

@@ -593,4 +593,31 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq
     assert(streamed == batch)
   }
+
+  test("holtStream ≡ batch holtLinear under arbitrary micro-batch splits") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.SeriesPoint
+    val all = (1 to 48).map(i =>
+      SeriesPoint(s"s${i % 4}", i.toLong, (i % 9) * 1.5 + (i % 5)))
+    val stream = MemoryStream[SeriesPoint]
+    val q = graft.streaming.Streams.holtStream(stream.toDS(), 0.5, 0.5)
+      .writeStream.format("memory").queryName("holtstate")
+      .outputMode(OutputMode.Update()).start()
+    all.grouped(17).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("holtstate")
+      .as[graft.streaming.Streams.HoltState].collect()
+      .groupBy(_.k).values.map(_.maxBy(_.n_points))
+      .map(s => (s.k, s.level, s.trend, s.n_points)).toSeq.sortBy(_._1)
+    val batch = graft.ops.Kernels.holtLinear(
+        all.toDF(), "k", Seq("seq"), "y", 0.5, 0.5)
+      .groupBy("k")
+      .agg(max(struct($"seq", $"level", $"trend")).as("last"),
+           count(lit(1)).as("n"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getDouble(1),
+                 r.getStruct(1).getDouble(2), r.getLong(2)))
+      .toSeq
+    assert(streamed == batch)
+  }
 }
