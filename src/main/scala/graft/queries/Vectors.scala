@@ -368,6 +368,17 @@ object VectorQueries {
           round(gf.cosineSimilarity(s, col("ca"), col("cb")), 6).as("cosine"))
         .orderBy("label_a", "label_b")
     }),
+
+    // Exact-rational Lloyd k-means (ext.KmeansExact): the TRAINED
+    // clustering itself is hash-verified — quantize once to integer
+    // micro-units, keep centroids as exact (sum, count) rationals,
+    // decide every assignment by cross-multiplied exact decimal
+    // comparisons. The fp ivfCentroids path (q43/q52) is the
+    // production build; this pins the algorithm's semantics with a
+    // generated sweep-unrolled oracle (the q143 BPE contract).
+    "q234_kmeans_exact" -> ((s, d) =>
+      graft.ext.KmeansExact.lloyd(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, dims = 64, sweeps = 2)),
   )
 
   /** q160's oracle: q34's exact-cosine top-3 replay at each prefix
@@ -758,6 +769,12 @@ object VectorQueries {
         |SELECT label_a, label_b,
         |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
         |FROM p ORDER BY label_a, label_b""".stripMargin,
+
+    // Generated sweep-unrolled exact-integer Lloyd replay — same
+    // quantization, seed, comparisons and empty-cluster fallback as
+    // KmeansExact.lloyd, with centroid state in pivoted CTEs.
+    "q234_kmeans_exact" ->
+      graft.ext.KmeansExact.lloydOracleSql(k = 4, dims = 64, sweeps = 2),
   )
 
   /** Builds the q106 oracle: `k−1` identical greedy-step blocks after

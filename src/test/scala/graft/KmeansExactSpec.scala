@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.KmeansExact
+
+class KmeansExactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lloyd: hand case — two tight 2-D blobs split cleanly") {
+    // Seeds are the 2 lowest ids (one per blob by construction);
+    // one sweep already lands each point with its blob.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)), (4L, Seq(0.0f, 0.1f)),
+      (1L, Seq(5.0f, 5.0f)), (3L, Seq(5.1f, 5.0f)), (5L, Seq(5.0f, 5.1f)))
+      .toDF("vec_id", "embedding")
+    val out = KmeansExact.lloyd(pts, "vec_id", "embedding",
+        k = 2, dims = 2, sweeps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    graft.ops.Staging.releaseAll()
+    // blob A micro means: ((0+100000+0)/3, (0+0+100000)/3) = 33333 each
+    // (floor of 100000/3); blob B: 5.1f widens to 5.09999990…, so its
+    // micro floor is 5099999 and the mean is (5000000+5099999+5000000)/3
+    // = 5033333 exactly, both dims.
+    assert(out.toSeq == Seq(
+      (0L, 3L, 33333L, 33333L), (1L, 3L, 5033333L, 5033333L)))
+  }
+
+  test("lloyd: matches an independent BigInt reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val n = 120; val dims = 5; val k = 3; val sweeps = 2
+    val data = (0 until n).map(i =>
+      (i.toLong, Seq.fill(dims)((rnd.nextDouble() - 0.5).toFloat)))
+
+    // independent reference: BigInt arithmetic over the same
+    // micro-quantized grid, nearest-by-cross-multiplication,
+    // lowest-index ties, empty clusters keep their centroid
+    val q = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    }.sortBy(_._1)
+    var cents = q.take(k).map(p => (BigInt(1), p._2.map(BigInt(_))))
+    def assign(p: Seq[Long]): Int = {
+      val d = cents.map { case (cn, cs) =>
+        p.zip(cs).map { case (x, s) => { val t = cn * x - s; t * t } }.sum
+      }
+      (0 until k).minBy(j => (0 until k).count(i =>
+        d(i) * cents(j)._1.pow(2) < d(j) * cents(i)._1.pow(2)))
+    }
+    for (_ <- 0 until sweeps) {
+      val groups = q.groupBy(p => assign(p._2))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        groups.get(j) match {
+          case Some(ps) => (BigInt(ps.size),
+            (0 until dims).map(i => ps.map(p => BigInt(p._2(i))).sum))
+          case None => old
+        }
+      }
+    }
+    val expected = q.groupBy(p => assign(p._2)).toSeq.sortBy(_._1)
+      .map { case (cl, ps) =>
+        (cl.toLong, ps.size.toLong, (0 until dims).map(i =>
+          math.floor(ps.map(_._2(i)).sum * 1.0 / ps.size).toLong))
+      }
+
+    val out = KmeansExact.lloyd(
+        data.toDF("vec_id", "embedding").repartition(7),
+        "vec_id", "embedding", k = k, dims = dims, sweeps = sweeps)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (0 until dims).map(i => r.getLong(i + 2))))
+    graft.ops.Staging.releaseAll()
+    assert(out.toSeq == expected)
+  }
+
+  test("lloyd: partition-count invariant") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(4)((rnd.nextDouble() - 0.5).toFloat)))
+    def run(parts: Int) = {
+      val r = KmeansExact.lloyd(
+          data.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", k = 3, dims = 4, sweeps = 2)
+        .collect().map(_.toSeq).toSeq
+      graft.ops.Staging.releaseAll()
+      r
+    }
+    assert(run(1) == run(11))
+  }
+}
