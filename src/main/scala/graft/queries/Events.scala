@@ -1502,6 +1502,62 @@ object EventQueries {
                   .as("avg_norm_c4"))
         .orderBy("decile")
     }),
+
+    // Point-in-time (time-travel) read over the q141 SCD2 history:
+    // "what did the dimension look like at T?" for four probe
+    // instants — the reproducibility primitive behind training-run
+    // provenance ("rebuild the features exactly as of the snapshot").
+    // Each key has at most one version valid at T (the SCD2 intervals
+    // partition time from the key's first change), so the as-of read
+    // is a RANGE join of the history against a broadcast 4-row probe
+    // frame — a broadcast nested loop over tiny probes, never a
+    // history self-join; the history build itself is q141's single
+    // window pass.
+    "q235_scd2_asof" -> ((s, d) => {
+      val hist = Cdc.scd2(Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          key = "user_id", ts = "ts", tieBreak = "event_id",
+          attrs = Seq("value"))
+      import s.implicits._
+      val probes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+          "2024-01-22 00:00:00", "2024-01-29 00:00:00").toDF("pt")
+        .select(col("pt"), to_timestamp(col("pt")).as("pts"))
+      hist.join(broadcast(probes),
+          col("valid_from") <= col("pts") &&
+            (col("valid_to").isNull || col("valid_to") > col("pts")))
+        .groupBy("pt")
+        .agg(count(lit(1)).as("n_users"),
+             sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+               .as("total_cents"),
+             max("version").cast("long").as("max_version"))
+        .orderBy("pt")
+    }),
+
+    // Incremental view maintenance: a materialized per-type aggregate
+    // kept current by MERGING a delta partition's partial aggregate
+    // into the base's — never rescanning the base (the nightly-ingest
+    // contract at 100 TB: the base agg is k rows, the delta scan is
+    // one day). Everything maintained must be MERGEABLE (sum/count/
+    // min/max — the same algebra behind Spark's own partial
+    // aggregation; distinct counts need q112's HLL registers
+    // instead). The ORACLE is the full recompute over base+delta —
+    // the check IS the proof that incremental ≡ recompute.
+    "q236_ivm_delta" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val cut = lit("2024-01-25").cast("date")
+      def part(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"),
+             min("day").as("mn"), max("day").as("mx"))
+      part(ev.filter(col("day") < cut))
+        .unionByName(part(ev.filter(col("day") >= cut)))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("c").as("total_cents"),
+             date_format(min("mn"), "yyyy-MM-dd").as("first_day"),
+             date_format(max("mx"), "yyyy-MM-dd").as("last_day"))
+        .orderBy("event_type")
+    }),
   )
 
   /** q109's oracle: the 21-bit interleave as an explicit integer-
@@ -2738,5 +2794,37 @@ object EventQueries {
         |  CAST(floor(sum(rank_cents) * 10000.0 / (n_types * count(*)))
         |       AS BIGINT) AS avg_norm_c4
         |FROM dec GROUP BY decile, n_types ORDER BY decile""".stripMargin,
+
+    // As-of replay: the SCD2 intervals as one window pass, the same
+    // half-open validity test against the four probe instants.
+    "q235_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT user_id, value, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS version
+        |  FROM events),
+        |p AS (SELECT * FROM (VALUES ('2024-01-08 00:00:00'),
+        |        ('2024-01-15 00:00:00'), ('2024-01-22 00:00:00'),
+        |        ('2024-01-29 00:00:00')) v(pt))
+        |SELECT pt, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(max(version) AS BIGINT) AS max_version
+        |FROM h JOIN p
+        |  ON h.valid_from <= CAST(pt AS TIMESTAMP)
+        | AND (h.valid_to IS NULL OR h.valid_to > CAST(pt AS TIMESTAMP))
+        |GROUP BY pt ORDER BY pt""".stripMargin,
+
+    // IVM oracle = the FULL RECOMPUTE (no delta split): hash-equality
+    // against the incremental plan proves the merge law holds.
+    "q236_ivm_delta" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+        |  strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
