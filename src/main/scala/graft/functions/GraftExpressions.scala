@@ -974,6 +974,65 @@ case class JaroWinkler(left: Expression, right: Expression)
       l: Expression, r: Expression): JaroWinkler = copy(left = l, right = r)
 }
 
+/** Hilbert-curve index of a 2-D point — the locality-tighter sibling
+  * of [[graft.ops.Layout.zOrderKey]]'s Morton interleave: consecutive
+  * Hilbert keys are always spatially ADJACENT (Morton takes quadrant-
+  * boundary jumps), so range-clustered files get strictly tighter
+  * per-file min/max spans in both dimensions (LayoutSpec measures
+  * the contraction). The canonical xy2d bit-descent (Hilbert 1891;
+  * the standard public-domain formulation): at each bit level take
+  * the quadrant `(3·rx) xor ry`, then reflect+swap the frame when
+  * ry = 0. The loop is per-row constant work over `bits` levels,
+  * implemented as a codegen'd kernel so the 100 TB write path stays
+  * inside whole-stage codegen — a foldLeft of when() columns would
+  * blow up the expression tree 4× per level. Inputs must be
+  * non-negative and < 2^bits (pmod/bucket wider domains first, as
+  * with the Morton key).
+  */
+case class HilbertKey(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_key expects (bigint, bigint), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_key"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HilbertKernel.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HilbertKernel.xy2d($a, $b, $bits);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertKey = copy(left = l, right = r)
+}
+
+/** The xy2d descent shared by interpreted eval and codegen. */
+object HilbertKernel {
+  def xy2d(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn; var y = yIn; var d = 0L
+    val n1 = (1L << bits) - 1L
+    var k = bits - 1
+    while (k >= 0) {
+      val rx = (x >> k) & 1L
+      val ry = (y >> k) & 1L
+      d += (1L << (2 * k)) * (3L * rx + ry - 2L * rx * ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n1 - x; y = n1 - y }
+        val t = x; x = y; y = t
+      }
+      k -= 1
+    }
+    d
+  }
+}
+
 /** Column-API and SQL registration for the native expressions. */
 object GraftFunctions {
 
@@ -1116,6 +1175,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_jaro_winkler(a, b): got ${other.size} args")
     },
+    "graft_hilbert_key" -> {
+      case Seq(a, b, bits) => HilbertKey(a, b, intOf(bits))
+      case other => throw new IllegalArgumentException(
+        s"graft_hilbert_key(x, y, bits): got ${other.size} args")
+    },
   )
 
   /** Idempotently register the functions in a session's registry so
@@ -1142,6 +1206,14 @@ object GraftFunctions {
   def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine_similarity", a, b)
+  }
+
+  /** Codegen'd Hilbert-curve index (see [[HilbertKey]]). */
+  def hilbertKey(spark: SparkSession, x: Column, y: Column,
+                 bits: Int = 21): Column = {
+    ensureRegistered(spark)
+    call_function("graft_hilbert_key", x, y,
+      org.apache.spark.sql.functions.lit(bits))
   }
 
   /** Codegen'd Jaro-Winkler similarity (see [[JaroWinkler]]). */

@@ -355,6 +355,22 @@ object EventQueries {
         .orderBy("zkey", "event_id").limit(50)
     }),
 
+    // Hilbert clustering key over the same (user-bucket, day) domain
+    // as q109's Morton key — the locality-tighter layout (consecutive
+    // Hilbert keys are always spatially adjacent; LayoutSpec measures
+    // the per-file span contraction vs Morton). Codegen'd native
+    // expression (functions.HilbertKey); the oracle unrolls the same
+    // 21-level xy2d descent as chained integer CTEs.
+    "q237_hilbert_key" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("u", pmod(col("user_id").cast("long"), lit(2097152L)))
+        .withColumn("d", expr("unix_micros(ts) div 86400000000"))
+      ev.withColumn("hkey",
+          graft.functions.GraftFunctions.hilbertKey(s, col("u"), col("d")))
+        .select(col("event_id"), col("u"), col("d"), col("hkey"))
+        .orderBy("hkey", "event_id").limit(50)
+    }),
+
     // Batch twin of Streams.attributionJoin (the stream-stream join
     // runs the IDENTICAL plan on static frames): every view pairs
     // with the same user's clicks within 30 minutes after it,
@@ -1560,6 +1576,39 @@ object EventQueries {
     }),
   )
 
+  /** q237's oracle: the canonical Hilbert xy2d bit descent unrolled
+    * as one chained CTE per bit level — pure BIGINT shifts/masks and
+    * the reflect+swap as CASE, generated so each level provably
+    * matches [[graft.functions.HilbertKernel.xy2d]]'s loop body.
+    * The quadrant `(3·rx) xor ry` is emitted as the xor-free
+    * polynomial `3·rx + ry − 2·rx·ry` (identical on {0,1}²), since
+    * DuckDB spells bitwise xor differently from Spark. */
+  private def hilbertOracleSql(bits: Int): String = {
+    val n1 = (1L << bits) - 1L
+    val sb = new StringBuilder
+    sb.append("WITH e AS (\n")
+    sb.append("  SELECT event_id, user_id % 2097152 AS x,\n")
+    sb.append("    epoch_us(ts) // 86400000000 AS y,\n")
+    sb.append("    CAST(0 AS BIGINT) AS hd\n  FROM events)")
+    var prev = "e"
+    for (k <- bits - 1 to 0 by -1) {
+      val rx = s"((x >> $k) & 1)"
+      val ry = s"((y >> $k) & 1)"
+      val lv = s"lv$k"
+      sb.append(s",\n$lv AS (\n  SELECT event_id,\n")
+      sb.append(s"    CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN $n1 - y ELSE y END ELSE x END AS x,\n")
+      sb.append(s"    CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN $n1 - x ELSE x END ELSE y END AS y,\n")
+      sb.append(s"    hd + ${1L << (2 * k)} * (3 * $rx + $ry - 2 * $rx * $ry) AS hd\n")
+      sb.append(s"  FROM $prev)")
+      prev = lv
+    }
+    sb.append("\nSELECT e.event_id, e.x AS u, e.y AS d,\n")
+    sb.append(s"  CAST(l.hd AS BIGINT) AS hkey\n")
+    sb.append(s"FROM e JOIN $prev l ON l.event_id = e.event_id\n")
+    sb.append("ORDER BY hkey, e.event_id LIMIT 50")
+    sb.toString
+  }
+
   /** q109's oracle: the 21-bit interleave as an explicit integer-
     * arithmetic sum (exact power-of-two literals, BIGINT throughout)
     * — generated so it provably matches [[graft.ops.Layout.zOrderKey]]
@@ -2098,6 +2147,8 @@ object EventQueries {
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "q109_zorder_key" -> zOrderOracleSql,
+
+    "q237_hilbert_key" -> hilbertOracleSql(21),
 
     "q110_attribution_join" ->
       """WITH v AS (

@@ -47,4 +47,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(bySingle.forall(_.getAs[Long]("sd") == 63L),
       "u-only sort cannot bound d — the contrast that makes z-order worth it")
   }
+
+  test("hilbertKey: hand case (order-2 curve) + the defining Hamiltonian property") {
+    // bits=1: the 2x2 U-curve (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    assert(Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).map { case (x, y) =>
+      graft.functions.HilbertKernel.xy2d(x, y, 1)
+    } == Seq(0L, 1L, 2L, 3L))
+    // Defining property: keys over the full 8x8 grid are a
+    // permutation of 0..63 AND consecutive keys are Manhattan-adjacent
+    // cells — a Hamiltonian path, which Morton is NOT (it jumps).
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val byKey = cells.map { case (x, y) =>
+      graft.functions.HilbertKernel.xy2d(x, y, 3) -> ((x, y))
+    }.sortBy(_._1)
+    assert(byKey.map(_._1) == (0L until 64L))
+    assert(byKey.sliding(2).forall { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    })
+    val morton = cells.map { case (x, y) =>
+      (0 until 3).map(i =>
+        ((x >> i) & 1L) * (1L << (2 * i)) + ((y >> i) & 1L) * (1L << (2 * i + 1))
+      ).sum -> ((x, y))
+    }.sortBy(_._1)
+    assert(!morton.sliding(2).forall { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    })
+  }
+
+  test("hilbertKey column ≡ kernel, and range files span no wider than Morton's") {
+    val grid = spark.range(0, 4096)
+      .select(($"id" / 64).cast("long").as("u"), ($"id" % 64).as("d"))
+    val keyed = grid
+      .withColumn("h", graft.functions.GraftFunctions.hilbertKey(spark, $"u", $"d", bits = 6))
+      .withColumn("z", Layout.zOrderKey($"u", $"d", bits = 6))
+    // codegen path ≡ JVM kernel, checked without a UDF on purpose
+    assert(keyed.select("u", "d", "h").collect().forall(r =>
+      r.getLong(2) ==
+        graft.functions.HilbertKernel.xy2d(r.getLong(0), r.getLong(1), 6)))
+    def totalSpan(key: String): Long =
+      Layout.clusterBy(keyed, col(key), 16)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(((max("u") - min("u")) + (max("d") - min("d"))).as("s"))
+        .collect().map(_.getAs[Long]("s")).sum
+    val (hs, zs) = (totalSpan("h"), totalSpan("z"))
+    assert(hs <= zs, s"hilbert total span $hs should not exceed morton $zs")
+  }
 }
