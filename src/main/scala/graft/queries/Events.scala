@@ -1574,7 +1574,55 @@ object EventQueries {
              date_format(max("mx"), "yyyy-MM-dd").as("last_day"))
         .orderBy("event_type")
     }),
+
+    // Welch's unequal-variance t-test between purchase and click
+    // value distributions — the two-sample inference sibling of q156's
+    // proportion lift. The six sufficient statistics (n, Σx, Σx² per
+    // arm) ride exact decimal(38,0); t and the Welch–Satterthwaite
+    // dof are then ONE closed form over those integers, with the
+    // expression TEXT shared verbatim between Spark and the oracle
+    // (the q218 contract) — identical IEEE op order, 6dp.
+    "q238_welch_ttest" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+             sum(col("c").cast("decimal(38,0)")).as("s"),
+             sum(col("c").cast("decimal(38,0)") *
+                 col("c").cast("decimal(38,0)")).as("q"))
+      val a = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+      val b = g.filter(col("event_type") === "click")
+        .select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+      a.crossJoin(broadcast(b)).selectExpr(
+        "CAST(n1 AS BIGINT) AS n_purchase",
+        "CAST(n2 AS BIGINT) AS n_click",
+        s"round($WelchT, 6) AS t_stat",
+        s"round($WelchDof, 6) AS welch_dof")
+        .orderBy("n_purchase")
+    }),
   )
+
+  /** Welch closed forms over the six exact sufficient statistics —
+    * ONE source string each, used verbatim by the Spark selectExpr
+    * AND interpolated into the DuckDB oracle, so both engines execute
+    * the identical IEEE op sequence (the q218 shared-text contract).
+    * V = s²/n expanded to (n·Σx² − (Σx)²) / (n·n·(n−1)). */
+  private def welchV(n: String, q: String, sx: String): String =
+    s"(CAST($n AS DOUBLE) * CAST($q AS DOUBLE) - CAST($sx AS DOUBLE) * " +
+      s"CAST($sx AS DOUBLE)) / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * " +
+      s"(CAST($n AS DOUBLE) - 1.0))"
+  private val WelchV1 = welchV("n1", "q1", "s1")
+  private val WelchV2 = welchV("n2", "q2", "s2")
+  private val WelchT =
+    s"(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / " +
+      s"CAST(n2 AS DOUBLE)) / sqrt($WelchV1 + $WelchV2)"
+  private val WelchDof =
+    s"($WelchV1 + $WelchV2) * ($WelchV1 + $WelchV2) / " +
+      s"($WelchV1 * $WelchV1 / (CAST(n1 AS DOUBLE) - 1.0) + " +
+      s"$WelchV2 * $WelchV2 / (CAST(n2 AS DOUBLE) - 1.0))"
 
   /** q237's oracle: the canonical Hilbert xy2d bit descent unrolled
     * as one chained CTE per bit level — pure BIGINT shifts/masks and
@@ -2877,5 +2925,23 @@ object EventQueries {
         |  strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
         |  strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Welch replay: HUGEINT sufficient statistics, then the SAME
+    // WelchT/WelchDof strings interpolated — textual identity is the
+    // cross-engine bit-identity proof.
+    "q238_welch_ttest" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s,
+         |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT) *
+         |        CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS q
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |  GROUP BY event_type),
+         |a AS (SELECT n AS n1, s AS s1, q AS q1 FROM g WHERE event_type = 'purchase'),
+         |b AS (SELECT n AS n2, s AS s2, q AS q2 FROM g WHERE event_type = 'click')
+         |SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+         |  round($WelchT, 6) AS t_stat,
+         |  round($WelchDof, 6) AS welch_dof
+         |FROM a, b ORDER BY n_purchase""".stripMargin,
   )
 }
