@@ -1031,6 +1031,26 @@ object HilbertKernel {
     }
     d
   }
+
+  /** The inverse walk (canonical d2xy): LayoutSpec pins
+    * `xy2d(d2xy(d)) == d` over full small grids. */
+  def d2xy(dIn: Long, bits: Int): (Long, Long) = {
+    var t = dIn; var x = 0L; var y = 0L
+    var s = 1L
+    while (s < (1L << bits)) {
+      val rx = 1L & (t / 2L)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4L
+      s *= 2L
+    }
+    (x, y)
+  }
 }
 
 /** Column-API and SQL registration for the native expressions. */

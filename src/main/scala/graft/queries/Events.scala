@@ -371,6 +371,35 @@ object EventQueries {
         .orderBy("hkey", "event_id").limit(50)
     }),
 
+    // Hilbert range-pruned 2-D box scan — the READ path q237's key
+    // exists for: Layout.hilbertCover turns the (user-bucket, day)
+    // box into ≤64 contiguous key intervals (driver-side quadtree
+    // descent, microseconds), the scan applies them as 1-D range
+    // clauses (min/max-prunable on a hkey-clustered table) plus the
+    // exact box residual. The ORACLE is the direct box predicate —
+    // hash equality proves cover ∪ residual ≡ box (the cover missed
+    // nothing); LayoutSpec pins exactness/bounding of the cover
+    // itself against brute-force enumeration.
+    "q239_hilbert_range_scan" -> ((s, d) => {
+      val (x0, x1, y0, y1) = (3L, 10L, 19730L, 19745L)
+      val ranges = graft.ops.Layout.hilbertCover(x0, x1, y0, y1,
+        bits = 21, maxRanges = 64)
+      val ev = Tables.events(s, d)
+        .withColumn("u", pmod(col("user_id").cast("long"), lit(2097152L)))
+        .withColumn("dd", expr("unix_micros(ts) div 86400000000"))
+        .withColumn("hkey",
+          graft.functions.GraftFunctions.hilbertKey(s, col("u"), col("dd")))
+      ev.filter(ranges.map { case (a, b) =>
+          col("hkey") >= a && col("hkey") < b }.reduce(_ || _))
+        .filter(col("u").between(x0, x1) && col("dd").between(y0, y1))
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+               .as("cents"),
+             min("u").as("min_u"), max("u").as("max_u"),
+             min("dd").as("min_d"), max("dd").as("max_d"))
+        .orderBy("n_events")
+    }),
+
     // Batch twin of Streams.attributionJoin (the stream-stream join
     // runs the IDENTICAL plan on static frames): every view pairs
     // with the same user's clicks within 30 minutes after it,
@@ -2197,6 +2226,21 @@ object EventQueries {
     "q109_zorder_key" -> zOrderOracleSql,
 
     "q237_hilbert_key" -> hilbertOracleSql(21),
+
+    // The direct 2-D box predicate — equality against the range-
+    // pruned plan proves the Hilbert cover misses nothing.
+    "q239_hilbert_range_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(min(user_id % 2097152) AS BIGINT) AS min_u,
+        |  CAST(max(user_id % 2097152) AS BIGINT) AS max_u,
+        |  CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS min_d,
+        |  CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS max_d
+        |FROM events
+        |WHERE (user_id % 2097152) BETWEEN 3 AND 10
+        |  AND (epoch_us(ts) // 86400000000) BETWEEN 19730 AND 19745
+        |ORDER BY n_events""".stripMargin,
 
     "q110_attribution_join" ->
       """WITH v AS (

@@ -93,4 +93,39 @@ class LayoutSpec extends AnyFunSuite {
     val (hs, zs) = (totalSpan("h"), totalSpan("z"))
     assert(hs <= zs, s"hilbert total span $hs should not exceed morton $zs")
   }
+
+  test("d2xy is the exact inverse of xy2d over a full grid") {
+    val hk = graft.functions.HilbertKernel
+    assert((0L until (1L << 10)).forall { d =>
+      val (x, y) = hk.d2xy(d, 5)
+      hk.xy2d(x, y, 5) == d
+    })
+  }
+
+  test("hilbertCover: exact when unbounded, superset-never-miss when capped") {
+    val hk = graft.functions.HilbertKernel
+    val rnd = new scala.util.Random(5)
+    val bits = 6
+    for (_ <- 1 to 25) {
+      val x0 = rnd.nextInt(60).toLong; val x1 = x0 + rnd.nextInt(63 - x0.toInt)
+      val y0 = rnd.nextInt(60).toLong; val y1 = y0 + rnd.nextInt(63 - y0.toInt)
+      val boxKeys = (for (x <- x0 to x1; y <- y0 to y1)
+        yield hk.xy2d(x, y, bits)).toSet
+      def covered(rs: Seq[(Long, Long)]) =
+        rs.flatMap { case (a, b) => a until b }.toSet
+      // unbounded: the cover is EXACTLY the box's key set
+      val exact = Layout.hilbertCover(x0, x1, y0, y1, bits, maxRanges = 100000)
+      assert(covered(exact) == boxKeys)
+      // capped: never misses a box key, and stays within cap + merge slack
+      val capped = Layout.hilbertCover(x0, x1, y0, y1, bits, maxRanges = 8)
+      assert(boxKeys.subsetOf(covered(capped)))
+      assert(capped.size <= 8 + 4 * bits,
+        s"cap 8 with descent slack, got ${capped.size} ranges")
+      // ranges are sorted, disjoint, merged
+      assert(capped.sliding(2).forall {
+        case Seq((_, b1), (a2, _)) => b1 < a2
+        case _ => true
+      })
+    }
+  }
 }
