@@ -1632,7 +1632,93 @@ object EventQueries {
         s"round($WelchDof, 6) AS welch_dof")
         .orderBy("n_purchase")
     }),
+
+    // Calibration curve (reliability diagram) for an activity-based
+    // propensity score — the ML-eval sibling of q205's ROC-AUC and
+    // q204's KS: bin users by score decile (RANK arithmetic, the q84
+    // rule — value thresholds can flip boundary users on an ulp) and
+    // compare the bin's mean score against its observed conversion
+    // rate. Score, bins and rates are ALL integer arithmetic
+    // (floor-div ppm), so the row hashes raw.
+    "q240_calibration" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("x"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("y"))
+      val scored = users.crossJoin(broadcast(users.agg(max("x").as("mx"))))
+        .select(col("user_id"), col("y"),
+                expr("(x * 1000000) div mx").as("score_ppm"))
+      val ranked = Kernels.denseIndex(scored,
+        Seq(col("score_ppm"), col("user_id")), "__i")
+      ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+        .select(expr("(__i * 10) div __n + 1").as("bin"),
+                col("score_ppm"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_users"), sum("score_ppm").as("__ss"),
+             sum("y").as("n_pos"))
+        .select(col("bin"), col("n_users"),
+          expr("__ss div n_users").as("avg_score_ppm"),
+          expr("(n_pos * 1000000) div n_users").as("conv_rate_ppm"))
+        .orderBy("bin")
+    }),
+
+    // Confusion matrix + precision/recall/F1 at a fixed decision
+    // threshold (predict converter iff ≥ 12 events) — with every
+    // metric an exact integer closed form: even F1 = 2TP/(2TP+FP+FN)
+    // floor-divs straight from the counts, no float in sight.
+    "q241_confusion_prf" -> ((s, d) => {
+      Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("x"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("y"))
+        .agg(sum(when(col("x") >= 12 && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+             sum(when(col("x") >= 12 && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+             sum(when(col("x") < 12 && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+             sum(when(col("x") < 12 && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+          expr("(tp * 1000000) div (tp + fn)").as("recall_ppm"),
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").as("f1_ppm"))
+        .orderBy("tp")
+    }),
+
+    // Bootstrap confidence interval WITHOUT randomness: 32 half-
+    // sample resamples keyed on md5(user, 'boot', b) parity (the q156
+    // deterministic-arm idiom), each resample's conversion rate an
+    // exact floor-ppm integer, and the spread of those 32 integers
+    // summarized by an exact-sufficient-statistics sd (the q238
+    // shared-text contract). Deterministic ⇒ replayable by the
+    // oracle; the resample fan-out is a broadcast 32-row frame, one
+    // shuffle total.
+    "q242_bootstrap_ci" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      val bs = s.range(0, 32).toDF("b")
+      users.crossJoin(broadcast(bs))
+        .filter(conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("boot"), col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2L === 0L)
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("y").as("c"))
+        .select(expr("(c * 1000000) div n").as("r"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("bn"),
+             sum(col("r").cast("decimal(38,0)")).as("sr"),
+             sum(col("r").cast("decimal(38,0)") *
+                 col("r").cast("decimal(38,0)")).as("qr"))
+        .selectExpr(
+          "CAST(bn AS BIGINT) AS n_resamples",
+          "CAST(sr AS BIGINT) div CAST(bn AS BIGINT) AS mean_rate_ppm",
+          s"round($BootSd, 6) AS sd_rate_ppm")
+        .orderBy("n_resamples")
+    }),
   )
+
+  /** Sample sd over the exact resample-rate integers (q238's shared-
+    * text rule): sqrt((B·Σr² − (Σr)²) / (B·(B−1))). */
+  private val BootSd =
+    "sqrt((CAST(bn AS DOUBLE) * CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * " +
+      "CAST(sr AS DOUBLE)) / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)))"
 
   /** Welch closed forms over the six exact sufficient statistics —
     * ONE source string each, used verbatim by the Spark selectExpr
@@ -2987,5 +3073,81 @@ object EventQueries {
          |  round($WelchT, 6) AS t_stat,
          |  round($WelchDof, 6) AS welch_dof
          |FROM a, b ORDER BY n_purchase""".stripMargin,
+
+    // Calibration replay: the same 0-based total-order rank
+    // ((score_ppm, user_id)), integer decile arithmetic and floor-ppm
+    // rates.
+    "q240_calibration" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT max(x) AS mx FROM u),
+        |sc AS (
+        |  SELECT user_id, y, (x * 1000000) // mx AS score_ppm
+        |  FROM u, m),
+        |r AS (
+        |  SELECT y, score_ppm,
+        |    row_number() OVER (ORDER BY score_ppm, user_id) - 1 AS i,
+        |    count(*) OVER () AS n
+        |  FROM sc)
+        |SELECT (i * 10) // n + 1 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm,
+        |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS conv_rate_ppm
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Confusion replay: identical threshold and integer floor-div
+    // metric closed forms.
+    "q241_confusion_prf" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN x >= 12 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN x >= 12 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN x < 12 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN x < 12 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM u)
+        |SELECT tp, fp, fn, tn,
+        |  (tp * 1000000) // (tp + fp) AS precision_ppm,
+        |  (tp * 1000000) // (tp + fn) AS recall_ppm,
+        |  (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm
+        |FROM c ORDER BY tp""".stripMargin,
+
+    // Bootstrap replay: the q156 8-hex-digit md5 parity per (user, b)
+    // over a 32-row range frame, floor-ppm resample rates, and the
+    // BootSd shared text over HUGEINT sufficient statistics.
+    "q242_bootstrap_ci" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY user_id),
+         |bs AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 32)),
+         |inc AS (
+         |  SELECT u.user_id, u.y, bs.b
+         |  FROM u CROSS JOIN bs
+         |  WHERE CAST(list_sum(list_transform(range(1, 9),
+         |      i -> CAST(strpos('0123456789abcdef',
+         |             substring(md5(CAST(u.user_id AS VARCHAR) || 'boot'
+         |                           || CAST(bs.b AS VARCHAR)),
+         |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+         |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+         |      % 2 = 0),
+         |rt AS (
+         |  SELECT (CAST(sum(y) AS BIGINT) * 1000000)
+         |           // CAST(count(*) AS BIGINT) AS r
+         |  FROM inc GROUP BY b),
+         |st AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS bn,
+         |    sum(CAST(r AS HUGEINT)) AS sr,
+         |    sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS qr
+         |  FROM rt)
+         |SELECT CAST(bn AS BIGINT) AS n_resamples,
+         |  CAST(sr AS BIGINT) // CAST(bn AS BIGINT) AS mean_rate_ppm,
+         |  round($BootSd, 6) AS sd_rate_ppm
+         |FROM st ORDER BY n_resamples""".stripMargin,
   )
 }
