@@ -1712,6 +1712,58 @@ object EventQueries {
           s"round($BootSd, 6) AS sd_rate_ppm")
         .orderBy("n_resamples")
     }),
+
+    // Population-stability-index drift between the first two weeks
+    // and the rest of the window — THE production monitor for "did
+    // the feature distribution move" (the two-sample sibling of
+    // q204's KS, but binned and additive so it map-reduces). Bins are
+    // fixed-width integer buckets, shares Laplace(+1)-smoothed so
+    // empty bins stay finite; each bin's (p−q)·ln(p/q) term is
+    // computed from exact counts by shared-text IEEE ops and FLOORED
+    // to integer nano-units (the q208 cross-cell rule: a float sum of
+    // terms is partial-agg-order dependent, a sum of floored integers
+    // is not).
+    "q243_psi_drift" -> ((s, d) => {
+      val binned = Tables.events(s, d)
+        .select(
+          when(expr("unix_micros(ts) div 86400000000") < 19738L, 1L)
+            .otherwise(0L).as("ref"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500").as("bin"))
+      val g = binned.groupBy("bin")
+        .agg(sum(col("ref")).as("c1"),
+             sum(lit(1L) - col("ref")).as("c2"))
+      val tot = g.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+                      count(lit(1)).as("nb"))
+      g.crossJoin(broadcast(tot))
+        .select(expr(s"CAST(floor(1000000000.0 * ($PsiTerm)) AS BIGINT)")
+          .as("t"))
+        .agg(count(lit(1)).as("n_bins"), sum("t").as("psi_e9"))
+        .orderBy("n_bins")
+    }),
+
+    // Deterministic class rebalancing: downsample every event type to
+    // the minority class's count, keeping the md5-rank-first rows —
+    // the training-set balancer that needs NO randomness (same rows
+    // on every engine and every run, the q67/q156 hash-order rule).
+    // One exchange for the per-type rank; at 100 TB the same rank
+    // threshold comes from a count-per-class broadcast and the filter
+    // is map-side.
+    "q244_class_rebalance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+                expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      val k = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("k"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(concat(col("event_id").cast("string"), lit("rebal"))),
+                 col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(k))
+        .filter(col("rn") <= col("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum("c").as("cents_kept"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Sample sd over the exact resample-rate integers (q238's shared-
@@ -1719,6 +1771,14 @@ object EventQueries {
   private val BootSd =
     "sqrt((CAST(bn AS DOUBLE) * CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * " +
       "CAST(sr AS DOUBLE)) / (CAST(bn AS DOUBLE) * (CAST(bn AS DOUBLE) - 1.0)))"
+
+  /** One PSI term (p−q)·ln(p/q) with Laplace(+1)-smoothed bin shares
+    * — shared text (q218), derived only from exact integer counts. */
+  private val PsiTerm =
+    "((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)) - " +
+      "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) * " +
+      "ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)) / " +
+      "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE)))"
 
   /** Welch closed forms over the six exact sufficient statistics —
     * ONE source string each, used verbatim by the Spark selectExpr
@@ -3149,5 +3209,49 @@ object EventQueries {
          |  CAST(sr AS BIGINT) // CAST(bn AS BIGINT) AS mean_rate_ppm,
          |  round($BootSd, 6) AS sd_rate_ppm
          |FROM st ORDER BY n_resamples""".stripMargin,
+
+    // PSI replay: identical bins, smoothing, PsiTerm text and the
+    // floor-to-nano integer sum.
+    "q243_psi_drift" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN epoch_us(ts) // 86400000000 < 19738
+         |              THEN 1 ELSE 0 END AS ref,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin
+         |  FROM events),
+         |g AS (
+         |  SELECT bin, CAST(sum(ref) AS BIGINT) AS c1,
+         |    CAST(sum(1 - ref) AS BIGINT) AS c2
+         |  FROM b GROUP BY bin),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |        CAST(sum(c2) AS BIGINT) AS n2,
+         |        CAST(count(*) AS BIGINT) AS nb
+         |      FROM g),
+         |terms AS (
+         |  SELECT CAST(floor(1000000000.0 * ($PsiTerm)) AS BIGINT) AS tm
+         |  FROM g, t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(tm) AS BIGINT) AS psi_e9
+         |FROM terms ORDER BY n_bins""".stripMargin,
+
+    // Rebalance replay: the same per-type (md5 || 'rebal', event_id)
+    // rank and minority-count threshold.
+    "q244_class_rebalance" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |k AS (
+        |  SELECT CAST(min(cnt) AS BIGINT) AS k
+        |  FROM (SELECT count(*) AS cnt FROM ev GROUP BY event_type)),
+        |r AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR) || 'rebal'), event_id)
+        |      AS rn
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(c) AS BIGINT) AS cents_kept
+        |FROM r, k WHERE rn <= k
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
