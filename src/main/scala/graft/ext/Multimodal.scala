@@ -733,6 +733,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual
+    * image fingerprint: decode (any registry format), nearest-resample
+    * to 9×8, integer-average channels to gray, and set bit (y·8+x)
+    * iff gray(x+1,y) > gray(x,y). Robust to re-encoding and scaling
+    * (the resample normalizes), cheap (72 pixels per image whatever
+    * the source size), and EXACT integer arithmetic end to end — so a
+    * SQL oracle replays it and near-dup joins on it are
+    * deterministic. Null for undecodable payloads. Pair search goes
+    * through 16-bit band blocking (q245): Hamming ≤ 3 with 4 bands
+    * guarantees one exact band match, so the banded join is lossless
+    * — the brute-force oracle proves it misses nothing.
+    */
+  def withImageDHash(df: DataFrame, binCol: String,
+                     out: String = "dhash"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(out, org.apache.spark.sql.types.LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeRgb(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((sw, sh, rgb)) =>
+            val px = Bmp.resampleNearest(sw, sh, rgb, 9, 8)
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                def gray(i: Int): Int = {
+                  val base = (y * 9 + i) * 3
+                  ((px(base) & 0xFF) + (px(base + 1) & 0xFF) +
+                    (px(base + 2) & 0xFF)) / 3
+                }
+                if (gray(x + 1) > gray(x)) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(r.toSeq :+ hash)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(enc)
+  }
+
   /** Sum of all decoded RGB byte values (0-255 each) per BMP asset —
     * the sampled-pixel integrity check for resize/transcode
     * pipelines. Exact integer, so a SQL oracle that can predict the

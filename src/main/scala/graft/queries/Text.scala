@@ -1647,6 +1647,44 @@ object TextQueries {
                 col("__sx")) / col("n_tokens"), 6).as("intercept"))
         .orderBy("n_tokens")
     }),
+
+    // Perceptual image near-dup via 64-bit dHash (the image analog of
+    // q32's text SimHash): synthesize the q120 gradient BMPs, hash
+    // each through decode → 9×8 nearest resample → gray-delta bits
+    // (Multimodal.withImageDHash — exact integer end to end), then
+    // find Hamming ≤ 3 pairs with a 16-bit-band blocked self-join —
+    // never all-pairs; 4 bands make the block join LOSSLESS at
+    // Hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 band exact).
+    // The ORACLE is the brute-force all-pairs scan over SQL-replayed
+    // hashes (hi/lo 32-bit halves — a single BIGINT sum would
+    // overflow on bit 63), so hash equality PROVES the banding missed
+    // nothing. Output is the per-distance pair census.
+    "q245_image_dhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      val hashed = graft.ops.Staging.stage(
+        graft.ext.Multimodal.withImageDHash(
+            graft.ext.Multimodal.withSyntheticBmp(
+              docs, "doc_id", "w", "h", "img"),
+            "img", "dhash")
+          .select(col("doc_id"), col("dhash")))
+      val bands = hashed.select(col("doc_id"), col("dhash"),
+          explode(expr("array(0, 1, 2, 3)")).as("b"))
+        .withColumn("bv", expr("(dhash >> (16 * b)) & 65535"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+                col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+        .filter(col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3673,5 +3711,43 @@ object TextQueries {
         |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
         |        CAST(n AS DOUBLE), 6) AS intercept
         |FROM a ORDER BY n_tokens""".stripMargin,
+
+    // dHash replay: the q120 gradient sampled at the 9×8 nearest
+    // grid, per-pixel gray = (sum of the three wrapped channel
+    // bytes) // 3, delta bits packed into hi/lo 32-bit halves, then
+    // BRUTE-FORCE all-pairs Hamming — proving the Spark side's banded
+    // join lossless at ≤ 3.
+    "q245_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, x, y,
+        |    (( (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8)) % 256
+        |     + (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8) + 29) % 256
+        |     + (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8) + 58) % 256)
+        |     // 3) AS v
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(9)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(8)) AS y) ys),
+        |hsh AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.v > a.v AND a.y * 8 + a.x >= 32
+        |      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x - 32) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN b.v > a.v AND a.y * 8 + a.x < 32
+        |      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y
+        |                   AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.doc_id),
+        |p AS (
+        |  SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS hamming
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p WHERE hamming <= 3
+        |GROUP BY hamming ORDER BY hamming""".stripMargin,
   )
 }
