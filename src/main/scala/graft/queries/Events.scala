@@ -1424,28 +1424,6 @@ object EventQueries {
         .orderBy("day")
     }),
 
-    // First-order Markov transition matrix of per-user event-type
-    // sequences — the sequence-model statistic behind next-action
-    // prediction and behavioral anomaly scoring. One exchange on
-    // user_id for the lead() window (sequences stay partition-local
-    // however long), then the (src,dst) aggregate collapses to at
-    // most |types|² rows — constant output at any corpus size. Row
-    // probabilities in floor-ppm (n·1e6 < 2^53 so the double product
-    // is exact; floor replicated textually by the oracle).
-    "q230_markov_transitions" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("dst", lead("event_type", 1).over(w))
-        .filter(col("dst").isNotNull)
-        .groupBy(col("event_type").as("src"), col("dst"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p_ppm",
-          floor(col("n") * 1000000.0 /
-                sum("n").over(Window.partitionBy("src"))).cast("long"))
-        .orderBy("src", "dst")
-    }),
-
     // Holt's linear trend (double-exponential smoothing) over each
     // event type's daily-revenue series — the level+trend forecast
     // primitive one step past q139's flat EWMA. Daily cents are exact
@@ -2975,23 +2953,6 @@ object EventQueries {
         |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6)
         |    AS rolling7_users_est
         |FROM f ORDER BY day""".stripMargin,
-
-    // Markov replay: the same lead() window (total order ts,
-    // event_id per user) and the identical floor-ppm row-probability
-    // expression.
-    "q230_markov_transitions" ->
-      """WITH p AS (
-        |  SELECT event_type AS src,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS dst
-        |  FROM events),
-        |c AS (
-        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
-        |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
-        |SELECT src, dst, n,
-        |  CAST(floor(n * 1000000.0 / sum(n) OVER (PARTITION BY src))
-        |       AS BIGINT) AS p_ppm
-        |FROM c ORDER BY src, dst""".stripMargin,
 
     // Holt replay: the recurrence as a recursive CTE stepping
     // rn -> rn+1 per event type. The level expression `0.5*y +
