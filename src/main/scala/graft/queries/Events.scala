@@ -1719,6 +1719,52 @@ object EventQueries {
         .orderBy("n_bins")
     }),
 
+    // Longest consecutive-purchase-day streak per user — the classic
+    // gaps-and-islands engagement metric (q68's sessionization is the
+    // intra-day sibling; this is the day-grid one). Island id =
+    // epoch_day − row_number over the user's DISTINCT active days: an
+    // exact integer constant per consecutive run. One exchange on
+    // user_id serves the distinct, the window and the rollup.
+    "q246_purchase_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+                expr("unix_micros(ts) div 86400000000").as("dd"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("dd")
+      days.withColumn("isl", col("dd") - row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+             sum("len").as("n_active_days"),
+             count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
+    // Item co-visitation mining over props.k ("users who touched item
+    // X also touched Y") — the recommender co-occurrence matrix, at
+    // ITEM granularity where q169's basket rules were type-level. The
+    // pair join is per-user over each user's DISTINCT item set, so
+    // the work is Σ_u |items_u|² — bounded by activity per user, the
+    // standard co-occurrence shape (never corpus×corpus); the
+    // aggregate collapses to ≤ |items|² rows. Top 20 by support with
+    // a full integer tie-break.
+    "q247_covisitation" -> ((s, d) => {
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      ui.as("x").join(ui.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
     // Deterministic class rebalancing: downsample every event type to
     // the minority class's count, keeping the md5-rank-first rows —
     // the training-set balancer that needs NO randomness (same rows
@@ -3193,6 +3239,39 @@ object EventQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_bins,
          |  CAST(sum(tm) AS BIGINT) AS psi_e9
          |FROM terms ORDER BY n_bins""".stripMargin,
+
+    // Streak replay: identical island arithmetic over distinct
+    // purchase days.
+    "q246_purchase_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd
+        |  FROM events WHERE event_type = 'purchase'),
+        |isl AS (
+        |  SELECT user_id,
+        |    dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) AS g
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY user_id, g)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Co-visitation replay: same per-user distinct item sets and
+    // ordered-pair counts, top 20 with the full tie-break.
+    "q247_covisitation" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ui a JOIN ui b
+        |  ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2
+        |ORDER BY n_users DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     // Rebalance replay: the same per-type (md5 || 'rebal', event_id)
     // rank and minority-count threshold.
