@@ -96,6 +96,45 @@ object EntityRes {
         .jaroWinkler(spark, col("__nma"), col("__nmb")))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): order
+    * the DISTINCT names globally and compare each to its next
+    * `window` neighbors — the classic alternative to key blocking
+    * when no discriminative key exists. Candidate count is EXACTLY
+    * d·window (d = distinct names): linear by construction, no
+    * occupancy guard needed. Distributed via [[graft.ops.Kernels
+    * .denseIndex]] (range-partitioned total index, never a global
+    * single-partition window) and a bucket band join: neighbor pairs
+    * live in the same or adjacent `index div window` bucket, so the
+    * self-join is an equi-join on the bucket key with an index-delta
+    * filter — one bounded exchange. Returns (__nma, __nmb, __repa,
+    * __repb, __ca, __cb, jw) with `__nma` the earlier name in sort
+    * order; callers threshold on `jw`.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              nameCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    val names = graft.ops.Staging.stage(
+      nameGroups(df, idCol, nameCol, lit("all")))
+    val idx = graft.ops.Staging.stage(
+      graft.ops.Kernels.denseIndex(names, Seq(col("__nm")), "__i")
+        .withColumn("__bkt", expr(s"__i div $window")))
+    val a = idx.select(col("__bkt"), col("__i").as("__ia"),
+      col("__nm").as("__nma"), col("__rep").as("__repa"),
+      col("__c").as("__ca"))
+    val b = idx.select(explode(array(col("__bkt"), col("__bkt") - 1))
+        .as("__bkt"),
+      col("__i").as("__ib"), col("__nm").as("__nmb"),
+      col("__rep").as("__repb"), col("__c").as("__cb"))
+    a.join(b, Seq("__bkt"))
+      .filter(col("__ib") > col("__ia") &&
+        col("__ib") <= col("__ia") + window)
+      .select(col("__nma"), col("__nmb"), col("__repa"), col("__repb"),
+        col("__ca"), col("__cb"),
+        graft.functions.GraftFunctions
+          .jaroWinkler(spark, col("__nma"), col("__nmb")).as("jw"))
+  }
+
   /** Cluster rows whose `nameCol` matches within a block at
     * `threshold` Jaro-Winkler similarity or above. Returns
     * (id, component): one row per entity that participates in at

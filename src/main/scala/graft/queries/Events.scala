@@ -1719,6 +1719,29 @@ object EventQueries {
         .orderBy("n_bins")
     }),
 
+    // Weighted sampling WITHOUT floats: priority sampling (Duffield–
+    // Lund–Thorup) takes the k smallest u/w priorities (u uniform,
+    // w the weight), giving inclusion probability ∝ w. Here the
+    // priority is the EXACT integer floor((u·2^20)/w) of a 32-bit
+    // md5 hash over integer cent weights — no ln/pow/division whose
+    // cross-engine ulp could flip a rank (the q84 value-threshold
+    // lesson), ties broken by event_id. Deterministic ⇒ the oracle
+    // replays the identical sample; at scale the top-k is the
+    // standard TakeOrdered partial (k rows per partition reach the
+    // final heap).
+    "q248_priority_sample" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(concat(CAST(event_id AS STRING), " +
+            "'prio')), 1, 8), 16, 10) AS BIGINT)"))
+        .select(col("event_id"), col("event_type"), col("w"),
+                expr("(u * 1048576) div w").as("pr"))
+        .orderBy("pr", "event_id").limit(32)
+    }),
+
     // Longest consecutive-purchase-day streak per user — the classic
     // gaps-and-islands engagement metric (q68's sessionization is the
     // intra-day sibling; this is the day-grid one). Island id =
@@ -3239,6 +3262,26 @@ object EventQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_bins,
          |  CAST(sum(tm) AS BIGINT) AS psi_e9
          |FROM terms ORDER BY n_bins""".stripMargin,
+
+    // Priority-sample replay: the q156 8-hex md5 parse, the same
+    // integer floor priority and (pr, event_id) top-32.
+    "q248_priority_sample" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
+        |  FROM events
+        |  WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+        |h AS (
+        |  SELECT event_id, event_type, w,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(event_id AS VARCHAR) || 'prio'),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      AS u
+        |  FROM ev)
+        |SELECT event_id, event_type, w, (u * 1048576) // w AS pr
+        |FROM h ORDER BY pr, event_id LIMIT 32""".stripMargin,
 
     // Streak replay: identical island arithmetic over distinct
     // purchase days.

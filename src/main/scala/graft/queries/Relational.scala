@@ -870,6 +870,23 @@ object Relational {
         .withColumnRenamed("n_rows", "n_parts")
         .orderBy("p_retailprice")),
 
+    // Sorted-neighborhood ER candidates (EntityRes
+    // .sortedNeighborhoodPairs — Hernández–Stolfo): the key-free
+    // alternative to q173's blocking. Distinct names get a
+    // range-partitioned total index (denseIndex, never a global
+    // window) and each compares to its next 3 sort neighbors via the
+    // bucket band join — candidates are EXACTLY d·w, linear by
+    // construction. JW is the pinned native kernel, bit-identical to
+    // DuckDB's builtin, so the 0.88 threshold is raw-comparison-safe.
+    "q249_sorted_neighborhood" -> ((s, d) =>
+      graft.ext.EntityRes.sortedNeighborhoodPairs(
+          Tables.part(s, d), "p_partkey", "p_name", window = 3)
+        .filter(col("jw") >= 0.88)
+        .select(col("__nma").as("name_a"), col("__nmb").as("name_b"),
+                col("__ca").as("n_rows_a"), col("__cb").as("n_rows_b"),
+                round(col("jw"), 6).as("jw"))
+        .orderBy("name_a", "name_b")),
+
     // Entity-resolution audit with the native codegen'd Jaro-Winkler
     // expression (graft_jaro_winkler), on the EntityRes.nameGroups
     // distinct-name comparison space: similarity depends only on the
@@ -2375,6 +2392,23 @@ object Relational {
         |SELECT p_retailprice, p_size, n_parts FROM sw
         |WHERE prev_max IS NULL OR p_size > prev_max
         |ORDER BY p_retailprice""".stripMargin,
+
+    // Sorted-neighborhood replay: distinct names, a 0-based
+    // row_number total order, neighbor pairs within 3 positions, the
+    // bit-identical builtin JW at the same raw threshold.
+    "q249_sorted_neighborhood" ->
+      """WITH g AS (
+        |  SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS c
+        |  FROM part GROUP BY p_name),
+        |r AS (
+        |  SELECT nm, c, row_number() OVER (ORDER BY nm) - 1 AS i
+        |  FROM g)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |  a.c AS n_rows_a, b.c AS n_rows_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM r a JOIN r b ON b.i > a.i AND b.i <= a.i + 3
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // DuckDB's jaro_winkler_similarity is bit-identical to the native
     // graft_jaro_winkler kernel (same rapidfuzz-lineage formula and

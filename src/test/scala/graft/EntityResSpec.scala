@@ -136,4 +136,26 @@ class EntityResSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
     assert(got == expected)
   }
+
+  test("sortedNeighborhoodPairs: exactly the within-window sorted pairs, d·w bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // duplicate names on purpose: multiplicities collapse before pairing
+    val rows = (1 to 120).map(i =>
+      (i.toLong, s"n${rnd.nextInt(40)}%03d-${rnd.nextInt(3)}"))
+    val w = 4
+    val got = graft.ext.EntityRes.sortedNeighborhoodPairs(
+        rows.toDF("id", "name"), "id", "name", window = w)
+      .collect()
+      .map(r => (r.getAs[String]("__nma"), r.getAs[String]("__nmb")))
+      .toSeq.sorted
+    graft.ops.Staging.releaseAll()
+    val names = rows.map(_._2).distinct.sorted
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until math.min(i + w + 1, names.size)
+    } yield (names(i), names(j))).sorted
+    assert(got == expected)
+    // linear candidate bound: d·w − w(w+1)/2 for d > w
+    assert(got.size == names.size * w - w * (w + 1) / 2)
+  }
 }
