@@ -1719,6 +1719,33 @@ object EventQueries {
         .orderBy("n_bins")
     }),
 
+    // Rolling 7-active-day OLS revenue slope — the windowed sibling
+    // of q99's per-user trend and q229's rolling median: every OLS
+    // sufficient statistic (n, Σx, Σx², Σy, Σxy with x = epoch day,
+    // y = daily cents) is an EXACT-INTEGER rolling window sum, so the
+    // only float op is the final shared-text slope division (6dp).
+    // Handles calendar gaps correctly (x is the real day number, the
+    // window is the last 7 ACTIVE days). One exchange on nothing —
+    // the daily rollup feeds one ordered window pass.
+    "q250_rolling_ols" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("x"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("y"))
+      val w = Window.orderBy("x").rowsBetween(-6, 0)
+      daily
+        .select(col("x"), count(lit(1)).over(w).as("n"),
+          sum("x").over(w).as("sx"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum("y").over(w).as("sy"),
+          sum(col("x") * col("y")).over(w).as("sxy"))
+        .filter(col("n") === 7)
+        .selectExpr("x AS day_num", "n AS n_days",
+          "CAST(7 * sxy - sx * sy AS BIGINT) AS slope_num",
+          "CAST(7 * sxx - sx * sx AS BIGINT) AS slope_den",
+          s"round($RollingSlope, 6) AS slope_cents_per_day")
+        .orderBy("day_num")
+    }),
+
     // Weighted sampling WITHOUT floats: priority sampling (Duffield–
     // Lund–Thorup) takes the k smallest u/w priorities (u uniform,
     // w the weight), giving inclusion probability ∝ w. Here the
@@ -1812,6 +1839,11 @@ object EventQueries {
         .orderBy("event_type")
     }),
   )
+
+  /** q250's slope over exact rolling integer sums (q238's shared-
+    * text rule): (7·Σxy − Σx·Σy) / (7·Σx² − (Σx)²). */
+  private val RollingSlope =
+    "CAST(7 * sxy - sx * sy AS DOUBLE) / CAST(7 * sxx - sx * sx AS DOUBLE)"
 
   /** Sample sd over the exact resample-rate integers (q238's shared-
     * text rule): sqrt((B·Σr² − (Σr)²) / (B·(B−1))). */
@@ -3262,6 +3294,29 @@ object EventQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_bins,
          |  CAST(sum(tm) AS BIGINT) AS psi_e9
          |FROM terms ORDER BY n_bins""".stripMargin,
+
+    // Rolling-OLS replay: the same 7-row window sums (BIGINT
+    // throughout — no HUGEINT drift into the closed form) and the
+    // RollingSlope shared text.
+    "q250_rolling_ols" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS x,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT x,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT x AS day_num, n AS n_days,
+         |  CAST(7 * sxy - sx * sy AS BIGINT) AS slope_num,
+         |  CAST(7 * sxx - sx * sx AS BIGINT) AS slope_den,
+         |  round($RollingSlope, 6) AS slope_cents_per_day
+         |FROM r WHERE n = 7 ORDER BY day_num""".stripMargin,
 
     // Priority-sample replay: the q156 8-hex md5 parse, the same
     // integer floor priority and (pr, event_id) top-32.
