@@ -58,20 +58,31 @@ object KmeansExact {
         .map(r => (1L, (0 until dims).map(i => r.getLong(i + 1))))
     require(cents.size == k, s"corpus has < $k vectors")
 
+    // The centroid state rides a broadcast 1-ROW FRAME, not expression
+    // literals: the big assignment pass's generated source is then
+    // IDENTICAL across sweeps (only the tiny centroid projection
+    // embeds the new integers), so whole-stage codegen compiles it
+    // once and every later sweep is a cache hit — and it is also the
+    // right 100-TB shape (the model is broadcast DATA, not plan text).
     def assigned(cs: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
-      val dExprs = cs.zipWithIndex.map { case ((n, s), j) =>
+      val spark = q.sparkSession
+      val centCols = cs.zipWithIndex.flatMap { case ((n, sv), j) =>
+        s"CAST($n AS DECIMAL(38,0)) AS n$j" +:
+          (0 until dims).map(i =>
+            s"CAST(${sv(i)} AS DECIMAL(38,0)) AS s${j}_$i")
+      }
+      val cent = spark.range(1).selectExpr(centCols: _*)
+      val dExprs = cs.indices.map { j =>
         val terms = (0 until dims).map { i =>
-          val a = s"(CAST($n AS DECIMAL(38,0)) * q$i - ${s(i)})"
+          val a = s"(n$j * q$i - s${j}_$i)"
           s"$a * $a"
         }
         expr(terms.mkString(" + ")).as(s"d$j")
       }
-      val withD = q.select(col("*") +: dExprs: _*)
-      val ns = cs.map(_._1)
+      val withD = q.crossJoin(broadcast(cent)).select(col("*") +: dExprs: _*)
       val best = (0 until k).map { j =>
         (0 until k).filter(_ != j).map { i =>
-          s"d$j * CAST(${ns(i) * ns(i)} AS DECIMAL(38,0)) <= " +
-            s"d$i * CAST(${ns(j) * ns(j)} AS DECIMAL(38,0))"
+          s"d$j * (n$i * n$i) <= d$i * (n$j * n$j)"
         }.mkString("(", " AND ", ")")
       }
       val caseText = best.init.zipWithIndex
