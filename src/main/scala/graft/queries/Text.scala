@@ -1648,6 +1648,45 @@ object TextQueries {
         .orderBy("n_tokens")
     }),
 
+    // Content-defined chunking (the rolling-boundary primitive under
+    // rsync/LBFS/storage dedup, and the chunk-level dedup signal a
+    // training-data lake uses to price re-crawls): a position opens a
+    // chunk iff the md5 of its 8-char window lands in 1/32 of hash
+    // space — boundaries move WITH content, so an insertion re-chunks
+    // only its neighborhood where fixed-width blocks would shift
+    // every later block. Chunks are then keyed by content hash and
+    // the per-source dedup ledger (total vs unique bytes) falls out
+    // of one aggregate. Work is O(total chars) map-side + one
+    // exchange per rollup; everything is exact integers and md5 — the
+    // oracle replays boundary-for-boundary.
+    "q251_cdc_chunking" -> ((s, d) => {
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+                length(col("text")).as("len"))
+        .select(col("doc_id"), col("source"), col("text"), col("len"),
+          explode(expr("sequence(1, greatest(len - 7, 1))")).as("p"))
+      val bounds = pos.filter(expr(
+        "p = 1 OR CAST(conv(substring(md5(substring(text, p, 8)), 1, 4), " +
+          "16, 10) AS BIGINT) % 32 = 0"))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val chunks = bounds
+        .withColumn("np", lead("p", 1).over(w))
+        .select(col("source"),
+          expr("substring(text, p, coalesce(np, len + 1) - p)").as("chunk"))
+      chunks
+        .select(col("source"), md5(col("chunk")).as("ch"),
+                length(col("chunk")).cast("long").as("clen"))
+        .groupBy("source", "ch")
+        .agg(count(lit(1)).as("n"), max("clen").as("clen"))
+        .groupBy("source")
+        .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique"),
+             sum(col("n") * col("clen")).as("bytes_total"),
+             sum("clen").as("bytes_unique"))
+        .withColumn("dup_ratio_ppm",
+          expr("((bytes_total - bytes_unique) * 1000000) div bytes_total"))
+        .orderBy("source")
+    }),
+
     // Perceptual image near-dup via 64-bit dHash (the image analog of
     // q32's text SimHash): synthesize the q120 gradient BMPs, hash
     // each through decode → 9×8 nearest resample → gray-delta bits
@@ -3711,6 +3750,44 @@ object TextQueries {
         |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
         |        CAST(n AS DOUBLE), 6) AS intercept
         |FROM a ORDER BY n_tokens""".stripMargin,
+
+    // CDC replay: identical 8-char-window boundary rule (4-hex md5
+    // parse, the q156 idiom), chunk spans via lead(), and the same
+    // content-hash dedup ledger.
+    "q251_cdc_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, text, len,
+        |    unnest(range(1, greatest(len - 7, 1) + 1)) AS p
+        |  FROM d),
+        |b AS (
+        |  SELECT * FROM pos
+        |  WHERE p = 1 OR
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(substring(text, CAST(p AS INTEGER), 8)),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (4 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 32 = 0),
+        |c AS (
+        |  SELECT source,
+        |    substring(text, CAST(p AS INTEGER),
+        |      CAST(coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+        |                    len + 1) - p AS INTEGER)) AS chunk
+        |  FROM b),
+        |h AS (SELECT source, md5(chunk) AS ch,
+        |        CAST(length(chunk) AS BIGINT) AS clen FROM c),
+        |g AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(max(clen) AS BIGINT) AS clen
+        |      FROM h GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(n * clen) AS BIGINT) AS bytes_total,
+        |  CAST(sum(clen) AS BIGINT) AS bytes_unique,
+        |  ((CAST(sum(n * clen) AS BIGINT) - CAST(sum(clen) AS BIGINT))
+        |    * 1000000) // CAST(sum(n * clen) AS BIGINT) AS dup_ratio_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // dHash replay: the q120 gradient sampled at the 9×8 nearest
     // grid, per-pixel gray = (sum of the three wrapped channel
