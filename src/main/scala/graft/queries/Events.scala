@@ -1801,11 +1801,12 @@ object EventQueries {
     // aggregate collapses to ≤ |items|² rows. Top 20 by support with
     // a full integer tie-break.
     "q247_covisitation" -> ((s, d) => {
-      val ui = Tables.events(s, d)
+      // staged: the self-join reads the distinct frame twice
+      val ui = graft.ops.Staging.stage(Tables.events(s, d)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .filter(col("item").isNotNull)
-        .distinct()
+        .distinct())
       ui.as("x").join(ui.as("y"),
           col("x.user_id") === col("y.user_id") &&
             col("x.item") < col("y.item"))
