@@ -25,14 +25,15 @@ import org.apache.spark.sql.functions._
   *    the lower cluster id by CASE order.
   *
   * Scale shape: the k·(dims+1) centroid integers live on the driver
-  * (as in any k-means) and ride into each sweep as literals, so
-  * assignment is MAP-SIDE codegen'd arithmetic — zero corpus shuffle —
-  * and each sweep's update is one groupBy(cluster) partial-aggregated
-  * sum collect of k rows. Sweeps × one scan, like
+  * (as in any k-means) and close over each sweep's assignment kernel,
+  * so assignment is MAP-SIDE per-row arithmetic — zero corpus
+  * shuffle — and each sweep's update is one groupBy(cluster)
+  * partial-aggregated sum collect of k rows. Sweeps × one scan, like
   * [[Similarity.ivfCentroids]] (the fp production path this verifies
-  * the algorithm of). The exact-decimal comparisons bound coordinates:
-  * |q|≤~2^21 micro-units and n ≤ ~2^22 keep D·n² under 10^38; beyond
-  * that, quantize coarser or use the fp path.
+  * the algorithm of). Inner terms n·q − s ride long under the
+  * |q| ≤ 2^21 micro-unit / n ≤ 2^40 bound (guarded); squares, sums
+  * and cross-multiplied comparisons ride BigInt, so no magnitude can
+  * overflow anywhere.
   *
   * Reference semantics: Lloyd (1957/1982); the seed is the k
   * lowest-id vectors (deterministic, like ivfCentroids' "first").
@@ -58,37 +59,59 @@ object KmeansExact {
         .map(r => (1L, (0 until dims).map(i => r.getLong(i + 1))))
     require(cents.size == k, s"corpus has < $k vectors")
 
-    // The centroid state rides a broadcast 1-ROW FRAME, not expression
-    // literals: the big assignment pass's generated source is then
-    // IDENTICAL across sweeps (only the tiny centroid projection
-    // embeds the new integers), so whole-stage codegen compiles it
-    // once and every later sweep is a cache hit — and it is also the
-    // right 100-TB shape (the model is broadcast DATA, not plan text).
+    // Assignment is a MAP-SIDE mapPartitions kernel over the k·(d+1)
+    // closed-over centroid integers — the same exact arithmetic the
+    // oracle's HUGEINT CTEs perform (n·q − s in long under the
+    // documented |q| ≤ 2^21 / n ≤ 2^40 bound, squares/sums/cross-
+    // multiplied comparisons in BigInt, so no overflow is possible
+    // anywhere), chosen over the equivalent decimal(38,0) column
+    // formulation because THAT plan's size grows with k·dims (4×64
+    // 28 KB expression trees re-analyzed and re-codegen'd per sweep —
+    // measured as most of the query's wall time) while this kernel
+    // is constant plan, zero shuffle, and exact by construction.
     def assigned(cs: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
-      val spark = q.sparkSession
-      val centCols = cs.zipWithIndex.flatMap { case ((n, sv), j) =>
-        s"CAST($n AS DECIMAL(38,0)) AS n$j" +:
-          (0 until dims).map(i =>
-            s"CAST(${sv(i)} AS DECIMAL(38,0)) AS s${j}_$i")
-      }
-      val cent = spark.range(1).selectExpr(centCols: _*)
-      val dExprs = cs.indices.map { j =>
-        val terms = (0 until dims).map { i =>
-          val a = s"(n$j * q$i - s${j}_$i)"
-          s"$a * $a"
+      val cn = cs.map(_._1).toArray
+      val csv = cs.map(_._2.toArray).toArray
+      require(cn.forall(n => n <= (1L << 40)),
+        "cluster count bound for exact long inner arithmetic")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        q.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "cl", org.apache.spark.sql.types.LongType, nullable = false))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val kk = k; val dd = dims
+      q.mapPartitions { rows =>
+        rows.map { r =>
+          val d = new Array[BigInt](kk)
+          var j = 0
+          while (j < kk) {
+            val n = cn(j); val s = csv(j)
+            var acc = BigInt(0)
+            var i = 0
+            while (i < dd) {
+              val diff = n * r.getLong(i + 1) - s(i)
+              acc += BigInt(diff) * BigInt(diff)
+              i += 1
+            }
+            d(j) = acc
+            j += 1
+          }
+          val nn = cn.map(n => BigInt(n) * BigInt(n))
+          var best = kk - 1
+          var found = false
+          j = 0
+          while (j < kk && !found) {
+            var ok = true
+            var i = 0
+            while (i < kk && ok) {
+              if (i != j && d(j) * nn(i) > d(i) * nn(j)) ok = false
+              i += 1
+            }
+            if (ok) { best = j; found = true }
+            j += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best.toLong)
         }
-        expr(terms.mkString(" + ")).as(s"d$j")
-      }
-      val withD = q.crossJoin(broadcast(cent)).select(col("*") +: dExprs: _*)
-      val best = (0 until k).map { j =>
-        (0 until k).filter(_ != j).map { i =>
-          s"d$j * (n$i * n$i) <= d$i * (n$j * n$j)"
-        }.mkString("(", " AND ", ")")
-      }
-      val caseText = best.init.zipWithIndex
-        .map { case (b, j) => s"WHEN $b THEN $j" }
-        .mkString("CAST(CASE ", " ", s" ELSE ${k - 1} END AS BIGINT)")
-      withD.withColumn("cl", expr(caseText))
+      }(enc)
     }
 
     for (_ <- 0 until sweeps) {
