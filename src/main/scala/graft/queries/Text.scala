@@ -1648,6 +1648,47 @@ object TextQueries {
         .orderBy("n_tokens")
     }),
 
+    // Corpus-trained bigram language model → per-source NLL — the
+    // LM-quality signal (train an n-gram LM on the corpus, score each
+    // document's negative log-likelihood; outliers are boilerplate or
+    // garbage). Add-1-smoothed p(w2|w1) = (c12+1)/(c1+V) from EXACT
+    // global counts (the model "training" is two aggregates; the
+    // count frames broadcast — vocabulary-sized); each bigram's
+    // ln p is FLOORED to integer nano-nats before summing (the q208
+    // cross-cell rule — a float sum of logs is partial-agg-order
+    // dependent, a sum of floored integers is not). DSIR's bucket
+    // xent (q81) is the hashed-feature sibling; this is the token-
+    // bigram LM itself.
+    "q252_bigram_lm_nll" -> ((s, d) => {
+      val wi = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val bi = graft.ops.Staging.stage(
+        toks.withColumn("w2", lead("w", 1).over(wi))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"), col("w").as("w1"),
+                  col("w2")))
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cx = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = toks.agg(countDistinct("w").as("v"))
+      bi.join(broadcast(cxy), Seq("w1", "w2"))
+        .join(broadcast(cx), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(floor(1000000000.0 * ln((c12 + 1.0) / (c1 + v))) " +
+            "AS BIGINT)").as("nano"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+             count(lit(1)).as("n_bigrams"),
+             (-sum("nano")).as("total_nll_nano"))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("total_nll_nano"),
+          expr("total_nll_nano div n_bigrams").as("avg_nll_nano"))
+        .orderBy("source")
+    }),
+
     // Content-defined chunking (the rolling-boundary primitive under
     // rsync/LBFS/storage dedup, and the chunk-level dedup signal a
     // training-data lake uses to price re-crawls): a position opens a
@@ -3750,6 +3791,47 @@ object TextQueries {
         |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
         |        CAST(n AS DOUBLE), 6) AS intercept
         |FROM a ORDER BY n_tokens""".stripMargin,
+
+    // Bigram-LM replay: token positions renumbered after the empty
+    // filter, the same lead() bigrams, add-1 counts, and the
+    // floored nano-nat terms.
+    "q252_bigram_lm_nll" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, source, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS i
+        |  FROM tt),
+        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
+        |seqd AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, source, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+        |  FROM seqd),
+        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM b2 GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |       FROM b2 GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+        |t AS (
+        |  SELECT b.doc_id, b.source,
+        |    CAST(floor(1000000000.0 * ln((cxy.c12 + 1.0) / (cx.c1 + vv.v)))
+        |      AS BIGINT) AS nano
+        |  FROM b2 b
+        |  JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(-sum(nano) AS BIGINT) AS total_nll_nano,
+        |  CAST(-sum(nano) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS avg_nll_nano
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same
