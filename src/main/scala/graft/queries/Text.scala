@@ -1695,25 +1695,24 @@ object TextQueries {
     // chunk iff the md5 of its 8-char window lands in 1/32 of hash
     // space — boundaries move WITH content, so an insertion re-chunks
     // only its neighborhood where fixed-width blocks would shift
-    // every later block. Chunks are then keyed by content hash and
-    // the per-source dedup ledger (total vs unique bytes) falls out
-    // of one aggregate. Work is O(total chars) map-side + one
-    // exchange per rollup; everything is exact integers and md5 — the
-    // oracle replays boundary-for-boundary.
+    // every later block. The boundary scan + chunk cut is the
+    // Chunking.contentDefinedChunks mapPartitions kernel (the
+    // holtLinear secondary-sort idiom minus the sort — chunking is
+    // per-document): the text crosses the wire ONCE inside its scan
+    // task and chunks are emitted directly, where the per-position
+    // explode + lead() window formulation shipped the FULL document
+    // text on every boundary row through the window exchange —
+    // quadratic in document length (the r13 weak flag). Chunks are
+    // then keyed by content hash and the per-source dedup ledger
+    // (total vs unique bytes) falls out of one aggregate. Work is
+    // O(total chars) map-side + one exchange per rollup; everything
+    // is exact integers and md5 — the oracle replays
+    // boundary-for-boundary (ChunkingSpec pins kernel ≡ the
+    // expression replay; PlanShapeSpec pins no Window/Generate).
     "q251_cdc_chunking" -> ((s, d) => {
-      val pos = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"),
-                length(col("text")).as("len"))
-        .select(col("doc_id"), col("source"), col("text"), col("len"),
-          explode(expr("sequence(1, greatest(len - 7, 1))")).as("p"))
-      val bounds = pos.filter(expr(
-        "p = 1 OR CAST(conv(substring(md5(substring(text, p, 8)), 1, 4), " +
-          "16, 10) AS BIGINT) % 32 = 0"))
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val chunks = bounds
-        .withColumn("np", lead("p", 1).over(w))
-        .select(col("source"),
-          expr("substring(text, p, coalesce(np, len + 1) - p)").as("chunk"))
+      val chunks = graft.ext.Chunking.contentDefinedChunks(
+        Tables.documents(s, d).select("source", "text"),
+        "text", Seq("source"))
       chunks
         .select(col("source"), md5(col("chunk")).as("ch"),
                 length(col("chunk")).cast("long").as("clen"))

@@ -52,9 +52,17 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("SinglePartition, ENSURE_REQUIREMENTS"))
   }
 
-  test("q251 cdc chunking: linear exchange chain, no joins") {
+  test("q251 cdc chunking: kernel cut — no window, no explode, no joins") {
     val p = plan("q251_cdc_chunking")
     assert(!p.contains("Join"))
+    // the r13 weak flag: a per-position Generate + boundary Window
+    // carried the full document text through the window exchange
+    // (quadratic in doc length). The mapPartitions kernel must keep
+    // both operators out of the plan — text never crosses an
+    // exchange at all (first shuffle key is (source, md5(chunk))).
+    assert(!p.contains("Window"), "boundary window reappeared")
+    assert(!p.contains("Generate"), "per-position explode reappeared")
+    assert(p.contains("MapPartitions"))
     assert(exchanges(p) <= 4)
   }
 
