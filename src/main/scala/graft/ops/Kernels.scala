@@ -180,6 +180,62 @@ object Kernels {
     partial.groupBy(keys.map(col): _*).agg(p2.head, p2.tail: _*)
   }
 
+  /** Item co-visitation pairs ("users who touched X also touched Y")
+    * — the recommender co-occurrence matrix. The pair join is
+    * per-user over each user's DISTINCT item set, so the work is
+    * Σ_u C(|items_u|, 2): linear in corpus size, but QUADRATIC in one
+    * user's activity — a single bot with 10⁵ items contributes 5×10⁹
+    * pairs from one key. `maxItemsPerUser` is the occupancy guard for
+    * that shape (the EntityRes `maxBlockNames` / Similarity
+    * `maxBandBucket` discipline applied to the user key): keep each
+    * user's top-N items by `recencyCol` (most recent wins; item id
+    * breaks ties — deterministic), bounding pairs per user at
+    * C(N, 2). The documented approximation: a capped user's older
+    * items drop out of every pair they would have supported —
+    * recency-ranked truncation is the standard co-visitation window
+    * (recent co-occurrence is the signal recommenders want anyway).
+    * With no `recencyCol`, the cap keeps the N lowest item ids (still
+    * deterministic, no hidden hash order).
+    *
+    * Input is EVENT-grained (one row per touch, duplicates fine);
+    * distinctness is established here so the cap ranks each (user,
+    * item) once. One exchange on the user key serves the distinct,
+    * the rank and the self-join; the pair aggregate collapses to
+    * ≤ |items|² rows. Returns (item_a, item_b, n_users) with
+    * `item_a < item_b`; callers order/limit.
+    */
+  def covisitPairs(df: DataFrame, userCol: String, itemCol: String,
+                   recencyCol: Option[String] = None,
+                   maxItemsPerUser: Option[Int] = None): DataFrame = {
+    maxItemsPerUser.foreach(n =>
+      require(n >= 2, "maxItemsPerUser below 2 generates no pairs"))
+    val perItem = recencyCol match {
+      case Some(rc) => df.groupBy(col(userCol), col(itemCol))
+        .agg(max(col(rc)).as("__rec"))
+      case None => df.select(col(userCol), col(itemCol)).distinct()
+    }
+    val capped = maxItemsPerUser match {
+      case Some(n) =>
+        val order = recencyCol match {
+          case Some(_) => Seq(col("__rec").desc, col(itemCol))
+          case None => Seq(col(itemCol))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(userCol).orderBy(order: _*)
+        perItem.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
+      case None => perItem
+    }
+    // staged: the self-join reads the per-user item frame twice
+    val ui = Staging.stage(capped.select(col(userCol), col(itemCol)))
+    ui.as("x").join(ui.as("y"),
+        col(s"x.$userCol") === col(s"y.$userCol") &&
+          col(s"x.$itemCol") < col(s"y.$itemCol"))
+      .groupBy(col(s"x.$itemCol").as("item_a"),
+               col(s"y.$itemCol").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Clamped (floored) running sum per key — inventory / account-
     * balance semantics: `bal_i = max(floor, bal_(i-1) + v_i)` with
     * `bal_0 = floor + 0`. NOT a window function: the clamp makes each
@@ -434,6 +490,42 @@ object Kernels {
       graft.ext.Sketches.histQuantiles(
         graft.ext.Sketches.histCounters(df, groupCol, valueCol, width),
         groupCol, width, ps)
+    }
+  }
+
+  /** Wide-form [[groupQuantiles]]: one row per group, one named
+    * column per probe — the shape the robust-stats family consumes
+    * (q149 median/MAD, q175 winsorization bands, q198 latency
+    * percentiles join their probes back against the data, so they
+    * want columns, not (p, q_est) rows). `probes` maps each p to its
+    * output column name.
+    *
+    * `exact = true` (the driver rows — their oracles need the
+    * interpolated value) emits Spark's `percentile` UNROUNDED, so a
+    * caller that previously inlined `expr("percentile(...)")` swaps
+    * in with bit-identical results. `exact = false` is the 100 TB
+    * mode: the additive-histogram estimate within one bucket `width`
+    * of exact (see [[groupQuantiles]] — same engine, pivoted wide;
+    * 6dp-rounded like every sketch output). KernelsSpec pins the two
+    * modes within `width` of each other on real data.
+    */
+  def groupQuantilesWide(df: DataFrame, groupCol: String, valueCol: String,
+                         probes: Seq[(Double, String)],
+                         exact: Boolean = true,
+                         width: Double = 1.0): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    require(probes.map(_._2).distinct.size == probes.size,
+      "probe output names must be distinct")
+    if (exact) {
+      val aggs = probes.map { case (p, name) =>
+        expr(s"percentile($valueCol, $p)").as(name) }
+      df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val long = groupQuantiles(df, groupCol, valueCol, probes.map(_._1),
+        exact = false, width = width)
+      val aggs = probes.map { case (p, name) =>
+        max(when(col("p") === lit(p), col("q_est"))).as(name) }
+      long.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
     }
   }
 

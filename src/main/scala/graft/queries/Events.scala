@@ -1101,10 +1101,12 @@ object EventQueries {
     // values are exact integer micros, so interpolated percentiles
     // sit on the 1/20 value grid (≤ 2 decimals — 6dp rounding can
     // never land on a half, the q175 argument). One exchange on
-    // user_id, then a 1-row summary. At 100 TB the latency
-    // percentiles ride Kernels.groupQuantiles(exact = false) (the
-    // q149 scale note) — a latency SLO only needs bucket-width
-    // precision, and exact percentile() buffers the whole population.
+    // user_id, then a 1-row summary. The percentiles ride
+    // Kernels.groupQuantilesWide (exact = true — bit-identical to the
+    // inlined percentile() this replaced; at 100 TB the same call
+    // flips to exact = false, the q149 scale note — a latency SLO
+    // only needs bucket-width precision, and exact percentile()
+    // buffers the whole population).
     "q198_conversion_latency" -> ((s, d) => {
       val perUser = Tables.events(s, d)
         .groupBy("user_id")
@@ -1122,12 +1124,18 @@ object EventQueries {
         .agg(first("__su").as("__su"),
              min(when(col("__pu") >= col("__su"), col("__pu"))).as("__fp"))
         .select(col("user_id"), (col("__fp") - col("__su")).as("__lat"))
-      lat.agg(count(lit(1)).as("n_signups"),
-              count(col("__lat")).as("n_converted"),
-              expr("(count(__lat) * 1000000) div count(1)")
-                .as("conversion_ppm"),
-              round(expr("percentile(__lat, 0.5)"), 6).as("p50_latency_us"),
-              round(expr("percentile(__lat, 0.9)"), 6).as("p90_latency_us"))
+      // staged: the counts summary and the percentile probes both
+      // read the per-user latency frame
+      val latS = graft.ops.Staging.stage(lat)
+      val counts = latS.agg(count(lit(1)).as("n_signups"),
+        count(col("__lat")).as("n_converted"),
+        expr("(count(__lat) * 1000000) div count(1)").as("conversion_ppm"))
+      val pct = Kernels.groupQuantilesWide(
+        latS.select(lit(0).as("__g"), col("__lat")), "__g", "__lat",
+        Seq(0.5 -> "__p50", 0.9 -> "__p90"))
+      counts.crossJoin(broadcast(pct.select(
+          round(col("__p50"), 6).as("p50_latency_us"),
+          round(col("__p90"), 6).as("p90_latency_us"))))
         .orderBy("n_signups")
     }),
 
@@ -1794,27 +1802,22 @@ object EventQueries {
 
     // Item co-visitation mining over props.k ("users who touched item
     // X also touched Y") — the recommender co-occurrence matrix, at
-    // ITEM granularity where q169's basket rules were type-level. The
-    // pair join is per-user over each user's DISTINCT item set, so
-    // the work is Σ_u |items_u|² — bounded by activity per user, the
-    // standard co-occurrence shape (never corpus×corpus); the
-    // aggregate collapses to ≤ |items|² rows. Top 20 by support with
-    // a full integer tie-break.
-    "q247_covisitation" -> ((s, d) => {
-      // staged: the self-join reads the distinct frame twice
-      val ui = graft.ops.Staging.stage(Tables.events(s, d)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct())
-      ui.as("x").join(ui.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
-        .agg(count(lit(1)).as("n_users"))
+    // ITEM granularity where q169's basket rules were type-level.
+    // Kernels.covisitPairs: per-user pairs over each user's DISTINCT
+    // item set (never corpus×corpus), with the maxItemsPerUser
+    // occupancy guard available for power-user skew — OFF here so the
+    // oracle sees the exact full matrix (KernelsSpec pins the capped
+    // pair bound on a planted power user). Top 20 by support with a
+    // full integer tie-break.
+    "q247_covisitation" -> ((s, d) =>
+      Kernels.covisitPairs(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull),
+        "user_id", "item")
         .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Deterministic class rebalancing: downsample every event type to
     // the minority class's count, keeping the md5-rank-first rows —

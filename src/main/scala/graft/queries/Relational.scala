@@ -683,29 +683,38 @@ object Relational {
     // Two aggregate passes (median, then deviations) + the mode
     // argmax — each one exchange on the group key.
     //
-    // SCALE NOTE: exact percentile() buffers every group value in
-    // executor memory (TypedImperativeAggregate) — fine on 4 flags
-    // at audit SFs, an OOM risk on heavy groups at 100 TB. The scale
-    // substitute is Kernels.groupQuantiles(exact = false) — additive
-    // histogram counters + in-bucket interpolation, within one bucket
-    // width of exact (spec-pinned in KernelsSpec); this driver row
-    // stays exact because its oracle needs the interpolated value.
+    // SCALE NOTE: both percentile probes ride
+    // Kernels.groupQuantilesWide. This driver row keeps the default
+    // exact = true (its oracle needs the interpolated value; the
+    // exact path emits percentile() unrounded, so the route-through
+    // is bit-identical) — but exact percentile() buffers every group
+    // value in executor memory (TypedImperativeAggregate): fine on 4
+    // flags at audit SFs, an OOM risk on heavy groups at 100 TB,
+    // where the SAME call flips to exact = false (additive histogram
+    // counters + in-bucket interpolation, within one bucket width of
+    // exact — both modes spec-pinned against each other in
+    // KernelsSpec).
     "q149_robust_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select("l_returnflag", "l_quantity", "l_extendedprice")
-      val med = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("__med"),
-             count(lit(1)).as("n_rows"))
-      val mad = li.join(med, "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(abs(l_extendedprice - __med), 0.5)").as("__mad"))
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("__cnt").desc, col("l_quantity"))
+      val med = Kernels.groupQuantilesWide(li, "l_returnflag",
+        "l_extendedprice", Seq(0.5 -> "__med"))
+      val mad = Kernels.groupQuantilesWide(
+        li.join(med, "l_returnflag")
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("__med")).as("__dev")),
+        "l_returnflag", "__dev", Seq(0.5 -> "__mad"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val w = byFlag.orderBy(col("__cnt").desc, col("l_quantity"))
+      // n_rows rides the mode pass's exchange (sum of the per-value
+      // counts over the same partitioning — no extra shuffle)
       val mode = li.groupBy("l_returnflag", "l_quantity")
         .agg(count(lit(1)).as("__cnt"))
+        .withColumn("n_rows", sum("__cnt").over(byFlag))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        .select(col("l_returnflag"), col("n_rows"),
+                col("l_quantity").as("mode_qty"),
                 col("__cnt").as("mode_count"))
       med.join(mad, "l_returnflag").join(mode, "l_returnflag")
         .select(col("l_returnflag"), col("n_rows"),
@@ -966,15 +975,15 @@ object Relational {
     // interpolation); p05/p95 sit on the 0.01/20 value grid (fraction
     // of the 2dp grid = k/20 steps), ≤ 4 decimals, so 6dp rounding
     // can never land on a half. Two aggregate passes (percentiles,
-    // then clip+mean), each one exchange on the group key. At 100 TB
-    // the clip thresholds come from Kernels.groupQuantiles(exact =
-    // false) instead — the q149 scale note; a winsorization band
-    // only needs bucket-width precision.
+    // then clip+mean), each one exchange on the group key. The clip
+    // thresholds ride Kernels.groupQuantilesWide (exact = true here —
+    // bit-identical to inlined percentile(); at 100 TB the same call
+    // flips to exact = false — the q149 scale note; a winsorization
+    // band only needs bucket-width precision).
     "q175_winsorized_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-      val pct = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.05)").as("__p05"),
-             expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+      val pct = Kernels.groupQuantilesWide(li, "l_returnflag",
+        "l_extendedprice", Seq(0.05 -> "__p05", 0.95 -> "__p95"))
       li.join(pct, "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),

@@ -479,4 +479,38 @@ class KernelsSpec extends AnyFunSuite {
       Kernels.groupQuantiles(vals, "k", "v", ps, exact = false).columns.toSeq)
     assert(cols.drop(1) == Seq("p", "q_est"))
   }
+
+  test("covisitPairs: maxItemsPerUser bounds a power user at C(N,2) pairs") {
+    // one power user with 100 items (recency = item id: higher is more
+    // recent), one small user with 3 — the q247 skew shape
+    val ev = ((1 to 100).map(i => ("bot", i.toLong, i.toLong)) ++
+      Seq(("u2", 1L, 9L), ("u2", 2L, 8L), ("u2", 3L, 7L),
+          ("u2", 1L, 1L)) // duplicate touch: distinctness is internal
+    ).toDF("user_id", "item", "ts")
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      graft.ops.Staging.releaseAll()
+      out
+    }
+    // cap off: the full matrix — C(100,2) distinct pairs (u2's three
+    // pairs are a subset of the bot's, showing up as n_users = 2)
+    val full = pairs(Kernels.covisitPairs(ev, "user_id", "item"))
+    assert(full.size === 4950)
+    assert(full((1L, 2L)) === 2L) // both users touched items 1 and 2
+    // cap 10 by recency: the bot keeps items 91..100 ⇒ exactly C(10,2)
+    // pairs, all within 91..100; u2 (3 items) is untouched
+    val capped = pairs(Kernels.covisitPairs(ev, "user_id", "item",
+      recencyCol = Some("ts"), maxItemsPerUser = Some(10)))
+    val botPairs = capped.keySet.filter(_._1 >= 4)
+    assert(botPairs.size === 45)
+    assert(botPairs.forall { case (a, b) => a >= 91 && b >= 91 })
+    assert(capped((1L, 2L)) === 1L && capped((2L, 3L)) === 1L)
+    assert(capped.size === 45 + 3)
+    // deterministic no-recency form: cap keeps the N lowest item ids
+    val lowCap = pairs(Kernels.covisitPairs(ev, "user_id", "item",
+      maxItemsPerUser = Some(10)))
+    assert(lowCap.keySet.filter(_._2 > 10).isEmpty)
+    assert(lowCap((1L, 2L)) === 2L)
+  }
 }
