@@ -57,6 +57,46 @@ object EntityRes {
     * backstop, not a tuning knob. */
   val DefaultMaxBlockNames: Int = 10000
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Last observed occupancy breach, as (names in split blocks, max
+    * sub-bucket count) — `None` until some pair generation actually
+    * trips the guard. A runtime signal (not just a silent graceful
+    * degradation): recall only degrades when a block REALLY exceeds
+    * `maxBlockNames`, and callers/specs can tell that happened. */
+  val lastOccupancyBreach =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
+
+  /** Warn-on-breach check, run when candidate pairs are BUILT: count
+    * the blocks whose distinct-name occupancy exceeds the cap (i.e.
+    * that [[candidateNamePairs]] will sub-bucket) and, if any, log a
+    * warning and record [[lastOccupancyBreach]] — so graceful recall
+    * degradation is distinguishable from full recall (r13 advice).
+    * The check is one tiny aggregate over the per-block occupancy
+    * frame — bounded by block count, never corpus rows — evaluated
+    * eagerly and synchronously (an async observe metric would vanish
+    * under the callers' persist boundaries). Since callers stage the
+    * name-group frame before pairing, this pass doubles as the cache
+    * warm-up for the self-join that follows. */
+  private def occupancySignal(occ: DataFrame, maxBlockNames: Int): Unit = {
+    val r = occ.filter(col("__d") > maxBlockNames)
+      .agg(coalesce(sum("__d"), lit(0L)).as("names"),
+           coalesce(max(ceil(col("__d").cast("double") /
+             lit(maxBlockNames.toDouble))), lit(0L)).as("max_sub"))
+      .head()
+    val names = r.getAs[Number](0).longValue
+    val maxSub = r.getAs[Number](1).longValue
+    if (names > 0) {
+      lastOccupancyBreach.set(Some((names, maxSub)))
+      log.warn(
+        s"EntityRes occupancy guard engaged: $names distinct names sit in " +
+          s"blocks over the $maxBlockNames cap, split into up to $maxSub " +
+          "sub-buckets — cross-name recall degrades there (same-name " +
+          "clustering unaffected); the blocking key is non-discriminative, " +
+          "consider more prefix tokens or an LSH block")
+    }
+  }
+
   /** Distinct-name groups of `df`: one row per (block, name) with
     * `__rep` = min member id (the group's representative — min over
     * reps of a merged cluster is min over all member ids) and `__c` =
@@ -81,6 +121,7 @@ object EntityRes {
     require(maxBlockNames >= 2, "maxBlockNames must be >= 2")
     val spark = names.sparkSession
     val occ = names.groupBy("__blk").agg(count(lit(1)).as("__d"))
+    occupancySignal(occ, maxBlockNames)
     val sub = names.join(occ, "__blk")
       .withColumn("__nsub",
         ceil(col("__d").cast("double") / lit(maxBlockNames.toDouble)))

@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   * shuffle — and each sweep's update is one groupBy(cluster)
   * partial-aggregated sum collect of k rows. Sweeps × one scan, like
   * [[Similarity.ivfCentroids]] (the fp production path this verifies
-  * the algorithm of). Inner terms n·q − s ride long under the
-  * |q| ≤ 2^21 micro-unit / n ≤ 2^40 bound (guarded); squares, sums
+  * the algorithm of). Inner terms n·q − s ride long under the JOINT
+  * bound n·|q| ≤ 2^61 (|s| ≤ n·max|q| ≤ 2^61 follows, so the
+  * difference stays within ±2^62) — guarded per row in the kernel
+  * against each sweep's actual max cluster count, so e.g. |q| up to
+  * 2^21 micro-units allows n up to 2^40 points per cluster, and
+  * smaller clusters allow proportionally wider values; squares, sums
   * and cross-multiplied comparisons ride BigInt, so no magnitude can
   * overflow anywhere.
   *
@@ -61,8 +65,8 @@ object KmeansExact {
 
     // Assignment is a MAP-SIDE mapPartitions kernel over the k·(d+1)
     // closed-over centroid integers — the same exact arithmetic the
-    // oracle's HUGEINT CTEs perform (n·q − s in long under the
-    // documented |q| ≤ 2^21 / n ≤ 2^40 bound, squares/sums/cross-
+    // oracle's HUGEINT CTEs perform (n·q − s in long under the joint
+    // n·|q| ≤ 2^61 bound guarded below, squares/sums/cross-
     // multiplied comparisons in BigInt, so no overflow is possible
     // anywhere), chosen over the equivalent decimal(38,0) column
     // formulation because THAT plan's size grows with k·dims (4×64
@@ -72,8 +76,7 @@ object KmeansExact {
     def assigned(cs: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
       val cn = cs.map(_._1).toArray
       val csv = cs.map(_._2.toArray).toArray
-      require(cn.forall(n => n <= (1L << 40)),
-        "cluster count bound for exact long inner arithmetic")
+      val qBound = quantBound(cn.max)
       val outSchema = org.apache.spark.sql.types.StructType(
         q.schema.fields :+ org.apache.spark.sql.types.StructField(
           "cl", org.apache.spark.sql.types.LongType, nullable = false))
@@ -81,6 +84,25 @@ object KmeansExact {
       val kk = k; val dd = dims
       q.mapPartitions { rows =>
         rows.map { r =>
+          // enforce the joint overflow contract n·|q| <= 2^61 against
+          // THIS sweep's actual max cluster count (|s| <= n·max|q|
+          // <= 2^61 follows inductively — every prior member passed
+          // the same check — so the long inner term n·q − s stays
+          // within ±2^62). Checked per row in the kernel: zero extra
+          // jobs, fails loudly on the first violating vector instead
+          // of silently wrapping to a wrong (not failing) clustering.
+          var v0 = 0
+          while (v0 < dd) {
+            val v = r.getLong(v0 + 1)
+            if (v > qBound || v < -qBound)
+              throw new IllegalArgumentException(
+                s"quantized component $v violates the exact-arithmetic " +
+                  s"bound n·|q| <= 2^61 (max cluster count allows |q| <= " +
+                  s"$qBound micro-units) — the long inner term n·q − s " +
+                  "could overflow; rescale the embedding or shrink the " +
+                  "quantization step")
+            v0 += 1
+          }
           val d = new Array[BigInt](kk)
           var j = 0
           while (j < kk) {
@@ -138,6 +160,15 @@ object KmeansExact {
 
   private def quantExpr(x: String): String =
     s"CAST(floor(CAST($x AS DOUBLE) * 1000000.0) AS BIGINT)"
+
+  /** Largest |q| safe for the exact long inner term n·q − s when the
+    * biggest cluster holds `maxN` points: n·|q| ≤ 2^61 keeps |n·q|
+    * and (inductively) |s| within 2^61 each, so the difference stays
+    * within ±2^62 < Long range. Package-visible so the spec can pin
+    * the envelope arithmetic without synthesizing 2^40-point
+    * clusters. */
+  private[graft] def quantBound(maxN: Long): Long =
+    (1L << 61) / math.max(maxN, 1L)
 
   /** The self-contained DuckDB replay of [[lloyd]] over the
     * `embeddings` table: the same quantization, seed, exact-integer

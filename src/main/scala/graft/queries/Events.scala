@@ -1365,10 +1365,16 @@ object EventQueries {
         .orderBy("r_q", "f_q", "m_q")
     }),
 
-    // Rolling 7-day MEDIAN of event value — the quantile sibling of
-    // q199's HLL pyramid: exact rolling quantiles re-sort every
-    // window, but ADDITIVE histogram counters (the q212 family) make
-    // the rolling combine O(days × buckets): a dense day×bucket grid
+    // Rolling 7-ACTIVE-day MEDIAN of event value — the quantile
+    // sibling of q199's HLL pyramid. "7 days" = the 7 most recent
+    // days PRESENT in the data (the q199/q250 active-day convention):
+    // the grid zero-fills missing BUCKETS, not missing calendar days,
+    // so calendar gaps compress the window rather than diluting it —
+    // mirrored exactly by the oracle's rowsBetween replay. (For the
+    // calendar-day variant, densify `days` over a sequence() span
+    // first.) Exact rolling quantiles re-sort every window, but
+    // ADDITIVE histogram counters (the q212 family) make the rolling
+    // combine O(days × buckets): a dense active-day×bucket grid
     // (bounded by value-range/width, zero-filled so every bucket
     // windows over the SAME active-day list), a 7-row rolling sum per
     // bucket, then the standard in-bucket interpolation per day.

@@ -48,9 +48,18 @@ object GraftPartitionedCheckpoint {
     ck.queryExecution.analyzed match {
       case l: LogicalRDD =>
         val attrs = keys.map { k =>
-          l.output.find(_.name == k).getOrElse(
-            throw new IllegalArgumentException(
-              s"key '$k' not in checkpoint output ${l.output.map(_.name)}"))
+          // exactly-one match, or refuse: declaring a partitioning on
+          // an ambiguous name could state a layout the data does not
+          // have, which silently MIS-JOINS (wrong results, not a slow
+          // plan). Unreachable via the repartition above (col(k) on a
+          // duplicate name already throws AMBIGUOUS_REFERENCE), but
+          // the declaration is the dangerous half — guard it directly.
+          val matches = l.output.filter(_.name == k)
+          require(matches.size == 1,
+            s"key '$k' matches ${matches.size} checkpoint output columns " +
+              s"(${l.output.map(_.name).mkString(", ")}) — refusing to " +
+              "declare a partitioning on an ambiguous or missing name")
+          matches.head
         }
         val declared = LogicalRDD(
           l.output, l.rdd,

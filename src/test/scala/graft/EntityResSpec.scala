@@ -92,6 +92,32 @@ class EntityResSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("occupancy breach emits the runtime signal; an unsplit run stays silent") {
+    // a guard that silently degrades recall is indistinguishable from
+    // full recall — the breach must be observable (r13 advice)
+    EntityRes.lastOccupancyBreach.set(None)
+    // un-split run: 6 names, cap 10000 — no signal
+    val small = vocabulary(6).zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm, "blk") }.toDF("id", "name", "b")
+    EntityRes.resolve(small, "id", "name", col("b"), 0.99).count()
+    graft.ops.Staging.releaseAll()
+    assert(EntityRes.lastOccupancyBreach.get().isEmpty,
+      "no block was split — the signal must stay quiet")
+    // split run: 40 names under one block, cap 4 — the guard engages
+    val big = vocabulary(40).zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm, "blk") }.toDF("id", "name", "b")
+    // the check is synchronous at pair-build time: resolve()'s plan
+    // construction already fires it
+    EntityRes.resolve(big, "id", "name", col("b"), 0.99,
+      maxBlockNames = 4).count()
+    graft.ops.Staging.releaseAll()
+    val breach = EntityRes.lastOccupancyBreach.get()
+    assert(breach.nonEmpty, "guard split a block but no signal fired")
+    val (namesInSplit, maxSub) = breach.get
+    assert(namesInSplit === 40L)  // every name sat in the split block
+    assert(maxSub === 10L)        // ceil(40 / 4)
+  }
+
   test("q179 distinct-name derivation == row-level brute force (singleton reciprocal links)") {
     val parts: Seq[(Long, String)] = Seq(
       1L -> "acme alpha widget",     // repeated group {1,2,9}

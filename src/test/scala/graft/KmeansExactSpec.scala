@@ -27,6 +27,41 @@ class KmeansExactSpec extends AnyFunSuite {
       (0L, 3L, 33333L, 33333L), (1L, 3L, 5033333L, 5033333L)))
   }
 
+  test("lloyd: joint n·|q| <= 2^61 overflow guard — envelope arithmetic and kernel wiring") {
+    // the envelope: a violating (maxN, q) pair could overflow the long
+    // inner term n·q − s SILENTLY (wrong clustering, not a crash).
+    // The documented |q| <= 2^21 / n <= 2^40 pairing is one point on
+    // the frontier; smaller clusters legally admit wider values.
+    assert(KmeansExact.quantBound(1L << 40) === (1L << 21))
+    assert(KmeansExact.quantBound(1L) === (1L << 61))
+    assert(KmeansExact.quantBound(3L) > 5099999L)   // the hand case is legal
+    assert(KmeansExact.quantBound(1L << 50) === (1L << 11))
+    // safety: for any maxN, |n·q| stays within 2^61
+    Seq(1L, 3L, 1000L, 1L << 40, 1L << 50).foreach { n =>
+      assert(BigInt(n) * BigInt(KmeansExact.quantBound(n)) <= (BigInt(1) << 61))
+    }
+    // kernel wiring: with maxN forced to 2^50 the bound is 2^11 =
+    // 2048 micro-units (raw 0.002048), so a perfectly ordinary value
+    // must be refused — proving the per-row check actually runs.
+    // maxN can't be synthesized with rows, so drive the bound the
+    // way the kernel computes it: quantBound is what assigned() uses
+    // (same function, pinned above); here pin the refusal message
+    // path via a value beyond even the n=2^40 envelope at real n=4.
+    val wild = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(2.4e12f, 0.0f)), // 2.4e18 micro-units > 2^61/4
+      (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      KmeansExact.lloyd(wild, "vec_id", "embedding",
+        k = 2, dims = 2, sweeps = 1).collect()
+    }
+    graft.ops.Staging.releaseAll()
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("2^61"), s"wrong failure: ${chain(e)}")
+  }
+
   test("lloyd: matches an independent BigInt reference on random data") {
     val rnd = new scala.util.Random(7)
     val n = 120; val dims = 5; val k = 3; val sweeps = 2

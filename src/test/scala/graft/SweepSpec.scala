@@ -51,4 +51,49 @@ class SweepSpec extends AnyFunSuite {
     assert(exchanges(mixed) >= 1, "undeclared checkpoint should re-exchange")
     graft.ops.Staging.releaseAll()
   }
+
+  test("CANARY: plain localCheckpoint still hides its partitioning (the shim's reason to exist)") {
+    // GraftPartitionedCheckpoint reaches package-private LogicalRDD
+    // precisely because Spark 4.1 creates localCheckpoint's LogicalRDD
+    // with UnknownPartitioning, hiding the layout from downstream
+    // ENSURE_REQUIREMENTS planning. This test MUST KEEP FAILING to
+    // hold in the counterexample sense: if it ever goes red, Spark has
+    // started declaring (or otherwise changed) the checkpoint
+    // partitioning contract — revisit the shim (it may be redundant,
+    // or its LogicalRDD rebuild may now be wrong) before trusting any
+    // sweep plan.
+    val ck = (1 to 400).map(i => (i % 40L, i.toLong)).toDF("k", "v")
+      .repartition(8, col("k"))
+      .localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        assert(!l.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+          "SPARK BEHAVIOR CHANGE: localCheckpoint now declares its " +
+            "partitioning — GraftPartitionedCheckpoint's premise is gone; " +
+            "audit the shim against the new LogicalRDD contract")
+      case other =>
+        fail("SPARK BEHAVIOR CHANGE: localCheckpoint no longer roots at " +
+          s"LogicalRDD (got ${other.getClass}) — GraftPartitionedCheckpoint " +
+          "degrades to the undeclared path; audit the shim")
+    }
+  }
+
+  test("pin refuses ambiguous or missing key names (mis-declaration guard)") {
+    val df = (1 to 100).map(i => (i % 10L, i.toLong)).toDF("k", "v")
+    // missing name: loud, not a silent wrong declaration
+    val e = intercept[Exception] {
+      org.apache.spark.sql.execution.GraftPartitionedCheckpoint(
+        df, Seq("nope"), 4)
+    }
+    assert(e.getMessage.contains("nope"))
+    // duplicate output name: the repartition itself must refuse to
+    // resolve the ambiguous column (so no declaration can happen)
+    val dup = df.select(col("k"), col("v").as("k"))
+    intercept[Exception] {
+      org.apache.spark.sql.execution.GraftPartitionedCheckpoint(
+        dup, Seq("k"), 4)
+    }
+    graft.ops.Staging.releaseAll()
+  }
 }
