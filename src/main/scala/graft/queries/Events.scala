@@ -1848,7 +1848,218 @@ object EventQueries {
         .agg(count(lit(1)).as("n_kept"), sum("c").as("cents_kept"))
         .orderBy("event_type")
     }),
+
+    // AMS (Alon–Matias–Szegedy) second-frequency-moment sketch vs the
+    // exact F2 = Σ f_v² — the self-join-size / skew estimator that
+    // needs O(R) counters where exact F2 needs the full frequency
+    // table: R=64 independent ±1-signed sums S_r = Σ_v f_v·s(v,r),
+    // E[S_r²] = F2, estimate = mean of S_r² (integer floor div).
+    // Signs come from md5(item#r) first hex digit (the q32 simhash
+    // bit rule), so both engines draw identical pseudo-randomness;
+    // every sum is an exact integer — approximate operator, exact
+    // replay (the q212 contract). Scale shape: the frequency frame is
+    // VOCABULARY-sized (one aggregate over the corpus, map-side
+    // partial combine), and the 64× estimator explode runs over that
+    // vocab frame, never corpus rows; at 100 TB the sketch side
+    // collapses to 64 counters per partition before the one exchange.
+    "q253_ams_f2" -> ((s, d) => {
+      val f = graft.ops.Staging.stage(Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy("item").agg(count(lit(1)).as("fv")))
+      val exact = f.agg(sum(col("fv") * col("fv")).as("f2_exact"),
+                        sum("fv").as("n_rows"))
+      val est = f
+        .select(col("item"), col("fv"),
+                explode(expr("sequence(0, 63)")).as("r"))
+        .withColumn("sgn",
+          when(substring(md5(concat(col("item").cast("string"), lit("#"),
+              col("r").cast("string"))), 1, 1)
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1L))
+          .otherwise(lit(-1L)))
+        .groupBy("r").agg(sum(col("fv") * col("sgn")).as("sr"))
+        .agg(sum(col("sr") * col("sr")).as("ssq"), count(lit(1)).as("nr"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_rows"), col("f2_exact"),
+          expr("ssq div nr").as("f2_est"),
+          expr("(abs(ssq div nr - f2_exact) * 1000000) div f2_exact")
+            .as("err_ppm"))
+        .orderBy("n_rows")
+    }),
+
+    // Run-length encoding of per-user event streams (gaps-and-islands
+    // at the VALUE level where q246's streaks were at the day level):
+    // collapse consecutive same-type events into runs, then the
+    // per-type run census — the session-compression / repeated-action
+    // signal (a bot hammering one action shows up as max_run). Run
+    // ids are a running sum of change flags over the (ts, event_id)
+    // total order; one exchange on user_id serves the lag, the
+    // running sum and the per-run rollup; the type census is a second
+    // bounded exchange. All exact integers.
+    "q254_event_rle" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+               lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(count(lit(1)).as("rl"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_runs"), max("rl").as("max_run"),
+             sum("rl").as("n_events"))
+        .withColumn("avg_run_ppm", expr("(n_events * 1000000) div n_runs"))
+        .orderBy("event_type")
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013, WSDM — "Improving
+    // the Sensitivity of Online Controlled Experiments"): adjust each
+    // user's experiment-period metric by their PRE-period metric,
+    // y' = y − θ·(x − x̄), θ = cov(x,y)/var(x) — the industry-standard
+    // A/B variance cut. Periods split at the exact midpoint micro of
+    // the corpus time range; per-user cents ride ONE conditional
+    // aggregate; treatment = user_id parity (deterministic stand-in).
+    // θ and the diffs derive from exact BIGINT sums through SHARED
+    // expression text (the q218/q238 rule), so both engines perform
+    // the identical IEEE op sequence and 6dp rounding hashes. Scale
+    // shape: one exchange on user_id, then a 2-row treatment rollup
+    // and a 1-row pooled-moment frame — no corpus-sized state.
+    "q256_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      val mid = ev.agg(min("us").as("__mn"), max("us").as("__mx"))
+        .selectExpr("(__mn + __mx) div 2 AS mid")
+      val perUser = graft.ops.Staging.stage(
+        ev.crossJoin(broadcast(mid))
+          .groupBy("user_id")
+          .agg(coalesce(sum(when(col("us") < col("mid"), col("c"))), lit(0L))
+                 .as("x"),
+               coalesce(sum(when(col("us") >= col("mid"), col("c"))), lit(0L))
+                 .as("y"))
+          .withColumn("t", pmod(col("user_id"), lit(2L))))
+      val pooled = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val byT = perUser.groupBy("t")
+        .agg(count(lit(1)).as("nt"), sum("x").as("sxt"), sum("y").as("syt"))
+      val wide = byT.groupBy()
+        .agg(max(when(col("t") === 0, col("nt"))).as("n0"),
+             max(when(col("t") === 0, col("sxt"))).as("sx0"),
+             max(when(col("t") === 0, col("syt"))).as("sy0"),
+             max(when(col("t") === 1, col("nt"))).as("n1"),
+             max(when(col("t") === 1, col("sxt"))).as("sx1"),
+             max(when(col("t") === 1, col("syt"))).as("sy1"))
+      wide.crossJoin(broadcast(pooled))
+        .selectExpr("n0", "n1",
+          s"round($CupedNaive, 6) AS naive_diff_cents",
+          s"round($CupedTheta, 6) AS theta",
+          s"round($CupedNaive - ($CupedTheta) * ($CupedXDiff), 6) " +
+            "AS adj_diff_cents")
+        .orderBy("n0")
+    }),
+
+    // Mutual information between event type and item bucket — the
+    // feature-dependence ranking signal (q208's chi-square is the
+    // NHST sibling; MI is the information-theoretic effect size):
+    // I = Σ_cells (c/N)·ln(c·N/(r·s)), every factor an exact integer
+    // count, each cell's term FLOORED to integer nano-nats before the
+    // sum (the q252/q208 cross-cell rule — float sums of logs are
+    // partial-agg-order dependent; sums of floored integers are not).
+    // Scale: one contingency aggregate (cells ≤ types × buckets),
+    // marginals via windows over the tiny cell frame.
+    "q257_mi_nats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8L))
+            .as("b"))
+        .filter(col("b").isNotNull)
+      // staged: the marginal windows and the total both read the
+      // (types × buckets)-bounded cell frame
+      val cells = graft.ops.Staging.stage(
+        ev.groupBy("event_type", "b").agg(count(lit(1)).as("c")))
+      val wT = Window.partitionBy("event_type")
+      val wB = Window.partitionBy("b")
+      val tot = cells.agg(sum("c").as("n"))
+      cells
+        .withColumn("r", sum("c").over(wT))
+        .withColumn("s", sum("c").over(wB))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), expr(s"CAST(floor($MiTermNano) AS BIGINT)")
+          .as("nano"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_cells"), sum("nano").as("mi_nano"))
+        .orderBy("n")
+    }),
+
+    // Strict 3-step funnel with PER-STEP deadlines — signup, then
+    // first click within 3 days, then first purchase within 7 days of
+    // THAT click (q91 counts unordered step presence; q216 is the
+    // single-deadline negative; this is the chained-deadline
+    // conversion product teams actually ship). Each step's anchor is
+    // the previous step's timestamp, so the chain is two conditional
+    // min-joins on user_id (the q198 shape) — all exact integer
+    // micros, ppm division at the end. Three exchanges on user_id at
+    // any scale, no corpus-sized state.
+    "q259_funnel_deadline" -> ((s, d) => {
+      val ev = graft.ops.Staging.stage(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("us")))
+      val day = 86400000000L
+      val su = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("su"))
+        .filter(col("su").isNotNull)
+      val ck = su.join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("cu")), Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(first("su").as("su"),
+             min(when(col("cu") >= col("su") &&
+                      col("cu") <= col("su") + lit(3L * day), col("cu")))
+               .as("ck"))
+      val pu = ck.join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pu")), Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(first("ck").as("ck"),
+             min(when(col("pu") >= col("ck") &&
+                      col("pu") <= col("ck") + lit(7L * day), col("pu")))
+               .as("pu"))
+      pu.agg(count(lit(1)).as("n_signup"),
+             count(col("ck")).as("n_click_3d"),
+             count(col("pu")).as("n_purchase_7d"),
+             expr("(count(ck) * 1000000) div count(1)").as("click_ppm"),
+             expr("CASE WHEN count(ck) = 0 THEN 0 ELSE " +
+               "(count(pu) * 1000000) div count(ck) END").as("purchase_ppm"))
+        .orderBy("n_signup")
+    }),
   )
+
+  /** q256 CUPED shared expression text (the q218/q238 rule — one
+    * string, used verbatim by both engines, so every IEEE op happens
+    * in the identical order): naive treatment diff of the post-period
+    * means, θ = pooled cov(x,y)/var(x), pre-period mean diff. All
+    * inputs are exact BIGINT sums. */
+  private val CupedNaive =
+    "CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+      "CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+  private val CupedXDiff =
+    "CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+      "CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+  private val CupedTheta =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
+  /** q257's per-cell MI contribution in nano-nats, pre-floor (q252's
+    * floored-integer cross-cell rule; shared text): (c/N)·ln(cN/(rs))
+    * · 1e9 from exact integer counts. */
+  private val MiTermNano =
+    "1000000000.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+      "(CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))"
 
   /** q250's slope over exact rolling integer sums (q238's shared-
     * text rule): (7·Σxy − Σx·Σy) / (7·Σx² − (Σx)²). */
@@ -3401,5 +3612,161 @@ object EventQueries {
         |  CAST(sum(c) AS BIGINT) AS cents_kept
         |FROM r, k WHERE rn <= k
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // AMS replay: identical md5-signed estimator sums over the same
+    // frequency table; all BIGINT, floor division for the mean.
+    "q253_ams_f2" ->
+      """WITH f AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CAST(count(*) AS BIGINT) AS fv
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT CAST(sum(fv * fv) AS BIGINT) AS f2_exact,
+        |    CAST(sum(fv) AS BIGINT) AS n_rows FROM f),
+        |s AS (
+        |  SELECT r.r,
+        |    CAST(sum(fv * CASE WHEN substring(md5(
+        |        CAST(item AS VARCHAR) || '#' || CAST(r.r AS VARCHAR)), 1, 1)
+        |      IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS sr
+        |  FROM f CROSS JOIN (SELECT unnest(range(0, 64)) AS r) r
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT CAST(sum(sr * sr) AS BIGINT) AS ssq,
+        |    CAST(count(*) AS BIGINT) AS nr FROM s)
+        |SELECT n_rows, f2_exact, ssq // nr AS f2_est,
+        |  (abs(ssq // nr - f2_exact) * 1000000) // f2_exact AS err_ppm
+        |FROM e CROSS JOIN q ORDER BY n_rows""".stripMargin,
+
+    // RLE replay: the same (ts, event_id)-ordered change flags,
+    // running-sum run ids and per-type census.
+    "q254_event_rle" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events),
+        |fl AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM fl),
+        |rl AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS rl
+        |  FROM runs GROUP BY user_id, run_id, event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(rl) AS BIGINT) AS max_run,
+        |  CAST(sum(rl) AS BIGINT) AS n_events,
+        |  (CAST(sum(rl) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS avg_run_ppm
+        |FROM rl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // CUPED replay: the same midpoint split, per-user conditional
+    // cents sums, and the SHARED θ / diff expression text over exact
+    // BIGINT moments (textual identity ⇒ identical IEEE op order).
+    "q256_cuped" -> (
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN us < mid THEN c END), 0)
+        |      AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN us >= mid THEN c END), 0)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 AS t
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pu),
+        |wide AS (
+        |  SELECT
+        |    CAST(max(CASE WHEN t = 0 THEN nt END) AS BIGINT) AS n0,
+        |    CAST(max(CASE WHEN t = 0 THEN sxt END) AS BIGINT) AS sx0,
+        |    CAST(max(CASE WHEN t = 0 THEN syt END) AS BIGINT) AS sy0,
+        |    CAST(max(CASE WHEN t = 1 THEN nt END) AS BIGINT) AS n1,
+        |    CAST(max(CASE WHEN t = 1 THEN sxt END) AS BIGINT) AS sx1,
+        |    CAST(max(CASE WHEN t = 1 THEN syt END) AS BIGINT) AS sy1
+        |  FROM (SELECT t, count(*) AS nt, sum(x) AS sxt, sum(y) AS syt
+        |        FROM pu GROUP BY t))
+        |SELECT n0, n1,
+        |""".stripMargin +
+      s"  round($CupedNaive, 6) AS naive_diff_cents,\n" +
+      s"  round($CupedTheta, 6) AS theta,\n" +
+      s"  round($CupedNaive - ($CupedTheta) * ($CupedXDiff), 6) " +
+      "AS adj_diff_cents\n" +
+      "FROM wide CROSS JOIN pooled ORDER BY n0"),
+
+    // MI replay: identical contingency cells, marginals and the
+    // shared floored nano-nat term.
+    "q257_mi_nats" -> (
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS b
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+        |    CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS s,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CAST(floor(""".stripMargin + MiTermNano +
+      """) AS BIGINT)) AS BIGINT) AS mi_nano
+        |FROM m GROUP BY n ORDER BY n""".stripMargin),
+
+    // Funnel replay: the same chained per-step deadline mins in
+    // exact integer micros.
+    "q259_funnel_deadline" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN us END) AS su
+        |  FROM ev GROUP BY user_id
+        |  HAVING min(CASE WHEN event_type = 'signup' THEN us END)
+        |    IS NOT NULL),
+        |ck AS (
+        |  SELECT su.user_id, any_value(su.su) AS su,
+        |    min(CASE WHEN c.us >= su.su
+        |              AND c.us <= su.su + 3 * 86400000000 THEN c.us END)
+        |      AS ck
+        |  FROM su LEFT JOIN
+        |    (SELECT user_id, us FROM ev WHERE event_type = 'click') c
+        |    ON su.user_id = c.user_id
+        |  GROUP BY su.user_id),
+        |pu AS (
+        |  SELECT ck.user_id, any_value(ck.ck) AS ck,
+        |    min(CASE WHEN p.us >= ck.ck
+        |              AND p.us <= ck.ck + 7 * 86400000000 THEN p.us END)
+        |      AS pu
+        |  FROM ck LEFT JOIN
+        |    (SELECT user_id, us FROM ev WHERE event_type = 'purchase') p
+        |    ON ck.user_id = p.user_id
+        |  GROUP BY ck.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |  CAST(count(ck) AS BIGINT) AS n_click_3d,
+        |  CAST(count(pu) AS BIGINT) AS n_purchase_7d,
+        |  (CAST(count(ck) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS click_ppm,
+        |  CASE WHEN count(ck) = 0 THEN 0
+        |       ELSE (CAST(count(pu) AS BIGINT) * 1000000) //
+        |            CAST(count(ck) AS BIGINT) END AS purchase_ppm
+        |FROM pu ORDER BY n_signup""".stripMargin,
   )
 }

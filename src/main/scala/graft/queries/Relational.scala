@@ -1719,6 +1719,75 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
+
+    // Simpson's-paradox audit — pooled vs stratified comparison of
+    // mean order value between high-priority (1-URGENT/2-HIGH) and
+    // lower-priority orders, stratified by order status: the
+    // aggregation-bias detector every metrics team needs (a pooled
+    // diff can flip sign against every stratum when strata sizes
+    // confound). EXACT integers end-to-end: cents sums, floor-div
+    // means, and the flip flag compares each stratum's diff sign to
+    // the pooled sign. One rollup exchange produces the strata AND
+    // the pooled row ('ALL', the grouping-null slot); the pooled
+    // row's sign broadcasts back for the flag. Scale: cells are
+    // |status|×2 — tiny forever.
+    "q255_simpson_audit" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+            .otherwise(lit(0L)).as("hi"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+        .rollup("o_orderstatus")
+        .agg(sum(when(col("hi") === 1, lit(1L)).otherwise(lit(0L)))
+               .as("n_hi"),
+             sum(when(col("hi") === 1, col("c")).otherwise(lit(0L)))
+               .as("c_hi"),
+             sum(when(col("hi") === 0, lit(1L)).otherwise(lit(0L)))
+               .as("n_lo"),
+             sum(when(col("hi") === 0, col("c")).otherwise(lit(0L)))
+               .as("c_lo"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("stratum"),
+          col("n_hi"), col("n_lo"),
+          expr("c_hi div n_hi").as("mean_hi_cents"),
+          expr("c_lo div n_lo").as("mean_lo_cents"))
+        .withColumn("diff_cents",
+          col("mean_hi_cents") - col("mean_lo_cents"))
+      val pooled = cells.filter(col("stratum") === "ALL")
+        .select(signum(col("diff_cents")).cast("long").as("pooled_sign"))
+      cells.crossJoin(broadcast(pooled))
+        .withColumn("flipped",
+          (signum(col("diff_cents")).cast("long") =!= col("pooled_sign")) &&
+            col("stratum") =!= "ALL")
+        .orderBy("stratum")
+    }),
+
+    // Functional-dependency violation census — data-profiling's FD
+    // discovery primitive (q117 profiles columns; q125 checks declared
+    // expectations; this MEASURES how far candidate determinancies
+    // hold): for each candidate lhs → rhs, the share of lhs groups
+    // with more than one distinct rhs. Each census is one aggregate
+    // pair (distinct-rhs per group, then the group rollup) — bounded
+    // by group count, map-side partial combined; the three candidates
+    // union into one frame. Exact integers and ppm floor division.
+    "q258_fd_census" -> ((s, d) => {
+      def census(df: org.apache.spark.sql.DataFrame, fd: String,
+                 lhs: String, rhs: String) =
+        df.groupBy(col(lhs).as("__l"))
+          .agg(countDistinct(col(rhs)).as("__d"))
+          .agg(count(lit(1)).as("n_groups"),
+               sum(when(col("__d") > 1, 1L).otherwise(0L))
+                 .as("n_violating"))
+          .select(lit(fd).as("fd"), col("n_groups"), col("n_violating"),
+            expr("(n_violating * 1000000) div n_groups")
+              .as("violation_ppm"))
+      census(Tables.orders(s, d), "o_custkey->o_orderpriority",
+          "o_custkey", "o_orderpriority")
+        .union(census(Tables.orders(s, d), "o_orderstatus->o_orderpriority",
+          "o_orderstatus", "o_orderpriority"))
+        .union(census(Tables.lineitem(s, d), "l_orderkey->l_returnflag",
+          "l_orderkey", "l_returnflag"))
+        .orderBy("fd")
+    }),
   )
 
   /** q218's closed-form 3×3 normal-equation solve (Cramer), emitted
@@ -2953,5 +3022,74 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Simpson replay: the same ROLLUP cells, floor-div cent means and
+    // CASE-sign flip flags — exact integers throughout.
+    "q255_simpson_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END AS hi,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |cells AS (
+        |  SELECT coalesce(o_orderstatus, 'ALL') AS stratum,
+        |    CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hi,
+        |    CAST(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_lo,
+        |    CAST(sum(CASE WHEN hi = 1 THEN c ELSE 0 END) AS BIGINT) //
+        |      CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS mean_hi_cents,
+        |    CAST(sum(CASE WHEN hi = 0 THEN c ELSE 0 END) AS BIGINT) //
+        |      CAST(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS mean_lo_cents
+        |  FROM o GROUP BY ROLLUP(o_orderstatus)),
+        |d AS (
+        |  SELECT stratum, n_hi, n_lo, mean_hi_cents, mean_lo_cents,
+        |    mean_hi_cents - mean_lo_cents AS diff_cents
+        |  FROM cells),
+        |p AS (
+        |  SELECT CAST(CASE WHEN diff_cents > 0 THEN 1
+        |                   WHEN diff_cents < 0 THEN -1 ELSE 0 END
+        |         AS BIGINT) AS pooled_sign
+        |  FROM d WHERE stratum = 'ALL')
+        |SELECT d.*, p.pooled_sign,
+        |  (CAST(CASE WHEN diff_cents > 0 THEN 1
+        |             WHEN diff_cents < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |     <> p.pooled_sign) AND stratum <> 'ALL' AS flipped
+        |FROM d CROSS JOIN p ORDER BY stratum""".stripMargin,
+
+    // FD replay: the same three candidate censuses over distinct-rhs
+    // group counts.
+    "q258_fd_census" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS dd
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderstatus AS l, count(DISTINCT o_orderpriority) AS dd
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT l_orderkey AS l, count(DISTINCT l_returnflag) AS dd
+        |  FROM lineitem GROUP BY 1),
+        |u AS (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderstatus->o_orderpriority',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_returnflag',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN dd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM c)
+        |SELECT fd, n_groups, n_violating,
+        |  (n_violating * 1000000) // n_groups AS violation_ppm
+        |FROM u ORDER BY fd""".stripMargin,
   )
 }
