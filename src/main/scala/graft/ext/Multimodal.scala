@@ -804,6 +804,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-image gray histogram equalization census — the classic
+    * contrast-normalization step of an image-preprocessing pipeline,
+    * kept EXACT so a SQL oracle can replay it: decode (any registry
+    * format), integer-average channels to gray (the [[withImageDHash]]
+    * rule), bin to 64 levels (`gray / 4`), then remap each pixel to
+    * `(cdf_≤(bin) · 255) div n_px` — the floor-division cumulative
+    * equalization. Emits `<out>_n_px`, `<out>_gray_checksum` (Σ gray
+    * before) and `<out>_eq_checksum` (Σ remapped after); undecodable
+    * payloads get (0, −1, −1). Two constant-memory passes over the
+    * pixel buffer per image, map-side per partition — zero shuffle,
+    * like every codec here; image COUNT scales out, image SIZE
+    * streams through the task. */
+  def withGrayHistEq(df: DataFrame, binCol: String,
+                     out: String = "histeq"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField(s"${out}_n_px", LongType, nullable = false),
+      StructField(s"${out}_gray_checksum", LongType, nullable = false),
+      StructField(s"${out}_eq_checksum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeRgb(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((w, h, rgb)) =>
+            val nPx = w.toLong * h
+            val counts = new Array[Long](64)
+            var graySum = 0L
+            var i = 0
+            while (i < rgb.length) {
+              val g = ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) +
+                (rgb(i + 2) & 0xff)) / 3
+              graySum += g
+              counts(g / 4) += 1
+              i += 3
+            }
+            var b = 1
+            while (b < 64) { counts(b) += counts(b - 1); b += 1 }
+            var eqSum = 0L
+            i = 0
+            while (i < rgb.length) {
+              val g = ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) +
+                (rgb(i + 2) & 0xff)) / 3
+              eqSum += counts(g / 4) * 255L / nPx
+              i += 3
+            }
+            Row.fromSeq(r.toSeq ++ Seq(nPx, graySum, eqSum))
+          case None => Row.fromSeq(r.toSeq ++ Seq(0L, -1L, -1L))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic BMP fixture generator: a `wCol`×`hCol` gradient
     * image per row whose pixel (x, y) channel c is
     * `(id + 7x + 13y + 29c) mod 256` — pure integer arithmetic a SQL

@@ -2034,6 +2034,28 @@ object EventQueries {
                "(count(pu) * 1000000) div count(ck) END").as("purchase_ppm"))
         .orderBy("n_signup")
     }),
+
+    // Top user-journey TRIGRAMS — 3-step path mining over each user's
+    // time-ordered event stream (q97's Markov matrix is the
+    // one-step/memoryless view; 3-step paths expose the journeys a
+    // first-order chain cannot, e.g. view→click→purchase vs
+    // view→click→error). Two lead() probes over one user_id exchange,
+    // map-side partial combine on the ≤|types|³ path census, top 15
+    // with full lexical tie-break. At 100 TB: one exchange + a
+    // TakeOrdered — no corpus-sized state.
+    "q261_path_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+                 col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(15)
+    }),
   )
 
   /** q256 CUPED shared expression text (the q218/q238 rule — one
@@ -3768,5 +3790,19 @@ object EventQueries {
         |       ELSE (CAST(count(pu) AS BIGINT) * 1000000) //
         |            CAST(count(ck) AS BIGINT) END AS purchase_ppm
         |FROM pu ORDER BY n_signup""".stripMargin,
+
+    // Trigram-path replay: the same (ts, event_id)-ordered double
+    // lead and top-15 census.
+    "q261_path_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin,
   )
 }

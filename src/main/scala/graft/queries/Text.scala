@@ -1764,6 +1764,31 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("hamming")
     }),
+
+    // Per-image gray histogram EQUALIZATION (the contrast normalizer
+    // of an image-preprocessing pipeline, where q120/q124 verified
+    // resampling and q245 fingerprinting): synthesize the q120
+    // gradient BMPs, decode, 64-bin gray histogram, remap each pixel
+    // to (cdf·255) div n_px — all floor-division integers, so the
+    // before/after checksums replay exactly from the closed-form
+    // pixel formula (the q120 oracle contract exercising the REAL
+    // decode→histogram→remap kernel). Map-side codec work, zero
+    // shuffle below the final sort.
+    "q260_hist_equalization" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
+        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
+      graft.ext.Multimodal.withGrayHistEq(
+          graft.ext.Multimodal.withSyntheticBmp(
+            docs, "doc_id", "w", "h", "img"),
+          "img", "he")
+        .select(col("doc_id"), col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"), col("he_n_px").as("n_px"),
+          col("he_gray_checksum").as("gray_checksum"),
+          col("he_eq_checksum").as("eq_checksum"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3907,5 +3932,43 @@ object TextQueries {
         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p WHERE hamming <= 3
         |GROUP BY hamming ORDER BY hamming""".stripMargin,
+
+    // Equalization replay: the q120 closed-form gradient pixels →
+    // integer gray → 64-bin per-image cdf → (cdf·255) // n_px remap —
+    // floor division everywhere, so the checksums are exact.
+    "q260_hist_equalization" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (( (doc_id + 7 * x.x + 13 * y.y) % 256
+        |     + (doc_id + 7 * x.x + 13 * y.y + 29) % 256
+        |     + (doc_id + 7 * x.x + 13 * y.y + 58) % 256) // 3) AS g
+        |  FROM d, range(0, 31) x(x), range(0, 23) y(y)
+        |  WHERE x.x < w AND y.y < h),
+        |n AS (
+        |  SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w,
+        |    CAST(any_value(h) AS BIGINT) AS h,
+        |    CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(g) AS BIGINT) AS gray_checksum
+        |  FROM px GROUP BY doc_id),
+        |bins AS (
+        |  SELECT doc_id, g // 4 AS b, count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT doc_id, b,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY b) AS cum
+        |  FROM bins),
+        |eq AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum((cdf.cum * 255) // n.n_px) AS BIGINT) AS eq_checksum
+        |  FROM px
+        |  JOIN cdf ON px.doc_id = cdf.doc_id AND px.g // 4 = cdf.b
+        |  JOIN n ON px.doc_id = n.doc_id
+        |  GROUP BY px.doc_id)
+        |SELECT n.doc_id, n.w, n.h, n.n_px, n.gray_checksum, eq.eq_checksum
+        |FROM n JOIN eq ON n.doc_id = eq.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
   )
 }

@@ -787,4 +787,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq[Short](0, 0, 20, -20, 40, -40))
     assert(rows(1).get(1) == null && rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
   }
+
+  test("withGrayHistEq: exact cdf remap — uniform, two-level and undecodable") {
+    import Multimodal.Bmp
+    // uniform image: every pixel remaps to (n·255) div n = 255
+    val uni = Bmp.encode(4, 3, Array.fill(4 * 3 * 3)(60.toByte))
+    // two-level image: 8 gray-0 pixels and 4 gray-120 pixels ->
+    // cdf_le(0)=8, cdf_le(30)=12; remaps (8·255)//12=170 and
+    // (12·255)//12=255 -> eq sum = 8·170 + 4·255 = 2380
+    val two = Bmp.encode(4, 3,
+      (Array.fill(8 * 3)(0.toByte) ++ Array.fill(4 * 3)(120.toByte)))
+    val df = Seq(
+      (1L, uni), (2L, two), (3L, Array[Byte](1, 2, 3))
+    ).toDF("id", "img")
+    val got = Multimodal.withGrayHistEq(df, "img")
+      .select($"id", $"histeq_n_px", $"histeq_gray_checksum",
+        $"histeq_eq_checksum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((12L, 12L * 60, 12L * 255)))
+    assert(got(2L) === ((12L, 4L * 120, 8L * 170 + 4L * 255)))
+    assert(got(3L) === ((0L, -1L, -1L)))
+  }
 }
