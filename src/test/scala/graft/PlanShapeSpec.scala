@@ -66,6 +66,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) <= 4)
   }
 
+  test("q253 AMS: the 64x estimator explode runs over the vocabulary frame, not the corpus scan") {
+    val df = SparkEntry.queries("q253_ams_f2")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    graft.ops.Staging.releaseAll()
+    // the Generate(explode) must consume the staged frequency table
+    // (InMemoryTableScan below it), never the raw parquet scan — at
+    // 100 TB a corpus-side explode would 64x the scan
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    assert(genIdx >= 0, "expected an explode for the estimator fan-out")
+    val below = lines.drop(genIdx)
+    val cacheIdx = below.indexWhere(_.contains("InMemoryTableScan"))
+    val scanIdx = below.indexWhere(_.contains("FileScan"))
+    assert(cacheIdx >= 0 && (scanIdx < 0 || cacheIdx < scanIdx),
+      "explode must sit on the vocabulary-sized frequency frame")
+  }
+
+  test("q260 histogram equalization: map-side codec chain, no join, no mid-plan shuffle") {
+    val p = plan("q260_hist_equalization")
+    assert(!p.contains("Join"))
+    // decode -> histogram -> remap all happen in the MapPartitions
+    // kernel; the only exchange is the final presentation sort
+    assert(p.contains("MapPartitions"))
+    assert(exchanges(p) <= 1, p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n"))
+  }
+
+  test("q261 path trigrams: one user_id exchange + TakeOrdered, no corpus-wide sort") {
+    val p = plan("q261_path_trigrams")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"))
+    assert(exchanges(p) <= 3)
+  }
+
   test("q247 covisitation: the distinct frame is staged (one InMemory scan per side)") {
     val df = SparkEntry.queries("q247_covisitation")(
       spark, "/root/testdata/sf0.001")

@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 0, "a b c", 3)))
   }
 
+  test("content-defined chunking is streaming-compatible and agrees with batch") {
+    implicit val sc = spark.sqlContext
+    // the CDC kernel is a stateless per-document mapPartitions, so it
+    // runs unchanged on a stream — the live-ingest shape that chunks
+    // and content-hashes documents as they arrive (q251's batch
+    // ledger is the downstream aggregate)
+    val docs = Seq(
+      Doc(1, ts(0), "the quick brown fox jumps over the lazy dog " * 8, "web"),
+      Doc(2, ts(1), "tiny", "cc"))
+    val stream = MemoryStream[Doc]
+    val q = graft.ext.Chunking.contentDefinedChunks(
+        stream.toDF(), "text", Seq("doc_id"))
+      .writeStream.format("memory").queryName("cdcchunks")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdcchunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = graft.ext.Chunking.contentDefinedChunks(
+        docs.toDF().select("doc_id", "text"), "text", Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // chunks rebuild both documents
+    assert(streamed.toSeq.sortBy(t => (t._1, t._2)).groupBy(_._1)
+      .map { case (id, cs) => id -> cs.map(_._3).mkString("") } ==
+      docs.map(d => d.doc_id -> d.text).toMap)
+  }
+
   test("incremental near-dup dedups each micro-batch against growing signature state") {
     implicit val sc = spark.sqlContext
     // the crawl-increment shape: each micro-batch is a delta shard,
