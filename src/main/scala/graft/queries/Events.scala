@@ -2056,6 +2056,46 @@ object EventQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
         .limit(15)
     }),
+
+    // Cohort LTV curves — cumulative per-capita purchase revenue by
+    // signup-week cohort and weeks-since-signup (q93's retention
+    // matrix counts PRESENCE; LTV accumulates VALUE — the
+    // unit-economics curve growth teams steer by). Weeks are exact
+    // day-diff buckets from the corpus min day (the q195 rule, never
+    // engine week-of-year); ages with zero purchase revenue are
+    // absent and the cumsum spans ACTIVE ages (the q229 convention).
+    // Exact cents, floor-div per-capita. Scale: one exchange for the
+    // cohort map, one for the (cohort, age) rollup; the cumsum
+    // windows over the bounded cohort×age grid, never corpus rows.
+    "q262_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      val d0 = ev.agg(min("day").as("__d0"))
+      val wk = graft.ops.Staging.stage(
+        ev.crossJoin(broadcast(d0))
+          .select(col("user_id"),
+            expr("datediff(day, __d0) div 7").as("w"),
+            col("event_type"), col("c")))
+      val coh = graft.ops.Staging.stage(
+        wk.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("w").as("cw")))
+      val sizes = coh.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val rev = wk.filter(col("event_type") === "purchase")
+        .join(coh, "user_id")
+        .filter(col("w") >= col("cw"))
+        .groupBy(col("cw"), (col("w") - col("cw")).as("age"))
+        .agg(sum("c").as("cents"))
+      val wcum = Window.partitionBy("cw").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cents_cum", sum("cents").over(wcum))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("age"), col("n_users"),
+          col("cents"), col("cents_cum"),
+          expr("cents_cum div n_users").as("ltv_cents_per_user"))
+        .orderBy("cohort_week", "age")
+    }),
   )
 
   /** q256 CUPED shared expression text (the q218/q238 rule — one
@@ -3804,5 +3844,40 @@ object EventQueries {
         |FROM t WHERE s3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin,
+
+    // LTV replay: the same day-diff week buckets, signup cohorts,
+    // active-age cumsum and floor-div per-capita cents.
+    "q262_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (SELECT min(day) AS d0 FROM ev),
+        |wk AS (
+        |  SELECT user_id, date_diff('day', d0, day) // 7 AS w,
+        |    event_type, c
+        |  FROM ev, m),
+        |coh AS (
+        |  SELECT user_id, min(w) AS cw FROM wk
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM coh GROUP BY cw),
+        |rev AS (
+        |  SELECT coh.cw, wk.w - coh.cw AS age,
+        |    CAST(sum(c) AS BIGINT) AS cents
+        |  FROM wk JOIN coh ON wk.user_id = coh.user_id
+        |  WHERE wk.event_type = 'purchase' AND wk.w >= coh.cw
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cw, age, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_cum
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week, cum.age, sizes.n_users, cum.cents,
+        |  cum.cents_cum, cum.cents_cum // sizes.n_users
+        |    AS ltv_cents_per_user
+        |FROM cum JOIN sizes ON cum.cw = sizes.cw
+        |ORDER BY cohort_week, age""".stripMargin,
   )
 }
