@@ -2096,6 +2096,38 @@ object EventQueries {
           expr("cents_cum div n_users").as("ltv_cents_per_user"))
         .orderBy("cohort_week", "age")
     }),
+
+    // Stratified matched control construction — exact-matching causal
+    // inference prep (propensity matching's integer-exact cousin):
+    // users decile-bucketed by activity via the denseIndex
+    // total-order rank (the q219 RFM machinery), then per decile the
+    // treatment/control counts, the matchable pair count
+    // min(n_t, n_c), and the arm balance (mean activity diff in
+    // floor-div milli-events — a SMD stand-in that stays exact).
+    // Treatment = user_id parity (the q256 deterministic stand-in).
+    // Scale: denseIndex is the range-partitioned rank (never a
+    // single-partition window); everything after is decile-bounded.
+    "q264_matched_strata" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("t", pmod(col("user_id"), lit(2L)))
+      val ranked = Kernels.denseIndex(users, Seq(col("n"), col("user_id")),
+        "__i")
+      ranked.crossJoin(broadcast(users.agg(count(lit(1)).as("__tot"))))
+        .select(col("t"), col("n"),
+          expr("(__i * 10) div __tot + 1").as("decile"))
+        .groupBy("decile")
+        .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+             sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+             sum(when(col("t") === 1, col("n")).otherwise(0L)).as("__at"),
+             sum(when(col("t") === 0, col("n")).otherwise(0L)).as("__ac"))
+        .select(col("decile"), col("n_t"), col("n_c"),
+          least(col("n_t"), col("n_c")).as("n_matched"),
+          expr("CASE WHEN n_t = 0 OR n_c = 0 THEN 0 ELSE " +
+            "(__at * 1000) div n_t - (__ac * 1000) div n_c END")
+            .as("balance_milli"))
+        .orderBy("decile")
+    }),
   )
 
   /** q256 CUPED shared expression text (the q218/q238 rule — one
@@ -3879,5 +3911,33 @@ object EventQueries {
         |    AS ltv_cents_per_user
         |FROM cum JOIN sizes ON cum.cw = sizes.cw
         |ORDER BY cohort_week, age""".stripMargin,
+
+    // Matched-strata replay: the same (n, user_id) total-order rank
+    // (row_number - 1 == denseIndex), decile arithmetic and
+    // floor-div balance.
+    "q264_matched_strata" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    user_id % 2 AS t
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT t, n,
+        |    row_number() OVER (ORDER BY n, user_id) - 1 AS i,
+        |    (SELECT count(*) FROM u) AS tot
+        |  FROM u),
+        |d AS (
+        |  SELECT t, n, (i * 10) // tot + 1 AS decile FROM r),
+        |g AS (
+        |  SELECT decile,
+        |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT) AS at,
+        |    CAST(sum(CASE WHEN t = 0 THEN n ELSE 0 END) AS BIGINT) AS ac
+        |  FROM d GROUP BY decile)
+        |SELECT decile, n_t, n_c, least(n_t, n_c) AS n_matched,
+        |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0
+        |       ELSE (at * 1000) // n_t - (ac * 1000) // n_c END
+        |    AS balance_milli
+        |FROM g ORDER BY decile""".stripMargin,
   )
 }

@@ -1789,6 +1789,43 @@ object TextQueries {
           col("he_eq_checksum").as("eq_checksum"))
         .orderBy("doc_id")
     }),
+
+    // Rendezvous (highest-random-weight) shard assignment + rebalance
+    // census — the consistent-hashing primitive a 100 TB lake uses to
+    // place documents on shards so that GROWING the shard count moves
+    // only ~1/(k+1) of the corpus (plain `hash mod k` moves
+    // (k-1)/k — a full reshuffle). shard(doc) = argmax over shards of
+    // md5(doc#shard); the argmax needs only a TOTAL ORDER, so both
+    // engines compare the fixed-length hex strings directly (no
+    // numeric parse). Emits the k=32 occupancy spread and the
+    // measured moved fraction at k=33 — HRW guarantees movers are
+    // exactly the docs whose k=33 argmax IS the new shard. Scale: the
+    // 33x explode is map-side, the argmax is one map-side-combining
+    // exchange on doc_id, everything after is shard-bounded.
+    "q263_rendezvous_shards" -> ((s, d) => {
+      val hh = Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(expr("sequence(0, 32)")).as("sh"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("sh").cast("string"))))
+      val a32 = hh.filter(col("sh") < 32).groupBy("doc_id")
+        .agg(max(struct(col("h"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("s32"))
+      val a33 = hh.groupBy("doc_id")
+        .agg(max(struct(col("h"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("s33"))
+      val j = graft.ops.Staging.stage(a32.join(a33, "doc_id"))
+      val occ = j.groupBy("s32").agg(count(lit(1)).as("c"))
+        .agg(min("c").as("occ_min"), max("c").as("occ_max"),
+             count(lit(1)).as("n_shards"))
+      j.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s33") =!= col("s32"), 1L).otherwise(0L))
+              .as("n_moved"))
+        .crossJoin(broadcast(occ))
+        .select(col("n_docs"), col("n_shards"), col("occ_min"),
+          col("occ_max"), col("n_moved"),
+          expr("(n_moved * 1000000) div n_docs").as("moved_ppm"))
+        .orderBy("n_docs")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -3970,5 +4007,40 @@ object TextQueries {
         |SELECT n.doc_id, n.w, n.h, n.n_px, n.gray_checksum, eq.eq_checksum
         |FROM n JOIN eq ON n.doc_id = eq.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // HRW replay: identical md5 hex-string argmax (h DESC, sh DESC =
+    // Spark's max(struct)) at k=32 and k=33, occupancy and movers.
+    "q263_rendezvous_shards" ->
+      """WITH hh AS (
+        |  SELECT doc_id, s.sh,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.sh AS VARCHAR))
+        |      AS h
+        |  FROM documents, (SELECT unnest(range(0, 33)) AS sh) s),
+        |a32 AS (
+        |  SELECT doc_id, sh AS s32 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, sh DESC) AS rn
+        |    FROM hh WHERE sh < 32) WHERE rn = 1),
+        |a33 AS (
+        |  SELECT doc_id, sh AS s33 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, sh DESC) AS rn
+        |    FROM hh) WHERE rn = 1),
+        |j AS (
+        |  SELECT a32.doc_id, s32, s33
+        |  FROM a32 JOIN a33 ON a32.doc_id = a33.doc_id),
+        |occ AS (
+        |  SELECT CAST(min(c) AS BIGINT) AS occ_min,
+        |    CAST(max(c) AS BIGINT) AS occ_max,
+        |    CAST(count(*) AS BIGINT) AS n_shards
+        |  FROM (SELECT s32, count(*) AS c FROM j GROUP BY s32)),
+        |mv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN s33 <> s32 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_moved
+        |  FROM j)
+        |SELECT n_docs, n_shards, occ_min, occ_max, n_moved,
+        |  (n_moved * 1000000) // n_docs AS moved_ppm
+        |FROM mv CROSS JOIN occ ORDER BY n_docs""".stripMargin,
   )
 }

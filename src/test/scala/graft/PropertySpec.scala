@@ -344,4 +344,26 @@ class PropertySpec extends AnyFunSuite {
         s"jw('$a','$b'): got $got want $want")
     }
   }
+
+  test("rendezvous hashing: movers land ONLY on the new shard, ~1/(k+1) of them") {
+    import org.apache.spark.sql.functions._
+    // the HRW guarantee q263 banks on: growing k=4 -> k=5 moves
+    // exactly the ids whose k=5 argmax IS the new shard (plain mod-k
+    // would reshuffle (k-1)/k of them)
+    val ids = spark.range(0, 2000).toDF("id")
+    val hh = ids.select(col("id"), explode(expr("sequence(0, 4)")).as("sh"))
+      .withColumn("h", md5(concat(col("id").cast("string"), lit("#"),
+        col("sh").cast("string"))))
+    def arg(maxSh: Int) = hh.filter(col("sh") <= maxSh).groupBy("id")
+      .agg(max(struct(col("h"), col("sh"))).as("m"))
+      .select(col("id"), col("m.sh").as(s"s$maxSh"))
+    val j = arg(3).join(arg(4), "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val movers = j.filter { case (_, a, b) => a != b }
+    assert(movers.nonEmpty)
+    assert(movers.forall(_._3 == 4), "every mover must land on the NEW shard")
+    // expected moved fraction 1/5 = 400 of 2000; allow a wide band
+    assert(movers.length > 250 && movers.length < 560,
+      s"moved ${movers.length}/2000, expected ~400")
+  }
 }
