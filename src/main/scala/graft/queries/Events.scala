@@ -2128,6 +2128,40 @@ object EventQueries {
             .as("balance_milli"))
         .orderBy("decile")
     }),
+
+    // Per-group ROC-AUC — q205's exact rank-sum AUC sliced by weekday
+    // (the per-segment model-eval report: a global AUC can hide a
+    // segment where the score is no better than chance). The grouped
+    // cumulative runs as a window over the per-(weekday, value)
+    // count frame — bounded by distinct scores per group, never
+    // corpus rows (when distinct scores ARE corpus-sized, q205's
+    // range-partitioned prefixSum shape is the scale path). Pair
+    // counting rides decimal(38,0)/HUGEINT; one 6dp-rounded double
+    // at the end (the q205 contract).
+    "q267_group_auc" -> ((s, d) => {
+      val perScore = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "EEEE").as("weekday"), col("value"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("cp"),
+             sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+               .as("cn"))
+      val w = Window.partitionBy("weekday").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perScore
+        .withColumn("below_n", sum("cn").over(w) - col("cn"))
+        .groupBy("weekday")
+        .agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+             sum(col("cp").cast("decimal(38,0)") *
+                 col("below_n").cast("decimal(38,0)")).as("__s1"),
+             sum(col("cp").cast("decimal(38,0)") *
+                 col("cn").cast("decimal(38,0)")).as("__s2"))
+        .select(col("weekday"), col("n_pos"), col("n_neg"),
+          round((col("__s1").cast("double") +
+                 lit(0.5) * col("__s2").cast("double")) /
+                (col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6).as("auc"))
+        .orderBy("weekday")
+    }),
   )
 
   /** q256 CUPED shared expression text (the q218/q238 rule — one
@@ -3939,5 +3973,32 @@ object EventQueries {
         |       ELSE (at * 1000) // n_t - (ac * 1000) // n_c END
         |    AS balance_milli
         |FROM g ORDER BY decile""".stripMargin,
+
+    // Grouped-AUC replay: the q205 pair-counting identity windowed
+    // per weekday (dayname = date_format 'EEEE', both English full
+    // names), HUGEINT sums, the identical 6dp double at the end.
+    "q267_group_auc" ->
+      """WITH ps AS (
+        |  SELECT dayname(ts) AS weekday, value,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |      AS cp,
+        |    CAST(count(*) FILTER (event_type <> 'purchase') AS BIGINT)
+        |      AS cn
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT weekday, cp, cn,
+        |    CAST(sum(cn) OVER (PARTITION BY weekday ORDER BY value)
+        |      AS BIGINT) - cn AS below_n
+        |  FROM ps),
+        |agg AS (
+        |  SELECT weekday, CAST(sum(cp) AS BIGINT) AS n_pos,
+        |    CAST(sum(cn) AS BIGINT) AS n_neg,
+        |    CAST(sum(CAST(cp AS HUGEINT) * below_n) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(cp AS HUGEINT) * cn) AS HUGEINT) AS s2
+        |  FROM cum GROUP BY weekday)
+        |SELECT weekday, n_pos, n_neg,
+        |  round((CAST(s1 AS DOUBLE) + 0.5 * CAST(s2 AS DOUBLE)) /
+        |        (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+        |FROM agg ORDER BY weekday""".stripMargin,
   )
 }

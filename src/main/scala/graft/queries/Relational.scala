@@ -1788,6 +1788,62 @@ object Relational {
           "l_orderkey", "l_returnflag"))
         .orderBy("fd")
     }),
+
+    // k-anonymity GENERALIZATION ladder — the release-prep step q152's
+    // audit implies: walk the quasi-identifier ladder (priority+month
+    // → priority+year → priority → everything) and pick the LEAST
+    // general level whose smallest group already satisfies k=50 —
+    // Samarati's minimal-generalization selection over a fixed
+    // hierarchy. Each level is one aggregate over its (tiny) group
+    // table; the chosen level broadcasts back as a 1-row min. All
+    // exact integers.
+    "q265_k_anon_generalize" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def level(i: Int, qi: Column) =
+        o.groupBy(qi.as("__q")).agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("n_groups"), min("__sz").as("min_group"),
+               sum(when(col("__sz") < 50, 1L).otherwise(0L))
+                 .as("n_violating"))
+          .select(lit(i.toLong).as("level"), col("n_groups"),
+            col("min_group"), col("n_violating"))
+      val lv = level(0, concat_ws("|", col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM")))
+        .union(level(1, concat_ws("|", col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy"))))
+        .union(level(2, col("o_orderpriority")))
+        .union(level(3, lit("*")))
+      val ch = lv.filter(col("n_violating") === 0)
+        .agg(min("level").as("__ch"))
+      lv.crossJoin(broadcast(ch))
+        .select(col("level"), col("n_groups"), col("min_group"),
+          col("n_violating"), (col("level") === col("__ch")).as("chosen"))
+        .orderBy("level")
+    }),
+
+    // Bounded-contribution clipping audit — the differential-privacy
+    // prep step (user-level sensitivity bounding, the Abadi et
+    // al./DP-SGD clip in aggregate form): cap each customer's
+    // contribution to the per-priority revenue total at C = $50k and
+    // report what clipping costs. A DP release calibrates noise to
+    // C, so the loss_ppm column IS the bias/variance dial. One
+    // exchange on (priority, customer), then a priority-bounded
+    // rollup; exact cents and floor-ppm.
+    "q266_contribution_clipping" -> ((s, d) => {
+      val cap = 5000000L // $50k in cents
+      val per = Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("c"))
+      per.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_customers"),
+             sum("c").as("raw_cents"),
+             sum(least(col("c"), lit(cap))).as("clipped_cents"),
+             sum(when(col("c") > cap, 1L).otherwise(0L))
+               .as("n_clipped"))
+        .withColumn("loss_ppm",
+          expr("((raw_cents - clipped_cents) * 1000000) div raw_cents"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   /** q218's closed-form 3×3 normal-equation solve (Cramer), emitted
@@ -3091,5 +3147,64 @@ object Relational {
         |SELECT fd, n_groups, n_violating,
         |  (n_violating * 1000000) // n_groups AS violation_ppm
         |FROM u ORDER BY fd""".stripMargin,
+
+    // Ladder replay: identical generalized keys per level and the
+    // broadcast minimal satisfying level.
+    "q265_k_anon_generalize" ->
+      """WITH l0 AS (
+        |  SELECT 0 AS level, g.* FROM (
+        |    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |      CAST(min(sz) AS BIGINT) AS min_group,
+        |      CAST(sum(CASE WHEN sz < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS n_violating
+        |    FROM (SELECT count(*) AS sz FROM orders
+        |          GROUP BY o_orderpriority || '|' ||
+        |                   strftime(o_orderdate, '%Y-%m'))) g),
+        |l1 AS (
+        |  SELECT 1 AS level, g.* FROM (
+        |    SELECT CAST(count(*) AS BIGINT), CAST(min(sz) AS BIGINT),
+        |      CAST(sum(CASE WHEN sz < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM (SELECT count(*) AS sz FROM orders
+        |          GROUP BY o_orderpriority || '|' ||
+        |                   strftime(o_orderdate, '%Y'))) g),
+        |l2 AS (
+        |  SELECT 2 AS level, g.* FROM (
+        |    SELECT CAST(count(*) AS BIGINT), CAST(min(sz) AS BIGINT),
+        |      CAST(sum(CASE WHEN sz < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM (SELECT count(*) AS sz FROM orders
+        |          GROUP BY o_orderpriority)) g),
+        |l3 AS (
+        |  SELECT 3 AS level, g.* FROM (
+        |    SELECT CAST(count(*) AS BIGINT), CAST(min(sz) AS BIGINT),
+        |      CAST(sum(CASE WHEN sz < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM (SELECT count(*) AS sz FROM orders)) g),
+        |lv AS (
+        |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+        |ch AS (
+        |  SELECT CAST(min(level) AS BIGINT) AS c FROM lv
+        |  WHERE n_violating = 0)
+        |SELECT CAST(level AS BIGINT) AS level, n_groups, min_group,
+        |  n_violating, level = ch.c AS chosen
+        |FROM lv CROSS JOIN ch ORDER BY level""".stripMargin,
+
+    // Clipping replay: same per-customer cents, cap, and floor-ppm
+    // loss.
+    "q266_contribution_clipping" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(c) AS BIGINT) AS raw_cents,
+        |  CAST(sum(least(c, 5000000)) AS BIGINT) AS clipped_cents,
+        |  CAST(sum(CASE WHEN c > 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  ((CAST(sum(c) AS BIGINT) - CAST(sum(least(c, 5000000)) AS BIGINT))
+        |    * 1000000) // CAST(sum(c) AS BIGINT) AS loss_ppm
+        |FROM per GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }
