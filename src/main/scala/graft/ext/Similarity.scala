@@ -97,6 +97,35 @@ object Similarity {
     * scan per anchor batch, generate candidates with the ANN paths
     * first and apply the same label filter before [[rerankTopK]].
     */
+  /** Metadata-FILTERED vector search — the vector-db workload where
+    * every query carries a predicate ("nearest docs in MY tenant /
+    * language / label"): top-k cosine among corpus vectors whose
+    * `labelCol` EQUALS the query's (pre-filtering — the filter cuts
+    * the candidate set BEFORE ranking, so low-selectivity labels
+    * never starve recall the way post-filtering a fixed-k ANN result
+    * does). Same broadcast-anchors scale shape as
+    * [[bruteForceTopK]]; at corpus scale, run the label filter
+    * against the ANN candidate stream first and rerank
+    * ([[hardNegatives]]' note — these two are the equal/not-equal
+    * faces of the same plan). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), asDouble(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("q_vec"))
+    rerankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("__cl") === col("__ql") &&
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
+  }
+
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val gf = graft.functions.GraftFunctions

@@ -379,7 +379,64 @@ object VectorQueries {
     "q234_kmeans_exact" -> ((s, d) =>
       graft.ext.KmeansExact.lloyd(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 4, dims = 64, sweeps = 2)),
+
+    // Metadata-FILTERED vector search (Similarity.filteredTopK) — the
+    // vector-db workload where every query carries a predicate:
+    // top-3 cosine among corpus vectors sharing the query's label,
+    // PRE-filtered so low-selectivity labels can't starve recall the
+    // way post-filtering a fixed-k ANN result does (q34 is the
+    // unfiltered baseline; hardNegatives q147 is the not-equal face
+    // of the same plan). Broadcast anchors, one corpus scan.
+    "q268_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Similarity.filteredTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 5),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+          k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Embedding-distribution drift between corpus halves via
+    // sign-bucket PSI — the q243 population-stability index applied
+    // to the EMBEDDING space: bucket each vector by the sign pattern
+    // of its first 6 components (64 cells — a 6-bit random-projection
+    // sketch of the distribution's orientation), then
+    // Laplace-smoothed PSI between the vec_id-parity halves in
+    // floored nano-nats (the shared-text + floored-integer-sum
+    // rules). Exact float sign tests, exact counts, one bounded cell
+    // frame. The drift gate an embedding-refresh pipeline runs before
+    // swapping models.
+    "q269_embedding_psi" -> ((s, d) => {
+      val bucketExpr = (1 to 6).map(i =>
+        s"${1 << (i - 1)} * CASE WHEN element_at(embedding, $i) >= 0 " +
+          "THEN 1 ELSE 0 END").mkString(" + ")
+      val cells = Tables.embeddings(s, d)
+        .select(pmod(col("vec_id"), lit(2L)).as("h"),
+                expr(bucketExpr).as("b"))
+        .groupBy("b")
+        .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("c1"),
+             sum(when(col("h") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).as("nb"))
+      cells.crossJoin(broadcast(tot))
+        .groupBy("nb", "n1", "n2")
+        .agg(sum(expr(s"CAST(floor($PsiTermNanoV) AS BIGINT)"))
+          .as("psi_nano"))
+        .select(col("nb").as("n_buckets"), col("n1"), col("n2"),
+          col("psi_nano"))
+        .orderBy("n_buckets")
+    }),
   )
+
+  /** q269's per-bucket PSI contribution in nano-nats, pre-floor —
+    * Laplace(+1)-smoothed shares from exact integer counts, SHARED
+    * text so both engines run the identical IEEE sequence (the
+    * q218/q243 rule). */
+  private val PsiTermNanoV =
+    "1000000000.0 * ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)) - " +
+      "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) * " +
+      "ln((CAST(c1 + 1 AS DOUBLE) * CAST(n2 + nb AS DOUBLE)) / " +
+      "(CAST(c2 + 1 AS DOUBLE) * CAST(n1 + nb AS DOUBLE)))"
 
   /** q160's oracle: q34's exact-cosine top-3 replay at each prefix
     * length, intersected with the 64-dim truth — generated so the
@@ -775,6 +832,55 @@ object VectorQueries {
     // KmeansExact.lloyd, with centroid state in pivoted CTEs.
     "q234_kmeans_exact" ->
       graft.ext.KmeansExact.lloydOracleSql(k = 4, dims = 64, sweeps = 2),
+
+    // Filtered-search replay: q34's exact-cosine construction with
+    // the label-equality pre-filter in the pair join.
+    "q268_filtered_ann" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, label, vec,
+        |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+        |      / (q.nrm * t.nrm) AS sim
+        |  FROM m q, m t
+        |  WHERE q.vec_id < 5 AND t.label = q.label
+        |    AND t.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rnk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // PSI replay: the same 6-bit sign buckets, parity halves and the
+    // SHARED floored nano-nat term.
+    "q269_embedding_psi" -> (
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS h,
+        |""".stripMargin +
+      "    " + (1 to 6).map(i =>
+        s"${1 << (i - 1)} * CASE WHEN embedding[$i] >= 0 " +
+          "THEN 1 ELSE 0 END").mkString(" + ") + " AS b\n" +
+      """  FROM embeddings),
+        |cells AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM cells)
+        |SELECT nb AS n_buckets, n1, n2,
+        |  CAST(sum(CAST(floor(""".stripMargin + PsiTermNanoV +
+      """) AS BIGINT)) AS BIGINT) AS psi_nano
+        |FROM cells CROSS JOIN tot
+        |GROUP BY nb, n1, n2 ORDER BY n_buckets""".stripMargin),
   )
 
   /** Builds the q106 oracle: `k−1` identical greedy-step blocks after
