@@ -2162,6 +2162,96 @@ object EventQueries {
             6).as("auc"))
         .orderBy("weekday")
     }),
+
+    // SESSION-windowed co-visitation — q247's co-occurrence matrix
+    // restricted to items touched within the same 30-minute session
+    // (the recommender signal production systems actually ship:
+    // lifetime co-occurrence mostly measures user breadth; in-session
+    // co-occurrence measures intent). Sessionization is the q23
+    // gap-split (new session when the micros gap exceeds 30 min),
+    // then Kernels.covisitPairs keyed on (user, session) — the same
+    // occupancy-cap-ready pair kernel, with pair support counting
+    // co-visiting SESSIONS. One user_id exchange serves the session
+    // windows; the pair join keys on the session.
+    "q270_session_covisitation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+      val w = Window.partitionBy("user_id").orderBy("us", "item")
+      val sess = ev
+        .withColumn("__new",
+          when(lag("us", 1).over(w).isNull ||
+               col("us") - lag("us", 1).over(w) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum("__new").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__uk", concat_ws("#", col("user_id"), col("__sid")))
+      Kernels.covisitPairs(sess, "__uk", "item")
+        .withColumnRenamed("n_users", "n_sessions")
+        .orderBy(col("n_sessions").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+    // Hill tail-index estimator over order values — the heavy-tail
+    // diagnostic (is revenue power-law distributed, and how fat is
+    // the tail?): alpha^-1 = mean over the top-k order statistics of
+    // ln(x_i / x_k). The top-k multiset is deterministic (ties at
+    // the boundary share the same cents value, so the VALUE multiset
+    // is tie-break-invariant), each log term is FLOORED to nano-nats
+    // before summing (the q252 rule), and alpha comes back as an
+    // exact integer milli ratio. Scale: TakeOrdered for the top-k
+    // (never a global sort), then a k-row aggregate.
+    "q271_hill_tail_index" -> ((s, d) => {
+      val k = 500
+      val top = graft.ops.Staging.stage(Tables.orders(s, d)
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("c"), col("o_orderkey"))
+        .orderBy(col("c").desc, col("o_orderkey"))
+        .limit(k)
+        .select("c"))
+      val xk = top.agg(min("c").as("xk"))
+      top.crossJoin(broadcast(xk))
+        .select(col("xk"),
+          expr("CAST(floor(1000000000.0 * ln(CAST(c AS DOUBLE) / " +
+            "CAST(xk AS DOUBLE))) AS BIGINT)").as("nano"))
+        .groupBy("xk")
+        .agg(count(lit(1)).as("k"), sum("nano").as("sum_log_nano"))
+        .select(col("k"), col("xk").as("xk_cents"), col("sum_log_nano"),
+          expr("CASE WHEN sum_log_nano = 0 THEN 0 ELSE " +
+            "(k * 1000000000000) div sum_log_nano END").as("alpha_milli"))
+        .orderBy("k")
+    }),
+
+    // Week-over-week item movers — the ops dashboard's "what changed"
+    // census: item touch counts in the first vs second half of the
+    // corpus time range (the q256 midpoint split), top 15 by absolute
+    // delta with full integer tie-breaks, signed delta and a
+    // floor-ppm change rate (0 for new items — no division by the
+    // empty baseline). One exchange on item; map-side conditional
+    // counts.
+    "q272_wow_movers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+      val mid = ev.agg(min("us").as("__mn"), max("us").as("__mx"))
+        .selectExpr("(__mn + __mx) div 2 AS mid")
+      ev.crossJoin(broadcast(mid))
+        .groupBy("item")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n1"),
+             sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+        .select(col("item"), col("n1"), col("n2"),
+          (col("n2") - col("n1")).as("delta"),
+          // (n2*1e6 div n1) − 1e6, NOT (n2−n1)*1e6 div n1: a negative
+          // numerator floors differently in Spark (div truncates) vs
+          // DuckDB (// floors); keeping the division positive keeps
+          // the engines identical
+          expr("CASE WHEN n1 = 0 THEN 0 ELSE " +
+            "(n2 * 1000000) div n1 - 1000000 END").as("change_ppm"))
+        .orderBy(abs(col("delta")).desc, col("item"))
+        .limit(15)
+    }),
   )
 
   /** q256 CUPED shared expression text (the q218/q238 rule — one
@@ -4000,5 +4090,77 @@ object EventQueries {
         |  round((CAST(s1 AS DOUBLE) + 0.5 * CAST(s2 AS DOUBLE)) /
         |        (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
         |FROM agg ORDER BY weekday""".stripMargin,
+
+    // Session-covisitation replay: the same 30-minute gap split and
+    // per-(user, session) distinct-item pair census.
+    "q270_session_covisitation" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |fl AS (
+        |  SELECT user_id, us, item,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, item)),
+        |sess AS (
+        |  SELECT user_id, item,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us, item
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM fl),
+        |ui AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' ||
+        |    CAST(sid AS VARCHAR) AS uk, item
+        |  FROM sess)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM ui a JOIN ui b ON a.uk = b.uk AND a.item < b.item
+        |GROUP BY 1, 2
+        |ORDER BY n_sessions DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // Hill replay: identical top-k cents multiset (tie-break-
+    // invariant), floored nano logs, integer milli alpha.
+    "q271_hill_tail_index" ->
+      """WITH top AS (
+        |  SELECT c FROM (
+        |    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |      o_orderkey
+        |    FROM orders ORDER BY c DESC, o_orderkey LIMIT 500)),
+        |xk AS (SELECT CAST(min(c) AS BIGINT) AS xk FROM top),
+        |t AS (
+        |  SELECT xk,
+        |    CAST(floor(1000000000.0 * ln(CAST(c AS DOUBLE) /
+        |      CAST(xk AS DOUBLE))) AS BIGINT) AS nano
+        |  FROM top CROSS JOIN xk)
+        |SELECT CAST(count(*) AS BIGINT) AS k, xk AS xk_cents,
+        |  CAST(sum(nano) AS BIGINT) AS sum_log_nano,
+        |  CASE WHEN sum(nano) = 0 THEN 0
+        |       ELSE (CAST(count(*) AS BIGINT) * 1000000000000) //
+        |            CAST(sum(nano) AS BIGINT) END AS alpha_milli
+        |FROM t GROUP BY xk ORDER BY k""".stripMargin,
+
+    // Movers replay: same midpoint split, conditional counts and
+    // |delta| ordering with integer tie-breaks.
+    "q272_wow_movers" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |g AS (
+        |  SELECT item,
+        |    CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM ev CROSS JOIN m GROUP BY item)
+        |SELECT item, n1, n2, n2 - n1 AS delta,
+        |  CASE WHEN n1 = 0 THEN 0
+        |       ELSE (n2 * 1000000) // n1 - 1000000 END AS change_ppm
+        |FROM g ORDER BY abs(n2 - n1) DESC, item LIMIT 15""".stripMargin,
   )
 }
