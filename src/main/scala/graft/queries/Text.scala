@@ -1826,6 +1826,75 @@ object TextQueries {
           expr("(n_moved * 1000000) div n_docs").as("moved_ppm"))
         .orderBy("n_docs")
     }),
+
+    // Corpus NOVELTY rate — "is the new crawl worth ingesting?": the
+    // share of the new half's distinct 8-grams unseen in the old half
+    // (doc_id parity stands in for crawl generations). This is the
+    // dedup family's ACQUISITION dial: q65 decontaminates against a
+    // benchmark, q78 measures internal duplication; novelty prices
+    // NEW data before it's paid for. Distinct-gram frames bound
+    // everything (never positional rows); the old side joins
+    // left-anti. Gram STRINGS here (exact, oracle-replayable); at
+    // 100 TB the 8-byte xxhash64 gram key (the q78 hashGramKey rule)
+    // halves the shuffle width with ~n²/2⁶⁵ collision odds.
+    "q273_corpus_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.GraftFunctions.wordShinglesAll(
+            s, col("text"), 8)).as("g"))
+      val old = grams.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select("g").distinct()
+      val nw = graft.ops.Staging.stage(
+        grams.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select("source", "g").distinct())
+      val novel = nw.join(old, Seq("g"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      nw.groupBy("source").agg(count(lit(1)).as("n_new_grams"))
+        .join(novel, Seq("source"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .select(col("source"), col("n_new_grams"), col("n_novel"),
+          expr("(n_novel * 1000000) div n_new_grams").as("novelty_ppm"))
+        .orderBy("source")
+    }),
+
+    // BM25 MRR + recall@10 over a QUERY SET — the multi-query eval
+    // report (q193's NDCG grades one ranking's ORDER; MRR/recall
+    // grade a retriever across queries — the numbers a retrieval
+    // system ships with). Relevance = term frequency >= 2 (graded →
+    // binary); reciprocal rank and recall as exact floor-ppm
+    // integers. Each query's top-10 is a TakeOrdered on the rounded
+    // score (never a global window over the corpus); the in-top-10
+    // re-rank windows over 10 rows.
+    "q274_bm25_mrr" -> ((s, d) => {
+      def evalTerm(t: String) = {
+        val scored = graft.ops.Staging.stage(
+          graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
+              Seq(t))
+            .select(col("doc_id"),
+              expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) " +
+                "AS BIGINT)").as("tf"),
+              round(col("bm25"), 6).as("b")))
+        val w = Window.orderBy(col("b").desc, col("doc_id"))
+        val top10 = scored.orderBy(col("b").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+        val m1 = top10.agg(
+          coalesce(min(when(col("tf") >= 2, col("rnk"))), lit(0L))
+            .as("first_rel_rank"),
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel_top10"))
+        val m2 = scored.agg(
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
+        m1.crossJoin(broadcast(m2))
+          .select(lit(t).as("query"), col("first_rel_rank"),
+            expr("CASE WHEN first_rel_rank = 0 THEN 0 " +
+              "ELSE 1000000 div first_rel_rank END").as("rr_ppm"),
+            col("n_rel_top10"), col("n_rel_total"),
+            expr("CASE WHEN n_rel_total = 0 THEN 0 ELSE " +
+              "(n_rel_top10 * 1000000) div n_rel_total END")
+              .as("recall_ppm"))
+      }
+      evalTerm("join").union(evalTerm("vector")).union(evalTerm("scan"))
+        .orderBy("query")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -4042,5 +4111,80 @@ object TextQueries {
         |SELECT n_docs, n_shards, occ_min, occ_max, n_moved,
         |  (n_moved * 1000000) // n_docs AS moved_ppm
         |FROM mv CROSS JOIN occ ORDER BY n_docs""".stripMargin,
+
+    // Novelty replay: the q78 token-slice gram construction at k=8,
+    // parity halves, distinct frames and the left-anti novel set.
+    "q273_corpus_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |old AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |nw AS (SELECT DISTINCT source, gram FROM g WHERE doc_id % 2 = 1),
+        |novel AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM nw ANTI JOIN old USING (gram)
+        |  GROUP BY source)
+        |SELECT nn.source, CAST(count(*) AS BIGINT) AS n_new_grams,
+        |  CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) AS n_novel,
+        |  (CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+        |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
+        |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // MRR replay: q193's single-term BM25 blocks per query term,
+    // rounded-score ranking, tf >= 2 relevance, floor-ppm RR/recall.
+    "q274_bm25_mrr" -> {
+      val terms = Seq("join", "vector", "scan")
+      val base =
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
+          |""".stripMargin +
+        terms.map(t =>
+          s"    len(list_filter(string_split(text,' '), t -> t = '$t')) AS tf_$t").mkString(",\n") +
+        "\n  FROM documents),\nst AS (\n" +
+        "  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,\n" +
+        terms.map(t =>
+          s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n") +
+        "\n  FROM base)"
+      val blocks = terms.map { t =>
+        s""",
+           |sc_$t AS (
+           |  SELECT doc_id, tf_$t AS tf,
+           |    ln(1.0 + (nd - df_$t + 0.5) / (df_$t + 0.5)) * (CAST(tf_$t AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd))) AS score
+           |  FROM base, st),
+           |rk_$t AS (
+           |  SELECT doc_id, tf,
+           |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+           |      AS rnk
+           |  FROM sc_$t),
+           |m_$t AS (
+           |  SELECT
+           |    CAST(coalesce(min(CASE WHEN tf >= 2 AND rnk <= 10
+           |      THEN rnk END), 0) AS BIGINT) AS first_rel_rank,
+           |    CAST(sum(CASE WHEN tf >= 2 AND rnk <= 10 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_rel_top10,
+           |    CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_rel_total
+           |  FROM rk_$t)""".stripMargin
+      }.mkString
+      val rows = terms.map { t =>
+        s"""SELECT '$t' AS query, first_rel_rank,
+           |  CASE WHEN first_rel_rank = 0 THEN 0
+           |       ELSE 1000000 // first_rel_rank END AS rr_ppm,
+           |  n_rel_top10, n_rel_total,
+           |  CASE WHEN n_rel_total = 0 THEN 0
+           |       ELSE (n_rel_top10 * 1000000) // n_rel_total END
+           |    AS recall_ppm
+           |FROM m_$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      base + blocks + "\n" + rows + "\nORDER BY query"
+    },
   )
 }
