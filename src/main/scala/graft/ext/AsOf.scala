@@ -29,11 +29,21 @@ object AsOf {
     * @param leftTime   event-time column on the left
     * @param rightTime  event-time column on the right
     * @param payload    right-side columns to attach
+    * @param toleranceSeconds  optional match window (pandas
+    *                   merge_asof `tolerance`): a left row only takes
+    *                   the payload when its matched right row is at
+    *                   most this many seconds older — stale
+    *                   references (a quote from last month "as of"
+    *                   today) surface as nulls instead of silently
+    *                   joining. Same single-shuffle plan: the scan
+    *                   additionally carries the matched right TIME
+    *                   and the gap test is a map-side filter.
     */
   def joinBackward(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
-                   payload: Seq[String]): DataFrame = {
+                   payload: Seq[String],
+                   toleranceSeconds: Option[Long] = None): DataFrame = {
     val (unioned, leftCols) =
       unionSides(left, right, leftKey, rightKey, leftTime, rightTime, payload)
     // Right rows (__side=0) sort before left rows at equal time: <=.
@@ -41,8 +51,19 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__lastT",
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
+          .over(w))
       .filter(col("__side") === 1)
-    payload.foldLeft(matched)((df, p) => df.withColumn(p, col("__last")(p)))
+    val inTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__lastT").isNotNull &&
+          unix_micros(col("__t")) - unix_micros(col("__lastT")) <=
+            tol * 1000000L
+      case None => lit(true)
+    }
+    payload.foldLeft(matched)((df, p) =>
+        df.withColumn(p, when(inTol, col("__last")(p))))
       .select((leftCols ++ payload).toIndexedSeq.map(col): _*)
   }
 

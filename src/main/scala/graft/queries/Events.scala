@@ -2223,6 +2223,40 @@ object EventQueries {
         .orderBy("k")
     }),
 
+    // As-of join WITH a freshness tolerance (pandas merge_asof
+    // `tolerance`) — the stale-reference guard: an event more than 30
+    // days past the customer's latest order keeps NULL payload
+    // instead of silently joining month-old state (q24 is the
+    // unbounded backward as-of). Same single-shuffle union+window
+    // plan; the gap test is map-side on the carried match time.
+    // Output summarizes matched/stale/unmatched so the row count
+    // stays audit-sized.
+    "q276_asof_tolerance" -> ((s, d) => {
+      val latest = Kernels.dedupKeepLast(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      val bounded = AsOf.joinBackward(
+        Tables.events(s, d).select("event_id", "user_id", "ts"), latest,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"),
+        toleranceSeconds = Some(30L * 86400))
+      val unbounded = AsOf.joinBackward(
+        Tables.events(s, d).select("event_id", "user_id", "ts"), latest,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"))
+      bounded.select(col("event_id"),
+          col("o_orderkey").isNotNull.as("__m"))
+        .join(unbounded.select(col("event_id"),
+          col("o_orderkey").isNotNull.as("__u")), "event_id")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("__m"), 1L).otherwise(0L)).as("n_fresh"),
+             sum(when(!col("__m") && col("__u"), 1L).otherwise(0L))
+               .as("n_stale"),
+             sum(when(!col("__u"), 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("n_events")
+    }),
+
     // Week-over-week item movers — the ops dashboard's "what changed"
     // census: item touch counts in the first vs second half of the
     // corpus time range (the q256 midpoint split), top 15 by absolute
@@ -4141,6 +4175,35 @@ object EventQueries {
         |       ELSE (CAST(count(*) AS BIGINT) * 1000000000000) //
         |            CAST(sum(nano) AS BIGINT) END AS alpha_milli
         |FROM t GROUP BY xk ORDER BY k""".stripMargin,
+
+    // Tolerance replay: DuckDB ASOF LEFT JOIN carrying the matched
+    // time, the identical 30-day micro gap test, same census.
+    "q276_asof_tolerance" ->
+      """WITH latest AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC)
+        |      AS rn
+        |    FROM orders) WHERE rn = 1),
+        |a AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ets,
+        |    o_orderkey, o_orderdate
+        |  FROM (SELECT event_id, user_id, ts FROM events) e
+        |  ASOF LEFT JOIN latest
+        |    ON e.user_id = latest.o_custkey AND e.ts >= latest.o_orderdate),
+        |f AS (
+        |  SELECT event_id,
+        |    (o_orderdate IS NOT NULL AND
+        |     epoch_us(ets) - epoch_us(o_orderdate) <= 30 * 86400000000)
+        |      AS m,
+        |    o_orderdate IS NOT NULL AS u
+        |  FROM a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+        |  CAST(sum(CASE WHEN NOT m AND u THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stale,
+        |  CAST(sum(CASE WHEN NOT u THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM f ORDER BY n_events""".stripMargin,
 
     // Movers replay: same midpoint split, conditional counts and
     // |delta| ordering with integer tie-breaks.

@@ -1789,6 +1789,41 @@ object Relational {
         .orderBy("fd")
     }),
 
+    // Degree assortativity of the customer-supplier graph — "do hubs
+    // link to hubs?", the network-topology diagnostic that predicts
+    // how sampling and dedup behave on a link graph (q90's PageRank
+    // family measures node importance; assortativity measures the
+    // MIXING pattern). Pearson r over the (deg_u, deg_v) pairs of
+    // both edge orientations; every moment is an exact
+    // decimal(38,0)/HUGEINT integer sum and the one double closed
+    // form rides SHARED expression text. Scale: two exchanges (degree
+    // agg, edge-degree join); the moment frame is one row.
+    "q277_degree_assortativity" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val sym = graft.ops.Staging.stage(
+        edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+      val deg = graft.ops.Staging.stage(
+        sym.groupBy("a").agg(count(lit(1)).as("dg")))
+      val pairs = sym.join(deg, "a").withColumnRenamed("dg", "dx")
+        .join(deg.select(col("a").as("b"), col("dg").as("dy")), "b")
+      val mom = pairs.agg(count(lit(1)).as("n"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        max("dg").as("max_degree"))
+      mom.crossJoin(broadcast(st))
+        .selectExpr("n_nodes", "n div 2 AS n_edges", "max_degree",
+          s"round($AssortText, 6) AS assortativity")
+        .orderBy("n_nodes")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -1845,6 +1880,17 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
   )
+
+  /** q277's degree-assortativity Pearson r from the exact
+    * decimal/HUGEINT moment sums — SHARED expression text (the
+    * q218/q238 rule). */
+  private val AssortText =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 
   /** q218's closed-form 3×3 normal-equation solve (Cramer), emitted
     * as ONE expression text shared VERBATIM by the Spark selectExpr
@@ -3147,6 +3193,38 @@ object Relational {
         |SELECT fd, n_groups, n_violating,
         |  (n_violating * 1000000) // n_groups AS violation_ppm
         |FROM u ORDER BY fd""".stripMargin,
+
+    // Assortativity replay: same distinct bipartite edges, symmetric
+    // orientations, HUGEINT moments and the SHARED Pearson text.
+    "q277_degree_assortativity" -> (
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS dg
+        |  FROM sym GROUP BY a),
+        |p AS (
+        |  SELECT da.dg AS dx, db.dg AS dy
+        |  FROM sym JOIN deg da ON sym.a = da.a
+        |  JOIN deg db ON sym.b = db.a),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx) AS HUGEINT) AS sx,
+        |    CAST(sum(dy) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+        |  FROM p),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(max(dg) AS BIGINT) AS max_degree
+        |  FROM deg)
+        |SELECT n_nodes, n // 2 AS n_edges, max_degree,
+        |""".stripMargin +
+      s"  round($AssortText, 6) AS assortativity\n" +
+      "FROM mom CROSS JOIN st ORDER BY n_nodes"),
 
     // Ladder replay: identical generalized keys per level and the
     // broadcast minimal satisfying level.

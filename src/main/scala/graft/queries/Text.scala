@@ -1895,6 +1895,33 @@ object TextQueries {
       evalTerm("join").union(evalTerm("vector")).union(evalTerm("scan"))
         .orderBy("query")
     }),
+
+    // Order-invariant dataset fingerprint per source — the
+    // reproducibility checksum a pipeline publishes with every
+    // release ("did ANY row change?"): sum of per-row md5-prefix
+    // integers, which no partitioning, shuffle order or split can
+    // perturb, and which is ADDITIVE — fingerprint(A ∪ B) =
+    // fingerprint(A) + fingerprint(B) for disjoint halves, so
+    // incremental ingestion updates the ledger without rescanning
+    // (the additive_ok column PROVES the property on the parity
+    // halves in-query). Sums ride decimal(38,0)/HUGEINT so no corpus
+    // size wraps them. One aggregate, map-side combined.
+    "q275_dataset_fingerprint" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("source"), pmod(col("doc_id"), lit(2L)).as("par"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "'|', text)), 1, 8), 16, 10) AS DECIMAL(38,0))").as("rh"))
+      val zero = lit(0).cast("decimal(38,0)")
+      h.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("rh").as("fp"),
+             sum(when(col("par") === 0, col("rh")).otherwise(zero))
+               .as("fp_even"),
+             sum(when(col("par") === 1, col("rh")).otherwise(zero))
+               .as("fp_odd"))
+        .withColumn("additive_ok",
+          col("fp_even") + col("fp_odd") === col("fp"))
+        .orderBy("source")
+    }),
   )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
@@ -4136,6 +4163,29 @@ object TextQueries {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Fingerprint replay: the q142 hex-digit parse of the same 8-char
+    // md5 prefix, HUGEINT sums, the additive identity checked in SQL.
+    "q275_dataset_fingerprint" ->
+      """WITH h AS (
+        |  SELECT source, doc_id % 2 AS par,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE))))
+        |      AS BIGINT) AS rh
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(rh) AS HUGEINT) AS fp,
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS HUGEINT)
+        |    AS fp_even,
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS HUGEINT)
+        |    AS fp_odd,
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS HUGEINT) +
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS HUGEINT) =
+        |  CAST(sum(rh) AS HUGEINT) AS additive_ok
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // MRR replay: q193's single-term BM25 blocks per query term,
     // rounded-score ranking, tf >= 2 relevance, floor-ppm RR/recall.
