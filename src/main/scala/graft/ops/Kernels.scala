@@ -279,6 +279,48 @@ object Kernels {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Cooldown (throttle) filter per key — the alert-suppression /
+    * notification-rate-limit operator: a row EMITS iff its time is at
+    * least `cooldown` after the previously EMITTED row of its key
+    * (the first row always emits). NOT a window function: the gate
+    * compares against the last *emitted* time, not the previous row —
+    * `lag(t) >= cooldown` is a different, wrong series (a burst of
+    * sub-cooldown rows would re-arm on every row). Like
+    * [[clampedRunningSum]], the feedback rides the secondary-sort
+    * scan: one exchange on the key, in-partition sort, a
+    * constant-memory pass carrying only the current key's last-emit
+    * time. Appends boolean `emitted`. Ordering must be total per key
+    * or the emit set is nondeterministic; times are caller-supplied
+    * integers (micros, days — any monotone unit).
+    */
+  def cooldownFilter(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                     timeCol: String, cooldown: Long): DataFrame = {
+    require(cooldown >= 0, "cooldown must be non-negative")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "emitted", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val timeIdx = df.schema.fieldIndex(timeCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var lastEmit = 0L
+        var haveEmit = false
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; haveEmit = false
+          }
+          val t = r.getLong(timeIdx)
+          val emit = !haveEmit || t >= lastEmit + cooldown
+          if (emit) { lastEmit = t; haveEmit = true }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ emit)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Holt's linear (double-exponential) smoothing per key — the
     * trend-aware sibling of the plain EWMA (q139):
     * `level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})`,

@@ -2223,6 +2223,30 @@ object EventQueries {
         .orderBy("k")
     }),
 
+    // Alert cooldown / notification throttling
+    // (Kernels.cooldownFilter): a user's event EMITS only when at
+    // least 6 hours past their previously EMITTED event — the
+    // rate-limit every alerting/notification pipeline needs, and NOT
+    // a window function (the gate compares against the last EMITTED
+    // time; lag() would re-arm on every suppressed row). The kernel
+    // is the clampedRunningSum secondary-sort scan; the oracle
+    // replays the recurrence as a per-user recursive CTE stepping the
+    // (us, event_id) row order. Output is the per-type suppression
+    // census.
+    "q278_alert_cooldown" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"))
+      Kernels.cooldownFilter(ev, "user_id", Seq("us", "event_id"),
+          "us", 6L * 3600 * 1000000)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("emitted"), 1L).otherwise(0L)).as("n_emitted"))
+        .withColumn("suppressed_ppm",
+          expr("((n_events - n_emitted) * 1000000) div n_events"))
+        .orderBy("event_type")
+    }),
+
     // As-of join WITH a freshness tolerance (pandas merge_asof
     // `tolerance`) — the stale-reference guard: an event more than 30
     // days past the customer's latest order keeps NULL payload
@@ -4175,6 +4199,32 @@ object EventQueries {
         |       ELSE (CAST(count(*) AS BIGINT) * 1000000000000) //
         |            CAST(sum(nano) AS BIGINT) END AS alpha_milli
         |FROM t GROUP BY xk ORDER BY k""".stripMargin,
+
+    // Cooldown replay: per-user recursive CTE stepping the same
+    // (us, event_id) row order, carrying the last-EMITTED time.
+    "q278_alert_cooldown" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, us, event_type, TRUE AS emitted,
+        |    us AS last_emit
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.rn, t.us, t.event_type,
+        |    t.us >= r.last_emit + 21600000000 AS emitted,
+        |    CASE WHEN t.us >= r.last_emit + 21600000000
+        |         THEN t.us ELSE r.last_emit END
+        |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_emitted,
+        |  ((CAST(count(*) AS BIGINT) -
+        |    CAST(sum(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT))
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS suppressed_ppm
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Tolerance replay: DuckDB ASOF LEFT JOIN carrying the matched
     // time, the identical 30-day micro gap test, same census.

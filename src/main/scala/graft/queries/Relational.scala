@@ -1789,6 +1789,67 @@ object Relational {
         .orderBy("fd")
     }),
 
+    // Share-of-parent hierarchical rollup — the BI drill-down every
+    // revenue report ships (nation as % of region, region as % of
+    // world) that plain ROLLUP totals don't directly give: the child
+    // level joins its parent's total back (broadcast — parent frames
+    // are hierarchy-sized). Exact cents and floor-ppm shares at both
+    // levels; every join key is a tiny dimension.
+    "q279_share_of_parent" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val byRegion = rev.groupBy("r_name")
+        .agg(sum("cents").as("__rc"))
+      val total = byRegion.agg(sum("__rc").as("__tc"))
+      rev.join(broadcast(byRegion), "r_name")
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("(cents * 1000000) div __rc").as("share_of_region_ppm"),
+          expr("(__rc * 1000000) div __tc").as("region_share_ppm"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Interval-UNION coverage per customer — "how many distinct days
+    // was at least one order in flight?": merge each customer's
+    // [orderdate, last shipdate] intervals and measure the union
+    // length, the uptime/SLA/occupancy primitive (q155's in-flight
+    // sweep is the corpus-wide daily census; this is the per-key
+    // union length). The merge is a prefix-max window over each
+    // customer's intervals in (start, end, orderkey) total order —
+    // covered_i = max(0, end_i − max(start_i, max-prev-end)) on exact
+    // epoch-day integers, half-open [s, e+1). One exchange on the
+    // customer; never a per-key collect. Top 20 by covered days.
+    "q280_interval_coverage" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(min(expr("datediff(to_date(o_orderdate), DATE'1990-01-01')"))
+               .as("s"),
+             max(expr("datediff(to_date(l_shipdate), DATE'1990-01-01') + 1"))
+               .as("e"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("__pm", max("e").over(w))
+        .select(col("o_custkey"),
+          greatest(lit(0L),
+            col("e") - greatest(col("s"), coalesce(col("__pm"), col("s"))))
+            .as("cov"),
+          col("s"), col("e"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cov").as("covered_days"),
+             (max("e") - min("s")).as("span_days"))
+        .withColumn("coverage_ppm",
+          expr("(covered_days * 1000000) div span_days"))
+        .orderBy(col("covered_days").desc, col("o_custkey"))
+        .limit(20)
+    }),
+
     // Degree assortativity of the customer-supplier graph — "do hubs
     // link to hubs?", the network-topology diagnostic that predicts
     // how sampling and dedup behave on a link graph (q90's PageRank
@@ -3193,6 +3254,56 @@ object Relational {
         |SELECT fd, n_groups, n_violating,
         |  (n_violating * 1000000) // n_groups AS violation_ppm
         |FROM u ORDER BY fd""".stripMargin,
+
+    // Share-of-parent replay: identical two-level cent rollups and
+    // floor-ppm shares.
+    "q279_share_of_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |br AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS rc
+        |       FROM rev GROUP BY r_name),
+        |t AS (SELECT CAST(sum(rc) AS BIGINT) AS tc FROM br)
+        |SELECT rev.r_name, n_name, cents,
+        |  (cents * 1000000) // rc AS share_of_region_ppm,
+        |  (rc * 1000000) // tc AS region_share_ppm
+        |FROM rev JOIN br ON rev.r_name = br.r_name CROSS JOIN t
+        |ORDER BY rev.r_name, n_name""".stripMargin,
+
+    // Coverage replay: the same per-order [start, end+1) epoch-day
+    // intervals, (s, e, orderkey)-ordered prefix max and clipped
+    // lengths.
+    "q280_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(min(date_diff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE))) AS BIGINT) AS s,
+        |    CAST(max(date_diff('day', DATE '1990-01-01',
+        |      CAST(l_shipdate AS DATE)) + 1) AS BIGINT) AS e
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT o_custkey, s, e,
+        |    max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p
+        |  FROM iv),
+        |cov AS (
+        |  SELECT o_custkey,
+        |    greatest(0, e - greatest(s, coalesce(p, s))) AS cov, s, e
+        |  FROM pm)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cov) AS BIGINT) AS covered_days,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_days,
+        |  (CAST(sum(cov) AS BIGINT) * 1000000) //
+        |    CAST(max(e) - min(s) AS BIGINT) AS coverage_ppm
+        |FROM cov GROUP BY o_custkey
+        |ORDER BY covered_days DESC, o_custkey LIMIT 20""".stripMargin,
 
     // Assortativity replay: same distinct bipartite edges, symmetric
     // orientations, HUGEINT moments and the SHARED Pearson text.

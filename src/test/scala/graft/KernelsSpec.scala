@@ -480,6 +480,30 @@ class KernelsSpec extends AnyFunSuite {
     assert(cols.drop(1) == Seq("p", "q_est"))
   }
 
+  test("cooldownFilter: gates on last EMITTED time (a lag() would re-arm per row)") {
+    // key a: burst at t=0,5,9,12 with cooldown 10 — correct emits are
+    // {0, 12}: t=12 is only 3 past the previous ROW (9) but 12 past
+    // the last EMITTED (0). A lag-based gate would emit only {0},
+    // since no adjacent gap reaches 10.
+    val df = Seq(
+      ("a", 0L), ("a", 5L), ("a", 9L), ("a", 12L), ("a", 30L),
+      ("b", 100L), ("b", 105L)
+    ).toDF("k", "t")
+    val got = Kernels.cooldownFilter(df, "k", Seq("t"), "t", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    assert(got(("a", 0L)) && !got(("a", 5L)) && !got(("a", 9L)))
+    assert(got(("a", 12L)), "must gate on last EMITTED (0), not last row (9)")
+    assert(got(("a", 30L)))
+    // keys are independent; first row always emits
+    assert(got(("b", 100L)) && !got(("b", 105L)))
+    // partition-count invariance: the secondary sort owns the order
+    val wide = Kernels.cooldownFilter(df.repartition(7), "k", Seq("t"),
+      "t", 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(wide == got)
+  }
+
   test("covisitPairs: maxItemsPerUser bounds a power user at C(N,2) pairs") {
     // one power user with 100 items (recency = item id: higher is more
     // recent), one small user with 3 — the q247 skew shape
