@@ -277,6 +277,46 @@ object Streams {
         })
   }
 
+  case class ThrottleEvent(k: String, seq: Long, t: Long)
+  case class ThrottleState(k: String, last_emit: Long)
+  case class ThrottleDecision(k: String, seq: Long, t: Long,
+                              emitted: Boolean)
+
+  /** Streaming cooldown throttle — the live half of
+    * [[graft.ops.Kernels.cooldownFilter]] (alerting is inherently a
+    * stream; the batch kernel is its backfill/audit form): per key,
+    * an event EMITS iff its time is at least `cooldown` past the last
+    * EMITTED event, with the last-emit time carried as ONE long of
+    * state per key across micro-batches — so a burst split across
+    * batch boundaries stays suppressed (state is what a window over
+    * the batch alone cannot see). Decisions stream out per event
+    * (flatMapGroups); state is bounded by key cardinality, not stream
+    * length. In-order contract like the Holt twin: a late event would
+    * need suffix replay, which no bounded-state stream can do
+    * (StreamingSpec pins stream ≡ batch across arbitrary micro-batch
+    * splits, including a split mid-burst).
+    */
+  def cooldownStream(events: Dataset[ThrottleEvent],
+                     cooldown: Long): Dataset[ThrottleDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[ThrottleEvent],
+         st: GroupState[ThrottleState]) => {
+          var lastEmit = st.getOption.map(_.last_emit).getOrElse(0L)
+          var have = st.exists
+          val out = it.toSeq.sortBy(e => (e.t, e.seq)).map { e =>
+            val emit = !have || e.t >= lastEmit + cooldown
+            if (emit) { lastEmit = e.t; have = true }
+            ThrottleDecision(k, e.seq, e.t, emit)
+          }
+          if (have) st.update(ThrottleState(k, lastEmit))
+          out.iterator
+        })
+  }
+
   /** Streaming CDC: maintain the LATEST change per key across
     * micro-batches — the streaming half of
     * [[graft.ext.Cdc.applyChangelog]] (whose batch top-1-per-key this

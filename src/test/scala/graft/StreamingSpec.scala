@@ -649,4 +649,33 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq
     assert(streamed == batch)
   }
+
+  test("cooldownStream ≡ batch cooldownFilter; bursts stay suppressed across batch splits") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.ThrottleEvent
+    // key a's burst (0, 5 | 9, 12) is split ACROSS micro-batches: the
+    // carried last-emit (0) must keep 9 suppressed and admit 12 —
+    // the per-batch-window formulation would wrongly re-emit 9
+    val all = Seq(
+      ThrottleEvent("a", 1, 0L), ThrottleEvent("a", 2, 5L),
+      ThrottleEvent("b", 3, 100L),
+      ThrottleEvent("a", 4, 9L), ThrottleEvent("a", 5, 12L),
+      ThrottleEvent("b", 6, 105L), ThrottleEvent("a", 7, 30L))
+    val stream = MemoryStream[ThrottleEvent]
+    val q = graft.streaming.Streams.cooldownStream(stream.toDS(), 10L)
+      .writeStream.format("memory").queryName("cooldown")
+      .outputMode(OutputMode.Append()).start()
+    all.grouped(3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cooldown").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    val batch = graft.ops.Kernels.cooldownFilter(
+        all.map(e => (e.k, e.seq, e.t)).toDF("k", "seq", "t"),
+        "k", Seq("t", "seq"), "t", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3))
+      .toMap
+    assert(streamed == batch)
+    assert(!streamed(("a", 4L)), "9 must stay suppressed across the split")
+    assert(streamed(("a", 5L)), "12 must emit (10 past the last EMITTED 0)")
+  }
 }
