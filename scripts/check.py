@@ -6,19 +6,82 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet result (written by
 graft.Verify), runs the matching oracle SQL from oracle_sql.json in
 DuckDB against the same parquet tables, sorts columns by name and rows
-by all columns, and compares values (exact for non-floats, tiny-eps
-report for floats so rounding gaps surface).
+by all columns, and compares values TYPED: rows come from
+cursor.fetchall() (which keeps decimal.Decimal / int / bool / date
+exactly), never pandas .df() — r14 lesson: .df() coerces both
+DECIMAL(38,0) and HUGEINT to float64, so a DECIMAL-vs-HUGEINT column
+split (q275) read "equal" locally while the driver hash (which sees
+the representation) failed it.  A Python-type mismatch between
+engines (e.g. Decimal vs int) is therefore a FAIL here even when the
+numeric values agree, matching the driver's strictness.  Floats
+compare exactly (NaN==NaN allowed) so rounding gaps surface.
 """
-import json, math, os, sys
+import json, os, sys
+from decimal import Decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
+
+def cell_key(v):
+    """Total deterministic sort key over mixed cells; equal values get
+    equal keys regardless of numeric representation so both sides sort
+    identically and the typed compare sees aligned rows."""
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, "1" if v else "0")
+    if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+        return (2, f"{Decimal(v):+040f}")
     if isinstance(v, float):
-        return v
-    return v
+        return (2, f"{v:+.17e}" if v == v else "nan")
+    if isinstance(v, (list, tuple)):
+        return (3, str([cell_key(x) for x in v]))
+    return (4, str(v))
+
+
+def cells_equal(a, b, path):
+    """Typed equality: None==None, NaN==NaN, floats exact, and the
+    PYTHON TYPE must match (int vs Decimal is a dtype FAIL even when
+    numerically equal — that is the q275 class).  Lists recurse."""
+    if a is None and b is None:
+        return None
+    if (a is None) != (b is None):
+        return f"{path}: {a!r} != {b!r}"
+    # bool is an int subclass — pin it first so True != 1 is caught.
+    ta = "bool" if isinstance(a, bool) else type(a).__name__
+    tb = "bool" if isinstance(b, bool) else type(b).__name__
+    if ta != tb:
+        return f"{path}: dtype {ta}({a!r}) != {tb}({b!r})"
+    if isinstance(a, float):
+        an, bn = a != a, b != b
+        if an and bn:
+            return None
+        if an != bn or a != b:
+            return f"{path}: {a!r} != {b!r}"
+        return None
+    if isinstance(a, (list, tuple)):
+        if len(a) != len(b):
+            return f"{path}: list len {len(a)} != {len(b)}"
+        for i, (x, y) in enumerate(zip(a, b)):
+            r = cells_equal(x, y, f"{path}[{i}]")
+            if r:
+                return r
+        return None
+    if a != b:
+        return f"{path}: {a!r} != {b!r}"
+    return None
+
+
+def fetch(con, sql):
+    """(columns, duckdb type names, rows) with native Python cells."""
+    cur = con.sql(sql)
+    cols = list(cur.columns)
+    types = [str(t) for t in cur.types]
+    rows = cur.fetchall()
+    return cols, types, rows
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -31,59 +94,65 @@ def main(sf_dir, out_dir):
     for name in names:
         res_glob = os.path.join(out_dir, name, "*.parquet")
         try:
-            got = con.sql(f"SELECT * FROM read_parquet('{res_glob}')").df()
+            gcols, gtypes, grows = fetch(
+                con, f"SELECT * FROM read_parquet('{res_glob}')")
         except Exception as e:
             print(f"FAIL {name}: cannot read result: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"---- {name}: no oracle ({len(got)} rows)")
+            print(f"---- {name}: no oracle ({len(grows)} rows)")
             n_noracle += 1
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            ecols, etypes, erows = fetch(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         # driver-style: sort columns by name, then rows by all columns
-        got = got[sorted(got.columns)]
-        exp = exp[sorted(exp.columns)]
-        if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        gord = sorted(range(len(gcols)), key=lambda i: gcols[i])
+        eord = sorted(range(len(ecols)), key=lambda i: ecols[i])
+        gcols = [gcols[i] for i in gord]
+        ecols = [ecols[i] for i in eord]
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
             continue
-        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        if len(got) != len(exp):
-            print(f"FAIL {name}: {len(got)} rows != {len(exp)} rows")
+        gtypes = [gtypes[i] for i in gord]
+        etypes = [etypes[i] for i in eord]
+        grows = sorted(([r[i] for i in gord] for r in grows),
+                       key=lambda r: [cell_key(v) for v in r])
+        erows = sorted(([r[i] for i in eord] for r in erows),
+                       key=lambda r: [cell_key(v) for v in r])
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: {len(grows)} rows != {len(erows)} rows")
             n_fail += 1
             continue
         bad = []
-        for c in got.columns:
-            for i, (a, b) in enumerate(zip(got[c], exp[c])):
-                af, bf = norm(a), norm(b)
-                if isinstance(af, float) or isinstance(bf, float):
-                    an, bn = (af != af), (bf != bf)  # NaN checks
-                    if an and bn:
-                        continue
-                    if an != bn or af != bf:
-                        bad.append((c, i, a, b))
-                else:
-                    if str(a) != str(b):
-                        bad.append((c, i, a, b))
-                if len(bad) > 3:
-                    break
+        for i, (gr, er) in enumerate(zip(grows, erows)):
+            for c, a, b in zip(gcols, gr, er):
+                r = cells_equal(a, b, f"{c}[row {i}]")
+                if r:
+                    bad.append(r)
+                    if len(bad) > 3:
+                        break
             if len(bad) > 3:
                 break
         if bad:
-            print(f"FAIL {name}: {len(bad)}+ mismatches, first: {bad[:3]}")
+            tinfo = ""
+            dt = [f"{c}: {gt} vs {et}"
+                  for c, gt, et in zip(gcols, gtypes, etypes) if gt != et]
+            if dt:
+                tinfo = f" [duckdb types differ: {'; '.join(dt)}]"
+            print(f"FAIL {name}: {len(bad)}+ mismatches, first: {bad[:3]}{tinfo}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

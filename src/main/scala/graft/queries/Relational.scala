@@ -3083,7 +3083,7 @@ object Relational {
         |      AS BIGINT) AS cb,
         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
         |  FROM h),
-        |ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p),
+        |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p),
         |sel AS (
         |  SELECT g, p, b, c, cb,
         |    CAST(ceil(p * n) AS BIGINT) AS r

@@ -1904,8 +1904,13 @@ object TextQueries {
     // fingerprint(A) + fingerprint(B) for disjoint halves, so
     // incremental ingestion updates the ledger without rescanning
     // (the additive_ok column PROVES the property on the parity
-    // halves in-query). Sums ride decimal(38,0)/HUGEINT so no corpus
-    // size wraps them. One aggregate, map-side combined.
+    // halves in-query). Per-row terms are < 2^32, so the sums are
+    // bounded by n_docs*2^32 — BIGINT-safe up to ~2^31 docs per
+    // source; both engines emit BIGINT so the driver hash sees one
+    // type (r14 lesson: DECIMAL(38,0) vs HUGEINT hash-diverged even
+    // with identical values). Interior sums still ride decimal(38,0)
+    // so the cast is the only narrowing. One aggregate, map-side
+    // combined.
     "q275_dataset_fingerprint" -> ((s, d) => {
       val h = Tables.documents(s, d)
         .select(col("source"), pmod(col("doc_id"), lit(2L)).as("par"),
@@ -1913,11 +1918,12 @@ object TextQueries {
             "'|', text)), 1, 8), 16, 10) AS DECIMAL(38,0))").as("rh"))
       val zero = lit(0).cast("decimal(38,0)")
       h.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("rh").as("fp"),
+        .agg(count(lit(1)).as("n_docs"),
+             sum("rh").cast("long").as("fp"),
              sum(when(col("par") === 0, col("rh")).otherwise(zero))
-               .as("fp_even"),
+               .cast("long").as("fp_even"),
              sum(when(col("par") === 1, col("rh")).otherwise(zero))
-               .as("fp_odd"))
+               .cast("long").as("fp_odd"))
         .withColumn("additive_ok",
           col("fp_even") + col("fp_odd") === col("fp"))
         .orderBy("source")
@@ -2257,7 +2263,7 @@ object TextQueries {
         |      AS BIGINT) AS cb,
         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
         |  FROM h),
-        |ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p),
+        |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p),
         |sel AS (
         |  SELECT g, p, b, c, cb,
         |    CAST(ceil(p * n) AS BIGINT) AS r
@@ -4165,7 +4171,10 @@ object TextQueries {
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
 
     // Fingerprint replay: the q142 hex-digit parse of the same 8-char
-    // md5 prefix, HUGEINT sums, the additive identity checked in SQL.
+    // md5 prefix; sums emitted as BIGINT on both engines (r14: the
+    // HUGEINT/DECIMAL(38,0) split hash-diverged with equal values;
+    // n_docs*2^32 << 2^63 bounds the sums at any test SF), the
+    // additive identity checked in SQL.
     "q275_dataset_fingerprint" ->
       """WITH h AS (
         |  SELECT source, doc_id % 2 AS par,
@@ -4177,14 +4186,14 @@ object TextQueries {
         |      AS BIGINT) AS rh
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(rh) AS HUGEINT) AS fp,
-        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS HUGEINT)
+        |  CAST(sum(rh) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT)
         |    AS fp_even,
-        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS HUGEINT)
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT)
         |    AS fp_odd,
-        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS HUGEINT) +
-        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS HUGEINT) =
-        |  CAST(sum(rh) AS HUGEINT) AS additive_ok
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT) +
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT) =
+        |  CAST(sum(rh) AS BIGINT) AS additive_ok
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // MRR replay: q193's single-term BM25 blocks per query term,
