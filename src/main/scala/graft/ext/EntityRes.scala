@@ -59,26 +59,24 @@ object EntityRes {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Last observed occupancy breach, as (names in split blocks, max
-    * sub-bucket count) — `None` until some pair generation actually
-    * trips the guard. A runtime signal (not just a silent graceful
-    * degradation): recall only degrades when a block REALLY exceeds
-    * `maxBlockNames`, and callers/specs can tell that happened. */
-  val lastOccupancyBreach =
-    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Long)]](None)
-
   /** Warn-on-breach check, run when candidate pairs are BUILT: count
     * the blocks whose distinct-name occupancy exceeds the cap (i.e.
     * that [[candidateNamePairs]] will sub-bucket) and, if any, log a
-    * warning and record [[lastOccupancyBreach]] — so graceful recall
-    * degradation is distinguishable from full recall (r13 advice).
+    * warning and RETURN the breach as (names in split blocks, max
+    * sub-bucket count) — so graceful recall degradation is
+    * distinguishable from full recall (r13 advice). Per-call, not
+    * process-global: the r14 shape recorded into a shared
+    * AtomicReference, which concurrent resolves clobbered (r14
+    * advice); callers that want the signal take it from
+    * [[resolveSignaled]]'s return value.
     * The check is one tiny aggregate over the per-block occupancy
     * frame — bounded by block count, never corpus rows — evaluated
     * eagerly and synchronously (an async observe metric would vanish
     * under the callers' persist boundaries). Since callers stage the
     * name-group frame before pairing, this pass doubles as the cache
     * warm-up for the self-join that follows. */
-  private def occupancySignal(occ: DataFrame, maxBlockNames: Int): Unit = {
+  private def occupancySignal(occ: DataFrame,
+                              maxBlockNames: Int): Option[(Long, Long)] = {
     val r = occ.filter(col("__d") > maxBlockNames)
       .agg(coalesce(sum("__d"), lit(0L)).as("names"),
            coalesce(max(ceil(col("__d").cast("double") /
@@ -87,14 +85,14 @@ object EntityRes {
     val names = r.getAs[Number](0).longValue
     val maxSub = r.getAs[Number](1).longValue
     if (names > 0) {
-      lastOccupancyBreach.set(Some((names, maxSub)))
       log.warn(
         s"EntityRes occupancy guard engaged: $names distinct names sit in " +
           s"blocks over the $maxBlockNames cap, split into up to $maxSub " +
           "sub-buckets — cross-name recall degrades there (same-name " +
           "clustering unaffected); the blocking key is non-discriminative, " +
           "consider more prefix tokens or an LSH block")
-    }
+      Some((names, maxSub))
+    } else None
   }
 
   /** Distinct-name groups of `df`: one row per (block, name) with
@@ -117,11 +115,18 @@ object EntityRes {
     * callers threshold). Package-visible so the spec can measure the
     * occupancy bound directly. */
   private[graft] def candidateNamePairs(names: DataFrame,
-                                        maxBlockNames: Int): DataFrame = {
+                                        maxBlockNames: Int): DataFrame =
+    candidateNamePairsSignaled(names, maxBlockNames)._1
+
+  /** [[candidateNamePairs]] plus the per-call occupancy-breach signal
+    * (None when no block was split). */
+  private[graft] def candidateNamePairsSignaled(
+      names: DataFrame, maxBlockNames: Int)
+      : (DataFrame, Option[(Long, Long)]) = {
     require(maxBlockNames >= 2, "maxBlockNames must be >= 2")
     val spark = names.sparkSession
     val occ = names.groupBy("__blk").agg(count(lit(1)).as("__d"))
-    occupancySignal(occ, maxBlockNames)
+    val breach = occupancySignal(occ, maxBlockNames)
     val sub = names.join(occ, "__blk")
       .withColumn("__nsub",
         ceil(col("__d").cast("double") / lit(maxBlockNames.toDouble)))
@@ -132,9 +137,10 @@ object EntityRes {
     val b = sub.select(col("__blk"), col("__sub"),
       col("__nm").as("__nmb"), col("__rep").as("__repb"),
       col("__c").as("__cb"))
-    a.join(b, Seq("__blk", "__sub")).filter(col("__nma") < col("__nmb"))
+    (a.join(b, Seq("__blk", "__sub")).filter(col("__nma") < col("__nmb"))
       .withColumn("jw", graft.functions.GraftFunctions
-        .jaroWinkler(spark, col("__nma"), col("__nmb")))
+        .jaroWinkler(spark, col("__nma"), col("__nmb"))),
+     breach)
   }
 
   /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): order
@@ -189,16 +195,29 @@ object EntityRes {
     */
   def resolve(df: DataFrame, idCol: String, nameCol: String,
               blockCol: Column, threshold: Double,
-              maxBlockNames: Int = DefaultMaxBlockNames): DataFrame = {
+              maxBlockNames: Int = DefaultMaxBlockNames): DataFrame =
+    resolveSignaled(df, idCol, nameCol, blockCol, threshold,
+      maxBlockNames)._1
+
+  /** [[resolve]] plus the per-call occupancy-breach signal: (labels,
+    * Some((names in split blocks, max sub-bucket count))) when the
+    * guard sub-bucketed at least one over-cap block — i.e. cross-name
+    * recall degraded there — else None. Returned per call rather than
+    * recorded in shared state, so concurrent resolves can't clobber
+    * each other's signal (r14 advice). */
+  def resolveSignaled(df: DataFrame, idCol: String, nameCol: String,
+                      blockCol: Column, threshold: Double,
+                      maxBlockNames: Int = DefaultMaxBlockNames)
+      : (DataFrame, Option[(Long, Long)]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     // staged: consumed by the pair join (twice, self-join), the
     // occupancy count, and the label expansion
     val names = graft.ops.Staging.stage(
       nameGroups(df, idCol, nameCol, blockCol))
+    val (cand, breach) = candidateNamePairsSignaled(names, maxBlockNames)
     val pairs = graft.ops.Staging.stage(
-      candidateNamePairs(names, maxBlockNames)
-        .filter(col("jw") >= threshold)
+      cand.filter(col("jw") >= threshold)
         .select(col("__repa").as("id_a"), col("__repb").as("id_b")))
     // rep-level components; min over reps = min over member ids
     val comp = Dedup.connectedComponents(pairs)
@@ -207,10 +226,11 @@ object EntityRes {
       .select(col("__blk"), col("__nm"),
         coalesce(col("component"), col("__rep")).as("__comp"),
         (col("__c") >= 2 || col("component").isNotNull).as("__part"))
-    df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
-              blockCol.as("__blk"))
+    (df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+               blockCol.as("__blk"))
       .join(lab, Seq("__blk", "__nm"))
       .filter(col("__part"))
-      .select(col("__id").as("id"), col("__comp").as("component"))
+      .select(col("__id").as("id"), col("__comp").as("component")),
+     breach)
   }
 }

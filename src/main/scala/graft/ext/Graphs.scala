@@ -65,14 +65,15 @@ object Graphs {
     // aggregate, adj hash(src) from the join, and every sweep's SMJ
     // then co-locates against the node-sized rank frame with NO edge
     // re-shuffle (plan-asserted in GraphsSpec).
-    val deg = pin(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    // N is ONE number and the pin's materializing action is a count:
+    // pinCounted returns it from the SAME job (the r14 shape paid a
+    // second job re-scanning the fresh blocks). 1.0/N and (1-d)/N are
+    // computed by the same IEEE ops the in-plan form used, so every
+    // rank double is bit-identical.
+    val (deg, nRows) =
+      pinCounted(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     val adj = pin(sym.join(deg, "src"), "src")
-    // N is ONE number and the operator is already eager (pin): fetch
-    // it once instead of re-aggregating + broadcasting a 1-row frame
-    // into every sweep (measured: 2 exchanges per sweep for a
-    // constant). 1.0/N and (1-d)/N are computed by the same IEEE ops
-    // the in-plan form used, so every rank double is bit-identical.
-    val n = deg.count().toDouble
+    val n = nRows.toDouble
     val init = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
     // Per-sweep frames are NOT staged: each has exactly one consumer
     // (the next sweep), the lineage roots at the two checkpoints, and
@@ -102,6 +103,8 @@ object Graphs {
     graft.ops.Sweep.symmetrizeW(edges, aCol, bCol, w)
   private def pin(df: DataFrame, keys: String*): DataFrame =
     graft.ops.Sweep.pin(df, keys: _*)
+  private def pinCounted(df: DataFrame, keys: String*): (DataFrame, Long) =
+    graft.ops.Sweep.pinCounted(df, keys: _*)
 
   /** WEIGHTED PageRank over an undirected weighted edge list: mass
     * flows proportionally to edge weight — `pr' = (1-d)/N + d *
@@ -121,9 +124,10 @@ object Graphs {
     // partitioning-declared checkpoints, driver-side N, one
     // node-sized shuffle per sweep (see pageRank's comments)
     val sym = symmetrizeW(edges, aCol, bCol, col(wCol).cast("double"))
-    val wt = pin(sym.groupBy("src").agg(sum("w").as("wtot")), "src")
+    val (wt, nRows) =
+      pinCounted(sym.groupBy("src").agg(sum("w").as("wtot")), "src")
     val adj = pin(sym.join(wt, "src"), "src")
-    val n = wt.count().toDouble
+    val n = nRows.toDouble
     val init = wt.select(col("src").as("node"), lit(1.0 / n).as("pr"))
     val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
       adj.join(pr, col("src") === col("node"))
@@ -419,11 +423,11 @@ object Graphs {
     // the dangling SET is static — only its mass changes per sweep —
     // so the flag is computed once and rides the rank frame through
     // every checkpoint; D then needs no per-sweep join at all
-    val nodesF = pin(
+    val (nodesF, nRows) = pinCounted(
       nodes.join(outdeg, col("node") === col("src"), "left")
         .select(col("node"), col("src").isNull.as("__dang")),
       "node")
-    val n = nodesF.count().toDouble
+    val n = nRows.toDouble
     val init = nodesF
       .select(col("node"), col("__dang"), lit(1.0 / n).as("pr"))
     // Each sweep references the prior rank frame twice (the D

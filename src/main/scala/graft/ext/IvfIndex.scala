@@ -118,12 +118,68 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
       k)
   }
 
+  /** Metadata-FILTERED index search — [[Similarity.filteredTopK]]'s
+    * pre-filter semantics surviving at index scale: top-k cosine
+    * among probed-cell vectors whose `label` EQUALS the query's. The
+    * filter cuts candidates BEFORE ranking (a post-filtered fixed-k
+    * ANN result starves recall on low-selectivity labels); on a
+    * labeled SAVED index ([[IvfIndex.buildLabeled]] + [[save]], which
+    * partitions by (label, cell)) both the label and the probed-cell
+    * IN-lists prune parquet DIRECTORIES at the scan, so a search
+    * reads only its own label's probed cells —
+    * corpus/(labels·nCentroids)·|query labels|·nProbe bytes, never
+    * the corpus (PartitionFilters spec-pinned, like [[search]]).
+    *
+    * Recall note: cells are clustered on geometry alone (labels
+    * change per query; re-clustering per label would be |labels|
+    * index builds), so a label that occupies few vectors of each
+    * probed cell has fewer same-label candidates — raise nProbe to
+    * compensate (the q281 driver pin measures exactly this). At
+    * nProbe = nCentroids this is EXACTLY filteredTopK (spec-pinned).
+    */
+  def searchFiltered(queries: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(assigned.columns.contains("label"),
+      "index carries no label column — build it with IvfIndex.buildLabeled")
+    require(assigned.columns.contains("c_vec"),
+      "index was saved quantized — filtered search needs the float layout")
+    val spark = assigned.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"),
+        Similarity.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell",
+        explode(gf.nearestCentroids(spark, col("q_vec"), typedLit(centroids),
+          nProbe)))
+    // tiny driver collect (|queries| x nProbe pairs): literal IN-lists
+    // are what parquet partition pruning can push to the directory
+    // listing — the label list and cell list prune independently
+    // (their product is a superset of the true pair set; the residual
+    // equality filter below is exact)
+    val probed = q.select(col("__ql"), col("cell")).distinct().collect()
+    val labels = probed.map(_.get(0)).distinct.toSeq
+    val cells = probed.map(_.getInt(1)).distinct.toSeq
+    Similarity.rerankTopK(
+      assigned
+        .filter(col("label").isin(labels: _*) && col("cell").isin(cells: _*))
+        .join(broadcast(q), "cell")
+        .filter(col("label") === col("__ql") &&
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
+  }
+
   /** Persist the index: `path/corpus` partitioned by cell (the
-    * inverted file as directory layout), `path/centroids` as a tiny
-    * (cell, vec) parquet. */
+    * inverted file as directory layout — a labeled index partitions
+    * by (label, cell), so filtered searches prune label directories
+    * first), `path/centroids` as a tiny (cell, vec) parquet. */
   def save(path: String): Unit = {
-    assigned.select("neighbor_id", "c_vec", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    val parts = if (assigned.columns.contains("label"))
+      Seq("label", "cell") else Seq("cell")
+    assigned.select((Seq("neighbor_id", "c_vec") ++ parts).map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(s"$path/corpus")
     saveCentroids(path)
   }
 
@@ -164,6 +220,29 @@ object IvfIndex {
     val assigned = e
       .withColumn("cell", gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
       .withColumn("q", gf.int8Quantize(spark, col("c_vec")))
+    IvfIndex(cents, assigned)
+  }
+
+  /** [[build]] carrying a label column, for metadata-filtered search
+    * ([[IvfIndex.searchFiltered]]): centroids are clustered on
+    * geometry alone (unchanged from [[build]] — labels are a filter,
+    * not a metric), but the assignment keeps `label`, and [[save]]
+    * then partitions the inverted file by (label, cell) so a filtered
+    * search prunes to its own label's probed cells at the directory
+    * listing. */
+  def buildLabeled(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, nCentroids: Int = 16,
+                   kmeansSweeps: Int = 2,
+                   seedStrategy: String = "first"): IvfIndex = {
+    val spark = corpus.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val e = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("label"),
+      Similarity.asDouble(col(vecCol)).as("c_vec"))
+    val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
+      nCentroids, kmeansSweeps, seedStrategy)
+    val assigned = e.withColumn("cell",
+      gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
     IvfIndex(cents, assigned)
   }
 
@@ -267,8 +346,9 @@ object IvfIndex {
           struct(col("scale"), col("codes")).as("q"),
           col("cell").cast("int").as("cell"))
       else
-        raw.select(col("neighbor_id"), col("c_vec"),
-          col("cell").cast("int").as("cell"))
+        raw.select(Seq(col("neighbor_id"), col("c_vec"),
+            col("cell").cast("int").as("cell")) ++
+          (if (raw.columns.contains("label")) Seq(col("label")) else Nil): _*)
     IvfIndex(cents, corpus)
   }
 }

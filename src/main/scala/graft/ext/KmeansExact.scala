@@ -30,14 +30,15 @@ import org.apache.spark.sql.functions._
   * shuffle — and each sweep's update is one groupBy(cluster)
   * partial-aggregated sum collect of k rows. Sweeps × one scan, like
   * [[Similarity.ivfCentroids]] (the fp production path this verifies
-  * the algorithm of). Inner terms n·q − s ride long under the JOINT
-  * bound n·|q| ≤ 2^61 (|s| ≤ n·max|q| ≤ 2^61 follows, so the
-  * difference stays within ±2^62) — guarded per row in the kernel
-  * against each sweep's actual max cluster count, so e.g. |q| up to
-  * 2^21 micro-units allows n up to 2^40 points per cluster, and
-  * smaller clusters allow proportionally wider values; squares, sums
-  * and cross-multiplied comparisons ride BigInt, so no magnitude can
-  * overflow anywhere.
+  * the algorithm of). Long-arithmetic safety is a JOINT envelope
+  * enforced per row in the kernel: |q| ≤ 2^61 / maxClusterCount keeps
+  * the inner term n·q within 2^61, and |q| ≤ 2^62 / corpusCount keeps
+  * EVERY possible cluster sum Σq (hence every |s|, under any
+  * assignment — even one that concentrates the whole corpus into one
+  * cluster) within 2^62, so n·q − s stays within ±3·2^61 < Long range
+  * and the groupBy sums can never wrap either; squares and
+  * cross-multiplied comparisons ride BigInt. The check fails loudly on
+  * the first violating vector instead of silently wrapping.
   *
   * Reference semantics: Lloyd (1957/1982); the seed is the k
   * lowest-id vectors (deterministic, like ivfCentroids' "first").
@@ -56,6 +57,13 @@ object KmeansExact {
       expr(quantExpr(s"element_at($vecCol, ${i + 1})")).as(s"q$i"))
     val q = graft.ops.Staging.stage(
       emb.select((col(idCol).cast("long").as("vid") +: qCols): _*))
+    // corpus count, fetched once off the staged frame: the sum-side
+    // half of the overflow envelope (|q| ≤ 2^62 / corpusN bounds every
+    // possible cluster sum at 2^62 under ANY assignment — the r14
+    // guard only bounded the inner term, so a sweep that concentrated
+    // >4× the prior max cluster count into one cluster could wrap the
+    // update/mean sums without any row violating that sweep's check)
+    val corpusN = q.count()
 
     // seed: the k lowest-id vectors, each an exact rational (s, n=1)
     var cents: Seq[(Long, IndexedSeq[Long])] =
@@ -66,9 +74,10 @@ object KmeansExact {
     // Assignment is a MAP-SIDE mapPartitions kernel over the k·(d+1)
     // closed-over centroid integers — the same exact arithmetic the
     // oracle's HUGEINT CTEs perform (n·q − s in long under the joint
-    // n·|q| ≤ 2^61 bound guarded below, squares/sums/cross-
-    // multiplied comparisons in BigInt, so no overflow is possible
-    // anywhere), chosen over the equivalent decimal(38,0) column
+    // envelope guarded below — inner term ≤ 2^61 AND every possible
+    // sum ≤ 2^62 — squares/cross-multiplied comparisons in BigInt,
+    // so no overflow is possible anywhere), chosen over the
+    // equivalent decimal(38,0) column
     // formulation because THAT plan's size grows with k·dims (4×64
     // 28 KB expression trees re-analyzed and re-codegen'd per sweep —
     // measured as most of the query's wall time) while this kernel
@@ -76,7 +85,7 @@ object KmeansExact {
     def assigned(cs: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
       val cn = cs.map(_._1).toArray
       val csv = cs.map(_._2.toArray).toArray
-      val qBound = quantBound(cn.max)
+      val qBound = math.min(quantBound(cn.max), sumBound(corpusN))
       val outSchema = org.apache.spark.sql.types.StructType(
         q.schema.fields :+ org.apache.spark.sql.types.StructField(
           "cl", org.apache.spark.sql.types.LongType, nullable = false))
@@ -97,10 +106,11 @@ object KmeansExact {
             if (v > qBound || v < -qBound)
               throw new IllegalArgumentException(
                 s"quantized component $v violates the exact-arithmetic " +
-                  s"bound n·|q| <= 2^61 (max cluster count allows |q| <= " +
-                  s"$qBound micro-units) — the long inner term n·q − s " +
-                  "could overflow; rescale the embedding or shrink the " +
-                  "quantization step")
+                  s"envelope (this sweep allows |q| <= $qBound " +
+                  "micro-units: min of 2^61/maxClusterCount for the " +
+                  "inner term n·q − s and 2^62/corpusCount so no " +
+                  "cluster sum can wrap under any assignment) — " +
+                  "rescale the embedding or shrink the quantization step")
             v0 += 1
           }
           val d = new Array[BigInt](kk)
@@ -169,6 +179,15 @@ object KmeansExact {
     * clusters. */
   private[graft] def quantBound(maxN: Long): Long =
     (1L << 61) / math.max(maxN, 1L)
+
+  /** Largest |q| that keeps EVERY possible cluster sum Σq within 2^62
+    * when the whole corpus holds `corpusN` points — the sum-side half
+    * of the envelope: with it, the per-sweep update and final-mean
+    * groupBy sums cannot wrap in Long under ANY assignment, and the
+    * inner term n·q − s stays within 2^61 + 2^62 = 3·2^61 < 2^63.
+    * Package-visible for the spec, like [[quantBound]]. */
+  private[graft] def sumBound(corpusN: Long): Long =
+    (1L << 62) / math.max(corpusN, 1L)
 
   /** The self-contained DuckDB replay of [[lloyd]] over the
     * `embeddings` table: the same quantization, seed, exact-integer

@@ -53,4 +53,47 @@ object Sweep {
     Staging.stageCheckpoint(ck)
     ck
   }
+
+  /** [[pin]] fused with a row count: the materializing action IS a
+    * count, so a sweep operator that seeds on N (every PageRank
+    * variant) gets it from the same scheduler job that pins the frame
+    * instead of a second job re-scanning the fresh blocks (r14
+    * verdict: sweep cost on small graphs is per-job scheduling). */
+  def pinCounted(df: DataFrame, keys: String*): (DataFrame, Long) = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val (ck, rows) = org.apache.spark.sql.execution
+      .GraftPartitionedCheckpoint.withCount(df, keys, n)
+    Staging.stageCheckpoint(ck)
+    (ck, rows)
+  }
+
+  /** Run `body` (a materializing action whose plan is already fully
+    * determined — [[GraftPartitionedCheckpoint]]'s pin pass) with AQE
+    * disabled, restoring the prior setting after. A pin's terminal
+    * exchange is explicitly sized (`repartition(n, key)` — a
+    * user-specified count AQE may not change) and its inputs are
+    * prior pinned checkpoint RDDs, not shuffle files — so AQE's two
+    * tools, partition coalescing and skew-splitting, are both
+    * INAPPLICABLE (it cannot split or merge a cached RDD partition,
+    * and may not resize the user-specified exchange). What remains is
+    * only its cost: one scheduler job per materialized query stage,
+    * ×2–3 per pin (measured r15 on the sweep class: q90 16→10 jobs,
+    * q121 25→14, q168 22→16, q192 22→13 at identical hashes and flat
+    * wall — at 1000 executors each job is a full driver scheduling
+    * round-trip per sweep, pure overhead for a plan with nothing left
+    * to re-decide), plus the known layout-erasure hazard on cached
+    * plans (the r13 canChangeCachedPlanOutputPartitioning trap).
+    * Terminal sweep plans and their consumers run OUTSIDE the wrapper
+    * and keep AQE — aggregations over unknown-size results are where
+    * runtime re-planning actually has information to use.
+    *
+    * Session-scoped config: concurrent queries on the same session
+    * during the body would also run non-adaptively (harmless for
+    * correctness; Verify/Bench run queries sequentially). */
+  def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prior)
+  }
 }

@@ -1133,9 +1133,18 @@ object EventQueries {
       val pct = Kernels.groupQuantilesWide(
         latS.select(lit(0).as("__g"), col("__lat")), "__g", "__lat",
         Seq(0.5 -> "__p50", 0.9 -> "__p90"))
-      counts.crossJoin(broadcast(pct.select(
-          round(col("__p50"), 6).as("p50_latency_us"),
-          round(col("__p90"), 6).as("p90_latency_us"))))
+      // LEFT join, not crossJoin: the pct frame is a groupBy on a
+      // constant key, which yields ZERO rows on an empty latency
+      // frame — a crossJoin would annihilate the always-one-row
+      // counts aggregate, while the old inline percentile() kept the
+      // 1-row shape (nulls). The left join preserves it identically:
+      // one matching row when input is nonempty, null probes when not.
+      counts.withColumn("__g", lit(0))
+        .join(broadcast(pct.select(col("__g"),
+            round(col("__p50"), 6).as("p50_latency_us"),
+            round(col("__p90"), 6).as("p90_latency_us"))),
+          Seq("__g"), "left")
+        .drop("__g")
         .orderBy("n_signups")
     }),
 

@@ -396,6 +396,34 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Filtered-ANN INDEX tier (IvfIndex.buildLabeled +
+    // searchFiltered): q268's pre-filter semantics at index scale —
+    // the saved inverted file partitions by (label, cell), so a
+    // filtered search prunes to its own label's probed cells at the
+    // parquet directory listing instead of scanning the corpus.
+    // Recall@3 vs the exact filteredTopK tier, the q53/q63 measured
+    // SF-keyed pin pattern: 5 queries × k=3 = 15 expected hits; cells
+    // are clustered on geometry alone, so the label filter thins each
+    // probed cell's candidates and nProbe=4 (vs q53's 3) is the
+    // compensating dial the operator scaladoc prescribes. Full probe
+    // reduces EXACTLY to filteredTopK (ExtSpec-pinned).
+    "q281_filtered_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = graft.ext.Similarity.filteredTopK(
+          corpus = emb, queries = qs, idCol = "vec_id",
+          vecCol = "embedding", labelCol = "label", k = 3)
+        .select("query_id", "neighbor_id")
+      graft.ext.IvfIndex.buildLabeled(emb, "vec_id", "embedding", "label",
+          nCentroids = 16, kmeansSweeps = 2)
+        .searchFiltered(qs, "vec_id", "embedding", "label",
+          k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id").intersect(exact)
+        .agg(lit("ivf_filtered").as("method"),
+             round(count(lit(1)) / 15.0, 6).as("recall"))
+        .orderBy("method")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -855,6 +883,18 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
+    // express the k-means cells): recall@3 of the labeled-index
+    // filtered search at nProbe=4/16 against the exact filteredTopK
+    // tier, a deterministic fact of seeds/sweeps/probes per SF. An
+    // unknown SF yields NULL and fails loudly.
+    "q281_filtered_ann_ivf" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT 'ivf_filtered' AS method,
+        |  CAST(CASE n WHEN 6000 THEN 0.733333 WHEN 60000 THEN 0.866667
+        |              WHEN 600000 THEN 0.866667 END AS DOUBLE) AS recall
+        |FROM sf ORDER BY method""".stripMargin,
 
     // PSI replay: the same 6-bit sign buckets, parity halves and the
     // SHARED floored nano-nat term.

@@ -68,10 +68,13 @@ object JobProbe {
         }
     }
     // optional artifact (third CLI arg): one JSON object per round,
-    // committed beside the bench so structural perf is diffable
+    // committed beside the bench so structural perf is diffable.
+    // Locale.ROOT, not the f-interpolator: a comma-decimal default
+    // locale (de_DE) would render 0,53 — invalid JSON.
     args.lift(2).foreach { outPath =>
       val rows = results.map { case (n, (j, st, t, w)) =>
-        f"""    "$n": {"jobs": $j, "stages": $st, "tasks": $t, "wall_best_sec": $w%.2f}"""
+        val ws = String.format(java.util.Locale.ROOT, "%.2f", Double.box(w))
+        s"""    "$n": {"jobs": $j, "stages": $st, "tasks": $t, "wall_best_sec": $ws}"""
       }.mkString(",\n")
       val json =
         s"""{

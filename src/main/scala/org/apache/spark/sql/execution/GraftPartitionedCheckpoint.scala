@@ -41,37 +41,81 @@ object GraftPartitionedCheckpoint {
     * are the caller's to release (see
     * [[graft.ops.Staging.stageCheckpoint]]). */
   def apply(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
-    require(keys.nonEmpty && numPartitions > 0,
-      "need at least one key and a positive partition count")
-    val ck = df.repartition(numPartitions, keys.map(col): _*)
-      .localCheckpoint(true)
+    require(numPartitions > 0, "need a positive partition count")
+    val ck = graft.ops.Sweep.withoutAqe(
+        df.sparkSession.asInstanceOf[SparkSession]) {
+      df.repartition(numPartitions, keys.map(col): _*)
+        .localCheckpoint(true)
+    }
+    declare(df.sparkSession.asInstanceOf[SparkSession], ck, keys,
+            numPartitions)
+  }
+
+  /** [[apply]] fused with a row count: the count() action that
+    * materializes the local checkpoint RETURNS the row count, so a
+    * sweep operator that needs N (every PageRank variant fetches the
+    * node count once to seed 1/N) gets it from the SAME scheduler job
+    * that pins the frame — the r14 shape ran `pin(deg)` then
+    * `deg.count()`, one whole job re-scanning the just-written blocks
+    * for a number the materialization pass already knew (r14 verdict
+    * item: sweep cost is per-job scheduling, not data movement).
+    *
+    * Mirrors Dataset.localCheckpoint(eager=true) at the RDD layer —
+    * toRdd.map(_.copy()) (the physical rows are reused UnsafeRows;
+    * caching without the copy aliases every row to the last one
+    * scanned, silent corruption), RDD-level localCheckpoint, then the
+    * counting action — and declares the partitioning the same way. */
+  def withCount(df: DataFrame, keys: Seq[String],
+                numPartitions: Int): (DataFrame, Long) = {
+    require(numPartitions > 0, "need a positive partition count")
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val (rep, rdd, n) = graft.ops.Sweep.withoutAqe(spark) {
+      val rep = df.repartition(numPartitions, keys.map(col): _*)
+        .queryExecution
+      val rdd = rep.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      (rep, rdd, rdd.count()) // one materializing job; count rides it free
+    }
+    val declared = LogicalRDD(
+      rep.analyzed.output, rdd,
+      HashPartitioning(resolve(keys, rep.analyzed.output), numPartitions),
+      Nil, isStreaming = false, None)(spark, None, None)
+    (Dataset.ofRows(spark, declared), n)
+  }
+
+  private def declare(spark: SparkSession, ck: DataFrame, keys: Seq[String],
+                      numPartitions: Int): DataFrame =
     ck.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        val attrs = keys.map { k =>
-          // exactly-one match, or refuse: declaring a partitioning on
-          // an ambiguous name could state a layout the data does not
-          // have, which silently MIS-JOINS (wrong results, not a slow
-          // plan). Unreachable via the repartition above (col(k) on a
-          // duplicate name already throws AMBIGUOUS_REFERENCE), but
-          // the declaration is the dangerous half — guard it directly.
-          val matches = l.output.filter(_.name == k)
-          require(matches.size == 1,
-            s"key '$k' matches ${matches.size} checkpoint output columns " +
-              s"(${l.output.map(_.name).mkString(", ")}) — refusing to " +
-              "declare a partitioning on an ambiguous or missing name")
-          matches.head
-        }
         val declared = LogicalRDD(
           l.output, l.rdd,
-          HashPartitioning(attrs, numPartitions),
-          Nil, l.isStreaming, l.stream)(
-          df.sparkSession.asInstanceOf[SparkSession], None, None)
-        Dataset.ofRows(df.sparkSession.asInstanceOf[SparkSession], declared)
+          HashPartitioning(resolve(keys, l.output), numPartitions),
+          Nil, l.isStreaming, l.stream)(spark, None, None)
+        Dataset.ofRows(spark, declared)
       case _ =>
         // localCheckpoint not rooting at LogicalRDD would be a Spark
         // behavior change; degrade to the undeclared checkpoint
         // (correct, just re-exchanged) rather than failing the query
         ck
+    }
+
+  private def resolve(keys: Seq[String],
+                      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    require(keys.nonEmpty, "need at least one key")
+    keys.map { k =>
+      // exactly-one match, or refuse: declaring a partitioning on
+      // an ambiguous name could state a layout the data does not
+      // have, which silently MIS-JOINS (wrong results, not a slow
+      // plan). Unreachable via the repartition above (col(k) on a
+      // duplicate name already throws AMBIGUOUS_REFERENCE), but
+      // the declaration is the dangerous half — guard it directly.
+      val matches = output.filter(_.name == k)
+      require(matches.size == 1,
+        s"key '$k' matches ${matches.size} checkpoint output columns " +
+          s"(${output.map(_.name).mkString(", ")}) — refusing to " +
+          "declare a partitioning on an ambiguous or missing name")
+      matches.head
     }
   }
 }

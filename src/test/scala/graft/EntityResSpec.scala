@@ -92,27 +92,31 @@ class EntityResSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("occupancy breach emits the runtime signal; an unsplit run stays silent") {
+  test("occupancy breach emits the per-call signal; an unsplit run stays silent") {
     // a guard that silently degrades recall is indistinguishable from
-    // full recall — the breach must be observable (r13 advice)
-    EntityRes.lastOccupancyBreach.set(None)
+    // full recall — the breach must be observable (r13 advice), and
+    // PER CALL rather than via shared state that concurrent resolves
+    // would clobber (r14 advice)
     // un-split run: 6 names, cap 10000 — no signal
     val small = vocabulary(6).zipWithIndex
       .map { case (nm, i) => (i.toLong, nm, "blk") }.toDF("id", "name", "b")
-    EntityRes.resolve(small, "id", "name", col("b"), 0.99).count()
+    val (smallDf, smallBreach) =
+      EntityRes.resolveSignaled(small, "id", "name", col("b"), 0.99)
+    smallDf.count()
     graft.ops.Staging.releaseAll()
-    assert(EntityRes.lastOccupancyBreach.get().isEmpty,
+    assert(smallBreach.isEmpty,
       "no block was split — the signal must stay quiet")
     // split run: 40 names under one block, cap 4 — the guard engages
     val big = vocabulary(40).zipWithIndex
       .map { case (nm, i) => (i.toLong, nm, "blk") }.toDF("id", "name", "b")
-    // the check is synchronous at pair-build time: resolve()'s plan
-    // construction already fires it
-    EntityRes.resolve(big, "id", "name", col("b"), 0.99,
-      maxBlockNames = 4).count()
-    graft.ops.Staging.releaseAll()
-    val breach = EntityRes.lastOccupancyBreach.get()
+    // the check is synchronous at pair-build time: resolveSignaled's
+    // plan construction already fires it — the breach arrives with
+    // the frame, before any action on it
+    val (bigDf, breach) = EntityRes.resolveSignaled(
+      big, "id", "name", col("b"), 0.99, maxBlockNames = 4)
     assert(breach.nonEmpty, "guard split a block but no signal fired")
+    bigDf.count()
+    graft.ops.Staging.releaseAll()
     val (namesInSplit, maxSub) = breach.get
     assert(namesInSplit === 40L)  // every name sat in the split block
     assert(maxSub === 10L)        // ceil(40 / 4)

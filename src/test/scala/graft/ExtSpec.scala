@@ -951,6 +951,49 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(viaDisk) == rows(inMem))
   }
 
+  test("IvfIndex.searchFiltered: full probe ≡ exact filteredTopK; (label, cell) directories pruned") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val idx = graft.ext.IvfIndex.buildLabeled(emb, "vec_id", "embedding",
+      "label", nCentroids = 8, kmeansSweeps = 2)
+    // at exhaustive probes the cell routing is a no-op, so the
+    // pre-filter semantics must reduce EXACTLY to the oracle-checked
+    // filteredTopK (same candidates, same ties, same rounding)
+    val full = idx.searchFiltered(q, "vec_id", "embedding", "label",
+      k = 3, nProbe = 8)
+    val exact = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+      "label", k = 3)
+    assert(rows(full) == rows(exact),
+      "full-probe filtered search must equal exact filteredTopK")
+    // saved labeled layout: partitioned by (label, cell), and a
+    // filtered search prunes BOTH at the scan
+    val dir = java.nio.file.Files.createTempDirectory("ivflab").toString
+    idx.save(dir)
+    val labelDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(labelDirs.nonEmpty && labelDirs.forall(_.startsWith("label=")),
+      s"corpus must partition by label first, got: ${labelDirs.mkString(",")}")
+    val loaded = graft.ext.IvfIndex.load(spark, dir)
+    val pruned = loaded.searchFiltered(q, "vec_id", "embedding", "label",
+      k = 3, nProbe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label") &&
+      plan.contains("cell"),
+      s"filtered search must prune (label, cell) directories:\n$plan")
+    // the loaded index searches identically to the in-memory one
+    assert(rows(pruned) ==
+      rows(idx.searchFiltered(q, "vec_id", "embedding", "label",
+        k = 3, nProbe = 3)))
+    // an unlabeled index refuses filtered search loudly
+    intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.build(emb, "vec_id", "embedding", nCentroids = 8,
+        kmeansSweeps = 0).searchFiltered(q, "vec_id", "embedding", "label",
+        k = 3, nProbe = 3)
+    }
+  }
+
   test("IvfIndex.append: build(half)+append(half) ≡ build(full) at exhaustive probe; pruning intact") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)

@@ -40,6 +40,18 @@ class KmeansExactSpec extends AnyFunSuite {
     Seq(1L, 3L, 1000L, 1L << 40, 1L << 50).foreach { n =>
       assert(BigInt(n) * BigInt(KmeansExact.quantBound(n)) <= (BigInt(1) << 61))
     }
+    // the SUM half (r15, from r14 ADVICE): corpusN·sumBound ≤ 2^62
+    // keeps every possible cluster sum Σq within 2^62 under ANY
+    // assignment — the inner-term guard alone admitted a sweep that
+    // concentrated >4× the prior max cluster count into one cluster,
+    // whose update sum could then wrap Long without any row
+    // violating that sweep's row check.
+    Seq(1L, 4L, 1000L, 1L << 40, 1L << 50).foreach { n =>
+      assert(BigInt(n) * BigInt(KmeansExact.sumBound(n)) <= (BigInt(1) << 62))
+    }
+    assert(KmeansExact.sumBound(1L << 41) === (1L << 21))
+    // joint: inner term n·q − s bounded by 2^61 + 2^62, inside Long
+    assert((BigInt(1) << 61) + (BigInt(1) << 62) < (BigInt(1) << 63))
     // kernel wiring: with maxN forced to 2^50 the bound is 2^11 =
     // 2048 micro-units (raw 0.002048), so a perfectly ordinary value
     // must be refused — proving the per-row check actually runs.

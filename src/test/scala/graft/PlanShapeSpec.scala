@@ -100,6 +100,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) <= 3)
   }
 
+  test("q277 assortativity: staged degree frame, no cartesian, bounded exchanges") {
+    val df = SparkEntry.queries("q277_degree_assortativity")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    graft.ops.Staging.releaseAll()
+    // the (deg_u, deg_v) pair build must be two equi-joins against
+    // the STAGED degree frame — an unstaged form recomputes the
+    // edge distinct + degree aggregate per join side; a cartesian
+    // or nested-loop form over the PAIR frames is corpus² at 100 TB.
+    // (The one BroadcastNestedLoopJoin Cross is the 1-row moment ×
+    // 1-row stats assembly — constant-size by construction.)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row moment × stats cross may nested-loop")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "edge-degree joins must be equi-joins")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "sym + deg (twice) must read the staged frames")
+    // no exchange COUNT pin here: the staged frames' one-time build
+    // plans print inside the InMemoryRelation sections, so a string
+    // count would tally them per consumer — the per-read cost the
+    // staging already eliminated
+  }
+
+  test("q278 alert cooldown: mapPartitions kernel — no window, no per-user collect") {
+    val p = plan("q278_alert_cooldown")
+    // the gate compares against the last EMITTED time: lag() re-arms
+    // on every suppressed row (wrong), and a collect_list buffers a
+    // user's whole history on one row (OOM at 100 TB) — the kernel is
+    // the secondary-sorted per-partition scan, so neither node may
+    // appear
+    assert(!p.contains("Window"), "cooldown regressed to a window")
+    assert(!p.contains("collect_list"), "cooldown regressed to per-key collect")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("CartesianProduct"))
+    assert(exchanges(p) <= 3, p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n"))
+  }
+
+  test("q280 interval coverage: one customer window, no per-key collect, top-k sort") {
+    val p = plan("q280_interval_coverage")
+    // the interval-union merge is a prefix-max window over the
+    // customer exchange — NEVER a per-key collect_list of a
+    // customer's intervals (unbounded row at 100 TB)
+    assert(!p.contains("collect_list"))
+    assert(!p.contains("Generate"))
+    assert(p.contains("Window"), "prefix-max merge must ride a window")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+    assert(exchanges(p) <= 5, p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n"))
+  }
+
   test("q247 covisitation: the distinct frame is staged (one InMemory scan per side)") {
     val df = SparkEntry.queries("q247_covisitation")(
       spark, "/root/testdata/sf0.001")

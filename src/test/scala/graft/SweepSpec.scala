@@ -79,6 +79,41 @@ class SweepSpec extends AnyFunSuite {
     }
   }
 
+  test("pinCounted: count rides the materializing job; declaration and values match pin") {
+    val df = (1 to 400).map(i => (i % 40L, i.toLong)).toDF("k", "v")
+    // fused count == true count: the one materializing action IS the
+    // count, so sweep operators that seed on N (every PageRank
+    // variant) pay zero extra jobs for it
+    val (pinned, n) = graft.ops.Sweep.pinCounted(df, "k")
+    assert(n === 400L)
+    // declaration identical to pin's: HashPartitioning on the key
+    pinned.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            assert(h.expressions.map(_.asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
+              Seq("k"))
+          case other => fail(s"expected HashPartitioning, got $other")
+        }
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    // values unchanged (the map(_.copy()) defensive copy is load-
+    // bearing: caching UnsafeRows without it aliases every row)
+    assert(pinned.orderBy("k", "v").collect().toSeq ==
+           df.orderBy("k", "v").collect().toSeq)
+    // and the pinned frame co-locates in a join, like pin's
+    val other = graft.ops.Sweep.pin(
+      (1 to 200).map(i => (i % 40L, i * 2L)).toDF("k", "vb"), "k")
+    val joined = pinned.hint("merge").join(other, "k")
+    joined.collect()
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(
+      joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).length
+    assert(ex == 0, "pinCounted frame must co-locate like pin's")
+    graft.ops.Staging.releaseAll()
+  }
+
   test("pin refuses ambiguous or missing key names (mis-declaration guard)") {
     val df = (1 to 100).map(i => (i % 10L, i.toLong)).toDF("k", "v")
     // missing name: loud, not a silent wrong declaration
