@@ -321,6 +321,53 @@ object Kernels {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Dual-rule sessionizer — idle gap AND hard span cap: a row starts
+    * a NEW session iff it is more than `gap` past the previous row of
+    * its key, OR joining the current session would stretch its total
+    * span past `maxSpan` (the first row of a key always starts one).
+    * The gap-only sessionizer (q23's window form) misses the second
+    * rule every analytics stack eventually adds: a steady drip of
+    * sub-gap events chains one "session" across days — the cap bounds
+    * every session's span, which downstream per-session aggregates
+    * (and any state store keyed on session) rely on. NOT a window
+    * function: the cap compares against the running session START —
+    * a value the split decision itself feeds back into (same
+    * recurrence class as [[cooldownFilter]]); `lag()` cannot express
+    * it. One exchange on the key, in-partition secondary sort, a
+    * constant-memory pass carrying (session start, previous time).
+    * Appends long `session_start` (the session's first row time —
+    * a deterministic session id within the key). Ordering must be
+    * total per key; times are caller-supplied integers.
+    */
+  def cappedSessionize(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                       timeCol: String, gap: Long, maxSpan: Long): DataFrame = {
+    require(gap >= 0 && maxSpan >= 0, "gap and maxSpan must be non-negative")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "session_start", org.apache.spark.sql.types.LongType, nullable = false))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val timeIdx = df.schema.fieldIndex(timeCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var sessStart = 0L
+        var prev = 0L
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          val t = r.getLong(timeIdx)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; sessStart = t
+          } else if (t - prev > gap || t - sessStart > maxSpan) {
+            sessStart = t
+          }
+          prev = t
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sessStart)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Holt's linear (double-exponential) smoothing per key — the
     * trend-aware sibling of the plain EWMA (q139):
     * `level_t = α·y_t + (1−α)·(level_{t−1} + trend_{t−1})`,

@@ -2256,6 +2256,57 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // SLO error-budget burn — the daily reliability ledger every
+    // on-call rotation reads: per day, the error share in exact ppm
+    // and the RUNNING budget burn against a 20% error SLO
+    // (burn_t = errors_t·10⁶ − 200000·n_t micro-events; cumulative
+    // via the range-partitioned Kernels.prefixSum — negative values
+    // are safe there, and a positive running total is exactly "budget
+    // exhausted since day one"). The day frame is calendar-bounded;
+    // err_ppm divides positives only (the div-vs-// trap never
+    // applies).
+    "q285_slo_burn" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .groupBy(expr("date_format(ts, 'yyyy-MM-dd')").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("event_type") === "error", 1L).otherwise(0L))
+               .as("n_errors"))
+        .select(col("day"), col("n_events"), col("n_errors"),
+          expr("n_errors * 1000000 - 200000 * n_events").as("__burn"))
+      Kernels.prefixSum(day, Seq(col("day").asc), Seq("__burn"))
+        .select(col("day"), col("n_events"), col("n_errors"),
+          expr("(n_errors * 1000000) div n_events").as("err_ppm"),
+          col("__burn_cum").as("burn_micro_cum"))
+        .orderBy("day")
+    }),
+
+    // Dual-rule sessionization (Kernels.cappedSessionize): a session
+    // breaks on a >24 h idle gap OR when its total span would exceed
+    // the 96 h hard cap — the second rule every analytics stack
+    // eventually adds (q23's gap-only windows chain a steady drip of
+    // sub-gap events into one unbounded "session"). NOT a window
+    // function: the cap compares against the running session START,
+    // which the split decision itself feeds back into — the
+    // cooldownFilter recurrence class, ridden on the same
+    // secondary-sort kernel scan. The oracle replays the recurrence
+    // as a per-user recursive CTE. Output: top-20 users by session
+    // count, exact integer census.
+    "q287_capped_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+      Kernels.cappedSessionize(ev, "user_id", Seq("us", "event_id"),
+          "us", 24L * 3600 * 1000000, 96L * 3600 * 1000000)
+        .groupBy("user_id", "session_start")
+        .agg(count(lit(1)).as("__n"), (max("us") - min("us")).as("__span"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("__n").as("n_events"),
+             max("__n").as("max_session_events"),
+             max("__span").as("max_span_us"))
+        .orderBy(col("n_sessions").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // As-of join WITH a freshness tolerance (pandas merge_asof
     // `tolerance`) — the stale-reference guard: an event more than 30
     // days past the customer's latest order keeps NULL payload
@@ -4234,6 +4285,49 @@ object EventQueries {
         |    CAST(sum(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT))
         |    * 1000000) // CAST(count(*) AS BIGINT) AS suppressed_ppm
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Burn replay: same daily census, window prefix sum over the
+    // calendar-bounded day frame, positive-only floor division.
+    "q285_slo_burn" ->
+      """WITH day AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1)
+        |SELECT day, n_events, n_errors,
+        |  (n_errors * 1000000) // n_events AS err_ppm,
+        |  CAST(sum(n_errors * 1000000 - 200000 * n_events)
+        |    OVER (ORDER BY day) AS BIGINT) AS burn_micro_cum
+        |FROM day ORDER BY day""".stripMargin,
+
+    // Capped-session replay: the (gap OR span-cap) session-start
+    // recurrence as a per-user recursive CTE stepping the
+    // (us, event_id) row order — the q278 oracle pattern.
+    "q287_capped_sessions" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, us, us AS ss FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.rn, t.us,
+        |    CASE WHEN t.us - r.us > 86400000000
+        |           OR t.us - r.ss > 345600000000
+        |         THEN t.us ELSE r.ss END
+        |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1),
+        |s AS (
+        |  SELECT user_id, ss, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(us) - min(us) AS BIGINT) AS span
+        |  FROM r GROUP BY user_id, ss)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(max(span) AS BIGINT) AS max_span_us
+        |FROM s GROUP BY user_id
+        |ORDER BY n_sessions DESC, user_id LIMIT 20""".stripMargin,
 
     // Tolerance replay: DuckDB ASOF LEFT JOIN carrying the matched
     // time, the identical 30-day micro gap test, same census.

@@ -1885,6 +1885,124 @@ object Relational {
         .orderBy("n_nodes")
     }),
 
+    // Binary-segmentation changepoint (first split) over the daily
+    // revenue series — "when did the level shift?", the offline twin
+    // of q158's sequential CUSUM: the split day maximizes the
+    // absolute gap between the left and right mean, the first
+    // recursion step of binary segmentation (Scott & Knott 1974).
+    // Everything decisive is exact integers: daily cents, prefix sums
+    // via the range-partitioned Kernels.prefixSum (NEVER a
+    // single-partition global window), means as floor-ppm integers
+    // (both operands positive — the div-vs-// trap never applies),
+    // argmax by (gap desc, day) TakeOrdered. The day frame is bounded
+    // by the calendar, not the corpus.
+    "q282_changepoint_binseg" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+               .as("cents"))
+      val cum = Kernels.prefixSum(
+        daily.select(col("day"), col("cents"), lit(1L).as("one")),
+        Seq(col("day").asc), Seq("cents", "one"))
+      val tot = cum.agg(max("one_cum").as("n"), max("cents_cum").as("s"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("one_cum") < col("n"))
+        .select(col("day").as("split_day"), col("one_cum").as("left_days"),
+          expr("(cents_cum * 1000000) div one_cum").as("mean_left_ppm"),
+          expr("((s - cents_cum) * 1000000) div (n - one_cum)")
+            .as("mean_right_ppm"),
+          abs(expr("(cents_cum * 1000000) div one_cum") -
+              expr("((s - cents_cum) * 1000000) div (n - one_cum)"))
+            .as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("split_day"))
+        .limit(1)
+    }),
+
+    // l-diversity histogram over the q265 quasi-identifier — the
+    // OTHER release-prep axis: k-anonymity bounds group SIZE, but a
+    // group whose sensitive attribute is constant still leaks it
+    // (Machanavajjhala et al. 2007). Census: for each distinct count
+    // of sensitive values (order status) within a (priority, month)
+    // QI group, how many groups and rows sit at that diversity level.
+    // Two bounded aggregates, exact integers.
+    "q283_l_diversity" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          expr("date_format(o_orderdate, 'yyyy-MM')").as("__m"))
+        .agg(countDistinct("o_orderstatus").as("l_diversity"),
+             count(lit(1)).as("__sz"))
+        .groupBy("l_diversity")
+        .agg(count(lit(1)).as("n_groups"), sum("__sz").as("n_rows"),
+             min("__sz").as("min_group_size"))
+        .orderBy("l_diversity")
+    }),
+
+    // Join-fanout histogram — the data-profiling step that prices
+    // every join in a pipeline before it runs (a 2^10-fanout bucket
+    // predicts the skew q128/q202 salt for): per-key child counts of
+    // the two hot joins (orders per customer, lineitems per order),
+    // bucketed by floor(log2(n)) computed EXACTLY as
+    // length(bin(n)) - 1 — integer bit-length on both engines, never
+    // the float log2 whose 1-ulp wobble flips floor() at power-of-two
+    // boundaries. Two aggregates over bounded key frames, union
+    // tagged.
+    "q286_fanout_histogram" -> ((s, d) => {
+      def hist(child: DataFrame, key: String, tag: String) =
+        child.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .select((length(expr("bin(__n)")) - 1).cast("long").as("bucket"),
+                  col("__n"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_keys"), min("__n").as("min_fanout"),
+               max("__n").as("max_fanout"))
+          .select(lit(tag).as("relation"), col("bucket"), col("n_keys"),
+                  col("min_fanout"), col("max_fanout"))
+      hist(Tables.orders(s, d), "o_custkey", "orders_per_customer")
+        .unionByName(
+          hist(Tables.lineitem(s, d), "l_orderkey", "items_per_order"))
+        .orderBy("relation", "bucket")
+    }),
+
+    // Newman modularity of the customer-supplier graph under the
+    // NATION partition — "does trade stay in-nation?": the community-
+    // quality score (Newman & Girvan 2004) that grades any clustering
+    // of a link graph (q145's label propagation produces candidate
+    // communities; this scores a partition). Q = W/m − Σ_c d_c²/(4m²)
+    // — every moment (within-community edge count W, per-community
+    // degree sums d_c) is an exact integer, Σd_c² is an exact integer
+    // sum, and the one double closed form rides SHARED expression
+    // text, so no double is ever SUMMED across an exchange. Scale:
+    // one distinct-edge exchange + two nation-sized aggregates.
+    "q288_nation_modularity" -> ((s, d) => {
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct()
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey").as("cn"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("o_custkey", "l_suppkey", "cn", "sn"))
+      val base = edges.agg(count(lit(1)).as("m"),
+        sum(when(col("cn") === col("sn"), 1L).otherwise(0L)).as("w"))
+      val degC = edges.groupBy(col("cn").as("nat"))
+        .agg(count(lit(1)).as("__dc"))
+      val degS = edges.groupBy(col("sn").as("nat"))
+        .agg(count(lit(1)).as("__ds"))
+      val deg = degC.join(degS, Seq("nat"), "full_outer")
+        .select(col("nat"),
+          (coalesce(col("__dc"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+            .as("__d"))
+        .agg(count(lit(1)).as("n_nations"),
+             sum((col("__d") * col("__d")).cast("decimal(38,0)"))
+               .cast("long").as("sum_deg_sq"))
+      base.crossJoin(broadcast(deg))
+        .selectExpr("n_nations", "m AS n_edges", "w AS within_edges",
+          s"round($ModularityText, 6) AS modularity")
+        .orderBy("n_edges")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -1941,6 +2059,15 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
   )
+
+  /** q288's Newman modularity closed form from exact integer moments
+    * (W = within_edges `w`, m = n_edges, Σd² = sum_deg_sq) — SHARED
+    * expression text (the q218/q238 rule); 4m² built by double
+    * multiplication so no integer power overflows at any scale. */
+  private val ModularityText =
+    "CAST(w AS DOUBLE) / CAST(m AS DOUBLE) - " +
+      "CAST(sum_deg_sq AS DOUBLE) / " +
+      "(2.0 * CAST(m AS DOUBLE) * 2.0 * CAST(m AS DOUBLE))"
 
   /** q277's degree-assortativity Pearson r from the exact
     * decimal/HUGEINT moment sums — SHARED expression text (the
@@ -3185,6 +3312,96 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Changepoint replay: same daily cents, window prefix sums (the
+    // day frame is calendar-bounded, so the oracle's global window is
+    // safe where the engine's range-partitioned prefixSum is the
+    // 100 TB shape), floor-ppm means, (gap desc, day) argmax.
+    "q282_changepoint_binseg" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cl,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(cents) AS BIGINT) AS s FROM daily)
+        |SELECT day AS split_day, t AS left_days,
+        |  (cl * 1000000) // t AS mean_left_ppm,
+        |  ((s - cl) * 1000000) // (n - t) AS mean_right_ppm,
+        |  abs((cl * 1000000) // t - ((s - cl) * 1000000) // (n - t))
+        |    AS score_ppm
+        |FROM c, tot WHERE t < n
+        |ORDER BY score_ppm DESC, split_day LIMIT 1""".stripMargin,
+
+    // l-diversity replay: same QI grouping, distinct-sensitive counts
+    // and histogram.
+    "q283_l_diversity" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_diversity,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT l_diversity, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(min(sz) AS BIGINT) AS min_group_size
+        |FROM g GROUP BY 1 ORDER BY l_diversity""".stripMargin,
+
+    // Fanout replay: same integer bit-length bucket
+    // (length(bin(n)) - 1 — never float log2), same per-relation
+    // censuses.
+    "q286_fanout_histogram" ->
+      """WITH oc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |  GROUP BY o_custkey),
+        |li AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |  GROUP BY l_orderkey),
+        |u AS (
+        |  SELECT 'orders_per_customer' AS relation,
+        |    CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n FROM oc
+        |  UNION ALL
+        |  SELECT 'items_per_order', CAST(length(bin(n)) - 1 AS BIGINT), n
+        |  FROM li)
+        |SELECT relation, bucket, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(min(n) AS BIGINT) AS min_fanout,
+        |  CAST(max(n) AS BIGINT) AS max_fanout
+        |FROM u GROUP BY 1, 2 ORDER BY relation, bucket""".stripMargin,
+
+    // Modularity replay: same distinct edge set, nation moments and
+    // the SHARED closed form over exact integers.
+    "q288_nation_modularity" -> (
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey, l_suppkey, c.c_nationkey AS cn,
+        |    s.s_nationkey AS sn
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c.c_custkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |  FROM e),
+        |dc AS (SELECT cn AS nat, CAST(count(*) AS BIGINT) AS d
+        |       FROM e GROUP BY 1),
+        |ds AS (SELECT sn AS nat, CAST(count(*) AS BIGINT) AS d
+        |       FROM e GROUP BY 1),
+        |deg AS (
+        |  SELECT coalesce(dc.nat, ds.nat) AS nat,
+        |    coalesce(dc.d, 0) + coalesce(ds.d, 0) AS d
+        |  FROM dc FULL OUTER JOIN ds ON dc.nat = ds.nat),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nations,
+        |    CAST(sum(d * d) AS BIGINT) AS sum_deg_sq
+        |  FROM deg)
+        |SELECT n_nations, m AS n_edges, w AS within_edges,
+        |""".stripMargin +
+      s"  round($ModularityText, 6) AS modularity\n" +
+      "FROM base CROSS JOIN mom ORDER BY n_edges"),
 
     // Simpson replay: the same ROLLUP cells, floor-div cent means and
     // CASE-sign flip flags — exact integers throughout.

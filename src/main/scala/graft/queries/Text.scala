@@ -1857,6 +1857,77 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Cross-document BOILERPLATE census — the C4/RefinedWeb cleaning
+    // dial q78 measures within documents applied ACROSS them: an
+    // 8-gram appearing in ≥2 distinct documents is shared template
+    // text (headers, footers, licence blocks), and a source whose
+    // occurrence mass is template-heavy gets cleaned or downweighted
+    // before training. Per source: distinct (doc, gram) occurrences,
+    // how many ride a cross-document gram, ratio in floor-ppm.
+    // Distinct-gram frames bound everything; the doc-frequency frame
+    // is vocabulary-sized and joins back on the gram key (at 100 TB
+    // the xxhash64 gram key halves shuffle width, the q78 rule).
+    "q289_boilerplate_ngrams" -> ((s, d) => {
+      val grams = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.GraftFunctions.wordShinglesAll(
+              s, col("text"), 8)).as("g"))
+          .distinct())
+      val df2 = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2).select("g")
+      val boiler = grams.join(df2, Seq("g"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_boiler"))
+      grams.groupBy("source").agg(count(lit(1)).as("n_doc_grams"))
+        .join(boiler, Seq("source"), "left")
+        .na.fill(0L, Seq("n_boiler"))
+        .select(col("source"), col("n_doc_grams"), col("n_boiler"),
+          expr("(n_boiler * 1000000) div n_doc_grams")
+            .as("boiler_ppm"))
+        .orderBy("source")
+    }),
+
+    // Greedy max-coverage document selection (the facility-location /
+    // coreset step of data curation, Nemhauser et al. 1978: greedy is
+    // (1−1/e)-optimal for monotone submodular coverage): pick 3
+    // documents, each maximizing the count of distinct 8-grams NOT
+    // covered by the picks so far — "which few documents teach the
+    // most new text". Ties toward the lower doc_id. Each step is one
+    // anti-join + aggregate over the STAGED distinct-gram frame with
+    // the picked ids as literals (k tiny 1-row collects — the
+    // ivfCentroids driver-seed discipline); the oracle unrolls the
+    // same three steps.
+    "q290_greedy_coverage" -> ((s, d) => {
+      import s.implicits._
+      val grams = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.wordShinglesAll(
+              s, col("text"), 8)).as("g"))
+          .distinct())
+      var picked = Seq.empty[Long]
+      var rows = Seq.empty[(Long, Long, Long, Long)]
+      var covered = 0L
+      for (t <- 1 to 3) {
+        val remaining =
+          if (picked.isEmpty) grams
+          else grams.filter(!col("doc_id").isin(picked: _*))
+            .join(grams.filter(col("doc_id").isin(picked: _*))
+                    .select("g").distinct(),
+                  Seq("g"), "left_anti")
+        val r = remaining.groupBy("doc_id")
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect().head
+        val (id, gain) = (r.getLong(0), r.getLong(1))
+        picked :+= id
+        covered += gain
+        rows :+= ((t.toLong, id, gain, covered))
+      }
+      rows.toDF("step", "doc_id", "gain", "covered_total")
+        .orderBy("step")
+    }),
+
     // BM25 MRR + recall@10 over a QUERY SET — the multi-query eval
     // report (q193's NDCG grades one ranking's ORDER; MRR/recall
     // grade a retriever across queries — the numbers a retrieval
@@ -4169,6 +4240,71 @@ object TextQueries {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Boilerplate replay: same distinct (doc, gram) frame, ≥2-doc
+    // frequency filter, per-source floor-ppm ratio.
+    "q289_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |df AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |b AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler
+        |  FROM g SEMI JOIN df USING (gram) GROUP BY source)
+        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_doc_grams,
+        |  CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) AS n_boiler,
+        |  (CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS boiler_ppm
+        |FROM g LEFT JOIN b ON g.source = b.source
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    // Coverage replay: the same three greedy steps unrolled — each
+    // pick is (gain desc, doc_id) over grams not covered by prior
+    // picks; covered_total accumulates the exact gains.
+    "q290_greedy_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |p1 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g GROUP BY doc_id
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT gram FROM g
+        |       WHERE doc_id IN (SELECT doc_id FROM p1)),
+        |p2 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g ANTI JOIN c1 USING (gram)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT DISTINCT gram FROM g
+        |       WHERE doc_id IN (SELECT doc_id FROM p1
+        |                        UNION ALL SELECT doc_id FROM p2)),
+        |p3 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g ANTI JOIN c2 USING (gram)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1
+        |                       UNION ALL SELECT doc_id FROM p2)
+        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        |u AS (
+        |  SELECT 1 AS step, doc_id, gain FROM p1
+        |  UNION ALL SELECT 2, doc_id, gain FROM p2
+        |  UNION ALL SELECT 3, doc_id, gain FROM p3)
+        |SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+        |  CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+        |FROM u ORDER BY step""".stripMargin,
 
     // Fingerprint replay: the q142 hex-digit parse of the same 8-char
     // md5 prefix; sums emitted as BIGINT on both engines (r14: the

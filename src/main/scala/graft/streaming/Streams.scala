@@ -317,6 +317,46 @@ object Streams {
         })
   }
 
+  case class SessEvent(k: String, seq: Long, t: Long)
+  case class SessState(k: String, ss: Long, prev: Long)
+  case class SessAssign(k: String, seq: Long, t: Long, session_start: Long)
+
+  /** Streaming dual-rule sessionizer — the live half of
+    * [[graft.ops.Kernels.cappedSessionize]]: per key, an event starts
+    * a new session iff it is more than `gap` past the previous event
+    * OR joining would stretch the session span past `maxSpan`; the
+    * (session start, previous time) pair is TWO longs of state per
+    * key across micro-batches, so a session split across batch
+    * boundaries keeps its start (what a per-batch window cannot see)
+    * and state is bounded by key cardinality, not stream length.
+    * Assignments stream out per event (flatMapGroups). In-order
+    * contract like the cooldown twin — a late event would need suffix
+    * replay (StreamingSpec pins stream ≡ batch across arbitrary
+    * micro-batch splits, including a split mid-session).
+    */
+  def cappedSessionStream(events: Dataset[SessEvent], gap: Long,
+                          maxSpan: Long): Dataset[SessAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[SessEvent],
+         st: GroupState[SessState]) => {
+          var have = st.exists
+          var ss = st.getOption.map(_.ss).getOrElse(0L)
+          var prev = st.getOption.map(_.prev).getOrElse(0L)
+          val out = it.toSeq.sortBy(e => (e.t, e.seq)).map { e =>
+            if (!have) { ss = e.t; have = true }
+            else if (e.t - prev > gap || e.t - ss > maxSpan) ss = e.t
+            prev = e.t
+            SessAssign(k, e.seq, e.t, ss)
+          }
+          if (have) st.update(SessState(k, ss, prev))
+          out.iterator
+        })
+  }
+
   /** Streaming CDC: maintain the LATEST change per key across
     * micro-batches — the streaming half of
     * [[graft.ext.Cdc.applyChangelog]] (whose batch top-1-per-key this

@@ -678,4 +678,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed(("a", 4L)), "9 must stay suppressed across the split")
     assert(streamed(("a", 5L)), "12 must emit (10 past the last EMITTED 0)")
   }
+
+  test("cappedSessionStream ≡ batch cappedSessionize; span cap fires across batch splits") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.SessEvent
+    // key a drips sub-gap events 0,8,16,24,32 with gap=10, cap=20: the
+    // cap must split at 24 (span 24 > 20 from start 0) even though the
+    // session's START lives in an EARLIER micro-batch — per-batch
+    // windows can't see it. A >gap idle then starts a third session.
+    val all = Seq(
+      SessEvent("a", 1, 0L), SessEvent("a", 2, 8L),
+      SessEvent("b", 3, 100L),
+      SessEvent("a", 4, 16L), SessEvent("a", 5, 24L),
+      SessEvent("a", 6, 32L), SessEvent("b", 7, 105L),
+      SessEvent("a", 8, 60L))
+    val stream = MemoryStream[SessEvent]
+    val q = graft.streaming.Streams.cappedSessionStream(stream.toDS(), 10L, 20L)
+      .writeStream.format("memory").queryName("cappedsess")
+      .outputMode(OutputMode.Append()).start()
+    all.grouped(3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cappedsess").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val batch = graft.ops.Kernels.cappedSessionize(
+        all.map(e => (e.k, e.seq, e.t)).toDF("k", "seq", "t"),
+        "k", Seq("t", "seq"), "t", 10L, 20L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed(("a", 4L)) == 0L, "16 joins the session started at 0")
+    assert(streamed(("a", 5L)) == 24L,
+      "24 must start a new session (span cap), despite the sub-gap step")
+    assert(streamed(("a", 6L)) == 24L, "32 joins the capped session")
+    assert(streamed(("a", 8L)) == 60L, "idle gap starts the third session")
+  }
 }
