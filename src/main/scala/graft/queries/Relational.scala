@@ -2003,6 +2003,99 @@ object Relational {
         .orderBy("n_edges")
     }),
 
+    // Tukey-fence outlier census per nation — the per-group
+    // data-cleaning pass q149's global robust stats imply: exact
+    // quartiles per (bounded) nation group, 1.5·IQR fences, integer
+    // outlier counts. The fences are doubles built from exact-integer
+    // cents by IDENTICAL ops on both engines (percentile ≡
+    // quantile_cont, the q40 pairing), and every emitted column is an
+    // exact integer. Two passes over the staged cents frame; the
+    // fence frame is nation-sized and broadcasts.
+    "q292_outlier_fence_census" -> ((s, d) => {
+      val cents = graft.ops.Staging.stage(
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("c")))
+      val fences = cents.groupBy("n_name")
+        .agg(expr("percentile(c, 0.25)").as("q1"),
+             expr("percentile(c, 0.75)").as("q3"))
+        .select(col("n_name"), expr("q1 - (q3 - q1) * 1.5").as("__lo"),
+                expr("q3 + (q3 - q1) * 1.5").as("__hi"))
+      cents.join(broadcast(fences), "n_name")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(when(col("c") < col("__lo"), 1L).otherwise(0L))
+               .as("n_low"),
+             sum(when(col("c") > col("__hi"), 1L).otherwise(0L))
+               .as("n_high"))
+        .withColumn("outlier_ppm",
+          expr("((n_low + n_high) * 1000000) div n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Weight-of-evidence / information value of order priority as a
+    // predictor of returns — the credit-scoring feature diagnostic
+    // (Siddiqi 2006) a feature store runs before one-hot-ing a
+    // categorical: WOE_c = ln((good_c·B)/(bad_c·G)) per level in
+    // floored nano-nats (exact integer ratio inside the one ln — the
+    // q257 discipline), IV contribution as the floored-nano product
+    // term summed over levels by the READER (each row carries its own
+    // term; no cross-row double sum). Good = lineitem not returned.
+    "q293_woe_iv" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+               .as("n_good"),
+             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+               .as("n_bad"))
+      val tot = base.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+      base.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
+          expr(s"CAST(floor(1000000000.0 * $WoeLn) AS BIGINT)")
+            .as("woe_nano"),
+          expr("CAST(floor(1000000000.0 * " +
+            s"($WoeShare) * $WoeLn) AS BIGINT)")
+            .as("iv_term_nano"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 7-day rolling volatility of daily revenue — the risk/ops trend
+    // band over the calendar-bounded day frame (q229's rolling-median
+    // convention): exact integer daily cents, window moment sums
+    // (Σ, Σ² in decimal(38,0) — cents² at lake scale exceeds long),
+    // sample stddev by ONE shared closed form. The window is over the
+    // day GRID — bounded by the calendar, never corpus rows.
+    "q295_rolling_volatility" -> ((s, d) => {
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      Tables.orders(s, d)
+        .groupBy(expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+        .select(col("day"), col("cents"),
+          count(lit(1)).over(w).as("n7"),
+          sum("cents").over(w).as("s7"),
+          sum(col("cents").cast("decimal(38,0)") *
+              col("cents").cast("decimal(38,0)")).over(w).as("ss7"))
+        .filter(col("n7") === 7)
+        // floor, not round(…, 6): the stddev's integer part has 9+
+        // digits at sf0.1, where a 6dp decimal rounding needs 15+
+        // significant digits — past the point where Spark's
+        // BigDecimal HALF_UP and DuckDB's double rounding agree on
+        // the last digit (measured ±1e-6 flips). floor() operates on
+        // the identical shared-text double directly — exact on both.
+        .select(col("day"), col("cents"), col("s7"),
+          expr(s"CAST(floor($VolText) AS BIGINT) AS vol_cents_floor"))
+        .orderBy("day")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -2059,6 +2152,28 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
   )
+
+  /** q293's WOE log term — one ln over an exact integer ratio (the
+    * q257 discipline), SHARED text. Explicit DOUBLE casts, never
+    * `* 1.0`: Spark parses the 1.0 literal as DECIMAL, and the
+    * decimal÷decimal result at precision 38 clamps to scale 6 —
+    * a 1e-6 quantization DuckDB (whose decimal division returns
+    * DOUBLE) does not apply, measured as ~1e-7 ln divergence. */
+  private val WoeLn =
+    "ln((CAST(n_good AS DOUBLE) * CAST(tb AS DOUBLE)) / " +
+      "(CAST(n_bad AS DOUBLE) * CAST(tg AS DOUBLE)))"
+
+  /** q293's distribution-share gap (good% − bad%), SHARED text, same
+    * explicit-DOUBLE rule as [[WoeLn]]. */
+  private val WoeShare =
+    "CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE) - " +
+      "CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)"
+
+  /** q295's 7-day sample standard deviation from exact window moments
+    * (n7 = 7 by the filter, s7 long, ss7 decimal) — SHARED text. */
+  private val VolText =
+    "sqrt((7.0 * CAST(ss7 AS DOUBLE) - " +
+      "CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / (7.0 * 6.0))"
 
   /** q288's Newman modularity closed form from exact integer moments
     * (W = within_edges `w`, m = n_edges, Σd² = sum_deg_sq) — SHARED
@@ -3312,6 +3427,76 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Fence replay: quantile_cont ≡ percentile (the q40 pairing),
+    // identical fence arithmetic, integer censuses.
+    "q292_outlier_fence_census" ->
+      """WITH c AS (
+        |  SELECT n_name, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |f AS (
+        |  SELECT n_name, quantile_cont(c, 0.25) AS q1,
+        |    quantile_cont(c, 0.75) AS q3
+        |  FROM c GROUP BY 1),
+        |ff AS (
+        |  SELECT n_name, q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f)
+        |SELECT c.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  ((CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) +
+        |    CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT))
+        |   * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
+        |FROM c JOIN ff ON c.n_name = ff.n_name
+        |GROUP BY c.n_name ORDER BY c.n_name""".stripMargin,
+
+    // WOE/IV replay: same level counts, the SHARED ln term and
+    // floored-nano products.
+    "q293_woe_iv" -> (
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+        |               CAST(sum(n_bad) AS BIGINT) AS tb FROM base)
+        |SELECT o_orderpriority, n_good, n_bad,
+        |""".stripMargin +
+      s"  CAST(floor(1000000000.0 * $WoeLn) AS BIGINT) AS woe_nano,\n" +
+      s"  CAST(floor(1000000000.0 * ($WoeShare) * $WoeLn) AS BIGINT)" +
+      " AS iv_term_nano\n" +
+      "FROM base CROSS JOIN tot ORDER BY o_orderpriority"),
+
+    // Volatility replay: same day grid, HUGEINT window moments
+    // standing in for decimal(38,0), the SHARED stddev closed form.
+    "q295_rolling_volatility" -> (
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, cents,
+        |    count(*) OVER win AS n7,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS s7,
+        |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+        |      OVER win AS ss7
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |                 AND CURRENT ROW))
+        |SELECT day, cents, s7,
+        |""".stripMargin +
+      s"  CAST(floor($VolText) AS BIGINT) AS vol_cents_floor\n" +
+      "FROM w WHERE n7 = 7 ORDER BY day"),
 
     // Changepoint replay: same daily cents, window prefix sums (the
     // day frame is calendar-bounded, so the oracle's global window is

@@ -1857,6 +1857,86 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
+    // corpus NLL implies): train the +1-smoothed bigram LM on the
+    // even-doc half, score each odd-half document's per-bigram NLL,
+    // and keep documents at or below the TRAIN corpus's own average
+    // — a self-calibrating threshold, no tuned constant. Unseen
+    // odd-half bigrams smooth to 1/(c1+V) through the same shared
+    // floored-nano-nat term (left joins + coalesce(0)), so OOV text
+    // scores high NLL and drops — exactly the filter's job. Census
+    // per source: docs kept at the threshold, floor-ppm keep rate.
+    // Count frames are vocabulary-sized broadcasts; the corpus is
+    // scanned once per side.
+    "q291_perplexity_filter" -> ((s, d) => {
+      val wi = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val bi = graft.ops.Staging.stage(
+        toks.withColumn("w2", lead("w", 1).over(wi))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"),
+                  pmod(col("doc_id"), lit(2L)).as("par"),
+                  col("w").as("w1"), col("w2")))
+      val train = bi.filter(col("par") === 0)
+      val cxy = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cx = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = toks.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .agg(countDistinct("w").as("v"))
+      val nanoTerm = "CAST(floor(1000000000.0 * " +
+        "ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v))) AS BIGINT)"
+      val thr = train
+        .join(broadcast(cxy), Seq("w1", "w2"), "left")
+        .join(broadcast(cx), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(expr(nanoTerm).as("nano"))
+        .agg(expr("(-sum(nano)) div count(1)").as("thr_nano"))
+      val docs = bi.filter(col("par") === 1)
+        .join(broadcast(cxy), Seq("w1", "w2"), "left")
+        .join(broadcast(cx), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("source"), expr(nanoTerm).as("nano"))
+        .groupBy("doc_id", "source")
+        .agg(expr("(-sum(nano)) div count(1)").as("__doc_nll"))
+      docs.crossJoin(broadcast(thr))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("__doc_nll") <= col("thr_nano"), 1L)
+               .otherwise(0L)).as("n_kept"),
+             max("thr_nano").as("thr_nano"))
+        .withColumn("kept_ppm", expr("(n_kept * 1000000) div n_docs"))
+        .orderBy("source")
+    }),
+
+    // Sequence-length bucketing pad-waste audit — the batch-shape
+    // dial of training-data packing (q71 packs shards; this prices
+    // PADDING): pad-to-max within a power-of-two length bucket
+    // (integer bit-length, the q286 rule) vs pad-to-global-max, per
+    // bucket: docs, real tokens, padded slots, waste in floor-ppm —
+    // the number that says whether length-bucketed batching is worth
+    // the shuffle. All exact integers off one token-count scan.
+    "q294_pad_waste" -> ((s, d) => {
+      val lens = Tables.documents(s, d)
+        .select(expr("CAST(size(filter(split(text, ' '), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("n"))
+        .filter(col("n") > 0)
+      val buckets = lens
+        .select((length(expr("bin(n)")) - 1).cast("long").as("bucket"),
+                col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+             max("n").as("max_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("max_tokens"),
+          (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+            .as("pad_tokens"),
+          expr("((n_docs * max_tokens - sum_tokens) * 1000000) " +
+            "div (n_docs * max_tokens)").as("waste_ppm"))
+      buckets.orderBy("bucket")
+    }),
+
     // Cross-document BOILERPLATE census — the C4/RefinedWeb cleaning
     // dial q78 measures within documents applied ACROSS them: an
     // 8-gram appearing in ≥2 distinct documents is shared template
@@ -4240,6 +4320,83 @@ object TextQueries {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Perplexity-filter replay: the q252 bigram construction split on
+    // doc parity — counts from the even half, LEFT joins + coalesce(0)
+    // for unseen odd-half bigrams, the SHARED floored nano-nat term,
+    // integer threshold and keep census.
+    "q291_perplexity_filter" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, source, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS i
+        |  FROM tt),
+        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
+        |seqd AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, source, doc_id % 2 AS par, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+        |  FROM seqd),
+        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |tr AS (SELECT * FROM b2 WHERE par = 0),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM tr GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |       FROM tr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |       FROM tok WHERE doc_id % 2 = 0),
+        |thr AS (
+        |  SELECT (-sum(CAST(floor(1000000000.0 *
+        |      ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
+        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS thr_nano
+        |  FROM tr b
+        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  LEFT JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv),
+        |docs AS (
+        |  SELECT b.doc_id, b.source,
+        |    (-sum(CAST(floor(1000000000.0 *
+        |      ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
+        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS doc_nll
+        |  FROM b2 b
+        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  LEFT JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv
+        |  WHERE b.par = 1
+        |  GROUP BY b.doc_id, b.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(max(thr_nano) AS BIGINT) AS thr_nano,
+        |  (CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM docs CROSS JOIN thr
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Pad-waste replay: same non-empty token counts, bit-length
+    // buckets, exact padded-slot arithmetic.
+    "q294_pad_waste" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |lz AS (SELECT n FROM lens WHERE n > 0),
+        |b AS (
+        |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |    CAST(max(n) AS BIGINT) AS max_tokens
+        |  FROM lz GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens, max_tokens,
+        |  n_docs * max_tokens - sum_tokens AS pad_tokens,
+        |  ((n_docs * max_tokens - sum_tokens) * 1000000)
+        |    // (n_docs * max_tokens) AS waste_ppm
+        |FROM b ORDER BY bucket""".stripMargin,
 
     // Boilerplate replay: same distinct (doc, gram) frame, ≥2-doc
     // frequency filter, per-source floor-ppm ratio.
