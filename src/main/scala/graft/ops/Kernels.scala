@@ -716,6 +716,51 @@ object Kernels {
           .as(s"${c}_cum")): _*)
   }
 
+  /** Exclusive running MAX in a total order — [[prefixSum]]'s sibling
+    * for the "high-water mark so far" family (event-time lateness vs
+    * a processing-order watermark, record-breaking detection, peak
+    * tracking): appends `<valueCol>_prevmax` = max of `valueCol` over
+    * all STRICTLY EARLIER rows (null for the global first row). Same
+    * two-phase shape as [[prefixSum]]: range-partition on the order,
+    * one in-partition constant-memory sweep emitting the
+    * before-this-row max, then per-partition totals (≤ #partitions
+    * rows) combine through a tiny window and broadcast back — never a
+    * global single-partition window over the data. */
+  def prefixMax(df: DataFrame, orderCols: Seq[Column],
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(orderCols.nonEmpty, "need at least one order column")
+    val out = s"${valueCol}_prevmax"
+    val ranged = Staging.stage(
+      df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*))
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val sweptSchema = StructType(ranged.schema.fields ++ Seq(
+      StructField(out, LongType, nullable = true),
+      StructField("__pid", IntegerType, nullable = false)))
+    val swept = Staging.stage(ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var any = false
+      var run = 0L
+      rows.map { r =>
+        val prev: Any = if (any) run else null
+        val v = r.getLong(vIdx)
+        if (!any || v > run) { run = v; any = true }
+        Row.fromSeq(r.toSeq :+ prev :+ pid)
+      }
+    }(org.apache.spark.sql.Encoders.row(sweptSchema)))
+    val ptot = swept.groupBy("__pid").agg(max(col(valueCol)).as("__t"))
+    val w = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ptot.select(col("__pid"), max(col("__t")).over(w).as("__o"))
+    swept.join(broadcast(offs), "__pid")
+      .select(df.columns.map(col) :+
+        // greatest() skips nulls: first row of a later partition takes
+        // the prior partitions' max; the global first row stays null
+        greatest(col(out), col("__o")).as(out): _*)
+  }
+
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

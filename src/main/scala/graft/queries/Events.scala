@@ -2280,6 +2280,43 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // Event-time LATENESS census vs a processing-order watermark —
+    // the number that sizes every withWatermark() delay: an event is
+    // late by (high-water mark of event time over everything that
+    // ARRIVED before it) − (its own event time). Arrival order here
+    // is the hourly per-shard flush a partitioned collector produces
+    // — (hour bucket, event_id mod 7 shard, event_id) — because the
+    // synthetic event_id is already time-sorted (zero lateness under
+    // it; a real ingest key never is). The running high-water mark is
+    // Kernels.prefixMax — the prefixSum-class two-phase scan, never a
+    // global single-partition window over the stream history. Late
+    // events bucket by integer bit-length of their lateness in
+    // seconds (the q286 rule), with a floor-ppm share of ALL events
+    // per bucket.
+    "q299_watermark_lateness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .select(col("event_id"), col("us"),
+          expr("us div 3600000000").as("__flush"),
+          pmod(col("event_id"), lit(7L)).as("__shard"))
+      val marked = Kernels.prefixMax(ev,
+        Seq(col("__flush").asc, col("__shard").asc, col("event_id").asc),
+        "us")
+      val tot = marked.agg(count(lit(1)).as("n_total"))
+      marked.filter(col("us_prevmax").isNotNull &&
+          col("us_prevmax") > col("us"))
+        .select(expr("(us_prevmax - us) div 1000000").as("__lsec"))
+        .filter(col("__lsec") > 0)
+        .select((length(expr("bin(__lsec)")) - 1).cast("long").as("bucket"),
+                col("__lsec"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_late"), min("__lsec").as("min_late_sec"),
+             max("__lsec").as("max_late_sec"))
+        .crossJoin(broadcast(tot))
+        .withColumn("late_ppm", expr("(n_late * 1000000) div n_total"))
+        .orderBy("bucket")
+    }),
+
     // Dual-rule sessionization (Kernels.cappedSessionize): a session
     // breaks on a >24 h idle gap OR when its total span would exceed
     // the 96 h hard cap — the second rule every analytics stack
@@ -4300,6 +4337,31 @@ object EventQueries {
         |  CAST(sum(n_errors * 1000000 - 200000 * n_events)
         |    OVER (ORDER BY day) AS BIGINT) AS burn_micro_cum
         |FROM day ORDER BY day""".stripMargin,
+
+    // Lateness replay: the same exclusive running max (a window over
+    // the oracle's single node is fine where the engine's prefixMax
+    // is the 100 TB shape), seconds floor-div, bit-length buckets.
+    "q299_watermark_lateness" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us FROM events),
+        |p AS (
+        |  SELECT us, max(us) OVER (
+        |    ORDER BY us // 3600000000, event_id % 7, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
+        |l AS (
+        |  SELECT (pm - us) // 1000000 AS lsec
+        |  FROM p WHERE pm IS NOT NULL AND pm > us),
+        |lz AS (SELECT lsec FROM l WHERE lsec > 0)
+        |SELECT CAST(length(bin(lsec)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_late,
+        |  CAST(min(lsec) AS BIGINT) AS min_late_sec,
+        |  CAST(max(lsec) AS BIGINT) AS max_late_sec,
+        |  n_total,
+        |  (CAST(count(*) AS BIGINT) * 1000000) // n_total AS late_ppm
+        |FROM lz CROSS JOIN tot
+        |GROUP BY 1, n_total ORDER BY bucket""".stripMargin,
 
     // Capped-session replay: the (gap OR span-cap) session-start
     // recurrence as a per-user recursive CTE stepping the

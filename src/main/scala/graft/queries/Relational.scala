@@ -2096,6 +2096,55 @@ object Relational {
         .orderBy("day")
     }),
 
+    // Monthly price percentile BANDS — the percentile TIME SERIES an
+    // SLO/pricing dashboard tracks (q40 is one global snapshot):
+    // p25/p50/p75/p90 of order value per calendar month, every
+    // percentile routed through Kernels.groupQuantilesWide — at
+    // 100 TB the same call flips exact=false onto the additive
+    // histogram estimate (the q149 dial). Month groups are
+    // calendar-bounded; 4dp rounding on ~6-digit values is inside
+    // double↔decimal fidelity (the q40 convention).
+    "q296_monthly_price_bands" -> ((s, d) => {
+      val pr = Tables.orders(s, d)
+        .select(expr("date_format(o_orderdate, 'yyyy-MM')").as("month"),
+                col("o_totalprice"))
+      Kernels.groupQuantilesWide(pr, "month", "o_totalprice",
+          Seq(0.25 -> "__p25", 0.5 -> "__p50", 0.75 -> "__p75",
+              0.9 -> "__p90"))
+        .select(col("month"),
+          round(col("__p25"), 4).as("p25"), round(col("__p50"), 4).as("p50"),
+          round(col("__p75"), 4).as("p75"), round(col("__p90"), 4).as("p90"))
+        .orderBy("month")
+    }),
+
+    // Theil–Sen robust trend slope of daily revenue — the
+    // outlier-immune replacement for q99's OLS trend (median of all
+    // pairwise slopes; breakdown point 29%): day indices off the
+    // range-partitioned denseIndex (calendar-bounded), the pair frame
+    // is days² (bounded by the calendar SQUARED, never corpus rows),
+    // each slope one exact-integer division — identical doubles on
+    // both engines — and the median interpolates identical doubles.
+    // Emitted as floor micro-cents/day (the q295 rule: a 6dp round at
+    // this magnitude would exceed double↔decimal fidelity; floor of
+    // an identical double is exact).
+    "q297_theil_sen" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val idx = graft.ops.Staging.stage(
+        Kernels.denseIndex(daily, Seq(col("day")), "t"))
+      val a = idx.select(col("t").as("t1"), col("cents").as("c1"))
+      val b = idx.select(col("t").as("t2"), col("cents").as("c2"))
+      val slopes = a.crossJoin(b).filter(col("t2") > col("t1"))
+        .select(expr("CAST(c2 - c1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)")
+          .as("__s"))
+      slopes.agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(floor(percentile(__s, 0.5) * 1000000.0) AS BIGINT)")
+            .as("slope_micro_cents"))
+        .orderBy("n_pairs")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -3427,6 +3476,36 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Bands replay: quantile_cont ≡ percentile per month, 4dp.
+    "q296_monthly_price_bands" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // Theil–Sen replay: same day indices (row_number over the
+    // calendar-bounded day frame ≡ denseIndex), identical slope
+    // doubles, interpolated median, floor micro-cents.
+    "q297_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT cents, row_number() OVER (ORDER BY day) - 1 AS t
+        |  FROM daily),
+        |s AS (
+        |  SELECT CAST(b.cents - a.cents AS DOUBLE) /
+        |         CAST(b.t - a.t AS DOUBLE) AS sl
+        |  FROM idx a JOIN idx b ON b.t > a.t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(floor(quantile_cont(sl, 0.5) * 1000000.0) AS BIGINT)
+        |    AS slope_micro_cents
+        |FROM s ORDER BY n_pairs""".stripMargin,
 
     // Fence replay: quantile_cont ≡ percentile (the q40 pairing),
     // identical fence arithmetic, integer censuses.

@@ -1857,6 +1857,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Lexical-diversity census per source — type-token ratio and
+    // hapax share, the vocabulary-health dials beside q98's entropy
+    // and q196's Zipf slope (template-generated text shows low TTR;
+    // OCR noise shows hapax inflation). One token scan, per-source
+    // word-count frames bound everything, floor-ppm ratios.
+    "q298_lexical_diversity" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("__c"))
+      words.groupBy("source")
+        .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_types"),
+             sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+        .orderBy("source")
+    }),
+
     // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
     // corpus NLL implies): train the +1-smoothed bigram LM on the
     // even-doc half, score each odd-half document's per-bigram NLL,
@@ -4320,6 +4340,24 @@ object TextQueries {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Diversity replay: same per-source word counts and ratios.
+    "q298_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+        |    AS ttr_ppm,
+        |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS hapax_ppm
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
 
     // Perplexity-filter replay: the q252 bigram construction split on
     // doc parity — counts from the even half, LEFT joins + coalesce(0)

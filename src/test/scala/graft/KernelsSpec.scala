@@ -447,6 +447,34 @@ class KernelsSpec extends AnyFunSuite {
     assert(runWith(32) == want)  // more partitions than natural splits
   }
 
+  test("prefixMax: exclusive running max matches reference; partition-invariant; null first row") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong - 200))
+    def runWith(parts: Int): Seq[(Long, Option[Long])] = {
+      val df = spark.createDataFrame(rows).toDF("k", "v")
+        .repartition(parts)
+      val got = Kernels.prefixMax(df, Seq(col("k").asc), "v")
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      graft.ops.Staging.releaseAll()
+      got
+    }
+    // reference: exclusive high-water mark in key order; the global
+    // first row has NO earlier row — null, never a sentinel that a
+    // negative-valued stream could collide with
+    var run = Option.empty[Long]
+    val want = rows.sortBy(_._1).map { case (k, v) =>
+      val prev = run
+      run = Some(run.fold(v)(math.max(_, v)))
+      (k, prev)
+    }
+    assert(runWith(1) == want)
+    assert(runWith(7) == want)   // cross-partition offsets exact
+    assert(runWith(32) == want)  // more partitions than natural splits
+  }
+
   test("groupQuantiles: approx mode within one bucket width of exact, shape-identical") {
     // hand case first: 1..100 in one group, width 10 — the histogram
     // estimate may differ from the interpolated exact value, but
