@@ -2145,6 +2145,104 @@ object Relational {
         .orderBy("n_pairs")
     }),
 
+    // Decile gains table — the model-eval artifact every targeting
+    // model ships with (complements q240 calibration / q205 AUC):
+    // orders ranked by value into 10 equal-population buckets via the
+    // range-partitioned denseIndex (bucket = idx·10 div n — exact
+    // integer ntile, deterministic under the (cents desc, orderkey)
+    // total order), response = any returned lineitem; per decile the
+    // response census, cumulative capture and lift in floor-ppm —
+    // cumulatives via a window over the 10-row decile frame.
+    "q300_gains_table" -> ((s, d) => {
+      val resp = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("__ok"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("__r"))
+      val scored = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("__cents"))
+        .join(resp, col("o_orderkey") === col("__ok"))
+      val idx = Kernels.denseIndex(scored,
+        Seq(col("__cents").desc, col("o_orderkey").asc), "__i")
+      val tot = idx.agg(count(lit(1)).as("n"), sum("__r").as("tr"))
+      val dec = idx.crossJoin(broadcast(tot))
+        .select(expr("(__i * 10) div n").as("decile"), col("__r"),
+                col("n"), col("tr"))
+        .groupBy("decile", "n", "tr")
+        .agg(count(lit(1)).as("n_orders"), sum("__r").as("n_returned"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec.select(col("decile"), col("n_orders"), col("n_returned"),
+          sum("n_orders").over(w).as("cum_orders"),
+          sum("n_returned").over(w).as("cum_returned"),
+          col("n"), col("tr"))
+        .select(col("decile"), col("n_orders"), col("n_returned"),
+          expr("(cum_returned * 1000000) div tr").as("cum_capture_ppm"),
+          expr("((cum_returned * n) * 1000000) div (cum_orders * tr)")
+            .as("cum_lift_ppm"))
+        .orderBy("decile")
+    }),
+
+    // Repeat-purchase cadence per nation — the inter-order gap
+    // distribution a retention model calibrates on: per-customer
+    // consecutive order gaps in exact days (one customer exchange,
+    // lag over each customer's bounded order history), then per
+    // nation the gap census with interpolated quantiles emitted as
+    // floor MILLI-days (gaps interpolate on a 1/10-day grid at these
+    // probes, so the ×1000 floor is exact — never a 2dp round that
+    // could sit on a half).
+    "q301_purchase_cadence" -> ((s, d) => {
+      val wo = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("datediff(to_date(o_orderdate), DATE'1990-01-01')").as("__d"))
+        .withColumn("__gap", col("__d") - lag("__d", 1).over(wo))
+        .filter(col("__gap").isNotNull)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+      gaps.groupBy("n_name")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("CAST(floor(percentile(__gap, 0.5) * 1000.0) AS BIGINT)")
+            .as("median_gap_millidays"),
+          expr("CAST(floor(percentile(__gap, 0.9) * 1000.0) AS BIGINT)")
+            .as("p90_gap_millidays"),
+          max("__gap").as("max_gap_days"))
+        .orderBy("n_name")
+    }),
+
+    // p-chart (attribute control chart) for the weekly return share —
+    // the SPC monitor beside q158's CUSUM and q282's changepoint:
+    // 3σ binomial limits around the pooled rate,
+    // UCL = p̄ + 3·√(p̄(1−p̄)/n_w) per week (limits depend on each
+    // week's own n — the textbook varying-limit p-chart). The flag
+    // compares the week's exact rate against the SHARED-text limit
+    // double; emitted values are exact integers and booleans.
+    "q302_return_pchart" -> ((s, d) => {
+      // integer epoch-week index, never a 'ww' date pattern: Spark 3+
+      // removed week-of-year letters from datetime formats, and ISO
+      // week numbering differs across engines anyway
+      val wk = Tables.lineitem(s, d)
+        .groupBy(expr("datediff(to_date(l_shipdate), DATE'1990-01-01') " +
+          "div 7").as("week"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+               .as("r"))
+      val tot = wk.agg(sum("n").as("tn"), sum("r").as("tr"))
+      wk.crossJoin(broadcast(tot))
+        .select(col("week"), col("n"), col("r"),
+          expr("(r * 1000000) div n").as("rate_ppm"),
+          expr(s"CAST(r AS DOUBLE) / CAST(n AS DOUBLE) > $PchartUcl")
+            .as("above_ucl"),
+          expr(s"CAST(r AS DOUBLE) / CAST(n AS DOUBLE) < $PchartLcl")
+            .as("below_lcl"))
+        .orderBy("week")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -2223,6 +2321,15 @@ object Relational {
   private val VolText =
     "sqrt((7.0 * CAST(ss7 AS DOUBLE) - " +
       "CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / (7.0 * 6.0))"
+
+  /** q302's varying-limit p-chart bounds (p̄ ± 3·√(p̄(1−p̄)/n)) from
+    * exact integer totals — SHARED text, explicit DOUBLE casts (the
+    * q293 decimal-literal rule). */
+  private val PchartP = "CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)"
+  private val PchartUcl =
+    s"($PchartP + 3.0 * sqrt($PchartP * (1.0 - $PchartP) / CAST(n AS DOUBLE)))"
+  private val PchartLcl =
+    s"($PchartP - 3.0 * sqrt($PchartP * (1.0 - $PchartP) / CAST(n AS DOUBLE)))"
 
   /** q288's Newman modularity closed form from exact integer moments
     * (W = within_edges `w`, m = n_edges, Σd² = sum_deg_sq) — SHARED
@@ -3476,6 +3583,83 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Gains replay: same (cents desc, orderkey) total order via
+    // row_number()−1, integer ntile, window cumulatives, floor-ppm.
+    "q300_gains_table" ->
+      """WITH resp AS (
+        |  SELECT l_orderkey AS ok,
+        |    CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |scored AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, r
+        |  FROM orders JOIN resp ON o_orderkey = ok),
+        |idx AS (
+        |  SELECT r, row_number() OVER (ORDER BY cents DESC, o_orderkey)
+        |    - 1 AS i
+        |  FROM scored),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(r) AS BIGINT) AS tr FROM idx),
+        |dec AS (
+        |  SELECT (i * 10) // n AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(r) AS BIGINT) AS n_returned, n, tr
+        |  FROM idx CROSS JOIN tot GROUP BY 1, n, tr)
+        |SELECT decile, n_orders, n_returned,
+        |  (CAST(sum(n_returned) OVER w AS BIGINT) * 1000000) // tr
+        |    AS cum_capture_ppm,
+        |  ((CAST(sum(n_returned) OVER w AS BIGINT) * n) * 1000000)
+        |    // (CAST(sum(n_orders) OVER w AS BIGINT) * tr)
+        |    AS cum_lift_ppm
+        |FROM dec
+        |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
+
+    // Cadence replay: same per-customer lag gaps, per-nation censuses
+    // with floor milli-day quantiles.
+    "q301_purchase_cadence" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1990-01-01', o_orderdate) AS d
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    d - lag(d) OVER (PARTITION BY o_custkey
+        |      ORDER BY d, o_orderkey) AS gap
+        |  FROM o),
+        |gg AS (
+        |  SELECT n_name, gap
+        |  FROM g
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE gap IS NOT NULL)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(floor(quantile_cont(gap, 0.5) * 1000.0) AS BIGINT)
+        |    AS median_gap_millidays,
+        |  CAST(floor(quantile_cont(gap, 0.9) * 1000.0) AS BIGINT)
+        |    AS p90_gap_millidays,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM gg GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // p-chart replay: same epoch-week buckets, SHARED-text limits.
+    "q302_return_pchart" -> (
+      """WITH wk AS (
+        |  SELECT datediff('day', DATE '1990-01-01', l_shipdate) // 7
+        |    AS week,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |               CAST(sum(r) AS BIGINT) AS tr FROM wk)
+        |SELECT week, n, r, (r * 1000000) // n AS rate_ppm,
+        |""".stripMargin +
+      s"  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) > $PchartUcl AS above_ucl,\n" +
+      s"  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) < $PchartLcl AS below_lcl\n" +
+      "FROM wk CROSS JOIN tot ORDER BY week"),
 
     // Bands replay: quantile_cont ≡ percentile per month, 4dp.
     "q296_monthly_price_bands" ->
