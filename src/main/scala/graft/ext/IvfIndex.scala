@@ -265,23 +265,40 @@ object IvfIndex {
     * (rebuild) when drift degrades recall.
     */
   def append(spark: SparkSession, path: String, delta: DataFrame,
-             idCol: String, vecCol: String): Unit = {
+             idCol: String, vecCol: String,
+             labelCol: Option[String] = None): Unit = {
     val gf = graft.functions.GraftFunctions
     val cents = readCentroids(spark, path)
-    val quantized = spark.read.parquet(s"$path/corpus")
-      .columns.contains("codes")
-    val assigned = delta
-      .select(col(idCol).as("neighbor_id"),
-        Similarity.asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("cell",
-        gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+    val stored = spark.read.parquet(s"$path/corpus").columns
+    val quantized = stored.contains("codes")
+    // a LABELED index ([[IvfIndex.buildLabeled]]) partitions by
+    // (label, cell): the delta must carry labels too, or appended
+    // vectors would be invisible to every filtered search — refuse
+    // loudly rather than silently drop them from the label
+    // directories. Conversely a label on an unlabeled index would
+    // fork the directory layout.
+    val labeled = stored.contains("label")
+    require(labeled == labelCol.isDefined,
+      if (labeled) "index is label-partitioned — pass labelCol so the " +
+        "delta lands inside the label directories filtered search prunes"
+      else "index has no label partitioning — labelCol would fork the " +
+        "stored layout; rebuild with buildLabeled instead")
+    val base = delta.select(
+      Seq(col(idCol).as("neighbor_id"),
+          Similarity.asDouble(col(vecCol)).as("c_vec")) ++
+        labelCol.map(c => col(c).as("label")).toSeq: _*)
+    val assigned = base.withColumn("cell",
+      gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+    val parts = if (labeled) Seq("label", "cell") else Seq("cell")
     val out =
       if (quantized)
         assigned.withColumn("q", gf.int8Quantize(spark, col("c_vec")))
-          .select(col("neighbor_id"), col("q.scale").as("scale"),
-                  col("q.codes").as("codes"), col("cell"))
-      else assigned.select("neighbor_id", "c_vec", "cell")
-    out.write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+          .select((Seq(col("neighbor_id"), col("q.scale").as("scale"),
+                       col("q.codes").as("codes")) ++ parts.map(col)): _*)
+      else
+        assigned.select((Seq(col("neighbor_id"), col("c_vec")) ++
+          parts.map(col)): _*)
+    out.write.mode("append").partitionBy(parts: _*).parquet(s"$path/corpus")
   }
 
   /** Re-cluster a saved index into a FRESH GENERATION at `destPath` —
@@ -320,7 +337,11 @@ object IvfIndex {
         gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
       IvfIndex(cents, assigned).saveQuantized(destPath)
     } else {
-      val e = raw.select(col("neighbor_id"), col("c_vec"))
+      // a labeled float index recompacts with its labels — save()
+      // detects the column and keeps the (label, cell) layout
+      val cols = Seq(col("neighbor_id"), col("c_vec")) ++
+        (if (raw.columns.contains("label")) Seq(col("label")) else Nil)
+      val e = raw.select(cols: _*)
       val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
         nCentroids, kmeansSweeps, seedStrategy)
       val assigned = e.withColumn("cell",

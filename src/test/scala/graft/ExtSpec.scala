@@ -994,6 +994,47 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("labeled IvfIndex lifecycle: append requires labels and lands in label dirs; compact keeps them") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2 = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivflapp").toString
+    graft.ext.IvfIndex.buildLabeled(half1, "vec_id", "embedding", "label",
+      nCentroids = 8, kmeansSweeps = 2).save(dir)
+    // label-less append against a labeled layout must refuse loudly
+    // (silently dropping the delta from the label directories would
+    // make it invisible to every filtered search)
+    intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.append(spark, dir, half2, "vec_id", "embedding")
+    }
+    graft.ext.IvfIndex.append(spark, dir, half2, "vec_id", "embedding",
+      labelCol = Some("label"))
+    val appended = graft.ext.IvfIndex.load(spark, dir)
+    // full corpus visible to filtered search at exhaustive probes ==
+    // the exact pre-filtered scorer over everything
+    assert(rows(appended.searchFiltered(q, "vec_id", "embedding", "label",
+             k = 3, nProbe = 8)) ==
+           rows(Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+             "label", k = 3)),
+      "appended labeled index must cover the delta for filtered search")
+    // compaction keeps the (label, cell) layout and the same corpus
+    val dest = java.nio.file.Files.createTempDirectory("ivflcmp").toString
+    graft.ext.IvfIndex.compact(spark, dir, dest,
+      nCentroids = 8, kmeansSweeps = 2)
+    val neu = graft.ext.IvfIndex.load(spark, dest)
+    val labelDirs = new java.io.File(s"$dest/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(labelDirs.nonEmpty && labelDirs.forall(_.startsWith("label=")),
+      s"compacted labeled index lost its label layout: ${labelDirs.mkString(",")}")
+    assert(rows(neu.searchFiltered(q, "vec_id", "embedding", "label",
+             k = 3, nProbe = 8)) ==
+           rows(appended.searchFiltered(q, "vec_id", "embedding", "label",
+             k = 3, nProbe = 8)))
+  }
+
   test("IvfIndex.append: build(half)+append(half) ≡ build(full) at exhaustive probe; pruning intact") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
