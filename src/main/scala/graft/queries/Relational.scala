@@ -2136,12 +2136,33 @@ object Relational {
         Kernels.denseIndex(daily, Seq(col("day")), "t"))
       val a = idx.select(col("t").as("t1"), col("cents").as("c1"))
       val b = idx.select(col("t").as("t2"), col("cents").as("c2"))
-      val slopes = a.crossJoin(b).filter(col("t2") > col("t1"))
+      // broadcast one day-frame side: both are calendar-bounded, so
+      // the pair build is a map-side nested-loop expansion of the
+      // scanned side — never a partitioned cross join
+      val slopes = a.crossJoin(broadcast(b)).filter(col("t2") > col("t1"))
         .select(expr("CAST(c2 - c1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)")
           .as("__s"))
-      slopes.agg(count(lit(1)).as("n_pairs"),
-          expr("CAST(floor(percentile(__s, 0.5) * 1000000.0) AS BIGINT)")
-            .as("slope_micro_cents"))
+      // median via distributed SORT + rank pick, never percentile():
+      // exact percentile buffers every distinct double in a boxed
+      // hash map and sorts them single-threaded at eval — measured
+      // 9.5 s over the 2.9M slopes where the sort-rank path is ~1 s.
+      // Rank assignment among EQUAL slopes is order-invariant here
+      // (rank selection reads the VALUE), so the single-column
+      // denseIndex contract applies. The interpolation replays
+      // quantile_cont's formula on the identical picked doubles.
+      val nDays = idx.agg(max("t")).head().getLong(0) + 1
+      val nPairs = nDays * (nDays - 1) / 2
+      val pos = 0.5 * (nPairs - 1).toDouble
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      val frac = pos - lo // exactly 0.0 or 0.5
+      Kernels.denseIndex(slopes, Seq(col("__s").asc), "__r")
+        .filter(col("__r") === lo || col("__r") === hi)
+        .agg(min(when(col("__r") === lo, col("__s"))).as("__lov"),
+             min(when(col("__r") === hi, col("__s"))).as("__hiv"))
+        .select(lit(nPairs).as("n_pairs"),
+          expr(s"CAST(floor((__lov + $frac * (__hiv - __lov)) " +
+            "* 1000000.0) AS BIGINT)").as("slope_micro_cents"))
         .orderBy("n_pairs")
     }),
 
@@ -2241,6 +2262,63 @@ object Relational {
           expr(s"CAST(r AS DOUBLE) / CAST(n AS DOUBLE) < $PchartLcl")
             .as("below_lcl"))
         .orderBy("week")
+    }),
+
+    // ABC inventory classification — the Pareto working-capital
+    // census (q190's Lorenz deciles with the operational 80/95 cuts):
+    // parts ranked by revenue, class A = parts covering the first 80%
+    // of cumulative revenue, B to 95%, C the tail. The rank is the
+    // range-partitioned denseIndex total order and the cumulative
+    // revenue rides Kernels.prefixSum — both calendar/catalog-bounded
+    // shapes, never a single-partition window over the part catalog.
+    // Class boundaries compare exact integer cumulative cents against
+    // exact integer thresholds (cum·100 vs total·80).
+    "q303_abc_classification" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) " +
+          "* 100 + 0.5) AS BIGINT)")).as("cents"))
+      val ranked = Kernels.prefixSum(
+        Kernels.denseIndex(rev, Seq(col("cents").desc,
+          col("l_partkey").asc), "__i"),
+        Seq(col("__i").asc), Seq("cents"))
+      val tot = ranked.agg(max("cents_cum").as("tc"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("cents"),
+          when(col("cents_cum") * 100 <= col("tc") * 80, "A")
+            .when(col("cents_cum") * 100 <= col("tc") * 95, "B")
+            .otherwise("C").as("abc"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("class_cents"))
+        .crossJoin(broadcast(tot))
+        .withColumn("revenue_share_ppm",
+          expr("(class_cents * 1000000) div tc"))
+        .drop("tc")
+        .orderBy("abc")
+    }),
+
+    // New-vs-returning customer census per month — the BI split every
+    // growth dashboard opens with (q93's cohort matrix is the full
+    // retention grid; this is its month-grain margin): a customer is
+    // NEW in their first-order month, RETURNING after. First-order
+    // month via one customer-keyed aggregate joined back (bounded
+    // frames, exact integers).
+    "q304_new_vs_returning" -> ((s, d) => {
+      val om = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("date_format(o_orderdate, 'yyyy-MM')").as("m"))
+      val first = om.groupBy("o_custkey").agg(min("m").as("__fm"))
+      om.distinct()
+        .join(first, Seq("o_custkey"))
+        .groupBy(col("m").as("month"))
+        .agg(count(lit(1)).as("active_customers"),
+             sum(when(col("m") === col("__fm"), 1L).otherwise(0L))
+               .as("new_customers"))
+        .withColumn("returning_customers",
+          expr("active_customers - new_customers"))
+        .withColumn("new_share_ppm",
+          expr("(new_customers * 1000000) div active_customers"))
+        .orderBy("month")
     }),
 
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
@@ -3583,6 +3661,50 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // ABC replay: same revenue rank, window cumulative, integer
+    // threshold comparisons, per-class census.
+    "q303_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM rev),
+        |cls AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 100 <= tc * 80 THEN 'A'
+        |         WHEN cum * 100 <= tc * 95 THEN 'B'
+        |         ELSE 'C' END AS abc, tc
+        |  FROM r CROSS JOIN tot)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents,
+        |  (CAST(sum(cents) AS BIGINT) * 1000000) // tc
+        |    AS revenue_share_ppm
+        |FROM cls GROUP BY abc, tc ORDER BY abc""".stripMargin,
+
+    // New-vs-returning replay: same first-month join-back and
+    // month-grain censuses.
+    "q304_new_vs_returning" ->
+      """WITH om AS (
+        |  SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS fm FROM om GROUP BY 1)
+        |SELECT m AS month, CAST(count(*) AS BIGINT) AS active_customers,
+        |  CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_customers,
+        |  CAST(count(*) AS BIGINT) -
+        |    CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_customers,
+        |  (CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS new_share_ppm
+        |FROM om JOIN f USING (o_custkey)
+        |GROUP BY m ORDER BY month""".stripMargin,
 
     // Gains replay: same (cents desc, orderkey) total order via
     // row_number()−1, integer ntile, window cumulatives, floor-ppm.

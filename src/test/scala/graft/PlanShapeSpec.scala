@@ -139,6 +139,19 @@ class PlanShapeSpec extends AnyFunSuite {
       .mkString("\n"))
   }
 
+  test("q287 capped sessions: mapPartitions kernel — no window, no per-user collect") {
+    val p = plan("q287_capped_sessions")
+    // the span cap compares against the running session START — a
+    // recurrence lag() cannot express; a collect_list buffers a
+    // user's whole history on one row. The kernel is the
+    // secondary-sorted per-partition scan; neither node may appear.
+    assert(!p.contains("Window"), "sessionizer regressed to a window")
+    assert(!p.contains("collect_list"),
+      "sessionizer regressed to per-key collect")
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q280 interval coverage: one customer window, no per-key collect, top-k sort") {
     val p = plan("q280_interval_coverage")
     // the interval-union merge is a prefix-max window over the
