@@ -2321,6 +2321,45 @@ object Relational {
         .orderBy("month")
     }),
 
+    // Spearman rank correlation between basket size and order value —
+    // the monotone-association twin of q174's Pearson (robust to the
+    // heavy right tail order values have): Pearson over AVERAGE ranks,
+    // with ties handled exactly — 2·avgrank = 2·(count below) +
+    // count(ties) + 1 is an INTEGER, and Pearson is affine-invariant,
+    // so the whole statistic computes from exact integer double-ranks
+    // (decimal(38,0) moments, the q277 shared closed form — no double
+    // ever summed across an exchange). Rank frames are bounded by
+    // DISTINCT values and ride the range-partitioned prefixSum.
+    "q305_spearman_corr" -> ((s, d) => {
+      val xy = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("x"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"),
+              expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                .as("y")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("x", "y"))
+      def dblRanks(c: String) = Kernels.prefixSum(
+          xy.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c")),
+          Seq(col("__v").asc), Seq("__c"))
+        .select(col("__v").as(c),
+          (lit(2L) * col("__c_cum") - col("__c") + 1L).as(s"dr$c"))
+      val ranked = xy
+        .join(dblRanks("x"), Seq("x"))
+        .join(dblRanks("y"), Seq("y"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("drx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dry").cast("decimal(38,0)")).as("sy"),
+          sum((col("drx") * col("dry")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("drx") * col("drx")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("dry") * col("dry")).cast("decimal(38,0)")).as("syy"))
+        .selectExpr("n AS n_orders",
+          s"round($AssortText, 6) AS spearman")
+        .orderBy("n_orders")
+    }),
+
     // k-anonymity GENERALIZATION ladder — the release-prep step q152's
     // audit implies: walk the quasi-identifier ladder (priority+month
     // → priority+year → priority → everything) and pick the LEAST
@@ -3661,6 +3700,37 @@ object Relational {
         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Spearman replay: same integer double-ranks (window prefix count
+    // over the distinct-value frames), same shared Pearson form.
+    "q305_spearman_corr" -> (
+      """WITH xy AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS x,
+        |    CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey),
+        |rx AS (
+        |  SELECT x, 2 * CAST(sum(count(*)) OVER (ORDER BY x) AS BIGINT)
+        |    - CAST(count(*) AS BIGINT) + 1 AS drx
+        |  FROM xy GROUP BY x),
+        |ry AS (
+        |  SELECT y, 2 * CAST(sum(count(*)) OVER (ORDER BY y) AS BIGINT)
+        |    - CAST(count(*) AS BIGINT) + 1 AS dry
+        |  FROM xy GROUP BY y),
+        |r AS (
+        |  SELECT drx, dry FROM xy JOIN rx USING (x) JOIN ry USING (y)),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(drx AS HUGEINT)) AS sx,
+        |    sum(CAST(dry AS HUGEINT)) AS sy,
+        |    sum(CAST(drx AS HUGEINT) * CAST(dry AS HUGEINT)) AS sxy,
+        |    sum(CAST(drx AS HUGEINT) * CAST(drx AS HUGEINT)) AS sxx,
+        |    sum(CAST(dry AS HUGEINT) * CAST(dry AS HUGEINT)) AS syy
+        |  FROM r)
+        |SELECT n AS n_orders,
+        |""".stripMargin +
+      s"  round($AssortText, 6) AS spearman\n" +
+      "FROM mom ORDER BY n_orders"),
 
     // ABC replay: same revenue rank, window cumulative, integer
     // threshold comparisons, per-class census.

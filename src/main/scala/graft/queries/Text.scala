@@ -1857,6 +1857,27 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Dataset-card crosstab — the (source × lang) composition table a
+    // corpus release ships first (q154's manifest is per-shard; this
+    // is the content-mix margin): docs, exact token mass, floor-mean
+    // tokens per doc, and each cell's share of the corpus token mass
+    // in floor-ppm. One token-count scan, cell frame bounded by
+    // |sources|×|langs|.
+    "q306_dataset_card" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "x -> length(x) > 0)) AS BIGINT)").as("__n"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      val tot = cells.agg(sum("n_tokens").as("__tt"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_tokens_floor"),
+          expr("(n_tokens * 1000000) div __tt").as("token_share_ppm"))
+        .orderBy("source", "lang")
+    }),
+
     // Lexical-diversity census per source — type-token ratio and
     // hapax share, the vocabulary-health dials beside q98's entropy
     // and q196's Zipf slope (template-generated text shows low TTR;
@@ -4340,6 +4361,24 @@ object TextQueries {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
         |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Card replay: same non-empty token counts, cell censuses and
+    // floor shares.
+    "q306_dataset_card" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM cells)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  n_tokens // n_docs AS mean_tokens_floor,
+        |  (n_tokens * 1000000) // tt AS token_share_ppm
+        |FROM cells CROSS JOIN tot ORDER BY source, lang""".stripMargin,
 
     // Diversity replay: same per-source word counts and ratios.
     "q298_lexical_diversity" ->
