@@ -532,6 +532,60 @@ class KernelsSpec extends AnyFunSuite {
     assert(wide == got)
   }
 
+  test("cappedSessionize: hand case — gap and span-cap rules, key reset, partition invariance") {
+    // gap=10, cap=20. Key a: 0,8,16,24,32 are all sub-gap steps, but
+    // 24 sits 24 past the session START (0) — the cap must split
+    // there even though lag-style gaps never exceed 10; 60 then
+    // splits on idle. Key b shares a partition and must reset state.
+    val df = Seq(
+      ("a", 0L), ("a", 8L), ("a", 16L), ("a", 24L), ("a", 32L),
+      ("a", 60L), ("b", 100L), ("b", 131L)
+    ).toDF("k", "t")
+    def runWith(parts: Int) = {
+      val out = Kernels.cappedSessionize(df.repartition(parts), "k",
+          Seq("t"), "t", 10L, 20L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      out
+    }
+    val got = runWith(1)
+    assert(got(("a", 0L)) == 0L && got(("a", 8L)) == 0L &&
+      got(("a", 16L)) == 0L)
+    assert(got(("a", 24L)) == 24L, "span cap must split at 24")
+    assert(got(("a", 32L)) == 24L)
+    assert(got(("a", 60L)) == 60L, "idle gap must split at 60")
+    assert(got(("b", 100L)) == 100L, "key state must reset")
+    assert(got(("b", 131L)) == 131L, "31 > gap: b's second session")
+    assert(runWith(7) == got, "secondary sort owns the order")
+  }
+
+  test("cappedSessionize: one hot key with 200k rows stays constant-memory and correct") {
+    // the kernel's scale contract: a single user holding a partition's
+    // whole history is ONE sequential scan carrying two longs — no
+    // per-key buffering (a collect_list/window formulation would
+    // materialize the 200k-row history per key). Reference-checked
+    // against an in-memory replay of the recurrence.
+    val n = 200000
+    val rnd = new scala.util.Random(31)
+    val ts = Array.iterate(0L, n)(t => t + 1 + rnd.nextInt(30))
+    val df = spark.range(n).select(lit("hot").as("k"),
+        col("id").as("seq"))
+      .withColumn("t", udf((i: Long) => ts(i.toInt)).apply(col("seq")))
+    val got = Kernels.cappedSessionize(df, "k", Seq("t", "seq"), "t",
+        20L, 1000L)
+      .orderBy("t").collect().map(_.getLong(3))
+    var ss = ts(0); var prev = ts(0)
+    val want = ts.map { t =>
+      if (t != ts(0)) {
+        if (t - prev > 20L || t - ss > 1000L) ss = t
+      }
+      prev = t
+      ss
+    }
+    assert(got.length == n)
+    assert(java.util.Arrays.equals(got, want))
+  }
+
   test("covisitPairs: maxItemsPerUser bounds a power user at C(N,2) pairs") {
     // one power user with 100 items (recency = item id: higher is more
     // recent), one small user with 3 — the q247 skew shape
