@@ -2003,6 +2003,43 @@ object Relational {
         .orderBy("n_edges")
     }),
 
+    // Revenue-rank churn between period halves — "the biggest movers
+    // in the rankings" (q272's WoW movers count events; this ranks a
+    // CATALOG and measures rank displacement, the merchandising /
+    // popularity-drift view): parts ranked by revenue within each
+    // half of the order-date span (exact cents, the range-partitioned
+    // denseIndex total order with part-key tie-break), inner-joined
+    // on the part, top-10 by |rank delta| with integer tie-breaks.
+    // Rank frames are catalog-bounded.
+    "q284_rank_churn" -> ((s, d) => {
+      val base = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            expr("datediff(to_date(o_orderdate), DATE'1990-01-01')")
+              .as("__us"),
+            expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 " +
+              "+ 0.5) AS BIGINT)").as("__c")))
+      val mid = base.agg(
+        expr("(min(__us) + max(__us)) div 2").as("__mid"))
+      val halves = graft.ops.Staging.stage(
+        base.crossJoin(broadcast(mid))
+          .groupBy("l_partkey")
+          .agg(sum(when(col("__us") < col("__mid"), col("__c"))
+                 .otherwise(0L)).as("c1"),
+               sum(when(col("__us") >= col("__mid"), col("__c"))
+                 .otherwise(0L)).as("c2")))
+      def ranked(c: String, out: String) = Kernels.denseIndex(
+          halves.filter(col(c) > 0).select(col("l_partkey"), col(c)),
+          Seq(col(c).desc, col("l_partkey").asc), out)
+        .select(col("l_partkey"), (col(out) + 1L).as(out))
+      ranked("c1", "r1").join(ranked("c2", "r2"), Seq("l_partkey"))
+        .select(col("l_partkey"), col("r1"), col("r2"),
+          (col("r2") - col("r1")).as("rank_delta"))
+        .orderBy(abs(col("rank_delta")).desc, col("l_partkey"))
+        .limit(10)
+    }),
+
     // Tukey-fence outlier census per nation — the per-group
     // data-cleaning pass q149's global robust stats imply: exact
     // quartiles per (bounded) nation group, 1.5·IQR fences, integer
@@ -3882,6 +3919,35 @@ object Relational {
         |  CAST(floor(quantile_cont(sl, 0.5) * 1000000.0) AS BIGINT)
         |    AS slope_micro_cents
         |FROM s ORDER BY n_pairs""".stripMargin,
+
+    // Churn replay: same midpoint split, per-half revenue ranks via
+    // row_number over the identical total order, |delta| top-10.
+    "q284_rank_churn" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |    datediff('day', DATE '1990-01-01', o_orderdate) AS us,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM base),
+        |h AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CASE WHEN us < mid THEN c ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN us >= mid THEN c ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM base CROSS JOIN m GROUP BY 1),
+        |r1 AS (
+        |  SELECT l_partkey, CAST(row_number() OVER (
+        |    ORDER BY c1 DESC, l_partkey) AS BIGINT) AS r1
+        |  FROM h WHERE c1 > 0),
+        |r2 AS (
+        |  SELECT l_partkey, CAST(row_number() OVER (
+        |    ORDER BY c2 DESC, l_partkey) AS BIGINT) AS r2
+        |  FROM h WHERE c2 > 0)
+        |SELECT l_partkey, r1, r2, r2 - r1 AS rank_delta
+        |FROM r1 JOIN r2 USING (l_partkey)
+        |ORDER BY abs(r2 - r1) DESC, l_partkey LIMIT 10""".stripMargin,
 
     // Fence replay: quantile_cont ≡ percentile (the q40 pairing),
     // identical fence arithmetic, integer censuses.
