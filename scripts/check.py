@@ -33,8 +33,16 @@ def cell_key(v):
     if isinstance(v, bool):
         return (1, "1" if v else "0")
     if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
-        return (2, f"{Decimal(v):+040f}")
+        # normalize() so numerically-equal Decimals of different SCALE
+        # (Decimal('5.0') vs Decimal('5')) key identically — otherwise
+        # the two sides sort equal multisets into different row orders
+        # and the typed compare reports mismatches on misaligned rows
+        # ('f' format re-expands normalize()'s exponent form, so
+        # Decimal('500').normalize() == 5E+2 still keys as '500')
+        return (2, f"{Decimal(v).normalize():+040f}")
     if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 vs +0.0 into one key
         return (2, f"{v:+.17e}" if v == v else "nan")
     if isinstance(v, (list, tuple)):
         return (3, str([cell_key(x) for x in v]))

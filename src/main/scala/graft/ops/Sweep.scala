@@ -69,23 +69,31 @@ object Sweep {
 
   /** Run `body` (a materializing action whose plan is already fully
     * determined — [[GraftPartitionedCheckpoint]]'s pin pass) with AQE
-    * disabled, restoring the prior setting after. A pin's terminal
-    * exchange is explicitly sized (`repartition(n, key)` — a
-    * user-specified count AQE may not change) and its inputs are
-    * prior pinned checkpoint RDDs, not shuffle files — so AQE's two
-    * tools, partition coalescing and skew-splitting, are both
-    * INAPPLICABLE (it cannot split or merge a cached RDD partition,
-    * and may not resize the user-specified exchange). What remains is
-    * only its cost: one scheduler job per materialized query stage,
-    * ×2–3 per pin (measured r15 on the sweep class: q90 16→10 jobs,
-    * q121 25→14, q168 22→16, q192 22→13 at identical hashes and flat
-    * wall — at 1000 executors each job is a full driver scheduling
-    * round-trip per sweep, pure overhead for a plan with nothing left
-    * to re-decide), plus the known layout-erasure hazard on cached
-    * plans (the r13 canChangeCachedPlanOutputPartitioning trap).
-    * Terminal sweep plans and their consumers run OUTSIDE the wrapper
-    * and keep AQE — aggregations over unknown-size results are where
-    * runtime re-planning actually has information to use.
+    * disabled, restoring the prior setting after. Why AQE has nothing
+    * to decide ANYWHERE in a pin's plan, including the FIRST pin of a
+    * sweep whose upstream reads raw tables (the wrapper covers the
+    * whole action, not just the terminal exchange):
+    *  - the terminal `repartition(n, key)` is a user-specified count
+    *    AQE may not resize;
+    *  - later pins' join inputs are prior checkpoint RDDs with
+    *    DECLARED partitioning, so they enter joins without a shuffle
+    *    stage — and AQE's skew-join split requires shuffle stages on
+    *    BOTH sides (it cannot split a cached-RDD partition);
+    *  - first-pin upstreams are groupBy AGGREGATES, and AQE has no
+    *    skew remedy for aggregate shuffles at all (OptimizeSkewedJoin
+    *    is join-only); coalescing an intermediate aggregate exchange
+    *    only to re-expand into the fixed-count repartition saves
+    *    nothing.
+    * What remains is only AQE's cost: one scheduler job per
+    * materialized query stage, ×2–3 per pin (measured r15 on the
+    * sweep class: q90 16→10 jobs, q121 25→14, q168 22→16, q192 22→13
+    * at identical hashes and flat wall — at 1000 executors each job
+    * is a full driver scheduling round-trip per sweep), plus the
+    * known layout-erasure hazard on cached plans (the r13
+    * canChangeCachedPlanOutputPartitioning trap). Terminal sweep
+    * plans and their consumers run OUTSIDE the wrapper and keep AQE —
+    * joins/aggregations over unknown-size results are where runtime
+    * re-planning actually has information to use.
     *
     * Session-scoped config: concurrent queries on the same session
     * during the body would also run non-adaptively (harmless for

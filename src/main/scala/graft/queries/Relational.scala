@@ -2235,9 +2235,15 @@ object Relational {
           sum("n_orders").over(w).as("cum_orders"),
           sum("n_returned").over(w).as("cum_returned"),
           col("n"), col("tr"))
+        // lift products in decimal(38,0): cum_returned·n·10⁶ exceeds
+        // Long before TPC-H SF10 (Spark would wrap silently with ANSI
+        // off; the oracle would error) — div on decimals still emits
+        // BIGINT, and the ppm results are small
         .select(col("decile"), col("n_orders"), col("n_returned"),
-          expr("(cum_returned * 1000000) div tr").as("cum_capture_ppm"),
-          expr("((cum_returned * n) * 1000000) div (cum_orders * tr)")
+          expr("(CAST(cum_returned AS DECIMAL(38,0)) * 1000000) div tr")
+            .as("cum_capture_ppm"),
+          expr("(CAST(cum_returned AS DECIMAL(38,0)) * n * 1000000) " +
+            "div (CAST(cum_orders AS DECIMAL(38,0)) * tr)")
             .as("cum_lift_ppm"))
         .orderBy("decile")
     }),
@@ -3837,11 +3843,11 @@ object Relational {
         |    CAST(sum(r) AS BIGINT) AS n_returned, n, tr
         |  FROM idx CROSS JOIN tot GROUP BY 1, n, tr)
         |SELECT decile, n_orders, n_returned,
-        |  (CAST(sum(n_returned) OVER w AS BIGINT) * 1000000) // tr
-        |    AS cum_capture_ppm,
-        |  ((CAST(sum(n_returned) OVER w AS BIGINT) * n) * 1000000)
-        |    // (CAST(sum(n_orders) OVER w AS BIGINT) * tr)
-        |    AS cum_lift_ppm
+        |  CAST((CAST(sum(n_returned) OVER w AS HUGEINT) * 1000000) // tr
+        |    AS BIGINT) AS cum_capture_ppm,
+        |  CAST((CAST(sum(n_returned) OVER w AS HUGEINT) * n * 1000000)
+        |    // (CAST(sum(n_orders) OVER w AS HUGEINT) * tr)
+        |    AS BIGINT) AS cum_lift_ppm
         |FROM dec
         |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
         |             AND CURRENT ROW)

@@ -1926,8 +1926,11 @@ object TextQueries {
       val cx = train.groupBy("w1").agg(count(lit(1)).as("c1"))
       val v = toks.filter(pmod(col("doc_id"), lit(2L)) === 0)
         .agg(countDistinct("w").as("v"))
+      // explicit DOUBLE casts (the q293 rule): Spark's bare 1.0 is a
+      // DECIMAL literal and decimal division quantizes where DuckDB's
+      // returns double — double + 1.0 stays double on both engines
       val nanoTerm = "CAST(floor(1000000000.0 * " +
-        "ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v))) AS BIGINT)"
+        "ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE))) AS BIGINT)"
       val thr = train
         .join(broadcast(cxy), Seq("w1", "w2"), "left")
         .join(broadcast(cx), Seq("w1"), "left")
@@ -2029,21 +2032,29 @@ object TextQueries {
       var picked = Seq.empty[Long]
       var rows = Seq.empty[(Long, Long, Long, Long)]
       var covered = 0L
-      for (t <- 1 to 3) {
+      var exhausted = false
+      for (t <- 1 to 3 if !exhausted) {
         val remaining =
           if (picked.isEmpty) grams
           else grams.filter(!col("doc_id").isin(picked: _*))
             .join(grams.filter(col("doc_id").isin(picked: _*))
                     .select("g").distinct(),
                   Seq("g"), "left_anti")
-        val r = remaining.groupBy("doc_id")
+        // headOption, not head: when coverage is exhausted (fewer than
+        // 3 gram-bearing docs, or the picks already cover every gram)
+        // the oracle's later step CTEs are simply empty — emit fewer
+        // rows, never crash the run on an empty argmax
+        remaining.groupBy("doc_id")
           .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .collect().head
-        val (id, gain) = (r.getLong(0), r.getLong(1))
-        picked :+= id
-        covered += gain
-        rows :+= ((t.toLong, id, gain, covered))
+          .collect().headOption match {
+          case Some(r) =>
+            val (id, gain) = (r.getLong(0), r.getLong(1))
+            picked :+= id
+            covered += gain
+            rows :+= ((t.toLong, id, gain, covered))
+          case None => exhausted = true
+        }
       }
       rows.toDF("step", "doc_id", "gain", "covered_total")
         .orderBy("step")
@@ -4429,7 +4440,7 @@ object TextQueries {
         |       FROM tok WHERE doc_id % 2 = 0),
         |thr AS (
         |  SELECT (-sum(CAST(floor(1000000000.0 *
-        |      ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
+        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
         |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS thr_nano
         |  FROM tr b
         |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
@@ -4438,7 +4449,7 @@ object TextQueries {
         |docs AS (
         |  SELECT b.doc_id, b.source,
         |    (-sum(CAST(floor(1000000000.0 *
-        |      ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)))
+        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
         |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS doc_nll
         |  FROM b2 b
         |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2

@@ -41,6 +41,11 @@ object GraftPartitionedCheckpoint {
     * are the caller's to release (see
     * [[graft.ops.Staging.stageCheckpoint]]). */
   def apply(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
+    // BEFORE any work: an empty key list must fail here, not in the
+    // post-materialization declaration — by then a full checkpoint
+    // job has run and its blocks are cached but never registered for
+    // release (callers stage only on successful return)
+    require(keys.nonEmpty, "need at least one key")
     require(numPartitions > 0, "need a positive partition count")
     val ck = graft.ops.Sweep.withoutAqe(
         df.sparkSession.asInstanceOf[SparkSession]) {
@@ -67,6 +72,7 @@ object GraftPartitionedCheckpoint {
     * counting action — and declares the partitioning the same way. */
   def withCount(df: DataFrame, keys: Seq[String],
                 numPartitions: Int): (DataFrame, Long) = {
+    require(keys.nonEmpty, "need at least one key") // see apply()
     require(numPartitions > 0, "need a positive partition count")
     val spark = df.sparkSession.asInstanceOf[SparkSession]
     val (rep, rdd, n) = graft.ops.Sweep.withoutAqe(spark) {
