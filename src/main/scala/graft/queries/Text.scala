@@ -1677,7 +1677,11 @@ object TextQueries {
         .join(broadcast(cx), Seq("w1"))
         .crossJoin(broadcast(v))
         .select(col("doc_id"), col("source"),
-          expr("CAST(floor(1000000000.0 * ln((c12 + 1.0) / (c1 + v))) " +
+          // explicit DOUBLE casts (the q293/q291 rule): a bare 1.0 is
+          // a DECIMAL literal and Spark's decimal division quantizes
+          // at a clamped scale where DuckDB's returns double
+          expr("CAST(floor(1000000000.0 * " +
+            "ln((CAST(c12 AS DOUBLE) + 1.0) / CAST(c1 + v AS DOUBLE))) " +
             "AS BIGINT)").as("nano"))
         .groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs"),
@@ -4186,7 +4190,8 @@ object TextQueries {
         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
         |t AS (
         |  SELECT b.doc_id, b.source,
-        |    CAST(floor(1000000000.0 * ln((cxy.c12 + 1.0) / (cx.c1 + vv.v)))
+        |    CAST(floor(1000000000.0 * ln((CAST(cxy.c12 AS DOUBLE) + 1.0)
+        |      / CAST(cx.c1 + vv.v AS DOUBLE)))
         |      AS BIGINT) AS nano
         |  FROM b2 b
         |  JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
