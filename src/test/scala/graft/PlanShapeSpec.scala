@@ -139,6 +139,23 @@ class PlanShapeSpec extends AnyFunSuite {
       .mkString("\n"))
   }
 
+  test("q297 Theil–Sen: broadcast pair expansion, sort+rank median — never percentile()") {
+    val df = SparkEntry.queries("q297_theil_sen")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    graft.ops.Staging.releaseAll()
+    // the median must be the distributed sort + rank pick: exact
+    // percentile() buffers every distinct slope in a boxed hash map
+    // and sorts single-threaded at eval (measured 9.5 s over 2.9M
+    // slopes at sf0.1 vs ~1 s for this shape)
+    assert(!p.contains("percentile("), "median regressed to percentile()")
+    // no partitioned cartesian anywhere in the visible plan (the
+    // broadcast pair expansion itself executes inside the rank
+    // frame's RDD-backed denseIndex build, behind Scan ExistingRDD —
+    // not printable from here, so only the negative is pinnable)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q287 capped sessions: mapPartitions kernel — no window, no per-user collect") {
     val p = plan("q287_capped_sessions")
     // the span cap compares against the running session START — a
