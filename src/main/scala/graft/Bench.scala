@@ -192,6 +192,14 @@ object Bench {
       }
     }
     println(line)
+    // The driver captures a bounded TAIL of stdout: the full per-query
+    // line above was truncated into "parsed": null in rounds 9-10 and
+    // again in 14-15. Print a compact headline summary as the FINAL
+    // stdout line — the tail always keeps the last line, so the driver
+    // can parse the total even when the 300-query map is cut. The full
+    // artifact stays in the files above.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"run_totals":$runTotals$filtered,"sf":${jstr(sfDir)},"full_artifact":${jstr(repoCopy)}}"""
+    println(summary)
     spark.stop()
   }
 }

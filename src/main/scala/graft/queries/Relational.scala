@@ -1874,9 +1874,12 @@ object Relational {
       val mom = pairs.agg(count(lit(1)).as("n"),
         sum(col("dx").cast("decimal(38,0)")).as("sx"),
         sum(col("dy").cast("decimal(38,0)")).as("sy"),
-        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+        // operands cast BEFORE the multiply: a Long*Long product wraps
+        // silently past ~2^63 (ANSI off) long before the decimal sum
+        // would — the envelope must start at the product
+        sum(col("dx").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)")).as("sxy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx").cast("decimal(38,0)")).as("sxx"),
+        sum(col("dy").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)")).as("syy"))
       val st = deg.agg(count(lit(1)).as("n_nodes"),
         max("dg").as("max_degree"))
       mom.crossJoin(broadcast(st))
@@ -1995,7 +1998,8 @@ object Relational {
           (coalesce(col("__dc"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
             .as("__d"))
         .agg(count(lit(1)).as("n_nations"),
-             sum((col("__d") * col("__d")).cast("decimal(38,0)"))
+             // cast-then-multiply: the Long product itself wraps at scale
+             sum(col("__d").cast("decimal(38,0)") * col("__d").cast("decimal(38,0)"))
                .cast("long").as("sum_deg_sq"))
       base.crossJoin(broadcast(deg))
         .selectExpr("n_nations", "m AS n_edges", "w AS within_edges",
@@ -2395,9 +2399,11 @@ object Relational {
       ranked.agg(count(lit(1)).as("n"),
           sum(col("drx").cast("decimal(38,0)")).as("sx"),
           sum(col("dry").cast("decimal(38,0)")).as("sy"),
-          sum((col("drx") * col("dry")).cast("decimal(38,0)")).as("sxy"),
-          sum((col("drx") * col("drx")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("dry") * col("dry")).cast("decimal(38,0)")).as("syy"))
+          // cast-then-multiply (q295/q300 pattern): dense-rank doubles
+          // reach ~2n, so drx*dry in Long wraps near n ~ 2^31 rows
+          sum(col("drx").cast("decimal(38,0)") * col("dry").cast("decimal(38,0)")).as("sxy"),
+          sum(col("drx").cast("decimal(38,0)") * col("drx").cast("decimal(38,0)")).as("sxx"),
+          sum(col("dry").cast("decimal(38,0)") * col("dry").cast("decimal(38,0)")).as("syy"))
         .selectExpr("n AS n_orders",
           s"round($AssortText, 6) AS spearman")
         .orderBy("n_orders")
