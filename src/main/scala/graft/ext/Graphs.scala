@@ -46,7 +46,30 @@ object Graphs {
     * both walk directions are then unique by construction). */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
                iterations: Int = 3, damping: Double = 0.85,
-               dedupEdges: Boolean = true): DataFrame = {
+               dedupEdges: Boolean = true): DataFrame =
+    // Terminal pin (r16): the k-sweep fold below is LAZY, so under AQE
+    // the consumer's action materialized every sweep's mass shuffle as
+    // its own scheduler job (~2 jobs/sweep measured on q90). AQE has
+    // nothing to decide anywhere in the fold — every join has a
+    // declared-partitioning checkpoint side (skew-join needs shuffle
+    // stages on BOTH sides), every shuffle is an aggregate exchange
+    // (no AQE skew remedy exists for aggregates), and coalescing one
+    // would break its co-location against the fixed-count checkpoint —
+    // so materializing the fold through [[pin]] (which scopes AQE off)
+    // collapses the whole chain into ONE job and hands consumers a
+    // node-sized frame with its hash(node) partitioning declared.
+    // Values are bit-identical: the pin only adds a repartition over
+    // the same expressions. Plan introspection uses [[pageRankLazy]].
+    pin(pageRankLazy(edges, aCol, bCol, iterations, damping, dedupEdges),
+        "node")
+
+  /** The lazy (unpinned) fold behind [[pageRank]] — kept separate so
+    * specs/tools can assert the per-sweep exchange shape on the
+    * executable plan (a pinned result is a bare checkpoint scan). */
+  private[graft] def pageRankLazy(
+      edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int, damping: Double,
+      dedupEdges: Boolean): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // Symmetrize with ONE read of `edges` (explode of both
     // orientations). The r12 union form read the caller's edge
@@ -118,7 +141,15 @@ object Graphs {
     */
   def pageRankWeighted(edges: DataFrame, aCol: String, bCol: String,
                        wCol: String, iterations: Int = 3,
-                       damping: Double = 0.85): DataFrame = {
+                       damping: Double = 0.85): DataFrame =
+    // terminal pin: one non-AQE job for the whole fold — see
+    // [[pageRank]]'s argument (identical fold shape, weighted mass)
+    pin(pageRankWeightedLazy(edges, aCol, bCol, wCol, iterations, damping),
+        "node")
+
+  private[graft] def pageRankWeightedLazy(
+      edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // same sweep shape as [[pageRank]]: one-pass symmetrization,
     // partitioning-declared checkpoints, driver-side N, one
@@ -171,7 +202,10 @@ object Graphs {
     // map-side only, and round 1's join is already co-located
     val init = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    (1 to iterations).foldLeft(init) { (labels, _) =>
+    // terminal pin: the whole fold runs as ONE non-AQE job (the
+    // [[pageRank]] argument — per-round shuffles are aggregate
+    // exchanges whose counts are fixed by co-location against sym)
+    pin((1 to iterations).foldLeft(init) { (labels, _) =>
       // per-dst argmax via min_by over (-cnt, label): smallest negated
       // count = most frequent, tie -> smallest label — identical
       // semantics to the r12 window top-1, in a plain aggregate (no
@@ -186,7 +220,7 @@ object Graphs {
         .agg(min_by(col("label"),
           struct((-col("cnt")).as("nc"), col("label"))).as("label"))
         .select(col("dst").as("node"), col("label"))
-    }
+    }, "node")
   }
 
   /** Enumerate triangles of an undirected graph: input pairs are
@@ -279,20 +313,23 @@ object Graphs {
     // re-exchange of either input (the checkpoint alone reported
     // unknown partitioning and re-shuffled both)
     val init0 = pin(init, "node")
-    val terminal = (1 to maxHops).foldLeft(init0) { (dist, _) =>
+    def relaxMerge(dist: DataFrame): DataFrame = {
+      // hint("merge"): the co-located SMJ this operator's layout is
+      // designed for — see [[kCore]]'s note on why a broadcast of the
+      // node frame both breaks at 100 TB and races the chunk's staged
+      // intermediates at small SF
       val relaxed = sym
-        .join(dist, col("src") === col("node"))
+        .join(dist.hint("merge"), col("src") === col("node"))
         .groupBy("dst").agg((min(col("hops")) + 1L).as("__nh"))
-      val next = dist
+      dist
         .join(relaxed, col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("hops"), col("__nh")),
                       coalesce(col("__nh"), col("hops"))).as("hops"))
-      val ck = pin(next, "node")
-      graft.ops.Staging.dropCheckpoint(dist)
-      ck
     }
-    terminal
+    // Chunked pin cadence (r15 verdict): 2-3 sweeps per checkpoint
+    // with staged intermediates — see [[graft.ops.Sweep.foldPinned]]
+    graft.ops.Sweep.foldPinned(init0, maxHops, Seq("node"))(relaxMerge)
   }
 
   /** k-core peeling: repeatedly remove nodes of degree < k (and
@@ -316,24 +353,44 @@ object Graphs {
             k: Int, sweeps: Int): DataFrame = {
     require(k >= 1 && sweeps >= 1, "k and sweeps must be >= 1")
     val init = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
-    (1 to sweeps).foldLeft(init) { (e, _) =>
-      // e is pinned on src, so the degree aggregate is map-side and
-      // the src-endpoint semi-join co-locates for free; the
-      // dst-endpoint semi-join re-keys the (shrinking) edge frame —
-      // the one inherent per-sweep edge exchange of degree peeling
-      // (both endpoints must be filtered, and they live under
-      // different keys). The pin's repartition then restores the src
-      // layout for the next sweep.
-      val keep = graft.ops.Staging.stage(
-        e.groupBy("src").agg(count(lit(1)).as("__deg"))
-          .filter(col("__deg") >= k).select(col("src").as("__keep")))
-      val survived = e
-        .join(keep, col("src") === col("__keep"), "left_semi")
-        .join(keep, col("dst") === col("__keep"), "left_semi")
-      val ck = pin(survived, "src")
-      graft.ops.Staging.dropCheckpoint(e)
-      ck
+    // One peel: degree filter on both endpoints. On a frame laid out
+    // hash(src) the degree aggregate is map-side and the src-endpoint
+    // semi-join co-locates for free; the dst-endpoint semi-join re-keys
+    // the (shrinking) edge frame — the one inherent per-sweep edge
+    // exchange of degree peeling (both endpoints must be filtered, and
+    // they live under different keys).
+    def peel(e: DataFrame): DataFrame = {
+      // keep is consumed by BOTH semi-joins: seal it with a
+      // repartition EXCHANGE (node-sized) so ReuseExchange runs its
+      // build once and both joins read the same shuffle files — a
+      // persist here compiles an AQE cache child that spawns its own
+      // stage jobs inside the pin, and its narrow consumers raced to
+      // fill it (see Sweep.foldPinned's scaladoc)
+      val n = edges.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= k).select(col("src").as("__keep"))
+          .repartition(n, col("__keep"))
+      // hint("merge"): at small SF Spark would BROADCAST the node-sized
+      // keep frame — and under non-AQE every broadcast future of a
+      // chunk's plan starts building CONCURRENTLY, so the chunk's
+      // staged intermediates were computed by racing broadcast jobs
+      // before any cache partition landed (measured: q192 tasks
+      // 553->1039 under a 3-peel chunk). SMJ is also the only join
+      // that exists at 100 TB (a graph's node list does not broadcast)
+      // and the src side co-locates for free against the declared
+      // hash(src) layout.
+      e.join(keep.hint("merge"), col("src") === col("__keep"), "left_semi")
+        .join(keep.hint("merge"), col("dst") === col("__keep"), "left_semi")
     }
+    // Chunked pin cadence (r15 verdict — [[graft.ops.Sweep.foldPinned]]).
+    // Shuffle volume is unchanged vs pin-per-sweep: an intra-chunk
+    // peel's src-side exchange replaces the pin repartition the
+    // per-sweep shape paid. Degree aggregates over a staged (dst-keyed)
+    // intermediate are partial-aggregated map-side, so their exchanges
+    // stay node-sized; the staged frames themselves are edge-sized —
+    // the chunk cap (<= 3) bounds live caches to two edge frames.
+    graft.ops.Sweep.foldPinned(init, sweeps, Seq("src"))(peel)
   }
 
   /** Single-source (or multi-source) shortest path over an undirected
@@ -362,20 +419,19 @@ object Graphs {
     val init = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
     val init0 = pin(init, "node")
-    val terminal = (1 to maxSweeps).foldLeft(init0) { (dist, _) =>
+    def relaxMerge(dist: DataFrame): DataFrame = {
+      // hint("merge") — see [[bfsHops]]
       val relaxed = sym
-        .join(dist, col("src") === col("node"))
+        .join(dist.hint("merge"), col("src") === col("node"))
         .groupBy("dst").agg(min(col("dist") + col("w")).as("__nd"))
-      val next = dist
+      dist
         .join(relaxed, col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("dist"), col("__nd")),
                       coalesce(col("__nd"), col("dist"))).as("dist"))
-      val ck = pin(next, "node")
-      graft.ops.Staging.dropCheckpoint(dist)
-      ck
     }
-    terminal
+    // chunked pin cadence — see [[graft.ops.Sweep.foldPinned]]
+    graft.ops.Sweep.foldPinned(init0, maxSweeps, Seq("node"))(relaxMerge)
   }
 
   /** PageRank over a DIRECTED edge list, safe for graphs with sinks:
@@ -432,24 +488,27 @@ object Graphs {
       .select(col("node"), col("__dang"), lit(1.0 / n).as("pr"))
     // Each sweep references the prior rank frame twice (the D
     // filter-aggregate and the mass join), so a lazy lineage
-    // compounds per iteration — the eager localCheckpoint
-    // (the CC-sweep idiom) pins every sweep to a constant-size plan;
-    // superseded checkpoints are dropped once the successor exists.
-    // init is checkpointed ONCE; each sweep then checkpoints only its
-    // OUTPUT (checkpointing the input again would re-materialize the
-    // previous sweep's already-bare checkpoint scan — measured as
-    // ~2x the per-sweep job count when first written).
-    val init0 = pin(init, "node")
-    val terminal = (1 to iterations).foldLeft(init0) { (prS, _) =>
+    // compounds per iteration — periodic eager localCheckpoints (the
+    // CC-sweep idiom) bound the plan; superseded checkpoints are
+    // dropped once the successor exists. Since r16 the cadence is TWO
+    // sweeps per checkpoint (r15 verdict): the pair's intermediate
+    // rank frame is STAGED (persist — materializes inside the pair's
+    // pin job, no extra scheduler job, partitioning visible because
+    // the pin runs non-AQE), so its two consumers still evaluate it
+    // once, and half the pin jobs disappear. init itself is NOT
+    // pinned any more: it is a map-side projection of the pinned
+    // nodesF, so re-evaluating it costs a checkpoint scan — the r14
+    // shape paid a whole checkpoint job to avoid that scan.
+    def sweep(prS: DataFrame): DataFrame = {
       // the one per-sweep broadcast scalar: D is a plain
-      // filter-aggregate over the pinned rank frame (the static
-      // __dang flag replaces the per-sweep anti-join and its nested
-      // outdeg broadcast; N is a driver literal since r13). The
-      // addends of D are the same pr values the anti-join summed, so
-      // every IEEE value (and the oracle replay) is bit-identical.
+      // filter-aggregate over the rank frame (the static __dang flag
+      // replaces the per-sweep anti-join and its nested outdeg
+      // broadcast; N is a driver literal since r13). The addends of D
+      // are the same pr values the anti-join summed, so every IEEE
+      // value (and the oracle replay) is bit-identical.
       val consts = prS.filter(col("__dang"))
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-      val next = nodesF.join(
+      nodesF.join(
           adj.join(prS, col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
           col("node") === col("dst"), "left")
@@ -458,11 +517,9 @@ object Graphs {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__mass"), lit(0.0)) +
               col("__dm") / lit(n))).as("pr"))
-      val ck = pin(next, "node")
-      graft.ops.Staging.dropCheckpoint(prS)
-      ck
     }
-    terminal.join(outdeg, col("node") === col("src"), "left")
+    graft.ops.Sweep.foldPinned(init, iterations, Seq("node"))(sweep)
+      .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"),
               col("pr"))
   }

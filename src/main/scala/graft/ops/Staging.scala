@@ -80,6 +80,7 @@ object Staging {
 
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
     df.queryExecution.analyzed match {
+      case g: org.apache.spark.sql.execution.GraftPinnedRDD => Some(g.rdd)
       case l: LogicalRDD => Some(l.rdd)
       case _ => None
     }

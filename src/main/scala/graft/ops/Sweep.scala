@@ -67,6 +67,73 @@ object Sweep {
     (ck, rows)
   }
 
+  /** Run `total` sweeps of `step` from `init`, checkpointing every
+    * CHUNK of sweeps rather than every sweep (r15 verdict: on small
+    * graphs the sweep class's cost is per-job scheduling — each pin is
+    * one scheduler job, so halving the pin cadence halves that cost;
+    * at 1000 executors each job is a full driver scheduling
+    * round-trip).
+    *
+    * Cadence: chunks of 2, except the final chunk absorbs a trailing
+    * odd sweep (sizes [2,2,...,2] or [2,...,2,3]; a total <= 3 is one
+    * chunk). A trailing singleton pin would spend a whole scheduler
+    * job to materialize one lazy sweep — merging it into the prior
+    * chunk is free because every intra-chunk intermediate is STAGED
+    * (persist): its consumers (each sweep reads its predecessor 2-3
+    * times — relax+merge joins, D-aggregate+mass join, degree
+    * aggregate+both semi-joins) evaluate it once, the cache
+    * materializes inside the chunk's single pin job (which runs
+    * non-AQE via [[pin]], so the cache's partitioning stays visible
+    * and intra-chunk joins still co-locate), and no extra job is paid.
+    * Lineage stays bounded: every chunk roots at the previous
+    * checkpoint, and at most two intermediate caches are live per
+    * chunk (released by the harness's releaseAll).
+    *
+    * Superseded checkpoints are dropped once their successor is
+    * material; a lazy (non-checkpoint) `init` is left untouched
+    * ([[Staging.dropCheckpoint]] is a no-op for it).
+    *
+    * NOT used by convergence-gated loops (Dedup.connectedComponents):
+    * those must observe a per-sweep fixpoint count, so their sweeps
+    * cannot blind-compose — the count IS the pin's materializing
+    * action there. */
+  def foldPinned(init: DataFrame, total: Int, keys: Seq[String])
+                (step: DataFrame => DataFrame): DataFrame = {
+    require(total >= 1, "total sweeps must be >= 1")
+    // Intra-chunk intermediates are sealed with a repartition(n, keys)
+    // EXCHANGE, not a persist: a cached frame is a NARROW dependency,
+    // so its multiple consumer stages each embed its compute and the
+    // DAGScheduler runs those stages concurrently — the consumers RACE
+    // to fill the cache and the sweep is computed once per consumer
+    // (measured: q192 tasks 457->1033 with persisted intermediates; an
+    // AQE-on persist additionally wraps the cache child in an
+    // AdaptiveSparkPlan that spawns its own stage jobs). The
+    // repartition makes the intermediate's consumers share an
+    // identical exchange subtree, which ReuseExchange collapses to ONE
+    // mapper stage whose shuffle files every consumer reads — no race,
+    // no recompute, and the hash(keys) layout is exactly what the
+    // per-sweep pin's own repartition used to restore, so intra-chunk
+    // joins co-locate the same way (shuffle volume is unchanged; the
+    // checkpoint write/read and its scheduler job are what disappear).
+    val n = init.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    var cur = init
+    var done = 0
+    while (done < total) {
+      val remaining = total - done
+      val take = if (remaining <= 3) remaining else 2
+      var x = cur
+      for (i <- 1 to take)
+        x = if (i < take) step(x).repartition(n, keys.map(col): _*)
+            else step(x)
+      val ck = pin(x, keys: _*)
+      Staging.dropCheckpoint(cur)
+      cur = ck
+      done += take
+    }
+    cur
+  }
+
   /** Run `body` (a materializing action whose plan is already fully
     * determined — [[GraftPartitionedCheckpoint]]'s pin pass) with AQE
     * disabled, restoring the prior setting after. Why AQE has nothing

@@ -762,9 +762,11 @@ object Relational {
         .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
         .agg(count(lit(1)).as("w"))
-      val pr = graft.ops.Staging.stage(
-        graft.ext.Graphs.pageRankWeighted(edges, "a", "b", "w",
-          iterations = 2))
+      // pageRankWeighted returns a terminal PIN (r16) — already
+      // materialized with declared partitioning; staging it again
+      // would only copy the checkpoint into a second cache
+      val pr = graft.ext.Graphs.pageRankWeighted(edges, "a", "b", "w",
+        iterations = 2)
       val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
       pr.crossJoin(broadcast(nAgg))
         .select(col("node"), col("total_weight").cast("long").as("total_w"),
@@ -831,9 +833,8 @@ object Relational {
       val edges = Tables.orders(s, d)
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
                 concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
-      val pr = graft.ops.Staging.stage(
-        graft.ext.Graphs.pageRankDirected(edges, "src", "dst",
-          iterations = 2))
+      val pr = graft.ext.Graphs.pageRankDirected(edges, "src", "dst",
+        iterations = 2) // terminal pin — no extra staging (see q168)
       val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
       pr.crossJoin(broadcast(nAgg))
         .select(col("node"), col("out_degree"),

@@ -1543,9 +1543,9 @@ object TextQueries {
           .groupBy(least(col("t1"), col("t2")).as("a"),
                    greatest(col("t1"), col("t2")).as("b"))
           .agg(count(lit(1)).as("w")))
-      val pr = graft.ops.Staging.stage(
-        graft.ext.Graphs.pageRankWeighted(pairs, "a", "b", "w",
-          iterations = 2))
+      // terminal pin since r16 — no extra staging (see q168)
+      val pr = graft.ext.Graphs.pageRankWeighted(pairs, "a", "b", "w",
+        iterations = 2)
       val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
       pr.crossJoin(broadcast(nAgg))
         .select(col("node").as("word"),

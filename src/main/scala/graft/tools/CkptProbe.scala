@@ -16,6 +16,8 @@ object CkptProbe {
     val ck = df.localCheckpoint(true)
     println("analyzed: " + ck.queryExecution.analyzed.getClass)
     ck.queryExecution.analyzed match {
+      case g: org.apache.spark.sql.execution.GraftPinnedRDD =>
+        println("GraftPinnedRDD partitioning: " + g.partitioning)
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         println("LogicalRDD partitioning: " + l.outputPartitioning)
         println("LogicalRDD ordering: " + l.outputOrdering.mkString(","))

@@ -35,9 +35,18 @@ object JobProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    // SPARK_GRAFT_PROBE_VERBOSE=1 names each job (callsite + stage
+    // count) as it starts — the map from a query's job COUNT to which
+    // plan steps those jobs actually are, without the Spark UI
+    val verbose = sys.env.get("SPARK_GRAFT_PROBE_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val k = jobs.incrementAndGet()
+        if (verbose) {
+          val desc = j.stageInfos.map(_.name).mkString(" | ")
+          println(f"[probe]   job#$k%-3d stages=${j.stageInfos.size}%3d  $desc")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)

@@ -1,9 +1,109 @@
 package org.apache.spark.sql.execution
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
+
+/** Logical scan of a pinned (partitioning-declared, locally
+  * checkpointed) RDD — our replacement for rebuilding Spark's
+  * [[LogicalRDD]] with a declared partitioning.
+  *
+  * Why not LogicalRDD: it has NO `doCanonicalize` override, so two
+  * occurrences of the same checkpoint in one plan (a self-join, or —
+  * the sweep case — one intermediate consumed by both the relaxation
+  * join and the merge join) NEVER compare `sameResult` after
+  * `DeduplicateRelations` re-instances the duplicate with fresh
+  * exprIds. That silently defeats BOTH dedup mechanisms Spark has:
+  * CacheManager substitution (a persisted subtree over a checkpoint
+  * missed its own cache — r13-r15's staged `keep`/`dist` frames were
+  * recomputed once per consumer) and ReuseExchange (two structurally
+  * identical repartition seals over a pin each ran their own mapper
+  * stage; measured on the r16 chunked k-core: 457 -> 1033 tasks purely
+  * from duplicated sweep evaluation). This node canonicalizes output
+  * AND declared partitioning positionally, so duplicate instances of
+  * the same pin compare equal and every exchange above them reuses.
+  *
+  * Equality root: the `rdd` reference itself — two pins of different
+  * data can never compare equal, because each pin call creates a fresh
+  * checkpointed RDD.
+  */
+case class GraftPinnedRDD(
+    output: Seq[Attribute],
+    rdd: RDD[InternalRow],
+    partitioning: HashPartitioning)
+  extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): LogicalPlan = {
+    val rewrite = output.zip(output.map(_.newInstance())).toMap
+    GraftPinnedRDD(
+      output.map(rewrite),
+      rdd,
+      partitioning.transform {
+        case a: Attribute => rewrite.getOrElse(a, a)
+      }.asInstanceOf[HashPartitioning])
+  }
+
+  // positional exprId normalization (what LogicalRelation/
+  // InMemoryRelation do and LogicalRDD doesn't): the partitioning is
+  // an Expression tree, so it normalizes through the same helper
+  override def doCanonicalize(): LogicalPlan =
+    GraftPinnedRDD(
+      output.map(QueryPlan.normalizeExpressions(_, output)),
+      rdd,
+      QueryPlan.normalizeExpressions(partitioning, output))
+
+  // same default LogicalRDD uses with no origin stats: never
+  // auto-broadcast a pin (its size is unknown to the optimizer)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = conf.defaultSizeInBytes)
+}
+
+/** Physical twin of [[GraftPinnedRDD]] — [[RDDScanExec]] minus its
+  * canonicalization gap: output and declared partitioning normalize
+  * positionally so ReuseExchange collapses identical exchanges above
+  * two instances of the same pin. Rows are the checkpoint's own
+  * UnsafeRow copies, so no projection is needed (createUnsafeProjection
+  * = false, the localCheckpoint contract). */
+case class GraftPinScanExec(
+    output: Seq[Attribute],
+    rdd: RDD[InternalRow],
+    partitioning: HashPartitioning)
+  extends LeafExecNode with InputRDDCodegen {
+
+  override val nodeName: String = "GraftPinScan"
+  override def outputPartitioning: Partitioning = partitioning
+  override def outputOrdering: Seq[SortOrder] = Nil
+  override def inputRDD: RDD[InternalRow] = rdd
+  override protected val createUnsafeProjection: Boolean = false
+  protected override def doExecute(): RDD[InternalRow] = rdd
+
+  override def doCanonicalize(): SparkPlan =
+    GraftPinScanExec(
+      output.map(QueryPlan.normalizeExpressions(_, output)),
+      rdd,
+      QueryPlan.normalizeExpressions(partitioning, output))
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftPinScan ${output.take(maxFields).mkString("[", ",", "]")} $partitioning"
+}
+
+/** Plans [[GraftPinnedRDD]] — injected per session via
+  * `experimental.extraStrategies` the first time a pin is declared
+  * (idempotent; object identity). */
+object GraftPinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GraftPinnedRDD =>
+      GraftPinScanExec(g.output, g.rdd, g.partitioning) :: Nil
+    case _ => Nil
+  }
+}
 
 /** Partitioning-preserving eager checkpoint — the one capability
   * Spark 4.1 exposes no public API for.
@@ -25,14 +125,15 @@ import org.apache.spark.sql.functions.col
   * an EXPLICIT partition count (a user-specified count is never
   * coalesced by AQE, so the physical layout is exactly
   * `HashPartitioning(keys, n)`), checkpoints eagerly, and rebuilds
-  * the LogicalRDD with that partitioning DECLARED. The declaration is
-  * sound by construction — it only ever states the partitioning the
-  * repartition in the same call just produced (mis-declaring a
-  * partitioning would silently mis-join, which is why the repartition
-  * is fused into this helper rather than taken on trust from the
-  * caller). The equivalent public-API route is a bucketed warehouse
-  * table — correct at 100 TB for cross-job reuse, absurdly heavy for
-  * an in-query staged frame.
+  * the scan as a [[GraftPinnedRDD]] with that partitioning DECLARED
+  * (and with canonicalization LogicalRDD lacks — see its scaladoc).
+  * The declaration is sound by construction — it only ever states the
+  * partitioning the repartition in the same call just produced
+  * (mis-declaring a partitioning would silently mis-join, which is
+  * why the repartition is fused into this helper rather than taken on
+  * trust from the caller). The equivalent public-API route is a
+  * bucketed warehouse table — correct at 100 TB for cross-job reuse,
+  * absurdly heavy for an in-query staged frame.
   */
 object GraftPartitionedCheckpoint {
 
@@ -75,6 +176,7 @@ object GraftPartitionedCheckpoint {
     require(keys.nonEmpty, "need at least one key") // see apply()
     require(numPartitions > 0, "need a positive partition count")
     val spark = df.sparkSession.asInstanceOf[SparkSession]
+    ensureStrategy(spark)
     val (rep, rdd, n) = graft.ops.Sweep.withoutAqe(spark) {
       val rep = df.repartition(numPartitions, keys.map(col): _*)
         .queryExecution
@@ -82,21 +184,25 @@ object GraftPartitionedCheckpoint {
       rdd.localCheckpoint()
       (rep, rdd, rdd.count()) // one materializing job; count rides it free
     }
-    val declared = LogicalRDD(
+    val declared = GraftPinnedRDD(
       rep.analyzed.output, rdd,
-      HashPartitioning(resolve(keys, rep.analyzed.output), numPartitions),
-      Nil, isStreaming = false, None)(spark, None, None)
+      HashPartitioning(resolve(keys, rep.analyzed.output), numPartitions))
     (Dataset.ofRows(spark, declared), n)
   }
 
+  private def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftPinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftPinStrategy
+
   private def declare(spark: SparkSession, ck: DataFrame, keys: Seq[String],
-                      numPartitions: Int): DataFrame =
+                      numPartitions: Int): DataFrame = {
+    ensureStrategy(spark)
     ck.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        val declared = LogicalRDD(
+        val declared = GraftPinnedRDD(
           l.output, l.rdd,
-          HashPartitioning(resolve(keys, l.output), numPartitions),
-          Nil, l.isStreaming, l.stream)(spark, None, None)
+          HashPartitioning(resolve(keys, l.output), numPartitions))
         Dataset.ofRows(spark, declared)
       case _ =>
         // localCheckpoint not rooting at LogicalRDD would be a Spark
@@ -104,6 +210,7 @@ object GraftPartitionedCheckpoint {
         // (correct, just re-exchanged) rather than failing the query
         ck
     }
+  }
 
   private def resolve(keys: Seq[String],
                       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])

@@ -180,7 +180,10 @@ class GraphsSpec extends AnyFunSuite {
     val edges = (1 to 300)
       .map(_ => (rnd.nextInt(60).toString, rnd.nextInt(60).toString))
       .filter(e => e._1 != e._2).distinct.toDF("a", "b")
-    val df = Graphs.pageRank(edges, "a", "b", iterations = 3)
+    // the public pageRank returns a terminal pin (a bare checkpoint
+    // scan — nothing to inspect); the lazy variant IS that pin's plan
+    val df = Graphs.pageRankLazy(edges, "a", "b", iterations = 3,
+      damping = 0.85, dedupEdges = true)
     df.collect()
     // the AQE toString appends the pre-execution "Initial Plan" —
     // count exchanges in the FINAL (executed) section only
@@ -189,6 +192,20 @@ class GraphsSpec extends AnyFunSuite {
     val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
     graft.ops.Staging.releaseAll()
     assert(nEx == 3, s"expected 3 exchanges (one per sweep), got $nEx in:\n$plan")
+    // and the public form's contract: consumers see hash(node)
+    // partitioning declared on the pinned result
+    val pinned = Graphs.pageRank(edges, "a", "b", iterations = 3)
+    val part = pinned.queryExecution.optimizedPlan match {
+      case g: org.apache.spark.sql.execution.GraftPinnedRDD => g.partitioning
+      case other => fail(s"expected GraftPinnedRDD root, got ${other.getClass}")
+    }
+    graft.ops.Staging.releaseAll()
+    part match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        assert(h.expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute].name) == Seq("node"))
+      case other => fail(s"expected declared HashPartitioning, got $other")
+    }
   }
 
   test("pageRankWeighted: w≡1 equals the unweighted pageRank; mass conserves") {

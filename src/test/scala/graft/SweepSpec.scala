@@ -12,19 +12,15 @@ class SweepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("pin declares HashPartitioning on a LogicalRDD; values unchanged") {
+  test("pin declares HashPartitioning on a GraftPinnedRDD; values unchanged") {
     val df = (1 to 400).map(i => (i % 40L, i.toLong)).toDF("k", "v")
     val pinned = graft.ops.Sweep.pin(df, "k")
     pinned.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.outputPartitioning match {
-          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            assert(h.expressions.map(_.asInstanceOf[
-              org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
-              Seq("k"))
-          case other => fail(s"expected HashPartitioning, got $other")
-        }
-      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+      case g: org.apache.spark.sql.execution.GraftPinnedRDD =>
+        assert(g.partitioning.expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
+          Seq("k"))
+      case other => fail(s"expected GraftPinnedRDD, got ${other.getClass}")
     }
     assert(pinned.orderBy("k", "v").collect().toSeq ==
            df.orderBy("k", "v").collect().toSeq)
@@ -49,6 +45,41 @@ class SweepSpec extends AnyFunSuite {
       .localCheckpoint(true)
     val mixed = a.hint("merge").join(plain, "k")
     assert(exchanges(mixed) >= 1, "undeclared checkpoint should re-exchange")
+    graft.ops.Staging.releaseAll()
+  }
+
+  test("duplicate pin references canonicalize equal; a sealed intermediate's exchange is reused") {
+    // The r16 fix behind Sweep.foldPinned: Spark's LogicalRDD never
+    // compares sameResult across DeduplicateRelations re-instancing,
+    // which silently defeated CacheManager substitution AND
+    // ReuseExchange for any subtree rooted at a pin — every
+    // multi-consumer sweep intermediate was recomputed once per
+    // consumer (measured q192: 457 -> 1033 tasks under a 3-peel
+    // chunk). GraftPinnedRDD canonicalizes output + declared
+    // partitioning positionally, so the same pin referenced twice in
+    // one plan dedupes.
+    val df = (1 to 300).map(i => (i % 30L, i.toLong)).toDF("k", "v")
+    val base = graft.ops.Sweep.pin(df, "k")
+    // 1. logical canonical equality across newInstance copies
+    val a = base.queryExecution.analyzed
+    val b = a.asInstanceOf[
+      org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation]
+      .newInstance()
+    assert(a.sameResult(b),
+      "newInstance copy of a pin must compare sameResult (LogicalRDD never did)")
+    // 2. a repartition-sealed intermediate consumed twice runs ONE
+    //    mapper stage: the second exchange plans as ReusedExchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val mid = base.groupBy("k").agg(sum(col("v")).as("s"))
+        .repartition(8, col("k"))
+      val twice = mid.join(
+        mid.select(col("k"), col("s").as("s2")).hint("merge"), "k")
+      twice.collect()
+      val plan = twice.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"sealed intermediate must reuse its exchange; plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.ops.Staging.releaseAll()
   }
 
@@ -88,15 +119,11 @@ class SweepSpec extends AnyFunSuite {
     assert(n === 400L)
     // declaration identical to pin's: HashPartitioning on the key
     pinned.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.outputPartitioning match {
-          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            assert(h.expressions.map(_.asInstanceOf[
-              org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
-              Seq("k"))
-          case other => fail(s"expected HashPartitioning, got $other")
-        }
-      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+      case g: org.apache.spark.sql.execution.GraftPinnedRDD =>
+        assert(g.partitioning.expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute].name) ==
+          Seq("k"))
+      case other => fail(s"expected GraftPinnedRDD, got ${other.getClass}")
     }
     // values unchanged (the map(_.copy()) defensive copy is load-
     // bearing: caching UnsafeRows without it aliases every row)
