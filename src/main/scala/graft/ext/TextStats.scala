@@ -277,6 +277,64 @@ object TextStats {
       .drop("__cs", "__cuts")
   }
 
+  /** Cross-document BOILERPLATE removal — the rewrite the q289 census
+    * implies, and the cleaning step the CCNet/RefinedWeb pipelines run
+    * after dedup (Wenzek et al. 2019, arXiv:1911.00359; Penedo et al.
+    * 2023, arXiv:2306.01116: template text — headers, footers, licence
+    * blocks — recurs across documents of a source and is stripped
+    * before training). A token position is boilerplate when its
+    * k-gram occurs in at least `minDocFrequency` DISTINCT documents;
+    * unlike [[cutDupSpans]] there is NO surviving first copy — shared
+    * template text is noise everywhere, so every occurrence is cut
+    * (the within-corpus dedup keeps one copy because the text itself
+    * is signal; boilerplate is not). Cut positions merge into maximal
+    * spans and the text is rebuilt from the tokens outside them via
+    * the same native [[graft.functions.CutTokenSpans]]. Adds the same
+    * three columns as [[cutDupSpans]]: `text_cut`, `n_cut_spans`,
+    * `n_tokens_removed`.
+    *
+    * Scale shape: one all-position shingle pass (8-byte xxhash64 gram
+    * keys through every shuffle — the q78 rule), a (doc, gram)
+    * distinct bounded by distinct grams per doc, the vocabulary-sized
+    * doc-frequency aggregate, a semi join-back on the gram key, and a
+    * per-doc collect of CUT positions only (bounded by the doc's own
+    * token count); the span merge + rebuild is map-side.
+    */
+  def cutBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocFrequency: Long = 2L,
+                     hashGramKey: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minDocFrequency >= 2L,
+      "minDocFrequency below 2 cuts every position of every document")
+    val clash = df.columns.intersect(
+      Seq("text_cut", "n_cut_spans", "n_tokens_removed"))
+    require(clash.isEmpty,
+      s"cutBoilerplate reserves output columns ${clash.mkString(", ")} — rename them upstream")
+    val spark = df.sparkSession
+    val raw = df.select(col(idCol),
+      posexplode(graft.functions.GraftFunctions.wordShinglesAll(
+        spark, col(textCol), k)).as(Seq("__pos", "__gram")))
+    val grams = graft.ops.Staging.stage(
+      raw.select(col(idCol), col("__pos"), gramKey(hashGramKey).as("__gk")))
+    // doc frequency over the distinct (doc, gram) pairs — a repeat
+    // inside one document is repetition (q78's axis), not boilerplate
+    val boiler = grams.select(col(idCol), col("__gk")).distinct()
+      .groupBy("__gk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFrequency)
+      .select("__gk")
+    val cuts = grams.join(boiler, Seq("__gk"), "left_semi")
+    val perDoc = cuts.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__cuts"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__cs", graft.functions.GraftFunctions.cutTokenSpans(
+        spark, col(textCol),
+        coalesce(col("__cuts"), typedLit(Seq.empty[Int])), k))
+      .withColumn("text_cut", col("__cs.text_cut"))
+      .withColumn("n_cut_spans", col("__cs.n_spans"))
+      .withColumn("n_tokens_removed", col("__cs.n_removed"))
+      .drop("__cs", "__cuts")
+  }
+
   /** Bigram collocation mining by pointwise mutual information:
     * `pmi(w1,w2) = ln(c_xy * N / (c_x * c_y))` over whitespace
     * tokens, where N is the corpus token count — the phrase-induction

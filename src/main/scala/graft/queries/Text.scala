@@ -1153,6 +1153,28 @@ object TextQueries {
              countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
         .orderBy("source")),
 
+    // Cross-document boilerplate REMOVAL (TextStats.cutBoilerplate) —
+    // the rewrite sibling of q289's census: every position whose
+    // 8-gram appears in >= 2 distinct documents is template text and
+    // is cut EVERYWHERE (no surviving first copy — unlike q79's dedup
+    // cut, boilerplate is noise in every document). Spans merge, the
+    // text rebuilds through the same native CutTokenSpans, and the
+    // per-source audit uses q79's exact column set so the two rewrites
+    // read side by side. The oracle replays the span arithmetic with
+    // doc-frequency marking (count(DISTINCT doc_id) per gram) in place
+    // of q79's row_number first-copy selection.
+    "q307_cut_boilerplate" -> ((s, d) =>
+      graft.ext.TextStats.cutBoilerplate(Tables.documents(s, d),
+          "doc_id", "text", k = 8, minDocFrequency = 2L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+             sum(col("n_cut_spans").cast("long")).as("total_spans"),
+             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
+             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
+             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
+        .orderBy("source")),
+
     // Incremental dedup of a delta shard against a frozen corpus
     // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
     // new crawl, the rest the immutable corpus whose only retained
@@ -3558,6 +3580,61 @@ object TextQueries {
         |sp AS (
         |  SELECT doc_id,
         |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 5) AS n_spans
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cuts)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
+        |    coalesce(sp.n_spans, 0) AS n_spans
+        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
+        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
+        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // q79's template with doc-frequency marking: a position is cut
+    // when its 8-gram occurs in >= 2 DISTINCT documents (no
+    // first-copy survivor), coverage via a BETWEEN join, merged
+    // spans as lag-islands (new span when the start gap exceeds k=8).
+    "q307_cut_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 7, 0) + 1)) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 7], ' ') AS gram
+        |  FROM gi),
+        |b AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |  WHERE df >= 2),
+        |cuts AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)),
+        |wi AS (
+        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
+        |tok AS (
+        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.ti
+        |  FROM tok w JOIN cuts c
+        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 7),
+        |reb AS (
+        |  SELECT w.doc_id,
+        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
+        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
+        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
+        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
+        |  GROUP BY w.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 8) AS n_spans
         |  FROM (SELECT doc_id, pos,
         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
         |        FROM cuts)

@@ -103,4 +103,36 @@ class LongDocSpec extends AnyFunSuite {
     // the tiny doc is untouched
     assert(out(3L)._2 === 0L)
   }
+
+  test("cutBoilerplate: cross-document template cut EVERYWHERE, linear pass") {
+    val out = timed("cutBoilerplate", 90.0) {
+      graft.ext.TextStats.cutBoilerplate(fixture, "doc_id", "text")
+        .select(col("doc_id"), col("n_cut_spans"), col("n_tokens_removed"),
+          length(col("text_cut")).as("cutLen"), length(col("text")).as("len"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getAs[Number](1).longValue,
+          r.getAs[Number](2).longValue, r.getInt(3), r.getInt(4))).toMap
+    }
+    graft.ops.Staging.releaseAll()
+    // the paragraph lives in docs 1 AND 2 → cross-document template.
+    // Unlike cutDupSpans there is NO surviving first copy: all three
+    // copies in the long doc are cut (3 spans, ~3×(60+7) tokens with
+    // k=8 edge overhang), and doc 2 loses its copy too.
+    val (spans, removed, cutLen, len) = out(1L)
+    assert(spans >= 3, s"expected ≥3 cut spans in the long doc, got $spans")
+    assert(removed >= 180 && removed < 1500,
+      s"cut token count $removed outside the 3-planted-copies band")
+    assert(cutLen < len)
+    assert(out(2L)._2 >= 60L, "doc 2's template copy must be cut as well")
+    // the tiny doc shares no 8-gram with anything — untouched
+    assert(out(3L)._2 === 0L)
+    // sanity vs cutDupSpans: dedup keeps one copy, boilerplate keeps none
+    val dedupRemoved = graft.ext.TextStats.cutDupSpans(
+        fixture, "doc_id", "text", k = 8)
+      .filter(col("doc_id") === 1L)
+      .select("n_tokens_removed").collect().head.getAs[Number](0).longValue
+    graft.ops.Staging.releaseAll()
+    assert(removed > dedupRemoved,
+      s"boilerplate cut ($removed) must exceed dedup cut ($dedupRemoved) — no first-copy survivor")
+  }
 }
