@@ -142,7 +142,8 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     require(assigned.columns.contains("label"),
       "index carries no label column — build it with IvfIndex.buildLabeled")
     require(assigned.columns.contains("c_vec"),
-      "index was saved quantized — filtered search needs the float layout")
+      "index was saved quantized — use searchFilteredQuantized (float " +
+        "re-rank comes from the original corpus, not the index)")
     val spark = assigned.sparkSession
     val gf = graft.functions.GraftFunctions
     val q = queries.select(col(idCol).as("query_id"),
@@ -171,6 +172,69 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
       k)
   }
 
+  /** [[searchFiltered]] over the QUANTIZED labeled layout — the r15
+    * scoped gap: the 4x-smaller index now serves label-filtered
+    * queries. Two stages, the [[searchQuantized]] (q63) shape under
+    * (label, cell) directory pruning:
+    *  (1) asymmetric int8-x-float cosine over the probed SAME-LABEL
+    *      candidates reading only the int8 codes (the label IN-list
+    *      and cell IN-list prune parquet directories independently;
+    *      the residual label equality is exact), keeping the
+    *      `rerankFactor * k` best approximate candidates per query;
+    *  (2) exact re-rank of those few candidates from `floatCorpus`
+    *      (the original float vectors, which the quantized index does
+    *      not store).
+    * Pre-filter semantics are preserved in BOTH stages — candidates
+    * are label-matched before any ranking, so a low-selectivity label
+    * loses no slots to other labels' neighbors. Same recall note as
+    * [[searchFiltered]]: raise nProbe for labels thin in each cell.
+    */
+  def searchFilteredQuantized(queries: DataFrame, floatCorpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              labelCol: String, k: Int, nProbe: Int,
+                              rerankFactor: Int = 4): DataFrame = {
+    require(assigned.columns.contains("label"),
+      "index carries no label column — build it with IvfIndex.buildLabeled")
+    require(assigned.columns.contains("q"),
+      "index carries no int8 codes — use searchFiltered on the float layout")
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val spark = assigned.sparkSession
+    val gf = graft.functions.GraftFunctions
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"),
+        Similarity.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell",
+        explode(gf.nearestCentroids(spark, col("q_vec"), typedLit(centroids),
+          nProbe)))
+    // the searchFiltered pruning discipline: literal IN-lists reach
+    // the parquet directory listing; the pair product is a superset,
+    // the equality filter below exact
+    val probed = q.select(col("__ql"), col("cell")).distinct().collect()
+    val labels = probed.map(_.get(0)).distinct.toSeq
+    val cells = probed.map(_.getInt(1)).distinct.toSeq
+    val approx = assigned
+      .filter(col("label").isin(labels: _*) && col("cell").isin(cells: _*))
+      .join(broadcast(q), "cell")
+      .filter(col("label") === col("__ql") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("asim", gf.int8Cosine(spark, col("q"), col("q_vec")))
+      .groupBy("query_id")
+      .agg(gf.topKByScore(spark, col("asim"), col("neighbor_id"),
+        rerankFactor * k).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+    val floats = floatCorpus.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("c_vec"))
+    val qvecs = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("q_vec"))
+    Similarity.rerankTopK(
+      floats.join(broadcast(approx), "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("sim", gf.cosineSimilarity(spark, col("c_vec"), col("q_vec")))
+        .select("query_id", "neighbor_id", "sim"),
+      k)
+  }
+
   /** Persist the index: `path/corpus` partitioned by cell (the
     * inverted file as directory layout — a labeled index partitions
     * by (label, cell), so filtered searches prune label directories
@@ -188,9 +252,14 @@ final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame) {
     * bytes). Searching a quantized index re-ranks from the original
     * float corpus ([[searchQuantized]]). */
   def saveQuantized(path: String): Unit = {
-    assigned.select(col("neighbor_id"), col("q.scale").as("scale"),
-        col("q.codes").as("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    // a labeled build keeps its (label, cell) layout in the quantized
+    // tier too — filtered int8 searches prune label directories the
+    // same way the float tier does
+    val parts = if (assigned.columns.contains("label"))
+      Seq("label", "cell") else Seq("cell")
+    assigned.select((Seq(col("neighbor_id"), col("q.scale").as("scale"),
+        col("q.codes").as("codes")) ++ parts.map(col)): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(s"$path/corpus")
     saveCentroids(path)
   }
 
@@ -242,7 +311,8 @@ object IvfIndex {
     val cents = Similarity.ivfCentroids(e, "neighbor_id", "c_vec",
       nCentroids, kmeansSweeps, seedStrategy)
     val assigned = e.withColumn("cell",
-      gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+        gf.nearestCentroids(spark, col("c_vec"), typedLit(cents), 1)(0))
+      .withColumn("q", gf.int8Quantize(spark, col("c_vec")))
     IvfIndex(cents, assigned)
   }
 
@@ -328,8 +398,13 @@ object IvfIndex {
     val gf = graft.functions.GraftFunctions
     val raw = spark.read.parquet(s"$path/corpus")
     if (raw.columns.contains("codes")) {
-      val vecs = raw.select(col("neighbor_id"),
-          struct(col("scale"), col("codes")).as("q"))
+      // a labeled quantized index recompacts with its labels —
+      // saveQuantized detects the column and keeps the (label, cell)
+      // layout; stored (scale, codes) pass through bit-identically
+      val qcols = Seq(col("neighbor_id"),
+          struct(col("scale"), col("codes")).as("q")) ++
+        (if (raw.columns.contains("label")) Seq(col("label")) else Nil)
+      val vecs = raw.select(qcols: _*)
         .withColumn("c_vec", gf.int8Dequantize(spark, col("q")))
       val cents = Similarity.ivfCentroids(vecs, "neighbor_id", "c_vec",
         nCentroids, kmeansSweeps, seedStrategy)
@@ -363,9 +438,10 @@ object IvfIndex {
     val raw = spark.read.parquet(s"$path/corpus")
     val corpus =
       if (raw.columns.contains("codes"))
-        raw.select(col("neighbor_id"),
-          struct(col("scale"), col("codes")).as("q"),
-          col("cell").cast("int").as("cell"))
+        raw.select(Seq(col("neighbor_id"),
+            struct(col("scale"), col("codes")).as("q"),
+            col("cell").cast("int").as("cell")) ++
+          (if (raw.columns.contains("label")) Seq(col("label")) else Nil): _*)
       else
         raw.select(Seq(col("neighbor_id"), col("c_vec"),
             col("cell").cast("int").as("cell")) ++

@@ -424,6 +424,33 @@ object VectorQueries {
         .orderBy("method")
     }),
 
+    // Filtered-ANN at the QUANTIZED index tier
+    // (IvfIndex.searchFilteredQuantized) — the r15 scoped gap closed:
+    // the 4x-smaller int8 layout serving label-filtered queries.
+    // Stage 1 ranks same-label probed-cell candidates by the
+    // asymmetric int8-x-float cosine (q63's path) under the
+    // (label, cell) directory pruning; stage 2 re-ranks the
+    // rerankFactor*k survivors exactly from the float corpus. Recall@3
+    // vs the exact filteredTopK tier, the q281 SF-keyed measured-pin
+    // form; nProbe=4 matches q281 so the int8 tier's recall reads
+    // directly against the float tier's.
+    "q308_filtered_ann_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = graft.ext.Similarity.filteredTopK(
+          corpus = emb, queries = qs, idCol = "vec_id",
+          vecCol = "embedding", labelCol = "label", k = 3)
+        .select("query_id", "neighbor_id")
+      graft.ext.IvfIndex.buildLabeled(emb, "vec_id", "embedding", "label",
+          nCentroids = 16, kmeansSweeps = 2)
+        .searchFilteredQuantized(qs, emb, "vec_id", "embedding", "label",
+          k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id").intersect(exact)
+        .agg(lit("ivf_filtered_int8").as("method"),
+             round(count(lit(1)) / 15.0, 6).as("recall"))
+        .orderBy("method")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -892,6 +919,17 @@ object VectorQueries {
     "q281_filtered_ann_ivf" ->
       """WITH sf AS (SELECT count(*) AS n FROM lineitem)
         |SELECT 'ivf_filtered' AS method,
+        |  CAST(CASE n WHEN 6000 THEN 0.733333 WHEN 60000 THEN 0.866667
+        |              WHEN 600000 THEN 0.866667 END AS DOUBLE) AS recall
+        |FROM sf ORDER BY method""".stripMargin,
+
+    // Same SF-keyed measured-pin form as q281; the quantized tier's
+    // measured recall EQUALS the float tier's at every SF (the
+    // rerankFactor=4 exact re-rank recovers every int8 near-tie) —
+    // the fact the pin exists to protect.
+    "q308_filtered_ann_int8" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT 'ivf_filtered_int8' AS method,
         |  CAST(CASE n WHEN 6000 THEN 0.733333 WHEN 60000 THEN 0.866667
         |              WHEN 600000 THEN 0.866667 END AS DOUBLE) AS recall
         |FROM sf ORDER BY method""".stripMargin,

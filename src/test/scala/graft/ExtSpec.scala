@@ -1035,6 +1035,82 @@ class ExtSpec extends AnyFunSuite {
              k = 3, nProbe = 8)))
   }
 
+  test("QUANTIZED labeled IvfIndex: filtered int8 search ≡ filteredTopK at full probe; layout + lifecycle") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2 = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val idx = graft.ext.IvfIndex.buildLabeled(emb, "vec_id", "embedding",
+      "label", nCentroids = 8, kmeansSweeps = 2)
+    // at exhaustive probes the cell routing is a no-op and the exact
+    // re-rank decides — the int8 stage must reduce to filteredTopK
+    // exactly (pre-filter semantics preserved through BOTH stages)
+    val exact = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+      "label", k = 3)
+    assert(rows(idx.searchFilteredQuantized(q, emb, "vec_id", "embedding",
+             "label", k = 3, nProbe = 8)) == rows(exact),
+      "full-probe filtered int8 search must equal exact filteredTopK")
+    // saved quantized labeled layout: (label, cell) directories, int8
+    // codes only (no float vectors), and filtered search prunes BOTH
+    val dir = java.nio.file.Files.createTempDirectory("ivflq").toString
+    idx.saveQuantized(dir)
+    val stored = spark.read.parquet(s"$dir/corpus")
+    assert(stored.columns.toSet ==
+      Set("neighbor_id", "scale", "codes", "label", "cell"),
+      s"quantized labeled layout wrong: ${stored.columns.mkString(",")}")
+    val labelDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(labelDirs.nonEmpty && labelDirs.forall(_.startsWith("label=")),
+      s"quantized corpus must partition by label first: ${labelDirs.mkString(",")}")
+    val loaded = graft.ext.IvfIndex.load(spark, dir)
+    val pruned = loaded.searchFilteredQuantized(q, emb, "vec_id",
+      "embedding", "label", k = 3, nProbe = 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("label") &&
+      plan.contains("cell"),
+      s"filtered int8 search must prune (label, cell) directories:\n$plan")
+    assert(rows(pruned) == rows(idx.searchFilteredQuantized(q, emb,
+      "vec_id", "embedding", "label", k = 3, nProbe = 3)),
+      "loaded quantized index must search identically to the in-memory one")
+    // layout guards stay loud in both directions
+    intercept[IllegalArgumentException] { // quantized layout, float API
+      loaded.searchFiltered(q, "vec_id", "embedding", "label",
+        k = 3, nProbe = 3)
+    }
+    // append into the quantized labeled layout: label-less refuses;
+    // labeled delta lands inside the label directories
+    val dir2 = java.nio.file.Files.createTempDirectory("ivflqa").toString
+    graft.ext.IvfIndex.buildLabeled(half1, "vec_id", "embedding", "label",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(dir2)
+    intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.append(spark, dir2, half2, "vec_id", "embedding")
+    }
+    graft.ext.IvfIndex.append(spark, dir2, half2, "vec_id", "embedding",
+      labelCol = Some("label"))
+    val appended = graft.ext.IvfIndex.load(spark, dir2)
+    assert(rows(appended.searchFilteredQuantized(q, emb, "vec_id",
+             "embedding", "label", k = 3, nProbe = 8)) == rows(exact),
+      "appended quantized labeled index must cover the delta for filtered search")
+    // compaction keeps the (label, cell) layout and never re-quantizes
+    val dest = java.nio.file.Files.createTempDirectory("ivflqc").toString
+    graft.ext.IvfIndex.compact(spark, dir2, dest,
+      nCentroids = 8, kmeansSweeps = 2)
+    val destLabelDirs = new java.io.File(s"$dest/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(destLabelDirs.nonEmpty && destLabelDirs.forall(_.startsWith("label=")),
+      s"compacted quantized labeled index lost its label layout: ${destLabelDirs.mkString(",")}")
+    def codes(p: String) = spark.read.parquet(s"$p/corpus")
+      .select("neighbor_id", "scale", "codes").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    assert(codes(dest) == codes(dir2),
+      "compaction must never re-quantize stored codes (labeled layout)")
+    assert(rows(graft.ext.IvfIndex.load(spark, dest)
+             .searchFilteredQuantized(q, emb, "vec_id", "embedding",
+               "label", k = 3, nProbe = 8)) == rows(exact))
+  }
+
   test("IvfIndex.append: build(half)+append(half) ≡ build(full) at exhaustive probe; pruning intact") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
