@@ -1,0 +1,765 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Kernels
+import graft.tables.Tables
+import Relational.{WoeLn, WoeShare, VolText, PchartP, PchartUcl, PchartLcl,
+  ModularityText, AssortText, olsSelect, manifestOracleSql}
+
+/** GRAPH + entity-resolution queries: PageRank x3, label propagation,
+  * BFS/SSSP, k-core, assortativity, modularity, ER pipelines and
+  * match audits.
+  *
+  * Split from the single Relational object (r16 maintainability pass):
+  * entries and oracle SQL are byte-identical and compose back into the
+  * driver map through [[Relational]].
+  */
+object RelationalGraphsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // WEIGHTED PageRank (Graphs.pageRankWeighted): the same
+    // customer-supplier graph, but mass flows proportionally to the
+    // number of shared order lines — co-occurrence STRENGTH drives
+    // the walk, not bare adjacency (the q90 special case w≡1).
+    // Emits rank×N (q121's magnitude rule) on the rounded-score
+    // order; the oracle unrolls both sweeps with the weighted mass
+    // term and the same `(1.0 - 0.85)` literal.
+    "q168_pagerank_weighted" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      // pageRankWeighted returns a terminal PIN (r16) — already
+      // materialized with declared partitioning; staging it again
+      // would only copy the checkpoint into a second cache
+      val pr = graft.ext.Graphs.pageRankWeighted(edges, "a", "b", "w",
+        iterations = 2)
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("total_weight").cast("long").as("total_w"),
+                round(col("pr") * col("__nn"), 6).as("pr_x_n"))
+        .orderBy(col("pr_x_n").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Label propagation (Graphs.labelPropagation) over the same
+    // customer-supplier graph as q90 — the deterministic synchronous
+    // variant (mode of neighbor labels, ties to the smallest label),
+    // 2 rounds. Emits the community-size histogram: top 20 labels by
+    // member count. The oracle unrolls both rounds with the identical
+    // (cnt DESC, label) argmax.
+    "q145_label_propagation" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      graft.ext.Graphs.labelPropagation(edges, "a", "b", iterations = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("label"))
+        .limit(20)
+    }),
+
+    // PageRank (Graphs.pageRank) over the undirected customer-supplier
+    // bipartite graph from lineitem x orders — the link-graph
+    // centrality used as a corpus-curation quality prior. Fixed 3
+    // iterations, d=0.85, uniform start. Node ids carry a 'c'/'s'
+    // prefix so the two key spaces can't collide. Ordering is on the
+    // 6dp-ROUNDED score with node tie-break (mass sums commute only
+    // at ulp level); the oracle unrolls the 3 iterations and writes
+    // (1-d) as `(1.0 - 0.85)` — the same IEEE subtraction the Scala
+    // side folds, which the decimal literal 0.15 does NOT parse to.
+    "q90_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      // the edge list is DISTINCT and the id spaces prefix-disjoint,
+      // so both walk directions are unique — skip the sym distinct
+      graft.ext.Graphs.pageRank(edges, "a", "b", iterations = 3,
+        dedupEdges = false)
+        .select(col("node"), col("degree"),
+                round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("node"))
+        .limit(20)
+    }),
+
+    // DIRECTED PageRank with dangling-mass redistribution
+    // (Graphs.pageRankDirected): customer -> order edges make every
+    // order a SINK (outdeg 0) — the exact shape the undirected q90
+    // never exercises; without the D/N term ~85% of the sink mass
+    // would leak per sweep. Emits rank SCALED BY N (the
+    // multiple-of-uniform form, ~1.0 magnitude) so the 6dp round
+    // carries real precision at any graph size; ordering on the
+    // rounded score + node (the q80 rule). Mass conservation makes
+    // sum(pagerank_x_n) = N, which the oracle replays exactly.
+    "q121_pagerank_directed" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+                concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
+      val pr = graft.ext.Graphs.pageRankDirected(edges, "src", "dst",
+        iterations = 2) // terminal pin — no extra staging (see q168)
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("out_degree"),
+                round(col("pr") * col("__nn"), 6).as("pagerank_x_n"))
+        .orderBy(col("pagerank_x_n").desc, col("node"))
+        .limit(20)
+    }),
+
+    // Multi-source BFS (Graphs.bfsHops) over the q90 customer-
+    // supplier graph: all suppliers of nation 0 start at hop 0, and 3
+    // relaxation sweeps compute every node's minimum hop count to the
+    // seed set — "how far is each customer/supplier from this
+    // nation's supply base". Emits the hop histogram (exact integer
+    // distances, no float contract); nodes unreached within 3 hops
+    // are absent by construction on both sides. The oracle unrolls
+    // the 3 sweeps as min-merge unions.
+    "q171_bfs_hops" -> ((s, d) => {
+      // staged: the symmetric union inside bfsHops reads it twice
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graphs.bfsHops(edges, "a", "b", seeds, "node", maxHops = 3)
+        .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    }),
+
+    // Sorted-neighborhood ER candidates (EntityRes
+    // .sortedNeighborhoodPairs — Hernández–Stolfo): the key-free
+    // alternative to q173's blocking. Distinct names get a
+    // range-partitioned total index (denseIndex, never a global
+    // window) and each compares to its next 3 sort neighbors via the
+    // bucket band join — candidates are EXACTLY d·w, linear by
+    // construction. JW is the pinned native kernel, bit-identical to
+    // DuckDB's builtin, so the 0.88 threshold is raw-comparison-safe.
+    "q249_sorted_neighborhood" -> ((s, d) =>
+      graft.ext.EntityRes.sortedNeighborhoodPairs(
+          Tables.part(s, d), "p_partkey", "p_name", window = 3)
+        .filter(col("jw") >= 0.88)
+        .select(col("__nma").as("name_a"), col("__nmb").as("name_b"),
+                col("__ca").as("n_rows_a"), col("__cb").as("n_rows_b"),
+                round(col("jw"), 6).as("jw"))
+        .orderBy("name_a", "name_b")),
+
+    // Entity-resolution audit with the native codegen'd Jaro-Winkler
+    // expression (graft_jaro_winkler), on the EntityRes.nameGroups
+    // distinct-name comparison space: similarity depends only on the
+    // name string, so each distinct in-block name pair is scored
+    // ONCE and the row-level pair counts are recovered exactly from
+    // multiplicities — n_exact = Σ C(c,2) (a pair is jw=1.0 iff the
+    // strings are identical), n_strong = Σ c_a·c_b over distinct
+    // pairs in [0.88, 1), n_pairs = both. p_name draws from a fixed
+    // vocabulary (64 distinct values at every SF), so comparisons
+    // are O(D²) in VOCABULARY size — constant as the corpus grows —
+    // where the naive row-level block join was O(N²/8) (25M pairs at
+    // sf0.1). The kernel's IEEE operation order is pinned to
+    // DuckDB's built-in (rapidfuzz lineage), so max_sub1 (max over
+    // distinct cross-name pairs ≡ max over all sub-identical pairs)
+    // is emitted RAW, no rounding. C(c,2) rides integer `div` —
+    // never double division.
+    "q173_name_match_audit" -> ((s, d) => {
+      val g = graft.ops.Staging.stage(
+        graft.ext.EntityRes.nameGroups(Tables.part(s, d),
+          "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1)))
+      val a = g.select(col("__blk").as("blk"), col("__nm").as("n1"),
+                       col("__c").as("c1"))
+      val b = g.select(col("__blk").as("blk"), col("__nm").as("n2"),
+                       col("__c").as("c2"))
+      val cross = a.join(b, Seq("blk")).filter(col("n1") < col("n2"))
+        .select(col("blk"), (col("c1") * col("c2")).as("w"),
+          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+            .as("jw"))
+        .groupBy("blk")
+        .agg(sum("w").as("__n_cross"),
+             sum(when(col("jw") >= 0.88 && col("jw") < 1.0, col("w"))
+               .otherwise(0L)).as("__n_strong"),
+             max(col("jw")).as("__max_sub1"))
+      val same = g.groupBy(col("__blk").as("blk"))
+        .agg(sum(expr("(__c * (__c - 1)) div 2")).as("__n_exact"))
+      same.join(cross, Seq("blk"), "full_outer")
+        .select(col("blk"),
+          (coalesce(col("__n_exact"), lit(0L)) +
+           coalesce(col("__n_cross"), lit(0L))).as("n_pairs"),
+          coalesce(col("__n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("__n_strong"), lit(0L)).as("n_strong"),
+          col("__max_sub1").as("max_sub1"))
+        .filter(col("n_pairs") > 0)
+        .orderBy("blk")
+    }),
+
+    // Weighted single-source shortest path (Graphs.ssspWeighted —
+    // Bellman-Ford relaxation sweeps; bfsHops is the w≡1 case) on the
+    // customer-supplier graph with integer link costs: strong links
+    // (2+ shared order lines) cost 1, weak links cost 3. Seeds are
+    // nation 0's suppliers; 3 sweeps = the radius cut. Exact integer
+    // distances; the oracle unrolls the three min-merge relaxations.
+    "q177_sssp_weighted" -> ((s, d) => {
+      // staged: the symmetric union inside ssspWeighted reads it twice
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                   concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .agg(count(lit(1)).as("__cnt"))
+          .select(col("a"), col("b"),
+            when(col("__cnt") >= 2, 1L).otherwise(3L).as("w")))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graphs.ssspWeighted(edges, "a", "b", "w", seeds, "node",
+          maxSweeps = 3)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
+    // Reciprocal best match — the entity-linkage step after q173's
+    // scoring: within each blocking key, every part's best-scoring
+    // counterpart (jw desc, partner key asc) in EITHER direction; a
+    // pair links only if the choice is MUTUAL. Emits the top 25
+    // links; jw compares raw (the q173 bit-exactness contract).
+    //
+    // Computed on the EntityRes.nameGroups distinct-name space (the
+    // r12 version materialized all 25M row-level in-block pairs —
+    // O(N²) in corpus size; this derivation is O(D²)+O(N)). The
+    // best-match structure collapses exactly:
+    //  - a part whose name repeats (c ≥ 2) always best-matches
+    //    inside its own name group (jw = 1.0 beats any cross-name
+    //    jw < 1.0; tie-break = min other key): best(m1) = m2,
+    //    best(k≠m1) = m1 — so the group's ONLY mutual pair is
+    //    (m1, m2) at jw 1.0;
+    //  - a singleton name's best is its best cross-name partner
+    //    (top-1 name by jw desc, then min member id asc — all parts
+    //    of one name score identically, so the best key IS that
+    //    name's min id); mutuality then requires the partner to be a
+    //    singleton too (a c ≥ 2 partner best-matches its own group).
+    // The oracle is unchanged — it still ranks the full row-level
+    // pair space; the hash match IS the proof of the derivation.
+    "q179_reciprocal_match" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+      val g0 = graft.ops.Staging.stage(
+        graft.ext.EntityRes.nameGroups(parts, "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1)))
+      // second-smallest member id per name group (defined iff c >= 2)
+      val m2 = parts
+        .join(g0.select(col("__nm"), col("__rep")),
+              col("p_name") === col("__nm"))
+        .filter(col("p_partkey") > col("__rep"))
+        .groupBy("__nm").agg(min("p_partkey").as("__m2"))
+      val grp = graft.ops.Staging.stage(
+        g0.join(m2, Seq("__nm"), "left"))
+      // best cross-name partner per name: top-1 by (jw desc, rep asc)
+      val a = grp.select(col("__blk"), col("__nm").as("n1"),
+                         col("__rep").as("r1"))
+      val b = grp.select(col("__blk"), col("__nm").as("n2"),
+                         col("__rep").as("r2"))
+      val cross = a.join(b, Seq("__blk")).filter(col("n1") =!= col("n2"))
+        .select(col("n1"), col("r2"),
+          graft.functions.GraftFunctions.jaroWinkler(s, col("n1"), col("n2"))
+            .as("jw"))
+        .filter(col("jw") >= 0.9)
+      val wB = Window.partitionBy("n1")
+        .orderBy(col("jw").desc, col("r2"))
+      val crossBest = cross.withColumn("__rn", row_number().over(wB))
+        .filter(col("__rn") === 1)
+        .select(col("n1"), col("r2").as("__cb"), col("jw").as("__cjw"))
+      // mutual pairs: one (m1, m2, 1.0) per repeated name…
+      val pairs1 = grp.filter(col("__c") >= 2)
+        .select(col("__rep").as("k1"), col("__m2").as("k2"),
+                lit(1.0).as("jw"))
+      // …plus reciprocal singleton-singleton cross-name links
+      val sb = graft.ops.Staging.stage(
+        grp.filter(col("__c") === 1)
+          .select(col("__nm").as("n1"), col("__rep").as("__m1"))
+          .join(crossBest, Seq("n1")))
+      val pairs2 = sb.alias("x")
+        .join(sb.alias("y"),
+          col("x.__cb") === col("y.__m1") && col("y.__cb") === col("x.__m1"))
+        .filter(col("x.__m1") < col("y.__m1"))
+        .select(col("x.__m1").as("k1"), col("y.__m1").as("k2"),
+                col("x.__cjw").as("jw"))
+      pairs1.union(pairs2)
+        .orderBy(col("jw").desc, col("k1"), col("k2"))
+        .limit(25)
+    }),
+
+    // 3-core peeling (Graphs.kCore) of the customer-supplier graph:
+    // nodes of degree < 3 are repeatedly removed (3 sweeps — each
+    // sweep only shrinks, so the budget is a sound
+    // over-approximation of the fixpoint core). Emits the surviving
+    // degree histogram — exact integers; the oracle unrolls the
+    // three peel rounds.
+    "q192_kcore" -> ((s, d) => {
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
+      val core = graft.ops.Staging.stage(
+        graft.ext.Graphs.kCore(edges, "a", "b", k = 3, sweeps = 3))
+      core.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .groupBy(col("__deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    // Full entity-resolution pipeline (EntityRes.resolve): blocking ->
+    // distinct-name collapse -> native Jaro-Winkler scoring over
+    // distinct name pairs (occupancy-guarded, see EntityRes scaladoc)
+    // -> threshold edges -> connected components -> cluster audit
+    // (size + max member per cluster). Restricted to ONE blocking key
+    // here so the oracle's transitive closure stays clique-sized; the
+    // operator itself runs all blocks at scale (one exchange on the
+    // key, pairs quadratic only in DISTINCT names per sub-block).
+    // Exact integers out; the oracle recomputes the closure with the
+    // q64 recursive-CTE shape over the row-level bit-exact JW pair
+    // set — the hash match proves the name-level collapse exact.
+    "q197_entity_resolution" -> ((s, d) => {
+      val blockSmall = Tables.part(s, d)
+        .filter(substring_index(col("p_name"), " ", 1) === "small")
+      graft.ext.EntityRes.resolve(blockSmall, "p_partkey", "p_name",
+          blockCol = substring_index(col("p_name"), " ", 1),
+          threshold = 0.9)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
+
+    // Degree assortativity of the customer-supplier graph — "do hubs
+    // link to hubs?", the network-topology diagnostic that predicts
+    // how sampling and dedup behave on a link graph (q90's PageRank
+    // family measures node importance; assortativity measures the
+    // MIXING pattern). Pearson r over the (deg_u, deg_v) pairs of
+    // both edge orientations; every moment is an exact
+    // decimal(38,0)/HUGEINT integer sum and the one double closed
+    // form rides SHARED expression text. Scale: two exchanges (degree
+    // agg, edge-degree join); the moment frame is one row.
+    "q277_degree_assortativity" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val sym = graft.ops.Staging.stage(
+        edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+      val deg = graft.ops.Staging.stage(
+        sym.groupBy("a").agg(count(lit(1)).as("dg")))
+      val pairs = sym.join(deg, "a").withColumnRenamed("dg", "dx")
+        .join(deg.select(col("a").as("b"), col("dg").as("dy")), "b")
+      val mom = pairs.agg(count(lit(1)).as("n"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        // operands cast BEFORE the multiply: a Long*Long product wraps
+        // silently past ~2^63 (ANSI off) long before the decimal sum
+        // would — the envelope must start at the product
+        sum(col("dx").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)")).as("sxy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx").cast("decimal(38,0)")).as("sxx"),
+        sum(col("dy").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)")).as("syy"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        max("dg").as("max_degree"))
+      mom.crossJoin(broadcast(st))
+        .selectExpr("n_nodes", "n div 2 AS n_edges", "max_degree",
+          s"round($AssortText, 6) AS assortativity")
+        .orderBy("n_nodes")
+    }),
+
+    // Newman modularity of the customer-supplier graph under the
+    // NATION partition — "does trade stay in-nation?": the community-
+    // quality score (Newman & Girvan 2004) that grades any clustering
+    // of a link graph (q145's label propagation produces candidate
+    // communities; this scores a partition). Q = W/m − Σ_c d_c²/(4m²)
+    // — every moment (within-community edge count W, per-community
+    // degree sums d_c) is an exact integer, Σd_c² is an exact integer
+    // sum, and the one double closed form rides SHARED expression
+    // text, so no double is ever SUMMED across an exchange. Scale:
+    // one distinct-edge exchange + two nation-sized aggregates.
+    "q288_nation_modularity" -> ((s, d) => {
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct()
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey").as("cn"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("o_custkey", "l_suppkey", "cn", "sn"))
+      val base = edges.agg(count(lit(1)).as("m"),
+        sum(when(col("cn") === col("sn"), 1L).otherwise(0L)).as("w"))
+      val degC = edges.groupBy(col("cn").as("nat"))
+        .agg(count(lit(1)).as("__dc"))
+      val degS = edges.groupBy(col("sn").as("nat"))
+        .agg(count(lit(1)).as("__ds"))
+      val deg = degC.join(degS, Seq("nat"), "full_outer")
+        .select(col("nat"),
+          (coalesce(col("__dc"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+            .as("__d"))
+        .agg(count(lit(1)).as("n_nations"),
+             // cast-then-multiply: the Long product itself wraps at scale
+             sum(col("__d").cast("decimal(38,0)") * col("__d").cast("decimal(38,0)"))
+               .cast("long").as("sum_deg_sq"))
+      base.crossJoin(broadcast(deg))
+        .selectExpr("n_nations", "m AS n_edges", "w AS within_edges",
+          s"round($ModularityText, 6) AS modularity")
+        .orderBy("n_edges")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q168_pagerank_weighted" ->
+      """WITH e0 AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w FROM e0
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+        |wt AS (SELECT src, sum(w) AS wtot FROM sym GROUP BY src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wt),
+        |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM wt, n),
+        |r1 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |       FROM sym s JOIN r0 r ON s.src = r.node
+        |                  JOIN wt d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r2 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |       FROM sym s JOIN r1 r ON s.src = r.node
+        |                  JOIN wt d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn)
+        |SELECT r2.node, CAST(wt.wtot AS BIGINT) AS total_w,
+        |  round(r2.pr * nn, 6) AS pr_x_n
+        |FROM r2 JOIN wt ON r2.node = wt.src, n
+        |ORDER BY pr_x_n DESC, r2.node LIMIT 20""".stripMargin,
+
+    "q145_label_propagation" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |i0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |c1 AS (SELECT s.dst, i.label, count(*) AS cnt
+        |       FROM sym s JOIN i0 i ON s.src = i.node GROUP BY 1, 2),
+        |i1 AS (SELECT dst AS node, label FROM (
+        |         SELECT dst, label, row_number() OVER (
+        |           PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst, i.label, count(*) AS cnt
+        |       FROM sym s JOIN i1 i ON s.src = i.node GROUP BY 1, 2),
+        |i2 AS (SELECT dst AS node, label FROM (
+        |         SELECT dst, label, row_number() OVER (
+        |           PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+        |         FROM c2) WHERE rn = 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM i2 GROUP BY label
+        |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin,
+
+    "q90_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM deg, n),
+        |r1 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r0 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r2 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r1 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn),
+        |r3 AS (SELECT s.dst AS node,
+        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM sym s JOIN r2 r ON s.src = r.node
+        |                  JOIN deg d ON s.src = d.src, n
+        |       GROUP BY s.dst, nn)
+        |SELECT r3.node, deg.deg AS degree, round(r3.pr, 6) AS pagerank
+        |FROM r3 JOIN deg ON r3.node = deg.src
+        |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
+
+    // Unrolls 2 directed sweeps with the dangling term: D_k = sum of
+    // pr over outdeg-0 nodes, pr' = (1-d)/N + d*(mass + D/N). (1-d)
+    // is written as the IEEE subtraction (1.0 - 0.85), matching the
+    // Scala constant fold.
+    "q121_pagerank_directed" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  'o' || CAST(o_orderkey AS VARCHAR) AS dst
+        |  FROM orders),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn AS pr FROM nodes, n),
+        |d0 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm
+        |       FROM r0 r LEFT JOIN od ON r.node = od.src
+        |       WHERE od.src IS NULL),
+        |m1 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1.0 - 0.85) / nn +
+        |           0.85 * (coalesce(m1.mass, 0.0) + (SELECT dm FROM d0) / nn) AS pr
+        |       FROM nodes LEFT JOIN m1 ON nodes.node = m1.node, n),
+        |d1 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm
+        |       FROM r1 r LEFT JOIN od ON r.node = od.src
+        |       WHERE od.src IS NULL),
+        |m2 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1.0 - 0.85) / nn +
+        |           0.85 * (coalesce(m2.mass, 0.0) + (SELECT dm FROM d1) / nn) AS pr
+        |       FROM nodes LEFT JOIN m2 ON nodes.node = m2.node, n)
+        |SELECT r2.node, CAST(coalesce(od.deg, 0) AS BIGINT) AS out_degree,
+        |  round(r2.pr * nn, 6) AS pagerank_x_n
+        |FROM r2 LEFT JOIN od ON r2.node = od.src, n
+        |ORDER BY round(r2.pr * nn, 6) DESC, r2.node LIMIT 20""".stripMargin,
+
+    // Unrolls 3 BFS relaxation sweeps as min-merge unions — the same
+    // dist' = min(dist, 1 + min over neighbors) recurrence.
+    "q171_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |        UNION SELECT b AS src, a AS dst FROM e0),
+        |d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |              CAST(0 AS BIGINT) AS hops
+        |       FROM supplier WHERE s_nationkey = 0),
+        |d1 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d0
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d0 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d2 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d1
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d1 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d3 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d2
+        |         UNION ALL
+        |         SELECT s.dst, d.hops + 1 FROM sym s JOIN d2 d ON s.src = d.node)
+        |       GROUP BY node)
+        |SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d3 GROUP BY hops ORDER BY hops""".stripMargin,
+
+    // Sorted-neighborhood replay: distinct names, a 0-based
+    // row_number total order, neighbor pairs within 3 positions, the
+    // bit-identical builtin JW at the same raw threshold.
+    "q249_sorted_neighborhood" ->
+      """WITH g AS (
+        |  SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS c
+        |  FROM part GROUP BY p_name),
+        |r AS (
+        |  SELECT nm, c, row_number() OVER (ORDER BY nm) - 1 AS i
+        |  FROM g)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |  a.c AS n_rows_a, b.c AS n_rows_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM r a JOIN r b ON b.i > a.i AND b.i <= a.i + 3
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is bit-identical to the native
+    // graft_jaro_winkler kernel (same rapidfuzz-lineage formula and
+    // IEEE operation order), so max_sub1 compares RAW.
+    "q173_name_match_audit" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |                  split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT a.blk, jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) FILTER (jw = 1.0) AS BIGINT) AS n_exact,
+        |  CAST(count(*) FILTER (jw >= 0.88 AND jw < 1.0) AS BIGINT) AS n_strong,
+        |  max(jw) FILTER (jw < 1.0) AS max_sub1
+        |FROM pr GROUP BY blk ORDER BY blk""".stripMargin,
+
+    // Unrolls 3 Bellman-Ford relaxations: dist' = min(dist,
+    // min over neighbors(dist + w)) with the q177 link costs.
+    "q177_sssp_weighted" ->
+      """WITH e0 AS (
+        |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
+        |         CASE WHEN count(*) >= 2 THEN 1 ELSE 3 END AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w FROM e0
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+        |d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |              CAST(0 AS BIGINT) AS dist
+        |       FROM supplier WHERE s_nationkey = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d0 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d1 d ON s.src = d.node)
+        |       GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT s.dst, d.dist + s.w FROM sym s JOIN d2 d ON s.src = d.node)
+        |       GROUP BY node)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin,
+
+    "q179_reciprocal_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |                  split_part(p_name, ' ', 1) AS blk FROM part),
+        |half AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |         FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |both_d AS (SELECT k1, k2, jw FROM half
+        |           UNION ALL SELECT k2, k1, jw FROM half),
+        |best AS (SELECT k1, k2, jw FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY k1
+        |             ORDER BY jw DESC, k2) AS rn FROM both_d) WHERE rn = 1)
+        |SELECT x.k1, x.k2, x.jw
+        |FROM best x JOIN best y ON x.k1 = y.k2 AND x.k2 = y.k1
+        |WHERE x.k1 < x.k2
+        |ORDER BY x.jw DESC, x.k1, x.k2 LIMIT 25""".stripMargin,
+
+    "q192_kcore" ->
+      """WITH e0x AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e0 AS (SELECT a AS src, b AS dst FROM e0x
+        |       UNION SELECT b AS src, a AS dst FROM e0x),
+        |d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY src),
+        |k1 AS (SELECT src FROM d1 WHERE c >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 x ON e.src = x.src JOIN k1 y ON e.dst = y.src),
+        |d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY src),
+        |k2 AS (SELECT src FROM d2 WHERE c >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 x ON e.src = x.src JOIN k2 y ON e.dst = y.src),
+        |d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY src),
+        |k3 AS (SELECT src FROM d3 WHERE c >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 x ON e.src = x.src JOIN k3 y ON e.dst = y.src)
+        |SELECT c AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM (SELECT src, CAST(count(*) AS BIGINT) AS c
+        |      FROM e3 GROUP BY src)
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    "q197_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE split_part(p_name, ' ', 1) = 'small'),
+        |pr AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2
+        |       FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |       WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |edges AS (SELECT k1 AS src, k2 AS dst FROM pr
+        |          UNION SELECT k2, k1 FROM pr),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |  max(id) AS max_id
+        |FROM comp GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // Modularity replay: same distinct edge set, nation moments and
+    // the SHARED closed form over exact integers.
+    "q288_nation_modularity" -> (
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey, l_suppkey, c.c_nationkey AS cn,
+        |    s.s_nationkey AS sn
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c.c_custkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT) AS w
+        |  FROM e),
+        |dc AS (SELECT cn AS nat, CAST(count(*) AS BIGINT) AS d
+        |       FROM e GROUP BY 1),
+        |ds AS (SELECT sn AS nat, CAST(count(*) AS BIGINT) AS d
+        |       FROM e GROUP BY 1),
+        |deg AS (
+        |  SELECT coalesce(dc.nat, ds.nat) AS nat,
+        |    coalesce(dc.d, 0) + coalesce(ds.d, 0) AS d
+        |  FROM dc FULL OUTER JOIN ds ON dc.nat = ds.nat),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nations,
+        |    CAST(sum(d * d) AS BIGINT) AS sum_deg_sq
+        |  FROM deg)
+        |SELECT n_nations, m AS n_edges, w AS within_edges,
+        |""".stripMargin +
+      s"  round($ModularityText, 6) AS modularity\n" +
+      "FROM base CROSS JOIN mom ORDER BY n_edges"),
+
+    // Assortativity replay: same distinct bipartite edges, symmetric
+    // orientations, HUGEINT moments and the SHARED Pearson text.
+    "q277_degree_assortativity" -> (
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS dg
+        |  FROM sym GROUP BY a),
+        |p AS (
+        |  SELECT da.dg AS dx, db.dg AS dy
+        |  FROM sym JOIN deg da ON sym.a = da.a
+        |  JOIN deg db ON sym.b = db.a),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx) AS HUGEINT) AS sx,
+        |    CAST(sum(dy) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+        |  FROM p),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(max(dg) AS BIGINT) AS max_degree
+        |  FROM deg)
+        |SELECT n_nodes, n // 2 AS n_edges, max_degree,
+        |""".stripMargin +
+      s"  round($AssortText, 6) AS assortativity\n" +
+      "FROM mom CROSS JOIN st ORDER BY n_nodes"),
+  )
+}

@@ -12,11 +12,10 @@ import graft.tables.Tables
   */
 object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
-
-  private val Stopwords = Seq("a", "the", "data", "value", "row")
+  private[queries] val Stopwords = Seq("a", "the", "data", "value", "row")
 
   // Fixed marker-word language profiles (see TextStats.withLangScores).
-  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+  private[queries] val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("key", "merge", "batch"),
     "en" -> Seq("a", "the", "table"),
     "es" -> Seq("data", "query", "row"),
@@ -24,2145 +23,11 @@ object TextQueries {
     "zh" -> Seq("scan", "hash", "part"),
   )
 
-  val queries: Map[String, Q] = Map(
-    // Hashed-feature linear classifier (the fastText-style quality
-    // scorer every corpus-curation stack runs): each subword token
-    // hashes to an INTEGER weight ((md5 first 8 hex digits mod 1001)
-    // - 500 — a deterministic stand-in for trained weights with the
-    // exact storage/compute shape of the real thing), and a doc's
-    // score is the sum. Entirely MAP-SIDE: transform+aggregate fold
-    // the token array inside the scan — zero exchange at any corpus
-    // size, vs the explode + groupBy(doc) shape whose shuffle carries
-    // one row per TOKEN. Integer weights keep the sum bit-exact
-    // cross-engine; the margin is a FLOORED ppm integer, not a
-    // rounded ratio — score/(500n) has a small denominator, so its
-    // true value can sit exactly on a 6dp half (the round() trap).
-    // The lambda is interpreted (documented trade: this path
-    // is per-doc compute-bound on md5, not array-op-bound, so a
-    // native expression would buy little).
-    "q142_hash_classifier" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-                size(toks).as("n_subwords"),
-                aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"))
-        .select(col("doc_id"), col("source"), col("n_subwords"), col("score"),
-                // margin = score/(500n) in ppm, FLOORED: the rational
-                // has a small denominator, so round(..., 6) sits on
-                // exact halves (observed at sf0.1) — floor of the
-                // bit-identical double is half-free
-                when(col("n_subwords") > 0,
-                  floor(col("score") * 2000.0 / col("n_subwords"))
-                    .cast("long")).as("margin_ppm"),
-                (col("score") > 0L).as("label"))
-        .orderBy("doc_id")
-    }),
-
-    // Two-stage retrieval CASCADE — the production search shape q95's
-    // score fusion doesn't cover: BM25 selects 20 lexical candidates,
-    // then the top hit's EMBEDDING reranks them by cosine
-    // (query-by-top-document pseudo-relevance feedback). Stage 2
-    // touches only the candidate ids — the embedding table joins 20
-    // rows, never scans against the query. Both stage ranks are on
-    // ROUNDED scores with id tie-breaks (the q80 rule).
-    "q165_retrieval_cascade" -> ((s, d) => {
-      val gf = graft.functions.GraftFunctions
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val top20 = graft.ext.Retrieval.withBm25(Tables.documents(s, d),
-          "text", Seq("join", "vector", "scan"))
-        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-      val qvec = top20.orderBy(col("bm25").desc, col("doc_id")).limit(1)
-        .join(emb, col("doc_id") === col("vec_id"))
-        .select(col("vec").as("qvec"))
-      top20.join(emb, col("doc_id") === col("vec_id"))
-        .crossJoin(broadcast(qvec))
-        .select(col("doc_id"), col("bm25"),
-          round(gf.cosineSimilarity(s, col("vec"), col("qvec")), 6)
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("doc_id")).limit(5)
-    }),
-
-    // Token-budget WATERFILLING across sources — mixture planning:
-    // given per-source token supplies (caps) and a global budget
-    // T = 60% of the corpus, find the water level L such that
-    // sum(min(cap, L)) = T and allocate min(cap, floor-at-level) per
-    // source. Closed form over the cap-sorted prefix scan (one
-    // window over the |sources|-row frame): the first k sources are
-    // fully taken, the rest get the level. Allocation emitted as the
-    // FLOOR of the exact rational level — integer waterfill
-    // (undershoots the budget by < |sources| tokens, documented).
-    // Complements q72/q75's fixed-weight mixtures with the
-    // budget-driven solver.
-    "q161_token_waterfill" -> ((s, d) => {
-      val caps = Tables.documents(s, d)
-        .groupBy("source")
-        .agg(sum(TextStats.tokenCount(col("text"))).as("cap"))
-      // budget = 60% of total tokens in EXACT integer arithmetic
-      // ((3*sum) div 5 — a float 0.6 product floors differently
-      // across engines when the true product is an integer)
-      val tot = caps.agg(expr("(3 * sum(cap)) div 5").as("budget"))
-      val wPfx = Window.orderBy("cap", "source")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.orderBy("cap", "source")
-      val scan = caps.crossJoin(broadcast(tot))
-        .withColumn("prefix", coalesce(sum("cap").over(wPfx), lit(0L)))
-        .withColumn("rank", row_number().over(wAll))
-        .withColumn("n_src", count(lit(1)).over(
-          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .withColumn("full_take",
-          col("prefix") + (col("n_src") - col("rank") + 1) * col("cap")
-            <= col("budget"))
-        .withColumn("cand",
-          floor((col("budget") - col("prefix")).cast("double") /
-                (col("n_src") - col("rank") + 1)).cast("long"))
-      // the shared level is the FIRST non-full row's candidate (later
-      // non-full rows' own candidates are below the true level)
-      val lvl = scan.agg(min(when(!col("full_take"),
-          struct(col("rank"), col("cand")))).as("__s"))
-        .select(coalesce(col("__s.cand"), lit(0L)).as("level"))
-      scan.crossJoin(broadcast(lvl))
-        .select(col("source"), col("cap"),
-          when(col("full_take"), col("cap"))
-            .otherwise(least(col("cap"), greatest(col("level"), lit(0L))))
-            .as("allocated"))
-        .orderBy("source")
-    }),
-
-    // Near-dup pair matrix WITHIN vs ACROSS sources — the dedup
-    // diagnostic that tells you whether duplication is intra-source
-    // boilerplate or cross-source syndication (they need different
-    // fixes). MinHash-LSH pair set (q31's verified path) joined to
-    // each side's source, counted per ordered source pair.
-    "q162_dup_source_matrix" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
-        numHashes = 32, bands = 16, threshold = 0.5)
-      val src = docs.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.withColumnRenamed("doc_id", "id_a")
-          .withColumnRenamed("source", "src_a"), "id_a")
-        .join(src.withColumnRenamed("doc_id", "id_b")
-          .withColumnRenamed("source", "src_b"), "id_b")
-        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
-                 greatest(col("src_a"), col("src_b")).as("source_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("source_lo", "source_hi")
-    }),
-
-    // The pure-SQL front door over the NATIVE expressions: a SQL
-    // string calling the graft_* functions the SparkSessionExtensions
-    // registry injects (q47 shows plain SQL; this shows the
-    // EXTENSION surface under the driver gate — previously only
-    // spec-pinned). token_set_count is codegen'd inside the scan;
-    // word_shingles feeds size() without materializing elsewhere.
-    "q159_sql_native_functions" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      Tables.documents(s, d).createOrReplaceTempView("v_docs_q159")
-      s.sql("""
-        SELECT doc_id,
-          graft_token_set_count(text, array('data', 'the', 'row'))
-            AS stop_hits,
-          size(graft_word_shingles(text, 3)) AS n_shingles
-        FROM v_docs_q159 ORDER BY doc_id""")
-    }),
-
-    // BPE merge induction (Bpe.learnMerges) — tokenizer TRAINING on
-    // the corpus: 4 merge rounds, each one vocab-sized pair count +
-    // a 1-row argmax collect (the PageRank-sweep idiom). The corpus
-    // is touched exactly once (word-type frequency shuffle); see the
-    // determinism conventions in the Bpe scaladoc. The oracle unrolls
-    // all 4 rounds as generated CTEs.
-    "q143_bpe_merges" -> ((s, d) =>
-      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", k = 4)
-        .orderBy("step")),
-
-    // Tokenizer APPLY (Bpe.encode): train the 4 merges, then encode
-    // the corpus with them map-side (the merge list is a driver-held
-    // literal rewrite chain) and emit the resulting vocabulary with
-    // frequencies — the end-to-end train->encode lifecycle.
-    "q144_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = graft.ext.Bpe.learnMerges(docs, "text", k = 4).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.ext.Bpe.encode(docs, "text", merges)
-        .orderBy(col("freq").desc, col("token"))
-    }),
-
-    // Exact dedup stats per source (hash-groupBy family).
-    "q25_exact_dedup_docs" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             countDistinct("text").as("n_unique_texts"))
-        .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
-        .orderBy("source")),
-
-    // Content fingerprint (md5 — portable, verifiable cross-engine).
-    "q26_fingerprint_md5" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"),
-                col("n_chars"))
-        .orderBy("doc_id")),
-
-    // Exact n-gram (3-shingle) Jaccard near-dup pairs within source,
-    // via the posting-list join (work scales with co-occurring
-    // shingles, not document pairs); q31 is the LSH path that also
-    // drops the per-group restriction.
-    "q27_ngram_jaccard_neardup" -> ((s, d) =>
-      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          groupCol = "source", k = 3, threshold = 0.5)
-        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "source", "jaccard")
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // Quality scoring aggregated per language label.
-    "q28_text_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-        .withColumn("stop_ratio",
-          round(TextStats.stopwordRatio(col("text"), Stopwords), 6))
-        .withColumn("quality",
-          round(TextStats.qualityScore(col("text"), Stopwords), 6))
-      docs.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-             round(avg("n_tokens"), 6).as("avg_tokens"),
-             round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
-             round(avg("quality"), 6).as("avg_quality"))
-        .orderBy("lang")
-    }),
-
-    // Quality-DECILE binning — the "keep the top X% by quality"
-    // curation step. Deciles are RANK arithmetic ((rn-1)*10 DIV cnt,
-    // integer division) rather than interpolated percentile value
-    // thresholds: rank arithmetic is bit-exact across engines, while
-    // cross-libm interpolation can move a value threshold by an ulp
-    // and flip boundary documents. Ordering is on the 6dp-ROUNDED
-    // quality with doc_id tiebreak, so ranks are engine-independent.
-    // Scale note: this window sorts per source (the verification
-    // shape); at 100 TB compute decile thresholds from a sorted
-    // sample/tail and assign map-side instead.
-    "q84_quality_deciles" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      Tables.documents(s, d)
-        .withColumn("quality",
-          round(TextStats.qualityScore(col("text"), Stopwords), 6))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
-        .withColumn("decile", expr("CAST(((rn - 1) * 10) DIV cnt AS INT)"))
-        .groupBy("source", "decile")
-        // sum, not avg: per-doc quality is 6dp-rounded, so the SUM's
-        // true value lies ON the 6dp grid (rounding safe), while an
-        // AVG can sit exactly on a rounding half (the q14 trap —
-        // observed: 0.5014215 rounding differently per engine)
-        .agg(count(lit(1)).as("n_docs"),
-             round(min("quality"), 6).as("min_q"),
-             round(max("quality"), 6).as("max_q"),
-             round(sum("quality"), 6).as("sum_q"))
-        .orderBy("source", "decile")
-    }),
-
-    // Language-id confusion matrix: fixed marker profiles, argmax
-    // with first-listed-wins ties (deterministic; mirrored in SQL).
-    "q29_langid_confusion" -> ((s, d) => {
-      val scored = TextStats.withLangScores(Tables.documents(s, d), "text", LangProfiles)
-      scored.withColumn("predicted", TextStats.predictLang(LangProfiles))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
-
-    // Character-n-gram language-ID (the n-gram-frequency mechanism;
-    // q29 is the marker-word variant). Scores are overlap counts of
-    // fixed per-language trigram profiles, computed with pure length
-    // arithmetic so the oracle mirrors exactly.
-    "q46_langid_chargram" -> ((s, d) => {
-      val profiles = Seq(
-        "de" -> Seq("agg", "tch", "mer"),
-        "en" -> Seq("row", "lin", "tab"),
-        "es" -> Seq("dat", "que", "smal"),
-        "fr" -> Seq("joi", "ord", "key"),
-        "zh" -> Seq("sca", "has", "par"))
-      TextStats.withCharNgramScores(Tables.documents(s, d), "text", profiles)
-        .withColumn("predicted", TextStats.predictLang(profiles, "cscore_"))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
-
-    // Token counting: whitespace tokens + BPE-ish subword regex.
-    "q30_token_counts" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-        .withColumn("n_subwords", TextStats.subwordCount(col("text")))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").as("total_tokens"),
-             sum("n_subwords").as("total_subwords"),
-             round(avg("n_tokens"), 6).as("avg_tokens"))
-        .orderBy("source")),
-
-    // MinHash+LSH near-dup detection (scale path). Verified candidates
-    // at jaccard>=0.5 coincide with the exact global pair set on this
-    // data, so the oracle is the exact pairwise computation.
-    "q31_minhash_lsh_neardup" -> ((s, d) =>
-      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
-          k = 3, numHashes = 16, bands = 4, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-
-    // Portable 32-bit SimHash signatures (md5-bit construction).
-    "q32_simhash" -> ((s, d) =>
-      Dedup.withSimHash(Tables.documents(s, d), "text")
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")),
-
-    // SimHash near-dup pairs (hamming <= 3) through the pigeonhole
-    // banding on the 64-BIT signature: 4 bands of 16 bits — a pair
-    // within distance 3 MUST collide in some band, so the banded join
-    // is EXACTLY the all-pairs result the oracle recomputes (no
-    // probabilistic recall caveat, unlike MinHash/hyperplane LSH).
-    // 16-bit bands put the unrelated-pair collision floor at ~4*2^-16
-    // per pair, 256x below round 3's 32-bit/8-bit configuration (the
-    // verdict's flagged corpus-scale cost cliff).
-    "q59_simhash_neardup" -> ((s, d) =>
-      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3, bits = 64)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")),
-
-    // REAL multimodal decode, driver-checked: build a valid PNG
-    // header (signature + IHDR) per document with dimensions derived
-    // from n_chars, then decode it back through HeaderDecoder inside
-    // the distributed mapPartitions batch path. The oracle recomputes
-    // the dimension formulas directly — equality proves the byte
-    // encode -> partition-batch decode round trip, not just the
-    // arithmetic. (Real-world JPEG/GIF/WAV fixture bytes are covered
-    // by MultimodalSpec; testdata carries no media binaries.)
-    "q54_multimodal_decode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("w", (lit(1) + col("n_chars") % 640).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 480).cast("int"))
-        .withColumn("payload", unhex(concat(
-          lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
-          lpad(hex(col("w")), 8, "0"),
-          lpad(hex(col("h")), 8, "0"),
-          lit("0806000000"))))
-      graft.ext.Multimodal.withDecodedMeta(
-          docs.select("doc_id", "source", "payload"), "payload")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_assets"),
-             min(col("media_meta.format")).as("format"),
-             sum(col("media_meta.width").cast("long")).as("total_width"),
-             sum(col("media_meta.height").cast("long")).as("total_height"),
-             sum(when(col("media_meta.valid"), 1L).otherwise(0L)).as("n_valid"))
-        .orderBy("source")
-    }),
-
-    // REAL pixel-level resize, driver-checked end to end: build a
-    // deterministic 24-bit BMP per document (pixel (x,y) channel c =
-    // (doc_id + 7x + 13y + 29c) mod 256), push it through the real
-    // decode -> nearest-neighbor resample -> re-encode path
-    // (Multimodal.resizeBmp) to 8x5, then re-DECODE the output bytes
-    // for dims (header round trip) and the exact RGB checksum. The
-    // oracle replays the floor-mapped source coordinates and the byte
-    // arithmetic in SQL — equality proves the whole pixel pipeline,
-    // not just the plumbing (this was the stub the r10 verdict
-    // flagged; the pixel work is now real).
-    "q120_bmp_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val bmps = graft.ext.Multimodal.withSyntheticBmp(
-        docs, "doc_id", "w", "h", "img")
-      val resized = graft.ext.Multimodal.resizeBmp(bmps, "img", 8, 5)
-        .drop("img") // drop the source payload before anything wide
-      val meta = graft.ext.Multimodal.withDecodedMeta(
-        graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized"),
-        "resized")
-      meta.select(col("doc_id"), col("source"),
-          col("media_meta.format").as("format"),
-          col("media_meta.width").cast("long").as("out_w"),
-          col("media_meta.height").cast("long").as("out_h"),
-          col("w").cast("long").as("in_w"),
-          col("h").cast("long").as("in_h"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // q120's pipeline in BILINEAR mode: the align-corners fixed-point
-    // interpolation keeps every output byte exact integer arithmetic
-    // (corner weights are remainders mod (tw-1)/(th-1); round-half-up
-    // is (2*num + den) // (2*den)), so the oracle replays the full
-    // interpolation per channel — a pixel-MATH check, not just
-    // plumbing. Same synthetic gradient source as q120.
-    "q124_bmp_bilinear" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val bmps = graft.ext.Multimodal.withSyntheticBmp(
-        docs, "doc_id", "w", "h", "img")
-      val resized = graft.ext.Multimodal.resizeBmp(bmps, "img", 8, 5,
-          mode = "bilinear")
-        .drop("img")
-      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
-        .select(col("doc_id"), col("source"),
-          col("w").cast("long").as("in_w"), col("h").cast("long").as("in_h"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // REAL PNG pixel pipeline, driver-checked end to end: encode the
-    // q120 gradient as a genuine zlib-compressed PNG (per-row filters
-    // cycling 0..4, so every Sub/Up/Average/Paeth reconstruction
-    // branch runs on driver-checked data), then decode -> bilinear
-    // resample to 8x5 -> re-encode BMP -> checksum. in_w/in_h come
-    // from the DECODED IHDR (resizeImage's src dims), not the input
-    // columns, so the header parse is pinned too; the checksum equals
-    // q124's because the gradient and resample are identical — any
-    // wrong byte anywhere in inflate/unfilter flips it.
-    "q127_png_decode_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val pngs = graft.ext.Multimodal.withSyntheticPng(
-        docs, "doc_id", "w", "h", "img")
-      val resized = graft.ext.Multimodal.resizeImage(pngs, "img", 8, 5,
-          mode = "bilinear")
-        .drop("img")
-      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
-        .select(col("doc_id"), col("source"),
-          col("resized_src_w").cast("long").as("in_w"),
-          col("resized_src_h").cast("long").as("in_h"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // REAL GIF (LZW) pixel pipeline, driver-checked end to end: the
-    // q127 shape for the THIRD compression family — encode a
-    // grayscale gradient (pixel (x,y) = (doc_id + 7x + 13y) mod 256)
-    // as a genuine LZW-compressed GIF89a, decode -> bilinear resample
-    // to 8x5 -> checksum. Gradient images span the dictionary-growth
-    // and width-bump branches; in_w/in_h come from the decoded
-    // logical-screen descriptor. The grayscale palette makes every
-    // channel interpolate the same plane, so the oracle replays ONE
-    // channel and multiplies by 3 — any wrong byte anywhere in the
-    // LZW stream walk flips the sum.
-    "q132_gif_decode_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val gifs = graft.ext.Multimodal.withSyntheticGif(
-        docs, "doc_id", "w", "h", "img")
-      val resized = graft.ext.Multimodal.resizeImage(gifs, "img", 8, 5,
-          mode = "bilinear")
-        .drop("img")
-      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
-        .select(col("doc_id"), col("source"),
-          col("resized_src_w").cast("long").as("in_w"),
-          col("resized_src_h").cast("long").as("in_h"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // REAL lossy-JPEG pipeline through the JDK's javax.imageio codec
-    // (the one raster format where hand-rolling a DCT/Huffman stack
-    // is unjustified; java.desktop ships a complete baseline codec
-    // that runs headless — probed in this container). Per document:
-    // encode a SMOOTH gray gradient (min(255, doc_id%64 + 2x + 3y) —
-    // smooth because a wrapping gradient would ring under the DCT)
-    // as a real JPEG at quality 0.92, decode it back through the
-    // codec registry (resizeImage dispatches on the FFD8 magic),
-    // bilinear-resample to 8x5, and compare pixel-for-pixel against
-    // the SAME gradient carried through the lossless BMP leg of the
-    // IDENTICAL resample. JPEG is lossy, so no SQL oracle can replay
-    // its pixels; instead the oracle pins (a) the decoded SOF
-    // dimensions exactly — sum_w/sum_h replay the w/h formulas, so
-    // the header survives encode→decode — and (b) the fidelity
-    // count: EVERY asset must land within max-abs-error 12 of the
-    // lossless leg (luma quantization on a smooth constant-chroma
-    // gradient is ≲4; any real decode defect — shifted scanline,
-    // swapped channel, wrong DC — blows far past 12), plus
-    // n_bad_decode = 0 pinning the degrade-to-null contract.
-    "q201_jpeg_decode_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val jp = graft.ext.Multimodal.withSyntheticJpeg(
-        docs, "doc_id", "w", "h", "jpg")
-      val withRef = graft.ext.Multimodal.withSyntheticSmoothBmp(
-        jp, "doc_id", "w", "h", "ref")
-      val rj = graft.ext.Multimodal.resizeImage(withRef, "jpg", 8, 5,
-          out = "rj", mode = "bilinear")
-        .drop("jpg") // drop payloads before anything wide
-      val rr = graft.ext.Multimodal.resizeImage(rj, "ref", 8, 5,
-          out = "rr", mode = "bilinear")
-        .drop("ref")
-      graft.ext.Multimodal.withPixelMaxAbsDiff(rr, "rj", "rr", "err")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_assets"),
-             sum(col("rj_src_w").cast("long")).as("sum_w"),
-             sum(col("rj_src_h").cast("long")).as("sum_h"),
-             sum(when(col("err") >= 0 && col("err") <= 12, 1L)
-               .otherwise(0L)).as("n_ok"),
-             sum(when(col("err") < 0, 1L).otherwise(0L)).as("n_bad_decode"))
-        .orderBy("source")
-    }),
-
-    // REAL TIFF pixel pipeline, driver-checked end to end — the
-    // FOURTH raster container through the shared registry, and the
-    // javax.imageio leg with an EXACT oracle (unlike lossy JPEG,
-    // TIFF round-trips RGB bit-exactly — probed): encode the classic
-    // q120 gradient as real TIFF, decode through the registry
-    // (resizeImage dispatches on the II*/MM* magic), bilinear
-    // resample to 8x5, checksum. in_w/in_h come from the DECODED
-    // header; the checksum equals q124/q127's because gradient and
-    // resample are identical — any wrong byte anywhere in the
-    // ImageIO round trip flips it.
-    "q217_tiff_decode_resize" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val tiffs = graft.ext.Multimodal.withSyntheticTiff(
-        docs, "doc_id", "w", "h", "img")
-      val resized = graft.ext.Multimodal.resizeImage(tiffs, "img", 8, 5,
-          mode = "bilinear")
-        .drop("img")
-      graft.ext.Multimodal.withBmpPixelChecksum(resized, "resized")
-        .select(col("doc_id"), col("source"),
-          col("resized_src_w").cast("long").as("in_w"),
-          col("resized_src_h").cast("long").as("in_h"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // CHAR-WEIGHTED document-length quantiles per language
-    // (Sketches.histCounters weight column + histQuantiles): "the
-    // median character lives in a document of length X" — the
-    // length-vs-mass view that plain doc-count quantiles (q105's
-    // family) miss, and the weighted-quantile operator a mixture
-    // builder sizes shards with. Additive integer counters (weights
-    // are exact char counts), in-bucket interpolation — the q212
-    // exact-oracle-for-an-approximation contract.
-    "q214_weighted_quantiles" -> ((s, d) =>
-      graft.ext.Sketches.histQuantiles(
-          graft.ext.Sketches.histCounters(
-            Tables.documents(s, d), "lang", "n_chars", width = 20.0,
-            weight = col("n_chars")),
-          "lang", width = 20.0, ps = Seq(0.25, 0.5, 0.9))
-        .orderBy("lang", "p")),
-
-    // Token-budget ("nucleus") curation: per source, greedily keep
-    // the LARGEST documents (n_chars desc, doc_id tie-break) until
-    // the kept mass reaches 60% of the source's total characters —
-    // the fixed-budget data-mixture selection step (keep the densest
-    // 60% of each source's token mass). Cumulative windows are
-    // PARTITIONED by source (never a global single-partition window);
-    // the budget test is exact integer cross-multiplication
-    // (cum·10 ≤ tot·6 — no float share), and the output shares are
-    // exact ppm integer division.
-    "q211_token_budget" -> ((s, d) => {
-      val wCum = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wTot = Window.partitionBy("source")
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("__cum", sum("n_chars").over(wCum))
-        .withColumn("__tot", sum("n_chars").over(wTot))
-        .filter(col("__cum") * 10 <= col("__tot") * 6)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"),
-             max("__tot").as("total_chars"))
-        .select(col("source"), col("n_kept"), col("kept_chars"),
-          col("total_chars"),
-          expr("(kept_chars * 1000000) div total_chars").as("share_ppm"))
-        .orderBy("source")
-    }),
-
-    // REAL audio sample pipeline, driver-checked end to end: build a
-    // deterministic mono 16-bit PCM WAV per document (sample i =
-    // ((doc_id*31 + i*7919) mod 65536) - 32768), push it through the
-    // real RIFF decode -> decimate-by-3 -> re-encode path
-    // (Audio.decimate), then decode the RESAMPLED bytes again for
-    // header fields (sr/n pin the RIFF round trip) and exact integer
-    // features (energy / zero-crossings / peak over the kept
-    // samples). The oracle replays the generator at kept indices
-    // i*3 < n — equality proves codec + resample + features, not just
-    // plumbing (the audio twin of q120/q127).
-    "q129_wav_decimate_features" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
-      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
-      val resampled = graft.ext.Audio.decimate(wavs, "wav", 3)
-        .drop("wav") // drop the source payload before anything wide
-      graft.ext.Audio.withWavFeatures(resampled, "resampled", "audio")
-        .select(col("doc_id"), col("source"),
-          col("n").cast("long").as("n_in"),
-          col("audio_sr").cast("long").as("sr_out"),
-          col("audio_n").cast("long").as("n_out"),
-          col("audio_energy").as("energy"),
-          col("audio_zero_cross").as("zero_cross"),
-          col("audio_peak").as("peak"))
-        .orderBy("doc_id")
-    }),
-
-    // REAL video frame sampling, driver-checked end to end: build a
-    // per-document frame container whose frames are genuine BMPs
-    // (frame f pixel (x,y,c) = (doc_id + 11f + 7x + 13y + 29c) mod
-    // 256), walk the container keeping every 2nd frame
-    // (Video.extractFrames — skipped frames are seeked over, never
-    // materialized), then run the REAL image operators on each kept
-    // frame: header decode for dims + exact RGB checksum. One row per
-    // sampled frame; the oracle replays the pixel formula per kept
-    // frame — equality proves container walk + frame decode + pixel
-    // math (the video leg of q120/q127/q129).
-    "q130_video_frame_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("nf", (lit(1) + col("n_chars") % 6).cast("int"))
-        .withColumn("w", (lit(1) + col("n_chars") % 9).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 7).cast("int"))
-      val vids = graft.ext.Video.withSyntheticVideo(
-        docs, "doc_id", "nf", "w", "h", "video")
-      val frames = graft.ext.Video.extractFrames(vids, "video", stride = 2)
-        .drop("video") // drop the container before anything wide
-      val meta = graft.ext.Multimodal.withDecodedMeta(
-        graft.ext.Multimodal.withBmpPixelChecksum(frames, "frame"), "frame")
-      meta.select(col("doc_id"), col("source"),
-          col("frame_idx").cast("long"),
-          col("frame_count").cast("long").as("n_frames"),
-          col("media_meta.width").cast("long").as("w_out"),
-          col("media_meta.height").cast("long").as("h_out"),
-          col("pixel_checksum").as("checksum"))
-        .orderBy("doc_id", "frame_idx")
-    }),
-
-    // q129's pipeline with the INTERPOLATING resampler: synthetic
-    // 8000 Hz WAV -> linear resample to 3000 Hz (exact fixed-point
-    // align-corners arithmetic in offset space — the audio twin of
-    // q124's bilinear) -> features over the interpolated samples. The
-    // oracle replays every interpolated sample: position t*(n-1)
-    // splits into i0 + remainder over den = nOut-1, corner values are
-    // the generator in offset space u = (doc_id*31 + i*7919) mod
-    // 65536, round-half-up is (2*num + den) // (2*den).
-    "q133_wav_resample_linear" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
-      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
-      val resampled = graft.ext.Audio.resampleLinear(wavs, "wav", 3000)
-        .drop("wav")
-      graft.ext.Audio.withWavFeatures(resampled, "resampled", "audio")
-        .select(col("doc_id"), col("source"),
-          col("n").cast("long").as("n_in"),
-          col("audio_sr").cast("long").as("sr_out"),
-          col("audio_n").cast("long").as("n_out"),
-          col("audio_energy").as("energy"),
-          col("audio_zero_cross").as("zero_cross"),
-          col("audio_peak").as("peak"))
-        .orderBy("doc_id")
-    }),
-
-    // Compression-ratio quality profile (native DeflateLen — the
-    // zero-dependency corpus-quality signal: boilerplate and template
-    // spam compress far below prose). Per-source: exact raw/compressed
-    // byte totals (integer sums — deterministic under any partition
-    // order, which is why the primitive is a LENGTH and not a float
-    // ratio), the corpus-level ratio, and the per-doc ratio extremes.
-    "q134_compression_quality" -> ((s, d) => {
-      val gf = graft.functions.GraftFunctions
-      Tables.documents(s, d)
-        .select(col("source"),
-          octet_length(col("text")).cast("long").as("raw"),
-          gf.deflateLen(s, col("text")).as("comp"),
-          gf.deflateRatio(s, col("text")).as("ratio"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("raw").as("raw_bytes"),
-             sum("comp").as("compressed_bytes"),
-             round(sum("comp").cast("double") / sum("raw"), 6).as("corpus_ratio"),
-             round(min("ratio"), 6).as("min_ratio"),
-             round(max("ratio"), 6).as("max_ratio"))
-        .orderBy("source")
-    }),
-
-    // Mixed-modality ingest quality report: a corpus where each
-    // document carries a DIFFERENT payload format (BMP / PNG / GIF /
-    // WAV / junk by doc_id mod 5, all through the real encoders),
-    // pushed through the ONE format-sniffing metadata decoder — the
-    // first gate of any multimodal ingest: what formats arrived, did
-    // they parse, what are the dimension/frame totals. Junk payloads
-    // surface as format 'unknown', valid = false — visible, not
-    // dropped. Fully recomputable oracle: every metadata field of the
-    // synthetic assets is a closed-form fact of (doc_id, n_chars).
-    "q135_mixed_modality_meta" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-        .withColumn("m", (col("doc_id") % 5).cast("int"))
-        .withColumn("w", (lit(1) + col("n_chars") % 9).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 7).cast("int"))
-        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
-      val mm = graft.ext.Multimodal
-      val mixed = mm.withSyntheticBmp(docs.filter(col("m") === 0),
-          "doc_id", "w", "h", "payload")
-        .unionByName(mm.withSyntheticPng(docs.filter(col("m") === 1),
-          "doc_id", "w", "h", "payload"))
-        .unionByName(mm.withSyntheticGif(docs.filter(col("m") === 2),
-          "doc_id", "w", "h", "payload"))
-        .unionByName(graft.ext.Audio.withSyntheticWav(
-          docs.filter(col("m") === 3), "doc_id", "n", 8000, "payload"))
-        .unionByName(docs.filter(col("m") === 4)
-          .withColumn("payload", encode(col("text"), "UTF-8")))
-      mm.withDecodedMeta(mixed, "payload")
-        .groupBy(col("media_meta.format").as("format"))
-        .agg(count(lit(1)).as("n_assets"),
-             sum(when(col("media_meta.valid"), 1L).otherwise(0L)).as("n_valid"),
-             sum(col("media_meta.width").cast("long")).as("total_w"),
-             sum(col("media_meta.height").cast("long")).as("total_h"),
-             sum(col("media_meta.n_frames").cast("long")).as("total_frames"))
-        .orderBy("format")
-    }),
-
-    // Frame-level audio feature table (Audio.frameFeatures — the
-    // spectrogram-shaped per-frame energy/peak rows ML pipelines
-    // consume, exploded map-side like video frames): 16-sample frames
-    // over the q129 synthetic corpus, one row per frame, last frame
-    // partial. The oracle replays the generator grouped by i // 16.
-    "q136_wav_frame_energy" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("n", (lit(40) + col("n_chars") % 160).cast("int"))
-      val wavs = graft.ext.Audio.withSyntheticWav(docs, "doc_id", "n", 8000, "wav")
-      graft.ext.Audio.frameFeatures(wavs, "wav", frameSize = 16)
-        .select(col("doc_id"), col("source"),
-          col("frame_idx").cast("long"),
-          col("frame_n").cast("long").as("n_samples"),
-          col("frame_energy").as("energy"),
-          col("frame_peak").as("peak"))
-        .orderBy("doc_id", "frame_idx")
-    }),
-
-    // ViT-style patch extraction (Multimodal.extractPatches): decode
-    // the synthetic BMP, tile into 4x4 patches (edge tiles partial),
-    // one row per patch with grid position, actual dims, and the
-    // exact per-patch byte checksum — the patchify preprocessing
-    // shape, exploded map-side. The oracle replays the gradient sum
-    // over each tile's pixel rectangle.
-    "q137_image_patchify" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 13).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 11).cast("int"))
-      val bmps = graft.ext.Multimodal.withSyntheticBmp(
-        docs, "doc_id", "w", "h", "img")
-      graft.ext.Multimodal.extractPatches(bmps, "img", 4, 4)
-        .select(col("doc_id"), col("source"),
-          col("patch_x").cast("long"), col("patch_y").cast("long"),
-          col("patch_w").cast("long"), col("patch_h").cast("long"),
-          col("patch_checksum").as("checksum"))
-        .orderBy("doc_id", "patch_y", "patch_x")
-    }),
-
-    // Per-SOURCE data-quality report (Kernels.expectations with
-    // groupCols — q125's global gate becomes the per-tenant table in
-    // the same single pass, one exchange on source): text rules over
-    // documents, NULL predicate = violation.
-    "q126_expectations_by_source" -> ((s, d) =>
-      graft.ops.Kernels.expectations(Tables.documents(s, d), Seq(
-          "text_nonempty" -> (length(col("text")) > 0),
-          "chars_consistent" -> (col("n_chars") === length(col("text"))),
-          "lang_known" -> col("lang").isin("en", "es", "zh", "de", "fr")),
-          groupCols = Seq("source"))
-        .orderBy("source", "rule")),
-
-    // Gopher-style top-n-gram dominance (Rae et al. 2021 repetition
-    // filters): per doc, the fraction of 3-gram positions occupied by
-    // the SINGLE most frequent 3-gram — the boilerplate/listicle
-    // signal q37's distinct-ratio family can't see (a doc repeating
-    // one sentence has high top-gram dominance but may keep a modest
-    // duplicate-gram ratio). Entirely MAP-SIDE per doc: native
-    // positional shingles -> native TopElementFreq (sort-a-copy + max
-    // run length, codegen'd) — a per-doc statistic never needs the
-    // explode -> gram-keyed count -> per-doc max shape (two shuffles
-    // whose width is the gram table); the only exchange here is the
-    // final per-source aggregate. The flag threshold compares
-    // UNROUNDED ratios (single IEEE division, identical both
-    // engines); only the avg is rounded.
-    "q122_top_ngram_coverage" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-        .filter(col("n_tokens") >= 3)
-      docs.select(col("source"),
-          (graft.functions.GraftFunctions.topElementFreq(s,
-            graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 3))
-            .cast("double") /
-            (col("n_tokens") - 2).cast("double")).as("ratio"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             round(avg(col("ratio")), 6).as("avg_top3gram_ratio"),
-             sum(when(col("ratio") > 0.18, 1L).otherwise(0L)).as("n_flagged"))
-        .orderBy("source")
-    }),
-
-    // Deterministic 80/10/10 train/val/test split (Sampling.hashSplit)
-    // — content-keyed so the same doc lands in the same slice on any
-    // engine under any partitioning (the eval-decontamination
-    // property randomSplit does not have). The per-(source, split)
-    // counts + token mass pin both the band arithmetic and the
-    // md5-hex comparison; the oracle replays the cumulative
-    // thresholds as hex-string literals.
-    "q123_dataset_split" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      graft.ext.Sampling.hashSplit(docs, col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp11")
-        .groupBy("source", "split")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_tokens").cast("long")).as("total_tokens"))
-        .orderBy("source", "split")
-    }),
-
-    // One-call document-prep composite (ext.DocPrep): exact dedup
-    // (keep-lowest-id per content hash) -> marker lang-ID -> quality
-    // scoring -> token counting -> quality/language filter, then a
-    // small per-(source, lang) aggregate so every stage's effect is
-    // hash-visible. The filter compares UNROUNDED quality on both
-    // engines (identical IEEE expression); only outputs are rounded.
-    "q58_docprep_pipeline" -> ((s, d) =>
-      graft.ext.DocPrep.prepare(Tables.documents(s, d), "doc_id", "text",
-          stopwords = Stopwords, profiles = LangProfiles,
-          minQuality = 0.6, keepLangs = Seq("en", "es", "zh"))
-        .groupBy("source", "predicted_lang")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").cast("long").as("total_tokens"),
-             round(avg("quality"), 6).as("avg_quality"))
-        .orderBy("source", "predicted_lang")),
-
-    // Corpus n-gram statistics: top-5 bigrams per language by DOCUMENT
-    // frequency (WordShingles dedups within a document, so the count
-    // is #docs containing the bigram — the standard corpus-stats
-    // semantics, mirrored by the oracle's list_distinct). Shape:
-    // native shingles -> explode -> hash-aggregate (shuffle 1) ->
-    // TopKByScoreStr partial aggregate (shuffle 2 moves FIVE rows per
-    // partition per language, not every distinct (lang, ngram, n)
-    // triple). Round 3's row_number window partitioned on ~5 langs
-    // sorted a whole language's distinct ngrams in ONE task — at
-    // corpus scale that's billions of rows through a single sort; the
-    // partial aggregate is the repo's own q34/q35 fix applied here.
-    // Count-as-double is exact (counts < 2^53); ngram tie-break is
-    // byte-lexicographic on both engines.
-    "q62_top_ngrams" -> ((s, d) => {
-      val counts = Dedup.withShingles(Tables.documents(s, d), "text", k = 2)
-        .select(col("lang"), explode(col("shingles")).as("ngram"))
-        .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
-      counts.groupBy("lang")
-        .agg(graft.functions.GraftFunctions.topKByScoreStr(s,
-          col("n").cast("double"), col("ngram"), 5).as("hits"))
-        .select(col("lang"), posexplode(col("hits")).as(Seq("pos", "hit")))
-        .select(col("lang"), col("hit.id").as("ngram"),
-                col("hit.score").cast("long").as("n"),
-                (col("pos") + 1).cast("int").as("rk"))
-        .orderBy("lang", "rk")
-    }),
-
-    // The FULL curation pipeline in one call (DocPrep.prepareFull):
-    // exact dedup -> 64-bit SimHash near-dup components (keep each
-    // cluster's lowest id) -> repetition gates -> lang-ID/quality
-    // filter -> deterministic fold split. The oracle mirrors every
-    // stage (dedup window, SimHash closure, gate formulas, q58's
-    // score CASEs, fold thresholds) — the strongest cross-engine
-    // check in the repo: one hash over the composition of six
-    // operators.
-    "q69_curation_pipeline" -> ((s, d) =>
-      graft.ext.DocPrep.prepareFull(Tables.documents(s, d), "doc_id", "text",
-          stopwords = Stopwords, profiles = LangProfiles,
-          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
-          foldSalt = "r5")
-        .groupBy("fold", "predicted_lang")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").cast("long").as("total_tokens"),
-             round(avg("quality"), 6).as("avg_quality"),
-             min("doc_id").as("min_id"))
-        .orderBy("fold", "predicted_lang")),
-
-    // Dup-cluster connected components: q59's near-dup PAIRS are not
-    // transitive (hamming <= 3 can chain A~B~C with A,C at distance
-    // 6), so corpus curation needs the components of the pair graph —
-    // one keep-lowest-id representative per cluster. The operator is
-    // iterative min-label propagation (one equi-join + min aggregate
-    // per sweep, sweeps = cluster diameter); the oracle recomputes
-    // the same components with a recursive transitive closure over
-    // the identical 64-bit simhash pair set.
-    "q64_dup_components" -> ((s, d) => {
-      val pairs = Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3, bits = 64)
-      Dedup.connectedComponents(pairs)
-        .groupBy("component")
-        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
-        .orderBy("component")
-    }),
-
-    // Dup-cluster CANONICALIZATION — the step after q64's component
-    // discovery that actually fixes the corpus: per near-dup cluster,
-    // keep the best representative (longest text, doc_id tie-break)
-    // and account for what the collapse drops. One window over the
-    // component-joined members; at scale the cost is the CC itself
-    // (adaptive, see Dedup.connectedComponents) — the canonical pick
-    // adds a single component-keyed exchange.
-    "q146_dup_canonical" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
-        maxHamming = 3, bits = 64)
-      val members = Dedup.connectedComponents(pairs)
-        .join(docs.select("doc_id", "n_chars"), col("id") === col("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
-      members.withColumn("__rn", row_number().over(w))
-        .groupBy("component")
-        .agg(count(lit(1)).as("n_members"),
-             sum("n_chars").as("total_chars"),
-             max(when(col("__rn") === 1, col("doc_id"))).as("canonical_id"),
-             max(when(col("__rn") === 1, col("n_chars"))).as("kept_chars"))
-        .orderBy("component")
-    }),
-
-    // Deterministic stratified sampling (ext.Sampling): the keep
-    // decision is a pure function of md5(doc_id || salt), so the
-    // sample is identical across runs, engines and partitionings —
-    // the DuckDB oracle recomputes the EXACT same membership (hex
-    // thresholds: 0.8 -> cccccccd, 0.5 -> 80000000, 0.2 -> 33333333,
-    // default 0.1 -> 1999999a, all = math.round(f * 2^32) in hex).
-    "q61_stratified_sample" -> ((s, d) =>
-      graft.ext.Sampling.stratifiedSample(
-          Tables.documents(s, d), col("doc_id"), col("source"),
-          fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
-          defaultFraction = 0.1, salt = "r3")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("source")),
-
-    // Train-benchmark n-gram decontamination: src0 documents play the
-    // benchmark/eval suite, everything else is the training corpus; a
-    // (train, bench) pair is contaminated when it shares >= 2 distinct
-    // RARE word trigrams (bench document frequency <= 3 — the
-    // stop-shingle guard; this corpus's ~30-word vocabulary makes
-    // common trigrams ubiquitous, and an unguarded cross-corpus join
-    // is quadratic in corpus growth). Posting-list join across the
-    // two corpora — the benchmark side broadcasts, the training side
-    // never shuffles.
-    "q65_decontamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.ngramContamination(
-          train = docs.filter(col("source") =!= "src0"),
-          bench = docs.filter(col("source") === "src0"),
-          idCol = "doc_id", textCol = "text", k = 3, minShared = 2,
-          maxBenchDf = 3L)
-        .orderBy("train_id", "bench_id")
-    }),
-
-    // Deterministic train/val/test fold assignment: fold is a pure
-    // function of md5(doc_id || salt) against cumulative thresholds
-    // (0.7/0.2/0.1), so membership is stable across runs, engines and
-    // corpus growth; the oracle recomputes the identical CASE chain.
-    "q66_fold_split" -> ((s, d) =>
-      graft.ext.Sampling.withFold(Tables.documents(s, d), col("doc_id"),
-          folds = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), salt = "r5")
-        .groupBy("fold")
-        .agg(count(lit(1)).as("n_docs"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("fold")),
-
-    // Repetition/structure quality signals (Gopher-rules family):
-    // per-source averages of token/bigram repetition, symbol noise
-    // and mean word length, plus the count passing the default
-    // filter gates. Per-doc ratios stay UNROUNDED (only the
-    // aggregates round; the filter compares unrounded values — the
-    // q58 rule), so the oracle mirrors bit-for-bit.
-    "q67_repetition_stats" -> ((s, d) => {
-      val docs = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-      docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             round(avg("rep_ratio"), 6).as("avg_rep_ratio"),
-             round(avg("dup_bigram_ratio"), 6).as("avg_dup_bigram_ratio"),
-             round(avg("symbol_ratio"), 6).as("avg_symbol_ratio"),
-             round(avg("mean_word_len"), 6).as("avg_word_len"),
-             sum(when(col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-                      col("symbol_ratio") <= 0.1 &&
-                      col("mean_word_len").between(2.0, 12.0), 1L)
-               .otherwise(0L)).as("n_pass"))
-        .orderBy("source")
-    }),
-
-    // Sequential pattern redaction (the PII-scrub mechanism on this
-    // corpus's vocabulary): word-boundary patterns rewrite to
-    // [LABEL] tokens in list order; the aggregate hashes both the
-    // change accounting and the resulting lengths, so any divergence
-    // in regex semantics or application order turns the row red.
-    "q70_redaction" -> ((s, d) => {
-      val patterns = Seq("SECRET" -> "\\b(key|hash)\\b", "TOOL" -> "\\bspark\\b")
-      Tables.documents(s, d)
-        .withColumn("redacted", TextStats.redact(col("text"), patterns))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(when(col("redacted") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
-             sum(length(col("text")).cast("long")).as("chars_before"),
-             sum(length(col("redacted")).cast("long")).as("chars_after"))
-        .orderBy("source")
-    }),
-
-    // Deterministic token-budget shard packing: 8 independent packing
-    // lanes (bucket = doc_id % 8), documents concatenated in doc_id
-    // order within a lane and cut every 5000 tokens — a document
-    // starts in shard floor(cum_before / 5000). The per-shard
-    // aggregate pins the cut points exactly.
-    "q71_shard_packing" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      graft.ext.Packing.packShards(docs, col("doc_id"), col("n_tokens"),
-          tokenBudget = 5000L, bucket = pmod(col("doc_id"), lit(8)).cast("int"))
-        .groupBy("pack_bucket", "pack_shard")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tokens").cast("long").as("shard_tokens"),
-             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("pack_bucket", "pack_shard")
-    }),
-
-    // Domain-mixture resampling (ext.Sampling.mixtureResample): keep
-    // fractions are (budget * share) / domain_count clamped to 1 —
-    // src0's 0.8 share exceeds its sf0.01 population, exercising the
-    // downsample-only clamp — and membership is the same md5 hash as
-    // q61, so the oracle recomputes counts, fractions, thresholds and
-    // membership identically (frac >= 1 means keep-all, sidestepping
-    // the 9-hex-digit threshold a clamped fraction would print).
-    "q72_mixture_resample" -> ((s, d) =>
-      graft.ext.Sampling.mixtureResample(
-          Tables.documents(s, d), col("doc_id"), col("source"),
-          targetShares = Map("src0" -> 0.8, "src1" -> 0.1,
-                             "src2" -> 0.05, "src3" -> 0.05),
-          totalBudget = 40L, salt = "r7")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("source")),
-
-    // Context-window chunking (ext.Chunking): 40-token windows with
-    // 8-token overlap (step 32) — map-side explode, no shuffle before
-    // the final aggregate. The per-source totals pin chunk counts,
-    // the boundary arithmetic (max_chunk_id, token sums) and the
-    // exact slice content (char totals include the overlap copies).
-    "q74_doc_chunking" -> ((s, d) =>
-      graft.ext.Chunking.chunkDocuments(Tables.documents(s, d), col("text"),
-          maxTokens = 40, overlap = 8)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_chunks"),
-             countDistinct("doc_id").as("n_docs"),
-             sum("chunk_tokens").cast("long").as("total_chunk_tokens"),
-             max("chunk_id").cast("long").as("max_chunk_id"),
-             sum(length(col("chunk_text"))).cast("long").as("total_chunk_chars"))
-        .orderBy("source")),
-
-    // Token-weighted mixture resampling: same operator as q72 but the
-    // budget and shares are in TOKEN units (weight = n_tokens), the
-    // unit real training budgets are written in. Whole-document keep
-    // decisions, so kept_tokens approximates the target share.
-    "q75_token_mixture" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      graft.ext.Sampling.mixtureResample(docs, col("doc_id"), col("source"),
-          targetShares = Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2),
-          totalBudget = 1000L, salt = "r7t", weight = col("n_tokens"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"),
-             sum("n_tokens").cast("long").as("kept_tokens"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("source")
-    }),
-
-    // The COMPLETE corpus-to-training-shards pipeline: prepareFull
-    // (dedup -> near-dup CC -> gates -> lang/quality -> folds), then
-    // context-window chunking (40/8), then token-budget packing into
-    // ~500-token shards laned by (fold, doc_id%4). One call chain over
-    // nine operators; the oracle replays every stage in one SQL.
-    "q77_curation_to_shards" -> ((s, d) => {
-      val prepped = graft.ext.DocPrep.prepareFull(Tables.documents(s, d),
-          "doc_id", "text", stopwords = Stopwords, profiles = LangProfiles,
-          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
-          foldSalt = "r5")
-      val chunks = graft.ext.Chunking.chunkDocuments(prepped, col("text"),
-          maxTokens = 40, overlap = 8)
-      graft.ext.Packing.packShards(chunks,
-          orderCol = struct(col("doc_id"), col("chunk_id")),
-          tokensCol = col("chunk_tokens"), tokenBudget = 500L,
-          bucket = concat(col("fold"), lit(":"),
-                          pmod(col("doc_id"), lit(4)).cast("string")))
-        .groupBy("pack_bucket", "pack_shard")
-        .agg(count(lit(1)).as("n_chunks"),
-             countDistinct("doc_id").as("n_docs"),
-             sum("chunk_tokens").cast("long").as("shard_tokens"),
-             min("doc_id").as("min_doc"))
-        .orderBy("pack_bucket", "pack_shard")
-    }),
-
-    // Substring-level duplication stats (TextStats.withDupSpanStats):
-    // a token position is duplicated when its 5-gram occurs >= 2
-    // times corpus-wide — the exact-substring dedup signal. Ratios
-    // stay unrounded for the <= 0.5 gate (the q58 rule); only the
-    // aggregate average rounds.
-    "q78_dup_span_stats" -> ((s, d) =>
-      graft.ext.TextStats.withDupSpanStats(Tables.documents(s, d),
-          "doc_id", "text", k = 5)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_positions").cast("long").as("total_positions"),
-             sum("n_dup_positions").cast("long").as("dup_positions"),
-             round(avg("dup_span_ratio"), 6).as("avg_dup_ratio"),
-             sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
-        .orderBy("source")),
-
-    // Exact-substring span CUTTING (TextStats.cutDupSpans): every
-    // non-first occurrence of a corpus-duplicated 5-gram marks its
-    // token span; spans merge and the text is rebuilt without them.
-    // The oracle replays the span arithmetic: first occurrence via
-    // row_number over (doc_id, pos), coverage via a range join,
-    // merged-span count via a lag island scan. count(DISTINCT md5)
-    // pins the rebuilt text content, not just its lengths.
-    "q79_cut_dup_spans" -> ((s, d) =>
-      graft.ext.TextStats.cutDupSpans(Tables.documents(s, d),
-          "doc_id", "text", k = 5)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
-             sum(col("n_cut_spans").cast("long")).as("total_spans"),
-             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
-             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
-             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
-        .orderBy("source")),
-
-    // Cross-document boilerplate REMOVAL (TextStats.cutBoilerplate) —
-    // the rewrite sibling of q289's census: every position whose
-    // 8-gram appears in >= 2 distinct documents is template text and
-    // is cut EVERYWHERE (no surviving first copy — unlike q79's dedup
-    // cut, boilerplate is noise in every document). Spans merge, the
-    // text rebuilds through the same native CutTokenSpans, and the
-    // per-source audit uses q79's exact column set so the two rewrites
-    // read side by side. The oracle replays the span arithmetic with
-    // doc-frequency marking (count(DISTINCT doc_id) per gram) in place
-    // of q79's row_number first-copy selection.
-    "q307_cut_boilerplate" -> ((s, d) =>
-      graft.ext.TextStats.cutBoilerplate(Tables.documents(s, d),
-          "doc_id", "text", k = 8, minDocFrequency = 2L)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
-             sum(col("n_cut_spans").cast("long")).as("total_spans"),
-             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
-             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
-             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
-        .orderBy("source")),
-
-    // Incremental dedup of a delta shard against a frozen corpus
-    // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
-    // new crawl, the rest the immutable corpus whose only retained
-    // state is its distinct md5 fingerprints. Corpus copies lose,
-    // intra-batch dups keep the lowest id.
-    "q76_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        .select(md5(col("text")).as("content_hash")).distinct()
-      // production shape: the bloom sidecar is built WITH the corpus
-      // state (eager, once per increment) and prefilters the delta so
-      // mostly-novel rows bypass the anti-join shuffle; no false
-      // negatives, so the result is bit-identical to the plain path
-      val sidecar = graft.ext.Dedup.corpusHashBloom(corpusHashes)
-      graft.ext.Dedup.dedupAgainstCorpus(
-          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-          "doc_id", "text", corpusHashes, bloom = Some(sidecar))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_new"),
-             countDistinct("content_hash").as("n_hashes"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("source")
-    }),
-
-    // Multimodal plumbing: text -> binary column -> deterministic
-    // fake "decode" (real decode is stubbed; see graft.ext.Multimodal)
-    // -> metadata aggregation. Exercises binary schema + byte ops.
-    "q33_multimodal_meta" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-        .withColumn("width", lit(64) + col("n_bytes") % 576)
-        .withColumn("height", lit(64) + (col("n_bytes") * 7) % 416)
-        .withColumn("n_frames", lit(1) + col("n_chars") % 29)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_assets"),
-             sum("n_bytes").as("total_bytes"),
-             round(avg("width"), 6).as("avg_width"),
-             round(avg("height"), 6).as("avg_height"),
-             sum("n_frames").as("total_frames"))
-        .orderBy("source")),
-
-    // REAL byte-histogram feature extraction over binary payloads
-    // (Multimodal.withByteHistogram, the partition-batched 256-bin
-    // content signature). ASCII bins of a UTF-8 stream are exact
-    // character counts (continuation bytes are 0x80+), so the oracle
-    // verifies the space/'a'/'e' bins from plain string arithmetic.
-    "q83_media_byte_features" -> ((s, d) => {
-      // pre-project before the mapPartitions boundary: the object
-      // conversion blocks Catalyst column pruning, so the projection
-      // must be explicit for the scan to read only text + source
-      val assets = Tables.documents(s, d)
-        .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
-      graft.ext.Multimodal.withByteHistogram(assets, "payload")
-        .select(col("source"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          element_at(col("features"), 33).as("f_space"), // byte 0x20
-          element_at(col("features"), 98).as("f_a"),     // byte 0x61
-          element_at(col("features"), 102).as("f_e"))    // byte 0x65
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_assets"),
-             sum("n_bytes").as("total_bytes"),
-             round(avg("f_space"), 6).as("avg_space_freq"),
-             round(avg("f_a"), 6).as("avg_a_freq"),
-             round(avg("f_e"), 6).as("avg_e_freq"))
-        .orderBy("source")
-    }),
-
-    // DSIR importance weights (Dsir.withImportanceWeights, Xie et al.
-    // arXiv:2302.03169): hashed uni+bigram buckets (md5 3-hex prefix,
-    // 4096 cells), Laplace-smoothed log-ratio toward the lang='en'
-    // target, per-doc summed LLR. Top-20 by per-gram LLR; ordering is
-    // on the ROUNDED value with doc_id tie-break, so a sub-6dp libm
-    // divergence cannot flip the limit boundary.
-    "q80_dsir_weights" -> ((s, d) =>
-      graft.ext.Dsir.withImportanceWeights(Tables.documents(s, d),
-          "doc_id", "text", isTarget = col("lang") === "en")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
-                round(col("llr"), 6).as("llr"),
-                round(col("llr_per_gram"), 6).as("llr_pg"))
-        .orderBy(col("llr_pg").desc, col("doc_id"))
-        .limit(20)),
-
-    // Incremental NEAR-dup dedup (Dedup.nearDupAgainstCorpus): docs
-    // with doc_id % 5 == 0 play the crawl delta; the frozen corpus
-    // retains only its 64-bit SimHash signatures as state. Delta docs
-    // within hamming <= 3 of ANY corpus signature drop; survivors
-    // return with their own signatures (the state delta). Exact
-    // pigeonhole banding, so the oracle is the all-pairs comparison.
-    "q82_incremental_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpusSigs = Dedup.withSimHash64(
-          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text")
-        .select("simhash")
-      Dedup.nearDupAgainstCorpus(
-          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-          "doc_id", "text", corpusSigs)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_new"),
-             countDistinct("simhash").as("n_sigs"),
-             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("source")
-    }),
-
-    // Bucket-LM cross-entropy (Dsir.withCrossEntropy): nats-per-gram
-    // negative log-likelihood under the corpus's own smoothed bucket
-    // unigram model — the "how typical is this document" quality
-    // signal, aggregated per (lang, source).
-    "q81_bucket_lm_xent" -> ((s, d) =>
-      graft.ext.Dsir.withCrossEntropy(Tables.documents(s, d), "doc_id", "text")
-        .filter(col("n_grams") > 0)
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-             round(avg("xent"), 6).as("avg_xent"),
-             round(min("xent"), 6).as("min_xent"),
-             round(max("xent"), 6).as("max_xent"))
-        .orderBy("lang", "source")),
-
-    // BM25 top-k retrieval (Retrieval.withBm25): scan-time sparse
-    // retrieval against a literal query term set. tf/dl are map-side
-    // native expressions (TokenSetCount — no explode); corpus stats
-    // (N, Σdl, per-term df) collapse to ONE broadcast row; the only
-    // shuffle is the final top-k. Ordering is on the 6dp-ROUNDED
-    // score with doc_id tie-break so a cross-libm ln() ulp cannot
-    // flip the limit boundary (the q80 rule). The oracle replays the
-    // exact operand order; its k1+1 factor is written `(1.2 + 1.0)`
-    // — the same IEEE add the Scala side folds — because the decimal
-    // literal 2.2 can parse to a different ulp than the sum.
-    "q86_bm25_retrieval" -> ((s, d) =>
-      graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
-          Seq("join", "vector", "scan"))
-        .select(col("doc_id"), col("lang"), col("source"), col("dl"),
-                col("n_hits"), round(col("bm25"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(15)),
-
-    // PMI collocation mining (TextStats.collocationsPmi): top bigram
-    // phrases by pointwise mutual information. Counts are exact longs
-    // end-to-end; the single double expression and its ln are
-    // operand-order-mirrored in the oracle, and ordering is on the
-    // 6dp-ROUNDED pmi with (w1, w2) tie-break (the q80 rule).
-    "q87_pmi_collocations" -> ((s, d) =>
-      TextStats.collocationsPmi(Tables.documents(s, d), "text", minCount = 10L)
-        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
-                round(col("pmi"), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("w1"), col("w2"))
-        .limit(25)),
-
-    // Edit-distance-verified near-dup (Dedup.editVerifiedNearDups):
-    // LSH candidates -> exact Jaccard >= 0.5 -> levenshtein <= 5, the
-    // order-sensitive confirmation gate. As with q31, verified LSH
-    // candidates coincide with the exact global pair set on this
-    // data, so the oracle is the all-pairs computation with both
-    // predicates (edit distances here run 4-8; maxEdits=5 really
-    // filters).
-    "q88_editdist_neardup" -> ((s, d) =>
-      Dedup.editVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
-          k = 3, numHashes = 16, bands = 4, threshold = 0.5, maxEdits = 5)
-        .orderBy("id_a", "id_b")),
-
-    // Portable HyperLogLog distinct estimate (Sketches.hllDistinct):
-    // md5-based 256-register HLL whose buckets, ranks, and estimate
-    // the oracle replays EXACTLY — an auditable approximate distinct,
-    // unlike approx_count_distinct's engine-private hash. Joined to
-    // the exact count so the artifact shows the sketch error.
-    "q92_hll_distinct" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.ext.Sketches.hllDistinct(docs, "source", "text")
-        .join(docs.groupBy("source").agg(countDistinct("text").as("n_exact")),
-              "source")
-        .select(col("source"), col("n_exact"), col("n_buckets"),
-                round(col("hll_distinct"), 6).as("hll_distinct"))
-        .orderBy("source")
-    }),
-
-    // Distinctive terms per source (Retrieval.distinctiveTerms,
-    // class-based TF-IDF): top-3 terms per source by rounded score
-    // with term tie-break — rank AFTER rounding so a cross-libm ln()
-    // ulp cannot reorder (the q80 rule). Ranking runs through the
-    // TopKByScoreStr partial aggregate (k rows per partition per
-    // source through the exchange), not a per-source row_number
-    // window — the window shape sorts a source's ENTIRE vocabulary in
-    // one task (the q62 corpus-stats scale trap). Its (score desc,
-    // id asc) ordering is exactly the window's orderBy, so the
-    // results are identical; tf/df_groups rejoin from the staged
-    // scored frame on the 3·sources surviving keys.
-    "q94_distinctive_terms" -> ((s, d) => {
-      val scored = graft.ops.Staging.stage(
-        graft.ext.Retrieval.distinctiveTerms(Tables.documents(s, d),
-            "source", "text")
-          .withColumn("score", round(col("score"), 6)))
-      val top = scored.groupBy("source")
-        .agg(graft.functions.GraftFunctions.topKByScoreStr(s,
-          col("score"), col("term"), 3).as("top"))
-        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("source"), col("t.id").as("term"),
-                col("t.score").as("score"),
-                (col("pos") + 1).cast("int").as("rn"))
-      top.join(scored.select("source", "term", "tf", "df_groups"),
-               Seq("source", "term"))
-        .select(col("source"), col("term"), col("tf"), col("df_groups"),
-                col("score"), col("rn"))
-        .orderBy("source", "rn")
-    }),
-
-    // Per-document token-distribution Shannon entropy, aggregated per
-    // lang — the vocabulary-diversity quality signal (low entropy =
-    // repetitive boilerplate; the Gopher repetition gates' continuous
-    // cousin). Computed in the algebraic form H = ln(n) - (sum of
-    // c*ln(c)) / n, which needs only two aggregates over the
-    // (doc, token) counts — no second pass to attach n to every
-    // token row. Both engines run the identical formula; the
-    // remaining slack is aggregate-order ulps under the 6dp rounding.
-    "q98_token_entropy" -> ((s, d) => {
-      val tc = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("lang"),
-                explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
-      tc.groupBy("doc_id", "lang")
-        .agg(sum("c").as("n"),
-             sum(col("c").cast("double") * log(col("c").cast("double")))
-               .as("sclc"))
-        .withColumn("entropy",
-          log(col("n").cast("double")) - col("sclc") / col("n").cast("double"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-             round(avg("entropy"), 6).as("avg_entropy"),
-             round(min("entropy"), 6).as("min_entropy"),
-             round(max("entropy"), 6).as("max_entropy"))
-        .orderBy("lang")
-    }),
-
-    // Distribution drift per source (Dsir.bucketKl): KL divergence of
-    // each source's smoothed hashed-gram bucket model from the
-    // corpus-wide one — the "is this shard statistically unlike the
-    // corpus" monitor. The oracle replays the full groups x 4096
-    // bucket grid (absent buckets still carry smoothed mass).
-    "q100_bucket_kl" -> ((s, d) =>
-      graft.ext.Dsir.bucketKl(Tables.documents(s, d), "doc_id", "text", "source")
-        .select(col("source"), col("n_grams"), round(col("kl"), 6).as("kl"))
-        .orderBy("source")),
-
-    // Frame sampling (Multimodal.sampleFrames): every 4th frame of
-    // each asset explodes to its own row BEFORE decode, so per-frame
-    // work distributes (the video-pipeline shape). Frame counts are
-    // the q33-style synthetic metadata; the oracle replays the
-    // stride-sequence arithmetic (k = (nf-1) DIV 4 + 1 sampled
-    // frames; their index sum is 2k(k-1), max 4(k-1)).
-    "q103_frame_sampling" -> ((s, d) => {
-      val assets = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-                struct((lit(1) + col("n_chars") % 29).cast("int")
-                  .as("n_frames")).as("meta"))
-      graft.ext.Multimodal.sampleFrames(assets, "meta", stride = 4)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_sampled_frames"),
-             countDistinct("doc_id").as("n_assets"),
-             sum("frame_idx").as("sum_idx"),
-             max("frame_idx").cast("long").as("max_idx"))
-        .orderBy("source")
-    }),
-
-    // Count-min sketch heavy hitters (Sketches.cmsCounters/cmsLookup):
-    // approximate token frequencies as a hash-CHECKED result — the
-    // md5-prefix hashes make the whole sketch oracle-replayable, the
-    // q92 HLL move applied to frequencies. The counter table is a
-    // constant ≤ 4·4096 rows however big the corpus (additive =>
-    // map-side partial agg), so the lookup join BROADCASTS; the exact
-    // counts alongside exist only to exhibit the ≥-true guarantee.
-    "q104_cms_heavy_hitters" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-      val counters = graft.ext.Sketches.cmsCounters(toks, "tok")
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("c_exact"))
-        .orderBy(col("c_exact").desc, col("tok")).limit(20)
-      graft.ext.Sketches.cmsLookup(top, "tok", counters)
-        .withColumn("overcount", col("c_est") - col("c_exact"))
-        .orderBy(col("c_exact").desc, col("tok"))
-    }),
-
-    // Histogram-sketch quantiles (Sketches.histCounters/histQuantiles):
-    // the third portable sketch — additive fixed-width counters, so
-    // the doc-length p50/p90/p99 per source comes off a bounded
-    // counter table instead of a corpus sort (and unlike
-    // approx_percentile's engine-private GK summary, every step is
-    // oracle-replayable). The quantile window runs over the counter
-    // table only.
-    "q105_hist_quantiles" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      val counters = graft.ext.Sketches.histCounters(docs, "source", "n_tokens",
-          width = 16.0)
-      graft.ext.Sketches.histQuantiles(counters, "source", 16.0,
-          Seq(0.5, 0.9, 0.99))
-        .orderBy("source", "p")
-    }),
-
-    // Efraimidis-Spirakis weighted sampling without replacement
-    // (Sampling.weightedSampleK): exactly 8 docs per source with
-    // selection probability proportional to token count, priorities
-    // content-derived (md5 -> exact 52-bit uniform) so the sample is
-    // a pure function of the corpus — reproducible on any engine,
-    // under any partitioning.
-    "q107_weighted_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      graft.ext.Sampling.weightedSampleK(docs, col("doc_id"), col("n_tokens"),
-          "source", k = 8, salt = "r9es")
-        .select(col("source"), col("rnk"), col("doc_id"),
-                col("n_tokens").cast("long").as("n_tokens"), col("priority_h"))
-        .orderBy("source", "rnk")
-    }),
-
-    // Token-WEIGHTED length quantiles (histCounters' weight column):
-    // "the median token lives in a doc of length X" — the curation
-    // statistic that tells long docs' dominance apart from doc-count
-    // medians (q105's unweighted p50 can sit far below this one).
-    "q118_weighted_quantiles" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
-      val counters = graft.ext.Sketches.histCounters(docs, "source", "n_tokens",
-          width = 16.0, weight = col("n_tokens").cast("long"))
-      graft.ext.Sketches.histQuantiles(counters, "source", 16.0, Seq(0.5, 0.9))
-        .orderBy("source", "p")
-    }),
-
-    // Deterministic negative sampling — contrastive-pair generation:
-    // each doc draws 3 pseudo-random OTHER docs, indices md5-derived
-    // (the q107 exact-integer move) mod corpus size, self-collisions
-    // bumped +1. Indices are drawn in DENSE POSITION space
-    // (Kernels.denseIndex: rank of doc_id in sorted order), never
-    // against doc_id itself — so sparse or string ids sample
-    // correctly (the r9 form silently sampled nothing off a dense-id
-    // corpus). One extra staged pass builds the index; the draw stays
-    // map-side and the only join is the position→doc enrichment.
-    // On this testdata doc_id IS 0..n-1, so dense == doc_id and the
-    // output matches the r9 form bit-for-bit.
-    "q119_negative_sampling" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "source")
-      graft.ext.Sampling.negativeSamples(docs, "doc_id", negsPerDoc = 3,
-          salt = "neg9")
-        .join(docs.select(col("doc_id").as("neg_id"),
-                          col("source").as("neg_source")), "neg_id")
-        .groupBy("source", "neg_source")
-        .agg(count(lit(1)).as("n_pairs"),
-             countDistinct("neg_id").as("n_distinct_negs"))
-        .orderBy("source", "neg_source")
-    }),
-
-    // Asymmetric containment near-dup (Dedup.exactContainmentPairs):
-    // catches the quote-expansion duplicate Jaccard (q27) misses — a
-    // short doc embedded in a longer one scores cont_a 1.0 but
-    // Jaccard |A|/|B|. Same posting-list join shape as q27.
-    "q108_containment_neardup" -> ((s, d) =>
-      Dedup.exactContainmentPairs(Tables.documents(s, d), "doc_id", "text",
-          groupCol = "source", k = 3, threshold = 0.6)
-        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "source", "cont_a", "cont_b")
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // TextRank keyword extraction: adjacent-token co-occurrence edges
-    // (every position, via the codegen'd all-positions 2-shingle)
-    // filtered to content words (length >= 3, not a stopword), then
-    // weighted PageRank over the undirected word graph — the classic
-    // graph-based keyword scorer, built entirely from existing
-    // primitives (WordShingles -> pageRankWeighted). Edge weights are
-    // co-occurrence counts; edges are normalized a < b so both walk
-    // directions are unique by construction. Emits the top 20 words
-    // by rank×N (the q168 magnitude/ordering contract); the oracle
-    // rebuilds the identical edge list with the q62 shingle replay
-    // and unrolls both sweeps.
-    "q178_textrank_keywords" -> ((s, d) => {
-      // staged: pageRankWeighted's symmetric union reads the edge
-      // frame twice, and the shingle explosion must run once
-      val pairs = graft.ops.Staging.stage(
-        Tables.documents(s, d)
-          .select(explode(
-            graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 2))
-            .as("sh"))
-          .select(substring_index(col("sh"), " ", 1).as("t1"),
-                  substring_index(col("sh"), " ", -1).as("t2"))
-          .filter(length(col("t1")) >= 3 && length(col("t2")) >= 3 &&
-                  !col("t1").isin(Stopwords: _*) &&
-                  !col("t2").isin(Stopwords: _*) &&
-                  col("t1") =!= col("t2"))
-          .groupBy(least(col("t1"), col("t2")).as("a"),
-                   greatest(col("t1"), col("t2")).as("b"))
-          .agg(count(lit(1)).as("w")))
-      // terminal pin since r16 — no extra staging (see q168)
-      val pr = graft.ext.Graphs.pageRankWeighted(pairs, "a", "b", "w",
-        iterations = 2)
-      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
-      pr.crossJoin(broadcast(nAgg))
-        .select(col("node").as("word"),
-                col("total_weight").cast("long").as("total_w"),
-                round(col("pr") * col("__nn"), 6).as("pr_x_n"))
-        .orderBy(col("pr_x_n").desc, col("word"))
-        .limit(20)
-    }),
-
-    // Proximity (phrase-ish) search: documents where 'join' and
-    // 'vector' co-occur within 3 token positions — the retrieval
-    // feature BM25 (q86) cannot express (bag-of-words loses order).
-    // Position lists per term are tiny posting frames (one filtered
-    // pass over the positions table, staged so both term filters
-    // share it); the join is posting-list x posting-list per doc_id,
-    // the standard inverted-index proximity shape that holds at
-    // corpus scale because it never touches non-matching documents.
-    // Distances are exact integers.
-    "q183_proximity_search" -> ((s, d) => {
-      val toks = graft.ops.Staging.stage(
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-          .filter(col("tok").isin("join", "vector")))
-      val pj = toks.filter(col("tok") === "join")
-        .select(col("doc_id"), col("p").as("p1"))
-      val pv = toks.filter(col("tok") === "vector")
-        .select(col("doc_id"), col("p").as("p2"))
-      pj.join(pv, "doc_id")
-        .select(col("doc_id"), abs(col("p1") - col("p2")).cast("long").as("dist"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_close"),
-             min("dist").as("min_dist"))
-        .filter(col("n_close") > 0)
-        .orderBy("doc_id")
-    }),
-
-    // NDCG@10 of the BM25 ranking (q86) against a term-frequency
-    // relevance proxy — the ranking-quality metric that closes the
-    // retrieval loop (build the ranker, then MEASURE it). DCG sums
-    // rel/log2(rank+1) over the rounded-score top 10; IDCG is the
-    // same sum over the corpus-ideal top 10 by relevance. Both
-    // top-10 selections are TakeOrdered + a 10-row rank window
-    // (tiny); 6dp absorbs the 10-term sum-order ulp.
-    "q193_ndcg_bm25" -> ((s, d) => {
-      val rel = graft.ops.Staging.stage(
-        Tables.documents(s, d).select(col("doc_id"),
-          expr("CAST(size(filter(split(text, ' '), t -> t = 'join')) AS BIGINT)")
-            .as("rel")))
-      val top10 = graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
-          Seq("join", "vector", "scan"))
-        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
-      val wR = Window.orderBy(col("bm25").desc, col("doc_id"))
-      val dcg = top10.withColumn("rnk", row_number().over(wR))
-        .join(rel, "doc_id")
-        .agg(sum(col("rel").cast("double") / log2(col("rnk") + 1)).as("__dcg"),
-             sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_relevant"))
-      val wI = Window.orderBy(col("rel").desc, col("doc_id"))
-      val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
-        .withColumn("rnk", row_number().over(wI))
-        .agg(sum(col("rel").cast("double") / log2(col("rnk") + 1)).as("__idcg"))
-      dcg.crossJoin(broadcast(idcg))
-        .select(round(col("__dcg"), 6).as("dcg"),
-                round(col("__idcg"), 6).as("idcg"),
-                round(col("__dcg") / col("__idcg"), 6).as("ndcg"),
-                col("n_relevant"))
-        .orderBy("ndcg")
-    }),
-
-    // Zipf slope of the token frequency distribution: OLS of
-    // ln(count) on ln(rank) over the top 100 tokens — the
-    // power-law-ness diagnostic of a corpus (natural text ~ -1;
-    // synthetic/templated corpora flatten). Top-100 selection is
-    // TakeOrdered (count desc, token); ranks come from a 100-row
-    // window (tiny by construction); the OLS closed form runs on
-    // identical (ln rank, ln count) doubles with 6dp absorbing the
-    // 100-term sum-order ulp (the q99 contract).
-    "q196_zipf_token_slope" -> ((s, d) => {
-      val top = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(100)
-      val wR = Window.orderBy(col("cnt").desc, col("tok"))
-      top.withColumn("__x", log(row_number().over(wR).cast("double")))
-        .withColumn("__y", log(col("cnt").cast("double")))
-        .agg(count(lit(1)).as("n_tokens"),
-             sum("__x").as("__sx"), sum("__y").as("__sy"),
-             sum(col("__x") * col("__x")).as("__sxx"),
-             sum(col("__x") * col("__y")).as("__sxy"))
-        .select(col("n_tokens"),
-          round((col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) /
-                (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")), 6)
-            .as("zipf_slope"),
-          round((col("__sy") - ((col("n_tokens") * col("__sxy") -
-                  col("__sx") * col("__sy")) /
-                 (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx"))) *
-                col("__sx")) / col("n_tokens"), 6).as("intercept"))
-        .orderBy("n_tokens")
-    }),
-
-    // Corpus-trained bigram language model → per-source NLL — the
-    // LM-quality signal (train an n-gram LM on the corpus, score each
-    // document's negative log-likelihood; outliers are boilerplate or
-    // garbage). Add-1-smoothed p(w2|w1) = (c12+1)/(c1+V) from EXACT
-    // global counts (the model "training" is two aggregates; the
-    // count frames broadcast — vocabulary-sized); each bigram's
-    // ln p is FLOORED to integer nano-nats before summing (the q208
-    // cross-cell rule — a float sum of logs is partial-agg-order
-    // dependent, a sum of floored integers is not). DSIR's bucket
-    // xent (q81) is the hashed-feature sibling; this is the token-
-    // bigram LM itself.
-    "q252_bigram_lm_nll" -> ((s, d) => {
-      val wi = Window.partitionBy("doc_id").orderBy("p")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-        .filter(length(col("w")) > 0)
-      val bi = graft.ops.Staging.stage(
-        toks.withColumn("w2", lead("w", 1).over(wi))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("source"), col("w").as("w1"),
-                  col("w2")))
-      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val cx = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = toks.agg(countDistinct("w").as("v"))
-      bi.join(broadcast(cxy), Seq("w1", "w2"))
-        .join(broadcast(cx), Seq("w1"))
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), col("source"),
-          // explicit DOUBLE casts (the q293/q291 rule): a bare 1.0 is
-          // a DECIMAL literal and Spark's decimal division quantizes
-          // at a clamped scale where DuckDB's returns double
-          expr("CAST(floor(1000000000.0 * " +
-            "ln((CAST(c12 AS DOUBLE) + 1.0) / CAST(c1 + v AS DOUBLE))) " +
-            "AS BIGINT)").as("nano"))
-        .groupBy("source")
-        .agg(countDistinct("doc_id").as("n_docs"),
-             count(lit(1)).as("n_bigrams"),
-             (-sum("nano")).as("total_nll_nano"))
-        .select(col("source"), col("n_docs"), col("n_bigrams"),
-          col("total_nll_nano"),
-          expr("total_nll_nano div n_bigrams").as("avg_nll_nano"))
-        .orderBy("source")
-    }),
-
-    // Content-defined chunking (the rolling-boundary primitive under
-    // rsync/LBFS/storage dedup, and the chunk-level dedup signal a
-    // training-data lake uses to price re-crawls): a position opens a
-    // chunk iff the md5 of its 8-char window lands in 1/32 of hash
-    // space — boundaries move WITH content, so an insertion re-chunks
-    // only its neighborhood where fixed-width blocks would shift
-    // every later block. The boundary scan + chunk cut is the
-    // Chunking.contentDefinedChunks mapPartitions kernel (the
-    // holtLinear secondary-sort idiom minus the sort — chunking is
-    // per-document): the text crosses the wire ONCE inside its scan
-    // task and chunks are emitted directly, where the per-position
-    // explode + lead() window formulation shipped the FULL document
-    // text on every boundary row through the window exchange —
-    // quadratic in document length (the r13 weak flag). Chunks are
-    // then keyed by content hash and the per-source dedup ledger
-    // (total vs unique bytes) falls out of one aggregate. Work is
-    // O(total chars) map-side + one exchange per rollup; everything
-    // is exact integers and md5 — the oracle replays
-    // boundary-for-boundary (ChunkingSpec pins kernel ≡ the
-    // expression replay; PlanShapeSpec pins no Window/Generate).
-    "q251_cdc_chunking" -> ((s, d) => {
-      val chunks = graft.ext.Chunking.contentDefinedChunks(
-        Tables.documents(s, d).select("source", "text"),
-        "text", Seq("source"))
-      chunks
-        .select(col("source"), md5(col("chunk")).as("ch"),
-                length(col("chunk")).cast("long").as("clen"))
-        .groupBy("source", "ch")
-        .agg(count(lit(1)).as("n"), max("clen").as("clen"))
-        .groupBy("source")
-        .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique"),
-             sum(col("n") * col("clen")).as("bytes_total"),
-             sum("clen").as("bytes_unique"))
-        .withColumn("dup_ratio_ppm",
-          expr("((bytes_total - bytes_unique) * 1000000) div bytes_total"))
-        .orderBy("source")
-    }),
-
-    // Perceptual image near-dup via 64-bit dHash (the image analog of
-    // q32's text SimHash): synthesize the q120 gradient BMPs, hash
-    // each through decode → 9×8 nearest resample → gray-delta bits
-    // (Multimodal.withImageDHash — exact integer end to end), then
-    // find Hamming ≤ 3 pairs with a 16-bit-band blocked self-join —
-    // never all-pairs; 4 bands make the block join LOSSLESS at
-    // Hamming ≤ 3 (pigeonhole: ≤3 flipped bits leave ≥1 band exact).
-    // The ORACLE is the brute-force all-pairs scan over SQL-replayed
-    // hashes (hi/lo 32-bit halves — a single BIGINT sum would
-    // overflow on bit 63), so hash equality PROVES the banding missed
-    // nothing. Output is the per-distance pair census.
-    "q245_image_dhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      val hashed = graft.ops.Staging.stage(
-        graft.ext.Multimodal.withImageDHash(
-            graft.ext.Multimodal.withSyntheticBmp(
-              docs, "doc_id", "w", "h", "img"),
-            "img", "dhash")
-          .select(col("doc_id"), col("dhash")))
-      val bands = hashed.select(col("doc_id"), col("dhash"),
-          explode(expr("array(0, 1, 2, 3)")).as("b"))
-        .withColumn("bv", expr("(dhash >> (16 * b)) & 65535"))
-      bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
-                col("x.dhash").as("ha"), col("y.dhash").as("hb"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-        .filter(col("hamming") <= 3)
-        .groupBy("hamming")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("hamming")
-    }),
-
-    // Per-image gray histogram EQUALIZATION (the contrast normalizer
-    // of an image-preprocessing pipeline, where q120/q124 verified
-    // resampling and q245 fingerprinting): synthesize the q120
-    // gradient BMPs, decode, 64-bin gray histogram, remap each pixel
-    // to (cdf·255) div n_px — all floor-division integers, so the
-    // before/after checksums replay exactly from the closed-form
-    // pixel formula (the q120 oracle contract exercising the REAL
-    // decode→histogram→remap kernel). Map-side codec work, zero
-    // shuffle below the final sort.
-    "q260_hist_equalization" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("w", (lit(1) + col("n_chars") % 31).cast("int"))
-        .withColumn("h", (lit(1) + (col("n_chars") * 3) % 23).cast("int"))
-      graft.ext.Multimodal.withGrayHistEq(
-          graft.ext.Multimodal.withSyntheticBmp(
-            docs, "doc_id", "w", "h", "img"),
-          "img", "he")
-        .select(col("doc_id"), col("w").cast("long").as("w"),
-          col("h").cast("long").as("h"), col("he_n_px").as("n_px"),
-          col("he_gray_checksum").as("gray_checksum"),
-          col("he_eq_checksum").as("eq_checksum"))
-        .orderBy("doc_id")
-    }),
-
-    // Rendezvous (highest-random-weight) shard assignment + rebalance
-    // census — the consistent-hashing primitive a 100 TB lake uses to
-    // place documents on shards so that GROWING the shard count moves
-    // only ~1/(k+1) of the corpus (plain `hash mod k` moves
-    // (k-1)/k — a full reshuffle). shard(doc) = argmax over shards of
-    // md5(doc#shard); the argmax needs only a TOTAL ORDER, so both
-    // engines compare the fixed-length hex strings directly (no
-    // numeric parse). Emits the k=32 occupancy spread and the
-    // measured moved fraction at k=33 — HRW guarantees movers are
-    // exactly the docs whose k=33 argmax IS the new shard. Scale: the
-    // 33x explode is map-side, the argmax is one map-side-combining
-    // exchange on doc_id, everything after is shard-bounded.
-    "q263_rendezvous_shards" -> ((s, d) => {
-      val hh = Tables.documents(s, d).select(col("doc_id"))
-        .select(col("doc_id"), explode(expr("sequence(0, 32)")).as("sh"))
-        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"),
-          col("sh").cast("string"))))
-      val a32 = hh.filter(col("sh") < 32).groupBy("doc_id")
-        .agg(max(struct(col("h"), col("sh"))).as("m"))
-        .select(col("doc_id"), col("m.sh").as("s32"))
-      val a33 = hh.groupBy("doc_id")
-        .agg(max(struct(col("h"), col("sh"))).as("m"))
-        .select(col("doc_id"), col("m.sh").as("s33"))
-      val j = graft.ops.Staging.stage(a32.join(a33, "doc_id"))
-      val occ = j.groupBy("s32").agg(count(lit(1)).as("c"))
-        .agg(min("c").as("occ_min"), max("c").as("occ_max"),
-             count(lit(1)).as("n_shards"))
-      j.agg(count(lit(1)).as("n_docs"),
-            sum(when(col("s33") =!= col("s32"), 1L).otherwise(0L))
-              .as("n_moved"))
-        .crossJoin(broadcast(occ))
-        .select(col("n_docs"), col("n_shards"), col("occ_min"),
-          col("occ_max"), col("n_moved"),
-          expr("(n_moved * 1000000) div n_docs").as("moved_ppm"))
-        .orderBy("n_docs")
-    }),
-
-    // Corpus NOVELTY rate — "is the new crawl worth ingesting?": the
-    // share of the new half's distinct 8-grams unseen in the old half
-    // (doc_id parity stands in for crawl generations). This is the
-    // dedup family's ACQUISITION dial: q65 decontaminates against a
-    // benchmark, q78 measures internal duplication; novelty prices
-    // NEW data before it's paid for. Distinct-gram frames bound
-    // everything (never positional rows); the old side joins
-    // left-anti. Gram STRINGS here (exact, oracle-replayable); at
-    // 100 TB the 8-byte xxhash64 gram key (the q78 hashGramKey rule)
-    // halves the shuffle width with ~n²/2⁶⁵ collision odds.
-    "q273_corpus_novelty" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(graft.functions.GraftFunctions.wordShinglesAll(
-            s, col("text"), 8)).as("g"))
-      val old = grams.filter(pmod(col("doc_id"), lit(2L)) === 0)
-        .select("g").distinct()
-      val nw = graft.ops.Staging.stage(
-        grams.filter(pmod(col("doc_id"), lit(2L)) === 1)
-          .select("source", "g").distinct())
-      val novel = nw.join(old, Seq("g"), "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("n_novel"))
-      nw.groupBy("source").agg(count(lit(1)).as("n_new_grams"))
-        .join(novel, Seq("source"), "left")
-        .na.fill(0L, Seq("n_novel"))
-        .select(col("source"), col("n_new_grams"), col("n_novel"),
-          expr("(n_novel * 1000000) div n_new_grams").as("novelty_ppm"))
-        .orderBy("source")
-    }),
-
-    // Dataset-card crosstab — the (source × lang) composition table a
-    // corpus release ships first (q154's manifest is per-shard; this
-    // is the content-mix margin): docs, exact token mass, floor-mean
-    // tokens per doc, and each cell's share of the corpus token mass
-    // in floor-ppm. One token-count scan, cell frame bounded by
-    // |sources|×|langs|.
-    "q306_dataset_card" -> ((s, d) => {
-      val cells = Tables.documents(s, d)
-        .select(col("source"), col("lang"),
-          expr("CAST(size(filter(split(text, ' '), " +
-            "x -> length(x) > 0)) AS BIGINT)").as("__n"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
-      val tot = cells.agg(sum("n_tokens").as("__tt"))
-      cells.crossJoin(broadcast(tot))
-        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-          expr("n_tokens div n_docs").as("mean_tokens_floor"),
-          expr("(n_tokens * 1000000) div __tt").as("token_share_ppm"))
-        .orderBy("source", "lang")
-    }),
-
-    // Lexical-diversity census per source — type-token ratio and
-    // hapax share, the vocabulary-health dials beside q98's entropy
-    // and q196's Zipf slope (template-generated text shows low TTR;
-    // OCR noise shows hapax inflation). One token scan, per-source
-    // word-count frames bound everything, floor-ppm ratios.
-    "q298_lexical_diversity" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("source", "w").agg(count(lit(1)).as("__c"))
-      words.groupBy("source")
-        .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_types"),
-             sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
-        .select(col("source"), col("n_tokens"), col("n_types"),
-          col("n_hapax"),
-          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
-          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
-        .orderBy("source")
-    }),
-
-    // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
-    // corpus NLL implies): train the +1-smoothed bigram LM on the
-    // even-doc half, score each odd-half document's per-bigram NLL,
-    // and keep documents at or below the TRAIN corpus's own average
-    // — a self-calibrating threshold, no tuned constant. Unseen
-    // odd-half bigrams smooth to 1/(c1+V) through the same shared
-    // floored-nano-nat term (left joins + coalesce(0)), so OOV text
-    // scores high NLL and drops — exactly the filter's job. Census
-    // per source: docs kept at the threshold, floor-ppm keep rate.
-    // Count frames are vocabulary-sized broadcasts; the corpus is
-    // scanned once per side.
-    "q291_perplexity_filter" -> ((s, d) => {
-      val wi = Window.partitionBy("doc_id").orderBy("p")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-        .filter(length(col("w")) > 0)
-      val bi = graft.ops.Staging.stage(
-        toks.withColumn("w2", lead("w", 1).over(wi))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("source"),
-                  pmod(col("doc_id"), lit(2L)).as("par"),
-                  col("w").as("w1"), col("w2")))
-      val train = bi.filter(col("par") === 0)
-      val cxy = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val cx = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = toks.filter(pmod(col("doc_id"), lit(2L)) === 0)
-        .agg(countDistinct("w").as("v"))
-      // explicit DOUBLE casts (the q293 rule): Spark's bare 1.0 is a
-      // DECIMAL literal and decimal division quantizes where DuckDB's
-      // returns double — double + 1.0 stays double on both engines
-      val nanoTerm = "CAST(floor(1000000000.0 * " +
-        "ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE))) AS BIGINT)"
-      val thr = train
-        .join(broadcast(cxy), Seq("w1", "w2"), "left")
-        .join(broadcast(cx), Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select(expr(nanoTerm).as("nano"))
-        .agg(expr("(-sum(nano)) div count(1)").as("thr_nano"))
-      val docs = bi.filter(col("par") === 1)
-        .join(broadcast(cxy), Seq("w1", "w2"), "left")
-        .join(broadcast(cx), Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), col("source"), expr(nanoTerm).as("nano"))
-        .groupBy("doc_id", "source")
-        .agg(expr("(-sum(nano)) div count(1)").as("__doc_nll"))
-      docs.crossJoin(broadcast(thr))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(when(col("__doc_nll") <= col("thr_nano"), 1L)
-               .otherwise(0L)).as("n_kept"),
-             max("thr_nano").as("thr_nano"))
-        .withColumn("kept_ppm", expr("(n_kept * 1000000) div n_docs"))
-        .orderBy("source")
-    }),
-
-    // Sequence-length bucketing pad-waste audit — the batch-shape
-    // dial of training-data packing (q71 packs shards; this prices
-    // PADDING): pad-to-max within a power-of-two length bucket
-    // (integer bit-length, the q286 rule) vs pad-to-global-max, per
-    // bucket: docs, real tokens, padded slots, waste in floor-ppm —
-    // the number that says whether length-bucketed batching is worth
-    // the shuffle. All exact integers off one token-count scan.
-    "q294_pad_waste" -> ((s, d) => {
-      val lens = Tables.documents(s, d)
-        .select(expr("CAST(size(filter(split(text, ' '), " +
-          "x -> length(x) > 0)) AS BIGINT)").as("n"))
-        .filter(col("n") > 0)
-      val buckets = lens
-        .select((length(expr("bin(n)")) - 1).cast("long").as("bucket"),
-                col("n"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
-             max("n").as("max_tokens"))
-        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
-          col("max_tokens"),
-          (col("n_docs") * col("max_tokens") - col("sum_tokens"))
-            .as("pad_tokens"),
-          expr("((n_docs * max_tokens - sum_tokens) * 1000000) " +
-            "div (n_docs * max_tokens)").as("waste_ppm"))
-      buckets.orderBy("bucket")
-    }),
-
-    // Cross-document BOILERPLATE census — the C4/RefinedWeb cleaning
-    // dial q78 measures within documents applied ACROSS them: an
-    // 8-gram appearing in ≥2 distinct documents is shared template
-    // text (headers, footers, licence blocks), and a source whose
-    // occurrence mass is template-heavy gets cleaned or downweighted
-    // before training. Per source: distinct (doc, gram) occurrences,
-    // how many ride a cross-document gram, ratio in floor-ppm.
-    // Distinct-gram frames bound everything; the doc-frequency frame
-    // is vocabulary-sized and joins back on the gram key (at 100 TB
-    // the xxhash64 gram key halves shuffle width, the q78 rule).
-    "q289_boilerplate_ngrams" -> ((s, d) => {
-      val grams = graft.ops.Staging.stage(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(graft.functions.GraftFunctions.wordShinglesAll(
-              s, col("text"), 8)).as("g"))
-          .distinct())
-      val df2 = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") >= 2).select("g")
-      val boiler = grams.join(df2, Seq("g"), "left_semi")
-        .groupBy("source").agg(count(lit(1)).as("n_boiler"))
-      grams.groupBy("source").agg(count(lit(1)).as("n_doc_grams"))
-        .join(boiler, Seq("source"), "left")
-        .na.fill(0L, Seq("n_boiler"))
-        .select(col("source"), col("n_doc_grams"), col("n_boiler"),
-          expr("(n_boiler * 1000000) div n_doc_grams")
-            .as("boiler_ppm"))
-        .orderBy("source")
-    }),
-
-    // Greedy max-coverage document selection (the facility-location /
-    // coreset step of data curation, Nemhauser et al. 1978: greedy is
-    // (1−1/e)-optimal for monotone submodular coverage): pick 3
-    // documents, each maximizing the count of distinct 8-grams NOT
-    // covered by the picks so far — "which few documents teach the
-    // most new text". Ties toward the lower doc_id. Each step is one
-    // anti-join + aggregate over the STAGED distinct-gram frame with
-    // the picked ids as literals (k tiny 1-row collects — the
-    // ivfCentroids driver-seed discipline); the oracle unrolls the
-    // same three steps.
-    "q290_greedy_coverage" -> ((s, d) => {
-      import s.implicits._
-      val grams = graft.ops.Staging.stage(
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(graft.functions.GraftFunctions.wordShinglesAll(
-              s, col("text"), 8)).as("g"))
-          .distinct())
-      var picked = Seq.empty[Long]
-      var rows = Seq.empty[(Long, Long, Long, Long)]
-      var covered = 0L
-      var exhausted = false
-      for (t <- 1 to 3 if !exhausted) {
-        val remaining =
-          if (picked.isEmpty) grams
-          else grams.filter(!col("doc_id").isin(picked: _*))
-            .join(grams.filter(col("doc_id").isin(picked: _*))
-                    .select("g").distinct(),
-                  Seq("g"), "left_anti")
-        // headOption, not head: when coverage is exhausted (fewer than
-        // 3 gram-bearing docs, or the picks already cover every gram)
-        // the oracle's later step CTEs are simply empty — emit fewer
-        // rows, never crash the run on an empty argmax
-        remaining.groupBy("doc_id")
-          .agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .collect().headOption match {
-          case Some(r) =>
-            val (id, gain) = (r.getLong(0), r.getLong(1))
-            picked :+= id
-            covered += gain
-            rows :+= ((t.toLong, id, gain, covered))
-          case None => exhausted = true
-        }
-      }
-      rows.toDF("step", "doc_id", "gain", "covered_total")
-        .orderBy("step")
-    }),
-
-    // BM25 MRR + recall@10 over a QUERY SET — the multi-query eval
-    // report (q193's NDCG grades one ranking's ORDER; MRR/recall
-    // grade a retriever across queries — the numbers a retrieval
-    // system ships with). Relevance = term frequency >= 2 (graded →
-    // binary); reciprocal rank and recall as exact floor-ppm
-    // integers. Each query's top-10 is a TakeOrdered on the rounded
-    // score (never a global window over the corpus); the in-top-10
-    // re-rank windows over 10 rows.
-    "q274_bm25_mrr" -> ((s, d) => {
-      def evalTerm(t: String) = {
-        val scored = graft.ops.Staging.stage(
-          graft.ext.Retrieval.withBm25(Tables.documents(s, d), "text",
-              Seq(t))
-            .select(col("doc_id"),
-              expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) " +
-                "AS BIGINT)").as("tf"),
-              round(col("bm25"), 6).as("b")))
-        val w = Window.orderBy(col("b").desc, col("doc_id"))
-        val top10 = scored.orderBy(col("b").desc, col("doc_id")).limit(10)
-          .withColumn("rnk", row_number().over(w).cast("long"))
-        val m1 = top10.agg(
-          coalesce(min(when(col("tf") >= 2, col("rnk"))), lit(0L))
-            .as("first_rel_rank"),
-          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel_top10"))
-        val m2 = scored.agg(
-          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel_total"))
-        m1.crossJoin(broadcast(m2))
-          .select(lit(t).as("query"), col("first_rel_rank"),
-            expr("CASE WHEN first_rel_rank = 0 THEN 0 " +
-              "ELSE 1000000 div first_rel_rank END").as("rr_ppm"),
-            col("n_rel_top10"), col("n_rel_total"),
-            expr("CASE WHEN n_rel_total = 0 THEN 0 ELSE " +
-              "(n_rel_top10 * 1000000) div n_rel_total END")
-              .as("recall_ppm"))
-      }
-      evalTerm("join").union(evalTerm("vector")).union(evalTerm("scan"))
-        .orderBy("query")
-    }),
-
-    // Order-invariant dataset fingerprint per source — the
-    // reproducibility checksum a pipeline publishes with every
-    // release ("did ANY row change?"): sum of per-row md5-prefix
-    // integers, which no partitioning, shuffle order or split can
-    // perturb, and which is ADDITIVE — fingerprint(A ∪ B) =
-    // fingerprint(A) + fingerprint(B) for disjoint halves, so
-    // incremental ingestion updates the ledger without rescanning
-    // (the additive_ok column PROVES the property on the parity
-    // halves in-query). Per-row terms are < 2^32, so the sums are
-    // bounded by n_docs*2^32 — BIGINT-safe up to ~2^31 docs per
-    // source; both engines emit BIGINT so the driver hash sees one
-    // type (r14 lesson: DECIMAL(38,0) vs HUGEINT hash-diverged even
-    // with identical values). Interior sums still ride decimal(38,0)
-    // so the cast is the only narrowing. One aggregate, map-side
-    // combined.
-    "q275_dataset_fingerprint" -> ((s, d) => {
-      val h = Tables.documents(s, d)
-        .select(col("source"), pmod(col("doc_id"), lit(2L)).as("par"),
-          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
-            "'|', text)), 1, 8), 16, 10) AS DECIMAL(38,0))").as("rh"))
-      val zero = lit(0).cast("decimal(38,0)")
-      h.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("rh").cast("long").as("fp"),
-             sum(when(col("par") === 0, col("rh")).otherwise(zero))
-               .cast("long").as("fp_even"),
-             sum(when(col("par") === 1, col("rh")).otherwise(zero))
-               .cast("long").as("fp_odd"))
-        .withColumn("additive_ok",
-          col("fp_even") + col("fp_odd") === col("fp"))
-        .orderBy("source")
-    }),
-  )
 
   /** Shared oracle prefix for q64/q146: simhash pairs at hamming<=3
     * (the exact bit-vote replay) -> symmetric edges -> recursive
     * reachability -> min-reachable-id components. */
-  private val simhashCompCtes: String =
+  private[queries] val simhashCompCtes: String =
     """WITH RECURSIVE bits AS (
       |  SELECT doc_id, i,
       |    sum(CASE WHEN i <= 32
@@ -2196,7 +61,7 @@ object TextQueries {
 
   /** Shared oracle prefix for q86/q165: the fully-unrolled BM25
     * (base term frequencies -> corpus stats -> per-doc score). */
-  private val bm25Ctes: String =
+  private[queries] val bm25Ctes: String =
     """WITH base AS (
       |  SELECT doc_id, lang, source,
       |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
@@ -2218,2495 +83,15 @@ object TextQueries {
       |    AS score
       |  FROM base, st)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // Hashed-classifier replay: per-token weight = (first-8-hex-digit
-    // md5 value mod 1001) - 500 via the established digit-sum
-    // hex-to-int replay (q107's pattern; 8 digits < 2^32 so the
-    // double sum is exact before the BIGINT cast). Docs whose token
-    // list is empty keep score 0 via the LEFT JOIN + coalesce.
-    "q142_hash_classifier" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
-        |             AS DOUBLE)
-        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
-        |      % 1001 - 500 AS wt
-        |  FROM t),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id, d.source,
-        |  CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) AS INTEGER)
-        |    AS n_subwords,
-        |  coalesce(a.score, 0) AS score,
-        |  CASE WHEN len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) > 0
-        |    THEN CAST(floor(coalesce(a.score, 0) * 2000.0
-        |               / len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')))
-        |         AS BIGINT)
-        |    END AS margin_ppm,
-        |  (coalesce(a.score, 0) > 0) AS label
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
 
-    // Waterfill replay: the same cap-sorted prefix scan, integer
-    // budget, and first-non-full-row level.
-    "q161_token_waterfill" ->
-      """WITH caps AS (
-        |  SELECT source,
-        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS cap
-        |  FROM documents GROUP BY source),
-        |t AS (SELECT (3 * CAST(sum(cap) AS BIGINT)) // 5 AS budget FROM caps),
-        |s AS (SELECT source, cap, budget,
-        |    coalesce(sum(cap) OVER (ORDER BY cap, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
-        |    row_number() OVER (ORDER BY cap, source) AS rank,
-        |    count(*) OVER () AS n_src
-        |  FROM caps, t),
-        |s2 AS (SELECT *,
-        |    (prefix + (n_src - rank + 1) * cap <= budget) AS full_take,
-        |    CAST(floor(CAST(budget - prefix AS DOUBLE) / (n_src - rank + 1))
-        |      AS BIGINT) AS cand
-        |  FROM s),
-        |lvl AS (SELECT coalesce((SELECT cand FROM s2 WHERE NOT full_take
-        |                         ORDER BY rank LIMIT 1), 0) AS level)
-        |SELECT source, cap,
-        |  CASE WHEN full_take THEN cap
-        |    ELSE least(cap, greatest(level, 0)) END AS allocated
-        |FROM s2, lvl ORDER BY source""".stripMargin,
-
-    // Source-matrix replay: q31's exact Jaccard>=0.5 pair set (the
-    // LSH path has deterministic full recall at these parameters)
-    // joined to each side's source.
-    "q162_dup_source_matrix" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    (len(a.shingles) + len(b.shingles)
-        |     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
-        |j AS (
-        |  SELECT least(da.source, db.source) AS source_lo,
-        |         greatest(da.source, db.source) AS source_hi
-        |  FROM p JOIN documents da ON p.id_a = da.doc_id
-        |         JOIN documents db ON p.id_b = db.doc_id)
-        |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Native-function SQL replay: token membership over the same
-    // space split; distinct word 3-shingles (q65's construction).
-    "q159_sql_native_functions" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    x -> x IN ('data', 'the', 'row'))) AS INTEGER) AS stop_hits,
-        |  CAST(CASE WHEN len(string_split(text, ' ')) >= 3
-        |    THEN len(list_distinct(list_transform(
-        |      range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' ||
-        |           string_split(text, ' ')[i + 1] || ' ' ||
-        |           string_split(text, ' ')[i + 2])))
-        |    ELSE 0 END AS INTEGER) AS n_shingles
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // BPE replay: k=4 unrolled rounds generated by Bpe.oracleSql so
-    // the two sides cannot drift round-wise.
-    "q143_bpe_merges" -> graft.ext.Bpe.oracleSql(4),
-    "q144_bpe_encode" -> graft.ext.Bpe.encodeOracleSql(4),
-
-    // Replays the bilinear interpolation per output pixel/channel on
-    // a 60k-row (doc x 8 x 5 x 3) grid: source corners i0/i1 (j0/j1),
-    // integer weights rx/ry over denominators 7/4, gradient pixel
-    // value (id + 7i + 13j + 29c) mod 256, round-half-up as
-    // (2*num + 28) // 56.
-    "q124_bmp_bilinear" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |grid AS (
-        |  SELECT d.*, x, y, c
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
-        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
-        |v AS (
-        |  SELECT doc_id, source, w, h, c,
-        |    (x * (w - 1)) // 7 AS i0,
-        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
-        |    (x * (w - 1)) % 7 AS rx,
-        |    (y * (h - 1)) // 4 AS j0,
-        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
-        |    (y * (h - 1)) % 4 AS ry
-        |  FROM grid),
-        |o AS (
-        |  SELECT doc_id, source, w, h,
-        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
-        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
-        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
-        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
-        |  FROM v)
-        |SELECT doc_id, source,
-        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
-        |  CAST(sum(val) AS BIGINT) AS checksum
-        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
-
-    // Identical interpolation replay to q124 (the PNG layer is
-    // lossless, so decoded pixels ARE the gradient); in_w/in_h pin
-    // the IHDR parse because the Spark side reads them from the
-    // decoded header, not the generating columns.
-    "q127_png_decode_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |grid AS (
-        |  SELECT d.*, x, y, c
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
-        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
-        |v AS (
-        |  SELECT doc_id, source, w, h, c,
-        |    (x * (w - 1)) // 7 AS i0,
-        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
-        |    (x * (w - 1)) % 7 AS rx,
-        |    (y * (h - 1)) // 4 AS j0,
-        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
-        |    (y * (h - 1)) % 4 AS ry
-        |  FROM grid),
-        |o AS (
-        |  SELECT doc_id, source, w, h,
-        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
-        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
-        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
-        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
-        |  FROM v)
-        |SELECT doc_id, source,
-        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
-        |  CAST(sum(val) AS BIGINT) AS checksum
-        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
-
-    // q124's interpolation replay on the single gray plane
-    // (id + 7i + 13j) % 256, tripled — the GIF layer is lossless, so
-    // decoded pixels ARE the gradient on all three channels.
-    "q132_gif_decode_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |grid AS (
-        |  SELECT d.*, x, y
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys),
-        |v AS (
-        |  SELECT doc_id, source, w, h,
-        |    (x * (w - 1)) // 7 AS i0,
-        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
-        |    (x * (w - 1)) % 7 AS rx,
-        |    (y * (h - 1)) // 4 AS j0,
-        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
-        |    (y * (h - 1)) % 4 AS ry
-        |  FROM grid),
-        |o AS (
-        |  SELECT doc_id, source, w, h,
-        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0) % 256)
-        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0) % 256)
-        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1) % 256)
-        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1) % 256)) + 28) // 56 AS val
-        |  FROM v)
-        |SELECT doc_id, source,
-        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
-        |  CAST(3 * sum(val) AS BIGINT) AS checksum
-        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
-
-    // Dimensions replay the w/h formulas (the SOF header round trip
-    // is exact); fidelity and decode-health counts are predicted
-    // exactly because the operator guarantees every synthetic asset
-    // decodes and lands inside the tolerance (see the query comment —
-    // a codec defect flips n_ok/n_bad_decode away from the oracle).
-    "q201_jpeg_decode_resize" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_assets,
-        |  CAST(sum(1 + n_chars % 31) AS BIGINT) AS sum_w,
-        |  CAST(sum(1 + (n_chars * 3) % 23) AS BIGINT) AS sum_h,
-        |  CAST(count(*) AS BIGINT) AS n_ok,
-        |  CAST(0 AS BIGINT) AS n_bad_decode
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // Identical interpolation replay to q124/q127 — the TIFF layer
-    // is lossless, so the checksum is the same exact integer.
-    "q217_tiff_decode_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |grid AS (
-        |  SELECT d.*, x, y, c
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(5)) AS y) ys
-        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs),
-        |v AS (
-        |  SELECT doc_id, source, w, h, c,
-        |    (x * (w - 1)) // 7 AS i0,
-        |    least((x * (w - 1)) // 7 + 1, w - 1) AS i1,
-        |    (x * (w - 1)) % 7 AS rx,
-        |    (y * (h - 1)) // 4 AS j0,
-        |    least((y * (h - 1)) // 4 + 1, h - 1) AS j1,
-        |    (y * (h - 1)) % 4 AS ry
-        |  FROM grid),
-        |o AS (
-        |  SELECT doc_id, source, w, h,
-        |    (2 * ((7 - rx) * (4 - ry) * ((doc_id + 7 * i0 + 13 * j0 + 29 * c) % 256)
-        |        + rx * (4 - ry) * ((doc_id + 7 * i1 + 13 * j0 + 29 * c) % 256)
-        |        + (7 - rx) * ry * ((doc_id + 7 * i0 + 13 * j1 + 29 * c) % 256)
-        |        + rx * ry * ((doc_id + 7 * i1 + 13 * j1 + 29 * c) % 256)) + 28) // 56 AS val
-        |  FROM v)
-        |SELECT doc_id, source,
-        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
-        |  CAST(sum(val) AS BIGINT) AS checksum
-        |FROM o GROUP BY doc_id, source, w, h ORDER BY doc_id""".stripMargin,
-
-    // The q212 replay with weighted counters: c = sum of char
-    // weights per bucket; ranks target the weighted mass.
-    "q214_weighted_quantiles" ->
-      """WITH h AS (
-        |  SELECT lang AS g,
-        |    CAST(floor(n_chars / 20.0) AS BIGINT) AS b,
-        |    CAST(sum(n_chars) AS BIGINT) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT g, b, c,
-        |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cb,
-        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
-        |  FROM h),
-        |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p),
-        |sel AS (
-        |  SELECT g, p, b, c, cb,
-        |    CAST(ceil(p * n) AS BIGINT) AS r
-        |  FROM cum, ps
-        |  WHERE CAST(ceil(p * n) AS BIGINT) > cb
-        |    AND CAST(ceil(p * n) AS BIGINT) <= cb + c)
-        |SELECT g AS lang, p,
-        |  round(b * 20.0 + 20.0 * CAST(r - cb AS DOUBLE) / c, 6) AS q_est
-        |FROM sel ORDER BY lang, p""".stripMargin,
-
-    "q211_token_budget" ->
-      """WITH d AS (
-        |  SELECT source, doc_id, n_chars,
-        |    CAST(sum(n_chars) OVER (PARTITION BY source
-        |      ORDER BY n_chars DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cum,
-        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
-        |  CAST(max(tot) AS BIGINT) AS total_chars,
-        |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // CAST(max(tot) AS BIGINT)
-        |    AS share_ppm
-        |FROM d WHERE cum * 10 <= tot * 6
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    // Replays the audio pipeline sample-exactly: kept indices are
-    // range(0, n, 3) (decimation by 3), sample value
-    // ((doc_id*31 + i*7919) % 65536) - 32768, energy = sum v^2
-    // (HUGEINT in DuckDB -> cast), zero-crossings via lag() over kept
-    // order, peak = max |v|; sr_out = 8000 // 3 pins the re-encoded
-    // RIFF header's sample-rate field.
-    "q129_wav_decimate_features" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
-        |k AS (
-        |  SELECT doc_id, source, n, unnest(range(0, n, 3)) AS i FROM d),
-        |s AS (
-        |  SELECT doc_id, source, n, i,
-        |    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
-        |  FROM k),
-        |z AS (
-        |  SELECT doc_id, source, n, i, v,
-        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-        |  FROM s)
-        |SELECT doc_id, source,
-        |  CAST(n AS BIGINT) AS n_in,
-        |  CAST(8000 // 3 AS BIGINT) AS sr_out,
-        |  CAST(count(*) AS BIGINT) AS n_out,
-        |  CAST(sum(v * v) AS BIGINT) AS energy,
-        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
-        |  CAST(max(abs(v)) AS BIGINT) AS peak
-        |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
-
-    // Replays the sampled-frame pixel sums: kept frame indices are
-    // range(0, nf, 2), frame f's checksum = sum over (x,y,c) of
-    // (doc_id + 11f + 7x + 13y + 29c) % 256.
-    "q130_video_frame_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, 1 + n_chars % 6 AS nf,
-        |    1 + n_chars % 9 AS w, 1 + (n_chars * 3) % 7 AS h
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, source, nf, w, h, unnest(range(0, nf, 2)) AS fi
-        |  FROM d),
-        |g AS (
-        |  SELECT doc_id, source, nf, w, h, fi, x, y, c
-        |  FROM f
-        |  CROSS JOIN (SELECT unnest(range(9)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(7)) AS y) ys
-        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs
-        |  WHERE x < w AND y < h),
-        |o AS (
-        |  SELECT doc_id, source, nf, w, h, fi,
-        |    sum((doc_id + 11 * fi + 7 * x + 13 * y + 29 * c) % 256) AS cs
-        |  FROM g GROUP BY doc_id, source, nf, w, h, fi)
-        |SELECT doc_id, source, CAST(fi AS BIGINT) AS frame_idx,
-        |  CAST(nf AS BIGINT) AS n_frames,
-        |  CAST(w AS BIGINT) AS w_out, CAST(h AS BIGINT) AS h_out,
-        |  CAST(cs AS BIGINT) AS checksum
-        |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
-
-    // Replays the linear resample sample-exactly: nOut = 3n//8
-    // (3000/8000 of n), u-values are the generator mod 65536 (the
-    // +32768 offset IS the un-offset mod value), interpolated with
-    // integer corner weights and (2*num + den) // (2*den) rounding,
-    // then the same feature aggregates as q129.
-    "q133_wav_resample_linear" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
-        |d2 AS (
-        |  SELECT doc_id, source, n, (n * 3000) // 8000 AS n_out FROM d),
-        |k AS (
-        |  SELECT doc_id, source, n, n_out, unnest(range(0, n_out)) AS t
-        |  FROM d2),
-        |w AS (
-        |  SELECT doc_id, source, n, n_out, t,
-        |    (t * (n - 1)) // (n_out - 1) AS i0,
-        |    least((t * (n - 1)) // (n_out - 1) + 1, n - 1) AS i1,
-        |    (t * (n - 1)) % (n_out - 1) AS rem,
-        |    n_out - 1 AS den
-        |  FROM k),
-        |s AS (
-        |  SELECT doc_id, source, n, n_out, t,
-        |    (2 * ((den - rem) * ((doc_id * 31 + i0 * 7919) % 65536)
-        |        + rem * ((doc_id * 31 + i1 * 7919) % 65536)) + den)
-        |      // (2 * den) - 32768 AS v
-        |  FROM w),
-        |z AS (
-        |  SELECT doc_id, source, n, v,
-        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
-        |  FROM s)
-        |SELECT doc_id, source,
-        |  CAST(n AS BIGINT) AS n_in,
-        |  CAST(3000 AS BIGINT) AS sr_out,
-        |  CAST(count(*) AS BIGINT) AS n_out,
-        |  CAST(sum(v * v) AS BIGINT) AS energy,
-        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
-        |  CAST(max(abs(v)) AS BIGINT) AS peak
-        |FROM z GROUP BY doc_id, source, n ORDER BY doc_id""".stripMargin,
-
-    // Closed-form replay of every synthetic asset's metadata: format
-    // from doc_id mod 5, dims from the generator columns (images),
-    // frame count n for WAV, zeros + invalid for junk.
-    "q135_mixed_modality_meta" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, doc_id % 5 AS m,
-        |    1 + n_chars % 9 AS w, 1 + (n_chars * 3) % 7 AS h,
-        |    40 + n_chars % 160 AS n
-        |  FROM documents),
-        |t AS (
-        |  SELECT CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-        |                WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
-        |                ELSE 'unknown' END AS format,
-        |    CASE WHEN m < 4 THEN 1 ELSE 0 END AS valid,
-        |    CASE WHEN m <= 2 THEN w ELSE 0 END AS w,
-        |    CASE WHEN m <= 2 THEN h ELSE 0 END AS h,
-        |    CASE WHEN m <= 2 THEN 1 WHEN m = 3 THEN n ELSE 0 END AS nf
-        |  FROM d)
-        |SELECT format, CAST(count(*) AS BIGINT) AS n_assets,
-        |  CAST(sum(valid) AS BIGINT) AS n_valid,
-        |  CAST(sum(w) AS BIGINT) AS total_w,
-        |  CAST(sum(h) AS BIGINT) AS total_h,
-        |  CAST(sum(nf) AS BIGINT) AS total_frames
-        |FROM t GROUP BY format ORDER BY format""".stripMargin,
-
-    // Per-frame replay: sample i belongs to frame i // 16; energy and
-    // peak aggregate the generator values within each frame.
-    "q136_wav_frame_energy" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, 40 + n_chars % 160 AS n FROM documents),
-        |k AS (
-        |  SELECT doc_id, source, unnest(range(0, n)) AS i FROM d),
-        |s AS (
-        |  SELECT doc_id, source, i // 16 AS fi,
-        |    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
-        |  FROM k)
-        |SELECT doc_id, source, CAST(fi AS BIGINT) AS frame_idx,
-        |  CAST(count(*) AS BIGINT) AS n_samples,
-        |  CAST(sum(v * v) AS BIGINT) AS energy,
-        |  CAST(max(abs(v)) AS BIGINT) AS peak
-        |FROM s GROUP BY doc_id, source, fi
-        |ORDER BY doc_id, frame_idx""".stripMargin,
-
-    // Pixel-grid replay: pixel (x, y) belongs to patch (x//4, y//4);
-    // checksums aggregate the gradient within each tile, tile dims
-    // are least(4, w - 4*px) / least(4, h - 4*py).
-    "q137_image_patchify" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 13 AS w, 1 + (n_chars * 3) % 11 AS h
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, source, w, h, x, y, c
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(13)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(11)) AS y) ys
-        |  CROSS JOIN (SELECT unnest(range(3)) AS c) cs
-        |  WHERE x < w AND y < h),
-        |p AS (
-        |  SELECT doc_id, source, w, h, x // 4 AS px, y // 4 AS py,
-        |    (doc_id + 7 * x + 13 * y + 29 * c) % 256 AS v
-        |  FROM g)
-        |SELECT doc_id, source,
-        |  CAST(px AS BIGINT) AS patch_x, CAST(py AS BIGINT) AS patch_y,
-        |  CAST(least(4, w - 4 * px) AS BIGINT) AS patch_w,
-        |  CAST(least(4, h - 4 * py) AS BIGINT) AS patch_h,
-        |  CAST(sum(v) AS BIGINT) AS checksum
-        |FROM p GROUP BY doc_id, source, w, h, px, py
-        |ORDER BY doc_id, patch_y, patch_x""".stripMargin,
-
-    // Hybrid pin (the q53 form scaled to per-source rows): n_docs and
-    // raw byte totals are REAL recomputations in DuckDB; the
-    // deflate-dependent columns are measured pins keyed on (SF,
-    // source) — DuckDB has no deflate, and the values are
-    // deterministic facts of the JVM's zlib at level 6 on this data.
-    "q134_compression_quality" ->
-      """WITH sf AS (SELECT count(*) AS n FROM lineitem),
-        |pins(n, src, compressed_bytes, corpus_ratio, min_ratio, max_ratio) AS (VALUES
-        |  (6000, 'src0', 3857, 0.461143, 0.411255, 0.931034),
-        |  (6000, 'src1', 3692, 0.467401, 0.379576, 0.915254),
-        |  (6000, 'src10', 3567, 0.47579, 0.401852, 0.962264),
-        |  (6000, 'src11', 3680, 0.474655, 0.40113, 0.903226),
-        |  (6000, 'src12', 3771, 0.464009, 0.391892, 0.820513),
-        |  (6000, 'src13', 3372, 0.486861, 0.418947, 0.896552),
-        |  (6000, 'src14', 4109, 0.448434, 0.397727, 0.84),
-        |  (6000, 'src15', 3526, 0.48601, 0.423963, 0.865672),
-        |  (6000, 'src16', 3646, 0.468096, 0.402062, 0.888889),
-        |  (6000, 'src17', 3488, 0.479253, 0.399621, 0.866667),
-        |  (6000, 'src18', 3382, 0.489152, 0.398876, 0.734177),
-        |  (6000, 'src19', 3673, 0.481642, 0.413934, 0.642336),
-        |  (6000, 'src2', 3339, 0.482375, 0.394942, 1.0),
-        |  (6000, 'src3', 3922, 0.4625, 0.399642, 0.698529),
-        |  (6000, 'src4', 3507, 0.487219, 0.401942, 0.769231),
-        |  (6000, 'src5', 3316, 0.490678, 0.402647, 0.903226),
-        |  (6000, 'src6', 3765, 0.47039, 0.396679, 0.6875),
-        |  (6000, 'src7', 3303, 0.5, 0.415861, 0.962963),
-        |  (6000, 'src8', 4065, 0.452773, 0.402174, 0.672727),
-        |  (6000, 'src9', 3618, 0.474865, 0.401247, 0.863636),
-        |  (60000, 'src0', 3764, 0.473519, 0.405063, 0.671642),
-        |  (60000, 'src1', 3930, 0.458576, 0.402214, 0.717647),
-        |  (60000, 'src10', 3480, 0.485966, 0.403774, 0.907407),
-        |  (60000, 'src11', 3938, 0.469536, 0.404624, 0.696429),
-        |  (60000, 'src12', 3408, 0.491988, 0.404851, 0.888889),
-        |  (60000, 'src13', 3914, 0.462538, 0.411531, 0.689655),
-        |  (60000, 'src14', 3474, 0.48143, 0.408081, 0.84058),
-        |  (60000, 'src15', 3407, 0.479859, 0.394572, 0.898305),
-        |  (60000, 'src16', 3510, 0.469001, 0.398907, 0.870968),
-        |  (60000, 'src17', 3581, 0.478935, 0.40613, 0.758242),
-        |  (60000, 'src18', 3599, 0.47631, 0.404943, 0.864407),
-        |  (60000, 'src19', 3169, 0.502537, 0.395712, 0.912281),
-        |  (60000, 'src2', 3647, 0.474314, 0.386408, 0.802469),
-        |  (60000, 'src3', 3635, 0.477034, 0.40038, 0.772727),
-        |  (60000, 'src4', 3453, 0.486475, 0.386916, 0.782609),
-        |  (60000, 'src5', 3513, 0.484285, 0.407921, 0.880597),
-        |  (60000, 'src6', 3362, 0.482769, 0.390244, 0.873016),
-        |  (60000, 'src7', 3859, 0.470552, 0.412475, 0.712871),
-        |  (60000, 'src8', 3155, 0.502629, 0.414894, 0.762887),
-        |  (60000, 'src9', 3551, 0.474987, 0.409683, 0.842105),
-        |  (600000, 'src0', 35089, 0.478528, 0.3898, 0.933333),
-        |  (600000, 'src1', 35612, 0.478277, 0.388889, 0.932203),
-        |  (600000, 'src10', 35713, 0.476669, 0.39243, 0.923077),
-        |  (600000, 'src11', 34933, 0.481881, 0.396709, 0.962264),
-        |  (600000, 'src12', 36845, 0.473094, 0.388889, 0.919355),
-        |  (600000, 'src13', 36874, 0.470602, 0.388298, 0.96),
-        |  (600000, 'src14', 34210, 0.486518, 0.370642, 0.943396),
-        |  (600000, 'src15', 34682, 0.482552, 0.390018, 0.913793),
-        |  (600000, 'src16', 35525, 0.479245, 0.390511, 0.929825),
-        |  (600000, 'src17', 35650, 0.479753, 0.392661, 0.945455),
-        |  (600000, 'src18', 34712, 0.481616, 0.388889, 0.958333),
-        |  (600000, 'src19', 35337, 0.477999, 0.391121, 0.931034),
-        |  (600000, 'src2', 35905, 0.477327, 0.388087, 0.943396),
-        |  (600000, 'src3', 35481, 0.477807, 0.383673, 0.944444),
-        |  (600000, 'src4', 35330, 0.479005, 0.379189, 1.0),
-        |  (600000, 'src5', 37059, 0.469773, 0.386525, 0.962264),
-        |  (600000, 'src6', 35654, 0.479872, 0.395644, 0.921569),
-        |  (600000, 'src7', 33728, 0.48742, 0.380334, 0.958333),
-        |  (600000, 'src8', 37249, 0.471841, 0.39356, 0.927273),
-        |  (600000, 'src9', 35094, 0.481063, 0.387524, 0.913793)),
-        |base AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    sum(strlen(text)) AS raw_bytes
-        |  FROM documents GROUP BY source)
-        |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
-        |  CAST(b.raw_bytes AS BIGINT) AS raw_bytes,
-        |  CAST(p.compressed_bytes AS BIGINT) AS compressed_bytes,
-        |  CAST(p.corpus_ratio AS DOUBLE) AS corpus_ratio,
-        |  CAST(p.min_ratio AS DOUBLE) AS min_ratio,
-        |  CAST(p.max_ratio AS DOUBLE) AS max_ratio
-        |FROM base b JOIN pins p ON p.src = b.source AND p.n = (SELECT n FROM sf)
-        |ORDER BY b.source""".stripMargin,
-
-    // q27's positional shingles WITHOUT list_distinct (every 3-gram
-    // position counts), mode count per doc, single-division ratio.
-    "q122_top_ngram_coverage" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    string_split(text, ' ') AS s
-        |  FROM documents
-        |  WHERE (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= 3),
-        |g AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    unnest(list_transform(range(1, len(s) - 1),
-        |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
-        |  FROM d),
-        |c AS (SELECT doc_id, source, n_tokens, g, count(*) AS c
-        |      FROM g GROUP BY doc_id, source, n_tokens, g),
-        |m AS (SELECT doc_id, source, n_tokens, max(c) AS top_c
-        |      FROM c GROUP BY doc_id, source, n_tokens),
-        |t AS (SELECT source,
-        |        CAST(top_c AS DOUBLE) / (n_tokens - 2) AS ratio
-        |      FROM m)
-        |SELECT source, count(*) AS n_docs,
-        |  round(avg(ratio), 6) AS avg_top3gram_ratio,
-        |  CAST(sum(CASE WHEN ratio > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
-
-    // One row per (source, rule); violation = NOT rule OR NULL.
-    "q126_expectations_by_source" -> Seq(
-      ("chars_consistent", "n_chars = length(text)"),
-      ("lang_known", "lang IN ('en', 'es', 'zh', 'de', 'fr')"),
-      ("text_nonempty", "length(text) > 0")).map { case (name, pred) =>
-        s"""SELECT source, '$name' AS rule, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-           |  round(CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS violation_rate
-           |FROM documents GROUP BY source""".stripMargin
-      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-        "\n) ORDER BY source, rule"),
-
-    // Cumulative 0.8/0.9 bands as hex literals: round(0.8 * 2^32) =
-    // 0xcccccccd, round(0.9 * 2^32) = 0xe6666666 — the same 8-hex
-    // lexicographic compare Sampling.thresholdHex emits.
-    "q123_dataset_split" ->
-      """WITH d AS (
-        |  SELECT source,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    substring(md5(CAST(doc_id AS VARCHAR) || 'sp11'), 1, 8) AS h
-        |  FROM documents)
-        |SELECT source,
-        |  CASE WHEN h < 'cccccccd' THEN 'train'
-        |       WHEN h < 'e6666666' THEN 'val'
-        |       ELSE 'test' END AS split,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
-
-    // Replays q120's pixel arithmetic: nearest-neighbor source coords
-    // are floor(x*w/8), floor(y*h/5); each output pixel contributes
-    // its three channel bytes (id + 7sx + 13sy + 29c) mod 256. The
-    // Spark side computes the checksum from the DECODED OUTPUT BYTES,
-    // so equality pins decode -> resample -> encode -> re-decode.
-    "q120_bmp_resize" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents)
-        |SELECT doc_id, source, 'bmp' AS format,
-        |  CAST(8 AS BIGINT) AS out_w, CAST(5 AS BIGINT) AS out_h,
-        |  CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
-        |  CAST(list_sum(flatten(list_transform(range(0, 5), y ->
-        |    list_transform(range(0, 8), x ->
-        |      (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 5)) % 256 +
-        |      (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 5) + 29) % 256 +
-        |      (doc_id + 7 * ((x * w) // 8) + 13 * ((y * h) // 5) + 58) % 256
-        |    )))) AS BIGINT) AS checksum
-        |FROM d ORDER BY doc_id""".stripMargin,
-    "q25_exact_dedup_docs" ->
-      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique_texts,
-        | count(*) - count(DISTINCT text) AS n_dup_docs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    "q26_fingerprint_md5" ->
-      "SELECT doc_id, md5(text) AS fingerprint, n_chars FROM documents ORDER BY doc_id",
-
-    "q27_ngram_jaccard_neardup" ->
-      """WITH sh AS (
-         |  SELECT doc_id, source,
-         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
-         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
-         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
-
-    "q28_text_quality" ->
-      """WITH t AS (
-        |  SELECT lang,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    round(CAST(len(list_filter(string_split(text,' '),
-        |      t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |      / len(string_split(text,' ')), 6) AS stop_ratio,
-        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
-        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
-        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
-        | round(avg(stop_ratio), 6) AS avg_stop_ratio, round(avg(quality), 6) AS avg_quality
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Same q28 quality formula, row_number over (rounded quality
-    // DESC, doc_id), integer-division decile — // is DuckDB's
-    // integer division, matching Spark's DIV exactly.
-    "q84_quality_deciles" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
-        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
-        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
-        |  FROM documents),
-        |r AS (
-        |  SELECT source, quality,
-        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY source) AS cnt
-        |  FROM t),
-        |b AS (SELECT source, quality, CAST(((rn - 1) * 10) // cnt AS INT) AS decile FROM r)
-        |SELECT source, decile, count(*) AS n_docs,
-        |  round(min(quality), 6) AS min_q,
-        |  round(max(quality), 6) AS max_q,
-        |  round(sum(quality), 6) AS sum_q
-        |FROM b GROUP BY source, decile ORDER BY source, decile""".stripMargin,
-
-    "q29_langid_confusion" ->
-      """WITH s AS (
-        |  SELECT lang,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh
-        |  FROM documents),
-        |p AS (
-        |  SELECT lang,
-        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr >= s_zh THEN 'fr'
-        |         ELSE 'zh' END AS predicted
-        |  FROM s)
-        |SELECT lang, predicted, count(*) AS n FROM p
-        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
-
-    "q46_langid_chargram" ->
-      """WITH s AS (
-        |  SELECT lang,
-        |    CAST((length(text)-length(replace(text,'agg','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'tch','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'mer','')))/3 AS INT) AS c_de,
-        |    CAST((length(text)-length(replace(text,'row','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'lin','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'tab','')))/3 AS INT) AS c_en,
-        |    CAST((length(text)-length(replace(text,'dat','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'que','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'smal','')))/4 AS INT) AS c_es,
-        |    CAST((length(text)-length(replace(text,'joi','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'ord','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'key','')))/3 AS INT) AS c_fr,
-        |    CAST((length(text)-length(replace(text,'sca','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'has','')))/3 AS INT)
-        |      + CAST((length(text)-length(replace(text,'par','')))/3 AS INT) AS c_zh
-        |  FROM documents),
-        |p AS (
-        |  SELECT lang,
-        |    CASE WHEN c_de >= greatest(c_en, c_es, c_fr, c_zh) THEN 'de'
-        |         WHEN c_en >= greatest(c_es, c_fr, c_zh) THEN 'en'
-        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
-        |         WHEN c_fr >= c_zh THEN 'fr'
-        |         ELSE 'zh' END AS predicted
-        |  FROM s)
-        |SELECT lang, predicted, count(*) AS n FROM p
-        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
-
-    "q30_token_counts" ->
-      """SELECT source, count(*) AS n_docs,
-        | CAST(sum((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) AS BIGINT) AS total_tokens,
-        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_subwords,
-        | round(avg((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)), 6) AS avg_tokens
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // Oracle for the LSH pipeline: the exact global near-dup pair set
-    // (LSH with these parameters has deterministic full recall at 0.5
-    // on this data — verified candidates equal the exact pair set).
-    "q31_minhash_lsh_neardup" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "q32_simhash" ->
-      """WITH bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |             THEN 1 ELSE -1 END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  CROSS JOIN range(1, 33) r(i)
-        |  GROUP BY doc_id, i)
-        |SELECT doc_id,
-        |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // The oracle is the ALL-PAIRS hamming computation over the 64-BIT
-    // signature — the pigeonhole banding must reproduce it exactly.
-    // Layout (mirrors the native SimHash(…, 64)): position i in
-    // [1,32] votes on md5 hex digit i's HIGH bit (digit in 8..f);
-    // position i in [33,64] votes on digit (i-32)'s SECOND bit (digit
-    // in 4-7 or c-f). Each 32-bit half is assembled as a separate
-    // BIGINT (weight 2^(32-i) within the half, matching Spark's
-    // per-word conv(substr, 2, 10)); hamming = sum of per-half xor
-    // popcounts. Halves avoid 64-bit assembly entirely: power(2,63)
-    // sums lose exactness in DOUBLE and overflow signed BIGINT.
-    "q59_simhash_neardup" ->
-      """WITH bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN i <= 32
-        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |        END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  CROSS JOIN range(1, 65) r(i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
-
-    // Mirrors every DocPrep stage: rn=1 dedup per md5(text) keyed on
-    // the lowest doc_id, the q29 marker scores/argmax, the q28
-    // token/stopword/quality formulas, the unrounded-quality filter.
-    "q58_docprep_pipeline" ->
-      """WITH dd AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |s AS (
-        |  SELECT source,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
-        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
-        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |          / len(string_split(text,' '))) * 0.5 AS quality
-        |  FROM dd),
-        |p AS (
-        |  SELECT source, n_tokens, quality,
-        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr >= s_zh THEN 'fr'
-        |         ELSE 'zh' END AS predicted_lang
-        |  FROM s)
-        |SELECT source, predicted_lang, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  round(avg(quality), 6) AS avg_quality
-        |FROM p
-        |WHERE quality >= 0.6 AND predicted_lang IN ('en', 'es', 'zh')
-        |GROUP BY source, predicted_lang
-        |ORDER BY source, predicted_lang""".stripMargin,
-
-    // Mirrors the dimension formulas the PNG headers were built from;
-    // matching totals prove decode(encode(w, h)) == (w, h) per row.
-    "q54_multimodal_decode" ->
-      """SELECT source, count(*) AS n_assets, 'png' AS format,
-        | CAST(sum(1 + n_chars % 640) AS BIGINT) AS total_width,
-        | CAST(sum(1 + (n_chars * 3) % 480) AS BIGINT) AS total_height,
-        | CAST(count(*) AS BIGINT) AS n_valid
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    "q62_top_ngrams" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS shingles
-        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
-        |c AS (SELECT lang, unnest(shingles) AS ngram FROM sh),
-        |g AS (SELECT lang, ngram, count(*) AS n FROM c GROUP BY lang, ngram),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
-        |        ORDER BY n DESC, ngram) AS rk FROM g)
-        |SELECT lang, ngram, n, rk FROM r WHERE rk <= 5
-        |ORDER BY lang, rk""".stripMargin,
-
-    // Stage-for-stage mirror of prepareFull: rn=1 dedup -> 64-bit
-    // SimHash pairs over the DEDUPED set -> recursive closure ->
-    // keep-lowest-representative -> q67 gate formulas (defaults) ->
-    // q58 score/argmax CASEs -> 0.8/0.9 cumulative fold thresholds.
-    "q69_curation_pipeline" ->
-      """WITH RECURSIVE dd AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN i <= 32
-        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |        END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
-        |  CROSS JOIN range(1, 65) r(i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (
-        |  SELECT src AS id, least(src, min(dst)) AS component
-        |  FROM reach GROUP BY src),
-        |kept AS (
-        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
-        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
-        |gm AS (
-        |  SELECT doc_id, text,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM kept),
-        |g AS (
-        |  SELECT doc_id, text FROM gm
-        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
-        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
-        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
-        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
-        |s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
-        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
-        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |          / len(string_split(text,' '))) * 0.5 AS quality
-        |  FROM g),
-        |p2 AS (
-        |  SELECT doc_id, n_tokens, quality,
-        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr >= s_zh THEN 'fr'
-        |         ELSE 'zh' END AS predicted_lang
-        |  FROM s),
-        |f AS (
-        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
-        |  FROM p2
-        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh'))
-        |SELECT CASE WHEN h < 'cccccccd' THEN 'train'
-        |            WHEN h < 'e6666666' THEN 'val'
-        |            ELSE 'test' END AS fold,
-        |  predicted_lang, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  round(avg(quality), 6) AS avg_quality,
-        |  min(doc_id) AS min_id
-        |FROM f GROUP BY 1, predicted_lang ORDER BY fold, predicted_lang""".stripMargin,
-
-    // Transitive closure over the q59 pair set (same 64-bit SimHash
-    // recomputation), then component = min reachable id. The
-    // recursive CTE is the oracle-side answer to what the engine
-    // computes with distributed min-label propagation.
-    "q64_dup_components" -> (simhashCompCtes +
-      "\nSELECT component, count(*) AS n_members, max(id) AS max_id" +
-      "\nFROM comp GROUP BY component ORDER BY component"),
-
-    // Canonicalization replay: q64's component pyramid + the
-    // (n_chars DESC, doc_id) argmax per component.
-    "q146_dup_canonical" -> (simhashCompCtes +
-      """,
-        |m AS (
-        |  SELECT c.component, d.doc_id, d.n_chars,
-        |    row_number() OVER (PARTITION BY c.component
-        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
-        |  FROM comp c JOIN documents d ON c.id = d.doc_id)
-        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
-        |  max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
-        |FROM m GROUP BY component ORDER BY component""".stripMargin),
-
-    // Same 3-gram construction as q27's oracle, joined ACROSS the
-    // train/bench split through the same rare-shingle guard: bench
-    // shingles with document frequency > 3 never join, and n_shared
-    // counts the surviving shared shingles.
-    "q65_decontamination" ->
-      """WITH sh AS (
-         |  SELECT doc_id, source,
-         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS s
-         |       FROM sh WHERE source = 'src0'),
-         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM bp GROUP BY s)
-         |         WHERE df <= 3),
-         |tp AS (SELECT doc_id AS train_id, unnest(shingles) AS s
-         |       FROM sh WHERE source <> 'src0')
-         |SELECT tp.train_id, bp.bench_id, count(*) AS n_shared
-         |FROM tp JOIN rare USING (s) JOIN bp USING (s)
-         |GROUP BY tp.train_id, bp.bench_id
-         |HAVING count(*) >= 2
-         |ORDER BY train_id, bench_id""".stripMargin,
-
-    // Cumulative thresholds: 0.7 -> b3333333, 0.9 -> e6666666 (both
-    // = round(f * 2^32) in hex, the Sampling.thresholdHex rule);
-    // fixed-width lowercase hex compares lexicographically ==
-    // numerically in both engines.
-    "q66_fold_split" ->
-      """WITH s AS (
-        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
-        |  FROM documents),
-        |f AS (
-        |  SELECT *, CASE WHEN h < 'b3333333' THEN 'train'
-        |                 WHEN h < 'e6666666' THEN 'val'
-        |                 ELSE 'test' END AS fold FROM s)
-        |SELECT fold, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
-
-    // Recomputes the content-hash membership exactly: fixed-width
-    // lowercase hex compares lexicographically == numerically in both
-    // engines.
-    "q61_stratified_sample" ->
-      """WITH s AS (
-        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8) AS h
-        |  FROM documents),
-        |k AS (
-        |  SELECT * FROM s
-        |  WHERE h < CASE source WHEN 'src0' THEN 'cccccccd'
-        |                        WHEN 'src1' THEN '80000000'
-        |                        WHEN 'src2' THEN '33333333'
-        |                        ELSE '1999999a' END)
-        |SELECT source, count(*) AS n_kept,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
-
-    // Mirrors every per-doc formula unrounded (guards match the Spark
-    // when() branches: 1-token docs contribute 0 bigram repetition).
-    "q67_repetition_stats" ->
-      """WITH m AS (
-        |  SELECT source,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM documents),
-        |r AS (
-        |  SELECT source,
-        |    CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END AS rep_ratio,
-        |    CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END AS dup_bigram_ratio,
-        |    CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END AS symbol_ratio,
-        |    CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END AS mean_word_len
-        |  FROM m)
-        |SELECT source, count(*) AS n_docs,
-        |  round(avg(rep_ratio), 6) AS avg_rep_ratio,
-        |  round(avg(dup_bigram_ratio), 6) AS avg_dup_bigram_ratio,
-        |  round(avg(symbol_ratio), 6) AS avg_symbol_ratio,
-        |  round(avg(mean_word_len), 6) AS avg_word_len,
-        |  CAST(sum(CASE WHEN rep_ratio <= 0.3 AND dup_bigram_ratio <= 0.3
-        |                 AND symbol_ratio <= 0.1
-        |                 AND mean_word_len BETWEEN 2.0 AND 12.0
-        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
-
-    // Identical chain order with the 'g' flag; RE2 and Java agree on
-    // \b word boundaries over this lowercase-word corpus.
-    "q70_redaction" ->
-      """WITH r AS (
-        |  SELECT source, text,
-        |    regexp_replace(regexp_replace(text, '\b(key|hash)\b', '[SECRET]', 'g'),
-        |                   '\bspark\b', '[TOOL]', 'g') AS redacted
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
-        |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
-        |  CAST(sum(length(redacted)) AS BIGINT) AS chars_after
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
-
-    // Same lanes, order, and cut rule; the 5000.0 divisor keeps the
-    // floor boundary in exact double arithmetic on both engines.
-    "q71_shard_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_bucket,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t)
-        |SELECT pack_bucket,
-        |  CAST(floor((cum - n_tokens) / 5000.0) AS BIGINT) AS pack_shard,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY pack_bucket, pack_shard
-        |ORDER BY pack_bucket, pack_shard""".stripMargin,
-
-    // Recomputes counts -> fractions -> integer thresholds with the
-    // same literals in the same IEEE order as mixtureResample
-    // ((40.0 * share) / cnt, round(frac * 2^32)); DuckDB round() is
-    // half-away-from-zero and JVM Math.round is floor(x + 0.5) —
-    // identical for the positive values here. frac >= 1.0 short-
-    // circuits to keep-all, matching thresholdHex's "ffffffff~".
-    "q72_mixture_resample" ->
-      """WITH c AS (
-        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-        |f AS (
-        |  SELECT source, CASE source
-        |      WHEN 'src0' THEN least(1.0, 40.0 * 0.8 / cnt)
-        |      WHEN 'src1' THEN least(1.0, 40.0 * 0.1 / cnt)
-        |      WHEN 'src2' THEN least(1.0, 40.0 * 0.05 / cnt)
-        |      WHEN 'src3' THEN least(1.0, 40.0 * 0.05 / cnt)
-        |      ELSE 0.0 END AS frac
-        |  FROM c),
-        |k AS (
-        |  SELECT d.source, d.doc_id
-        |  FROM documents d JOIN f USING (source)
-        |  WHERE f.frac >= 1.0
-        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7'), 1, 8)
-        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
-        |SELECT source, count(*) AS n_kept,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
-
-    // Same chunk arithmetic: n_chunks = 1 + ceil((n-40)/32) via the
-    // identical floor((n - 40 + 31) / 32.0) double expression; DuckDB
-    // list slices clamp at the list end exactly like Spark's slice.
-    "q74_doc_chunking" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT *, CASE WHEN n <= 40 THEN 1
-        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
-        |  FROM t),
-        |x AS (
-        |  SELECT doc_id, source, n, toks, unnest(range(0, nch)) AS k
-        |  FROM c),
-        |ch AS (
-        |  SELECT doc_id, source, k,
-        |    least(40, n - k * 32) AS chunk_tokens,
-        |    array_to_string(toks[k * 32 + 1 : k * 32 + 40], ' ') AS chunk_text
-        |  FROM x)
-        |SELECT source, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
-        |  CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
-        |  CAST(max(k) AS BIGINT) AS max_chunk_id,
-        |  CAST(sum(length(chunk_text)) AS BIGINT) AS total_chunk_chars
-        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
-
-    // q72's threshold recomputation with token-sum weights: fractions
-    // divide by the exact BIGINT token sum per domain, same literals,
-    // same IEEE order.
-    "q75_token_mixture" ->
-      """WITH w AS (
-        |  SELECT *, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cnt FROM w GROUP BY source),
-        |f AS (
-        |  SELECT source, CASE source
-        |      WHEN 'src0' THEN least(1.0, 1000.0 * 0.4 / cnt)
-        |      WHEN 'src1' THEN least(1.0, 1000.0 * 0.4 / cnt)
-        |      WHEN 'src2' THEN least(1.0, 1000.0 * 0.2 / cnt)
-        |      ELSE 0.0 END AS frac
-        |  FROM c),
-        |k AS (
-        |  SELECT d.source, d.doc_id, d.n_tokens
-        |  FROM w d JOIN f USING (source)
-        |  WHERE f.frac >= 1.0
-        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7t'), 1, 8)
-        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
-        |SELECT source, count(*) AS n_kept,
-        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
-
-    // q69's stage-for-stage replay (dedup window, SimHash closure,
-    // gates, scores, folds) extended with q74's chunk arithmetic and
-    // q71's lane cumsum — the longest single cross-engine check in
-    // the repo: one hash over eleven composed stages.
-    "q77_curation_to_shards" ->
-      """WITH RECURSIVE dd AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN i <= 32
-        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |        END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
-        |  CROSS JOIN range(1, 65) r(i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (
-        |  SELECT src AS id, least(src, min(dst)) AS component
-        |  FROM reach GROUP BY src),
-        |kept AS (
-        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
-        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
-        |gm AS (
-        |  SELECT doc_id, text,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM kept),
-        |g AS (
-        |  SELECT doc_id, text FROM gm
-        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
-        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
-        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
-        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
-        |s AS (
-        |  SELECT doc_id, text,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
-        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
-        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
-        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
-        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
-        |          / len(string_split(text,' '))) * 0.5 AS quality
-        |  FROM g),
-        |p2 AS (
-        |  SELECT doc_id, text, quality,
-        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr >= s_zh THEN 'fr'
-        |         ELSE 'zh' END AS predicted_lang
-        |  FROM s),
-        |fd AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'cccccccd' THEN 'train'
-        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'e6666666' THEN 'val'
-        |         ELSE 'test' END AS fold
-        |  FROM p2
-        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh')),
-        |t2 AS (
-        |  SELECT doc_id, fold, len(string_split(text, ' ')) AS n FROM fd),
-        |c2 AS (
-        |  SELECT *, CASE WHEN n <= 40 THEN 1
-        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
-        |  FROM t2),
-        |x2 AS (
-        |  SELECT doc_id, fold, n, unnest(range(0, nch)) AS k FROM c2),
-        |ch AS (
-        |  SELECT doc_id, fold, k, least(40, n - k * 32) AS ctoks FROM x2),
-        |cm AS (
-        |  SELECT *, fold || ':' || CAST(doc_id % 4 AS VARCHAR) AS pack_bucket,
-        |    sum(ctoks) OVER (PARTITION BY fold || ':' || CAST(doc_id % 4 AS VARCHAR)
-        |      ORDER BY doc_id, k
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM ch)
-        |SELECT pack_bucket,
-        |  CAST(floor((cum - ctoks) / 500.0) AS BIGINT) AS pack_shard,
-        |  count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
-        |  CAST(sum(ctoks) AS BIGINT) AS shard_tokens,
-        |  min(doc_id) AS min_doc
-        |FROM cm GROUP BY pack_bucket, pack_shard
-        |ORDER BY pack_bucket, pack_shard""".stripMargin,
-
-    // All-position 5-grams via list slicing, global occurrence counts,
-    // per-doc duplicated-position counts; the ratio CASE guards
-    // too-short docs exactly like the operator's when().
-    "q78_dup_span_stats" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, greatest(n - 4, 0) + 1),
-        |    i -> array_to_string(tk[i : i + 4], ' '))) AS gram
-        |  FROM t),
-        |oc AS (
-        |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
-        |  WHERE c >= 2),
-        |d AS (
-        |  SELECT doc_id, count(*) AS ndup FROM g JOIN oc USING (gram) GROUP BY doc_id),
-        |m AS (
-        |  SELECT t.doc_id, t.source, greatest(t.n - 4, 0) AS npos,
-        |    coalesce(d.ndup, 0) AS ndup
-        |  FROM t LEFT JOIN d USING (doc_id))
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(npos) AS BIGINT) AS total_positions,
-        |  CAST(sum(ndup) AS BIGINT) AS dup_positions,
-        |  round(avg(CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END), 6) AS avg_dup_ratio,
-        |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-
-    // Span-cutting replay: all-position 5-grams with positions via
-    // unnest(range(...)) (the LIST range; the table function can't
-    // take lateral column refs), non-first duplicate occurrences via
-    // row_number (rn >= 2 iff the gram occurs >= 2 times and this is
-    // not its (doc_id, pos)-minimal copy — exactly the operator's
-    // min(struct) selection at minOccurrences = 2), token coverage via
-    // a BETWEEN join, rebuilt text via ordered string_agg over the
-    // uncovered tokens, and merged spans as lag-islands (new span when
-    // the start gap exceeds k = 5).
-    "q79_cut_dup_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |gi AS (
-        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 4, 0) + 1)) AS i
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 4], ' ') AS gram
-        |  FROM gi),
-        |cuts AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos,
-        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-        |    FROM g) WHERE rn >= 2),
-        |wi AS (
-        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
-        |tok AS (
-        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
-        |cov AS (
-        |  SELECT DISTINCT w.doc_id, w.ti
-        |  FROM tok w JOIN cuts c
-        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 4),
-        |reb AS (
-        |  SELECT w.doc_id,
-        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
-        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
-        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
-        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
-        |  GROUP BY w.doc_id),
-        |sp AS (
-        |  SELECT doc_id,
-        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 5) AS n_spans
-        |  FROM (SELECT doc_id, pos,
-        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |        FROM cuts)
-        |  GROUP BY doc_id),
-        |m AS (
-        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
-        |    coalesce(sp.n_spans, 0) AS n_spans
-        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
-        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
-        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
-        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
-        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-
-    // q79's template with doc-frequency marking: a position is cut
-    // when its 8-gram occurs in >= 2 DISTINCT documents (no
-    // first-copy survivor), coverage via a BETWEEN join, merged
-    // spans as lag-islands (new span when the start gap exceeds k=8).
-    "q307_cut_boilerplate" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |gi AS (
-        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 7, 0) + 1)) AS i
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 7], ' ') AS gram
-        |  FROM gi),
-        |b AS (
-        |  SELECT gram FROM (
-        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
-        |  WHERE df >= 2),
-        |cuts AS (
-        |  SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)),
-        |wi AS (
-        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
-        |tok AS (
-        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
-        |cov AS (
-        |  SELECT DISTINCT w.doc_id, w.ti
-        |  FROM tok w JOIN cuts c
-        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 7),
-        |reb AS (
-        |  SELECT w.doc_id,
-        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
-        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
-        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
-        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
-        |  GROUP BY w.doc_id),
-        |sp AS (
-        |  SELECT doc_id,
-        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 8) AS n_spans
-        |  FROM (SELECT doc_id, pos,
-        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |        FROM cuts)
-        |  GROUP BY doc_id),
-        |m AS (
-        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
-        |    coalesce(sp.n_spans, 0) AS n_spans
-        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
-        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
-        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
-        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
-        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-
-    // Anti-join on the same md5 fingerprints, then min-id-per-hash via
-    // a join back (mirrors the operator's two-step representative
-    // selection exactly).
-    "q76_incremental_dedup" ->
-      """WITH corpus AS (
-        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-        |delta AS (
-        |  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
-        |fresh AS (
-        |  SELECT * FROM delta WHERE h NOT IN (SELECT h FROM corpus)),
-        |keep AS (
-        |  SELECT f.* FROM fresh f
-        |  JOIN (SELECT h, min(doc_id) AS m FROM fresh GROUP BY h) r
-        |    ON f.h = r.h AND f.doc_id = r.m)
-        |SELECT source, count(*) AS n_new, count(DISTINCT h) AS n_hashes,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
-
-    "q33_multimodal_meta" ->
-      """WITH m AS (
-        |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, n_chars
-        |  FROM documents)
-        |SELECT source, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        | round(avg(64 + n_bytes % 576), 6) AS avg_width,
-        | round(avg(64 + (n_bytes * 7) % 416), 6) AS avg_height,
-        | CAST(sum(1 + n_chars % 29) AS BIGINT) AS total_frames
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-
-    // Mirrors Dsir.withImportanceWeights stage for stage: uni+bigram
-    // occurrences (q62's bigram construction, all positions), 3-hex
-    // md5 bucket, smoothed log-ratio in the IDENTICAL IEEE order
-    // ((c+1.0)/(TOT+4096.0), ln, subtract), per-doc sum, left join
-    // back. ORDER BY the rounded value + doc_id so the LIMIT boundary
-    // is libm-divergence-proof.
-    "q80_dsir_weights" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang, unnest(tk) AS gram FROM d
-        |  WHERE text IS NOT NULL AND text <> ''
-        |  UNION ALL
-        |  SELECT doc_id, lang,
-        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
-        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
-        |b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bk FROM g),
-        |c AS (SELECT bk, count(*) AS r,
-        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
-        |      FROM b GROUP BY bk),
-        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr, CAST(sum(tc) AS DOUBLE) AS tt FROM c),
-        |w AS (SELECT bk, ln((tc + 1.0) / (tt + 4096.0)) - ln((r + 1.0) / (rr + 4096.0)) AS delta
-        |      FROM c, t),
-        |s AS (SELECT doc_id, count(*) AS n_grams, sum(delta) AS llr
-        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
-        |SELECT d2.doc_id, d2.lang, d2.source,
-        |  COALESCE(s.n_grams, 0) AS n_grams,
-        |  round(COALESCE(s.llr, 0.0), 6) AS llr,
-        |  round(COALESCE(s.llr / s.n_grams, 0.0), 6) AS llr_pg
-        |FROM documents d2 LEFT JOIN s USING (doc_id)
-        |ORDER BY llr_pg DESC, doc_id LIMIT 20""".stripMargin,
-
-    // Char counts equal the histogram's ASCII bins; byte length from
-    // encode(). The float features are computed per row at ~1e-7
-    // relative precision — two orders below the 6dp rounding grid.
-    "q83_media_byte_features" ->
-      """WITH m AS (
-        |  SELECT source,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-        |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS c_space,
-        |    CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS c_a,
-        |    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS c_e
-        |  FROM documents)
-        |SELECT source, count(*) AS n_assets, CAST(sum(nb) AS BIGINT) AS total_bytes,
-        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_space / nb END), 6) AS avg_space_freq,
-        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_a / nb END), 6) AS avg_a_freq,
-        |  round(avg(CASE WHEN nb = 0 THEN 0.0 ELSE c_e / nb END), 6) AS avg_e_freq
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-
-    // q59's signature construction (hi/lo 32-bit halves of the md5-bit
-    // SimHash64), then the all-pairs NOT EXISTS the exact pigeonhole
-    // banding must reproduce: a delta doc survives iff no corpus doc
-    // is within hamming 3.
-    "q82_incremental_neardup" ->
-      """WITH bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN i <= 32
-        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
-        |                       THEN 1 ELSE -1 END
-        |        END) AS vote
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-        |  CROSS JOIN range(1, 65) r(i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY doc_id),
-        |delta AS (
-        |  SELECT s.doc_id, d.source, s.hi, s.lo
-        |  FROM sh s JOIN documents d USING (doc_id) WHERE d.doc_id % 5 = 0),
-        |keep AS (
-        |  SELECT * FROM delta s WHERE NOT EXISTS (
-        |    SELECT 1 FROM sh c WHERE c.doc_id % 5 <> 0
-        |      AND bit_count(xor(s.hi, c.hi)) + bit_count(xor(s.lo, c.lo)) <= 3))
-        |SELECT source, count(*) AS n_new,
-        |  count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)) AS n_sigs,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
-
-    // Mirrors Dsir.withCrossEntropy: same gram/bucket construction,
-    // -ln((r+1.0)/(RR+4096.0)) per bucket, per-doc mean; docs without
-    // grams are excluded on both sides (inner join here, the
-    // n_grams > 0 filter there).
-    "q81_bucket_lm_xent" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(tk) AS gram FROM d
-        |  WHERE text IS NOT NULL AND text <> ''
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
-        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
-        |b AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bk FROM g),
-        |c AS (SELECT bk, count(*) AS r FROM b GROUP BY bk),
-        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr FROM c),
-        |w AS (SELECT bk, -ln((r + 1.0) / (rr + 4096.0)) AS nll FROM c, t),
-        |s AS (SELECT doc_id, count(*) AS n_grams, sum(nll) / count(*) AS xent
-        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
-        |SELECT d2.lang, d2.source, count(*) AS n_docs,
-        |  round(avg(s.xent), 6) AS avg_xent,
-        |  round(min(s.xent), 6) AS min_xent,
-        |  round(max(s.xent), 6) AS max_xent
-        |FROM documents d2 JOIN s USING (doc_id)
-        |GROUP BY d2.lang, d2.source
-        |ORDER BY lang, source""".stripMargin,
-
-    "q86_bm25_retrieval" -> (bm25Ctes +
-      "\nSELECT doc_id, lang, source, dl, n_hits, round(score, 6) AS bm25" +
-      "\nFROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 15"),
-
-    // Cascade replay: q86's BM25 pyramid -> rounded top-20 -> the
-    // top hit's embedding as query vector -> q34's cosine over the
-    // 20 candidates.
-    "q165_retrieval_cascade" -> (bm25Ctes +
-      """,
-        |t20 AS (
-        |  SELECT doc_id, round(score, 6) AS bm25 FROM sc
-        |  ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
-        |t1 AS (SELECT doc_id FROM t20 ORDER BY bm25 DESC, doc_id LIMIT 1),
-        |nv AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
-        |    AS vec
-        |  FROM embeddings),
-        |qv AS (SELECT vec AS qvec FROM t1 JOIN nv ON t1.doc_id = nv.vec_id),
-        |r AS (
-        |  SELECT t20.doc_id, t20.bm25,
-        |    list_sum(list_transform(range(1, 65), i -> nv.vec[i] * qv.qvec[i]))
-        |    / (sqrt(list_sum(list_transform(nv.vec, x -> x*x)))
-        |       * sqrt(list_sum(list_transform(qv.qvec, x -> x*x)))) AS cos
-        |  FROM t20 JOIN nv ON t20.doc_id = nv.vec_id, qv)
-        |SELECT doc_id, bm25, round(cos, 6) AS cosine
-        |FROM r ORDER BY round(cos, 6) DESC, doc_id LIMIT 5""".stripMargin),
-
-    "q87_pmi_collocations" ->
-      """WITH d AS (
-        |  SELECT text, string_split(text, ' ') AS tk FROM documents
-        |  WHERE length(text) > 0),
-        |n AS (
-        |  SELECT CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS nt
-        |  FROM d),
-        |uc AS (
-        |  SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
-        |bc AS (
-        |  SELECT g, count(*) AS c_xy FROM (
-        |    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
-        |    FROM d WHERE len(tk) >= 2)
-        |  GROUP BY g HAVING count(*) >= 10),
-        |sc AS (
-        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
-        |    c_xy, u1.c AS c_x, u2.c AS c_y,
-        |    ln((CAST(c_xy AS DOUBLE) * CAST(nt AS DOUBLE)) /
-        |       (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
-        |  FROM bc JOIN uc u1 ON split_part(bc.g, ' ', 1) = u1.w
-        |          JOIN uc u2 ON split_part(bc.g, ' ', 2) = u2.w, n)
-        |SELECT w1, w2, c_xy, c_x, c_y, round(pmi, 6) AS pmi
-        |FROM sc ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 25""".stripMargin,
-
-    // The jaccard gate is MATERIALIZED before levenshtein touches
-    // anything: leaving both predicates in one WHERE lets the planner
-    // evaluate O(len^2) levenshtein on all O(n^2) pairs (observed: the
-    // sf0.1 check ran unbounded), instead of on the ~25 survivors.
-    "q88_editdist_neardup" ->
-      """WITH sh AS (
-        |  SELECT doc_id, text,
-        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |cand AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
-        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
-        |SELECT id_a, id_b, jaccard,
-        |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
-        |FROM cand
-        |WHERE levenshtein(ta, tb) <= 5
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q92_hll_distinct" ->
-      """WITH g AS (
-        |  SELECT source, substr(md5(text), 1, 2) AS b,
-        |    substr(md5(text), 3, 13) AS w,
-        |    length(regexp_extract(substr(md5(text), 3, 13), '^0*', 0)) AS z
-        |  FROM documents),
-        |r AS (
-        |  SELECT source, b,
-        |    max(CASE WHEN z = 13 THEN 53
-        |        ELSE 4 * z
-        |             + (CASE substr(w, z + 1, 1)
-        |                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-        |                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
-        |                WHEN '7' THEN 1 ELSE 0 END) + 1 END) AS m
-        |  FROM g GROUP BY source, b),
-        |a AS (
-        |  SELECT source, count(*) AS n_buckets,
-        |    sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
-        |  FROM r GROUP BY source),
-        |f AS (
-        |  SELECT source, n_buckets, 256 - n_buckets AS v,
-        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
-        |      (s + (256.0 - n_buckets) * 1.0) AS eraw
-        |  FROM a)
-        |SELECT f.source, x.n_exact, f.n_buckets,
-        |  round(CASE WHEN v > 0 AND eraw <= 2.5 * 256.0
-        |        THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE eraw END, 6) AS hll_distinct
-        |FROM f JOIN (SELECT source, count(DISTINCT text) AS n_exact
-        |             FROM documents GROUP BY source) x USING (source)
-        |ORDER BY source""".stripMargin,
-
-    "q94_distinctive_terms" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS term
-        |  FROM documents WHERE length(text) > 0),
-        |tf AS (
-        |  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
-        |dfg AS (
-        |  SELECT term, count(*) AS df_groups FROM tf GROUP BY term),
-        |ng AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM tf),
-        |sc AS (
-        |  SELECT tf.source, tf.term, tf.tf, dfg.df_groups,
-        |    round(CAST(tf.tf AS DOUBLE) * ln(n / CAST(df_groups AS DOUBLE)), 6) AS score
-        |  FROM tf JOIN dfg USING (term), ng),
-        |rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY source
-        |                               ORDER BY score DESC, term) AS rn
-        |  FROM sc)
-        |SELECT source, term, tf, df_groups, score, rn
-        |FROM rk WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
-
-    "q98_token_entropy" ->
-      """WITH tc AS (
-        |  SELECT doc_id, lang, tok, count(*) AS c FROM (
-        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents WHERE length(text) > 0)
-        |  GROUP BY doc_id, lang, tok),
-        |h AS (
-        |  SELECT doc_id, lang,
-        |    ln(CAST(sum(c) AS DOUBLE))
-        |      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-        |        / CAST(sum(c) AS DOUBLE) AS entropy
-        |  FROM tc GROUP BY doc_id, lang)
-        |SELECT lang, count(*) AS n_docs,
-        |  round(avg(entropy), 6) AS avg_entropy,
-        |  round(min(entropy), 6) AS min_entropy,
-        |  round(max(entropy), 6) AS max_entropy
-        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q100_bucket_kl" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(tk) AS gram FROM d
-        |  WHERE text IS NOT NULL AND text <> ''
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
-        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
-        |o AS (
-        |  SELECT dd.source, substr(md5(g.gram), 1, 3) AS bk
-        |  FROM g JOIN documents dd USING (doc_id)),
-        |gc AS (SELECT source, bk, count(*) AS c FROM o GROUP BY source, bk),
-        |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM gc GROUP BY source),
-        |cb AS (SELECT bk, CAST(sum(c) AS BIGINT) AS cbv FROM gc GROUP BY bk),
-        |ct AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gc),
-        |bks AS (SELECT printf('%03x', i) AS bk FROM range(0, 4096) t(i)),
-        |grid AS (
-        |  SELECT s.source, b.bk
-        |  FROM (SELECT DISTINCT source FROM gc) s, bks b),
-        |f AS (
-        |  SELECT grid.source, grid.bk,
-        |    coalesce(gc.c, 0) AS c, coalesce(cb.cbv, 0) AS cbv
-        |  FROM grid LEFT JOIN gc ON grid.source = gc.source AND grid.bk = gc.bk
-        |            LEFT JOIN cb ON grid.bk = cb.bk),
-        |k AS (
-        |  SELECT f.source, gt.ng,
-        |    sum(((c + 1.0) / (ng + 4096.0)) *
-        |        ln(((c + 1.0) / (ng + 4096.0)) / ((cbv + 1.0) / (n + 4096.0)))) AS kl
-        |  FROM f JOIN gt USING (source), ct GROUP BY f.source, gt.ng)
-        |SELECT source, ng AS n_grams, round(kl, 6) AS kl
-        |FROM k ORDER BY source""".stripMargin,
-
-    "q103_frame_sampling" ->
-      """WITH a AS (
-        |  SELECT doc_id, source, 1 + n_chars % 29 AS nf FROM documents),
-        |k AS (
-        |  SELECT doc_id, source, (nf - 1) // 4 + 1 AS k FROM a)
-        |SELECT source,
-        |  CAST(sum(k) AS BIGINT) AS n_sampled_frames,
-        |  count(DISTINCT doc_id) AS n_assets,
-        |  CAST(sum(2 * k * (k - 1)) AS BIGINT) AS sum_idx,
-        |  CAST(max(4 * (k - 1)) AS BIGINT) AS max_idx
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
-
-    "q104_cms_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tt AS (SELECT tok FROM t WHERE tok <> ''),
-        |top AS (
-        |  SELECT tok, count(*) AS c_exact FROM tt GROUP BY tok
-        |  ORDER BY c_exact DESC, tok LIMIT 20),
-        |cnt AS (
-        |  SELECT j, substring(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 3) AS b,
-        |    count(*) AS c
-        |  FROM tt CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1, 2),
-        |est AS (
-        |  SELECT top.tok, top.c_exact, min(cnt.c) AS c_est
-        |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) jj
-        |  JOIN cnt ON cnt.j = jj.j
-        |    AND cnt.b = substring(md5(CAST(jj.j AS VARCHAR) || '|' || top.tok), 1, 3)
-        |  GROUP BY 1, 2)
-        |SELECT tok, c_exact, CAST(c_est AS BIGINT) AS c_est,
-        |  CAST(c_est - c_exact AS BIGINT) AS overcount
-        |FROM est ORDER BY c_exact DESC, tok""".stripMargin,
-
-    // Replays the histogram sketch bucket by bucket: same width-16
-    // buckets, same cumulative-before window over the counter table,
-    // same ceil-rank linear interpolation. All exact integer/rational
-    // arithmetic — no pow/ln anywhere.
-    "q105_hist_quantiles" ->
-      """WITH w AS (
-        |  SELECT source, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n
-        |  FROM documents),
-        |h AS (
-        |  SELECT source, CAST(floor(n / 16.0) AS BIGINT) AS b, count(*) AS c
-        |  FROM w GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT source, b, c,
-        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
-        |    sum(c) OVER (PARTITION BY source) AS nt
-        |  FROM h),
-        |pp AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) t(p))
-        |SELECT source, p,
-        |  round(b * 16.0 + 16.0 * (ceil(p * nt) - cb) / c, 6) AS q_est
-        |FROM cum CROSS JOIN pp
-        |WHERE ceil(p * nt) > cb AND ceil(p * nt) <= cb + c
-        |ORDER BY source, p""".stripMargin,
-
-    // Reconstructs the exact E-S priority: the 13-hex md5 prefix is
-    // rebuilt digit by digit against exact powers of two (every term
-    // and every partial sum an exact double), u = (h + 0.5) / 2^52
-    // exactly, then ln(u)/n_tokens ranks within source. Zero-token
-    // docs are dropped on both sides by construction. The EMITTED
-    // priority column is the exact integer h, never the ln — JVM and
-    // DuckDB libm differ by an ulp on some ln inputs, so any hashed
-    // function of ln (even rounded) is cross-engine fragile.
-    "q107_weighted_sample" ->
-      """WITH w AS (
-        |  SELECT doc_id, source,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
-        |    substring(md5(CAST(doc_id AS VARCHAR) || 'r9es'), 1, 13) AS hx
-        |  FROM documents),
-        |hv AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    list_sum(list_transform(range(1, 14),
-        |      i -> CAST(strpos('0123456789abcdef', substring(hx, CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
-        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS h
-        |  FROM w WHERE n_tokens > 0),
-        |pr AS (
-        |  SELECT doc_id, source, n_tokens, CAST(h AS BIGINT) AS priority_h,
-        |    ln((h + 0.5) / 4503599627370496.0) / n_tokens AS pri
-        |  FROM hv),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY source
-        |    ORDER BY pri DESC, CAST(doc_id AS VARCHAR)) AS rnk
-        |  FROM pr)
-        |SELECT source, rnk, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  priority_h
-        |FROM r WHERE rnk <= 8 ORDER BY source, rnk""".stripMargin,
-
-    // q105's replay with sum(n) in place of count(*) — token mass,
-    // not doc count, fills the buckets.
-    "q118_weighted_quantiles" ->
-      """WITH w AS (
-        |  SELECT source, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n
-        |  FROM documents),
-        |h AS (
-        |  SELECT source, CAST(floor(n / 16.0) AS BIGINT) AS b,
-        |    CAST(sum(n) AS BIGINT) AS c
-        |  FROM w GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT source, b, c,
-        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
-        |    sum(c) OVER (PARTITION BY source) AS nt
-        |  FROM h),
-        |pp AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9)) t(p))
-        |SELECT source, p,
-        |  round(b * 16.0 + 16.0 * (ceil(p * nt) - cb) / c, 6) AS q_est
-        |FROM cum CROSS JOIN pp
-        |WHERE ceil(p * nt) > cb AND ceil(p * nt) <= cb + c
-        |ORDER BY source, p""".stripMargin,
-
-    // Same 13-hex digit-sum integer, % corpus size, +1 self-bump,
-    // enrichment join, summary — every negative index replayed. The
-    // index space is the DENSE RANK of doc_id (row_number - 1), the
-    // sparse-id-safe form; on this testdata dense == doc_id.
-    "q119_negative_sampling" ->
-      """WITH d AS (SELECT doc_id, source,
-        |             row_number() OVER (ORDER BY doc_id) - 1 AS dense
-        |           FROM documents),
-        |n AS (SELECT count(*) AS nn FROM d),
-        |p AS (
-        |  SELECT d.doc_id, d.source, d.dense, j,
-        |    CAST(list_sum(list_transform(range(1, 14),
-        |      i -> CAST(strpos('0123456789abcdef', substring(
-        |             substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR) || 'neg9'), 1, 13),
-        |             CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
-        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT) % nn AS raw
-        |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS j) jj, n),
-        |q AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN raw = dense THEN (raw + 1) % (SELECT nn FROM n) ELSE raw END AS neg_pos
-        |  FROM p)
-        |SELECT q.source, d2.source AS neg_source, count(*) AS n_pairs,
-        |  count(DISTINCT d2.doc_id) AS n_distinct_negs
-        |FROM q JOIN d d2 ON d2.dense = q.neg_pos
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // q27's shingle construction, asymmetric normalization: each
-    // side's containment divides the intersection by ITS OWN shingle
-    // count; a pair survives when either direction reaches 0.6.
-    "q108_containment_neardup" ->
-      """WITH sh AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
-        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
-        |p AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles) AS ca,
-        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(b.shingles) AS cbb
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT doc_id_a, doc_id_b, source,
-        |  round(ca, 6) AS cont_a, round(cbb, 6) AS cont_b
-        |FROM p WHERE greatest(ca, cbb) >= 0.6
-        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
-
-    // q62's shingle replay (all positions, no dedup) -> content-word
-    // filter -> normalized weighted edges -> q168's 2-sweep weighted
-    // PageRank unroll.
-    "q178_textrank_keywords" -> {
-      val stop = Stopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH sh AS (
-         |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
-         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
-         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
-         |tp AS (SELECT split_part(sh, ' ', 1) AS t1,
-         |              split_part(sh, ' ', 2) AS t2 FROM sh),
-         |e0 AS (SELECT least(t1, t2) AS a, greatest(t1, t2) AS b,
-         |         CAST(count(*) AS DOUBLE) AS w
-         |       FROM tp
-         |       WHERE len(t1) >= 3 AND len(t2) >= 3
-         |         AND t1 NOT IN ($stop) AND t2 NOT IN ($stop)
-         |         AND t1 <> t2
-         |       GROUP BY 1, 2),
-         |sym AS (SELECT a AS src, b AS dst, w FROM e0
-         |        UNION ALL SELECT b AS src, a AS dst, w FROM e0),
-         |wt AS (SELECT src, sum(w) AS wtot FROM sym GROUP BY src),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wt),
-         |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM wt, n),
-         |r1 AS (SELECT s.dst AS node,
-         |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
-         |       FROM sym s JOIN r0 r ON s.src = r.node
-         |                  JOIN wt d ON s.src = d.src, n
-         |       GROUP BY s.dst, nn),
-         |r2 AS (SELECT s.dst AS node,
-         |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
-         |       FROM sym s JOIN r1 r ON s.src = r.node
-         |                  JOIN wt d ON s.src = d.src, n
-         |       GROUP BY s.dst, nn)
-         |SELECT r2.node AS word, CAST(wt.wtot AS BIGINT) AS total_w,
-         |  round(r2.pr * nn, 6) AS pr_x_n
-         |FROM r2 JOIN wt ON r2.node = wt.src, n
-         |ORDER BY pr_x_n DESC, word LIMIT 20""".stripMargin
-    },
-
-    // Positions are 1-based here vs 0-based in Spark's posexplode —
-    // only differences enter the result, so the bases cancel.
-    "q183_proximity_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |           FROM documents),
-        |pj AS (SELECT doc_id, unnest(list_filter(
-        |         list_transform(range(1, len(ts) + 1),
-        |           i -> CASE WHEN ts[i] = 'join' THEN i END),
-        |         x -> x IS NOT NULL)) AS p1
-        |       FROM d),
-        |pv AS (SELECT doc_id, unnest(list_filter(
-        |         list_transform(range(1, len(ts) + 1),
-        |           i -> CASE WHEN ts[i] = 'vector' THEN i END),
-        |         x -> x IS NOT NULL)) AS p2
-        |       FROM d),
-        |pairs AS (SELECT pj.doc_id, abs(pj.p1 - pv.p2) AS dist
-        |          FROM pj JOIN pv ON pj.doc_id = pv.doc_id)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_close,
-        |  CAST(min(dist) AS BIGINT) AS min_dist
-        |FROM pairs GROUP BY doc_id
-        |HAVING sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) > 0
-        |ORDER BY doc_id""".stripMargin,
-
-    // q86's BM25 pyramid -> rounded top-10 with ranks -> DCG over
-    // the tf('join') relevance proxy; IDCG over the corpus-ideal
-    // top-10 by relevance.
-    "q193_ndcg_bm25" -> (bm25Ctes +
-      """,
-        |rel AS (SELECT doc_id,
-        |          CAST(len(list_filter(string_split(text, ' '),
-        |               t -> t = 'join')) AS BIGINT) AS rel
-        |        FROM documents),
-        |t10 AS (SELECT doc_id, round(score, 6) AS bm25 FROM sc
-        |        ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
-        |rk AS (SELECT t.doc_id,
-        |         row_number() OVER (ORDER BY t.bm25 DESC, t.doc_id) AS rnk,
-        |         r.rel
-        |       FROM t10 t JOIN rel r ON t.doc_id = r.doc_id),
-        |ideal AS (SELECT rel,
-        |            row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
-        |          FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
-        |a AS (SELECT sum(CAST(rel AS DOUBLE) / log2(rnk + 1)) AS dcg,
-        |        CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS n_relevant
-        |      FROM rk),
-        |b AS (SELECT sum(CAST(rel AS DOUBLE) / log2(rnk + 1)) AS idcg
-        |      FROM ideal)
-        |SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
-        |  round(dcg / idcg, 6) AS ndcg, n_relevant
-        |FROM a, b ORDER BY ndcg""".stripMargin),
-
-    "q196_zipf_token_slope" ->
-      """WITH c AS (
-        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE tok <> '' GROUP BY tok),
-        |top AS (SELECT tok, cnt FROM c
-        |        ORDER BY cnt DESC, tok LIMIT 100),
-        |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
-        |                 AS DOUBLE)) AS x,
-        |         ln(CAST(cnt AS DOUBLE)) AS y
-        |       FROM top),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
-        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
-        |      FROM xy)
-        |SELECT n AS n_tokens,
-        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
-        |  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |               (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) /
-        |        CAST(n AS DOUBLE), 6) AS intercept
-        |FROM a ORDER BY n_tokens""".stripMargin,
-
-    // Bigram-LM replay: token positions renumbered after the empty
-    // filter, the same lead() bigrams, add-1 counts, and the
-    // floored nano-nat terms.
-    "q252_bigram_lm_nll" ->
-      """WITH tt AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS arr
-        |  FROM documents),
-        |tok0 AS (
-        |  SELECT doc_id, source, unnest(arr) AS w,
-        |    generate_subscripts(arr, 1) AS i
-        |  FROM tt),
-        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
-        |seqd AS (
-        |  SELECT doc_id, source, w,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
-        |  FROM tok),
-        |bi AS (
-        |  SELECT doc_id, source, w AS w1,
-        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
-        |  FROM seqd),
-        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
-        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |        FROM b2 GROUP BY 1, 2),
-        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |       FROM b2 GROUP BY 1),
-        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
-        |t AS (
-        |  SELECT b.doc_id, b.source,
-        |    CAST(floor(1000000000.0 * ln((CAST(cxy.c12 AS DOUBLE) + 1.0)
-        |      / CAST(cx.c1 + vv.v AS DOUBLE)))
-        |      AS BIGINT) AS nano
-        |  FROM b2 b
-        |  JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
-        |  JOIN cx ON cx.w1 = b.w1
-        |  CROSS JOIN vv)
-        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(-sum(nano) AS BIGINT) AS total_nll_nano,
-        |  CAST(-sum(nano) AS BIGINT) // CAST(count(*) AS BIGINT)
-        |    AS avg_nll_nano
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
-
-    // CDC replay: identical 8-char-window boundary rule (4-hex md5
-    // parse, the q156 idiom), chunk spans via lead(), and the same
-    // content-hash dedup ledger.
-    "q251_cdc_chunking" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, text, length(text) AS len FROM documents),
-        |pos AS (
-        |  SELECT doc_id, source, text, len,
-        |    unnest(range(1, greatest(len - 7, 1) + 1)) AS p
-        |  FROM d),
-        |b AS (
-        |  SELECT * FROM pos
-        |  WHERE p = 1 OR
-        |    CAST(list_sum(list_transform(range(1, 5),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |             substring(md5(substring(text, CAST(p AS INTEGER), 8)),
-        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
-        |           * power(2.0, CAST(4 * (4 - i) AS DOUBLE)))) AS BIGINT)
-        |      % 32 = 0),
-        |c AS (
-        |  SELECT source,
-        |    substring(text, CAST(p AS INTEGER),
-        |      CAST(coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
-        |                    len + 1) - p AS INTEGER)) AS chunk
-        |  FROM b),
-        |h AS (SELECT source, md5(chunk) AS ch,
-        |        CAST(length(chunk) AS BIGINT) AS clen FROM c),
-        |g AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS n,
-        |        CAST(max(clen) AS BIGINT) AS clen
-        |      FROM h GROUP BY 1, 2)
-        |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
-        |  CAST(count(*) AS BIGINT) AS n_unique,
-        |  CAST(sum(n * clen) AS BIGINT) AS bytes_total,
-        |  CAST(sum(clen) AS BIGINT) AS bytes_unique,
-        |  ((CAST(sum(n * clen) AS BIGINT) - CAST(sum(clen) AS BIGINT))
-        |    * 1000000) // CAST(sum(n * clen) AS BIGINT) AS dup_ratio_ppm
-        |FROM g GROUP BY source ORDER BY source""".stripMargin,
-
-    // dHash replay: the q120 gradient sampled at the 9×8 nearest
-    // grid, per-pixel gray = (sum of the three wrapped channel
-    // bytes) // 3, delta bits packed into hi/lo 32-bit halves, then
-    // BRUTE-FORCE all-pairs Hamming — proving the Spark side's banded
-    // join lossless at ≤ 3.
-    "q245_image_dhash" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, x, y,
-        |    (( (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8)) % 256
-        |     + (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8) + 29) % 256
-        |     + (doc_id + 7 * ((x * w) // 9) + 13 * ((y * h) // 8) + 58) % 256)
-        |     // 3) AS v
-        |  FROM d
-        |  CROSS JOIN (SELECT unnest(range(9)) AS x) xs
-        |  CROSS JOIN (SELECT unnest(range(8)) AS y) ys),
-        |hsh AS (
-        |  SELECT a.doc_id,
-        |    CAST(sum(CASE WHEN b.v > a.v AND a.y * 8 + a.x >= 32
-        |      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x - 32) ELSE 0 END)
-        |      AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN b.v > a.v AND a.y * 8 + a.x < 32
-        |      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x) ELSE 0 END)
-        |      AS BIGINT) AS lo
-        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y
-        |                   AND b.x = a.x + 1
-        |  WHERE a.x < 8
-        |  GROUP BY a.doc_id),
-        |p AS (
-        |  SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-        |    AS hamming
-        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
-        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM p WHERE hamming <= 3
-        |GROUP BY hamming ORDER BY hamming""".stripMargin,
-
-    // Equalization replay: the q120 closed-form gradient pixels →
-    // integer gray → 64-bin per-image cdf → (cdf·255) // n_px remap —
-    // floor division everywhere, so the checksums are exact.
-    "q260_hist_equalization" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + n_chars % 31 AS w, 1 + (n_chars * 3) % 23 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, w, h,
-        |    (( (doc_id + 7 * x.x + 13 * y.y) % 256
-        |     + (doc_id + 7 * x.x + 13 * y.y + 29) % 256
-        |     + (doc_id + 7 * x.x + 13 * y.y + 58) % 256) // 3) AS g
-        |  FROM d, range(0, 31) x(x), range(0, 23) y(y)
-        |  WHERE x.x < w AND y.y < h),
-        |n AS (
-        |  SELECT doc_id, CAST(any_value(w) AS BIGINT) AS w,
-        |    CAST(any_value(h) AS BIGINT) AS h,
-        |    CAST(count(*) AS BIGINT) AS n_px,
-        |    CAST(sum(g) AS BIGINT) AS gray_checksum
-        |  FROM px GROUP BY doc_id),
-        |bins AS (
-        |  SELECT doc_id, g // 4 AS b, count(*) AS c
-        |  FROM px GROUP BY 1, 2),
-        |cdf AS (
-        |  SELECT doc_id, b,
-        |    sum(c) OVER (PARTITION BY doc_id ORDER BY b) AS cum
-        |  FROM bins),
-        |eq AS (
-        |  SELECT px.doc_id,
-        |    CAST(sum((cdf.cum * 255) // n.n_px) AS BIGINT) AS eq_checksum
-        |  FROM px
-        |  JOIN cdf ON px.doc_id = cdf.doc_id AND px.g // 4 = cdf.b
-        |  JOIN n ON px.doc_id = n.doc_id
-        |  GROUP BY px.doc_id)
-        |SELECT n.doc_id, n.w, n.h, n.n_px, n.gray_checksum, eq.eq_checksum
-        |FROM n JOIN eq ON n.doc_id = eq.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
-
-    // HRW replay: identical md5 hex-string argmax (h DESC, sh DESC =
-    // Spark's max(struct)) at k=32 and k=33, occupancy and movers.
-    "q263_rendezvous_shards" ->
-      """WITH hh AS (
-        |  SELECT doc_id, s.sh,
-        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.sh AS VARCHAR))
-        |      AS h
-        |  FROM documents, (SELECT unnest(range(0, 33)) AS sh) s),
-        |a32 AS (
-        |  SELECT doc_id, sh AS s32 FROM (
-        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY h DESC, sh DESC) AS rn
-        |    FROM hh WHERE sh < 32) WHERE rn = 1),
-        |a33 AS (
-        |  SELECT doc_id, sh AS s33 FROM (
-        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY h DESC, sh DESC) AS rn
-        |    FROM hh) WHERE rn = 1),
-        |j AS (
-        |  SELECT a32.doc_id, s32, s33
-        |  FROM a32 JOIN a33 ON a32.doc_id = a33.doc_id),
-        |occ AS (
-        |  SELECT CAST(min(c) AS BIGINT) AS occ_min,
-        |    CAST(max(c) AS BIGINT) AS occ_max,
-        |    CAST(count(*) AS BIGINT) AS n_shards
-        |  FROM (SELECT s32, count(*) AS c FROM j GROUP BY s32)),
-        |mv AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(CASE WHEN s33 <> s32 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_moved
-        |  FROM j)
-        |SELECT n_docs, n_shards, occ_min, occ_max, n_moved,
-        |  (n_moved * 1000000) // n_docs AS moved_ppm
-        |FROM mv CROSS JOIN occ ORDER BY n_docs""".stripMargin,
-
-    // Novelty replay: the q78 token-slice gram construction at k=8,
-    // parity halves, distinct frames and the left-anti novel set.
-    "q273_corpus_novelty" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
-        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
-        |  FROM t),
-        |old AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
-        |nw AS (SELECT DISTINCT source, gram FROM g WHERE doc_id % 2 = 1),
-        |novel AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel
-        |  FROM nw ANTI JOIN old USING (gram)
-        |  GROUP BY source)
-        |SELECT nn.source, CAST(count(*) AS BIGINT) AS n_new_grams,
-        |  CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) AS n_novel,
-        |  (CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) * 1000000)
-        |    // CAST(count(*) AS BIGINT) AS novelty_ppm
-        |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
-        |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
-
-    // Card replay: same non-empty token counts, cell censuses and
-    // floor shares.
-    "q306_dataset_card" ->
-      """WITH t AS (
-        |  SELECT source, lang,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> length(x) > 0)) AS BIGINT) AS n
-        |  FROM documents),
-        |cells AS (
-        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n) AS BIGINT) AS n_tokens
-        |  FROM t GROUP BY 1, 2),
-        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM cells)
-        |SELECT source, lang, n_docs, n_tokens,
-        |  n_tokens // n_docs AS mean_tokens_floor,
-        |  (n_tokens * 1000000) // tt AS token_share_ppm
-        |FROM cells CROSS JOIN tot ORDER BY source, lang""".stripMargin,
-
-    // Diversity replay: same per-source word counts and ratios.
-    "q298_lexical_diversity" ->
-      """WITH w AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |wc AS (
-        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2)
-        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS n_types,
-        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hapax,
-        |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
-        |    AS ttr_ppm,
-        |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000000) // CAST(count(*) AS BIGINT) AS hapax_ppm
-        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
-
-    // Perplexity-filter replay: the q252 bigram construction split on
-    // doc parity — counts from the even half, LEFT joins + coalesce(0)
-    // for unseen odd-half bigrams, the SHARED floored nano-nat term,
-    // integer threshold and keep census.
-    "q291_perplexity_filter" ->
-      """WITH tt AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS arr
-        |  FROM documents),
-        |tok0 AS (
-        |  SELECT doc_id, source, unnest(arr) AS w,
-        |    generate_subscripts(arr, 1) AS i
-        |  FROM tt),
-        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
-        |seqd AS (
-        |  SELECT doc_id, source, w,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
-        |  FROM tok),
-        |bi AS (
-        |  SELECT doc_id, source, doc_id % 2 AS par, w AS w1,
-        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
-        |  FROM seqd),
-        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
-        |tr AS (SELECT * FROM b2 WHERE par = 0),
-        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |        FROM tr GROUP BY 1, 2),
-        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |       FROM tr GROUP BY 1),
-        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-        |       FROM tok WHERE doc_id % 2 = 0),
-        |thr AS (
-        |  SELECT (-sum(CAST(floor(1000000000.0 *
-        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
-        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS thr_nano
-        |  FROM tr b
-        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
-        |  LEFT JOIN cx ON cx.w1 = b.w1
-        |  CROSS JOIN vv),
-        |docs AS (
-        |  SELECT b.doc_id, b.source,
-        |    (-sum(CAST(floor(1000000000.0 *
-        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
-        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS doc_nll
-        |  FROM b2 b
-        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
-        |  LEFT JOIN cx ON cx.w1 = b.w1
-        |  CROSS JOIN vv
-        |  WHERE b.par = 1
-        |  GROUP BY b.doc_id, b.source)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept,
-        |  CAST(max(thr_nano) AS BIGINT) AS thr_nano,
-        |  (CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
-        |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS kept_ppm
-        |FROM docs CROSS JOIN thr
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    // Pad-waste replay: same non-empty token counts, bit-length
-    // buckets, exact padded-slot arithmetic.
-    "q294_pad_waste" ->
-      """WITH lens AS (
-        |  SELECT CAST(len(list_filter(string_split(text, ' '),
-        |    x -> length(x) > 0)) AS BIGINT) AS n
-        |  FROM documents),
-        |lz AS (SELECT n FROM lens WHERE n > 0),
-        |b AS (
-        |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n) AS BIGINT) AS sum_tokens,
-        |    CAST(max(n) AS BIGINT) AS max_tokens
-        |  FROM lz GROUP BY 1)
-        |SELECT bucket, n_docs, sum_tokens, max_tokens,
-        |  n_docs * max_tokens - sum_tokens AS pad_tokens,
-        |  ((n_docs * max_tokens - sum_tokens) * 1000000)
-        |    // (n_docs * max_tokens) AS waste_ppm
-        |FROM b ORDER BY bucket""".stripMargin,
-
-    // Boilerplate replay: same distinct (doc, gram) frame, ≥2-doc
-    // frequency filter, per-source floor-ppm ratio.
-    "q289_boilerplate_ngrams" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, source,
-        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
-        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
-        |  FROM t),
-        |df AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-        |b AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler
-        |  FROM g SEMI JOIN df USING (gram) GROUP BY source)
-        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_doc_grams,
-        |  CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) AS n_boiler,
-        |  (CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) * 1000000)
-        |    // CAST(count(*) AS BIGINT) AS boiler_ppm
-        |FROM g LEFT JOIN b ON g.source = b.source
-        |GROUP BY g.source ORDER BY g.source""".stripMargin,
-
-    // Coverage replay: the same three greedy steps unrolled — each
-    // pick is (gain desc, doc_id) over grams not covered by prior
-    // picks; covered_total accumulates the exact gains.
-    "q290_greedy_coverage" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
-        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
-        |  FROM t),
-        |p1 AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
-        |  FROM g GROUP BY doc_id
-        |  ORDER BY gain DESC, doc_id LIMIT 1),
-        |c1 AS (SELECT DISTINCT gram FROM g
-        |       WHERE doc_id IN (SELECT doc_id FROM p1)),
-        |p2 AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
-        |  FROM g ANTI JOIN c1 USING (gram)
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1)
-        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
-        |c2 AS (SELECT DISTINCT gram FROM g
-        |       WHERE doc_id IN (SELECT doc_id FROM p1
-        |                        UNION ALL SELECT doc_id FROM p2)),
-        |p3 AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
-        |  FROM g ANTI JOIN c2 USING (gram)
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1
-        |                       UNION ALL SELECT doc_id FROM p2)
-        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
-        |u AS (
-        |  SELECT 1 AS step, doc_id, gain FROM p1
-        |  UNION ALL SELECT 2, doc_id, gain FROM p2
-        |  UNION ALL SELECT 3, doc_id, gain FROM p3)
-        |SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
-        |  CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
-        |FROM u ORDER BY step""".stripMargin,
-
-    // Fingerprint replay: the q142 hex-digit parse of the same 8-char
-    // md5 prefix; sums emitted as BIGINT on both engines (r14: the
-    // HUGEINT/DECIMAL(38,0) split hash-diverged with equal values;
-    // n_docs*2^32 << 2^63 bounds the sums at any test SF), the
-    // additive identity checked in SQL.
-    "q275_dataset_fingerprint" ->
-      """WITH h AS (
-        |  SELECT source, doc_id % 2 AS par,
-        |    CAST(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |             substring(md5(CAST(doc_id AS VARCHAR) || '|' || text),
-        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
-        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE))))
-        |      AS BIGINT) AS rh
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(rh) AS BIGINT) AS fp,
-        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT)
-        |    AS fp_even,
-        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT)
-        |    AS fp_odd,
-        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT) +
-        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT) =
-        |  CAST(sum(rh) AS BIGINT) AS additive_ok
-        |FROM h GROUP BY source ORDER BY source""".stripMargin,
-
-    // MRR replay: q193's single-term BM25 blocks per query term,
-    // rounded-score ranking, tf >= 2 relevance, floor-ppm RR/recall.
-    "q274_bm25_mrr" -> {
-      val terms = Seq("join", "vector", "scan")
-      val base =
-        """WITH base AS (
-          |  SELECT doc_id,
-          |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS dl,
-          |""".stripMargin +
-        terms.map(t =>
-          s"    len(list_filter(string_split(text,' '), t -> t = '$t')) AS tf_$t").mkString(",\n") +
-        "\n  FROM documents),\nst AS (\n" +
-        "  SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS sdl,\n" +
-        terms.map(t =>
-          s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n") +
-        "\n  FROM base)"
-      val blocks = terms.map { t =>
-        s""",
-           |sc_$t AS (
-           |  SELECT doc_id, tf_$t AS tf,
-           |    ln(1.0 + (nd - df_$t + 0.5) / (df_$t + 0.5)) * (CAST(tf_$t AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd))) AS score
-           |  FROM base, st),
-           |rk_$t AS (
-           |  SELECT doc_id, tf,
-           |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
-           |      AS rnk
-           |  FROM sc_$t),
-           |m_$t AS (
-           |  SELECT
-           |    CAST(coalesce(min(CASE WHEN tf >= 2 AND rnk <= 10
-           |      THEN rnk END), 0) AS BIGINT) AS first_rel_rank,
-           |    CAST(sum(CASE WHEN tf >= 2 AND rnk <= 10 THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_rel_top10,
-           |    CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_rel_total
-           |  FROM rk_$t)""".stripMargin
-      }.mkString
-      val rows = terms.map { t =>
-        s"""SELECT '$t' AS query, first_rel_rank,
-           |  CASE WHEN first_rel_rank = 0 THEN 0
-           |       ELSE 1000000 // first_rel_rank END AS rr_ppm,
-           |  n_rel_top10, n_rel_total,
-           |  CASE WHEN n_rel_total = 0 THEN 0
-           |       ELSE (n_rel_top10 * 1000000) // n_rel_total END
-           |    AS recall_ppm
-           |FROM m_$t""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      base + blocks + "\n" + rows + "\nORDER BY query"
-    },
-  )
+  // Composition of the per-family objects (r16 split — entries are
+  // byte-identical to the pre-split single map; the family files own
+  // the query bodies, this object owns the helpers they share).
+  val queries: Map[String, Q] =
+    TextDedupQueries.queries ++ TextMediaQueries.queries ++
+      TextRetrievalQueries.queries ++ TextCurationQueries.queries
+
+  val oracles: Map[String, String] =
+    TextDedupQueries.oracles ++ TextMediaQueries.oracles ++
+      TextRetrievalQueries.oracles ++ TextCurationQueries.oracles
 }

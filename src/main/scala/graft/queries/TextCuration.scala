@@ -1,0 +1,1876 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextStats}
+import graft.tables.Tables
+import TextQueries.{Stopwords, LangProfiles, simhashCompCtes, bm25Ctes}
+
+/** CURATION queries: quality scoring + deciles, language id, token
+  * counts/budgets, BPE, DSIR + bucket LM scoring, perplexity filter,
+  * sampling/folds/mixtures/packing/sharding, curation pipelines,
+  * chunking, redaction, expectations, dataset cards.
+  *
+  * Split from the single TextQueries object (r16 maintainability pass):
+  * entries and oracle SQL are byte-identical and compose back into the
+  * driver map through [[TextQueries]].
+  */
+object TextCurationQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Hashed-feature linear classifier (the fastText-style quality
+    // scorer every corpus-curation stack runs): each subword token
+    // hashes to an INTEGER weight ((md5 first 8 hex digits mod 1001)
+    // - 500 — a deterministic stand-in for trained weights with the
+    // exact storage/compute shape of the real thing), and a doc's
+    // score is the sum. Entirely MAP-SIDE: transform+aggregate fold
+    // the token array inside the scan — zero exchange at any corpus
+    // size, vs the explode + groupBy(doc) shape whose shuffle carries
+    // one row per TOKEN. Integer weights keep the sum bit-exact
+    // cross-engine; the margin is a FLOORED ppm integer, not a
+    // rounded ratio — score/(500n) has a small denominator, so its
+    // true value can sit exactly on a 6dp half (the round() trap).
+    // The lambda is interpreted (documented trade: this path
+    // is per-doc compute-bound on md5, not array-op-bound, so a
+    // native expression would buy little).
+    "q142_hash_classifier" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+                size(toks).as("n_subwords"),
+                aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"))
+        .select(col("doc_id"), col("source"), col("n_subwords"), col("score"),
+                // margin = score/(500n) in ppm, FLOORED: the rational
+                // has a small denominator, so round(..., 6) sits on
+                // exact halves (observed at sf0.1) — floor of the
+                // bit-identical double is half-free
+                when(col("n_subwords") > 0,
+                  floor(col("score") * 2000.0 / col("n_subwords"))
+                    .cast("long")).as("margin_ppm"),
+                (col("score") > 0L).as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget WATERFILLING across sources — mixture planning:
+    // given per-source token supplies (caps) and a global budget
+    // T = 60% of the corpus, find the water level L such that
+    // sum(min(cap, L)) = T and allocate min(cap, floor-at-level) per
+    // source. Closed form over the cap-sorted prefix scan (one
+    // window over the |sources|-row frame): the first k sources are
+    // fully taken, the rest get the level. Allocation emitted as the
+    // FLOOR of the exact rational level — integer waterfill
+    // (undershoots the budget by < |sources| tokens, documented).
+    // Complements q72/q75's fixed-weight mixtures with the
+    // budget-driven solver.
+    "q161_token_waterfill" -> ((s, d) => {
+      val caps = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("cap"))
+      // budget = 60% of total tokens in EXACT integer arithmetic
+      // ((3*sum) div 5 — a float 0.6 product floors differently
+      // across engines when the true product is an integer)
+      val tot = caps.agg(expr("(3 * sum(cap)) div 5").as("budget"))
+      val wPfx = Window.orderBy("cap", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy("cap", "source")
+      val scan = caps.crossJoin(broadcast(tot))
+        .withColumn("prefix", coalesce(sum("cap").over(wPfx), lit(0L)))
+        .withColumn("rank", row_number().over(wAll))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("full_take",
+          col("prefix") + (col("n_src") - col("rank") + 1) * col("cap")
+            <= col("budget"))
+        .withColumn("cand",
+          floor((col("budget") - col("prefix")).cast("double") /
+                (col("n_src") - col("rank") + 1)).cast("long"))
+      // the shared level is the FIRST non-full row's candidate (later
+      // non-full rows' own candidates are below the true level)
+      val lvl = scan.agg(min(when(!col("full_take"),
+          struct(col("rank"), col("cand")))).as("__s"))
+        .select(coalesce(col("__s.cand"), lit(0L)).as("level"))
+      scan.crossJoin(broadcast(lvl))
+        .select(col("source"), col("cap"),
+          when(col("full_take"), col("cap"))
+            .otherwise(least(col("cap"), greatest(col("level"), lit(0L))))
+            .as("allocated"))
+        .orderBy("source")
+    }),
+
+    // The pure-SQL front door over the NATIVE expressions: a SQL
+    // string calling the graft_* functions the SparkSessionExtensions
+    // registry injects (q47 shows plain SQL; this shows the
+    // EXTENSION surface under the driver gate — previously only
+    // spec-pinned). token_set_count is codegen'd inside the scan;
+    // word_shingles feeds size() without materializing elsewhere.
+    "q159_sql_native_functions" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d).createOrReplaceTempView("v_docs_q159")
+      s.sql("""
+        SELECT doc_id,
+          graft_token_set_count(text, array('data', 'the', 'row'))
+            AS stop_hits,
+          size(graft_word_shingles(text, 3)) AS n_shingles
+        FROM v_docs_q159 ORDER BY doc_id""")
+    }),
+
+    // BPE merge induction (Bpe.learnMerges) — tokenizer TRAINING on
+    // the corpus: 4 merge rounds, each one vocab-sized pair count +
+    // a 1-row argmax collect (the PageRank-sweep idiom). The corpus
+    // is touched exactly once (word-type frequency shuffle); see the
+    // determinism conventions in the Bpe scaladoc. The oracle unrolls
+    // all 4 rounds as generated CTEs.
+    "q143_bpe_merges" -> ((s, d) =>
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", k = 4)
+        .orderBy("step")),
+
+    // Tokenizer APPLY (Bpe.encode): train the 4 merges, then encode
+    // the corpus with them map-side (the merge list is a driver-held
+    // literal rewrite chain) and emit the resulting vocabulary with
+    // frequencies — the end-to-end train->encode lifecycle.
+    "q144_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", k = 4).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.Bpe.encode(docs, "text", merges)
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
+    // Quality scoring aggregated per language label.
+    "q28_text_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .withColumn("stop_ratio",
+          round(TextStats.stopwordRatio(col("text"), Stopwords), 6))
+        .withColumn("quality",
+          round(TextStats.qualityScore(col("text"), Stopwords), 6))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("n_tokens"), 6).as("avg_tokens"),
+             round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+             round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
+    // Quality-DECILE binning — the "keep the top X% by quality"
+    // curation step. Deciles are RANK arithmetic ((rn-1)*10 DIV cnt,
+    // integer division) rather than interpolated percentile value
+    // thresholds: rank arithmetic is bit-exact across engines, while
+    // cross-libm interpolation can move a value threshold by an ulp
+    // and flip boundary documents. Ordering is on the 6dp-ROUNDED
+    // quality with doc_id tiebreak, so ranks are engine-independent.
+    // Scale note: this window sorts per source (the verification
+    // shape); at 100 TB compute decile thresholds from a sorted
+    // sample/tail and assign map-side instead.
+    "q84_quality_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, d)
+        .withColumn("quality",
+          round(TextStats.qualityScore(col("text"), Stopwords), 6))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("decile", expr("CAST(((rn - 1) * 10) DIV cnt AS INT)"))
+        .groupBy("source", "decile")
+        // sum, not avg: per-doc quality is 6dp-rounded, so the SUM's
+        // true value lies ON the 6dp grid (rounding safe), while an
+        // AVG can sit exactly on a rounding half (the q14 trap —
+        // observed: 0.5014215 rounding differently per engine)
+        .agg(count(lit(1)).as("n_docs"),
+             round(min("quality"), 6).as("min_q"),
+             round(max("quality"), 6).as("max_q"),
+             round(sum("quality"), 6).as("sum_q"))
+        .orderBy("source", "decile")
+    }),
+
+    // Language-id confusion matrix: fixed marker profiles, argmax
+    // with first-listed-wins ties (deterministic; mirrored in SQL).
+    "q29_langid_confusion" -> ((s, d) => {
+      val scored = TextStats.withLangScores(Tables.documents(s, d), "text", LangProfiles)
+      scored.withColumn("predicted", TextStats.predictLang(LangProfiles))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Character-n-gram language-ID (the n-gram-frequency mechanism;
+    // q29 is the marker-word variant). Scores are overlap counts of
+    // fixed per-language trigram profiles, computed with pure length
+    // arithmetic so the oracle mirrors exactly.
+    "q46_langid_chargram" -> ((s, d) => {
+      val profiles = Seq(
+        "de" -> Seq("agg", "tch", "mer"),
+        "en" -> Seq("row", "lin", "tab"),
+        "es" -> Seq("dat", "que", "smal"),
+        "fr" -> Seq("joi", "ord", "key"),
+        "zh" -> Seq("sca", "has", "par"))
+      TextStats.withCharNgramScores(Tables.documents(s, d), "text", profiles)
+        .withColumn("predicted", TextStats.predictLang(profiles, "cscore_"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword regex.
+    "q30_token_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .withColumn("n_subwords", TextStats.subwordCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("total_tokens"),
+             sum("n_subwords").as("total_subwords"),
+             round(avg("n_tokens"), 6).as("avg_tokens"))
+        .orderBy("source")),
+
+    // Token-budget ("nucleus") curation: per source, greedily keep
+    // the LARGEST documents (n_chars desc, doc_id tie-break) until
+    // the kept mass reaches 60% of the source's total characters —
+    // the fixed-budget data-mixture selection step (keep the densest
+    // 60% of each source's token mass). Cumulative windows are
+    // PARTITIONED by source (never a global single-partition window);
+    // the budget test is exact integer cross-multiplication
+    // (cum·10 ≤ tot·6 — no float share), and the output shares are
+    // exact ppm integer division.
+    "q211_token_budget" -> ((s, d) => {
+      val wCum = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("__cum", sum("n_chars").over(wCum))
+        .withColumn("__tot", sum("n_chars").over(wTot))
+        .filter(col("__cum") * 10 <= col("__tot") * 6)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"),
+             max("__tot").as("total_chars"))
+        .select(col("source"), col("n_kept"), col("kept_chars"),
+          col("total_chars"),
+          expr("(kept_chars * 1000000) div total_chars").as("share_ppm"))
+        .orderBy("source")
+    }),
+
+    // Per-SOURCE data-quality report (Kernels.expectations with
+    // groupCols — q125's global gate becomes the per-tenant table in
+    // the same single pass, one exchange on source): text rules over
+    // documents, NULL predicate = violation.
+    "q126_expectations_by_source" -> ((s, d) =>
+      graft.ops.Kernels.expectations(Tables.documents(s, d), Seq(
+          "text_nonempty" -> (length(col("text")) > 0),
+          "chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("en", "es", "zh", "de", "fr")),
+          groupCols = Seq("source"))
+        .orderBy("source", "rule")),
+
+    // Gopher-style top-n-gram dominance (Rae et al. 2021 repetition
+    // filters): per doc, the fraction of 3-gram positions occupied by
+    // the SINGLE most frequent 3-gram — the boilerplate/listicle
+    // signal q37's distinct-ratio family can't see (a doc repeating
+    // one sentence has high top-gram dominance but may keep a modest
+    // duplicate-gram ratio). Entirely MAP-SIDE per doc: native
+    // positional shingles -> native TopElementFreq (sort-a-copy + max
+    // run length, codegen'd) — a per-doc statistic never needs the
+    // explode -> gram-keyed count -> per-doc max shape (two shuffles
+    // whose width is the gram table); the only exchange here is the
+    // final per-source aggregate. The flag threshold compares
+    // UNROUNDED ratios (single IEEE division, identical both
+    // engines); only the avg is rounded.
+    "q122_top_ngram_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 3)
+      docs.select(col("source"),
+          (graft.functions.GraftFunctions.topElementFreq(s,
+            graft.functions.GraftFunctions.wordShinglesAll(s, col("text"), 3))
+            .cast("double") /
+            (col("n_tokens") - 2).cast("double")).as("ratio"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("ratio")), 6).as("avg_top3gram_ratio"),
+             sum(when(col("ratio") > 0.18, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("source")
+    }),
+
+    // Deterministic 80/10/10 train/val/test split (Sampling.hashSplit)
+    // — content-keyed so the same doc lands in the same slice on any
+    // engine under any partitioning (the eval-decontamination
+    // property randomSplit does not have). The per-(source, split)
+    // counts + token mass pin both the band arithmetic and the
+    // md5-hex comparison; the oracle replays the cumulative
+    // thresholds as hex-string literals.
+    "q123_dataset_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp11")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("source", "split")
+    }),
+
+    // One-call document-prep composite (ext.DocPrep): exact dedup
+    // (keep-lowest-id per content hash) -> marker lang-ID -> quality
+    // scoring -> token counting -> quality/language filter, then a
+    // small per-(source, lang) aggregate so every stage's effect is
+    // hash-visible. The filter compares UNROUNDED quality on both
+    // engines (identical IEEE expression); only outputs are rounded.
+    "q58_docprep_pipeline" -> ((s, d) =>
+      graft.ext.DocPrep.prepare(Tables.documents(s, d), "doc_id", "text",
+          stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.6, keepLangs = Seq("en", "es", "zh"))
+        .groupBy("source", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("total_tokens"),
+             round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("source", "predicted_lang")),
+
+    // Corpus n-gram statistics: top-5 bigrams per language by DOCUMENT
+    // frequency (WordShingles dedups within a document, so the count
+    // is #docs containing the bigram — the standard corpus-stats
+    // semantics, mirrored by the oracle's list_distinct). Shape:
+    // native shingles -> explode -> hash-aggregate (shuffle 1) ->
+    // TopKByScoreStr partial aggregate (shuffle 2 moves FIVE rows per
+    // partition per language, not every distinct (lang, ngram, n)
+    // triple). Round 3's row_number window partitioned on ~5 langs
+    // sorted a whole language's distinct ngrams in ONE task — at
+    // corpus scale that's billions of rows through a single sort; the
+    // partial aggregate is the repo's own q34/q35 fix applied here.
+    // Count-as-double is exact (counts < 2^53); ngram tie-break is
+    // byte-lexicographic on both engines.
+    "q62_top_ngrams" -> ((s, d) => {
+      val counts = Dedup.withShingles(Tables.documents(s, d), "text", k = 2)
+        .select(col("lang"), explode(col("shingles")).as("ngram"))
+        .groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+      counts.groupBy("lang")
+        .agg(graft.functions.GraftFunctions.topKByScoreStr(s,
+          col("n").cast("double"), col("ngram"), 5).as("hits"))
+        .select(col("lang"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("lang"), col("hit.id").as("ngram"),
+                col("hit.score").cast("long").as("n"),
+                (col("pos") + 1).cast("int").as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // The FULL curation pipeline in one call (DocPrep.prepareFull):
+    // exact dedup -> 64-bit SimHash near-dup components (keep each
+    // cluster's lowest id) -> repetition gates -> lang-ID/quality
+    // filter -> deterministic fold split. The oracle mirrors every
+    // stage (dedup window, SimHash closure, gate formulas, q58's
+    // score CASEs, fold thresholds) — the strongest cross-engine
+    // check in the repo: one hash over the composition of six
+    // operators.
+    "q69_curation_pipeline" -> ((s, d) =>
+      graft.ext.DocPrep.prepareFull(Tables.documents(s, d), "doc_id", "text",
+          stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
+          foldSalt = "r5")
+        .groupBy("fold", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("total_tokens"),
+             round(avg("quality"), 6).as("avg_quality"),
+             min("doc_id").as("min_id"))
+        .orderBy("fold", "predicted_lang")),
+
+    // Deterministic stratified sampling (ext.Sampling): the keep
+    // decision is a pure function of md5(doc_id || salt), so the
+    // sample is identical across runs, engines and partitionings —
+    // the DuckDB oracle recomputes the EXACT same membership (hex
+    // thresholds: 0.8 -> cccccccd, 0.5 -> 80000000, 0.2 -> 33333333,
+    // default 0.1 -> 1999999a, all = math.round(f * 2^32) in hex).
+    "q61_stratified_sample" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedSample(
+          Tables.documents(s, d), col("doc_id"), col("source"),
+          fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+          defaultFraction = 0.1, salt = "r3")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")),
+
+    // Deterministic train/val/test fold assignment: fold is a pure
+    // function of md5(doc_id || salt) against cumulative thresholds
+    // (0.7/0.2/0.1), so membership is stable across runs, engines and
+    // corpus growth; the oracle recomputes the identical CASE chain.
+    "q66_fold_split" -> ((s, d) =>
+      graft.ext.Sampling.withFold(Tables.documents(s, d), col("doc_id"),
+          folds = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), salt = "r5")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("fold")),
+
+    // Repetition/structure quality signals (Gopher-rules family):
+    // per-source averages of token/bigram repetition, symbol noise
+    // and mean word length, plus the count passing the default
+    // filter gates. Per-doc ratios stay UNROUNDED (only the
+    // aggregates round; the filter compares unrounded values — the
+    // q58 rule), so the oracle mirrors bit-for-bit.
+    "q67_repetition_stats" -> ((s, d) => {
+      val docs = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("rep_ratio"), 6).as("avg_rep_ratio"),
+             round(avg("dup_bigram_ratio"), 6).as("avg_dup_bigram_ratio"),
+             round(avg("symbol_ratio"), 6).as("avg_symbol_ratio"),
+             round(avg("mean_word_len"), 6).as("avg_word_len"),
+             sum(when(col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+                      col("symbol_ratio") <= 0.1 &&
+                      col("mean_word_len").between(2.0, 12.0), 1L)
+               .otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+
+    // Sequential pattern redaction (the PII-scrub mechanism on this
+    // corpus's vocabulary): word-boundary patterns rewrite to
+    // [LABEL] tokens in list order; the aggregate hashes both the
+    // change accounting and the resulting lengths, so any divergence
+    // in regex semantics or application order turns the row red.
+    "q70_redaction" -> ((s, d) => {
+      val patterns = Seq("SECRET" -> "\\b(key|hash)\\b", "TOOL" -> "\\bspark\\b")
+      Tables.documents(s, d)
+        .withColumn("redacted", TextStats.redact(col("text"), patterns))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("redacted") =!= col("text"), 1L).otherwise(0L)).as("n_redacted"),
+             sum(length(col("text")).cast("long")).as("chars_before"),
+             sum(length(col("redacted")).cast("long")).as("chars_after"))
+        .orderBy("source")
+    }),
+
+    // Deterministic token-budget shard packing: 8 independent packing
+    // lanes (bucket = doc_id % 8), documents concatenated in doc_id
+    // order within a lane and cut every 5000 tokens — a document
+    // starts in shard floor(cum_before / 5000). The per-shard
+    // aggregate pins the cut points exactly.
+    "q71_shard_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Packing.packShards(docs, col("doc_id"), col("n_tokens"),
+          tokenBudget = 5000L, bucket = pmod(col("doc_id"), lit(8)).cast("int"))
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("shard_tokens"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("pack_bucket", "pack_shard")
+    }),
+
+    // Domain-mixture resampling (ext.Sampling.mixtureResample): keep
+    // fractions are (budget * share) / domain_count clamped to 1 —
+    // src0's 0.8 share exceeds its sf0.01 population, exercising the
+    // downsample-only clamp — and membership is the same md5 hash as
+    // q61, so the oracle recomputes counts, fractions, thresholds and
+    // membership identically (frac >= 1 means keep-all, sidestepping
+    // the 9-hex-digit threshold a clamped fraction would print).
+    "q72_mixture_resample" -> ((s, d) =>
+      graft.ext.Sampling.mixtureResample(
+          Tables.documents(s, d), col("doc_id"), col("source"),
+          targetShares = Map("src0" -> 0.8, "src1" -> 0.1,
+                             "src2" -> 0.05, "src3" -> 0.05),
+          totalBudget = 40L, salt = "r7")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")),
+
+    // Context-window chunking (ext.Chunking): 40-token windows with
+    // 8-token overlap (step 32) — map-side explode, no shuffle before
+    // the final aggregate. The per-source totals pin chunk counts,
+    // the boundary arithmetic (max_chunk_id, token sums) and the
+    // exact slice content (char totals include the overlap copies).
+    "q74_doc_chunking" -> ((s, d) =>
+      graft.ext.Chunking.chunkDocuments(Tables.documents(s, d), col("text"),
+          maxTokens = 40, overlap = 8)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+             countDistinct("doc_id").as("n_docs"),
+             sum("chunk_tokens").cast("long").as("total_chunk_tokens"),
+             max("chunk_id").cast("long").as("max_chunk_id"),
+             sum(length(col("chunk_text"))).cast("long").as("total_chunk_chars"))
+        .orderBy("source")),
+
+    // Token-weighted mixture resampling: same operator as q72 but the
+    // budget and shares are in TOKEN units (weight = n_tokens), the
+    // unit real training budgets are written in. Whole-document keep
+    // decisions, so kept_tokens approximates the target share.
+    "q75_token_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.mixtureResample(docs, col("doc_id"), col("source"),
+          targetShares = Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2),
+          totalBudget = 1000L, salt = "r7t", weight = col("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum("n_tokens").cast("long").as("kept_tokens"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
+    // The COMPLETE corpus-to-training-shards pipeline: prepareFull
+    // (dedup -> near-dup CC -> gates -> lang/quality -> folds), then
+    // context-window chunking (40/8), then token-budget packing into
+    // ~500-token shards laned by (fold, doc_id%4). One call chain over
+    // nine operators; the oracle replays every stage in one SQL.
+    "q77_curation_to_shards" -> ((s, d) => {
+      val prepped = graft.ext.DocPrep.prepareFull(Tables.documents(s, d),
+          "doc_id", "text", stopwords = Stopwords, profiles = LangProfiles,
+          minQuality = 0.5, keepLangs = Seq("de", "en", "es", "fr", "zh"),
+          foldSalt = "r5")
+      val chunks = graft.ext.Chunking.chunkDocuments(prepped, col("text"),
+          maxTokens = 40, overlap = 8)
+      graft.ext.Packing.packShards(chunks,
+          orderCol = struct(col("doc_id"), col("chunk_id")),
+          tokensCol = col("chunk_tokens"), tokenBudget = 500L,
+          bucket = concat(col("fold"), lit(":"),
+                          pmod(col("doc_id"), lit(4)).cast("string")))
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(count(lit(1)).as("n_chunks"),
+             countDistinct("doc_id").as("n_docs"),
+             sum("chunk_tokens").cast("long").as("shard_tokens"),
+             min("doc_id").as("min_doc"))
+        .orderBy("pack_bucket", "pack_shard")
+    }),
+
+    // DSIR importance weights (Dsir.withImportanceWeights, Xie et al.
+    // arXiv:2302.03169): hashed uni+bigram buckets (md5 3-hex prefix,
+    // 4096 cells), Laplace-smoothed log-ratio toward the lang='en'
+    // target, per-doc summed LLR. Top-20 by per-gram LLR; ordering is
+    // on the ROUNDED value with doc_id tie-break, so a sub-6dp libm
+    // divergence cannot flip the limit boundary.
+    "q80_dsir_weights" -> ((s, d) =>
+      graft.ext.Dsir.withImportanceWeights(Tables.documents(s, d),
+          "doc_id", "text", isTarget = col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
+                round(col("llr"), 6).as("llr"),
+                round(col("llr_per_gram"), 6).as("llr_pg"))
+        .orderBy(col("llr_pg").desc, col("doc_id"))
+        .limit(20)),
+
+    // Bucket-LM cross-entropy (Dsir.withCrossEntropy): nats-per-gram
+    // negative log-likelihood under the corpus's own smoothed bucket
+    // unigram model — the "how typical is this document" quality
+    // signal, aggregated per (lang, source).
+    "q81_bucket_lm_xent" -> ((s, d) =>
+      graft.ext.Dsir.withCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("n_grams") > 0)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("xent"), 6).as("avg_xent"),
+             round(min("xent"), 6).as("min_xent"),
+             round(max("xent"), 6).as("max_xent"))
+        .orderBy("lang", "source")),
+
+    // Efraimidis-Spirakis weighted sampling without replacement
+    // (Sampling.weightedSampleK): exactly 8 docs per source with
+    // selection probability proportional to token count, priorities
+    // content-derived (md5 -> exact 52-bit uniform) so the sample is
+    // a pure function of the corpus — reproducible on any engine,
+    // under any partitioning.
+    "q107_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      graft.ext.Sampling.weightedSampleK(docs, col("doc_id"), col("n_tokens"),
+          "source", k = 8, salt = "r9es")
+        .select(col("source"), col("rnk"), col("doc_id"),
+                col("n_tokens").cast("long").as("n_tokens"), col("priority_h"))
+        .orderBy("source", "rnk")
+    }),
+
+    // Deterministic negative sampling — contrastive-pair generation:
+    // each doc draws 3 pseudo-random OTHER docs, indices md5-derived
+    // (the q107 exact-integer move) mod corpus size, self-collisions
+    // bumped +1. Indices are drawn in DENSE POSITION space
+    // (Kernels.denseIndex: rank of doc_id in sorted order), never
+    // against doc_id itself — so sparse or string ids sample
+    // correctly (the r9 form silently sampled nothing off a dense-id
+    // corpus). One extra staged pass builds the index; the draw stays
+    // map-side and the only join is the position→doc enrichment.
+    // On this testdata doc_id IS 0..n-1, so dense == doc_id and the
+    // output matches the r9 form bit-for-bit.
+    "q119_negative_sampling" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      graft.ext.Sampling.negativeSamples(docs, "doc_id", negsPerDoc = 3,
+          salt = "neg9")
+        .join(docs.select(col("doc_id").as("neg_id"),
+                          col("source").as("neg_source")), "neg_id")
+        .groupBy("source", "neg_source")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct("neg_id").as("n_distinct_negs"))
+        .orderBy("source", "neg_source")
+    }),
+
+    // Corpus-trained bigram language model → per-source NLL — the
+    // LM-quality signal (train an n-gram LM on the corpus, score each
+    // document's negative log-likelihood; outliers are boilerplate or
+    // garbage). Add-1-smoothed p(w2|w1) = (c12+1)/(c1+V) from EXACT
+    // global counts (the model "training" is two aggregates; the
+    // count frames broadcast — vocabulary-sized); each bigram's
+    // ln p is FLOORED to integer nano-nats before summing (the q208
+    // cross-cell rule — a float sum of logs is partial-agg-order
+    // dependent, a sum of floored integers is not). DSIR's bucket
+    // xent (q81) is the hashed-feature sibling; this is the token-
+    // bigram LM itself.
+    "q252_bigram_lm_nll" -> ((s, d) => {
+      val wi = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val bi = graft.ops.Staging.stage(
+        toks.withColumn("w2", lead("w", 1).over(wi))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"), col("w").as("w1"),
+                  col("w2")))
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cx = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = toks.agg(countDistinct("w").as("v"))
+      bi.join(broadcast(cxy), Seq("w1", "w2"))
+        .join(broadcast(cx), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("source"),
+          // explicit DOUBLE casts (the q293/q291 rule): a bare 1.0 is
+          // a DECIMAL literal and Spark's decimal division quantizes
+          // at a clamped scale where DuckDB's returns double
+          expr("CAST(floor(1000000000.0 * " +
+            "ln((CAST(c12 AS DOUBLE) + 1.0) / CAST(c1 + v AS DOUBLE))) " +
+            "AS BIGINT)").as("nano"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+             count(lit(1)).as("n_bigrams"),
+             (-sum("nano")).as("total_nll_nano"))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("total_nll_nano"),
+          expr("total_nll_nano div n_bigrams").as("avg_nll_nano"))
+        .orderBy("source")
+    }),
+
+    // Content-defined chunking (the rolling-boundary primitive under
+    // rsync/LBFS/storage dedup, and the chunk-level dedup signal a
+    // training-data lake uses to price re-crawls): a position opens a
+    // chunk iff the md5 of its 8-char window lands in 1/32 of hash
+    // space — boundaries move WITH content, so an insertion re-chunks
+    // only its neighborhood where fixed-width blocks would shift
+    // every later block. The boundary scan + chunk cut is the
+    // Chunking.contentDefinedChunks mapPartitions kernel (the
+    // holtLinear secondary-sort idiom minus the sort — chunking is
+    // per-document): the text crosses the wire ONCE inside its scan
+    // task and chunks are emitted directly, where the per-position
+    // explode + lead() window formulation shipped the FULL document
+    // text on every boundary row through the window exchange —
+    // quadratic in document length (the r13 weak flag). Chunks are
+    // then keyed by content hash and the per-source dedup ledger
+    // (total vs unique bytes) falls out of one aggregate. Work is
+    // O(total chars) map-side + one exchange per rollup; everything
+    // is exact integers and md5 — the oracle replays
+    // boundary-for-boundary (ChunkingSpec pins kernel ≡ the
+    // expression replay; PlanShapeSpec pins no Window/Generate).
+    "q251_cdc_chunking" -> ((s, d) => {
+      val chunks = graft.ext.Chunking.contentDefinedChunks(
+        Tables.documents(s, d).select("source", "text"),
+        "text", Seq("source"))
+      chunks
+        .select(col("source"), md5(col("chunk")).as("ch"),
+                length(col("chunk")).cast("long").as("clen"))
+        .groupBy("source", "ch")
+        .agg(count(lit(1)).as("n"), max("clen").as("clen"))
+        .groupBy("source")
+        .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique"),
+             sum(col("n") * col("clen")).as("bytes_total"),
+             sum("clen").as("bytes_unique"))
+        .withColumn("dup_ratio_ppm",
+          expr("((bytes_total - bytes_unique) * 1000000) div bytes_total"))
+        .orderBy("source")
+    }),
+
+    // Rendezvous (highest-random-weight) shard assignment + rebalance
+    // census — the consistent-hashing primitive a 100 TB lake uses to
+    // place documents on shards so that GROWING the shard count moves
+    // only ~1/(k+1) of the corpus (plain `hash mod k` moves
+    // (k-1)/k — a full reshuffle). shard(doc) = argmax over shards of
+    // md5(doc#shard); the argmax needs only a TOTAL ORDER, so both
+    // engines compare the fixed-length hex strings directly (no
+    // numeric parse). Emits the k=32 occupancy spread and the
+    // measured moved fraction at k=33 — HRW guarantees movers are
+    // exactly the docs whose k=33 argmax IS the new shard. Scale: the
+    // 33x explode is map-side, the argmax is one map-side-combining
+    // exchange on doc_id, everything after is shard-bounded.
+    "q263_rendezvous_shards" -> ((s, d) => {
+      val hh = Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(expr("sequence(0, 32)")).as("sh"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("sh").cast("string"))))
+      val a32 = hh.filter(col("sh") < 32).groupBy("doc_id")
+        .agg(max(struct(col("h"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("s32"))
+      val a33 = hh.groupBy("doc_id")
+        .agg(max(struct(col("h"), col("sh"))).as("m"))
+        .select(col("doc_id"), col("m.sh").as("s33"))
+      val j = graft.ops.Staging.stage(a32.join(a33, "doc_id"))
+      val occ = j.groupBy("s32").agg(count(lit(1)).as("c"))
+        .agg(min("c").as("occ_min"), max("c").as("occ_max"),
+             count(lit(1)).as("n_shards"))
+      j.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s33") =!= col("s32"), 1L).otherwise(0L))
+              .as("n_moved"))
+        .crossJoin(broadcast(occ))
+        .select(col("n_docs"), col("n_shards"), col("occ_min"),
+          col("occ_max"), col("n_moved"),
+          expr("(n_moved * 1000000) div n_docs").as("moved_ppm"))
+        .orderBy("n_docs")
+    }),
+
+    // Dataset-card crosstab — the (source × lang) composition table a
+    // corpus release ships first (q154's manifest is per-shard; this
+    // is the content-mix margin): docs, exact token mass, floor-mean
+    // tokens per doc, and each cell's share of the corpus token mass
+    // in floor-ppm. One token-count scan, cell frame bounded by
+    // |sources|×|langs|.
+    "q306_dataset_card" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "x -> length(x) > 0)) AS BIGINT)").as("__n"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      val tot = cells.agg(sum("n_tokens").as("__tt"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_tokens_floor"),
+          expr("(n_tokens * 1000000) div __tt").as("token_share_ppm"))
+        .orderBy("source", "lang")
+    }),
+
+    // Lexical-diversity census per source — type-token ratio and
+    // hapax share, the vocabulary-health dials beside q98's entropy
+    // and q196's Zipf slope (template-generated text shows low TTR;
+    // OCR noise shows hapax inflation). One token scan, per-source
+    // word-count frames bound everything, floor-ppm ratios.
+    "q298_lexical_diversity" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("__c"))
+      words.groupBy("source")
+        .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_types"),
+             sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+        .orderBy("source")
+    }),
+
+    // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
+    // corpus NLL implies): train the +1-smoothed bigram LM on the
+    // even-doc half, score each odd-half document's per-bigram NLL,
+    // and keep documents at or below the TRAIN corpus's own average
+    // — a self-calibrating threshold, no tuned constant. Unseen
+    // odd-half bigrams smooth to 1/(c1+V) through the same shared
+    // floored-nano-nat term (left joins + coalesce(0)), so OOV text
+    // scores high NLL and drops — exactly the filter's job. Census
+    // per source: docs kept at the threshold, floor-ppm keep rate.
+    // Count frames are vocabulary-sized broadcasts; the corpus is
+    // scanned once per side.
+    "q291_perplexity_filter" -> ((s, d) => {
+      val wi = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val bi = graft.ops.Staging.stage(
+        toks.withColumn("w2", lead("w", 1).over(wi))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"),
+                  pmod(col("doc_id"), lit(2L)).as("par"),
+                  col("w").as("w1"), col("w2")))
+      val train = bi.filter(col("par") === 0)
+      val cxy = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cx = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = toks.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .agg(countDistinct("w").as("v"))
+      // explicit DOUBLE casts (the q293 rule): Spark's bare 1.0 is a
+      // DECIMAL literal and decimal division quantizes where DuckDB's
+      // returns double — double + 1.0 stays double on both engines
+      val nanoTerm = "CAST(floor(1000000000.0 * " +
+        "ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE))) AS BIGINT)"
+      val thr = train
+        .join(broadcast(cxy), Seq("w1", "w2"), "left")
+        .join(broadcast(cx), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(expr(nanoTerm).as("nano"))
+        .agg(expr("(-sum(nano)) div count(1)").as("thr_nano"))
+      val docs = bi.filter(col("par") === 1)
+        .join(broadcast(cxy), Seq("w1", "w2"), "left")
+        .join(broadcast(cx), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("source"), expr(nanoTerm).as("nano"))
+        .groupBy("doc_id", "source")
+        .agg(expr("(-sum(nano)) div count(1)").as("__doc_nll"))
+      docs.crossJoin(broadcast(thr))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("__doc_nll") <= col("thr_nano"), 1L)
+               .otherwise(0L)).as("n_kept"),
+             max("thr_nano").as("thr_nano"))
+        .withColumn("kept_ppm", expr("(n_kept * 1000000) div n_docs"))
+        .orderBy("source")
+    }),
+
+    // Sequence-length bucketing pad-waste audit — the batch-shape
+    // dial of training-data packing (q71 packs shards; this prices
+    // PADDING): pad-to-max within a power-of-two length bucket
+    // (integer bit-length, the q286 rule) vs pad-to-global-max, per
+    // bucket: docs, real tokens, padded slots, waste in floor-ppm —
+    // the number that says whether length-bucketed batching is worth
+    // the shuffle. All exact integers off one token-count scan.
+    "q294_pad_waste" -> ((s, d) => {
+      val lens = Tables.documents(s, d)
+        .select(expr("CAST(size(filter(split(text, ' '), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("n"))
+        .filter(col("n") > 0)
+      val buckets = lens
+        .select((length(expr("bin(n)")) - 1).cast("long").as("bucket"),
+                col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+             max("n").as("max_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("max_tokens"),
+          (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+            .as("pad_tokens"),
+          expr("((n_docs * max_tokens - sum_tokens) * 1000000) " +
+            "div (n_docs * max_tokens)").as("waste_ppm"))
+      buckets.orderBy("bucket")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Hashed-classifier replay: per-token weight = (first-8-hex-digit
+    // md5 value mod 1001) - 500 via the established digit-sum
+    // hex-to-int replay (q107's pattern; 8 digits < 2^32 so the
+    // double sum is exact before the BIGINT cast). Docs whose token
+    // list is empty keep score 0 via the LEFT JOIN + coalesce.
+    "q142_hash_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
+        |             AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 1001 - 500 AS wt
+        |  FROM t),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) AS INTEGER)
+        |    AS n_subwords,
+        |  coalesce(a.score, 0) AS score,
+        |  CASE WHEN len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')) > 0
+        |    THEN CAST(floor(coalesce(a.score, 0) * 2000.0
+        |               / len(regexp_extract_all(d.text, '[a-z]+|[0-9]+')))
+        |         AS BIGINT)
+        |    END AS margin_ppm,
+        |  (coalesce(a.score, 0) > 0) AS label
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Waterfill replay: the same cap-sorted prefix scan, integer
+    // budget, and first-non-full-row level.
+    "q161_token_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS cap
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT (3 * CAST(sum(cap) AS BIGINT)) // 5 AS budget FROM caps),
+        |s AS (SELECT source, cap, budget,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |    row_number() OVER (ORDER BY cap, source) AS rank,
+        |    count(*) OVER () AS n_src
+        |  FROM caps, t),
+        |s2 AS (SELECT *,
+        |    (prefix + (n_src - rank + 1) * cap <= budget) AS full_take,
+        |    CAST(floor(CAST(budget - prefix AS DOUBLE) / (n_src - rank + 1))
+        |      AS BIGINT) AS cand
+        |  FROM s),
+        |lvl AS (SELECT coalesce((SELECT cand FROM s2 WHERE NOT full_take
+        |                         ORDER BY rank LIMIT 1), 0) AS level)
+        |SELECT source, cap,
+        |  CASE WHEN full_take THEN cap
+        |    ELSE least(cap, greatest(level, 0)) END AS allocated
+        |FROM s2, lvl ORDER BY source""".stripMargin,
+
+    // Native-function SQL replay: token membership over the same
+    // space split; distinct word 3-shingles (q65's construction).
+    "q159_sql_native_functions" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('data', 'the', 'row'))) AS INTEGER) AS stop_hits,
+        |  CAST(CASE WHEN len(string_split(text, ' ')) >= 3
+        |    THEN len(list_distinct(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1] || ' ' ||
+        |           string_split(text, ' ')[i + 2])))
+        |    ELSE 0 END AS INTEGER) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE replay: k=4 unrolled rounds generated by Bpe.oracleSql so
+    // the two sides cannot drift round-wise.
+    "q143_bpe_merges" -> graft.ext.Bpe.oracleSql(4),
+    "q144_bpe_encode" -> graft.ext.Bpe.encodeOracleSql(4),
+
+    "q211_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(max(tot) AS BIGINT) AS total_chars,
+        |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // CAST(max(tot) AS BIGINT)
+        |    AS share_ppm
+        |FROM d WHERE cum * 10 <= tot * 6
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q27's positional shingles WITHOUT list_distinct (every 3-gram
+    // position counts), mode count per doc, single-division ratio.
+    "q122_top_ngram_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    string_split(text, ' ') AS s
+        |  FROM documents
+        |  WHERE (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= 3),
+        |g AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(list_transform(range(1, len(s) - 1),
+        |      i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+        |  FROM d),
+        |c AS (SELECT doc_id, source, n_tokens, g, count(*) AS c
+        |      FROM g GROUP BY doc_id, source, n_tokens, g),
+        |m AS (SELECT doc_id, source, n_tokens, max(c) AS top_c
+        |      FROM c GROUP BY doc_id, source, n_tokens),
+        |t AS (SELECT source,
+        |        CAST(top_c AS DOUBLE) / (n_tokens - 2) AS ratio
+        |      FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(ratio), 6) AS avg_top3gram_ratio,
+        |  CAST(sum(CASE WHEN ratio > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // One row per (source, rule); violation = NOT rule OR NULL.
+    "q126_expectations_by_source" -> Seq(
+      ("chars_consistent", "n_chars = length(text)"),
+      ("lang_known", "lang IN ('en', 'es', 'zh', 'de', 'fr')"),
+      ("text_nonempty", "length(text) > 0")).map { case (name, pred) =>
+        s"""SELECT source, '$name' AS rule, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           |  round(CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS violation_rate
+           |FROM documents GROUP BY source""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY source, rule"),
+
+    // Cumulative 0.8/0.9 bands as hex literals: round(0.8 * 2^32) =
+    // 0xcccccccd, round(0.9 * 2^32) = 0xe6666666 — the same 8-hex
+    // lexicographic compare Sampling.thresholdHex emits.
+    "q123_dataset_split" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'sp11'), 1, 8) AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN h < 'cccccccd' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q28_text_quality" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |      / len(string_split(text,' ')), 6) AS stop_ratio,
+        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens,
+        | round(avg(stop_ratio), 6) AS avg_stop_ratio, round(avg(quality), 6) AS avg_quality
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same q28 quality formula, row_number over (rounded quality
+    // DESC, doc_id), integer-division decile — // is DuckDB's
+    // integer division, matching Spark's DIV exactly.
+    "q84_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    round(least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5, 6) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM t),
+        |b AS (SELECT source, quality, CAST(((rn - 1) * 10) // cnt AS INT) AS decile FROM r)
+        |SELECT source, decile, count(*) AS n_docs,
+        |  round(min(quality), 6) AS min_q,
+        |  round(max(quality), 6) AS max_q,
+        |  round(sum(quality), 6) AS sum_q
+        |FROM b GROUP BY source, decile ORDER BY source, decile""".stripMargin,
+
+    "q29_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q46_langid_chargram" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST((length(text)-length(replace(text,'agg','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'tch','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'mer','')))/3 AS INT) AS c_de,
+        |    CAST((length(text)-length(replace(text,'row','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'lin','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'tab','')))/3 AS INT) AS c_en,
+        |    CAST((length(text)-length(replace(text,'dat','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'que','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'smal','')))/4 AS INT) AS c_es,
+        |    CAST((length(text)-length(replace(text,'joi','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'ord','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'key','')))/3 AS INT) AS c_fr,
+        |    CAST((length(text)-length(replace(text,'sca','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'has','')))/3 AS INT)
+        |      + CAST((length(text)-length(replace(text,'par','')))/3 AS INT) AS c_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN c_de >= greatest(c_en, c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_en >= greatest(c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr >= c_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q30_token_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) AS BIGINT) AS total_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_subwords,
+        | round(avg((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)), 6) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors every DocPrep stage: rn=1 dedup per md5(text) keyed on
+    // the lowest doc_id, the q29 marker scores/argmax, the q28
+    // token/stopword/quality formulas, the unrounded-quality filter.
+    "q58_docprep_pipeline" ->
+      """WITH dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |s AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM dd),
+        |p AS (
+        |  SELECT source, n_tokens, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s)
+        |SELECT source, predicted_lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM p
+        |WHERE quality >= 0.6 AND predicted_lang IN ('en', 'es', 'zh')
+        |GROUP BY source, predicted_lang
+        |ORDER BY source, predicted_lang""".stripMargin,
+
+    "q62_top_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |c AS (SELECT lang, unnest(shingles) AS ngram FROM sh),
+        |g AS (SELECT lang, ngram, count(*) AS n FROM c GROUP BY lang, ngram),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, ngram) AS rk FROM g)
+        |SELECT lang, ngram, n, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
+    // Stage-for-stage mirror of prepareFull: rn=1 dedup -> 64-bit
+    // SimHash pairs over the DEDUPED set -> recursive closure ->
+    // keep-lowest-representative -> q67 gate formulas (defaults) ->
+    // q58 score/argmax CASEs -> 0.8/0.9 cumulative fold thresholds.
+    "q69_curation_pipeline" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |kept AS (
+        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
+        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
+        |gm AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM kept),
+        |g AS (
+        |  SELECT doc_id, text FROM gm
+        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM g),
+        |p2 AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |f AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
+        |  FROM p2
+        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh'))
+        |SELECT CASE WHEN h < 'cccccccd' THEN 'train'
+        |            WHEN h < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS fold,
+        |  predicted_lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  min(doc_id) AS min_id
+        |FROM f GROUP BY 1, predicted_lang ORDER BY fold, predicted_lang""".stripMargin,
+
+    // Cumulative thresholds: 0.7 -> b3333333, 0.9 -> e6666666 (both
+    // = round(f * 2^32) in hex, the Sampling.thresholdHex rule);
+    // fixed-width lowercase hex compares lexicographically ==
+    // numerically in both engines.
+    "q66_fold_split" ->
+      """WITH s AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, CASE WHEN h < 'b3333333' THEN 'train'
+        |                 WHEN h < 'e6666666' THEN 'val'
+        |                 ELSE 'test' END AS fold FROM s)
+        |SELECT fold, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // Recomputes the content-hash membership exactly: fixed-width
+    // lowercase hex compares lexicographically == numerically in both
+    // engines.
+    "q61_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8) AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT * FROM s
+        |  WHERE h < CASE source WHEN 'src0' THEN 'cccccccd'
+        |                        WHEN 'src1' THEN '80000000'
+        |                        WHEN 'src2' THEN '33333333'
+        |                        ELSE '1999999a' END)
+        |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors every per-doc formula unrounded (guards match the Spark
+    // when() branches: 1-token docs contribute 0 bigram repetition).
+    "q67_repetition_stats" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END AS rep_ratio,
+        |    CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END AS dup_bigram_ratio,
+        |    CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END AS mean_word_len
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(rep_ratio), 6) AS avg_rep_ratio,
+        |  round(avg(dup_bigram_ratio), 6) AS avg_dup_bigram_ratio,
+        |  round(avg(symbol_ratio), 6) AS avg_symbol_ratio,
+        |  round(avg(mean_word_len), 6) AS avg_word_len,
+        |  CAST(sum(CASE WHEN rep_ratio <= 0.3 AND dup_bigram_ratio <= 0.3
+        |                 AND symbol_ratio <= 0.1
+        |                 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Identical chain order with the 'g' flag; RE2 and Java agree on
+    // \b word boundaries over this lowercase-word corpus.
+    "q70_redaction" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    regexp_replace(regexp_replace(text, '\b(key|hash)\b', '[SECRET]', 'g'),
+        |                   '\bspark\b', '[TOOL]', 'g') AS redacted
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(redacted)) AS BIGINT) AS chars_after
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same lanes, order, and cut rule; the 5000.0 divisor keeps the
+    // floor boundary in exact double arithmetic on both engines.
+    "q71_shard_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS pack_bucket,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT pack_bucket,
+        |  CAST(floor((cum - n_tokens) / 5000.0) AS BIGINT) AS pack_shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY pack_bucket, pack_shard
+        |ORDER BY pack_bucket, pack_shard""".stripMargin,
+
+    // Recomputes counts -> fractions -> integer thresholds with the
+    // same literals in the same IEEE order as mixtureResample
+    // ((40.0 * share) / cnt, round(frac * 2^32)); DuckDB round() is
+    // half-away-from-zero and JVM Math.round is floor(x + 0.5) —
+    // identical for the positive values here. frac >= 1.0 short-
+    // circuits to keep-all, matching thresholdHex's "ffffffff~".
+    "q72_mixture_resample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, CASE source
+        |      WHEN 'src0' THEN least(1.0, 40.0 * 0.8 / cnt)
+        |      WHEN 'src1' THEN least(1.0, 40.0 * 0.1 / cnt)
+        |      WHEN 'src2' THEN least(1.0, 40.0 * 0.05 / cnt)
+        |      WHEN 'src3' THEN least(1.0, 40.0 * 0.05 / cnt)
+        |      ELSE 0.0 END AS frac
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, d.doc_id
+        |  FROM documents d JOIN f USING (source)
+        |  WHERE f.frac >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7'), 1, 8)
+        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
+        |SELECT source, count(*) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same chunk arithmetic: n_chunks = 1 + ceil((n-40)/32) via the
+    // identical floor((n - 40 + 31) / 32.0) double expression; DuckDB
+    // list slices clamp at the list end exactly like Spark's slice.
+    "q74_doc_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CASE WHEN n <= 40 THEN 1
+        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, source, n, toks, unnest(range(0, nch)) AS k
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id, source, k,
+        |    least(40, n - k * 32) AS chunk_tokens,
+        |    array_to_string(toks[k * 32 + 1 : k * 32 + 40], ' ') AS chunk_text
+        |  FROM x)
+        |SELECT source, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+        |  CAST(max(k) AS BIGINT) AS max_chunk_id,
+        |  CAST(sum(length(chunk_text)) AS BIGINT) AS total_chunk_chars
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // q72's threshold recomputation with token-sum weights: fractions
+    // divide by the exact BIGINT token sum per domain, same literals,
+    // same IEEE order.
+    "q75_token_mixture" ->
+      """WITH w AS (
+        |  SELECT *, (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS cnt FROM w GROUP BY source),
+        |f AS (
+        |  SELECT source, CASE source
+        |      WHEN 'src0' THEN least(1.0, 1000.0 * 0.4 / cnt)
+        |      WHEN 'src1' THEN least(1.0, 1000.0 * 0.4 / cnt)
+        |      WHEN 'src2' THEN least(1.0, 1000.0 * 0.2 / cnt)
+        |      ELSE 0.0 END AS frac
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, d.doc_id, d.n_tokens
+        |  FROM w d JOIN f USING (source)
+        |  WHERE f.frac >= 1.0
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'r7t'), 1, 8)
+        |        < printf('%08x', CAST(round(f.frac * 4294967296.0) AS BIGINT)))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // q69's stage-for-stage replay (dedup window, SimHash closure,
+    // gates, scores, folds) extended with q74's chunk arithmetic and
+    // q71's lane cumsum — the longest single cross-engine check in
+    // the repo: one hash over eleven composed stages.
+    "q77_curation_to_shards" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |kept AS (
+        |  SELECT dd.* FROM dd LEFT JOIN comp ON dd.doc_id = comp.id
+        |  WHERE comp.id IS NULL OR comp.component = dd.doc_id),
+        |gm AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM kept),
+        |g AS (
+        |  SELECT doc_id, text FROM gm
+        |  WHERE (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3
+        |    AND (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1
+        |    AND (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('key','merge','batch'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('a','the','table'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('data','query','row'))) AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('join','line','order'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('scan','hash','part'))) AS s_zh,
+        |    least(((CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)) / 100.0, 1.0) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          t -> t IN ('a','the','data','value','row'))) AS DOUBLE)
+        |          / len(string_split(text,' '))) * 0.5 AS quality
+        |  FROM g),
+        |p2 AS (
+        |  SELECT doc_id, text, quality,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |fd AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'cccccccd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS fold
+        |  FROM p2
+        |  WHERE quality >= 0.5 AND predicted_lang IN ('de','en','es','fr','zh')),
+        |t2 AS (
+        |  SELECT doc_id, fold, len(string_split(text, ' ')) AS n FROM fd),
+        |c2 AS (
+        |  SELECT *, CASE WHEN n <= 40 THEN 1
+        |                 ELSE CAST(floor((n - 40 + 31) / 32.0) AS INT) + 1 END AS nch
+        |  FROM t2),
+        |x2 AS (
+        |  SELECT doc_id, fold, n, unnest(range(0, nch)) AS k FROM c2),
+        |ch AS (
+        |  SELECT doc_id, fold, k, least(40, n - k * 32) AS ctoks FROM x2),
+        |cm AS (
+        |  SELECT *, fold || ':' || CAST(doc_id % 4 AS VARCHAR) AS pack_bucket,
+        |    sum(ctoks) OVER (PARTITION BY fold || ':' || CAST(doc_id % 4 AS VARCHAR)
+        |      ORDER BY doc_id, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch)
+        |SELECT pack_bucket,
+        |  CAST(floor((cum - ctoks) / 500.0) AS BIGINT) AS pack_shard,
+        |  count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(ctoks) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS min_doc
+        |FROM cm GROUP BY pack_bucket, pack_shard
+        |ORDER BY pack_bucket, pack_shard""".stripMargin,
+
+    // Mirrors Dsir.withImportanceWeights stage for stage: uni+bigram
+    // occurrences (q62's bigram construction, all positions), 3-hex
+    // md5 bucket, smoothed log-ratio in the IDENTICAL IEEE order
+    // ((c+1.0)/(TOT+4096.0), ln, subtract), per-doc sum, left join
+    // back. ORDER BY the rounded value + doc_id so the LIMIT boundary
+    // is libm-divergence-proof.
+    "q80_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(tk) AS gram FROM d
+        |  WHERE text IS NOT NULL AND text <> ''
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
+        |b AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bk FROM g),
+        |c AS (SELECT bk, count(*) AS r,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        |      FROM b GROUP BY bk),
+        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr, CAST(sum(tc) AS DOUBLE) AS tt FROM c),
+        |w AS (SELECT bk, ln((tc + 1.0) / (tt + 4096.0)) - ln((r + 1.0) / (rr + 4096.0)) AS delta
+        |      FROM c, t),
+        |s AS (SELECT doc_id, count(*) AS n_grams, sum(delta) AS llr
+        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
+        |SELECT d2.doc_id, d2.lang, d2.source,
+        |  COALESCE(s.n_grams, 0) AS n_grams,
+        |  round(COALESCE(s.llr, 0.0), 6) AS llr,
+        |  round(COALESCE(s.llr / s.n_grams, 0.0), 6) AS llr_pg
+        |FROM documents d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY llr_pg DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Mirrors Dsir.withCrossEntropy: same gram/bucket construction,
+    // -ln((r+1.0)/(RR+4096.0)) per bucket, per-doc mean; docs without
+    // grams are excluded on both sides (inner join here, the
+    // n_grams > 0 filter there).
+    "q81_bucket_lm_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tk) AS gram FROM d
+        |  WHERE text IS NOT NULL AND text <> ''
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM d WHERE text IS NOT NULL AND len(tk) >= 2),
+        |b AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bk FROM g),
+        |c AS (SELECT bk, count(*) AS r FROM b GROUP BY bk),
+        |t AS (SELECT CAST(sum(r) AS DOUBLE) AS rr FROM c),
+        |w AS (SELECT bk, -ln((r + 1.0) / (rr + 4096.0)) AS nll FROM c, t),
+        |s AS (SELECT doc_id, count(*) AS n_grams, sum(nll) / count(*) AS xent
+        |      FROM b JOIN w USING (bk) GROUP BY doc_id)
+        |SELECT d2.lang, d2.source, count(*) AS n_docs,
+        |  round(avg(s.xent), 6) AS avg_xent,
+        |  round(min(s.xent), 6) AS min_xent,
+        |  round(max(s.xent), 6) AS max_xent
+        |FROM documents d2 JOIN s USING (doc_id)
+        |GROUP BY d2.lang, d2.source
+        |ORDER BY lang, source""".stripMargin,
+
+    // Reconstructs the exact E-S priority: the 13-hex md5 prefix is
+    // rebuilt digit by digit against exact powers of two (every term
+    // and every partial sum an exact double), u = (h + 0.5) / 2^52
+    // exactly, then ln(u)/n_tokens ranks within source. Zero-token
+    // docs are dropped on both sides by construction. The EMITTED
+    // priority column is the exact integer h, never the ln — JVM and
+    // DuckDB libm differ by an ulp on some ln inputs, so any hashed
+    // function of ln (even rounded) is cross-engine fragile.
+    "q107_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS n_tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'r9es'), 1, 13) AS hx
+        |  FROM documents),
+        |hv AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(hx, CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS h
+        |  FROM w WHERE n_tokens > 0),
+        |pr AS (
+        |  SELECT doc_id, source, n_tokens, CAST(h AS BIGINT) AS priority_h,
+        |    ln((h + 0.5) / 4503599627370496.0) / n_tokens AS pri
+        |  FROM hv),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY pri DESC, CAST(doc_id AS VARCHAR)) AS rnk
+        |  FROM pr)
+        |SELECT source, rnk, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  priority_h
+        |FROM r WHERE rnk <= 8 ORDER BY source, rnk""".stripMargin,
+
+    // Same 13-hex digit-sum integer, % corpus size, +1 self-bump,
+    // enrichment join, summary — every negative index replayed. The
+    // index space is the DENSE RANK of doc_id (row_number - 1), the
+    // sparse-id-safe form; on this testdata dense == doc_id.
+    "q119_negative_sampling" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS dense
+        |           FROM documents),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |p AS (
+        |  SELECT d.doc_id, d.source, d.dense, j,
+        |    CAST(list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(
+        |             substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR) || 'neg9'), 1, 13),
+        |             CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT) % nn AS raw
+        |  FROM d CROSS JOIN (SELECT unnest(range(3)) AS j) jj, n),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN raw = dense THEN (raw + 1) % (SELECT nn FROM n) ELSE raw END AS neg_pos
+        |  FROM p)
+        |SELECT q.source, d2.source AS neg_source, count(*) AS n_pairs,
+        |  count(DISTINCT d2.doc_id) AS n_distinct_negs
+        |FROM q JOIN d d2 ON d2.dense = q.neg_pos
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Bigram-LM replay: token positions renumbered after the empty
+    // filter, the same lead() bigrams, add-1 counts, and the
+    // floored nano-nat terms.
+    "q252_bigram_lm_nll" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, source, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS i
+        |  FROM tt),
+        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
+        |seqd AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, source, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+        |  FROM seqd),
+        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM b2 GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |       FROM b2 GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+        |t AS (
+        |  SELECT b.doc_id, b.source,
+        |    CAST(floor(1000000000.0 * ln((CAST(cxy.c12 AS DOUBLE) + 1.0)
+        |      / CAST(cx.c1 + vv.v AS DOUBLE)))
+        |      AS BIGINT) AS nano
+        |  FROM b2 b
+        |  JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(-sum(nano) AS BIGINT) AS total_nll_nano,
+        |  CAST(-sum(nano) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS avg_nll_nano
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // CDC replay: identical 8-char-window boundary rule (4-hex md5
+    // parse, the q156 idiom), chunk spans via lead(), and the same
+    // content-hash dedup ledger.
+    "q251_cdc_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, text, len,
+        |    unnest(range(1, greatest(len - 7, 1) + 1)) AS p
+        |  FROM d),
+        |b AS (
+        |  SELECT * FROM pos
+        |  WHERE p = 1 OR
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(substring(text, CAST(p AS INTEGER), 8)),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (4 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 32 = 0),
+        |c AS (
+        |  SELECT source,
+        |    substring(text, CAST(p AS INTEGER),
+        |      CAST(coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+        |                    len + 1) - p AS INTEGER)) AS chunk
+        |  FROM b),
+        |h AS (SELECT source, md5(chunk) AS ch,
+        |        CAST(length(chunk) AS BIGINT) AS clen FROM c),
+        |g AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(max(clen) AS BIGINT) AS clen
+        |      FROM h GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(n * clen) AS BIGINT) AS bytes_total,
+        |  CAST(sum(clen) AS BIGINT) AS bytes_unique,
+        |  ((CAST(sum(n * clen) AS BIGINT) - CAST(sum(clen) AS BIGINT))
+        |    * 1000000) // CAST(sum(n * clen) AS BIGINT) AS dup_ratio_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // HRW replay: identical md5 hex-string argmax (h DESC, sh DESC =
+    // Spark's max(struct)) at k=32 and k=33, occupancy and movers.
+    "q263_rendezvous_shards" ->
+      """WITH hh AS (
+        |  SELECT doc_id, s.sh,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.sh AS VARCHAR))
+        |      AS h
+        |  FROM documents, (SELECT unnest(range(0, 33)) AS sh) s),
+        |a32 AS (
+        |  SELECT doc_id, sh AS s32 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, sh DESC) AS rn
+        |    FROM hh WHERE sh < 32) WHERE rn = 1),
+        |a33 AS (
+        |  SELECT doc_id, sh AS s33 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, sh DESC) AS rn
+        |    FROM hh) WHERE rn = 1),
+        |j AS (
+        |  SELECT a32.doc_id, s32, s33
+        |  FROM a32 JOIN a33 ON a32.doc_id = a33.doc_id),
+        |occ AS (
+        |  SELECT CAST(min(c) AS BIGINT) AS occ_min,
+        |    CAST(max(c) AS BIGINT) AS occ_max,
+        |    CAST(count(*) AS BIGINT) AS n_shards
+        |  FROM (SELECT s32, count(*) AS c FROM j GROUP BY s32)),
+        |mv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN s33 <> s32 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_moved
+        |  FROM j)
+        |SELECT n_docs, n_shards, occ_min, occ_max, n_moved,
+        |  (n_moved * 1000000) // n_docs AS moved_ppm
+        |FROM mv CROSS JOIN occ ORDER BY n_docs""".stripMargin,
+
+    // Card replay: same non-empty token counts, cell censuses and
+    // floor shares.
+    "q306_dataset_card" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM cells)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  n_tokens // n_docs AS mean_tokens_floor,
+        |  (n_tokens * 1000000) // tt AS token_share_ppm
+        |FROM cells CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+
+    // Diversity replay: same per-source word counts and ratios.
+    "q298_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+        |    AS ttr_ppm,
+        |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS hapax_ppm
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Perplexity-filter replay: the q252 bigram construction split on
+    // doc parity — counts from the even half, LEFT joins + coalesce(0)
+    // for unseen odd-half bigrams, the SHARED floored nano-nat term,
+    // integer threshold and keep census.
+    "q291_perplexity_filter" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, source, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS i
+        |  FROM tt),
+        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
+        |seqd AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, source, doc_id % 2 AS par, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+        |  FROM seqd),
+        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |tr AS (SELECT * FROM b2 WHERE par = 0),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM tr GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |       FROM tr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |       FROM tok WHERE doc_id % 2 = 0),
+        |thr AS (
+        |  SELECT (-sum(CAST(floor(1000000000.0 *
+        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
+        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS thr_nano
+        |  FROM tr b
+        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  LEFT JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv),
+        |docs AS (
+        |  SELECT b.doc_id, b.source,
+        |    (-sum(CAST(floor(1000000000.0 *
+        |      ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) / CAST(coalesce(c1, 0) + v AS DOUBLE)))
+        |      AS BIGINT))) // CAST(count(*) AS BIGINT) AS doc_nll
+        |  FROM b2 b
+        |  LEFT JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  LEFT JOIN cx ON cx.w1 = b.w1
+        |  CROSS JOIN vv
+        |  WHERE b.par = 1
+        |  GROUP BY b.doc_id, b.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(max(thr_nano) AS BIGINT) AS thr_nano,
+        |  (CAST(sum(CASE WHEN doc_nll <= thr_nano THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM docs CROSS JOIN thr
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Pad-waste replay: same non-empty token counts, bit-length
+    // buckets, exact padded-slot arithmetic.
+    "q294_pad_waste" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |lz AS (SELECT n FROM lens WHERE n > 0),
+        |b AS (
+        |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |    CAST(max(n) AS BIGINT) AS max_tokens
+        |  FROM lz GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens, max_tokens,
+        |  n_docs * max_tokens - sum_tokens AS pad_tokens,
+        |  ((n_docs * max_tokens - sum_tokens) * 1000000)
+        |    // (n_docs * max_tokens) AS waste_ppm
+        |FROM b ORDER BY bucket""".stripMargin,
+  )
+}

@@ -1,0 +1,940 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextStats}
+import graft.tables.Tables
+import TextQueries.{Stopwords, LangProfiles, simhashCompCtes, bm25Ctes}
+
+/** Document DEDUP queries: exact/fingerprint dedup, MinHash-LSH /
+  * SimHash / containment / edit-distance near-dup, dup components,
+  * decontamination, dup-span stats + span/boilerplate cutting,
+  * corpus novelty, dataset fingerprints, greedy coverage.
+  *
+  * Split from the single TextQueries object (r16 maintainability pass):
+  * entries and oracle SQL are byte-identical and compose back into the
+  * driver map through [[TextQueries]].
+  */
+object TextDedupQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // Near-dup pair matrix WITHIN vs ACROSS sources — the dedup
+    // diagnostic that tells you whether duplication is intra-source
+    // boilerplate or cross-source syndication (they need different
+    // fixes). MinHash-LSH pair set (q31's verified path) joined to
+    // each side's source, counted per ordered source pair.
+    "q162_dup_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+                 greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
+    // Exact dedup stats per source (hash-groupBy family).
+    "q25_exact_dedup_docs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("text").as("n_unique_texts"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_unique_texts"))
+        .orderBy("source")),
+
+    // Content fingerprint (md5 — portable, verifiable cross-engine).
+    "q26_fingerprint_md5" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"),
+                col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs within source,
+    // via the posting-list join (work scales with co-occurring
+    // shingles, not document pairs); q31 is the LSH path that also
+    // drops the per-group restriction.
+    "q27_ngram_jaccard_neardup" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", k = 3, threshold = 0.5)
+        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "source", "jaccard")
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // MinHash+LSH near-dup detection (scale path). Verified candidates
+    // at jaccard>=0.5 coincide with the exact global pair set on this
+    // data, so the oracle is the exact pairwise computation.
+    "q31_minhash_lsh_neardup" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Portable 32-bit SimHash signatures (md5-bit construction).
+    "q32_simhash" -> ((s, d) =>
+      Dedup.withSimHash(Tables.documents(s, d), "text")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs (hamming <= 3) through the pigeonhole
+    // banding on the 64-BIT signature: 4 bands of 16 bits — a pair
+    // within distance 3 MUST collide in some band, so the banded join
+    // is EXACTLY the all-pairs result the oracle recomputes (no
+    // probabilistic recall caveat, unlike MinHash/hyperplane LSH).
+    // 16-bit bands put the unrelated-pair collision floor at ~4*2^-16
+    // per pair, 256x below round 3's 32-bit/8-bit configuration (the
+    // verdict's flagged corpus-scale cost cliff).
+    "q59_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3, bits = 64)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
+
+    // Dup-cluster connected components: q59's near-dup PAIRS are not
+    // transitive (hamming <= 3 can chain A~B~C with A,C at distance
+    // 6), so corpus curation needs the components of the pair graph —
+    // one keep-lowest-id representative per cluster. The operator is
+    // iterative min-label propagation (one equi-join + min aggregate
+    // per sweep, sweeps = cluster diameter); the oracle recomputes
+    // the same components with a recursive transitive closure over
+    // the identical 64-bit simhash pair set.
+    "q64_dup_components" -> ((s, d) => {
+      val pairs = Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
+
+    // Dup-cluster CANONICALIZATION — the step after q64's component
+    // discovery that actually fixes the corpus: per near-dup cluster,
+    // keep the best representative (longest text, doc_id tie-break)
+    // and account for what the collapse drops. One window over the
+    // component-joined members; at scale the cost is the CC itself
+    // (adaptive, see Dedup.connectedComponents) — the canonical pick
+    // adds a single component-keyed exchange.
+    "q146_dup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      val members = Dedup.connectedComponents(pairs)
+        .join(docs.select("doc_id", "n_chars"), col("id") === col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+      members.withColumn("__rn", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+             sum("n_chars").as("total_chars"),
+             max(when(col("__rn") === 1, col("doc_id"))).as("canonical_id"),
+             max(when(col("__rn") === 1, col("n_chars"))).as("kept_chars"))
+        .orderBy("component")
+    }),
+
+    // Train-benchmark n-gram decontamination: src0 documents play the
+    // benchmark/eval suite, everything else is the training corpus; a
+    // (train, bench) pair is contaminated when it shares >= 2 distinct
+    // RARE word trigrams (bench document frequency <= 3 — the
+    // stop-shingle guard; this corpus's ~30-word vocabulary makes
+    // common trigrams ubiquitous, and an unguarded cross-corpus join
+    // is quadratic in corpus growth). Posting-list join across the
+    // two corpora — the benchmark side broadcasts, the training side
+    // never shuffles.
+    "q65_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramContamination(
+          train = docs.filter(col("source") =!= "src0"),
+          bench = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", k = 3, minShared = 2,
+          maxBenchDf = 3L)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // Substring-level duplication stats (TextStats.withDupSpanStats):
+    // a token position is duplicated when its 5-gram occurs >= 2
+    // times corpus-wide — the exact-substring dedup signal. Ratios
+    // stay unrounded for the <= 0.5 gate (the q58 rule); only the
+    // aggregate average rounds.
+    "q78_dup_span_stats" -> ((s, d) =>
+      graft.ext.TextStats.withDupSpanStats(Tables.documents(s, d),
+          "doc_id", "text", k = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_positions").cast("long").as("total_positions"),
+             sum("n_dup_positions").cast("long").as("dup_positions"),
+             round(avg("dup_span_ratio"), 6).as("avg_dup_ratio"),
+             sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")),
+
+    // Exact-substring span CUTTING (TextStats.cutDupSpans): every
+    // non-first occurrence of a corpus-duplicated 5-gram marks its
+    // token span; spans merge and the text is rebuilt without them.
+    // The oracle replays the span arithmetic: first occurrence via
+    // row_number over (doc_id, pos), coverage via a range join,
+    // merged-span count via a lag island scan. count(DISTINCT md5)
+    // pins the rebuilt text content, not just its lengths.
+    "q79_cut_dup_spans" -> ((s, d) =>
+      graft.ext.TextStats.cutDupSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+             sum(col("n_cut_spans").cast("long")).as("total_spans"),
+             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
+             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
+             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
+        .orderBy("source")),
+
+    // Cross-document boilerplate REMOVAL (TextStats.cutBoilerplate) —
+    // the rewrite sibling of q289's census: every position whose
+    // 8-gram appears in >= 2 distinct documents is template text and
+    // is cut EVERYWHERE (no surviving first copy — unlike q79's dedup
+    // cut, boilerplate is noise in every document). Spans merge, the
+    // text rebuilds through the same native CutTokenSpans, and the
+    // per-source audit uses q79's exact column set so the two rewrites
+    // read side by side. The oracle replays the span arithmetic with
+    // doc-frequency marking (count(DISTINCT doc_id) per gram) in place
+    // of q79's row_number first-copy selection.
+    "q307_cut_boilerplate" -> ((s, d) =>
+      graft.ext.TextStats.cutBoilerplate(Tables.documents(s, d),
+          "doc_id", "text", k = 8, minDocFrequency = 2L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n_tokens_removed") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+             sum(col("n_cut_spans").cast("long")).as("total_spans"),
+             sum(col("n_tokens_removed").cast("long")).as("total_removed"),
+             sum(length(col("text_cut"))).cast("long").as("total_chars_after"),
+             countDistinct(md5(col("text_cut"))).as("n_distinct_cut"))
+        .orderBy("source")),
+
+    // Incremental dedup of a delta shard against a frozen corpus
+    // (Dedup.dedupAgainstCorpus): docs with doc_id % 5 == 0 play the
+    // new crawl, the rest the immutable corpus whose only retained
+    // state is its distinct md5 fingerprints. Corpus copies lose,
+    // intra-batch dups keep the lowest id.
+    "q76_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusHashes = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      // production shape: the bloom sidecar is built WITH the corpus
+      // state (eager, once per increment) and prefilters the delta so
+      // mostly-novel rows bypass the anti-join shuffle; no false
+      // negatives, so the result is bit-identical to the plain path
+      val sidecar = graft.ext.Dedup.corpusHashBloom(corpusHashes)
+      graft.ext.Dedup.dedupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", corpusHashes, bloom = Some(sidecar))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+             countDistinct("content_hash").as("n_hashes"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
+    // Incremental NEAR-dup dedup (Dedup.nearDupAgainstCorpus): docs
+    // with doc_id % 5 == 0 play the crawl delta; the frozen corpus
+    // retains only its 64-bit SimHash signatures as state. Delta docs
+    // within hamming <= 3 of ANY corpus signature drop; survivors
+    // return with their own signatures (the state delta). Exact
+    // pigeonhole banding, so the oracle is the all-pairs comparison.
+    "q82_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSigs = Dedup.withSimHash64(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text")
+        .select("simhash")
+      Dedup.nearDupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", corpusSigs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+             countDistinct("simhash").as("n_sigs"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }),
+
+    // Edit-distance-verified near-dup (Dedup.editVerifiedNearDups):
+    // LSH candidates -> exact Jaccard >= 0.5 -> levenshtein <= 5, the
+    // order-sensitive confirmation gate. As with q31, verified LSH
+    // candidates coincide with the exact global pair set on this
+    // data, so the oracle is the all-pairs computation with both
+    // predicates (edit distances here run 4-8; maxEdits=5 really
+    // filters).
+    "q88_editdist_neardup" -> ((s, d) =>
+      Dedup.editVerifiedNearDups(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.5, maxEdits = 5)
+        .orderBy("id_a", "id_b")),
+
+    // Asymmetric containment near-dup (Dedup.exactContainmentPairs):
+    // catches the quote-expansion duplicate Jaccard (q27) misses — a
+    // short doc embedded in a longer one scores cont_a 1.0 but
+    // Jaccard |A|/|B|. Same posting-list join shape as q27.
+    "q108_containment_neardup" -> ((s, d) =>
+      Dedup.exactContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "source", k = 3, threshold = 0.6)
+        .withColumnsRenamed(Map("id_a" -> "doc_id_a", "id_b" -> "doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "source", "cont_a", "cont_b")
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // Corpus NOVELTY rate — "is the new crawl worth ingesting?": the
+    // share of the new half's distinct 8-grams unseen in the old half
+    // (doc_id parity stands in for crawl generations). This is the
+    // dedup family's ACQUISITION dial: q65 decontaminates against a
+    // benchmark, q78 measures internal duplication; novelty prices
+    // NEW data before it's paid for. Distinct-gram frames bound
+    // everything (never positional rows); the old side joins
+    // left-anti. Gram STRINGS here (exact, oracle-replayable); at
+    // 100 TB the 8-byte xxhash64 gram key (the q78 hashGramKey rule)
+    // halves the shuffle width with ~n²/2⁶⁵ collision odds.
+    "q273_corpus_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.GraftFunctions.wordShinglesAll(
+            s, col("text"), 8)).as("g"))
+      val old = grams.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select("g").distinct()
+      val nw = graft.ops.Staging.stage(
+        grams.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select("source", "g").distinct())
+      val novel = nw.join(old, Seq("g"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      nw.groupBy("source").agg(count(lit(1)).as("n_new_grams"))
+        .join(novel, Seq("source"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .select(col("source"), col("n_new_grams"), col("n_novel"),
+          expr("(n_novel * 1000000) div n_new_grams").as("novelty_ppm"))
+        .orderBy("source")
+    }),
+
+    // Cross-document BOILERPLATE census — the C4/RefinedWeb cleaning
+    // dial q78 measures within documents applied ACROSS them: an
+    // 8-gram appearing in ≥2 distinct documents is shared template
+    // text (headers, footers, licence blocks), and a source whose
+    // occurrence mass is template-heavy gets cleaned or downweighted
+    // before training. Per source: distinct (doc, gram) occurrences,
+    // how many ride a cross-document gram, ratio in floor-ppm.
+    // Distinct-gram frames bound everything; the doc-frequency frame
+    // is vocabulary-sized and joins back on the gram key (at 100 TB
+    // the xxhash64 gram key halves shuffle width, the q78 rule).
+    "q289_boilerplate_ngrams" -> ((s, d) => {
+      val grams = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.GraftFunctions.wordShinglesAll(
+              s, col("text"), 8)).as("g"))
+          .distinct())
+      val df2 = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2).select("g")
+      val boiler = grams.join(df2, Seq("g"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_boiler"))
+      grams.groupBy("source").agg(count(lit(1)).as("n_doc_grams"))
+        .join(boiler, Seq("source"), "left")
+        .na.fill(0L, Seq("n_boiler"))
+        .select(col("source"), col("n_doc_grams"), col("n_boiler"),
+          expr("(n_boiler * 1000000) div n_doc_grams")
+            .as("boiler_ppm"))
+        .orderBy("source")
+    }),
+
+    // Greedy max-coverage document selection (the facility-location /
+    // coreset step of data curation, Nemhauser et al. 1978: greedy is
+    // (1−1/e)-optimal for monotone submodular coverage): pick 3
+    // documents, each maximizing the count of distinct 8-grams NOT
+    // covered by the picks so far — "which few documents teach the
+    // most new text". Ties toward the lower doc_id. Each step is one
+    // anti-join + aggregate over the STAGED distinct-gram frame with
+    // the picked ids as literals (k tiny 1-row collects — the
+    // ivfCentroids driver-seed discipline); the oracle unrolls the
+    // same three steps.
+    "q290_greedy_coverage" -> ((s, d) => {
+      import s.implicits._
+      val grams = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.wordShinglesAll(
+              s, col("text"), 8)).as("g"))
+          .distinct())
+      var picked = Seq.empty[Long]
+      var rows = Seq.empty[(Long, Long, Long, Long)]
+      var covered = 0L
+      var exhausted = false
+      for (t <- 1 to 3 if !exhausted) {
+        val remaining =
+          if (picked.isEmpty) grams
+          else grams.filter(!col("doc_id").isin(picked: _*))
+            .join(grams.filter(col("doc_id").isin(picked: _*))
+                    .select("g").distinct(),
+                  Seq("g"), "left_anti")
+        // headOption, not head: when coverage is exhausted (fewer than
+        // 3 gram-bearing docs, or the picks already cover every gram)
+        // the oracle's later step CTEs are simply empty — emit fewer
+        // rows, never crash the run on an empty argmax
+        remaining.groupBy("doc_id")
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect().headOption match {
+          case Some(r) =>
+            val (id, gain) = (r.getLong(0), r.getLong(1))
+            picked :+= id
+            covered += gain
+            rows :+= ((t.toLong, id, gain, covered))
+          case None => exhausted = true
+        }
+      }
+      rows.toDF("step", "doc_id", "gain", "covered_total")
+        .orderBy("step")
+    }),
+
+    // Order-invariant dataset fingerprint per source — the
+    // reproducibility checksum a pipeline publishes with every
+    // release ("did ANY row change?"): sum of per-row md5-prefix
+    // integers, which no partitioning, shuffle order or split can
+    // perturb, and which is ADDITIVE — fingerprint(A ∪ B) =
+    // fingerprint(A) + fingerprint(B) for disjoint halves, so
+    // incremental ingestion updates the ledger without rescanning
+    // (the additive_ok column PROVES the property on the parity
+    // halves in-query). Per-row terms are < 2^32, so the sums are
+    // bounded by n_docs*2^32 — BIGINT-safe up to ~2^31 docs per
+    // source; both engines emit BIGINT so the driver hash sees one
+    // type (r14 lesson: DECIMAL(38,0) vs HUGEINT hash-diverged even
+    // with identical values). Interior sums still ride decimal(38,0)
+    // so the cast is the only narrowing. One aggregate, map-side
+    // combined.
+    "q275_dataset_fingerprint" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("source"), pmod(col("doc_id"), lit(2L)).as("par"),
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "'|', text)), 1, 8), 16, 10) AS DECIMAL(38,0))").as("rh"))
+      val zero = lit(0).cast("decimal(38,0)")
+      h.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("rh").cast("long").as("fp"),
+             sum(when(col("par") === 0, col("rh")).otherwise(zero))
+               .cast("long").as("fp_even"),
+             sum(when(col("par") === 1, col("rh")).otherwise(zero))
+               .cast("long").as("fp_odd"))
+        .withColumn("additive_ok",
+          col("fp_even") + col("fp_odd") === col("fp"))
+        .orderBy("source")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Source-matrix replay: q31's exact Jaccard>=0.5 pair set (the
+    // LSH path has deterministic full recall at these parameters)
+    // joined to each side's source.
+    "q162_dup_source_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles)
+        |     - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+        |j AS (
+        |  SELECT least(da.source, db.source) AS source_lo,
+        |         greatest(da.source, db.source) AS source_hi
+        |  FROM p JOIN documents da ON p.id_a = da.doc_id
+        |         JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q25_exact_dedup_docs" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique_texts,
+        | count(*) - count(DISTINCT text) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q26_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fingerprint, n_chars FROM documents ORDER BY doc_id",
+
+    "q27_ngram_jaccard_neardup" ->
+      """WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // Oracle for the LSH pipeline: the exact global near-dup pair set
+    // (LSH with these parameters has deterministic full recall at 0.5
+    // on this data — verified candidates equal the exact pair set).
+    "q31_minhash_lsh_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_simhash" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 33) r(i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle is the ALL-PAIRS hamming computation over the 64-BIT
+    // signature — the pigeonhole banding must reproduce it exactly.
+    // Layout (mirrors the native SimHash(…, 64)): position i in
+    // [1,32] votes on md5 hex digit i's HIGH bit (digit in 8..f);
+    // position i in [33,64] votes on digit (i-32)'s SECOND bit (digit
+    // in 4-7 or c-f). Each 32-bit half is assembled as a separate
+    // BIGINT (weight 2^(32-i) within the half, matching Spark's
+    // per-word conv(substr, 2, 10)); hamming = sum of per-half xor
+    // popcounts. Halves avoid 64-bit assembly entirely: power(2,63)
+    // sums lose exactness in DOUBLE and overflow signed BIGINT.
+    "q59_simhash_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Transitive closure over the q59 pair set (same 64-bit SimHash
+    // recomputation), then component = min reachable id. The
+    // recursive CTE is the oracle-side answer to what the engine
+    // computes with distributed min-label propagation.
+    "q64_dup_components" -> (simhashCompCtes +
+      "\nSELECT component, count(*) AS n_members, max(id) AS max_id" +
+      "\nFROM comp GROUP BY component ORDER BY component"),
+
+    // Canonicalization replay: q64's component pyramid + the
+    // (n_chars DESC, doc_id) argmax per component.
+    "q146_dup_canonical" -> (simhashCompCtes +
+      """,
+        |m AS (
+        |  SELECT c.component, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM comp c JOIN documents d ON c.id = d.doc_id)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+        |FROM m GROUP BY component ORDER BY component""".stripMargin),
+
+    // Same 3-gram construction as q27's oracle, joined ACROSS the
+    // train/bench split through the same rare-shingle guard: bench
+    // shingles with document frequency > 3 never join, and n_shared
+    // counts the surviving shared shingles.
+    "q65_decontamination" ->
+      """WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+         |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS s
+         |       FROM sh WHERE source = 'src0'),
+         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM bp GROUP BY s)
+         |         WHERE df <= 3),
+         |tp AS (SELECT doc_id AS train_id, unnest(shingles) AS s
+         |       FROM sh WHERE source <> 'src0')
+         |SELECT tp.train_id, bp.bench_id, count(*) AS n_shared
+         |FROM tp JOIN rare USING (s) JOIN bp USING (s)
+         |GROUP BY tp.train_id, bp.bench_id
+         |HAVING count(*) >= 2
+         |ORDER BY train_id, bench_id""".stripMargin,
+
+    // All-position 5-grams via list slicing, global occurrence counts,
+    // per-doc duplicated-position counts; the ratio CASE guards
+    // too-short docs exactly like the operator's when().
+    "q78_dup_span_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(n - 4, 0) + 1),
+        |    i -> array_to_string(tk[i : i + 4], ' '))) AS gram
+        |  FROM t),
+        |oc AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+        |  WHERE c >= 2),
+        |d AS (
+        |  SELECT doc_id, count(*) AS ndup FROM g JOIN oc USING (gram) GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, greatest(t.n - 4, 0) AS npos,
+        |    coalesce(d.ndup, 0) AS ndup
+        |  FROM t LEFT JOIN d USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(npos) AS BIGINT) AS total_positions,
+        |  CAST(sum(ndup) AS BIGINT) AS dup_positions,
+        |  round(avg(CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END), 6) AS avg_dup_ratio,
+        |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Span-cutting replay: all-position 5-grams with positions via
+    // unnest(range(...)) (the LIST range; the table function can't
+    // take lateral column refs), non-first duplicate occurrences via
+    // row_number (rn >= 2 iff the gram occurs >= 2 times and this is
+    // not its (doc_id, pos)-minimal copy — exactly the operator's
+    // min(struct) selection at minOccurrences = 2), token coverage via
+    // a BETWEEN join, rebuilt text via ordered string_agg over the
+    // uncovered tokens, and merged spans as lag-islands (new span when
+    // the start gap exceeds k = 5).
+    "q79_cut_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 4, 0) + 1)) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 4], ' ') AS gram
+        |  FROM gi),
+        |cuts AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE rn >= 2),
+        |wi AS (
+        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
+        |tok AS (
+        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.ti
+        |  FROM tok w JOIN cuts c
+        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 4),
+        |reb AS (
+        |  SELECT w.doc_id,
+        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
+        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
+        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
+        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
+        |  GROUP BY w.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 5) AS n_spans
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cuts)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
+        |    coalesce(sp.n_spans, 0) AS n_spans
+        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
+        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
+        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // q79's template with doc-frequency marking: a position is cut
+    // when its 8-gram occurs in >= 2 DISTINCT documents (no
+    // first-copy survivor), coverage via a BETWEEN join, merged
+    // spans as lag-islands (new span when the start gap exceeds k=8).
+    "q307_cut_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(n - 7, 0) + 1)) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i : i + 7], ' ') AS gram
+        |  FROM gi),
+        |b AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |  WHERE df >= 2),
+        |cuts AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)),
+        |wi AS (
+        |  SELECT doc_id, tk, unnest(range(1, n + 1)) AS ti FROM t),
+        |tok AS (
+        |  SELECT doc_id, ti, tk[ti] AS tok FROM wi),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.ti
+        |  FROM tok w JOIN cuts c
+        |    ON w.doc_id = c.doc_id AND w.ti BETWEEN c.pos AND c.pos + 7),
+        |reb AS (
+        |  SELECT w.doc_id,
+        |    coalesce(string_agg(w.tok, ' ' ORDER BY w.ti)
+        |               FILTER (WHERE cov.ti IS NULL), '') AS text_cut,
+        |    count(*) FILTER (WHERE cov.ti IS NOT NULL) AS n_removed
+        |  FROM tok w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.ti = cov.ti
+        |  GROUP BY w.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE prev IS NULL OR pos - prev > 8) AS n_spans
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cuts)
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT t.doc_id, t.source, reb.text_cut, reb.n_removed,
+        |    coalesce(sp.n_spans, 0) AS n_spans
+        |  FROM t JOIN reb USING (doc_id) LEFT JOIN sp USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+        |  CAST(sum(n_removed) AS BIGINT) AS total_removed,
+        |  CAST(sum(length(text_cut)) AS BIGINT) AS total_chars_after,
+        |  count(DISTINCT md5(text_cut)) AS n_distinct_cut
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Anti-join on the same md5 fingerprints, then min-id-per-hash via
+    // a join back (mirrors the operator's two-step representative
+    // selection exactly).
+    "q76_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+        |delta AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+        |fresh AS (
+        |  SELECT * FROM delta WHERE h NOT IN (SELECT h FROM corpus)),
+        |keep AS (
+        |  SELECT f.* FROM fresh f
+        |  JOIN (SELECT h, min(doc_id) AS m FROM fresh GROUP BY h) r
+        |    ON f.h = r.h AND f.doc_id = r.m)
+        |SELECT source, count(*) AS n_new, count(DISTINCT h) AS n_hashes,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+
+    // q59's signature construction (hi/lo 32-bit halves of the md5-bit
+    // SimHash64), then the all-pairs NOT EXISTS the exact pigeonhole
+    // banding must reproduce: a delta doc survives iff no corpus doc
+    // is within hamming 3.
+    "q82_incremental_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN i <= 32
+        |             THEN CASE WHEN substr(md5(t.tok), i, 1) IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |             ELSE CASE WHEN substr(md5(t.tok), i - 32, 1) IN ('4','5','6','7','c','d','e','f')
+        |                       THEN 1 ELSE -1 END
+        |        END) AS vote
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 AND i <= 32 THEN power(2, 32 - i) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN vote > 0 AND i > 32 THEN power(2, 64 - i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |delta AS (
+        |  SELECT s.doc_id, d.source, s.hi, s.lo
+        |  FROM sh s JOIN documents d USING (doc_id) WHERE d.doc_id % 5 = 0),
+        |keep AS (
+        |  SELECT * FROM delta s WHERE NOT EXISTS (
+        |    SELECT 1 FROM sh c WHERE c.doc_id % 5 <> 0
+        |      AND bit_count(xor(s.hi, c.hi)) + bit_count(xor(s.lo, c.lo)) <= 3))
+        |SELECT source, count(*) AS n_new,
+        |  count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)) AS n_sigs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+
+    // The jaccard gate is MATERIALIZED before levenshtein touches
+    // anything: leaving both predicates in one WHERE lets the planner
+    // evaluate O(len^2) levenshtein on all O(n^2) pairs (observed: the
+    // sf0.1 check ran unbounded), instead of on the ~25 survivors.
+    "q88_editdist_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+        |SELECT id_a, id_b, jaccard,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+        |FROM cand
+        |WHERE levenshtein(ta, tb) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q27's shingle construction, asymmetric normalization: each
+    // side's containment divides the intersection by ITS OWN shingle
+    // count; a pair survives when either direction reaches 0.6.
+    "q108_containment_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.source,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(a.shingles) AS ca,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(b.shingles) AS cbb
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT doc_id_a, doc_id_b, source,
+        |  round(ca, 6) AS cont_a, round(cbb, 6) AS cont_b
+        |FROM p WHERE greatest(ca, cbb) >= 0.6
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // Novelty replay: the q78 token-slice gram construction at k=8,
+    // parity halves, distinct frames and the left-anti novel set.
+    "q273_corpus_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |old AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |nw AS (SELECT DISTINCT source, gram FROM g WHERE doc_id % 2 = 1),
+        |novel AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM nw ANTI JOIN old USING (gram)
+        |  GROUP BY source)
+        |SELECT nn.source, CAST(count(*) AS BIGINT) AS n_new_grams,
+        |  CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) AS n_novel,
+        |  (CAST(coalesce(any_value(novel.n_novel), 0) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+        |FROM nw nn LEFT JOIN novel ON nn.source = novel.source
+        |GROUP BY nn.source ORDER BY nn.source""".stripMargin,
+
+    // Boilerplate replay: same distinct (doc, gram) frame, ≥2-doc
+    // frequency filter, per-source floor-ppm ratio.
+    "q289_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |df AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |b AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler
+        |  FROM g SEMI JOIN df USING (gram) GROUP BY source)
+        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_doc_grams,
+        |  CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) AS n_boiler,
+        |  (CAST(coalesce(any_value(b.n_boiler), 0) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS boiler_ppm
+        |FROM g LEFT JOIN b ON g.source = b.source
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    // Coverage replay: the same three greedy steps unrolled — each
+    // pick is (gain desc, doc_id) over grams not covered by prior
+    // picks; covered_total accumulates the exact gains.
+    "q290_greedy_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |      i -> array_to_string(tk[i : i + 7], ' '))) AS gram
+        |  FROM t),
+        |p1 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g GROUP BY doc_id
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT gram FROM g
+        |       WHERE doc_id IN (SELECT doc_id FROM p1)),
+        |p2 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g ANTI JOIN c1 USING (gram)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT DISTINCT gram FROM g
+        |       WHERE doc_id IN (SELECT doc_id FROM p1
+        |                        UNION ALL SELECT doc_id FROM p2)),
+        |p3 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM g ANTI JOIN c2 USING (gram)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM p1
+        |                       UNION ALL SELECT doc_id FROM p2)
+        |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+        |u AS (
+        |  SELECT 1 AS step, doc_id, gain FROM p1
+        |  UNION ALL SELECT 2, doc_id, gain FROM p2
+        |  UNION ALL SELECT 3, doc_id, gain FROM p3)
+        |SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+        |  CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+        |FROM u ORDER BY step""".stripMargin,
+
+    // Fingerprint replay: the q142 hex-digit parse of the same 8-char
+    // md5 prefix; sums emitted as BIGINT on both engines (r14: the
+    // HUGEINT/DECIMAL(38,0) split hash-diverged with equal values;
+    // n_docs*2^32 << 2^63 bounds the sums at any test SF), the
+    // additive identity checked in SQL.
+    "q275_dataset_fingerprint" ->
+      """WITH h AS (
+        |  SELECT source, doc_id % 2 AS par,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+        |                       CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE))))
+        |      AS BIGINT) AS rh
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(rh) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT)
+        |    AS fp_even,
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT)
+        |    AS fp_odd,
+        |  CAST(sum(CASE WHEN par = 0 THEN rh ELSE 0 END) AS BIGINT) +
+        |  CAST(sum(CASE WHEN par = 1 THEN rh ELSE 0 END) AS BIGINT) =
+        |  CAST(sum(rh) AS BIGINT) AS additive_ok
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
