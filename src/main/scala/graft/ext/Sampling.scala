@@ -68,6 +68,36 @@ object Sampling {
     df.withColumn(out, expr)
   }
 
+  /** LEAKAGE-SAFE fold split: near-duplicate CLUSTERS are assigned to
+    * folds atomically, so no near-dup pair ever straddles train/test —
+    * the eval-contamination hole a row-hash split ([[withFold]]) leaves
+    * open whenever the corpus still carries near-dups (a test doc's
+    * near-twin in train inflates every eval metric; cf. the
+    * deduplicate-before-split practice in Lee et al. 2022,
+    * arXiv:2107.06499 §6). `pairs` is any near-dup edge list (exact
+    * Jaccard, MinHash-LSH, SimHash — the [[graft.ext.Dedup]]
+    * generators); nodes absent from it are their own singleton
+    * cluster. The fold hash keys on the CLUSTER representative (the
+    * component's min id), so the assignment stays a pure function of
+    * the data with [[withFold]]'s auditability, and docs of one
+    * cluster land together by construction.
+    *
+    * Scale shape: connected components over the edge list (banded
+    * near-dup edges are a sliver of the corpus — see
+    * [[Dedup.connectedComponents]]'s adaptive gate), one left join of
+    * the corpus against the node-sized component table, map-side fold
+    * hash. Adds `cluster` and `fold`. */
+  def leakageSafeFolds(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       folds: Seq[(String, Double)],
+                       salt: String = ""): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+    val clustered = df.join(comp, df(idCol) === comp("id"), "left")
+      .select(df.columns.map(col) :+
+        coalesce(col("component"), df(idCol)).as("cluster"): _*)
+    withFold(clustered, col("cluster"), folds, salt)
+  }
+
   /** Resample a corpus toward a target DOMAIN MIXTURE under a total
     * row budget — the data-mixing step of training-corpus assembly
     * ("30% web, 30% code, 40% books" against whatever the crawl

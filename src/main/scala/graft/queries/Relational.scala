@@ -133,6 +133,13 @@ object Relational {
   }
 
 
+  /** q314's per-customer Theil term in nano-nats, pre-floor — the
+    * share x/mu written as the exact-integer ratio x*n/t, SHARED text
+    * so both engines run the identical IEEE sequence. */
+  private[queries] val TheilTermNano =
+    "1000000000.0 * ((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(t AS DOUBLE)) * " +
+      "ln((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(t AS DOUBLE))"
+
   // Composition of the per-family objects (r16 split — entries are
   // byte-identical to the pre-split single map; the family files own
   // the query bodies, this object owns the helpers they share).

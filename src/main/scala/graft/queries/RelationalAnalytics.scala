@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Kernels
 import graft.tables.Tables
-import Relational.{WoeLn, WoeShare, VolText, PchartP, PchartUcl, PchartLcl,
+import Relational.{TheilTermNano, WoeLn, WoeShare, VolText, PchartP, PchartUcl, PchartLcl,
   ModularityText, AssortText, olsSelect, manifestOracleSql}
 
 /** Business-ANALYTICS / statistics queries: salted aggs + skew joins,
@@ -646,6 +646,62 @@ object RelationalAnalyticsQueries {
     // Emitted as floor micro-cents/day (the q295 rule: a 6dp round at
     // this magnitude would exceed double↔decimal fidelity; floor of
     // an identical double is exact).
+    // Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    // 2006): forecast day t's revenue as day t-7's; the error scale is
+    // the in-sample naive-1 (previous-day) MAE. Both error sums are
+    // exact cents over date-keyed self-joins (a missing calendar day
+    // drops identically on both sides); the one float is the final
+    // shared-text ratio of two integer averages. The lag-1 window runs
+    // over the CALENDAR-DAY frame (the q282 convention), never corpus
+    // rows.
+    "q313_seasonal_naive_mase" -> ((s, d) => {
+      val daily = graft.ops.Staging.stage(
+        Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents")))
+      val wk = daily.join(
+        daily.select(date_add(col("day"), 7).as("day"),
+          col("cents").as("c7")), "day")
+        .agg(count(lit(1)).as("n7"),
+             sum(abs(col("cents") - col("c7"))).as("s7"))
+      val wDay = Window.orderBy("day")
+      val nv = daily
+        .withColumn("prev", lag("cents", 1).over(wDay))
+        .filter(col("prev").isNotNull)
+        .agg(count(lit(1)).as("n1"),
+             sum(abs(col("cents") - col("prev"))).as("s1"))
+      wk.crossJoin(broadcast(nv))
+        .select(col("n7").as("n_eval_days"), col("s7").as("abs_err7_cents"),
+          col("n1").as("n_naive_days"), col("s1").as("abs_err1_cents"),
+          expr("round((CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / " +
+            "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)").as("mase"))
+        .orderBy("n_eval_days")
+    }),
+
+    // Theil inequality index over customer revenue (the entropy
+    // sibling of q182's Gini): T = (1/n) * sum (x/mu) ln(x/mu), with
+    // x/mu written as the exact-integer ratio x*n/t so both engines
+    // run the identical IEEE sequence; per-customer terms floor to
+    // nano-nats and SUM EXACTLY (the q257/q314 floored-integer rule),
+    // so the hash carries no float-summation order sensitivity. The
+    // 1/n normalization stays with the reader (n is a column).
+    "q314_theil_index" -> ((s, d) => {
+      val cust = graft.ops.Staging.stage(
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("x")))
+      val tot = cust.agg(count(lit(1)).as("n"), sum("x").as("t"))
+      cust.crossJoin(broadcast(tot))
+        .groupBy("n", "t")
+        .agg(sum(expr(s"CAST(floor($TheilTermNano) AS BIGINT)"))
+          .as("theil_nano_sum"))
+        .select(col("n").as("n_customers"), col("t").as("total_cents"),
+          col("theil_nano_sum"))
+        .orderBy("n_customers")
+    }),
+
     "q297_theil_sen" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("day"))
@@ -1348,6 +1404,41 @@ object RelationalAnalyticsQueries {
     // Theil–Sen replay: same day indices (row_number over the
     // calendar-bounded day frame ≡ denseIndex), identical slope
     // doubles, interpolated median, floor micro-cents.
+    // Date-keyed self-joins, identical cents, identical shared-text
+    // final ratio.
+    "q313_seasonal_naive_mase" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |wk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n7,
+        |    CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS s7
+        |  FROM daily a JOIN daily b ON a.day = b.day + 7),
+        |nv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(abs(cents - prev)) AS BIGINT) AS s1
+        |  FROM (SELECT cents, lag(cents) OVER (ORDER BY day) AS prev FROM daily)
+        |  WHERE prev IS NOT NULL)
+        |SELECT n7 AS n_eval_days, s7 AS abs_err7_cents,
+        |  n1 AS n_naive_days, s1 AS abs_err1_cents,
+        |  round((CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)) / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS mase
+        |FROM wk CROSS JOIN nv ORDER BY n_eval_days""".stripMargin,
+
+    // Identical shared floored nano-nat term over the same exact
+    // integers.
+    "q314_theil_index" -> (
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t FROM cust)
+        |SELECT n AS n_customers, t AS total_cents,
+        |  CAST(sum(CAST(floor(""".stripMargin + TheilTermNano +
+      """) AS BIGINT)) AS BIGINT) AS theil_nano_sum
+        |FROM cust CROSS JOIN tot GROUP BY n, t ORDER BY n_customers""".stripMargin),
+
     "q297_theil_sen" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

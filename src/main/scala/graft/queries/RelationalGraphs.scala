@@ -331,6 +331,42 @@ object RelationalGraphsQueries {
     // Exact integers out; the oracle recomputes the closure with the
     // q64 recursive-CTE shape over the row-level bit-exact JW pair
     // set — the hash match proves the name-level collapse exact.
+    // Blocking-quality metrics for entity resolution (Christen 2012's
+    // reduction ratio + pairs completeness): blocking on the first
+    // name token, truth = identical full p_name across part keys.
+    // RR = 1 - candidate/total pairs; PC = truth pairs found inside
+    // blocks / all truth pairs — COMPUTED independently on both sides
+    // (equal names share a first token, so the hash pins PC at 1e6
+    // ppm rather than asserting it). All exact integers; pair counts
+    // via c*(c-1)/2 over group sizes, never materialized pairs.
+    "q312_blocking_quality" -> ((s, d) => {
+      val parts = graft.ops.Staging.stage(
+        Tables.part(s, d).select(col("p_partkey"),
+          col("p_name"), substring_index(col("p_name"), " ", 1).as("blk")))
+      val tot = parts.agg(count(lit(1)).as("n_parts"))
+        .select(col("n_parts"),
+          expr("n_parts * (n_parts - 1) div 2").as("total_pairs"))
+      val cand = parts.groupBy("blk").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("candidate_pairs"))
+      val truthAll = parts.groupBy("p_name").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("matches_total"))
+      val truthIn = parts.groupBy("blk", "p_name").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("matches_found"))
+      tot.crossJoin(broadcast(cand)).crossJoin(broadcast(truthAll))
+        .crossJoin(broadcast(truthIn))
+        .select(col("n_parts"), col("total_pairs"), col("candidate_pairs"),
+          expr("((total_pairs - candidate_pairs) * 1000000) div total_pairs")
+            .as("rr_ppm"),
+          col("matches_total"), col("matches_found"),
+          expr("CASE WHEN matches_total = 0 THEN 1000000 " +
+            "ELSE (matches_found * 1000000) div matches_total END")
+            .as("pc_ppm"))
+        .orderBy("n_parts")
+    }),
+
     "q197_entity_resolution" -> ((s, d) => {
       val blockSmall = Tables.part(s, d)
         .filter(substring_index(col("p_name"), " ", 1) === "small")
@@ -678,6 +714,33 @@ object RelationalGraphsQueries {
         |FROM (SELECT src, CAST(count(*) AS BIGINT) AS c
         |      FROM e3 GROUP BY src)
         |GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // Same group-size arithmetic: blocks on the first token, truth on
+    // the full name, found = (block, name) groups.
+    "q312_blocking_quality" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) // 2 AS total_pairs
+        |  FROM p),
+        |cand AS (
+        |  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS candidate_pairs
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM p GROUP BY blk)),
+        |ta AS (
+        |  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS matches_total
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM p GROUP BY p_name)),
+        |ti AS (
+        |  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS matches_found
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM p GROUP BY blk, p_name))
+        |SELECT n_parts, total_pairs, candidate_pairs,
+        |  ((total_pairs - candidate_pairs) * 1000000) // total_pairs AS rr_ppm,
+        |  matches_total, matches_found,
+        |  CASE WHEN matches_total = 0 THEN 1000000
+        |       ELSE (matches_found * 1000000) // matches_total END AS pc_ppm
+        |FROM tot CROSS JOIN cand CROSS JOIN ta CROSS JOIN ti
+        |ORDER BY n_parts""".stripMargin,
 
     "q197_entity_resolution" ->
       """WITH RECURSIVE p AS (

@@ -399,6 +399,33 @@ object TextCurationQueries {
     // function of md5(doc_id || salt) against cumulative thresholds
     // (0.7/0.2/0.1), so membership is stable across runs, engines and
     // corpus growth; the oracle recomputes the identical CASE chain.
+    // Out-of-vocabulary rate against a FROZEN reference vocab — the
+    // tokenizer-coverage audit run before committing a vocab: the
+    // top-500 tokens (count desc, token asc — deterministic at the
+    // cut) of the even-id half play the frozen vocab; the odd-id half
+    // plays new data scored against it. OOV share in floor-ppm per
+    // source (exact integer counts; the vocab broadcast is the only
+    // small side). The oracle replays the rank cut and the anti-join.
+    "q311_oov_rate" -> ((s, d) => {
+      val toks = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok")))
+      val vocab = toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .groupBy("tok").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("tok")).limit(500)
+        .select("tok")
+      toks.filter(pmod(col("doc_id"), lit(2L)) =!= 0L)
+        .join(broadcast(vocab.withColumn("__in", lit(1))),
+          Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+        .orderBy("source")
+    }),
+
     "q66_fold_split" -> ((s, d) =>
       graft.ext.Sampling.withFold(Tables.documents(s, d), col("doc_id"),
           folds = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), salt = "r5")
@@ -1246,6 +1273,24 @@ object TextCurationQueries {
     // = round(f * 2^32) in hex, the Sampling.thresholdHex rule);
     // fixed-width lowercase hex compares lexicographically ==
     // numerically in both engines.
+    // Rank cut replay: row_number over (count DESC, token); the odd
+    // half's tokens anti-join the 500 survivors.
+    "q311_oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |    FROM t WHERE doc_id % 2 = 0 GROUP BY tok) WHERE rn <= 500),
+        |b AS (
+        |  SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN v ON t.tok = v.tok WHERE t.doc_id % 2 <> 0)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(oov) AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
+
     "q66_fold_split" ->
       """WITH s AS (
         |  SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) AS h

@@ -62,6 +62,71 @@ object TextDedupQueries {
     // via the posting-list join (work scales with co-occurring
     // shingles, not document pairs); q31 is the LSH path that also
     // drops the per-group restriction.
+    // LEAKAGE-SAFE fold split (Sampling.leakageSafeFolds): q66's
+    // hash-fold split keyed on the near-dup CLUSTER representative, so
+    // no q27 near-dup pair straddles train/test — the contamination
+    // hole a row split leaves open. n_straddling is COMPUTED (pairs
+    // joined to both ends' folds), not asserted: the hash pins the
+    // guarantee at 0 alongside the per-fold census. The oracle replays
+    // the q27 pairs, the q64 recursive closure, and the q66 md5
+    // thresholds on the cluster key.
+    "q309_leakage_safe_folds" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ops.Staging.stage(
+        Dedup.exactJaccardPairs(docs, "doc_id", "text",
+            groupCol = "source", k = 3, threshold = 0.5)
+          .select("id_a", "id_b"))
+      val folded = graft.ops.Staging.stage(
+        graft.ext.Sampling.leakageSafeFolds(docs, "doc_id", pairs,
+          "id_a", "id_b",
+          Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1), salt = "r16"))
+      val straddle = pairs
+        .join(folded.select(col("doc_id").as("id_a"), col("fold").as("fa")),
+          "id_a")
+        .join(folded.select(col("doc_id").as("id_b"), col("fold").as("fb")),
+          "id_b")
+        .agg(coalesce(sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_straddling"))
+      folded.groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("cluster").as("n_clusters"),
+             min("doc_id").as("min_id"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("fold")
+    }),
+
+    // Quality-aware dedup representative (keep-BEST, not keep-first):
+    // within each q27 near-dup cluster keep the LONGEST copy (ties to
+    // the lower id) — the most-complete-variant rule curation
+    // pipelines use where q76's keep-lowest-id is arbitrary. One
+    // min_by aggregate over the node-sized clustered frame; the
+    // oracle replays the closure and picks rn=1 over
+    // (length DESC, doc_id).
+    "q310_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          groupCol = "source", k = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs)
+      val clustered = graft.ops.Staging.stage(
+        docs.join(comp, docs("doc_id") === comp("id"), "left")
+          .select(col("doc_id"), col("source"), length(col("text")).as("len"),
+            coalesce(col("component"), col("doc_id")).as("cluster")))
+      val keep = clustered.groupBy("cluster")
+        .agg(min_by(col("doc_id"),
+          struct((-col("len")).as("nl"), col("doc_id"))).as("keep_id"))
+      clustered
+        .join(keep, clustered("doc_id") === keep("keep_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("len").cast("long")).as("chars_kept"),
+             min("doc_id").as("min_kept_id"))
+        .join(clustered.groupBy("source").agg(count(lit(1)).as("n_docs")),
+          Seq("source"))
+        .select("source", "n_docs", "n_kept", "chars_kept", "min_kept_id")
+        .orderBy("source")
+    }),
+
     "q27_ngram_jaccard_neardup" -> ((s, d) =>
       Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           groupCol = "source", k = 3, threshold = 0.5)
@@ -457,6 +522,86 @@ object TextDedupQueries {
 
     "q26_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fingerprint, n_chars FROM documents ORDER BY doc_id",
+
+    // q27's pair CTEs + the q64 recursive closure + the q66 md5 fold
+    // thresholds keyed on the cluster representative; the straddle
+    // count joins each pair to both ends' folds.
+    "q309_leakage_safe_folds" ->
+      ("""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |c AS (
+        |  SELECT d.doc_id, d.source, length(d.text) AS len,
+        |    coalesce(comp.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+        |f AS (
+        |  SELECT c.*, CASE WHEN substr(md5(CAST(cluster AS VARCHAR) || 'r16'), 1, 8) < 'b3333333' THEN 'train'
+        |                   WHEN substr(md5(CAST(cluster AS VARCHAR) || 'r16'), 1, 8) < 'e6666666' THEN 'val'
+        |                   ELSE 'test' END AS fold FROM c),
+        |st AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_straddling
+        |  FROM p JOIN f fa ON p.id_a = fa.doc_id JOIN f fb ON p.id_b = fb.doc_id)
+        |SELECT fold, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+        |  min(doc_id) AS min_id, n_straddling
+        |FROM f CROSS JOIN st GROUP BY fold, n_straddling
+        |ORDER BY fold""").stripMargin,
+
+    // Same closure; the representative is rn=1 over
+    // (length DESC, doc_id) per cluster.
+    "q310_dedup_keep_best" ->
+      ("""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |c AS (
+        |  SELECT d.doc_id, d.source, length(d.text) AS len,
+        |    coalesce(comp.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+        |k AS (
+        |  SELECT * FROM (
+        |    SELECT c.*, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY len DESC, doc_id) AS rn FROM c) WHERE rn = 1),
+        |n AS (SELECT source, count(*) AS n_docs FROM c GROUP BY source)
+        |SELECT k.source, n.n_docs, count(*) AS n_kept,
+        |  CAST(sum(len) AS BIGINT) AS chars_kept,
+        |  min(doc_id) AS min_kept_id
+        |FROM k JOIN n ON k.source = n.source
+        |GROUP BY k.source, n.n_docs ORDER BY k.source""").stripMargin,
 
     "q27_ngram_jaccard_neardup" ->
       """WITH sh AS (
