@@ -156,6 +156,39 @@ object EventTimeSeriesQueries {
     // the scanned balances. Balances stay on the 2dp grid; the
     // threshold compares identical doubles on both engines, so the
     // >= boundary is exact.
+    // Burst detection over the hourly event-count series (the
+    // threshold form of Kleinberg 2002's burst states): an hour is
+    // BURSTING when its count more than doubles the trailing-24h
+    // average over a FULL window — the integer cross-multiplied test
+    // c * 24 > 2 * sum24 (no division); consecutive bursting hours
+    // merge into islands via the lag rule. Both windows run over the
+    // hour GRID (calendar-bounded, the q282 convention). Exact
+    // integers throughout.
+    "q318_burst_islands" -> ((s, d) => {
+      val hours = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("h").rangeBetween(-24, -1)
+      val bursts = hours
+        .withColumn("__s24", sum("c").over(w))
+        .withColumn("__n24", count(lit(1)).over(w))
+        .filter(col("__n24") === 24 && col("c") * 24 > col("__s24") * 2)
+      val isl = bursts
+        .withColumn("__prev", lag("h", 1).over(Window.orderBy("h")))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("h") - col("__prev") > 1, 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum("__new").over(
+          Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy("__isl")
+        .agg(count(lit(1)).as("__len"), max("c").as("__peak"))
+        .agg(count(lit(1)).as("n_islands"),
+             coalesce(sum("__len"), lit(0L)).as("n_burst_hours"),
+             coalesce(max("__len"), lit(0L)).as("longest_island"),
+             coalesce(max("__peak"), lit(0L)).as("peak_hour_count"))
+        .orderBy("n_islands")
+    }),
+
     "q158_cusum_drift" -> ((s, d) => {
       val (k, h) = (2.0, 15.0)
       val cs = Kernels.clampedRunningSum(
@@ -637,6 +670,30 @@ object EventTimeSeriesQueries {
     // CUSUM replay: q151's recursive-CTE recurrence over
     // slack-shifted values, carrying the previous balance for the
     // crossing test.
+    // Same integer cross-multiplied burst test and lag-island scan.
+    "q318_burst_islands" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |wn AS (
+        |  SELECT h, c,
+        |    sum(c) OVER (ORDER BY h RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s24,
+        |    count(*) OVER (ORDER BY h RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n24
+        |  FROM h),
+        |b AS (
+        |  SELECT h, c FROM wn WHERE n24 = 24 AND c * 24 > s24 * 2),
+        |i AS (
+        |  SELECT h, c, sum(CASE WHEN prev IS NULL OR h - prev > 1 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM (SELECT h, c, lag(h) OVER (ORDER BY h) AS prev FROM b)),
+        |g AS (
+        |  SELECT isl, count(*) AS len, max(c) AS peak FROM i GROUP BY isl)
+        |SELECT count(*) AS n_islands,
+        |  CAST(coalesce(sum(len), 0) AS BIGINT) AS n_burst_hours,
+        |  CAST(coalesce(max(len), 0) AS BIGINT) AS longest_island,
+        |  CAST(coalesce(max(peak), 0) AS BIGINT) AS peak_hour_count
+        |FROM g ORDER BY n_islands""".stripMargin,
+
     "q158_cusum_drift" ->
       """WITH RECURSIVE s AS (
         |  SELECT user_id, value - 2.0 AS v,

@@ -775,6 +775,31 @@ object EventWindowsQueries {
     // secondary-sort kernel scan. The oracle replays the recurrence
     // as a per-user recursive CTE. Output: top-20 users by session
     // count, exact integer census.
+    // Intra-session DWELL-time histogram over q287's capped sessions:
+    // the gap between consecutive events of one session, bucketed by
+    // power-of-two microsecond ranges via the exact integer bit-length
+    // length(bin(gap)) - 1 (the q286 rule — float log2 flips at
+    // boundaries). The lag window is partitioned per (user, session) —
+    // never a global sort; the oracle replays q287's recursive
+    // recurrence and the same bit-length buckets.
+    "q317_session_dwell_histogram" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+      val sess = Kernels.cappedSessionize(ev, "user_id",
+        Seq("us", "event_id"), "us",
+        24L * 3600 * 1000000, 96L * 3600 * 1000000)
+      val w = Window.partitionBy("user_id", "session_start")
+        .orderBy("us", "event_id")
+      sess.withColumn("__prev", lag("us", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select((col("us") - col("__prev")).as("gap"))
+        .groupBy(expr("length(bin(gap)) - 1").as("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+             min("gap").as("min_gap_us"), max("gap").as("max_gap_us"))
+        .orderBy("bucket")
+    }),
+
     "q287_capped_sessions" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
@@ -1424,6 +1449,33 @@ object EventWindowsQueries {
     // Capped-session replay: the (gap OR span-cap) session-start
     // recurrence as a per-user recursive CTE stepping the
     // (us, event_id) row order — the q278 oracle pattern.
+    // q287's recursive session replay + per-session lag + the exact
+    // bit-length bucket.
+    "q317_session_dwell_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, us, us AS ss FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.event_id, t.rn, t.us,
+        |    CASE WHEN t.us - r.us > 86400000000
+        |           OR t.us - r.ss > 345600000000
+        |         THEN t.us ELSE r.ss END
+        |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1),
+        |g AS (
+        |  SELECT us - lag(us) OVER (PARTITION BY user_id, ss
+        |    ORDER BY us, event_id) AS gap
+        |  FROM r)
+        |SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q287_capped_sessions" ->
       """WITH RECURSIVE t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

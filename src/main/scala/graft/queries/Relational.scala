@@ -140,6 +140,17 @@ object Relational {
     "1000000000.0 * ((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(t AS DOUBLE)) * " +
       "ln((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(t AS DOUBLE))"
 
+  /** q315's shared nano-log terms and slope: unit price = pc/cq from
+    * exact centi-integers; logs floor to nano-units so the moment sums
+    * are exact; the slope divides the exact moments once in double. */
+  private[queries] val ElastLnP =
+    "1000000000.0 * ln(CAST(pc AS DOUBLE) / CAST(cq AS DOUBLE))"
+  private[queries] val ElastLnQ =
+    "1000000000.0 * ln(CAST(cq AS DOUBLE))"
+  private[queries] val ElastSlope =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+
   // Composition of the per-family objects (r16 split — entries are
   // byte-identical to the pre-split single map; the family files own
   // the query bodies, this object owns the helpers they share).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Kernels
 import graft.tables.Tables
-import Relational.{TheilTermNano, WoeLn, WoeShare, VolText, PchartP, PchartUcl, PchartLcl,
+import Relational.{ElastLnP, ElastLnQ, ElastSlope, TheilTermNano, WoeLn, WoeShare, VolText, PchartP, PchartUcl, PchartLcl,
   ModularityText, AssortText, olsSelect, manifestOracleSql}
 
 /** Business-ANALYTICS / statistics queries: salted aggs + skew joins,
@@ -654,6 +654,54 @@ object RelationalAnalyticsQueries {
     // shared-text ratio of two integer averages. The lag-1 window runs
     // over the CALENDAR-DAY frame (the q282 convention), never corpus
     // rows.
+    // Price elasticity of demand: OLS slope of ln(monthly quantity)
+    // on ln(monthly unit price) — the log-log regression whose slope
+    // IS the elasticity. Each month's x/y logs floor to exact
+    // nano-units (the q314 rule), moments sum in decimal(38,0) with
+    // operands cast BEFORE the product (the q295/q300 envelope: nano
+    // logs reach ~25e9, so a Long product would wrap), and the slope
+    // is one shared-text double expression over the exact moments.
+    // Months are calendar-bounded.
+    "q315_price_elasticity" -> ((s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(expr("date_format(l_shipdate, 'yyyy-MM')").as("m"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+               .as("cq"),
+             sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+               .as("pc"))
+        .select(
+          expr(s"CAST(floor($ElastLnP) AS BIGINT)").as("xn"),
+          expr(s"CAST(floor($ElastLnQ) AS BIGINT)").as("yn"))
+      monthly.agg(count(lit(1)).as("n"),
+          sum(col("xn").cast("decimal(38,0)")).as("sx"),
+          sum(col("yn").cast("decimal(38,0)")).as("sy"),
+          sum(col("xn").cast("decimal(38,0)") * col("yn").cast("decimal(38,0)")).as("sxy"),
+          sum(col("xn").cast("decimal(38,0)") * col("xn").cast("decimal(38,0)")).as("sxx"))
+        .selectExpr("n AS n_months", s"round($ElastSlope, 6) AS elasticity")
+        .orderBy("n_months")
+    }),
+
+    // RFM-segment MIGRATION matrix between order-date halves — the
+    // drift view on top of q219's static segmentation: each customer's
+    // frequency segment (1 / 2-3 / 4+ orders) before vs after the
+    // 1995-01-01 pivot; counts per (seg_before, seg_after) over
+    // customers active in BOTH halves. Exact integers, two bounded
+    // aggregates and one node-sized join.
+    "q316_rfm_migration" -> ((s, d) => {
+      def seg(cnt: Column) = when(cnt >= 4, "4+")
+        .when(cnt >= 2, "2-3").otherwise("1")
+      val o = Tables.orders(s, d)
+      val before = o.filter(col("o_orderdate") < lit("1995-01-01"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("cb"))
+      val after = o.filter(col("o_orderdate") >= lit("1995-01-01"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("ca"))
+      before.join(after, "o_custkey")
+        .groupBy(seg(col("cb")).as("seg_before"),
+                 seg(col("ca")).as("seg_after"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("seg_before", "seg_after")
+    }),
+
     "q313_seasonal_naive_mase" -> ((s, d) => {
       val daily = graft.ops.Staging.stage(
         Tables.orders(s, d)
@@ -1406,6 +1454,43 @@ object RelationalAnalyticsQueries {
     // doubles, interpolated median, floor micro-cents.
     // Date-keyed self-joins, identical cents, identical shared-text
     // final ratio.
+    // Identical shared nano-log terms and decimal/HUGEINT moments;
+    // slope text over exact integers.
+    "q315_price_elasticity" -> (
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cq,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (
+        |  SELECT CAST(floor(""".stripMargin + ElastLnP +
+      """) AS BIGINT) AS xn,
+        |    CAST(floor(""".stripMargin + ElastLnQ +
+      """) AS BIGINT) AS yn FROM m),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xn) AS HUGEINT) AS sx, CAST(sum(yn) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(xn AS HUGEINT) * CAST(yn AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(xn AS HUGEINT) * CAST(xn AS HUGEINT)) AS HUGEINT) AS sxx
+        |  FROM pts)
+        |SELECT n AS n_months, round(""".stripMargin + ElastSlope +
+      """, 6) AS elasticity FROM mom ORDER BY n_months""".stripMargin),
+
+    // Same pivot, same frequency buckets.
+    "q316_rfm_migration" ->
+      """WITH b AS (
+        |  SELECT o_custkey, count(*) AS cb FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY o_custkey),
+        |a AS (
+        |  SELECT o_custkey, count(*) AS ca FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY o_custkey)
+        |SELECT
+        |  CASE WHEN cb >= 4 THEN '4+' WHEN cb >= 2 THEN '2-3' ELSE '1' END AS seg_before,
+        |  CASE WHEN ca >= 4 THEN '4+' WHEN ca >= 2 THEN '2-3' ELSE '1' END AS seg_after,
+        |  count(*) AS n_customers
+        |FROM b JOIN a USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY seg_before, seg_after""".stripMargin,
+
     "q313_seasonal_naive_mase" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

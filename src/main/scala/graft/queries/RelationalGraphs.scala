@@ -339,6 +339,41 @@ object RelationalGraphsQueries {
     // (equal names share a first token, so the hash pins PC at 1e6
     // ppm rather than asserting it). All exact integers; pair counts
     // via c*(c-1)/2 over group sizes, never materialized pairs.
+    // Common-neighbor LINK PREDICTION over the customer-supplier
+    // bipartite projection (Liben-Nowell & Kleinberg 2003): supplier
+    // pairs ranked by the Jaccard of their customer sets — "suppliers
+    // serving the same demand", the candidate-edge feature of graph
+    // completion. The pair generator is CAPPED the q247 co-visitation
+    // way: only customers with <= 20 distinct suppliers expand into
+    // pairs (a hot hub would otherwise emit its degree squared), so
+    // co-occurrence counts are over capped customers while the
+    // degrees stay exact — the estimate and its cap are both part of
+    // the contract. Integer jaccard-ppm ordering, no floats.
+    "q320_link_prediction" -> ((s, d) => {
+      val bip = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct())
+      val deg = bip.groupBy("l_suppkey").agg(count(lit(1)).as("dg"))
+      val kept = graft.ops.Staging.stage(
+        bip.join(bip.groupBy("o_custkey").agg(count(lit(1)).as("__cd"))
+                   .filter(col("__cd") <= 20).select("o_custkey"),
+                 Seq("o_custkey"), "left_semi"))
+      val pairs = kept.select(col("o_custkey"), col("l_suppkey").as("sa"))
+        .join(kept.select(col("o_custkey"), col("l_suppkey").as("sb")),
+          "o_custkey")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+      pairs
+        .join(deg.select(col("l_suppkey").as("sa"), col("dg").as("da")), "sa")
+        .join(deg.select(col("l_suppkey").as("sb"), col("dg").as("db")), "sb")
+        .select(col("sa").as("supp_a"), col("sb").as("supp_b"),
+          col("common"), col("da"), col("db"),
+          expr("(common * 1000000) div (da + db - common)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("supp_a"), col("supp_b"))
+        .limit(20)
+    }),
+
     "q312_blocking_quality" -> ((s, d) => {
       val parts = graft.ops.Staging.stage(
         Tables.part(s, d).select(col("p_partkey"),
@@ -717,6 +752,28 @@ object RelationalGraphsQueries {
 
     // Same group-size arithmetic: blocks on the first token, truth on
     // the full name, found = (block, name) groups.
+    // Same capped pair generator and exact-degree Jaccard ppm.
+    "q320_link_prediction" ->
+      """WITH bip AS (
+        |  SELECT DISTINCT o_custkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS dg FROM bip GROUP BY 1),
+        |kept AS (
+        |  SELECT * FROM bip WHERE o_custkey IN (
+        |    SELECT o_custkey FROM bip GROUP BY o_custkey HAVING count(*) <= 20)),
+        |p AS (
+        |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM kept a JOIN kept b
+        |    ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT sa AS supp_a, sb AS supp_b, common, da.dg AS da, db.dg AS db,
+        |  (common * 1000000) // (da.dg + db.dg - common) AS jaccard_ppm
+        |FROM p JOIN deg da ON p.sa = da.l_suppkey
+        |       JOIN deg db ON p.sb = db.l_suppkey
+        |ORDER BY jaccard_ppm DESC, supp_a, supp_b LIMIT 20""".stripMargin,
+
     "q312_blocking_quality" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk

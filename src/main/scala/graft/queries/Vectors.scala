@@ -451,6 +451,29 @@ object VectorQueries {
         .orderBy("method")
     }),
 
+    // ANN recall CURVE — recall@3 of the IVF index tier at
+    // nProbe = 1/2/4/8 against the exact brute-force top-3: the
+    // operating-curve artifact an index deployment reads to pick its
+    // probe budget (q53 pins two methods at one setting; this pins
+    // one method across the dial). The index builds ONCE (centroids +
+    // assignment reused across the four searches). SF-keyed measured
+    // pin, the q53 form.
+    "q319_ann_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = graft.ext.Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      val idx = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+        nCentroids = 16, kmeansSweeps = 2)
+      Seq(1, 2, 4, 8).map { np =>
+        idx.search(qs, "vec_id", "embedding", k = 3, nProbe = np)
+          .select("query_id", "neighbor_id").intersect(exact)
+          .agg(lit(np.toLong).as("n_probe"),
+               round(count(lit(1)) / 30.0, 6).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy("n_probe")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -922,6 +945,21 @@ object VectorQueries {
         |  CAST(CASE n WHEN 6000 THEN 0.733333 WHEN 60000 THEN 0.866667
         |              WHEN 600000 THEN 0.866667 END AS DOUBLE) AS recall
         |FROM sf ORDER BY method""".stripMargin,
+
+    // Same SF-keyed measured-pin form as q53 (DuckDB cannot express
+    // the k-means cells); recall must be NON-DECREASING in nProbe by
+    // construction — visible in the pins.
+    "q319_ann_recall_curve" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+        |  CAST(CASE WHEN sf.n = 6000 THEN p.r1
+        |            WHEN sf.n = 60000 THEN p.r2
+        |            WHEN sf.n = 600000 THEN p.r3 END AS DOUBLE) AS recall
+        |FROM (VALUES (1, 0.833333, 0.9, 0.966667),
+        |             (2, 0.866667, 0.933333, 0.966667),
+        |             (4, 0.9, 1.0, 1.0), (8, 1.0, 1.0, 1.0))
+        |  p(n_probe, r1, r2, r3)
+        |CROSS JOIN sf ORDER BY n_probe""".stripMargin,
 
     // Same SF-keyed measured-pin form as q281; the quantized tier's
     // measured recall EQUALS the float tier's at every SF (the
