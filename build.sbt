@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the FINAL stdout line of `sbt runMain graft.Bench`
+// as JSON. Two pieces of sbt log noise broke that three rounds running
+// (BENCH_r{14,15,16}.json "parsed": null):
+//   1. the default LoggedOutput strategy prefixes every forked-process
+//      line with "[info] "  -> StdoutOutput passes child stdout through
+//      verbatim;
+//   2. sbt appends its own "[success] Total time: ..." epilogue as the
+//      true last line -> showSuccess := false suppresses it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,7 +199,13 @@ object Bench {
     // can parse the total even when the 300-query map is cut. The full
     // artifact stays in the files above.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"run_totals":$runTotals$filtered,"sf":${jstr(sfDir)},"full_artifact":${jstr(repoCopy)}}"""
-    println(summary)
+    // stop() BEFORE the summary so nothing Spark emits at shutdown can
+    // land after it; build.sbt's StdoutOutput fork strategy +
+    // showSuccess := false then leave this bare JSON as the process's
+    // true final stdout line (the r14-r16 "parsed": null root cause was
+    // sbt's "[info] " prefix + "[success] Total time" epilogue).
     spark.stop()
+    println(summary)
+    System.out.flush()
   }
 }
