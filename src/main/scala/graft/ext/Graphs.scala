@@ -492,22 +492,30 @@ object Graphs {
     // CC-sweep idiom) bound the plan; superseded checkpoints are
     // dropped once the successor exists. Since r16 the cadence is TWO
     // sweeps per checkpoint (r15 verdict): the pair's intermediate
-    // rank frame is STAGED (persist — materializes inside the pair's
-    // pin job, no extra scheduler job, partitioning visible because
-    // the pin runs non-AQE), so its two consumers still evaluate it
-    // once, and half the pin jobs disappear. init itself is NOT
+    // rank frame is sealed with a repartition(n, node) exchange
+    // (foldPinned), so its consumers share one exchange subtree that
+    // ReuseExchange collapses — the sweep is computed once, read from
+    // shuffle files by every consumer, and half the pin jobs
+    // disappear. init itself is NOT
     // pinned any more: it is a map-side projection of the pinned
     // nodesF, so re-evaluating it costs a checkpoint scan — the r14
     // shape paid a whole checkpoint job to avoid that scan.
     def sweep(prS: DataFrame): DataFrame = {
-      // the one per-sweep broadcast scalar: D is a plain
-      // filter-aggregate over the rank frame (the static __dang flag
-      // replaces the per-sweep anti-join and its nested outdeg
-      // broadcast; N is a driver literal since r13). The addends of D
-      // are the same pr values the anti-join summed, so every IEEE
-      // value (and the oracle replay) is bit-identical.
-      val consts = prS.filter(col("__dang"))
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      // the one per-sweep broadcast scalar: D is a conditional
+      // aggregate over the UNFILTERED rank frame (the static __dang
+      // flag replaces the per-sweep anti-join and its nested outdeg
+      // broadcast; N is a driver literal since r13). sum(when(dang,
+      // pr)) — not filter(dang).agg(sum(pr)) — because Catalyst
+      // pushes a filter below foldPinned's repartition seal, giving
+      // this branch a DIFFERENT exchange child than the mass join's
+      // and defeating ReuseExchange (the intra-chunk sweep would be
+      // recomputed once per consumer, r16 advice). sum() skips nulls,
+      // so the addend sequence is the same pr values the filter
+      // summed — every IEEE value (and the oracle replay) is
+      // bit-identical.
+      val consts = prS
+        .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
+          .as("__dm"))
       nodesF.join(
           adj.join(prS, col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),

@@ -91,10 +91,20 @@ object Sampling {
                        aCol: String, bCol: String,
                        folds: Seq[(String, Double)],
                        salt: String = ""): DataFrame = {
+    // cluster/fold are this operator's outputs; an input frame already
+    // carrying them would be silently shadowed (cutBoilerplate's
+    // reserved-column contract, r16 advice). The component frame's own
+    // id/component columns are renamed to __-temporaries before the
+    // join so an input column named id or component cannot make the
+    // unqualified select below AMBIGUOUS_REFERENCE.
+    val clash = Seq("cluster", "fold").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"leakageSafeFolds reserves output columns ${clash.mkString(", ")} — rename them upstream")
     val comp = Dedup.connectedComponents(pairs, aCol, bCol)
-    val clustered = df.join(comp, df(idCol) === comp("id"), "left")
-      .select(df.columns.map(col) :+
-        coalesce(col("component"), df(idCol)).as("cluster"): _*)
+      .select(col("id").as("__lsf_id"), col("component").as("__lsf_comp"))
+    val clustered = df.join(comp, df(idCol) === col("__lsf_id"), "left")
+      .select(df.columns.map(df(_)) :+
+        coalesce(col("__lsf_comp"), df(idCol)).as("cluster"): _*)
     withFold(clustered, col("cluster"), folds, salt)
   }
 

@@ -82,7 +82,22 @@ case class GraftPinScanExec(
   override def outputOrdering: Seq[SortOrder] = Nil
   override def inputRDD: RDD[InternalRow] = rdd
   override protected val createUnsafeProjection: Boolean = false
-  protected override def doExecute(): RDD[InternalRow] = rdd
+
+  // UI/metrics parity with the RDDScanExec path this node replaced
+  // (r16 advice): InputRDDCodegen emits the increment in generated
+  // code for any node whose metrics map carries "numOutputRows", so
+  // the codegen path is covered by the declaration alone; the
+  // interpreted path counts through a map pass.
+  override lazy val metrics: Map[String, metric.SQLMetric] = Map(
+    "numOutputRows" ->
+      metric.SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    rdd.mapPartitionsWithIndexInternal { (_, iter) =>
+      iter.map { r => numOutputRows += 1; r }
+    }
+  }
 
   override def doCanonicalize(): SparkPlan =
     GraftPinScanExec(

@@ -424,6 +424,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeFolds: survives id/component input columns, rejects reserved outputs") {
+    val folds = Seq("train" -> 0.8, "test" -> 0.2)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // input columns named id/component used to make the unqualified
+    // post-join select AMBIGUOUS_REFERENCE (r16 advice) — the
+    // component frame's columns are now renamed before the join
+    val docs = Seq((1L, "x", 9L), (2L, "x", 8L), (3L, "y", 7L),
+                   (4L, "y", 6L)).toDF("id", "text", "component")
+    val out = graft.ext.Sampling.leakageSafeFolds(
+      docs, "id", pairs, "a", "b", folds, salt = "r17")
+    assert(out.columns.toSeq ==
+      Seq("id", "text", "component", "cluster", "fold"))
+    // the caller's component column rides through untouched
+    assert(out.filter($"id" === 4L).select("component").head.getLong(0) == 6L)
+    // cluster atomicity: 1,2,3 share one near-dup cluster => one fold
+    assert(out.filter($"id".isin(1L, 2L, 3L))
+      .select("fold").distinct().count() == 1)
+    // reserved outputs refused, mirroring cutBoilerplate's contract
+    for (bad <- Seq("cluster", "fold")) {
+      intercept[IllegalArgumentException] {
+        graft.ext.Sampling.leakageSafeFolds(
+          docs.withColumn(bad, lit("x")), "id", pairs, "a", "b", folds)
+      }
+    }
+  }
+
   test("connectedComponents: min-label propagation over chains, singleton default") {
     // chain 1-2-3-4-5 exercises multi-sweep propagation (min label
     // crosses one hop per sweep); {10,11} a separate 2-clique

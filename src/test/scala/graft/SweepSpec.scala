@@ -27,6 +27,20 @@ class SweepSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("pin scan reports numOutputRows (UI-metric parity with RDDScanExec, r16 advice)") {
+    val df = (1 to 250).map(i => (i % 10L, i.toLong)).toDF("k", "v")
+    val pinned = graft.ops.Sweep.pin(df, "k")
+    // a bare count() is agg-planned; force the scan itself to emit all
+    // rows so the leaf's metric observes 250
+    assert(pinned.collect().length == 250)
+    val scans = pinned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.GraftPinScanExec => s
+    }
+    assert(scans.nonEmpty, "plan should root at GraftPinScanExec")
+    assert(scans.head.metrics("numOutputRows").value == 250L)
+    graft.ops.Staging.releaseAll()
+  }
+
   test("two pinned frames join with ZERO exchanges; an unpinned checkpoint needs one") {
     val a = graft.ops.Sweep.pin(
       (1 to 300).map(i => (i % 30L, i.toLong)).toDF("k", "va"), "k")
