@@ -474,6 +474,49 @@ object VectorQueries {
       }.reduce(_.unionByName(_)).orderBy("n_probe")
     }),
 
+    // Streaming-ingested ANN index (Streams.annAppendStream): the
+    // micro-batch twin of IvfIndex.append driven END-TO-END — build a
+    // labeled index over the even-id half, stream the odd-id half in
+    // as two micro-batches (foreachBatch -> the batch append operator
+    // at frozen centroids, replay-guarded by per-batch commit
+    // markers), then run the filtered search over the loaded result.
+    // At exhaustive probes the cell routing is a no-op, so the
+    // stream-fed index's search must equal the exact filteredTopK
+    // over the FULL corpus — q268's oracle text verbatim (shared
+    // below): the stream ingest is invisible to correctness, which is
+    // precisely the contract. The driver-side collect is the TEST
+    // source shape only (MemoryStream); production ingest reads
+    // Kafka/files and rows never visit the driver.
+    "q321_ann_stream_append" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q321ivf").toString
+      graft.ext.IvfIndex.buildLabeled(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", "label",
+          nCentroids = 8, kmeansSweeps = 2)
+        .save(dir)
+      val delta = emb.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+        .select("vec_id", "embedding", "label")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      implicit val sc = s.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float], Int)]
+      val q = graft.streaming.Streams.annAppendStream(
+        stream.toDF().toDF("vec_id", "embedding", "label"), dir,
+        "vec_id", "embedding", Some("label"))
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      stream.addData(b1.toIndexedSeq)
+      stream.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      graft.ext.IvfIndex.load(s, dir)
+        .searchFiltered(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 3, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -505,6 +548,32 @@ object VectorQueries {
         .orderBy("n_buckets")
     }),
   )
+
+  /** Shared by q268 (exact filteredTopK) and q321 (the same search
+    * served by the stream-appended IVF index at exhaustive probes —
+    * the ingest path must be result-invisible, so the oracle is ONE
+    * text): q34's exact-cosine construction with the label-equality
+    * pre-filter in the pair join. */
+  private val FilteredAnnOracleSql =
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, label, vec,
+      |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+      |      / (q.nrm * t.nrm) AS sim
+      |  FROM m q, m t
+      |  WHERE q.vec_id < 5 AND t.label = q.label
+      |    AND t.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rnk
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** q269's per-bucket PSI contribution in nano-nats, pre-floor —
     * Laplace(+1)-smoothed shares from exact integer counts, SHARED
@@ -913,26 +982,12 @@ object VectorQueries {
 
     // Filtered-search replay: q34's exact-cosine construction with
     // the label-equality pre-filter in the pair join.
-    "q268_filtered_ann" ->
-      """WITH n AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |  FROM embeddings),
-        |m AS (
-        |  SELECT vec_id, label, vec,
-        |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
-        |p AS (
-        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
-        |      / (q.nrm * t.nrm) AS sim
-        |  FROM m q, m t
-        |  WHERE q.vec_id < 5 AND t.label = q.label
-        |    AND t.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rnk
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
-        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q268_filtered_ann" -> FilteredAnnOracleSql,
+
+    // The stream-appended index searched at exhaustive probes IS the
+    // exact filtered top-k over the full corpus — q268's oracle text
+    // verbatim (the ingest path must be invisible to correctness).
+    "q321_ann_stream_append" -> FilteredAnnOracleSql,
 
     // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
     // express the k-means cells): recall@3 of the labeled-index

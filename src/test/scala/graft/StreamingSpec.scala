@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
+import graft.ext.Similarity
 
 // Top-level: Catalyst's deserializer codegen cannot instantiate a
 // spec-inner case class through a streaming plan's re-analysis.
 case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
 case class EvJ(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
+case class VecRow(vec_id: Long, embedding: Seq[Float], label: Int)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -711,5 +713,63 @@ class StreamingSpec extends AnyFunSuite {
       "24 must start a new session (span cap), despite the sub-gap step")
     assert(streamed(("a", 6L)) == 24L, "32 joins the capped session")
     assert(streamed(("a", 8L)) == 60L, "idle gap starts the third session")
+  }
+
+  test("annAppendStream: stream-appended labeled quantized index ≡ batch append; replayed batch is a no-op") {
+    implicit val sc = spark.sqlContext
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2rows = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+      .collect().map(r => VecRow(r.getLong(0),
+        r.getSeq[Float](r.fieldIndex("embedding")), r.getInt(2)))
+    // same labeled QUANTIZED base index saved twice: one copy fed by
+    // the stream, one by the batch operator with the same rows
+    val idx = graft.ext.IvfIndex.buildLabeled(half1, "vec_id", "embedding",
+      "label", nCentroids = 8, kmeansSweeps = 2)
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfstr").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("ivfbat").toString
+    idx.saveQuantized(streamDir)
+    idx.saveQuantized(batchDir)
+    // two micro-batches through the streaming twin
+    val (b1, b2) = half2rows.splitAt(half2rows.length / 2)
+    val stream = MemoryStream[VecRow]
+    val q = Streams.annAppendStream(stream.toDF(), streamDir,
+      "vec_id", "embedding", labelCol = Some("label"))
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    // one batch append of the same rows
+    graft.ext.IvfIndex.append(spark, batchDir,
+      half2rows.toIndexedSeq.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", labelCol = Some("label"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val qs = emb.filter($"vec_id" < 5)
+    val viaStream = graft.ext.IvfIndex.load(spark, streamDir)
+      .searchFilteredQuantized(qs, emb, "vec_id", "embedding", "label",
+        k = 3, nProbe = 8)
+    val viaBatch = graft.ext.IvfIndex.load(spark, batchDir)
+      .searchFilteredQuantized(qs, emb, "vec_id", "embedding", "label",
+        k = 3, nProbe = 8)
+    assert(rows(viaStream) == rows(viaBatch),
+      "stream-appended index must search identically to batch-appended")
+    // and at exhaustive probes + corpus-sized rerank the quantized
+    // tier reduces to the exact filtered tier over the FULL corpus
+    // (delta fully visible, nothing duplicated)
+    assert(rows(graft.ext.IvfIndex.load(spark, streamDir)
+        .searchFilteredQuantized(qs, emb, "vec_id", "embedding", "label",
+          k = 3, nProbe = 8, rerankFactor = 1000)) ==
+      rows(Similarity.filteredTopK(emb, qs, "vec_id", "embedding", "label", k = 3)))
+    // replay safety: re-delivering a committed batchId must not
+    // duplicate rows (the _stream_commits marker skips it)
+    val before = spark.read.parquet(s"$streamDir/corpus").count()
+    val stream2 = MemoryStream[VecRow]
+    val q2 = Streams.annAppendStream(stream2.toDF(), streamDir,
+      "vec_id", "embedding", labelCol = Some("label"))
+    stream2.addData(b1.toIndexedSeq) // fresh query restarts at batchId 0 — already committed
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$streamDir/corpus").count() == before,
+      "replayed batch id must be a no-op")
   }
 }
