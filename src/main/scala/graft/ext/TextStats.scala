@@ -380,4 +380,59 @@ object TextStats {
             (col("c_x").cast("double") * col("c_y").cast("double"))))
       .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi")
   }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme, public
+    * literature): k-token grams at every position, and each sliding
+    * window of `w` consecutive gram positions selects its MIN-hash
+    * gram (rightmost on hash ties — the paper's robust tie rule). The
+    * selection guarantee: any shared token run of length >= w + k - 1
+    * between two documents yields at least one shared selected
+    * fingerprint, while expected density is only ~2/(w+1) of
+    * positions — the property that makes cross-doc overlap detection
+    * work on a SAMPLE of grams instead of all of them.
+    *
+    * Hash order is md5 hex — engine-portable (the oracle replays the
+    * identical selection), uniform enough for the density bound. The
+    * window min rides ONE string key `md5(gram) || zero-padded
+    * (1e8 - pos)`: lexicographic min of that key IS (min hash,
+    * rightmost pos), so both engines express the whole selection as a
+    * plain frame-min — no argmin plumbing, no tie re-derivation.
+    * Positions must stay below 1e8 for the 9-digit pad (any real
+    * document is orders of magnitude under).
+    *
+    * Returns one row per distinct fingerprint: all input columns
+    * except the text, plus (fp_pos, fp_hash). Scale shape: gram
+    * build + window min are per-document (one exchange on the id;
+    * the window frame is w rows inside a doc partition), the distinct
+    * is fingerprint-sized (~2/(w+1) of token positions), and the text
+    * column never leaves the gram-build scan. Docs with fewer than
+    * k + w - 1 tokens have no full window and yield no fingerprints
+    * (the paper's domain; census callers count them separately). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+    val keep = df.columns.filter(c => c != textCol).toSeq
+    val t = df
+      .withColumn("__tk", split(col(textCol), " "))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") >= k) // sequence(1, n-k+1) must ascend
+    val g = t.select(
+        keep.map(col) :+ posexplode(expr(
+          s"transform(sequence(1, __n - ${k - 1}), i -> concat_ws(' ', slice(__tk, i, $k)))"))
+          .as(Seq("__p0", "__gram")): _*)
+      .withColumn("__pos", col("__p0") + 1)
+    val winFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos").rowsBetween(-(w - 1), 0)
+    g.withColumn("__key",
+        concat(md5(col("__gram")),
+          lpad((lit(100000000L) - col("__pos")).cast("string"), 9, "0")))
+      .withColumn("__mk", min(col("__key")).over(winFrame))
+      .filter(col("__pos") >= w) // full windows only
+      .select(keep.map(col) :+
+        (lit(100000000L) - substring(col("__mk"), 33, 9).cast("long"))
+          .as("fp_pos") :+
+        substring(col("__mk"), 1, 32).as("fp_hash"): _*)
+      .distinct()
+  }
 }

@@ -416,6 +416,68 @@ object Kernels {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Croston's method (Croston 1972 — the intermittent-demand
+    * forecasting standard) per series: two exponential smoothers, one
+    * over the NONZERO demand sizes, one over the inter-demand
+    * intervals, stepped only on demand periods; the per-period
+    * forecast is size/interval. State machine per (ordered) series
+    * row:
+    *   - first nonzero y: size = y, interval = rn (gap from series
+    *     start — the classic init), remember rn
+    *   - later nonzero y: size' = a*y + (1-a)*size,
+    *     interval' = a*(rn - lastRn) + (1-a)*interval
+    *   - zero y: carry (outputs repeat the last state)
+    * Outputs are NULL before the first demand (no state exists yet).
+    * Same secondary-sort scan shape as [[holtLinear]]: series count
+    * scales out, each series is one constant-memory pass, and the
+    * oracle replays the identical op order as a recursive CTE
+    * (interpolate `alpha` and `1 - alpha` VERBATIM into its text so
+    * both engines smooth with the same doubles). */
+  def crostonForecast(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                      valueCol: String, alpha: Double): DataFrame = {
+    val b = 1 - alpha
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("demand_level",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("interval_level",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("forecast",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var rn = 0L
+        var seen = false
+        var z = 0.0
+        var p = 0.0
+        var lastRn = 0L
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; rn = 0L; seen = false
+          }
+          rn += 1
+          val y = r.getDouble(valIdx)
+          if (y > 0.0) {
+            if (!seen) { z = y; p = rn.toDouble; seen = true }
+            else {
+              z = alpha * y + b * z
+              p = alpha * (rn - lastRn).toDouble + b * p
+            }
+            lastRn = rn
+          }
+          val out: Seq[Any] =
+            if (seen) Seq(z, p, z / p) else Seq(null, null, null)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ out)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.

@@ -141,6 +141,51 @@ object EventStatsQueries {
         .orderBy("duration_days")
     }),
 
+    // Nelson-Aalen cumulative hazard — q181's estimator twin (Aalen
+    // 1978; the sum form H(t) = Σ d/n where KM is the product form),
+    // preferred when hazard INCREMENTS are the object of interest and
+    // the basis of the Fleming-Harrington survival estimate. Same
+    // per-user duration/censoring construction and risk-set window as
+    // q181; the curve is an ORDERED cumulative sum of d/n terms plus
+    // the Σ d/n² variance numerator, both emitted as floored
+    // nano-units (each term identical IEEE on both engines, summed in
+    // the same duration order — no rounding boundary to sit on).
+    "q324_nelson_aalen" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val perUser = Tables.events(s, d)
+        .withColumn("__rn", row_number().over(wu))
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+               .as("dur"),
+             max(when(col("__rn") === 1, col("event_type"))).as("__last"))
+      val byDur = graft.ops.Staging.stage(
+        perUser.groupBy("dur")
+          .agg(count(lit(1)).as("n_exit"),
+               sum(when(col("__last") === "purchase", 1L).otherwise(0L))
+                 .as("d_events")))
+      val tot = byDur.agg(sum("n_exit").as("__tot"))
+      val wPrev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk",
+          col("__tot") - coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+        .withColumn("__h",
+          col("d_events").cast("double") / col("n_at_risk").cast("double"))
+        .withColumn("__v",
+          col("d_events").cast("double") /
+            (col("n_at_risk").cast("double") * col("n_at_risk").cast("double")))
+        .select(col("dur").as("duration_days"), col("n_at_risk"),
+          col("d_events"), col("n_exit"),
+          floor(sum(col("__h")).over(wCur) * 1e9).cast("long")
+            .as("hazard_nano"),
+          floor(sum(col("__v")).over(wCur) * 1e9).cast("long")
+            .as("var_nano"))
+        .orderBy("duration_days")
+    }),
+
     // Purged temporal split — the leakage-safe backtest partition for
     // time-coupled data (financial ML's "purged k-fold" boundary
     // rule): train strictly before the cut minus a 2-day embargo,
@@ -827,6 +872,43 @@ object EventStatsQueries {
         |       ELSE round(exp(sum(f) OVER (ORDER BY dur
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
         |  END AS survival
+        |FROM ff ORDER BY duration_days""".stripMargin,
+
+    // Nelson-Aalen replay: q181's per-user/risk-set construction with
+    // the ordered cumulative d/n (and d/n^2 variance) sums in floored
+    // nano-units.
+    "q324_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS dur,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  GROUP BY user_id),
+        |bd AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_exit,
+        |         CAST(sum(CASE WHEN last_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS d_events
+        |       FROM pu GROUP BY dur),
+        |t AS (SELECT CAST(sum(n_exit) AS BIGINT) AS tot FROM bd),
+        |cc AS (SELECT bd.*,
+        |         CAST(tot - coalesce(sum(n_exit) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_at_risk
+        |       FROM bd, t),
+        |ff AS (SELECT *,
+        |         CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS h,
+        |         CAST(d_events AS DOUBLE) /
+        |           (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)) AS v
+        |       FROM cc)
+        |SELECT dur AS duration_days, n_at_risk, d_events, n_exit,
+        |  CAST(floor(sum(h) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e9)
+        |    AS BIGINT) AS hazard_nano,
+        |  CAST(floor(sum(v) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e9)
+        |    AS BIGINT) AS var_nano
         |FROM ff ORDER BY duration_days""".stripMargin,
 
     "q187_purged_split" ->

@@ -533,6 +533,44 @@ object EventTimeSeriesQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Croston's method (Kernels.crostonForecast — Croston 1972) over
+    // each user's daily purchase-cents series, zero-filled on the
+    // observed-day grid: the INTERMITTENT-demand forecaster (size
+    // smoother stepped only on demand days, interval smoother over
+    // the gaps, forecast = size/interval) that q139/q231's dense
+    // smoothers mis-serve when most periods are zero. Exact integer
+    // cents seed the doubles; alpha and 1-alpha are interpolated
+    // VERBATIM into the oracle's recursive CTE so both engines smooth
+    // with identical doubles; per-user final state only (1500 rows at
+    // sf0.1, the series themselves stay distributed — series count
+    // scales out, each is one constant-memory pass).
+    "q326_croston_intermittent" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val users = ev.select("user_id").distinct()
+      val dem = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("__c"))
+      val grid = graft.ops.Staging.stage(
+        users.crossJoin(broadcast(days))
+          .join(dem, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("__c"), lit(0L)).cast("double").as("y")))
+      val wU = Window.partitionBy("user_id").orderBy(col("day").desc)
+      graft.ops.Kernels.crostonForecast(grid, "user_id", Seq("day"), "y",
+          alpha = 0.1)
+        .withColumn("__rn", row_number().over(wU))
+        .filter(col("__rn") === 1)
+        .join(grid.filter(col("y") > 0).groupBy("user_id")
+          .agg(count(lit(1)).as("__nz")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("__nz"), lit(0L)).as("demand_days"),
+          round(col("demand_level"), 6).as("demand_level"),
+          round(col("interval_level"), 6).as("interval_level"),
+          round(col("forecast"), 6).as("croston_forecast"))
+        .orderBy("user_id")
+    }),
+
     // Lagged cross-correlation between two daily series — click
     // activity (counts) leading purchase revenue (cents) by 0..7
     // days: the lead-lag diagnostic behind "does engagement predict
@@ -1057,6 +1095,56 @@ object EventTimeSeriesQueries {
         |  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
         |SELECT event_type, day, round(l, 6) AS level, round(b, 6) AS trend
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // Croston replay: the state machine as a recursive CTE stepping
+    // rn -> rn+1 per user over the same zero-filled grid; the
+    // smoothing constants are the Scala doubles interpolated verbatim
+    // (1 - alpha is NOT retyped as 0.9 — it is whatever double the
+    // kernel computed).
+    "q326_croston_intermittent" ->
+      s"""WITH RECURSIVE days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |dem AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT u.user_id, d.day, CAST(coalesce(dem.c, 0) AS DOUBLE) AS y
+        |  FROM users u CROSS JOIN days d
+        |  LEFT JOIN dem ON dem.user_id = u.user_id AND dem.day = d.day),
+        |s AS (SELECT user_id, day, y,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM g),
+        |nn AS (SELECT max(rn) AS nmax FROM s),
+        |r AS (
+        |  SELECT user_id, rn, y > 0.0 AS seen,
+        |    CASE WHEN y > 0.0 THEN y END AS z,
+        |    CASE WHEN y > 0.0 THEN CAST(rn AS DOUBLE) END AS p,
+        |    CASE WHEN y > 0.0 THEN rn END AS ld
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    r.seen OR s.y > 0.0,
+        |    CASE WHEN s.y > 0.0 AND NOT r.seen THEN s.y
+        |         WHEN s.y > 0.0 THEN ${0.1} * s.y + ${1 - 0.1} * r.z
+        |         ELSE r.z END,
+        |    CASE WHEN s.y > 0.0 AND NOT r.seen THEN CAST(s.rn AS DOUBLE)
+        |         WHEN s.y > 0.0
+        |           THEN ${0.1} * CAST(s.rn - r.ld AS DOUBLE) + ${1 - 0.1} * r.p
+        |         ELSE r.p END,
+        |    CASE WHEN s.y > 0.0 THEN s.rn ELSE r.ld END
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+        |fin AS (SELECT r.* FROM r, nn WHERE r.rn = nn.nmax),
+        |nz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS demand_days
+        |       FROM g WHERE y > 0 GROUP BY user_id)
+        |SELECT f.user_id,
+        |  coalesce(nz.demand_days, 0) AS demand_days,
+        |  round(f.z, 6) AS demand_level,
+        |  round(f.p, 6) AS interval_level,
+        |  round(f.z / f.p, 6) AS croston_forecast
+        |FROM fin f LEFT JOIN nz USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // Cross-correlation replay: integer epoch-day keys, the same
     // 8-row lag frame (range()), HUGEINT sums mirroring the

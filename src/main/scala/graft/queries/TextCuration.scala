@@ -794,6 +794,31 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // Readability census per source — Flesch reading ease (Flesch
+    // 1948, the standard document-quality dial next to q28's Gopher
+    // rules) computed corpus-level from summed INTEGER counts: words
+    // = non-space runs, syllables = the vowel-group heuristic
+    // ([aeiouy]+ runs — the classic approximation), sentences =
+    // terminal punctuation with a max(1, ·) per-doc fallback (the
+    // fragment convention — this synthetic corpus carries none, so
+    // the fallback is load-bearing and tested). The score itself is
+    // the SHARED floored-milli expression over those integers, so
+    // both engines run one IEEE sequence. One map-side scan, a
+    // source-sized aggregate.
+    "q323_readability" -> ((s, d) => {
+      Tables.documents(s, d).select(col("source"),
+          expr("CAST(regexp_count(text, '\\\\S+') AS BIGINT)").as("w"),
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)").as("syl"),
+          expr("CAST(greatest(1, regexp_count(text, '[.!?]')) AS BIGINT)").as("st"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+             sum("syl").as("syllables"), sum("st").as("sentences"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("syllables"), col("sentences"),
+          expr(FleschMilli).as("flesch_milli"))
+        .orderBy("source")
+    }),
+
     // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
     // corpus NLL implies): train the +1-smoothed bigram LM on the
     // even-doc half, score each odd-half document's per-bigram NLL,
@@ -878,7 +903,37 @@ object TextCurationQueries {
     }),
   )
 
+  /** q323's corpus-level Flesch reading ease in floored milli-units —
+    * SHARED text over the summed integer count columns (words,
+    * syllables, sentences), so Spark and the oracle run the identical
+    * IEEE sequence. Every literal is CAST(... AS DOUBLE): Spark would
+    * otherwise parse 206.835 / 1000.0 as DECIMAL (the q293 rule), and
+    * decimal arithmetic quantizes where DuckDB's double does not. */
+  private val FleschMilli =
+    "CAST(floor(CAST(1000 AS DOUBLE) * (CAST(206.835 AS DOUBLE) " +
+      "- CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) " +
+      "- CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    // Readability replay: identical integer counts (non-space runs,
+    // vowel-group runs, max(1, terminal punctuation)), then the SHARED
+    // floored-milli Flesch expression over the per-source sums.
+    "q323_readability" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS st
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(syl) AS BIGINT) AS syllables,
+        |    CAST(sum(st) AS BIGINT) AS sentences
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, words, syllables, sentences,
+        |  $FleschMilli AS flesch_milli
+        |FROM a ORDER BY source""".stripMargin,
     // Hashed-classifier replay: per-token weight = (first-8-hex-digit
     // md5 value mod 1001) - 500 via the established digit-sum
     // hex-to-int replay (q107's pattern; 8 digits < 2^32 so the

@@ -238,6 +238,46 @@ object TextDedupQueries {
              sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
         .orderBy("source")),
 
+    // WINNOWING fingerprint census (TextStats.winnowFingerprints —
+    // Schleimer et al. 2003, the MOSS scheme): k=4-token grams, each
+    // sliding window of w=4 gram positions selects its min-md5 gram
+    // (rightmost on ties), giving ~2/(w+1) density with the guarantee
+    // that any shared run of >= w+k-1 tokens between two docs shares
+    // a fingerprint. Census per source: docs, full windows,
+    // fingerprints selected, floor-ppm density, and docs FLAGGED by a
+    // fingerprint selected in >= 2 distinct docs — the overlap signal
+    // the scheme exists to surface at a sample's cost. All-integer
+    // outputs; the selection itself replays exactly in the oracle via
+    // the shared md5||reversed-pos min-key.
+    "q325_winnow_fingerprints" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = graft.ops.Staging.stage(
+        graft.ext.TextStats.winnowFingerprints(
+          docs.select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text", k = 4, w = 4))
+      val shared = fps.groupBy("fp_hash")
+        .agg(countDistinct("doc_id").as("__nd")).filter(col("__nd") >= 2)
+      val flagged = fps.join(shared, "fp_hash")
+        .select("doc_id", "source").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_docs_flagged"))
+      val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+      val base = docs
+        .select(col("source"), size(split(col("text"), " ")).as("__n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(greatest(col("__n") - 6, lit(0))).cast("long")
+               .as("n_windows"))
+      base.join(perSrc, Seq("source"), "left")
+        .join(flagged, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          expr("CASE WHEN n_windows > 0 THEN " +
+            "(coalesce(n_fps, CAST(0 AS BIGINT)) * 1000000) div n_windows " +
+            "ELSE CAST(0 AS BIGINT) END").as("density_ppm"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+        .orderBy("source")
+    }),
+
     // Exact-substring span CUTTING (TextStats.cutDupSpans): every
     // non-first occurrence of a corpus-duplicated 5-gram marks its
     // token span; spans merge and the text is rebuilt without them.
@@ -756,6 +796,59 @@ object TextDedupQueries {
         |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Winnowing replay: identical 4-gram build, the identical
+    // md5||zero-padded-(1e8-pos) min-key over the same 4-position
+    // frame (lexicographic min == (min hash, rightmost pos)), same
+    // full-window gate and distinct — then the integer census.
+    "q325_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, tk,
+        |    unnest(range(1, greatest(n - 3, 0) + 1)) AS pos
+        |  FROM t),
+        |keyed AS (
+        |  SELECT doc_id, source, pos,
+        |    md5(array_to_string(tk[pos : pos + 3], ' ')) ||
+        |      lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    100000000 - CAST(substr(mk, 33, 9) AS BIGINT) AS fp_pos,
+        |    substr(mk, 1, 32) AS fp_hash
+        |  FROM (
+        |    SELECT doc_id, source, pos,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |    FROM keyed)
+        |  WHERE pos >= 4),
+        |sh AS (
+        |  SELECT fp_hash FROM (
+        |    SELECT fp_hash, count(DISTINCT doc_id) AS c
+        |    FROM sel GROUP BY 1) WHERE c >= 2),
+        |fl AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_flagged
+        |  FROM (SELECT DISTINCT doc_id, source FROM sel
+        |        JOIN sh USING (fp_hash))
+        |  GROUP BY source),
+        |fp AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_fps
+        |  FROM sel GROUP BY source),
+        |b AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(greatest(n - 6, 0)) AS BIGINT) AS n_windows
+        |  FROM t GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_windows,
+        |  coalesce(fp.n_fps, 0) AS n_fps,
+        |  CAST(CASE WHEN b.n_windows > 0
+        |    THEN (coalesce(fp.n_fps, 0) * 1000000) // b.n_windows
+        |    ELSE 0 END AS BIGINT) AS density_ppm,
+        |  coalesce(fl.n_docs_flagged, 0) AS n_docs_flagged
+        |FROM b LEFT JOIN fp USING (source) LEFT JOIN fl USING (source)
+        |ORDER BY source""".stripMargin,
 
     // Span-cutting replay: all-position 5-grams with positions via
     // unnest(range(...)) (the LIST range; the table function can't

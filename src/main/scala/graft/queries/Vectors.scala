@@ -517,6 +517,25 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Planar GRID RANGE JOIN (Spatial.gridRangeJoin): all vector
+    // pairs within L2 distance 0.02 in the first-two-dims projection
+    // plane — the spatial self-join class (proximity blocking,
+    // geo-style neighbor search) done the way it scales: points hash
+    // to r-sized integer grid cells, candidates are same-or-adjacent
+    // cell pairs via the 4-offset half-plane explode (never 9x, never
+    // all-pairs), and only those pay the exact distance test. The
+    // oracle is the O(n^2) all-pairs filter — exact equality, since
+    // the grid changes WHICH pairs are tested, never the test itself.
+    "q322_grid_range_join" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("px"),
+        element_at(col("embedding"), 2).cast("double").as("py"))
+      graft.ext.Spatial.gridRangeJoin(pts, "vec_id", "px", "py",
+          radius = 0.02)
+        .select(col("id_a"), col("id_b"), round(col("dist2"), 6).as("dist2"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -988,6 +1007,25 @@ object VectorQueries {
     // exact filtered top-k over the full corpus — q268's oracle text
     // verbatim (the ingest path must be invisible to correctness).
     "q321_ann_stream_append" -> FilteredAnnOracleSql,
+
+    // All-pairs replay of the grid range join: the grid only prunes
+    // CANDIDATES, so brute force with the identical squared-distance
+    // expression (subtract, square, add — no sqrt) is an exact oracle.
+    // (the threshold is the Scala-computed DOUBLE 0.02*0.02
+    // interpolated verbatim — DuckDB would parse `0.02 * 0.02` as
+    // exact DECIMAL arithmetic, a possible 1-ulp divergence from the
+    // operator's IEEE product on boundary pairs)
+    "q322_grid_range_join" ->
+      s"""WITH p AS (
+        |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
+        |FROM p a, p b
+        |WHERE a.id < b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${0.02 * 0.02}
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
     // express the k-means cells): recall@3 of the labeled-index

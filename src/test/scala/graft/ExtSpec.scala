@@ -424,6 +424,76 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints: shared-run guarantee, density bound, valid positions") {
+    // two docs sharing a run of >= w + k - 1 = 7 tokens MUST share a
+    // selected fingerprint (the Schleimer guarantee); doc 3 is disjoint
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"uno dos $shared tres cuatro cinco seis siete"),
+      (3L, "red green blue cyan magenta yellow black white grey pink"))
+      .toDF("doc_id", "text")
+    val fps = graft.ext.TextStats.winnowFingerprints(
+      docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fps.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getString(2))).toSet).toMap
+    assert((byDoc(1L).map(_._2) intersect byDoc(2L).map(_._2)).nonEmpty,
+      "docs sharing a >= w+k-1 token run must share a fingerprint hash")
+    assert((byDoc(3L).map(_._2) intersect
+      (byDoc(1L).map(_._2) ++ byDoc(2L).map(_._2))).isEmpty,
+      "disjoint doc must not collide")
+    // every window of w gram positions selects something => at most
+    // one fp per window-end but at least ceil(npos-w+1 / w)-ish; pin
+    // the hard bounds: 1 <= fps <= windows, positions within range
+    for ((id, set) <- byDoc) {
+      val n = docs.filter($"doc_id" === id).head.getString(1)
+        .split(" ").length
+      val windows = n - 6
+      assert(set.nonEmpty && set.size <= windows,
+        s"doc $id: ${set.size} fps vs $windows windows")
+      assert(set.forall { case (p, _) => p >= 1 && p <= n - 3 },
+        s"doc $id: fingerprint position out of gram range")
+    }
+    // a doc shorter than k + w - 1 tokens has no full window -> no fps
+    val short = graft.ext.TextStats.winnowFingerprints(
+      Seq((9L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 4, w = 4)
+    assert(short.count() == 0)
+  }
+
+  test("gridRangeJoin: equals all-pairs, closed boundary, no cartesian in the plan") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pts = emb.select($"vec_id",
+      element_at($"embedding", 1).cast("double").as("px"),
+      element_at($"embedding", 2).cast("double").as("py"))
+    val r = 0.02
+    val grid = graft.ext.Spatial.gridRangeJoin(pts, "vec_id", "px", "py", r)
+    val brute = pts.as("a").join(pts.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        (($"a.px" - $"b.px") * ($"a.px" - $"b.px") +
+         ($"a.py" - $"b.py") * ($"a.py" - $"b.py")).as("dist2"))
+      .filter($"dist2" <= r * r)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val g = rows(grid)
+    assert(g == rows(brute), "grid join must equal the all-pairs filter")
+    assert(grid.count() == g.size, "no duplicate pairs")
+    // the scale contract: candidates come from cell joins, never a
+    // cartesian/broadcast-nested-loop product
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join must not plan an all-pairs product:\n$plan")
+    // closed boundary across a cell edge: (0, 0) and (0.02, 0) sit in
+    // different cells at exactly distance r — must be found
+    val edge = Seq((1L, 0.0, 0.0), (2L, r, 0.0), (3L, 10.0, 10.0))
+      .toDF("id", "x", "y")
+    val er = graft.ext.Spatial.gridRangeJoin(edge, "id", "x", "y", r)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(er.toSet == Set((1L, 2L)), "boundary pair at dist == r is in (closed)")
+  }
+
   test("leakageSafeFolds: survives id/component input columns, rejects reserved outputs") {
     val folds = Seq("train" -> 0.8, "test" -> 0.2)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

@@ -334,6 +334,40 @@ class KernelsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 8.0, 0.0), ("a", 8.0, 0.0), ("z", 3.0, 0.0)))
   }
 
+  test("crostonForecast: hand case, null-before-first-demand, zero days carry, key reset") {
+    // α=0.5, series 0, 10, 0, 0, 20:
+    //   t1: no demand yet -> nulls
+    //   t2: first demand  -> z=10, p=2 (gap from start), f=5
+    //   t3, t4: zeros carry the state
+    //   t5: z=0.5·20+0.5·10=15, p=0.5·(5−2)+0.5·2=2.5, f=6
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 10.0), ("a", 3L, 0.0),
+                 ("a", 4L, 0.0), ("a", 5L, 20.0), ("z", 1L, 7.0))
+      .toDF("k", "seq", "y").coalesce(1)
+    val out = Kernels.crostonForecast(df, "k", Seq("seq"), "y", 0.5)
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) null else (r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(out.toSeq == Seq(
+      ("a", 1L, null),
+      ("a", 2L, (10.0, 2.0, 5.0)),
+      ("a", 3L, (10.0, 2.0, 5.0)),
+      ("a", 4L, (10.0, 2.0, 5.0)),
+      ("a", 5L, (15.0, 2.5, 6.0)),
+      ("z", 1L, (7.0, 1.0, 7.0)))) // key reset: z's first demand at rn=1
+  }
+
+  test("crostonForecast: partition-count invariant (bit-identical doubles)") {
+    val rows = (1 to 300).map(i =>
+      ((i % 5).toString, i.toLong, if (i % 3 == 0) (i % 17) * 1.25 else 0.0))
+    def run(parts: Int) =
+      Kernels.crostonForecast(rows.toDF("k", "seq", "y").repartition(parts),
+          "k", Seq("seq"), "y", 0.1)
+        .orderBy("k", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("holtLinear: partition-count invariant (bit-identical doubles)") {
     val rows = (1 to 300).map(i =>
       ((i % 5).toString, i.toLong, (i % 17) * 1.25))
