@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data
@@ -293,6 +294,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col(groupCol),
               round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** PREFIX-FILTERED exact Jaccard pairs — the PPJoin-family
+    * candidate scheme (Chaudhuri/Ganti/Kaushik ICDE'06 prefix filter;
+    * Xiao et al. WWW'08 — public literature), complementary to
+    * [[exactJaccardPairs]]'s full posting lists: order each doc's
+    * shingles rarest-global-document-frequency-first and index only
+    * the first `|x| - ceil(t*|x|) + 1` of them. Any pair with
+    * J >= t must overlap by >= ceil(t*|x|) shingles, and the
+    * non-prefix suffix holds only ceil(t*|x|) - 1 — so every
+    * qualifying pair shares at least one PREFIX shingle, and
+    * candidate volume scales with prefix co-occurrence (a (1-t)
+    * sliver, rarest shingles first) instead of full posting lists.
+    * Verification is exact integer set arithmetic per candidate.
+    *
+    * The ceil is computed in exact ppm integers — a floor here is
+    * UNSOUND exactly when t*|x| is integral (the prefix loses the
+    * one shingle the overlap bound still permits outside it; the
+    * spec pins a J == t boundary pair). `threshold` must be
+    * ppm-exact so the integer verify `inter * 1e6 >= t_ppm * uni`
+    * is the exact J >= t.
+    *
+    * Scale shape: shingle frame staged once; document frequency is
+    * one shingle-keyed aggregate; the prefix rank is a window inside
+    * the doc partition; the candidate join carries (id, shingle)
+    * pairs only — prefixes are rarest-first by construction, so hot
+    * shingles are systematically excluded from the index; the
+    * verify joins candidate ids back to the staged shingle arrays. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val tPpm = math.round(threshold * 1e6)
+    require(threshold > 0.0 && threshold <= 1.0 && tPpm * 1e-6 == threshold,
+      "threshold must be in (0, 1] and exact in ppm")
+    val sh = graft.ops.Staging.stage(
+      withShingles(docs, textCol, k)
+        .filter(size(col("shingles")) > 0)
+        .select(col(idCol).as("__id"), col("shingles"),
+                size(col("shingles")).cast("long").as("n")))
+    val ex = sh.select(col("__id"), col("n"), explode(col("shingles")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("__r", row_number().over(wDoc))
+      .filter(col("__r") <=
+        col("n") - expr(s"($tPpm * n + 999999) div 1000000") + 1)
+      .select(col("__id"), col("s"))
+    val cand = prefix.select(col("__id").as("id_a"), col("s"))
+      .join(prefix.select(col("__id").as("id_b"), col("s").as("__s")),
+        col("s") === col("__s") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("shingles").as("__sa"),
+        col("n").as("na")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("shingles").as("__sb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("(inter * 1000000) div uni").as("jaccard_ppm"))
   }
 
   /** Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A|.

@@ -248,6 +248,39 @@ object EventStatsQueries {
         .orderBy("n_purchase")
     }),
 
+    // Two-sample Cramér-von Mises (q204's KS sharpened from the max
+    // ECDF gap to the INTEGRATED squared gap — the test with power
+    // against spread/shape differences a single-crossing KS misses;
+    // Anderson 1962): T = nm/(n+m)^2 * Σ_pooled (F_n(x) - G_m(x))^2,
+    // computed on the distinct-VALUE frame (each value contributes
+    // (ca+cb) * gap^2). Per-value terms are floored to nano integers
+    // BEFORE the sum (the q269 rule — float sum order never matters),
+    // and the final scaling is one shared-text double expression over
+    // the exact integers. Same scale shape as q204: one exchange to
+    // the value frame, prefixSum scan (never a corpus-row window),
+    // 1-row output.
+    "q329_cramer_von_mises" -> ((s, d) => {
+      val perVal = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("ca"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L))
+               .as("cb"))
+      val cum = graft.ops.Staging.stage(
+        Kernels.prefixSum(perVal, Seq(col("value").asc), Seq("ca", "cb")))
+      val tot = cum.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"), col("ca"), col("cb"),
+          expr(CvmTermNano).as("__t"))
+        .groupBy("na", "nb")
+        .agg(count(lit(1)).as("n_values"), sum("__t").as("cvm_sum_nano"))
+        .select(col("na").as("n_purchase"), col("nb").as("n_click"),
+          col("n_values"), col("cvm_sum_nano"),
+          expr(CvmTNano).as("t_nano"))
+        .orderBy("n_purchase")
+    }),
+
     // ROC-AUC of `value` as a score for "this event is a purchase" —
     // the ML-eval primitive, computed EXACTLY via the rank-sum/
     // pair-count identity: AUC = Σ_s pos_s·(negBelow_s + neg_s/2)
@@ -687,7 +720,46 @@ object EventStatsQueries {
     }),
   )
 
+  /** q329's per-distinct-value CvM term in floored nano-nats — SHARED
+    * text (multiplicity x squared ECDF gap), every literal and count
+    * explicitly DOUBLE-cast (the q293 rule), floored per term so the
+    * float sum order can never matter (the q269 rule). */
+  private val CvmTermNano =
+    "CAST(floor(CAST(1000000000 AS DOUBLE) * CAST(ca + cb AS DOUBLE) * " +
+      "(CAST(ca_cum AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb_cum AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+      "(CAST(ca_cum AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb_cum AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT)"
+
+  /** q329's final scaling nm/(n+m)^2 over the exact integer term sum
+    * — one shared-text double expression, floored nano. */
+  private val CvmTNano =
+    "CAST(floor(CAST(cvm_sum_nano AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / " +
+      "(CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    // CvM replay: q204's distinct-value/cumulative construction, the
+    // SHARED floored nano term and final scaling.
+    "q329_cramer_von_mises" ->
+      s"""WITH pv AS (
+        |  SELECT value,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY value),
+        |cum AS (
+        |  SELECT value, ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY value) AS BIGINT) AS ca_cum,
+        |    CAST(sum(cb) OVER (ORDER BY value) AS BIGINT) AS cb_cum
+        |  FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+        |tm AS (SELECT na, nb, $CvmTermNano AS tn FROM cum, t),
+        |a AS (
+        |  SELECT na, nb, CAST(count(*) AS BIGINT) AS n_values,
+        |    CAST(sum(tn) AS BIGINT) AS cvm_sum_nano
+        |  FROM tm GROUP BY na, nb)
+        |SELECT na AS n_purchase, nb AS n_click, n_values, cvm_sum_nano,
+        |  $CvmTNano AS t_nano
+        |FROM a ORDER BY n_purchase""".stripMargin,
 
     "q164_did_lift" ->
       """WITH h AS (

@@ -819,6 +819,32 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // Good-Turing unseen-mass census per source (Good 1953): the
+    // probability mass an LM should reserve for UNSEEN words is
+    // N1/N (singleton types over tokens), and the smoothed count for
+    // once-seen words is r* = 2*N2/N1 — the frequency-of-frequencies
+    // arithmetic behind every Katz/SGT smoother and the
+    // vocabulary-saturation dial of corpus collection (N1/N falling
+    // means new text repeats known words). All-integer outputs
+    // (floor-ppm / floor-milli on exact counts); two tiny aggregates
+    // over the token-count frame.
+    "q328_good_turing" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("__c"))
+      wc.groupBy("source")
+        .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_types"),
+             sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+             sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n1"), col("n2"),
+          expr("(n1 * 1000000) div n_tokens").as("gt_unseen_ppm"),
+          expr("CASE WHEN n1 > 0 THEN (2000 * n2) div n1 " +
+            "ELSE CAST(NULL AS BIGINT) END").as("r1_star_milli"))
+        .orderBy("source")
+    }),
+
     // Perplexity FILTERING (the CCNet/CC-100 pipeline step q252's
     // corpus NLL implies): train the +1-smoothed bigram LM on the
     // even-doc half, score each odd-half document's per-bigram NLL,
@@ -915,6 +941,27 @@ object TextCurationQueries {
       "- CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Good-Turing replay: q298's word-count frame, the
+    // frequency-of-frequency integer census and floor ratios.
+    "q328_good_turing" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, n_types, n1, n2,
+        |  (n1 * 1000000) // n_tokens AS gt_unseen_ppm,
+        |  CASE WHEN n1 > 0 THEN (2000 * n2) // n1
+        |       ELSE CAST(NULL AS BIGINT) END AS r1_star_milli
+        |FROM a ORDER BY source""".stripMargin,
+
     // Readability replay: identical integer counts (non-space runs,
     // vowel-group runs, max(1, terminal punctuation)), then the SHARED
     // floored-milli Flesch expression over the per-source sums.

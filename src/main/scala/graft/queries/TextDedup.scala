@@ -238,6 +238,20 @@ object TextDedupQueries {
              sum(when(col("dup_span_ratio") <= 0.5, 1L).otherwise(0L)).as("n_pass"))
         .orderBy("source")),
 
+    // PREFIX-FILTERED Jaccard join (Dedup.prefixJaccardPairs — the
+    // PPJoin candidate scheme): 3-token-shingle pairs at J >= 0.5,
+    // with candidates drawn ONLY from each doc's
+    // |x| - ceil(t|x|) + 1 rarest shingles — the third exact near-dup
+    // engine next to full posting lists (q27) and banded signatures
+    // (q31/q59), and the one whose candidate volume carries the (1-t)
+    // prefix sliver instead of every co-occurrence. All-integer
+    // verify (inter*1e6 >= t_ppm*uni), so the O(n^2) all-pairs oracle
+    // is exact — the prefix filter prunes candidates, never results.
+    "q327_prefix_jaccard_join" -> ((s, d) =>
+      graft.ext.Dedup.prefixJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", k = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // WINNOWING fingerprint census (TextStats.winnowFingerprints —
     // Schleimer et al. 2003, the MOSS scheme): k=4-token grams, each
     // sliding window of w=4 gram positions selects its min-md5 gram
@@ -796,6 +810,27 @@ object TextDedupQueries {
         |  CAST(sum(CASE WHEN (CASE WHEN npos > 0 THEN CAST(ndup AS DOUBLE) / npos ELSE 0.0 END) <= 0.5
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Prefix-filter replay: the q27/q31 shingle construction, the
+    // all-pairs integer-ppm filter — exact because the prefix filter
+    // prunes candidates, never results.
+    "q327_prefix_jaccard_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |           || ' ' || string_split(text,' ')[i+2])) AS shingles
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+        |    CAST(len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, uni,
+        |  CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+        |FROM p WHERE inter * 1000000 >= 500000 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Winnowing replay: identical 4-gram build, the identical
     // md5||zero-padded-(1e8-pos) min-key over the same 4-position

@@ -277,6 +277,54 @@ object Streams {
         })
   }
 
+  case class CrostonState(k: String, seen: Boolean, demand_level: Double,
+                          interval_level: Double, forecast: Double,
+                          n_points: Long, last_demand_rn: Long)
+
+  /** Streaming Croston — the live twin of
+    * [[graft.ops.Kernels.crostonForecast]] (q326's intermittent-demand
+    * smoother), carrying (seen, size level, interval level, period
+    * count, last-demand index) as one small state row per series
+    * across micro-batches. Demand periods step both smoothers exactly
+    * like the batch kernel (same op order, same doubles); zero periods
+    * only advance the period counter. `seen = false` rows are the
+    * stream form of the batch kernel's pre-first-demand NULLs (their
+    * levels are placeholders — read them only when seen). In-order
+    * contract like [[holtStream]]: seq sorts within a micro-batch, and
+    * batches must arrive in series order (a late period would need
+    * suffix replay, which no bounded-state stream can do). State is
+    * bounded by series count, not stream length. */
+  def crostonStream(points: Dataset[SeriesPoint],
+                    alpha: Double): Dataset[CrostonState] = {
+    import points.sparkSession.implicits._
+    val b = 1 - alpha
+    points
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[SeriesPoint], st: GroupState[CrostonState]) => {
+          var s = st.getOption
+            .getOrElse(CrostonState(k, seen = false, 0.0, 0.0, 0.0, 0L, 0L))
+          var n = s.n_points; var seen = s.seen
+          var z = s.demand_level; var p = s.interval_level
+          var ld = s.last_demand_rn
+          it.toSeq.sortBy(_.seq).foreach { pt =>
+            n += 1
+            if (pt.y > 0.0) {
+              if (!seen) { z = pt.y; p = n.toDouble; seen = true }
+              else {
+                z = alpha * pt.y + b * z
+                p = alpha * (n - ld).toDouble + b * p
+              }
+              ld = n
+            }
+          }
+          val out = CrostonState(k, seen, z, p,
+            if (seen) z / p else 0.0, n, ld)
+          st.update(out)
+          out
+        })
+  }
+
   case class ThrottleEvent(k: String, seq: Long, t: Long)
   case class ThrottleState(k: String, last_emit: Long)
   case class ThrottleDecision(k: String, seq: Long, t: Long,

@@ -424,6 +424,41 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardPairs: equals all-pairs; finds the J == t integral-boundary pair") {
+    // the unsound-floor edge: |x| = 4 shingles, |y| = 2, intersect 2
+    // => J = 2/4 = 0.5 == t with t*|x| = 2 INTEGRAL — a floor-based
+    // prefix would drop the one shingle the overlap bound permits
+    // outside it and miss this pair
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shingles abc,bcd,cde,def
+      (2L, "a b c d"),              // shingles abc,bcd  (J vs 1 = 0.5)
+      (3L, "x y z w v u t s r q"),  // unrelated
+      (4L, "x y z w v u t s r p")   // near-dup of 3
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force over the same shingle sets
+    val sh = graft.ext.Dedup.withShingles(docs, "text", 3)
+      .select($"doc_id", $"shingles")
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        size(array_intersect($"a.shingles", $"b.shingles")).cast("long").as("i"),
+        (size($"a.shingles") + size($"b.shingles") -
+          size(array_intersect($"a.shingles", $"b.shingles"))).cast("long").as("u"))
+      .filter($"i" * 1000000L >= $"u" * 500000L)
+      .orderBy("a.doc_id", "b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == brute.toSeq)
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (3L, 4L)),
+      "must include the J == 0.5 integral boundary pair (1,2)")
+    // ppm-inexact thresholds are refused (the integer verify would lie)
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1.0 / 3)
+    }
+  }
+
   test("winnowFingerprints: shared-run guarantee, density bound, valid positions") {
     // two docs sharing a run of >= w + k - 1 = 7 tokens MUST share a
     // selected fingerprint (the Schleimer guarantee); doc 3 is disjoint

@@ -652,6 +652,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("crostonStream ≡ batch crostonForecast under micro-batch splits (incl. zero-run splits)") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Streams.SeriesPoint
+    // intermittent series: demand only when i % 3 == 0, so batch
+    // boundaries land inside zero runs and between demands; s3 never
+    // demands (the seen=false ≡ batch-NULL face)
+    val all = (1 to 48).map(i =>
+      SeriesPoint(s"s${i % 4}",
+        i.toLong, if (i % 3 == 0 && i % 4 != 3) (i % 9) * 1.5 + 1 else 0.0))
+    val stream = MemoryStream[SeriesPoint]
+    val q = graft.streaming.Streams.crostonStream(stream.toDS(), 0.1)
+      .writeStream.format("memory").queryName("crostate")
+      .outputMode(OutputMode.Update()).start()
+    all.grouped(13).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("crostate")
+      .as[graft.streaming.Streams.CrostonState].collect()
+      .groupBy(_.k).values.map(_.maxBy(_.n_points))
+      .map(s => (s.k, s.seen,
+        if (s.seen) (s.demand_level, s.interval_level, s.forecast) else null))
+      .toSeq.sortBy(_._1)
+    val batch = graft.ops.Kernels.crostonForecast(
+        all.toDF(), "k", Seq("seq"), "y", 0.1)
+      .groupBy("k")
+      .agg(max(struct($"seq", $"demand_level", $"interval_level",
+        $"forecast")).as("last"))
+      .orderBy("k").collect()
+      .map { r =>
+        val st = r.getStruct(1)
+        (r.getString(0), !st.isNullAt(1),
+          if (st.isNullAt(1)) null
+          else (st.getDouble(1), st.getDouble(2), st.getDouble(3)))
+      }.toSeq
+    assert(streamed == batch)
+  }
+
   test("cooldownStream ≡ batch cooldownFilter; bursts stay suppressed across batch splits") {
     implicit val sc = spark.sqlContext
     import graft.streaming.Streams.ThrottleEvent
