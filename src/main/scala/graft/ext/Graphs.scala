@@ -531,4 +531,70 @@ object Graphs {
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"),
               col("pr"))
   }
+
+  /** PERSONALIZED PageRank (random walk with restart to a SEED set —
+    * Page et al. 1999 §6 / Jeh & Widom 2003): [[pageRankDirected]]
+    * with the uniform teleport replaced by the seed distribution
+    * s_v = 1/|S| on seeds and 0 elsewhere, dangling mass included:
+    * pr' = (1-d)*s_v + d*(mass_v + D*s_v). Ranks measure proximity
+    * to the seed set — the recommendation / related-entity primitive
+    * (seeds = a user's items, a nation's suppliers, a topic's docs).
+    * `seeds` is a one-column frame of node ids; only seeds present
+    * in the graph carry restart mass (|S| counts the intersection),
+    * and an empty intersection is refused loudly.
+    *
+    * Same sweep scale shape, staging discipline and determinism
+    * contract as [[pageRankDirected]] (static seed/dangling flags
+    * stamped once and riding the rank frame; D as the conditional
+    * aggregate over the sealed frame; order on the ROUNDED score;
+    * the oracle replays (1-d) as the IEEE subtraction and 1/|S| as
+    * the same division). Returns (node, is_seed, out_degree, pr). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iterations: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      "src")
+    val nodes = dir
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val outdeg = pin(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val adj = pin(dir.join(outdeg, "src"), "src")
+    val seedSet = seeds
+      .select(col(seeds.columns.head).as("__sn")).distinct()
+    // both static per-node flags (dangling, seed) stamped once; they
+    // ride the rank frame through every checkpoint
+    val (nodesF, _) = pinCounted(
+      nodes.join(outdeg, col("node") === col("src"), "left")
+        .join(seedSet, col("node") === col("__sn"), "left")
+        .select(col("node"), col("src").isNull.as("__dang"),
+                col("__sn").isNotNull.as("__seed")),
+      "node")
+    // |S| over the graph-intersected seed set: one count on the pin
+    val sCount = nodesF.filter(col("__seed")).count().toDouble
+    require(sCount > 0, "seed set does not intersect the graph")
+    val init = nodesF.select(col("node"), col("__dang"), col("__seed"),
+      when(col("__seed"), lit(1.0 / sCount)).otherwise(lit(0.0)).as("pr"))
+    def sweep(prS: DataFrame): DataFrame = {
+      // D via sum(when(...)) over the UNFILTERED sealed frame — the
+      // pageRankDirected exchange-reuse rule
+      val consts = prS
+        .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
+          .as("__dm"))
+      nodesF.join(
+          adj.join(prS, col("src") === col("node"))
+            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
+          col("node") === col("dst"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("node"), col("__dang"), col("__seed"),
+          (when(col("__seed"),
+              (lit(1 - damping) + lit(damping) * col("__dm")) / lit(sCount))
+            .otherwise(lit(0.0)) +
+           lit(damping) * coalesce(col("__mass"), lit(0.0))).as("pr"))
+    }
+    graft.ops.Sweep.foldPinned(init, iterations, Seq("node"))(sweep)
+      .join(outdeg, col("node") === col("src"), "left")
+      .select(col("node"), col("__seed").as("is_seed"),
+              coalesce(col("deg"), lit(0L)).as("out_degree"), col("pr"))
+  }
 }

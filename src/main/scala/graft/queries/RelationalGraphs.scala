@@ -116,6 +116,32 @@ object RelationalGraphsQueries {
         .limit(20)
     }),
 
+    // PERSONALIZED PageRank (Graphs.personalizedPageRank — random
+    // walk with restart): q121's directed customer -> order graph,
+    // but the teleport concentrates on nation-0 customers — ranks
+    // become PROXIMITY to that seed set (the recommendation /
+    // related-entity primitive), and every order stays a sink so the
+    // dangling mass now recycles to the seeds, not uniformly. Emits
+    // rank scaled by N (q121's multiple-of-uniform form); ordering
+    // on the rounded score + node (the q80 rule). Non-seed customers
+    // score exactly 0 (nothing links INTO a customer here) — visible
+    // in the oracle too.
+    "q330_personalized_pagerank" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+                concat(lit("o"), col("o_orderkey").cast("string")).as("dst"))
+      val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      val pr = graft.ext.Graphs.personalizedPageRank(edges, "src", "dst",
+        seeds, iterations = 2) // terminal pin — no extra staging (q168)
+      val nAgg = pr.agg(count(lit(1)).cast("double").as("__nn"))
+      pr.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("is_seed"), col("out_degree"),
+                round(col("pr") * col("__nn"), 6).as("ppr_x_n"))
+        .orderBy(col("ppr_x_n").desc, col("node"))
+        .limit(20)
+    }),
+
     // Multi-source BFS (Graphs.bfsHops) over the q90 customer-
     // supplier graph: all suppliers of nation 0 start at hop 0, and 3
     // relaxation sweeps compute every node's minimum hop count to the
@@ -575,6 +601,56 @@ object RelationalGraphsQueries {
         |SELECT r3.node, deg.deg AS degree, round(r3.pr, 6) AS pagerank
         |FROM r3 JOIN deg ON r3.node = deg.src
         |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
+
+    // Unrolls 2 personalized sweeps: restart mass ((1-d) + d*D) / |S|
+    // lands on seeds only; (1.0 - 0.85) is the IEEE subtraction
+    // matching the Scala constant fold, 1.0/s the same division the
+    // operator seeds with.
+    "q330_personalized_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  'o' || CAST(o_orderkey AS VARCHAR) AS dst
+        |  FROM orders),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |       FROM customer WHERE c_nationkey = 0),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nf AS (SELECT n0.node, od.src IS NULL AS dang,
+        |         sd.node IS NOT NULL AS seed
+        |       FROM nodes n0 LEFT JOIN od ON n0.node = od.src
+        |                     LEFT JOIN sd ON n0.node = sd.node),
+        |sc AS (SELECT CAST(count(*) FILTER (seed) AS DOUBLE) AS s FROM nf),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nf),
+        |r0 AS (SELECT node, dang, seed,
+        |         CASE WHEN seed THEN 1.0 / s ELSE 0.0 END AS pr
+        |       FROM nf, sc),
+        |d0 AS (SELECT coalesce(sum(pr) FILTER (dang), 0.0) AS dm FROM r0),
+        |m1 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nf.node, nf.dang, nf.seed,
+        |         CASE WHEN nf.seed
+        |           THEN ((1.0 - 0.85) + 0.85 * (SELECT dm FROM d0)) / s
+        |           ELSE 0.0 END
+        |         + 0.85 * coalesce(m1.mass, 0.0) AS pr
+        |       FROM nf LEFT JOIN m1 ON nf.node = m1.node, sc),
+        |d1 AS (SELECT coalesce(sum(pr) FILTER (dang), 0.0) AS dm FROM r1),
+        |m2 AS (SELECT e.dst AS node, sum(r.pr / od.deg) AS mass
+        |       FROM e JOIN od ON e.src = od.src
+        |              JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nf.node, nf.seed,
+        |         CASE WHEN nf.seed
+        |           THEN ((1.0 - 0.85) + 0.85 * (SELECT dm FROM d1)) / s
+        |           ELSE 0.0 END
+        |         + 0.85 * coalesce(m2.mass, 0.0) AS pr
+        |       FROM nf LEFT JOIN m2 ON nf.node = m2.node, sc)
+        |SELECT r2.node, r2.seed AS is_seed,
+        |  CAST(coalesce(od.deg, 0) AS BIGINT) AS out_degree,
+        |  round(r2.pr * nn.n, 6) AS ppr_x_n
+        |FROM r2 LEFT JOIN od ON r2.node = od.src, nn
+        |ORDER BY ppr_x_n DESC, r2.node LIMIT 20""".stripMargin,
 
     // Unrolls 2 directed sweeps with the dangling term: D_k = sum of
     // pr over outdeg-0 nodes, pr' = (1-d)/N + d*(mass + D/N). (1-d)

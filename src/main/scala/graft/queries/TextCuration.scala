@@ -819,6 +819,44 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // Pairwise SOURCE-LM KL divergence — KL(P_a || P_b) between every
+    // ordered source pair's Laplace(+1)-smoothed unigram LMs over the
+    // JOINT vocabulary: the directional corpus-shift matrix behind
+    // "which source least represents which" (q269's PSI is the
+    // symmetrized two-bucket cousin; this is the full asymmetric
+    // measure on the real vocabulary). Per-term contributions are
+    // floored nano-nats (the q269 rule — no float sum-order hazard),
+    // products go through DOUBLE before multiplying (BIGINT
+    // c*(n+V) would overflow at corpus scale), and ln(p/q) is the
+    // ratio-of-integers form shared textually with the oracle. Scale
+    // shape: everything after the token count is (sources x vocab)-
+    // bounded — the corpus is scanned once.
+    "q331_source_kl" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val counts = graft.ops.Staging.stage(
+        toks.groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val vocab = counts.select("w").distinct()
+      val vAgg = vocab.agg(count(lit(1)).as("v"))
+      val totals = counts.groupBy("source").agg(sum("c").as("n"))
+      val grid = graft.ops.Staging.stage(
+        totals.crossJoin(vocab)
+          .join(counts, Seq("source", "w"), "left")
+          .select(col("source"), col("w"), col("n"),
+            coalesce(col("c"), lit(0L)).as("c")))
+      val a = grid.select(col("source").as("source_a"), col("w"),
+        col("n").as("na"), col("c").as("ca"))
+      val b = grid.select(col("source").as("source_b"), col("w").as("__w"),
+        col("n").as("nb"), col("c").as("cb"))
+      a.join(b, col("w") === col("__w") && col("source_a") =!= col("source_b"))
+        .crossJoin(broadcast(vAgg))
+        .select(col("source_a"), col("source_b"), expr(KlTermNano).as("__t"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_terms"), sum("__t").as("kl_nano"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Good-Turing unseen-mass census per source (Good 1953): the
     // probability mass an LM should reserve for UNSEEN words is
     // N1/N (singleton types over tokens), and the smoothed count for
@@ -940,7 +978,44 @@ object TextCurationQueries {
       "- CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) " +
       "- CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))) AS BIGINT)"
 
+  /** q331's per-vocab-term KL contribution in floored nano-nats —
+    * SHARED text: p*ln(p/q) with Laplace(+1) smoothing, the log
+    * argument as a ratio of DOUBLE-cast products (integer products
+    * would overflow at corpus scale), every literal explicit. */
+  private val KlTermNano =
+    "CAST(floor(CAST(1000000000 AS DOUBLE) * " +
+      "(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) * " +
+      "ln((CAST(ca + 1 AS DOUBLE) * CAST(nb + v AS DOUBLE)) / " +
+      "(CAST(cb + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)))) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    // KL replay: same (source x joint-vocab) zero-filled grid, the
+    // SHARED floored nano-nat term, exact integer sums.
+    "q331_source_kl" ->
+      s"""WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE length(w) > 0 GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT w FROM wc),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM wc GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, vocab.w, t.n, CAST(coalesce(wc.c, 0) AS BIGINT) AS c
+        |  FROM tot t CROSS JOIN vocab
+        |  LEFT JOIN wc ON wc.source = t.source AND wc.w = vocab.w),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb, vv.v
+        |  FROM grid a JOIN grid b ON a.w = b.w AND a.source <> b.source,
+        |    vv)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum($KlTermNano) AS BIGINT) AS kl_nano
+        |FROM pairs GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     // Good-Turing replay: q298's word-count frame, the
     // frequency-of-frequency integer census and floor ratios.
     "q328_good_turing" ->

@@ -453,6 +453,12 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == brute.toSeq)
     assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (3L, 4L)),
       "must include the J == 0.5 integral boundary pair (1,2)")
+    // candidates come from the prefix-token join, never a product
+    val plan = graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must not plan an all-pairs product:\n$plan")
     // ppm-inexact thresholds are refused (the integer verify would lie)
     intercept[IllegalArgumentException] {
       graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 1.0 / 3)

@@ -129,6 +129,38 @@ class GraphsSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
   }
 
+  test("personalizedPageRank: hand-computed chain, mass conserved, dangling recycles to seeds") {
+    // A -> B -> C (C a sink), seeds = {A}, |S| = 1, d = 0.85.
+    //   init: A=1, B=0, C=0
+    //   sweep1: D=pr(C)=0 -> A=(0.15+0)/1=0.15, B=0.85*1=0.85, C=0
+    //   sweep2: D=0      -> A=0.15, B=0.85*0.15, C=0.85*0.85
+    //   sweep3: D=0.7225 -> A=(0.15+0.85*0.7225)/1, B=0.85*0.15,
+    //                       C=0.85*0.1275
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("s", "t")
+    val seeds = Seq("A").toDF("node")
+    def run(it: Int) =
+      Graphs.personalizedPageRank(edges, "s", "t", seeds, iterations = it)
+        .collect().map(r => r.getString(0) ->
+          ((r.getBoolean(1), r.getAs[Double]("pr")))).toMap
+    val three = run(3)
+    assert(three("A")._1 && !three("B")._1 && !three("C")._1)
+    assert(three("A")._2 == (1 - 0.85) + 0.85 * (0.85 * 0.85))
+    assert(three("B")._2 == 0.85 * ((1 - 0.85) + 0.85 * 0.0))
+    assert(three("C")._2 == 0.85 * (0.85 * ((1 - 0.85) + 0.85 * 0.0)))
+    // mass conserved (the dangling-to-seed recycling closes the walk)
+    for (it <- Seq(1, 2, 4))
+      assert(math.abs(run(it).values.map(_._2).sum - 1.0) < 1e-9)
+    // a seed outside the graph is ignored; empty intersection refused
+    val withGhost = Seq("A", "GHOST").toDF("node")
+    assert(Graphs.personalizedPageRank(edges, "s", "t", withGhost,
+      iterations = 1).collect().map(_.getAs[Double]("pr")).sum > 0.999)
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges, "s", "t",
+        Seq("GHOST").toDF("node"), iterations = 1).collect()
+    }
+    graft.ops.Staging.releaseAll()
+  }
+
   test("pageRankDirected: marginal jobs per sweep stay pinned (folded dangling pass)") {
     // r11 verdict item 6: D is a filter-aggregate over the statically
     // flagged rank frame (no anti-join, no nested outdeg broadcast)
