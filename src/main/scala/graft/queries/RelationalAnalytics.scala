@@ -464,6 +464,58 @@ object RelationalAnalyticsQueries {
         .orderBy("n_rows")
     }),
 
+    // SPLIT-CONFORMAL prediction interval (Vovk et al.; Lei et al.
+    // 2018 — the distribution-free coverage wrapper modern ML evals
+    // put around any point model): fit OLS price~quantity on the
+    // par=0 third (q218's exact decimal sums -> shared closed form),
+    // take qhat = the ceil(0.9*(nc+1))-th smallest absolute residual
+    // on the par=1 calibration third (a k-th ORDER STATISTIC — via
+    // Kernels.denseIndex's range-sort + zipWithIndex, never a global
+    // window), and audit the guaranteed >= 90% coverage of
+    // prediction +- qhat on the untouched par=2 third. Every float
+    // comes from shared-text expressions over exact integers; k and
+    // the coverage census are pure integers.
+    "q334_conformal_interval" -> ((s, d) => {
+      val t = graft.ops.Staging.stage(Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        pmod(col("l_orderkey"), lit(3L)).as("par"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"),
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x")))
+      def dec(c: String) = col(c).cast("decimal(38,0)")
+      val sums = t.filter(col("par") === 0).agg(
+          count(lit(1)).cast("decimal(38,0)").as("nf"),
+          sum(dec("x")).as("s1"), sum(dec("y")).as("sy"),
+          sum(dec("x") * dec("x")).as("s11"),
+          sum(dec("x") * dec("y")).as("s1y"))
+        .withColumn("b", expr(ConfSlope))
+        .withColumn("a", expr(ConfIntercept))
+        .select(col("nf").cast("long").as("n_fit"), col("b"), col("a"))
+      val calib = graft.ops.Staging.stage(
+        t.filter(col("par") === 1).crossJoin(broadcast(sums))
+          .select(col("rid"), expr(ConfAbsResid).as("ar")))
+      val kF = calib.agg(count(lit(1)).as("nc"))
+        .select(col("nc"), expr("(9 * (nc + 1) + 9) div 10").as("k"))
+      val qhat = graft.ops.Kernels.denseIndex(calib,
+          Seq(col("ar"), col("rid")), "idx")
+        .crossJoin(broadcast(kF))
+        .filter(col("idx") === col("k") - 1)
+        .select(col("nc"), col("k"), col("ar").as("qhat"))
+      val test = t.filter(col("par") === 2).crossJoin(broadcast(sums))
+        .select(expr(ConfAbsResid).as("art"))
+      test.crossJoin(broadcast(qhat))
+        .groupBy("nc", "k", "qhat")
+        .agg(count(lit(1)).as("n_test"),
+             sum(when(col("art") <= col("qhat"), 1L).otherwise(0L))
+               .as("covered"))
+        .crossJoin(broadcast(sums))
+        .select(col("n_fit"), col("nc").as("n_calib"), col("k"),
+          col("n_test"), col("covered"),
+          round(col("qhat"), 6).as("qhat_cents"),
+          expr("(covered * 1000000) div n_test").as("coverage_ppm"),
+          round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"))
+        .orderBy("n_calib")
+    }),
+
     // Share-of-parent hierarchical rollup — the BI drill-down every
     // revenue report ships (nation as % of region, region as % of
     // world) that plain ROLLUP totals don't directly give: the child
@@ -992,7 +1044,59 @@ object RelationalAnalyticsQueries {
     }),
   )
 
+  /** q334's OLS closed form and residual — SHARED text. The slope's
+    * integer products run in decimal(38,0) (Spark) / HUGEINT (DuckDB)
+    * and cast to DOUBLE only at the final division; the intercept
+    * reuses the b column; the residual derives every float from the
+    * same (a, b, integer y, integer x). */
+  private val ConfSlope =
+    "CAST(nf * s1y - s1 * sy AS DOUBLE) / CAST(nf * s11 - s1 * s1 AS DOUBLE)"
+  private val ConfIntercept =
+    "(CAST(sy AS DOUBLE) - b * CAST(s1 AS DOUBLE)) / CAST(nf AS DOUBLE)"
+  private val ConfAbsResid =
+    "abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))"
+
   val oracles: Map[String, String] = Map(
+    // Conformal replay: HUGEINT sums mirroring the decimal(38,0)
+    // sums, the SHARED slope/intercept/residual texts, row_number for
+    // the k-th order statistic (exact at oracle scale; the operator
+    // side uses the distributed denseIndex), integer coverage census.
+    "q334_conformal_interval" ->
+      s"""WITH t AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_orderkey % 3 AS par,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS nf,
+        |    sum(CAST(x AS HUGEINT)) AS s1, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS s11,
+        |    sum(CAST(x AS HUGEINT) * y) AS s1y
+        |  FROM t WHERE par = 0),
+        |sb AS (SELECT nf, s1, sy, $ConfSlope AS b FROM s),
+        |sa AS (SELECT nf, s1, sy, b, $ConfIntercept AS a FROM sb),
+        |cal AS (SELECT rid, $ConfAbsResid AS ar FROM t, sa WHERE par = 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+        |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k
+        |       FROM cal),
+        |idx AS (SELECT ar, row_number() OVER (ORDER BY ar, rid) AS rn
+        |        FROM cal),
+        |qh AS (SELECT kk.nc, kk.k, idx.ar AS qhat
+        |       FROM idx, kk WHERE idx.rn = kk.k),
+        |tst AS (SELECT $ConfAbsResid AS art FROM t, sa WHERE par = 2),
+        |cov AS (SELECT qh.nc, qh.k, qh.qhat,
+        |          CAST(count(*) AS BIGINT) AS n_test,
+        |          CAST(sum(CASE WHEN art <= qhat THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS covered
+        |        FROM tst, qh GROUP BY 1, 2, 3)
+        |SELECT (SELECT CAST(nf AS BIGINT) FROM s) AS n_fit,
+        |  nc AS n_calib, k, n_test, covered,
+        |  round(qhat, 6) AS qhat_cents,
+        |  (covered * 1000000) // n_test AS coverage_ppm,
+        |  round((SELECT b FROM sb), 6) AS slope,
+        |  round((SELECT a FROM sa), 6) AS intercept
+        |FROM cov ORDER BY n_calib""".stripMargin,
     // The salted join must be value-identical to the plain inner
     // join + aggregate (the dim is a 3-row literal, inlined as CASE).
     "q138_skew_join" ->

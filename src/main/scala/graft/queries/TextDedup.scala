@@ -292,6 +292,39 @@ object TextDedupQueries {
         .orderBy("source")
     }),
 
+    // MOSS similarity pairs over the winnowing fingerprints (the
+    // match-scoring half of Schleimer et al.'s scheme, composing
+    // q325's selection): doc pairs sharing >= 2 selected fingerprint
+    // HASHES, scored by shared count and overlap ppm of the smaller
+    // fingerprint set — the plagiarism/overlap ranking MOSS serves,
+    // at the cost of the ~2/(w+1)-density fingerprint sample instead
+    // of full gram sets. Scale shape: the pair join carries (doc,
+    // hash) fingerprint rows only; a hash selected in many docs is
+    // the boilerplate signal itself (bounded by the same density).
+    "q332_winnow_similarity" -> ((s, d) => {
+      val f = graft.ops.Staging.stage(
+        graft.ext.TextStats.winnowFingerprints(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", k = 4, w = 4)
+          .select(col("doc_id"), col("fp_hash")).distinct())
+      val sizes = f.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      val shared = f.select(col("doc_id").as("id_a"), col("fp_hash"))
+        .join(f.select(col("doc_id").as("id_b"), col("fp_hash").as("__h")),
+          col("fp_hash") === col("__h") && col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+      shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("fps_a")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("fps_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("shared_fps"),
+          col("fps_a"), col("fps_b"),
+          expr("(shared_fps * 1000000) div least(fps_a, fps_b)")
+            .as("overlap_ppm"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact-substring span CUTTING (TextStats.cutDupSpans): every
     // non-first occurrence of a corpus-duplicated 5-gram marks its
     // token span; spans merge and the text is rebuilt without them.
@@ -830,6 +863,49 @@ object TextDedupQueries {
         |SELECT id_a, id_b, inter, uni,
         |  CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
         |FROM p WHERE inter * 1000000 >= 500000 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // MOSS-similarity replay: q325's winnowing selection verbatim,
+    // then distinct per-doc hash sets, the pair join and integer
+    // overlap arithmetic.
+    "q332_winnow_similarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(n - 3, 0) + 1)) AS pos
+        |  FROM t),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(tk[pos : pos + 3], ' ')) ||
+        |      lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp_hash
+        |  FROM (
+        |    SELECT doc_id, pos,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |    FROM keyed)
+        |  WHERE pos >= 4),
+        |sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+        |  FROM sel GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_fps
+        |  FROM sel a JOIN sel b
+        |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.shared_fps,
+        |  sa.n_fps AS fps_a, sb.n_fps AS fps_b,
+        |  (p.shared_fps * 1000000) // least(sa.n_fps, sb.n_fps)
+        |    AS overlap_ppm
+        |FROM p JOIN sz sa ON p.id_a = sa.doc_id
+        |       JOIN sz sb ON p.id_b = sb.doc_id
+        |WHERE p.shared_fps >= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Winnowing replay: identical 4-gram build, the identical

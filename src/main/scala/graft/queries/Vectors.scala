@@ -517,6 +517,35 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Full IVF index LIFECYCLE at the driver (build -> save ->
+    // append -> compact -> search): the q321 contract extended to the
+    // re-cluster half of maintenance — a fresh GENERATION at new
+    // centroids over the appended corpus must serve the same filtered
+    // search. At exhaustive probes any centroid set is exact, so the
+    // compacted index's search equals filteredTopK over everything —
+    // q268's oracle text verbatim, making the whole lifecycle
+    // result-invisible by construction (nProbe covers the compacted
+    // generation's 8 cells).
+    "q333_ivf_compact_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q333ivf").toString
+      val gen2 = java.nio.file.Files.createTempDirectory("q333cmp").toString
+      graft.ext.IvfIndex.buildLabeled(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", "label",
+          nCentroids = 8, kmeansSweeps = 2)
+        .save(dir)
+      graft.ext.IvfIndex.append(s, dir,
+        emb.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+        "vec_id", "embedding", labelCol = Some("label"))
+      graft.ext.IvfIndex.compact(s, dir, gen2,
+        nCentroids = 8, kmeansSweeps = 2)
+      graft.ext.IvfIndex.load(s, gen2)
+        .searchFiltered(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 3, nProbe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Planar GRID RANGE JOIN (Spatial.gridRangeJoin): all vector
     // pairs within L2 distance 0.02 in the first-two-dims projection
     // plane — the spatial self-join class (proximity blocking,
@@ -1007,6 +1036,11 @@ object VectorQueries {
     // exact filtered top-k over the full corpus — q268's oracle text
     // verbatim (the ingest path must be invisible to correctness).
     "q321_ann_stream_append" -> FilteredAnnOracleSql,
+
+    // The compacted generation searched at exhaustive probes IS the
+    // exact filtered top-k — q268's oracle text verbatim (build,
+    // append and re-cluster must all be result-invisible).
+    "q333_ivf_compact_lifecycle" -> FilteredAnnOracleSql,
 
     // All-pairs replay of the grid range join: the grid only prunes
     // CANDIDATES, so brute force with the identical squared-distance
