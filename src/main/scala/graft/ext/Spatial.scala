@@ -73,4 +73,50 @@ object Spatial {
         greatest(col("id"), col("id2")).as("id_b"),
         d2.as("dist2"))
   }
+
+  /** Asymmetric PROBE-vs-REFERENCE form of [[gridRangeJoin]]: every
+    * (probe, reference) pair within `radius`, as (probe_id, ref_id,
+    * dist2). The probe side explodes to its full 3x3 cell
+    * neighborhood (9 offsets — the half-plane trick needs both
+    * endpoints indexed symmetrically, which a probe-vs-static join
+    * does not have), the reference indexes at its home cell only, and
+    * only cell-collided pairs pay the exact distance test.
+    *
+    * Every transform is STATELESS (projection, explode, inner join,
+    * filter), so the probe side may be a STREAMING frame — the
+    * operator then IS its own streaming twin: Structured Streaming
+    * plans it as a stream-static join, the reference stays a batch
+    * frame re-read per micro-batch (or broadcast when small), and no
+    * watermark or state store is involved
+    * ([[graft.streaming.Streams.proximityAlertStream]] is this call;
+    * StreamingSpec pins stream ≡ batch). At 100 TB the reference is
+    * the big side: it shuffles once on the cell key per batch plan,
+    * probes carry 9 small rows each. */
+  def gridProximityJoin(probe: DataFrame, probeIdCol: String,
+                        reference: DataFrame, refIdCol: String,
+                        xCol: String, yCol: String,
+                        radius: Double): DataFrame = {
+    require(radius > 0.0, "radius must be positive")
+    val ref = reference.select(
+      col(refIdCol).as("ref_id"),
+      col(xCol).cast("double").as("x2"),
+      col(yCol).cast("double").as("y2"),
+      floor(col(xCol).cast("double") / radius).cast("long").as("cx2"),
+      floor(col(yCol).cast("double") / radius).cast("long").as("cy2"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probes = probe.select(
+        col(probeIdCol).as("probe_id"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"),
+        explode(typedLit(offsets)).as("d"),
+        floor(col(xCol).cast("double") / radius).cast("long").as("cx"),
+        floor(col(yCol).cast("double") / radius).cast("long").as("cy"))
+      .select(col("probe_id"), col("x"), col("y"),
+        (col("cx") + col("d._1")).as("jx"), (col("cy") + col("d._2")).as("jy"))
+    val d2 = (col("x") - col("x2")) * (col("x") - col("x2")) +
+      (col("y") - col("y2")) * (col("y") - col("y2"))
+    probes.join(ref, col("jx") === col("cx2") && col("jy") === col("cy2"))
+      .filter(d2 <= lit(radius * radius))
+      .select(col("probe_id"), col("ref_id"), d2.as("dist2"))
+  }
 }

@@ -571,6 +571,85 @@ object EventTimeSeriesQueries {
         .orderBy("user_id")
     }),
 
+    // Wald-Wolfowitz RUNS test on the signs of day-over-day revenue
+    // change — the randomness audit behind "is this series trending /
+    // mean-reverting or noise" (too few runs = momentum, too many =
+    // oscillation), complementing q184's autocorrelation with a
+    // distribution-free statistic. Signs, run count R (1 + sign
+    // changes) and the n+/n- split are exact integers off the
+    // calendar-bounded daily frame; mu and z are shared-text doubles
+    // with the degenerate one-sided case (a=0 or b=0) NULL on both
+    // engines (an unguarded mu would divide by zero under ANSI).
+    // Zero-diff days drop (the classical treatment).
+    "q336_runs_test" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("y"))
+      val wD = Window.orderBy("dd") // calendar-bounded frame
+      val signs = daily
+        .withColumn("__diff", col("y") - lag("y", 1).over(wD))
+        .filter(col("__diff").isNotNull && col("__diff") =!= 0L)
+        .withColumn("__s", when(col("__diff") > 0, 1).otherwise(-1))
+        .withColumn("__prev", lag("__s", 1).over(wD))
+      signs.agg(
+          sum(when(col("__s") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("__s") === -1, 1L).otherwise(0L)).as("b"),
+          sum(when(col("__prev").isNull || col("__s") =!= col("__prev"), 1L)
+            .otherwise(0L)).as("r"))
+        .select(col("a").as("n_pos"), col("b").as("n_neg"),
+          col("r").as("n_runs"),
+          expr(RunsMu).as("mu_runs"), expr(RunsZ).as("z_runs"))
+        .orderBy("n_pos")
+    }),
+
+    // Kendall tau-b between the daily click-count and purchase-cents
+    // series — the RANK-free concordance correlation (q305's Spearman
+    // needs ranks; Kendall reads agreement directly off value pairs
+    // and carries the cleaner tie story): C, D and the three tie
+    // classes are exact INTEGER pair counts over the calendar-bounded
+    // daily frame (30 days -> 435 pairs — all-pairs here is a
+    // bounded-frame product, the documented exception to the
+    // no-cross-join rule), and tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) is
+    // one shared-text double at the end. Day keys are exact integer
+    // epoch days (the q232 rule).
+    "q335_kendall_tau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = graft.ops.Staging.stage(
+        ev.groupBy(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("dd"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+                 .as("x"),
+               sum(when(col("event_type") === "purchase",
+                 expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+                 .otherwise(0L)).as("y")))
+      val b = daily.select(col("dd").as("dd2"), col("x").as("x2"),
+        col("y").as("y2"))
+      daily.join(b, col("dd") < col("dd2"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          // sign comparisons, not difference products: a cents-diff
+          // product overflows BIGINT at corpus scale, and the two
+          // engines disagree on overflow (Spark wraps, DuckDB errors)
+          sum(when((col("x") < col("x2") && col("y") < col("y2")) ||
+                   (col("x") > col("x2") && col("y") > col("y2")), 1L)
+            .otherwise(0L)).as("conc"),
+          sum(when((col("x") < col("x2") && col("y") > col("y2")) ||
+                   (col("x") > col("x2") && col("y") < col("y2")), 1L)
+            .otherwise(0L)).as("disc"),
+          sum(when(col("x") === col("x2") && col("y") =!= col("y2"), 1L)
+            .otherwise(0L)).as("tied_x"),
+          sum(when(col("y") === col("y2") && col("x") =!= col("x2"), 1L)
+            .otherwise(0L)).as("tied_y"),
+          sum(when(col("x") === col("x2") && col("y") === col("y2"), 1L)
+            .otherwise(0L)).as("tied_both"))
+        .select(col("n_pairs"), col("conc"), col("disc"),
+          col("tied_x"), col("tied_y"), col("tied_both"),
+          expr(KendallTauB).as("tau_b"))
+        .orderBy("n_pairs")
+    }),
+
     // Lagged cross-correlation between two daily series — click
     // activity (counts) leading purchase revenue (cents) by 0..7
     // days: the lead-lag diagnostic behind "does engagement predict
@@ -698,7 +777,60 @@ object EventTimeSeriesQueries {
     }),
   )
 
+  /** q335's tau-b closed form over exact integer pair counts — SHARED
+    * text: n1 = pairs tied in x (incl. both), n2 = tied in y, tau_b =
+    * (C-D)/sqrt((n0-n1)(n0-n2)); sqrt is correctly rounded on both
+    * engines, every operand explicitly DOUBLE-cast. */
+  private val KendallTauB =
+    "round(CAST(conc - disc AS DOUBLE) / " +
+      "sqrt(CAST(n_pairs - tied_x - tied_both AS DOUBLE) * " +
+      "CAST(n_pairs - tied_y - tied_both AS DOUBLE)), 6)"
+
+  /** q336's expected-runs mean and z — SHARED text over the exact
+    * integer (a, b, r); the one-sided degenerate case is NULL via the
+    * guard (ANSI-safe), and RunsZ embeds RunsMuBody verbatim so the
+    * repeated subexpression evaluates bit-identically. */
+  private val RunsMuBody =
+    "CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(b AS DOUBLE) / " +
+      "CAST(a + b AS DOUBLE) + CAST(1 AS DOUBLE)"
+  private val RunsMu =
+    s"CASE WHEN a > 0 AND b > 0 THEN round($RunsMuBody, 6) " +
+      "ELSE CAST(NULL AS DOUBLE) END"
+  private val RunsZ =
+    "CASE WHEN a > 0 AND b > 0 THEN " +
+      s"round((CAST(r AS DOUBLE) - ($RunsMuBody)) / " +
+      "sqrt(CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(b AS DOUBLE) * " +
+      "(CAST(2 AS DOUBLE) * CAST(a AS DOUBLE) * CAST(b AS DOUBLE) - " +
+      "CAST(a + b AS DOUBLE)) / " +
+      "(CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE) * " +
+      "CAST(a + b - 1 AS DOUBLE))), 6) ELSE CAST(NULL AS DOUBLE) END"
+
   val oracles: Map[String, String] = Map(
+    // Runs-test replay: same daily cents, lag-based signs and run
+    // count, the SHARED mu/z texts.
+    "q336_runs_test" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |df AS (
+        |  SELECT dd, y - lag(y) OVER (ORDER BY dd) AS d FROM daily),
+        |sg AS (
+        |  SELECT dd, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        |  FROM df WHERE d IS NOT NULL AND d <> 0),
+        |sq AS (
+        |  SELECT s, lag(s) OVER (ORDER BY dd) AS prev FROM sg),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM sq)
+        |SELECT a AS n_pos, b AS n_neg, r AS n_runs,
+        |  $RunsMu AS mu_runs, $RunsZ AS z_runs
+        |FROM c ORDER BY n_pos""".stripMargin,
     // Truncated-EWMA replay: the identical left-associated sum of
     // power-of-two-weighted lags (every product an exact exponent
     // shift; see the query comment). Generated so the 8 terms
@@ -1095,6 +1227,37 @@ object EventTimeSeriesQueries {
         |  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
         |SELECT event_type, day, round(l, 6) AS level, round(b, 6) AS trend
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // Kendall replay: identical integer pair classification over the
+    // same daily frame, the SHARED tau-b closed form.
+    "q335_kendall_tau" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.x, a.y, b.x AS x2, b.y AS y2
+        |  FROM daily a JOIN daily b ON a.dd < b.dd),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (x < x2 AND y < y2) OR (x > x2 AND y > y2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN (x < x2 AND y > y2) OR (x > x2 AND y < y2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+        |    CAST(sum(CASE WHEN x = x2 AND y <> y2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tied_x,
+        |    CAST(sum(CASE WHEN y = y2 AND x <> x2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tied_y,
+        |    CAST(sum(CASE WHEN x = x2 AND y = y2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tied_both
+        |  FROM p)
+        |SELECT n_pairs, conc, disc, tied_x, tied_y, tied_both,
+        |  $KendallTauB AS tau_b
+        |FROM c ORDER BY n_pairs""".stripMargin,
 
     // Croston replay: the state machine as a recursive CTE stepping
     // rn -> rn+1 per user over the same zero-filled grid; the

@@ -179,6 +179,52 @@ object TextDedupQueries {
         .orderBy("component")
     }),
 
+    // DEDUP WATERFALL — the per-source accounting report a curation
+    // pipeline publishes with every corpus release: documents and
+    // tokens surviving each tier (raw -> exact keep-min-id per
+    // md5(text) -> near-dup keep-min-id per simhash cluster, clusters
+    // from the corpus-wide q64 component structure), plus the total
+    // token-removal ppm. Composes the tiers the suite checks
+    // individually (q25/q64/q146) into the marginal-effect view;
+    // all-integer outputs. Scale: one md5-keyed window, the CC
+    // itself, one cluster-keyed window — each tier a partitioned
+    // window, never a global one.
+    "q338_dedup_waterfall" -> ((s, d) => {
+      val docs = graft.ops.Staging.stage(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text"),
+          expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+            .cast("long").as("toks"),
+          md5(col("text")).as("__h")))
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy("__h").orderBy("doc_id")
+      val exact = graft.ops.Staging.stage(
+        docs.withColumn("__rn", row_number().over(wH))
+          .filter(col("__rn") === 1)
+          .select("doc_id", "source", "toks"))
+      val comp = Dedup.connectedComponents(
+        Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3, bits = 64))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("__cl").orderBy("doc_id")
+      val nd = exact.join(comp, col("doc_id") === col("id"), "left")
+        .withColumn("__cl", coalesce(col("component"), col("doc_id")))
+        .withColumn("__rn2", row_number().over(wC))
+        .filter(col("__rn2") === 1)
+      def census(df: DataFrame, dCol: String, tCol: String) =
+        df.groupBy("source").agg(count(lit(1)).as(dCol),
+          sum("toks").as(tCol))
+      census(docs, "n_docs", "tokens_raw")
+        .join(census(exact, "docs_exact", "tokens_exact"), Seq("source"))
+        .join(census(nd, "docs_neardup", "tokens_neardup"), Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens_raw"),
+          col("docs_exact"), col("tokens_exact"),
+          col("docs_neardup"), col("tokens_neardup"),
+          expr("((tokens_raw - tokens_neardup) * 1000000) div tokens_raw")
+            .as("removed_ppm"))
+        .orderBy("source")
+    }),
+
     // Dup-cluster CANONICALIZATION — the step after q64's component
     // discovery that actually fixes the corpus: per near-dup cluster,
     // keep the best representative (longest text, doc_id tie-break)
@@ -776,6 +822,42 @@ object TextDedupQueries {
     "q64_dup_components" -> (simhashCompCtes +
       "\nSELECT component, count(*) AS n_members, max(id) AS max_id" +
       "\nFROM comp GROUP BY component ORDER BY component"),
+
+    // Waterfall replay: q64's component CTEs extended with the tiered
+    // keep-min windows and the integer census.
+    "q338_dedup_waterfall" -> (simhashCompCtes + """,
+      |tokc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0)) AS BIGINT) AS toks,
+      |    md5(text) AS h
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, source, toks FROM (
+      |    SELECT tokc.*, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+      |      AS rn
+      |    FROM tokc) WHERE rn = 1),
+      |nd AS (
+      |  SELECT doc_id, source, toks FROM (
+      |    SELECT ex.doc_id, ex.source, ex.toks,
+      |      row_number() OVER (PARTITION BY coalesce(comp.component, ex.doc_id)
+      |        ORDER BY ex.doc_id) AS rn2
+      |    FROM ex LEFT JOIN comp ON ex.doc_id = comp.id) WHERE rn2 = 1),
+      |r0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(toks) AS BIGINT) AS tokens_raw
+      |       FROM tokc GROUP BY source),
+      |r1 AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_exact,
+      |         CAST(sum(toks) AS BIGINT) AS tokens_exact
+      |       FROM ex GROUP BY source),
+      |r2 AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_neardup,
+      |         CAST(sum(toks) AS BIGINT) AS tokens_neardup
+      |       FROM nd GROUP BY source)
+      |SELECT r0.source, n_docs, tokens_raw, docs_exact, tokens_exact,
+      |  docs_neardup, tokens_neardup,
+      |  ((tokens_raw - tokens_neardup) * 1000000) // tokens_raw
+      |    AS removed_ppm
+      |FROM r0 JOIN r1 USING (source) JOIN r2 USING (source)
+      |ORDER BY source""".stripMargin),
 
     // Canonicalization replay: q64's component pyramid + the
     // (n_chars DESC, doc_id) argmax per component.

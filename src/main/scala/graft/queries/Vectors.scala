@@ -565,6 +565,27 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Asymmetric grid PROXIMITY join (Spatial.gridProximityJoin):
+    // odd-id vectors probed against the even-id reference set within
+    // r = 0.02 in the 2-dim projection plane — q322's self-join
+    // opened into the probe-vs-reference form (geofence / anomaly-
+    // radius lookups), whose stateless plan doubles as the streaming
+    // twin (Streams.proximityAlertStream is this operator applied to
+    // a stream; StreamingSpec pins equality). Exact all-pairs oracle
+    // for the same reason as q322.
+    "q337_grid_proximity" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("px"),
+        element_at(col("embedding"), 2).cast("double").as("py"))
+      graft.ext.Spatial.gridProximityJoin(
+          pts.filter(pmod(col("vec_id"), lit(2)) =!= 0), "vec_id",
+          pts.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+          "px", "py", radius = 0.02)
+        .select(col("probe_id"), col("ref_id"),
+          round(col("dist2"), 6).as("dist2"))
+        .orderBy("probe_id", "ref_id")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -1060,6 +1081,21 @@ object VectorQueries {
         |WHERE a.id < b.id
         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${0.02 * 0.02}
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Asymmetric all-pairs replay: probe half x reference half with
+    // the identical squared-distance expression and threshold double.
+    "q337_grid_proximity" ->
+      s"""WITH p AS (
+        |  SELECT vec_id AS id, vec_id % 2 AS par,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings)
+        |SELECT a.id AS probe_id, b.id AS ref_id,
+        |  round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
+        |FROM p a, p b
+        |WHERE a.par <> 0 AND b.par = 0
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${0.02 * 0.02}
+        |ORDER BY probe_id, ref_id""".stripMargin,
 
     // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
     // express the k-means cells): recall@3 of the labeled-index

@@ -325,6 +325,22 @@ object Streams {
         })
   }
 
+  /** Stream-static PROXIMITY alerts — streaming points probed against
+    * a static reference set with [[graft.ext.Spatial.gridProximityJoin]]
+    * verbatim: the operator is all stateless transforms (projection,
+    * 3x3 cell explode, inner join, exact distance filter), so applied
+    * to a streaming frame it IS its own twin — Structured Streaming
+    * plans a stream-static join, no watermark or state store, and the
+    * batch operator run over the same rows gives the identical pair
+    * set (StreamingSpec pins it). The geofence/anomaly-radius shape:
+    * reference = known sites, stream = live positions. */
+  def proximityAlertStream(points: DataFrame, idCol: String,
+                           reference: DataFrame, refIdCol: String,
+                           xCol: String, yCol: String,
+                           radius: Double): DataFrame =
+    graft.ext.Spatial.gridProximityJoin(points, idCol, reference, refIdCol,
+      xCol, yCol, radius)
+
   case class ThrottleEvent(k: String, seq: Long, t: Long)
   case class ThrottleState(k: String, last_emit: Long)
   case class ThrottleDecision(k: String, seq: Long, t: Long,

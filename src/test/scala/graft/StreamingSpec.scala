@@ -15,6 +15,7 @@ case class Doc(doc_id: Long, ts: Timestamp, text: String, source: String)
 case class EvJ(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
 case class VecRow(vec_id: Long, embedding: Seq[Float], label: Int)
+case class PointEv(id: Long, px: Double, py: Double)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -749,6 +750,35 @@ class StreamingSpec extends AnyFunSuite {
       "24 must start a new session (span cap), despite the sub-gap step")
     assert(streamed(("a", 6L)) == 24L, "32 joins the capped session")
     assert(streamed(("a", 8L)) == 60L, "idle gap starts the third session")
+  }
+
+  test("proximityAlertStream ≡ batch gridProximityJoin (stream-static join, stateless)") {
+    implicit val sc = spark.sqlContext
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id",
+        element_at($"embedding", 1).cast("double").as("px"),
+        element_at($"embedding", 2).cast("double").as("py"))
+    val ref = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val probePts = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+      .collect().map(r => PointEv(r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val stream = MemoryStream[PointEv]
+    val q = graft.streaming.Streams.proximityAlertStream(
+        stream.toDF().withColumnRenamed("id", "vec_id"), "vec_id",
+        ref, "vec_id", "px", "py", radius = 0.02)
+      .writeStream.format("memory").queryName("proxalerts")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = probePts.splitAt(probePts.length / 2)
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(spark.table("proxalerts"))
+    val batch = rows(graft.ext.Spatial.gridProximityJoin(
+      emb.filter(pmod($"vec_id", lit(2)) =!= 0), "vec_id",
+      ref, "vec_id", "px", "py", radius = 0.02))
+    assert(streamed == batch, "stream-static proximity must equal batch")
+    assert(streamed.nonEmpty, "fixture should produce at least one pair")
   }
 
   test("annAppendStream: stream-appended labeled quantized index ≡ batch append; replayed batch is a no-op") {
