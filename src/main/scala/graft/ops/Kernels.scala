@@ -478,6 +478,45 @@ object Kernels {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Greedy MAXIMUM NON-OVERLAPPING interval selection per key — the
+    * classic activity-selection algorithm (sort by end, keep every
+    * interval whose start clears the last kept end), which the
+    * exchange argument proves OPTIMAL for max cardinality, so the
+    * per-key kept-count is a well-defined statistic (capacity
+    * planning's "how many jobs fit serially"), not a heuristic.
+    * Touching intervals (start == previous end) are kept — the
+    * half-open [start, end) convention. The scan order is
+    * (end, start, tieCol), so both engines replay the identical
+    * selection; adds a `kept` boolean. Same secondary-sort shape as
+    * [[holtLinear]]: keys scale out, one constant-memory pass per
+    * key. */
+  def maxNonOverlap(df: DataFrame, keyCol: String, startCol: String,
+                    endCol: String, tieCol: String): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "kept", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val sIdx = df.schema.fieldIndex(startCol)
+    val eIdx = df.schema.fieldIndex(endCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(endCol), col(startCol),
+        col(tieCol))
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var haveKey = false
+        var lastEnd = Long.MinValue
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; lastEnd = Long.MinValue
+          }
+          val kept = r.getLong(sIdx) >= lastEnd
+          if (kept) lastEnd = r.getLong(eIdx)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ kept)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** IEEE-754 float division under Spark's default ANSI mode (which
     * throws on /0): x/0 -> +-Inf, 0/0 -> NaN — the semantics eager
     * columnar engines (and the reference's Polars kernels) give.

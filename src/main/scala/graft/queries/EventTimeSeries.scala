@@ -571,6 +571,81 @@ object EventTimeSeriesQueries {
         .orderBy("user_id")
     }),
 
+    // Greedy interval scheduling (Kernels.maxNonOverlap — the
+    // activity-selection optimum): each event claims a value-scaled
+    // service window [ts, ts + 60*floor(value) s), and per user the
+    // kernel keeps the maximum set of non-overlapping windows — the
+    // "how many jobs fit serially" capacity statistic. Exact integer
+    // micros; the (end, start, event_id) scan order replays in the
+    // oracle as a per-user recursive CTE carrying the last kept end
+    // (the q326 stepping pattern). Per-user output rows.
+    "q340_interval_scheduling" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          expr("CAST(floor(value) AS BIGINT)") * lit(60000000L)).as("e_us"))
+      graft.ops.Kernels.maxNonOverlap(iv, "user_id", "s_us", "e_us",
+          "event_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("user_id")
+    }),
+
+    // Hodges-Lehmann location estimate of daily purchase revenue —
+    // the median of all Walsh averages (y_i + y_j)/2 over i <= j: the
+    // robust "typical day" that tolerates ~29% gross outliers where
+    // the mean tolerates none and the plain median wastes efficiency.
+    // Walsh averages over the calendar-bounded daily frame (30 days
+    // -> 465 pairs, the bounded-product exception); cents are exact
+    // integers so every average is an exact k/2 double and the
+    // interpolated median lands on an exact k/4 — no rounding
+    // boundary exists. percentile() bit-matches quantile_cont.
+    "q339_hodges_lehmann" -> ((s, d) => {
+      val daily = graft.ops.Staging.stage(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")),
+              lit("1970-01-01").cast("date")).cast("long").as("dd"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("y")))
+      val b = daily.select(col("dd").as("dd2"), col("y").as("y2"))
+      daily.join(b, col("dd") <= col("dd2"))
+        .select(((col("y") + col("y2")).cast("double") / 2.0).as("w"))
+        .agg(count(lit(1)).as("n_walsh"),
+             expr("percentile(w, 0.5)").as("__hl"))
+        .select(col("n_walsh"), round(col("__hl"), 6).as("hl_cents"))
+        .orderBy("n_walsh")
+    }),
+
+    // Mann-Kendall trend test on the daily revenue series — the
+    // standard nonparametric monotone-trend detector (environmental
+    // statistics' workhorse; Kendall machinery with TIME as x, so
+    // only y-ties need correction): S = sum of sign(y_j - y_i) over
+    // i < j in day order, tie-corrected Var(S), and the
+    // continuity-corrected z — S and the tie terms exact integers,
+    // z one shared-text double. Calendar-bounded pair frame.
+    "q341_mann_kendall" -> ((s, d) => {
+      val daily = graft.ops.Staging.stage(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")),
+              lit("1970-01-01").cast("date")).cast("long").as("dd"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("y")))
+      val b = daily.select(col("dd").as("dd2"), col("y").as("y2"))
+      val sAgg = daily.join(b, col("dd") < col("dd2"))
+        .agg(sum(when(col("y2") > col("y"), 1L)
+               .when(col("y2") < col("y"), -1L).otherwise(0L)).as("s_stat"))
+      val nAgg = daily.agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("y").agg(count(lit(1)).as("__t"))
+        .agg(coalesce(sum(expr("__t * (__t - 1) * (2 * __t + 5)")), lit(0L))
+          .as("tie_term"))
+      sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s_stat"), col("tie_term"),
+          expr(MannKendallZ).as("z_mk"))
+        .orderBy("n_days")
+    }),
+
     // Wald-Wolfowitz RUNS test on the signs of day-over-day revenue
     // change — the randomness audit behind "is this series trending /
     // mean-reverting or noise" (too few runs = momentum, too many =
@@ -805,7 +880,83 @@ object EventTimeSeriesQueries {
       "(CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE) * " +
       "CAST(a + b - 1 AS DOUBLE))), 6) ELSE CAST(NULL AS DOUBLE) END"
 
+  /** q341's continuity-corrected Mann-Kendall z over the exact
+    * integers (s_stat, n, tie_term) — SHARED text; the S = 0 branch
+    * is exact, Var(S) = (n(n-1)(2n+5) - tie_term)/18. */
+  private val MannKendallZ =
+    "CASE WHEN s_stat > 0 THEN round(CAST(s_stat - 1 AS DOUBLE) / " +
+      "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / " +
+      "CAST(18 AS DOUBLE)), 6) " +
+      "WHEN s_stat < 0 THEN round(CAST(s_stat + 1 AS DOUBLE) / " +
+      "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / " +
+      "CAST(18 AS DOUBLE)), 6) " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+
   val oracles: Map[String, String] = Map(
+    // Hodges-Lehmann replay: same Walsh-average frame, quantile_cont
+    // bit-matching Spark's percentile.
+    "q339_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (
+        |  SELECT CAST(a.y + b.y AS DOUBLE) / 2.0 AS w
+        |  FROM daily a JOIN daily b ON a.dd <= b.dd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_walsh,
+        |  round(quantile_cont(w, 0.5), 6) AS hl_cents
+        |FROM w ORDER BY n_walsh""".stripMargin,
+
+    // Interval-scheduling replay: per-user recursive CTE stepping the
+    // (end, start, event_id)-ordered intervals, carrying the last
+    // kept end and the kept count.
+    "q340_interval_scheduling" ->
+      """WITH RECURSIVE iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 * 60
+        |      AS e_us
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, s_us, e_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY e_us, s_us, event_id) AS rn
+        |  FROM iv),
+        |nn AS (SELECT user_id, max(rn) AS nmax FROM o GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, rn, e_us AS last_end, CAST(1 AS BIGINT) AS kept
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    CASE WHEN o.s_us >= r.last_end THEN o.e_us ELSE r.last_end END,
+        |    r.kept + CASE WHEN o.s_us >= r.last_end THEN 1 ELSE 0 END
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT r.user_id, CAST(nn.nmax AS BIGINT) AS n_intervals,
+        |  CAST(r.kept AS BIGINT) AS n_kept
+        |FROM r JOIN nn ON r.user_id = nn.user_id AND r.rn = nn.nmax
+        |ORDER BY r.user_id""".stripMargin,
+
+    // Mann-Kendall replay: same pair signs, tie census and the
+    // SHARED z text.
+    "q341_mann_kendall" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ss AS (
+        |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |                       WHEN b.y < a.y THEN -1 ELSE 0 END)
+        |    AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.dd < b.dd),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |tt AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |    AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y))
+        |SELECT n AS n_days, s_stat, tie_term, $MannKendallZ AS z_mk
+        |FROM ss, nn, tt ORDER BY n_days""".stripMargin,
+
     // Runs-test replay: same daily cents, lag-based signs and run
     // count, the SHARED mu/z texts.
     "q336_runs_test" ->

@@ -334,6 +334,43 @@ class KernelsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 8.0, 0.0), ("a", 8.0, 0.0), ("z", 3.0, 0.0)))
   }
 
+  test("maxNonOverlap: hand case, touching kept, key reset, optimal vs exhaustive, partition-invariant") {
+    // [1,4) [2,5) [4,6): greedy by end keeps [1,4) then [4,6)
+    // (touching boundary), drops the overlapping [2,5)
+    val df = Seq(("a", 1L, 1L, 4L), ("a", 2L, 2L, 5L), ("a", 3L, 4L, 6L),
+                 ("z", 9L, 1L, 9L)).toDF("k", "id", "s", "e").coalesce(1)
+    val out = Kernels.maxNonOverlap(df, "k", "s", "e", "id")
+      .orderBy("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    assert(out.toSeq == Seq(("a", 1L, true), ("a", 2L, false),
+      ("a", 3L, true), ("z", 9L, true)))
+    // optimality (exchange argument made empirical): kept count equals
+    // the exhaustive max over all subsets on a deterministic fixture
+    val iv = (1 to 14).map(i =>
+      (i.toLong, (i * 37 % 50).toLong, (i * 37 % 50 + 3 + i % 7).toLong))
+    def compat(sel: Seq[(Long, Long, Long)]): Boolean = {
+      val sorted = sel.sortBy(_._3)
+      sorted.zip(sorted.drop(1)).forall { case (a, b) => b._2 >= a._3 }
+    }
+    val best = (0 until (1 << 14)).map { m =>
+      val sel = iv.zipWithIndex.filter { case (_, i) => (m & (1 << i)) != 0 }
+        .map(_._1)
+      if (compat(sel)) sel.size else 0
+    }.max
+    val kept = Kernels.maxNonOverlap(
+        iv.map { case (id, s, e) => ("g", id, s, e) }.toDF("k", "id", "s", "e"),
+        "k", "s", "e", "id")
+      .filter($"kept").count()
+    assert(kept == best, s"greedy kept $kept vs exhaustive optimum $best")
+    // partition invariance
+    def run(parts: Int) = Kernels.maxNonOverlap(
+        iv.map { case (id, s, e) => ((id % 3).toString, id, s, e) }
+          .toDF("k", "id", "s", "e").repartition(parts),
+        "k", "s", "e", "id")
+      .orderBy("k", "id").collect().map(_.getBoolean(4)).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("crostonForecast: hand case, null-before-first-demand, zero days carry, key reset") {
     // α=0.5, series 0, 10, 0, 0, 20:
     //   t1: no demand yet -> nulls
