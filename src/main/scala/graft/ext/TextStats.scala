@@ -412,6 +412,9 @@ object TextStats {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+    val clash = Seq("fp_pos", "fp_hash").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"winnowFingerprints reserves output columns ${clash.mkString(", ")} — rename them upstream")
     val keep = df.columns.filter(c => c != textCol).toSeq
     val t = df
       .withColumn("__tk", split(col(textCol), " "))

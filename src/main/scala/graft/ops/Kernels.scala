@@ -435,6 +435,10 @@ object Kernels {
     * both engines smooth with the same doubles). */
   def crostonForecast(df: DataFrame, keyCol: String, orderCols: Seq[String],
                       valueCol: String, alpha: Double): DataFrame = {
+    val clash = Seq("demand_level", "interval_level", "forecast")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"crostonForecast reserves output columns ${clash.mkString(", ")} — rename them upstream")
     val b = 1 - alpha
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields ++ Seq(
@@ -492,6 +496,8 @@ object Kernels {
     * key. */
   def maxNonOverlap(df: DataFrame, keyCol: String, startCol: String,
                     endCol: String, tieCol: String): DataFrame = {
+    require(!df.columns.contains("kept"),
+      "maxNonOverlap reserves the output column kept — rename it upstream")
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "kept", org.apache.spark.sql.types.BooleanType, nullable = false))
