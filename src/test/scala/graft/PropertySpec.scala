@@ -452,4 +452,74 @@ class PropertySpec extends AnyFunSuite {
     assert(movers.length > 250 && movers.length < 560,
       s"moved ${movers.length}/2000, expected ~400")
   }
+
+  test("gridRangeJoin ≡ brute-force all-pairs on random point clouds (property)") {
+    val ptsGen: Gen[List[(Double, Double)]] = Gen.listOfN(120, for {
+      x <- Gen.choose(-1000, 1000).map(_ / 500.0) // [-2, 2] on a lattice
+      y <- Gen.choose(-1000, 1000).map(_ / 500.0)
+    } yield (x, y))
+    for ((pts, i) <- samples(ptsGen, 3).zipWithIndex) {
+      val r = Seq(0.05, 0.11, 0.4)(i)
+      val df = pts.zipWithIndex.map { case ((x, y), id) => (id.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val grid = graft.ext.Spatial.gridRangeJoin(df, "id", "x", "y", r)
+        .collect().map(q => (q.getLong(0), q.getLong(1))).toSeq
+      val brute = for {
+        (a, ia) <- pts.zipWithIndex; (b, ib) <- pts.zipWithIndex
+        if ia < ib
+        if (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2) <= r * r
+      } yield (ia.toLong, ib.toLong)
+      // the lattice coordinates make boundary ties common — exactly
+      // the pairs a mis-sized grid would drop
+      assert(grid.toSet == brute.toSet && grid.size == brute.size,
+        s"sample $i r=$r: grid ${grid.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("maxNonOverlap is optimal vs interval-scheduling DP on random instances (property)") {
+    val ivGen: Gen[List[(Long, Long)]] = Gen.listOfN(40, for {
+      s <- Gen.choose(0L, 80L)
+      d <- Gen.choose(1L, 15L)
+    } yield (s, s + d))
+    for ((iv, i) <- samples(ivGen, 4).zipWithIndex) {
+      val kept = Kernels.maxNonOverlap(
+          iv.zipWithIndex.map { case ((s, e), id) => ("k", id.toLong, s, e) }
+            .toDF("k", "id", "s", "e"),
+          "k", "s", "e", "id")
+        .filter(col("kept")).count()
+      // exact optimum: DP over end-sorted intervals,
+      // opt(j) = max(opt(j-1), 1 + opt(last compatible before j))
+      val sorted = iv.sortBy(x => (x._2, x._1)).toArray
+      val opt = new Array[Int](sorted.length + 1)
+      for (j <- 1 to sorted.length) {
+        val (sj, _) = sorted(j - 1)
+        var p = j - 1
+        while (p > 0 && sorted(p - 1)._2 > sj) p -= 1
+        opt(j) = math.max(opt(j - 1), 1 + opt(p))
+      }
+      assert(kept == opt(sorted.length),
+        s"sample $i: greedy $kept vs DP optimum ${opt(sorted.length)}")
+    }
+  }
+
+  test("winnowing guarantee: any shared run of >= w+k-1 tokens shares a fingerprint (property)") {
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen: Gen[(List[String], List[String], List[String])] = for {
+      run <- Gen.listOfN(7, Gen.oneOf(vocab)) // w + k - 1 = 7
+      pre1 <- Gen.listOfN(6, Gen.oneOf(vocab))
+      suf1 <- Gen.listOfN(6, Gen.oneOf(vocab))
+      pre2 <- Gen.listOfN(6, Gen.oneOf(vocab))
+    } yield (run, pre1 ++ run ++ suf1, pre2 ++ run)
+    for (((_, d1, d2), i) <- samples(docGen, 5).zipWithIndex) {
+      val fps = graft.ext.TextStats.winnowFingerprints(
+          Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", k = 4, w = 4)
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+      val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+      val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+      assert((h1 intersect h2).nonEmpty,
+        s"sample $i: 7-token shared run produced no shared fingerprint")
+    }
+  }
 }
