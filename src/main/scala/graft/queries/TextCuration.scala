@@ -819,6 +819,55 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // HEAPS'-LAW vocabulary growth fit per source — V(N) ~ K * N^beta
+    // estimated by log-log OLS over the vocabulary-size curve sampled
+    // at POWER-OF-TWO document prefixes: the corpus-scaling diagnostic
+    // ("how fast does new text stop bringing new words") that q328's
+    // point-estimate unseen mass extends to a curve. The power-of-two
+    // sampling is the scale trick: <= log2(n_docs)+1 points per source
+    // at ANY corpus size, so the log-sum OLS runs on a bounded frame
+    // (the q196 form) while V and N at each point are exact integers
+    // (first-occurrence ranks joined to the point thresholds — vocab x
+    // ~40 rows through one shuffle, linear in vocabulary). Doc order =
+    // doc_id (deterministic prefix definition on both engines).
+    "q342_heaps_law" -> ((s, d) => {
+      val wS = Window.partitionBy("source").orderBy("doc_id")
+      val docs = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> length(t) > 0)").as("__ws"))
+          .withColumn("r", row_number().over(wS))
+          .withColumn("cum_n",
+            sum(size(col("__ws")).cast("long"))
+              .over(wS.rowsBetween(Window.unboundedPreceding, 0))))
+      val points = docs
+        .filter(expr("(r & (r - 1)) = 0") && col("cum_n") > 0)
+        .select(col("source"), col("r").as("pr"), col("cum_n"))
+      val fo = docs.select(col("source"), col("r"),
+          explode(col("__ws")).as("w"))
+        .groupBy("source", "w").agg(min("r").as("fo"))
+      val v = fo.join(points, Seq("source"))
+        .filter(col("fo") <= col("pr"))
+        .groupBy("source", "pr").agg(count(lit(1)).as("vsz"))
+      points.join(v, Seq("source", "pr"))
+        .withColumn("__x", log(col("cum_n").cast("double")))
+        .withColumn("__y", log(col("vsz").cast("double")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_points"),
+             sum("__x").as("__sx"), sum("__y").as("__sy"),
+             sum(col("__x") * col("__x")).as("__sxx"),
+             sum(col("__x") * col("__y")).as("__sxy"))
+        .select(col("source"), col("n_points"),
+          round((col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+                (col("n_points") * col("__sxx") - col("__sx") * col("__sx")), 6)
+            .as("heaps_beta"),
+          round((col("__sy") - ((col("n_points") * col("__sxy") -
+                  col("__sx") * col("__sy")) /
+                 (col("n_points") * col("__sxx") - col("__sx") * col("__sx"))) *
+                col("__sx")) / col("n_points"), 6).as("heaps_logk"))
+        .orderBy("source")
+    }),
+
     // Pairwise SOURCE-LM KL divergence — KL(P_a || P_b) between every
     // ordered source pair's Laplace(+1)-smoothed unigram LMs over the
     // JOINT vocabulary: the directional corpus-shift matrix behind
@@ -989,6 +1038,47 @@ object TextCurationQueries {
       "(CAST(cb + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Heaps replay: identical power-of-two prefix points (row_number
+    // by doc_id), exact integer (cum_n, V) per point, the q196-form
+    // log-log OLS over the bounded point frame.
+    "q342_heaps_law" ->
+      """WITH dws AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS ws,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |cn AS (
+        |  SELECT doc_id, source, ws, r,
+        |    CAST(sum(len(ws)) OVER (PARTITION BY source ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n
+        |  FROM dws),
+        |pts AS (
+        |  SELECT source, r AS pr, cum_n FROM cn
+        |  WHERE (r & (r - 1)) = 0 AND cum_n > 0),
+        |fo AS (
+        |  SELECT source, w, min(r) AS fo FROM (
+        |    SELECT source, r, unnest(ws) AS w FROM cn) GROUP BY 1, 2),
+        |v AS (
+        |  SELECT fo.source, pts.pr, CAST(count(*) AS BIGINT) AS vsz
+        |  FROM fo JOIN pts ON fo.source = pts.source AND fo.fo <= pts.pr
+        |  GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT pts.source, ln(CAST(pts.cum_n AS DOUBLE)) AS x,
+        |    ln(CAST(v.vsz AS DOUBLE)) AS y
+        |  FROM pts JOIN v ON pts.source = v.source AND pts.pr = v.pr),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM xy GROUP BY source)
+        |SELECT source, n_points,
+        |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+        |    AS heaps_beta,
+        |  round((sy - ((n_points * sxy - sx * sy) /
+        |    (n_points * sxx - sx * sx)) * sx) / n_points, 6) AS heaps_logk
+        |FROM agg ORDER BY source""".stripMargin,
+
     // KL replay: same (source x joint-vocab) zero-filled grid, the
     // SHARED floored nano-nat term, exact integer sums.
     "q331_source_kl" ->
