@@ -126,6 +126,70 @@ object RelationalGraphsQueries {
     // on the rounded score + node (the q80 rule). Non-seed customers
     // score exactly 0 (nothing links INTO a customer here) — visible
     // in the oracle too.
+    // RICH-CLUB coefficient of the q90 customer-supplier graph at
+    // degree cutoffs k = 2/4/8 — phi(k) = 2*E_k / (N_k*(N_k-1)) over
+    // the subgraph of nodes with degree > k (Colizza et al. 2006):
+    // "do the hubs preferentially trade with each other", the
+    // structural complement of q277's assortativity. All-integer
+    // outputs (floor-ppm density); degrees are one aggregate, E_k two
+    // semi-joins of the distinct edge list per cutoff, the 3-cutoff
+    // frame a broadcast.
+    "q343_rich_club" -> ((s, d) => {
+      val e0 = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
+      val deg = graft.ops.Staging.stage(
+        e0.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg")))
+      val ks = Seq(2L, 4L, 8L).map { k =>
+        val rich = deg.filter(col("deg") > k).select("node")
+        val nK = rich.agg(count(lit(1)).as("n_k"))
+        val eK = e0.join(rich.withColumnRenamed("node", "a"), Seq("a"),
+            "left_semi")
+          .join(rich.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .agg(count(lit(1)).as("e_k"))
+        nK.crossJoin(broadcast(eK)).select(lit(k).as("k"),
+          col("n_k"), col("e_k"),
+          expr("CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) div " +
+            "(n_k * (n_k - 1)) ELSE CAST(NULL AS BIGINT) END")
+            .as("phi_ppm"))
+      }
+      ks.reduce(_.unionByName(_)).orderBy("k")
+    }),
+
+    // Discrete POWER-LAW degree exponent via the Clauset-Shalizi-
+    // Newman continuous-MLE form at dmin = 1: alpha = 1 + N / sum
+    // ln(d) over the q90 graph's degree sequence — the scale-free-ness
+    // dial next to q286's fan-out histogram. The ln-sum runs over the
+    // DISTINCT-DEGREE census (n_d * ln(d) per distinct degree, each
+    // term floored to nano BEFORE the integer sum — the q269 rule and
+    // the bounded-frame shape: distinct degrees, never nodes); alpha
+    // is one shared-text floored-milli expression, NULL on the
+    // degenerate all-degree-1 graph.
+    "q344_powerlaw_alpha" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val degCensus = e0
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_d"))
+      degCensus
+        .select(col("deg"), col("n_d"), expr(PowerLawTermNano).as("__t"))
+        .agg(sum(col("n_d")).as("n_nodes"),
+             sum(when(col("deg") > 1, col("n_d")).otherwise(0L))
+               .as("n_above_dmin"),
+             sum("__t").as("ln_sum_nano"))
+        .select(col("n_nodes"), col("n_above_dmin"), col("ln_sum_nano"),
+          expr(PowerLawAlphaMilli).as("alpha_milli"))
+        .orderBy("n_nodes")
+    }),
+
     "q330_personalized_pagerank" -> ((s, d) => {
       val edges = Tables.orders(s, d)
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
@@ -520,7 +584,79 @@ object RelationalGraphsQueries {
     }),
   )
 
+  /** q344's per-distinct-degree ln contribution in floored nano —
+    * SHARED text (n_d * ln(d), every operand DOUBLE-cast, floored
+    * per term so sum order never matters). */
+  private val PowerLawTermNano =
+    "CAST(floor(CAST(1000000000 AS DOUBLE) * CAST(n_d AS DOUBLE) * " +
+      "ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+
+  /** q344's alpha = 1 + N / (ln_sum_nano / 1e9), floored milli, NULL
+    * when every node has degree 1 (ln sum 0) — SHARED text. */
+  private val PowerLawAlphaMilli =
+    "CASE WHEN ln_sum_nano > 0 THEN " +
+      "CAST(floor(CAST(1000 AS DOUBLE) * (CAST(1 AS DOUBLE) + " +
+      "CAST(n_nodes AS DOUBLE) * CAST(1000000000 AS DOUBLE) / " +
+      "CAST(ln_sum_nano AS DOUBLE))) AS BIGINT) " +
+      "ELSE CAST(NULL AS BIGINT) END"
+
   val oracles: Map[String, String] = Map(
+    // Rich-club replay: same distinct bipartite edges, degree
+    // census, two IN-subqueries per cutoff, floor-ppm phi.
+    "q343_rich_club" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY node),
+        |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+        |nk AS (
+        |  SELECT ks.k, CAST(count(*) FILTER (deg.deg > ks.k) AS BIGINT)
+        |    AS n_k
+        |  FROM ks CROSS JOIN deg GROUP BY ks.k),
+        |ed AS (
+        |  SELECT da.deg AS dega, db.deg AS degb
+        |  FROM e0 JOIN deg da ON da.node = e0.a
+        |          JOIN deg db ON db.node = e0.b),
+        |ek AS (
+        |  SELECT ks.k,
+        |    CAST(count(*) FILTER (ed.dega > ks.k AND ed.degb > ks.k)
+        |      AS BIGINT) AS e_k
+        |  FROM ks CROSS JOIN ed GROUP BY ks.k)
+        |SELECT nk.k, nk.n_k, ek.e_k,
+        |  CAST(CASE WHEN nk.n_k >= 2
+        |    THEN (2 * ek.e_k * 1000000) // (nk.n_k * (nk.n_k - 1))
+        |    ELSE NULL END AS BIGINT) AS phi_ppm
+        |FROM nk JOIN ek ON nk.k = ek.k
+        |ORDER BY nk.k""".stripMargin,
+
+    // Power-law replay: same degree census, the SHARED floored nano
+    // term and floored-milli alpha.
+    "q344_powerlaw_alpha" ->
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |dg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY node),
+        |dc AS (
+        |  SELECT deg, CAST(count(*) AS BIGINT) AS n_d
+        |  FROM dg GROUP BY deg),
+        |t AS (SELECT deg, n_d, $PowerLawTermNano AS tn FROM dc),
+        |a AS (
+        |  SELECT CAST(sum(n_d) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CASE WHEN deg > 1 THEN n_d ELSE 0 END) AS BIGINT)
+        |      AS n_above_dmin,
+        |    CAST(sum(tn) AS BIGINT) AS ln_sum_nano
+        |  FROM t)
+        |SELECT n_nodes, n_above_dmin, ln_sum_nano,
+        |  $PowerLawAlphaMilli AS alpha_milli
+        |FROM a ORDER BY n_nodes""".stripMargin,
 
     "q168_pagerank_weighted" ->
       """WITH e0 AS (
