@@ -9,8 +9,8 @@ import graft.queries.{EventQueries, FinComposite, Relational, TextQueries, Vecto
   * SURVEY.md §2 (plus the 100-TB extension operators: dedup,
   * similarity search, text analysis, event windows, multimodal
   * plumbing). `oracleSql` holds the DuckDB-equivalent SQL for every
-  * oracle-expressible query; approximate/hash-dependent operators
-  * (q35 LSH ANN) are rows-only checked.
+  * query — since r18 ALL queries carry one (approximate ANN outputs
+  * are deterministic per SF and hash-pinned SF-aware, q35/q43).
   */
 object SparkEntry {
 

@@ -107,6 +107,37 @@ object Bpe {
       .groupBy("token").agg(count(lit(1)).as("freq"))
   }
 
+  /** PER-DOCUMENT BPE token counts under a trained merge list — the
+    * budget feed for [[Packing.packShards]] (r16 verdict item 7: a
+    * token-budget shard is only as real as its token counter, and
+    * whitespace counts over-budget short-token text by 2-4x vs the
+    * tokenizer the training run actually pays for). Same map-side
+    * shape as [[encode]] — the merge list is driver-held literals
+    * applied inside the scan — but keyed by `idCol`, and the count is
+    * summed per document (one id-keyed aggregate). Documents with NO
+    * subword tokens are absent (join back with a zero default).
+    * Returns (idCol, n_bpe_tokens). */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .select(col(idCol),
+        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"))
+    val rewritten = merges.foldLeft(words) { case (df, (l, r)) =>
+      val pat = lit("|" + l + "|" + r + "|")
+      val rep = lit("|" + l + r + "|")
+      def rp(e: org.apache.spark.sql.Column) = F.replace(e, pat, rep)
+      df.select(col(idCol), rp(rp(rp(col("sym")))).as("sym"))
+    }
+    rewritten
+      .select(col(idCol),
+        size(F.filter(split(col("sym"), "\\|"), x => x =!= ""))
+          .cast("long").as("__n"))
+      .groupBy(idCol).agg(sum("__n").as("n_bpe_tokens"))
+  }
+
   /** The DuckDB replay of [[learnMerges]]: `k` unrolled CTE rounds of
     * the identical split -> adjacent-pair count -> (cnt desc, l, r)
     * argmax -> triple-replace rewrite. Generated so the two sides
@@ -135,6 +166,52 @@ object Bpe {
          |u AS (SELECT freq, unnest(syms) AS token FROM v)
          |SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM u
          |GROUP BY token ORDER BY freq DESC, token""".stripMargin
+
+  /** The DuckDB replay of train-then-[[docTokenCounts]]-then-
+    * [[Packing.packShards]]: the same `k` learn rounds, the merges
+    * applied per DOCUMENT word instance in merge order, zero-filled
+    * for wordless documents, then q71's exact cumsum/cut arithmetic
+    * (the shared floor((cum - n) / budget.0) rule). Generated so the
+    * three stages cannot drift between engines. */
+  def packingOracleSql(k: Int, budget: Long, buckets: Int): String = {
+    val sb = new StringBuilder
+    sb ++= cteRounds(k, rewriteLast = false)
+    sb ++= ",\ndw AS (\n"
+    sb ++= "  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS w\n"
+    sb ++= "  FROM documents),\n"
+    sb ++= "d0 AS (\n"
+    sb ++= "  SELECT doc_id, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym\n"
+    sb ++= "  FROM dw)"
+    for (i <- 1 to k) {
+      val pat = s"('|' || m$i.l || '|' || m$i.r || '|')"
+      val rep = s"('|' || m$i.l || m$i.r || '|')"
+      sb ++= s",\nd$i AS (\n"
+      sb ++= s"  SELECT doc_id, replace(replace(replace(sym, $pat, $rep), $pat, $rep), $pat, $rep) AS sym\n"
+      sb ++= s"  FROM d${i - 1}, m$i)"
+    }
+    sb ++= s""",
+       |cnt AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(list_filter(string_split(sym, '|'), x -> x <> ''))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM d$k GROUP BY doc_id),
+       |alldocs AS (
+       |  SELECT d.doc_id, CAST(d.doc_id % $buckets AS INT) AS pack_bucket,
+       |    coalesce(cnt.n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN cnt USING (doc_id)),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM alldocs)
+       |SELECT pack_bucket,
+       |  CAST(floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY pack_bucket, pack_shard
+       |ORDER BY pack_bucket, pack_shard""".stripMargin
+    sb.toString
+  }
 
   private def cteRounds(k: Int, rewriteLast: Boolean): String = {
     val sb = new StringBuilder

@@ -325,7 +325,7 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val tPpm = math.round(threshold * 1e6)
-    require(threshold > 0.0 && threshold <= 1.0 && tPpm * 1e-6 == threshold,
+    require(threshold > 0.0 && threshold <= 1.0 && tPpm / 1e6 == threshold,
       "threshold must be in (0, 1] and exact in ppm")
     val sh = graft.ops.Staging.stage(
       withShingles(docs, textCol, k)

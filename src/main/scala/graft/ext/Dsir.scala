@@ -254,4 +254,76 @@ object Dsir {
       .agg(sum("__t").as("kl"))
       .select(col(groupCol), col("n_grams"), col("kl"))
   }
+
+  /** Per-vocab-term KL contribution in floored nano-nats — SHARED
+    * text (q331's oracle interpolates the same string): p*ln(p/q)
+    * with Laplace(+1) smoothing, the log argument as a ratio of
+    * DOUBLE-cast products (integer products would overflow at corpus
+    * scale), every literal explicit. */
+  private[graft] val KlTermNano =
+    "CAST(floor(CAST(1000000000 AS DOUBLE) * " +
+      "(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) * " +
+      "ln((CAST(ca + 1 AS DOUBLE) * CAST(nb + v AS DOUBLE)) / " +
+      "(CAST(cb + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)))) AS BIGINT)"
+
+  /** Pairwise SOURCE-LM KL divergence matrix — KL(P_a || P_b) between
+    * every ordered source pair's Laplace(+1)-smoothed unigram LMs
+    * over the (possibly CUT) joint vocabulary: the directional
+    * corpus-shift measure behind "which source least represents
+    * which". Per-term contributions are floored nano-nats
+    * ([[KlTermNano]] — no float sum-order hazard).
+    *
+    * Scale shape and the VOCABULARY VALVE (r17 verdict item 6): after
+    * the one corpus token scan, every frame is bounded by
+    * sources × |V| rows — and on a web corpus the raw joint
+    * vocabulary is 10⁸–10⁹ terms, so the grid itself becomes the
+    * cost. `minCount` drops terms whose GLOBAL count is below the
+    * floor (hapaxes are most of any web vocabulary and contribute
+    * O(1/n ln n) each); `topV` keeps only the V globally-most-
+    * frequent terms (ties to the lexicographically smaller — a total
+    * deterministic order). Both default to "no cut". The smoothed
+    * LMs are then over the cut vocabulary (v = |cut|), the standard
+    * truncated-vocab LM convention. The sources frame is tiny by
+    * construction and broadcast into the grid cross join; the
+    * per-term left join and the pair join shuffle on the term key.
+    *
+    * Returns (source_a, source_b, n_terms, kl_nano), one row per
+    * ordered pair. */
+  def sourceKlMatrix(docs: DataFrame, sourceCol: String, textCol: String,
+                     minCount: Long = 1L,
+                     topV: Option[Int] = None): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    topV.foreach(v => require(v >= 1, "topV must be >= 1"))
+    val toks = docs
+      .select(col(sourceCol).as("source"),
+              explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = graft.ops.Staging.stage(
+      toks.groupBy("source", "w").agg(count(lit(1)).as("c")))
+    // vocabulary valve: one term-keyed aggregate (same exchange the
+    // un-cut distinct paid), then the optional top-V total-order cut
+    val gcounts = counts.groupBy("w").agg(sum("c").as("__gc"))
+      .filter(col("__gc") >= minCount)
+    val vocab = topV match {
+      case Some(vmax) => gcounts
+        .orderBy(col("__gc").desc, col("w")).limit(vmax).select("w")
+      case None => gcounts.select("w")
+    }
+    val vAgg = vocab.agg(count(lit(1)).as("v"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val grid = graft.ops.Staging.stage(
+      vocab.crossJoin(broadcast(totals))
+        .join(counts, Seq("source", "w"), "left")
+        .select(col("source"), col("w"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c")))
+    val a = grid.select(col("source").as("source_a"), col("w"),
+      col("n").as("na"), col("c").as("ca"))
+    val b = grid.select(col("source").as("source_b"), col("w").as("__w"),
+      col("n").as("nb"), col("c").as("cb"))
+    a.join(b, col("w") === col("__w") && col("source_a") =!= col("source_b"))
+      .crossJoin(broadcast(vAgg))
+      .select(col("source_a"), col("source_b"), expr(KlTermNano).as("__t"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_terms"), sum("__t").as("kl_nano"))
+  }
 }

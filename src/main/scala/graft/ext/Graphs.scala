@@ -202,10 +202,8 @@ object Graphs {
     // map-side only, and round 1's join is already co-located
     val init = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    // terminal pin: the whole fold runs as ONE non-AQE job (the
-    // [[pageRank]] argument — per-round shuffles are aggregate
-    // exchanges whose counts are fixed by co-location against sym)
-    pin((1 to iterations).foldLeft(init) { (labels, _) =>
+    def step(labels: DataFrame): DataFrame = {
+      val cur = labels.select("node", "label")
       // per-dst argmax via min_by over (-cnt, label): smallest negated
       // count = most frequent, tie -> smallest label — identical
       // semantics to the r12 window top-1, in a plain aggregate (no
@@ -213,14 +211,31 @@ object Graphs {
       // (dst, label), so min_by is deterministic). Two node-frame
       // exchanges per round ((dst, label) counts, then dst), zero
       // edge-frame exchanges.
-      sym.join(labels, col("src") === col("node"))
+      val nxt = sym.join(cur, col("src") === col("node"))
         .groupBy("dst", "label")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("dst")
         .agg(min_by(col("label"),
           struct((-col("cnt")).as("nc"), col("label"))).as("label"))
-        .select(col("dst").as("node"), col("label"))
-    }, "node")
+      // stamp the INTEGRAL changed-vs-previous flag (r16 verdict item
+      // 6): both sides are node-sized frames already hashed on the
+      // join key (groupBy dst / the sealed node layout), so the join
+      // is co-located — no extra exchange, and hint("merge") keeps the
+      // node list off the broadcast path ([[kCore]]'s race note).
+      nxt.join(cur.select(col("node"), col("label").as("__prev"))
+            .hint("merge"),
+          nxt("dst") === col("node"))
+        .select(nxt("dst").as("node"), nxt("label"),
+                (nxt("label") =!= col("__prev")).as("__chg"))
+    }
+    // Chunked fold with the synchronous-relabeling early stop: zero
+    // flagged rows in a chunk's last sweep means labels(t) ==
+    // labels(t-1), so every remaining sweep reproduces the frame —
+    // identical output, fewer chunks. The flag count is fused into
+    // each chunk pin's own materializing job.
+    graft.ops.Sweep.foldPinnedConverging(init, iterations, Seq("node"),
+        changeFlag = Some("__chg"))(step)
+      .select("node", "label")
   }
 
   /** Enumerate triangles of an undirected graph: input pairs are
@@ -352,7 +367,11 @@ object Graphs {
   def kCore(edges: DataFrame, aCol: String, bCol: String,
             k: Int, sweeps: Int): DataFrame = {
     require(k >= 1 && sweeps >= 1, "k and sweeps must be >= 1")
-    val init = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
+    // pinCounted: the init edge count arms the integral early stop
+    // from the FIRST chunk (r16 verdict item 6) — the count rides the
+    // pin's own materializing job, no extra scheduler job
+    val (init, initEdges) =
+      pinCounted(symmetrize(edges, aCol, bCol).distinct(), "src")
     // One peel: degree filter on both endpoints. On a frame laid out
     // hash(src) the degree aggregate is map-side and the src-endpoint
     // semi-join co-locates for free; the dst-endpoint semi-join re-keys
@@ -390,7 +409,15 @@ object Graphs {
     // intermediate are partial-aggregated map-side, so their exchanges
     // stay node-sized; the staged frames themselves are edge-sized —
     // the chunk cap (<= 3) bounds live caches to two edge frames.
-    graft.ops.Sweep.foldPinned(init, sweeps, Seq("src"))(peel)
+    // INTEGRAL EARLY STOP (r16 verdict item 6): peeling only SHRINKS
+    // the edge frame, so an unchanged pin row count across a chunk
+    // proves every remaining sweep is a no-op — the fixed budget stays
+    // the semantics (output identical), the post-fixpoint chunks'
+    // scheduler jobs disappear. The count is fused into each chunk
+    // pin's materializing job (withCount), job count per sweep
+    // unchanged.
+    graft.ops.Sweep.foldPinnedConverging(init, sweeps, Seq("src"),
+      initRows = Some(initEdges))(peel)
   }
 
   /** Single-source (or multi-source) shortest path over an undirected

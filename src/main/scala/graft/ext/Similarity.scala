@@ -147,10 +147,10 @@ object Similarity {
     * dot(vec, plane_j) — the native fused
     * [[graft.functions.HyperplaneBucket]] expression. */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
-                    out: String = "bucket"): DataFrame =
+                    out: String = "bucket", seed: Long = 42L): DataFrame =
     df.withColumn(out,
       graft.functions.GraftFunctions.hyperplaneBucket(
-        df.sparkSession, col(vecCol), planes))
+        df.sparkSession, col(vecCol), planes, seed))
 
   /** K-means (Lloyd) centroids for IVF, then `sweeps` refinement
     * iterations. Each sweep is one corpus scan: map-side
@@ -351,6 +351,87 @@ object Similarity {
         df.sparkSession, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cosine_sim"))
+  }
+
+  /** Cross-lingual / TRANSFORMED-pair near-duplicates (r16 verdict
+    * item 7): translated, paraphrased or re-encoded copies share no
+    * shingles, so every text-level dedup engine (MinHash/SimHash/
+    * PPJoin) is blind to them — but a multilingual embedding puts a
+    * document and its translation nearly parallel, and a translation
+    * preserves LENGTH up to a bounded ratio. Candidates come from the
+    * [[lshNearDupPairs]] banded hyperplane blocking; each candidate
+    * is then pruned by the two METADATA blocks — `lang_a != lang_b`
+    * (same-language near-dups are [[lshNearDupPairs]]'/SemDeDup's
+    * job; this operator mines the cross-lingual complement) and
+    * `max(len) <= maxLenRatio * min(len)` (a 5-word snippet is never
+    * a translation of a 5-page document, whatever the cosine says) —
+    * BEFORE any vector is fetched, so exact verification pays only
+    * for pairs that survive all three blocks.
+    *
+    * Scale shape: signatures and bands are map-side over the staged
+    * (id, vec, lang, len) frame; the candidate join carries
+    * (id, band, bval) triples; the metadata prune joins the
+    * VECTOR-FREE meta frame twice; only surviving pairs join vectors
+    * for the exact cosine. Recall dial: miss probability for a pair
+    * at angle θ is (1-(1-θ/π)^P)^(B*sigFamilies) — `sigFamilies`
+    * INDEPENDENT hyperplane families (seed-salted) multiply the
+    * effective band count past the 63-bit single-signature cap,
+    * which matters here because translation-pair thresholds sit LOWER
+    * than same-language near-dup thresholds (0.4 vs 0.5+: at 0.4 one
+    * 21-band family misses ~2e-3 of true pairs; two families ~5e-6).
+    *
+    * Returns (id_a, id_b, lang_a, lang_b, cosine_sim) with
+    * id_a < id_b, sim rounded to 6dp. */
+  def crossLingualNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                               langCol: String, lenCol: String,
+                               threshold: Double, maxLenRatio: Double,
+                               bands: Int = 21, planesPerBand: Int = 3,
+                               sigFamilies: Int = 2): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 63,
+      "bands*planesPerBand must fit in a long's sign-free bits")
+    require(maxLenRatio >= 1.0, "maxLenRatio must be >= 1")
+    require(sigFamilies >= 1, "need at least one signature family")
+    val e = Staging.stage(
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"),
+                col(langCol).cast("string").as("lang"),
+                col(lenCol).cast("long").as("len")))
+    val mask = (1L << planesPerBand) - 1L
+    // one signature column per independent plane family (seed-salted;
+    // family 0 = the pinned default planes), all computed in the same
+    // map-side pass; band ids offset per family so buckets never mix
+    val sig = (0 until sigFamilies).foldLeft(
+        e.select(col("id"), col("vec"))) { (d, s) =>
+      withLshBucket(d, "vec", bands * planesPerBand, s"sig$s", seed = 42L + s)
+    }
+    val bandVals = array((for {
+      s <- 0 until sigFamilies; b <- 0 until bands
+    } yield struct(lit(s * bands + b).as("band"),
+        shiftright(col(s"sig$s"), b * planesPerBand)
+          .bitwiseAND(lit(mask)).as("bval"))): _*)
+    val banded = sig.select(col("id"), explode(bandVals).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bval"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bval")),
+            Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // metadata blocks FIRST — vector-free prune
+    val ma = e.select(col("id").as("id_a"), col("lang").as("lang_a"),
+                      col("len").as("len_a"))
+    val mb = e.select(col("id").as("id_b"), col("lang").as("lang_b"),
+                      col("len").as("len_b"))
+    val pruned = cand.join(ma, "id_a").join(mb, "id_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .filter(greatest(col("len_a"), col("len_b")).cast("double") <=
+        lit(maxLenRatio) * least(col("len_a"), col("len_b")).cast("double"))
+    val va = e.select(col("id").as("id_a"), col("vec").as("va"))
+    val vb = e.select(col("id").as("id_b"), col("vec").as("vb"))
+    pruned.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", graft.functions.GraftFunctions.cosineSimilarity(
+        df.sparkSession, col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("lang_a"), col("lang_b"),
+              round(col("sim"), 6).as("cosine_sim"))
   }
 
   /** Banded multi-probe LSH ANN top-k: the q42 candidate generator

@@ -274,11 +274,15 @@ case class CutTokenSpans(text: Expression, cutStarts: Expression, k: Int)
 /** Random-hyperplane LSH bucket of an array<double> vector: bit j of
   * the result is the sign of dot(vec, plane_j), where plane_j's
   * components are deterministic pseudo-random values in [-1, 1)
-  * derived from xxhash64(j, i). Single fused loop (planes x dims);
-  * the equivalent zip_with/aggregate lambda composition is
-  * interpreted per element.
+  * derived from xxhash64(j | seed-salted dim, seed). Single fused
+  * loop (planes x dims); the equivalent zip_with/aggregate lambda
+  * composition is interpreted per element. `seed` selects an
+  * INDEPENDENT plane family (default 42 = the pinned q35/q42/q53
+  * planes); banding over several families multiplies effective bands
+  * past the 63-bit-per-signature cap (crossLingualNearDupPairs).
   */
-case class HyperplaneBucket(child: Expression, planes: Int)
+case class HyperplaneBucket(child: Expression, planes: Int,
+                            seed: Long = 42L)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -301,7 +305,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var d = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashLong((j.toLong << 32) | i.toLong, 42L)
+        val h = XXH64.hashLong((j.toLong << 32) | i.toLong, seed)
         val comp = (java.lang.Math.floorMod(h, 2000001L) - 1000000L) / 1000000.0
         d += vec.getDouble(i) * comp
         i += 1
@@ -1059,6 +1063,9 @@ object GraftFunctions {
   private def intOf(e: Expression): Int =
     e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
 
+  private def longOf(e: Expression): Long =
+    e.eval(InternalRow.empty).asInstanceOf[Number].longValue()
+
   private def boolOf(e: Expression): Boolean =
     e.eval(InternalRow.empty).asInstanceOf[Boolean]
 
@@ -1099,8 +1106,9 @@ object GraftFunctions {
     },
     "graft_hyperplane_bucket" -> {
       case Seq(c, n) => HyperplaneBucket(c, intOf(n))
+      case Seq(c, n, sd) => HyperplaneBucket(c, intOf(n), longOf(sd))
       case other => throw new IllegalArgumentException(
-        s"graft_hyperplane_bucket(vec, planes): got ${other.size} args")
+        s"graft_hyperplane_bucket(vec, planes[, seed]): got ${other.size} args")
     },
     "graft_topk_by_score" -> {
       case Seq(s, i, kk) => TopKByScore(s, i, intOf(kk))
@@ -1271,10 +1279,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k))
   }
 
-  def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int,
+                       seed: Long = 42L): Column = {
     ensureRegistered(spark)
     call_function("graft_hyperplane_bucket", vec,
-      org.apache.spark.sql.functions.lit(planes))
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(seed))
   }
 
   /** Partial top-k aggregate (see [[TopKByScore]]). */

@@ -134,6 +134,72 @@ object Sweep {
     cur
   }
 
+  /** [[foldPinned]] with an INTEGRAL-state early stop (r16 verdict
+    * item 6): fixed sweep budgets stay the determinism contract (the
+    * output is identical either way — that is what makes the stop
+    * sound), but a sweep whose state is integer-exact can DETECT its
+    * fixpoint and skip the remaining chunks' scheduler jobs entirely.
+    * The observable is fused into the chunk pin's own materializing
+    * job ([[org.apache.spark.sql.execution.GraftPartitionedCheckpoint]]
+    * withCount/withFlagCount — the r15 fused-count pattern), so the
+    * per-chunk job count is UNCHANGED; only post-fixpoint chunks
+    * disappear.
+    *
+    * Two integral observables, chosen by `changeFlag`:
+    *  - None — MONOTONE SHRINKAGE (k-core peeling): the chunk pin's
+    *    row count equals the previous pin's count iff no sweep in the
+    *    chunk removed anything, and a peel that removes nothing is a
+    *    fixpoint forever. `initRows` (the count fused into the init
+    *    pin) arms the check from the first chunk.
+    *  - Some(col) — SYNCHRONOUS RELABELING (label propagation): the
+    *    step stamps a boolean changed-vs-previous flag on each row;
+    *    zero flagged rows in the chunk's LAST sweep means
+    *    labels(t) == labels(t-1), and a synchronous update that
+    *    reproduced its input reproduces it forever. The flag column
+    *    remains in the returned frame — callers strip it.
+    *
+    * Float-state sweeps (PageRank) must NOT use this: their residual
+    * never hits integral zero, so they keep [[foldPinned]]'s blind
+    * fixed budget. */
+  def foldPinnedConverging(init: DataFrame, total: Int, keys: Seq[String],
+                           changeFlag: Option[String] = None,
+                           initRows: Option[Long] = None)
+                          (step: DataFrame => DataFrame): DataFrame = {
+    require(total >= 1, "total sweeps must be >= 1")
+    val spark = init.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var cur = init
+    var prevRows = initRows.getOrElse(-1L)
+    var done = 0
+    var converged = false
+    while (done < total && !converged) {
+      val remaining = total - done
+      val take = if (remaining <= 3) remaining else 2
+      var x = cur
+      for (i <- 1 to take)
+        x = if (i < take) step(x).repartition(n, keys.map(col): _*)
+            else step(x)
+      val (ck, cnt) = changeFlag match {
+        case Some(f) =>
+          org.apache.spark.sql.execution.GraftPartitionedCheckpoint
+            .withFlagCount(x, keys, n, f)
+        case None =>
+          org.apache.spark.sql.execution.GraftPartitionedCheckpoint
+            .withCount(x, keys, n)
+      }
+      Staging.stageCheckpoint(ck)
+      Staging.dropCheckpoint(cur)
+      cur = ck
+      done += take
+      converged = changeFlag match {
+        case Some(_) => cnt == 0L
+        case None    => cnt == prevRows
+      }
+      prevRows = cnt
+    }
+    cur
+  }
+
   /** Run `body` (a materializing action whose plan is already fully
     * determined — [[GraftPartitionedCheckpoint]]'s pin pass) with AQE
     * disabled, restoring the prior setting after. Why AQE has nothing

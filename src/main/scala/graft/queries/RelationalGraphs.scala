@@ -27,7 +27,7 @@ object RelationalGraphsQueries {
     // the walk, not bare adjacency (the q90 special case w≡1).
     // Emits rank×N (q121's magnitude rule) on the rounded-score
     // order; the oracle unrolls both sweeps with the weighted mass
-    // term and the same `(1.0 - 0.85)` literal.
+    // term and the same interpolated-IEEE (1-d) literal.
     "q168_pagerank_weighted" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
@@ -74,8 +74,8 @@ object RelationalGraphsQueries {
     // prefix so the two key spaces can't collide. Ordering is on the
     // 6dp-ROUNDED score with node tie-break (mass sums commute only
     // at ulp level); the oracle unrolls the 3 iterations and writes
-    // (1-d) as `(1.0 - 0.85)` — the same IEEE subtraction the Scala
-    // side folds, which the decimal literal 0.15 does NOT parse to.
+    // (1-d) by INTERPOLATING the Scala double 1.0-0.85 verbatim —
+    // DuckDB would subtract the decimal literals exactly (1 ulp off).
     "q90_pagerank" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
@@ -659,7 +659,7 @@ object RelationalGraphsQueries {
         |FROM a ORDER BY n_nodes""".stripMargin,
 
     "q168_pagerank_weighted" ->
-      """WITH e0 AS (
+      s"""WITH e0 AS (
         |  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
         |         's' || CAST(l.l_suppkey AS VARCHAR) AS b,
         |         CAST(count(*) AS DOUBLE) AS w
@@ -671,12 +671,12 @@ object RelationalGraphsQueries {
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM wt),
         |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM wt, n),
         |r1 AS (SELECT s.dst AS node,
-        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |         ${1.0 - 0.85} / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
         |       FROM sym s JOIN r0 r ON s.src = r.node
         |                  JOIN wt d ON s.src = d.src, n
         |       GROUP BY s.dst, nn),
         |r2 AS (SELECT s.dst AS node,
-        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
+        |         ${1.0 - 0.85} / nn + 0.85 * sum(r.pr * s.w / d.wtot) AS pr
         |       FROM sym s JOIN r1 r ON s.src = r.node
         |                  JOIN wt d ON s.src = d.src, n
         |       GROUP BY s.dst, nn)
@@ -710,7 +710,7 @@ object RelationalGraphsQueries {
         |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin,
 
     "q90_pagerank" ->
-      """WITH e0 AS (
+      s"""WITH e0 AS (
         |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
@@ -720,17 +720,17 @@ object RelationalGraphsQueries {
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
         |r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM deg, n),
         |r1 AS (SELECT s.dst AS node,
-        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |         ${1.0 - 0.85} / nn + 0.85 * sum(r.pr / d.deg) AS pr
         |       FROM sym s JOIN r0 r ON s.src = r.node
         |                  JOIN deg d ON s.src = d.src, n
         |       GROUP BY s.dst, nn),
         |r2 AS (SELECT s.dst AS node,
-        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |         ${1.0 - 0.85} / nn + 0.85 * sum(r.pr / d.deg) AS pr
         |       FROM sym s JOIN r1 r ON s.src = r.node
         |                  JOIN deg d ON s.src = d.src, n
         |       GROUP BY s.dst, nn),
         |r3 AS (SELECT s.dst AS node,
-        |         (1.0 - 0.85) / nn + 0.85 * sum(r.pr / d.deg) AS pr
+        |         ${1.0 - 0.85} / nn + 0.85 * sum(r.pr / d.deg) AS pr
         |       FROM sym s JOIN r2 r ON s.src = r.node
         |                  JOIN deg d ON s.src = d.src, n
         |       GROUP BY s.dst, nn)
@@ -739,11 +739,11 @@ object RelationalGraphsQueries {
         |ORDER BY round(r3.pr, 6) DESC, r3.node LIMIT 20""".stripMargin,
 
     // Unrolls 2 personalized sweeps: restart mass ((1-d) + d*D) / |S|
-    // lands on seeds only; (1.0 - 0.85) is the IEEE subtraction
-    // matching the Scala constant fold, 1.0/s the same division the
-    // operator seeds with.
+    // lands on seeds only; (1-d) is the interpolated Scala double
+    // (decimal-literal subtraction in DuckDB is exact, 1 ulp off the
+    // IEEE fold), 1.0/s the same division the operator seeds with.
     "q330_personalized_pagerank" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
         |                  'o' || CAST(o_orderkey AS VARCHAR) AS dst
         |  FROM orders),
@@ -767,7 +767,7 @@ object RelationalGraphsQueries {
         |       GROUP BY e.dst),
         |r1 AS (SELECT nf.node, nf.dang, nf.seed,
         |         CASE WHEN nf.seed
-        |           THEN ((1.0 - 0.85) + 0.85 * (SELECT dm FROM d0)) / s
+        |           THEN (${1.0 - 0.85} + 0.85 * (SELECT dm FROM d0)) / s
         |           ELSE 0.0 END
         |         + 0.85 * coalesce(m1.mass, 0.0) AS pr
         |       FROM nf LEFT JOIN m1 ON nf.node = m1.node, sc),
@@ -778,7 +778,7 @@ object RelationalGraphsQueries {
         |       GROUP BY e.dst),
         |r2 AS (SELECT nf.node, nf.seed,
         |         CASE WHEN nf.seed
-        |           THEN ((1.0 - 0.85) + 0.85 * (SELECT dm FROM d1)) / s
+        |           THEN (${1.0 - 0.85} + 0.85 * (SELECT dm FROM d1)) / s
         |           ELSE 0.0 END
         |         + 0.85 * coalesce(m2.mass, 0.0) AS pr
         |       FROM nf LEFT JOIN m2 ON nf.node = m2.node, sc)
@@ -790,10 +790,10 @@ object RelationalGraphsQueries {
 
     // Unrolls 2 directed sweeps with the dangling term: D_k = sum of
     // pr over outdeg-0 nodes, pr' = (1-d)/N + d*(mass + D/N). (1-d)
-    // is written as the IEEE subtraction (1.0 - 0.85), matching the
-    // Scala constant fold.
+    // is the interpolated Scala double, matching the IEEE fold the
+    // operator uses (DuckDB's decimal subtraction is 1 ulp off).
     "q121_pagerank_directed" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
         |                  'o' || CAST(o_orderkey AS VARCHAR) AS dst
         |  FROM orders),
@@ -809,7 +809,7 @@ object RelationalGraphsQueries {
         |              JOIN r0 r ON r.node = e.src
         |       GROUP BY e.dst),
         |r1 AS (SELECT nodes.node,
-        |         (1.0 - 0.85) / nn +
+        |         ${1.0 - 0.85} / nn +
         |           0.85 * (coalesce(m1.mass, 0.0) + (SELECT dm FROM d0) / nn) AS pr
         |       FROM nodes LEFT JOIN m1 ON nodes.node = m1.node, n),
         |d1 AS (SELECT coalesce(sum(r.pr), 0.0) AS dm
@@ -820,7 +820,7 @@ object RelationalGraphsQueries {
         |              JOIN r1 r ON r.node = e.src
         |       GROUP BY e.dst),
         |r2 AS (SELECT nodes.node,
-        |         (1.0 - 0.85) / nn +
+        |         ${1.0 - 0.85} / nn +
         |           0.85 * (coalesce(m2.mass, 0.0) + (SELECT dm FROM d1) / nn) AS pr
         |       FROM nodes LEFT JOIN m2 ON nodes.node = m2.node, n)
         |SELECT r2.node, CAST(coalesce(od.deg, 0) AS BIGINT) AS out_degree,

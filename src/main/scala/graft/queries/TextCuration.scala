@@ -880,30 +880,41 @@ object TextCurationQueries {
     // ratio-of-integers form shared textually with the oracle. Scale
     // shape: everything after the token count is (sources x vocab)-
     // bounded — the corpus is scanned once.
-    "q331_source_kl" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-      val counts = graft.ops.Staging.stage(
-        toks.groupBy("source", "w").agg(count(lit(1)).as("c")))
-      val vocab = counts.select("w").distinct()
-      val vAgg = vocab.agg(count(lit(1)).as("v"))
-      val totals = counts.groupBy("source").agg(sum("c").as("n"))
-      val grid = graft.ops.Staging.stage(
-        totals.crossJoin(vocab)
-          .join(counts, Seq("source", "w"), "left")
-          .select(col("source"), col("w"), col("n"),
-            coalesce(col("c"), lit(0L)).as("c")))
-      val a = grid.select(col("source").as("source_a"), col("w"),
-        col("n").as("na"), col("c").as("ca"))
-      val b = grid.select(col("source").as("source_b"), col("w").as("__w"),
-        col("n").as("nb"), col("c").as("cb"))
-      a.join(b, col("w") === col("__w") && col("source_a") =!= col("source_b"))
-        .crossJoin(broadcast(vAgg))
-        .select(col("source_a"), col("source_b"), expr(KlTermNano).as("__t"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_terms"), sum("__t").as("kl_nano"))
-        .orderBy("source_a", "source_b")
+    "q331_source_kl" -> ((s, d) =>
+      // default valve settings (minCount=1, no topV) == the full
+      // joint vocabulary, matching the oracle's un-cut replay; the
+      // operator's scaladoc documents the sources×|V| grid bound and
+      // the top-V/min-count valve for web-scale vocabularies
+      graft.ext.Dsir.sourceKlMatrix(Tables.documents(s, d), "source", "text")
+        .orderBy("source_a", "source_b")),
+
+    // Token-budget shard packing under the TRAINED BPE tokenizer
+    // (r16 verdict item 7): q71 packs on whitespace counts, but a
+    // training run's shard budget is in TOKENIZER tokens — whitespace
+    // under-counts subword-heavy text 2-4x, so whitespace-packed
+    // shards blow the real budget. Trains the q143 merges (k=4,
+    // driver-held literals), counts per-doc BPE tokens map-side
+    // (Bpe.docTokenCounts — wordless docs zero-filled), and runs the
+    // q71 packShards lanes/cut rule on those counts. The oracle
+    // (Bpe.packingOracleSql) replays train -> per-doc count -> pack
+    // from one generator so the three stages cannot drift.
+    "q345_bpe_shard_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", k = 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.ext.Bpe.docTokenCounts(docs, "doc_id", "text", merges)
+      val withTok = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tokens"))
+      graft.ext.Packing.packShards(withTok, col("doc_id"), col("n_tokens"),
+          tokenBudget = 5000L, bucket = pmod(col("doc_id"), lit(8)).cast("int"))
+        .groupBy("pack_bucket", "pack_shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("shard_tokens"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("pack_bucket", "pack_shard")
     }),
 
     // Good-Turing unseen-mass census per source (Good 1953): the
@@ -1027,15 +1038,10 @@ object TextCurationQueries {
       "- CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) " +
       "- CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))) AS BIGINT)"
 
-  /** q331's per-vocab-term KL contribution in floored nano-nats —
-    * SHARED text: p*ln(p/q) with Laplace(+1) smoothing, the log
-    * argument as a ratio of DOUBLE-cast products (integer products
-    * would overflow at corpus scale), every literal explicit. */
-  private val KlTermNano =
-    "CAST(floor(CAST(1000000000 AS DOUBLE) * " +
-      "(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) * " +
-      "ln((CAST(ca + 1 AS DOUBLE) * CAST(nb + v AS DOUBLE)) / " +
-      "(CAST(cb + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)))) AS BIGINT)"
+  // q331's per-vocab-term KL contribution — lives with the operator
+  // (graft.ext.Dsir.KlTermNano) since r18; the oracle interpolates
+  // the SAME string, so the term text cannot drift between engines.
+  private val KlTermNano = graft.ext.Dsir.KlTermNano
 
   val oracles: Map[String, String] = Map(
     // Heaps replay: identical power-of-two prefix points (row_number
@@ -1225,6 +1231,9 @@ object TextCurationQueries {
     // the two sides cannot drift round-wise.
     "q143_bpe_merges" -> graft.ext.Bpe.oracleSql(4),
     "q144_bpe_encode" -> graft.ext.Bpe.encodeOracleSql(4),
+    // train -> per-doc BPE count -> pack, one generator (see q345's
+    // query comment); q71's cumsum/cut arithmetic on BPE counts
+    "q345_bpe_shard_packing" -> graft.ext.Bpe.packingOracleSql(4, 5000L, 8),
 
     "q211_token_budget" ->
       """WITH d AS (

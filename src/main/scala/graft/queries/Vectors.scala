@@ -19,10 +19,11 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // Banded multi-probe LSH ANN (scale path; approximate => no SQL
-    // oracle, rows-only check; recall pinned >=0.9 by q53). Round 2's
-    // single-band variant had recall 0.033 — q53 now guards that this
-    // path stays USABLE, not just runnable.
+    // Banded multi-probe LSH ANN (scale path). Approximate, but
+    // DETERMINISTIC: the full 30-row output is SF-aware hash-pinned
+    // (r17 verdict item 1 — see the oracle), which subsumes the q53
+    // recall sentinel. Round 2's single-band variant had recall
+    // 0.033 — the pins guard that this path stays USABLE.
     "q35_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(
@@ -31,8 +32,9 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // IVF ANN with k-means-refined centroids (rows-only: approximate
-    // by construction; recall pinned by q53).
+    // IVF ANN with k-means-refined centroids. Approximate by
+    // construction but deterministic — full output SF-aware
+    // hash-pinned like q35 (r17 verdict item 1).
     "q43_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annTopK(
@@ -89,6 +91,28 @@ object VectorQueries {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.5, bands = 21, planesPerBand = 3)
         .orderBy("id_a", "id_b")),
+
+    // Cross-lingual near-duplicate mining (r16 verdict item 7): a
+    // document and its TRANSLATION share no shingles — MinHash/
+    // SimHash/PPJoin are blind to the pair — but multilingual
+    // embeddings put them nearly parallel. Candidates from the q42
+    // banded hyperplane blocking, pruned by the two metadata blocks
+    // (lang_a != lang_b, max(n_chars) <= 2*min(n_chars)) BEFORE any
+    // vector is fetched, exact-cosine verified at 0.4. The oracle is
+    // the exact all-pairs replay: the deterministic B=21/P=3 planes
+    // catch every qualifying pair on this data at all three SFs
+    // (verified against the all-pairs closure; the q42 argument at a
+    // lower threshold — re-check if testdata regenerates).
+    "q346_crosslingual_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Similarity.crossLingualNearDupPairs(
+          emb.join(meta, col("vec_id") === col("doc_id")),
+          "vec_id", "embedding", "lang", "n_chars",
+          threshold = 0.4, maxLenRatio = 2.0)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Full-probe IVF (nProbe = nCentroids): probing every cell makes
     // IVF reduce exactly to brute-force top-k, so the approximate
@@ -741,6 +765,114 @@ object VectorQueries {
         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // SF-AWARE pinned FULL OUTPUT (r17 verdict item 1 — the last two
+    // rows-only entries in the suite): the banded-LSH top-3 per query at the
+    // DEFAULT operating point is a deterministic fact of the fixed
+    // xxhash64-derived hyperplanes (B=20 x P=3), probe set, and tie order and each SF's data (verified bit-identical
+    // across 8- and 32-thread runs at all three SFs), so the whole
+    // 30-row result is measured once per testdata generation and
+    // keyed on the q53 SF fingerprint (lineitem row count). NOT a
+    // recomputation — DuckDB cannot express the hyperplane signatures or bucket probing
+    // — so any regression in candidate generation, re-ranking, or
+    // tie-breaking turns the row red; this strictly subsumes the q53
+    // recall pin (the exact neighbor SET and order are pinned, not
+    // just the overlap count). An unknown SF yields an EMPTY oracle
+    // and fails loudly on the row count.
+    "q35_ann_lsh" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(cosine_sim AS DOUBLE) AS cosine_sim,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM (VALUES
+        |  (6000,0,17,0.334456,1),(6000,0,225,0.315127,2),(6000,0,12,0.311027,3),
+        |  (6000,1,257,0.391762,1),(6000,1,209,0.381544,2),(6000,1,129,0.35148,3),
+        |  (6000,2,443,0.357569,1),(6000,2,62,0.289997,2),(6000,2,246,0.289771,3),
+        |  (6000,3,223,0.340915,1),(6000,3,205,0.336595,2),(6000,3,212,0.319721,3),
+        |  (6000,4,345,0.374941,1),(6000,4,98,0.339767,2),(6000,4,343,0.312433,3),
+        |  (6000,5,113,0.364433,1),(6000,5,440,0.309255,2),(6000,5,234,0.304412,3),
+        |  (6000,6,141,0.34588,1),(6000,6,434,0.305749,2),(6000,6,78,0.294073,3),
+        |  (6000,7,382,0.349854,1),(6000,7,466,0.324004,2),(6000,7,209,0.30625,3),
+        |  (6000,8,20,0.330079,1),(6000,8,385,0.326578,2),(6000,8,190,0.324204,3),
+        |  (6000,9,381,0.356692,1),(6000,9,107,0.329678,2),(6000,9,365,0.321149,3),
+        |  (60000,0,365,0.369994,1),(60000,0,334,0.362722,2),(60000,0,387,0.331139,3),
+        |  (60000,1,386,0.371485,1),(60000,1,27,0.348208,2),(60000,1,407,0.32701,3),
+        |  (60000,2,117,0.318143,1),(60000,2,450,0.266344,2),(60000,2,145,0.263494,3),
+        |  (60000,3,130,0.399872,1),(60000,3,149,0.329934,2),(60000,3,343,0.308472,3),
+        |  (60000,4,114,0.398513,1),(60000,4,496,0.341212,2),(60000,4,408,0.322753,3),
+        |  (60000,5,404,0.328403,1),(60000,5,419,0.319237,2),(60000,5,157,0.311256,3),
+        |  (60000,6,350,0.324518,1),(60000,6,430,0.32252,2),(60000,6,145,0.297696,3),
+        |  (60000,7,340,0.492766,1),(60000,7,425,0.40752,2),(60000,7,209,0.394463,3),
+        |  (60000,8,39,0.384696,1),(60000,8,138,0.356671,2),(60000,8,403,0.338238,3),
+        |  (60000,9,49,0.385171,1),(60000,9,489,0.343538,2),(60000,9,414,0.3323,3),
+        |  (600000,0,1204,0.406472,1),(600000,0,291,0.391932,2),(600000,0,1020,0.375988,3),
+        |  (600000,1,1950,0.386131,1),(600000,1,1175,0.370337,2),(600000,1,1580,0.366762,3),
+        |  (600000,2,1303,0.394011,1),(600000,2,953,0.369105,2),(600000,2,337,0.357443,3),
+        |  (600000,3,263,0.397951,1),(600000,3,1701,0.388037,2),(600000,3,720,0.365554,3),
+        |  (600000,4,524,0.419052,1),(600000,4,1166,0.378662,2),(600000,4,76,0.359507,3),
+        |  (600000,5,426,0.396217,1),(600000,5,1684,0.39469,2),(600000,5,1019,0.382756,3),
+        |  (600000,6,1805,0.418945,1),(600000,6,270,0.403949,2),(600000,6,1184,0.384812,3),
+        |  (600000,7,1622,0.45191,1),(600000,7,605,0.400025,2),(600000,7,160,0.337521,3),
+        |  (600000,8,1069,0.385235,1),(600000,8,1413,0.384788,2),(600000,8,1031,0.380335,3),
+        |  (600000,9,1443,0.431444,1),(600000,9,796,0.361948,2),(600000,9,1020,0.352562,3)
+        |) AS p(sfn, query_id, neighbor_id, cosine_sim, rnk), sf
+        |WHERE p.sfn = sf.n
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // SF-AWARE pinned FULL OUTPUT (r17 verdict item 1 — the last two
+    // rows-only entries in the suite): the IVF top-3 per query at the
+    // DEFAULT operating point is a deterministic fact of the fixed
+    // k-means seeds, 2 Lloyd sweeps (9dp-rounded means), and nProbe=3 cells and each SF's data (verified bit-identical
+    // across 8- and 32-thread runs at all three SFs), so the whole
+    // 30-row result is measured once per testdata generation and
+    // keyed on the q53 SF fingerprint (lineitem row count). NOT a
+    // recomputation — DuckDB cannot express the k-means cells or probe selection
+    // — so any regression in candidate generation, re-ranking, or
+    // tie-breaking turns the row red; this strictly subsumes the q53
+    // recall pin (the exact neighbor SET and order are pinned, not
+    // just the overlap count). An unknown SF yields an EMPTY oracle
+    // and fails loudly on the row count.
+    "q43_ann_ivf" ->
+      """WITH sf AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(cosine_sim AS DOUBLE) AS cosine_sim,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM (VALUES
+        |  (6000,0,17,0.334456,1),(6000,0,225,0.315127,2),(6000,0,12,0.311027,3),
+        |  (6000,1,257,0.391762,1),(6000,1,129,0.35148,2),(6000,1,376,0.304811,3),
+        |  (6000,2,443,0.357569,1),(6000,2,62,0.289997,2),(6000,2,246,0.289771,3),
+        |  (6000,3,223,0.340915,1),(6000,3,205,0.336595,2),(6000,3,212,0.319721,3),
+        |  (6000,4,345,0.374941,1),(6000,4,143,0.329711,2),(6000,4,343,0.312433,3),
+        |  (6000,5,113,0.364433,1),(6000,5,440,0.309255,2),(6000,5,234,0.304412,3),
+        |  (6000,6,141,0.34588,1),(6000,6,434,0.305749,2),(6000,6,78,0.294073,3),
+        |  (6000,7,382,0.349854,1),(6000,7,466,0.324004,2),(6000,7,329,0.305111,3),
+        |  (6000,8,20,0.330079,1),(6000,8,385,0.326578,2),(6000,8,190,0.324204,3),
+        |  (6000,9,381,0.356692,1),(6000,9,107,0.329678,2),(6000,9,365,0.321149,3),
+        |  (60000,0,365,0.369994,1),(60000,0,334,0.362722,2),(60000,0,387,0.331139,3),
+        |  (60000,1,386,0.371485,1),(60000,1,27,0.348208,2),(60000,1,407,0.32701,3),
+        |  (60000,2,117,0.318143,1),(60000,2,450,0.266344,2),(60000,2,145,0.263494,3),
+        |  (60000,3,130,0.399872,1),(60000,3,149,0.329934,2),(60000,3,343,0.308472,3),
+        |  (60000,4,114,0.398513,1),(60000,4,496,0.341212,2),(60000,4,408,0.322753,3),
+        |  (60000,5,404,0.328403,1),(60000,5,419,0.319237,2),(60000,5,157,0.311256,3),
+        |  (60000,6,350,0.324518,1),(60000,6,430,0.32252,2),(60000,6,145,0.297696,3),
+        |  (60000,7,340,0.492766,1),(60000,7,425,0.40752,2),(60000,7,209,0.394463,3),
+        |  (60000,8,39,0.384696,1),(60000,8,138,0.356671,2),(60000,8,403,0.338238,3),
+        |  (60000,9,49,0.385171,1),(60000,9,489,0.343538,2),(60000,9,414,0.3323,3),
+        |  (600000,0,1204,0.406472,1),(600000,0,291,0.391932,2),(600000,0,1020,0.375988,3),
+        |  (600000,1,1950,0.386131,1),(600000,1,1175,0.370337,2),(600000,1,1580,0.366762,3),
+        |  (600000,2,1303,0.394011,1),(600000,2,953,0.369105,2),(600000,2,337,0.357443,3),
+        |  (600000,3,263,0.397951,1),(600000,3,1701,0.388037,2),(600000,3,720,0.365554,3),
+        |  (600000,4,524,0.419052,1),(600000,4,1166,0.378662,2),(600000,4,76,0.359507,3),
+        |  (600000,5,426,0.396217,1),(600000,5,1684,0.39469,2),(600000,5,1019,0.382756,3),
+        |  (600000,6,1805,0.418945,1),(600000,6,270,0.403949,2),(600000,6,1184,0.384812,3),
+        |  (600000,7,1622,0.45191,1),(600000,7,605,0.400025,2),(600000,7,160,0.337521,3),
+        |  (600000,8,1069,0.385235,1),(600000,8,1413,0.384788,2),(600000,8,1031,0.380335,3),
+        |  (600000,9,1443,0.431444,1),(600000,9,796,0.361948,2),(600000,9,348,0.351084,3)
+        |) AS p(sfn, query_id, neighbor_id, cosine_sim, rnk), sf
+        |WHERE p.sfn = sf.n
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "q34_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -858,6 +990,29 @@ object VectorQueries {
         |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p
         |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact all-pairs replay of the cross-lingual mine (see the q346
+    // query comment): the metadata blocks applied on the raw pair
+    // set, the q42 dot-product text, the filter on the UNROUNDED sim.
+    "q346_crosslingual_neardup" ->
+      """WITH j AS (
+        |  SELECT e.vec_id, d.lang, d.n_chars,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |m AS (
+        |  SELECT vec_id, lang, n_chars, vec,
+        |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM j),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.lang AS lang_a, b.lang AS lang_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+        |      / (a.nrm * b.nrm) AS sim
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id
+        |  WHERE a.lang <> b.lang
+        |    AND CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE)
+        |        <= 2.0 * CAST(least(a.n_chars, b.n_chars) AS DOUBLE))
+        |SELECT id_a, id_b, lang_a, lang_b, round(sim, 6) AS cosine_sim
+        |FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     // Mirrors the quantization arithmetic exactly: scale = max|x|/127
     // (1.0 for zero vectors), codes = round(x/scale) — DuckDB's

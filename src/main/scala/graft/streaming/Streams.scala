@@ -539,12 +539,21 @@ object Streams {
     *
     * Replay safety: on recovery foreachBatch RE-DELIVERS the in-flight
     * batch id, and a blind parquet append would duplicate its rows. A
-    * marker file per committed batch (`_stream_commits/<batchId>`,
-    * written only after the append lands) makes replayed batches
-    * no-ops; the remaining window — a crash between append and marker
-    * — is the usual at-least-once edge of a non-transactional sink,
-    * absorbed downstream by [[graft.ext.IvfIndex.compact]] or an
-    * id-deduping search tier (documented, not hidden).
+    * marker file per committed batch, NAMESPACED by the streaming
+    * query id (`_stream_commits/<queryId>/<batchId>` — the Delta
+    * txn appId+version convention), written only after the append
+    * lands, makes replayed batches no-ops. The query id is stable
+    * across restarts from the same checkpoint (it lives in checkpoint
+    * metadata) but FRESH for a new checkpoint, so a second query
+    * appending to the same index restarts at batchId 0 WITHOUT
+    * colliding with the first query's markers — batchId alone would
+    * silently drop its first batches. The id is read from the
+    * `sql.streaming.queryId` local property Spark sets on the stream
+    * execution thread (the thread foreachBatch runs on). The remaining
+    * window — a crash between append and marker — is the usual
+    * at-least-once edge of a non-transactional sink, absorbed
+    * downstream by [[graft.ext.IvfIndex.compact]] or an id-deduping
+    * search tier (documented, not hidden).
     *
     * Scale shape: identical to the batch append — k-sized centroid
     * matrix as a plan literal, ONE map-side scan of each delta, no
@@ -557,8 +566,10 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val queryId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
         val marker = new org.apache.hadoop.fs.Path(
-          s"$indexPath/_stream_commits/$batchId")
+          s"$indexPath/_stream_commits/$queryId/$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           graft.ext.IvfIndex.append(spark, indexPath, batch.toDF(),

@@ -205,6 +205,50 @@ object GraftPartitionedCheckpoint {
     (Dataset.ofRows(spark, declared), n)
   }
 
+  /** [[withCount]] counting only rows whose boolean `flagCol` is true
+    * (nulls count as false) — the fused observable for INTEGRAL-state
+    * convergence (r16 verdict item 6): a sweep operator whose step
+    * stamps a changed-vs-last-sweep flag can detect a fixpoint from
+    * the SAME scheduler job that pins the frame, instead of a second
+    * comparison job. The flag column stays in the returned frame
+    * (callers strip it after the fold). */
+  def withFlagCount(df: DataFrame, keys: Seq[String], numPartitions: Int,
+                    flagCol: String): (DataFrame, Long) = {
+    require(keys.nonEmpty, "need at least one key") // see apply()
+    require(numPartitions > 0, "need a positive partition count")
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    ensureStrategy(spark)
+    val (rep, rdd, n) = graft.ops.Sweep.withoutAqe(spark) {
+      val rep = df.repartition(numPartitions, keys.map(col): _*)
+        .queryExecution
+      val out = rep.analyzed.output
+      val idx = out.indexWhere(_.name == flagCol)
+      require(idx >= 0 && out.count(_.name == flagCol) == 1,
+        s"flag column '$flagCol' must match exactly one output column " +
+          s"(${out.map(_.name).mkString(", ")})")
+      require(out(idx).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"flag column '$flagCol' must be boolean, is ${out(idx).dataType}")
+      val rdd = rep.toRdd.map(_.copy()) // see withCount: rows are reused
+      rdd.localCheckpoint()
+      // one materializing action; the flagged-row count rides it free
+      val counts = rdd.sparkContext.runJob(rdd,
+        (it: Iterator[InternalRow]) => {
+          var c = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            if (!r.isNullAt(idx) && r.getBoolean(idx)) c += 1
+          }
+          c
+        })
+      (rep, rdd, counts.sum)
+    }
+    val declared = GraftPinnedRDD(
+      rep.analyzed.output, rdd,
+      HashPartitioning(resolve(keys, rep.analyzed.output), numPartitions))
+    (Dataset.ofRows(spark, declared), n)
+  }
+
   private def ensureStrategy(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(GraftPinStrategy))
       spark.experimental.extraStrategies =

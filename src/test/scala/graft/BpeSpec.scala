@@ -38,4 +38,24 @@ class BpeSpec extends AnyFunSuite {
     assert((out(1).getString(1), out(1).getString(2), out(1).getLong(3))
       == (("aa", "aa", 2L)))
   }
+
+  test("docTokenCounts: hand-verified per-doc counts; totals reconcile with encode()") {
+    // merges on this corpus: (a,b) then (ab,c) (the first fixture).
+    // doc 1 'ab ab ab' -> 3 x |ab| = 3 tokens
+    // doc 2 'abc'      -> |abc| = 1 token after both merges
+    // doc 3 'zq ab'    -> |z|q| (2) + |ab| (1) = 3 tokens
+    // doc 4 '!!!'      -> no subword tokens, absent from the output
+    val docs = Seq((1L, "ab ab ab"), (2L, "abc"), (3L, "zq ab"),
+                   (4L, "!!!")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", k = 2).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.docTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Staging.releaseAll()
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
+    // the per-doc counts sum to the corpus-level encode() token mass
+    val encodeTotal = Bpe.encode(docs, "text", merges)
+      .agg(org.apache.spark.sql.functions.sum("freq")).head().getLong(0)
+    assert(got.values.sum == encodeTotal)
+  }
 }

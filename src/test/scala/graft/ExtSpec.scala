@@ -1564,6 +1564,61 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("crossLingualNearDupPairs equals the metadata-filtered all-pairs closure") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val meta = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"n_chars")
+    val joined = emb.join(meta, $"vec_id" === $"doc_id")
+    val e = joined.select($"vec_id", Similarity.asDouble($"embedding").as("vec"),
+      $"lang", $"n_chars")
+    val a = e.select($"vec_id".as("id_a"), $"vec".as("va"),
+      $"lang".as("la"), $"n_chars".as("ca"))
+    val b = e.select($"vec_id".as("id_b"), $"vec".as("vb"),
+      $"lang".as("lb"), $"n_chars".as("cb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter($"la" =!= $"lb")
+      .filter(greatest($"ca", $"cb").cast("double") <=
+        lit(2.0) * least($"ca", $"cb").cast("double"))
+      .withColumn("sim", graft.functions.GraftFunctions
+        .cosineSimilarity(spark, $"va", $"vb"))
+      .filter($"sim" >= 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mined = Similarity.crossLingualNearDupPairs(joined,
+        "vec_id", "embedding", "lang", "n_chars",
+        threshold = 0.4, maxLenRatio = 2.0)
+      .collect()
+    graft.ops.Staging.releaseAll()
+    assert(mined.map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    assert(exact.nonEmpty, "fixture should contain cross-lingual near-dups")
+    // every emitted pair respects both metadata blocks
+    mined.foreach { r =>
+      assert(r.getString(2) != r.getString(3),
+        s"same-language pair leaked: $r")
+    }
+    // the banded plan never degenerates to a cartesian pair product
+    val plan = Similarity.crossLingualNearDupPairs(joined,
+        "vec_id", "embedding", "lang", "n_chars", 0.4, 2.0)
+      .queryExecution.executedPlan.toString
+    graft.ops.Staging.releaseAll()
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("crossLingualNearDupPairs: length-ratio block prunes size-mismatched pairs") {
+    // two parallel vectors (sim 1.0) in different langs but 10x apart
+    // in length: blocked; a third at compatible length pairs with both
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), "en", 100L),
+      (2L, Array(0.99f, 0.1f), "fr", 1000L),
+      (3L, Array(0.98f, 0.05f), "de", 150L)).toDF("id", "vec", "lg", "len")
+    val got = Similarity.crossLingualNearDupPairs(df, "id", "vec", "lg", "len",
+        threshold = 0.5, maxLenRatio = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Staging.releaseAll()
+    assert(got == Set((1L, 3L)),
+      s"only the length-compatible cross-lang pair survives, got $got")
+  }
+
   test("lshNearDupPairs maxBandBucket suppresses degenerate buckets, keeps sparse pairs") {
     // 30 identical "boilerplate" vectors: every band bucket they
     // occupy holds >= 30 members, the quadratic-blowup shape the cap

@@ -375,6 +375,61 @@ class GraphsSpec extends AnyFunSuite {
     assert(core2 == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L))
   }
 
+  test("kCore/labelPropagation: integral early stop — identical output, post-fixpoint chunks skipped") {
+    // r16 verdict item 6: integer-state sweeps detect their fixpoint
+    // from the count fused into each chunk pin's own job. Output must
+    // be IDENTICAL to the blind fixed budget (that's what makes the
+    // stop sound); the observable saving is the scheduler-job count —
+    // a 20-sweep budget on an early-converging graph must run exactly
+    // the jobs of the 4-sweep budget it converges inside.
+    val sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      graft.ops.Staging.releaseAll()
+      var last = -1; var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        Thread.sleep(200)
+        last = cur; cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    try {
+      // K4 + pendant chain + triangle: k=3 peeling is a fixpoint
+      // after sweep 1, detected at chunk 2 (count unchanged)
+      val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b)
+      val extra = Seq((4, 5), (5, 6), (7, 8), (8, 9), (7, 9))
+      val edges = (k4 ++ extra).map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("u", "v")
+      def core(sweeps: Int) =
+        Graphs.kCore(edges, "u", "v", k = 3, sweeps = sweeps)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cShort = core(4)
+      var cLong: Set[(Long, Long)] = null
+      val jc4 = jobsFor("kcore_b4") { core(4) }
+      val jc20 = jobsFor("kcore_b20") { cLong = core(20) }
+      assert(cLong == cShort, "early-stopped 20-sweep core must equal 4-sweep")
+      assert(jc20 == jc4,
+        s"20-sweep budget must stop at the 4-sweep job count ($jc4), ran $jc20")
+
+      // triangle LPA: labels(2) == labels(3), zero changes detected in
+      // chunk 2's last sweep
+      val tri = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("a", "b")
+      def lpa(it: Int) =
+        Graphs.labelPropagation(tri, "a", "b", it)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val lShort = lpa(4)
+      var lLong: Set[(String, String)] = null
+      val jl4 = jobsFor("lpa_b4") { lpa(4) }
+      val jl20 = jobsFor("lpa_b20") { lLong = lpa(20) }
+      assert(lLong == lShort && lShort ==
+        Set(("x", "x"), ("y", "x"), ("z", "x")))
+      assert(jl20 == jl4,
+        s"20-iteration LPA must stop at the 4-iteration job count ($jl4), ran $jl20")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bfsHops: matches driver-side BFS on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40

@@ -826,16 +826,37 @@ class StreamingSpec extends AnyFunSuite {
         .searchFilteredQuantized(qs, emb, "vec_id", "embedding", "label",
           k = 3, nProbe = 8, rerankFactor = 1000)) ==
       rows(Similarity.filteredTopK(emb, qs, "vec_id", "embedding", "label", k = 3)))
-    // replay safety: re-delivering a committed batchId must not
-    // duplicate rows (the _stream_commits marker skips it)
+    // marker namespacing: a SECOND query (fresh checkpoint, fresh
+    // query id) also restarts at batchId 0 — its first batch must
+    // APPEND, not be swallowed by the first query's batch-0 marker
+    // (markers are _stream_commits/<queryId>/<batchId>)
     val before = spark.read.parquet(s"$streamDir/corpus").count()
     val stream2 = MemoryStream[VecRow]
     val q2 = Streams.annAppendStream(stream2.toDF(), streamDir,
       "vec_id", "embedding", labelCol = Some("label"))
-    stream2.addData(b1.toIndexedSeq) // fresh query restarts at batchId 0 — already committed
+    stream2.addData(b1.toIndexedSeq)
     q2.processAllAvailable()
     q2.stop()
-    assert(spark.read.parquet(s"$streamDir/corpus").count() == before,
-      "replayed batch id must be a no-op")
+    assert(spark.read.parquet(s"$streamDir/corpus").count() ==
+      before + b1.length,
+      "a fresh query's batch 0 must not collide with old markers")
+    // replay safety: re-delivering a batchId already committed by the
+    // SAME query id is a no-op. Simulate recovery re-delivery by
+    // pre-writing this query's batch-0 marker before any data flows
+    // (query id is stable across checkpoint restarts, so this is the
+    // exact state a crashed-after-append run leaves behind).
+    val afterQ2 = spark.read.parquet(s"$streamDir/corpus").count()
+    val stream3 = MemoryStream[VecRow]
+    val q3 = Streams.annAppendStream(stream3.toDF(), streamDir,
+      "vec_id", "embedding", labelCol = Some("label"))
+    val m3 = new org.apache.hadoop.fs.Path(
+      s"$streamDir/_stream_commits/${q3.id}/0")
+    val fs3 = m3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs3.create(m3, true).close()
+    stream3.addData(b1.toIndexedSeq)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$streamDir/corpus").count() == afterQ2,
+      "replayed batch id under the same query id must be a no-op")
   }
 }
