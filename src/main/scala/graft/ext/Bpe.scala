@@ -173,7 +173,31 @@ object Bpe {
     * for wordless documents, then q71's exact cumsum/cut arithmetic
     * (the shared floor((cum - n) / budget.0) rule). Generated so the
     * three stages cannot drift between engines. */
-  def packingOracleSql(k: Int, budget: Long, buckets: Int): String = {
+  def packingOracleSql(k: Int, budget: Long, buckets: Int): String =
+    perDocCountsCtes(k) + s""",
+       |alldocs AS (
+       |  SELECT d.doc_id, CAST(d.doc_id % $buckets AS INT) AS pack_bucket,
+       |    coalesce(cnt.n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN cnt USING (doc_id)),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM alldocs)
+       |SELECT pack_bucket,
+       |  CAST(floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY pack_bucket, pack_shard
+       |ORDER BY pack_bucket, pack_shard""".stripMargin
+
+  /** Shared CTE chain: the `k` learn rounds, the merges applied per
+    * DOCUMENT word instance in merge order, ending at
+    * `cnt(doc_id, n_tokens)` — per-doc BPE token counts (docs with no
+    * subword tokens ABSENT, callers zero-fill). Both the q345 packing
+    * oracle and the q350 fertility oracle build on this generator so
+    * the per-doc counting text cannot drift between them. */
+  def perDocCountsCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= cteRounds(k, rewriteLast = false)
     sb ++= ",\ndw AS (\n"
@@ -194,22 +218,7 @@ object Bpe {
        |  SELECT doc_id,
        |    CAST(sum(len(list_filter(string_split(sym, '|'), x -> x <> ''))) AS BIGINT)
        |      AS n_tokens
-       |  FROM d$k GROUP BY doc_id),
-       |alldocs AS (
-       |  SELECT d.doc_id, CAST(d.doc_id % $buckets AS INT) AS pack_bucket,
-       |    coalesce(cnt.n_tokens, 0) AS n_tokens
-       |  FROM documents d LEFT JOIN cnt USING (doc_id)),
-       |c AS (
-       |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM alldocs)
-       |SELECT pack_bucket,
-       |  CAST(floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_shard,
-       |  count(*) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM c GROUP BY pack_bucket, pack_shard
-       |ORDER BY pack_bucket, pack_shard""".stripMargin
+       |  FROM d$k GROUP BY doc_id)""".stripMargin
     sb.toString
   }
 

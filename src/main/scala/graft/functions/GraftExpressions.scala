@@ -320,6 +320,91 @@ case class HyperplaneBucket(child: Expression, planes: Int,
     copy(child = newChild)
 }
 
+/** URL canonicalization — the first operator of every web-crawl
+  * pipeline: two raw URLs that differ only in case, default port,
+  * `www.` prefix, trailing slashes, fragment, tracking parameters or
+  * query-parameter ORDER are the same fetch, and a crawl dedups on
+  * the canonical form before anything else runs. One fused pass per
+  * row (string-heavy row work — the [[SimHash]] CodegenFallback
+  * argument); the exact step order is the cross-engine CONTRACT the
+  * DuckDB oracle replays:
+  *
+  *  1. cut at the first '#' (fragment);
+  *  2. require "://" after a non-empty scheme, else NULL (opaque
+  *     non-URL input is surfaced, not guessed at);
+  *  3. scheme and authority lowercase; authority ends at the first
+  *     '/' or '?';
+  *  4. strip one ":80" iff scheme http / ":443" iff https, then one
+  *     leading "www.";
+  *  5. strip ALL trailing '/' from the path;
+  *  6. query: split on '&', drop empty params, drop params whose name
+  *     (before '=') is utm_* / gclid / fbclid, SORT the rest
+  *     byte-lexicographically, re-join with '&' (omit '?' if none
+  *     survive).
+  *
+  * Byte sort == UTF-16 compareTo for the ASCII parameter alphabet;
+  * non-ASCII params would need a collation note (crawl URLs are
+  * percent-encoded ASCII by RFC 3986). */
+case class UrlCanonicalize(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"url_canonicalize expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_canonicalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val hashAt = raw.indexOf('#')
+    val s0 = if (hashAt >= 0) raw.substring(0, hashAt) else raw
+    val sep = s0.indexOf("://")
+    if (sep < 1) return null
+    val scheme = s0.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = s0.substring(sep + 3)
+    var authEnd = rest.length
+    var i = 0
+    while (i < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') authEnd = i
+      i += 1
+    }
+    var host = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+    if (scheme == "http" && host.endsWith(":80"))
+      host = host.substring(0, host.length - 3)
+    else if (scheme == "https" && host.endsWith(":443"))
+      host = host.substring(0, host.length - 4)
+    if (host.startsWith("www.")) host = host.substring(4)
+    val tail = rest.substring(authEnd)
+    val qAt = tail.indexOf('?')
+    var path = if (qAt >= 0) tail.substring(0, qAt) else tail
+    val query = if (qAt >= 0) tail.substring(qAt + 1) else ""
+    var pEnd = path.length
+    while (pEnd > 0 && path.charAt(pEnd - 1) == '/') pEnd -= 1
+    path = path.substring(0, pEnd)
+    val kept = query.split("&", -1).filter { p =>
+      if (p.isEmpty) false
+      else {
+        val eq = p.indexOf('=')
+        val name = if (eq >= 0) p.substring(0, eq) else p
+        !(name.startsWith("utm_") || name == "gclid" || name == "fbclid")
+      }
+    }
+    java.util.Arrays.sort(kept, (a: String, b: String) => a.compareTo(b))
+    val sb = new java.lang.StringBuilder(raw.length)
+    sb.append(scheme).append("://").append(host).append(path)
+    if (kept.nonEmpty) sb.append('?').append(String.join("&", kept: _*))
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalize =
+    copy(child = newChild)
+}
+
 /** Portable SimHash of a space-tokenized string (32- or 64-bit), one
   * fused pass per row. Bit source per token, from md5(token)'s 32 hex
   * digits:
@@ -1104,6 +1189,11 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_top_element_freq(arr): got ${other.size} args")
     },
+    "graft_url_canonicalize" -> {
+      case Seq(c) => UrlCanonicalize(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_url_canonicalize(url): got ${other.size} args")
+    },
     "graft_hyperplane_bucket" -> {
       case Seq(c, n) => HyperplaneBucket(c, intOf(n))
       case Seq(c, n, sd) => HyperplaneBucket(c, intOf(n), longOf(sd))
@@ -1277,6 +1367,11 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("graft_cut_token_spans", text, cutStarts,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def urlCanonicalize(spark: SparkSession, url: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_url_canonicalize", url)
   }
 
   def hyperplaneBucket(spark: SparkSession, vec: Column, planes: Int,

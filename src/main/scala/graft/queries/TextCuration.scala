@@ -917,6 +917,33 @@ object TextCurationQueries {
         .orderBy("pack_bucket", "pack_shard")
     }),
 
+    // Tokenizer FERTILITY per language — BPE tokens per whitespace
+    // token, the ratio that drives per-language token budgeting (a
+    // language the tokenizer fragments 2x eats 2x the training budget
+    // for the same text): q345's trained-merge per-doc counts joined
+    // to the language column, integer floor-milli ratio. The oracle
+    // reuses the q345 per-doc-count CTE generator verbatim.
+    "q350_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ext.Bpe.learnMerges(docs, "text", k = 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpe = graft.ext.Bpe.docTokenCounts(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("ws"))
+        .join(bpe, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("ws").as("ws_tokens"),
+             sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"),
+          expr("CASE WHEN ws_tokens > 0 THEN " +
+            "(bpe_tokens * 1000) div ws_tokens " +
+            "ELSE CAST(NULL AS BIGINT) END").as("fertility_milli"))
+        .orderBy("lang")
+    }),
+
     // Good-Turing unseen-mass census per source (Good 1953): the
     // probability mass an LM should reserve for UNSEEN words is
     // N1/N (singleton types over tokens), and the smoothed count for
@@ -1234,6 +1261,25 @@ object TextCurationQueries {
     // train -> per-doc BPE count -> pack, one generator (see q345's
     // query comment); q71's cumsum/cut arithmetic on BPE counts
     "q345_bpe_shard_packing" -> graft.ext.Bpe.packingOracleSql(4, 5000L, 8),
+
+    // fertility replay: the q345 per-doc-count CTEs, the q71
+    // whitespace-count expression, integer floor-milli ratio
+    "q350_tokenizer_fertility" ->
+      (graft.ext.Bpe.perDocCountsCtes(4) + """,
+        |f AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST((CASE WHEN length(d.text) = 0 THEN 0
+        |      ELSE length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |      END) AS BIGINT) AS ws,
+        |    coalesce(cnt.n_tokens, 0) AS bpe
+        |  FROM documents d LEFT JOIN cnt USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CASE WHEN sum(ws) > 0
+        |    THEN CAST((sum(bpe) * 1000) // sum(ws) AS BIGINT)
+        |    ELSE NULL END AS fertility_milli
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin),
 
     "q211_token_budget" ->
       """WITH d AS (

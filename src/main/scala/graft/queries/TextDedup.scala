@@ -19,6 +19,39 @@ import TextQueries.{Stopwords, LangProfiles, simhashCompCtes, bm25Ctes}
 object TextDedupQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** q348/q349's synthesized crawl log (the corpus carries no URL
+    * column): deterministic raw-URL variants — scheme case, www,
+    * default port, trailing slash, unsorted/tracking params, fragment
+    * — plus a non-URL junk class every 101st row. Shared by both
+    * queries; the oracles share the matching SQL text through
+    * [[CrawlUrlSql]]. */
+  private def crawlUrl = {
+    when(pmod(col("o_orderkey"), lit(101)) === 0,
+        lit("junk line, not a url")) // exercises the (invalid) bin
+      .otherwise(concat(
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("https://"))
+          .otherwise(lit("HTTPS://")),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit("www."))
+          .otherwise(lit("")),
+        lit("shop"), pmod(col("o_custkey"), lit(40)).cast("string"),
+        element_at(
+          array(lit(".com"), lit(".co.uk"), lit(".org"),
+                lit(".com.au"), lit(".io")),
+          (pmod(col("o_custkey"), lit(5)) + 1).cast("int")),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/item/"), pmod(col("o_orderkey"), lit(97)).cast("string"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("/"))
+          .otherwise(lit("")),
+        lit("?id="), pmod(col("o_orderkey"), lit(13)).cast("string"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0,
+          lit("&utm_source=mail")).otherwise(lit("")),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit("&b=2&a=1"))
+          .otherwise(lit("")),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit("#frag"))
+          .otherwise(lit(""))))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Near-dup pair matrix WITHIN vs ACROSS sources — the dedup
@@ -371,6 +404,73 @@ object TextDedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // APPROXIMATE longest-common-substring pairs
+    // (TextStats.approxLcsPairs — r17 verdict item 8): q325's
+    // winnowing fingerprints joined on hash, grouped per pair by the
+    // position-offset DIAGONAL, widest diagonal span + k = the token-
+    // length estimate of the longest shared run — suffix-automaton
+    // answers at a fingerprint sample's cost. Exact duplicates sit on
+    // diagonal 0 at near-full-length estimates; partial syndication
+    // shows as shorter spans on nonzero diagonals. The oracle replays
+    // selection, join, and diagonal arithmetic (all integers).
+    "q347_approx_lcs_pairs" -> ((s, d) =>
+      graft.ext.TextStats.approxLcsPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 4, w = 4, minSpan = 8)
+        .orderBy("id_a", "id_b")),
+
+    // URL canonicalization + registrable-domain dedup census
+    // (ext.Urls — r17 verdict item 8, the first operator of every
+    // web-crawl pipeline). The corpus carries no URL column, so the
+    // query SYNTHESIZES a deterministic crawl log from orders —
+    // scheme/www/port/trailing-slash/query-order/tracking-param/
+    // fragment variants plus a non-URL junk class — and the census
+    // counts, per registrable domain, raw URLs vs distinct canonical
+    // forms vs collapsed duplicates. The oracle rebuilds the same log
+    // and replays the UrlCanonicalize step contract in SQL.
+    // URL canonicalization + registrable-domain dedup census
+    // (ext.Urls — r17 verdict item 8, the first operator of every
+    // web-crawl pipeline), over the synthesized [[crawlUrl]] log:
+    // per registrable domain, raw URLs vs distinct canonical forms vs
+    // collapsed duplicates; junk rows land in '(invalid)'. The oracle
+    // rebuilds the same log and replays the UrlCanonicalize step
+    // contract in SQL (both from shared generators).
+    "q348_url_domain_census" -> ((s, d) =>
+      graft.ext.Urls.domainDedupCensus(Tables.orders(s, d), crawlUrl)
+        .orderBy("domain")),
+
+    // RECRAWL keep-latest over the same log — the temporal half of
+    // crawl dedup: multiple fetches of one canonical URL keep the
+    // LATEST (ties to the lowest order key — a total rule), censused
+    // per registrable domain. keep_key_sum pins the exact per-URL
+    // argmax selection, not just the counts; the latest-kept date is
+    // emitted as a formatted string (ns-vs-us timestamp trap).
+    "q349_url_recrawl_keep_latest" -> ((s, d) => {
+      val rows = Tables.orders(s, d)
+        .select(graft.ext.Urls.canonicalizeUrl(crawlUrl).as("canon"),
+                col("o_orderkey"), col("o_orderdate"))
+        .filter(col("canon").isNotNull) // junk has no canonical form
+      val kept = rows.groupBy("canon")
+        .agg(count(lit(1)).as("n_fetches"),
+             max_by(struct(col("o_orderkey").as("k"),
+                           col("o_orderdate").as("t")),
+               struct(col("o_orderdate").as("t"),
+                      (-col("o_orderkey")).as("nk"))).as("keep"))
+      kept.select(
+          graft.ext.Urls.registrableDomain(
+            graft.ext.Urls.canonicalHost(col("canon"))).as("domain"),
+          col("n_fetches"), col("keep.k").as("kk"), col("keep.t").as("kt"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_canonical"),
+             sum("n_fetches").as("n_fetches"),
+             sum("kk").as("keep_key_sum"),
+             max("kt").as("__mt"))
+        .select(col("domain"), col("n_canonical"), col("n_fetches"),
+                col("keep_key_sum"),
+                date_format(col("__mt"), "yyyy-MM-dd").as("latest_kept"))
+        .orderBy("domain")
+    }),
+
     // Exact-substring span CUTTING (TextStats.cutDupSpans): every
     // non-first occurrence of a corpus-duplicated 5-gram marks its
     // token span; spans merge and the text is rebuilt without them.
@@ -622,6 +722,99 @@ object TextDedupQueries {
         .orderBy("source")
     }),
   )
+
+  // q348 oracle: the suffix list interpolated from the operator's
+  // own constant, so the two engines cannot drift
+  private val SuffixSqlList: String =
+    graft.ext.Urls.TwoLevelSuffixes.map(x => s"'$x'").mkString(", ")
+
+  /** The synthesized crawl-log URL expression in SQL — the q348/q349
+    * raw CTE body, matching [[crawlUrl]] variant-for-variant. */
+  private val CrawlUrlSql: String =
+    """CASE WHEN o_orderkey % 101 = 0 THEN 'junk line, not a url'
+      |    ELSE
+      |      (CASE WHEN o_orderkey % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+      |      (CASE WHEN o_orderkey % 3 = 0 THEN 'www.' ELSE '' END) ||
+      |      'shop' || CAST(o_custkey % 40 AS VARCHAR) ||
+      |      (CASE o_custkey % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+      |        WHEN 2 THEN '.org' WHEN 3 THEN '.com.au' ELSE '.io' END) ||
+      |      (CASE WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END) ||
+      |      '/item/' || CAST(o_orderkey % 97 AS VARCHAR) ||
+      |      (CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END) ||
+      |      '?id=' || CAST(o_orderkey % 13 AS VARCHAR) ||
+      |      (CASE WHEN o_orderkey % 2 = 0 THEN '&utm_source=mail' ELSE '' END) ||
+      |      (CASE WHEN o_orderkey % 4 = 0 THEN '&b=2&a=1' ELSE '' END) ||
+      |      (CASE WHEN o_orderkey % 11 = 0 THEN '#frag' ELSE '' END)
+      |    END AS url""".stripMargin
+
+  /** The [[graft.functions.UrlCanonicalize]] step contract replayed
+    * in SQL: expects a CTE `raw(<carry...>, url)` and emits the chain
+    * s0 -> sch -> parts -> hostq -> canon0(<carry...>, host, canon),
+    * null-propagating for schemeless input. One generator for every
+    * oracle that canonicalizes, so the contract text exists once. */
+  private def urlCanonCtes(carry: Seq[String]): String = {
+    val c = carry.map(_ + ", ").mkString
+    s"""s0 AS (SELECT ${c}str_split(url, '#')[1] AS u FROM raw),
+       |sch AS (
+       |  SELECT $c
+       |    CASE WHEN strpos(u, '://') > 1
+       |      THEN lower(substr(u, 1, strpos(u, '://') - 1)) END AS scheme,
+       |    CASE WHEN strpos(u, '://') > 1
+       |      THEN substr(u, strpos(u, '://') + 3) END AS rest
+       |  FROM s0),
+       |parts AS (
+       |  SELECT $c scheme,
+       |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth,
+       |    regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1),
+       |      '/+$$', '') AS path,
+       |    CASE WHEN rest IS NOT NULL AND strpos(rest, '?') > 0
+       |      THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q
+       |  FROM sch),
+       |hostq AS (
+       |  SELECT $c scheme, path,
+       |    CASE WHEN h2 LIKE 'www.%' THEN substr(h2, 5) ELSE h2 END AS host,
+       |    list_sort(list_filter(str_split(q, '&'), x -> x <> '' AND NOT
+       |      regexp_matches(x, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$$'))) AS kept
+       |  FROM (
+       |    SELECT $c scheme, path, q,
+       |      CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+       |             THEN substr(auth, 1, len(auth) - 3)
+       |           WHEN scheme = 'https' AND auth LIKE '%:443'
+       |             THEN substr(auth, 1, len(auth) - 4)
+       |           ELSE auth END AS h2
+       |    FROM parts)),
+       |canon0 AS (
+       |  SELECT $c host,
+       |    CASE WHEN scheme IS NULL THEN NULL
+       |      ELSE scheme || '://' || host || path ||
+       |        (CASE WHEN len(kept) > 0
+       |          THEN '?' || array_to_string(kept, '&') ELSE '' END)
+       |    END AS canon
+       |  FROM hostq)""".stripMargin
+  }
+
+  /** Registrable-domain CTE `dom`: `carry` columns pass through, the
+    * source's `host` becomes `domain` (public-suffix-lite; with
+    * `invalidBin` a NULL canonical maps to '(invalid)' — `canon` must
+    * then be in `carry`). Matches [[graft.ext.Urls.registrableDomain]]. */
+  private def domainCte(src: String, carry: Seq[String],
+                        invalidBin: Boolean): String = {
+    val c = carry.map(_ + ", ").mkString
+    val nullArm =
+      if (invalidBin) "CASE WHEN canon IS NULL THEN '(invalid)'\n         WHEN"
+      else "CASE WHEN"
+    s"""dom AS (
+       |  SELECT $c
+       |    $nullArm n <= 2 THEN host
+       |         WHEN last2 IN ($SuffixSqlList)
+       |           THEN labels[n - 2] || '.' || last2
+       |         ELSE last2 END AS domain
+       |  FROM (
+       |    SELECT $c host, labels, len(labels) AS n,
+       |      labels[len(labels) - 1] || '.' || labels[len(labels)] AS last2
+       |    FROM (SELECT $c host, string_split(host, '.') AS labels
+       |          FROM $src)))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -989,6 +1182,109 @@ object TextDedupQueries {
         |       JOIN sz sb ON p.id_b = sb.doc_id
         |WHERE p.shared_fps >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Approx-LCS replay: q325's winnowing selection (with positions),
+    // the hash pair join, and the diagonal-span integer arithmetic —
+    // max span per (pair, pos-offset), min diagonal among the widest.
+    "q347_approx_lcs_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, greatest(n - 3, 0) + 1)) AS pos
+        |  FROM t),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(tk[pos : pos + 3], ' ')) ||
+        |      lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    100000000 - CAST(substr(mk, 33, 9) AS BIGINT) AS fp_pos,
+        |    substr(mk, 1, 32) AS fp_hash
+        |  FROM (
+        |    SELECT doc_id, pos,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |    FROM keyed)
+        |  WHERE pos >= 4),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.fp_pos - b.fp_pos AS diag, a.fp_pos AS pa
+        |  FROM sel a JOIN sel b
+        |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id),
+        |dg AS (
+        |  SELECT id_a, id_b, diag,
+        |    max(pa) - min(pa) + 4 AS span,
+        |    CAST(count(*) AS BIGINT) AS nf
+        |  FROM pr GROUP BY 1, 2, 3),
+        |mx AS (
+        |  SELECT id_a, id_b,
+        |    CAST(max(span) AS BIGINT) AS lcs_est_tokens,
+        |    CAST(sum(nf) AS BIGINT) AS n_shared_fps
+        |  FROM dg GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT dg.id_a, dg.id_b, CAST(min(dg.diag) AS BIGINT) AS best_diag
+        |  FROM dg JOIN mx ON dg.id_a = mx.id_a AND dg.id_b = mx.id_b
+        |    AND dg.span = mx.lcs_est_tokens
+        |  GROUP BY 1, 2)
+        |SELECT mx.id_a, mx.id_b, mx.lcs_est_tokens, bd.best_diag,
+        |  mx.n_shared_fps
+        |FROM mx JOIN bd ON mx.id_a = bd.id_a AND mx.id_b = bd.id_b
+        |WHERE mx.lcs_est_tokens >= 8
+        |ORDER BY mx.id_a, mx.id_b""".stripMargin,
+
+    // URL census replay: the identical synthesized crawl log
+    // (CrawlUrlSql), the UrlCanonicalize step contract in SQL
+    // (urlCanonCtes: fragment cut, scheme gate, authority/port/www,
+    // trailing-slash strip, tracking-param filter + byte sort), the
+    // public-suffix-lite domain (suffix list interpolated from
+    // ext.Urls), then the (domain, canonical) census. Junk rows carry
+    // NULL canonical end-to-end and land in the '(invalid)' bin. All
+    // three pieces are GENERATED once and shared with q349, so the
+    // contract text cannot drift between the two replays.
+    "q348_url_domain_census" ->
+      ("WITH raw AS (\n  SELECT " + CrawlUrlSql + "\n  FROM orders),\n" +
+        urlCanonCtes(Nil) + ",\n" +
+        domainCte("canon0", Seq("canon"), invalidBin = true) + ",\n" +
+        """g AS (SELECT domain, canon, count(*) AS n FROM dom GROUP BY 1, 2)
+          |SELECT domain, CAST(sum(n) AS BIGINT) AS n_raw,
+          |  CAST(sum(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_canonical,
+          |  CAST(sum(n) - sum(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_dup
+          |FROM g GROUP BY domain ORDER BY domain""".stripMargin),
+
+    // Recrawl replay: same log and canonicalization chain (orderkey/
+    // orderdate carried through), keep-latest per canonical via
+    // row_number over (o_orderdate DESC, o_orderkey), then the domain
+    // census over the kept rows; latest-kept date formatted on both
+    // sides.
+    "q349_url_recrawl_keep_latest" ->
+      ("WITH raw AS (\n  SELECT o_orderkey, o_orderdate, " + CrawlUrlSql +
+        "\n  FROM orders),\n" +
+        urlCanonCtes(Seq("o_orderkey", "o_orderdate")) + ",\n" +
+        """v AS (
+          |  SELECT o_orderkey, o_orderdate, canon, host
+          |  FROM canon0 WHERE canon IS NOT NULL),
+          |k AS (
+          |  SELECT canon, host, o_orderkey, o_orderdate,
+          |    row_number() OVER (PARTITION BY canon
+          |      ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_fetches
+          |  FROM v),
+          |kk AS (
+          |  SELECT canon, host, o_orderkey, o_orderdate, n_fetches
+          |  FROM k WHERE rn = 1),""".stripMargin + "\n" +
+        domainCte("kk", Seq("o_orderkey", "o_orderdate", "n_fetches"),
+          invalidBin = false) + "\n" +
+        """SELECT domain, CAST(count(*) AS BIGINT) AS n_canonical,
+          |  CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS keep_key_sum,
+          |  strftime(max(o_orderdate), '%Y-%m-%d') AS latest_kept
+          |FROM dom GROUP BY domain ORDER BY domain""".stripMargin),
 
     // Winnowing replay: identical 4-gram build, the identical
     // md5||zero-padded-(1e8-pos) min-key over the same 4-position

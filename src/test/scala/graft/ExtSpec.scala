@@ -1564,6 +1564,43 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("approxLcsPairs: planted shared run found on the right diagonal; estimate bounded; hot fingerprints excludable") {
+    import graft.ext.TextStats
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token run
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4"), // run starts at token 4
+      (2L, s"b1 $shared"),          // run starts at token 2
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val got = TextStats.approxLcsPairs(docs, "doc_id", "text",
+        k = 4, w = 4, minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.ops.Staging.releaseAll()
+    assert(got.length == 1, s"only the planted pair should surface: ${got.toSeq}")
+    val (ia, ib, est, diag, nfps) = got.head
+    assert((ia, ib) == (1L, 2L))
+    // the run's alignment IS the best diagonal
+    assert(diag == 2L, s"diag was $diag")
+    // winnowing guarantees a fingerprint per interior window, so the
+    // diagonal span estimates the 12-token run within edge slack and
+    // never exceeds it (no gram outside the run shares a hash)
+    assert(est <= 12L && est >= 12L - 7L, s"estimate was $est")
+    assert(nfps >= 1L)
+    // hot-fingerprint exclusion: a boilerplate run shared by 5 docs
+    // pairs them all by default, and not at all once its hashes are
+    // over the maxFpDocs occupancy cut
+    val boiler = (1 to 9).map(i => s"t$i").mkString(" ")
+    val many = (1L to 5L).map(i => (i, s"u$i $boiler")).toDF("doc_id", "text")
+    val full = TextStats.approxLcsPairs(many, "doc_id", "text",
+      k = 4, w = 4, minSpan = 4).count()
+    graft.ops.Staging.releaseAll()
+    assert(full == 10L, s"5 boilerplate docs must form all 10 pairs, got $full")
+    val capped = TextStats.approxLcsPairs(many, "doc_id", "text",
+      k = 4, w = 4, minSpan = 4, maxFpDocs = 2L).count()
+    graft.ops.Staging.releaseAll()
+    assert(capped == 0L, s"capped boilerplate must yield no pairs, got $capped")
+  }
+
   test("crossLingualNearDupPairs equals the metadata-filtered all-pairs closure") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val meta = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -21,6 +21,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_cut_token_spans", "graft_top_element_freq",
     "graft_bloom_filter_agg", "graft_might_contain",
     "graft_topk_by_score", "graft_topk_by_score_str",
+    "graft_url_canonicalize",
     "graft_nearest_centroids",
     "graft_simhash32", "graft_simhash64", "graft_token_set_count",
     "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
