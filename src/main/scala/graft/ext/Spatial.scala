@@ -119,4 +119,49 @@ object Spatial {
       .filter(d2 <= lit(radius * radius))
       .select(col("probe_id"), col("ref_id"), d2.as("dist2"))
   }
+
+  /** DBSCAN (Ester et al. KDD'96) over the plane, composed from the
+    * grid range join and min-label connected components — density
+    * clustering at grid-join cost, never all-pairs:
+    *
+    *  - core iff |N_eps(p)| >= minPts, SELF INCLUDED (the paper's
+    *    convention), i.e. >= minPts - 1 grid-join neighbors;
+    *  - clusters = connected components of the core-core eps graph,
+    *    labeled by MIN core id (deterministic);
+    *  - border = non-core with >= 1 core neighbor, attached to the
+    *    MIN cluster among its core neighbors — the deterministic
+    *    resolution of classic DBSCAN's scan-order-dependent border
+    *    assignment;
+    *  - everything else is noise and is NOT in the returned frame.
+    *
+    * Returns (id, cluster, role) with role in {core, border}. Cost:
+    * one grid join, one degree aggregate, components over the core
+    * subgraph only (noise and borders never enter the sweeps), one
+    * anti-join + min-aggregate for borders. Dense-cell skew is the
+    * grid join's documented contract; everything downstream is
+    * node-sized. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String,
+             yCol: String, radius: Double, minPts: Int): DataFrame = {
+    require(minPts >= 2, "minPts < 2 makes every point a core")
+    val pairs = graft.ops.Staging.stage(
+      gridRangeJoin(points, idCol, xCol, yCol, radius)
+        .select("id_a", "id_b"))
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val core = graft.ops.Staging.stage(
+      sym.groupBy("id").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= minPts - 1).select("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreLab = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val borderLab = sym
+      .join(core, Seq("id"), "left_anti")
+      .join(coreLab.select(col("id").as("nb"), col("cluster")), "nb")
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    coreLab.withColumn("role", lit("core"))
+      .unionByName(borderLab.withColumn("role", lit("border")))
+  }
 }

@@ -1052,6 +1052,64 @@ object TextCurationQueries {
             "div (n_docs * max_tokens)").as("waste_ppm"))
       buckets.orderBy("bucket")
     }),
+
+    // Interpolated KNESER-NEY bigram NLL — the smoother the KenLM
+    // perplexity filters (CCNet, CC-100, RedPajama) actually run,
+    // where q252/q291 use add-1: p(w2|w1) = (max(c12-D,0) + D·N1+(w1·)
+    // ·pcont(w2)) / c1 with absolute discount D = 0.75 and the
+    // CONTINUATION probability pcont(w2) = N1+(·w2)/B — "how many
+    // contexts does w2 complete", the fix for high-frequency words
+    // that only ever follow one context. Training is four aggregates
+    // over the staged bigram frame (pair counts, left counts +
+    // follower fan-out, predecessor fan-in, distinct-bigram total) —
+    // all vocabulary-sized broadcasts like q252 (at web scale the
+    // count frames flip to shuffle joins; the plan is otherwise
+    // unchanged). Per-bigram ln p is floored to integer nano-nats
+    // before any sum (the q208 cross-cell rule), so per-doc NLL,
+    // the global per-bigram mean, and the flagged-docs census are
+    // exact integers end to end. Flag = doc's avg NLL above the
+    // corpus's own per-bigram average — the same self-calibrating
+    // threshold shape as q291, under the production smoother.
+    "q351_kneser_ney_nll" -> ((s, d) => {
+      val wi = Window.partitionBy("doc_id").orderBy("p")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val bi = graft.ops.Staging.stage(
+        toks.withColumn("w2", lead("w", 1).over(wi))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("source"), col("w").as("w1"),
+                  col("w2")))
+      val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cx = bi.groupBy("w1")
+        .agg(count(lit(1)).as("c1"), countDistinct("w2").as("nfol"))
+      val pre = bi.groupBy("w2").agg(countDistinct("w1").as("npre"))
+      val bt = cxy.agg(count(lit(1)).as("bt"))
+      val perDoc = graft.ops.Staging.stage(bi
+        .join(broadcast(cxy), Seq("w1", "w2"))
+        .join(broadcast(cx), Seq("w1"))
+        .join(broadcast(pre), Seq("w2"))
+        .crossJoin(broadcast(bt))
+        .select(col("doc_id"), col("source"), expr(KnTermNano).as("nano"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nb"), (-sum("nano")).as("doc_nll"))
+        .withColumn("doc_avg", expr("doc_nll div nb")))
+      val g = perDoc.agg(
+        expr("CAST(sum(doc_nll) div sum(nb) AS BIGINT)").as("g_avg"))
+      perDoc.crossJoin(broadcast(g))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
+             sum("doc_nll").as("total_nll_nano"),
+             sum(when(col("doc_avg") > col("g_avg"), 1L).otherwise(0L))
+               .as("n_flagged"))
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("total_nll_nano"),
+          expr("total_nll_nano div n_bigrams").as("avg_nll_nano"),
+          col("n_flagged"),
+          expr("(n_flagged * 1000000) div n_docs").as("flagged_ppm"))
+        .orderBy("source")
+    }),
   )
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
@@ -1069,6 +1127,18 @@ object TextCurationQueries {
   // (graft.ext.Dsir.KlTermNano) since r18; the oracle interpolates
   // the SAME string, so the term text cannot drift between engines.
   private val KlTermNano = graft.ext.Dsir.KlTermNano
+
+  /** q351's interpolated Kneser-Ney per-bigram ln p in floored
+    * nano-nats — ONE string for both engines (the q252 contract), so
+    * every IEEE op runs in the identical order. D = 0.75 and 0 are
+    * exact in binary; all other operands are exact integer counts
+    * cast to DOUBLE. greatest() is never binding when scoring the
+    * training corpus itself (c12 >= 1 > D) but states the formula. */
+  private[graft] val KnTermNano =
+    "CAST(floor(1000000000.0 * ln((greatest(CAST(c12 AS DOUBLE) - 0.75, " +
+      "CAST(0 AS DOUBLE)) + 0.75 * CAST(nfol AS DOUBLE) * " +
+      "CAST(npre AS DOUBLE) / CAST(bt AS DOUBLE)) / " +
+      "CAST(c1 AS DOUBLE))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     // Heaps replay: identical power-of-two prefix points (row_number
@@ -2053,6 +2123,62 @@ object TextCurationQueries {
         |  CAST(-sum(nano) AS BIGINT) // CAST(count(*) AS BIGINT)
         |    AS avg_nll_nano
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // Kneser-Ney replay: q252's tokenization/bigram CTEs + the
+    // follower/predecessor fan-out counts and the distinct-bigram
+    // total, then the SAME shared KnTermNano text, per-doc integer
+    // NLL, the global per-bigram mean, and the flagged census.
+    "q351_kneser_ney_nll" ->
+      s"""WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id, source, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS i
+        |  FROM tt),
+        |tok AS (SELECT * FROM tok0 WHERE length(w) > 0),
+        |seqd AS (
+        |  SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM tok),
+        |bi0 AS (
+        |  SELECT doc_id, source, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY rn) AS w2
+        |  FROM seqd),
+        |b2 AS (SELECT * FROM bi0 WHERE w2 IS NOT NULL),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM b2 GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+        |         CAST(count(DISTINCT w2) AS BIGINT) AS nfol
+        |       FROM b2 GROUP BY 1),
+        |pre AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS npre
+        |        FROM b2 GROUP BY 1),
+        |bb AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM cxy),
+        |t AS (
+        |  SELECT b.doc_id, b.source, $KnTermNano AS nano
+        |  FROM b2 b
+        |  JOIN cxy ON cxy.w1 = b.w1 AND cxy.w2 = b.w2
+        |  JOIN cx ON cx.w1 = b.w1
+        |  JOIN pre ON pre.w2 = b.w2
+        |  CROSS JOIN bb),
+        |pd AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(-sum(nano) AS BIGINT) AS doc_nll
+        |  FROM t GROUP BY 1, 2),
+        |pd2 AS (SELECT *, doc_nll // nb AS doc_avg FROM pd),
+        |g AS (SELECT CAST(sum(doc_nll) AS BIGINT)
+        |        // CAST(sum(nb) AS BIGINT) AS g_avg FROM pd2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(doc_nll) AS BIGINT) AS total_nll_nano,
+        |  CAST(sum(doc_nll) AS BIGINT) // CAST(sum(nb) AS BIGINT)
+        |    AS avg_nll_nano,
+        |  CAST(sum(CASE WHEN doc_avg > g_avg THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  (CAST(sum(CASE WHEN doc_avg > g_avg THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS flagged_ppm
+        |FROM pd2 CROSS JOIN g
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same

@@ -610,6 +610,45 @@ object VectorQueries {
         .orderBy("probe_id", "ref_id")
     }),
 
+    // DBSCAN density clustering (Spatial.dbscan — Ester et al.
+    // KDD'96) composed from the two scale kernels the suite already
+    // carries: q322's grid range join supplies the eps-neighborhood
+    // pairs WITHOUT an all-pairs pass, and q64's connectedComponents
+    // labels the core-core graph — so density clustering costs one
+    // grid join + one degree aggregate + min-label sweeps over the
+    // (much smaller) core subgraph. minPts = 5 self-included; border
+    // points attach to the MIN cluster among their core neighbors
+    // (the deterministic resolution of DBSCAN's scan-order-dependent
+    // border tie); noise is the remainder row (cluster -1). The
+    // census per cluster (cores, borders, total, min id) is the
+    // curation view: embedding-space density clumps are template/
+    // boilerplate families; noise is the long tail worth keeping.
+    // Exact integer outputs; the oracle replays all-pairs +
+    // recursive closure; PropertySpec pins the kernel against
+    // brute-force DBSCAN on random clouds.
+    "q352_dbscan_grid" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("px"),
+        element_at(col("embedding"), 2).cast("double").as("py"))
+      val labeled = graft.ops.Staging.stage(
+        graft.ext.Spatial.dbscan(pts, "vec_id", "px", "py",
+          radius = 0.02, minPts = 5))
+      val census = labeled.groupBy("cluster")
+        .agg(sum(when(col("role") === "core", 1L).otherwise(0L))
+               .as("n_core"),
+             sum(when(col("role") === "border", 1L).otherwise(0L))
+               .as("n_border"),
+             count(lit(1)).as("n_total"), min("id").as("min_id"))
+      val noise = pts.select(col("vec_id").as("id"))
+        .join(labeled.select("id"), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_total"), min("id").as("min_id"))
+        .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+          lit(0L).as("n_border"), col("n_total"), col("min_id"))
+      census.select("cluster", "n_core", "n_border", "n_total", "min_id")
+        .unionByName(noise)
+        .orderBy("cluster")
+    }),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -1251,6 +1290,62 @@ object VectorQueries {
         |WHERE a.par <> 0 AND b.par = 0
         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${0.02 * 0.02}
         |ORDER BY probe_id, ref_id""".stripMargin,
+
+    // DBSCAN replay: q322's all-pairs eps graph, the same >= 4
+    // neighbor-degree core rule, q64's recursive closure over the
+    // core-core subgraph, min-cluster border attachment, and the
+    // noise remainder row.
+    "q352_dbscan_grid" ->
+      s"""WITH RECURSIVE p AS (
+        |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+        |         CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT a.id AS ia, b.id AS ib FROM p a, p b
+        |  WHERE a.id < b.id
+        |    AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${0.02 * 0.02}),
+        |sym AS (SELECT ia AS id, ib AS nb FROM pr
+        |        UNION ALL SELECT ib, ia FROM pr),
+        |core AS (SELECT id FROM sym GROUP BY id HAVING count(*) >= 4),
+        |ce AS (
+        |  SELECT ia, ib FROM pr
+        |  JOIN core ca ON pr.ia = ca.id
+        |  JOIN core cb ON pr.ib = cb.id),
+        |edges AS (SELECT ia AS src, ib AS dst FROM ce
+        |          UNION SELECT ib, ia FROM ce),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |corelab AS (
+        |  SELECT c.id, coalesce(comp.component, c.id) AS cluster
+        |  FROM core c LEFT JOIN comp ON c.id = comp.id),
+        |borderlab AS (
+        |  SELECT s.id, min(cl.cluster) AS cluster
+        |  FROM sym s JOIN corelab cl ON s.nb = cl.id
+        |  WHERE s.id NOT IN (SELECT id FROM core)
+        |  GROUP BY s.id),
+        |lab AS (SELECT id, cluster, 'core' AS role FROM corelab
+        |        UNION ALL SELECT id, cluster, 'border' FROM borderlab),
+        |cens AS (
+        |  SELECT cluster,
+        |    CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_core,
+        |    CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_border,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(min(id) AS BIGINT) AS min_id
+        |  FROM lab GROUP BY cluster),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+        |    CAST(0 AS BIGINT) AS n_border, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(min(id) AS BIGINT) AS min_id
+        |  FROM p WHERE id NOT IN (SELECT id FROM lab))
+        |SELECT * FROM cens UNION ALL SELECT * FROM noise
+        |ORDER BY cluster""".stripMargin,
 
     // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
     // express the k-means cells): recall@3 of the labeled-index

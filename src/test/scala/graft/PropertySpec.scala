@@ -522,4 +522,82 @@ class PropertySpec extends AnyFunSuite {
         s"sample $i: 7-token shared run produced no shared fingerprint")
     }
   }
+
+  test("dbscan ≡ brute-force DBSCAN on random point clouds (property)") {
+    val ptsGen: Gen[List[(Double, Double)]] = Gen.listOfN(90, for {
+      x <- Gen.choose(-200, 200).map(_ / 100.0) // [-2, 2] on a lattice
+      y <- Gen.choose(-200, 200).map(_ / 100.0)
+    } yield (x, y))
+    for ((pts, i) <- samples(ptsGen, 3).zipWithIndex) {
+      val (r, minPts) = Seq((0.3, 3), (0.5, 4), (0.8, 5))(i)
+      val df = pts.zipWithIndex.map { case ((x, y), id) => (id.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = graft.ext.Spatial.dbscan(df, "id", "x", "y", r, minPts)
+        .collect().map(q => (q.getLong(0), q.getLong(1), q.getString(2)))
+        .toSet
+      // reference: O(n^2) neighborhoods, union-find-by-min over
+      // core-core pairs, border = min cluster among core neighbors
+      val n = pts.length
+      def close(a: Int, b: Int): Boolean = {
+        val dx = pts(a)._1 - pts(b)._1; val dy = pts(a)._2 - pts(b)._2
+        dx * dx + dy * dy <= r * r
+      }
+      val nbrs = (0 until n).map(a =>
+        (0 until n).filter(b => b != a && close(a, b)))
+      val isCore = (0 until n).map(a => nbrs(a).size >= minPts - 1)
+      val root = Array.tabulate(n)(identity)
+      def find(a: Int): Int = { if (root(a) != a) root(a) = find(root(a)); root(a) }
+      for (a <- 0 until n if isCore(a); b <- nbrs(a) if isCore(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) root(rb) = ra else root(ra) = rb }
+      }
+      val want = (0 until n).flatMap { a =>
+        if (isCore(a)) Some((a.toLong, find(a).toLong, "core"))
+        else {
+          val coreNbrs = nbrs(a).filter(isCore)
+          if (coreNbrs.nonEmpty)
+            Some((a.toLong, coreNbrs.map(c => find(c).toLong).min, "border"))
+          else None
+        }
+      }.toSet
+      assert(got == want, s"sample $i r=$r minPts=$minPts: " +
+        s"${(got diff want).take(5)} vs ${(want diff got).take(5)}")
+    }
+  }
+
+  test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
+    // the smoother's defining invariant: the discounted mass D*N1+(w1.)
+    // exactly funds the continuation distribution, so summing the
+    // SHARED KnTermNano expression over observed AND unseen w2 must
+    // return 1 per context (up to the 1e-9 nano floor per term)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen: Gen[List[List[String]]] =
+      Gen.listOfN(12, Gen.choose(2, 15).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab))))
+    for ((docs, i) <- samples(docGen, 3).zipWithIndex) {
+      val bigrams = docs.flatMap(d => d.zip(d.tail))
+      val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nfol = bigrams.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.size.toLong).toMap
+      val npre = bigrams.groupBy(_._2).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      val bt = c12.size.toLong
+      // npre = 0 with c12 = 0 means p = 0 exactly (ln would be -inf);
+      // those rows carry no mass, so the sum runs over the rest
+      val rows = (for { w1 <- c1.keys.toSeq; w2 <- vocab } yield
+        (w1, w2, c12.getOrElse((w1, w2), 0L), c1(w1), nfol(w1),
+          npre.getOrElse(w2, 0L), bt))
+        .filter(r => r._3 > 0 || r._6 > 0)
+      val sums = rows.toDF("w1", "w2", "c12", "c1", "nfol", "npre", "bt")
+        .select(col("w1"),
+          expr(graft.queries.TextCurationQueries.KnTermNano).as("nano"))
+        .groupBy("w1").agg(sum(expr("exp(CAST(nano AS DOUBLE) / 1e9)")).as("p"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      sums.foreach { case (w1, p) =>
+        assert(math.abs(p - 1.0) < 1e-6,
+          s"sample $i: sum p(.|$w1) = $p, expected 1")
+      }
+    }
+  }
 }
