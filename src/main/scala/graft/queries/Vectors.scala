@@ -649,6 +649,24 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // Top principal direction of the embedding SECOND-MOMENT matrix
+    // (PcaPower.topComponent) — fixed-budget power iteration, the
+    // one-pass linear-algebra shape under embedding whitening /
+    // anisotropy diagnostics (SemDeDup-class pipelines whiten before
+    // cosine): the d x d Gram accumulates MAP-SIDE from per-row outer
+    // products (one scan + one d^2 shuffle of partial sums; 4096 rows
+    // here), then 3 power steps x ↦ G x / max|G x| on d-sized
+    // broadcast frames — never a data-sized shuffle. A DEFINED
+    // statistic (fixed steps from all-ones, the pinned-sweep rule);
+    // every product floors to integer nanos before its sum, so the
+    // oracle replays bit for bit and PropertySpec pins alignment with
+    // the true dominant axis on stretched clouds. Output: loading per
+    // dim (max-abs = 1e9) + the lambda estimate.
+    "q353_pca_power" -> ((s, d) =>
+      graft.ext.PcaPower.topComponent(
+          Tables.embeddings(s, d), "embedding", steps = 3)
+        .orderBy("dim")),
+
     // Embedding-distribution drift between corpus halves via
     // sign-bucket PSI — the q243 population-stability index applied
     // to the EMBEDDING space: bucket each vector by the sign pattern
@@ -716,6 +734,45 @@ object VectorQueries {
       "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) * " +
       "ln((CAST(c1 + 1 AS DOUBLE) * CAST(n2 + nb AS DOUBLE)) / " +
       "(CAST(c2 + 1 AS DOUBLE) * CAST(n1 + nb AS DOUBLE)))"
+
+  // q353's shared term texts live with the operator
+  // (graft.ext.PcaPower) — the oracle interpolates the SAME strings,
+  // so the term text cannot drift between engines.
+  private val GramTermNano = graft.ext.PcaPower.GramTermNano
+  private val MatvecTermNano = graft.ext.PcaPower.MatvecTermNano
+  private val RenormNano = graft.ext.PcaPower.RenormNano
+
+  /** q353's oracle: the 64-dim Gram from the same floored outer
+    * products, then the 3 power steps as generated CTE blocks — one
+    * template so the iteration text cannot drift between steps. */
+  private def pcaPowerOracleSql: String = {
+    def step(t: Int, xPrev: String) =
+      s"""y$t AS (
+         |  SELECT g.i, CAST(sum($MatvecTermNano) AS BIGINT) AS y
+         |  FROM g JOIN $xPrev ON g.j = $xPrev.j GROUP BY g.i),
+         |m$t AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y$t),
+         |x$t AS (SELECT i AS j, $RenormNano AS x FROM y$t CROSS JOIN m$t)"""
+        .stripMargin
+    s"""WITH cell AS (
+       |  SELECT i, j, CAST(embedding[i] AS DOUBLE) AS vi,
+       |    CAST(embedding[j] AS DOUBLE) AS vj
+       |  FROM embeddings
+       |  CROSS JOIN range(1, 65) r1(i) CROSS JOIN range(1, 65) r2(j)),
+       |g AS (
+       |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |    CAST(sum($GramTermNano) AS BIGINT) AS g
+       |  FROM cell GROUP BY 1, 2),
+       |x0 AS (SELECT i AS j, CAST(1000000000 AS BIGINT) AS x
+       |       FROM (SELECT DISTINCT i FROM g)),
+       |${step(1, "x0")},
+       |${step(2, "x1")},
+       |y3 AS (
+       |  SELECT g.i, CAST(sum($MatvecTermNano) AS BIGINT) AS y
+       |  FROM g JOIN x2 ON g.j = x2.j GROUP BY g.i),
+       |m3 AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y3)
+       |SELECT i AS dim, $RenormNano AS loading_nano, m AS lambda_nano
+       |FROM y3 CROSS JOIN m3 ORDER BY dim""".stripMargin
+  }
 
   /** q160's oracle: q34's exact-cosine top-3 replay at each prefix
     * length, intersected with the 64-dim truth — generated so the
@@ -1346,6 +1403,10 @@ object VectorQueries {
         |  FROM p WHERE id NOT IN (SELECT id FROM lab))
         |SELECT * FROM cens UNION ALL SELECT * FROM noise
         |ORDER BY cluster""".stripMargin,
+
+    // Power-iteration replay: generated CTE blocks (one template per
+    // step) over the same floored-nano Gram — see pcaPowerOracleSql.
+    "q353_pca_power" -> pcaPowerOracleSql,
 
     // Same SF-keyed measured-pin form as q53/q63 (DuckDB cannot
     // express the k-means cells): recall@3 of the labeled-index

@@ -565,6 +565,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PcaPower.topComponent aligns with the dominant axis of stretched clouds (property)") {
+    // clouds stretched 10x along a random unit axis u: the second
+    // moment's top eigendirection is u, and with that eigengap three
+    // power steps from all-ones must land within cos > 0.99 of it
+    val d = 6
+    val cloudGen: Gen[(List[Double], List[List[Double]])] = for {
+      axis <- Gen.listOfN(d, Gen.choose(-100, 100).map(_ / 100.0))
+        .suchThat(a => math.sqrt(a.map(x => x * x).sum) > 0.3)
+      coefs <- Gen.listOfN(80, for {
+        t <- Gen.choose(-100, 100).map(_ / 10.0) // along-axis, +/-10
+        n <- Gen.listOfN(d, Gen.choose(-100, 100).map(_ / 100.0)) // noise +/-1
+      } yield (t, n))
+    } yield (axis, coefs.map { case (t, n) =>
+      val nrm = math.sqrt(axis.map(x => x * x).sum)
+      axis.map(_ / nrm).zip(n).map { case (u, eps) => t * u + eps }
+    })
+    for (((axis, rows), i) <- samples(cloudGen, 3).zipWithIndex) {
+      val df = rows.zipWithIndex
+        .map { case (v, id) => (id.toLong, v.map(_.toFloat)) }
+        .toDF("id", "vec")
+      val loading = graft.ext.PcaPower.topComponent(df, "vec", steps = 3)
+        .orderBy("dim").collect().map(_.getLong(1).toDouble / 1e9)
+      val nrmA = math.sqrt(axis.map(x => x * x).sum)
+      val u = axis.map(_ / nrmA)
+      val nrmL = math.sqrt(loading.map(x => x * x).sum)
+      val cos = math.abs(
+        u.zip(loading).map { case (a, b) => a * b }.sum / nrmL)
+      assert(cos > 0.99, s"sample $i: |cos(loading, axis)| = $cos")
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
