@@ -1042,6 +1042,53 @@ object RelationalAnalyticsQueries {
           s"round($AssortText, 6) AS spearman")
         .orderBy("n_orders")
     }),
+
+    // BRADLEY-TERRY strengths from pairwise duels (Bradley & Terry
+    // 1952; the MM iteration of Hunter 2004) — the preference-model
+    // fit under RLHF reward data, LLM-judge arena ratings, and
+    // ranker calibration, run here on a deterministic duel corpus:
+    // within each order, every pair of lineitems from DIFFERENT
+    // supplier nations duels and the higher extendedprice wins (price
+    // ties break to the lexicographically smaller nation — total
+    // rule). The duel join is per-order (co-partitioned self-join on
+    // the order key — one shuffle; <= C(7,2) pairs per order), then
+    // BradleyTerry.fit runs 3 MM steps p_i <- w_i / sum_j
+    // m_ij/(p_i+p_j) on NATION-sized broadcast frames from the
+    // all-ones start — a DEFINED statistic (the pinned-sweep rule),
+    // each term floored to integer nanos before its sum so the oracle
+    // replays bit for bit; PropertySpec pins the converged fit
+    // against the BT stationarity equations on random duel tables.
+    // Zero-win nations fix at 0 (the BT MLE boundary); see the
+    // kernel's scaladoc for the DECIMAL(38,0) scale valve.
+    "q354_bradley_terry" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val li = graft.ops.Staging.stage(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey",
+          "l_extendedprice")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_extendedprice").as("pr"), col("n_name").as("nat")))
+      val duels = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.ln") < col("b.ln"))
+        .filter(col("a.nat") =!= col("b.nat"))
+        .select(
+          when(col("a.pr") > col("b.pr"), col("a.nat"))
+            .when(col("b.pr") > col("a.pr"), col("b.nat"))
+            .otherwise(least(col("a.nat"), col("b.nat"))).as("win"),
+          when(col("a.pr") > col("b.pr"), col("b.nat"))
+            .when(col("b.pr") > col("a.pr"), col("a.nat"))
+            .otherwise(greatest(col("a.nat"), col("b.nat"))).as("lose"))
+      val fit = graft.ops.Staging.stage(graft.ext.BradleyTerry.fit(
+        duels.groupBy("win", "lose").agg(count(lit(1)).as("n")),
+        steps = 3))
+      fit.crossJoin(broadcast(fit.agg(sum("p").as("tot"))))
+        .select(col("na").as("nation"), col("w").as("wins"),
+          col("duels"), col("p").as("strength_nano"),
+          expr(BtSharePpm).as("strength_ppm"))
+        .orderBy("nation")
+    }),
   )
 
   /** q334's OLS closed form and residual — SHARED text. The slope's
@@ -1056,7 +1103,74 @@ object RelationalAnalyticsQueries {
   private val ConfAbsResid =
     "abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))"
 
+  // q354's shared term texts live with the operator
+  // (graft.ext.BradleyTerry) — the oracle interpolates the SAME
+  // strings, so the term text cannot drift between engines.
+  private val BtDenomTermNano = graft.ext.BradleyTerry.DenomTermNano
+  private val BtUpdateNano = graft.ext.BradleyTerry.UpdateNano
+  private val BtSharePpm = graft.ext.BradleyTerry.SharePpm
+
+  /** q354's oracle: duel construction replay + the 3 MM steps as
+    * generated CTE blocks (one template, so the iteration text cannot
+    * drift between steps or engines). */
+  private def bradleyTerryOracleSql: String = {
+    def step(t: Int, xPrev: String) =
+      s"""den$t AS (
+         |  SELECT pm.na,
+         |    CAST(sum($BtDenomTermNano) AS BIGINT) AS den
+         |  FROM (SELECT pm0.na, pm0.nb, pm0.m, pa.p AS pa, pb.p AS pb
+         |        FROM pm pm0
+         |        JOIN $xPrev pa ON pm0.na = pa.na
+         |        JOIN $xPrev pb ON pm0.nb = pb.na) pm
+         |  GROUP BY pm.na),
+         |x$t AS (
+         |  SELECT w.na, $BtUpdateNano AS p
+         |  FROM w JOIN den$t USING (na))""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+       |    l.l_extendedprice AS pr, n.n_name AS nat
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+       |duels AS (
+       |  SELECT
+       |    CASE WHEN a.pr > b.pr THEN a.nat
+       |         WHEN b.pr > a.pr THEN b.nat
+       |         ELSE least(a.nat, b.nat) END AS win,
+       |    CASE WHEN a.pr > b.pr THEN b.nat
+       |         WHEN b.pr > a.pr THEN a.nat
+       |         ELSE greatest(a.nat, b.nat) END AS lose
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+       |  WHERE a.nat <> b.nat),
+       |nwl AS (SELECT win, lose, CAST(count(*) AS BIGINT) AS n
+       |        FROM duels GROUP BY 1, 2),
+       |pm AS (
+       |  SELECT na, nb, CAST(sum(n) AS BIGINT) AS m FROM (
+       |    SELECT win AS na, lose AS nb, n FROM nwl
+       |    UNION ALL SELECT lose, win, n FROM nwl)
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT nodes.na, CAST(coalesce(wr.w, 0) AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT na FROM pm) nodes
+       |  LEFT JOIN (SELECT win AS na, CAST(sum(n) AS BIGINT) AS w
+       |             FROM nwl GROUP BY 1) wr USING (na)),
+       |x0 AS (SELECT na, CAST(1000000000 AS BIGINT) AS p FROM w),
+       |${step(1, "x0")},
+       |${step(2, "x1")},
+       |${step(3, "x2")},
+       |tt AS (SELECT CAST(sum(p) AS BIGINT) AS tot FROM x3),
+       |dd AS (SELECT na, CAST(sum(m) AS BIGINT) AS duels
+       |       FROM pm GROUP BY 1)
+       |SELECT x3.na AS nation, w.w AS wins, dd.duels,
+       |  x3.p AS strength_nano, $BtSharePpm AS strength_ppm
+       |FROM x3 JOIN w USING (na) JOIN dd USING (na) CROSS JOIN tt
+       |ORDER BY nation""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // MM-iteration replay — see bradleyTerryOracleSql.
+    "q354_bradley_terry" -> bradleyTerryOracleSql,
+
     // Conformal replay: HUGEINT sums mirroring the decimal(38,0)
     // sums, the SHARED slope/intercept/residual texts, row_number for
     // the k-th order statistic (exact at oracle scale; the operator

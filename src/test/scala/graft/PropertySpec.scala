@@ -596,6 +596,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BradleyTerry.fit ≡ sequential floored-MM replay; the rule converges to the MLE (property)") {
+    val duelGen: Gen[List[(String, String, Long)]] = {
+      val names = Vector("a", "b", "c", "d", "e", "f")
+      Gen.listOfN(14, for {
+        i <- Gen.choose(0, names.size - 1)
+        j <- Gen.choose(0, names.size - 1) if i != j
+        n <- Gen.choose(1L, 40L)
+      } yield (names(i), names(j), n))
+    }
+    // plain-Scala replay of the kernel's floored nano arithmetic —
+    // the SAME IEEE ops in the same order per term
+    def replay(duels: List[(String, String, Long)],
+               steps: Int): Map[String, (Long, Long)] = {
+      val m = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      duels.foreach { case (wn, ln, n) =>
+        m((wn, ln)) += n; m((ln, wn)) += n
+      }
+      val nodes = m.keys.map(_._1).toSeq.distinct.sorted
+      val w = nodes.map(na =>
+        na -> duels.filter(_._1 == na).map(_._3).sum).toMap
+      var p = nodes.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to steps) {
+        p = nodes.map { na =>
+          val den = nodes.filter(nb => nb != na && m((na, nb)) > 0)
+            .map(nb => math.floor(
+              m((na, nb)).toDouble * 1e18 / (p(na) + p(nb)).toDouble).toLong)
+            .sum
+          na -> math.floor(w(na).toDouble * 1e18 / den.toDouble).toLong
+        }.toMap
+      }
+      nodes.map(na => na -> (w(na), p(na))).toMap
+    }
+    for ((duels, i) <- samples(duelGen, 3).zipWithIndex) {
+      // 1) the distributed fit IS the sequential replay, bit for bit
+      val fit = graft.ext.BradleyTerry.fit(
+          duels.toDF("win", "lose", "n"), steps = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      val want = replay(duels, 3)
+      fit.foreach { case (na, w, pNano) =>
+        assert((w, pNano) == want(na),
+          s"sample $i node $na: got ($w, $pNano), want ${want(na)}")
+      }
+      // 2) the update RULE lands on the BT stationarity manifold:
+      // w_i = p_i * sum_j m_ij/(p_i+p_j) at a deep (cheap, sequential)
+      // horizon — a wrong rule would fix an O(1) distance away, while
+      // MM's linear rate leaves < 0.1% residual by 5000 steps here
+      val deep = replay(duels, 5000)
+      val p = deep.view.mapValues(_._2.toDouble / 1e9).toMap
+      val m = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      duels.foreach { case (wn, ln, n) =>
+        m((wn, ln)) += n; m((ln, wn)) += n
+      }
+      deep.foreach { case (na, (w, pNano)) =>
+        if (w == 0L) assert(pNano == 0L, s"sample $i: zero-win $na")
+        else {
+          val expected = p.keys.filter(_ != na)
+            .map(nb => m((na, nb)) / (p(na) + p(nb))).sum * p(na)
+          assert(math.abs(expected - w) < math.max(1e-3 * w, 1e-3),
+            s"sample $i node $na: stationarity residual " +
+              s"${expected - w} (w=$w)")
+        }
+      }
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
