@@ -1110,6 +1110,52 @@ object TextCurationQueries {
           expr("(n_flagged * 1000000) div n_docs").as("flagged_ppm"))
         .orderBy("source")
     }),
+
+    // INTER-JUDGE AGREEMENT — Cohen's kappa and linear-weighted kappa
+    // per source between two deterministic 3-level quality raters
+    // (judge A: token-count bands; judge B: stopword-density bands —
+    // integer-threshold stand-ins with the exact compute shape of two
+    // LLM-judge / heuristic-rater columns). This is the
+    // agreement-beyond-chance audit every labeling/RLHF pipeline runs
+    // before trusting a judge ensemble: kappa = (p_o - p_e)/(1 - p_e)
+    // computed entirely in INTEGER cell counts — kappa_ppm =
+    // floor(1e6 * (a*n - S)/(n^2 - S)) with S = sum_i r_i*c_i, and
+    // the linear-weighted form 1 - n*D_o/E from the disagreement
+    // distance D_o = sum |i-j|*o_ij — so the only float op is the
+    // final shared-text division (products stay < 2^53 to ~1e7 docs
+    // per source; the q305 DECIMAL cast is the valve beyond). One
+    // map-side classification pass + one exchange on source; NULL
+    // when the chance denominator degenerates (all mass in one band).
+    "q355_judge_agreement" -> ((s, d) => {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      val base = Tables.documents(s, d).select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) " +
+          "AS BIGINT)").as("ntok"),
+        expr(s"CAST(size(filter(split(text, ' '), x -> x IN ($stopList)))" +
+          " AS BIGINT)").as("nstop"))
+      val graded = base.select(col("source"),
+        expr("CAST(CASE WHEN ntok >= 60 THEN 2 WHEN ntok >= 35 THEN 1 " +
+          "ELSE 0 END AS BIGINT)").as("ga"),
+        expr("CAST(CASE WHEN 6 * nstop >= ntok THEN 2 " +
+          "WHEN 9 * nstop >= ntok THEN 1 ELSE 0 END AS BIGINT)").as("gb"))
+      graded.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("ga") === col("gb"), 1L).otherwise(0L)).as("a"),
+             sum(abs(col("ga") - col("gb"))).as("dd"),
+             sum(when(col("ga") === 0, 1L).otherwise(0L)).as("ra0"),
+             sum(when(col("ga") === 1, 1L).otherwise(0L)).as("ra1"),
+             sum(when(col("ga") === 2, 1L).otherwise(0L)).as("ra2"),
+             sum(when(col("gb") === 0, 1L).otherwise(0L)).as("cb0"),
+             sum(when(col("gb") === 1, 1L).otherwise(0L)).as("cb1"),
+             sum(when(col("gb") === 2, 1L).otherwise(0L)).as("cb2"))
+        .withColumn("s", expr("ra0*cb0 + ra1*cb1 + ra2*cb2"))
+        .withColumn("e", expr("ra0*cb1 + 2*ra0*cb2 + ra1*(cb0+cb2) + " +
+          "2*ra2*cb0 + ra2*cb1"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("a").as("n_agree"), expr(KappaPpm).as("kappa_ppm"),
+          expr(WkappaPpm).as("wkappa_ppm"))
+        .orderBy("source")
+    }),
   )
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
@@ -1134,13 +1180,26 @@ object TextCurationQueries {
     * exact in binary; all other operands are exact integer counts
     * cast to DOUBLE. greatest() is never binding when scoring the
     * training corpus itself (c12 >= 1 > D) but states the formula. */
+  // q355's kappa statistics live with the operator
+  // (graft.ext.Agreement — cycle-free, so specs can init it without
+  // touching this object's eager oracle map); the oracle interpolates
+  // the SAME strings.
+  private val KappaPpm = graft.ext.Agreement.KappaPpm
+  private val WkappaPpm = graft.ext.Agreement.WkappaPpm
+
   private[graft] val KnTermNano =
     "CAST(floor(1000000000.0 * ln((greatest(CAST(c12 AS DOUBLE) - 0.75, " +
       "CAST(0 AS DOUBLE)) + 0.75 * CAST(nfol AS DOUBLE) * " +
       "CAST(npre AS DOUBLE) / CAST(bt AS DOUBLE)) / " +
       "CAST(c1 AS DOUBLE))) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  // LAZY: the q355 oracle block evaluates TextQueries.Stopwords, and
+  // TextQueries' own init reads this map — eager evaluation here
+  // would NPE whenever this object initializes FIRST (a spec touching
+  // a shared term string does exactly that). Lazy defers the block to
+  // first use, by which point TextQueries.Stopwords (declared before
+  // its map fields) is always assigned.
+  lazy val oracles: Map[String, String] = Map(
     // Heaps replay: identical power-of-two prefix points (row_number
     // by doc_id), exact integer (cum_n, V) per point, the q196-form
     // log-log OLS over the bounded point frame.
@@ -2179,6 +2238,45 @@ object TextCurationQueries {
         |    * 1000000) // CAST(count(*) AS BIGINT) AS flagged_ppm
         |FROM pd2 CROSS JOIN g
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Kappa replay: identical integer grade bands, the same cell /
+    // marginal aggregation, and the shared ppm statistics.
+    "q355_judge_agreement" -> {
+      val stopList = TextQueries.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ($stopList))) AS BIGINT) AS nstop
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN ntok >= 60 THEN 2 WHEN ntok >= 35 THEN 1
+        |         ELSE 0 END AS BIGINT) AS ga,
+        |    CAST(CASE WHEN 6 * nstop >= ntok THEN 2
+        |         WHEN 9 * nstop >= ntok THEN 1 ELSE 0 END AS BIGINT) AS gb
+        |  FROM t),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ga = gb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(abs(ga - gb)) AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN ga = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra0,
+        |    CAST(sum(CASE WHEN ga = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ra1,
+        |    CAST(sum(CASE WHEN ga = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ra2,
+        |    CAST(sum(CASE WHEN gb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb0,
+        |    CAST(sum(CASE WHEN gb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb1,
+        |    CAST(sum(CASE WHEN gb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2
+        |  FROM g GROUP BY source),
+        |k AS (
+        |  SELECT *, ra0*cb0 + ra1*cb1 + ra2*cb2 AS s,
+        |    ra0*cb1 + 2*ra0*cb2 + ra1*(cb0+cb2) + 2*ra2*cb0 + ra2*cb1 AS e
+        |  FROM m)
+        |SELECT source, n AS n_docs, a AS n_agree,
+        |  $KappaPpm AS kappa_ppm,
+        |  $WkappaPpm AS wkappa_ppm
+        |FROM k ORDER BY source""".stripMargin
+    },
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same

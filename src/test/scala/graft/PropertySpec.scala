@@ -663,6 +663,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kappa ppm statistics ≡ textbook Cohen/weighted kappa on random grade tables (property)") {
+    val gradesGen: Gen[List[(Long, Long)]] = Gen.listOfN(50, for {
+      ga <- Gen.choose(0L, 2L); gb <- Gen.choose(0L, 2L)
+    } yield (ga, gb))
+    val cases = samples(gradesGen, 3) :+
+      List.tabulate(9)(i => (i % 3L, i % 3L)) // identical judges → kappa 1
+    for ((gs, i) <- cases.zipWithIndex) {
+      val n = gs.size.toLong
+      val a = gs.count { case (x, y) => x == y }.toLong
+      val dd = gs.map { case (x, y) => math.abs(x - y) }.sum
+      def r(v: Long) = gs.count(_._1 == v).toLong
+      def c(v: Long) = gs.count(_._2 == v).toLong
+      val sS = (0L to 2L).map(v => r(v) * c(v)).sum
+      val e = (for { x <- 0L to 2L; y <- 0L to 2L }
+        yield math.abs(x - y) * r(x) * c(y)).sum
+      val row = Seq((n, a, dd, sS, e)).toDF("n", "a", "dd", "s", "e")
+        .select(expr(graft.ext.Agreement.KappaPpm).as("k"),
+          expr(graft.ext.Agreement.WkappaPpm).as("wk"))
+        .collect().head
+      val kWant = if (n * n == sS) None else Some(math.floor(
+        1e6 * (a.toDouble * n - sS) / (n.toDouble * n - sS)).toLong)
+      val wkWant = if (e == 0L) None else Some(math.floor(
+        1e6 * (1.0 - n.toDouble * dd / e.toDouble)).toLong)
+      assert((if (row.isNullAt(0)) None else Some(row.getLong(0))) == kWant,
+        s"sample $i kappa")
+      assert((if (row.isNullAt(1)) None else Some(row.getLong(1))) == wkWant,
+        s"sample $i weighted kappa")
+      if (i == cases.size - 1) {
+        assert(row.getLong(0) == 1000000L && row.getLong(1) == 1000000L,
+          "identical judges must score kappa = 1")
+      }
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
