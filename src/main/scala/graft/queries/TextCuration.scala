@@ -1156,6 +1156,34 @@ object TextCurationQueries {
           expr(WkappaPpm).as("wkappa_ppm"))
         .orderBy("source")
     }),
+
+    // DIFFERENTIALLY-PRIVATE noisy census (Dwork et al. 2006): the
+    // (source, lang) count release with Laplace(1/eps) noise — the
+    // privacy valve a corpus publisher runs before sharing
+    // composition stats, completing the suite's privacy ladder
+    // (k-anonymity q152, generalization q265, l-diversity q283).
+    // Count queries have sensitivity 1, so noise is b = 1/eps; the
+    // inverse-CDF draw X = sgn(u-1/2) * (-b * ln(1 - 2|u-1/2|)) runs
+    // on a per-group uniform u = (h + 1/2)/2^52 derived from the
+    // md5 of the group key — a SEEDED stand-in for the CSPRNG with
+    // the exact compute shape of the real mechanism (the q142
+    // hashed-weights convention: deterministic so the gate can
+    // hash-compare; swap in rand() and the plan is unchanged). The
+    // group-keyed seed makes the noise STICKY across re-releases —
+    // repeated queries don't average it away (the RAPPOR memoization
+    // rule). Two eps points (1 and 1/4) show the budget dial. One
+    // exchange; noise is map-side shared text over the exact count.
+    "q356_dp_noisy_census" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("h", conv(substring(md5(concat(col("source"),
+            lit("|"), col("lang"), lit("|dp18"))), 1, 13), 16, 10)
+          .cast("long"))
+        .select(col("source"), col("lang"),
+          expr(DpNoisyMilli("1")).as("noisy_eps1_milli"),
+          expr(DpNoisyMilli("0.25")).as("noisy_eps025_milli"))
+        .orderBy("source", "lang")),
   )
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
@@ -1186,6 +1214,22 @@ object TextCurationQueries {
   // the SAME strings.
   private val KappaPpm = graft.ext.Agreement.KappaPpm
   private val WkappaPpm = graft.ext.Agreement.WkappaPpm
+
+  /** q356's noisy count in floor-milli — ONE generated string per eps
+    * on both engines, over the exact count `c` and the 52-bit group
+    * hash `h` (each engine parses the md5 prefix to the SAME integer
+    * its own way; everything after `h` is this shared text). u =
+    * (h+1/2)/2^52 lands strictly inside (0,1), so ln's argument is
+    * >= 2^-51 and never 0. */
+  private[graft] def DpNoisyMilli(eps: String): String = {
+    val u = "((CAST(h AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "4.503599627370496E15)"
+    s"CAST(floor(1000.0 * (CAST(c AS DOUBLE) + " +
+      s"(CASE WHEN $u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE) " +
+      s"ELSE CAST(-1 AS DOUBLE) END) * " +
+      s"(CAST(0 AS DOUBLE) - ln(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * " +
+      s"abs($u - CAST(0.5 AS DOUBLE)))) / CAST($eps AS DOUBLE))) AS BIGINT)"
+  }
 
   private[graft] val KnTermNano =
     "CAST(floor(1000000000.0 * ln((greatest(CAST(c12 AS DOUBLE) - 0.75, " +
@@ -2277,6 +2321,27 @@ object TextCurationQueries {
         |  $WkappaPpm AS wkappa_ppm
         |FROM k ORDER BY source""".stripMargin
     },
+
+    // DP-census replay: the q119 strpos 13-hex md5 parse reproduces
+    // Spark's conv() integer exactly (powers-of-two terms, all
+    // partial sums < 2^53), then the SAME DpNoisyMilli texts.
+    "q356_dp_noisy_census" ->
+      s"""WITH c AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |hh AS (
+        |  SELECT source, lang, c,
+        |    CAST(list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(
+        |             substring(md5(source || '|' || lang || '|dp18'), 1, 13),
+        |             CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT)
+        |      AS h
+        |  FROM c)
+        |SELECT source, lang,
+        |  ${DpNoisyMilli("1")} AS noisy_eps1_milli,
+        |  ${DpNoisyMilli("0.25")} AS noisy_eps025_milli
+        |FROM hh ORDER BY source, lang""".stripMargin,
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same

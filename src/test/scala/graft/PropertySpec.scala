@@ -697,6 +697,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DP Laplace noise: sign balance, mean |X| = 1/eps, exact eps power-of-two scaling") {
+    // 4096 hash-seeded uniforms through the q356 mechanism at c = 0
+    // (pure noise): the empirical draw must look Laplace(1/eps), and
+    // eps = 1/4 must scale eps = 1's core by EXACTLY 4 (division by
+    // 0.25 is a power-of-two rescale — bit-exact in IEEE)
+    val rows = spark.range(4096)
+      .select(expr("conv(substring(md5(CAST(id AS STRING)), 1, 13), 16, 10)")
+        .cast("long").as("h"), lit(0L).as("c"))
+      .select(
+        expr(graft.queries.TextCurationQueries.DpNoisyMilli("1")).as("n1"),
+        expr(graft.queries.TextCurationQueries.DpNoisyMilli("0.25")).as("n4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toDouble
+    val posFrac = rows.count(_._1 >= 0) / n
+    assert(posFrac > 0.45 && posFrac < 0.55, s"sign balance $posFrac")
+    val meanAbs1 = rows.map(r => math.abs(r._1) / 1000.0).sum / n
+    assert(meanAbs1 > 0.9 && meanAbs1 < 1.1,
+      s"mean |X| at eps=1: $meanAbs1, want ~1")
+    val meanAbs4 = rows.map(r => math.abs(r._2) / 1000.0).sum / n
+    assert(meanAbs4 > 3.6 && meanAbs4 < 4.4,
+      s"mean |X| at eps=1/4: $meanAbs4, want ~4")
+    rows.foreach { case (a, b) =>
+      assert(math.abs(b - 4L * a) <= 4L,
+        s"eps scaling broke: eps1=$a eps025=$b (want 4x up to floor)")
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
