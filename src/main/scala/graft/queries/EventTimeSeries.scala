@@ -207,6 +207,48 @@ object EventTimeSeriesQueries {
         .orderBy("user_id")
     }),
 
+    // Wald's SPRT (1945) — SEQUENTIAL hypothesis stopping, the
+    // always-valid A/B monitor that q156/q164/q256's fixed-horizon
+    // tests are not allowed to peek at: per cohort (user_id mod 4),
+    // walk the log-likelihood ratio of success (value > 5) under
+    // H1 p=0.95 vs H0 p=0.85 in event-time order and stop at the
+    // FIRST crossing of ln(19) / -ln(19) (alpha = beta = 0.05). The
+    // LLR after (s, f) outcomes lives on the integer (s, f) lattice,
+    // so the walk is two window cumsums + one shared-text gate — no
+    // sequential kernel needed (contrast q158's clamp, which feeds
+    // back); the first crossing is a min-struct per cohort, and
+    // undecided cohorts report their full-horizon totals with
+    // decision 0. Windows run per cohort — inherent to sequential
+    // semantics; at scale the partition key is the experiment id.
+    "q357_sprt_stopping" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(col("user_id"), lit(4L)).as("cohort"),
+        col("ts"), col("event_id"),
+        when(col("value") > 5, 1L).otherwise(0L).as("succ"))
+      val wc = Window.partitionBy("cohort").orderBy(col("ts"), col("event_id"))
+      val walked = graft.ops.Staging.stage(ev
+        .withColumn("s", sum("succ").over(
+          wc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wc).cast("long"))
+        .withColumn("f", col("rn") - col("s"))
+        .withColumn("dec", expr(SprtDecision)))
+      val first = walked.filter(col("dec") =!= 0)
+        .groupBy("cohort")
+        .agg(min(struct(col("rn"), col("dec"), col("s"), col("f")))
+          .as("st"))
+      walked.groupBy("cohort")
+        .agg(max("rn").as("trn"), max("s").as("tsc"))
+        .join(first, Seq("cohort"), "left")
+        .select(col("cohort"),
+          coalesce(col("st.dec"), lit(0L)).as("decision"),
+          coalesce(col("st.rn"), col("trn")).as("n_seen"),
+          coalesce(col("st.s"), col("tsc")).as("n_succ"),
+          (coalesce(col("st.rn"), col("trn")) -
+            coalesce(col("st.s"), col("tsc"))).as("n_fail"))
+        .withColumn("llr_nano", expr(SprtLlrNano))
+        .orderBy("cohort")
+    }),
+
     // Clamped running balance (Kernels.clampedRunningSum): the
     // per-key sequential recurrence bal = max(0, bal + v) that NO
     // window frame expresses (the clamp feeds back) — distributed via
@@ -880,6 +922,12 @@ object EventTimeSeriesQueries {
       "(CAST(a + b AS DOUBLE) * CAST(a + b AS DOUBLE) * " +
       "CAST(a + b - 1 AS DOUBLE))), 6) ELSE CAST(NULL AS DOUBLE) END"
 
+  // q357's Wald LLR shared texts live with the operator
+  // (graft.ext.Sprt — cycle-free, so specs init it directly); the
+  // oracle interpolates the SAME strings.
+  private val SprtDecision = graft.ext.Sprt.Decision
+  private val SprtLlrNano = graft.ext.Sprt.LlrNano
+
   /** q341's continuity-corrected Mann-Kendall z over the exact
     * integers (s_stat, n, tie_term) — SHARED text; the S = 0 branch
     * is exact, Var(S) = (n(n-1)(2n+5) - tie_term)/18. */
@@ -893,6 +941,44 @@ object EventTimeSeriesQueries {
       "ELSE CAST(0.0 AS DOUBLE) END"
 
   val oracles: Map[String, String] = Map(
+    // SPRT replay: same cumsum lattice walk, the same shared LLR gate
+    // and boundaries, first crossing via row_number, full-horizon
+    // fallback for undecided cohorts.
+    "q357_sprt_stopping" ->
+      s"""WITH ev AS (
+        |  SELECT user_id % 4 AS cohort, ts, event_id,
+        |    CASE WHEN value > 5 THEN 1 ELSE 0 END AS succ
+        |  FROM events),
+        |wk AS (
+        |  SELECT cohort,
+        |    CAST(sum(succ) OVER (PARTITION BY cohort ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s,
+        |    CAST(row_number() OVER (PARTITION BY cohort
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM ev),
+        |wk2 AS (SELECT cohort, s, rn, rn - s AS f FROM wk),
+        |dec AS (SELECT *, $SprtDecision AS dec FROM wk2),
+        |fst AS (
+        |  SELECT cohort, rn, dec, s, f FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cohort ORDER BY rn)
+        |      AS k
+        |    FROM dec WHERE dec <> 0) WHERE k = 1),
+        |tot AS (
+        |  SELECT cohort, CAST(max(rn) AS BIGINT) AS trn,
+        |    CAST(max(s) AS BIGINT) AS tsc
+        |  FROM wk2 GROUP BY cohort),
+        |o AS (
+        |  SELECT t.cohort,
+        |    CAST(coalesce(fst.dec, 0) AS BIGINT) AS decision,
+        |    coalesce(fst.rn, t.trn) AS n_seen,
+        |    coalesce(fst.s, t.tsc) AS n_succ,
+        |    coalesce(fst.rn, t.trn) - coalesce(fst.s, t.tsc) AS n_fail
+        |  FROM tot t LEFT JOIN fst ON t.cohort = fst.cohort)
+        |SELECT cohort, decision, n_seen, n_succ, n_fail,
+        |  $SprtLlrNano AS llr_nano
+        |FROM o ORDER BY cohort""".stripMargin,
+
     // Hodges-Lehmann replay: same Walsh-average frame, quantile_cont
     // bit-matching Spark's percentile.
     "q339_hodges_lehmann" ->

@@ -724,6 +724,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SPRT window walk: first crossing ≡ the sequential scan definition (property)") {
+    // the q357 formulation replaces the sequential test's scan with
+    // cumsum windows + the lattice gate; pin its (decision, n_seen)
+    // against a literal one-at-a-time walk using the same IEEE ops
+    val streamGen: Gen[List[Int]] =
+      Gen.listOfN(300, Gen.frequency(9 -> Gen.const(1), 1 -> Gen.const(0)))
+    for ((bits, i) <- samples(streamGen, 3).zipWithIndex) {
+      val df = bits.zipWithIndex
+        .map { case (b, t) => (0L, t.toLong, b.toLong) }
+        .toDF("cohort", "t", "succ")
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("t")
+      val walked = df
+        .withColumn("s", sum("succ").over(
+          wc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(wc).cast("long"))
+        .withColumn("f", col("rn") - col("s"))
+        .withColumn("dec", expr(graft.ext.Sprt.Decision))
+        .filter(col("dec") =!= 0)
+        .orderBy("rn").limit(1)
+        .collect().headOption.map(r => (r.getLong(6), r.getLong(4)))
+      // sequential definition: stop at the FIRST prefix whose LLR
+      // crosses — same formula, evaluated fresh per prefix
+      val l1 = math.log(0.95 / 0.85); val l0 = math.log(0.05 / 0.15)
+      val bound = math.log(19.0)
+      var (s, f) = (0L, 0L)
+      var want: Option[(Long, Long)] = None
+      for ((b, t) <- bits.zipWithIndex if want.isEmpty) {
+        if (b == 1) s += 1 else f += 1
+        val llr = s.toDouble * l1 + f.toDouble * l0
+        if (llr >= bound) want = Some((1L, t + 1L))
+        else if (llr <= -bound) want = Some((-1L, t + 1L))
+      }
+      assert(walked == want, s"sample $i: window walk $walked vs scan $want")
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
