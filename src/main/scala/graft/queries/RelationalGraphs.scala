@@ -582,7 +582,117 @@ object RelationalGraphsQueries {
           s"round($ModularityText, 6) AS modularity")
         .orderBy("n_edges")
     }),
+
+    // FELLEGI-SUNTER match weights (Fellegi & Sunter JASA 1969) — the
+    // probabilistic record-linkage layer the ER suite's deterministic
+    // pipelines (q197/q312) sit under: per comparison field k,
+    // m_k = P(agree | match) and u_k = P(agree | non-match) estimated
+    // over the BLOCKED candidate pairs (q312's first-word blocking —
+    // never all-pairs) with the exact-name truth the suite already
+    // uses, add-one smoothed so a never-agreeing field cannot blow
+    // ln to infinity; agreement/disagreement weights ln(m/u) and
+    // ln((1-m)/(1-u)) in floored nano-nats (shared text over exact
+    // integer counts). One pair join + ONE aggregate; the per-field
+    // rows explode from that single row, so weight estimation costs
+    // one exchange regardless of field count.
+    "q358_fs_weights" -> ((s, d) => {
+      val agg = fsPairs(s, d).agg(fsAggCols.head, fsAggCols.tail: _*)
+      val fields = Seq("noun", "len", "size").map(f =>
+        struct(lit(f).as("field"), col(s"ma_$f").as("ma"),
+          col(s"ua_$f").as("ua")))
+      agg.select(col("mt"), col("ut"),
+          explode(array(fields: _*)).as("kv"))
+        .select(col("kv.field").as("field"), col("mt"), col("ut"),
+          col("kv.ma").as("ma"), col("kv.ua").as("ua"))
+        .select(col("field"), col("mt"), col("ut"), col("ma"), col("ua"),
+          expr("((ma + 1) * 1000000) div (mt + 2)").as("m_ppm"),
+          expr("((ua + 1) * 1000000) div (ut + 2)").as("u_ppm"),
+          expr(FsAgreeNano).as("w_agree_nano"),
+          expr(FsDisagreeNano).as("w_disagree_nano"))
+        .orderBy("field")
+    }),
+
+    // FS SCORE separation census — the classification the q358
+    // weights exist for: every blocked candidate pair scores
+    // sum_k (agree_k ? w_k+ : w_k-) on the integer nano lattice (the
+    // 1-row weight frame broadcasts; the sum is 3 integer terms,
+    // map-side), and the census per truth status shows the
+    // separation: true-match pairs should mass above 0, non-matches
+    // below — the acceptance/review/reject thresholding of the 1969
+    // decision rule read straight off exact integers.
+    "q359_fs_classify" -> ((s, d) => {
+      val weights = fsPairs(s, d).agg(fsAggCols.head, fsAggCols.tail: _*)
+        .select(Seq("noun", "len", "size").flatMap(f => Seq(
+          expr(FsAgreeNano
+            .replace("ma", s"ma_$f").replace("ua", s"ua_$f"))
+            .as(s"wa_$f"),
+          expr(FsDisagreeNano
+            .replace("ma", s"ma_$f").replace("ua", s"ua_$f"))
+            .as(s"wd_$f"))): _*)
+      val scoreExpr = Seq("noun", "len", "size").map(f =>
+        s"(CASE WHEN ag_$f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
+      fsPairs(s, d).crossJoin(broadcast(weights))
+        .select(col("is_match"), expr(scoreExpr).as("score"))
+        .groupBy("is_match")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_positive"),
+             min("score").as("min_score_nano"),
+             max("score").as("max_score_nano"),
+             sum("score").as("sum_score_nano"))
+        .orderBy("is_match")
+    }),
   )
+
+  /** q358/q359's blocked candidate pairs over part (q312's first-word
+    * blocking), with the exact-name truth flag and per-field
+    * agreement flags. The fields model the real record-linkage
+    * spectrum: `noun` (the name's second word) and `len` (name
+    * length) correlate with identity without being individually
+    * unique — the surname/zip-code class — while `size` is
+    * identity-independent, so its FS weight must come out ~0 (the
+    * field an analyst learns to drop). */
+  private def fsPairs(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      substring_index(col("p_name"), " ", 1).as("blk"),
+      substring_index(col("p_name"), " ", -1).as("noun"),
+      length(col("p_name")).as("nlen"), col("p_size"))
+    val b = parts.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("blk"), col("noun").as("w2"), col("nlen").as("l2"),
+      col("p_size").as("s2"))
+    parts.join(b, Seq("blk"))
+      .filter(col("p_partkey") < col("k2"))
+      .select((col("p_name") === col("n2")).as("is_match"),
+        (col("noun") === col("w2")).as("ag_noun"),
+        (col("nlen") === col("l2")).as("ag_len"),
+        (col("p_size") === col("s2")).as("ag_size"))
+  }
+
+  /** The single m/u counting aggregate both FS queries share. */
+  private def fsAggCols: Seq[Column] = {
+    val mt = sum(when(col("is_match"), 1L).otherwise(0L)).as("mt")
+    val ut = sum(when(!col("is_match"), 1L).otherwise(0L)).as("ut")
+    val per = Seq("noun", "len", "size").flatMap(f => Seq(
+      sum(when(col("is_match") && col(s"ag_$f"), 1L).otherwise(0L))
+        .as(s"ma_$f"),
+      sum(when(!col("is_match") && col(s"ag_$f"), 1L).otherwise(0L))
+        .as(s"ua_$f")))
+    mt +: ut +: per
+  }
+
+  /** q358's add-one-smoothed FS weights in floored nano-nats — ONE
+    * string each (both engines), over exact integer counts:
+    * w+ = ln( ((ma+1)/(mt+2)) / ((ua+1)/(ut+2)) ),
+    * w- = ln( ((mt-ma+1)/(mt+2)) / ((ut-ua+1)/(ut+2)) ). */
+  private val FsAgreeNano =
+    "CAST(floor(1000000000.0 * ln(((CAST(ma AS DOUBLE) + " +
+      "CAST(1 AS DOUBLE)) / (CAST(mt AS DOUBLE) + CAST(2 AS DOUBLE))) / " +
+      "((CAST(ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) + " +
+      "CAST(2 AS DOUBLE))))) AS BIGINT)"
+  private val FsDisagreeNano =
+    "CAST(floor(1000000000.0 * ln(((CAST(mt - ma AS DOUBLE) + " +
+      "CAST(1 AS DOUBLE)) / (CAST(mt AS DOUBLE) + CAST(2 AS DOUBLE))) / " +
+      "((CAST(ut - ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) " +
+      "+ CAST(2 AS DOUBLE))))) AS BIGINT)"
 
   /** q344's per-distinct-degree ln contribution in floored nano —
     * SHARED text (n_d * ln(d), every operand DOUBLE-cast, floored
@@ -600,7 +710,86 @@ object RelationalGraphsQueries {
       "CAST(ln_sum_nano AS DOUBLE))) AS BIGINT) " +
       "ELSE CAST(NULL AS BIGINT) END"
 
+  /** Shared oracle prefix for q358/q359: the blocked pair frame and
+    * the single m/u counting aggregate, replayed field for field. */
+  private val fsPairsCtes =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+      |    string_split(p_name, ' ')[-1] AS noun,
+      |    CAST(length(p_name) AS BIGINT) AS nlen, p_size
+      |  FROM part),
+      |pr AS (
+      |  SELECT (a.p_name = b.p_name) AS is_match,
+      |    (a.noun = b.noun) AS ag_noun,
+      |    (a.nlen = b.nlen) AS ag_len,
+      |    (a.p_size = b.p_size) AS ag_size
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+      |agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS mt,
+      |    CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ut,
+      |    CAST(sum(CASE WHEN is_match AND ag_noun THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_noun,
+      |    CAST(sum(CASE WHEN NOT is_match AND ag_noun THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_noun,
+      |    CAST(sum(CASE WHEN is_match AND ag_len THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_len,
+      |    CAST(sum(CASE WHEN NOT is_match AND ag_len THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_len,
+      |    CAST(sum(CASE WHEN is_match AND ag_size THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_size,
+      |    CAST(sum(CASE WHEN NOT is_match AND ag_size THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_size
+      |  FROM pr)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // FS-weight replay: same blocked pairs, same single aggregate,
+    // per-field rows renamed back to the generic (ma, ua) columns so
+    // the SAME shared weight texts apply verbatim.
+    "q358_fs_weights" -> (fsPairsCtes +
+      s""",
+        |f AS (
+        |  SELECT 'len' AS field, mt, ut, ma_len AS ma, ua_len AS ua
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT 'noun', mt, ut, ma_noun, ua_noun FROM agg
+        |  UNION ALL
+        |  SELECT 'size', mt, ut, ma_size, ua_size FROM agg)
+        |SELECT field, mt, ut, ma, ua,
+        |  ((ma + 1) * 1000000) // (mt + 2) AS m_ppm,
+        |  ((ua + 1) * 1000000) // (ut + 2) AS u_ppm,
+        |  $FsAgreeNano AS w_agree_nano,
+        |  $FsDisagreeNano AS w_disagree_nano
+        |FROM f ORDER BY field""".stripMargin),
+
+    // FS-classify replay: the weight row from the same texts (field
+    // names substituted by the same Scala replace), the 3-term
+    // integer score, and the per-truth census.
+    "q359_fs_classify" -> (fsPairsCtes + {
+      val wCols = Seq("noun", "len", "size").flatMap(f => Seq(
+        s"    ${FsAgreeNano.replace("ma", s"ma_$f").replace("ua", s"ua_$f")}" +
+          s" AS wa_$f",
+        s"    ${FsDisagreeNano.replace("ma", s"ma_$f").replace("ua", s"ua_$f")}" +
+          s" AS wd_$f")).mkString(",\n")
+      val scoreExpr = Seq("noun", "len", "size").map(f =>
+        s"(CASE WHEN ag_$f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
+      s""",
+        |w AS (
+        |  SELECT
+        |$wCols
+        |  FROM agg),
+        |sc AS (
+        |  SELECT pr.is_match, $scoreExpr AS score
+        |  FROM pr CROSS JOIN w)
+        |SELECT is_match, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_positive,
+        |  CAST(min(score) AS BIGINT) AS min_score_nano,
+        |  CAST(max(score) AS BIGINT) AS max_score_nano,
+        |  CAST(sum(score) AS BIGINT) AS sum_score_nano
+        |FROM sc GROUP BY is_match ORDER BY is_match""".stripMargin
+    }),
     // Rich-club replay: same distinct bipartite edges, degree
     // census, two IN-subqueries per cutoff, floor-ppm phi.
     "q343_rich_club" ->
