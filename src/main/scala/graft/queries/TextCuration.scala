@@ -1184,6 +1184,40 @@ object TextCurationQueries {
           expr(DpNoisyMilli("1")).as("noisy_eps1_milli"),
           expr(DpNoisyMilli("0.25")).as("noisy_eps025_milli"))
         .orderBy("source", "lang")),
+
+    // EMPIRICAL-BAYES shrinkage of per-group quality rates
+    // (ext.EmpiricalBayes — the Robbins/Efron-Morris construction):
+    // the (source, lang) keep rate under the ntok >= 35 gate, pulled
+    // toward the population mean with force inversely proportional
+    // to group size — the fix for the tiny-domain 100%-keep-rate
+    // mirage every curation dashboard hits. Beta prior fit by method
+    // of moments ON THE RATE POPULATION: each group's rate floors to
+    // integer nanos BEFORE the cross-group sums (the cross-cell
+    // rule), so m1/m2/prior-strength derive from exact integer
+    // aggregates and both engines run the identical shared texts.
+    // Two exchanges (group agg, 1-row moment frame broadcast back);
+    // PropertySpec pins the shrinkage contracts (between raw and the
+    // population mean; equal raw rates — smaller n shrinks harder).
+    "q360_eb_shrunk_rates" -> ((s, d) => {
+      val groups = graft.ops.Staging.stage(Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("CAST(CASE WHEN size(filter(split(text, ' '), " +
+            "x -> length(x) > 0)) >= 35 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("kept"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("kept").as("k"))
+        .withColumn("r", expr(graft.ext.EmpiricalBayes.RateNano))
+        .withColumn("r2", expr(graft.ext.EmpiricalBayes.Rate2Nano)))
+      val mom = groups.agg(sum("r").as("sr"), sum("r2").as("sr2"),
+        count(lit(1)).as("g"))
+      groups.crossJoin(broadcast(mom))
+        .select(col("source"), col("lang"), col("n"), col("k"),
+          expr("CAST(floor(1000000.0 * CAST(k AS DOUBLE) / " +
+            "CAST(n AS DOUBLE)) AS BIGINT)").as("raw_ppm"),
+          expr(graft.ext.EmpiricalBayes.AbMilli).as("prior_ab_milli"),
+          expr(graft.ext.EmpiricalBayes.ShrunkPpm).as("shrunk_ppm"))
+        .orderBy("source", "lang")
+    }),
   )
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
@@ -2342,6 +2376,30 @@ object TextCurationQueries {
         |  ${DpNoisyMilli("1")} AS noisy_eps1_milli,
         |  ${DpNoisyMilli("0.25")} AS noisy_eps025_milli
         |FROM hh ORDER BY source, lang""".stripMargin,
+
+    // EB replay: same gate, same nano-floored rate moments, same
+    // shared shrinkage texts over the exact integer aggregates.
+    "q360_eb_shrunk_rates" ->
+      s"""WITH gr AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 0)) >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1, 2),
+        |gr2 AS (
+        |  SELECT *, ${graft.ext.EmpiricalBayes.RateNano} AS r FROM gr),
+        |gr3 AS (
+        |  SELECT *, ${graft.ext.EmpiricalBayes.Rate2Nano} AS r2 FROM gr2),
+        |mom AS (
+        |  SELECT CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(sum(r2) AS BIGINT) AS sr2,
+        |    CAST(count(*) AS BIGINT) AS g
+        |  FROM gr3)
+        |SELECT source, lang, n, k,
+        |  CAST(floor(1000000.0 * CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS raw_ppm,
+        |  ${graft.ext.EmpiricalBayes.AbMilli} AS prior_ab_milli,
+        |  ${graft.ext.EmpiricalBayes.ShrunkPpm} AS shrunk_ppm
+        |FROM gr3 CROSS JOIN mom ORDER BY source, lang""".stripMargin,
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same

@@ -762,6 +762,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("EB shrinkage contracts: between raw and population mean; smaller n shrinks harder (property)") {
+    val groupsGen: Gen[List[(Long, Long)]] = Gen.listOfN(24, for {
+      n <- Gen.choose(1L, 200L)
+      k <- Gen.choose(0L, n)
+    } yield (n, k))
+    for ((gs0, i) <- samples(groupsGen, 3).zipWithIndex) {
+      // plant an equal-rate pair at different n for the monotonicity leg
+      val gs = (40L, 30L) :: (400L, 300L) :: gs0
+      val df = gs.toDF("n", "k")
+        .withColumn("r", expr(graft.ext.EmpiricalBayes.RateNano))
+        .withColumn("r2", expr(graft.ext.EmpiricalBayes.Rate2Nano))
+      val mom = df.agg(sum("r").as("sr"), sum("r2").as("sr2"),
+        count(lit(1)).as("g"))
+      val out = df.crossJoin(broadcast(mom))
+        .select(col("n"), col("k"),
+          expr(graft.ext.EmpiricalBayes.AbMilli).as("ab"),
+          expr(graft.ext.EmpiricalBayes.ShrunkPpm).as("sp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      val m1 = gs.map { case (n, k) =>
+        math.floor(1e9 * k.toDouble / n).toLong }.sum.toDouble /
+        gs.size / 1e9
+      out.foreach { case (n, k, ab, sp) =>
+        val raw = 1e6 * k.toDouble / n
+        if (ab.isDefined) {
+          val lo = math.min(raw, 1e6 * m1) - 1
+          val hi = math.max(raw, 1e6 * m1) + 1
+          assert(sp >= lo && sp <= hi,
+            s"sample $i ($n,$k): shrunk $sp outside [$lo, $hi]")
+        } else assert(math.abs(sp - math.floor(raw).toLong) <= 0,
+          s"sample $i: no-prior fallback must be the raw rate")
+      }
+      val small = out.find(o => o._1 == 40L && o._2 == 30L).get._4
+      val big = out.find(o => o._1 == 400L && o._2 == 300L).get._4
+      if (out.head._3.isDefined) {
+        val target = 1e6 * m1
+        assert(math.abs(small - target) <= math.abs(big - target) + 1,
+          s"sample $i: n=40 ($small) must sit closer to the mean " +
+            s"(${target.toLong}) than n=400 ($big)")
+      }
+    }
+  }
+
   test("Kneser-Ney term: p(.|w1) sums to exactly 1 over the full vocab (property)") {
     // the smoother's defining invariant: the discounted mass D*N1+(w1.)
     // exactly funds the continuation distribution, so summing the
