@@ -596,7 +596,7 @@ object RelationalGraphsQueries {
     // rows explode from that single row, so weight estimation costs
     // one exchange regardless of field count.
     "q358_fs_weights" -> ((s, d) => {
-      val agg = fsPairs(s, d).agg(fsAggCols.head, fsAggCols.tail: _*)
+      val agg = fsCombos(s, d).agg(fsAggCols.head, fsAggCols.tail: _*)
       val fields = Seq("noun", "len", "size").map(f =>
         struct(lit(f).as("field"), col(s"ma_$f").as("ma"),
           col(s"ua_$f").as("ua")))
@@ -621,7 +621,15 @@ object RelationalGraphsQueries {
     // below — the acceptance/review/reject thresholding of the 1969
     // decision rule read straight off exact integers.
     "q359_fs_classify" -> ((s, d) => {
-      val weights = fsPairs(s, d).agg(fsAggCols.head, fsAggCols.tail: _*)
+      // the 16-row contingency frame carries EVERYTHING both stages
+      // need: weights aggregate it, and the census scores each combo
+      // once and weights by its count — so the ~25M-row pair join is
+      // scanned exactly once and never persisted (the r18 bench
+      // caught both the recompute-twice form at 10 s and the
+      // persist-the-pairs form at 16 s; this shape reads 5 s, the
+      // single pass's inherent cost)
+      val combos = fsCombos(s, d)
+      val weights = combos.agg(fsAggCols.head, fsAggCols.tail: _*)
         .select(Seq("noun", "len", "size").flatMap(f => Seq(
           expr(FsAgreeNano
             .replace("ma", s"ma_$f").replace("ua", s"ua_$f"))
@@ -631,14 +639,15 @@ object RelationalGraphsQueries {
             .as(s"wd_$f"))): _*)
       val scoreExpr = Seq("noun", "len", "size").map(f =>
         s"(CASE WHEN ag_$f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
-      fsPairs(s, d).crossJoin(broadcast(weights))
-        .select(col("is_match"), expr(scoreExpr).as("score"))
+      combos.crossJoin(broadcast(weights))
+        .select(col("is_match"), col("cnt"), expr(scoreExpr).as("score"))
         .groupBy("is_match")
-        .agg(count(lit(1)).as("n_pairs"),
-             sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_positive"),
+        .agg(sum("cnt").as("n_pairs"),
+             sum(when(col("score") > 0, col("cnt")).otherwise(0L))
+               .as("n_positive"),
              min("score").as("min_score_nano"),
              max("score").as("max_score_nano"),
-             sum("score").as("sum_score_nano"))
+             sum(col("score") * col("cnt")).as("sum_score_nano"))
         .orderBy("is_match")
     }),
   )
@@ -667,14 +676,24 @@ object RelationalGraphsQueries {
         (col("p_size") === col("s2")).as("ag_size"))
   }
 
-  /** The single m/u counting aggregate both FS queries share. */
+  /** The pair frame collapsed to its 16-row contingency table —
+    * is_match x the 3 agreement bits, with the pair count per combo.
+    * ONE pass over the blocked pairs; everything downstream of this
+    * frame is combo-sized regardless of corpus scale. */
+  private def fsCombos(s: SparkSession, d: String): DataFrame =
+    fsPairs(s, d)
+      .groupBy("is_match", "ag_noun", "ag_len", "ag_size")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The m/u counting aggregate both FS queries share, over the
+    * combo frame (cnt-weighted). */
   private def fsAggCols: Seq[Column] = {
-    val mt = sum(when(col("is_match"), 1L).otherwise(0L)).as("mt")
-    val ut = sum(when(!col("is_match"), 1L).otherwise(0L)).as("ut")
+    val mt = sum(when(col("is_match"), col("cnt")).otherwise(0L)).as("mt")
+    val ut = sum(when(!col("is_match"), col("cnt")).otherwise(0L)).as("ut")
     val per = Seq("noun", "len", "size").flatMap(f => Seq(
-      sum(when(col("is_match") && col(s"ag_$f"), 1L).otherwise(0L))
+      sum(when(col("is_match") && col(s"ag_$f"), col("cnt")).otherwise(0L))
         .as(s"ma_$f"),
-      sum(when(!col("is_match") && col(s"ag_$f"), 1L).otherwise(0L))
+      sum(when(!col("is_match") && col(s"ag_$f"), col("cnt")).otherwise(0L))
         .as(s"ua_$f")))
     mt +: ut +: per
   }
