@@ -195,6 +195,52 @@ object RelationalAuditQueries {
         .orderBy("nation")
     }),
 
+    // NEYMAN-optimal sampling allocation (Neyman 1934) — the
+    // survey-sampling rule every stratified eval-set builder should
+    // use instead of proportional draws: a 1000-unit sample budget
+    // split across market segments proportional to N_h * sigma_h, so
+    // volatile strata get the observations that actually shrink the
+    // estimator's variance. N_h*sigma_h = sqrt(n*sumsq - sum^2) from
+    // EXACT integer cent moments (decimal(38,0) squares, the q305
+    // rule), floored to nano as the integer apportionment weight, and
+    // the seats fall out of q176's largest-remainder machinery —
+    // exact integer quotas, deterministic remainder ranks. The
+    // n-proportional share rides along to show the correction the
+    // variance term buys. One join + one group aggregate.
+    "q362_neyman_allocation" -> ((s, d) => {
+      val strata = graft.ops.Staging.stage(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sm"),
+               sum(col("cents").cast("decimal(38,0)") *
+                   col("cents").cast("decimal(38,0)")).as("sq"))
+          .select(col("segment"), col("n"), col("sm"),
+            expr(NeymanW).as("w"),
+            expr(NeymanSigmaMilli).as("sigma_cents_milli")))
+      val tot = strata.agg(sum("w").as("__tot"), sum("n").as("__nt"))
+      val fl = strata.crossJoin(broadcast(tot))
+        .select(col("segment"), col("n"), col("sigma_cents_milli"),
+          expr("(w * 1000000) div __tot").as("neyman_share_ppm"),
+          expr("(n * 1000000) div __nt").as("prop_share_ppm"),
+          expr("(w * 1000) div __tot").as("__fl"),
+          expr("(w * 1000) % __tot").as("__rem"))
+      val used = fl.agg((lit(1000L) - sum("__fl")).as("__leftover"))
+      fl.withColumn("__rk",
+          row_number().over(Window.orderBy(col("__rem").desc,
+                                           col("segment"))))
+        .crossJoin(broadcast(used))
+        .select(col("segment"), col("n").as("n_orders"),
+          col("sigma_cents_milli"), col("neyman_share_ppm"),
+          col("prop_share_ppm"),
+          (col("__fl") + when(col("__rk") <= col("__leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy("segment")
+    }),
+
     // Snapshot reconciliation (Reconcile.snapshotDiff — the table
     // diff every incremental pipeline runs for audit/backfill
     // validation): v1 = orders before 1997; v2 = v1 with every 13th
@@ -504,7 +550,56 @@ object RelationalAuditQueries {
     }),
   )
 
+  /** q362's Neyman weight N_h*sigma_h = sqrt(n*sumsq - sum^2) and the
+    * per-stratum sd, from exact integer cent moments — ONE sqrt core
+    * shared by both texts and both engines. */
+  private val NeymanSdCore =
+    "sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - " +
+      "CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))"
+  // weight kept at CENT resolution (not nano): N_h*sigma_h in cents
+  // is already ~1e11 at sf0.1 and a nano scale would overflow Long;
+  // integer cents give 8+ significant digits for a 1000-seat split
+  private val NeymanW =
+    s"CAST(floor($NeymanSdCore) AS BIGINT)"
+  private val NeymanSigmaMilli =
+    s"CAST(floor(CAST(1000 AS DOUBLE) * $NeymanSdCore / " +
+      "CAST(n AS DOUBLE)) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    // Neyman replay: same integer cent moments (HUGEINT squares
+    // mirroring decimal(38,0)), the shared sqrt core, and q176's
+    // largest-remainder integer apportionment.
+    "q362_neyman_allocation" ->
+      s"""WITH o AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sm,
+        |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sq
+        |  FROM o GROUP BY segment),
+        |w AS (
+        |  SELECT segment, n, sm, $NeymanW AS w,
+        |    $NeymanSigmaMilli AS sigma_cents_milli
+        |  FROM st),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot,
+        |        CAST(sum(n) AS BIGINT) AS nt FROM w),
+        |fl AS (
+        |  SELECT segment, n, sigma_cents_milli,
+        |    (w * 1000000) // tot AS neyman_share_ppm,
+        |    (n * 1000000) // nt AS prop_share_ppm,
+        |    (w * 1000) // tot AS fl, (w * 1000) % tot AS rem
+        |  FROM w CROSS JOIN t),
+        |u AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover FROM fl),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, segment) AS rk
+        |  FROM fl)
+        |SELECT segment, n AS n_orders, sigma_cents_milli,
+        |  neyman_share_ppm, prop_share_ppm,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r CROSS JOIN u ORDER BY segment""".stripMargin,
 
     "q117_profile_orders" -> Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>

@@ -1218,6 +1218,86 @@ object TextCurationQueries {
           expr(graft.ext.EmpiricalBayes.ShrunkPpm).as("shrunk_ppm"))
         .orderBy("source", "lang")
     }),
+
+    // CHAO1 species-richness floor + Good-Turing sample coverage per
+    // source (Chao 1984; Good 1953) — the "how much vocabulary
+    // remains unseen" dial of corpus-collection planning, one step
+    // past q328's unseen-MASS estimate: Chao1 lower-bounds the number
+    // of unseen TYPES from the singleton/doubleton census, and
+    // coverage C = 1 - f1/N says what fraction of future tokens will
+    // be known words. The bias-corrected form
+    // V + f1(f1-1)/(2(f2+1)) is defined even at f2 = 0 and is PURE
+    // INTEGER arithmetic in floor-milli — no float anywhere in the
+    // query (products bounded by f1^2 <= V^2; DECIMAL valve beyond
+    // ~3e9 types). Same two-aggregate shape as q328: a
+    // frequency-of-frequencies census never materializes the corpus.
+    "q361_chao1_richness" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("__c"))
+      wc.groupBy("source")
+        .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_types"),
+             sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+             sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("f1"), col("f2"),
+          expr("1000 * n_types + (1000 * f1 * (f1 - 1)) " +
+            "div (2 * (f2 + 1))").as("chao1_milli"),
+          expr("(1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))")
+            .as("unseen_types_milli"),
+          expr("((n_tokens - f1) * 1000000) div n_tokens")
+            .as("coverage_ppm"))
+        .orderBy("source")
+    }),
+
+    // BURROWS' DELTA stylometric distance between sources (Burrows
+    // 2002) — the authorship/register fingerprint over FUNCTION-word
+    // rates that a provenance audit runs when two "different" crawl
+    // sources are suspected of being the same generator: take the
+    // top-20 corpus words by global count (deterministic (count,
+    // word) tiebreak), per-source rates in floor-ppm (exact
+    // integers), z-score each word ACROSS sources — z = (g*f - sf) /
+    // sqrt(g*sf2 - sf^2), numerator and radicand exact integers, the
+    // zero-variance guard an INTEGER compare — and Delta(a,b) = mean
+    // |z_a - z_b|, each term floored to nano before the integer sum
+    // (the cross-cell rule). Everything after the (source, word)
+    // count shuffle is bounded by sources x 20; the pair frame is
+    // source-pairs sized. Zero-filled grid via a broadcast cross of
+    // totals x top words so absent combos score f = 0, not missing.
+    "q363_burrows_delta" -> ((s, d) => {
+      val sw = graft.ops.Staging.stage(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val totals = sw.groupBy("source").agg(sum("c").as("tot"))
+      val top = sw.groupBy("w").agg(sum("c").as("gc"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("gc").desc, col("w"))))
+        .filter(col("rk") <= 20).select("w")
+      val grid = graft.ops.Staging.stage(
+        totals.crossJoin(broadcast(top))
+          .join(sw, Seq("source", "w"), "left")
+          .select(col("source"), col("w"),
+            expr("(coalesce(c, 0) * 1000000) div tot").as("f")))
+      val st = grid.groupBy("w").agg(sum("f").as("sf"),
+        sum(col("f") * col("f")).as("sf2"), count(lit(1)).as("g"))
+      val z = graft.ops.Staging.stage(
+        grid.join(broadcast(st), "w")
+          .select(col("source"), col("w"), expr(BurrowsZ).as("z")))
+      z.join(z.select(col("source").as("source_b"), col("w"),
+          col("z").as("zb")), Seq("w"))
+        .filter(col("source") < col("source_b"))
+        .select(col("source").as("source_a"), col("source_b"),
+          expr("CAST(floor(1000000000.0 * abs(z - zb)) AS BIGINT)")
+            .as("t"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_words"), sum("t").as("sum_nano"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          col("sum_nano"), expr("sum_nano div n_words").as("delta_nano"))
+        .orderBy("source_a", "source_b")
+    }),
   )
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
@@ -1264,6 +1344,16 @@ object TextCurationQueries {
       s"(CAST(0 AS DOUBLE) - ln(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * " +
       s"abs($u - CAST(0.5 AS DOUBLE)))) / CAST($eps AS DOUBLE))) AS BIGINT)"
   }
+
+  /** q363's per-word cross-source z — numerator and radicand are
+    * EXACT integers (g*f - sf, g*sf2 - sf^2 over floor-ppm rates), so
+    * the zero-variance guard is an integer compare and the only float
+    * ops are the final division and sqrt — ONE string, both
+    * engines. */
+  private[graft] val BurrowsZ =
+    "CASE WHEN g * sf2 - sf * sf = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(g * f - sf AS DOUBLE) / " +
+      "sqrt(CAST(g * sf2 - sf * sf AS DOUBLE)) END"
 
   private[graft] val KnTermNano =
     "CAST(floor(1000000000.0 * ln((greatest(CAST(c12 AS DOUBLE) - 0.75, " +
@@ -2400,6 +2490,65 @@ object TextCurationQueries {
         |  ${graft.ext.EmpiricalBayes.AbMilli} AS prior_ab_milli,
         |  ${graft.ext.EmpiricalBayes.ShrunkPpm} AS shrunk_ppm
         |FROM gr3 CROSS JOIN mom ORDER BY source, lang""".stripMargin,
+
+    // Chao1 replay: q328's frequency-of-frequencies census + the
+    // all-integer bias-corrected estimator.
+    "q361_chao1_richness" ->
+      """WITH wc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |f AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM wc GROUP BY source)
+        |SELECT source, n_tokens, n_types, f1, f2,
+        |  1000 * n_types + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+        |    AS chao1_milli,
+        |  (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1)) AS unseen_types_milli,
+        |  ((n_tokens - f1) * 1000000) // n_tokens AS coverage_ppm
+        |FROM f ORDER BY source""".stripMargin,
+
+    // Burrows replay: same top-20 selection, zero-filled ppm grid,
+    // integer z pieces through the shared text, nano-floored pair
+    // terms.
+    "q363_burrows_delta" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sw AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sw GROUP BY 1),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY sum(c) DESC, w) AS rk
+        |    FROM sw GROUP BY w) WHERE rk <= 20),
+        |grid AS (
+        |  SELECT t.source, top.w,
+        |    (coalesce(sw.c, 0) * 1000000) // t.tot AS f
+        |  FROM totals t CROSS JOIN top
+        |  LEFT JOIN sw ON sw.source = t.source AND sw.w = top.w),
+        |st AS (
+        |  SELECT w, CAST(sum(f) AS BIGINT) AS sf,
+        |    CAST(sum(f * f) AS BIGINT) AS sf2,
+        |    CAST(count(*) AS BIGINT) AS g
+        |  FROM grid GROUP BY w),
+        |z AS (
+        |  SELECT grid.source, grid.w, $BurrowsZ AS z
+        |  FROM grid JOIN st ON grid.w = st.w),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(floor(1000000000.0 * abs(a.z - b.z)) AS BIGINT) AS t
+        |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(t) AS BIGINT) AS sum_nano,
+        |  CAST(sum(t) AS BIGINT) // CAST(count(*) AS BIGINT) AS delta_nano
+        |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     // CDC replay: identical 8-char-window boundary rule (4-hex md5
     // parse, the q156 idiom), chunk spans via lead(), and the same
