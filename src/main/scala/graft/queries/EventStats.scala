@@ -718,6 +718,47 @@ object EventStatsQueries {
             6).as("auc"))
         .orderBy("weekday")
     }),
+
+    // QINI / UPLIFT decile table (Radcliffe 2007) — the targeting-
+    // model audit q300's gains table is NOT: gains rank by response,
+    // uplift ranks by a model score and asks how much INCREMENTAL
+    // response treatment bought at each depth, Q(k) = cumTS -
+    // cumCS * cumTN/cumCN (treated successes minus the control
+    // successes scaled to the treated exposure). Treatment = user
+    // parity, outcome = any purchase, score = a hash-seeded
+    // deterministic stand-in with a trained scorer's exact compute
+    // shape (the q142 convention). Deciles via denseIndex — the
+    // range-sort + zipWithIndex kernel, never a global window (the
+    // q300 rule); the cumulative frame is 10 rows. All counts exact
+    // integers; the one float op is the shared-text Qini division.
+    "q364_qini_uplift" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__y"))
+        .select(col("user_id"), col("__y"),
+          pmod(col("user_id"), lit(2L)).as("__t"),
+          conv(substring(md5(concat(col("user_id").cast("string"),
+            lit("|up18"))), 1, 13), 16, 10).cast("long").as("__score"))
+      val idx = Kernels.denseIndex(users,
+        Seq(col("__score").desc, col("user_id").asc), "__i")
+      val dec = idx.crossJoin(broadcast(idx.agg(count(lit(1)).as("__n"))))
+        .select(expr("(__i * 10) div __n").as("decile"), col("__t"),
+          col("__y"))
+        .groupBy("decile")
+        .agg(sum(when(col("__t") === 1, 1L).otherwise(0L)).as("tn"),
+             sum(when(col("__t") === 0, 1L).otherwise(0L)).as("cn"),
+             sum(when(col("__t") === 1, col("__y")).otherwise(0L)).as("ts"),
+             sum(when(col("__t") === 0, col("__y")).otherwise(0L)).as("cs"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec.select(col("decile"), col("tn"), col("cn"), col("ts"), col("cs"),
+          sum("tn").over(w).as("ctn"), sum("cn").over(w).as("ccn"),
+          sum("ts").over(w).as("cts"), sum("cs").over(w).as("ccs"))
+        .select(col("decile"), col("tn"), col("cn"), col("ts"), col("cs"),
+          expr(QiniMilli).as("qini_milli"))
+        .orderBy("decile")
+    }),
   )
 
   /** q329's per-distinct-value CvM term in floored nano-nats — SHARED
@@ -735,7 +776,59 @@ object EventStatsQueries {
     "CAST(floor(CAST(cvm_sum_nano AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / " +
       "(CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE))) AS BIGINT)"
 
+  /** q364's cumulative Qini in floor-milli over exact integer
+    * cumulative counts — ONE string, both engines; NULL when a depth
+    * has no control exposure. */
+  private val QiniMilli =
+    "CASE WHEN ccn = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+      "CAST(floor(1000.0 * (CAST(cts AS DOUBLE) - CAST(ccs AS DOUBLE) * " +
+      "CAST(ctn AS DOUBLE) / CAST(ccn AS DOUBLE))) AS BIGINT) END"
+
   val oracles: Map[String, String] = Map(
+    // Qini replay: same per-user frame, the q119 strpos md5 parse for
+    // the score, row_number-1 as the dense index, identical decile
+    // arithmetic and cumulative windows, the shared Qini text.
+    "q364_qini_uplift" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 AS t
+        |  FROM events GROUP BY user_id),
+        |sc AS (
+        |  SELECT *,
+        |    CAST(list_sum(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef', substring(
+        |             substring(md5(CAST(user_id AS VARCHAR) || '|up18'), 1, 13),
+        |             CAST(i AS INTEGER), 1)) - 1 AS DOUBLE)
+        |           * power(2.0, CAST(4 * (13 - i) AS DOUBLE)))) AS BIGINT)
+        |      AS score
+        |  FROM u),
+        |idx AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, user_id)
+        |    - 1 AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM sc),
+        |dec AS (
+        |  SELECT (i * 10) // n AS decile,
+        |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS ts,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS cs
+        |  FROM idx GROUP BY 1),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(sum(tn) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ctn,
+        |    CAST(sum(cn) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ccn,
+        |    CAST(sum(ts) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cts,
+        |    CAST(sum(cs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ccs
+        |  FROM dec)
+        |SELECT decile, tn, cn, ts, cs, $QiniMilli AS qini_milli
+        |FROM cum ORDER BY decile""".stripMargin,
     // CvM replay: q204's distinct-value/cumulative construction, the
     // SHARED floored nano term and final scaling.
     "q329_cramer_von_mises" ->
