@@ -183,6 +183,49 @@ class PlanShapeSpec extends AnyFunSuite {
       .mkString("\n"))
   }
 
+  test("q352 dbscan: grid equi-joins only — never all-pairs") {
+    val p = plan("q352_dbscan_grid")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // candidates come from cell-key equi-joins
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q353 pca power: staged Gram, broadcast matvecs, no cartesian") {
+    val p = plan("q353_pca_power")
+    assert(!p.contains("CartesianProduct"))
+    // the Gram is persisted (every matvec reads the cache, not a
+    // recomputed scan) and each iteration's vector side broadcasts;
+    // the only nested-loop joins are the 1-row max-abs crossJoins
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q363 burrows delta: staged counts, equi-join pair frame, no cartesian") {
+    val p = plan("q363_burrows_delta")
+    assert(!p.contains("CartesianProduct"))
+    // the (source, word) counts and the ppm grid are persisted; the
+    // pair frame joins on the word key (equi), never all-pairs
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q364 qini: deciles ride denseIndex, no single-partition window over users") {
+    val p = plan("q364_qini_uplift")
+    assert(!p.contains("CartesianProduct"))
+    // the user frame must NOT pass through a SinglePartition window
+    // (denseIndex = range sort + zipWithIndex); the only global
+    // window is over the 10-row decile frame, which plans AFTER the
+    // decile aggregate
+    val winIdx = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("Window")).map(_._2).toSeq
+    val aggIdx = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2).toSeq
+    assert(winIdx.nonEmpty && aggIdx.nonEmpty &&
+      winIdx.forall(w => aggIdx.exists(_ > w)),
+      "the cumulative window must sit above a decile aggregate, not the user frame")
+  }
+
   test("q247 covisitation: the distinct frame is staged (one InMemory scan per side)") {
     val df = SparkEntry.queries("q247_covisitation")(
       spark, "/root/testdata/sf0.001")
