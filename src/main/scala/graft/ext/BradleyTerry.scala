@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * budget of MM steps on broadcast frames (a DEFINED statistic, the
   * pinned-sweep rule). Every term floors to integer nanos before its
   * sum (the cross-cell rule), so an oracle replays bit for bit.
-  * Zero-win nodes fix at 0 (the BT MLE boundary); a duel pair with
-  * both strengths 0 cannot exist — their own duel gave one of them a
-  * win. Per-step frames are localCheckpoint()ed: each is read twice
+  * Zero-win nodes fix at 0 (the BT MLE boundary); a duel pair where
+  * BOTH strengths floor to 0 is possible once duels-per-win exceeds
+  * ~2e9 (floor(w*1e18/den) zeroes a node that HAS wins), so the
+  * denominator term carries an explicit pa+pb=0 guard — the term
+  * contributes 0 in both engines instead of Spark-NULL vs DuckDB-Inf.
+  * Per-step frames are localCheckpoint()ed: each is read twice
   * by the next step (the p_i and p_j sides), and without the lineage
   * cut t-deep nesting re-embeds the caller's duel plan 2^t times.
   *
@@ -31,8 +34,9 @@ object BradleyTerry {
     * term, strength update, ppm share. 1e18 = the nano*nano/nano
     * rescale; parses as DOUBLE in both engines. */
   val DenomTermNano: String =
-    "CAST(floor(CAST(m AS DOUBLE) * 1e18 / CAST(pa + pb AS DOUBLE)) " +
-      "AS BIGINT)"
+    "CASE WHEN pa + pb = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(floor(CAST(m AS DOUBLE) * 1e18 / CAST(pa + pb AS DOUBLE)) " +
+      "AS BIGINT) END"
   val UpdateNano: String =
     "CAST(floor(CAST(w AS DOUBLE) * 1e18 / CAST(den AS DOUBLE)) AS BIGINT)"
   val SharePpm: String =

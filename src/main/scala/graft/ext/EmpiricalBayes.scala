@@ -15,8 +15,13 @@ package graft.ext
   *
   * Order-free determinism: each group's rate (and squared rate)
   * floors to integer nanos BEFORE the cross-group sums (the
-  * cross-cell rule), so m1/m2 derive from exact integer aggregates
-  * (sr, sr2, g) and the only float ops are in these SHARED texts.
+  * cross-cell rule), so m1/m2 derive from integer aggregates
+  * (sr, sr2, g) summed in a fixed-free order. Note the squared-rate
+  * product r*r is computed in DOUBLE where r can reach 1e9, so the
+  * product (up to 1e18) exceeds 2^53 and rounds — Rate2Nano is
+  * DETERMINISTIC because both engines evaluate the identical shared
+  * text on the identical r, not because the product is an exact
+  * integer; the only float ops are in these SHARED texts.
   * When the rate population is NOT overdispersed (var <= 0 or
   * ab <= 0) there is no beta prior to fit — the guard falls back to
   * the raw rate (and a NULL prior strength). */

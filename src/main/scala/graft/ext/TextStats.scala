@@ -458,8 +458,13 @@ object TextStats {
     * MOSS shape, never all-pairs and never full gram sets.
     * `maxFpDocs` excludes fingerprints selected in more than that
     * many documents (boilerplate hashes are the quadratic hazard, the
-    * PPJoin hot-shingle argument); the tiny surviving-hash set
-    * broadcasts. Returns (id_a, id_b, lcs_est_tokens, best_diag,
+    * PPJoin hot-shingle argument); the DROP set — hashes hotter than
+    * the cap — is the small side (bounded by corpus/maxFpDocs by a
+    * counting argument), so THAT is what broadcasts, removed with a
+    * left_anti join; the corpus-sized keep universe never reaches
+    * the driver (the exactJaccardPairs guard convention,
+    * [[graft.ext.Dedup.exactJaccardPairs]]).
+    * Returns (id_a, id_b, lcs_est_tokens, best_diag,
     * n_shared_fps) for pairs with lcs_est_tokens >= minSpan;
     * best_diag is the smallest diagonal achieving the estimate (a
     * total tie rule). */
@@ -476,10 +481,13 @@ object TextStats {
     val fps =
       if (maxFpDocs == Long.MaxValue) fps0
       else {
-        val keepHash = fps0.groupBy("fp_hash")
+        // hot hashes only: |drop| <= total_fp_rows / maxFpDocs, the
+        // broadcastable side; anti-join keeps everything else without
+        // ever materializing the corpus-sized keep universe
+        val dropHash = fps0.groupBy("fp_hash")
           .agg(countDistinct("__id").as("__nd"))
-          .filter(col("__nd") <= maxFpDocs).select("fp_hash")
-        fps0.join(broadcast(keepHash), "fp_hash")
+          .filter(col("__nd") > maxFpDocs).select("fp_hash")
+        fps0.join(broadcast(dropHash), Seq("fp_hash"), "left_anti")
       }
     fps.select(col("__id").as("id_a"), col("fp_pos").as("pa"), col("fp_hash"))
       .join(fps.select(col("__id").as("id_b"), col("fp_pos").as("pb"),

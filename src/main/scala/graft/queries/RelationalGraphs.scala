@@ -631,12 +631,8 @@ object RelationalGraphsQueries {
       val combos = fsCombos(s, d)
       val weights = combos.agg(fsAggCols.head, fsAggCols.tail: _*)
         .select(Seq("noun", "len", "size").flatMap(f => Seq(
-          expr(FsAgreeNano
-            .replace("ma", s"ma_$f").replace("ua", s"ua_$f"))
-            .as(s"wa_$f"),
-          expr(FsDisagreeNano
-            .replace("ma", s"ma_$f").replace("ua", s"ua_$f"))
-            .as(s"wd_$f"))): _*)
+          expr(fsAgreeNanoText(s"ma_$f", s"ua_$f")).as(s"wa_$f"),
+          expr(fsDisagreeNanoText(s"ma_$f", s"ua_$f")).as(s"wd_$f"))): _*)
       val scoreExpr = Seq("noun", "len", "size").map(f =>
         s"(CASE WHEN ag_$f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
       combos.crossJoin(broadcast(weights))
@@ -698,20 +694,24 @@ object RelationalGraphsQueries {
     mt +: ut +: per
   }
 
-  /** q358's add-one-smoothed FS weights in floored nano-nats — ONE
-    * string each (both engines), over exact integer counts:
+  /** q358/q359's add-one-smoothed FS weights in floored nano-nats —
+    * ONE generator each, parameterized on the m/u column NAMES (never
+    * substring-rewritten after the fact — a token like `max` in a
+    * future edit cannot silently corrupt both engines' shared text):
     * w+ = ln( ((ma+1)/(mt+2)) / ((ua+1)/(ut+2)) ),
     * w- = ln( ((mt-ma+1)/(mt+2)) / ((ut-ua+1)/(ut+2)) ). */
-  private val FsAgreeNano =
-    "CAST(floor(1000000000.0 * ln(((CAST(ma AS DOUBLE) + " +
+  private def fsAgreeNanoText(ma: String, ua: String): String =
+    s"CAST(floor(1000000000.0 * ln(((CAST($ma AS DOUBLE) + " +
       "CAST(1 AS DOUBLE)) / (CAST(mt AS DOUBLE) + CAST(2 AS DOUBLE))) / " +
-      "((CAST(ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) + " +
+      s"((CAST($ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) + " +
       "CAST(2 AS DOUBLE))))) AS BIGINT)"
-  private val FsDisagreeNano =
-    "CAST(floor(1000000000.0 * ln(((CAST(mt - ma AS DOUBLE) + " +
+  private def fsDisagreeNanoText(ma: String, ua: String): String =
+    s"CAST(floor(1000000000.0 * ln(((CAST(mt - $ma AS DOUBLE) + " +
       "CAST(1 AS DOUBLE)) / (CAST(mt AS DOUBLE) + CAST(2 AS DOUBLE))) / " +
-      "((CAST(ut - ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) " +
+      s"((CAST(ut - $ua AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(ut AS DOUBLE) " +
       "+ CAST(2 AS DOUBLE))))) AS BIGINT)"
+  private val FsAgreeNano = fsAgreeNanoText("ma", "ua")
+  private val FsDisagreeNano = fsDisagreeNanoText("ma", "ua")
 
   /** q344's per-distinct-degree ln contribution in floored nano —
     * SHARED text (n_d * ln(d), every operand DOUBLE-cast, floored
@@ -782,15 +782,15 @@ object RelationalGraphsQueries {
         |  $FsDisagreeNano AS w_disagree_nano
         |FROM f ORDER BY field""".stripMargin),
 
-    // FS-classify replay: the weight row from the same texts (field
-    // names substituted by the same Scala replace), the 3-term
-    // integer score, and the per-truth census.
+    // FS-classify replay: the weight row from the same parameterized
+    // generators (field-suffixed column names passed in, never
+    // substring-rewritten), the 3-term integer score, and the
+    // per-truth census.
     "q359_fs_classify" -> (fsPairsCtes + {
       val wCols = Seq("noun", "len", "size").flatMap(f => Seq(
-        s"    ${FsAgreeNano.replace("ma", s"ma_$f").replace("ua", s"ua_$f")}" +
-          s" AS wa_$f",
-        s"    ${FsDisagreeNano.replace("ma", s"ma_$f").replace("ua", s"ua_$f")}" +
-          s" AS wd_$f")).mkString(",\n")
+        s"    ${fsAgreeNanoText(s"ma_$f", s"ua_$f")} AS wa_$f",
+        s"    ${fsDisagreeNanoText(s"ma_$f", s"ua_$f")} AS wd_$f"))
+        .mkString(",\n")
       val scoreExpr = Seq("noun", "len", "size").map(f =>
         s"(CASE WHEN ag_$f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
       s""",

@@ -1272,10 +1272,12 @@ object TextCurationQueries {
           .filter(length(col("w")) > 0)
           .groupBy("source", "w").agg(count(lit(1)).as("c")))
       val totals = sw.groupBy("source").agg(sum("c").as("tot"))
+      // top-20 cut rides TakeOrderedAndProject (the ops/Kernels topK
+      // idiom — per-partition heaps, no single-partition window
+      // exchange over the vocabulary-sized frame); the (gc desc,
+      // w asc) tiebreak matches the oracle's row_number ordering
       val top = sw.groupBy("w").agg(sum("c").as("gc"))
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("gc").desc, col("w"))))
-        .filter(col("rk") <= 20).select("w")
+        .orderBy(col("gc").desc, col("w")).limit(20).select("w")
       val grid = graft.ops.Staging.stage(
         totals.crossJoin(broadcast(top))
           .join(sw, Seq("source", "w"), "left")
