@@ -419,6 +419,20 @@ object TextDedupQueries {
           "doc_id", "text", k = 4, w = 4, minSpan = 8)
         .orderBy("id_a", "id_b")),
 
+    // q347 with the maxFpDocs occupancy cut ENGAGED (cap 2): hashes
+    // winnowed in more than 2 documents — the boilerplate quadratic
+    // hazard — never reach the pair join. The cut's scale shape is
+    // the r18-verdict fix under test: the SMALL hot-hash drop set
+    // broadcasts and left_anti-joins (|drop| <= fp_rows/cap by
+    // counting), while the corpus-sized keep universe stays
+    // distributed. At sf0.01 the cap drops ~32 hot hashes; the
+    // surviving pairs hash-match the oracle's ANTI JOIN replay.
+    "q365_approx_lcs_capped" -> ((s, d) =>
+      graft.ext.TextStats.approxLcsPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 4, w = 4, minSpan = 8, maxFpDocs = 2L)
+        .orderBy("id_a", "id_b")),
+
     // URL canonicalization + registrable-domain dedup census
     // (ext.Urls — r17 verdict item 8, the first operator of every
     // web-crawl pipeline). The corpus carries no URL column, so the
@@ -1186,55 +1200,14 @@ object TextDedupQueries {
     // Approx-LCS replay: q325's winnowing selection (with positions),
     // the hash pair join, and the diagonal-span integer arithmetic —
     // max span per (pair, pos-offset), min diagonal among the widest.
-    "q347_approx_lcs_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |    len(string_split(text, ' ')) AS n
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, tk,
-        |    unnest(range(1, greatest(n - 3, 0) + 1)) AS pos
-        |  FROM t),
-        |keyed AS (
-        |  SELECT doc_id, pos,
-        |    md5(array_to_string(tk[pos : pos + 3], ' ')) ||
-        |      lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key
-        |  FROM g),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    100000000 - CAST(substr(mk, 33, 9) AS BIGINT) AS fp_pos,
-        |    substr(mk, 1, 32) AS fp_hash
-        |  FROM (
-        |    SELECT doc_id, pos,
-        |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
-        |    FROM keyed)
-        |  WHERE pos >= 4),
-        |pr AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.fp_pos - b.fp_pos AS diag, a.fp_pos AS pa
-        |  FROM sel a JOIN sel b
-        |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id),
-        |dg AS (
-        |  SELECT id_a, id_b, diag,
-        |    max(pa) - min(pa) + 4 AS span,
-        |    CAST(count(*) AS BIGINT) AS nf
-        |  FROM pr GROUP BY 1, 2, 3),
-        |mx AS (
-        |  SELECT id_a, id_b,
-        |    CAST(max(span) AS BIGINT) AS lcs_est_tokens,
-        |    CAST(sum(nf) AS BIGINT) AS n_shared_fps
-        |  FROM dg GROUP BY 1, 2),
-        |bd AS (
-        |  SELECT dg.id_a, dg.id_b, CAST(min(dg.diag) AS BIGINT) AS best_diag
-        |  FROM dg JOIN mx ON dg.id_a = mx.id_a AND dg.id_b = mx.id_b
-        |    AND dg.span = mx.lcs_est_tokens
-        |  GROUP BY 1, 2)
-        |SELECT mx.id_a, mx.id_b, mx.lcs_est_tokens, bd.best_diag,
-        |  mx.n_shared_fps
-        |FROM mx JOIN bd ON mx.id_a = bd.id_a AND mx.id_b = bd.id_b
-        |WHERE mx.lcs_est_tokens >= 8
-        |ORDER BY mx.id_a, mx.id_b""".stripMargin,
+    "q347_approx_lcs_pairs" -> approxLcsOracleSql(None),
+
+    // q347's replay with the hot-fingerprint occupancy cut ENGAGED
+    // (maxFpDocs = 2): the same generator inserts the hot/kept CTEs,
+    // so the two replays cannot drift. The r18-verdict fix this query
+    // exercises: the cut anti-joins the SMALL drop set (hashes in
+    // > 2 docs), never broadcasting the corpus-sized keep universe.
+    "q365_approx_lcs_capped" -> approxLcsOracleSql(Some(2L)),
 
     // URL census replay: the identical synthesized crawl log
     // (CrawlUrlSql), the UrlCanonicalize step contract in SQL
@@ -1664,4 +1637,71 @@ object TextDedupQueries {
         |  CAST(sum(rh) AS BIGINT) AS additive_ok
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
   )
+
+  /** Shared approx-LCS oracle (q347 / q365): winnowing selection with
+    * positions, optionally the maxFpDocs hot-hash cut (an ANTI JOIN
+    * against the hot set — the replay of the Spark side's
+    * broadcast-the-drop-set left_anti), the hash pair join, and the
+    * diagonal-span integer arithmetic — max span per (pair,
+    * pos-offset), min diagonal among the widest. */
+  private def approxLcsOracleSql(maxFpDocs: Option[Long]): String = {
+    val cut = maxFpDocs.fold("") { cap =>
+      s"""hot AS (
+         |  SELECT fp_hash FROM sel GROUP BY fp_hash
+         |  HAVING count(DISTINCT doc_id) > $cap),
+         |kept AS (
+         |  SELECT s.doc_id, s.fp_pos, s.fp_hash
+         |  FROM sel s ANTI JOIN hot h ON s.fp_hash = h.fp_hash),
+         |""".stripMargin
+    }
+    val src = if (maxFpDocs.isDefined) "kept" else "sel"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(1, greatest(n - 3, 0) + 1)) AS pos
+       |  FROM t),
+       |keyed AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(tk[pos : pos + 3], ' ')) ||
+       |      lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key
+       |  FROM g),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    100000000 - CAST(substr(mk, 33, 9) AS BIGINT) AS fp_pos,
+       |    substr(mk, 1, 32) AS fp_hash
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+       |    FROM keyed)
+       |  WHERE pos >= 4),
+       |${cut}pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.fp_pos - b.fp_pos AS diag, a.fp_pos AS pa
+       |  FROM $src a JOIN $src b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id),
+       |dg AS (
+       |  SELECT id_a, id_b, diag,
+       |    max(pa) - min(pa) + 4 AS span,
+       |    CAST(count(*) AS BIGINT) AS nf
+       |  FROM pr GROUP BY 1, 2, 3),
+       |mx AS (
+       |  SELECT id_a, id_b,
+       |    CAST(max(span) AS BIGINT) AS lcs_est_tokens,
+       |    CAST(sum(nf) AS BIGINT) AS n_shared_fps
+       |  FROM dg GROUP BY 1, 2),
+       |bd AS (
+       |  SELECT dg.id_a, dg.id_b, CAST(min(dg.diag) AS BIGINT) AS best_diag
+       |  FROM dg JOIN mx ON dg.id_a = mx.id_a AND dg.id_b = mx.id_b
+       |    AND dg.span = mx.lcs_est_tokens
+       |  GROUP BY 1, 2)
+       |SELECT mx.id_a, mx.id_b, mx.lcs_est_tokens, bd.best_diag,
+       |  mx.n_shared_fps
+       |FROM mx JOIN bd ON mx.id_a = bd.id_a AND mx.id_b = bd.id_b
+       |WHERE mx.lcs_est_tokens >= 8
+       |ORDER BY mx.id_a, mx.id_b""".stripMargin
+  }
 }

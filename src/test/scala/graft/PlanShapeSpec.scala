@@ -208,6 +208,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // pair frame joins on the word key (equi), never all-pairs
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    // r19: the top-20 vocabulary cut rides TakeOrderedAndProject, not
+    // a single-partition row_number window over the vocabulary frame
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q365 capped approx-LCS: the occupancy cut broadcasts the DROP set") {
+    val p = plan("q365_approx_lcs_capped")
+    assert(!p.contains("CartesianProduct"))
+    // the r18-verdict fix under pin: the broadcast feeds a LeftAnti
+    // join (remove hot hashes), and the broadcast side is filtered to
+    // __nd > cap — the SMALL hot set. A keep-side broadcast would
+    // show an inner join on a <= filter instead.
+    assert(p.contains("LeftAnti"), "hot-hash removal must be an anti join")
+    assert(p.linesIterator.exists(l => l.contains("__nd") && l.contains("> 2")),
+      "broadcast side must be the __nd > cap DROP set:\n" + p)
+    assert(!p.linesIterator.exists(l => l.contains("__nd") && l.contains("<= 2")),
+      "no keep-side (__nd <= cap) filter may feed the join:\n" + p)
   }
 
   test("q364 qini: deciles ride denseIndex, no single-partition window over users") {
