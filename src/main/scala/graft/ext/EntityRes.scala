@@ -143,6 +143,56 @@ object EntityRes {
      breach)
   }
 
+  /** GENERIC within-block pair generator with the occupancy valve —
+    * the [[candidateNamePairsSignaled]] sub-bucketing scheme lifted
+    * off the name-group schema so any blocked pairwise operator
+    * (Fellegi-Sunter m/u estimation, q358/q359) rides the same
+    * quadratic-growth backstop. Within-block pair count is quadratic
+    * in block occupancy — the standard record-linkage trade — so
+    * blocks larger than `maxBlockSize` rows are hash-split on
+    * `idCol` into ceil(d / maxBlockSize) sub-buckets and pairs form
+    * only within a sub-bucket: the comparison bill drops from
+    * Σ_b C(d_b, 2) to Σ_b Σ_s C(d_bs, 2) with E[d_bs] <= cap —
+    * linear in d_b at fixed cap — at the cost of cross-sub-bucket
+    * recall in the split blocks only (signaled, never silent; the
+    * maxDocFreq/maxFpDocs valve convention).
+    *
+    * Returns every non-block column twice, suffixed `_a`/`_b`, with
+    * `idCol_a < idCol_b` (the canonical pair order); unsplit blocks
+    * produce EXACTLY the plain block self-join's pairs, so a caller
+    * whose blocks sit under the cap (the default at every tested SF
+    * for q358/q359) is bit-identical to the uncapped form and its
+    * oracle replays the plain block join. */
+  def blockedPairs(df: DataFrame, blockCol: String, idCol: String,
+                   maxBlockSize: Int = DefaultMaxBlockNames): DataFrame =
+    blockedPairsSignaled(df, blockCol, idCol, maxBlockSize)._1
+
+  /** [[blockedPairs]] plus the per-call occupancy-breach signal
+    * (None when no block was split), the [[resolveSignaled]]
+    * convention. `df` should be staged by the caller — it fans out
+    * to the occupancy count and both sides of the self-join. */
+  def blockedPairsSignaled(df: DataFrame, blockCol: String, idCol: String,
+                           maxBlockSize: Int = DefaultMaxBlockNames)
+      : (DataFrame, Option[(Long, Long)]) = {
+    require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    val occ = df.groupBy(blockCol).agg(count(lit(1)).as("__d"))
+    val breach = occupancySignal(occ, maxBlockSize)
+    val sub = df.join(occ, blockCol)
+      .withColumn("__nsub",
+        ceil(col("__d").cast("double") / lit(maxBlockSize.toDouble)))
+      .withColumn("__sub",
+        pmod(xxhash64(col(idCol).cast("string")), col("__nsub")))
+    val others = df.columns.filterNot(_ == blockCol).toSeq
+    val a = sub.select(col(blockCol) +: col("__sub") +:
+      others.map(c => col(c).as(s"${c}_a")): _*)
+    val b = sub.select(col(blockCol) +: col("__sub") +:
+      others.map(c => col(c).as(s"${c}_b")): _*)
+    (a.join(b, Seq(blockCol, "__sub"))
+       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+       .drop("__sub"),
+     breach)
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): order
     * the DISTINCT names globally and compare each to its next
     * `window` neighbors — the classic alternative to key blocking

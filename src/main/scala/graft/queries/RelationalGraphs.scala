@@ -655,21 +655,25 @@ object RelationalGraphsQueries {
     * length) correlate with identity without being individually
     * unique — the surname/zip-code class — while `size` is
     * identity-independent, so its FS weight must come out ~0 (the
-    * field an analyst learns to drop). */
+    * field an analyst learns to drop).
+    *
+    * Pairs ride [[graft.ext.EntityRes.blockedPairs]] (r18 verdict
+    * item 2): within-block pair growth is quadratic in occupancy, so
+    * the generator carries the maxBlockSize sub-split valve. At the
+    * default cap no first-word block splits at any tested SF (~220
+    * parts/block at sf0.1), so the output — and the oracle's plain
+    * block-join replay — is bit-identical to the uncapped form. */
   private def fsPairs(s: SparkSession, d: String): DataFrame = {
-    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-      substring_index(col("p_name"), " ", 1).as("blk"),
-      substring_index(col("p_name"), " ", -1).as("noun"),
-      length(col("p_name")).as("nlen"), col("p_size"))
-    val b = parts.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
-      col("blk"), col("noun").as("w2"), col("nlen").as("l2"),
-      col("p_size").as("s2"))
-    parts.join(b, Seq("blk"))
-      .filter(col("p_partkey") < col("k2"))
-      .select((col("p_name") === col("n2")).as("is_match"),
-        (col("noun") === col("w2")).as("ag_noun"),
-        (col("nlen") === col("l2")).as("ag_len"),
-        (col("p_size") === col("s2")).as("ag_size"))
+    val parts = graft.ops.Staging.stage(
+      Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        substring_index(col("p_name"), " ", 1).as("blk"),
+        substring_index(col("p_name"), " ", -1).as("noun"),
+        length(col("p_name")).as("nlen"), col("p_size")))
+    graft.ext.EntityRes.blockedPairs(parts, "blk", "p_partkey")
+      .select((col("p_name_a") === col("p_name_b")).as("is_match"),
+        (col("noun_a") === col("noun_b")).as("ag_noun"),
+        (col("nlen_a") === col("nlen_b")).as("ag_len"),
+        (col("p_size_a") === col("p_size_b")).as("ag_size"))
   }
 
   /** The pair frame collapsed to its 16-row contingency table —

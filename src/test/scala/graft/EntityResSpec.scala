@@ -188,4 +188,41 @@ class EntityResSpec extends AnyFunSuite {
     // linear candidate bound: d·w − w(w+1)/2 for d > w
     assert(got.size == names.size * w - w * (w + 1) / 2)
   }
+
+  test("blockedPairs: valve bounds the comparison bill; identity under the cap") {
+    // 3 blocks x 100 rows
+    val rows = (0 until 300).map(i => (i.toLong, s"blk${i % 3}", s"p$i"))
+      .toDF("id", "b", "payload")
+    val df = graft.ops.Staging.stage(rows)
+
+    // under the cap: the plain block self-join, signal silent
+    val (un, s1) = EntityRes.blockedPairsSignaled(df, "b", "id", 10000)
+    val unPairs = un.collect().map(r =>
+      (r.getAs[String]("b"), r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("payload_a"), r.getAs[String]("payload_b")))
+    assert(s1.isEmpty)
+    assert(unPairs.length == 3 * 100 * 99 / 2)
+    assert(unPairs.forall { case (_, a, bb, pa, pb) =>
+      a < bb && pa == s"p$a" && pb == s"p$bb" })
+
+    // over the cap: every block splits into ceil(100/30) = 4
+    // sub-buckets; the pair count is EXACTLY Σ_(block,sub) C(d, 2)
+    // over the same hash assignment — the derivation proof — and
+    // strictly below the uncapped quadratic bill; the breach signals
+    val (capped, s2) = EntityRes.blockedPairsSignaled(df, "b", "id", 30)
+    val n = capped.count()
+    assert(s2.isDefined)
+    val bucketBill = rows
+      .select(col("b"),
+        pmod(xxhash64(col("id").cast("string")), lit(4L)).as("s"))
+      .groupBy("b", "s").count().collect()
+      .map { r => val c = r.getAs[Long]("count"); c * (c - 1) / 2 }.sum
+    assert(n == bucketBill, s"pairs $n != sub-bucket bill $bucketBill")
+    assert(n < unPairs.length)
+    // capped pairs are a subset of the uncapped pairs
+    val unSet = unPairs.map(t => (t._2, t._3)).toSet
+    assert(capped.collect().forall(r =>
+      unSet((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))))
+    graft.ops.Staging.releaseAll()
+  }
 }
