@@ -524,6 +524,68 @@ object Streams {
         })
   }
 
+  /** Micro-batch crawl ingest with NEAR-dup gating against DURABLE
+    * signature state — the streaming twin of
+    * [[graft.ext.Dedup.nearDupAgainstCorpus]] (r18 verdict item 3),
+    * completing the crawl-ingest family whose exact-dedup
+    * ([[docPrepStreamExact]]) and ANN-append ([[annAppendStream]])
+    * twins already exist. The caller seeds `statePath/sigs` with the
+    * frozen corpus's signatures ([[graft.ext.Dedup.withSimHash64]]
+    * output's `simhash` column — 8 bytes of near-dup state per corpus
+    * document); each micro-batch then runs the batch operator
+    * verbatim against the CURRENT state: delta docs within
+    * `maxHamming` of any stored signature drop, survivors land in
+    * `statePath/docs` (full rows + their `simhash`) and their
+    * signatures append to `statePath/sigs` — so a later re-crawl of a
+    * survivor drops, across micro-batches and across restarts.
+    * Stream-fed state is therefore row-for-row the sequential batch
+    * fold of the same shards (StreamingSpec pins it): the operator
+    * carries no cross-batch state outside the sigs dir.
+    *
+    * Replay safety is the [[annAppendStream]] marker convention:
+    * `_stream_commits/<queryId>/<batchId>` written after both appends
+    * land makes re-delivered batch ids no-ops; the crash window
+    * between the appends and the marker is the usual at-least-once
+    * edge of a non-transactional sink, absorbed downstream by exact
+    * dedup on the id (survivor rows carry their ids; a duplicated
+    * signature row only re-drops what it would drop anyway).
+    *
+    * Scale shape: identical to the batch operator — the delta's
+    * banded signatures broadcast (or shuffle with
+    * `broadcastDelta = false`), the signature state is scanned
+    * map-side and never shuffled; the per-batch staged delta is
+    * released at batch end so a long-running ingest does not
+    * accumulate persisted blocks. */
+  def nearDupIngestStream(delta: DataFrame, statePath: String,
+                          idCol: String, textCol: String,
+                          maxHamming: Int = 3, bits: Int = 64,
+                          broadcastDelta: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val queryId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$statePath/_stream_commits/$queryId/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val sigs = spark.read.parquet(s"$statePath/sigs")
+          // staged: the survivor frame feeds BOTH sinks (docs + sigs)
+          val survivors = graft.ops.Staging.stage(
+            graft.ext.Dedup.nearDupAgainstCorpus(batch.toDF(), idCol,
+              textCol, sigs, "simhash", maxHamming, bits, broadcastDelta))
+          survivors.write.mode("append").parquet(s"$statePath/docs")
+          survivors.select(col("simhash")).write.mode("append")
+            .parquet(s"$statePath/sigs")
+          graft.ops.Staging.releaseAll()
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .start()
+
   /** Micro-batch ingest into a SAVED IVF index — the streaming twin of
     * [[graft.ext.IvfIndex.append]], closing the one incremental
     * operator (r16 verdict #4) without a stream counterpart. Every

@@ -781,6 +781,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture should produce at least one pair")
   }
 
+  test("nearDupIngestStream ≡ sequential batch fold; re-crawl drops; replayed batch is a no-op") {
+    implicit val sc = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("ndstate").toString
+    // seed: the frozen corpus's signatures (8 B of state per doc)
+    val corpus = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    graft.ext.Dedup.withSimHash64(corpus, "text").select("simhash")
+      .write.parquet(s"$stateDir/sigs")
+    val shard1 = Seq(
+      Doc(1, ts(0), "a b c d e f g h i j", "cc"),   // corpus dup -> drops
+      Doc(2, ts(1), "m n o p q r s t u v", "web"))  // novel -> survives
+    val shard2 = Seq(
+      Doc(3, ts(2), "m n o p q r s t u v", "cc"),   // re-crawl of 2 -> drops
+      Doc(4, ts(3), "zz yy xx ww vv uu tt", "web")) // novel -> survives
+    val stream = MemoryStream[Doc]
+    val q = Streams.nearDupIngestStream(stream.toDF(), stateDir,
+      "doc_id", "text")
+    stream.addData(shard1); q.processAllAvailable()
+    stream.addData(shard2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the sequential batch fold of the same shards, state threaded
+    // by hand through the batch operator
+    var state = graft.ext.Dedup.withSimHash64(corpus, "text")
+      .select("simhash").as[String].collect().toVector
+    val folded = scala.collection.mutable.Set[(Long, String)]()
+    for (shard <- Seq(shard1, shard2)) {
+      val out = graft.ext.Dedup.nearDupAgainstCorpus(
+          shard.toDF(), "doc_id", "text", state.toDF("simhash"))
+        .select("doc_id", "simhash").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      graft.ops.Staging.releaseAll()
+      folded ++= out
+      state = state ++ out.map(_._2)
+    }
+    assert(streamed == folded.toSet, "stream-fed state must equal the batch fold")
+    assert(streamed.map(_._1) == Set(2L, 4L))
+    assert(spark.read.parquet(s"$stateDir/sigs").count() == 3L,
+      "corpus + 2 survivor signatures")
+    // replay safety: a re-delivered batch id under the same query id
+    // is a no-op (marker pre-written = crashed-after-append state)
+    val stream2 = MemoryStream[Doc]
+    val q2 = Streams.nearDupIngestStream(stream2.toDF(), stateDir,
+      "doc_id", "text")
+    val m2 = new org.apache.hadoop.fs.Path(
+      s"$stateDir/_stream_commits/${q2.id}/0")
+    val fs2 = m2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.create(m2, true).close()
+    stream2.addData(Seq(Doc(5, ts(4), "brand new novel text here", "web")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$stateDir/docs").count() == 2L,
+      "replayed batch id under the same query id must be a no-op")
+    // a FRESH query (new id, batchId restarts at 0) is not swallowed
+    // by the old markers, and its survivors gate future re-crawls
+    val stream3 = MemoryStream[Doc]
+    val q3 = Streams.nearDupIngestStream(stream3.toDF(), stateDir,
+      "doc_id", "text")
+    stream3.addData(Seq(Doc(6, ts(5), "brand new novel text here", "web")))
+    q3.processAllAvailable()
+    stream3.addData(Seq(Doc(7, ts(6), "brand new novel text here", "cc")))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$stateDir/docs").select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 4L, 6L))
+    graft.ops.Staging.releaseAll()
+  }
+
   test("annAppendStream: stream-appended labeled quantized index ≡ batch append; replayed batch is a no-op") {
     implicit val sc = spark.sqlContext
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
