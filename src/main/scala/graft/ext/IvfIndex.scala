@@ -425,6 +425,54 @@ object IvfIndex {
     }
   }
 
+  /** MERGE independently built shard indexes into one — the
+    * MULTI-NODE BUILD story the [[append]]/[[compact]] lifecycle
+    * doesn't cover (append ingests deltas at one index's frozen
+    * centroids; compact re-clusters one index). Here each shard owner
+    * runs [[build]]/[[buildLabeled]] over its slice IN PARALLEL — the
+    * k-means sweeps, the expensive multi-scan step, never see the
+    * full corpus — and the merged index is the UNION OF CELLS: shard
+    * i's cell c relabels to c + Σ_{j<i} k_j, the centroid matrices
+    * concatenate in path order, and every vector KEEPS its shard
+    * assignment. Merge moves bytes and remaps one partition column;
+    * it recomputes no geometry — one map-side scan per shard, no
+    * k-means, no shuffle (the coarse-codebook-concatenation merge;
+    * same invariant as [[append]]: every vector sits in the cell of
+    * the centroid matrix that assigned it).
+    *
+    * Search semantics: a query probes the nProbe nearest of the
+    * Σ k_i union cells. At exhaustive probes the union index IS a
+    * rebuild (every vector scanned — the spec pins equality with the
+    * exact tier); at fixed nProbe the union's cells are shard-count×
+    * finer than a same-k rebuild's, so scale nProbe by the shard
+    * count to hold the scanned fraction constant. Shard layouts must
+    * agree (all float or all quantized; labels on all or none) —
+    * refused loudly otherwise, the [[append]] convention. */
+  def merge(spark: SparkSession, paths: Seq[String],
+            destPath: String): Unit = {
+    require(paths.size >= 2, "merge needs at least two shard indexes")
+    require(!paths.contains(destPath),
+      "merge writes a new index generation — give it a fresh path")
+    val shards = paths.map { p =>
+      (readCentroids(spark, p), spark.read.parquet(s"$p/corpus")) }
+    val layouts = shards.map(_._2.columns.toSet).distinct
+    require(layouts.size == 1,
+      s"shard layouts must agree (all float or all quantized, labels " +
+        s"on all or none); got ${layouts.map(_.toSeq.sorted).mkString(" vs ")}")
+    val labeled = layouts.head.contains("label")
+    val parts = if (labeled) Seq("label", "cell") else Seq("cell")
+    val offsets = shards.map(_._1.size).scanLeft(0)(_ + _)
+    shards.zip(offsets).foreach { case ((_, corpus), off) =>
+      corpus.withColumn("cell", col("cell").cast("int") + lit(off))
+        .write.mode("append").partitionBy(parts: _*)
+        .parquet(s"$destPath/corpus")
+    }
+    import spark.implicits._
+    shards.flatMap(_._1).zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$destPath/centroids")
+  }
+
   private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()

@@ -570,6 +570,37 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Shard-parallel IVF BUILD-AND-MERGE at the driver (r18 verdict
+    // 6a — the multi-node build story append/compact don't cover):
+    // two shard indexes built INDEPENDENTLY (per-shard k-means — the
+    // expensive sweeps never see the full corpus), merged by cell-
+    // union (centroid matrices concatenate, vectors keep their shard
+    // cells; merge moves bytes, recomputes no geometry), then served.
+    // At exhaustive probes (16 = both shards' 8 cells) the union
+    // index IS a rebuild, so the whole build topology is result-
+    // invisible: q268's exact filtered-top-k oracle text verbatim.
+    "q366_ivf_merge_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = java.nio.file.Files.createTempDirectory("q366a").toString
+      val b = java.nio.file.Files.createTempDirectory("q366b").toString
+      val m = java.nio.file.Files.createTempDirectory("q366m").toString
+      graft.ext.IvfIndex.buildLabeled(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", "label",
+          nCentroids = 8, kmeansSweeps = 2)
+        .save(a)
+      graft.ext.IvfIndex.buildLabeled(
+          emb.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+          "vec_id", "embedding", "label",
+          nCentroids = 8, kmeansSweeps = 2)
+        .save(b)
+      graft.ext.IvfIndex.merge(s, Seq(a, b), m)
+      graft.ext.IvfIndex.load(s, m)
+        .searchFiltered(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 3, nProbe = 16)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Planar GRID RANGE JOIN (Spatial.gridRangeJoin): all vector
     // pairs within L2 distance 0.02 in the first-two-dims projection
     // plane — the spatial self-join class (proximity blocking,
@@ -1313,6 +1344,7 @@ object VectorQueries {
     // exact filtered top-k — q268's oracle text verbatim (build,
     // append and re-cluster must all be result-invisible).
     "q333_ivf_compact_lifecycle" -> FilteredAnnOracleSql,
+    "q366_ivf_merge_lifecycle" -> FilteredAnnOracleSql,
 
     // All-pairs replay of the grid range join: the grid only prunes
     // CANDIDATES, so brute force with the identical squared-distance

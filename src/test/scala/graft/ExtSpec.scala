@@ -1290,6 +1290,65 @@ class ExtSpec extends AnyFunSuite {
       "quantized append at full probe must match the float full rebuild")
   }
 
+  test("IvfIndex.merge: merge(build(A), build(B)) ≡ rebuild at exhaustive probes; shard cells preserved") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val half2 = emb.filter(pmod($"vec_id", lit(2)) =!= 0)
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val a = java.nio.file.Files.createTempDirectory("ivfmrgA").toString
+    val b = java.nio.file.Files.createTempDirectory("ivfmrgB").toString
+    val m = java.nio.file.Files.createTempDirectory("ivfmrgM").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(a)
+    graft.ext.IvfIndex.build(half2, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(b)
+    graft.ext.IvfIndex.merge(spark, Seq(a, b), m)
+    val merged = graft.ext.IvfIndex.load(spark, m)
+    // centroid union in path order: A's 8 cells then B's 8, relabeled
+    assert(merged.centroids.size == 16)
+    assert(merged.centroids.take(8) == graft.ext.IvfIndex.build(half1,
+      "vec_id", "embedding", nCentroids = 8, kmeansSweeps = 2).centroids)
+    assert(merged.centroids.drop(8) == graft.ext.IvfIndex.build(half2,
+      "vec_id", "embedding", nCentroids = 8, kmeansSweeps = 2).centroids)
+    // every vector keeps its SHARD assignment: merge moved bytes,
+    // never reassigned — A's (even ids) in cells 0-7, B's in 8-15
+    assert(merged.assigned.select("neighbor_id", "cell").collect().forall(
+      r => (r.getInt(1) < 8) == (r.getLong(0) % 2 == 0)))
+    assert(merged.assigned.count() == emb.count())
+    // at exhaustive probes the union index IS a rebuild
+    val full = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2)
+    assert(rows(merged.search(q, "vec_id", "embedding", k = 3, nProbe = 16)) ==
+           rows(full.search(q, "vec_id", "embedding", k = 3, nProbe = 8)),
+      "exhaustive search over the merged index must equal the full rebuild")
+    // partial probes still prune cell directories
+    val plan = merged.search(q, "vec_id", "embedding", k = 3, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"merged-index search must prune cell partitions:\n$plan")
+    // quantized shards merge the same way and search exactly at full probe
+    val aq = java.nio.file.Files.createTempDirectory("ivfmrgAq").toString
+    val bq = java.nio.file.Files.createTempDirectory("ivfmrgBq").toString
+    val mq = java.nio.file.Files.createTempDirectory("ivfmrgMq").toString
+    graft.ext.IvfIndex.build(half1, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(aq)
+    graft.ext.IvfIndex.build(half2, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(bq)
+    graft.ext.IvfIndex.merge(spark, Seq(aq, bq), mq)
+    assert(rows(graft.ext.IvfIndex.load(spark, mq)
+        .searchQuantized(q, emb, "vec_id", "embedding", k = 3, nProbe = 16)) ==
+      rows(full.search(q, "vec_id", "embedding", k = 3, nProbe = 8)),
+      "merged quantized shards at full probe must match the float rebuild")
+    // mixed layouts refused loudly
+    val bad = java.nio.file.Files.createTempDirectory("ivfmrgBad").toString
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.merge(spark, Seq(a, bq), bad)
+    }
+    assert(ex.getMessage.contains("layouts must agree"))
+  }
+
   test("IvfIndex.compact: fresh-generation re-cluster, identical exhaustive search, codes carried bit-identical") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
