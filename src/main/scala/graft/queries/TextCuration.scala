@@ -1300,7 +1300,68 @@ object TextCurationQueries {
           col("sum_nano"), expr("sum_nano div n_words").as("delta_nano"))
         .orderBy("source_a", "source_b")
     }),
+
+    // CALIBRATION CENSUS of the hashed-feature quality classifier
+    // (r18 verdict 6b) — the reliability diagram + expected
+    // calibration error (Naeini AAAI'15 / Guo ICML'17) every learned
+    // corpus filter ships with: does the cheap q142 margin PREDICT
+    // the expensive q67 repetition-gate decision, and is its
+    // confidence honest? The margin maps to a confidence by a
+    // clamped-LINEAR integer link conf = 1/2 + margin/4, computed as
+    // ONE shared floor text floor(score*500/n) then clamped to
+    // [0, 1e6] ppm — a deterministic stand-in with the exact
+    // storage/compute shape of a trained calibrated head (the q142
+    // hashed-weights convention). Docs bin by confidence decile;
+    // each bin reports mean confidence vs empirical pass rate (exact
+    // integer ppm, floored), gap, and the doc-weighted ECE =
+    // sum(n_b * |acc_b - conf_b|) div N rides along. Scale shape:
+    // score, gates, and link are all map-side in ONE scan; the
+    // census is a 10-row hash aggregate with map-side partials; ECE
+    // reduces the staged 10-row frame and broadcasts back onto it.
+    "q367_calibration_ece" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val base = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          size(toks).as("n_subwords"),
+          aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
+          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+           col("symbol_ratio") <= 0.1 &&
+           col("mean_word_len").between(2.0, 12.0)).as("pass"))
+        .filter(col("n_subwords") > 0)
+        .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
+      val bins = graft.ops.Staging.stage(base
+        .select(col("pass"), col("conf_ppm"),
+          expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("conf_ppm").as("sum_conf"),
+             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("sum_conf div n_docs").as("mean_conf_ppm"),
+          expr("(n_pass * 1000000) div n_docs").as("acc_ppm")))
+      val ece = bins.agg(
+        expr("sum(n_docs * abs(acc_ppm - mean_conf_ppm)) div sum(n_docs)")
+          .as("ece_ppm"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          col("mean_conf_ppm"), col("acc_ppm"),
+          (col("acc_ppm") - col("mean_conf_ppm")).as("gap_ppm"),
+          col("ece_ppm"))
+        .orderBy("bin")
+    }),
   )
+
+  /** q367's confidence link in ppm — ONE shared text (both engines):
+    * conf = clamp(1/2 + margin/4) where margin/4 = score*500/n
+    * subwords, floored ONCE so the two-floor margin path cannot
+    * disagree with it; all non-negative integer ops downstream, so
+    * Spark `div` (truncating) and DuckDB `//` agree. */
+  private val CalibConfPpm =
+    "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
+      "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
     * SHARED text over the summed integer count columns (words,
@@ -2737,5 +2798,70 @@ object TextCurationQueries {
         |  ((n_docs * max_tokens - sum_tokens) * 1000000)
         |    // (n_docs * max_tokens) AS waste_ppm
         |FROM b ORDER BY bucket""".stripMargin,
+
+    // Calibration replay: q142's hashed score chain (digit-sum hex
+    // replay), q67's gate formulas as the truth bit, the SHARED
+    // CalibConfPpm link text, decile bins, and the integer ECE.
+    "q367_calibration_ece" ->
+      (s"""WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
+        |             AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 1001 - 500 AS wt
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+        |      AS n_subwords,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_subwords,
+        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
+        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |      AS pass
+        |  FROM m),
+        |base AS (
+        |  SELECT g.pass, $CalibConfPpm AS conf_ppm
+        |  FROM g JOIN sc ON g.doc_id = sc.doc_id
+        |  WHERE g.n_subwords > 0),
+        |b AS (
+        |  SELECT pass, conf_ppm,
+        |    least(CAST(9 AS BIGINT), conf_ppm // 100000) AS bin
+        |  FROM base),
+        |c AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM b GROUP BY bin),
+        |r AS (
+        |  SELECT bin, n_docs, n_pass,
+        |    sum_conf // n_docs AS mean_conf_ppm,
+        |    (n_pass * 1000000) // n_docs AS acc_ppm
+        |  FROM c),
+        |e AS (
+        |  SELECT CAST(sum(n_docs * abs(acc_ppm - mean_conf_ppm)) AS BIGINT)
+        |    // CAST(sum(n_docs) AS BIGINT) AS ece_ppm
+        |  FROM r)
+        |SELECT r.bin, r.n_docs, r.n_pass, r.mean_conf_ppm, r.acc_ppm,
+        |  r.acc_ppm - r.mean_conf_ppm AS gap_ppm, e.ece_ppm
+        |FROM r, e ORDER BY bin""").stripMargin,
   )
 }
