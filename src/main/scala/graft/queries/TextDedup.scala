@@ -419,6 +419,55 @@ object TextDedupQueries {
           "doc_id", "text", k = 4, w = 4, minSpan = 8)
         .orderBy("id_a", "id_b")),
 
+    // LEAKAGE-SAFE train/test split — cluster-aware holdout. A
+    // random per-DOCUMENT split leaks: near-duplicates straddle the
+    // boundary and the eval set scores memorization (the standard
+    // benchmark-hygiene failure a curation pipeline must rule out).
+    // The split unit is therefore the q64 near-dup COMPONENT: every
+    // doc joins its cluster (singletons self-cluster), the CLUSTER id
+    // hashes to an 80/20 assignment (md5 first-8-hex mod 5 — the
+    // q142 digit-sum-replayable integer hash), and all members
+    // inherit the cluster's side. The census reports per-split
+    // docs/clusters/tokens, and the leak AUDIT re-joins the near-dup
+    // pair set against the assignment — cross-split pairs must read
+    // 0, computed from the data rather than assumed, and hashed by
+    // the oracle. Scale shape: pairs ride q59's pigeonhole band join
+    // (never all-pairs), components pointer-jump, the assignment is
+    // map-side on the cluster key, and the audit is two id-keyed
+    // equi-joins of the (sparse) pair frame.
+    "q368_leakage_safe_split" -> ((s, d) => {
+      val docs = graft.ops.Staging.stage(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+            .cast("long").as("toks")))
+      val pairs = graft.ops.Staging.stage(
+        Dedup.simHashNearDups(docs, "doc_id", "text",
+            maxHamming = 3, bits = 64)
+          .select("id_a", "id_b"))
+      val comp = Dedup.connectedComponents(pairs)
+      val lab = graft.ops.Staging.stage(docs
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+        .withColumn("split", expr(
+          "CASE WHEN CAST(conv(substring(md5(CAST(cluster AS STRING)), " +
+            "1, 8), 16, 10) AS BIGINT) % 5 = 4 THEN 'test' " +
+            "ELSE 'train' END")))
+      val census = lab.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("cluster").as("n_clusters"),
+             sum("toks").as("n_tokens"))
+      val leaked = pairs
+        .join(lab.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          Seq("id_a"))
+        .join(lab.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs"))
+      census.crossJoin(broadcast(leaked)).orderBy("split")
+    }),
+
     // q347 with the maxFpDocs occupancy cut ENGAGED (cap 2): hashes
     // winnowed in more than 2 documents — the boilerplate quadratic
     // hazard — never reach the pair join. The cut's scale shape is
@@ -1201,6 +1250,44 @@ object TextDedupQueries {
     // the hash pair join, and the diagonal-span integer arithmetic —
     // max span per (pair, pos-offset), min diagonal among the widest.
     "q347_approx_lcs_pairs" -> approxLcsOracleSql(None),
+
+    // Leakage-safe split replay: q64's simhash pair + component
+    // pyramid, singleton self-clustering, the md5-digit-sum cluster
+    // hash mod 5, the per-split census, and the cross-split pair
+    // audit over the identical pair CTE.
+    "q368_leakage_safe_split" -> (simhashCompCtes + """,
+      |tokc AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0)) AS BIGINT) AS toks
+      |  FROM documents),
+      |asg AS (
+      |  SELECT t.doc_id, t.toks, coalesce(c.component, t.doc_id) AS cluster
+      |  FROM tokc t LEFT JOIN comp c ON t.doc_id = c.id),
+      |lab AS (
+      |  SELECT doc_id, toks, cluster,
+      |    CASE WHEN CAST(list_sum(list_transform(range(1, 9),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |                 substring(md5(CAST(cluster AS VARCHAR)),
+      |                           CAST(i AS INTEGER), 1)) - 1
+      |               AS DOUBLE)
+      |             * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+      |        % 5 = 4
+      |      THEN 'test' ELSE 'train' END AS split
+      |  FROM asg),
+      |cen AS (
+      |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+      |    CAST(sum(toks) AS BIGINT) AS n_tokens
+      |  FROM lab GROUP BY split),
+      |lk AS (
+      |  SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split
+      |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS leaked_pairs
+      |  FROM p JOIN lab a ON p.id_a = a.doc_id
+      |         JOIN lab b ON p.id_b = b.doc_id)
+      |SELECT cen.split, cen.n_docs, cen.n_clusters, cen.n_tokens,
+      |  lk.leaked_pairs
+      |FROM cen, lk ORDER BY cen.split""".stripMargin),
 
     // q347's replay with the hot-fingerprint occupancy cut ENGAGED
     // (maxFpDocs = 2): the same generator inserts the hot/kept CTEs,
