@@ -1301,6 +1301,39 @@ object TextCurationQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // TEMPERATURE-SAMPLED mixture shares (the mT5 / XLM-R α-sampling
+    // rule, arXiv:1910.10683 §3.4.2 convention w_i ∝ n_i^α at
+    // α = 0.3): the multilingual/multi-source reweighting that lifts
+    // low-resource sources without the fixed-share guesswork of
+    // q72/q75 — shares DERIVE from the supply counts. Per source:
+    // exact token supply, natural share, α-share (n^0.3 floored to
+    // integer micros ONCE — shared exp/ln text — then exact integer
+    // share division), the token allocation at the q161-convention
+    // 60% budget, and the implied epochs over the source's own
+    // supply in floor-milli (epochs > 1000 marks the upsampled
+    // low-resource tail). Everything after the per-source token
+    // aggregate is a |sources|-row frame; the 1-row totals broadcast.
+    // BIGINT headroom: w_micro * budget stays under 2^63 up to ~1e12
+    // corpus tokens; beyond that flip the product to DECIMAL(38,0)
+    // (the Bradley-Terry valve convention).
+    "q369_temperature_mixture" -> ((s, d) => {
+      val caps = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("w_micro", expr(TempWMicro))
+      val tot = caps.agg(sum("n_tokens").as("tot_n"),
+        sum("w_micro").as("tot_w"))
+      caps.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr("(n_tokens * 1000000) div tot_n").as("nat_share_ppm"),
+          expr("(w_micro * 1000000) div tot_w").as("alpha_share_ppm"),
+          expr("(w_micro * ((3 * tot_n) div 5)) div tot_w")
+            .as("alloc_tokens"),
+          expr("((w_micro * ((3 * tot_n) div 5)) div tot_w * 1000) " +
+            "div n_tokens").as("epochs_milli"))
+        .orderBy("source")
+    }),
+
     // CALIBRATION CENSUS of the hashed-feature quality classifier
     // (r18 verdict 6b) — the reliability diagram + expected
     // calibration error (Naeini AAAI'15 / Guo ICML'17) every learned
@@ -1362,6 +1395,15 @@ object TextCurationQueries {
     "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
       "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
       "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
+
+  /** q369's α-sampling weight n^0.3 in floored integer micros — ONE
+    * shared exp/ln text over the exact token count (the
+    * PowerLawTermNano convention); 0 for an empty source so ln never
+    * sees 0. */
+  private val TempWMicro =
+    "CASE WHEN n_tokens > 0 THEN CAST(floor(CAST(1000000 AS DOUBLE) * " +
+      "exp(CAST(0.3 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE)))) " +
+      "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
 
   /** q323's corpus-level Flesch reading ease in floored milli-units —
     * SHARED text over the summed integer count columns (words,
@@ -2798,6 +2840,28 @@ object TextCurationQueries {
         |  ((n_docs * max_tokens - sum_tokens) * 1000000)
         |    // (n_docs * max_tokens) AS waste_ppm
         |FROM b ORDER BY bucket""".stripMargin,
+
+    // α-sampling replay: the q161 token-count text, the shared
+    // TempWMicro weight, and the exact integer share/allocation/
+    // epochs chain.
+    "q369_temperature_mixture" ->
+      (s"""WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens, $TempWMicro AS w_micro FROM caps),
+        |t AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_n,
+        |    CAST(sum(w_micro) AS BIGINT) AS tot_w
+        |  FROM w)
+        |SELECT source, n_tokens,
+        |  (n_tokens * 1000000) // tot_n AS nat_share_ppm,
+        |  (w_micro * 1000000) // tot_w AS alpha_share_ppm,
+        |  (w_micro * ((3 * tot_n) // 5)) // tot_w AS alloc_tokens,
+        |  ((w_micro * ((3 * tot_n) // 5)) // tot_w * 1000) // n_tokens
+        |    AS epochs_milli
+        |FROM w, t ORDER BY source""").stripMargin,
 
     // Calibration replay: q142's hashed score chain (digit-sum hex
     // replay), q67's gate formulas as the truth bit, the SHARED
