@@ -1334,6 +1334,43 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // McNEMAR'S PAIRED TEST (McNemar 1947, the continuity-corrected
+    // form) — the significance companion to q355's kappa and q367's
+    // calibration: given TWO cheap predictors of the q67 gate on the
+    // SAME documents — A = the q142 hashed classifier's sign, B = a
+    // doc-length heuristic (n_subwords >= 20) — are their error
+    // rates actually different, or is the observed gap coin-flip
+    // noise? Only the DISCORDANT cells matter: b = A right, B wrong;
+    // c = A wrong, B right; chi2 = (|b-c|-1)^2 / (b+c) in floored
+    // milli (one shared text over exact integer cells), significant
+    // at the 3.841 chi-square(1) 95% cut — read off the integer
+    // lattice. ONE map-side scan folds both predictors and the
+    // truth; the aggregate is a single row.
+    "q370_mcnemar" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+        .select(
+          (aggregate(ws0, lit(0L), (acc, x) => acc + x) > 0L).as("a_pred"),
+          (size(toks) >= 20).as("b_pred"),
+          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+           col("symbol_ratio") <= 0.1 &&
+           col("mean_word_len").between(2.0, 12.0)).as("pass"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("a_pred") === col("pass") &&
+                   col("b_pred") =!= col("pass"), 1L).otherwise(0L))
+            .as("b_cnt"),
+          sum(when(col("a_pred") =!= col("pass") &&
+                   col("b_pred") === col("pass"), 1L).otherwise(0L))
+            .as("c_cnt"))
+        .select(col("n_docs"), col("n_pass"), col("b_cnt"), col("c_cnt"),
+          expr(McNemarMilli).as("chi2_milli"))
+        .withColumn("significant", col("chi2_milli") >= 3841L)
+        .orderBy("n_docs")
+    }),
+
     // CALIBRATION CENSUS of the hashed-feature quality classifier
     // (r18 verdict 6b) — the reliability diagram + expected
     // calibration error (Naeini AAAI'15 / Guo ICML'17) every learned
@@ -1395,6 +1432,16 @@ object TextCurationQueries {
     "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
       "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
       "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
+
+  /** q370's continuity-corrected McNemar statistic in floored milli —
+    * ONE shared text over the exact integer discordant cells; NULL
+    * when no discordant pair exists (the test is undefined). */
+  private val McNemarMilli =
+    "CASE WHEN b_cnt + c_cnt > 0 THEN CAST(floor(CAST(1000 AS DOUBLE) * " +
+      "CAST(abs(b_cnt - c_cnt) - 1 AS DOUBLE) * " +
+      "CAST(abs(b_cnt - c_cnt) - 1 AS DOUBLE) / " +
+      "CAST(b_cnt + c_cnt AS DOUBLE)) AS BIGINT) " +
+      "ELSE CAST(NULL AS BIGINT) END"
 
   /** q369's α-sampling weight n^0.3 in floored integer micros — ONE
     * shared exp/ln text over the exact token count (the
@@ -2840,6 +2887,62 @@ object TextCurationQueries {
         |  ((n_docs * max_tokens - sum_tokens) * 1000000)
         |    // (n_docs * max_tokens) AS waste_ppm
         |FROM b ORDER BY bucket""".stripMargin,
+
+    // McNemar replay: q142's score chain, q67's gate formulas, the
+    // discordant-cell aggregate, and the shared statistic text
+    // (zero-token docs keep score 0 via LEFT JOIN + coalesce, the
+    // q142 convention).
+    "q370_mcnemar" ->
+      (s"""WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
+        |             AS DOUBLE)
+        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+        |      % 1001 - 500 AS wt
+        |  FROM tk),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
+        |  GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+        |      AS n_subwords,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_subwords,
+        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
+        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |      AS pass
+        |  FROM m),
+        |j AS (
+        |  SELECT coalesce(sc.score, 0) > 0 AS a_pred,
+        |    g.n_subwords >= 20 AS b_pred, g.pass
+        |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    CAST(sum(CASE WHEN a_pred = pass AND b_pred <> pass
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+        |    CAST(sum(CASE WHEN a_pred <> pass AND b_pred = pass
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+        |  FROM j)
+        |SELECT n_docs, n_pass, b_cnt, c_cnt, $McNemarMilli AS chi2_milli,
+        |  $McNemarMilli >= 3841 AS significant
+        |FROM a ORDER BY n_docs""").stripMargin,
 
     // α-sampling replay: the q161 token-count text, the shared
     // TempWMicro weight, and the exact integer share/allocation/
