@@ -1334,6 +1334,51 @@ object TextCurationQueries {
         .orderBy("source")
     }),
 
+    // POISSON BOOTSTRAP of the gate pass rate — the DISTRIBUTED
+    // bootstrap (Chamandy et al., Google 2012): classical resampling
+    // needs the whole corpus addressable per replicate, impossible at
+    // 100 TB; the Poisson form gives every document an independent
+    // Poisson(1) weight per replicate in the SAME single scan, so 40
+    // replicates cost one pass with 40x map-side row amplification
+    // into a 40-key partial aggregate — no resample shuffle, no
+    // second scan. Weights are seeded integers: the md5 first-8-hex
+    // value of (doc_id, replicate) compared against the Poisson(1)
+    // inverse-CDF thresholds PRE-SCALED to 2^32 and written as
+    // integer literals (capped at 7, ~1e-7 tail mass — the literals
+    // ARE the definition, so no float enters the weight step in
+    // either engine). Per replicate: effective doc mass, weighted
+    // pass mass, rate in floored ppm; the bootstrap SE over the 40
+    // integer rates rides along (one shared sqrt text over exact
+    // integer sums), next to the unweighted point rate.
+    "q371_poisson_bootstrap" -> ((s, d) => {
+      val base = graft.ops.Staging.stage(
+        TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+          .select(col("doc_id"),
+            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+             col("symbol_ratio") <= 0.1 &&
+             col("mean_word_len").between(2.0, 12.0)).as("pass")))
+      val rates = graft.ops.Staging.stage(base
+        .select(col("doc_id"), col("pass"),
+          explode(sequence(lit(0), lit(39))).as("replicate"))
+        .select(col("replicate"), col("pass"),
+          expr(PoissonWSpark).as("w"))
+        .groupBy("replicate")
+        .agg(sum("w").as("w_tot"),
+             sum(when(col("pass"), col("w")).otherwise(0L)).as("pass_w"))
+        .select(col("replicate").cast("long").as("replicate"),
+          col("w_tot"), col("pass_w"),
+          expr("CASE WHEN w_tot > 0 THEN (pass_w * 1000000) div w_tot " +
+            "ELSE CAST(NULL AS BIGINT) END").as("rate_ppm")))
+      val se = rates.agg(sum("rate_ppm").as("sum_r"),
+          sum(col("rate_ppm") * col("rate_ppm")).as("sum_r2"))
+        .select(expr(BootSeMilli).as("se_milli_ppm"))
+      val point = base.agg(
+        expr("(sum(CASE WHEN pass THEN 1 ELSE 0 END) * 1000000) " +
+          "div count(1)").as("point_rate_ppm"))
+      rates.crossJoin(broadcast(se)).crossJoin(broadcast(point))
+        .orderBy("replicate")
+    }),
+
     // McNEMAR'S PAIRED TEST (McNemar 1947, the continuity-corrected
     // form) — the significance companion to q355's kappa and q367's
     // calibration: given TWO cheap predictors of the q67 gate on the
@@ -1432,6 +1477,29 @@ object TextCurationQueries {
     "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
       "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
       "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
+
+  /** q371's Poisson(1) weight ladder over the 2^32-scaled integer
+    * thresholds (floor(CDF(k) * 2^32), capped at 7). The hash value
+    * k is engine-specific text (Spark conv vs the DuckDB digit-sum
+    * replay) with identical integer semantics — the q142 convention;
+    * the ladder GENERATOR takes the hash text as a parameter, so
+    * both engines share it verbatim (never substring-rewritten). */
+  private def poissonLadder(hv: String): String =
+    s"CASE WHEN $hv < 1580030168 THEN 0 WHEN $hv < 3160060337 THEN 1 " +
+      s"WHEN $hv < 3950075421 THEN 2 WHEN $hv < 4213413783 THEN 3 " +
+      s"WHEN $hv < 4279248373 THEN 4 WHEN $hv < 4292415291 THEN 5 " +
+      s"WHEN $hv < 4294609777 THEN 6 ELSE 7 END"
+  private val PoissonWSpark = poissonLadder(
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_r', " +
+      "CAST(replicate AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+
+  /** q371's bootstrap SE over the 40 integer replicate rates in
+    * floored milli-ppm — ONE shared sqrt text over exact integer
+    * sums: sqrt((R*Σr² - (Σr)²) / (R(R-1))). */
+  private val BootSeMilli =
+    "CAST(floor(CAST(1000 AS DOUBLE) * " +
+      "sqrt(CAST(40 * sum_r2 - sum_r * sum_r AS DOUBLE) / " +
+      "CAST(40 * 39 AS DOUBLE))) AS BIGINT)"
 
   /** q370's continuity-corrected McNemar statistic in floored milli —
     * ONE shared text over the exact integer discordant cells; NULL
@@ -2887,6 +2955,61 @@ object TextCurationQueries {
         |  ((n_docs * max_tokens - sum_tokens) * 1000000)
         |    // (n_docs * max_tokens) AS waste_ppm
         |FROM b ORDER BY bucket""".stripMargin,
+
+    // Poisson-bootstrap replay: q67's gate formulas, the SAME integer
+    // threshold ladder over the digit-sum md5 replay, and the shared
+    // SE text over exact integer replicate-rate sums.
+    "q371_poisson_bootstrap" ->
+      (s"""WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+        |    length(text) AS chars,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+        |    length(replace(text, ' ', '')) AS nonspace
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
+        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
+        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+        |      AS pass
+        |  FROM m),
+        |wts AS (
+        |  SELECT r.replicate, g.pass,
+        |    ${poissonLadder(
+             "CAST(list_sum(list_transform(range(1, 9), " +
+               "i -> CAST(strpos('0123456789abcdef', " +
+               "substring(md5(CAST(g.doc_id AS VARCHAR) || '_r' || " +
+               "CAST(r.replicate AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 " +
+               "AS DOUBLE) * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) " +
+               "AS BIGINT)")} AS w
+        |  FROM g CROSS JOIN range(0, 40) r(replicate)),
+        |rt AS (
+        |  SELECT CAST(replicate AS BIGINT) AS replicate,
+        |    CAST(sum(w) AS BIGINT) AS w_tot,
+        |    CAST(sum(CASE WHEN pass THEN w ELSE 0 END) AS BIGINT) AS pass_w
+        |  FROM wts GROUP BY replicate),
+        |rr AS (
+        |  SELECT replicate, w_tot, pass_w,
+        |    CASE WHEN w_tot > 0 THEN (pass_w * 1000000) // w_tot
+        |      ELSE NULL END AS rate_ppm
+        |  FROM rt),
+        |sums AS (
+        |  SELECT CAST(sum(rate_ppm) AS BIGINT) AS sum_r,
+        |    CAST(sum(rate_ppm * rate_ppm) AS BIGINT) AS sum_r2
+        |  FROM rr),
+        |se AS (SELECT $BootSeMilli AS se_milli_ppm FROM sums),
+        |pt AS (
+        |  SELECT (CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS point_rate_ppm
+        |  FROM g)
+        |SELECT rr.replicate, rr.w_tot, rr.pass_w, rr.rate_ppm,
+        |  se.se_milli_ppm, pt.point_rate_ppm
+        |FROM rr, se, pt ORDER BY rr.replicate""").stripMargin,
 
     // McNemar replay: q142's score chain, q67's gate formulas, the
     // discordant-cell aggregate, and the shared statistic text
