@@ -175,6 +175,10 @@ object EntityRes {
                            maxBlockSize: Int = DefaultMaxBlockNames)
       : (DataFrame, Option[(Long, Long)]) = {
     require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    val reserved = df.columns.filter(Set("__d", "__nsub", "__sub").contains)
+    require(reserved.isEmpty,
+      s"df carries reserved working column(s) ${reserved.mkString(", ")} — " +
+        "rename them before blockedPairs")
     val occ = df.groupBy(blockCol).agg(count(lit(1)).as("__d"))
     val breach = occupancySignal(occ, maxBlockSize)
     val sub = df.join(occ, blockCol)
