@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * BOTH strengths floor to 0 is possible once duels-per-win exceeds
   * ~2e9 (floor(w*1e18/den) zeroes a node that HAS wins), so the
   * denominator term carries an explicit pa+pb=0 guard — the term
-  * contributes 0 in both engines instead of Spark-NULL vs DuckDB-Inf.
+  * contributes 0 in both engines instead of Spark-NULL vs DuckDB-Inf —
+  * and the update guards den=0 in turn (every opponent zeroed would
+  * otherwise relocate the same divide one step downstream; such a
+  * node's strength fixes at 0, the MLE boundary).
   * Per-step frames are localCheckpoint()ed: each is read twice
   * by the next step (the p_i and p_j sides), and without the lineage
   * cut t-deep nesting re-embeds the caller's duel plan 2^t times.
@@ -38,7 +41,9 @@ object BradleyTerry {
       "CAST(floor(CAST(m AS DOUBLE) * 1e18 / CAST(pa + pb AS DOUBLE)) " +
       "AS BIGINT) END"
   val UpdateNano: String =
-    "CAST(floor(CAST(w AS DOUBLE) * 1e18 / CAST(den AS DOUBLE)) AS BIGINT)"
+    "CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "CAST(floor(CAST(w AS DOUBLE) * 1e18 / CAST(den AS DOUBLE)) " +
+      "AS BIGINT) END"
   val SharePpm: String =
     "CAST(floor(1000000.0 * CAST(p AS DOUBLE) / CAST(tot AS DOUBLE)) " +
       "AS BIGINT)"

@@ -453,6 +453,17 @@ object IvfIndex {
     require(paths.size >= 2, "merge needs at least two shard indexes")
     require(!paths.contains(destPath),
       "merge writes a new index generation — give it a fresh path")
+    // the per-shard corpus writes below are mode=append (each shard
+    // adds its files into the shared layout), so a retried or rerun
+    // merge into a non-empty destination would silently DUPLICATE
+    // every shard's vectors while the centroid overwrite made the
+    // index look clean — refuse loudly instead (r19 review)
+    val destCorpus = new org.apache.hadoop.fs.Path(s"$destPath/corpus")
+    val destFs = destCorpus.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!destFs.exists(destCorpus),
+      s"merge destination $destPath already holds a corpus — a rerun " +
+        "would append duplicate vectors; give it a fresh path")
     val shards = paths.map { p =>
       (readCentroids(spark, p), spark.read.parquet(s"$p/corpus")) }
     val layouts = shards.map(_._2.columns.toSet).distinct

@@ -37,6 +37,37 @@ object Staging {
   private val staged = new ConcurrentLinkedQueue[DataFrame]()
   private val stagedRdds = new ConcurrentLinkedQueue[RDD[_]]()
 
+  // THREAD-LOCAL staging scopes (r19): a perpetual driver — a
+  // foreachBatch ingest loop — must release its own batch's staged
+  // frames without draining the process-global registry out from
+  // under a co-resident query (releaseAll per micro-batch would
+  // unpersist the other pipeline's fan-out frames mid-query: correct
+  // but a continuous cache-thrash). Inside [[scoped]], frames staged
+  // BY THIS THREAD register to the innermost scope and are released
+  // on exit; other threads' staging is untouched.
+  private val scopeTl =
+    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[DataFrame]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[java.util.ArrayList[DataFrame]]()
+    }
+
+  /** Run `body` with a thread-confined staging scope: every [[stage]]
+    * call made on this thread inside `body` is unpersisted when the
+    * scope exits (after the consuming actions — run them INSIDE the
+    * body). Nests; checkpoint registration ([[stageCheckpoint]]) is
+    * deliberately not scoped — iterative sweeps manage their own
+    * checkpoint succession. */
+  def scoped[T](body: => T): T = {
+    val scopes = scopeTl.get()
+    val frames = new java.util.ArrayList[DataFrame]()
+    scopes.push(frames)
+    try body
+    finally {
+      scopes.pop()
+      frames.forEach(df => df.unpersist(blocking = false))
+    }
+  }
+
   // Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
   // been truncated and cannot be recomputed") from the RDD-class
   // logger on every call. Here that is the DESIGNED lifecycle — a
@@ -48,10 +79,13 @@ object Staging {
     org.apache.logging.log4j.Level.ERROR)
   catch { case _: Throwable => () } // logging backend absent: cosmetic only
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
+  /** Persist `df` (MEMORY_AND_DISK) and register it for release —
+    * to the innermost thread-local [[scoped]] scope if one is open on
+    * this thread, else to the process-global registry. */
   def stage(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    staged.add(df)
+    val scopes = scopeTl.get()
+    if (!scopes.isEmpty) scopes.peek().add(df) else staged.add(df)
     df
   }
 

@@ -657,19 +657,33 @@ object RelationalGraphsQueries {
     * identity-independent, so its FS weight must come out ~0 (the
     * field an analyst learns to drop).
     *
-    * Pairs ride [[graft.ext.EntityRes.blockedPairs]] (r18 verdict
-    * item 2): within-block pair growth is quadratic in occupancy, so
-    * the generator carries the maxBlockSize sub-split valve. At the
-    * default cap no first-word block splits at any tested SF (~220
-    * parts/block at sf0.1), so the output — and the oracle's plain
-    * block-join replay — is bit-identical to the uncapped form. */
+    * Pairs ride [[graft.ext.EntityRes.blockedPairsSignaled]] (r18
+    * verdict item 2): within-block pair growth is quadratic in
+    * occupancy, so the generator carries the maxBlockSize sub-split
+    * valve. At the default cap no first-word block splits at any
+    * tested SF (~220 parts/block at sf0.1), so the output — and the
+    * oracle's plain block-join replay — is bit-identical to the
+    * uncapped form. Because the ORACLE replays the UNCAPPED join, a
+    * fired valve would silently diverge the two engines — so this
+    * query refuses loudly when the breach signal is non-empty
+    * (> 10k parts in one first-word block — ~sf5 on TPC-H name
+    * distributions, far past driver scale);
+    * pipelines that WANT the capped recall trade call
+    * blockedPairs directly and skip the hash gate. */
   private def fsPairs(s: SparkSession, d: String): DataFrame = {
     val parts = graft.ops.Staging.stage(
       Tables.part(s, d).select(col("p_partkey"), col("p_name"),
         substring_index(col("p_name"), " ", 1).as("blk"),
         substring_index(col("p_name"), " ", -1).as("noun"),
         length(col("p_name")).as("nlen"), col("p_size")))
-    graft.ext.EntityRes.blockedPairs(parts, "blk", "p_partkey")
+    val (pairs, breach) =
+      graft.ext.EntityRes.blockedPairsSignaled(parts, "blk", "p_partkey")
+    require(breach.isEmpty,
+      s"fsPairs occupancy valve fired ($breach): the DuckDB oracle " +
+        "replays the UNCAPPED block join, so a sub-split here would " +
+        "silently diverge the engines — raise maxBlockSize or drop " +
+        "the oracle gate for this corpus")
+    pairs
       .select((col("p_name_a") === col("p_name_b")).as("is_match"),
         (col("noun_a") === col("noun_b")).as("ag_noun"),
         (col("nlen_a") === col("nlen_b")).as("ag_len"),

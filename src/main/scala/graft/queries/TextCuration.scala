@@ -1313,9 +1313,10 @@ object TextCurationQueries {
     // supply in floor-milli (epochs > 1000 marks the upsampled
     // low-resource tail). Everything after the per-source token
     // aggregate is a |sources|-row frame; the 1-row totals broadcast.
-    // BIGINT headroom: w_micro * budget stays under 2^63 up to ~1e12
-    // corpus tokens; beyond that flip the product to DECIMAL(38,0)
-    // (the Bradley-Terry valve convention).
+    // BIGINT headroom: the binding product is w_micro * budget ≈
+    // 6e5 * N^1.3 for a dominant source, which crosses 2^63 at
+    // N ≈ 1.4e10 corpus tokens — flip the product to DECIMAL(38,0)
+    // beyond that (the Bradley-Terry valve convention).
     "q369_temperature_mixture" -> ((s, d) => {
       val caps = Tables.documents(s, d)
         .groupBy("source")
@@ -1324,13 +1325,8 @@ object TextCurationQueries {
       val tot = caps.agg(sum("n_tokens").as("tot_n"),
         sum("w_micro").as("tot_w"))
       caps.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_tokens"),
-          expr("(n_tokens * 1000000) div tot_n").as("nat_share_ppm"),
-          expr("(w_micro * 1000000) div tot_w").as("alpha_share_ppm"),
-          expr("(w_micro * ((3 * tot_n) div 5)) div tot_w")
-            .as("alloc_tokens"),
-          expr("((w_micro * ((3 * tot_n) div 5)) div tot_w * 1000) " +
-            "div n_tokens").as("epochs_milli"))
+        .select(col("source") +: col("n_tokens") +:
+          tempMixCols("div").map { case (n, t) => expr(t).as(n) }: _*)
         .orderBy("source")
     }),
 
@@ -1478,6 +1474,51 @@ object TextCurationQueries {
       "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
       "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
 
+  /** Shared oracle CTE text for q367/q370/q371: the per-doc q67 gate
+    * stats and the pass bit (+ n_subwords) in ONE copy, so the gate
+    * replay cannot drift between the calibration, McNemar, and
+    * bootstrap oracles (the approxLcsOracleSql convention). */
+  private val GateCtesSql =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+      |      AS n_subwords,
+      |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
+      |    len(list_distinct(string_split(text, ' '))) AS dtoks,
+      |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
+      |    length(text) AS chars,
+      |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
+      |    length(replace(text, ' ', '')) AS nonspace
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_subwords,
+      |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
+      |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
+      |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
+      |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+      |      AS pass
+      |  FROM m)""".stripMargin
+
+  /** Shared oracle CTE text for q367/q370: the q142 hashed score
+    * chain (digit-sum hex replay), ONE copy. */
+  private val HashScoreCtesSql =
+    """tk AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
+      |             AS DOUBLE)
+      |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+      |      % 1001 - 500 AS wt
+      |  FROM tk),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
+      |  GROUP BY doc_id)""".stripMargin
+
   /** q371's Poisson(1) weight ladder over the 2^32-scaled integer
     * thresholds (floor(CDF(k) * 2^32), capped at 7). The hash value
     * k is engine-specific text (Spark conv vs the DuckDB digit-sum
@@ -1503,13 +1544,35 @@ object TextCurationQueries {
 
   /** q370's continuity-corrected McNemar statistic in floored milli —
     * ONE shared text over the exact integer discordant cells; NULL
-    * when no discordant pair exists (the test is undefined). */
+    * when no discordant pair exists (the test is undefined). The
+    * correction clamps at 0 (max(|b-c|-1, 0), the Edwards form) so
+    * b = c scores exactly 0 rather than 1/(b+c) — r19 review. */
   private val McNemarMilli =
     "CASE WHEN b_cnt + c_cnt > 0 THEN CAST(floor(CAST(1000 AS DOUBLE) * " +
-      "CAST(abs(b_cnt - c_cnt) - 1 AS DOUBLE) * " +
-      "CAST(abs(b_cnt - c_cnt) - 1 AS DOUBLE) / " +
+      "CAST(greatest(abs(b_cnt - c_cnt) - 1, 0) AS DOUBLE) * " +
+      "CAST(greatest(abs(b_cnt - c_cnt) - 1, 0) AS DOUBLE) / " +
       "CAST(b_cnt + c_cnt AS DOUBLE)) AS BIGINT) " +
       "ELSE CAST(NULL AS BIGINT) END"
+
+  /** q369's derived columns, parameterized on the integer-division
+    * token (Spark `div`, DuckDB `//` — identical truncation on the
+    * non-negative operands here) so both engines share one generator.
+    * Every division is zero-guarded (empty source → NULL epochs;
+    * empty corpus → NULL shares) — the ANSI /0 oracle trap. */
+  private def tempMixCols(idiv: String): Seq[(String, String)] = Seq(
+    "nat_share_ppm" ->
+      (s"CASE WHEN tot_n > 0 THEN (n_tokens * 1000000) $idiv tot_n " +
+        "ELSE CAST(NULL AS BIGINT) END"),
+    "alpha_share_ppm" ->
+      (s"CASE WHEN tot_w > 0 THEN (w_micro * 1000000) $idiv tot_w " +
+        "ELSE CAST(NULL AS BIGINT) END"),
+    "alloc_tokens" ->
+      (s"CASE WHEN tot_w > 0 THEN (w_micro * ((3 * tot_n) $idiv 5)) " +
+        s"$idiv tot_w ELSE CAST(NULL AS BIGINT) END"),
+    "epochs_milli" ->
+      (s"CASE WHEN tot_w > 0 AND n_tokens > 0 THEN ((w_micro * " +
+        s"((3 * tot_n) $idiv 5)) $idiv tot_w * 1000) $idiv n_tokens " +
+        "ELSE CAST(NULL AS BIGINT) END"))
 
   /** q369's α-sampling weight n^0.3 in floored integer micros — ONE
     * shared exp/ln text over the exact token count (the
@@ -2960,25 +3023,8 @@ object TextCurationQueries {
     // threshold ladder over the digit-sum md5 replay, and the shared
     // SE text over exact integer replicate-rate sums.
     "q371_poisson_bootstrap" ->
-      (s"""WITH m AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
-        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        |      AS pass
-        |  FROM m),
-        |wts AS (
+      ("WITH " + GateCtesSql + ",\n" +
+       s"""wts AS (
         |  SELECT r.replicate, g.pass,
         |    ${poissonLadder(
              "CAST(list_sum(list_transform(range(1, 9), " +
@@ -3016,42 +3062,8 @@ object TextCurationQueries {
     // (zero-token docs keep score 0 via LEFT JOIN + coalesce, the
     // q142 convention).
     "q370_mcnemar" ->
-      (s"""WITH tk AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
-        |             AS DOUBLE)
-        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
-        |      % 1001 - 500 AS wt
-        |  FROM tk),
-        |sc AS (
-        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
-        |  GROUP BY doc_id),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
-        |      AS n_subwords,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, n_subwords,
-        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
-        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        |      AS pass
-        |  FROM m),
-        |j AS (
+      ("WITH " + HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""j AS (
         |  SELECT coalesce(sc.score, 0) > 0 AS a_pred,
         |    g.n_subwords >= 20 AS b_pred, g.pass
         |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id),
@@ -3082,53 +3094,16 @@ object TextCurationQueries {
         |    CAST(sum(w_micro) AS BIGINT) AS tot_w
         |  FROM w)
         |SELECT source, n_tokens,
-        |  (n_tokens * 1000000) // tot_n AS nat_share_ppm,
-        |  (w_micro * 1000000) // tot_w AS alpha_share_ppm,
-        |  (w_micro * ((3 * tot_n) // 5)) // tot_w AS alloc_tokens,
-        |  ((w_micro * ((3 * tot_n) // 5)) // tot_w * 1000) // n_tokens
-        |    AS epochs_milli
+        |${tempMixCols("//").map { case (n, t) => s"  $t AS $n" }
+            .mkString(",\n")}
         |FROM w, t ORDER BY source""").stripMargin,
 
     // Calibration replay: q142's hashed score chain (digit-sum hex
     // replay), q67's gate formulas as the truth bit, the SHARED
     // CalibConfPpm link text, decile bins, and the integer ECE.
     "q367_calibration_ece" ->
-      (s"""WITH tk AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |                       substring(md5(tok), CAST(i AS INTEGER), 1)) - 1
-        |             AS DOUBLE)
-        |           * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
-        |      % 1001 - 500 AS wt
-        |  FROM tk),
-        |sc AS (
-        |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w
-        |  GROUP BY doc_id),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
-        |      AS n_subwords,
-        |    (CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS toks,
-        |    len(list_distinct(string_split(text, ' '))) AS dtoks,
-        |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS dbg,
-        |    length(text) AS chars,
-        |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS syms,
-        |    length(replace(text, ' ', '')) AS nonspace
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, n_subwords,
-        |    (CASE WHEN toks > 0 THEN 1.0 - CAST(dtoks AS DOUBLE) / toks ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN toks > 1 THEN 1.0 - CAST(dbg AS DOUBLE) / (toks - 1) ELSE 0.0 END) <= 0.3 AND
-        |    (CASE WHEN chars > 0 THEN CAST(syms AS DOUBLE) / chars ELSE 0.0 END) <= 0.1 AND
-        |    (CASE WHEN toks > 0 THEN CAST(nonspace AS DOUBLE) / toks ELSE 0.0 END) BETWEEN 2.0 AND 12.0
-        |      AS pass
-        |  FROM m),
-        |base AS (
+      ("WITH " + HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""base AS (
         |  SELECT g.pass, $CalibConfPpm AS conf_ppm
         |  FROM g JOIN sc ON g.doc_id = sc.doc_id
         |  WHERE g.n_subwords > 0),

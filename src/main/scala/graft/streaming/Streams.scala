@@ -553,9 +553,11 @@ object Streams {
     * Scale shape: identical to the batch operator — the delta's
     * banded signatures broadcast (or shuffle with
     * `broadcastDelta = false`), the signature state is scanned
-    * map-side and never shuffled; the per-batch staged delta is
-    * released at batch end so a long-running ingest does not
-    * accumulate persisted blocks. */
+    * map-side and never shuffled; the per-batch staged frames are
+    * released at batch end through a THREAD-LOCAL staging scope
+    * ([[graft.ops.Staging.scoped]]) so a long-running ingest neither
+    * accumulates persisted blocks nor drains a co-resident query's
+    * staged frames from the process-global registry. */
   def nearDupIngestStream(delta: DataFrame, statePath: String,
                           idCol: String, textCol: String,
                           maxHamming: Int = 3, bits: Int = 64,
@@ -571,15 +573,22 @@ object Streams {
           s"$statePath/_stream_commits/$queryId/$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
-          val sigs = spark.read.parquet(s"$statePath/sigs")
-          // staged: the survivor frame feeds BOTH sinks (docs + sigs)
-          val survivors = graft.ops.Staging.stage(
-            graft.ext.Dedup.nearDupAgainstCorpus(batch.toDF(), idCol,
-              textCol, sigs, "simhash", maxHamming, bits, broadcastDelta))
-          survivors.write.mode("append").parquet(s"$statePath/docs")
-          survivors.select(col("simhash")).write.mode("append")
-            .parquet(s"$statePath/sigs")
-          graft.ops.Staging.releaseAll()
+          // thread-local staging scope: this batch's staged frames
+          // (the operator's delta stage + the survivor stage below)
+          // release on scope exit WITHOUT draining the process-global
+          // registry out from under a co-resident query — releaseAll
+          // from a perpetual loop would thrash every other pipeline's
+          // persisted fan-out frames (r19 review)
+          graft.ops.Staging.scoped {
+            val sigs = spark.read.parquet(s"$statePath/sigs")
+            // staged: the survivor frame feeds BOTH sinks (docs + sigs)
+            val survivors = graft.ops.Staging.stage(
+              graft.ext.Dedup.nearDupAgainstCorpus(batch.toDF(), idCol,
+                textCol, sigs, "simhash", maxHamming, bits, broadcastDelta))
+            survivors.write.mode("append").parquet(s"$statePath/docs")
+            survivors.select(col("simhash")).write.mode("append")
+              .parquet(s"$statePath/sigs")
+          }
           fs.create(marker, true).close()
         }
         ()

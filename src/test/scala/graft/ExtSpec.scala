@@ -1347,6 +1347,12 @@ class ExtSpec extends AnyFunSuite {
       graft.ext.IvfIndex.merge(spark, Seq(a, bq), bad)
     }
     assert(ex.getMessage.contains("layouts must agree"))
+    // a rerun into a populated destination is refused, not duplicated
+    // (the shard writes are mode=append — r19 review)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.merge(spark, Seq(a, b), m)
+    }
+    assert(ex2.getMessage.contains("already holds a corpus"))
   }
 
   test("IvfIndex.compact: fresh-generation re-cluster, identical exhaustive search, codes carried bit-identical") {
