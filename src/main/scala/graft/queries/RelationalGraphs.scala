@@ -694,10 +694,27 @@ object RelationalGraphsQueries {
     * is_match x the 3 agreement bits, with the pair count per combo.
     * ONE pass over the blocked pairs; everything downstream of this
     * frame is combo-sized regardless of corpus scale. */
-  private def fsCombos(s: SparkSession, d: String): DataFrame =
-    fsPairs(s, d)
-      .groupBy("is_match", "ag_noun", "ag_len", "ag_size")
-      .agg(count(lit(1)).as("cnt"))
+  /** Memoized per (session, dir) — the FinComposite convention: the
+    * frame is at most 16 rows but costs a ~25M-row blocked pair scan
+    * to produce, and BOTH FS queries derive from it; the second query
+    * in a session reconstructs it from the collected rows as a
+    * driver literal instead of paying the scan again (at 100 TB this
+    * is exactly the derived table a pipeline persists once). */
+  private val fsCombosCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Boolean, Boolean, Boolean, Boolean, Long)]]
+
+  private def fsCombos(s: SparkSession, d: String): DataFrame = {
+    val rows = fsCombosCache.getOrElseUpdate((s, d), {
+      fsPairs(s, d)
+        .groupBy("is_match", "ag_noun", "ag_len", "ag_size")
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getLong(4))).toSeq
+    })
+    import s.implicits._
+    rows.toDF("is_match", "ag_noun", "ag_len", "ag_size", "cnt")
+  }
 
   /** The m/u counting aggregate both FS queries share, over the
     * combo frame (cnt-weighted). */
