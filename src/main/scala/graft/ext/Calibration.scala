@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Monotone (isotonic) recalibration of a binned reliability census —
+  * the PAV fit (Zadrozny & Elkan KDD'02; Robertson/Wright/Dykstra
+  * 1988) computed CLOSED-FORM via the minimax characterization
+  *
+  *   f(i) = max_{j<=i} min_{k>=i} weightedAvg(rate, bins j..k)
+  *
+  * so the fit needs no sequential pooling loop and no driver: three
+  * broadcast joins over the (tiny, <= #bins-row) census frame. The
+  * weighted interval average is the FLOORED-ppm integer
+  * (sum(pass)*1e6) div sum(n); because floor is monotone and max/min
+  * are attained at member values, max-min over floored averages equals
+  * floor(max-min over exact averages) — i.e. the result is EXACTLY
+  * floor(PAV * 1e6), bin for bin (CalibrationSpec pins this against a
+  * rational-arithmetic PAV reference). Monotonicity is by
+  * construction: f(i) maximizes over a set that only grows with i of
+  * minima over sets that only shrink.
+  *
+  * Scale shape: callers bin FIRST (a map-side scan into a <= K-row
+  * hash aggregate); this fit is then K^3 arithmetic on broadcast
+  * frames — K is a calibration-bin count (10..100), never data-sized.
+  */
+object Calibration {
+
+  /** Weighted isotonic fit of the per-bin pass rate onto the bin
+    * order, in exact floored-ppm integers.
+    *
+    * @param bins    one row per bin: an orderable integer bin id, a
+    *                positive count column, and a pass-count column
+    * @param binCol  bin id column (any integral type; returned as-is)
+    * @param nCol    per-bin row count (> 0 for every present bin)
+    * @param passCol per-bin pass count (0 <= pass <= n)
+    * @return one row per input bin: (binCol, iso_ppm) where iso_ppm is
+    *         floor(PAV rate * 1e6), non-decreasing in binCol
+    */
+  def isotonicFitPpm(bins: DataFrame, binCol: String, nCol: String,
+                     passCol: String): DataFrame = {
+    val b = bins.select(col(binCol).cast("long").as("__bin"),
+      col(nCol).cast("long").as("__n"), col(passCol).cast("long").as("__p"))
+    // All intervals [j, k] of present bins with their floored weighted
+    // average. The between-join is a BroadcastNestedLoopJoin over the
+    // K-row frame — deliberate: K is bins, not rows.
+    val iv = b.select(col("__bin").as("__jb"))
+      .join(broadcast(b.select(col("__bin").as("__kb"))),
+        col("__jb") <= col("__kb"))
+      .join(broadcast(b), col("__bin").between(col("__jb"), col("__kb")))
+      .groupBy("__jb", "__kb")
+      .agg(expr("(sum(__p) * 1000000) div sum(__n)").as("__avg_ppm"))
+    // f(i) = max over j<=i of (min over k>=i of avg(j, k)).
+    b.select(col("__bin").as("__ib"))
+      .join(broadcast(iv), col("__jb") <= col("__ib") &&
+        col("__kb") >= col("__ib"))
+      .groupBy(col("__ib"), col("__jb")).agg(min("__avg_ppm").as("__mn"))
+      .groupBy("__ib").agg(max("__mn").as("iso_ppm"))
+      .select(col("__ib").as(binCol), col("iso_ppm"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextStats}
+import graft.ext.{Calibration, Dedup, TextStats}
 import graft.tables.Tables
 import TextQueries.{Stopwords, LangProfiles, simhashCompCtes, bm25Ctes}
 
@@ -1462,6 +1462,204 @@ object TextCurationQueries {
           col("ece_ppm"))
         .orderBy("bin")
     }),
+
+    // BENJAMINI-HOCHBERG FDR census (Benjamini & Hochberg JRSS-B'95)
+    // — the multiplicity control every per-source drift dashboard
+    // needs: |sources| simultaneous "is this source's gate pass rate
+    // different from the rest of the corpus?" tests, where a plain
+    // per-test 5% cut expects a false alarm every round. Per source:
+    // the pooled two-proportion z^2 from the EXACT integer cells
+    // (n_pass/n_docs vs the complement), two-sided p via the
+    // Abramowitz-Stegun 7.1.26 erfc polynomial (|err| < 1.5e-7 —
+    // sub-micro, so the FLOORED-micro p IS the statistic, the
+    // clamped-linear-link convention) in ONE shared text; then the BH
+    // step-up on the per-source frame: reject ranks 1..k where k =
+    // max{ i : p_(i) <= floor(i*q/m) } at q = 0.05 in exact integer
+    // micros (floored threshold — the conservative side). Ties in
+    // floored p break on the source id, shared by both engines.
+    // Scale shape: gate + cells are ONE map-side scan into a
+    // |sources|-row aggregate; the rank window is over that provably
+    // tiny frame (the q362 rule) and everything downstream is
+    // sources-sized.
+    "q372_bh_fdr" -> ((s, d) => {
+      val per = graft.ops.Staging.stage(
+        TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+          .select(col("source"),
+            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+             col("symbol_ratio") <= 0.1 &&
+             col("mean_word_len").between(2.0, 12.0)).as("pass"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass")))
+      val tot = per.agg(sum("n_docs").as("tot_n"), sum("n_pass").as("tot_p"),
+        count(lit(1)).as("m_src"))
+      val ranked = graft.ops.Staging.stage(per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_pass"), col("m_src"),
+          expr("(n_pass * 1000000) div n_docs").as("rate_ppm"),
+          expr(BhPMicro).as("p_micro"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("p_micro"), col("source")))
+            .cast("long"))
+        .withColumn("bh_cut_micro", expr("(rk * 50000) div m_src")))
+      val kmax = ranked.agg(
+        max(when(col("p_micro") <= col("bh_cut_micro"), col("rk"))
+          .otherwise(0L)).as("__k"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("source"), col("n_docs"), col("n_pass"), col("rate_ppm"),
+          col("p_micro"), col("rk"), col("bh_cut_micro"),
+          (col("rk") <= col("__k")).as("rejected"))
+        .orderBy("rk")
+    }),
+
+    // ISOTONIC RECALIBRATION (PAV; Zadrozny & Elkan KDD'02) of the
+    // q367 reliability census — the monotone repair every calibration
+    // audit feeds back into serving: the q142 margin ORDERS documents
+    // well, but its linear link is over/under-confident per decile;
+    // the n_docs-weighted isotonic fit of per-bin pass rate onto bin
+    // order is the least-squares monotone map. Computed CLOSED-FORM
+    // via the minimax characterization (graft.ext.Calibration — floor
+    // commutes with max/min, so the floored-ppm interval averages
+    // yield EXACTLY floor(PAV)): no pooling loop, no driver, three
+    // broadcast joins over the 10-row bins frame. Both ECEs ride
+    // along; the isotonic map is fit on the SAME frame it scores, so
+    // ece_iso_ppm <= ece_raw_ppm is the expected in-sample direction
+    // (honest held-out evaluation splits by q368). Scale shape: one
+    // map-side scan -> 10-row census; everything downstream is
+    // bins-sized.
+    "q373_isotonic_calibration" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val base = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          size(toks).as("n_subwords"),
+          aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
+          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+           col("symbol_ratio") <= 0.1 &&
+           col("mean_word_len").between(2.0, 12.0)).as("pass"))
+        .filter(col("n_subwords") > 0)
+        .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
+      val bins = graft.ops.Staging.stage(base
+        .select(col("pass"),
+          expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"),
+          col("conf_ppm"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("conf_ppm").as("sum_conf"),
+             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("sum_conf div n_docs").as("mean_conf_ppm"),
+          expr("(n_pass * 1000000) div n_docs").as("acc_ppm")))
+      val iso = Calibration.isotonicFitPpm(bins, "bin", "n_docs", "n_pass")
+      val full = graft.ops.Staging.stage(bins.join(broadcast(iso), Seq("bin")))
+      val ece = full.agg(
+        expr("sum(n_docs * abs(acc_ppm - mean_conf_ppm)) div sum(n_docs)")
+          .as("ece_raw_ppm"),
+        expr("sum(n_docs * abs(acc_ppm - iso_ppm)) div sum(n_docs)")
+          .as("ece_iso_ppm"))
+      full.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          col("mean_conf_ppm"), col("acc_ppm"), col("iso_ppm"),
+          col("ece_raw_ppm"), col("ece_iso_ppm"))
+        .orderBy("bin")
+    }),
+
+    // BRIER SCORE + MURPHY DECOMPOSITION (Murphy J.Appl.Met.'73) of
+    // the q142 confidence link — the proper-score companion to q367's
+    // ECE: BS = uncertainty - resolution + reliability (+ within-bin
+    // confidence variance when the components come from binned
+    // summaries). Every squared term runs at MILLI scale:
+    // (conf_milli - y_milli)^2 <= 1e6, so BIGINT partial sums hold to
+    // ~9e12 docs (ppm squares would cap at ~9e6 — beyond either bound
+    // the q369 DECIMAL-valve note applies). The Murphy identity
+    // closes only up to the floor-lattice residue plus the within-bin
+    // variance; both land in wv_resid_m2, documented rather than
+    // hidden. Scale shape: ONE map-side scan into a staged per-doc
+    // frame consumed by the global and the 10-bin aggregates; the
+    // components join as 1-row broadcasts.
+    "q374_brier_decomposition" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val doc = graft.ops.Staging.stage(
+        TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+          .select(col("doc_id"),
+            size(toks).as("n_subwords"),
+            aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
+            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+             col("symbol_ratio") <= 0.1 &&
+             col("mean_word_len").between(2.0, 12.0)).as("pass"))
+          .filter(col("n_subwords") > 0)
+          .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
+          .select(expr("conf_ppm div 1000").as("cm"),
+            expr("CASE WHEN pass THEN CAST(1000 AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END").as("ym")))
+      val g = doc.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ym") === 1000L, 1L).otherwise(0L)).as("n_pass"),
+          sum((col("cm") - col("ym")) * (col("cm") - col("ym")))
+            .as("se_sum"))
+        .withColumn("ybar_m", expr("(n_pass * 1000) div n_docs"))
+      val comp = doc
+        .groupBy(expr("least(CAST(9 AS BIGINT), cm div 100)").as("bin"))
+        .agg(count(lit(1)).as("nb"), sum("cm").as("sum_cm"),
+             sum(when(col("ym") === 1000L, 1L).otherwise(0L)).as("pb"))
+        .select(col("nb"), expr("sum_cm div nb").as("mcb"),
+          expr("(pb * 1000) div nb").as("accb"))
+        .crossJoin(broadcast(g.select(col("ybar_m"))))
+        .agg(expr("sum(nb * (mcb - accb) * (mcb - accb))").as("rel_sum"),
+             expr("sum(nb * (accb - ybar_m) * (accb - ybar_m))")
+               .as("res_sum"))
+      g.crossJoin(broadcast(comp))
+        .select(col("n_docs"), col("n_pass"), col("ybar_m").as("ybar_milli"),
+          expr("se_sum div n_docs").as("brier_m2"),
+          expr("rel_sum div n_docs").as("rel_m2"),
+          expr("res_sum div n_docs").as("res_m2"),
+          expr("ybar_m * (1000 - ybar_m)").as("unc_m2"),
+          expr("se_sum div n_docs - ybar_m * (1000 - ybar_m) " +
+            "+ res_sum div n_docs - rel_sum div n_docs").as("wv_resid_m2"))
+        .orderBy("n_docs")
+    }),
+
+    // FAIRNESS AUDIT of the q142 predictor across sources — the
+    // disparate-impact census (Feldman KDD'15; Hardt et al.
+    // NeurIPS'16) every learned corpus filter ships with: per source,
+    // the SELECTION rate (demographic parity), and TPR / FPR against
+    // the q67 gate truth (equalized odds), each a floored-ppm integer
+    // with NULL where the stratum lacks the relevant outcome (the
+    // ANSI /0 rule), plus the gap to the corpus-wide rate. Pure
+    // integer arithmetic end to end — no float anywhere, so no
+    // rounding traps. The six derived columns come from ONE generator
+    // parameterized on the integer-division token (the q369 rule).
+    // Scale shape: ONE map-side scan folds predictor + truth into a
+    // |sources|-row contingency frame (the q358 convention); the
+    // totals row broadcasts back onto it.
+    "q375_fairness_audit" -> ((s, d) => {
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      val ws0 = transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val per = graft.ops.Staging.stage(
+        TextStats.withRepetitionStats(Tables.documents(s, d), "text")
+          .select(col("source"),
+            (aggregate(ws0, lit(0L), (acc, x) => acc + x) > 0L).as("a_pred"),
+            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+             col("symbol_ratio") <= 0.1 &&
+             col("mean_word_len").between(2.0, 12.0)).as("pass"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("a_pred"), 1L).otherwise(0L)).as("n_sel"),
+            sum(when(col("a_pred") && col("pass"), 1L).otherwise(0L))
+              .as("n_tp"),
+            sum(when(col("a_pred") && !col("pass"), 1L).otherwise(0L))
+              .as("n_fp")))
+      val tot = per.agg(sum("n_docs").as("t_n"), sum("n_pass").as("t_pass"),
+        sum("n_sel").as("t_sel"), sum("n_tp").as("t_tp"),
+        sum("n_fp").as("t_fp"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source") +: col("n_docs") +:
+          fairnessCols("div").map { case (n, t) => expr(t).as(n) }: _*)
+        .orderBy("source")
+    }),
   )
 
   /** q367's confidence link in ppm — ONE shared text (both engines):
@@ -1553,6 +1751,62 @@ object TextCurationQueries {
       "CAST(greatest(abs(b_cnt - c_cnt) - 1, 0) AS DOUBLE) / " +
       "CAST(b_cnt + c_cnt AS DOUBLE)) AS BIGINT) " +
       "ELSE CAST(NULL AS BIGINT) END"
+
+  /** q372's two-sided p-value in floored micro — ONE shared text over
+    * the exact integer cells (n_pass, n_docs, tot_p, tot_n): pooled
+    * two-proportion z, then p = erfc(z/sqrt(2)) via the
+    * Abramowitz-Stegun 7.1.26 polynomial (|err| < 1.5e-7, sub-micro —
+    * the approximation IS the statistic). Every literal is
+    * CAST(... AS DOUBLE) (the q293 DECIMAL rule); negative
+    * coefficients enter through binary minus (the DpNoisyMilli
+    * convention). Degenerate strata guard to p = 1e6: a single-source
+    * corpus (tot_n = n_docs) has no complement, and an all-pass /
+    * all-fail corpus has zero pooled variance AND zero rate
+    * difference. */
+  private[graft] val BhPMicro: String = {
+    val p1 = "(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val p2 = "(CAST(tot_p - n_pass AS DOUBLE) / " +
+      "CAST(tot_n - n_docs AS DOUBLE))"
+    val pp = "(CAST(tot_p AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+    val den = s"($pp * (CAST(1 AS DOUBLE) - $pp) * " +
+      "(CAST(1 AS DOUBLE) / CAST(n_docs AS DOUBLE) + " +
+      "CAST(1 AS DOUBLE) / CAST(tot_n - n_docs AS DOUBLE)))"
+    val x = s"((abs($p1 - $p2) / sqrt($den)) * " +
+      "CAST(0.7071067811865476 AS DOUBLE))"
+    val t = s"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+      s"CAST(0.3275911 AS DOUBLE) * $x))"
+    val poly = s"($t * CAST(0.254829592 AS DOUBLE) " +
+      s"- $t * $t * CAST(0.284496736 AS DOUBLE) " +
+      s"+ $t * $t * $t * CAST(1.421413741 AS DOUBLE) " +
+      s"- $t * $t * $t * $t * CAST(1.453152027 AS DOUBLE) " +
+      s"+ $t * $t * $t * $t * $t * CAST(1.061405429 AS DOUBLE))"
+    val p = s"($poly * exp(CAST(0 AS DOUBLE) - $x * $x))"
+    "CASE WHEN tot_n = n_docs OR tot_p = 0 OR tot_p = tot_n " +
+      "THEN CAST(1000000 AS BIGINT) " +
+      s"ELSE least(CAST(1000000 AS BIGINT), " +
+      s"CAST(floor(CAST(1000000 AS DOUBLE) * $p) AS BIGINT)) END"
+  }
+
+  /** q375's six derived rate/gap columns, parameterized on the
+    * integer-division token (Spark `div`, DuckDB `//` — identical
+    * truncation on the non-negative operands here) so both engines
+    * share one generator; every division is zero-guarded to NULL (a
+    * stratum with no positives has no TPR; the ANSI /0 rule). */
+  private def fairnessCols(idiv: String): Seq[(String, String)] = Seq(
+    "sel_ppm" -> s"(n_sel * 1000000) $idiv n_docs",
+    "tpr_ppm" -> (s"CASE WHEN n_pass > 0 THEN (n_tp * 1000000) $idiv " +
+      "n_pass ELSE CAST(NULL AS BIGINT) END"),
+    "fpr_ppm" -> (s"CASE WHEN n_docs - n_pass > 0 THEN (n_fp * 1000000) " +
+      s"$idiv (n_docs - n_pass) ELSE CAST(NULL AS BIGINT) END"),
+    "sel_gap_ppm" -> (s"((n_sel * 1000000) $idiv n_docs) - " +
+      s"((t_sel * 1000000) $idiv t_n)"),
+    "tpr_gap_ppm" -> (s"CASE WHEN n_pass > 0 AND t_pass > 0 THEN " +
+      s"((n_tp * 1000000) $idiv n_pass) - ((t_tp * 1000000) $idiv t_pass) " +
+      "ELSE CAST(NULL AS BIGINT) END"),
+    "fpr_gap_ppm" -> (s"CASE WHEN n_docs - n_pass > 0 AND t_n - t_pass > 0 " +
+      s"THEN ((n_fp * 1000000) $idiv (n_docs - n_pass)) - " +
+      s"((t_fp * 1000000) $idiv (t_n - t_pass)) " +
+      "ELSE CAST(NULL AS BIGINT) END"))
 
   /** q369's derived columns, parameterized on the integer-division
     * token (Spark `div`, DuckDB `//` — identical truncation on the
@@ -3128,5 +3382,164 @@ object TextCurationQueries {
         |SELECT r.bin, r.n_docs, r.n_pass, r.mean_conf_ppm, r.acc_ppm,
         |  r.acc_ppm - r.mean_conf_ppm AS gap_ppm, e.ece_ppm
         |FROM r, e ORDER BY bin""").stripMargin,
+
+    // BH-FDR replay: q67's gate formulas, per-source exact cells, the
+    // SHARED A&S erfc p-value text, and the integer step-up (floored
+    // threshold, ties broken on source — both engines sort the same).
+    "q372_bh_fdr" ->
+      ("WITH " + GateCtesSql + ",\n" +
+       s"""per AS (
+        |  SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM g JOIN documents dd ON dd.doc_id = g.doc_id
+        |  GROUP BY dd.source),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_n,
+        |    CAST(sum(n_pass) AS BIGINT) AS tot_p,
+        |    CAST(count(*) AS BIGINT) AS m_src
+        |  FROM per),
+        |sc2 AS (
+        |  SELECT source, n_docs, n_pass, m_src,
+        |    (n_pass * 1000000) // n_docs AS rate_ppm,
+        |    $BhPMicro AS p_micro
+        |  FROM per, tot),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, source)
+        |    AS BIGINT) AS rk
+        |  FROM sc2),
+        |rk2 AS (SELECT *, (rk * 50000) // m_src AS bh_cut_micro FROM rk),
+        |km AS (
+        |  SELECT max(CASE WHEN p_micro <= bh_cut_micro THEN rk ELSE 0 END)
+        |    AS k FROM rk2)
+        |SELECT source, n_docs, n_pass, rate_ppm, p_micro, rk, bh_cut_micro,
+        |  rk <= km.k AS rejected
+        |FROM rk2, km ORDER BY rk""").stripMargin,
+
+    // Isotonic replay: q367's bins verbatim, the interval / minimax
+    // CTEs mirroring graft.ext.Calibration's joins, and both ECEs.
+    "q373_isotonic_calibration" ->
+      ("WITH " + HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""base AS (
+        |  SELECT g.pass, $CalibConfPpm AS conf_ppm
+        |  FROM g JOIN sc ON g.doc_id = sc.doc_id
+        |  WHERE g.n_subwords > 0),
+        |b AS (
+        |  SELECT pass, conf_ppm,
+        |    least(CAST(9 AS BIGINT), conf_ppm // 100000) AS bin
+        |  FROM base),
+        |c AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM b GROUP BY bin),
+        |r AS (
+        |  SELECT bin, n_docs, n_pass,
+        |    sum_conf // n_docs AS mean_conf_ppm,
+        |    (n_pass * 1000000) // n_docs AS acc_ppm
+        |  FROM c),
+        |iv AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |    (CAST(sum(x.n_pass) AS BIGINT) * 1000000)
+        |      // CAST(sum(x.n_docs) AS BIGINT) AS avg_ppm
+        |  FROM r j, r k, r x
+        |  WHERE j.bin <= k.bin AND x.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |mins AS (
+        |  SELECT i.bin AS ib, v.jb, min(v.avg_ppm) AS mn
+        |  FROM r i JOIN iv v ON v.jb <= i.bin AND v.kb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib, max(mn) AS iso_ppm FROM mins GROUP BY ib),
+        |f AS (SELECT r.*, iso.iso_ppm FROM r JOIN iso ON r.bin = iso.ib),
+        |e AS (
+        |  SELECT
+        |    CAST(sum(n_docs * abs(acc_ppm - mean_conf_ppm)) AS BIGINT)
+        |      // CAST(sum(n_docs) AS BIGINT) AS ece_raw_ppm,
+        |    CAST(sum(n_docs * abs(acc_ppm - iso_ppm)) AS BIGINT)
+        |      // CAST(sum(n_docs) AS BIGINT) AS ece_iso_ppm
+        |  FROM f)
+        |SELECT f.bin, f.n_docs, f.n_pass, f.mean_conf_ppm, f.acc_ppm,
+        |  f.iso_ppm, e.ece_raw_ppm, e.ece_iso_ppm
+        |FROM f, e ORDER BY bin""").stripMargin,
+
+    // Brier replay: q367's confidence link at milli scale, the exact
+    // integer squared-error sums, and the Murphy components.
+    "q374_brier_decomposition" ->
+      ("WITH " + HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""base AS (
+        |  SELECT g.pass, $CalibConfPpm AS conf_ppm
+        |  FROM g JOIN sc ON g.doc_id = sc.doc_id
+        |  WHERE g.n_subwords > 0),
+        |doc AS (
+        |  SELECT conf_ppm // 1000 AS cm,
+        |    CASE WHEN pass THEN CAST(1000 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS ym
+        |  FROM base),
+        |ga AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN ym = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass,
+        |    CAST(sum((cm - ym) * (cm - ym)) AS BIGINT) AS se_sum
+        |  FROM doc),
+        |g2 AS (SELECT *, (n_pass * 1000) // n_docs AS ybar_m FROM ga),
+        |bn AS (
+        |  SELECT least(CAST(9 AS BIGINT), cm // 100) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(cm) AS BIGINT) AS sum_cm,
+        |    CAST(sum(CASE WHEN ym = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pb
+        |  FROM doc GROUP BY 1),
+        |bm AS (
+        |  SELECT nb, sum_cm // nb AS mcb, (pb * 1000) // nb AS accb
+        |  FROM bn),
+        |comp AS (
+        |  SELECT
+        |    CAST(sum(nb * (mcb - accb) * (mcb - accb)) AS BIGINT)
+        |      AS rel_sum,
+        |    CAST(sum(nb * (accb - g2.ybar_m) * (accb - g2.ybar_m))
+        |      AS BIGINT) AS res_sum
+        |  FROM bm, g2)
+        |SELECT g2.n_docs, g2.n_pass, g2.ybar_m AS ybar_milli,
+        |  g2.se_sum // g2.n_docs AS brier_m2,
+        |  comp.rel_sum // g2.n_docs AS rel_m2,
+        |  comp.res_sum // g2.n_docs AS res_m2,
+        |  g2.ybar_m * (1000 - g2.ybar_m) AS unc_m2,
+        |  g2.se_sum // g2.n_docs - g2.ybar_m * (1000 - g2.ybar_m)
+        |    + comp.res_sum // g2.n_docs - comp.rel_sum // g2.n_docs
+        |    AS wv_resid_m2
+        |FROM g2, comp ORDER BY n_docs""").stripMargin,
+
+    // Fairness replay: q142's score chain (zero-token docs keep score
+    // 0 via LEFT JOIN + coalesce, the q142 convention), q67's gate
+    // truth, the per-source contingency cells, and the SHARED
+    // rate/gap generator at the DuckDB division token.
+    "q375_fairness_audit" ->
+      ("WITH " + HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""j AS (
+        |  SELECT dd.source, coalesce(sc.score, 0) > 0 AS a_pred, g.pass
+        |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+        |  JOIN documents dd ON dd.doc_id = g.doc_id),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass,
+        |    CAST(sum(CASE WHEN a_pred THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sel,
+        |    CAST(sum(CASE WHEN a_pred AND pass THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_tp,
+        |    CAST(sum(CASE WHEN a_pred AND NOT pass THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_fp
+        |  FROM j GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS t_n,
+        |    CAST(sum(n_pass) AS BIGINT) AS t_pass,
+        |    CAST(sum(n_sel) AS BIGINT) AS t_sel,
+        |    CAST(sum(n_tp) AS BIGINT) AS t_tp,
+        |    CAST(sum(n_fp) AS BIGINT) AS t_fp
+        |  FROM per)
+        |SELECT source, n_docs,
+        |${fairnessCols("//").map { case (n, t) => s"  $t AS $n" }
+            .mkString(",\n")}
+        |FROM per, tot ORDER BY source""").stripMargin,
   )
 }
