@@ -396,7 +396,11 @@ object IvfIndex {
     require(destPath != path,
       "compaction writes a new index generation — give it a fresh path")
     val gf = graft.functions.GraftFunctions
-    val raw = spark.read.parquet(s"$path/corpus")
+    // fold tombstoned ids OUT before re-clustering: the new generation
+    // is physically delete-free (and carries no tombstone set), and
+    // the k-means geometry fits the surviving corpus only
+    val raw = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/corpus"))
     if (raw.columns.contains("codes")) {
       // a labeled quantized index recompacts with its labels —
       // saveQuantized detects the column and keeps the (label, cell)
@@ -482,7 +486,59 @@ object IvfIndex {
     shards.flatMap(_._1).zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$destPath/centroids")
+    // a shard's live tombstones carry over (merge moves bytes — the
+    // cell relabel is irrelevant to an id-keyed set), so
+    // delete-then-merge stays correct without forcing a compaction
+    paths.foreach { p =>
+      tombstones(spark, p).foreach(_.write.mode("append")
+        .parquet(s"$destPath/tombstones"))
+    }
   }
+
+  /** TOMBSTONE-DELETE ids from a saved index — the retention /
+    * right-to-be-forgotten path the build/append/compact/merge
+    * lifecycle needs to be operable: a delete CANNOT rewrite the
+    * cell-partitioned corpus (that is a full-index pass per request),
+    * so it appends the ids to an id-keyed tombstone set at
+    * `path/tombstones` instead. [[load]] anti-joins the set, so every
+    * serve path — float or quantized, filtered or not — excludes
+    * deleted vectors from the next load on; [[compact]] folds the
+    * tombstones into the fresh generation PHYSICALLY and does not
+    * carry the set forward (the delete-then-compact pattern: logical
+    * now, physical at the next rewrite the lifecycle was doing
+    * anyway). Cost is O(|ids|): one tiny parquet append, corpus
+    * untouched.
+    *
+    * Semantics: deletes are idempotent (re-deleting an id adds a row
+    * the anti-join already absorbs) and PERMANENT until a compact —
+    * in particular, [[append]]-ing a vector under a tombstoned id
+    * stays invisible until the next generation; re-ingest under a
+    * fresh id, or compact first (the standard tombstone trade).
+    * `idCol`'s type must match the index's stored id type. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live tombstone set of a saved index (empty frame absent —
+    * never null), id-keyed like the corpus. */
+  private def tombstones(spark: SparkSession,
+                         path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+  }
+
+  /** Anti-join a corpus frame against the tombstone set, if any.
+    * Between compactions the set is deletes-sized (<< corpus), so AQE
+    * resolves the anti-join as a broadcast; the corpus-side cell
+    * filters still push through the join's left side, so partition
+    * pruning is unchanged. */
+  private def dropTombstoned(spark: SparkSession, path: String,
+                             corpus: DataFrame): DataFrame =
+    tombstones(spark, path).fold(corpus)(t =>
+      corpus.join(t, Seq("neighbor_id"), "left_anti"))
 
   private def readCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
@@ -494,7 +550,11 @@ object IvfIndex {
     * parquet scan — search()'s cell filter prunes its directories. */
   def load(spark: SparkSession, path: String): IvfIndex = {
     val cents = readCentroids(spark, path)
-    val raw = spark.read.parquet(s"$path/corpus")
+    // tombstoned ids drop here, so EVERY serve path over the loaded
+    // index (search / searchQuantized / searchFiltered[Quantized])
+    // excludes deletes without knowing they exist
+    val raw = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/corpus"))
     val corpus =
       if (raw.columns.contains("codes"))
         raw.select(Seq(col("neighbor_id"),

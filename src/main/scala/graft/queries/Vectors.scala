@@ -601,6 +601,47 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // TOMBSTONE-DELETE lifecycle at the driver (build -> append ->
+    // delete -> serve LOGICALLY -> compact -> serve PHYSICALLY) — the
+    // retention / right-to-be-forgotten path that makes the index
+    // operable: a delete appends ids to a tombstone set (O(|ids|),
+    // corpus untouched), load() anti-joins it so the very next load
+    // serves without the deleted vectors, and the next compact folds
+    // them out physically (the fresh generation carries no tombstone
+    // set at all). BOTH serve stages are returned, tagged, and both
+    // must equal the exact filtered-top-k over the SURVIVING corpus —
+    // q268's oracle text restricted to vec_id % 7 <> 3 and crossed
+    // with the stage tags, making the whole delete mechanism
+    // result-invisible by construction (exhaustive probes, as q333).
+    "q376_ivf_delete_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q376ivf").toString
+      val gen2 = java.nio.file.Files.createTempDirectory("q376cmp").toString
+      graft.ext.IvfIndex.buildLabeled(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", "label",
+          nCentroids = 8, kmeansSweeps = 2)
+        .save(dir)
+      graft.ext.IvfIndex.append(s, dir,
+        emb.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+        "vec_id", "embedding", labelCol = Some("label"))
+      graft.ext.IvfIndex.delete(s, dir,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+        "vec_id")
+      val queries = emb.filter(col("vec_id") < 5)
+      val logical = graft.ext.IvfIndex.load(s, dir)
+        .searchFiltered(queries, "vec_id", "embedding", "label",
+          k = 3, nProbe = 8)
+        .withColumn("stage", lit("logical"))
+      graft.ext.IvfIndex.compact(s, dir, gen2,
+        nCentroids = 8, kmeansSweeps = 2)
+      val physical = graft.ext.IvfIndex.load(s, gen2)
+        .searchFiltered(queries, "vec_id", "embedding", "label",
+          k = 3, nProbe = 8)
+        .withColumn("stage", lit("physical"))
+      logical.unionByName(physical).orderBy("stage", "query_id", "rnk")
+    }),
+
     // Planar GRID RANGE JOIN (Spatial.gridRangeJoin): all vector
     // pairs within L2 distance 0.02 in the first-two-dims projection
     // plane — the spatial self-join class (proximity blocking,
@@ -755,6 +796,34 @@ object VectorQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p)
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** q376's oracle: q268's exact filtered-top-k text restricted to
+    * the SURVIVING corpus (vec_id % 7 <> 3 — the deleted set), then
+    * crossed with the two serve-stage tags: the logical (tombstone
+    * anti-join) and physical (post-compact) serves must both equal
+    * it, row for row. */
+  private val DeleteAnnOracleSql =
+    """WITH st AS (SELECT unnest(['logical', 'physical']) AS stage),
+      |n AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, label, vec,
+      |    sqrt(list_sum(list_transform(vec, x -> x*x))) AS nrm FROM n),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> q.vec[i] * t.vec[i]))
+      |      / (q.nrm * t.nrm) AS sim
+      |  FROM m q, m t
+      |  WHERE q.vec_id < 5 AND t.label = q.label
+      |    AND t.vec_id <> q.vec_id AND t.vec_id % 7 <> 3)
+      |SELECT st.stage, query_id, neighbor_id,
+      |  round(sim, 6) AS cosine_sim, rnk
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p), st
+      |WHERE rnk <= 3 ORDER BY stage, query_id, rnk""".stripMargin
 
   /** q269's per-bucket PSI contribution in nano-nats, pre-floor —
     * Laplace(+1)-smoothed shares from exact integer counts, SHARED
@@ -1345,6 +1414,7 @@ object VectorQueries {
     // append and re-cluster must all be result-invisible).
     "q333_ivf_compact_lifecycle" -> FilteredAnnOracleSql,
     "q366_ivf_merge_lifecycle" -> FilteredAnnOracleSql,
+    "q376_ivf_delete_lifecycle" -> DeleteAnnOracleSql,
 
     // All-pairs replay of the grid range join: the grid only prunes
     // CANDIDATES, so brute force with the identical squared-distance

@@ -1355,6 +1355,77 @@ class ExtSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("already holds a corpus"))
   }
 
+  test("IvfIndex.delete: tombstones drop at load; compact folds physically; merge carries them") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val victims = emb.filter(pmod($"vec_id", lit(5)) === 1)
+    val survivors = emb.filter(pmod($"vec_id", lit(5)) =!= 1)
+    // the serve contract: exhaustive probes over the post-delete index
+    // == brute-force top-k over the SURVIVING corpus, exactly
+    val exact = rows(Similarity.bruteForceTopK(survivors, q,
+      "vec_id", "embedding", k = 3))
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(dir)
+    graft.ext.IvfIndex.delete(spark, dir, victims.select("vec_id"), "vec_id")
+    val logical = graft.ext.IvfIndex.load(spark, dir)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 8)
+    assert(rows(logical) == exact,
+      "the very next load must serve without the deleted vectors")
+    // the delete wrote ONLY the tombstone set — corpus files untouched
+    assert(spark.read.parquet(s"$dir/corpus").count() == emb.count())
+    // cell partition pruning survives the tombstone anti-join
+    val plan = graft.ext.IvfIndex.load(spark, dir)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"tombstoned-index search must still prune cell partitions:\n$plan")
+    // idempotent: re-deleting the same ids changes nothing
+    graft.ext.IvfIndex.delete(spark, dir, victims.select("vec_id"), "vec_id")
+    assert(rows(graft.ext.IvfIndex.load(spark, dir)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 8)) == exact)
+    // append under a tombstoned id stays invisible until a compact —
+    // the documented tombstone trade
+    graft.ext.IvfIndex.append(spark, dir, victims.limit(1),
+      "vec_id", "embedding")
+    assert(rows(graft.ext.IvfIndex.load(spark, dir)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 8)) == exact)
+    // compact folds the tombstones physically: the fresh generation
+    // holds survivors only and carries NO tombstone set
+    val dest = java.nio.file.Files.createTempDirectory("ivfdelc").toString
+    graft.ext.IvfIndex.compact(spark, dir, dest,
+      nCentroids = 8, kmeansSweeps = 2)
+    assert(!new java.io.File(s"$dest/tombstones").exists,
+      "a compacted generation must not carry tombstones forward")
+    assert(spark.read.parquet(s"$dest/corpus").count() == survivors.count())
+    assert(rows(graft.ext.IvfIndex.load(spark, dest)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 8)) == exact)
+    // the quantized layout serves the same delete path (re-rank from
+    // the FULL float corpus — candidates already exclude the deleted)
+    val qdir = java.nio.file.Files.createTempDirectory("ivfdelq").toString
+    graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).saveQuantized(qdir)
+    graft.ext.IvfIndex.delete(spark, qdir, victims.select("vec_id"), "vec_id")
+    assert(rows(graft.ext.IvfIndex.load(spark, qdir)
+      .searchQuantized(q, emb, "vec_id", "embedding", k = 3, nProbe = 8))
+      == exact)
+    // merge carries each shard's live tombstones into the union
+    val a = java.nio.file.Files.createTempDirectory("ivfdelA").toString
+    val b = java.nio.file.Files.createTempDirectory("ivfdelB").toString
+    val m = java.nio.file.Files.createTempDirectory("ivfdelM").toString
+    graft.ext.IvfIndex.build(emb.filter(pmod($"vec_id", lit(2)) === 0),
+      "vec_id", "embedding", nCentroids = 8, kmeansSweeps = 2).save(a)
+    graft.ext.IvfIndex.build(emb.filter(pmod($"vec_id", lit(2)) =!= 0),
+      "vec_id", "embedding", nCentroids = 8, kmeansSweeps = 2).save(b)
+    graft.ext.IvfIndex.delete(spark, a, victims.select("vec_id"), "vec_id")
+    graft.ext.IvfIndex.merge(spark, Seq(a, b), m)
+    assert(rows(graft.ext.IvfIndex.load(spark, m)
+      .search(q, "vec_id", "embedding", k = 3, nProbe = 16)) == exact,
+      "merged index must honor carried tombstones")
+  }
+
   test("IvfIndex.compact: fresh-generation re-cluster, identical exhaustive search, codes carried bit-identical") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
