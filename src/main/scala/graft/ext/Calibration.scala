@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Calibration {
 
+  /** The q367 confidence link in ppm — ONE shared text (both engines;
+    * lives with the operator so the streaming twin and the oracle
+    * interpolate the SAME string without touching the query objects'
+    * eager init, the Agreement.KappaPpm convention): conf =
+    * clamp(1/2 + margin/4) where margin/4 = score*500/n_subwords,
+    * floored ONCE; all non-negative integer ops downstream, so Spark
+    * `div` and DuckDB `//` agree. */
+  val ConfPpm: String =
+    "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
+      "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
+
   /** Weighted isotonic fit of the per-bin pass rate onto the bin
     * order, in exact floored-ppm integers.
     *

@@ -1662,15 +1662,11 @@ object TextCurationQueries {
     }),
   )
 
-  /** q367's confidence link in ppm — ONE shared text (both engines):
-    * conf = clamp(1/2 + margin/4) where margin/4 = score*500/n
-    * subwords, floored ONCE so the two-floor margin path cannot
-    * disagree with it; all non-negative integer ops downstream, so
-    * Spark `div` (truncating) and DuckDB `//` agree. */
-  private val CalibConfPpm =
-    "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
-      "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
-      "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
+  // q367's confidence link lives with the operator
+  // (graft.ext.Calibration.ConfPpm — cycle-free, so the streaming
+  // twin can interpolate it without touching this object's eager
+  // init); the oracle interpolates the SAME string.
+  private val CalibConfPpm = graft.ext.Calibration.ConfPpm
 
   /** Shared oracle CTE text for q367/q370/q371: the per-doc q67 gate
     * stats and the pass bit (+ n_subwords) in ONE copy, so the gate

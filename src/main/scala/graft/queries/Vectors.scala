@@ -642,6 +642,69 @@ object VectorQueries {
       logical.unionByName(physical).orderBy("stage", "query_id", "rnk")
     }),
 
+    // EMBEDDING-SPACE DRIFT via the LINEAR-TIME MMD estimator
+    // (Gretton et al. JMLR'12 §6) — the distribution-shift monitor
+    // for embedding pipelines (new crawl vs reference corpus,
+    // retrained encoder vs serving index), complementing q269's PSI
+    // (per-feature bins) with a kernel statistic that sees the JOINT
+    // geometry. The quadratic MMD is unusable at corpus scale; the
+    // linear estimator pairs sample 2j-1 with 2j and averages
+    // h = k(x,x')+k(y,y')-k(x,y')-k(x',y) — ONE pass, no all-pairs.
+    // Determinism the lattice way: components quantize to exact
+    // integers (floor(x * 2^20) — float->double is exact and the
+    // power-of-two product is exact IEEE, so both engines get the
+    // SAME integer), squared L2 distances are then exact BIGINTs
+    // (<= 64 * 2^42 < 2^49), and the RBF kernel exp(-d2/2^41) — i.e.
+    // sigma^2 = 1 on the unit-norm vectors — is ONE shared text over
+    // those exact integers, floored to nano. Pairing rides the
+    // denseIndex kernel (the q300 rule: no global windows), and the
+    // consecutive-pair regroup is two id-keyed joins. P = labels 0-4,
+    // Q = labels 5-9 — a label-composition split whose drift is weak
+    // by construction, so the statistic exercises BOTH regimes:
+    // positive at sf0.001/0.01 and (measured) slightly NEGATIVE at
+    // sf0.1, where the unbiased estimator legitimately dips below 0 —
+    // which is why the sign-split division guard is load-bearing:
+    // Spark div truncates toward zero, DuckDB // floors, and they
+    // diverge on exactly that negative case. Scale: sum |h| <= 4e9 *
+    // pairs bounds BIGINT headroom at ~2e9 pairs — the q369
+    // DECIMAL-valve note beyond.
+    "q377_mmd_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) " +
+        "AS BIGINT))")
+      val xs = graft.ops.Kernels.denseIndex(
+        emb.filter(col("label") < 5).select(col("vec_id"), qv.as("qv")),
+        "vec_id", "idx")
+      val ys = graft.ops.Kernels.denseIndex(
+        emb.filter(col("label") >= 5).select(col("vec_id"), qv.as("qv")),
+        "vec_id", "idx")
+      val paired = graft.ops.Staging.stage(
+        xs.select(col("idx"), col("qv").as("xv"))
+          .join(ys.select(col("idx"), col("qv").as("yv")), "idx"))
+      val a = paired.filter(expr("idx % 2 = 0"))
+        .select(expr("idx div 2").as("j"), col("xv").as("xa"),
+          col("yv").as("ya"))
+      val b = paired.filter(expr("idx % 2 = 1"))
+        .select(expr("idx div 2").as("j"), col("xv").as("xb"),
+          col("yv").as("yb"))
+      def d2(u: String, v: String) =
+        s"aggregate(zip_with($u, $v, (p, q) -> (p - q) * (p - q)), " +
+          "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+      val sums = a.join(b, "j")
+        .select((expr(MmdKernNano(d2("xa", "xb"))) +
+                 expr(MmdKernNano(d2("ya", "yb"))) -
+                 expr(MmdKernNano(d2("xa", "yb"))) -
+                 expr(MmdKernNano(d2("xb", "ya")))).as("h_nano"))
+        .agg(count(lit(1)).as("n_pairs"), sum("h_nano").as("sum_h_nano"))
+      val nx = xs.agg(count(lit(1)).as("n_x"))
+      val ny = ys.agg(count(lit(1)).as("n_y"))
+      sums.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+        .select(col("n_x"), col("n_y"), col("n_pairs"), col("sum_h_nano"),
+          expr(MmdMeanNano("div")).as("mmd2_nano"))
+        .orderBy("n_pairs")
+    }),
+
     // Planar GRID RANGE JOIN (Spatial.gridRangeJoin): all vector
     // pairs within L2 distance 0.02 in the first-two-dims projection
     // plane — the spatial self-join class (proximity blocking,
@@ -824,6 +887,31 @@ object VectorQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p), st
       |WHERE rnk <= 3 ORDER BY stage, query_id, rnk""".stripMargin
+
+  /** q377's RBF kernel in floored nano — ONE shared text over an
+    * exact-BIGINT squared distance on the 2^20 component lattice:
+    * exp(-d2 / 2^41) == exp(-||u-v||^2 / 2) on the original unit-norm
+    * scale (sigma^2 = 1). The only float op is the exp over an exact
+    * integer argument (the q369 shared exp/ln convention). */
+  private def MmdKernNano(d2: String): String =
+    s"CAST(floor(CAST(1000000000 AS DOUBLE) * exp(CAST(0 AS DOUBLE) - " +
+      s"CAST($d2 AS DOUBLE) / CAST(2199023255552 AS DOUBLE))) AS BIGINT)"
+
+  /** q377's mean with a SIGN-SPLIT integer division — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a negative
+    * estimate (the linear MMD is unbiased and can dip below 0) must
+    * divide on the non-negative magnitude in both engines. */
+  private def MmdMeanNano(idiv: String): String =
+    "CASE WHEN n_pairs = 0 THEN CAST(NULL AS BIGINT) " +
+      s"WHEN sum_h_nano >= 0 THEN sum_h_nano $idiv n_pairs " +
+      s"ELSE CAST(0 AS BIGINT) - ((CAST(0 AS BIGINT) - sum_h_nano) " +
+      s"$idiv n_pairs) END"
+
+  /** q377's oracle-side exact squared distance (BIGINT components on
+    * the shared lattice) fed to the SHARED kernel text. */
+  private def mmdOracleKern(u: String, v: String): String =
+    MmdKernNano("CAST(list_sum(list_transform(range(1, 65), " +
+      s"i -> ($u[i] - $v[i]) * ($u[i] - $v[i]))) AS BIGINT)")
 
   /** q269's per-bucket PSI contribution in nano-nats, pre-floor —
     * Laplace(+1)-smoothed shares from exact integer counts, SHARED
@@ -1415,6 +1503,45 @@ object VectorQueries {
     "q333_ivf_compact_lifecycle" -> FilteredAnnOracleSql,
     "q366_ivf_merge_lifecycle" -> FilteredAnnOracleSql,
     "q376_ivf_delete_lifecycle" -> DeleteAnnOracleSql,
+
+    // Linear-MMD replay: the same exact-integer component lattice
+    // (floor of an exact power-of-two product — identical integers by
+    // IEEE, not by luck), row_number pairing, consecutive-pair
+    // regroup, and the SHARED kernel/mean texts.
+    "q377_mmd_drift" ->
+      (s"""WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE))
+        |        AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, qv
+        |  FROM q WHERE label < 5),
+        |y AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, qv
+        |  FROM q WHERE label >= 5),
+        |p AS (
+        |  SELECT x.idx, x.qv AS xv, y.qv AS yv
+        |  FROM x JOIN y ON x.idx = y.idx),
+        |a AS (SELECT idx // 2 AS j, xv AS xa, yv AS ya FROM p
+        |      WHERE idx % 2 = 0),
+        |b AS (SELECT idx // 2 AS j, xv AS xb, yv AS yb FROM p
+        |      WHERE idx % 2 = 1),
+        |h AS (
+        |  SELECT ${mmdOracleKern("xa", "xb")} + ${mmdOracleKern("ya", "yb")}
+        |    - ${mmdOracleKern("xa", "yb")} - ${mmdOracleKern("xb", "ya")}
+        |    AS h_nano
+        |  FROM a JOIN b ON a.j = b.j),
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(h_nano) AS BIGINT) AS sum_h_nano
+        |  FROM h),
+        |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM x),
+        |ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM y)
+        |SELECT n_x, n_y, n_pairs, sum_h_nano,
+        |  ${MmdMeanNano("//")} AS mmd2_nano
+        |FROM sums, nx, ny ORDER BY n_pairs""").stripMargin,
 
     // All-pairs replay of the grid range join: the grid only prunes
     // CANDIDATES, so brute force with the identical squared-distance

@@ -650,4 +650,47 @@ object Streams {
         ()
       }
       .start()
+
+  /** STREAMING CALIBRATION MONITOR — the live form of the q367
+    * reliability census: the same per-document stage (hashed-feature
+    * score, gate truth, the SHARED [[graft.ext.Calibration.ConfPpm]]
+    * confidence link — all stateless projections, so the batch plan
+    * runs unchanged on the stream) feeding a running groupBy(bin)
+    * census in Complete mode. After any prefix of the stream the
+    * emitted census equals the batch census over exactly the
+    * documents ingested so far (StreamingSpec pins census-after-all-
+    * batches ≡ batch, plus a mid-stream prefix check) — the shape a
+    * serving stack uses to watch its quality filter's honesty drift
+    * as the crawl mix shifts, without re-scanning the corpus.
+    *
+    * State is 10 bin keys × three BIGINT counters — constant forever,
+    * no watermark needed: the census is a true running aggregate, not
+    * a windowed one (add a time window upstream for a sliding view).
+    * Downstream ECE/isotonic repair are bins-sized arithmetic on the
+    * emitted rows ([[graft.ext.Calibration.isotonicFitPpm]] applies
+    * to the census frame as-is). */
+  def calibrationCensusStream(docs: DataFrame,
+                              textCol: String = "text"): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))
+    val ws0 = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+    graft.ext.TextStats.withRepetitionStats(docs, textCol)
+      .select(size(toks).as("n_subwords"),
+        aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
+        (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+         col("symbol_ratio") <= 0.1 &&
+         col("mean_word_len").between(2.0, 12.0)).as("pass"))
+      .filter(col("n_subwords") > 0)
+      .select(col("pass"),
+        expr(graft.ext.Calibration.ConfPpm).as("conf_ppm"))
+      .select(col("pass"), col("conf_ppm"),
+        expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("conf_ppm").as("sum_conf"),
+           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("bin"), col("n_docs"), col("n_pass"),
+        expr("sum_conf div n_docs").as("mean_conf_ppm"),
+        expr("(n_pass * 1000000) div n_docs").as("acc_ppm"))
+  }
 }

@@ -928,4 +928,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$streamDir/corpus").count() == afterQ2,
       "replayed batch id under the same query id must be a no-op")
   }
+
+  test("calibrationCensusStream: running census ≡ batch at every prefix") {
+    implicit val sc = spark.sqlContext
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source").collect().toSeq
+      .map(r => Doc(r.getLong(0), ts(0), r.getString(1), r.getString(2)))
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    // the batch plan is the SAME transform applied to a batch frame —
+    // the twin claim is census(stream prefix) == census(batch prefix)
+    def censusOf(rows: Seq[Doc]) =
+      Streams.calibrationCensusStream(rows.toDF(), "text")
+        .orderBy("bin").collect().toSeq.map(_.toSeq)
+    val stream = MemoryStream[Doc]
+    val q = Streams.calibrationCensusStream(stream.toDF(), "text")
+      .writeStream.format("memory").queryName("calib_census")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(spark.table("calib_census").orderBy("bin")
+      .collect().toSeq.map(_.toSeq) == censusOf(b1),
+      "mid-stream census must equal the batch census over the prefix")
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    stream.addData(b3: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("calib_census").orderBy("bin")
+      .collect().toSeq.map(_.toSeq) == censusOf(docs),
+      "final census must equal the batch census over all documents")
+  }
 }
