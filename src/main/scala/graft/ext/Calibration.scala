@@ -38,6 +38,40 @@ object Calibration {
       "CAST(500000 AS BIGINT) + CAST(floor(CAST(score AS DOUBLE) * " +
       "CAST(500 AS DOUBLE) / CAST(n_subwords AS DOUBLE)) AS BIGINT)))"
 
+  /** Per-document confidence frame of the hashed-feature quality
+    * classifier vs the repetition gate — (pass, conf_ppm) for every
+    * tokenizable document. The ONE copy of the stage q367 (ECE), q373
+    * (isotonic repair), q374 (Brier) and the streaming census monitor
+    * all derive from (r19 review: three inline copies folded); all
+    * projections are stateless, so the same plan runs on a batch
+    * frame or a stream. */
+  def confidencePerDoc(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextStats.subwordTokens(col(textCol))
+    TextStats.withRepetitionStats(docs, textCol)
+      .select(size(toks).as("n_subwords"),
+        TextStats.hashedTokenScore(toks).as("score"),
+        TextStats.repetitionGate.as("pass"))
+      .filter(col("n_subwords") > 0)
+      .select(col("pass"), expr(ConfPpm).as("conf_ppm"))
+  }
+
+  /** The 10-bin reliability census over [[confidencePerDoc]]: per
+    * confidence decile, doc count, pass count, mean confidence and
+    * empirical pass rate in exact floored ppm. Map-side scan into a
+    * 10-row hash aggregate; as a streaming aggregation its state is
+    * 10 keys × three BIGINT counters, constant forever. */
+  def confidenceCensus(docs: DataFrame, textCol: String): DataFrame =
+    confidencePerDoc(docs, textCol)
+      .select(col("pass"), col("conf_ppm"),
+        expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("conf_ppm").as("sum_conf"),
+           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("bin"), col("n_docs"), col("n_pass"),
+        expr("sum_conf div n_docs").as("mean_conf_ppm"),
+        expr("(n_pass * 1000000) div n_docs").as("acc_ppm"))
+
   /** Weighted isotonic fit of the per-bin pass rate onto the bin
     * order, in exact floored-ppm integers.
     *

@@ -455,6 +455,12 @@ object IvfIndex {
   def merge(spark: SparkSession, paths: Seq[String],
             destPath: String): Unit = {
     require(paths.size >= 2, "merge needs at least two shard indexes")
+    // a repeated shard path would pass every other guard (identical
+    // layouts trivially agree) and silently append the shard's
+    // vectors twice under two cell ranges — the same silent-
+    // duplication class the destination-corpus rerun guard closes
+    require(paths.distinct.size == paths.size,
+      s"duplicate shard paths in merge: ${paths.mkString(", ")}")
     require(!paths.contains(destPath),
       "merge writes a new index generation — give it a fresh path")
     // the per-shard corpus writes below are mode=append (each shard

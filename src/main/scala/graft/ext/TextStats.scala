@@ -137,6 +137,33 @@ object TextStats {
               col("mean_word_len") <= maxMeanWordLen)
       .drop("rep_ratio", "dup_bigram_ratio", "symbol_ratio", "mean_word_len")
 
+  /** The q67 GATE PREDICATE as one Column — the default-threshold
+    * pass bit the eval-cadence queries (q67/q367/q370–q375, the
+    * streaming census) and their shared GateCtesSql oracle all key
+    * on. ONE copy so a threshold edit cannot silently diverge one
+    * query's Spark plan from its siblings and the shared oracle text
+    * (r19 review). Apply over [[withRepetitionStats]] columns. */
+  val repetitionGate: Column =
+    col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
+      col("symbol_ratio") <= 0.1 && col("mean_word_len").between(2.0, 12.0)
+
+  /** q142's sub-word token array ([a-z]+ | [0-9]+ runs). */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** q142's hashed-feature integer score: each sub-word hashes to a
+    * weight ((md5 first-8-hex mod 1001) − 500; a deterministic
+    * stand-in with the storage/compute shape of trained weights) and
+    * the doc score is the exact integer sum, folded map-side inside
+    * the scan. ONE copy mirroring the oracle side's single
+    * HashScoreCtesSql (r19 review); the interpreted-lambda trade is
+    * documented at q142 — the path is md5-bound, not array-op-bound. */
+  def hashedTokenScore(toks: Column): Column =
+    aggregate(
+      transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L),
+      lit(0L), (acc, x) => acc + x)
+
   /** Character-n-gram profile score: total occurrence count of the
     * profile's n-grams in the text, via length arithmetic (codegen'd,
     * no arrays): count(g) = (len(text) - len(remove(text, g))) / len(g).

@@ -36,13 +36,11 @@ object TextCurationQueries {
     // is per-doc compute-bound on md5, not array-op-bound, so a
     // native expression would buy little).
     "q142_hash_classifier" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val toks = TextStats.subwordTokens(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
                 size(toks).as("n_subwords"),
-                aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"))
+                TextStats.hashedTokenScore(toks).as("score"))
         .select(col("doc_id"), col("source"), col("n_subwords"), col("score"),
                 // margin = score/(500n) in ppm, FLOORED: the rational
                 // has a small denominator, so round(..., 6) sits on
@@ -448,9 +446,7 @@ object TextCurationQueries {
              round(avg("dup_bigram_ratio"), 6).as("avg_dup_bigram_ratio"),
              round(avg("symbol_ratio"), 6).as("avg_symbol_ratio"),
              round(avg("mean_word_len"), 6).as("avg_word_len"),
-             sum(when(col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-                      col("symbol_ratio") <= 0.1 &&
-                      col("mean_word_len").between(2.0, 12.0), 1L)
+             sum(when(TextStats.repetitionGate, 1L)
                .otherwise(0L)).as("n_pass"))
         .orderBy("source")
     }),
@@ -1318,10 +1314,13 @@ object TextCurationQueries {
     // N ≈ 1.4e10 corpus tokens — flip the product to DECIMAL(38,0)
     // beyond that (the Bradley-Terry valve convention).
     "q369_temperature_mixture" -> ((s, d) => {
-      val caps = Tables.documents(s, d)
+      // staged: caps fans out to the totals row AND the final select —
+      // without the persist the corpus scan + aggregate run twice
+      // (r19 review; the CLAUDE.md stage-before-fanout invariant)
+      val caps = graft.ops.Staging.stage(Tables.documents(s, d)
         .groupBy("source")
         .agg(sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
-        .withColumn("w_micro", expr(TempWMicro))
+        .withColumn("w_micro", expr(TempWMicro)))
       val tot = caps.agg(sum("n_tokens").as("tot_n"),
         sum("w_micro").as("tot_w"))
       caps.crossJoin(broadcast(tot))
@@ -1349,10 +1348,7 @@ object TextCurationQueries {
     "q371_poisson_bootstrap" -> ((s, d) => {
       val base = graft.ops.Staging.stage(
         TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-          .select(col("doc_id"),
-            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-             col("symbol_ratio") <= 0.1 &&
-             col("mean_word_len").between(2.0, 12.0)).as("pass")))
+          .select(col("doc_id"), TextStats.repetitionGate.as("pass")))
       val rates = graft.ops.Staging.stage(base
         .select(col("doc_id"), col("pass"),
           explode(sequence(lit(0), lit(39))).as("replicate"))
@@ -1388,16 +1384,12 @@ object TextCurationQueries {
     // lattice. ONE map-side scan folds both predictors and the
     // truth; the aggregate is a single row.
     "q370_mcnemar" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
+      val toks = TextStats.subwordTokens(col("text"))
       TextStats.withRepetitionStats(Tables.documents(s, d), "text")
         .select(
-          (aggregate(ws0, lit(0L), (acc, x) => acc + x) > 0L).as("a_pred"),
+          (TextStats.hashedTokenScore(toks) > 0L).as("a_pred"),
           (size(toks) >= 20).as("b_pred"),
-          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-           col("symbol_ratio") <= 0.1 &&
-           col("mean_word_len").between(2.0, 12.0)).as("pass"))
+          TextStats.repetitionGate.as("pass"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
           sum(when(col("a_pred") === col("pass") &&
@@ -1430,28 +1422,8 @@ object TextCurationQueries {
     // census is a 10-row hash aggregate with map-side partials; ECE
     // reduces the staged 10-row frame and broadcasts back onto it.
     "q367_calibration_ece" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
-      val base = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-        .select(col("doc_id"),
-          size(toks).as("n_subwords"),
-          aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
-          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-           col("symbol_ratio") <= 0.1 &&
-           col("mean_word_len").between(2.0, 12.0)).as("pass"))
-        .filter(col("n_subwords") > 0)
-        .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
-      val bins = graft.ops.Staging.stage(base
-        .select(col("pass"), col("conf_ppm"),
-          expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("conf_ppm").as("sum_conf"),
-             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
-        .select(col("bin"), col("n_docs"), col("n_pass"),
-          expr("sum_conf div n_docs").as("mean_conf_ppm"),
-          expr("(n_pass * 1000000) div n_docs").as("acc_ppm")))
+      val bins = graft.ops.Staging.stage(
+        Calibration.confidenceCensus(Tables.documents(s, d), "text"))
       val ece = bins.agg(
         expr("sum(n_docs * abs(acc_ppm - mean_conf_ppm)) div sum(n_docs)")
           .as("ece_ppm"))
@@ -1484,10 +1456,7 @@ object TextCurationQueries {
     "q372_bh_fdr" -> ((s, d) => {
       val per = graft.ops.Staging.stage(
         TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-          .select(col("source"),
-            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-             col("symbol_ratio") <= 0.1 &&
-             col("mean_word_len").between(2.0, 12.0)).as("pass"))
+          .select(col("source"), TextStats.repetitionGate.as("pass"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
                sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass")))
@@ -1527,29 +1496,8 @@ object TextCurationQueries {
     // map-side scan -> 10-row census; everything downstream is
     // bins-sized.
     "q373_isotonic_calibration" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
-      val base = TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-        .select(col("doc_id"),
-          size(toks).as("n_subwords"),
-          aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
-          (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-           col("symbol_ratio") <= 0.1 &&
-           col("mean_word_len").between(2.0, 12.0)).as("pass"))
-        .filter(col("n_subwords") > 0)
-        .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
-      val bins = graft.ops.Staging.stage(base
-        .select(col("pass"),
-          expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"),
-          col("conf_ppm"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("conf_ppm").as("sum_conf"),
-             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
-        .select(col("bin"), col("n_docs"), col("n_pass"),
-          expr("sum_conf div n_docs").as("mean_conf_ppm"),
-          expr("(n_pass * 1000000) div n_docs").as("acc_ppm")))
+      val bins = graft.ops.Staging.stage(
+        Calibration.confidenceCensus(Tables.documents(s, d), "text"))
       val iso = Calibration.isotonicFitPpm(bins, "bin", "n_docs", "n_pass")
       val full = graft.ops.Staging.stage(bins.join(broadcast(iso), Seq("bin")))
       val ece = full.agg(
@@ -1578,19 +1526,8 @@ object TextCurationQueries {
     // frame consumed by the global and the 10-bin aggregates; the
     // components join as 1-row broadcasts.
     "q374_brier_decomposition" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
       val doc = graft.ops.Staging.stage(
-        TextStats.withRepetitionStats(Tables.documents(s, d), "text")
-          .select(col("doc_id"),
-            size(toks).as("n_subwords"),
-            aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
-            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-             col("symbol_ratio") <= 0.1 &&
-             col("mean_word_len").between(2.0, 12.0)).as("pass"))
-          .filter(col("n_subwords") > 0)
-          .select(col("pass"), expr(CalibConfPpm).as("conf_ppm"))
+        Calibration.confidencePerDoc(Tables.documents(s, d), "text")
           .select(expr("conf_ppm div 1000").as("cm"),
             expr("CASE WHEN pass THEN CAST(1000 AS BIGINT) " +
               "ELSE CAST(0 AS BIGINT) END").as("ym")))
@@ -1634,16 +1571,12 @@ object TextCurationQueries {
     // |sources|-row contingency frame (the q358 convention); the
     // totals row broadcasts back onto it.
     "q375_fairness_audit" -> ((s, d) => {
-      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
-      val ws0 = transform(toks, t =>
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
       val per = graft.ops.Staging.stage(
         TextStats.withRepetitionStats(Tables.documents(s, d), "text")
           .select(col("source"),
-            (aggregate(ws0, lit(0L), (acc, x) => acc + x) > 0L).as("a_pred"),
-            (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-             col("symbol_ratio") <= 0.1 &&
-             col("mean_word_len").between(2.0, 12.0)).as("pass"))
+            (TextStats.hashedTokenScore(
+              TextStats.subwordTokens(col("text"))) > 0L).as("a_pred"),
+            TextStats.repetitionGate.as("pass"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),

@@ -670,27 +670,6 @@ object Streams {
     * emitted rows ([[graft.ext.Calibration.isotonicFitPpm]] applies
     * to the census frame as-is). */
   def calibrationCensusStream(docs: DataFrame,
-                              textCol: String = "text"): DataFrame = {
-    val toks = regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+"), lit(0))
-    val ws0 = transform(toks, t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L - 500L)
-    graft.ext.TextStats.withRepetitionStats(docs, textCol)
-      .select(size(toks).as("n_subwords"),
-        aggregate(ws0, lit(0L), (acc, x) => acc + x).as("score"),
-        (col("rep_ratio") <= 0.3 && col("dup_bigram_ratio") <= 0.3 &&
-         col("symbol_ratio") <= 0.1 &&
-         col("mean_word_len").between(2.0, 12.0)).as("pass"))
-      .filter(col("n_subwords") > 0)
-      .select(col("pass"),
-        expr(graft.ext.Calibration.ConfPpm).as("conf_ppm"))
-      .select(col("pass"), col("conf_ppm"),
-        expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"),
-           sum("conf_ppm").as("sum_conf"),
-           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
-      .select(col("bin"), col("n_docs"), col("n_pass"),
-        expr("sum_conf div n_docs").as("mean_conf_ppm"),
-        expr("(n_pass * 1000000) div n_docs").as("acc_ppm"))
-  }
+                              textCol: String = "text"): DataFrame =
+    graft.ext.Calibration.confidenceCensus(docs, textCol)
 }

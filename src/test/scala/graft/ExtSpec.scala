@@ -1353,6 +1353,12 @@ class ExtSpec extends AnyFunSuite {
       graft.ext.IvfIndex.merge(spark, Seq(a, b), m)
     }
     assert(ex2.getMessage.contains("already holds a corpus"))
+    // a repeated shard path is refused, not silently double-appended
+    val bad2 = java.nio.file.Files.createTempDirectory("ivfmrgDup").toString
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.merge(spark, Seq(a, a), bad2)
+    }
+    assert(ex3.getMessage.contains("duplicate shard paths"))
   }
 
   test("IvfIndex.delete: tombstones drop at load; compact folds physically; merge carries them") {
