@@ -624,4 +624,131 @@ object Graphs {
       .select(col("node"), col("__seed").as("is_seed"),
               coalesce(col("deg"), lit(0L)).as("out_degree"), col("pr"))
   }
+
+  // ---- HyperBall (HyperANF) ------------------------------------------
+
+  /** Number of HLL registers per node (m = 64: std err 1.04/sqrt(64)
+    * ~ 13% — a diameter-scale instrument, not a counter; the ORACLE
+    * replays the identical registers, so the correctness gate is
+    * exact regardless). */
+  private val HbRegs = 64
+
+  /** The per-node HLL state folded to two exact integers:
+    * s_int = sum_j 2^(45 - r_j) (the raw-estimate denominator scaled
+    * by 2^45 — every term is a power of two <= 2^45, the 64-term sum
+    * is < 2^52, so it is EXACT BIGINT arithmetic and immune to float
+    * summation order), and zeros = #empty registers. ONE generated
+    * text each, shared with the oracle. */
+  private[graft] val HbSIntText: String =
+    (0 until HbRegs).map(j =>
+      s"CAST(power(CAST(2 AS DOUBLE), CAST(45 - r$j AS DOUBLE)) AS BIGINT)")
+      .mkString(" + ")
+  private[graft] val HbZerosText: String =
+    "CAST(" + (0 until HbRegs).map(j =>
+      s"(CASE WHEN r$j = 0 THEN 1 ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT)"
+
+  /** The HLL estimate in floored milli over (s_int, zeros) — the
+    * standard m=64 estimator (alpha_64 = 0.709; raw = alpha m^2 /
+    * sum 2^-r = alpha * 4096 * 2^45 / s_int) with the linear-counting
+    * small-range branch (raw <= 2.5m and zeros > 0 -> m ln(m/zeros)).
+    * The branch condition and both branches are float over EXACT
+    * integers in ONE shared text, so both engines take the same
+    * branch and produce the same IEEE value. */
+  private[graft] val HbEstMilliText: String = {
+    val raw = "(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * " +
+      "CAST(35184372088832 AS DOUBLE) / CAST(s_int AS DOUBLE))"
+    s"CAST(floor(CAST(1000 AS DOUBLE) * (CASE WHEN $raw <= " +
+      s"CAST(160 AS DOUBLE) AND zeros > 0 THEN CAST(64 AS DOUBLE) * " +
+      s"ln(CAST(64 AS DOUBLE) / CAST(zeros AS DOUBLE)) ELSE $raw END)) " +
+      "AS BIGINT)"
+  }
+
+  /** HYPERBALL / HyperANF (Boldi & Vigna WWW'11; Palmer et al. ANF):
+    * the neighborhood function N(t) = sum over seeds of |ball_t(v)|,
+    * estimated with one 64-register HLL counter per node — the ONLY
+    * way to ask "how much of the graph is within t hops" at web scale,
+    * where exact balls are quadratic. Each node's counter initializes
+    * with its own hash (bucket = first 8 md5 bits mod 64; rho =
+    * leading zeros of the next 44 bits + 1, via length(bin(w)) — the
+    * integer bit-length idiom, never float log2), and each sweep
+    * unions (element-wise max) every node's counter with its
+    * neighbors' — the BFS relaxation shape of [[bfsHops]] with max
+    * replacing min, so the same pinned co-located joins apply. The
+    * census reports, per t, the floored-milli HLL estimate SUMMED
+    * over the seed nodes (integer sum of per-node floors — no float
+    * crosses rows anywhere: the register fold is exact integer, the
+    * float estimate is one shared text per node).
+    *
+    * State is 64 registers per node regardless of ball size — the
+    * entire point: at 100 TB the t-hop balls are corpus-sized but the
+    * counters stay 64 small ints, and every sweep is one co-located
+    * join + a 64-column max aggregate with map-side partials. All
+    * nodes iterate (a seed's counter at sweep t transitively needs
+    * every counter within t hops); the seed filter applies only to
+    * the census. Registers use max-union, which is exactly the
+    * set-union semantics of HLL, so sweep t's counter over node v IS
+    * the HLL of the exact ball_t(v) — the oracle replays that ball by
+    * recursive closure and re-derives the registers, making the whole
+    * estimator oracle-hash-checkable with NO pins.
+    *
+    * @return one row per t in 0..sweeps:
+    *         (t, n_seeds, nf_est_milli, ratio_vs_final_ppm)
+    */
+  def hyperBallCensus(edges: DataFrame, aCol: String, bCol: String,
+                      seeds: DataFrame, seedCol: String,
+                      sweeps: Int): DataFrame = {
+    require(sweeps >= 1, "sweeps must be >= 1")
+    val sym = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
+    val regCols = (0 until HbRegs).map(j => s"r$j")
+    val init = pin(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(node), 1, 2), 16, 10) AS INT) % 64"))
+        .withColumn("w",
+          expr("CAST(conv(substring(md5(node), 3, 11), 16, 10) AS BIGINT)"))
+        .withColumn("rho",
+          expr("CASE WHEN w = 0 THEN 45 " +
+            "ELSE CAST(45 - length(bin(w)) AS INT) END"))
+        .select(col("node") +: (0 until HbRegs).map(j =>
+          when(col("bucket") === j, col("rho")).otherwise(lit(0))
+            .as(s"r$j")): _*),
+      "node")
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+    def census(reg: DataFrame, t: Int): DataFrame =
+      reg.join(seedNodes, Seq("node"), "left_semi")
+        .select(expr(HbSIntText).as("s_int"), expr(HbZerosText).as("zeros"))
+        .select(expr(HbEstMilliText).as("est_milli"))
+        .agg(count(lit(1)).as("n_seeds"), sum("est_milli").as("nf_est_milli"))
+        .select(lit(t.toLong).as("t"), col("n_seeds"), col("nf_est_milli"))
+    def advance(reg: DataFrame): DataFrame = {
+      val relaxed = sym.join(reg.hint("merge"), col("src") === col("node"))
+        .groupBy("dst")
+        .agg(max(col(regCols.head)).as(s"m_${regCols.head}"),
+          regCols.tail.map(c => max(col(c)).as(s"m_$c")): _*)
+      // left + coalesce: every node here has degree >= 1 under the
+      // symmetric edge set, but the merge shape stays total
+      reg.join(relaxed, col("node") === col("dst"), "left")
+        .select(col("node") +: regCols.map(c =>
+          greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c)): _*)
+    }
+    // per-sweep pin cadence: each generation is checkpointed so the
+    // per-t censuses (all consumed by ONE union action at the end)
+    // read materialized state instead of re-deriving sweep chains;
+    // the node-sized generations stay registered with Staging and
+    // release after the query's action, the pin convention
+    var cur = init
+    var all = census(init, 0)
+    for (t <- 1 to sweeps) {
+      cur = pin(advance(cur), "node")
+      all = all.unionByName(census(cur, t))
+    }
+    val staged = graft.ops.Staging.stage(all)
+    val fin = staged.filter(col("t") === sweeps.toLong)
+      .select(col("nf_est_milli").as("__fin"))
+    staged.crossJoin(broadcast(fin))
+      .select(col("t"), col("n_seeds"), col("nf_est_milli"),
+        expr("(nf_est_milli * 1000000) div __fin").as("ratio_vs_final_ppm"))
+      .orderBy("t")
+  }
 }

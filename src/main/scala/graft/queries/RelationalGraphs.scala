@@ -646,6 +646,39 @@ object RelationalGraphsQueries {
              sum(col("score") * col("cnt")).as("sum_score_nano"))
         .orderBy("is_match")
     }),
+
+    // HYPERBALL NEIGHBORHOOD FUNCTION (Graphs.hyperBallCensus —
+    // Boldi & Vigna's HyperANF): how much of the graph is within t
+    // hops of a fixed supplier cohort (s_suppkey <= 4 — present and
+    // non-empty at EVERY SF, unlike q171's nation-0 cut which is
+    // empty at sf0.001) on q90's customer-supplier graph, measured
+    // the only way that scales —
+    // one 64-register HLL per node, unioned along edges per sweep, so
+    // state is 64 small ints per node while the balls it summarizes
+    // grow corpus-sized. The reach ratio per t (vs the t=3 ball, in
+    // floored ppm) is the effective-diameter read-off. The ORACLE
+    // recomputes the exact t-hop balls by recursive closure (the q171
+    // d0..d3 shape, viable at test SF) and re-derives the SAME
+    // registers from them — HLL max-union over sweeps IS the ball's
+    // HLL, so the approximate estimator is hash-checked exactly, no
+    // pins. Register folds are exact integers end to end (s_int =
+    // sum 2^(45-r) <= 2^52); the only float is the one shared
+    // estimate text per (seed, t).
+    "q378_hyperball_nf" -> ((s, d) => {
+      // staged: the symmetric union inside hyperBallCensus reads the
+      // edge frame twice (the q171 convention)
+      val edges = graft.ops.Staging.stage(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct())
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= 4)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+      graft.ext.Graphs.hyperBallCensus(edges, "a", "b", seeds, "node",
+        sweeps = 3)
+    }),
   )
 
   /** q358/q359's blocked candidate pairs over part (q312's first-word
@@ -1336,5 +1369,79 @@ object RelationalGraphsQueries {
         |""".stripMargin +
       s"  round($AssortText, 6) AS assortativity\n" +
       "FROM mom CROSS JOIN st ORDER BY n_nodes"),
+
+    // HyperBall replay: exact t-hop balls by recursive closure (the
+    // q171 d0..d3 shape — viable at test SF, which is the point: the
+    // oracle pays the quadratic ball cost the operator exists to
+    // avoid), the same md5 bucket/rho registers re-derived from each
+    // ball (digit-sum hex replay; length(bin()) bit-length, never
+    // float log2), the exact-integer s_int/zeros fold, and the SHARED
+    // estimate text interpolated from the operator.
+    "q378_hyperball_nf" -> hyperBallOracleSql,
   )
+
+  /** q378's oracle builder — the per-t ball/register/census CTEs come
+    * from ONE step generator so the four sweep replays cannot drift
+    * from each other (the pcaPowerOracleSql convention). */
+  private def hyperBallOracleSql: String = {
+    def hex(start: Int, len: Int) =
+      s"CAST(list_sum(list_transform(range(1, ${len + 1}), i -> " +
+        "CAST(strpos('0123456789abcdef', substring(md5(node), " +
+        s"$start + i - 1, 1)) - 1 AS DOUBLE) * " +
+        s"power(16.0, CAST($len - i AS DOUBLE)))) AS BIGINT)"
+    val est = graft.ext.Graphs.HbEstMilliText
+    def step(t: Int) =
+      s"""b$t AS (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, node FROM b${t - 1}
+         |    UNION ALL
+         |    SELECT b.seed, s.dst AS node FROM b${t - 1} b
+         |    JOIN sym s ON s.src = b.node))""".stripMargin
+    def census(t: Int) =
+      s"""rg$t AS (
+         |  SELECT m.seed, hr.bucket, max(hr.rho) AS r
+         |  FROM b$t m JOIN hr ON hr.node = m.node
+         |  GROUP BY m.seed, hr.bucket),
+         |ag$t AS (
+         |  SELECT seed,
+         |    CAST(sum(CAST(power(2.0, 45 - r) AS BIGINT)) AS BIGINT)
+         |      + (64 - CAST(count(*) AS BIGINT)) * 35184372088832 AS s_int,
+         |    64 - CAST(count(*) AS BIGINT) AS zeros
+         |  FROM rg$t GROUP BY seed),
+         |cn$t AS (
+         |  SELECT CAST($t AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS n_seeds,
+         |    CAST(sum(est_milli) AS BIGINT) AS nf_est_milli
+         |  FROM (SELECT seed, $est AS est_milli FROM ag$t))""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+       |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |sym AS (SELECT a AS src, b AS dst FROM e0
+       |        UNION SELECT b AS src, a AS dst FROM e0),
+       |n AS (SELECT DISTINCT src AS node FROM sym),
+       |hr AS (
+       |  SELECT node,
+       |    CAST(${hex(1, 2)} AS INT) % 64 AS bucket,
+       |    CASE WHEN ${hex(3, 11)} = 0 THEN 45
+       |      ELSE CAST(45 - length(bin(${hex(3, 11)})) AS INT) END AS rho
+       |  FROM n),
+       |b0 AS (
+       |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS seed,
+       |         's' || CAST(s_suppkey AS VARCHAR) AS node
+       |  FROM supplier WHERE s_suppkey <= 4),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${census(0)},
+       |${census(1)},
+       |${census(2)},
+       |${census(3)},
+       |allr AS (SELECT * FROM cn0 UNION ALL SELECT * FROM cn1
+       |         UNION ALL SELECT * FROM cn2 UNION ALL SELECT * FROM cn3),
+       |fin AS (SELECT nf_est_milli AS f FROM allr WHERE t = 3)
+       |SELECT t, n_seeds, nf_est_milli,
+       |  (nf_est_milli * 1000000) // f AS ratio_vs_final_ppm
+       |FROM allr, fin ORDER BY t""".stripMargin
+  }
 }

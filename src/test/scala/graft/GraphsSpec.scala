@@ -453,4 +453,50 @@ class GraphsSpec extends AnyFunSuite {
     graft.ops.Staging.releaseAll()
     assert(got == dist)
   }
+
+  test("hyperBallCensus == HLL over the exact balls (reference replay); nf monotone") {
+    // path 1-2-3-4-5 plus a disconnected pair 6-7; seeds in both
+    // components so the census mixes growing and saturated balls
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"),
+      ("6", "7")).toDF("a", "b")
+    val seeds = Seq("1", "6").toDF("node")
+    val got = Graphs.hyperBallCensus(edges, "a", "b", seeds, "node",
+        sweeps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    graft.ops.Staging.releaseAll()
+    // reference: exact BFS balls, the same md5 bucket/rho registers,
+    // the same exact-integer fold, the same float sequence
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = (Seq(("1","2"),("2","3"),("3","4"),("4","5"),("6","7"))
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: String, t: Int): Set[String] =
+      (0 until t).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj(_)))
+    def estMilli(members: Set[String]): Long = {
+      val regs = Array.fill(64)(0)
+      for (u <- members) {
+        val h = md5hex(u)
+        val bucket = (java.lang.Long.parseLong(h.substring(0, 2), 16) % 64).toInt
+        val w = java.lang.Long.parseLong(h.substring(2, 13), 16)
+        val rho = if (w == 0L) 45
+          else 45 - java.lang.Long.toBinaryString(w).length
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val sInt = regs.map(r => math.pow(2.0, (45 - r).toDouble).toLong).sum
+      val zeros = regs.count(_ == 0)
+      val raw = 0.709 * 4096.0 * 35184372088832.0 / sInt.toDouble
+      val est = if (raw <= 160.0 && zeros > 0)
+        64.0 * math.log(64.0 / zeros.toDouble) else raw
+      math.floor(1000.0 * est).toLong
+    }
+    val expected = (0 to 3).map(t =>
+      (t.toLong, 2L, Seq("1", "6").map(s => estMilli(ball(s, t))).sum))
+    assert(got == expected, s"got $got expected $expected")
+    // the neighborhood function never shrinks (balls only grow and
+    // HLL max-union is monotone)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
 }
