@@ -633,6 +633,30 @@ object Graphs {
     * exact regardless). */
   private val HbRegs = 64
 
+  /** Registers travel PACKED: [[HbLongs]] = 8 BIGINT columns g0..g7
+    * per node, each holding 8 registers as big-endian unsigned bytes
+    * (register j lives in byte `7 - j%8` of `g(j div 8)`; values are
+    * <= 45 < 0x80, the SWAR precondition). r19 verdict item 1: the
+    * unpacked form shuffled |E| x 64 INT columns per sweep — a ~4x
+    * bandwidth tax plus 64-column row overhead on the suite's most
+    * expensive operator. Packed, each sweep moves 8 longs, the
+    * max-union is the codegen'd branchless fold
+    * [[graft.functions.Bytes8MaxAgg]] (single mutable LongType
+    * buffer, so HashAggregateExec's UnsafeRow fast path and map-side
+    * partials hold), and the register VALUES are bit-identical by
+    * construction — bytes are independent under both packing and
+    * bytewise max — so the census floats, and therefore the oracle
+    * hash, are unchanged. Registers unpack (shiftrightunsigned+mask)
+    * only at the seeds-sized census. */
+  private val HbLongs = HbRegs / 8
+
+  /** Unpack text for register j out of the packed g-columns. */
+  private def hbUnpackText(j: Int): String = {
+    val k = j / 8
+    val sh = (7 - j % 8) * 8
+    s"CAST(shiftrightunsigned(g$k, $sh) & 255 AS INT)"
+  }
+
   /** The per-node HLL state folded to two exact integers:
     * s_int = sum_j 2^(45 - r_j) (the raw-estimate denominator scaled
     * by 2^45 — every term is a power of two <= 2^45, the 64-term sum
@@ -699,8 +723,9 @@ object Graphs {
                       seeds: DataFrame, seedCol: String,
                       sweeps: Int): DataFrame = {
     require(sweeps >= 1, "sweeps must be >= 1")
+    val sp = edges.sparkSession
     val sym = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
-    val regCols = (0 until HbRegs).map(j => s"r$j")
+    val gCols = (0 until HbLongs).map(k => s"g$k")
     val init = pin(
       sym.select(col("src").as("node")).distinct()
         .withColumn("bucket",
@@ -710,13 +735,16 @@ object Graphs {
         .withColumn("rho",
           expr("CASE WHEN w = 0 THEN 45 " +
             "ELSE CAST(45 - length(bin(w)) AS INT) END"))
-        .select(col("node") +: (0 until HbRegs).map(j =>
-          when(col("bucket") === j, col("rho")).otherwise(lit(0))
-            .as(s"r$j")): _*),
+        .select(col("node") +: (0 until HbLongs).map(k =>
+          expr(s"CASE WHEN bucket div 8 = $k THEN " +
+            "shiftleft(CAST(rho AS BIGINT), (7 - bucket % 8) * 8) " +
+            "ELSE CAST(0 AS BIGINT) END").as(s"g$k")): _*),
       "node")
     val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
     def census(reg: DataFrame, t: Int): DataFrame =
       reg.join(seedNodes, Seq("node"), "left_semi")
+        .select((0 until HbRegs).map(j =>
+          expr(hbUnpackText(j)).as(s"r$j")): _*)
         .select(expr(HbSIntText).as("s_int"), expr(HbZerosText).as("zeros"))
         .select(expr(HbEstMilliText).as("est_milli"))
         .agg(count(lit(1)).as("n_seeds"), sum("est_milli").as("nf_est_milli"))
@@ -724,13 +752,17 @@ object Graphs {
     def advance(reg: DataFrame): DataFrame = {
       val relaxed = sym.join(reg.hint("merge"), col("src") === col("node"))
         .groupBy("dst")
-        .agg(max(col(regCols.head)).as(s"m_${regCols.head}"),
-          regCols.tail.map(c => max(col(c)).as(s"m_$c")): _*)
+        .agg(graft.functions.GraftFunctions
+            .bytes8MaxAgg(sp, col(gCols.head)).as(s"m_${gCols.head}"),
+          gCols.tail.map(c => graft.functions.GraftFunctions
+            .bytes8MaxAgg(sp, col(c)).as(s"m_$c")): _*)
       // left + coalesce: every node here has degree >= 1 under the
       // symmetric edge set, but the merge shape stays total
       reg.join(relaxed, col("node") === col("dst"), "left")
-        .select(col("node") +: regCols.map(c =>
-          greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c)): _*)
+        .select(col("node") +: gCols.map(c =>
+          graft.functions.GraftFunctions
+            .bytes8Max(sp, col(c), coalesce(col(s"m_$c"), lit(0L)))
+            .as(c)): _*)
     }
     // per-sweep pin cadence: each generation is checkpointed so the
     // per-t censuses (all consumed by ONE union action at the end)

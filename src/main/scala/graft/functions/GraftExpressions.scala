@@ -1298,6 +1298,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_hilbert_key(x, y, bits): got ${other.size} args")
     },
+    "graft_bytes8_max" -> {
+      case Seq(a, b) => Bytes8Max(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_bytes8_max(a, b): got ${other.size} args")
+    },
+    "graft_bytes8_max_agg" -> {
+      case Seq(g) => Bytes8MaxAgg(g)
+      case other => throw new IllegalArgumentException(
+        s"graft_bytes8_max_agg(g): got ${other.size} args")
+    },
   )
 
   /** Idempotently register the functions in a session's registry so
@@ -1338,6 +1348,18 @@ object GraftFunctions {
   def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_jaro_winkler", a, b)
+  }
+
+  /** Branchless packed-byte max (see [[Bytes8Max]]). */
+  def bytes8Max(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bytes8_max", a, b)
+  }
+
+  /** Packed-byte max-union aggregate (see [[Bytes8MaxAgg]]). */
+  def bytes8MaxAgg(spark: SparkSession, g: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bytes8_max_agg", g)
   }
 
   def wordShingles(spark: SparkSession, text: Column, k: Int): Column = {
