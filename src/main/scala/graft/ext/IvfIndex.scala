@@ -522,9 +522,76 @@ object IvfIndex {
     * fresh id, or compact first (the standard tombstone trade).
     * `idCol`'s type must match the index's stored id type. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-             idCol: String): Unit =
+             idCol: String): Unit = {
+    // a mistyped path would otherwise silently create an orphan
+    // tombstone set and the intended delete never takes effect —
+    // refuse unless an index actually lives here (the compact/merge
+    // guard convention; r19 advice)
+    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cents),
+      s"no index at $path (centroids missing) — delete would write an " +
+        "orphan tombstone set no load ever reads")
     ids.select(col(idCol).as("neighbor_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Tombstone-PRESSURE census — the operability half of the
+    * [[delete]] retention story: between compactions the tombstone
+    * set only grows, and with it (a) the broadcast the serve-path
+    * anti-join ships to every executor and (b) the fraction of
+    * scanned cell bytes that are dead weight. Per cell: stored rows,
+    * tombstoned rows (distinct ids — re-deletes don't inflate), live
+    * rows, and the dead fraction in floored ppm; one `cell = -1`
+    * TOTALS row carries the index-wide census plus orphaned
+    * tombstones (ids matching no stored row — deletes of never-
+    * ingested or already-compacted ids; absorbed harmlessly by the
+    * anti-join but a signal of caller confusion).
+    *
+    * COMPACT-WHEN bound: [[compact]] folds the set physically, so the
+    * operating rule is to compact once EITHER the total dead fraction
+    * passes ~200000 ppm (20% of scanned bytes wasted — the classic
+    * LSM dead-ratio trigger) OR the tombstone count passes the
+    * broadcast-join comfort bound (~10M ids at 8 bytes ≈ 80 MB
+    * driver/executor-resident — beyond that the serve anti-join
+    * flips to a shuffle and every query pays it). Both observables
+    * are THIS census's totals row.
+    *
+    * Scale shape: one corpus scan into a cells-sized aggregate, one
+    * tombstone scan, one cells-keyed left join; the totals row is a
+    * 1-row union. Never query-path work — an operator's dashboard
+    * call. */
+  def tombstonePressure(spark: SparkSession, path: String): DataFrame = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val ts = tombstones(spark, path)
+      .map(_.select("neighbor_id").distinct())
+      .getOrElse(corpus.select("neighbor_id").limit(0))
+    val perCell = corpus
+      .join(ts.withColumn("__dead", lit(1L)), Seq("neighbor_id"), "left")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_stored"),
+           sum(when(col("__dead").isNotNull, 1L).otherwise(0L))
+             .as("n_tombstoned"))
+    val orphans = ts.join(corpus.select("neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("__orph"))
+    val totals = perCell
+      .agg(sum("n_stored").as("n_stored"),
+           sum("n_tombstoned").as("n_tombstoned"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(-1).as("cell"), col("n_stored"),
+        col("n_tombstoned"), col("__orph").as("n_orphan_tombstones"))
+    perCell
+      .select(col("cell"), col("n_stored"), col("n_tombstoned"),
+        lit(0L).as("n_orphan_tombstones"))
+      .unionByName(totals)
+      .select(col("cell"), col("n_stored"), col("n_tombstoned"),
+        (col("n_stored") - col("n_tombstoned")).as("n_live"),
+        expr("CASE WHEN n_stored > 0 THEN (n_tombstoned * 1000000) " +
+          "div n_stored ELSE CAST(0 AS BIGINT) END").as("dead_ppm"),
+        col("n_orphan_tombstones"))
+      .orderBy("cell")
+  }
 
   /** The live tombstone set of a saved index (empty frame absent —
     * never null), id-keyed like the corpus. */

@@ -514,7 +514,7 @@ object VectorQueries {
     "q321_ann_stream_append" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("q321ivf").toString
+      val dir = graft.ops.Scratch.dir("q321ivf")
       graft.ext.IvfIndex.buildLabeled(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", "label",
@@ -552,8 +552,8 @@ object VectorQueries {
     // generation's 8 cells).
     "q333_ivf_compact_lifecycle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("q333ivf").toString
-      val gen2 = java.nio.file.Files.createTempDirectory("q333cmp").toString
+      val dir = graft.ops.Scratch.dir("q333ivf")
+      val gen2 = graft.ops.Scratch.dir("q333cmp")
       graft.ext.IvfIndex.buildLabeled(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", "label",
@@ -581,9 +581,9 @@ object VectorQueries {
     // invisible: q268's exact filtered-top-k oracle text verbatim.
     "q366_ivf_merge_lifecycle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val a = java.nio.file.Files.createTempDirectory("q366a").toString
-      val b = java.nio.file.Files.createTempDirectory("q366b").toString
-      val m = java.nio.file.Files.createTempDirectory("q366m").toString
+      val a = graft.ops.Scratch.dir("q366a")
+      val b = graft.ops.Scratch.dir("q366b")
+      val m = graft.ops.Scratch.dir("q366m")
       graft.ext.IvfIndex.buildLabeled(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", "label",
@@ -615,8 +615,8 @@ object VectorQueries {
     // result-invisible by construction (exhaustive probes, as q333).
     "q376_ivf_delete_lifecycle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("q376ivf").toString
-      val gen2 = java.nio.file.Files.createTempDirectory("q376cmp").toString
+      val dir = graft.ops.Scratch.dir("q376ivf")
+      val gen2 = graft.ops.Scratch.dir("q376cmp")
       graft.ext.IvfIndex.buildLabeled(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", "label",

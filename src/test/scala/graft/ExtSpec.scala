@@ -1432,6 +1432,46 @@ class ExtSpec extends AnyFunSuite {
       "merged index must honor carried tombstones")
   }
 
+  test("IvfIndex.tombstonePressure: per-cell + totals census; delete refuses a pathless index") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivftp").toString
+    graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+      nCentroids = 8, kmeansSweeps = 2).save(dir)
+    // a fresh index reads zero pressure everywhere
+    val fresh = graft.ext.IvfIndex.tombstonePressure(spark, dir).collect()
+    assert(fresh.forall(r => r.getLong(2) == 0L && r.getLong(5) == 0L))
+    val nTotal = emb.count()
+    assert(fresh.filter(_.getInt(0) == -1).map(_.getLong(1)).toSeq
+      == Seq(nTotal))
+    // delete every vec_id % 5 == 1, re-delete half of them (distinct
+    // absorbs), and one never-ingested id (orphan)
+    val victims = emb.filter(pmod($"vec_id", lit(5)) === 1).select("vec_id")
+    graft.ext.IvfIndex.delete(spark, dir, victims, "vec_id")
+    graft.ext.IvfIndex.delete(spark, dir, victims.limit(3), "vec_id")
+    graft.ext.IvfIndex.delete(spark, dir,
+      Seq(999999L).toDF("vec_id"), "vec_id")
+    val census = graft.ext.IvfIndex.tombstonePressure(spark, dir).collect()
+    val tot = census.filter(_.getInt(0) == -1).head
+    val nVict = victims.count()
+    assert(tot.getLong(1) == nTotal)                   // n_stored
+    assert(tot.getLong(2) == nVict)                    // n_tombstoned
+    assert(tot.getLong(3) == nTotal - nVict)           // n_live
+    assert(tot.getLong(4) == (nVict * 1000000L) / nTotal) // dead_ppm
+    assert(tot.getLong(5) == 1L)                       // orphan
+    // per-cell rows reconcile to the totals and stay orphan-free
+    val cells = census.filter(_.getInt(0) >= 0)
+    assert(cells.map(_.getLong(1)).sum == nTotal)
+    assert(cells.map(_.getLong(2)).sum == nVict)
+    assert(cells.forall(_.getLong(5) == 0L))
+    // r19 advice: a mistyped path must refuse, not write an orphan set
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.IvfIndex.delete(spark,
+        dir + "_typo", victims, "vec_id")
+    }
+    assert(ex.getMessage.contains("no index at"))
+    assert(!new java.io.File(dir + "_typo").exists)
+  }
+
   test("IvfIndex.compact: fresh-generation re-cluster, identical exhaustive search, codes carried bit-identical") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val half1 = emb.filter(pmod($"vec_id", lit(2)) === 0)
