@@ -45,14 +45,27 @@ object Calibration {
     * all derive from (r19 review: three inline copies folded); all
     * projections are stateless, so the same plan runs on a batch
     * frame or a stream. */
-  def confidencePerDoc(docs: DataFrame, textCol: String): DataFrame = {
+  def confidencePerDoc(docs: DataFrame, textCol: String): DataFrame =
+    confBase(docs, textCol, Nil)
+
+  /** [[confidencePerDoc]] with id (and any other) columns carried —
+    * the held-out evaluation (q379) joins split labels per document,
+    * so the per-doc frame must keep its key. Same single-sourced
+    * gate/score/link chain. */
+  def confidencePerDocKeyed(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    confBase(docs, textCol, Seq(idCol))
+
+  private def confBase(docs: DataFrame, textCol: String,
+                       carry: Seq[String]): DataFrame = {
     val toks = TextStats.subwordTokens(col(textCol))
     TextStats.withRepetitionStats(docs, textCol)
-      .select(size(toks).as("n_subwords"),
+      .select(carry.map(col) ++ Seq(size(toks).as("n_subwords"),
         TextStats.hashedTokenScore(toks).as("score"),
-        TextStats.repetitionGate.as("pass"))
+        TextStats.repetitionGate.as("pass")): _*)
       .filter(col("n_subwords") > 0)
-      .select(col("pass"), expr(ConfPpm).as("conf_ppm"))
+      .select(carry.map(col) ++
+        Seq(col("pass"), expr(ConfPpm).as("conf_ppm")): _*)
   }
 
   /** The 10-bin reliability census over [[confidencePerDoc]]: per
@@ -61,7 +74,13 @@ object Calibration {
     * 10-row hash aggregate; as a streaming aggregation its state is
     * 10 keys × three BIGINT counters, constant forever. */
   def confidenceCensus(docs: DataFrame, textCol: String): DataFrame =
-    confidencePerDoc(docs, textCol)
+    censusOfConfidence(confidencePerDoc(docs, textCol))
+
+  /** The same 10-bin census over an already-computed (pass, conf_ppm)
+    * frame — the held-out path bins train and test sides of ONE
+    * per-doc frame, so the census body is single-sourced here. */
+  def censusOfConfidence(perDoc: DataFrame): DataFrame =
+    perDoc
       .select(col("pass"), col("conf_ppm"),
         expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
       .groupBy("bin")

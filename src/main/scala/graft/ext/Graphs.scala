@@ -678,7 +678,16 @@ object Graphs {
     * small-range branch (raw <= 2.5m and zeros > 0 -> m ln(m/zeros)).
     * The branch condition and both branches are float over EXACT
     * integers in ONE shared text, so both engines take the same
-    * branch and produce the same IEEE value. */
+    * branch and produce the same IEEE value.
+    *
+    * LIBM ASSUMPTION (r19 advice): the raw branch is division/
+    * multiplication only — IEEE-deterministic — but the linear-
+    * counting ln depends on JVM Math.log and DuckDB libm agreeing to
+    * the last ulp. All 63 reachable ln arguments are enumerable, and
+    * LibmLatticeSpec pins (a) golden floored values (a platform libm
+    * change fails sbt test, not a cross-SF hash) and (b) a > 4096-ulp
+    * distance from every floor boundary (measured minimum ~4e8 ulps),
+    * so a one-ulp libm disagreement cannot flip the milli. */
   private[graft] val HbEstMilliText: String = {
     val raw = "(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * " +
       "CAST(35184372088832 AS DOUBLE) / CAST(s_int AS DOUBLE))"

@@ -664,22 +664,52 @@ object RelationalGraphsQueries {
     // pins. Register folds are exact integers end to end (s_int =
     // sum 2^(45-r) <= 2^52); the only float is the one shared
     // estimate text per (seed, t).
-    "q378_hyperball_nf" -> ((s, d) => {
-      // staged: the symmetric union inside hyperBallCensus reads the
-      // edge frame twice (the q171 convention)
-      val edges = graft.ops.Staging.stage(
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-                  concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
-          .distinct())
-      val seeds = Tables.supplier(s, d)
-        .filter(col("s_suppkey") <= 4)
-        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
-      graft.ext.Graphs.hyperBallCensus(edges, "a", "b", seeds, "node",
-        sweeps = 3)
+    "q378_hyperball_nf" -> ((s, d) =>
+      hyperBallNf(s, d)),
+
+    // EFFECTIVE DIAMETER read-off (r19 verdict item 4) — the standard
+    // HyperANF payoff (Boldi & Vigna WWW'11 §5): the smallest t whose
+    // neighborhood function reaches 90% of its final value, i.e. the
+    // hop count within which 90% of the reachable mass sits. ONE
+    // driver query over the EXISTING q378 census (shared generator —
+    // edges, seeds, sweeps, and the register pipeline are one copy):
+    // the census is sweeps+1 rows, the argmin is a 1-row aggregate
+    // broadcast back for the context row. At 100 TB the census is
+    // still sweeps+1 rows — the readout costs nothing beyond the
+    // census itself. The oracle wraps q378's exact ball replay and
+    // applies the same integer-lattice cut (ratio_ppm >= 900000).
+    "q380_effective_diameter" -> ((s, d) => {
+      val census = graft.ops.Staging.stage(hyperBallNf(s, d))
+      val eff = census.agg(
+        min(when(col("ratio_vs_final_ppm") >= 900000L, col("t")))
+          .as("eff_t"))
+      census.join(broadcast(eff), col("t") === col("eff_t"))
+        .select(col("t").as("eff_diameter_t"), col("n_seeds"),
+          col("nf_est_milli").as("nf_at_t_milli"),
+          col("ratio_vs_final_ppm").as("ratio_at_t_ppm"))
+        .orderBy("eff_diameter_t")
     }),
   )
+
+  /** q378/q380's HyperBall census over the customer-supplier graph —
+    * ONE copy of the edge projection, the seed cohort (s_suppkey <= 4,
+    * non-empty at every SF), and the sweep count, so the effective-
+    * diameter readout reads exactly the census q378 hash-checks. The
+    * edge frame is staged: the symmetric union inside hyperBallCensus
+    * reads it twice (the q171 convention). */
+  private def hyperBallNf(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.ops.Staging.stage(
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+                concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct())
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_suppkey") <= 4)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ext.Graphs.hyperBallCensus(edges, "a", "b", seeds, "node",
+      sweeps = 3)
+  }
 
   /** q358/q359's blocked candidate pairs over part (q312's first-word
     * blocking), with the exact-name truth flag and per-field
@@ -1378,6 +1408,20 @@ object RelationalGraphsQueries {
     // float log2), the exact-integer s_int/zeros fold, and the SHARED
     // estimate text interpolated from the operator.
     "q378_hyperball_nf" -> hyperBallOracleSql,
+
+    // Effective-diameter replay: q378's exact-ball census verbatim
+    // (nested WITH — the generator is the single source), then the
+    // same integer argmin + context-row join.
+    "q380_effective_diameter" ->
+      (s"WITH hb AS (\n$hyperBallOracleSql\n),\n" +
+        """eff AS (
+          |  SELECT min(CASE WHEN ratio_vs_final_ppm >= 900000
+          |    THEN t END) AS eff_t FROM hb)
+          |SELECT hb.t AS eff_diameter_t, hb.n_seeds,
+          |  hb.nf_est_milli AS nf_at_t_milli,
+          |  hb.ratio_vs_final_ppm AS ratio_at_t_ppm
+          |FROM hb, eff WHERE hb.t = eff.eff_t
+          |ORDER BY eff_diameter_t""".stripMargin),
   )
 
   /** q378's oracle builder — the per-t ball/register/census CTEs come

@@ -1491,10 +1491,11 @@ object TextCurationQueries {
     // yield EXACTLY floor(PAV)): no pooling loop, no driver, three
     // broadcast joins over the 10-row bins frame. Both ECEs ride
     // along; the isotonic map is fit on the SAME frame it scores, so
-    // ece_iso_ppm <= ece_raw_ppm is the expected in-sample direction
-    // (honest held-out evaluation splits by q368). Scale shape: one
-    // map-side scan -> 10-row census; everything downstream is
-    // bins-sized.
+    // ece_iso_ppm <= ece_raw_ppm here is guaranteed BY CONSTRUCTION —
+    // this query demonstrates the operator; q379 is the honest eval
+    // (train-fit on q368's leakage-safe split, test-scored). Scale
+    // shape: one map-side scan -> 10-row census; everything
+    // downstream is bins-sized.
     "q373_isotonic_calibration" -> ((s, d) => {
       val bins = graft.ops.Staging.stage(
         Calibration.confidenceCensus(Tables.documents(s, d), "text"))
@@ -1592,6 +1593,82 @@ object TextCurationQueries {
         .select(col("source") +: col("n_docs") +:
           fairnessCols("div").map { case (n, t) => expr(t).as(n) }: _*)
         .orderBy("source")
+    }),
+
+    // HELD-OUT CALIBRATION EVAL (r19 verdict item 2) — q373's honest
+    // twin: the isotonic map and the Brier score are FIT on the train
+    // side of q368's leakage-safe split and SCORED on the test side,
+    // so ece_iso <= ece_raw is no longer true by construction — the
+    // eval can now catch an overfit recalibration, which is the whole
+    // point of holding data out, and the cluster-aware split becomes
+    // load-bearing (a per-doc split would leak near-duplicates into
+    // the eval and score memorization). The split is EXACTLY q368's
+    // (shared generators: splitNearDupPairs/clusterSplits — one copy
+    // of the simhash params and the cluster-hash assignment). The
+    // train-fit monotone map applies to test bins as the standard
+    // step extension: a test bin takes the iso value of the LARGEST
+    // train bin <= it (rightward piecewise-constant), falling back to
+    // the smallest train bin's value below the fitted range. Test
+    // Brier scores both confidences per document at milli scale
+    // (raw link vs iso-mapped), exact integers throughout. Scale
+    // shape: pairs ride the pigeonhole band join, components
+    // pointer-jump, the per-doc frame is ONE scan joined to the
+    // doc-keyed label frame, censuses are 10-row aggregates, and the
+    // PAV fit + step extension are broadcast joins over bins-sized
+    // frames.
+    "q379_heldout_calibration" -> ((s, d) => {
+      val docs = graft.ops.Staging.stage(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      val pairs = graft.ops.Staging.stage(
+        TextDedupQueries.splitNearDupPairs(docs))
+      val lab = TextDedupQueries.clusterSplits(docs.select("doc_id"), pairs)
+        .select("doc_id", "split")
+      val perDoc = graft.ops.Staging.stage(
+        Calibration.confidencePerDocKeyed(
+            Tables.documents(s, d), "doc_id", "text")
+          .join(lab, Seq("doc_id")))
+      val trainBins = Calibration.censusOfConfidence(
+        perDoc.filter(col("split") === "train"))
+      val iso = graft.ops.Staging.stage(
+        Calibration.isotonicFitPpm(trainBins, "bin", "n_docs", "n_pass"))
+      val testBins = Calibration.censusOfConfidence(
+        perDoc.filter(col("split") === "test"))
+      // step extension of the train-fit map onto the test bins
+      val below = testBins.select(col("bin"))
+        .join(broadcast(iso.select(col("bin").as("tb"),
+          col("iso_ppm").as("tv"))), col("tb") <= col("bin"))
+        .groupBy("bin").agg(max_by(col("tv"), col("tb")).as("iso_below"))
+      val minIso = iso.agg(min_by(col("iso_ppm"), col("bin")).as("iso_floor"))
+      val applied = graft.ops.Staging.stage(testBins
+        .join(broadcast(below), Seq("bin"), "left")
+        .crossJoin(broadcast(minIso))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          col("mean_conf_ppm"), col("acc_ppm"),
+          coalesce(col("iso_below"), col("iso_floor")).as("iso_ppm")))
+      val ece = applied.agg(
+        expr("sum(n_docs * abs(acc_ppm - mean_conf_ppm)) div sum(n_docs)")
+          .as("ece_raw_ppm"),
+        expr("sum(n_docs * abs(acc_ppm - iso_ppm)) div sum(n_docs)")
+          .as("ece_iso_ppm"))
+      // per-doc test Brier at milli scale, raw link vs the iso map
+      // the doc's bin carries (exact integer squares, the q374 bound)
+      val brier = perDoc.filter(col("split") === "test")
+        .select(expr("conf_ppm div 1000").as("cm"),
+          expr("CASE WHEN pass THEN CAST(1000 AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END").as("ym"),
+          expr("least(CAST(9 AS BIGINT), conf_ppm div 100000)").as("bin"))
+        .join(broadcast(applied.select(col("bin"),
+          expr("iso_ppm div 1000").as("im"))), Seq("bin"))
+        .agg(expr("sum((cm - ym) * (cm - ym)) div count(1)")
+            .as("brier_raw_m2"),
+          expr("sum((im - ym) * (im - ym)) div count(1)")
+            .as("brier_iso_m2"))
+      applied.crossJoin(broadcast(ece)).crossJoin(broadcast(brier))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          col("mean_conf_ppm"), col("acc_ppm"), col("iso_ppm"),
+          col("ece_raw_ppm"), col("ece_iso_ppm"),
+          col("brier_raw_m2"), col("brier_iso_m2"))
+        .orderBy("bin")
     }),
   )
 
@@ -1691,7 +1768,17 @@ object TextCurationQueries {
     * convention). Degenerate strata guard to p = 1e6: a single-source
     * corpus (tot_n = n_docs) has no complement, and an all-pass /
     * all-fail corpus has zero pooled variance AND zero rate
-    * difference. */
+    * difference.
+    *
+    * LIBM ASSUMPTION (r19 advice): the erfc polynomial's exp is the
+    * one transcendental in this chain — the floored micro relies on
+    * JVM Math.exp and DuckDB libm agreeing to the last ulp (the
+    * division/multiplication steps are IEEE-deterministic). The A&S
+    * approximation's own |err| < 1.5e-7 dominates any last-ulp libm
+    * wobble by ~9 orders of magnitude at micro scale, so only a
+    * p-value landing within ~1e-15 of an exact micro boundary could
+    * flip — the HbEstMilliText/MmdKernNano lattice-distance argument
+    * (LibmLatticeSpec) applies. */
   private[graft] val BhPMicro: String = {
     val p1 = "(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     val p2 = "(CAST(tot_p - n_pass AS DOUBLE) / " +
@@ -3470,5 +3557,86 @@ object TextCurationQueries {
         |${fairnessCols("//").map { case (n, t) => s"  $t AS $n" }
             .mkString(",\n")}
         |FROM per, tot ORDER BY source""").stripMargin,
+
+    // Held-out replay: q368's split CTEs (simhash components + the
+    // SHARED cluster-hash split case), q367's confidence chain, the
+    // per-split censuses, the q373 minimax PAV over the TRAIN bins
+    // only, the step extension onto test bins (arg_max over ib <= bin
+    // mirroring Spark's max_by), and the test-side ECE/Brier.
+    "q379_heldout_calibration" ->
+      (simhashCompCtes + ",\n" +
+       HashScoreCtesSql + ",\n" + GateCtesSql + ",\n" +
+       s"""asg AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |slab AS (
+        |  SELECT doc_id, ${TextDedupQueries.SplitCaseDuck} AS split
+        |  FROM asg),
+        |base AS (
+        |  SELECT g.pass, $CalibConfPpm AS conf_ppm, l.split
+        |  FROM g JOIN sc ON g.doc_id = sc.doc_id
+        |  JOIN slab l ON l.doc_id = g.doc_id
+        |  WHERE g.n_subwords > 0),
+        |b2 AS (
+        |  SELECT split, pass, conf_ppm,
+        |    least(CAST(9 AS BIGINT), conf_ppm // 100000) AS bin
+        |  FROM base),
+        |cen AS (
+        |  SELECT split, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM b2 GROUP BY split, bin),
+        |r AS (
+        |  SELECT split, bin, n_docs, n_pass,
+        |    sum_conf // n_docs AS mean_conf_ppm,
+        |    (n_pass * 1000000) // n_docs AS acc_ppm
+        |  FROM cen),
+        |tr AS (SELECT * FROM r WHERE split = 'train'),
+        |te AS (SELECT * FROM r WHERE split = 'test'),
+        |iv AS (
+        |  SELECT j2.bin AS jb, k.bin AS kb,
+        |    (CAST(sum(x.n_pass) AS BIGINT) * 1000000)
+        |      // CAST(sum(x.n_docs) AS BIGINT) AS avg_ppm
+        |  FROM tr j2, tr k, tr x
+        |  WHERE j2.bin <= k.bin AND x.bin BETWEEN j2.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |mins AS (
+        |  SELECT i.bin AS ib, v.jb, min(v.avg_ppm) AS mn
+        |  FROM tr i JOIN iv v ON v.jb <= i.bin AND v.kb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib, max(mn) AS iso_ppm FROM mins GROUP BY ib),
+        |below AS (
+        |  SELECT t.bin AS bin, arg_max(i.iso_ppm, i.ib) AS iso_below
+        |  FROM te t JOIN iso i ON i.ib <= t.bin GROUP BY t.bin),
+        |mini AS (SELECT arg_min(iso_ppm, ib) AS iso_floor FROM iso),
+        |ap AS (
+        |  SELECT te.bin, te.n_docs, te.n_pass, te.mean_conf_ppm,
+        |    te.acc_ppm, coalesce(b.iso_below, mini.iso_floor) AS iso_ppm
+        |  FROM te LEFT JOIN below b ON te.bin = b.bin, mini),
+        |e AS (
+        |  SELECT
+        |    CAST(sum(n_docs * abs(acc_ppm - mean_conf_ppm)) AS BIGINT)
+        |      // CAST(sum(n_docs) AS BIGINT) AS ece_raw_ppm,
+        |    CAST(sum(n_docs * abs(acc_ppm - iso_ppm)) AS BIGINT)
+        |      // CAST(sum(n_docs) AS BIGINT) AS ece_iso_ppm
+        |  FROM ap),
+        |bd AS (
+        |  SELECT conf_ppm // 1000 AS cm,
+        |    CASE WHEN pass THEN CAST(1000 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS ym,
+        |    least(CAST(9 AS BIGINT), conf_ppm // 100000) AS bin
+        |  FROM base WHERE split = 'test'),
+        |br AS (
+        |  SELECT
+        |    CAST(sum((bd.cm - bd.ym) * (bd.cm - bd.ym)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS brier_raw_m2,
+        |    CAST(sum((ap.iso_ppm // 1000 - bd.ym)
+        |      * (ap.iso_ppm // 1000 - bd.ym)) AS BIGINT)
+        |      // CAST(count(*) AS BIGINT) AS brier_iso_m2
+        |  FROM bd JOIN ap ON bd.bin = ap.bin)
+        |SELECT ap.bin, ap.n_docs, ap.n_pass, ap.mean_conf_ppm,
+        |  ap.acc_ppm, ap.iso_ppm, e.ece_raw_ppm, e.ece_iso_ppm,
+        |  br.brier_raw_m2, br.brier_iso_m2
+        |FROM ap, e, br ORDER BY bin""").stripMargin,
   )
 }

@@ -19,6 +19,55 @@ import TextQueries.{Stopwords, LangProfiles, simhashCompCtes, bm25Ctes}
 object TextDedupQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** q368/q379's near-dup pair frame (the split unit's edge set) —
+    * ONE copy of the simhash parameters, so the held-out calibration
+    * eval (q379) scores on exactly the split q368 audits. `docs` must
+    * carry (doc_id, text). */
+  private[queries] def splitNearDupPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Dedup.simHashNearDups(docs, "doc_id", "text",
+        maxHamming = 3, bits = 64)
+      .select("id_a", "id_b")
+
+  /** q368/q379's cluster-aware split assignment: each doc joins its
+    * near-dup component (singletons self-cluster on doc_id), and the
+    * CLUSTER id hashes to the 80/20 side via [[SplitCaseSpark]] —
+    * members inherit the cluster's side, so near-duplicates can never
+    * straddle the boundary. Carries every non-key column of `docs`
+    * through. */
+  private[queries] def clusterSplits(
+      docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .join(Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(docs.columns.map(col) :+
+        coalesce(col("component"), col("doc_id")).as("cluster"): _*)
+      .withColumn("split", expr(SplitCaseSpark))
+
+  /** The split hash over `cluster`, Spark text: md5 first-8-hex as an
+    * integer (conv), mod 5 — bucket 4 is 'test'. The DuckDB twin
+    * [[SplitCaseDuck]] replays the SAME integer via the digit-sum
+    * (the q142 convention: engine-specific hash texts, identical
+    * integer semantics). */
+  private[queries] val SplitCaseSpark: String =
+    "CASE WHEN CAST(conv(substring(md5(CAST(cluster AS STRING)), " +
+      "1, 8), 16, 10) AS BIGINT) % 5 = 4 THEN 'test' " +
+      "ELSE 'train' END"
+
+  /** [[SplitCaseSpark]]'s DuckDB twin — shared by the q368 and q379
+    * oracles so the split replay cannot drift between them. */
+  private[queries] val SplitCaseDuck: String =
+    """CASE WHEN CAST(list_sum(list_transform(range(1, 9),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |             substring(md5(CAST(cluster AS VARCHAR)),
+      |                       CAST(i AS INTEGER), 1)) - 1
+      |           AS DOUBLE)
+      |         * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
+      |    % 5 = 4
+      |  THEN 'test' ELSE 'train' END""".stripMargin
+
   /** q348/q349's synthesized crawl log (the corpus carries no URL
     * column): deterministic raw-URL variants — scheme case, www,
     * default port, trailing slash, unsorted/tracking params, fragment
@@ -440,20 +489,9 @@ object TextDedupQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text"),
           expr("size(filter(split(text, ' '), t -> length(t) > 0))")
             .cast("long").as("toks")))
-      val pairs = graft.ops.Staging.stage(
-        Dedup.simHashNearDups(docs, "doc_id", "text",
-            maxHamming = 3, bits = 64)
-          .select("id_a", "id_b"))
-      val comp = Dedup.connectedComponents(pairs)
-      val lab = graft.ops.Staging.stage(docs
-        .join(comp.select(col("id").as("doc_id"), col("component")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("toks"),
-          coalesce(col("component"), col("doc_id")).as("cluster"))
-        .withColumn("split", expr(
-          "CASE WHEN CAST(conv(substring(md5(CAST(cluster AS STRING)), " +
-            "1, 8), 16, 10) AS BIGINT) % 5 = 4 THEN 'test' " +
-            "ELSE 'train' END")))
+      val pairs = graft.ops.Staging.stage(splitNearDupPairs(docs))
+      val lab = graft.ops.Staging.stage(
+        clusterSplits(docs.select("doc_id", "toks"), pairs))
       val census = lab.groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
              countDistinct("cluster").as("n_clusters"),
@@ -1266,14 +1304,7 @@ object TextDedupQueries {
       |  FROM tokc t LEFT JOIN comp c ON t.doc_id = c.id),
       |lab AS (
       |  SELECT doc_id, toks, cluster,
-      |    CASE WHEN CAST(list_sum(list_transform(range(1, 9),
-      |        i -> CAST(strpos('0123456789abcdef',
-      |                 substring(md5(CAST(cluster AS VARCHAR)),
-      |                           CAST(i AS INTEGER), 1)) - 1
-      |               AS DOUBLE)
-      |             * power(2.0, CAST(4 * (8 - i) AS DOUBLE)))) AS BIGINT)
-      |        % 5 = 4
-      |      THEN 'test' ELSE 'train' END AS split
+      |    __SPLIT_CASE__ AS split
       |  FROM asg),
       |cen AS (
       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1287,7 +1318,8 @@ object TextDedupQueries {
       |         JOIN lab b ON p.id_b = b.doc_id)
       |SELECT cen.split, cen.n_docs, cen.n_clusters, cen.n_tokens,
       |  lk.leaked_pairs
-      |FROM cen, lk ORDER BY cen.split""".stripMargin),
+      |FROM cen, lk ORDER BY cen.split""".stripMargin
+        .replace("__SPLIT_CASE__", SplitCaseDuck)),
 
     // q347's replay with the hot-fingerprint occupancy cut ENGAGED
     // (maxFpDocs = 2): the same generator inserts the hot/kept CTEs,

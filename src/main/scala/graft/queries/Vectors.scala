@@ -688,20 +688,15 @@ object VectorQueries {
       val b = paired.filter(expr("idx % 2 = 1"))
         .select(expr("idx div 2").as("j"), col("xv").as("xb"),
           col("yv").as("yb"))
-      def d2(u: String, v: String) =
-        s"aggregate(zip_with($u, $v, (p, q) -> (p - q) * (p - q)), " +
-          "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
-      val sums = a.join(b, "j")
-        .select((expr(MmdKernNano(d2("xa", "xb"))) +
-                 expr(MmdKernNano(d2("ya", "yb"))) -
-                 expr(MmdKernNano(d2("xa", "yb"))) -
-                 expr(MmdKernNano(d2("xb", "ya")))).as("h_nano"))
-        .agg(count(lit(1)).as("n_pairs"), sum("h_nano").as("sum_h_nano"))
+      // the h-term + census stage is the shared operator core
+      // (graft.ext.Drift — the streaming twin runs the SAME plan in
+      // Complete mode; r19 verdict item 3)
+      val census = graft.ext.Drift.linearMmdCensus(a.join(b, "j"))
       val nx = xs.agg(count(lit(1)).as("n_x"))
       val ny = ys.agg(count(lit(1)).as("n_y"))
-      sums.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+      census.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
         .select(col("n_x"), col("n_y"), col("n_pairs"), col("sum_h_nano"),
-          expr(MmdMeanNano("div")).as("mmd2_nano"))
+          col("mmd2_nano"))
         .orderBy("n_pairs")
     }),
 
@@ -888,24 +883,13 @@ object VectorQueries {
       |    ORDER BY sim DESC, neighbor_id) AS rnk FROM p), st
       |WHERE rnk <= 3 ORDER BY stage, query_id, rnk""".stripMargin
 
-  /** q377's RBF kernel in floored nano — ONE shared text over an
-    * exact-BIGINT squared distance on the 2^20 component lattice:
-    * exp(-d2 / 2^41) == exp(-||u-v||^2 / 2) on the original unit-norm
-    * scale (sigma^2 = 1). The only float op is the exp over an exact
-    * integer argument (the q369 shared exp/ln convention). */
+  // q377's kernel / sign-split-mean texts live with the operator
+  // (graft.ext.Drift — the streaming twin and the oracle interpolate
+  // the SAME strings, the PcaPower convention).
   private def MmdKernNano(d2: String): String =
-    s"CAST(floor(CAST(1000000000 AS DOUBLE) * exp(CAST(0 AS DOUBLE) - " +
-      s"CAST($d2 AS DOUBLE) / CAST(2199023255552 AS DOUBLE))) AS BIGINT)"
-
-  /** q377's mean with a SIGN-SPLIT integer division — Spark's `div`
-    * truncates toward zero while DuckDB's `//` floors, so a negative
-    * estimate (the linear MMD is unbiased and can dip below 0) must
-    * divide on the non-negative magnitude in both engines. */
+    graft.ext.Drift.mmdKernNano(d2)
   private def MmdMeanNano(idiv: String): String =
-    "CASE WHEN n_pairs = 0 THEN CAST(NULL AS BIGINT) " +
-      s"WHEN sum_h_nano >= 0 THEN sum_h_nano $idiv n_pairs " +
-      s"ELSE CAST(0 AS BIGINT) - ((CAST(0 AS BIGINT) - sum_h_nano) " +
-      s"$idiv n_pairs) END"
+    graft.ext.Drift.mmdMeanNano(idiv)
 
   /** q377's oracle-side exact squared distance (BIGINT components on
     * the shared lattice) fed to the SHARED kernel text. */

@@ -672,4 +672,26 @@ object Streams {
   def calibrationCensusStream(docs: DataFrame,
                               textCol: String = "text"): DataFrame =
     graft.ext.Calibration.confidenceCensus(docs, textCol)
+
+  /** STREAMING DRIFT MONITOR — the live form of q377's linear-time
+    * MMD (Gretton et al. JMLR'12 §6; r19 verdict item 3): the
+    * consecutive-pair h-terms are independent, so the statistic is an
+    * incremental mean — exactly a micro-batch shape. Consumes PAIRED
+    * samples (xa, ya, xb, yb lattice arrays: pair member 2j and 2j+1
+    * of the reference/candidate streams — pairing is an ingest-time
+    * property, e.g. round-robin at the collector, matching the batch
+    * query's denseIndex pairing) and emits the running
+    * (n_pairs, sum_h_nano, mmd2_nano) census in Complete mode.
+    *
+    * The h-term projection is stateless and the census is a GLOBAL
+    * running aggregate, so the batch plan ([[graft.ext.Drift
+    * .linearMmdCensus]] — the calibrationCensusStream convention)
+    * runs unchanged on the stream: state is three BIGINTs, constant
+    * forever, no watermark, and after any prefix the emitted row
+    * equals the batch census over exactly the pairs ingested so far
+    * (StreamingSpec pins every prefix). A drift alarm is a threshold
+    * on mmd2_nano downstream; add a time window upstream for a
+    * sliding rather than running view. */
+  def mmdDriftStream(paired: DataFrame): DataFrame =
+    graft.ext.Drift.linearMmdCensus(paired)
 }

@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     "graft_vector_sum", "graft_int8_quantize", "graft_int8_dequantize",
     "graft_int8_cosine", "graft_deflate_len",
     "graft_vec_normalize", "graft_pq_encode", "graft_pq_adc_score",
-    "graft_jaro_winkler", "graft_hilbert_key")
+    "graft_jaro_winkler", "graft_hilbert_key",
+    "graft_bytes8_max", "graft_bytes8_max_agg")
 
   test("registry lists every native function exactly once") {
     assert(GraftFunctions.registry.map(_._1).sorted == Expected.sorted)

@@ -16,6 +16,8 @@ case class EvJ(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
 case class VecRow(vec_id: Long, embedding: Seq[Float], label: Int)
 case class PointEv(id: Long, px: Double, py: Double)
+case class MmdPair(j: Long, xa: Seq[Long], ya: Seq[Long],
+                   xb: Seq[Long], yb: Seq[Long])
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -958,5 +960,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("calib_census").orderBy("bin")
       .collect().toSeq.map(_.toSeq) == censusOf(docs),
       "final census must equal the batch census over all documents")
+  }
+
+  test("mmdDriftStream: running linear-MMD census ≡ batch at every prefix") {
+    implicit val sc = spark.sqlContext
+    // paired lattice samples off the real embeddings table — the
+    // q377 quantization (floor(x * 2^20)), consecutive-id pairing
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)) " +
+        "AS BIGINT))").as("qv"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](1).toSeq)
+    val pairs = emb.grouped(4).filter(_.length == 4).zipWithIndex
+      .map { case (g, j) => MmdPair(j.toLong, g(0), g(1), g(2), g(3)) }
+      .toSeq
+    val (b1, rest) = pairs.splitAt(pairs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    def censusOf(rows: Seq[MmdPair]) =
+      Streams.mmdDriftStream(rows.toDF()).collect().toSeq.map(_.toSeq)
+    val stream = MemoryStream[MmdPair]
+    val q = Streams.mmdDriftStream(stream.toDF())
+      .writeStream.format("memory").queryName("mmd_census")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(spark.table("mmd_census").collect().toSeq.map(_.toSeq)
+      == censusOf(b1),
+      "mid-stream census must equal the batch census over the prefix")
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    assert(spark.table("mmd_census").collect().toSeq.map(_.toSeq)
+      == censusOf(b1 ++ b2))
+    stream.addData(b3: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("mmd_census").collect().toSeq.map(_.toSeq)
+      == censusOf(pairs),
+      "final census must equal the batch census over all pairs")
   }
 }
