@@ -243,6 +243,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "the cumulative window must sit above a decile aggregate, not the user frame")
   }
 
+  test("q379 held-out calibration: staged per-doc frame, broadcast-only joins past the pair stage") {
+    val p = plan("q379_heldout_calibration")
+    // the only nested-loop joins allowed are the bins-sized PAV
+    // interval/minimax joins and the step-extension (≤ 10-row
+    // broadcast frames) — every data-sized join (split labels,
+    // per-doc census) must be an equi-join; never a cartesian
+    assert(!p.contains("CartesianProduct"))
+    // split labels and the confidence frame join on the doc key
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"))
+    // train-fit map reaches test bins via broadcast, not a shuffle
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("q247 covisitation: the distinct frame is staged (one InMemory scan per side)") {
     val df = SparkEntry.queries("q247_covisitation")(
       spark, "/root/testdata/sf0.001")
