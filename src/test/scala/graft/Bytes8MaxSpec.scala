@@ -63,6 +63,11 @@ class Bytes8MaxSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"), p)
+    // AQE's final-plan rendering marks codegen stages with the *(n)
+    // prefix rather than the literal WholeStageCodegen node name
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(p.contains("partial_bytes8_max_agg"),
+      "map-side partial aggregation must engage:\n" + p)
   }
 
   test("scalar bytes8_max under codegen matches the kernel") {
