@@ -46,8 +46,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // cap plan-string work (see GraftSession) — a lineage bug then
-      // costs truncated strings, not GiB driver allocations
-      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
+      // costs truncated strings, not GiB driver allocations. r21: 32 KB
+      // (was 1 MB) — with the UI off the string goes nowhere, yet
+      // SQLExecution renders it for every execution event and AQE
+      // re-renders per replan; q379's cached-heavy plan rendered 8
+      // MB-scale strings per bench pass (measured WARNs). Truncation
+      // bounds the rendering work itself; plans/ artifacts come from
+      // Explain/PlanDump sessions, which don't set this cap.
+      .config("spark.sql.maxPlanStringLength", (1 << 15).toString)
       // NOTE: each testdata parquet is a single row group, so scan
       // stages are inherently one task here regardless of
       // maxPartitionBytes — the serial scan+project prefix of each
@@ -63,6 +69,24 @@ object Bench {
     // that touches a case-mapping expression.
     spark.range(1000000).selectExpr("sum(id)", "max(upper('warm'))").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // r21 (r20 verdict item 5): a handful of UNMEASURED small queries
+    // before pass 1 so the first measured pass doesn't absorb the bulk
+    // of first-use JIT/codegen/shuffle-machinery warm-up — r20's
+    // run_totals were 1.50x apart purely from pass-1 warm-up + host
+    // noise, inflating the driver's best-of-2 headline. The warm-up
+    // set spans the common physical-operator classes (hash aggregate,
+    // SMJ/BHJ joins, window, sort, exploded arrays, parquet scan of
+    // each major table); it runs through the same noop sink and its
+    // staged frames are released, so nothing persists into the timed
+    // region. Timing methodology (2 full passes, per-query min, noop
+    // sink) is UNCHANGED.
+    for (w <- Seq("q01_pricing_summary", "q04_rank_segments",
+                  "q14_trailing_avg", "q62_top_ngrams", "q92_hll_distinct"))
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Exception => () } // warm-up must never kill the run
+        finally graft.ops.Staging.releaseAll()
+      }
     // Load phase: materialize the memoized FinData caches the §2.10
     // composite queries (q48-q51) share, mirroring the reference's own
     // load()/query split (its load_data() runs before any query and

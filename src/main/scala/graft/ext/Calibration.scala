@@ -58,6 +58,12 @@ object Calibration {
 
   private def confBase(docs: DataFrame, textCol: String,
                        carry: Seq[String]): DataFrame = {
+    // fail fast on a carry column colliding with the generated names
+    // (r20 advice): a collision would silently produce ambiguous/
+    // shadowed columns for downstream joins
+    val generated = Set("n_subwords", "score", "pass", "conf_ppm")
+    require(!carry.exists(generated),
+      s"carry column collides with a generated name (${generated.mkString(", ")})")
     val toks = TextStats.subwordTokens(col(textCol))
     TextStats.withRepetitionStats(docs, textCol)
       .select(carry.map(col) ++ Seq(size(toks).as("n_subwords"),

@@ -575,9 +575,13 @@ object IvfIndex {
     val orphans = ts.join(corpus.select("neighbor_id"),
         Seq("neighbor_id"), "left_anti")
       .agg(count(lit(1)).as("__orph"))
+    // coalesce (r20 advice): on an EMPTY corpus sum() yields NULL, so
+    // without it the totals row would read NULL n_stored/n_live and a
+    // dashboard caller's getLong would NPE — an all-zero totals row is
+    // the correct empty-index census (the linearMmdCensus convention)
     val totals = perCell
-      .agg(sum("n_stored").as("n_stored"),
-           sum("n_tombstoned").as("n_tombstoned"))
+      .agg(coalesce(sum("n_stored"), lit(0L)).as("n_stored"),
+           coalesce(sum("n_tombstoned"), lit(0L)).as("n_tombstoned"))
       .crossJoin(broadcast(orphans))
       .select(lit(-1).as("cell"), col("n_stored"),
         col("n_tombstoned"), col("__orph").as("n_orphan_tombstones"))

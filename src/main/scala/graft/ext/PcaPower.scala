@@ -57,12 +57,26 @@ object PcaPower {
       .groupBy("i", "j").agg(sum("t").as("g")))
     val x0 = gm.select(col("i")).distinct()
       .select(col("i").as("j"), lit(1000000000L).as("x"))
-    def matvec(x: DataFrame): DataFrame =
+    // Every per-step frame is EAGERLY checkpointed (r21, the
+    // BradleyTerry.fit discipline): each matvec output y has TWO
+    // consumers (the renorm projection and its max-abs aggregate) and
+    // every broadcast(x) re-evaluates its whole upstream chain — lazy,
+    // the d-sized iterate lineage re-ran once per consumer,
+    // compounding per step (measured: 77 scheduler jobs / 1441 tasks
+    // for steps = 3 at sf0.1); a lazy persist() still let the terminal
+    // action's concurrent broadcast futures RACE to fill the caches
+    // (the Sweep.foldPinned hazard — measured 0.7 s × 4 redundant
+    // fills). localCheckpoint(true) computes each d-row frame exactly
+    // once, values bit-identical; the frames are d rows regardless of
+    // corpus size, so the checkpoint is free at any scale.
+    def matvec(x: DataFrame): DataFrame = graft.ops.Staging.stageCheckpoint(
       gm.join(broadcast(x), "j")
         .groupBy("i").agg(sum(expr(MatvecTermNano)).as("y"))
-    def renorm(y: DataFrame): DataFrame =
+        .localCheckpoint(true))
+    def renorm(y: DataFrame): DataFrame = graft.ops.Staging.stageCheckpoint(
       y.crossJoin(broadcast(y.agg(max(abs(col("y"))).as("m"))))
         .select(col("i").as("j"), expr(RenormNano).as("x"))
+        .localCheckpoint(true))
     val xLast = (1 until steps).foldLeft(x0)((x, _) => renorm(matvec(x)))
     val yLast = matvec(xLast)
     yLast.crossJoin(broadcast(yLast.agg(max(abs(col("y"))).as("m"))))

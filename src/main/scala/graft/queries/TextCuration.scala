@@ -1623,9 +1623,13 @@ object TextCurationQueries {
         TextDedupQueries.splitNearDupPairs(docs))
       val lab = TextDedupQueries.clusterSplits(docs.select("doc_id"), pairs)
         .select("doc_id", "split")
+      // r21: the per-doc confidence chain reads the STAGED docs frame
+      // (exactly the two columns it needs), not a second
+      // Tables.documents scan — at 100 TB the old shape was one
+      // avoidable full-corpus parquet scan (r20 verdict #1).
+      // Hash-invisible: the staged frame is the same (doc_id, text).
       val perDoc = graft.ops.Staging.stage(
-        Calibration.confidencePerDocKeyed(
-            Tables.documents(s, d), "doc_id", "text")
+        Calibration.confidencePerDocKeyed(docs, "doc_id", "text")
           .join(lab, Seq("doc_id")))
       val trainBins = Calibration.censusOfConfidence(
         perDoc.filter(col("split") === "train"))

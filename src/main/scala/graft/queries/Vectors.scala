@@ -1519,7 +1519,7 @@ object VectorQueries {
         |  FROM a JOIN b ON a.j = b.j),
         |sums AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |    CAST(sum(h_nano) AS BIGINT) AS sum_h_nano
+        |    coalesce(CAST(sum(h_nano) AS BIGINT), 0) AS sum_h_nano
         |  FROM h),
         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_x FROM x),
         |ny AS (SELECT CAST(count(*) AS BIGINT) AS n_y FROM y)

@@ -39,12 +39,28 @@ object JobProbe {
     // count) as it starts — the map from a query's job COUNT to which
     // plan steps those jobs actually are, without the Spark UI
     val verbose = sys.env.get("SPARK_GRAFT_PROBE_VERBOSE").contains("1")
+    // verbose per-job timing (r21): job wall = end - start, plus the
+    // GAP since the previous job's end — driver-side work (planning,
+    // collects, plan-string rendering) lives in the gaps, executor
+    // work in the job walls. The start map is keyed by jobId.
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val lastEndNs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val k = jobs.incrementAndGet()
+        jobStartNs.put(j.jobId, System.nanoTime())
         if (verbose) {
           val desc = j.stageInfos.map(_.name).mkString(" | ")
           println(f"[probe]   job#$k%-3d stages=${j.stageInfos.size}%3d  $desc")
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val now = System.nanoTime()
+        val st = Option(jobStartNs.remove(j.jobId)).getOrElse(now)
+        val prev = lastEndNs.getAndSet(now)
+        if (verbose) {
+          val gap = if (prev == 0L) 0.0 else (st - prev).max(0L) / 1e9
+          println(f"[probe]   job ${j.jobId}%-4d wall=${(now - st) / 1e9}%6.3f s  gap_before=$gap%6.3f s")
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
