@@ -60,8 +60,15 @@ object Graphs {
     // node-sized frame with its hash(node) partitioning declared.
     // Values are bit-identical: the pin only adds a repartition over
     // the same expressions. Plan introspection uses [[pageRankLazy]].
-    pin(pageRankLazy(edges, aCol, bCol, iterations, damping, dedupEdges),
-        "node")
+    {
+      val (terminal, np) =
+        pageRankBuild(edges, aCol, bCol, iterations, damping, dedupEdges)
+      // the terminal pin plans the whole fold — keep it at the same
+      // partition count so every sweep join stays co-located
+      graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+        pin(terminal, "node")
+      }
+    }
 
   /** The lazy (unpinned) fold behind [[pageRank]] — kept separate so
     * specs/tools can assert the per-sweep exchange shape on the
@@ -69,51 +76,67 @@ object Graphs {
   private[graft] def pageRankLazy(
       edges: DataFrame, aCol: String, bCol: String,
       iterations: Int, damping: Double,
-      dedupEdges: Boolean): DataFrame = {
+      dedupEdges: Boolean): DataFrame =
+    pageRankBuild(edges, aCol, bCol, iterations, damping, dedupEdges)._1
+
+  private def pageRankBuild(
+      edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int, damping: Double,
+      dedupEdges: Boolean): (DataFrame, Int) = {
     require(iterations >= 1, "iterations must be >= 1")
     // Symmetrize with ONE read of `edges` (explode of both
     // orientations). The r12 union form read the caller's edge
     // pipeline twice — for q90 that was the whole
     // lineitem⋈orders⋈distinct build duplicated into both union legs.
     val symRaw = symmetrize(edges, aCol, bCol)
-    val sym = if (dedupEdges) symRaw.distinct() else symRaw
-    // The degree-annotated adjacency and the degree table are pinned
-    // with an EAGER localCheckpoint ([[pin]]), not a lazy cache: a
-    // cached plan's hash partitioning is invisible to consumers under
-    // AQE (the cache boundary reports unknown partitioning), so the
-    // r12 cache-based form re-exchanged the EDGE frame on src every
-    // sweep — the exact shuffle the scaladoc promised away. The
-    // checkpoint materializes through LogicalRDD, which carries the
-    // physical partitioning: deg arrives hash(src) from its
-    // aggregate, adj hash(src) from the join, and every sweep's SMJ
-    // then co-locates against the node-sized rank frame with NO edge
-    // re-shuffle (plan-asserted in GraphsSpec).
-    // N is ONE number and the pin's materializing action is a count:
-    // pinCounted returns it from the SAME job (the r14 shape paid a
-    // second job re-scanning the fresh blocks). 1.0/N and (1-d)/N are
-    // computed by the same IEEE ops the in-plan form used, so every
-    // rank double is bit-identical.
-    val (deg, nRows) =
-      pinCounted(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-    val adj = pin(sym.join(deg, "src"), "src")
-    val n = nRows.toDouble
-    val init = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
-    // Per-sweep frames are NOT staged: each has exactly one consumer
-    // (the next sweep), the lineage roots at the two checkpoints, and
-    // each sweep's mass aggregate lands already partitioned on
-    // dst(=node) — alias-tracked through the rename — so the next
-    // sweep's join re-uses it against adj's src partitioning. One
-    // node-sized shuffle per sweep, nothing else.
-    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      adj.join(pr, col("src") === col("node"))
-        .groupBy("dst")
-        .agg(sum(col("pr") / col("deg")).as("__mass"))
-        .select(col("dst").as("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * col("__mass")).as("pr"))
+    // r21: the symmetric frame is itself pinned (counted) BEFORE the
+    // degree/adjacency pins — previously `sym` was lazy, so the whole
+    // caller edge build (for q90 the lineitem⋈orders join + explode)
+    // ran TWICE: once materializing the deg pin, once the adj pin
+    // (measured 1.44 s + 1.69 s of the query's 5.6 s at sf0.1). Now
+    // the build runs once and both pins derive from the checkpoint;
+    // the fused count also feeds the scale-adaptive partition count.
+    val (sym, np, _) = pinEdgesAdaptive(
+      if (dedupEdges) symRaw.distinct() else symRaw, "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+      // The degree-annotated adjacency and the degree table are pinned
+      // with an EAGER localCheckpoint ([[pin]]), not a lazy cache: a
+      // cached plan's hash partitioning is invisible to consumers under
+      // AQE (the cache boundary reports unknown partitioning), so the
+      // r12 cache-based form re-exchanged the EDGE frame on src every
+      // sweep — the exact shuffle the scaladoc promised away. The
+      // checkpoint materializes through LogicalRDD, which carries the
+      // physical partitioning: deg arrives hash(src) from its
+      // aggregate, adj hash(src) from the join, and every sweep's SMJ
+      // then co-locates against the node-sized rank frame with NO edge
+      // re-shuffle (plan-asserted in GraphsSpec).
+      // N is ONE number and the pin's materializing action is a count:
+      // pinCounted returns it from the SAME job (the r14 shape paid a
+      // second job re-scanning the fresh blocks). 1.0/N and (1-d)/N are
+      // computed by the same IEEE ops the in-plan form used, so every
+      // rank double is bit-identical.
+      val (deg, nRows) =
+        pinCounted(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      val adj = pin(sym.join(deg, "src"), "src")
+      val n = nRows.toDouble
+      val init = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+      // Per-sweep frames are NOT staged: each has exactly one consumer
+      // (the next sweep), the lineage roots at the two checkpoints, and
+      // each sweep's mass aggregate lands already partitioned on
+      // dst(=node) — alias-tracked through the rename — so the next
+      // sweep's join re-uses it against adj's src partitioning. One
+      // node-sized shuffle per sweep, nothing else.
+      val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
+        adj.join(pr, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(col("pr") / col("deg")).as("__mass"))
+          .select(col("dst").as("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * col("__mass")).as("pr"))
+      }
+      (terminal.join(deg, col("node") === col("src"))
+        .select(col("node"), col("deg").as("degree"), col("pr")), np)
     }
-    terminal.join(deg, col("node") === col("src"))
-      .select(col("node"), col("deg").as("degree"), col("pr"))
   }
 
   // the shared sweep harness ([[graft.ops.Sweep]]): one-pass
@@ -128,6 +151,32 @@ object Graphs {
     graft.ops.Sweep.pin(df, keys: _*)
   private def pinCounted(df: DataFrame, keys: String*): (DataFrame, Long) =
     graft.ops.Sweep.pinCounted(df, keys: _*)
+
+  /** Pin an operator's edge frame ONCE with a fused count, derive the
+    * scale-adaptive sweep partition count from the MEASURED edge rows
+    * ([[graft.ops.Sweep.sweepPartitions]] — r21, guide §2.2), and
+    * re-pin at that count when it differs from the session default.
+    * At 100 TB the clamp makes the two equal, so the re-pin branch
+    * never runs and the operator behaves exactly as before; on a
+    * small/sparse graph it stops every sweep stage from scheduling a
+    * full shuffle.partitions grid of near-empty tasks. Callers wrap
+    * their pin/fold phase in `withShufflePartitions(sp, np)` so every
+    * exchange planned inside (per-sweep aggregates, chunk seals)
+    * shares the count and sweep joins stay co-located. Returns
+    * (pinned edges, np, edge rows). */
+  private def pinEdgesAdaptive(e: DataFrame,
+                               keys: String*): (DataFrame, Int, Long) = {
+    val sp = e.sparkSession
+    val (p0, rows) = pinCounted(e, keys: _*)
+    val np = graft.ops.Sweep.sweepPartitions(sp, rows)
+    val defN = sp.conf.get("spark.sql.shuffle.partitions").toInt
+    if (np == defN) (p0, np, rows)
+    else {
+      val p = graft.ops.Sweep.pinN(p0, keys, np)
+      graft.ops.Staging.dropCheckpoint(p0)
+      (p, np, rows)
+    }
+  }
 
   /** WEIGHTED PageRank over an undirected weighted edge list: mass
     * flows proportionally to edge weight — `pr' = (1-d)/N + d *
@@ -144,32 +193,47 @@ object Graphs {
                        damping: Double = 0.85): DataFrame =
     // terminal pin: one non-AQE job for the whole fold — see
     // [[pageRank]]'s argument (identical fold shape, weighted mass)
-    pin(pageRankWeightedLazy(edges, aCol, bCol, wCol, iterations, damping),
-        "node")
+    {
+      val (terminal, np) =
+        pageRankWeightedBuild(edges, aCol, bCol, wCol, iterations, damping)
+      graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+        pin(terminal, "node")
+      }
+    }
 
   private[graft] def pageRankWeightedLazy(
       edges: DataFrame, aCol: String, bCol: String,
-      wCol: String, iterations: Int, damping: Double): DataFrame = {
+      wCol: String, iterations: Int, damping: Double): DataFrame =
+    pageRankWeightedBuild(edges, aCol, bCol, wCol, iterations, damping)._1
+
+  private def pageRankWeightedBuild(
+      edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, iterations: Int, damping: Double): (DataFrame, Int) = {
     require(iterations >= 1, "iterations must be >= 1")
-    // same sweep shape as [[pageRank]]: one-pass symmetrization,
-    // partitioning-declared checkpoints, driver-side N, one
-    // node-sized shuffle per sweep (see pageRank's comments)
-    val sym = symmetrizeW(edges, aCol, bCol, col(wCol).cast("double"))
-    val (wt, nRows) =
-      pinCounted(sym.groupBy("src").agg(sum("w").as("wtot")), "src")
-    val adj = pin(sym.join(wt, "src"), "src")
-    val n = nRows.toDouble
-    val init = wt.select(col("src").as("node"), lit(1.0 / n).as("pr"))
-    val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-      adj.join(pr, col("src") === col("node"))
-        .groupBy("dst")
-        .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
-        .select(col("dst").as("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * col("__mass")).as("pr"))
+    // same sweep shape as [[pageRank]]: one-pass symmetrization, the
+    // edge frame pinned ONCE (r21 — the caller's edge build used to
+    // run twice, into the wt pin and again into the adj pin),
+    // partitioning-declared checkpoints at the scale-adaptive count,
+    // driver-side N, one node-sized shuffle per sweep
+    val (sym, np, _) = pinEdgesAdaptive(
+      symmetrizeW(edges, aCol, bCol, col(wCol).cast("double")), "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+      val (wt, nRows) =
+        pinCounted(sym.groupBy("src").agg(sum("w").as("wtot")), "src")
+      val adj = pin(sym.join(wt, "src"), "src")
+      val n = nRows.toDouble
+      val init = wt.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+      val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
+        adj.join(pr, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
+          .select(col("dst").as("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * col("__mass")).as("pr"))
+      }
+      (terminal.join(wt, col("node") === col("src"))
+        .select(col("node"), col("wtot").as("total_weight"), col("pr")), np)
     }
-    terminal.join(wt, col("node") === col("src"))
-      .select(col("node"), col("wtot").as("total_weight"), col("pr"))
   }
 
   /** Synchronous label propagation (community detection — the cheap
@@ -197,7 +261,13 @@ object Graphs {
     require(iterations >= 1, "iterations must be >= 1")
     val e0 = edges.select(col(aCol).cast("string").as("a"),
                           col(bCol).cast("string").as("b"))
-    val sym = pin(symmetrize(e0, "a", "b").distinct(), "src")
+    // r21: fused-count pin + scale-adaptive partition count (see
+    // [[pinEdgesAdaptive]]); the fold below runs inside
+    // withShufflePartitions so every round's aggregates and seals
+    // share the count and stay co-located against sym
+    val (sym, np, _) = pinEdgesAdaptive(
+      symmetrize(e0, "a", "b").distinct(), "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
     // init rides sym's declared partitioning: the distinct on src is
     // map-side only, and round 1's join is already co-located
     val init = sym.select(col("src").as("node")).distinct()
@@ -236,6 +306,7 @@ object Graphs {
     graft.ops.Sweep.foldPinnedConverging(init, iterations, Seq("node"),
         changeFlag = Some("__chg"))(step)
       .select("node", "label")
+    }
   }
 
   /** Enumerate triangles of an undirected graph: input pairs are
@@ -319,7 +390,10 @@ object Graphs {
               seeds: DataFrame, seedCol: String,
               maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val sym = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
+    // r21: fused-count pin + scale-adaptive partition count
+    val (sym, np, _) = pinEdgesAdaptive(
+      symmetrize(edges, aCol, bCol).distinct(), "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
     val init = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
     // the per-sweep distance frame is pinned on node: the neighbor
@@ -345,6 +419,7 @@ object Graphs {
     // Chunked pin cadence (r15 verdict): 2-3 sweeps per checkpoint
     // with staged intermediates — see [[graft.ops.Sweep.foldPinned]]
     graft.ops.Sweep.foldPinned(init0, maxHops, Seq("node"))(relaxMerge)
+    }
   }
 
   /** k-core peeling: repeatedly remove nodes of degree < k (and
@@ -369,9 +444,10 @@ object Graphs {
     require(k >= 1 && sweeps >= 1, "k and sweeps must be >= 1")
     // pinCounted: the init edge count arms the integral early stop
     // from the FIRST chunk (r16 verdict item 6) — the count rides the
-    // pin's own materializing job, no extra scheduler job
-    val (init, initEdges) =
-      pinCounted(symmetrize(edges, aCol, bCol).distinct(), "src")
+    // pin's own materializing job, no extra scheduler job. r21: the
+    // same count feeds the scale-adaptive partition count.
+    val (init, np, initEdges) =
+      pinEdgesAdaptive(symmetrize(edges, aCol, bCol).distinct(), "src")
     // One peel: degree filter on both endpoints. On a frame laid out
     // hash(src) the degree aggregate is map-side and the src-endpoint
     // semi-join co-locates for free; the dst-endpoint semi-join re-keys
@@ -416,8 +492,10 @@ object Graphs {
     // scheduler jobs disappear. The count is fused into each chunk
     // pin's materializing job (withCount), job count per sweep
     // unchanged.
-    graft.ops.Sweep.foldPinnedConverging(init, sweeps, Seq("src"),
-      initRows = Some(initEdges))(peel)
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+      graft.ops.Sweep.foldPinnedConverging(init, sweeps, Seq("src"),
+        initRows = Some(initEdges))(peel)
+    }
   }
 
   /** Single-source (or multi-source) shortest path over an undirected
@@ -438,11 +516,13 @@ object Graphs {
                    wCol: String, seeds: DataFrame, seedCol: String,
                    maxSweeps: Int): DataFrame = {
     require(maxSweeps >= 1, "maxSweeps must be >= 1")
-    // same per-sweep co-location shape as [[bfsHops]]
-    val sym = pin(
+    // same per-sweep co-location shape as [[bfsHops]]; r21: fused
+    // count + scale-adaptive partition count
+    val (sym, np, _) = pinEdgesAdaptive(
       symmetrizeW(edges, aCol, bCol, col(wCol).cast("long"))
         .groupBy("src", "dst").agg(min("w").as("w")), // parallel edges: keep cheapest
       "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
     val init = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
     val init0 = pin(init, "node")
@@ -459,6 +539,7 @@ object Graphs {
     }
     // chunked pin cadence — see [[graft.ops.Sweep.foldPinned]]
     graft.ops.Sweep.foldPinned(init0, maxSweeps, Seq("node"))(relaxMerge)
+    }
   }
 
   /** PageRank over a DIRECTED edge list, safe for graphs with sinks:
@@ -495,10 +576,12 @@ object Graphs {
     // directed: no symmetrization, but the same staging discipline as
     // [[pageRank]] — partitioning-declared checkpoints (pin) so no
     // sweep re-exchanges the edge frame, node set in ONE pass over
-    // dir (explode, not a two-scan union), driver-side N
-    val dir = pin(
+    // dir (explode, not a two-scan union), driver-side N. r21: dir's
+    // pin count feeds the scale-adaptive partition count.
+    val (dir, np, _) = pinEdgesAdaptive(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
       "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
     val nodes = dir
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
     val outdeg = pin(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
@@ -557,6 +640,7 @@ object Graphs {
       .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"),
               col("pr"))
+    }
   }
 
   /** PERSONALIZED PageRank (random walk with restart to a SEED set —
@@ -580,9 +664,11 @@ object Graphs {
                            seeds: DataFrame, iterations: Int = 3,
                            damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val dir = pin(
+    // r21: fused-count pin + scale-adaptive partition count
+    val (dir, np, _) = pinEdgesAdaptive(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
       "src")
+    graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
     val nodes = dir
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
     val outdeg = pin(dir.groupBy("src").agg(count(lit(1)).as("deg")), "src")
@@ -623,6 +709,7 @@ object Graphs {
       .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), col("__seed").as("is_seed"),
               coalesce(col("deg"), lit(0L)).as("out_degree"), col("pr"))
+    }
   }
 
   // ---- HyperBall (HyperANF) ------------------------------------------
@@ -733,7 +820,10 @@ object Graphs {
                       sweeps: Int): DataFrame = {
     require(sweeps >= 1, "sweeps must be >= 1")
     val sp = edges.sparkSession
-    val sym = pin(symmetrize(edges, aCol, bCol).distinct(), "src")
+    // r21: fused-count pin + scale-adaptive partition count
+    val (sym, np, _) = pinEdgesAdaptive(
+      symmetrize(edges, aCol, bCol).distinct(), "src")
+    graft.ops.Sweep.withShufflePartitions(sp, np) {
     val gCols = (0 until HbLongs).map(k => s"g$k")
     val init = pin(
       sym.select(col("src").as("node")).distinct()
@@ -791,5 +881,6 @@ object Graphs {
       .select(col("t"), col("n_seeds"), col("nf_est_milli"),
         expr("(nf_est_milli * 1000000) div __fin").as("ratio_vs_final_ppm"))
       .orderBy("t")
+    }
   }
 }

@@ -46,8 +46,12 @@ object Sweep {
     * no re-exchange. Blocks are registered with [[Staging]] for
     * release; superseded per-sweep pins should be freed with
     * [[Staging.dropCheckpoint]] once their successor is material. */
-  def pin(df: DataFrame, keys: String*): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  def pin(df: DataFrame, keys: String*): DataFrame =
+    pinN(df, keys, defaultN(df))
+
+  /** [[pin]] with an explicit partition count — the scale-adaptive
+    * sweep path ([[sweepPartitions]]). */
+  def pinN(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
     val ck = org.apache.spark.sql.execution.GraftPartitionedCheckpoint(
       df, keys, n)
     Staging.stageCheckpoint(ck)
@@ -59,12 +63,43 @@ object Sweep {
     * variant) gets it from the same scheduler job that pins the frame
     * instead of a second job re-scanning the fresh blocks (r14
     * verdict: sweep cost on small graphs is per-job scheduling). */
-  def pinCounted(df: DataFrame, keys: String*): (DataFrame, Long) = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  def pinCounted(df: DataFrame, keys: String*): (DataFrame, Long) =
+    pinCountedN(df, keys, defaultN(df))
+
+  /** [[pinCounted]] with an explicit partition count. */
+  def pinCountedN(df: DataFrame, keys: Seq[String],
+                  n: Int): (DataFrame, Long) = {
     val (ck, rows) = org.apache.spark.sql.execution
       .GraftPartitionedCheckpoint.withCount(df, keys, n)
     Staging.stageCheckpoint(ck)
     (ck, rows)
+  }
+
+  private def defaultN(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Scale-adaptive sweep partition count (r21 — guide §2.2 "fewer,
+    * larger partitions"): pins run NON-adaptive by design (see
+    * [[withoutAqe]]), so nothing ever coalesced their fixed
+    * `spark.sql.shuffle.partitions`-sized exchanges — on a small/
+    * sparse graph every sweep stage then schedules a full grid of
+    * near-empty tasks (measured at sf0.1: the sweep family runs
+    * 25-30% faster at 8 partitions than at 32 on a 1.2M-row edge
+    * frame). This is the AQE-coalescing equivalent for the pinned
+    * exchanges, derived from the MEASURED edge-frame row count (the
+    * first pin's fused count — no extra job), not a constant:
+    * `clamp(ceil(rows / spark.graft.sweep.partitionRows), 1,
+    * spark.sql.shuffle.partitions)`. The default target (256k rows
+    * per partition, ~15-50 MB for the narrow node/edge sweep frames)
+    * sits in AQE's own advisory band; the cap keeps cluster behavior
+    * unchanged — at 100 TB `rows/target` exceeds any session's
+    * shuffle.partitions, so the operator runs exactly as before. */
+  def sweepPartitions(spark: org.apache.spark.sql.SparkSession,
+                      rows: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.sweep.partitionRows")
+      .map(_.toLong).filter(_ > 0).getOrElse(262144L)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(cap.toLong, math.max(1L, (rows + target - 1) / target)).toInt
   }
 
   /** Run `total` sweeps of `step` from `init`, checkpointing every
@@ -98,7 +133,15 @@ object Sweep {
     * cannot blind-compose — the count IS the pin's materializing
     * action there. */
   def foldPinned(init: DataFrame, total: Int, keys: Seq[String])
-                (step: DataFrame => DataFrame): DataFrame = {
+                (step: DataFrame => DataFrame): DataFrame =
+    foldPinnedN(init, total, keys,
+      init.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)(step)
+
+  /** [[foldPinned]] with an explicit partition count for the chunk
+    * pins and intra-chunk seals (the scale-adaptive sweep path —
+    * [[sweepPartitions]]). */
+  def foldPinnedN(init: DataFrame, total: Int, keys: Seq[String], n: Int)
+                 (step: DataFrame => DataFrame): DataFrame = {
     require(total >= 1, "total sweeps must be >= 1")
     // Intra-chunk intermediates are sealed with a repartition(n, keys)
     // EXCHANGE, not a persist: a cached frame is a NARROW dependency,
@@ -115,8 +158,6 @@ object Sweep {
     // per-sweep pin's own repartition used to restore, so intra-chunk
     // joins co-locate the same way (shuffle volume is unchanged; the
     // checkpoint write/read and its scheduler job are what disappear).
-    val n = init.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
     var cur = init
     var done = 0
     while (done < total) {
@@ -126,7 +167,7 @@ object Sweep {
       for (i <- 1 to take)
         x = if (i < take) step(x).repartition(n, keys.map(col): _*)
             else step(x)
-      val ck = pin(x, keys: _*)
+      val ck = pinN(x, keys, n)
       Staging.dropCheckpoint(cur)
       cur = ck
       done += take
@@ -163,11 +204,13 @@ object Sweep {
     * fixed budget. */
   def foldPinnedConverging(init: DataFrame, total: Int, keys: Seq[String],
                            changeFlag: Option[String] = None,
-                           initRows: Option[Long] = None)
+                           initRows: Option[Long] = None,
+                           numPartitions: Option[Int] = None)
                           (step: DataFrame => DataFrame): DataFrame = {
     require(total >= 1, "total sweeps must be >= 1")
     val spark = init.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     var cur = init
     var prevRows = initRows.getOrElse(-1L)
     var done = 0
@@ -231,6 +274,23 @@ object Sweep {
     * Session-scoped config: concurrent queries on the same session
     * during the body would also run non-adaptively (harmless for
     * correctness; Verify/Bench run queries sequentially). */
+  /** Run `body` (a sweep operator's pin/fold phase) with
+    * `spark.sql.shuffle.partitions` set to the [[sweepPartitions]]-
+    * derived count, restoring the prior value after. Every eager pin
+    * and every lazy exchange PLANNED inside the body (the per-sweep
+    * mass/label aggregates, intra-chunk seals, terminal pins) then
+    * shares ONE partition count, so all sweep joins stay co-located —
+    * a mixed layout would make EnsureRequirements re-exchange one
+    * side of every sweep join. Session-scoped like [[withoutAqe]]
+    * (Verify/Bench drive queries sequentially). */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                               n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prior)
+  }
+
   def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prior = spark.conf.get(key)

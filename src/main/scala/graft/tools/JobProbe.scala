@@ -23,7 +23,8 @@ object JobProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-jobprobe")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",

@@ -213,14 +213,22 @@ class GraphsSpec extends AnyFunSuite {
       .map(_ => (rnd.nextInt(60).toString, rnd.nextInt(60).toString))
       .filter(e => e._1 != e._2).distinct.toDF("a", "b")
     // the public pageRank returns a terminal pin (a bare checkpoint
-    // scan — nothing to inspect); the lazy variant IS that pin's plan
+    // scan — nothing to inspect); the lazy variant IS that pin's plan.
+    // r21: the operator pins at the scale-adaptive partition count and
+    // materializes under withShufflePartitions(np) — plan the lazy
+    // frame under the same count (any test-sized edge count derives
+    // np = 1), as pageRank itself does, or EnsureRequirements
+    // re-exchanges the mismatched pin side.
+    val np = graft.ops.Sweep.sweepPartitions(spark, edges.count())
     val df = Graphs.pageRankLazy(edges, "a", "b", iterations = 3,
       damping = 0.85, dedupEdges = true)
-    df.collect()
-    // the AQE toString appends the pre-execution "Initial Plan" —
-    // count exchanges in the FINAL (executed) section only
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    val plan = graft.ops.Sweep.withShufflePartitions(spark, np) {
+      df.collect()
+      // the AQE toString appends the pre-execution "Initial Plan" —
+      // count exchanges in the FINAL (executed) section only
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+    }
     val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
     graft.ops.Staging.releaseAll()
     assert(nEx == 3, s"expected 3 exchanges (one per sweep), got $nEx in:\n$plan")
