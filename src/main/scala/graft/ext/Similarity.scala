@@ -339,8 +339,23 @@ object Similarity {
           .select("band", "bval")
         banded0.join(broadcast(occ), Seq("band", "bval"))
       }
-    val cand = banded.select(col("id").as("id_a"), col("band"), col("bval"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bval")),
+    // The band self-join's OUTPUT explodes ~|bucket| x per input row
+    // while its INPUT is a few narrow longs per row — AQE sizes the
+    // exchange from input bytes, so it coalesced the join down to 1-2
+    // partitions and the entire pair blowup + cosine verify ran
+    // serially (measured: one 4.1 s single-task job at sf0.1). A
+    // USER-specified repartition on the join key pins the exchange at
+    // the session's shuffle parallelism (AQE may not resize it) —
+    // same shuffle that ENSURE_REQUIREMENTS inserted anyway, and both
+    // self-join sides share it through ReuseExchange. The exploding-
+    // join hazard is scale-independent (guide §3.3): at 100 TB this
+    // exchange is large enough that AQE would keep it wide, so the
+    // pin only removes the small-input serialization cliff.
+    val nCand = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val bandedR = banded.repartition(nCand, col("band"), col("bval"))
+    val cand = bandedR.select(col("id").as("id_a"), col("band"), col("bval"))
+      .join(bandedR.select(col("id").as("id_b"), col("band"), col("bval")),
             Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -410,8 +425,14 @@ object Similarity {
           .bitwiseAND(lit(mask)).as("bval"))): _*)
     val banded = sig.select(col("id"), explode(bandVals).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val cand = banded.select(col("id").as("id_a"), col("band"), col("bval"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bval")),
+    // pin the exploding band self-join's exchange — see
+    // [[lshNearDupPairs]] (AQE coalesced it to 1-2 partitions from
+    // its small INPUT bytes and serialized the pair blowup)
+    val nCand = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val bandedR = banded.repartition(nCand, col("band"), col("bval"))
+    val cand = bandedR.select(col("id").as("id_a"), col("band"), col("bval"))
+      .join(bandedR.select(col("id").as("id_b"), col("band"), col("bval")),
             Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
