@@ -127,7 +127,7 @@ object Graphs {
       // sweep's join re-uses it against adj's src partitioning. One
       // node-sized shuffle per sweep, nothing else.
       val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-        adj.join(pr, col("src") === col("node"))
+        adj.join(pr.hint("shuffle_hash"), col("src") === col("node"))
           .groupBy("dst")
           .agg(sum(col("pr") / col("deg")).as("__mass"))
           .select(col("dst").as("node"),
@@ -224,7 +224,7 @@ object Graphs {
       val n = nRows.toDouble
       val init = wt.select(col("src").as("node"), lit(1.0 / n).as("pr"))
       val terminal = (1 to iterations).foldLeft(init) { (pr, _) =>
-        adj.join(pr, col("src") === col("node"))
+        adj.join(pr.hint("shuffle_hash"), col("src") === col("node"))
           .groupBy("dst")
           .agg(sum(col("pr") * col("w") / col("wtot")).as("__mass"))
           .select(col("dst").as("node"),
@@ -281,7 +281,7 @@ object Graphs {
       // (dst, label), so min_by is deterministic). Two node-frame
       // exchanges per round ((dst, label) counts, then dst), zero
       // edge-frame exchanges.
-      val nxt = sym.join(cur, col("src") === col("node"))
+      val nxt = sym.join(cur.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst", "label")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("dst")
@@ -290,10 +290,11 @@ object Graphs {
       // stamp the INTEGRAL changed-vs-previous flag (r16 verdict item
       // 6): both sides are node-sized frames already hashed on the
       // join key (groupBy dst / the sealed node layout), so the join
-      // is co-located — no extra exchange, and hint("merge") keeps the
-      // node list off the broadcast path ([[kCore]]'s race note).
+      // is co-located — no extra exchange, and hint("shuffle_hash")
+      // keeps the node list off the broadcast path ([[kCore]]'s race
+      // note) without SMJ's per-round sorts.
       nxt.join(cur.select(col("node"), col("label").as("__prev"))
-            .hint("merge"),
+            .hint("shuffle_hash"),
           nxt("dst") === col("node"))
         .select(nxt("dst").as("node"), nxt("label"),
                 (nxt("label") =!= col("__prev")).as("__chg"))
@@ -403,12 +404,14 @@ object Graphs {
     // unknown partitioning and re-shuffled both)
     val init0 = pin(init, "node")
     def relaxMerge(dist: DataFrame): DataFrame = {
-      // hint("merge"): the co-located SMJ this operator's layout is
-      // designed for — see [[kCore]]'s note on why a broadcast of the
-      // node frame both breaks at 100 TB and races the chunk's staged
-      // intermediates at small SF
+      // hint("shuffle_hash") (r21; was "merge"): the co-located
+      // shuffle-keyed join this operator's layout is designed for —
+      // see [[kCore]]'s note on why a broadcast of the node frame
+      // both breaks at 100 TB and races the chunk's staged
+      // intermediates at small SF, and why shuffled-hash beats SMJ
+      // here (no per-sweep sort of the edge frame)
       val relaxed = sym
-        .join(dist.hint("merge"), col("src") === col("node"))
+        .join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst").agg((min(col("hops")) + 1L).as("__nh"))
       dist
         .join(relaxed, col("node") === col("dst"), "full_outer")
@@ -466,17 +469,24 @@ object Graphs {
       val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") >= k).select(col("src").as("__keep"))
           .repartition(n, col("__keep"))
-      // hint("merge"): at small SF Spark would BROADCAST the node-sized
-      // keep frame — and under non-AQE every broadcast future of a
-      // chunk's plan starts building CONCURRENTLY, so the chunk's
-      // staged intermediates were computed by racing broadcast jobs
-      // before any cache partition landed (measured: q192 tasks
-      // 553->1039 under a 3-peel chunk). SMJ is also the only join
-      // that exists at 100 TB (a graph's node list does not broadcast)
-      // and the src side co-locates for free against the declared
-      // hash(src) layout.
-      e.join(keep.hint("merge"), col("src") === col("__keep"), "left_semi")
-        .join(keep.hint("merge"), col("dst") === col("__keep"), "left_semi")
+      // hint("shuffle_hash") (r21; was "merge"): unhinted, at small SF
+      // Spark would BROADCAST the node-sized keep frame — and under
+      // non-AQE every broadcast future of a chunk's plan starts
+      // building CONCURRENTLY, so the chunk's staged intermediates
+      // were computed by racing broadcast jobs before any cache
+      // partition landed (measured: q192 tasks 553->1039 under a
+      // 3-peel chunk). A shuffle-keyed join is the only kind that
+      // exists at 100 TB (a graph's node list does not broadcast);
+      // among those, shuffled-hash builds the NODE-sized keep side
+      // into a per-partition hash table and streams the edge frame
+      // UNSORTED, where the r16-r20 SMJ form sorted the 1.2M-row edge
+      // frame twice per peel (guide §3.1) — measured q192 isolated
+      // 9.4 -> 4.6-5.6 s at identical job/stage/task counts. The src
+      // side still co-locates for free against the declared hash(src)
+      // layout; build-side memory is nodes/partition (Spark 4 SHJ
+      // spills if that estimate is ever wrong).
+      e.join(keep.hint("shuffle_hash"), col("src") === col("__keep"), "left_semi")
+        .join(keep.hint("shuffle_hash"), col("dst") === col("__keep"), "left_semi")
     }
     // Chunked pin cadence (r15 verdict — [[graft.ops.Sweep.foldPinned]]).
     // Shuffle volume is unchanged vs pin-per-sweep: an intra-chunk
@@ -527,9 +537,9 @@ object Graphs {
       .select(col("node"), lit(0L).as("dist"))
     val init0 = pin(init, "node")
     def relaxMerge(dist: DataFrame): DataFrame = {
-      // hint("merge") — see [[bfsHops]]
+      // hint("shuffle_hash") — see [[bfsHops]]
       val relaxed = sym
-        .join(dist.hint("merge"), col("src") === col("node"))
+        .join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst").agg(min(col("dist") + col("w")).as("__nd"))
       dist
         .join(relaxed, col("node") === col("dst"), "full_outer")
@@ -627,7 +637,7 @@ object Graphs {
         .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
           .as("__dm"))
       nodesF.join(
-          adj.join(prS, col("src") === col("node"))
+          adj.join(prS.hint("shuffle_hash"), col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
           col("node") === col("dst"), "left")
         .crossJoin(broadcast(consts))
@@ -695,7 +705,7 @@ object Graphs {
         .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
           .as("__dm"))
       nodesF.join(
-          adj.join(prS, col("src") === col("node"))
+          adj.join(prS.hint("shuffle_hash"), col("src") === col("node"))
             .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
           col("node") === col("dst"), "left")
         .crossJoin(broadcast(consts))
@@ -849,7 +859,7 @@ object Graphs {
         .agg(count(lit(1)).as("n_seeds"), sum("est_milli").as("nf_est_milli"))
         .select(lit(t.toLong).as("t"), col("n_seeds"), col("nf_est_milli"))
     def advance(reg: DataFrame): DataFrame = {
-      val relaxed = sym.join(reg.hint("merge"), col("src") === col("node"))
+      val relaxed = sym.join(reg.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst")
         .agg(graft.functions.GraftFunctions
             .bytes8MaxAgg(sp, col(gCols.head)).as(s"m_${gCols.head}"),

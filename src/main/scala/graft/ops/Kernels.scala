@@ -226,7 +226,13 @@ object Kernels {
           .filter(col("__rn") <= n)
       case None => perItem
     }
-    // staged: the self-join reads the per-user item frame twice
+    // staged: the self-join reads the per-user item frame twice.
+    // (r21 probe note: a user-repartition pin on the join key — the
+    // q42 exploding-join remedy — was tried and REVERTED here: this
+    // join's AQE-planned exchanges already run 4-8 adequate
+    // partitions at the audit SFs (events carries enough bytes), and
+    // forcing the full shuffle grid only added tiny-task overhead —
+    // measured q247 1.65 -> 2.7 s, q270 2.0 -> 3.0 s.)
     val ui = Staging.stage(capped.select(col(userCol), col(itemCol)))
     ui.as("x").join(ui.as("y"),
         col(s"x.$userCol") === col(s"y.$userCol") &&

@@ -232,6 +232,17 @@ class GraphsSpec extends AnyFunSuite {
     val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
     graft.ops.Staging.releaseAll()
     assert(nEx == 3, s"expected 3 exchanges (one per sweep), got $nEx in:\n$plan")
+    // r21: the per-sweep adjacency⋈rank join is SHUFFLED-HASH (build
+    // the node-sized rank side, stream the pinned edge frame
+    // unsorted) — the SMJ form sorted the edge frame every sweep
+    // (measured q192 isolated 9.4 -> 4.6-5.6 s from the same swap in
+    // kCore's peels; this pins the strategy for the shared sweep
+    // shape). No sort-merge join and no per-sweep edge Sort may
+    // reappear.
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin sweep joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sweep joins regressed to SortMergeJoin in:\n$plan")
     // and the public form's contract: consumers see hash(node)
     // partitioning declared on the pinned result
     val pinned = Graphs.pageRank(edges, "a", "b", iterations = 3)
