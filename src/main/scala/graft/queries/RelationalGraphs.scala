@@ -518,8 +518,15 @@ object RelationalGraphsQueries {
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
                 concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
         .distinct()
+      // r21: one-pass symmetrization (Sweep.symmetrize — explode of
+      // both orientations) instead of union(edges, reversed): the
+      // union form read the whole lineitem⋈orders⋈distinct build
+      // TWICE into the staged cache fill (the r12 pageRank bug shape).
+      // Every downstream moment is an exact integer/decimal sum, so
+      // the changed row order is value-invisible.
       val sym = graft.ops.Staging.stage(
-        edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+        graft.ops.Sweep.symmetrize(edges, "a", "b")
+          .select(col("src").as("a"), col("dst").as("b")))
       val deg = graft.ops.Staging.stage(
         sym.groupBy("a").agg(count(lit(1)).as("dg")))
       val pairs = sym.join(deg, "a").withColumnRenamed("dg", "dx")
