@@ -80,8 +80,19 @@ object Bench {
     // staged frames are released, so nothing persists into the timed
     // region. Timing methodology (2 full passes, per-query min, noop
     // sink) is UNCHANGED.
+    // r22 (r21 verdict item 6): the r21 warm-up set missed the heavy
+    // physical classes — the graph sweep pin/fold machinery
+    // (GraftPartitionedCheckpoint + shuffled-hash sweep joins:
+    // q178 runs pageRankWeighted end to end) and the IVF parquet
+    // write/read + streaming-engine init (q321 exercises partitioned
+    // parquet write, MemoryStream micro-batches and index load) — so
+    // the driver's pass 1 still absorbed their first-use cost
+    // (driver run_totals 1.41x apart). Both additions are UNMEASURED
+    // and write only to fresh Scratch temp dirs (no state survives
+    // into the timed region; Staging released after each).
     for (w <- Seq("q01_pricing_summary", "q04_rank_segments",
-                  "q14_trailing_avg", "q62_top_ngrams", "q92_hll_distinct"))
+                  "q14_trailing_avg", "q62_top_ngrams", "q92_hll_distinct",
+                  "q178_textrank_keywords", "q321_ann_stream_append"))
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Exception => () } // warm-up must never kill the run
@@ -216,6 +227,15 @@ object Bench {
       }
     }
     println(line)
+    // r22 (r21 verdict item 2): the driver's bounded tail capture
+    // truncates the ~12 KB map line above mid-object, so its PERF
+    // per_query/scaling blocks came up empty two rounds running. Emit
+    // ONE SMALL machine-parseable line PER QUERY after the map line
+    // and before the final total line — any tail window then carries
+    // complete per-query records. Additions only: the map line and
+    // the final summary line are unchanged.
+    for ((k, v) <- results)
+      println(s"""{"metric":"query","name":${jstr(k)},"sec":$v}""")
     // The driver captures a bounded TAIL of stdout: the full per-query
     // line above was truncated into "parsed": null in rounds 9-10 and
     // again in 14-15. Print a compact headline summary as the FINAL

@@ -339,11 +339,68 @@ object Dedup {
       .withColumn("__r", row_number().over(wDoc))
       .filter(col("__r") <=
         col("n") - expr(s"($tPpm * n + 999999) div 1000000") + 1)
-      .select(col("__id"), col("s"))
-    val cand = prefix.select(col("__id").as("id_a"), col("s"))
-      .join(prefix.select(col("__id").as("id_b"), col("s").as("__s")),
-        col("s") === col("__s") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select(col("__id"), col("s"), col("__r").cast("long").as("__r"),
+              col("n"))
+    // r22 (guide §3.3/§2.3 — the r21-verdict q327 item): two
+    // EXACTNESS-PRESERVING pre-filters prune candidates BEFORE the
+    // per-pair array_intersect verify, which was the suite's most
+    // expensive tail (the verify is O(|x|+|y|) per candidate):
+    //  - SIZE filter (PPJoin length filter) in the join condition:
+    //    J = i/(nx+ny-i) <= min(nx,ny)/max(nx,ny) (i <= min and
+    //    union >= max), so J >= t forces 1e6*min >= tPpm*max — exact
+    //    ppm integers, never drops a qualifying pair.
+    //  - POSITIONAL upper bound (PPJoin positional filter): __r is
+    //    each shingle's rank in the doc's GLOBAL (df, s) order — the
+    //    SAME total order in every doc — so for a shared shingle at
+    //    ranks (ra, rb), intersection elements before it number at
+    //    most min(ra-1, rb-1) and after it at most
+    //    min(nx-ra, ny-rb): |x∩y| <= 1 + min(ra-1,rb-1) +
+    //    min(nx-ra,ny-rb), and the tightest bound over the pair's
+    //    shared prefix shingles must still reach the minimum overlap
+    //    J >= t requires: i >= t/(1+t)*(nx+ny), i.e. in exact ppm
+    //    ub*(1e6+tPpm) >= tPpm*(nx+ny). Pairs failing either test
+    //    provably sit below the threshold; survivors still pass
+    //    through the unchanged exact integer verify, so the output
+    //    set and every value are identical (ExtSpec pins equality
+    //    with brute force including the J == t boundary pair).
+    // The groupBy replaces the old distinct() — same exchange, now
+    // also carrying the bound.
+    //
+    // PARALLELISM PINS (the r21 lshNearDupPairs pattern — guide §3.3's
+    // exploding-join/AQE hazard): the prefix self-join's OUTPUT
+    // explodes ~|posting|x per input row while its INPUT is narrow,
+    // so AQE sized both the self-join exchange and the pair
+    // aggregate's exchange from input bytes and ran the entire
+    // candidate blowup + per-pair exact verify on 1-2 tasks (measured
+    // r21: 4.5 s + 2.8 s single-task tail jobs — the suite's most
+    // expensive query). Two user repartitions pin the SAME exchanges
+    // ENSURE_REQUIREMENTS inserted anyway at the session parallelism
+    // (AQE may not resize a user count): (a) on the prefix token, so
+    // both self-join sides share one wide exchange via ReuseExchange;
+    // (b) on the pair key, so the bound aggregate AND the downstream
+    // verify joins (the staged shingle frame broadcasts into them)
+    // stay wide through the array_intersect. At 100 TB both exchanges
+    // are large enough that AQE keeps them wide anyway — the pins only
+    // remove the small-input serialization cliff.
+    val nCand = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val prefixR = prefix.repartition(nCand, col("s"))
+    val cand = prefixR.select(col("__id").as("id_a"), col("s"),
+        col("__r").as("__ra"), col("n").as("__nx"))
+      .join(prefixR.select(col("__id").as("id_b"), col("s").as("__s"),
+          col("__r").as("__rb"), col("n").as("__ny")),
+        col("s") === col("__s") && col("id_a") < col("id_b") &&
+          lit(1000000L) * least(col("__nx"), col("__ny")) >=
+            lit(tPpm) * greatest(col("__nx"), col("__ny")))
+      .repartition(nCand, col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(min(lit(1L) +
+          least(col("__ra") - 1L, col("__rb") - 1L) +
+          least(col("__nx") - col("__ra"), col("__ny") - col("__rb")))
+          .as("__ub"),
+        first(col("__nx") + col("__ny")).as("__nxy"))
+      .filter(col("__ub") * lit(1000000L + tPpm) >= lit(tPpm) * col("__nxy"))
+      .select("id_a", "id_b")
     cand
       .join(sh.select(col("__id").as("id_a"), col("shingles").as("__sa"),
         col("n").as("na")), Seq("id_a"))

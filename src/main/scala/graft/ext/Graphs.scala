@@ -134,7 +134,11 @@ object Graphs {
             (lit((1.0 - damping) / n) +
               lit(damping) * col("__mass")).as("pr"))
       }
-      (terminal.join(deg, col("node") === col("src"))
+      // r22 (r21 verdict item 4): the terminal degree join gets the
+      // same shuffled-hash treatment as the sweep mass joins — both
+      // sides are node-sized pins already co-located on the join key,
+      // so SMJ's only contribution was two per-run sorts
+      (terminal.join(deg.hint("shuffle_hash"), col("node") === col("src"))
         .select(col("node"), col("deg").as("degree"), col("pr")), np)
     }
   }
@@ -231,7 +235,8 @@ object Graphs {
             (lit((1.0 - damping) / n) +
               lit(damping) * col("__mass")).as("pr"))
       }
-      (terminal.join(wt, col("node") === col("src"))
+      // r22: shuffled-hash on the terminal weight join (see pageRank)
+      (terminal.join(wt.hint("shuffle_hash"), col("node") === col("src"))
         .select(col("node"), col("wtot").as("total_weight"), col("pr")), np)
     }
   }
@@ -413,8 +418,14 @@ object Graphs {
       val relaxed = sym
         .join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst").agg((min(col("hops")) + 1L).as("__nh"))
+      // r22 (r21 verdict item 4 audit): the per-sweep merge was the
+      // last unhinted node×node sweep join — SMJ sorted both
+      // node-sized sides every sweep. Spark 4 SHJ supports FullOuter
+      // (build side tracks matched rows); both inputs are already
+      // co-located on the key, so only the sorts disappear.
       dist
-        .join(relaxed, col("node") === col("dst"), "full_outer")
+        .join(relaxed.hint("shuffle_hash"),
+          col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("hops"), col("__nh")),
                       coalesce(col("__nh"), col("hops"))).as("hops"))
@@ -541,8 +552,10 @@ object Graphs {
       val relaxed = sym
         .join(dist.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy("dst").agg(min(col("dist") + col("w")).as("__nd"))
+      // r22: shuffled-hash full-outer merge — see [[bfsHops]]
       dist
-        .join(relaxed, col("node") === col("dst"), "full_outer")
+        .join(relaxed.hint("shuffle_hash"),
+          col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("dist"), col("__nd")),
                       coalesce(col("__nd"), col("dist"))).as("dist"))
@@ -600,7 +613,8 @@ object Graphs {
     // so the flag is computed once and rides the rank frame through
     // every checkpoint; D then needs no per-sweep join at all
     val (nodesF, nRows) = pinCounted(
-      nodes.join(outdeg, col("node") === col("src"), "left")
+      nodes.join(outdeg.hint("shuffle_hash"),
+          col("node") === col("src"), "left")
         .select(col("node"), col("src").isNull.as("__dang")),
       "node")
     val n = nRows.toDouble
@@ -636,9 +650,14 @@ object Graphs {
       val consts = prS
         .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
           .as("__dm"))
+      // r22 (r21 verdict item 4): the dangling left join and the
+      // terminal outdeg join below get the same shuffled-hash hint as
+      // the inner mass join — node-sized build sides, both inputs
+      // already co-located on the key, SMJ only added per-sweep sorts
       nodesF.join(
           adj.join(prS.hint("shuffle_hash"), col("src") === col("node"))
-            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
+            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass"))
+            .hint("shuffle_hash"),
           col("node") === col("dst"), "left")
         .crossJoin(broadcast(consts))
         .select(col("node"), col("__dang"),
@@ -647,7 +666,7 @@ object Graphs {
               col("__dm") / lit(n))).as("pr"))
     }
     graft.ops.Sweep.foldPinned(init, iterations, Seq("node"))(sweep)
-      .join(outdeg, col("node") === col("src"), "left")
+      .join(outdeg.hint("shuffle_hash"), col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"),
               col("pr"))
     }
@@ -688,8 +707,10 @@ object Graphs {
     // both static per-node flags (dangling, seed) stamped once; they
     // ride the rank frame through every checkpoint
     val (nodesF, _) = pinCounted(
-      nodes.join(outdeg, col("node") === col("src"), "left")
-        .join(seedSet, col("node") === col("__sn"), "left")
+      nodes.join(outdeg.hint("shuffle_hash"),
+          col("node") === col("src"), "left")
+        .join(seedSet.hint("shuffle_hash"),
+          col("node") === col("__sn"), "left")
         .select(col("node"), col("src").isNull.as("__dang"),
                 col("__sn").isNotNull.as("__seed")),
       "node")
@@ -704,9 +725,12 @@ object Graphs {
       val consts = prS
         .agg(coalesce(sum(when(col("__dang"), col("pr"))), lit(0.0))
           .as("__dm"))
+      // r22: shuffled-hash on the dangling left join and the terminal
+      // outdeg join below — the pageRankDirected completion
       nodesF.join(
           adj.join(prS.hint("shuffle_hash"), col("src") === col("node"))
-            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass")),
+            .groupBy("dst").agg(sum(col("pr") / col("deg")).as("__mass"))
+            .hint("shuffle_hash"),
           col("node") === col("dst"), "left")
         .crossJoin(broadcast(consts))
         .select(col("node"), col("__dang"), col("__seed"),
@@ -716,7 +740,7 @@ object Graphs {
            lit(damping) * coalesce(col("__mass"), lit(0.0))).as("pr"))
     }
     graft.ops.Sweep.foldPinned(init, iterations, Seq("node"))(sweep)
-      .join(outdeg, col("node") === col("src"), "left")
+      .join(outdeg.hint("shuffle_hash"), col("node") === col("src"), "left")
       .select(col("node"), col("__seed").as("is_seed"),
               coalesce(col("deg"), lit(0L)).as("out_degree"), col("pr"))
     }
@@ -866,8 +890,12 @@ object Graphs {
           gCols.tail.map(c => graft.functions.GraftFunctions
             .bytes8MaxAgg(sp, col(c)).as(s"m_$c")): _*)
       // left + coalesce: every node here has degree >= 1 under the
-      // symmetric edge set, but the merge shape stays total
-      reg.join(relaxed, col("node") === col("dst"), "left")
+      // symmetric edge set, but the merge shape stays total.
+      // r22: shuffled-hash (r21 verdict item 4 audit) — the register
+      // merge was an unhinted node×node SMJ sorting both 8-long-wide
+      // node frames every sweep; both sides are co-located on the key
+      reg.join(relaxed.hint("shuffle_hash"),
+          col("node") === col("dst"), "left")
         .select(col("node") +: gCols.map(c =>
           graft.functions.GraftFunctions
             .bytes8Max(sp, col(c), coalesce(col(s"m_$c"), lit(0L)))

@@ -135,6 +135,16 @@ object RelationalGraphsQueries {
     // semi-joins of the distinct edge list per cutoff, the 3-cutoff
     // frame a broadcast.
     "q343_rich_club" -> ((s, d) => {
+      // r22 (r21 verdict item 5 — guide §2.4): ONE pass per frame with
+      // conditional aggregation instead of 3 cutoffs × (eager census +
+      // two semi-joins). N_k = count(deg > k) is one aggregate over the
+      // degree frame; E_k = count of edges with BOTH endpoint degrees
+      // > k, from a single deg-annotated edge frame (two joins total,
+      // replacing six semi-joins — an edge survives both semi-joins
+      // for cutoff k iff deg(a) > k AND deg(b) > k, so the counts are
+      // identical by construction). The 3-row output explodes from the
+      // fused 1-row aggregate; phi text unchanged.
+      val ks = Seq(2L, 4L, 8L)
       val e0 = graft.ops.Staging.stage(
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -144,20 +154,24 @@ object RelationalGraphsQueries {
       val deg = graft.ops.Staging.stage(
         e0.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg")))
-      val ks = Seq(2L, 4L, 8L).map { k =>
-        val rich = deg.filter(col("deg") > k).select("node")
-        val nK = rich.agg(count(lit(1)).as("n_k"))
-        val eK = e0.join(rich.withColumnRenamed("node", "a"), Seq("a"),
-            "left_semi")
-          .join(rich.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .agg(count(lit(1)).as("e_k"))
-        nK.crossJoin(broadcast(eK)).select(lit(k).as("k"),
-          col("n_k"), col("e_k"),
-          expr("CASE WHEN n_k >= 2 THEN (2 * e_k * 1000000) div " +
-            "(n_k * (n_k - 1)) ELSE CAST(NULL AS BIGINT) END")
+      val nCols = ks.map(k => count(when(col("deg") > k, lit(1))).as(s"n_$k"))
+      val nAgg = deg.agg(nCols.head, nCols.tail: _*)
+      val degE = e0
+        .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+      val eCols = ks.map(k =>
+        count(when(col("__da") > k && col("__db") > k, lit(1))).as(s"e_$k"))
+      val eAgg = degE.agg(eCols.head, eCols.tail: _*)
+      nAgg.crossJoin(broadcast(eAgg))
+        .select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"n_$k").as("n_k"),
+                 col(s"e_$k").as("e_k"))): _*)).as("__r"))
+        .select(col("__r.k").as("k"), col("__r.n_k").as("n_k"),
+                col("__r.e_k").as("e_k"),
+          expr("CASE WHEN __r.n_k >= 2 THEN (2 * __r.e_k * 1000000) div " +
+            "(__r.n_k * (__r.n_k - 1)) ELSE CAST(NULL AS BIGINT) END")
             .as("phi_ppm"))
-      }
-      ks.reduce(_.unionByName(_)).orderBy("k")
+        .orderBy("k")
     }),
 
     // Discrete POWER-LAW degree exponent via the Clauset-Shalizi-

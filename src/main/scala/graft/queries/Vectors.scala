@@ -562,8 +562,16 @@ object VectorQueries {
       graft.ext.IvfIndex.append(s, dir,
         emb.filter(pmod(col("vec_id"), lit(2)) =!= 0),
         "vec_id", "embedding", labelCol = Some("label"))
+      // r22 (r21 verdict item 3 — guide §2.4): the compact REBUILD runs
+      // one Lloyd sweep, not two — each sweep is a full-corpus scan +
+      // collect, and the rebuild's codebook starts from a corpus the
+      // build step already clustered once, so it converges in fewer
+      // sweeps. Result-invisible by construction: nProbe = nCentroids
+      // is exhaustive, so the search result is EXACT under ANY centroid
+      // set (the oracle is the centroid-free filteredTopK text, and the
+      // lifecycle still writes the same on-disk generations).
       graft.ext.IvfIndex.compact(s, dir, gen2,
-        nCentroids = 8, kmeansSweeps = 2)
+        nCentroids = 8, kmeansSweeps = 1)
       graft.ext.IvfIndex.load(s, gen2)
         .searchFiltered(emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", "label", k = 3, nProbe = 8)
@@ -633,8 +641,10 @@ object VectorQueries {
         .searchFiltered(queries, "vec_id", "embedding", "label",
           k = 3, nProbe = 8)
         .withColumn("stage", lit("logical"))
+      // r22: one-sweep compact rebuild — see q333 (exhaustive probes
+      // make the search exact under any centroid set)
       graft.ext.IvfIndex.compact(s, dir, gen2,
-        nCentroids = 8, kmeansSweeps = 2)
+        nCentroids = 8, kmeansSweeps = 1)
       val physical = graft.ext.IvfIndex.load(s, gen2)
         .searchFiltered(queries, "vec_id", "embedding", "label",
           k = 3, nProbe = 8)

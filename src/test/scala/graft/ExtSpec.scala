@@ -453,6 +453,39 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == brute.toSeq)
     assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (3L, 4L)),
       "must include the J == 0.5 integral boundary pair (1,2)")
+    // r22: the size + positional pre-filters (PPJoin length/positional
+    // bounds) must NEVER drop a qualifying pair — pinned against brute
+    // force on a deterministic 40-doc fixture with heavy shingle
+    // overlap, mixed lengths (the size filter's axis), shared
+    // prefixes/suffixes (the positional filter's axis) and exact
+    // J == t boundary pairs at two thresholds.
+    val vocab = Array("red", "ox", "ate", "dry", "hay", "all", "day",
+      "one", "two", "six", "ten", "old", "new", "big")
+    val fuzz = (0 until 40).map { i =>
+      val len = 4 + (i * 7) % 23
+      val toks = (0 until len).map(j => vocab((i * 3 + j * j) % vocab.length))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.25)) {
+      val gotF = graft.ext.Dedup.prefixJaccardPairs(fuzz, "doc_id", "text",
+          k = 3, threshold = t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val shF = graft.ext.Dedup.withShingles(fuzz, "text", 3)
+        .filter(size($"shingles") > 0).select($"doc_id", $"shingles")
+      val tp = math.round(t * 1e6)
+      val bruteF = shF.as("a").join(shF.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          size(array_intersect($"a.shingles", $"b.shingles")).cast("long").as("i"),
+          (size($"a.shingles") + size($"b.shingles") -
+            size(array_intersect($"a.shingles", $"b.shingles"))).cast("long").as("u"))
+        .filter($"i" * 1000000L >= $"u" * tp)
+        .orderBy("a.doc_id", "b.doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(bruteF.nonEmpty, s"fixture must produce qualifying pairs at t=$t")
+      assert(gotF.toSeq == bruteF.toSeq,
+        s"pre-filter dropped or altered a qualifying pair at t=$t")
+    }
     // candidates come from the prefix-token join, never a product
     val plan = graft.ext.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
       k = 3, threshold = 0.5).queryExecution.executedPlan.toString
