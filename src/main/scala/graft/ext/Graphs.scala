@@ -310,7 +310,7 @@ object Graphs {
     // identical output, fewer chunks. The flag count is fused into
     // each chunk pin's own materializing job.
     graft.ops.Sweep.foldPinnedConverging(init, iterations, Seq("node"),
-        changeFlag = Some("__chg"))(step)
+        changeFlag = Some("__chg"), numPartitions = Some(np))(step)
       .select("node", "label")
     }
   }
@@ -514,8 +514,11 @@ object Graphs {
     // pin's materializing job (withCount), job count per sweep
     // unchanged.
     graft.ops.Sweep.withShufflePartitions(edges.sparkSession, np) {
+      // numPartitions threaded EXPLICITLY (r21 advice: the parameter
+      // existed but every caller relied on the ambient conf — two
+      // sources of truth for the same knob)
       graft.ops.Sweep.foldPinnedConverging(init, sweeps, Seq("src"),
-        initRows = Some(initEdges))(peel)
+        initRows = Some(initEdges), numPartitions = Some(np))(peel)
     }
   }
 

@@ -283,12 +283,29 @@ object Sweep {
     * a mixed layout would make EnsureRequirements re-exchange one
     * side of every sweep join. Session-scoped like [[withoutAqe]]
     * (Verify/Bench drive queries sequentially). */
+  // r22 (r21 advice): guard against NESTED scopes on the same thread —
+  // an inner scope would plan the outer operator's remaining exchanges
+  // under the wrong count and silently restore the inner prior. No
+  // operator nests today; an embedder composing operators inside a
+  // scope fails loudly here instead of serializing its sweeps.
+  private val wspActive = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
                                n: Int)(body: => T): T = {
+    require(!wspActive.get,
+      "nested withShufflePartitions scopes on one thread — thread the " +
+        "partition count explicitly (pinN/foldPinnedN) instead of " +
+        "relying on ambient session conf")
+    wspActive.set(true)
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prior)
+    try body finally {
+      spark.conf.set(key, prior)
+      wspActive.set(false)
+    }
   }
 
   def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {

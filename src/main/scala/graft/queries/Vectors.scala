@@ -350,8 +350,12 @@ object VectorQueries {
     "q131_ann_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
-        .select("query_id", "neighbor_id")
+      // r22 (guide §2.4): STAGED — the exact ground-truth frame feeds
+      // all three method branches' intersects; lazy, the brute-force
+      // all-pairs pass re-ran once per branch
+      val exact = graft.ops.Staging.stage(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3)
+          .select("query_id", "neighbor_id"))
       val books = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 8, k = 64)
       def recallRow(name: String, rf: Int) =
         Pq.pqTopK(emb, qs, "vec_id", "embedding", k = 3,
@@ -485,9 +489,11 @@ object VectorQueries {
     "q319_ann_recall_curve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 10)
-      val exact = graft.ext.Similarity.bruteForceTopK(
-          emb, qs, "vec_id", "embedding", 3)
-        .select("query_id", "neighbor_id")
+      // r22: staged — four probe settings intersect against it (see q131)
+      val exact = graft.ops.Staging.stage(
+        graft.ext.Similarity.bruteForceTopK(
+            emb, qs, "vec_id", "embedding", 3)
+          .select("query_id", "neighbor_id"))
       val idx = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
         nCentroids = 16, kmeansSweeps = 2)
       Seq(1, 2, 4, 8).map { np =>

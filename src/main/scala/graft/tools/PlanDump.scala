@@ -22,8 +22,11 @@ object PlanDump {
       .foreach { case (name, fn) =>
         println(s"==== $name ====")
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan.toString
-        println(plan)
+        // r22: formatted explain (numbered operator list + details —
+        // PushedFilters/ReadSchema/build sides), the artifact format
+        // plans/ has carried since r21
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
         graft.ops.Staging.releaseAll()
       }
     spark.stop()
