@@ -219,7 +219,14 @@ class GraphsSpec extends AnyFunSuite {
     // frame under the same count (any test-sized edge count derives
     // np = 1), as pageRank itself does, or EnsureRequirements
     // re-exchanges the mismatched pin side.
-    val np = graft.ops.Sweep.sweepPartitions(spark, edges.count())
+    // r22 (r21 advice): derive np from the SAME row count the operator
+    // itself measures — the symmetrized+deduped edge frame (~2x the
+    // input edges) — not from edges.count(); the two only agreed here
+    // because the small fixture clamps both to 1, and a larger fixture
+    // would plan the lazy fold under a mismatched count and fail the
+    // exchange-count assert spuriously.
+    val np = graft.ops.Sweep.sweepPartitions(spark,
+      graft.ops.Sweep.symmetrize(edges, "a", "b").distinct().count())
     val df = Graphs.pageRankLazy(edges, "a", "b", iterations = 3,
       damping = 0.85, dedupEdges = true)
     val plan = graft.ops.Sweep.withShufflePartitions(spark, np) {
