@@ -494,8 +494,18 @@ object Graphs {
       // frame twice per peel (guide §3.1) — measured q192 isolated
       // 9.4 -> 4.6-5.6 s at identical job/stage/task counts. The src
       // side still co-locates for free against the declared hash(src)
-      // layout; build-side memory is nodes/partition (Spark 4 SHJ
-      // spills if that estimate is ever wrong).
+      // layout; build-side memory is nodes/partition. MEMORY NOTE
+      // (r22, r21 advice — verified against the bundled Spark 4.1.2
+      // jars): the SHJ build side does NOT spill — UnsafeHashedRelation
+      // grows a BytesToBytesMap and raises
+      // cannotAllocateMemoryToGrowBytesToBytesMapError when execution
+      // memory runs out (the r21 comment here overclaimed "spills").
+      // The actual safety argument at scale: the build side of every
+      // sweep join is the NODE-sized frame at the scale-adaptive
+      // partition count — per-task build state is nodes/np, sized by
+      // the same shuffle.partitions the cluster sizes every hash
+      // aggregate by — and the failure mode is a LOUD task OOM with
+      // SMJ one removed hint away, never a silent wrong result.
       e.join(keep.hint("shuffle_hash"), col("src") === col("__keep"), "left_semi")
         .join(keep.hint("shuffle_hash"), col("dst") === col("__keep"), "left_semi")
     }
